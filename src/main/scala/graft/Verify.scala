@@ -11,6 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
+      // default; read as nanos-epoch LongType (order-equivalent to DuckDB's
+      // TIMESTAMP_NS — queries never emit ts raw, see Tables.scala).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

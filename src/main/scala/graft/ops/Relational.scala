@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator library, re-expressing the reference's job-level
+  * patterns as composable DataFrame transforms.
+  *
+  * Scale notes (100 TB design intent):
+  *  - `latestPerKey` / `argminPerKey` are single-shuffle (hash partition by
+  *    key); `argminPerKey` uses `min_by` (partial aggregation = map-side
+  *    combine) which is strictly cheaper than the window-function form that
+  *    must materialize and sort every group.
+  *  - `antiJoinDedupe` is a plain left-anti equi-join: Spark picks
+  *    broadcast-hash when the history side is small (AQE converts at runtime
+  *    when the post-filter size qualifies), sort-merge otherwise.
+  */
+object Relational {
+
+  /** W1 — latest row per key via row_number window.
+    * Reference: src/main/scala/com/mozilla/telemetry/ml/AddonRecommender.scala:123-130
+    * (`row_number() OVER (PARTITION BY client_id ORDER BY submission_date_s3 desc)`).
+    * `order` must be a deterministic (tie-free) ordering for oracle parity.
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+  }
+
+  /** A1 — group-reduce argmin: earliest row per key set, one shuffle with
+    * map-side partial aggregation (beats the window form at scale: no
+    * per-group full sort, no full row materialization).
+    * Reference: src/main/scala/com/mozilla/telemetry/views/pioneer/PioneerOnlineNewsDedupe.scala:118-121
+    * (`groupByKey(...).reduceGroups(earliest by ping_timestamp)`).
+    *
+    * @param payload columns to carry through
+    * @param ord     ordering column (min wins); must be tie-free per group
+    *                or extended with a tiebreaker for determinism
+    */
+  def argminPerKey(df: DataFrame, keys: Seq[String], ord: Column, payload: Seq[String]): DataFrame = {
+    val aggs = payload.map(p => min_by(col(p), ord).as(p))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** J1 — incremental dedupe: drop rows of `incoming` whose natural key
+    * already appears in `history`.
+    * Reference: PioneerOnlineNewsDedupe.scala:114-117 (5-column left-anti join).
+    * At scale: history is the big side; Spark plans SMJ on the key columns,
+    * or BHJ when `incoming`'s day-slice is broadcastable. Callers that dedupe
+    * repeatedly against a growing history should store history bucketed by
+    * the key hash so the anti-join becomes shuffle-free on one side.
+    */
+  def antiJoinDedupe(incoming: DataFrame, history: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(history.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** J3+A1 — the reference's full incremental-dedupe pipeline: union prior
+    * state with new data, drop keys already in history, keep earliest row
+    * per key among survivors.
+    * Reference: PioneerOnlineNewsDedupe.scala:97-121. */
+  def incrementalDedupe(incoming: DataFrame, history: DataFrame, keys: Seq[String],
+                        ord: Column, payload: Seq[String]): DataFrame =
+    argminPerKey(antiJoinDedupe(incoming, history, keys), keys, ord, payload)
+}

@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.udafs.{CollectOps, MapAggregators, SearchCounts, Sketches}
+
+/** Query surface for the custom-aggregate suite (SURVEY.md §2.4 A5-A10,
+  * §2.6 O1, F12). The testdata tables carry no map/array columns, so each
+  * query constructs them in-flight (map()/struct()/array()) and unnests the
+  * aggregate result back to plain rows — which keeps every aggregator
+  * oracle-checkable by plain SQL.
+  */
+object AggregateQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private lazy val mapSum   = udaf(new MapAggregators.MapSum())
+  private lazy val mapFirst = udaf(new MapAggregators.MapFirst())
+
+  val queries: Map[String, Q] = Map(
+    // ───── A6: AggMapSum — pointwise map sum, exploded back to rows ─────
+    "q13_map_sum" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"), map(col("event_type"), lit(1L)).as("m"))
+        .groupBy(col("user_id"))
+        .agg(mapSum(col("m")).as("summed"))
+        .select(col("user_id"), explode(col("summed")).as(Seq("key", "n")))
+        .orderBy(col("user_id"), col("key"))
+    }),
+
+    // ───── A5: AggMapFirst — first non-null per key. Deterministic here:
+    // input is hash-partitioned by the group key and sorted by ts within
+    // partitions, so the single partial-aggregation pass sees ts order and
+    // "first" ≡ argmin(ts) (the oracle). ─────
+    "q14_map_first" -> ((s, d) => {
+      Tables.events(s, d)
+        .repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts"))
+        .select(col("user_id"), map(col("event_type"), col("props")).as("m"))
+        .groupBy(col("user_id"))
+        .agg(mapFirst(col("m")).as("firsts"))
+        .select(col("user_id"), explode(col("firsts")).as(Seq("key", "first_props")))
+        .orderBy(col("user_id"), col("key"))
+    }),
+
+    // ───── A7: AggRowFirst — dedupe array-of-structs by id field ─────
+    "q15_row_first" -> ((s, d) => {
+      val packed = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(
+          struct(col("event_id"), col("event_type"), col("value")))).as("rows"))
+      packed
+        .select(col("user_id"),
+          explode(CollectOps.arrayDedupeById(col("rows"), "event_type")).as("r"))
+        .select(col("user_id"), col("r.event_type").as("event_type"),
+          col("r.event_id").as("first_event_id"), col("r.value").as("first_value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // ───── A9/O1: CollectList — null-retaining sorted top-k collect ─────
+    "q16_collect_top3" -> ((s, d) => {
+      val cols = CollectOps.sortedCollect(
+        Seq(col("value"), col("event_id")),
+        Seq("event_ids" -> col("event_id"), "values" -> col("value")),
+        maxLength = 3)
+      val collected = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(cols.head, cols.tail: _*)
+      collected
+        .select(col("user_id"),
+          posexplode(arrays_zip(col("event_ids"), col("values"))).as(Seq("pos", "z")))
+        .select(col("user_id"), (col("pos") + 1).as("rnk"),
+          col("z.event_ids").as("event_id"), col("z.values").as("value"))
+        .orderBy(col("user_id"), col("rnk"))
+    }),
+
+    // ───── A8: AggSearchCounts — filtered pivot-sum over struct arrays ─────
+    "q17_search_counts" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"),
+        array(struct(col("event_type").as("engine"), col("event_type").as("source"),
+          lit(1L).as("count"))).as("searches"))
+      SearchCounts.aggregate(e, Seq("user_id"), "searches", "search",
+          Seq("click", "view", "purchase"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ───── A10: HLL sketch create → merge → estimate (no SQL oracle:
+    // DuckDB's approx_count_distinct is a different sketch; accuracy is
+    // asserted in ScalaTest instead) ─────
+    "q18_hll_cardinality" -> ((s, d) => {
+      val perType = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(Sketches.hllSketch(col("user_id")).as("sk"))
+      perType
+        .agg(Sketches.hllCardinality(Sketches.hllMerge(col("sk"))).as("est_users"))
+        .select(col("est_users"))
+    }),
+
+    // ───── exact-distinct anchor for the same shape as q18 ─────
+    "q19_count_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ───── F12: bucketed(value, splits) ─────
+    "q20_bucketed" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(Sketches.bucketed(col("l_quantity"), Seq(10, 20, 30, 40, 50)).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q13_map_sum" ->
+      """SELECT user_id, event_type AS key, COUNT(*) AS n
+         FROM events GROUP BY user_id, event_type ORDER BY user_id, key""",
+    "q14_map_first" ->
+      """SELECT user_id, event_type AS key, arg_min(props, ts) AS first_props
+         FROM events GROUP BY user_id, event_type ORDER BY user_id, key""",
+    "q15_row_first" ->
+      """SELECT user_id, event_type, arg_min(event_id, event_id) AS first_event_id,
+         arg_min(value, event_id) AS first_value
+         FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""",
+    "q16_collect_top3" ->
+      """SELECT user_id, CAST(rn AS INT) AS rnk, event_id, value FROM (
+           SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rn
+           FROM events) WHERE rn <= 3 ORDER BY user_id, rnk""",
+    "q17_search_counts" ->
+      """SELECT user_id,
+         COUNT(*) AS search_all,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS search_click,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS search_view,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS search_purchase
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q19_count_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q20_bucketed" ->
+      """SELECT CAST(CASE WHEN l_quantity <= 10 THEN 10.0 WHEN l_quantity <= 20 THEN 20.0
+                WHEN l_quantity <= 30 THEN 30.0 WHEN l_quantity <= 40 THEN 40.0
+                WHEN l_quantity <= 50 THEN 50.0 ELSE 51.0 END AS DOUBLE) AS bucket,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY bucket"""
+  )
+}

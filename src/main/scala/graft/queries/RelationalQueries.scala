@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Relational
+
+/** Relational-core query surface: scans, filters, projections, joins,
+  * aggregation, window dedupe, anti-join dedupe, set ops.
+  * Covers SURVEY.md §2 items S2, P1-P8, J1-J3, A1-A4, W1, O3-O4.
+  *
+  * Oracle-parity conventions (see Verify.scala / the driver's DuckDB gate):
+  *  - money aggregates are summed as DECIMAL(18,2) (exact, order-independent)
+  *    and cast back to DOUBLE on both sides — double-sum round-off would
+  *    otherwise be nondeterministic across engines;
+  *  - integer sums are CAST(... AS BIGINT) in the oracle (DuckDB widens to
+  *    HUGEINT, Spark stays LongType);
+  *  - every query orders by a tie-free key so row order matches.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact money sum: double → decimal(18,2) per row, exact decimal sum,
+    * final cast to double. Bit-identical across engines. Only safe on RAW
+    * 2-decimal columns (shortest-repr double→decimal agrees across engines);
+    * computed doubles must use decimal-first arithmetic (`discounted`). */
+  private def moneySum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Exact `price * (1 - discount)`: cast raw columns to decimal FIRST, then
+    * multiply in decimal (exact, scale 4) — double-product→decimal rounding
+    * differs between Spark and DuckDB on shortest-repr boundaries. */
+  private def discounted(price: org.apache.spark.sql.Column, disc: org.apache.spark.sql.Column) =
+    price.cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - disc.cast("decimal(18,2)"))
+
+  val queries: Map[String, Q] = Map(
+    // ───── A-series: aggregation over lineitem (TPC-H Q1 shape) ─────
+    "q01_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          sum(discounted(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ───── P-series: filter + projection, pushdown-friendly ─────
+    "q02_filter_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .where(col("l_quantity") > 45 &&
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ───── J-series: multi-way join + agg; dims broadcast ─────
+    "q03_join_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val c  = Tables.customer(s, d)
+      val n  = broadcast(Tables.nation(s, d))
+      val r  = broadcast(Tables.region(s, d))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(discounted(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // ───── W1: latest row per key (AddonRecommender dedupe pattern) ─────
+    "q04_latest_per_key" -> ((s, d) => {
+      Relational.latestPerKey(Tables.events(s, d), Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ───── J1: left-anti join (incremental dedupe core) ─────
+    "q05_anti_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val viewers = e.where(col("event_type") === "view").select(col("user_id"))
+      Relational.antiJoinDedupe(e, viewers, Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          moneySum(col("value")).as("sum_value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ───── O4/J2: EXCEPT set difference ─────
+    "q06_except" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val clickers   = e.where(col("event_type") === "click").select(col("user_id"))
+      val purchasers = e.where(col("event_type") === "purchase").select(col("user_id"))
+      clickers.except(purchasers).orderBy(col("user_id"))
+    }),
+
+    // ───── O3/J3: union + downstream agg ─────
+    "q07_union_groups" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      e.where(col("event_type") === "click")
+        .unionAll(e.where(col("event_type") === "error"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // ───── A4: distinct ─────
+    "q08_distinct" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_nationkey"))
+        .distinct()
+        .orderBy(col("c_mktsegment"), col("c_nationkey"))
+    }),
+
+    // ───── A1: group-reduce argmin (Pioneer earliest-per-key) ─────
+    "q09_argmin" -> ((s, d) => {
+      Relational.argminPerKey(Tables.events(s, d),
+          Seq("user_id", "event_type"), col("ts"), Seq("event_id", "value"))
+        .withColumnRenamed("event_id", "first_event_id")
+        .withColumnRenamed("value", "first_value")
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // ───── A3: one-pass per-column null counts (DatasetComparator) ─────
+    "q10_null_counts" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val aggs = o.columns.toSeq.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+      o.agg(aggs.head, aggs.tail: _*)
+    }),
+
+    // ───── A2/J2: dataset-diff row counts via except ─────
+    "q11_diff_counts" -> ((s, d) => {
+      val s_ = s; import s_.implicits._
+      val left  = Tables.lineitem(s, d)
+      val right = left.where(col("l_quantity") <= 45)
+      val onlyLeft  = left.except(right).count()
+      val onlyRight = right.except(left).count()
+      Seq((left.count(), right.count(), onlyLeft, onlyRight))
+        .toDF("left_count", "right_count", "only_left", "only_right")
+    }),
+
+    // ───── conditional pivot-sum (AggSearchCounts SQL shape) ─────
+    "q12_pivot_counts" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      def n(t: String) = sum(when(col("event_type") === t, 1L).otherwise(0L))
+      e.groupBy(col("user_id"))
+        .agg(n("click").as("n_click"), n("view").as("n_view"),
+          n("purchase").as("n_purchase"), count(lit(1)).as("n_all"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         SUM(l_quantity) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         AVG(l_quantity) AS avg_qty,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+         FROM lineitem
+         WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         ORDER BY l_orderkey, l_linenumber""",
+    "q03_join_revenue" ->
+      """SELECT r_name, n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         COUNT(DISTINCT o_orderkey) AS n_orders
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q04_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1 ORDER BY user_id""",
+    "q05_anti_join" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events e
+         WHERE NOT EXISTS (SELECT 1 FROM events v
+                           WHERE v.event_type = 'view' AND v.user_id = e.user_id)
+         GROUP BY user_id ORDER BY user_id""",
+    "q06_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase'
+         ORDER BY user_id""",
+    "q07_union_groups" ->
+      """SELECT user_id, event_type, COUNT(*) AS n FROM (
+           SELECT * FROM events WHERE event_type = 'click'
+           UNION ALL SELECT * FROM events WHERE event_type = 'error')
+         GROUP BY user_id, event_type ORDER BY user_id, event_type""",
+    "q08_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+         ORDER BY c_mktsegment, c_nationkey""",
+    "q09_argmin" ->
+      """SELECT user_id, event_type, arg_min(event_id, ts) AS first_event_id,
+         arg_min(value, ts) AS first_value
+         FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""",
+    "q10_null_counts" ->
+      """SELECT CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_orderkey,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_custkey,
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_orderstatus,
+         CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_totalprice,
+         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_orderdate,
+         CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_orderpriority
+         FROM orders""",
+    "q11_diff_counts" ->
+      """SELECT (SELECT COUNT(*) FROM lineitem) AS left_count,
+         (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 45) AS right_count,
+         (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM lineitem EXCEPT
+            SELECT DISTINCT * FROM lineitem WHERE l_quantity <= 45)) AS only_left,
+         (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM lineitem WHERE l_quantity <= 45
+            EXCEPT SELECT DISTINCT * FROM lineitem)) AS only_right""",
+    "q12_pivot_counts" ->
+      """SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         COUNT(*) AS n_all
+         FROM events GROUP BY user_id ORDER BY user_id"""
+  )
+}

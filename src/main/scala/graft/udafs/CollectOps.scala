@@ -1,0 +1,61 @@
+package graft.udafs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Null-retaining sorted multi-column collect + struct-array dedupe,
+  * re-expressed with pure built-ins (stays inside whole-stage codegen;
+  * no UDAF buffer serialization in the hot path).
+  */
+object CollectOps {
+
+  /** A9 — null-retaining top-k collect across parallel columns.
+    *
+    * The reference's CollectList UDAF exists because built-in `collect_list`
+    * drops nulls (reference: src/main/scala/com/mozilla/telemetry/utils/udfs/CollectList.scala:17-20);
+    * it then sorts all collected arrays by the order-columns (descending,
+    * nulls-last) and trims to `maxLength` (CollectList.scala:56-125).
+    *
+    * Spark-first equivalent: pack sort keys + payload into a struct —
+    * `collect_list` keeps nulls *inside* structs — then `sort_array(desc)`
+    * (struct ordering in desc places nulls last, matching the reference),
+    * `slice` to k, and unzip payload fields with `transform`.
+    *
+    * Ties on `sortCols` fall through to payload-field comparison (the
+    * reference instead keeps encounter order, which is nondeterministic
+    * after a shuffle anyway); pass a unique tiebreaker as the last sortCol
+    * for fully deterministic output.
+    *
+    * @return one array Column per payload name, aliased to it
+    */
+  def sortedCollect(sortCols: Seq[Column], payload: Seq[(String, Column)],
+                    maxLength: Int): Seq[Column] = {
+    val fields = sortCols.zipWithIndex.map { case (c, i) => c.as(s"s$i") } ++
+      payload.zipWithIndex.map { case ((_, c), i) => c.as(s"p$i") }
+    val packed = slice(
+      sort_array(collect_list(struct(fields: _*)), asc = false),
+      1, maxLength)
+    payload.zipWithIndex.map { case ((name, _), i) =>
+      transform(packed, s => s.getField(s"p$i")).as(name)
+    }
+  }
+
+  /** A7 — AggRowFirst: dedupe an array-of-structs column by an id field,
+    * keeping the first struct per id in array order.
+    * Reference: src/main/scala/com/mozilla/telemetry/utils/udfs/AggRowFirst.scala:11-49.
+    *
+    * Built-in composition: `aggregate` over the array with an accumulator
+    * array, appending only structs whose id is unseen. Runs per-row inside
+    * codegen; for the grouped form (collect arrays then dedupe across a
+    * group), flatten first, then apply this to the flattened array.
+    */
+  def arrayDedupeById(arr: Column, idField: String): Column =
+    filter(arr, (s, i) =>
+      i === array_position(transform(arr, x => x.getField(idField)), s.getField(idField)) - 1)
+
+  /** Grouped AggRowFirst: `flatten(collect_list(arr))` → dedupe by id.
+    * Group-level "first" follows collect order (nondeterministic after
+    * shuffle, like the reference which declares deterministic=false). */
+  def collectRowFirst(arr: Column, idField: String): Column =
+    arrayDedupeById(flatten(collect_list(arr)), idField)
+}

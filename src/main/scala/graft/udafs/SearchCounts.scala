@@ -1,0 +1,42 @@
+package graft.udafs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A8 — filtered pivot-sum over an array-of-structs column.
+  *
+  * Reference: src/main/scala/com/mozilla/telemetry/utils/udfs/AggSearchCounts.scala:10-86 —
+  * input `Array[Struct{engine, source, count}]`; per group, sums `count`
+  * for rows with `count > 0` and `source` in an allowlist into a struct
+  * `{prefix_all, prefix_src1, …}`.
+  *
+  * Spark-first: explode is unnecessary — per-row partial sums via `aggregate`
+  * higher-order functions would also work, but the clearest scale-friendly
+  * plan is conditional aggregation, which gets map-side partial aggregation
+  * for free (one shuffle, no UDAF).
+  */
+object SearchCounts {
+
+  /** Sum of `count` over array elements matching one source (count > 0). */
+  private def sumFor(arr: Column, source: Option[String]): Column = {
+    val matches = filter(arr, s =>
+      s.getField("count") > 0 && source.map(v => s.getField("source") === v).getOrElse(lit(true)))
+    coalesce(org.apache.spark.sql.functions.aggregate(
+      matches, lit(0L), (acc, s) => acc + s.getField("count")), lit(0L))
+  }
+
+  /** Per-row pivot columns: `prefix_all` + one `prefix_<source>` each. */
+  def pivotColumns(arr: Column, prefix: String, validSources: Seq[String]): Seq[Column] =
+    sumFor(arr, None).as(s"${prefix}_all") +:
+      validSources.map(s => sumFor(arr, Some(s)).as(s"${prefix}_$s"))
+
+  /** Grouped form: group by `keys`, summing the per-row pivots — partial
+    * aggregation keeps the shuffle narrow (one long per source per group). */
+  def aggregate(df: DataFrame, keys: Seq[String], arrCol: String, prefix: String,
+                validSources: Seq[String]): DataFrame = {
+    val perRow = df.select(keys.map(col) ++ pivotColumns(col(arrCol), prefix, validSources): _*)
+    val sums = (s"${prefix}_all" +: validSources.map(s => s"${prefix}_$s"))
+      .map(c => sum(col(c)).as(c))
+    perRow.groupBy(keys.map(col): _*).agg(sums.head, sums.tail: _*)
+  }
+}
