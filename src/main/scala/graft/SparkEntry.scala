@@ -22,11 +22,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
-      graft.queries.AggregateQueries.queries
+      graft.queries.AggregateQueries.queries ++
+      graft.queries.TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracles ++
-      graft.queries.AggregateQueries.oracles
+      graft.queries.AggregateQueries.oracles ++
+      graft.queries.TextQueries.oracles
 }

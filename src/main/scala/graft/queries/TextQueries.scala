@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.TextOps
+import graft.dedup.Dedup
+import graft.sim.Similarity
+
+/** Query surface for the training-data-pipeline operators: text analysis,
+  * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), and embedding
+  * similarity. The custom-hash operators (MinHash, SimHash, rolling hash)
+  * have no SQL oracle — their semantics are asserted in ScalaTest; the
+  * driver records rows-only checks for them.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  /** Marker-word profiles for the deterministic language-ID heuristic. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("merge", "window", "stream"),
+    "en" -> Seq("the", "fast", "scan", "a"),
+    "es" -> Seq("table", "join", "part"),
+    "fr" -> Seq("value", "key", "sort"),
+    "zh" -> Seq("spark", "group", "row"))
+
+  val queries: Map[String, Q] = Map(
+    // ───── token / char statistics ─────
+    "q21_token_stats" -> ((s, d) => {
+      val t = col("text")
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokenCount(t).as("n_tokens"),
+          TextOps.charCount(t).as("n_chars_calc"), TextOps.meanTokenLen(t).as("mean_token_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ───── quality scoring ─────
+    "q22_quality" -> ((s, d) => {
+      val sigs = TextOps.qualitySignals(col("text"), stopwords)
+        .filter { case (n, _) => n != "n_chars" }
+      Tables.documents(s, d)
+        .select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
+        .withColumn("keep",
+          col("n_tokens") >= 10 && col("stopword_ratio") <= 0.5 &&
+            col("distinct_token_ratio") >= 0.3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ───── language ID ─────
+    "q23_langid" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextOps.langId(col("text"), langMarkers).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ───── fingerprint + exact dedupe ─────
+    "q24_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+    "q25_dedup_exact" -> ((s, d) => {
+      Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ───── n-gram Jaccard near-dup (blocked self-join) ─────
+    "q26_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+          Seq("lang", "source"), n = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ───── MinHash-LSH near-dup (rows-only; ScalaTest asserts recall) ─────
+    "q27_minhash_lsh" -> ((s, d) => {
+      Dedup.minhashLshPairs(Tables.documents(s, d), "text", "doc_id",
+          n = 3, bands = 16, rowsPerBand = 4, confirmThreshold = Some(0.8))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ───── SimHash near-dup (rows-only; ScalaTest asserts semantics) ─────
+    "q28_simhash" -> ((s, d) => {
+      Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id",
+          maxDist = 3, prefixBits = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ───── embedding-cosine near-dup pairs ─────
+    "q29_embed_neardup" -> ((s, d) => {
+      Similarity.cosinePairs(Tables.embeddings(s, d), "embedding", "vec_id",
+          "label", threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ───── brute-force exact ANN top-k for the vec_id=0 query vector ─────
+    "q30_ann_topk" -> ((s, d) => {
+      val q = Tables.embeddings(s, d).where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.bruteForceTopK(
+          Tables.embeddings(s, d).where(col("vec_id") =!= 0),
+          "embedding", "vec_id", q, k = 10)
+        .orderBy(col("cos").desc, col("vec_id"))
+    })
+  )
+
+  // DuckDB fragments shared by oracle SQL below.
+  private val toks = "regexp_split_to_array(trim(text), '\\s+')"
+  private def cosSql(a: String, b: String) =
+    s"""(list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))))"""
+
+  private def langScore(words: Seq[String]) = {
+    val set = words.map(w => s"'$w'").mkString(",")
+    s"len(list_filter($toks, w -> w IN ($set)))"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q21_token_stats" ->
+      s"""SELECT doc_id, CAST(len($toks) AS INT) AS n_tokens,
+          CAST(length(text) AS INT) AS n_chars_calc,
+          CAST(list_sum(list_transform($toks, w -> length(w))) AS DOUBLE) / len($toks) AS mean_token_len
+          FROM documents ORDER BY doc_id""",
+    "q22_quality" ->
+      s"""SELECT doc_id, CAST(len($toks) AS INT) AS n_tokens,
+          CAST(list_sum(list_transform($toks, w -> length(w))) AS DOUBLE) / len($toks) AS mean_token_len,
+          CAST(len(list_filter($toks, w -> w IN ('the','a','of','and','to'))) AS DOUBLE) / len($toks) AS stopword_ratio,
+          CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) AS distinct_token_ratio,
+          (len($toks) >= 10
+           AND CAST(len(list_filter($toks, w -> w IN ('the','a','of','and','to'))) AS DOUBLE) / len($toks) <= 0.5
+           AND CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) >= 0.3) AS keep
+          FROM documents ORDER BY doc_id""",
+    "q23_langid" ->
+      s"""SELECT doc_id, lang,
+          CASE
+            WHEN ${langScore(langMarkers("de"))} >= greatest(${langScore(langMarkers("en"))}, ${langScore(langMarkers("es"))}, ${langScore(langMarkers("fr"))}, ${langScore(langMarkers("zh"))}) THEN 'de'
+            WHEN ${langScore(langMarkers("en"))} >= greatest(${langScore(langMarkers("es"))}, ${langScore(langMarkers("fr"))}, ${langScore(langMarkers("zh"))}) THEN 'en'
+            WHEN ${langScore(langMarkers("es"))} >= greatest(${langScore(langMarkers("fr"))}, ${langScore(langMarkers("zh"))}) THEN 'es'
+            WHEN ${langScore(langMarkers("fr"))} >= ${langScore(langMarkers("zh"))} THEN 'fr'
+            ELSE 'zh' END AS lang_pred
+          FROM documents ORDER BY doc_id""",
+    "q24_fingerprint" ->
+      s"""SELECT doc_id, md5(lower(array_to_string($toks, ' '))) AS fp
+          FROM documents ORDER BY doc_id""",
+    "q25_dedup_exact" ->
+      s"""SELECT md5(lower(array_to_string($toks, ' '))) AS fp,
+          MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+          FROM documents GROUP BY 1 ORDER BY doc_id""",
+    "q26_ngram_jaccard" ->
+      s"""WITH sh AS (
+            SELECT doc_id, lang, source,
+              list_distinct(CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
+                ELSE list_transform(range(1, len($toks) - 1),
+                       i -> array_to_string(($toks)[i:i+2], ' ')) END) AS s
+            FROM documents)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+          FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+          ORDER BY id_a, id_b""",
+    "q29_embed_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            ${cosSql("a.embedding", "b.embedding")} AS cos
+          FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
+          ORDER BY id_a, id_b""",
+    "q30_ann_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id, ${cosSql("embedding", "qe")} AS cos
+          FROM embeddings, q WHERE vec_id != 0
+          ORDER BY cos DESC, vec_id LIMIT 10"""
+  )
+}

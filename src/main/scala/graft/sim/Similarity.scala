@@ -1,0 +1,93 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity operators over an `Array[Float]` embedding column:
+  * exact cosine, brute-force top-k, LSH-bucketed ANN, and cosine near-dup
+  * pairs.
+  *
+  * Numeric discipline: all arithmetic is float→double cast then a
+  * LEFT-TO-RIGHT sequential fold (`aggregate` over `zip_with`), which makes
+  * results bit-deterministic and reproducible against any engine that sums
+  * in list order. No BLAS, no reassociation.
+  *
+  * Scale design: brute-force is a broadcast of the (tiny) query vector over
+  * a narrow scan — embarrassingly parallel, no shuffle until the final
+  * top-k (which is `orderBy.limit` = per-partition partial top-k then a
+  * single reduce). The LSH variant buckets by random-hyperplane signs so
+  * candidate generation is a bucket-key shuffle instead of all-pairs.
+  */
+object Similarity {
+
+  /** Sequential dot product of two numeric arrays (double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force exact top-k by cosine against a literal query vector.
+    * `orderBy.limit(k)` plans as TakeOrderedAndProject — per-partition
+    * top-k, no full sort, no full shuffle. */
+  def bruteForceTopK(embeddings: DataFrame, vecCol: String, idCol: String,
+                     query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    embeddings
+      .select(col(idCol), cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH signature: sign bits of `numPlanes` projections,
+    * packed into a Long. Deterministic via seeded plane generation. */
+  def hyperplaneSignature(vec: Column, dim: Int, numPlanes: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    planes.zipWithIndex.map { case (plane, i) =>
+      val p = array(plane.map(lit): _*)
+      when(dot(vec, p) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k: restrict candidates to vectors sharing the query's LSH
+    * bucket (hyperplane sign prefix), then exact cosine within. Falls back
+    * to fewer results when the bucket has < k members — the standard
+    * recall/cost trade; increase `numPlanes` bands or probe multiple
+    * buckets for higher recall. */
+  def annTopK(embeddings: DataFrame, vecCol: String, idCol: String,
+              query: Seq[Float], k: Int, numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val dim = query.size
+    val qSig = {
+      // driver-side signature of the query vector (same plane family)
+      val rnd = new scala.util.Random(seed)
+      val planes = Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+      planes.zipWithIndex.map { case (plane, i) =>
+        val d = plane.zip(query).map { case (p, x) => p * x.toDouble }.sum
+        if (d > 0) 1L << i else 0L
+      }.reduce(_ | _)
+    }
+    val q = array(query.map(lit): _*)
+    embeddings
+      .withColumn("sig", hyperplaneSignature(col(vecCol), dim, numPlanes, seed))
+      .where(col("sig") === qSig)
+      .select(col(idCol), cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by a key column (e.g. label
+    * or LSH signature) to avoid the quadratic cross join. */
+  def cosinePairs(embeddings: DataFrame, vecCol: String, idCol: String,
+                  blockCol: String, threshold: Double): DataFrame = {
+    val l = embeddings.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val r = embeddings.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    l.join(r, Seq("blk")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

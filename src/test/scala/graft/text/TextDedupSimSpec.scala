@@ -1,0 +1,97 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.sim.Similarity
+
+class TextDedupSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens/counts/ratios handle extra whitespace") {
+    val df = Seq("  the quick  brown fox ").toDF("text")
+    val r = df.select(
+      TextOps.tokenCount(col("text")).as("n"),
+      TextOps.meanTokenLen(col("text")).as("ml"),
+      TextOps.wordSetRatio(col("text"), Seq("the", "a")).as("sw")).head()
+    assert(r.getInt(0) === 4)
+    assert(r.getDouble(1) === (3 + 5 + 5 + 3) / 4.0)
+    assert(r.getDouble(2) === 0.25)
+  }
+
+  test("langId votes by marker words with alphabetical tiebreak") {
+    val markers = Map("en" -> Seq("the"), "fr" -> Seq("le"), "de" -> Seq("der"))
+    val r = Seq("the le x", "le le the", "nothing matches").toDF("text")
+      .select(TextOps.langId(col("text"), markers).as("l")).as[String].collect().toSeq
+    assert(r === Seq("en", "fr", "de")) // tie 1-1 → alphabetical; zero-score → alphabetical
+  }
+
+  test("fingerprint is whitespace/case-insensitive; rollingHash is order-sensitive") {
+    val df = Seq(("A  b C", "a b c", "c b a")).toDF("t1", "t2", "t3")
+    val r = df.select(
+      TextOps.fingerprint(col("t1")) === TextOps.fingerprint(col("t2")),
+      TextOps.rollingHash(col("t2")) === TextOps.rollingHash(col("t3"))).head()
+    assert(r.getBoolean(0) === true)
+    assert(r.getBoolean(1) === false)
+  }
+
+  test("shingles + jaccard: identical docs 1.0, disjoint 0.0") {
+    val df = Seq(("a b c d", "a b c d", "x y z w")).toDF("t1", "t2", "t3")
+    val r = df.select(
+      Dedup.jaccard(Dedup.shingles(col("t1"), 3), Dedup.shingles(col("t2"), 3)).as("same"),
+      Dedup.jaccard(Dedup.shingles(col("t1"), 3), Dedup.shingles(col("t3"), 3)).as("diff")).head()
+    assert(r.getDouble(0) === 1.0 && r.getDouble(1) === 0.0)
+  }
+
+  test("exact dedupe keeps min id per normalized text") {
+    val docs = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds the near-duplicate pair and skips unrelated docs") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " wX"
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+      n = 3, bands = 16, rowsPerBand = 4, confirmThreshold = Some(0.5))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("simhash: identical texts distance 0; near-dup small; unrelated large") {
+    val df = Seq(("a b c d e f g h", "a b c d e f g h", "a b c d e f g X",
+      "q r s t u v w z")).toDF("t1", "t2", "t3", "t4")
+    val r = df.select(
+      Dedup.hamming(Dedup.simhash(col("t1")), Dedup.simhash(col("t2"))).as("same"),
+      Dedup.hamming(Dedup.simhash(col("t1")), Dedup.simhash(col("t3"))).as("near"),
+      Dedup.hamming(Dedup.simhash(col("t1")), Dedup.simhash(col("t4"))).as("far")).head()
+    assert(r.getInt(0) === 0)
+    assert(r.getInt(1) < r.getInt(2))
+  }
+
+  test("cosine: identity 1.0, orthogonal 0.0; bruteForceTopK orders correctly") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0f, 1f, 0f)),
+      (3L, Seq(0.9f, 0.1f, 0f)), (4L, Seq(-1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, "embedding", "vec_id", Seq(1f, 0f, 0f), 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top === Seq(1L, 3L, 2L))
+    val cos = vecs.where(col("vec_id") === 1)
+      .select(Similarity.cosine(col("embedding"), array(lit(1f), lit(0f), lit(0f)))).head().getDouble(0)
+    assert(cos === 1.0)
+  }
+
+  test("annTopK finds the identical vector through its LSH bucket") {
+    val vecs = (1 to 50).map(i => (i.toLong, Seq(math.sin(i).toFloat, math.cos(i).toFloat,
+      math.sin(i * 2).toFloat, math.cos(i * 3).toFloat))).toDF("vec_id", "embedding")
+    val q = Seq(math.sin(7).toFloat, math.cos(7).toFloat,
+      math.sin(14).toFloat, math.cos(21).toFloat)
+    val top = Similarity.annTopK(vecs, "embedding", "vec_id", q, 1, numPlanes = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top === Seq(7L))
+  }
+}
