@@ -23,12 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
       graft.queries.AggregateQueries.queries ++
-      graft.queries.TextQueries.queries
+      graft.queries.TextQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracles ++
       graft.queries.AggregateQueries.oracles ++
-      graft.queries.TextQueries.oracles
+      graft.queries.TextQueries.oracles ++
+      graft.queries.PipelineQueries.oracles
 }

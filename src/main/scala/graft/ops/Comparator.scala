@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dataset-diff tool: schema diff, row counts, one-pass per-column null
+  * counts, except-based value diff, and a same/different verdict.
+  * Reference: src/main/scala/com/mozilla/telemetry/utils/DatasetComparator.scala:40-161.
+  *
+  * Scale notes: null counts are ONE aggregation pass over each side (not
+  * one job per column); the value diff restricts to the common-column
+  * projection before `except`, so the shuffle carries only compared data.
+  */
+object Comparator {
+
+  case class Report(
+      leftCount: Long, rightCount: Long,
+      columnsOnlyLeft: Seq[String], columnsOnlyRight: Seq[String],
+      nullCountsLeft: Map[String, Long], nullCountsRight: Map[String, Long],
+      rowsOnlyLeft: Long, rowsOnlyRight: Long) {
+    def same: Boolean =
+      leftCount == rightCount && columnsOnlyLeft.isEmpty && columnsOnlyRight.isEmpty &&
+        rowsOnlyLeft == 0 && rowsOnlyRight == 0
+  }
+
+  /** One-pass per-column null counts (A3). */
+  def nullCounts(df: DataFrame, cols: Seq[String]): Map[String, Long] = {
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+  }
+
+  def compare(left: DataFrame, right: DataFrame): Report = {
+    val lCols = left.columns.toSeq
+    val rCols = right.columns.toSeq
+    val common = lCols.intersect(rCols)
+    val lProj = left.select(common.map(col): _*)
+    val rProj = right.select(common.map(col): _*)
+    Report(
+      leftCount = left.count(),
+      rightCount = right.count(),
+      columnsOnlyLeft = lCols.diff(rCols),
+      columnsOnlyRight = rCols.diff(lCols),
+      nullCountsLeft = nullCounts(left, common),
+      nullCountsRight = nullCounts(right, common),
+      rowsOnlyLeft = lProj.except(rProj).count(),
+      rowsOnlyRight = rProj.except(lProj).count())
+  }
+
+  /** Report as a 1-row DataFrame (the reference writes this as its JSON
+    * result sink, DatasetComparator.scala:53-55). */
+  def compareToDF(spark: SparkSession, left: DataFrame, right: DataFrame): DataFrame = {
+    val r = compare(left, right)
+    import spark.implicits._
+    Seq((r.leftCount, r.rightCount, r.columnsOnlyLeft.mkString(","),
+      r.columnsOnlyRight.mkString(","), r.rowsOnlyLeft, r.rowsOnlyRight, r.same))
+      .toDF("left_count", "right_count", "cols_only_left", "cols_only_right",
+        "rows_only_left", "rows_only_right", "same")
+  }
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{BatchView, Comparator}
+import graft.time.TimeNorm
+import graft.multimodal.BinaryOps
+
+/** Query surface for the pipeline layers added in batch 4: JSON
+  * extraction, date normalization, hash bucketing, the dataset
+  * comparator, the day-partitioned batch-view writer (exercised
+  * end-to-end through a temp dir), and the multimodal binary plumbing.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ───── F15: JSON path extraction + coercion on events.props ─────
+    "q31_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ───── F4/F5/F7: date normalization family ─────
+    "q32_date_norm" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyyMMdd").as("day"),
+          TimeNorm.epochMillisToDay((unix_timestamp(col("o_orderdate")) * 1000L)).as("day_from_millis"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("iso"))
+        .where(col("o_orderkey") <= 1000)
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ───── F10: deterministic hash bucketing (md5-based, oracle-checkable) ─────
+    "q33_hash_block" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(TimeNorm.md5Block(col("c_name"), 10).as("block"))
+        .groupBy(col("block"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("block"))
+    }),
+
+    // ───── Comparator: full diff verdict as a 1-row report ─────
+    "q34_comparator" -> ((s, d) => {
+      val left = Tables.customer(s, d)
+      val right = left.where(col("c_acctbal") > 0)
+      Comparator.compareToDF(s, left, right)
+    }),
+
+    // ───── K1-K3: day-partitioned batch-view write → read-back (dynamic
+    // partition overwrite, versioned path, partition pruning on read) ─────
+    "q35_batchview" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_views"
+      val withDay = Tables.orders(s, d)
+        .withColumn("day", date_format(col("o_orderdate"), "yyyyMM"))
+      BatchView.write(withDay, base, "orders_by_month", 1, Seq("day"))
+      // partition-dir values are type-inferred on read (numeric here) —
+      // cast back to the written string form
+      BatchView.read(s, base, "orders_by_month", 1)
+        .groupBy(col("day").cast("string").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(col("day"))
+    }),
+
+    // ───── multimodal: binary payload + stub decode metadata plumbing ─────
+    "q36_media_meta" -> ((s, d) => {
+      val bin = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      BinaryOps.withMediaMeta(bin, "doc_id", "content")
+        .select(col("doc_id"),
+          col("media_meta.byte_len").as("byte_len"),
+          col("media_meta.format").as("format"),
+          col("media_meta.width").as("width"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q31_json_extract" ->
+      """SELECT user_id, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         COUNT(json_extract_string(props, '$.k')) AS n_k
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q32_date_norm" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y%m%d') AS day,
+         strftime(o_orderdate, '%Y%m%d') AS day_from_millis,
+         strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso
+         FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""",
+    "q33_hash_block" ->
+      """SELECT CAST('0x' || substr(md5(c_name), 1, 8) AS BIGINT) % 10 AS block, COUNT(*) AS n
+         FROM customer GROUP BY 1 ORDER BY block""",
+    "q34_comparator" ->
+      """SELECT (SELECT COUNT(*) FROM customer) AS left_count,
+         (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0) AS right_count,
+         '' AS cols_only_left, '' AS cols_only_right,
+         (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM customer EXCEPT
+            SELECT DISTINCT * FROM customer WHERE c_acctbal > 0)) AS rows_only_left,
+         (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM customer WHERE c_acctbal > 0
+            EXCEPT SELECT DISTINCT * FROM customer)) AS rows_only_right,
+         ((SELECT COUNT(*) FROM customer) = (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+          AND (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM customer EXCEPT
+               SELECT DISTINCT * FROM customer WHERE c_acctbal > 0)) = 0) AS same""",
+    "q35_batchview" ->
+      """SELECT strftime(o_orderdate, '%Y%m') AS day, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY 1 ORDER BY day""",
+    "q36_media_meta" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+         ['png','jpeg','webp'][CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 3 AS INT) + 1] AS format,
+         CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1920 AS INT) + 1 AS width
+         FROM documents ORDER BY doc_id"""
+  )
+}

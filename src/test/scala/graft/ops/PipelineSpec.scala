@@ -1,0 +1,76 @@
+package graft.ops
+
+import java.nio.file.Files
+import java.time.{Clock, Instant, ZoneOffset}
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.time.TimeNorm
+import graft.multimodal.BinaryOps
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalizeISOTimestamp wraps out-of-range offsets, preserving instant") {
+    // +16:00 is beyond +14:00 → wrapped by -12h to +04:00, same instant
+    assert(TimeNorm.normalizeISOTimestampJvm("2018-06-08T12:00:00.0+16:00")
+      === "2018-06-08T00:00:00.000+04:00")
+    // -13:00 → +12h → -01:00
+    assert(TimeNorm.normalizeISOTimestampJvm("2018-06-08T12:00:00.0-13:00")
+      === "2018-06-09T00:00:00.000-01:00")
+    // in-range offsets unchanged (reformatted)
+    assert(TimeNorm.normalizeISOTimestampJvm("2018-06-08T12:00:00.0+06:00")
+      === "2018-06-08T12:00:00.000+06:00")
+  }
+
+  test("date helpers: datesBetween, yesterday, epochMillisToDay") {
+    val fixed = Clock.fixed(Instant.parse("2018-06-10T03:00:00Z"), ZoneOffset.UTC)
+    assert(TimeNorm.datesBetween("20180607", None, fixed)
+      === Seq("20180607", "20180608", "20180609"))
+    assert(TimeNorm.yesterdayAsYYYYMMDD(fixed) === "20180609")
+    val day = Seq(1528394400000L).toDF("ms")
+      .select(TimeNorm.epochMillisToDay(col("ms"))).as[String].head()
+    assert(day === "20180607")
+  }
+
+  test("Comparator: detects row and column differences") {
+    val left = Seq((1, "a"), (2, "b"), (3, null.asInstanceOf[String])).toDF("id", "v")
+    val right = Seq((1, "a"), (4, "d")).toDF("id", "v")
+    val r = Comparator.compare(left, right)
+    assert(r.leftCount === 3 && r.rightCount === 2)
+    assert(r.rowsOnlyLeft === 2 && r.rowsOnlyRight === 1)
+    assert(r.nullCountsLeft("v") === 1 && !r.same)
+    val same = Comparator.compare(left, left)
+    assert(same.same)
+    val extraCol = Comparator.compare(left, left.withColumn("x", lit(1)))
+    assert(extraCol.columnsOnlyRight === Seq("x"))
+  }
+
+  test("BatchView: dynamic partition overwrite rewrites only incoming days") {
+    val base = Files.createTempDirectory("graft_bv").toString
+    val day1 = Seq((1L, "d1"), (2L, "d1"), (3L, "d2")).toDF("id", "day")
+    BatchView.write(day1, base, "t", 1, Seq("day"))
+    // overwrite ONLY d2 with new content; d1 must survive
+    val day2 = Seq((9L, "d2")).toDF("id", "day")
+    BatchView.write(day2, base, "t", 1, Seq("day"))
+    val back = BatchView.read(spark, base, "t", 1)
+    assert(back.where(col("day") === "d1").count() === 2)
+    assert(back.where(col("day") === "d2").select("id").as[Long].collect().toSeq === Seq(9L))
+    // no _SUCCESS markers
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/t/v1/_SUCCESS")))
+  }
+
+  test("BinaryOps: stub decode plumbing produces stable metadata + frame sampling") {
+    val df = Seq((1L, "hello world"), (2L, "other payload")).toDF("id", "text")
+      .select(col("id"), encode(col("text"), "UTF-8").as("content"))
+    val meta = BinaryOps.withMediaMeta(df, "id", "content")
+    val r1 = meta.orderBy("id").select("media_meta.byte_len", "media_meta.format").head()
+    assert(r1.getLong(0) === 11L)
+    // deterministic: same input → same format on re-run
+    val r2 = meta.orderBy("id").select("media_meta.format").head().getString(0)
+    assert(r1.getString(1) === r2)
+    val frames = BinaryOps.sampleFrames(meta, everyK = 10)
+    assert(frames.where(col("id") === 1).count() ===
+      (meta.where(col("id") === 1).select("media_meta.n_frames").head().getInt(0) + 9) / 10)
+  }
+}
