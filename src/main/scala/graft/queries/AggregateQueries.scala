@@ -28,15 +28,16 @@ object AggregateQueries {
         .orderBy(col("user_id"), col("key"))
     }),
 
-    // ───── A5: AggMapFirst — first non-null per key. Deterministic here:
-    // input is hash-partitioned by the group key and sorted by ts within
-    // partitions, so the single partial-aggregation pass sees ts order and
-    // "first" ≡ argmin(ts) (the oracle). ─────
+    // ───── A5: AggMapFirst — first non-null per key. "First" is encounter
+    // order (nondeterministic after a shuffle, as in the reference), so for
+    // oracle determinism the input is pre-reduced to one row per (user, key)
+    // with min_by(ts); MapFirst then merges disjoint maps — same aggregator
+    // path, order-independent result at any scale. ─────
     "q14_map_first" -> ((s, d) => {
       Tables.events(s, d)
-        .repartition(col("user_id"))
-        .sortWithinPartitions(col("user_id"), col("ts"))
-        .select(col("user_id"), map(col("event_type"), col("props")).as("m"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min_by(col("props"), col("ts")).as("first_props"))
+        .select(col("user_id"), map(col("event_type"), col("first_props")).as("m"))
         .groupBy(col("user_id"))
         .agg(mapFirst(col("m")).as("firsts"))
         .select(col("user_id"), explode(col("firsts")).as(Seq("key", "first_props")))
