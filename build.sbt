@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Fixed modest heap (Xms=Xmx): this environment has very expensive
+  // first-touch page faults, so a lazily-growing large heap (G1 filling
+  // untouched regions before collecting) causes fault storms; a small
+  // fixed heap keeps G1 recycling already-faulted pages.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

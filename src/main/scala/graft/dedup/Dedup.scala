@@ -26,14 +26,31 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles (distinct), the unit set for Jaccard/MinHash. */
-  def shingles(text: Column, n: Int): Column = {
-    val t = TextOps.tokens(text)
+  /** Word n-gram shingles (distinct), the unit set for Jaccard/MinHash.
+    *
+    * PERF CONTRACT: `tokensCol` MUST be a materialized column (attribute),
+    * not an inline `split(...)` expression — higher-order-function lambdas
+    * are interpreted (CodegenFallback) and re-evaluate captured
+    * subexpressions PER ELEMENT, turning an inline split into O(tokens²)
+    * regex work per row. Use `shingleDocs` for the safe two-step projection.
+    */
+  def shingles(tokensCol: Column, n: Int): Column = {
+    val t = tokensCol
     array_distinct(
       when(size(t) < n, array(concat_ws(" ", t)))
         .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
           i => concat_ws(" ", slice(t, i, lit(n))))))
   }
+
+  /** (block..., id, sh) with tokens materialized in their own projection —
+    * the lambda in `shingles` then reads an attribute, not a re-evaluated
+    * split. The two selects stay separate (CollapseProject keeps non-cheap
+    * multi-referenced expressions un-inlined). */
+  def shingleDocs(docs: DataFrame, textCol: String, idCol: String,
+                  blockCols: Seq[String], n: Int): DataFrame =
+    docs.select(blockCols.map(col) :+ col(idCol) :+
+        TextOps.tokens(col(textCol)).as("toks"): _*)
+      .select(blockCols.map(col) :+ col(idCol) :+ shingles(col("toks"), n).as("sh"): _*)
 
   /** Jaccard similarity of two distinct-element arrays — exact |∩|/|∪|
     * integer-ratio division (deterministic across engines). */
@@ -47,15 +64,34 @@ object Dedup {
     * jaccard) for pairs ≥ threshold. Block keys must be chosen so block
     * sizes stay bounded (e.g. lang × source); skewed blocks are split by
     * AQE skew-join handling. */
+  /** Inverted-index (Vernica-join) form: explode shingles, equi-join on
+    * (block, shingle) with a size-ratio prune (J ≤ min|A|,|B| / max|A|,|B|)
+    * in the join condition, then ONE group-count gives |A∩B| per pair.
+    *
+    * Why not join arrays and `array_intersect`: Catalyst pushes the
+    * threshold filter into the join condition, where the intersect gets
+    * evaluated per probe outside codegen (and twice — numerator and
+    * denominator). The inverted form shuffles each shingle once, never
+    * moves arrays, and its jaccard filter sits above an aggregate where it
+    * cannot sink into a join. This is also the shape that scales: the
+    * shuffle key (block, shingle) is high-cardinality, and AQE skew-split
+    * handles hot shingles. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         blockCols: Seq[String], n: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(
-      (blockCols.map(col) :+ col(idCol) :+ shingles(col(textCol), n).as("sh")): _*)
-    val a = sh.select(blockCols.map(col) :+ col(idCol).as("id_a") :+ col("sh").as("sh_a"): _*)
-    val b = sh.select(blockCols.map(col) :+ col(idCol).as("id_b") :+ col("sh").as("sh_b"): _*)
-    a.join(b, blockCols)
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    val inv = shingleDocs(docs, textCol, idCol, blockCols, n)
+      .withColumn("n_sh", size(col("sh")))
+      .select(blockCols.map(col) :+ col(idCol) :+ col("n_sh") :+
+        explode(col("sh")).as("g"): _*)
+    val a = inv.toDF(blockCols ++ Seq("id_a", "n_a", "g"): _*)
+    val b = inv.toDF(blockCols ++ Seq("id_b", "n_b", "g"): _*)
+    a.join(b, blockCols :+ "g")
+      .where(col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")).cast("double") /
+          greatest(col("n_a"), col("n_b")) >= threshold)
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -63,16 +99,24 @@ object Dedup {
     * h_i(s) = (a_i * x + b_i) mod p over base hash x = xxhash64(shingle),
     * take the min across the document's shingles. Pure expressions
     * (no UDF); deterministic given the seeded parameter family. */
-  def minhashSignature(shinglesCol: Column, numHashes: Int, seed: Long = 42L): Column = {
-    // 2^31 - 1 (Mersenne prime): a*x < 2^62 keeps the modular multiply
-    // inside Long under ANSI arithmetic (no overflow).
-    val p = 2147483647L
+  /** Base hash array for minhash: xxhash64(shingle) mod p. Materialize this
+    * as its own column BEFORE `minhashSignature` so the per-shingle hash is
+    * computed once, not once per hash function (no cross-expression CSE for
+    * lambda bodies). */
+  def minhashBase(shinglesCol: Column): Column =
+    transform(shinglesCol, s => pmod(xxhash64(s), lit(MinhashP)))
+
+  /** 2^31 - 1 (Mersenne prime): a*x < 2^62 keeps the modular multiply
+    * inside Long under ANSI arithmetic (no overflow). */
+  val MinhashP = 2147483647L
+
+  def minhashSignature(baseCol: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val p = MinhashP
     val rnd = new scala.util.Random(seed)
     val params = Seq.fill(numHashes)((rnd.nextInt((p - 1).toInt).toLong + 1L,
       rnd.nextInt(p.toInt).toLong))
-    val base = transform(shinglesCol, s => pmod(xxhash64(s), lit(p)))
     array(params.map { case (a, b) =>
-      array_min(transform(base, x => pmod(x * lit(a) + lit(b), lit(p))))
+      array_min(transform(baseCol, x => pmod(x * lit(a) + lit(b), lit(p))))
     }: _*)
   }
 
@@ -89,31 +133,42 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                       confirmThreshold: Option[Double] = None): DataFrame = {
-    val sig = docs.select(col(idCol),
-      shingles(col(textCol), n).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
-    val banded = sig.select(col(idCol), col("sh"),
+    // Signature built over a materialized base-hash column (per-shingle
+    // hashing happens once, not ×numHashes).
+    val sig = shingleDocs(docs, textCol, idCol, Nil, n)
+      .withColumn("base", minhashBase(col("sh")))
+      .withColumn("sig", minhashSignature(col("base"), bands * rowsPerBand))
+    // Bucket join carries ONLY ids — shingle arrays would otherwise be
+    // duplicated into every candidate row through the shuffle.
+    val banded = sig.select(col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bnd => xxhash64(concat_ws("_",
           bnd, concat_ws(",", slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)))))))
         .as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("sh").as("sh_b"))
-    val cand = l.join(r, Seq("band", "bucket"))
+    val cand = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col(idCol).as("id_b")),
+        Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val confirmed = confirmThreshold match {
-      case Some(t) => cand.withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-        .where(col("jaccard") >= t)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-      case None => cand.select(col("id_a"), col("id_b"))
+    confirmThreshold match {
+      case Some(t) =>
+        // join shingles back by id — candidate count << doc count × bands
+        val sh = sig.select(col(idCol), col("sh"))
+        cand
+          .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+          .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+          .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+          .where(col("jaccard") >= t)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+      case None => cand
     }
-    confirmed
   }
 
   /** 64-bit SimHash over token hashes: sign-sum of each bit position,
-    * expression-only (unrolled over 64 bits via bit ops on xxhash64). */
+    * expression-only (unrolled over 64 bits via bit ops on xxhash64).
+    * O(64·n) HOF passes per row — fine for short texts/tests; use
+    * `simhashDF` for corpus-scale runs. */
   def simhash(text: Column): Column = {
     val hashes = transform(TextOps.tokens(text), w => xxhash64(w))
     (0 until 64).map { bit =>
@@ -121,6 +176,27 @@ object Dedup {
         acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
       when(votes > 0, lit(1L << bit)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Corpus-scale SimHash: explode tokens → one hash-aggregate with 64
+    * conditional sign-sums (single pass over tokens, map-side partial
+    * aggregation shuffles just 64 longs per doc per partition — the
+    * per-row HOF form recompiles a 64-lambda expression tree instead).
+    * Returns (idCol, simhash). */
+  def simhashDF(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tokens = docs.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("w"))
+      .select(col(idCol), xxhash64(col("w")).as("h"))
+    val votes = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"v$bit")
+    }
+    tokens.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(bit =>
+          when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
   /** Hamming distance between two 64-bit simhashes. */
@@ -131,7 +207,7 @@ object Dedup {
     * distance ≤ maxDist. Sub-quadratic like LSH banding. */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxDist: Int = 3, prefixBits: Int = 16): DataFrame = {
-    val h = docs.select(col(idCol), simhash(col(textCol)).as("sh"))
+    val h = simhashDF(docs, textCol, idCol).withColumnRenamed("simhash", "sh")
       .withColumn("blk", shiftrightunsigned(col("sh"), 64 - prefixBits))
     val l = h.select(col("blk"), col(idCol).as("id_a"), col("sh").as("sh_a"))
     val r = h.select(col("blk"), col(idCol).as("id_b"), col("sh").as("sh_b"))

@@ -1,0 +1,62 @@
+package graft.functions
+
+import java.io.ByteArrayInputStream
+import java.net.URI
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Misc scalar-function layer (SURVEY.md §2.7 F1/F2/F13/F14).
+  * Pure-Scala helpers stay plain functions; only gunzip and eTLD need UDFs
+  * (JVM logic with no Catalyst equivalent).
+  */
+object Strings {
+
+  /** F2 — camelCase → snake_case (partition-dimension keys).
+    * Reference: src/main/scala/com/mozilla/telemetry/Partitioning.scala:19-20. */
+  def snakify(name: String): String =
+    name.replaceAll("([A-Z]+)([A-Z][a-z])", "$1_$2")
+      .replaceAll("([a-z\\d])([A-Z])", "$1_$2")
+      .toLowerCase
+
+  /** F1 — snake_case → camelCase with an override table for irregular
+    * mappings (the reference hard-codes 15 special cases,
+    * utils/package.scala:25-69; overrides are caller-supplied here). */
+  def camelize(name: String, overrides: Map[String, String] = Map.empty): String =
+    overrides.getOrElse(name, {
+      val parts = name.split("_").toSeq
+      (parts.head +: parts.tail.map(_.capitalize)).mkString
+    })
+
+  def uncamelize(name: String, overrides: Map[String, String] = Map.empty): String =
+    overrides.getOrElse(name, snakify(name))
+
+  /** F13 — gunzip a binary payload column to a UTF-8 string.
+    * Reference: utils/DatasetShim.scala:48,58. */
+  val gunzip: Column => Column = {
+    val f = udf((bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else {
+        val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      })
+    c => f(c)
+  }
+
+  /** F14 — URL → registrable-ish domain: host's last two labels, with a
+    * regex fallback for URIs `new URI` rejects.
+    * Reference: views/pioneer/package.scala:19-31. */
+  def domainOf(url: String): Option[String] = {
+    if (url == null) return None
+    val host = scala.util.Try(Option(new URI(url).getHost)).toOption.flatten
+      .orElse("""^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/:?#]+)""".r
+        .findFirstMatchIn(url).map(_.group(1)))
+    host.map(_.split('.').takeRight(2).mkString("."))
+  }
+
+  val domainUdf: Column => Column = {
+    val f = udf((s: String) => domainOf(s).orNull)
+    c => f(c)
+  }
+}

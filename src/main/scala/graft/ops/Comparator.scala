@@ -31,21 +31,40 @@ object Comparator {
     cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
   }
 
+  /** Single-pass row diff: tag-union both sides, group once on the full
+    * row, derive (leftCount, rightCount, onlyLeft, onlyRight) from the
+    * per-row multiplicities. ONE shuffle + final reduce, vs the naive
+    * count + count + except.count + except.count = 4 jobs / 4 shuffles
+    * (`only*` match EXCEPT's distinct semantics). */
+  def diffCounts(lProj: DataFrame, rProj: DataFrame): (Long, Long, Long, Long) = {
+    val tagged = lProj.select(struct(lProj.columns.map(col): _*).as("r"), lit(1).as("side"))
+      .unionAll(rProj.select(struct(rProj.columns.map(col): _*).as("r"), lit(2).as("side")))
+    val row = tagged.groupBy(col("r"))
+      .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("ln"),
+        sum(when(col("side") === 2, 1L).otherwise(0L)).as("rn"))
+      .agg(sum(col("ln")), sum(col("rn")),
+        count(when(col("ln") > 0 && col("rn") === 0, 1)),
+        count(when(col("rn") > 0 && col("ln") === 0, 1)))
+      .head()
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+  }
+
   def compare(left: DataFrame, right: DataFrame): Report = {
     val lCols = left.columns.toSeq
     val rCols = right.columns.toSeq
     val common = lCols.intersect(rCols)
     val lProj = left.select(common.map(col): _*)
     val rProj = right.select(common.map(col): _*)
+    val (lCount, rCount, onlyLeft, onlyRight) = diffCounts(lProj, rProj)
     Report(
-      leftCount = left.count(),
-      rightCount = right.count(),
+      leftCount = lCount,
+      rightCount = rCount,
       columnsOnlyLeft = lCols.diff(rCols),
       columnsOnlyRight = rCols.diff(lCols),
       nullCountsLeft = nullCounts(left, common),
       nullCountsRight = nullCounts(right, common),
-      rowsOnlyLeft = lProj.except(rProj).count(),
-      rowsOnlyRight = rProj.except(lProj).count())
+      rowsOnlyLeft = onlyLeft,
+      rowsOnlyRight = onlyRight)
   }
 
   /** Report as a 1-row DataFrame (the reference writes this as its JSON

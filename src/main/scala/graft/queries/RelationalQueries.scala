@@ -139,14 +139,13 @@ object RelationalQueries {
       o.agg(aggs.head, aggs.tail: _*)
     }),
 
-    // ───── A2/J2: dataset-diff row counts via except ─────
+    // ───── A2/J2: dataset-diff row counts (single-pass tag-union) ─────
     "q11_diff_counts" -> ((s, d) => {
       val s_ = s; import s_.implicits._
       val left  = Tables.lineitem(s, d)
       val right = left.where(col("l_quantity") <= 45)
-      val onlyLeft  = left.except(right).count()
-      val onlyRight = right.except(left).count()
-      Seq((left.count(), right.count(), onlyLeft, onlyRight))
+      val (lc, rc, onlyLeft, onlyRight) = graft.ops.Comparator.diffCounts(left, right)
+      Seq((lc, rc, onlyLeft, onlyRight))
         .toDF("left_count", "right_count", "only_left", "only_right")
     }),
 

@@ -12,6 +12,11 @@ object TestSession {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferFiltersFromGenerate re-inlines generator expressions into a
+      // pushed-down filter, re-evaluating interpreted HOF lambdas per row
+      // (O(n^2) for shingles) - semantics-neutral to exclude.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

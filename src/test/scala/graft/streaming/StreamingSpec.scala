@@ -1,0 +1,50 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file stream → windowed counts → memory sink (batch-driven)") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val data = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "click", 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:07:00"), "view", 3.0)
+    ).toDF("ts", "event_type", "value")
+    data.write.parquet(s"$dir/in")
+
+    val stream = StreamingViews.fileStream(spark, s"$dir/in", data.schema)
+    val agg = StreamingViews.windowedCounts(stream, "ts", "event_type")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("wc").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("wc").select("event_type", "n").as[(String, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      assert(out === Map("click" -> 2L, "view" -> 1L))
+    } finally q.stop()
+  }
+
+  test("streaming dedupe keeps first occurrence per key") {
+    val dir = Files.createTempDirectory("graft_stream2").toString
+    val data = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "k1", "first"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "k1", "first"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), "k2", "other")
+    ).toDF("ts", "key", "payload")
+    data.write.parquet(s"$dir/in")
+
+    val stream = StreamingViews.fileStream(spark, s"$dir/in", data.schema)
+    val deduped = StreamingViews.streamingDedupe(stream, "ts", Seq("key"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dd").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dd").count() === 2)
+    } finally q.stop()
+  }
+}

@@ -38,8 +38,8 @@ class TextDedupSimSpec extends SparkSpec {
   test("shingles + jaccard: identical docs 1.0, disjoint 0.0") {
     val df = Seq(("a b c d", "a b c d", "x y z w")).toDF("t1", "t2", "t3")
     val r = df.select(
-      Dedup.jaccard(Dedup.shingles(col("t1"), 3), Dedup.shingles(col("t2"), 3)).as("same"),
-      Dedup.jaccard(Dedup.shingles(col("t1"), 3), Dedup.shingles(col("t3"), 3)).as("diff")).head()
+      Dedup.jaccard(Dedup.shingles(TextOps.tokens(col("t1")), 3), Dedup.shingles(TextOps.tokens(col("t2")), 3)).as("same"),
+      Dedup.jaccard(Dedup.shingles(TextOps.tokens(col("t1")), 3), Dedup.shingles(TextOps.tokens(col("t3")), 3)).as("diff")).head()
     assert(r.getDouble(0) === 1.0 && r.getDouble(1) === 0.0)
   }
 
