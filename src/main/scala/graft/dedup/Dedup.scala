@@ -64,9 +64,39 @@ object Dedup {
     * jaccard) for pairs ≥ threshold. Block keys must be chosen so block
     * sizes stay bounded (e.g. lang × source); skewed blocks are split by
     * AQE skew-join handling. */
-  /** Inverted-index (Vernica-join) form: explode shingles, equi-join on
-    * (block, shingle) with a size-ratio prune (J ≤ min|A|,|B| / max|A|,|B|)
-    * in the join condition, then ONE group-count gives |A∩B| per pair.
+  /** Distinct (block..., id, shingle-hash) rows built WITHOUT arrays or
+    * higher-order functions: posexplode tokens, window `lead` to form the
+    * n-gram, hash it. Everything stays in whole-stage codegen — the
+    * array+lambda form drops to interpreted evaluation (HOFs are
+    * CodegenFallback) and re-runs the tokenizer wherever Catalyst inlines
+    * it (join conditions, broadcast builds). Docs with < n tokens
+    * contribute their whole normalized text as one shingle. */
+  def shingleRows(docs: DataFrame, textCol: String, idCol: String,
+                  blockCols: Seq[String], n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(blockCols.map(col) :+ col(idCol) :+
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "w")): _*)
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val leads = (1 until n).map(k => lead(col("w"), k).over(win).as(s"w$k"))
+    val ngrams = toks
+      .select((blockCols.map(col) :+ col(idCol) :+ col("w")) ++ leads: _*)
+      .where(col(s"w${n - 1}").isNotNull)
+      .select(blockCols.map(col) :+ col(idCol) :+
+        concat_ws(" ", col("w") +: (1 until n).map(k => col(s"w$k")): _*).as("g0"): _*)
+    // short docs (< n tokens): whole normalized text is the only shingle
+    val short = docs
+      .where(size(TextOps.tokens(col(textCol))) < n)
+      .select(blockCols.map(col) :+ col(idCol) :+
+        concat_ws(" ", TextOps.tokens(col(textCol))).as("g0"): _*)
+    ngrams.unionAll(short)
+      .select(blockCols.map(col) :+ col(idCol) :+ xxhash64(col("g0")).as("g"): _*)
+      .distinct()
+  }
+
+  /** Inverted-index (Vernica-join) form: distinct shingle rows, equi-join
+    * on (block, shingle-hash) with a size-ratio prune
+    * (J ≤ min|A|,|B| / max|A|,|B|) in the join condition, then ONE
+    * group-count gives |A∩B| per pair.
     *
     * Why not join arrays and `array_intersect`: Catalyst pushes the
     * threshold filter into the join condition, where the intersect gets
@@ -75,15 +105,19 @@ object Dedup {
     * moves arrays, and its jaccard filter sits above an aggregate where it
     * cannot sink into a join. This is also the shape that scales: the
     * shuffle key (block, shingle) is high-cardinality, and AQE skew-split
-    * handles hot shingles. */
+    * handles hot shingles. Joining on xxhash64(shingle) keeps the keys
+    * fixed-width (a collision needs two distinct shingles in one block at
+    * the same 64-bit hash, ~1e-15 per corpus). */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         blockCols: Seq[String], n: Int, threshold: Double): DataFrame = {
-    val inv = shingleDocs(docs, textCol, idCol, blockCols, n)
-      .withColumn("n_sh", size(col("sh")))
-      .select(blockCols.map(col) :+ col(idCol) :+ col("n_sh") :+
-        explode(col("sh")).as("g"): _*)
-    val a = inv.toDF(blockCols ++ Seq("id_a", "n_a", "g"): _*)
-    val b = inv.toDF(blockCols ++ Seq("id_b", "n_b", "g"): _*)
+    val rows = shingleRows(docs, textCol, idCol, blockCols, n)
+    val sizes = rows.groupBy(blockCols.map(col) :+ col(idCol): _*)
+      .agg(count(lit(1)).as("n_sh"))
+    val inv = rows.join(sizes, blockCols :+ idCol)
+    val a = inv.select(blockCols.map(col) :+ col(idCol).as("id_a") :+
+      col("n_sh").as("n_a") :+ col("g"): _*)
+    val b = inv.select(blockCols.map(col) :+ col(idCol).as("id_b") :+
+      col("n_sh").as("n_b") :+ col("g"): _*)
     a.join(b, blockCols :+ "g")
       .where(col("id_a") < col("id_b") &&
         least(col("n_a"), col("n_b")).cast("double") /
