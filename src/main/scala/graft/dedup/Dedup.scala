@@ -164,21 +164,33 @@ object Dedup {
     * only within buckets. This is the standard sub-quadratic path; the
     * pairwise confirm only touches candidate pairs.
     */
+  /** HOF-free MinHash+LSH: distinct shingle-hash rows (codegen window
+    * pipeline), ONE hash-aggregate computing all `bands × rowsPerBand`
+    * minima as separate min() columns (map-side partial agg), band buckets
+    * assembled by concat+hash of those columns, candidate pairs from the
+    * (band, bucket) self-join on ids only, and exact-Jaccard confirmation
+    * via the same inverted-count join — every stage whole-stage-codegen,
+    * nothing interpreted, no array columns through any shuffle. */
   def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                       confirmThreshold: Option[Double] = None): DataFrame = {
-    // Signature built over a materialized base-hash column (per-shingle
-    // hashing happens once, not ×numHashes).
-    val sig = shingleDocs(docs, textCol, idCol, Nil, n)
-      .withColumn("base", minhashBase(col("sh")))
-      .withColumn("sig", minhashSignature(col("base"), bands * rowsPerBand))
-    // Bucket join carries ONLY ids — shingle arrays would otherwise be
-    // duplicated into every candidate row through the shuffle.
+    val p = MinhashP
+    val numHashes = bands * rowsPerBand
+    val rnd = new scala.util.Random(42L)
+    val params = Seq.fill(numHashes)((rnd.nextInt((p - 1).toInt).toLong + 1L,
+      rnd.nextInt(p.toInt).toLong))
+    val rows = shingleRows(docs, textCol, idCol, Nil, n) // (id, g=xxhash64)
+    val base = rows.select(col(idCol), pmod(col("g"), lit(p)).as("h"))
+    val minCols = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"m$i")
+    }
+    val sig = base.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
+    val bandBuckets = (0 until bands).map { bnd =>
+      xxhash64(concat_ws("_", lit(bnd) +:
+        (0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}")): _*))
+    }
     val banded = sig.select(col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        bnd => xxhash64(concat_ws("_",
-          bnd, concat_ws(",", slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)))))))
-        .as(Seq("band", "bucket")))
+      posexplode(array(bandBuckets: _*)).as(Seq("band", "bucket")))
     val cand = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col(idCol).as("id_b")),
         Seq("band", "bucket"))
@@ -187,14 +199,18 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     confirmThreshold match {
       case Some(t) =>
-        // join shingles back by id — candidate count << doc count × bands
-        val sh = sig.select(col(idCol), col("sh"))
-        cand
-          .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
-          .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
-          .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+        val sizes = rows.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+        val inter = cand
+          .join(rows.select(col(idCol).as("id_a"), col("g")), "id_a")
+          .join(rows.select(col(idCol).as("id_b"), col("g")), Seq("id_b", "g"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+          .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
           .where(col("jaccard") >= t)
-          .select(col("id_a"), col("id_b"), col("jaccard"))
       case None => cand
     }
   }

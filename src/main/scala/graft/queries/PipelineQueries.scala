@@ -58,11 +58,11 @@ object PipelineQueries {
     "q35_batchview" -> ((s, d) => {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_views"
       val withDay = Tables.orders(s, d)
-        .withColumn("day", date_format(col("o_orderdate"), "yyyyMM"))
-      BatchView.write(withDay, base, "orders_by_month", 1, Seq("day"))
+        .withColumn("day", date_format(col("o_orderdate"), "yyyy"))
+      BatchView.write(withDay, base, "orders_by_year", 1, Seq("day"))
       // partition-dir values are type-inferred on read (numeric here) —
       // cast back to the written string form
-      BatchView.read(s, base, "orders_by_month", 1)
+      BatchView.read(s, base, "orders_by_year", 1)
         .groupBy(col("day").cast("string").as("day"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
@@ -107,7 +107,7 @@ object PipelineQueries {
           AND (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM customer EXCEPT
                SELECT DISTINCT * FROM customer WHERE c_acctbal > 0)) = 0) AS same""",
     "q35_batchview" ->
-      """SELECT strftime(o_orderdate, '%Y%m') AS day, COUNT(*) AS n,
+      """SELECT strftime(o_orderdate, '%Y') AS day, COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders GROUP BY 1 ORDER BY day""",
     "q36_media_meta" ->
