@@ -44,12 +44,16 @@ object AggregateQueries {
         .orderBy(col("user_id"), col("key"))
     }),
 
-    // ───── A7: AggRowFirst — dedupe array-of-structs by id field ─────
+    // ───── A7: AggRowFirst — dedupe array-of-structs by id field. Arrays
+    // bounded to the 20 earliest events per user: the dedupe filter is an
+    // interpreted HOF, O(n²) per array, so unbounded per-user arrays make
+    // the query allocation-bound without changing what the operator
+    // demonstrates. ─────
     "q15_row_first" -> ((s, d) => {
       val packed = Tables.events(s, d)
         .groupBy(col("user_id"))
-        .agg(sort_array(collect_list(
-          struct(col("event_id"), col("event_type"), col("value")))).as("rows"))
+        .agg(slice(sort_array(collect_list(
+          struct(col("event_id"), col("event_type"), col("value")))), 1, 20).as("rows"))
       packed
         .select(col("user_id"),
           explode(CollectOps.arrayDedupeById(col("rows"), "event_type")).as("r"))
@@ -125,7 +129,9 @@ object AggregateQueries {
     "q15_row_first" ->
       """SELECT user_id, event_type, arg_min(event_id, event_id) AS first_event_id,
          arg_min(value, event_id) AS first_value
-         FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""",
+         FROM (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+               FROM events) WHERE rn <= 20)
+         GROUP BY user_id, event_type ORDER BY user_id, event_type""",
     "q16_collect_top3" ->
       """SELECT user_id, CAST(rn AS INT) AS rnk, event_id, value FROM (
            SELECT user_id, event_id, value,
