@@ -79,6 +79,17 @@ object PipelineQueries {
           col("media_meta.format").as("format"),
           col("media_meta.width").as("width"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ───── multimodal: every-k frame sampling over decoded frame counts ─────
+    "q38_frame_sample" -> ((s, d) => {
+      val bin = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      BinaryOps.sampleFrames(BinaryOps.withMediaMeta(bin, "doc_id", "content"), everyK = 10)
+        .groupBy(col("doc_id"))
+        .agg(max(col("media_meta.n_frames")).as("n_frames"),
+          count(lit(1)).as("n_sampled"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -114,6 +125,11 @@ object PipelineQueries {
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
          ['png','jpeg','webp'][CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 3 AS INT) + 1] AS format,
          CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1920 AS INT) + 1 AS width
+         FROM documents ORDER BY doc_id""",
+    "q38_frame_sample" ->
+      """SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 240 AS INT) + 1 AS n_frames,
+         CAST(CEIL((CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 240 AS INT) + 1) / 10.0) AS BIGINT) AS n_sampled
          FROM documents ORDER BY doc_id"""
   )
 }

@@ -103,6 +103,18 @@ object TextQueries {
           Tables.embeddings(s, d).where(col("vec_id") =!= 0),
           "embedding", "vec_id", q, k = 10)
         .orderBy(col("cos").desc, col("vec_id"))
+    }),
+
+    // ───── ANN scale path: hyperplane-LSH bucketed top-k (rows-only:
+    // the bucket restriction depends on our seeded plane family; recall
+    // vs brute force is asserted in ScalaTest) ─────
+    "q37_ann_lsh" -> ((s, d) => {
+      val q = Tables.embeddings(s, d).where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.annTopK(
+          Tables.embeddings(s, d).where(col("vec_id") =!= 0),
+          "embedding", "vec_id", q, k = 10, numPlanes = 6)
+        .orderBy(col("cos").desc, col("vec_id"))
     })
   )
 
