@@ -49,6 +49,22 @@ object Comparator {
     (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
   }
 
+  /** Both sides' null counts in ONE job over the tag-union (the naive form
+    * is one aggregation job per side). */
+  def nullCountsBoth(lProj: DataFrame, rProj: DataFrame,
+                     cols: Seq[String]): (Map[String, Long], Map[String, Long]) = {
+    if (cols.isEmpty) return (Map.empty, Map.empty)
+    val tagged = lProj.withColumn("__side", lit(1))
+      .unionAll(rProj.withColumn("__side", lit(2)))
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull && col("__side") === 1, 1L).otherwise(0L)).as(s"l_$c"),
+      sum(when(col(c).isNull && col("__side") === 2, 1L).otherwise(0L)).as(s"r_$c")))
+    val row = tagged.agg(aggs.head, aggs.tail: _*).head()
+    val l = cols.zipWithIndex.map { case (c, i) => c -> row.getLong(2 * i) }.toMap
+    val r = cols.zipWithIndex.map { case (c, i) => c -> row.getLong(2 * i + 1) }.toMap
+    (l, r)
+  }
+
   def compare(left: DataFrame, right: DataFrame): Report = {
     val lCols = left.columns.toSeq
     val rCols = right.columns.toSeq
@@ -56,13 +72,14 @@ object Comparator {
     val lProj = left.select(common.map(col): _*)
     val rProj = right.select(common.map(col): _*)
     val (lCount, rCount, onlyLeft, onlyRight) = diffCounts(lProj, rProj)
+    val (nullsL, nullsR) = nullCountsBoth(lProj, rProj, common)
     Report(
       leftCount = lCount,
       rightCount = rCount,
       columnsOnlyLeft = lCols.diff(rCols),
       columnsOnlyRight = rCols.diff(lCols),
-      nullCountsLeft = nullCounts(left, common),
-      nullCountsRight = nullCounts(right, common),
+      nullCountsLeft = nullsL,
+      nullCountsRight = nullsR,
       rowsOnlyLeft = onlyLeft,
       rowsOnlyRight = onlyRight)
   }

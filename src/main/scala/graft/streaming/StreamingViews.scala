@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Structured-Streaming forms of the batch views (SURVEY.md §2.9).
@@ -38,6 +38,41 @@ object StreamingViews {
                       watermark: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicates(keys :+ tsCol)
+
+  case class SessionEvent(userId: Long, tsMillis: Long, value: Double)
+  case class SessionSummary(userId: Long, nEvents: Long, sumValue: Double,
+                            startMillis: Long, endMillis: Long)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState`: events are
+    * folded into per-user session state; a session closes (and emits a
+    * summary row) after `gapMillis` of processing-time inactivity. The
+    * `KeyValueGroupedDataset` state API is the escape hatch for semantics
+    * watermarked aggregation can't express. */
+  def sessionize(events: Dataset[SessionEvent],
+                 gapMillis: Long): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionSummary, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionSummary]) =>
+          if (state.hasTimedOut) {
+            val out = state.get
+            state.remove()
+            Iterator.single(out)
+          } else {
+            val batch = rows.toSeq
+            val prev = state.getOption.getOrElse(
+              SessionSummary(userId, 0L, 0.0, Long.MaxValue, Long.MinValue))
+            val next = batch.foldLeft(prev) { (s, e) =>
+              SessionSummary(userId, s.nEvents + 1, s.sumValue + e.value,
+                math.min(s.startMillis, e.tsMillis), math.max(s.endMillis, e.tsMillis))
+            }
+            state.update(next)
+            state.setTimeoutDuration(gapMillis)
+            Iterator.empty
+          }
+      }
+  }
 
   /** One-shot catch-up run into a day-partitioned view — the streaming
     * equivalent of the reference's per-day batch loop. */

@@ -29,6 +29,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize folds events into per-user state and emits on timeout") {
+    val dir = Files.createTempDirectory("graft_stream3").toString
+    Seq(
+      StreamingViews.SessionEvent(1L, 1000L, 2.0),
+      StreamingViews.SessionEvent(1L, 2000L, 3.0),
+      StreamingViews.SessionEvent(2L, 1500L, 7.0)
+    ).toDF.write.parquet(s"$dir/in")
+    val stream = StreamingViews.fileStream(spark, s"$dir/in",
+      Seq(StreamingViews.SessionEvent(0L, 0L, 0.0)).toDF.schema)
+      .as[StreamingViews.SessionEvent]
+    val sessions = StreamingViews.sessionize(stream, gapMillis = 100L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess").start()
+    try {
+      q.processAllAvailable()
+      Thread.sleep(300) // let the processing-time gap elapse
+      q.processAllAvailable() // timeout fires on the next (empty) batch
+      val out = spark.table("sess")
+        .select("userId", "nEvents", "sumValue").as[(Long, Long, Double)]
+        .collect().sortBy(_._1).toSeq
+      assert(out === Seq((1L, 2L, 5.0), (2L, 1L, 7.0)))
+    } finally q.stop()
+  }
+
   test("streaming dedupe keeps first occurrence per key") {
     val dir = Files.createTempDirectory("graft_stream2").toString
     val data = Seq(
