@@ -45,15 +45,24 @@ object StreamingViews {
 
   /** Custom-state sessionization via `flatMapGroupsWithState`: events are
     * folded into per-user session state; a session closes (and emits a
-    * summary row) after `gapMillis` of processing-time inactivity. The
-    * `KeyValueGroupedDataset` state API is the escape hatch for semantics
-    * watermarked aggregation can't express. */
-  def sessionize(events: Dataset[SessionEvent],
-                 gapMillis: Long): Dataset[SessionSummary] = {
+    * summary row) once the EVENT-TIME watermark passes the session's last
+    * event + `gapMillis`. The `KeyValueGroupedDataset` state API is the
+    * escape hatch for semantics watermarked aggregation can't express.
+    *
+    * Event-time (not processing-time) timeouts are deliberate: they are
+    * deterministic and replayable — a backfill over historical data closes
+    * the same sessions as the live run, and a test can drive closure by
+    * advancing the watermark with data instead of sleeping wall-clock. */
+  def sessionize(events: Dataset[SessionEvent], gapMillis: Long,
+                 watermarkDelay: String = "0 milliseconds"): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.userId)
+    events
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[SessionEvent]
+      .groupByKey(_.userId)
       .flatMapGroupsWithState[SessionSummary, SessionSummary](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionSummary]) =>
           if (state.hasTimedOut) {
             val out = state.get
@@ -68,7 +77,10 @@ object StreamingViews {
                 math.min(s.startMillis, e.tsMillis), math.max(s.endMillis, e.tsMillis))
             }
             state.update(next)
-            state.setTimeoutDuration(gapMillis)
+            // setTimeoutTimestamp must stay ahead of the current watermark;
+            // late-arriving groups time out on the next batch.
+            state.setTimeoutTimestamp(
+              math.max(next.endMillis + gapMillis, state.getCurrentWatermarkMs + 1))
             Iterator.empty
           }
       }

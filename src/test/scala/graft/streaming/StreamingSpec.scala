@@ -3,10 +3,16 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
+import org.scalatest.concurrent.{Signaler, ThreadSignaler, TimeLimitedTests}
+import org.scalatest.time.{Minutes, Span}
 import graft.SparkSpec
 
-class StreamingSpec extends SparkSpec {
+class StreamingSpec extends SparkSpec with TimeLimitedTests {
   import spark.implicits._
+
+  // A wedged streaming query must FAIL the suite, not hang sbt test forever.
+  override val timeLimit: Span = Span(5, Minutes)
+  override val defaultTestSignaler: Signaler = ThreadSignaler
 
   test("file stream → windowed counts → memory sink (batch-driven)") {
     val dir = Files.createTempDirectory("graft_stream").toString
@@ -29,7 +35,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("sessionize folds events into per-user state and emits on timeout") {
+  test("sessionize folds events into per-user state and emits on watermark timeout") {
     val dir = Files.createTempDirectory("graft_stream3").toString
     Seq(
       StreamingViews.SessionEvent(1L, 1000L, 2.0),
@@ -43,12 +49,23 @@ class StreamingSpec extends SparkSpec {
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName("sess").start()
     try {
+      q.processAllAvailable() // batch 1: state for users 1, 2; watermark → 2000
+      // Advance the event-time watermark far past both sessions' gap by
+      // dropping a second file — deterministic, no wall-clock sleep. The
+      // timed-out groups emit on the post-watermark-advance batch.
+      Seq(StreamingViews.SessionEvent(99L, 1000000L, 0.0))
+        .toDF.write.mode("append").parquet(s"$dir/in")
       q.processAllAvailable()
-      Thread.sleep(300) // let the processing-time gap elapse
-      q.processAllAvailable() // timeout fires on the next (empty) batch
-      val out = spark.table("sess")
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      def emitted() = spark.table("sess")
         .select("userId", "nEvents", "sumValue").as[(Long, Long, Double)]
         .collect().sortBy(_._1).toSeq
+      var out = emitted()
+      while (out.size < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(100) // no-data micro-batch fires the event-time timeouts
+        q.processAllAvailable()
+        out = emitted()
+      }
       assert(out === Seq((1L, 2L, 5.0), (2L, 1L, 7.0)))
     } finally q.stop()
   }
