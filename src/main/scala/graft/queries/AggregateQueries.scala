@@ -44,21 +44,18 @@ object AggregateQueries {
         .orderBy(col("user_id"), col("key"))
     }),
 
-    // ───── A7: AggRowFirst — dedupe array-of-structs by id field. Arrays
-    // bounded to the 20 earliest events per user: the dedupe filter is an
-    // interpreted HOF, O(n²) per array, so unbounded per-user arrays make
-    // the query allocation-bound without changing what the operator
-    // demonstrates. ─────
+    // ───── A7: AggRowFirst — dedupe array-of-structs by id field over
+    // UNBOUNDED per-user arrays, via the relational rowFirstByPos shape
+    // (posexplode → min_by(pos) — arrays never cross a shuffle, no O(n²)
+    // HOF; the per-row arrayDedupeById form stays for short in-row arrays). ─────
     "q15_row_first" -> ((s, d) => {
       val packed = Tables.events(s, d)
         .groupBy(col("user_id"))
-        .agg(slice(sort_array(collect_list(
-          struct(col("event_id"), col("event_type"), col("value")))), 1, 20).as("rows"))
-      packed
-        .select(col("user_id"),
-          explode(CollectOps.arrayDedupeById(col("rows"), "event_type")).as("r"))
-        .select(col("user_id"), col("r.event_type").as("event_type"),
-          col("r.event_id").as("first_event_id"), col("r.value").as("first_value"))
+        .agg(sort_array(collect_list(
+          struct(col("event_id"), col("event_type"), col("value")))).as("rows"))
+      CollectOps.rowFirstByPos(packed, Seq("user_id"), "rows", "event_type")
+        .select(col("user_id"), col("first.event_type").as("event_type"),
+          col("first.event_id").as("first_event_id"), col("first.value").as("first_value"))
         .orderBy(col("user_id"), col("event_type"))
     }),
 
@@ -129,9 +126,7 @@ object AggregateQueries {
     "q15_row_first" ->
       """SELECT user_id, event_type, arg_min(event_id, event_id) AS first_event_id,
          arg_min(value, event_id) AS first_value
-         FROM (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
-               FROM events) WHERE rn <= 20)
-         GROUP BY user_id, event_type ORDER BY user_id, event_type""",
+         FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""",
     "q16_collect_top3" ->
       """SELECT user_id, CAST(rn AS INT) AS rnk, event_id, value FROM (
            SELECT user_id, event_id, value,
@@ -139,7 +134,7 @@ object AggregateQueries {
            FROM events) WHERE rn <= 3 ORDER BY user_id, rnk""",
     "q17_search_counts" ->
       """SELECT user_id,
-         COUNT(*) AS search_all,
+         CAST(SUM(CASE WHEN event_type IN ('click','view','purchase') THEN 1 ELSE 0 END) AS BIGINT) AS search_all,
          CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS search_click,
          CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS search_view,
          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS search_purchase

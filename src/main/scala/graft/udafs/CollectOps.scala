@@ -1,6 +1,6 @@
 package graft.udafs
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Null-retaining sorted multi-column collect + struct-array dedupe,
@@ -44,14 +44,31 @@ object CollectOps {
     * keeping the first struct per id in array order.
     * Reference: src/main/scala/com/mozilla/telemetry/utils/udfs/AggRowFirst.scala:11-49.
     *
-    * Built-in composition: `aggregate` over the array with an accumulator
-    * array, appending only structs whose id is unseen. Runs per-row inside
-    * codegen; for the grouped form (collect arrays then dedupe across a
-    * group), flatten first, then apply this to the flattened array.
+    * This per-row HOF form is O(n²) per array and runs interpreted
+    * (CodegenFallback) — fine for short arrays inside a row, WRONG for
+    * unbounded per-group arrays. For those use [[rowFirstByPos]], which
+    * stays relational: one hash aggregate, map-side partial agg, no array
+    * ever crosses a shuffle.
     */
   def arrayDedupeById(arr: Column, idField: String): Column =
     filter(arr, (s, i) =>
       i === array_position(transform(arr, x => x.getField(idField)), s.getField(idField)) - 1)
+
+  /** A7 at scale: the grouped "first struct per id in array order" as a
+    * relational plan — `posexplode` turns array order into a `pos`
+    * attribute, then `min_by(e, pos)` per (keys, id) picks the earliest
+    * occurrence. One shuffle keyed on (keys, id) carrying single structs
+    * (never whole arrays), partial-aggregated map-side; survives arbitrary
+    * array sizes where the HOF form is quadratic. Output: `keys` + `first`
+    * (the kept struct). */
+  def rowFirstByPos(df: DataFrame, keys: Seq[String], arrCol: String,
+                    idField: String): DataFrame = {
+    val exploded = df.select(keys.map(col) :+ posexplode(col(arrCol)).as(Seq("pos", "e")): _*)
+    exploded
+      .groupBy(keys.map(col) :+ col("e").getField(idField).as("__dedupe_id"): _*)
+      .agg(min_by(col("e"), col("pos")).as("first"))
+      .drop("__dedupe_id")
+  }
 
   /** Grouped AggRowFirst: `flatten(collect_list(arr))` → dedupe by id.
     * Group-level "first" follows collect order (nondeterministic after

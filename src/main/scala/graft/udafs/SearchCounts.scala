@@ -17,18 +17,23 @@ import org.apache.spark.sql.functions._
   */
 object SearchCounts {
 
-  /** Sum of `count` over array elements matching one source (count > 0). */
-  private def sumFor(arr: Column, source: Option[String]): Column = {
+  /** Sum of `count` over array elements with count > 0 whose source passes
+    * `sourcePred`. */
+  private def sumFor(arr: Column, sourcePred: Column => Column): Column = {
     val matches = filter(arr, s =>
-      s.getField("count") > 0 && source.map(v => s.getField("source") === v).getOrElse(lit(true)))
+      s.getField("count") > 0 && sourcePred(s.getField("source")))
     coalesce(org.apache.spark.sql.functions.aggregate(
       matches, lit(0L), (acc, s) => acc + s.getField("count")), lit(0L))
   }
 
-  /** Per-row pivot columns: `prefix_all` + one `prefix_<source>` each. */
+  /** Per-row pivot columns: `prefix_all` + one `prefix_<source>` each.
+    * `all` counts ONLY allowlisted sources, like the reference — its UDAF
+    * bumps the `all` bucket inside the `validSources.contains(source)`
+    * branch (AggSearchCounts.scala:64-71), so an unknown source contributes
+    * to nothing. */
   def pivotColumns(arr: Column, prefix: String, validSources: Seq[String]): Seq[Column] =
-    sumFor(arr, None).as(s"${prefix}_all") +:
-      validSources.map(s => sumFor(arr, Some(s)).as(s"${prefix}_$s"))
+    sumFor(arr, src => src.isin(validSources.map(lit): _*)).as(s"${prefix}_all") +:
+      validSources.map(s => sumFor(arr, src => src === s).as(s"${prefix}_$s"))
 
   /** Grouped form: group by `keys`, summing the per-row pivots — partial
     * aggregation keeps the shuffle narrow (one long per source per group). */

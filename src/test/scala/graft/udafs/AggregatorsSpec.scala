@@ -55,6 +55,18 @@ class AggregatorsSpec extends SparkSpec {
     assert(out === Seq(1L, 2L))
   }
 
+  test("rowFirstByPos keeps earliest struct per id in array order") {
+    val df = Seq(
+      (1, Seq(("a", 1L), ("b", 2L), ("a", 3L))),
+      (2, Seq(("a", 9L)))
+    ).toDF("g", "arr")
+      .select(col("g"), col("arr").cast("array<struct<id:string,v:bigint>>").as("arr"))
+    val out = CollectOps.rowFirstByPos(df, Seq("g"), "arr", "id")
+      .select(col("g"), col("first.id").as("id"), col("first.v").as("v"))
+      .as[(Int, String, Long)].collect().toSet
+    assert(out === Set((1, "a", 1L), (1, "b", 2L), (2, "a", 9L)))
+  }
+
   test("SearchCounts sums only allowlisted sources with count > 0") {
     val df = Seq(
       (1, Seq(("g", "urlbar", 3L), ("g", "urlbar", -1L), ("g", "abouthome", 2L), ("g", "other", 9L)))
@@ -63,8 +75,9 @@ class AggregatorsSpec extends SparkSpec {
         .cast("array<struct<engine:string,source:string,count:bigint>>").as("searches"))
     val out = SearchCounts.aggregate(df, Seq("g"), "searches", "search",
       Seq("urlbar", "abouthome")).head()
-    // all = 3 + 2 + 9 (count>0, any source); urlbar = 3; abouthome = 2
-    assert(out.getLong(1) === 14L && out.getLong(2) === 3L && out.getLong(3) === 2L)
+    // all = 3 + 2 (count>0 AND allowlisted — 'other' and count<=0 excluded,
+    // matching reference AggSearchCounts.scala:64-71); urlbar = 3; abouthome = 2
+    assert(out.getLong(1) === 5L && out.getLong(2) === 3L && out.getLong(3) === 2L)
   }
 
   test("HLL estimate within 5% of exact; bucketed edge cases") {
