@@ -82,21 +82,28 @@ object Similarity {
     * or LSH signature) to avoid the quadratic cross join.
     *
     * Norms are computed ONCE per vector before the pair join (an attribute
-    * through the shuffle), so each pair evaluates a single zip_with dot —
-    * not dot + two norms (3× the interpreted-HOF allocation churn). The
-    * result is bit-identical: cosine = dot / (norm_a * norm_b) with the
-    * same fold order. */
+    * through the shuffle), so each pair evaluates a single codegen dot —
+    * not dot + two norms. The result is bit-identical: cosine =
+    * dot / (norm_a * norm_b) with the same fold order.
+    *
+    * Scale design: a SHUFFLE hash join on a salted block key — never a
+    * broadcast of the embedding table (which dies at corpus scale). Block
+    * cardinality can be far below the cluster's core count (e.g. 10
+    * labels), so the left side is salted by `xxhash64(id)` and the right
+    * side replicated across the `saltBuckets` salt values: each (a, b)
+    * pair meets exactly once (at a's salt), parallelism rises `saltBuckets`
+    * × block-count, and skewed blocks are split the same way AQE's
+    * skew-join duplication would split them, but deterministically. */
   def cosinePairs(embeddings: DataFrame, vecCol: String, idCol: String,
-                  blockCol: String, threshold: Double): DataFrame = {
+                  blockCol: String, threshold: Double, saltBuckets: Int = 8): DataFrame = {
     val withNorm = embeddings.select(col(blockCol).as("blk"), col(idCol),
       col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
-    // Round-robin repartition the probe side: block cardinality can be far
-    // below the core count (10 labels), and a single input file otherwise
-    // pins the whole pair join to one task. Broadcast the build side.
     val l = withNorm.toDF("blk", "id_a", "v_a", "n_a")
-      .repartition(embeddings.sparkSession.sessionState.conf.numShufflePartitions)
-    val r = broadcast(withNorm.toDF("blk", "id_b", "v_b", "n_b"))
-    l.join(r, Seq("blk")).where(col("id_a") < col("id_b"))
+      .withColumn("salt", pmod(xxhash64(col("id_a")), lit(saltBuckets)))
+    val r = withNorm.toDF("blk", "id_b", "v_b", "n_b")
+      .withColumn("salt", explode(array((0 until saltBuckets).map(lit): _*)))
+    l.join(r.hint("shuffle_hash"), Seq("blk", "salt"))
+      .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos"))
       .where(col("cos") >= threshold)
