@@ -23,27 +23,44 @@ object Bench {
     // warms the JIT/parquet paths, so timed numbers measure the queries,
     // not first-query JVM startup. Disable with SPARK_GRAFT_WARMUP=0.
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    // Materialize through the built-in noop sink: every expression in every
+    // column is evaluated (a bare count() lets Catalyst prune unreferenced
+    // projections and orderBys, under-measuring projection-only queries).
+    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+            dir: String): Unit =
+      fn(spark, dir).write.mode("overwrite").format("noop").save()
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1" && warmupDir != sfDir) {
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+        try run(fn, warmupDir) catch { case _: Throwable => () }
       }
     }
     // Min of N timed passes per query: the host VM has intermittent
     // page-fault storms that inflate arbitrary queries by 10-100×; the
     // minimum is the standard robust estimator for actual query cost.
+    // A failing query records an error, never a timing.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+    val results: Map[String, Either[String, Double]] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val passes = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try { run(fn, sfDir); Right((System.nanoTime() - t0) / 1e9) }
+          catch { case t: Throwable =>
+            Left(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(120)}") }
+        }
+        val oks = passes.collect { case Right(s) => s }
+        name -> (if (oks.nonEmpty) Right(oks.min) else Left(passes.collectFirst { case Left(e) => e }.get))
       }
-      name -> times.min
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map {
+      case (k, Right(v)) => s"\"" + k + "\":" + v
+      case (k, Left(_)) => s"\"" + k + "\":null"
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(e)) =>
+      s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.collect { case Right(v) => v }.sum
+    val nFailed = results.values.count(_.isLeft)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
+    if (nFailed > 0) sys.exit(1)
   }
 }
