@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dataset-diff tool: schema diff, row counts, one-pass per-column null
@@ -31,14 +31,28 @@ object Comparator {
     cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
   }
 
-  /** Single-pass row diff: tag-union both sides, group once on the full
-    * row, derive (leftCount, rightCount, onlyLeft, onlyRight) from the
-    * per-row multiplicities. ONE shuffle + final reduce, vs the naive
-    * count + count + except.count + except.count = 4 jobs / 4 shuffles
-    * (`only*` match EXCEPT's distinct semantics). */
+  /** Single-pass row diff: tag-union both sides, group once on an 8-byte
+    * `xxhash64` of the full row, derive (leftCount, rightCount, onlyLeft,
+    * onlyRight) from the per-hash multiplicities. ONE shuffle + final
+    * reduce, vs the naive count + count + except.count + except.count =
+    * 4 jobs / 4 shuffles (`only*` match EXCEPT's distinct semantics).
+    *
+    * Hashing first keeps the shuffle narrow — 8 bytes per row instead of
+    * every column of the table, which at 100 TB is the difference between
+    * a diff job and re-shuffling the whole dataset. The trade is the usual
+    * 64-bit birthday bound: two DIFFERING rows that collide would cancel
+    * (~n²/2⁶⁵ odds — negligible below trillions of rows, and a miss only
+    * under-reports a diff by one).
+    *
+    * `xxhash64` SKIPS null fields (seed passes through unchanged), so rows
+    * differing only in WHICH column is null would collide systematically;
+    * interleaving an `isnull` marker per column restores an injective
+    * encoding. */
   def diffCounts(lProj: DataFrame, rProj: DataFrame): (Long, Long, Long, Long) = {
-    val tagged = lProj.select(struct(lProj.columns.map(col): _*).as("r"), lit(1).as("side"))
-      .unionAll(rProj.select(struct(rProj.columns.map(col): _*).as("r"), lit(2).as("side")))
+    def rowHash(df: DataFrame): Column =
+      xxhash64(struct(df.columns.toSeq.flatMap(c => Seq(isnull(col(c)), col(c))): _*))
+    val tagged = lProj.select(rowHash(lProj).as("r"), lit(1).as("side"))
+      .unionAll(rProj.select(rowHash(rProj).as("r"), lit(2).as("side")))
     val row = tagged.groupBy(col("r"))
       .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("ln"),
         sum(when(col("side") === 2, 1L).otherwise(0L)).as("rn"))
@@ -85,13 +99,18 @@ object Comparator {
   }
 
   /** Report as a 1-row DataFrame (the reference writes this as its JSON
-    * result sink, DatasetComparator.scala:53-55). */
+    * result sink, DatasetComparator.scala:53-55). Per-column null counts
+    * are surfaced like the reference's report (DatasetComparator.scala:113-123)
+    * as "col=n" lists, restricted to columns that actually have nulls. */
   def compareToDF(spark: SparkSession, left: DataFrame, right: DataFrame): DataFrame = {
     val r = compare(left, right)
+    def fmtNulls(m: Map[String, Long]): String =
+      m.toSeq.filter(_._2 > 0).sortBy(_._1).map { case (c, n) => s"$c=$n" }.mkString(",")
     import spark.implicits._
     Seq((r.leftCount, r.rightCount, r.columnsOnlyLeft.mkString(","),
-      r.columnsOnlyRight.mkString(","), r.rowsOnlyLeft, r.rowsOnlyRight, r.same))
+      r.columnsOnlyRight.mkString(","), fmtNulls(r.nullCountsLeft), fmtNulls(r.nullCountsRight),
+      r.rowsOnlyLeft, r.rowsOnlyRight, r.same))
       .toDF("left_count", "right_count", "cols_only_left", "cols_only_right",
-        "rows_only_left", "rows_only_right", "same")
+        "nulls_left", "nulls_right", "rows_only_left", "rows_only_right", "same")
   }
 }

@@ -110,13 +110,16 @@ object PipelineQueries {
       """SELECT (SELECT COUNT(*) FROM customer) AS left_count,
          (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0) AS right_count,
          '' AS cols_only_left, '' AS cols_only_right,
+         '' AS nulls_left, '' AS nulls_right,
          (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM customer EXCEPT
             SELECT DISTINCT * FROM customer WHERE c_acctbal > 0)) AS rows_only_left,
          (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM customer WHERE c_acctbal > 0
             EXCEPT SELECT DISTINCT * FROM customer)) AS rows_only_right,
          ((SELECT COUNT(*) FROM customer) = (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
           AND (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM customer EXCEPT
-               SELECT DISTINCT * FROM customer WHERE c_acctbal > 0)) = 0) AS same""",
+               SELECT DISTINCT * FROM customer WHERE c_acctbal > 0)) = 0
+          AND (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM customer WHERE c_acctbal > 0
+               EXCEPT SELECT DISTINCT * FROM customer)) = 0) AS same""",
     "q35_batchview" ->
       """SELECT strftime(o_orderdate, '%Y') AS day, COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

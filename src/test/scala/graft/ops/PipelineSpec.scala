@@ -44,6 +44,17 @@ class PipelineSpec extends SparkSpec {
     assert(same.same)
     val extraCol = Comparator.compare(left, left.withColumn("x", lit(1)))
     assert(extraCol.columnsOnlyRight === Seq("x"))
+    // rows differing ONLY in which column is null must not hash-collide
+    // (xxhash64 skips nulls; the isnull interleave disambiguates)
+    val nl = Seq((Option(1), Option.empty[Int])).toDF("a", "b")
+    val nr = Seq((Option.empty[Int], Option(1))).toDF("a", "b")
+    val nullSwap = Comparator.compare(nl, nr)
+    assert(nullSwap.rowsOnlyLeft === 1 && nullSwap.rowsOnlyRight === 1)
+    // the 1-row report surfaces per-column null counts (reference
+    // DatasetComparator includes them in its JSON report)
+    val rep = Comparator.compareToDF(spark, left, right).head()
+    assert(rep.getAs[String]("nulls_left") === "v=1")
+    assert(rep.getAs[String]("nulls_right") === "")
   }
 
   test("BatchView: dynamic partition overwrite rewrites only incoming days") {
