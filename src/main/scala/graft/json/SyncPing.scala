@@ -19,9 +19,12 @@ import org.apache.spark.sql.types._
   *    (SyncPingConversion.scala:643-653) → `coalesce(syncs, array(payload))`;
   *  - `uid`/`deviceID`/`os` at payload OR ping top level (Android;
   *    :431-445, :452-461) → per-field `coalesce`;
-  *  - `outgoing` as array or bare object is normalized at the schema level
-  *    (arrays only) — bare-object pings are handled by the lenient decoder
-  *    in `graft.json.Events`-style typed code when needed.
+  *  - `outgoing` as array OR bare object (:262-276 — an object counts as
+  *    one batch): the schema captures the raw JSON subtree as a string
+  *    (declaring `StringType` on a JSON object/array field yields its raw
+  *    text), and a per-engine `from_json` with an ARRAY schema normalizes
+  *    both forms — the root-level JSON parser wraps a bare object into a
+  *    one-element array, exactly the reference's `JObject` branch.
   */
 object SyncPing {
 
@@ -52,7 +55,9 @@ object SyncPing {
       StructField("failed", LongType),
       StructField("newFailed", LongType),
       StructField("reconciled", LongType)))),
-    StructField("outgoing", ArrayType(outgoingType)),
+    // raw JSON text: array form AND bare-object form both arrive in
+    // real pings; normalized in flatRows via from_json(ArrayType)
+    StructField("outgoing", StringType),
     StructField("validation", validationType)))
 
   val deviceType: StructType = StructType(Seq(
@@ -136,12 +141,17 @@ object SyncPing {
   }
 
   /** G4 — flat per-(sync, engine) rows with outgoing rollups folded by
-    * higher-order functions (no UDAF, no second explode). */
+    * higher-order functions (no UDAF, no second explode). The `outgoing`
+    * field parses per engine from its raw text: `from_json` with an array
+    * schema accepts both the array form and the bare-object form (wrapped
+    * into a one-element array = one batch, reference
+    * SyncPingConversion.scala:262-276). */
   def flatRows(parsed: DataFrame, keep: Seq[Column] = Nil): DataFrame = {
     val sumField = (arr: Column, f: String) =>
       coalesce(aggregate(arr, lit(0L), (acc, o) => acc + coalesce(o.getField(f), lit(0L))), lit(0L))
     nestedRows(parsed, keep)
       .withColumn("engine", explode_outer(col("engines")))
+      .withColumn("outgoing_arr", from_json(col("engine.outgoing"), ArrayType(outgoingType)))
       .select(
         col("uid"), col("device_id"), col("when"), col("took"), col("why"),
         col("status_sync"), col("status_service"), col("os_name"), col("os_version"),
@@ -153,12 +163,12 @@ object SyncPing {
         col("engine.incoming.failed").as("engine_incoming_failed"),
         col("engine.incoming.newFailed").as("engine_incoming_new_failed"),
         col("engine.incoming.reconciled").as("engine_incoming_reconciled"),
-        when(col("engine.outgoing").isNull, lit(null).cast(LongType))
-          .otherwise(size(col("engine.outgoing")).cast(LongType)).as("engine_outgoing_batches"),
-        when(col("engine.outgoing").isNull, lit(null).cast(LongType))
-          .otherwise(sumField(col("engine.outgoing"), "sent")).as("engine_outgoing_sent"),
-        when(col("engine.outgoing").isNull, lit(null).cast(LongType))
-          .otherwise(sumField(col("engine.outgoing"), "failed")).as("engine_outgoing_failed"),
+        when(col("outgoing_arr").isNull, lit(null).cast(LongType))
+          .otherwise(size(col("outgoing_arr")).cast(LongType)).as("engine_outgoing_batches"),
+        when(col("outgoing_arr").isNull, lit(null).cast(LongType))
+          .otherwise(sumField(col("outgoing_arr"), "sent")).as("engine_outgoing_sent"),
+        when(col("outgoing_arr").isNull, lit(null).cast(LongType))
+          .otherwise(sumField(col("outgoing_arr"), "failed")).as("engine_outgoing_failed"),
         col("engine.validation.version").as("engine_validation_version"),
         col("engine.validation.checked").as("engine_validation_checked"),
         col("engine.validation.took").as("engine_validation_took"),

@@ -31,6 +31,13 @@ class SyncPingSpec extends SparkSpec {
     """{"payload":{"when":500,"took":30,"uid":"u2","status":{"sync":"fail"},
         "engines":[{"name":"tabs","took":5}]}}""".replaceAll("\n\\s*", "")
 
+  // `outgoing` as a bare object instead of an array — the reference counts
+  // it as ONE batch with its sent/failed (SyncPingConversion.scala:262-276)
+  private val bareOutgoing =
+    """{"payload":{"when":700,"took":9,"uid":"u5",
+        "engines":[{"name":"passwords","took":3,"outgoing":{"sent":5}}]}}"""
+      .replaceAll("\n\\s*", "")
+
   private val topLevelIds =
     """{"uid":"u3","deviceID":"d9","os":{"name":"Android","version":"14"},
        "payload":{"syncs":[{"when":3000,"took":10}]}}""".replaceAll("\n\\s*", "")
@@ -43,7 +50,7 @@ class SyncPingSpec extends SparkSpec {
                   ["bad"]]}}""".replaceAll("\n\\s*", "")
 
   private def parsed = SyncPing.parse(
-    Seq(newStyle, oldStyle, topLevelIds, eventPing).toDF("json"), "json")
+    Seq(newStyle, oldStyle, bareOutgoing, topLevelIds, eventPing).toDF("json"), "json")
 
   test("nestedRows: one row per sync, old-style + top-level-id fallbacks") {
     val rows = SyncPing.nestedRows(parsed)
@@ -69,6 +76,11 @@ class SyncPingSpec extends SparkSpec {
     // no-outgoing engine: nulls, not zero
     val hist = flat.where(col("engine_name") === "history").head()
     assert(hist.isNullAt(hist.fieldIndex("engine_outgoing_sent")))
+    // bare-object outgoing = ONE batch, its sent/failed (failed absent -> 0)
+    val pw = flat.where(col("engine_name") === "passwords").head()
+    assert(pw.getAs[Long]("engine_outgoing_batches") === 1L)
+    assert(pw.getAs[Long]("engine_outgoing_sent") === 5L)
+    assert(pw.getAs[Long]("engine_outgoing_failed") === 0L)
   }
 
   test("eventRows: positional decode + row-local device lookup join") {
