@@ -44,13 +44,29 @@ object Comparator {
     * (~n²/2⁶⁵ odds — negligible below trillions of rows, and a miss only
     * under-reports a diff by one).
     *
-    * `xxhash64` SKIPS null fields (seed passes through unchanged), so rows
-    * differing only in WHICH column is null would collide systematically;
-    * interleaving an `isnull` marker per column restores an injective
-    * encoding. */
+    * `xxhash64` SKIPS null fields (seed passes through unchanged) — at
+    * every nesting level — and does not encode array boundaries, so a raw
+    * hash would conflate rows differing only in which (possibly nested)
+    * field is null, or in element grouping ([[1],[2]] vs [[1,2]]). Two
+    * defenses: top-level columns get an interleaved `isnull` marker, and
+    * complex-typed columns (struct/array/map) are serialized through
+    * `to_json` with explicit nulls — a null-distinguishing, boundary-
+    * preserving encoding — before hashing. This makes distinct values
+    * hash distinctly up to JSON fidelity (binary inside nested types and
+    * map key order are the remaining caveats) rather than injectively. */
   def diffCounts(lProj: DataFrame, rProj: DataFrame): (Long, Long, Long, Long) = {
-    def rowHash(df: DataFrame): Column =
-      xxhash64(struct(df.columns.toSeq.flatMap(c => Seq(isnull(col(c)), col(c))): _*))
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    def rowHash(df: DataFrame): Column = {
+      val complex = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[StructType] ||
+          f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] => f.name
+      }.toSet
+      def enc(c: String): Column =
+        if (complex(c)) to_json(col(c), Map("ignoreNullFields" -> "false"))
+        else col(c)
+      xxhash64(struct(df.columns.toSeq.flatMap(c => Seq(isnull(col(c)), enc(c))): _*))
+    }
     val tagged = lProj.select(rowHash(lProj).as("r"), lit(1).as("side"))
       .unionAll(rProj.select(rowHash(rProj).as("r"), lit(2).as("side")))
     val row = tagged.groupBy(col("r"))

@@ -102,7 +102,13 @@ object Similarity {
       .withColumn("salt", pmod(xxhash64(col("id_a")), lit(saltBuckets)))
     val r = withNorm.toDF("blk", "id_b", "v_b", "n_b")
       .withColumn("salt", explode(array((0 until saltBuckets).map(lit): _*)))
-    l.join(r.hint("shuffle_hash"), Seq("blk", "salt"))
+    // The hint goes on the LEFT (salted) side so IT becomes the hash-BUILD
+    // side: each (blk, salt) task's in-memory map holds only ~1/saltBuckets
+    // of the block, while the replicated right side streams through as the
+    // probe. Hinting the right side would build the map over the FULL block
+    // per task — inverting the memory win the salting buys (SHJ build maps
+    // can't spill the way sort-merge does).
+    l.hint("shuffle_hash").join(r, Seq("blk", "salt"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos"))
