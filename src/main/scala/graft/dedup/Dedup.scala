@@ -166,11 +166,21 @@ object Dedup {
     */
   /** HOF-free MinHash+LSH: distinct shingle-hash rows (codegen window
     * pipeline), ONE hash-aggregate computing all `bands × rowsPerBand`
-    * minima as separate min() columns (map-side partial agg), band buckets
-    * assembled by concat+hash of those columns, candidate pairs from the
-    * (band, bucket) self-join on ids only, and exact-Jaccard confirmation
-    * via the same inverted-count join — every stage whole-stage-codegen,
-    * nothing interpreted, no array columns through any shuffle. */
+    * minima as separate min() columns PLUS the per-doc shingle count
+    * (map-side partial agg), band buckets assembled by concat+hash of
+    * those columns, candidate pairs from the (band, bucket) self-join on
+    * ids only, and exact-Jaccard confirmation via the same inverted-count
+    * join — every stage whole-stage-codegen, nothing interpreted, no
+    * array columns through any shuffle.
+    *
+    * Subtree-reuse design: the expensive shingle pipeline feeds exactly
+    * THREE consumers — the signature aggregate and the two sides of the
+    * confirmation join (a self-join is inherently two scans). The shingle
+    * count rides inside the signature aggregate (no separate `sizes` pass),
+    * and the confirm join takes n_a/n_b from the already-tiny per-doc
+    * signature table instead of re-aggregating shingles. The banded
+    * self-join's two sides are canonically identical, so runtime
+    * ReuseExchange shares their shuffle. */
   def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                       confirmThreshold: Option[Double] = None): DataFrame = {
@@ -184,7 +194,9 @@ object Dedup {
     val minCols = params.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"m$i")
     }
-    val sig = base.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
+    // one pass: all 64 minima + the shingle count (|A| for Jaccard)
+    val sig = base.groupBy(col(idCol))
+      .agg(minCols.head, (minCols.tail :+ count(lit(1)).as("n_sh")): _*)
     val bandBuckets = (0 until bands).map { bnd =>
       xxhash64(concat_ws("_", lit(bnd) +:
         (0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}")): _*))
@@ -199,7 +211,7 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     confirmThreshold match {
       case Some(t) =>
-        val sizes = rows.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+        val sizes = sig.select(col(idCol), col("n_sh"))
         val inter = cand
           .join(rows.select(col(idCol).as("id_a"), col("g")), "id_a")
           .join(rows.select(col(idCol).as("id_b"), col("g")), Seq("id_b", "g"))
