@@ -20,10 +20,35 @@ object Strings {
       .replaceAll("([a-z\\d])([A-Z])", "$1_$2")
       .toLowerCase
 
+  /** The irregular snake→camel mappings the reference hard-codes
+    * (utils/package.scala:25-69): acronym-bearing telemetry field names
+    * whose mechanical capitalization would mangle the acronym
+    * (memory_mb → memoryMb instead of the schema's memoryMB). Shipped as
+    * the default override table so `camelize` matches the reference out
+    * of the box; callers can pass their own map to extend or disable. */
+  val CamelizeSpecialCases: Map[String, String] = Map(
+    "submission_url" -> "submissionURL",
+    "memory_mb" -> "memoryMB",
+    "windows_ubr" -> "windowsUBR",
+    "virtual_max_mb" -> "virtualMaxMB",
+    "l2cache_kb" -> "l2cacheKB",
+    "l3cache_kb" -> "l3cacheKB",
+    "speed_mhz" -> "speedMHz",
+    "d2d_enabled" -> "D2DEnabled",
+    "d_write_enabled" -> "DWriteEnabled",
+    "vendor_id" -> "vendorID",
+    "device_id" -> "deviceID",
+    "subsys_id" -> "subsysID",
+    "ram" -> "RAM",
+    "gpu_active" -> "GPUActive",
+    "first_load_uri" -> "firstLoadURI",
+    "" -> "")
+
   /** F1 — snake_case → camelCase with an override table for irregular
-    * mappings (the reference hard-codes 15 special cases,
-    * utils/package.scala:25-69; overrides are caller-supplied here). */
-  def camelize(name: String, overrides: Map[String, String] = Map.empty): String =
+    * mappings (defaults to the reference's hard-coded special cases,
+    * utils/package.scala:25-69). */
+  def camelize(name: String,
+               overrides: Map[String, String] = CamelizeSpecialCases): String =
     overrides.getOrElse(name, {
       val parts = name.split("_").toSeq
       (parts.head +: parts.tail.map(_.capitalize)).mkString

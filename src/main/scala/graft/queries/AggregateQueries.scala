@@ -98,6 +98,26 @@ object AggregateQueries {
         .select(col("est_users"))
     }),
 
+    // ───── A10: FilteredHyperLogLogMerge — condition-gated sketch union
+    // (rows-only like q18; exact anchor = q40, accuracy in ScalaTest) ─────
+    "q39_hll_filtered_merge" -> ((s, d) => {
+      val perType = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(Sketches.hllSketch(col("user_id")).as("sk"))
+      perType
+        .agg(Sketches.hllCardinality(
+          Sketches.hllMergeFiltered(
+            col("event_type").isin("click", "view"), col("sk"))).as("est_users"))
+        .select(col("est_users"))
+    }),
+
+    // ───── exact-distinct anchor for the q39 filtered-merge shape ─────
+    "q40_filtered_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .where(col("event_type").isin("click", "view"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // ───── exact-distinct anchor for the same shape as q18 ─────
     "q19_count_distinct" -> ((s, d) => {
       Tables.events(s, d)
@@ -142,6 +162,9 @@ object AggregateQueries {
     "q19_count_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q40_filtered_distinct" ->
+      """SELECT COUNT(DISTINCT user_id) AS n_users
+         FROM events WHERE event_type IN ('click','view')""",
     "q20_bucketed" ->
       """SELECT CAST(CASE WHEN l_quantity <= 10 THEN 10.0 WHEN l_quantity <= 20 THEN 20.0
                 WHEN l_quantity <= 30 THEN 30.0 WHEN l_quantity <= 40 THEN 40.0

@@ -28,6 +28,14 @@ object Sketches {
   def hllMerge(c: Column): Column =
     hll_union_agg(c, lit(false))
 
+  /** Condition-gated sketch union — the reference's
+    * `FilteredHyperLogLogMerge` (registered at utils/udfs.scala:15): only
+    * sketches from rows where `cond` holds join the union. `hll_union_agg`
+    * ignores nulls, so gating with `when` keeps the whole aggregate
+    * codegen'd — no separate filtered pre-pass over the sketch table. */
+  def hllMergeFiltered(cond: Column, sk: Column): Column =
+    hll_union_agg(when(cond, sk), lit(false))
+
   /** Estimated distinct count from a serialized sketch. */
   def hllCardinality(c: Column): Column = hll_sketch_estimate(c)
 

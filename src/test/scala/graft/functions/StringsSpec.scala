@@ -18,6 +18,12 @@ class StringsSpec extends SparkSpec {
     assert(Strings.camelize("submission_date") === "submissionDate")
     assert(Strings.camelize("submission_url", Map("submission_url" -> "submissionURL"))
       === "submissionURL")
+    // default table ships the reference's special cases (utils/package.scala:25-69)
+    assert(Strings.camelize("submission_url") === "submissionURL")
+    assert(Strings.camelize("memory_mb") === "memoryMB")
+    assert(Strings.camelize("ram") === "RAM")
+    assert(Strings.camelize("gpu_active") === "GPUActive")
+    assert(Strings.camelize("memory_mbx") === "memoryMbx") // non-special stays mechanical
     assert(Strings.uncamelize("submissionURL", Map("submissionURL" -> "submission_url"))
       === "submission_url")
   }

@@ -80,6 +80,18 @@ class AggregatorsSpec extends SparkSpec {
     assert(out.getLong(1) === 5L && out.getLong(2) === 3L && out.getLong(3) === 2L)
   }
 
+  test("filtered HLL merge unions only gated sketches") {
+    val df = (1 to 4000).map(i => (i % 4, i)).toDF("g", "x")
+    val sk = df.groupBy(col("g")).agg(Sketches.hllSketch(col("x")).as("sk"))
+    // merging only g<=1 sketches must equal sketching the g<=1 subset directly
+    val filtered = sk.agg(Sketches.hllCardinality(
+      Sketches.hllMergeFiltered(col("g") <= 1, col("sk")))).head().getLong(0)
+    val direct = df.where(col("g") <= 1)
+      .agg(Sketches.hllCardinality(Sketches.hllSketch(col("x")))).head().getLong(0)
+    assert(filtered === direct)
+    assert(math.abs(filtered - 2000) <= 100) // exact = 2000 values with g<=1
+  }
+
   test("HLL estimate within 5% of exact; bucketed edge cases") {
     val df = (1 to 10000).toDF("x")
     val est = df.agg(Sketches.hllCardinality(Sketches.hllSketch(col("x")))).head().getLong(0)
