@@ -1,6 +1,6 @@
 package graft.json
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -104,9 +104,15 @@ object SyncPing {
 
   // ── shredding pipelines ──
 
-  /** Parse a JSON-string column into the ping envelope. */
+  /** Parse a JSON-string column into the ping envelope. The schema carries
+    * a corrupt-record capture field: PERMISSIVE `from_json` yields a struct
+    * of nulls (not a null struct) for malformed documents, so without it an
+    * unparseable ping is indistinguishable from `{}` — [[observeShredding]]
+    * needs the distinction for its `failed` counter. */
   def parse(df: DataFrame, jsonCol: String): DataFrame =
-    df.withColumn("ping", from_json(col(jsonCol), pingType))
+    df.withColumn("ping", from_json(col(jsonCol),
+      pingType.add(StructField("_corrupt_record", StringType)),
+      Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
 
   private def syncFromPayload: Column = struct(
     col("ping.payload.when").as("when"),
@@ -138,6 +144,28 @@ object SyncPing {
         col("sync.engines").as("engines"),
         col("sync.devices").as("devices")): _*)
       .where(col("uid").isNotNull && col("when").isNotNull) // required fields
+  }
+
+  /** A11 — the reference's processed/ignored/failed record triple
+    * (SyncView.scala:49-51,64-83) as query-observed metrics, with no second
+    * action over the data: `failed` = unparseable document (`from_json`
+    * yields a null ping — the reference's exception branch), `ignored` =
+    * parses but would shred to zero sync rows (the reference's `Nil`
+    * branch), `processed` = contributes rows. Attach to the parsed frame
+    * before [[nestedRows]]/[[flatRows]]; read `obs.get` after an action. */
+  def observeShredding(parsed: DataFrame, obs: Observation): DataFrame = {
+    val failed = col("ping._corrupt_record").isNotNull
+    val syncs = coalesce(col("ping.payload.syncs"),
+      when(col("ping.payload.when").isNotNull, array(syncFromPayload)))
+    // mirrors nestedRows' required-field filter: a sync survives iff it has
+    // a `when` and a uid (its own or the ping's)
+    val yieldsRows = coalesce(exists(syncs, s =>
+      coalesce(s.getField("uid"), col("ping.uid")).isNotNull &&
+        s.getField("when").isNotNull), lit(false))
+    parsed.observe(obs,
+      count(when(failed, 1)).as("failed"),
+      count(when(!failed && !yieldsRows, 1)).as("ignored"),
+      count(when(!failed && yieldsRows, 1)).as("processed"))
   }
 
   /** G4 — flat per-(sync, engine) rows with outgoing rollups folded by

@@ -44,17 +44,16 @@ object AggregateQueries {
         .orderBy(col("user_id"), col("key"))
     }),
 
-    // ───── A7: AggRowFirst — dedupe array-of-structs by id field over
-    // UNBOUNDED per-user arrays, via the relational rowFirstByPos shape
-    // (posexplode → min_by(pos) — arrays never cross a shuffle, no O(n²)
-    // HOF; the per-row arrayDedupeById form stays for short in-row arrays). ─────
+    // ───── A7: AggRowFirst — dedupe rows by id field, keeping the first in
+    // sorted-array order. That order is exactly min(struct(...)), so the
+    // query needs ONE hash aggregate and never materializes a per-user
+    // array (rowFirstByPos stays as the operator form for callers that
+    // already hold array columns; AggregatorsSpec covers it). ─────
     "q15_row_first" -> ((s, d) => {
-      val packed = Tables.events(s, d)
-        .groupBy(col("user_id"))
-        .agg(sort_array(collect_list(
-          struct(col("event_id"), col("event_type"), col("value")))).as("rows"))
-      CollectOps.rowFirstByPos(packed, Seq("user_id"), "rows", "event_type")
-        .select(col("user_id"), col("first.event_type").as("event_type"),
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(struct(col("event_id"), col("event_type"), col("value"))).as("first"))
+        .select(col("user_id"), col("event_type"),
           col("first.event_id").as("first_event_id"), col("first.value").as("first_value"))
         .orderBy(col("user_id"), col("event_type"))
     }),

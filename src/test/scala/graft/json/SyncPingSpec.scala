@@ -96,6 +96,24 @@ class SyncPingSpec extends SparkSpec {
     assert(rows(1).getAs[String]("event_string_value") === null) // 4-ary
   }
 
+  test("observeShredding: processed/ignored/failed triple") {
+    val docs = Seq(
+      newStyle,                                  // processed
+      oldStyle,                                  // processed
+      """{"payload":{"version":1}}""",           // parses, no syncs -> ignored
+      """{"payload":{"syncs":[{"took":5}]}}""",  // sync without when/uid -> ignored
+      """not json at all {{{""")                 // unparseable -> failed
+    val obs = new org.apache.spark.sql.Observation("shred")
+    val observed = SyncPing.observeShredding(
+      SyncPing.parse(docs.toDF("json"), "json"), obs)
+    val out = SyncPing.nestedRows(observed)
+    assert(out.count() === 3) // u1 x2 + u2
+    val m = obs.get
+    assert(m("processed") === 2L)
+    assert(m("ignored") === 2L)
+    assert(m("failed") === 1L)
+  }
+
   test("Events.fromJsonList: arity dispatch, coercion, rejects") {
     val evs = Events.fromJsonList(
       """[[1,"c","m","o","s",{"k":1,"s":"x","n":null,"b":true}],
