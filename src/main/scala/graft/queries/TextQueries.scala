@@ -84,7 +84,7 @@ object TextQueries {
     // ───── SimHash near-dup (rows-only; ScalaTest asserts semantics) ─────
     "q28_simhash" -> ((s, d) => {
       Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id",
-          maxDist = 3, prefixBits = 16)
+          maxDist = 3, tables = 4)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -113,7 +113,7 @@ object TextQueries {
         .select(col("embedding")).head().getSeq[Float](0)
       Similarity.annTopK(
           Tables.embeddings(s, d).where(col("vec_id") =!= 0),
-          "embedding", "vec_id", q, k = 10, numPlanes = 6)
+          "embedding", "vec_id", q, k = 10, numPlanes = 6, probes = 4)
         .orderBy(col("cos").desc, col("vec_id"))
     })
   )

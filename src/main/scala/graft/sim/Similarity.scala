@@ -52,27 +52,43 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** ANN top-k: restrict candidates to vectors sharing the query's LSH
-    * bucket (hyperplane sign prefix), then exact cosine within. Falls back
-    * to fewer results when the bucket has < k members — the standard
-    * recall/cost trade; increase `numPlanes` bands or probe multiple
-    * buckets for higher recall. */
+  /** The query's probe buckets for multi-probe LSH (Lv et al., "Multi-Probe
+    * LSH", VLDB'07): the query signature itself, then signatures reached by
+    * flipping the sign bits whose hyperplane projections have the SMALLEST
+    * |margin| — those are the planes a true neighbor most plausibly sits on
+    * the other side of. Subsets are ranked by total flipped margin;
+    * driver-side, O(2^min(numPlanes,16)) over a handful of doubles. */
+  def probeSignatures(query: Seq[Float], numPlanes: Int,
+                      probes: Int, seed: Long = 42L): Seq[Long] = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(numPlanes)(Seq.fill(query.size)(rnd.nextGaussian()))
+    val projs = planes.map(_.zip(query).map { case (p, x) => p * x.toDouble }.sum)
+    val qSig = projs.zipWithIndex.map { case (d, i) => if (d > 0) 1L << i else 0L }.reduce(_ | _)
+    val flippable = projs.map(math.abs).zipWithIndex.sortBy(_._1).take(16)
+    (0 until (1 << flippable.size)).map { mask =>
+      val chosen = flippable.zipWithIndex.filter { case (_, j) => (mask & (1 << j)) != 0 }
+      val cost = chosen.map(_._1._1).sum
+      val sig = chosen.foldLeft(qSig) { case (s, ((_, bit), _)) => s ^ (1L << bit) }
+      (cost, sig)
+    }.sortBy(_._1).take(probes).map(_._2)
+  }
+
+  /** ANN top-k: restrict candidates to vectors in the query's LSH bucket,
+    * then exact cosine within. `probes` > 1 turns on multi-probe: the
+    * lowest-margin neighboring buckets are searched too, recovering most
+    * of the recall lost to quantization at `probes`× the candidate cost —
+    * far cheaper than re-hashing with more tables. Candidate generation
+    * stays one narrow scan pass (`sig IN (...)` on a computed column; with
+    * a pre-materialized signature column it becomes a pushed-down IN). */
   def annTopK(embeddings: DataFrame, vecCol: String, idCol: String,
-              query: Seq[Float], k: Int, numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+              query: Seq[Float], k: Int, numPlanes: Int = 8, seed: Long = 42L,
+              probes: Int = 1): DataFrame = {
     val dim = query.size
-    val qSig = {
-      // driver-side signature of the query vector (same plane family)
-      val rnd = new scala.util.Random(seed)
-      val planes = Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
-      planes.zipWithIndex.map { case (plane, i) =>
-        val d = plane.zip(query).map { case (p, x) => p * x.toDouble }.sum
-        if (d > 0) 1L << i else 0L
-      }.reduce(_ | _)
-    }
+    val sigs = probeSignatures(query, numPlanes, probes, seed)
     val q = array(query.map(lit): _*)
     embeddings
       .withColumn("sig", hyperplaneSignature(col(vecCol), dim, numPlanes, seed))
-      .where(col("sig") === qSig)
+      .where(col("sig").isin(sigs: _*))
       .select(col(idCol), cosine(col(vecCol), q).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)

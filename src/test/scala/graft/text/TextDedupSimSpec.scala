@@ -61,6 +61,25 @@ class TextDedupSimSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("simhash pigeonhole banding finds every pair within maxDist, any bit positions") {
+    // base sig + variants differing in exactly 1-3 bits, deliberately
+    // including flips in the HIGH bits (single-prefix blocking missed
+    // those) and spread across distinct 16-bit blocks; one far variant.
+    val base = 0x5DEECE66D1234567L
+    val sigs = Seq(
+      1L -> base,
+      2L -> (base ^ (1L << 63)),                              // top bit only
+      3L -> (base ^ (1L << 63) ^ (1L << 31) ^ (1L << 0)),     // 3 bits, 3 blocks
+      4L -> (base ^ (1L << 40) ^ (1L << 41) ^ (1L << 42)),    // 3 bits, 1 block
+      5L -> (base ^ 0x00FF00FF00FF00FFL)                      // 32 bits away
+    ).toDF("doc_id", "sig")
+    val pairs = Dedup.simhashPairsFromSigs(sigs, "doc_id", "sig", maxDist = 3, tables = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // pairwise distances: (1,2)=1 (1,3)=3 (1,4)=3 (2,3)=2 (2,4)=4 (3,4)=6,
+    // so exactly the four pairs <= 3 must surface
+    assert(pairs === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)))
+  }
+
   test("simhash: identical texts distance 0; near-dup small; unrelated large") {
     val df = Seq(("a b c d e f g h", "a b c d e f g h", "a b c d e f g X",
       "q r s t u v w z")).toDF("t1", "t2", "t3", "t4")
@@ -93,5 +112,26 @@ class TextDedupSimSpec extends SparkSpec {
     val top = Similarity.annTopK(vecs, "embedding", "vec_id", q, 1, numPlanes = 4)
       .select("vec_id").as[Long].collect().toSeq
     assert(top === Seq(7L))
+  }
+
+  test("multi-probe ANN: recall rises with probes; all-bucket probe = brute force") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val others = emb.where(col("vec_id") =!= 0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").as[Long].collect().toSet
+    val truth = ids(Similarity.bruteForceTopK(others, "embedding", "vec_id", q, 10))
+    val r1 = ids(Similarity.annTopK(others, "embedding", "vec_id", q, 10,
+      numPlanes = 6, probes = 1))
+    val r8 = ids(Similarity.annTopK(others, "embedding", "vec_id", q, 10,
+      numPlanes = 6, probes = 8))
+    val rAll = ids(Similarity.annTopK(others, "embedding", "vec_id", q, 10,
+      numPlanes = 6, probes = 64)) // every bucket probed -> exact
+    assert((r8 & truth).size >= (r1 & truth).size)
+    assert(rAll === truth)
+    // probe order puts the query's own bucket first
+    assert(Similarity.probeSignatures(q, 6, 1, 42L).head ===
+      Similarity.probeSignatures(q, 6, 64, 42L).head)
   }
 }
