@@ -110,10 +110,14 @@ object Dedup {
     * the same 64-bit hash, ~1e-15 per corpus). */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         blockCols: Seq[String], n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val rows = shingleRows(docs, textCol, idCol, blockCols, n)
-    val sizes = rows.groupBy(blockCols.map(col) :+ col(idCol): _*)
-      .agg(count(lit(1)).as("n_sh"))
-    val inv = rows.join(sizes, blockCols :+ idCol)
+    // per-doc shingle count as an unbounded window over the doc key: one
+    // extra exchange on top of the distinct, instead of the groupBy +
+    // join-back form (two exchanges and a join, and the whole shingle
+    // subtree planned twice)
+    val inv = rows.withColumn("n_sh",
+      count(lit(1)).over(Window.partitionBy((blockCols :+ idCol).map(col): _*)))
     val a = inv.select(blockCols.map(col) :+ col(idCol).as("id_a") :+
       col("n_sh").as("n_a") :+ col("g"): _*)
     val b = inv.select(blockCols.map(col) :+ col(idCol).as("id_b") :+
