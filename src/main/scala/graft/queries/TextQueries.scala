@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.text.TextOps
 import graft.dedup.Dedup
-import graft.sim.Similarity
+import graft.sim.{Ivf, Similarity}
 
 /** Query surface for the training-data-pipeline operators: text analysis,
   * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), and embedding
@@ -114,6 +114,19 @@ object TextQueries {
       Similarity.annTopK(
           Tables.embeddings(s, d).where(col("vec_id") =!= 0),
           "embedding", "vec_id", q, k = 10, numPlanes = 6, probes = 4)
+        .orderBy(col("cos").desc, col("vec_id"))
+    }),
+
+    // ───── ANN scale path #2: IVF cell-probed top-k (rows-only: cells
+    // come from seeded k-means; exactness at full probe + recall ordering
+    // are asserted in ScalaTest) ─────
+    "q41_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val (model, assigned) = Ivf.build(
+        emb.where(col("vec_id") =!= 0), "embedding", nCells = 16)
+      Ivf.topK(assigned, model, "embedding", "vec_id", q, k = 10, nProbe = 4)
         .orderBy(col("cos").desc, col("vec_id"))
     })
   )

@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.dedup.Dedup
-import graft.sim.Similarity
+import graft.sim.{Ivf, Similarity}
 
 class TextDedupSimSpec extends SparkSpec {
   import spark.implicits._
@@ -133,5 +133,24 @@ class TextDedupSimSpec extends SparkSpec {
     // probe order puts the query's own bucket first
     assert(Similarity.probeSignatures(q, 6, 1, 42L).head ===
       Similarity.probeSignatures(q, 6, 64, 42L).head)
+  }
+
+  test("IVF ANN: all-cell probe = brute force; recall rises with nProbe") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val others = emb.where(col("vec_id") =!= 0)
+    val (model, assigned) = Ivf.build(others, "embedding", nCells = 8)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").as[Long].collect().toSet
+    val truth = ids(Similarity.bruteForceTopK(others, "embedding", "vec_id", q, 10))
+    val r1 = ids(Ivf.topK(assigned, model, "embedding", "vec_id", q, 10, nProbe = 1))
+    val r4 = ids(Ivf.topK(assigned, model, "embedding", "vec_id", q, 10, nProbe = 4))
+    val rAll = ids(Ivf.topK(assigned, model, "embedding", "vec_id", q, 10, nProbe = 8))
+    assert((r4 & truth).size >= (r1 & truth).size)
+    assert(rAll === truth)
+    // every vector landed in exactly one of the 8 cells
+    assert(assigned.select("ivf_cell").distinct().count() <= 8)
+    assert(assigned.count() === others.count())
   }
 }
