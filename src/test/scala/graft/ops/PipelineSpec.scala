@@ -31,6 +31,13 @@ class PipelineSpec extends SparkSpec {
     val day = Seq(1528394400000L).toDF("ms")
       .select(TimeNorm.epochMillisToDay(col("ms"))).as[String].head()
     assert(day === "20180607")
+    // F6 round-trip: session-start ISO string -> epoch millis
+    val ms = Seq("2018-06-07T18:00:00.0+00:00").toDF("iso")
+      .select(TimeNorm.isoToEpochMillis(col("iso"))).as[Long].head()
+    assert(ms === 1528394400000L)
+    val msOff = Seq("2018-06-07T20:00:00.0+02:00").toDF("iso")
+      .select(TimeNorm.isoToEpochMillis(col("iso"))).as[Long].head()
+    assert(msOff === 1528394400000L) // offset respected, same instant
   }
 
   test("Comparator: detects row and column differences") {
