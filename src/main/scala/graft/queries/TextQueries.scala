@@ -125,7 +125,7 @@ object TextQueries {
       val q = emb.where(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)
       val (model, assigned) = Ivf.build(
-        emb.where(col("vec_id") =!= 0), "embedding", nCells = 16)
+        emb.where(col("vec_id") =!= 0), "embedding", "vec_id", nCells = 16)
       Ivf.topK(assigned, model, "embedding", "vec_id", q, k = 10, nProbe = 4)
         .orderBy(col("cos").desc, col("vec_id"))
     })

@@ -140,7 +140,7 @@ class TextDedupSimSpec extends SparkSpec {
     val emb = graft.Tables.embeddings(spark, sf)
     val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
     val others = emb.where(col("vec_id") =!= 0)
-    val (model, assigned) = Ivf.build(others, "embedding", nCells = 8)
+    val (model, assigned) = Ivf.build(others, "embedding", "vec_id", nCells = 8)
     def ids(df: org.apache.spark.sql.DataFrame) =
       df.select("vec_id").as[Long].collect().toSet
     val truth = ids(Similarity.bruteForceTopK(others, "embedding", "vec_id", q, 10))
