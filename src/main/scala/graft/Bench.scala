@@ -37,19 +37,25 @@ object Bench {
     // Min of N timed passes per query: the host VM has intermittent
     // page-fault storms that inflate arbitrary queries by 10-100×; the
     // minimum is the standard robust estimator for actual query cost.
-    // A failing query records an error, never a timing.
+    // Passes are ROUND-MAJOR (whole query set per round, repeated): a
+    // storm lasts tens of seconds, so back-to-back passes of one query
+    // are correlated — round separation decorrelates the samples the min
+    // is taken over. A failing query records an error, never a timing.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    val results: Map[String, Either[String, Double]] =
+    val rounds: Seq[Map[String, Either[String, Double]]] = (1 to reps).map { _ =>
       SparkEntry.queries.map { case (name, fn) =>
-        val passes = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          try { run(fn, sfDir); Right((System.nanoTime() - t0) / 1e9) }
-          catch { case t: Throwable =>
-            Left(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(120)}") }
-        }
+        val t0 = System.nanoTime()
+        name -> (try { run(fn, sfDir); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case t: Throwable =>
+          Left(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(120)}") })
+      }
+    }
+    val results: Map[String, Either[String, Double]] =
+      SparkEntry.queries.keys.map { name =>
+        val passes = rounds.map(_(name))
         val oks = passes.collect { case Right(s) => s }
         name -> (if (oks.nonEmpty) Right(oks.min) else Left(passes.collectFirst { case Left(e) => e }.get))
-      }
+      }.toMap
     val qs = results.map {
       case (k, Right(v)) => s"\"" + k + "\":" + v
       case (k, Left(_)) => s"\"" + k + "\":null"
