@@ -32,6 +32,24 @@ class SourcesSpec extends SparkSpec {
     assert(pd.columns === Seq("submission_date_s3", "doc_type_s3"))
   }
 
+  test("S5/K4/K5 built-ins: SQL temp-view scan, JSON sink, gzip text sink") {
+    val dir = Files.createTempDirectory("graft_sinks").toString
+    val df = Seq((1, "alpha"), (2, "beta")).toDF("id", "s")
+    // S5: SQL scan over a registered table
+    df.createOrReplaceTempView("sinks_t")
+    assert(spark.sql("SELECT sum(id) FROM sinks_t").head().getLong(0) === 3L)
+    // K4: JSON sink round-trip
+    df.write.json(s"$dir/j")
+    assert(spark.read.json(s"$dir/j").count() === 2)
+    // K5: text sink with codec — files really gzip'd, content round-trips
+    df.select(concat_ws(",", col("id"), col("s")).as("value"))
+      .write.option("compression", "gzip").text(s"$dir/t")
+    val gzFiles = new java.io.File(s"$dir/t").listFiles.filter(_.getName.endsWith(".txt.gz"))
+    assert(gzFiles.nonEmpty)
+    assert(spark.read.text(s"$dir/t").as[String].collect().toSet
+      === Set("1,alpha", "2,beta"))
+  }
+
   test("dimensionedScan prunes partition dirs via predicates") {
     val dir = Files.createTempDirectory("graft_src2").toString
     Seq((1L, "20180607"), (2L, "20180608")).toDF("id", "submission_date")
