@@ -107,7 +107,13 @@ object Dedup {
     * shuffle key (block, shingle) is high-cardinality, and AQE skew-split
     * handles hot shingles. Joining on xxhash64(shingle) keeps the keys
     * fixed-width (a collision needs two distinct shingles in one block at
-    * the same 64-bit hash, ~1e-15 per corpus). */
+    * the same 64-bit hash, ~1e-15 per corpus).
+    *
+    * Candidate generation additionally applies the EXACT prefix filter
+    * (PPJoin family — see body comment): only each doc's rarest
+    * |d|−⌈t·|d|⌉+1 shingles enter the self-join, so frequent shingles
+    * can't quadratically explode the candidate set; the full intersection
+    * is then counted for candidates only. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         blockCols: Seq[String], n: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -116,16 +122,43 @@ object Dedup {
     // extra exchange on top of the distinct, instead of the groupBy +
     // join-back form (two exchanges and a join, and the whole shingle
     // subtree planned twice)
-    val inv = rows.withColumn("n_sh",
-      count(lit(1)).over(Window.partitionBy((blockCols :+ idCol).map(col): _*)))
-    val a = inv.select(blockCols.map(col) :+ col(idCol).as("id_a") :+
+    val docKey = (blockCols :+ idCol).map(col)
+    val sized = rows.withColumn("n_sh",
+      count(lit(1)).over(Window.partitionBy(docKey: _*)))
+
+    // ── prefix filter (PPJoin / Chaudhuri et al.): rank each doc's
+    // shingles by GLOBAL document frequency ascending (rarest first; ties
+    // by hash — any total order shared by all docs works). Two docs with
+    // J ≥ t MUST share a shingle inside each one's first
+    // |d| − ⌈t·|d|⌉ + 1 shingles of that order, so only prefixes join.
+    // Hot shingles (stopword n-grams) rank LAST and never enter the
+    // candidate join — this is what deflates the quadratic blow-up on
+    // skewed corpora, exactly, with no recall loss.
+    val withDf = sized.withColumn("df",
+      count(lit(1)).over(Window.partitionBy((blockCols :+ "g").map(col): _*)))
+    val prefix = withDf
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(docKey: _*).orderBy(col("df"), col("g"))))
+      .where(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(blockCols.map(col) :+ col(idCol) :+ col("n_sh") :+ col("g"): _*)
+
+    val a = prefix.select(blockCols.map(col) :+ col(idCol).as("id_a") :+
       col("n_sh").as("n_a") :+ col("g"): _*)
-    val b = inv.select(blockCols.map(col) :+ col(idCol).as("id_b") :+
+    val b = prefix.select(blockCols.map(col) :+ col(idCol).as("id_b") :+
       col("n_sh").as("n_b") :+ col("g"): _*)
-    a.join(b, blockCols :+ "g")
+    val cand = a.join(b, blockCols :+ "g")
       .where(col("id_a") < col("id_b") &&
         least(col("n_a"), col("n_b")).cast("double") /
           greatest(col("n_a"), col("n_b")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    // ── verify: full |A∩B| for the surviving candidates only (the same
+    // candidates-join-index shape as minhashLshPairs' confirm stage)
+    val idx = rows.select(col(idCol), col("g"))
+    cand
+      .join(idx.select(col(idCol).as("id_a"), col("g")), "id_a")
+      .join(idx.select(col(idCol).as("id_b"), col("g")), Seq("id_b", "g"))
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("inter"))
       .select(col("id_a"), col("id_b"),

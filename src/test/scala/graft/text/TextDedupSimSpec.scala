@@ -50,6 +50,23 @@ class TextDedupSimSpec extends SparkSpec {
     assert(out === Set((1L, 2L), (3L, 1L)))
   }
 
+  test("ngram-jaccard prefix filter stays exact under a hot shared shingle") {
+    // every doc shares the same hot prefix phrase (a high-df shingle that
+    // must NOT generate all-pairs candidates); only docs 1 and 2 are true
+    // near-dups above t=0.8
+    val hot = "common header phrase here"
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$hot $base"),
+      (2L, s"$hot $base extra"),
+      (3L, s"$hot " + (100 to 130).map(i => s"x$i").mkString(" ")),
+      (4L, s"$hot " + (200 to 230).map(i => s"y$i").mkString(" "))
+    ).toDF("doc_id", "text").withColumn("blk", lit(1))
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", Seq("blk"), 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("minhash LSH finds the near-duplicate pair and skips unrelated docs") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " wX"
