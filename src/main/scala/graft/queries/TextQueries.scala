@@ -128,6 +128,17 @@ object TextQueries {
         emb.where(col("vec_id") =!= 0), "embedding", "vec_id", nCells = 16)
       Ivf.topK(assigned, model, "embedding", "vec_id", q, k = 10, nProbe = 4)
         .orderBy(col("cos").desc, col("vec_id"))
+    }),
+
+    // ───── blockless embedding near-dup: hyperplane-LSH banding + exact
+    // cosine verify (rows-only: seeded plane families; precision/recall
+    // asserted in ScalaTest) ─────
+    "q42_embed_lsh_pairs" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dim = emb.select(col("embedding")).head().getSeq[Float](0).size
+      Similarity.cosinePairsLsh(emb, "embedding", "vec_id",
+          threshold = 0.35, dim = dim, bands = 16, planesPerBand = 4)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 

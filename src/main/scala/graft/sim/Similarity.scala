@@ -130,4 +130,40 @@ object Similarity {
         (dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** Embedding-cosine near-dup pairs WITHOUT a natural block key: LSH
+    * banding over random-hyperplane signatures (the minhashLshPairs shape
+    * for the cosine metric). Each of `bands` independent plane families
+    * packs `planesPerBand` sign bits into a bucket key; near-parallel
+    * vectors collide in ≥1 band with high probability (per-band collision
+    * = (1 − θ/π)^planesPerBand). Candidates are de-duplicated across
+    * bands, then verified with exact cosine — precision is exact, recall
+    * is the banding probability (raise `bands` to push it up).
+    *
+    * Scale shape: banding rows are (id, band, long-bucket) — vectors never
+    * ride the banding shuffle; verification joins the (small) candidate
+    * pair set back to the normed vectors by id. */
+  def cosinePairsLsh(embeddings: DataFrame, vecCol: String, idCol: String,
+                     threshold: Double, dim: Int, bands: Int = 8,
+                     planesPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+    val sigs = (0 until bands).map { b =>
+      hyperplaneSignature(col(vecCol), dim, planesPerBand, seed + b)
+    }
+    val banded = embeddings.select(col(idCol),
+      posexplode(array(sigs: _*)).as(Seq("band", "sig")))
+    val cand = banded.select(col("band"), col("sig"), col(idCol).as("id_a"))
+      .join(banded.select(col("band"), col("sig"), col(idCol).as("id_b")),
+        Seq("band", "sig"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val withNorm = embeddings.select(col(idCol),
+      col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    cand
+      .join(withNorm.toDF("id_a", "v_a", "n_a"), "id_a")
+      .join(withNorm.toDF("id_b", "v_b", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos"))
+      .where(col("cos") >= threshold)
+  }
 }

@@ -152,6 +152,22 @@ class TextDedupSimSpec extends SparkSpec {
       Similarity.probeSignatures(q, 6, 64, 42L).head)
   }
 
+  test("cosinePairsLsh: exact precision, high recall vs blockless truth") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dim = emb.select("embedding").head().getSeq[Float](0).size
+    // ground truth: all pairs >= t via a single-block exact pair join
+    val truth = Similarity.cosinePairs(
+      emb.withColumn("one", lit(1)), "embedding", "vec_id", "one", threshold = 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosinePairsLsh(emb, "embedding", "vec_id",
+      threshold = 0.35, dim = dim, bands = 16, planesPerBand = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(truth))                 // exact verification: no false pairs
+    assert(truth.nonEmpty)
+    assert(lsh.size.toDouble / truth.size >= 0.75) // banding recall (theory ~0.9 at t)
+  }
+
   test("IVF ANN: all-cell probe = brute force; recall rises with nProbe") {
     val sf = "/root/testdata/sf0.001"
     val emb = graft.Tables.embeddings(spark, sf)
