@@ -66,6 +66,63 @@ object BinaryOps {
     df.withColumn("frame_idx",
       explode(sequence(lit(0), col("media_meta.n_frames") - 1, lit(everyK))))
 
+  /** Attach a `features: array<float>` embedding column via per-partition
+    * batching — the feature-extraction stage of a multimodal pipeline
+    * (output feeds graft.sim's ANN/dedup operators directly). The stub
+    * derives `dim` floats in [0,1) from successive 4-byte md5 chunks
+    * (re-hashing the digest when dim > 4), deterministic and replicable in
+    * SQL — swap for a real vision/audio encoder without touching the
+    * plumbing. */
+  def extractFeatures(df: DataFrame, binCol: String, dim: Int = 4): DataFrame = {
+    require(dim >= 1, "dim must be positive")
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType)))
+    val enc = ExpressionEncoder(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      // encoder/model init happens HERE, once per partition, in a real impl
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val feats: Seq[Float] = if (bytes == null) null else {
+          val out = new Array[Float](dim)
+          var digest = md.digest(bytes)
+          var i = 0
+          while (i < dim) {
+            if ((i % 4) == 0 && i > 0) digest = md.digest(digest)
+            val o = (i % 4) * 4
+            val u = ((digest(o) & 0xffL) << 24) | ((digest(o + 1) & 0xffL) << 16) |
+              ((digest(o + 2) & 0xffL) << 8) | (digest(o + 3) & 0xffL)
+            out(i) = (u.toDouble / 4294967296.0).toFloat
+            i += 1
+          }
+          out.toSeq
+        }
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(enc)
+  }
+
+  /** Resize stage: emits a `resized` binary (stub: the md5 digest as a
+    * deterministic 16-byte "thumbnail") plus the recorded target dims —
+    * batched per partition like the decode, so a real scaler slots in. */
+  def resizeStub(df: DataFrame, binCol: String, width: Int, height: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("resized", BinaryType),
+      StructField("target_width", IntegerType, nullable = false),
+      StructField("target_height", IntegerType, nullable = false)))
+    val enc = ExpressionEncoder(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val resized = if (bytes == null) null else md.digest(bytes)
+        Row.fromSeq(r.toSeq ++ Seq(resized, width, height))
+      }
+    }(enc)
+  }
+
   /** Rebalance partitions by cumulative payload size before expensive
     * decode — avoids one task decoding all the large payloads. */
   def repartitionByPayloadSize(df: DataFrame, binCol: String, targetPartitions: Int): DataFrame =

@@ -90,6 +90,20 @@ object PipelineQueries {
         .agg(max(col("media_meta.n_frames")).as("n_frames"),
           count(lit(1)).as("n_sampled"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ───── multimodal: batched feature extraction (md5-stub encoder,
+    // replicated in the oracle SQL — same oracle-able-stub pattern as q36) ─────
+    "q43_media_features" -> ((s, d) => {
+      val bin = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      BinaryOps.extractFeatures(bin, "content", dim = 4)
+        .select(col("doc_id"),
+          element_at(col("features"), 1).as("f0"),
+          element_at(col("features"), 2).as("f1"),
+          element_at(col("features"), 3).as("f2"),
+          element_at(col("features"), 4).as("f3"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -133,6 +147,13 @@ object PipelineQueries {
       """SELECT doc_id,
          CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 240 AS INT) + 1 AS n_frames,
          CAST(CEIL((CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 240 AS INT) + 1) / 10.0) AS BIGINT) AS n_sampled
+         FROM documents ORDER BY doc_id""",
+    "q43_media_features" ->
+      """SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) / 4294967296.0 AS FLOAT) AS f0,
+         CAST(CAST('0x' || substr(md5(text), 9, 8) AS BIGINT) / 4294967296.0 AS FLOAT) AS f1,
+         CAST(CAST('0x' || substr(md5(text), 17, 8) AS BIGINT) / 4294967296.0 AS FLOAT) AS f2,
+         CAST(CAST('0x' || substr(md5(text), 25, 8) AS BIGINT) / 4294967296.0 AS FLOAT) AS f3
          FROM documents ORDER BY doc_id"""
   )
 }

@@ -91,4 +91,21 @@ class PipelineSpec extends SparkSpec {
     assert(frames.where(col("id") === 1).count() ===
       (meta.where(col("id") === 1).select("media_meta.n_frames").head().getInt(0) + 9) / 10)
   }
+
+  test("BinaryOps: feature extraction + resize stubs are deterministic and typed") {
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "different")).toDF("id", "text")
+      .select(col("id"), encode(col("text"), "UTF-8").as("content"))
+    val feats = BinaryOps.extractFeatures(df, "content", dim = 6)
+    val rows = feats.orderBy("id").select("features").collect()
+      .map(_.getSeq[Float](0))
+    assert(rows.forall(_.length === 6))
+    assert(rows.forall(_.forall(f => f >= 0f && f < 1f)))
+    assert(rows(0) === rows(1))   // same payload -> same embedding
+    assert(rows(0) !== rows(2))
+    val resized = BinaryOps.resizeStub(df, "content", 64, 48).orderBy("id")
+      .select("resized", "target_width", "target_height").collect()
+    assert(resized.forall(_.getAs[Array[Byte]](0).length === 16)) // md5 "thumbnail"
+    assert(resized.head.getInt(1) === 64 && resized.head.getInt(2) === 48)
+    assert(resized(0).getAs[Array[Byte]](0).toSeq === resized(1).getAs[Array[Byte]](0).toSeq)
+  }
 }
