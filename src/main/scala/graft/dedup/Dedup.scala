@@ -339,4 +339,81 @@ object Dedup {
                    maxDist: Int = 3, tables: Int = 4): DataFrame =
     simhashPairsFromSigs(
       simhashDF(docs, textCol, idCol), idCol, "simhash", maxDist, tables)
+
+  /** Connected components over a near-dup pair list — the step that turns
+    * pairwise similarity into actual deduplication: every id in a cluster
+    * maps to the cluster's minimum id (its "component"), so keeping only
+    * `id == component` retains exactly one survivor per cluster. Returns
+    * (id, component) for every id that appears in `pairs`.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * shuffle-native CC algorithm with O(log² n) round convergence. The
+    * per-node minimum comes from a window MIN over the edge ROWS, never a
+    * collected adjacency list, so a hub node with millions of neighbors
+    * streams through sort-based window evaluation instead of building an
+    * in-memory array. Each round is two window passes + two distincts;
+    * the edge set is checkpointed per round to truncate the iterative
+    * lineage (localCheckpoint here; swap for reliable `checkpoint` on a
+    * cluster where executor loss must be survivable). Convergence is an
+    * order-independent (count, hash-XOR) signature of the directed edge
+    * set — one tiny aggregate per round, no edge-set EXCEPT join.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("u")
+    // directed large→small; self-loops dropped
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    // order-independent set signature: (count, XOR of row hashes) — XOR
+    // never overflows (vs SUM under ANSI) and distinct inputs mean no
+    // duplicate self-cancellation
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var cur = sig(edges)
+    var done = cur._1 == 0L
+    var it = 0
+    while (!done && it < maxIter) {
+      // large-star, over the symmetric view: every neighbor v > u links to
+      // m = min(Γ(u) ∪ {u}); output stays directed large→small
+      val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val ls = sym.withColumn("m", least(min(col("v")).over(w), col("u")))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: u and all its (smaller) neighbors link to their min
+      val withM = ls.withColumn("m", min(col("v")).over(w))
+      val ss = withM.where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(withM.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      val next = sig(ss)
+      done = next == cur
+      cur = next
+      edges = ss
+      it += 1
+    }
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .unionAll(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** Corpus dedupe from a pair list: label every doc with its component
+    * and a survivor flag (`keep` = the cluster's min id; docs in no pair
+    * keep themselves). The component map only holds docs that appear in a
+    * pair — tiny next to the corpus — so AQE turns the join back into a
+    * broadcast at any scale where near-dups are a small fraction. */
+  def dedupeByPairs(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    docs.join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn("keep", col("component") === col(idCol))
+  }
 }

@@ -157,6 +157,26 @@ object RelationalQueries {
         .agg(n("click").as("n_click"), n("view").as("n_view"),
           n("purchase").as("n_purchase"), count(lit(1)).as("n_all"))
         .orderBy(col("user_id"))
+    }),
+
+    // ───── deterministic stratified sample: n per stratum by hash order ─────
+    "q45_stratified_sample" -> ((s, d) => {
+      graft.ops.Sampling.stratifiedSample(
+          Tables.events(s, d).select(col("event_id"), col("event_type"),
+            col("user_id"), col("value")),
+          Seq("event_type"), n = 10, idCol = "event_id")
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
+    // ───── deterministic weighted corpus mixture: downsample the dominant
+    // language, keep the rest whole ─────
+    "q46_weighted_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"))
+      graft.ops.Sampling.weightedMixture(Seq(
+          (docs.where(col("lang") === "en"), 0.5),
+          (docs.where(col("lang") =!= "en"), 1.0)), "doc_id")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -233,6 +253,18 @@ object RelationalQueries {
          CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
          COUNT(*) AS n_all
-         FROM events GROUP BY user_id ORDER BY user_id"""
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q45_stratified_sample" ->
+      """SELECT event_id, event_type, user_id, value FROM (
+           SELECT event_id, event_type, user_id, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY substr(md5(CAST(event_id AS VARCHAR)), 1, 8), event_id) AS rn
+           FROM events) WHERE rn <= 10
+         ORDER BY event_type, event_id""",
+    "q46_weighted_mix" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE lang <> 'en'
+            OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+         ORDER BY doc_id"""
   )
 }

@@ -139,6 +139,17 @@ object TextQueries {
       Similarity.cosinePairsLsh(emb, "embedding", "vec_id",
           threshold = 0.35, dim = dim, bands = 16, planesPerBand = 4)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ───── pairs → clusters → survivors: connected components over the
+    // q29 cosine pairs (large-star/small-star), then min-id survivor
+    // selection across the whole corpus ─────
+    "q44_dedup_clusters" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pairs = Similarity.cosinePairs(emb, "embedding", "vec_id",
+        "label", threshold = 0.35)
+      Dedup.dedupeByPairs(emb.select(col("vec_id")), "vec_id", pairs)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -209,6 +220,27 @@ object TextQueries {
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
           SELECT vec_id, ${cosSql("embedding", "qe")} AS cos
           FROM embeddings, q WHERE vec_id != 0
-          ORDER BY cos DESC, vec_id LIMIT 10"""
+          ORDER BY cos DESC, vec_id LIMIT 10""",
+    // components via transitive closure (recursive CTE): component =
+    // min reachable id — the same fixpoint large-star/small-star reaches
+    "q44_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35),
+          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          reach AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            WHERE e.v <> r.u),
+          comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component
+                   FROM reach GROUP BY u)
+          SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS component,
+                 COALESCE(c.component, e.vec_id) = e.vec_id AS keep
+          FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
+          ORDER BY e.vec_id"""
   )
 }

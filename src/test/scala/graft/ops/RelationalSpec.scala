@@ -39,4 +39,32 @@ class RelationalSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSet
     assert(out === Set((1L, "a", 1L), (1L, "b", 2L), (2L, "c", 4L)))
   }
+
+  test("stratifiedSample: exactly n per stratum, deterministic, id-keyed") {
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "stratum")
+    val a = Sampling.stratifiedSample(df, Seq("stratum"), 7, "id")
+    val b = Sampling.stratifiedSample(df.repartition(13), Seq("stratum"), 7, "id")
+    val sa = a.as[(Long, String)].collect().toSet
+    assert(a.groupBy("stratum").count().as[(String, Long)].collect().toMap
+      === Map("even" -> 7L, "odd" -> 7L))
+    // partition-layout-independent: same rows either way
+    assert(b.as[(Long, String)].collect().toSet === sa)
+    // small strata come back whole
+    val tiny = Sampling.stratifiedSample(df.where(col("id") <= 3), Seq("stratum"), 7, "id")
+    assert(tiny.count() === 3L)
+  }
+
+  test("weightedMixture keeps w=1 sources whole and ~w of the rest, deterministically") {
+    val big = (1L to 1000L).map(i => (i, "crawl")).toDF("id", "src")
+    val curated = (2000L to 2009L).map(i => (i, "wiki")).toDF("id", "src")
+    val out = Sampling.weightedMixture(Seq((big, 0.25), (curated, 1.0)), "id")
+    val bySrc = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc("wiki") === 10L)
+    assert(bySrc("crawl") > 150L && bySrc("crawl") < 350L) // ~250 expected
+    // reproducible: second run selects the identical id set
+    val again = Sampling.weightedMixture(Seq((big, 0.25), (curated, 1.0)), "id")
+    assert(again.select("id").as[Long].collect().sorted
+      === out.select("id").as[Long].collect().sorted)
+  }
 }

@@ -186,4 +186,30 @@ class TextDedupSimSpec extends SparkSpec {
     assert(assigned.select("ivf_cell").distinct().count() <= 8)
     assert(assigned.count() === others.count())
   }
+
+  test("connectedComponents: chains, cycles, singleton pairs, empty input") {
+    // path 1-2-3-4-5 (diameter forces >1 round), triangle 10-11-12 with a
+    // redundant edge, isolated pair (20,21), reversed/self/dup edges
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L), (7L, 7L), (2L, 1L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(out === Set(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L)) // self-loop (7,7) is no edge
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() === 0L)
+  }
+
+  test("dedupeByPairs labels every doc; survivors are cluster minima") {
+    val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupeByPairs(docs, "doc_id", pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out === Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (9L, 9L, true)))
+  }
 }
