@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -72,9 +72,221 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All random-hyperplane LSH band signatures of a vector in ONE pass.
+  *
+  * `planes` is the flattened (bands × planesPerBand × dim) projection
+  * matrix; the result is `array<long>` of length bands, bit p of band b set
+  * iff plane (b, p) has positive dot product with the vector. Accumulation
+  * is the same left-to-right double fold as [[FloatVectorDot]], so
+  * signatures are bit-identical to composing `fdot(vec, plane) > 0`.
+  *
+  * Why an expression and not 64 composed `fdot`s: one `when(fdot(...))`
+  * chain per plane builds an expression tree with thousands of literal
+  * leaves — the generated projection blows past JVM method/constant-pool
+  * limits, Janino fails, and the whole stage falls back to interpreted
+  * evaluation (~100× slower; this dominated the LSH-banding benchmarks).
+  * Here the matrix rides along as ONE referenced `double[]` and the loop
+  * is three nested `for`s — small generated code, JIT-friendly, and the
+  * matrix is read from the reference array instead of the constant pool.
+  */
+case class HyperplaneSignatures(child: Expression, planes: Seq[Double],
+                                planesPerBand: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  @transient private lazy val planeArr: Array[Double] = planes.toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _)
+      if planesPerBand > 0 && planesPerBand <= 64 &&
+        planes.nonEmpty && planes.size % planesPerBand == 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"HyperplaneSignatures needs array<float|double> input and a plane " +
+        s"matrix divisible into 1..64 planes per band, got ${child.dataType}, " +
+        s"${planes.size} coefficients, $planesPerBand planes/band")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val bands = planeArr.length / (planesPerBand * dim)
+    val out = new Array[Long](bands)
+    val f = isFloat
+    var idx = 0
+    var b = 0
+    while (b < bands) {
+      var sig = 0L
+      var p = 0
+      while (p < planesPerBand) {
+        var acc = 0.0
+        var i = 0
+        while (i < dim) {
+          acc += planeArr(idx) * (if (f) v.getFloat(i).toDouble else v.getDouble(i))
+          idx += 1; i += 1
+        }
+        if (acc > 0) sig |= 1L << p
+        p += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planeArr, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val dim = ctx.freshName("dim")
+      val bands = ctx.freshName("bands")
+      val out = ctx.freshName("out")
+      val idx = ctx.freshName("idx")
+      val b = ctx.freshName("b")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val sig = ctx.freshName("sig")
+      val elem = if (isFloat) s"((double) $v.getFloat($i))" else s"$v.getDouble($i)"
+      s"""
+         |int $dim = $v.numElements();
+         |int $bands = $planesRef.length / ($planesPerBand * $dim);
+         |long[] $out = new long[$bands];
+         |int $idx = 0;
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $sig = 0L;
+         |  for (int $p = 0; $p < $planesPerBand; $p++) {
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $acc += $planesRef[$idx++] * $elem;
+         |    }
+         |    if ($acc > 0) $sig |= 1L << $p;
+         |  }
+         |  $out[$b] = $sig;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Nearest-centroid cell id (IVF assignment) in one codegen pass: argmax
+  * over cells of `x·c − |c|²/2` (the monotone form of nearest euclidean
+  * centroid). `centroids` is the flattened (nCells × dim) matrix,
+  * `halfNorms` the per-cell `|c|²/2`. Ties resolve to the LOWEST cell id
+  * (strict-greater comparison scanning cells in order).
+  *
+  * Same rationale as [[HyperplaneSignatures]]: the per-cell-literal-array
+  * composition (`array_max` over nCells structs of `fdot(vec, lit-array)`)
+  * carries nCells × dim literal leaves through codegen — at a realistic
+  * 256-cell index that overflows generated-method limits and drops the
+  * stage to interpreted evaluation. Here both matrices ride as referenced
+  * arrays and the scan is one pair of nested loops. */
+case class NearestCentroid(child: Expression, centroids: Seq[Double],
+                           halfNorms: Seq[Double])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+
+  @transient private lazy val centArr: Array[Double] = centroids.toArray
+  @transient private lazy val normArr: Array[Double] = halfNorms.toArray
+
+  override def dataType: DataType = IntegerType
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _)
+      if halfNorms.nonEmpty && centroids.size % halfNorms.size == 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"NearestCentroid needs array<float|double> input and a centroid " +
+        s"matrix divisible by ${halfNorms.size} cells, got ${child.dataType}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val f = isFloat
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var idx = 0
+    var c = 0
+    while (c < normArr.length) {
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        acc += centArr(idx) * (if (f) v.getFloat(i).toDouble else v.getDouble(i))
+        idx += 1; i += 1
+      }
+      val score = acc - normArr(c)
+      if (score > bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("centroids", centArr, "double[]")
+    val normsRef = ctx.addReferenceObj("halfNorms", normArr, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val dim = ctx.freshName("dim")
+      val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      val idx = ctx.freshName("idx")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val score = ctx.freshName("score")
+      val elem = if (isFloat) s"((double) $v.getFloat($i))" else s"$v.getDouble($i)"
+      s"""
+         |int $dim = $v.numElements();
+         |int $best = 0;
+         |double $bestScore = Double.NEGATIVE_INFINITY;
+         |int $idx = 0;
+         |for (int $c = 0; $c < $normsRef.length; $c++) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $acc += $centsRef[$idx++] * $elem;
+         |  }
+         |  double $score = $acc - $normsRef[$c];
+         |  if ($score > $bestScore) { $bestScore = $score; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graft.ColumnBridge
   /** Column wrapper over the native dot product. */
   def fdot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVectorDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column wrapper: all LSH band signatures in one pass (array<long>,
+    * one element per band of `planesPerBand` sign bits). */
+  def hyperplaneSigs(vec: Column, planes: Seq[Double], planesPerBand: Int): Column =
+    ColumnBridge.column(
+      HyperplaneSignatures(ColumnBridge.expression(vec), planes, planesPerBand))
+
+  /** Column wrapper: IVF nearest-centroid cell id in one pass. */
+  def nearestCentroid(vec: Column, centroids: Seq[Double], halfNorms: Seq[Double]): Column =
+    ColumnBridge.column(
+      NearestCentroid(ColumnBridge.expression(vec), centroids, halfNorms))
 }

@@ -97,15 +97,14 @@ object Ivf {
   }
 
   /** Nearest-centroid cell id as a pure codegen expression: argmax of
-    * `x·c − |c|²/2` (ties → lowest cell id via max over (score, -cell)). */
-  def cellColumn(vec: Column, model: IvfModel): Column = {
-    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
-      val cLit = array(c.map(v => lit(v.toFloat)): _*)
-      val score = Similarity.dot(vec, cLit) - lit(c.map(v => v * v).sum / 2.0)
-      struct(score.as("score"), lit(-i).as("negCell"))
-    }
-    (-array_max(array(scored: _*)).getField("negCell")).cast("int")
-  }
+    * `x·c − |c|²/2`, ties → lowest cell id. One referenced-matrix loop
+    * (see [[graft.functions.NearestCentroid]]); centroid coefficients are
+    * float-rounded exactly like the stored-as-float literal form, so cell
+    * assignments are bit-identical to composing per-cell dot products. */
+  def cellColumn(vec: Column, model: IvfModel): Column =
+    graft.functions.VectorExpressions.nearestCentroid(vec,
+      model.centroids.toSeq.flatMap(_.map(_.toFloat.toDouble)),
+      model.centroids.toSeq.map(c => c.map(v => v * v).sum / 2.0))
 
   /** One-pass distributed assignment: input + `ivf_cell` int column. */
   def assign(embeddings: DataFrame, vecCol: String, model: IvfModel): DataFrame =

@@ -41,16 +41,22 @@ object Similarity {
       .limit(k)
   }
 
-  /** Random-hyperplane LSH signature: sign bits of `numPlanes` projections,
-    * packed into a Long. Deterministic via seeded plane generation. */
-  def hyperplaneSignature(vec: Column, dim: Int, numPlanes: Int, seed: Long = 42L): Column = {
+  /** The seeded plane family shared by signature generation and the
+    * driver-side probe computation: `numPlanes` rows of `dim` gaussians,
+    * flattened plane-major. */
+  private[graft] def planeFamily(dim: Int, numPlanes: Int, seed: Long): Seq[Double] = {
     val rnd = new scala.util.Random(seed)
-    val planes = Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
-    planes.zipWithIndex.map { case (plane, i) =>
-      val p = array(plane.map(lit): _*)
-      when(dot(vec, p) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian())).flatten
   }
+
+  /** Random-hyperplane LSH signature: sign bits of `numPlanes` projections,
+    * packed into a Long. Deterministic via seeded plane generation. One
+    * codegen pass over a referenced plane matrix — see
+    * [[graft.functions.HyperplaneSignatures]] for why this is an
+    * expression, not `numPlanes` composed dot products. */
+  def hyperplaneSignature(vec: Column, dim: Int, numPlanes: Int, seed: Long = 42L): Column =
+    element_at(graft.functions.VectorExpressions.hyperplaneSigs(
+      vec, planeFamily(dim, numPlanes, seed), numPlanes), 1)
 
   /** The query's probe buckets for multi-probe LSH (Lv et al., "Multi-Probe
     * LSH", VLDB'07): the query signature itself, then signatures reached by
@@ -146,11 +152,13 @@ object Similarity {
   def cosinePairsLsh(embeddings: DataFrame, vecCol: String, idCol: String,
                      threshold: Double, dim: Int, bands: Int = 8,
                      planesPerBand: Int = 8, seed: Long = 42L): DataFrame = {
-    val sigs = (0 until bands).map { b =>
-      hyperplaneSignature(col(vecCol), dim, planesPerBand, seed + b)
-    }
+    // all bands' signatures in ONE expression pass (band b keeps its own
+    // seeded family, identical to composing per-band signatures)
+    val allPlanes = (0 until bands).flatMap(b => planeFamily(dim, planesPerBand, seed + b))
+    val sigs = graft.functions.VectorExpressions.hyperplaneSigs(
+      col(vecCol), allPlanes, planesPerBand)
     val banded = embeddings.select(col(idCol),
-      posexplode(array(sigs: _*)).as(Seq("band", "sig")))
+      posexplode(sigs).as(Seq("band", "sig")))
     val cand = banded.select(col("band"), col("sig"), col(idCol).as("id_a"))
       .join(banded.select(col("band"), col("sig"), col(idCol).as("id_b")),
         Seq("band", "sig"))
