@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+
+/** SQL-callable surface of the graft function library: a user who only
+  * speaks `spark.sql(...)` gets the same native expressions and scalar
+  * helpers the Column API exposes.
+  *
+  * Two registration paths, same builder table:
+  *  - [[GraftFunctions.register]] installs into a LIVE session (temp
+  *    functions in its FunctionRegistry + `spark.udf` for the JVM-logic
+  *    scalars) — what notebooks and tests want;
+  *  - [[GraftExtensions]] is the `spark.sql.extensions=graft.functions
+  *    .GraftExtensions` config path for clusters that inject the library
+  *    at session build time — native expressions only (UDF-backed scalars
+  *    need a live session and are added by `register`).
+  */
+object GraftFunctions {
+
+  private def binary(name: String, f: (Expression, Expression) => Expression)(
+      c: Seq[Expression]): Expression = {
+    require(c.size == 2, s"$name expects 2 arguments, got ${c.size}")
+    f(c(0), c(1))
+  }
+
+  /** Native (codegen Expression) functions: name → builder. */
+  val nativeBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_fdot" -> binary("graft_fdot", FloatVectorDot(_, _)) _,
+    // same left-to-right fold as Similarity.cosine — bit-identical
+    "graft_cosine" -> binary("graft_cosine", (a, b) =>
+      Divide(FloatVectorDot(a, b),
+        Multiply(Sqrt(FloatVectorDot(a, a)), Sqrt(FloatVectorDot(b, b))))) _)
+
+  /** Install every graft function into a live session. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    nativeBuilders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+    spark.udf.register("graft_camelize",
+      (s: String) => if (s == null) null else Strings.camelize(s))
+    spark.udf.register("graft_snakify",
+      (s: String) => if (s == null) null else Strings.snakify(s))
+    spark.udf.register("graft_domain",
+      (s: String) => Strings.domainOf(s).orNull)
+    spark.udf.register("graft_gunzip", (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      })
+  }
+}
+
+/** `spark.sql.extensions` entry point: injects the native graft
+  * expressions at session-build time (no live session required). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.nativeBuilders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.VectorExpressions", name),
+        builder))
+    }
+}

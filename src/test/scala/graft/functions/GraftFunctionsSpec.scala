@@ -1,0 +1,52 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("register exposes native vector expressions to pure SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_fdot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS same,
+                graft_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS orth""")
+      .head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 1.0)
+    assert(r.getDouble(2) === 0.0)
+  }
+
+  test("SQL results match the Column API bit-for-bit on float vectors") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Array(1.1f, 2.2f, 3.3f), Array(0.4f, -0.5f, 0.6f)))
+      .toDF("a", "b")
+    df.createOrReplaceTempView("vecs")
+    val viaSql = spark.sql("SELECT graft_cosine(a, b) AS c FROM vecs").head().getDouble(0)
+    val viaCol = df.select(
+      graft.sim.Similarity.cosine(col("a"), col("b")).as("c")).head().getDouble(0)
+    assert(viaSql === viaCol)
+  }
+
+  test("register exposes the scalar helpers to SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_camelize('memory_mb') AS c1,
+                graft_camelize('plain_name') AS c2,
+                graft_snakify('someFieldName') AS s,
+                graft_domain('https://sub.example.org/x?y=1') AS d""").head()
+    assert(r.getString(0) === "memoryMB") // special-case table applies
+    assert(r.getString(1) === "plainName")
+    assert(r.getString(2) === "some_field_name")
+    assert(r.getString(3) === "example.org")
+  }
+
+  test("extensions path injects the same native builders") {
+    // SparkSessionExtensions is instantiable; verify injection is accepted
+    // (the config path `spark.sql.extensions=graft.functions.GraftExtensions`
+    // exercises the same code at session build).
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; builders validated above
+  }
+}
