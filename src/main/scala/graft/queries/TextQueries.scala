@@ -150,6 +150,32 @@ object TextQueries {
         "label", threshold = 0.35)
       Dedup.dedupeByPairs(emb.select(col("vec_id")), "vec_id", pairs)
         .orderBy(col("vec_id"))
+    }),
+
+    // ───── corpus length distribution: EXACT per-stratum quantiles (both
+    // engines interpolate linearly, so values match bit-for-bit on the
+    // same doubles). One shuffle; percentile carries a per-group value
+    // buffer — for sketch-sized state at petabyte scale swap in
+    // percentile_approx (KLL) and drop the oracle to rows-only. ─────
+    "q47_quality_quantiles" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"), TextOps.tokenCount(col("text")).cast("double").as("n"))
+        .groupBy(col("lang"))
+        .agg(percentile(col("n"), array(lit(0.25), lit(0.5), lit(0.9))).as("q"))
+        .select(col("lang"), col("q")(0).as("p25"), col("q")(1).as("p50"),
+          col("q")(2).as("p90"))
+        .orderBy(col("lang"))
+    }),
+
+    // ───── vocabulary: corpus-wide token frequencies, top 100. The
+    // classic skewed word count: map-side partial aggregation absorbs hot
+    // tokens before the shuffle; the final top-k is TakeOrdered (per-
+    // partition heaps), never a full sort. ─────
+    "q48_vocab_topk" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(100)
     })
   )
 
@@ -241,6 +267,16 @@ object TextQueries {
           SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS component,
                  COALESCE(c.component, e.vec_id) = e.vec_id AS keep
           FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
-          ORDER BY e.vec_id"""
+          ORDER BY e.vec_id""",
+    "q47_quality_quantiles" ->
+      s"""SELECT lang,
+            quantile_cont(CAST(len($toks) AS DOUBLE), 0.25) AS p25,
+            quantile_cont(CAST(len($toks) AS DOUBLE), 0.5)  AS p50,
+            quantile_cont(CAST(len($toks) AS DOUBLE), 0.9)  AS p90
+          FROM documents GROUP BY lang ORDER BY lang""",
+    "q48_vocab_topk" ->
+      s"""SELECT token, COUNT(*) AS n
+          FROM (SELECT unnest($toks) AS token FROM documents)
+          GROUP BY token ORDER BY n DESC, token LIMIT 100"""
   )
 }
