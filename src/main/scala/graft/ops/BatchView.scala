@@ -46,4 +46,26 @@ object BatchView {
            mergeSchema: Boolean = false): DataFrame =
     spark.read.option("mergeSchema", mergeSchema.toString)
       .parquet(viewPath(base, name, version))
+
+  /** Write a hash-bucketed (optionally per-bucket-sorted) catalog table.
+    *
+    * Bucketing is the 100 TB answer to REPEATEDLY joined or aggregated big
+    * tables: pay the partitioning shuffle once at write time, and every
+    * later equi-join or groupBy on `bucketCols` between tables bucketed
+    * the same way (same cols, same count) runs with NO exchange — the
+    * scans themselves deliver co-partitioned data. The reference's
+    * incremental-dedupe pattern (a growing history anti-joined against
+    * each day's increment, PioneerOnlineNewsDedupe.scala:114-117) is the
+    * canonical use: store history bucketed by the natural key and the
+    * daily anti-join stops re-shuffling terabytes of history every run.
+    *
+    * Bucket metadata lives in the session catalog (`saveAsTable`), not
+    * the parquet files — plain path reads don't see it. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

@@ -18,6 +18,10 @@ object TestSession {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     .config("spark.ui.enabled", "false")
+    // bucketed-table tests write via saveAsTable: keep the warehouse out
+    // of the repo tree
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .getOrCreate()
 }
 

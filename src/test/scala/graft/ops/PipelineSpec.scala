@@ -108,4 +108,35 @@ class PipelineSpec extends SparkSpec {
     assert(resized.head.getInt(1) === 64 && resized.head.getInt(2) === 48)
     assert(resized(0).getAs[Array[Byte]](0).toSeq === resized(1).getAs[Array[Byte]](0).toSeq)
   }
+
+  test("bucketed tables co-locate: equi-join and groupBy run with NO shuffle") {
+    val left = (1L to 200L).map(i => (i, s"l$i")).toDF("k", "lv")
+    val right = (150L to 350L).map(i => (i, s"r$i")).toDF("k", "rv")
+    BatchView.writeBucketed(left, "bkt_left", Seq("k"), 4, sortCols = Seq("k"))
+    BatchView.writeBucketed(right, "bkt_right", Seq("k"), 4, sortCols = Seq("k"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+      assert(joined.count() === 51L)
+      // shuffles print as "Exchange hashpartitioning" (class
+      // ShuffleExchangeExec); broadcast exchanges print "BroadcastExchange"
+      val joinPlan = joined.queryExecution.executedPlan.toString
+      assert(!joinPlan.contains("Exchange hashpartitioning"),
+        s"bucketed equi-join must not shuffle:\n$joinPlan")
+      val agged = spark.table("bkt_left").groupBy("k").count()
+      assert(agged.count() === 200L)
+      val aggPlan = agged.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange hashpartitioning"),
+        s"bucketed groupBy must not shuffle:\n$aggPlan")
+      // sanity: the same join over plain (unbucketed) frames DOES shuffle
+      val plain = left.join(right, "k")
+      plain.count()
+      assert(plain.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_left")
+      spark.sql("DROP TABLE IF EXISTS bkt_right")
+    }
+  }
 }
