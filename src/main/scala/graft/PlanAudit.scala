@@ -14,7 +14,10 @@ object PlanAudit {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      // audit the STATIC plan: under AQE the formatted explain prints the
+      // un-executed adaptive placeholder, which carries no codegen ids and
+      // hides the join strategy picked at runtime
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -31,7 +34,11 @@ object PlanAudit {
         val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)".r
           .findAllIn(plan).toSeq.groupBy(identity).map { case (k, v) => s"$k×${v.size}" }
         val exchanges = "\\bExchange\\b".r.findAllIn(plan).size
-        val codegen = "WholeStageCodegen".r.findAllIn(plan).size
+        // formatted mode tags operators with "[codegen id : N]" — distinct
+        // ids = whole-stage spans ("WholeStageCodegen" only appears in the
+        // simple mode tree and always counted 0 here)
+        val codegen = "codegen id : (\\d+)".r.findAllMatchIn(plan)
+          .map(_.group(1)).toSet.size
         println(s"== $name")
         println(s"   joins=${joins.mkString(",")} exchanges=$exchanges codegenSpans=$codegen")
         pushed.foreach(p => println(s"   $p"))
