@@ -176,6 +176,16 @@ object TextQueries {
         .select(explode(TextOps.tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(100)
+    }),
+
+    // ───── flagship composition: the full corpus-cleaning pipeline
+    // (quality gate → exact dedupe → near-dup clusters → survivors) with
+    // per-stage keep flags for every doc ─────
+    "q49_corpus_clean" -> ((s, d) => {
+      graft.text.Corpus.clean(Tables.documents(s, d), "text", "doc_id",
+          Seq("lang"), stopwords, n = 3, threshold = 0.5)
+        .select(col("doc_id"), col("keep_quality"), col("keep_exact"), col("keep"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -277,6 +287,45 @@ object TextQueries {
     "q48_vocab_topk" ->
       s"""SELECT token, COUNT(*) AS n
           FROM (SELECT unnest($toks) AS token FROM documents)
-          GROUP BY token ORDER BY n DESC, token LIMIT 100"""
+          GROUP BY token ORDER BY n DESC, token LIMIT 100""",
+    // full pipeline mirror: stage CTEs compose exactly like Corpus.clean
+    "q49_corpus_clean" ->
+      s"""WITH RECURSIVE t AS (
+            SELECT doc_id, lang, $toks AS tk FROM documents),
+          q AS (
+            SELECT doc_id, lang, tk,
+              (len(tk) >= 10
+               AND CAST(len(list_filter(tk, w -> w IN ('the','a','of','and','to'))) AS DOUBLE) / len(tk) <= 0.5
+               AND CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) >= 0.3) AS kq
+            FROM t),
+          e AS (
+            SELECT doc_id, lang, tk,
+              doc_id = MIN(doc_id) OVER (PARTITION BY md5(lower(array_to_string(tk, ' ')))) AS ke
+            FROM q WHERE kq),
+          sh AS (
+            SELECT doc_id, lang,
+              list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string((tk)[i:i+2], ' ')) END) AS s
+            FROM e WHERE ke),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          reach AS (SELECT u, v FROM edges UNION
+                    SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+                    WHERE e2.v <> r.u),
+          comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component
+                   FROM reach GROUP BY u)
+          SELECT d.doc_id, q.kq AS keep_quality,
+            COALESCE(e.ke, false) AS keep_exact,
+            COALESCE(e.ke AND COALESCE(c.component, d.doc_id) = d.doc_id, false) AS keep
+          FROM documents d
+          LEFT JOIN q ON d.doc_id = q.doc_id
+          LEFT JOIN e ON d.doc_id = e.doc_id
+          LEFT JOIN comp c ON d.doc_id = c.id
+          ORDER BY d.doc_id"""
   )
 }

@@ -1,0 +1,62 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** The flagship end-to-end corpus-cleaning pipeline: the composition a
+  * training-data user actually runs, as one call —
+  *
+  *   quality gate → exact dedupe → near-dup clustering → survivor pick
+  *
+  * Returns one row per input doc with per-stage keep flags (a lineage
+  * audit, not just the surviving set — corpus curation needs to report
+  * WHY each doc dropped):
+  *   `keep_quality` — passed the heuristic quality filters;
+  *   `keep_exact`   — also the min-id representative of its exact
+  *                    fingerprint group (evaluated among quality passers);
+  *   `keep`         — also the min-id survivor of its near-dup cluster
+  *                    (n-gram Jaccard pairs → connected components,
+  *                    evaluated among exact survivors).
+  *
+  * Scale shape: stages only narrow the data — the quality gate is
+  * scan-side (pure expressions), exact dedupe is one window over the
+  * 16-byte fingerprint, and the expensive near-dup join runs on the
+  * already-deduped survivor set. Each stage reuses the operator the
+  * library exposes individually (`TextOps.qualitySignals`, `TextOps
+  * .fingerprint`, `Dedup.ngramJaccardPairs`, `Dedup.connectedComponents`),
+  * so the composition is exactly as scalable as its parts.
+  */
+object Corpus {
+
+  /** q22's keep rule, factored for reuse. */
+  def qualityKeep(text: Column, stopwords: Seq[String],
+                  minTokens: Int = 10, maxStopwordRatio: Double = 0.5,
+                  minDistinctRatio: Double = 0.3): Column = {
+    val sig = TextOps.qualitySignals(text, stopwords).toMap
+    sig("n_tokens") >= minTokens &&
+      sig("stopword_ratio") <= maxStopwordRatio &&
+      sig("distinct_token_ratio") >= minDistinctRatio
+  }
+
+  def clean(docs: DataFrame, textCol: String, idCol: String,
+            blockCols: Seq[String], stopwords: Seq[String],
+            n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val withQ = docs.withColumn("keep_quality",
+      qualityKeep(col(textCol), stopwords))
+    // fingerprint only quality passers; failures share the null-fp window
+    // partition but their guard keeps keep_exact false
+    val withE = withQ
+      .withColumn("fp", when(col("keep_quality"), TextOps.fingerprint(col(textCol))))
+      .withColumn("keep_exact", col("keep_quality") &&
+        col(idCol) === min(col(idCol)).over(Window.partitionBy(col("fp"))))
+    val pairs = Dedup.ngramJaccardPairs(
+      withE.where(col("keep_exact")), textCol, idCol, blockCols, n, threshold)
+    val cc = Dedup.connectedComponents(pairs)
+    withE.join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("keep", col("keep_exact") &&
+        coalesce(col("component"), col(idCol)) === col(idCol))
+      .drop("fp", "component")
+  }
+}

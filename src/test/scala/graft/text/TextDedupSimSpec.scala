@@ -204,6 +204,27 @@ class TextDedupSimSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() === 0L)
   }
 
+  test("Corpus.clean: stage flags compose (quality -> exact -> near-dup)") {
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, long, "en"),                      // survivor (min id of exact pair {1,3})
+      (2L, "too short", "en"),               // fails quality (< 10 tokens)
+      (3L, long, "en"),                      // exact duplicate of 1 → dropped at exact
+      (4L, long + " changed", "en"),         // near-dup of 1 → dropped at cluster
+      (5L, "one two three four five six seven eight nine ten eleven", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.text.Corpus.clean(docs, "text", "doc_id", Seq("lang"),
+        stopwords = Seq("the"), threshold = 0.5)
+      .select("doc_id", "keep_quality", "keep_exact", "keep")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().toSet
+    assert(out === Set(
+      (1L, true, true, true),
+      (2L, false, false, false),
+      (3L, true, false, false),
+      (4L, true, true, false),
+      (5L, true, true, true)))
+  }
+
   test("dedupeByPairs labels every doc; survivors are cluster minima") {
     val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
