@@ -225,6 +225,55 @@ class TextDedupSimSpec extends SparkSpec {
       (5L, true, true, true)))
   }
 
+  test("IVF cell-partitioned persistence: probes prune partitions at the scan") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val others = emb.where(col("vec_id") =!= 0)
+    val (model, assigned) = Ivf.build(others, "embedding", "vec_id", nCells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val probed = Ivf.topK(back, model, "embedding", "vec_id", q, 10, nProbe = 2)
+    probed.collect()
+    // the isin(ivf_cell) filter must reach the scan as a partition filter,
+    // so only the probed cells' directories are read
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_cell"),
+      s"probe filter did not prune partitions:\n$plan")
+    // and the probed result set equals the in-memory assigned-frame probe
+    val direct = Ivf.topK(assigned, model, "embedding", "vec_id", q, 10, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(probed.select("vec_id").as[Long].collect().toSeq === direct)
+  }
+
+  test("connectedComponents matches union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(7L)
+    for (trial <- 1 to 3) {
+      val nNodes = 60 + trial * 20
+      val edges = Seq.fill(nNodes)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: driver-side union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        parent.getOrElseUpdate(x, x)
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map { n =>
+        n -> parent.keys.filter(m => find(m) == find(n)).min
+      }.toSet
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toSet
+      assert(got === expected, s"trial $trial, ${edges.size} edges")
+    }
+  }
+
   test("dedupeByPairs labels every doc; survivors are cluster minima") {
     val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
