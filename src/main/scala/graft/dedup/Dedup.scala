@@ -364,10 +364,12 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("u")
     // directed large→small; self-loops dropped
+    // lazy checkpoints: the per-round signature aggregate is the action
+    // that materializes them, so each round costs ONE job instead of two
     var edges = pairs
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
-      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+      .where(col("u") =!= col("v")).distinct().localCheckpoint(false)
     // order-independent set signature: (count, XOR of row hashes) — XOR
     // never overflows (vs SUM under ANSI) and distinct inputs mean no
     // duplicate self-cancellation
@@ -392,7 +394,7 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(withM.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
       val next = sig(ss)
       done = next == cur
       cur = next
