@@ -123,8 +123,6 @@ object Dedup {
     // join-back form (two exchanges and a join, and the whole shingle
     // subtree planned twice)
     val docKey = (blockCols :+ idCol).map(col)
-    val sized = rows.withColumn("n_sh",
-      count(lit(1)).over(Window.partitionBy(docKey: _*)))
 
     // ── prefix filter (PPJoin / Chaudhuri et al.): rank each doc's
     // shingles by GLOBAL document frequency ascending (rarest first; ties
@@ -134,11 +132,16 @@ object Dedup {
     // Hot shingles (stopword n-grams) rank LAST and never enter the
     // candidate join — this is what deflates the quadratic blow-up on
     // skewed corpora, exactly, with no recall loss.
-    val withDf = sized.withColumn("df",
+    val withDf = rows.withColumn("df",
       count(lit(1)).over(Window.partitionBy((blockCols :+ "g").map(col): _*)))
+    // n_sh and pos share ONE window spec (same partition, same order;
+    // count uses the unbounded frame) → a single exchange+sort computes
+    // both, instead of separate doc-key windows for size and rank
+    val docWin = Window.partitionBy(docKey: _*).orderBy(col("df"), col("g"))
     val prefix = withDf
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(docKey: _*).orderBy(col("df"), col("g"))))
+      .withColumn("n_sh", count(lit(1)).over(
+        docWin.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("pos", row_number().over(docWin))
       .where(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
       .select(blockCols.map(col) :+ col(idCol) :+ col("n_sh") :+ col("g"): _*)
 
