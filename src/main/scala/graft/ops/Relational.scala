@@ -61,4 +61,47 @@ object Relational {
   def incrementalDedupe(incoming: DataFrame, history: DataFrame, keys: Seq[String],
                         ord: Column, payload: Seq[String]): DataFrame =
     argminPerKey(antiJoinDedupe(incoming, history, keys), keys, ord, payload)
+
+  /** As-of join: attach to each left row the latest right row with
+    * `rightTs` ≤ `leftTs` per key (inclusive — a right row at exactly the
+    * left timestamp matches). `payload` names the right columns carried
+    * over; left rows with no prior right row get nulls.
+    *
+    * Spark has no as-of join operator; the naive encoding — an inequality
+    * join + per-pair argmax — plans as a broadcast-nested-loop or a
+    * range-exploded join, both quadratic blow-ups at scale. This is the
+    * scalable shape: tag-union both sides, ONE shuffle+sort per key, and
+    * a `last(_, ignoreNulls)` carry-forward window; right rows sort
+    * before left rows at equal timestamps so inclusivity falls out of the
+    * sort order. Cost is that of a single window aggregation regardless
+    * of how many left rows each right row serves.
+    *
+    * Right-side ties (same key, same timestamp) resolve to the row
+    * latest in `tieBreak` order (default: the payload's first column) —
+    * pass an explicit tie-break column when right timestamps can collide.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, payload: Seq[String],
+               tieBreak: Option[String] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(payload.contains),
+      s"payload ${payload.mkString(",")} collides with a left column")
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__tie", lit(null).cast("long"))
+    val r = right.select(
+      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side") :+
+        coalesce(tieBreak.map(col).getOrElse(lit(null)).cast("long"), lit(0L)).as("__tie")) ++
+        payload.map(col): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    filled.where(col("__side") === 1)
+      .select((leftCols ++ payload).map(col): _*)
+  }
 }

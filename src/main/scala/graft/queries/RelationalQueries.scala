@@ -177,6 +177,21 @@ object RelationalQueries {
           (docs.where(col("lang") === "en"), 0.5),
           (docs.where(col("lang") =!= "en"), 1.0)), "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    // ───── as-of join: each event picks up the user's latest purchase at
+    // or before its timestamp (union + carry-forward window — one
+    // shuffle, never an inequality join) ─────
+    "q50_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("last_purchase_value"))
+      Relational.asofJoin(
+          e.select(col("event_id"), col("user_id"), col("event_type"), col("ts")),
+          purchases, Seq("user_id"), "ts", "ts", Seq("last_purchase_value"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("last_purchase_value"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -265,6 +280,15 @@ object RelationalQueries {
       """SELECT doc_id, lang, source FROM documents
          WHERE lang <> 'en'
             OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    // DuckDB's native ASOF JOIN is the oracle for the carry-forward form
+    "q50_asof_join" ->
+      """SELECT l.event_id, l.user_id, l.event_type,
+            r.value AS last_purchase_value
+         FROM events l
+         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                         WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id"""
   )
 }

@@ -40,6 +40,22 @@ class RelationalSpec extends SparkSpec {
     assert(out === Set((1L, "a", 1L), (1L, "b", 2L), (2L, "c", 4L)))
   }
 
+  test("asofJoin attaches the latest right row at or before each left ts") {
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 25L), (2L, 5L), (3L, 30L))
+      .toDF("user", "ts")
+    val right = Seq((1L, 10L, "a"), (1L, 21L, "b"), (2L, 9L, "x"))
+      .toDF("user", "rts", "tag")
+    val out = Relational.asofJoin(left, right, Seq("user"), "ts", "rts", Seq("tag"))
+      .select("user", "ts", "tag")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(out === Set(
+      (1L, 10L, Some("a")),  // inclusive: right at exactly ts matches
+      (1L, 20L, Some("a")),  // 21 is in the future
+      (1L, 25L, Some("b")),
+      (2L, 5L, None),        // right row is later -> no match
+      (3L, 30L, None)))      // key absent on the right
+  }
+
   test("stratifiedSample: exactly n per stratum, deterministic, id-keyed") {
     val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
       .toDF("id", "stratum")
