@@ -178,6 +178,21 @@ object TextQueries {
         .orderBy(col("n").desc, col("token")).limit(100)
     }),
 
+    // ───── q47's sketch-state twin: percentile_approx (KLL-style, fixed
+    // memory per group, mergeable) — the PB-scale form. Rows-only: sketch
+    // interpolation is engine-specific; accuracy vs the exact form is
+    // asserted in ScalaTest. ─────
+    "q51_quantile_sketch" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"), TextOps.tokenCount(col("text")).cast("double").as("n"))
+        .groupBy(col("lang"))
+        .agg(percentile_approx(col("n"), array(lit(0.25), lit(0.5), lit(0.9)),
+          lit(10000)).as("q"))
+        .select(col("lang"), col("q")(0).as("p25"), col("q")(1).as("p50"),
+          col("q")(2).as("p90"))
+        .orderBy(col("lang"))
+    }),
+
     // ───── flagship composition: the full corpus-cleaning pipeline
     // (quality gate → exact dedupe → near-dup clusters → survivors) with
     // per-stage keep flags for every doc ─────

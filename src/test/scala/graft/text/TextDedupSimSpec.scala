@@ -204,6 +204,23 @@ class TextDedupSimSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() === 0L)
   }
 
+  test("percentile_approx tracks exact percentile within sketch rank error") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("lang"), TextOps.tokenCount(col("text")).cast("double").as("n"))
+    val exact = docs.groupBy(col("lang"))
+      .agg(percentile(col("n"), lit(0.5)).as("p"))
+      .as[(String, Double)].collect().toMap
+    // accuracy 10000 on a few-hundred-row group: rank error < 1 row, so
+    // the sketch answer must be an actual data value at most one rank off
+    val approx = docs.groupBy(col("lang"))
+      .agg(percentile_approx(col("n"), lit(0.5), lit(10000)).as("p"))
+      .as[(String, Double)].collect().toMap
+    exact.foreach { case (lang, p) =>
+      assert(math.abs(approx(lang) - p) <= 2.0,
+        s"$lang: approx ${approx(lang)} vs exact $p")
+    }
+  }
+
   test("Corpus.clean: stage flags compose (quality -> exact -> near-dup)") {
     val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val docs = Seq(
