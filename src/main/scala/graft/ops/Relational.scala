@@ -62,6 +62,23 @@ object Relational {
                         ord: Column, payload: Seq[String]): DataFrame =
     argminPerKey(antiJoinDedupe(incoming, history, keys), keys, ord, payload)
 
+  /** Batch gap-based sessionization: assign a per-key session id that
+    * increments whenever the gap to the previous event exceeds
+    * `gap` (in the units of `tsCol` — the events table carries
+    * nanosecond longs). The batch twin of
+    * [[graft.streaming.StreamingViews.sessionize]]: lag flags session
+    * starts, a running sum numbers them — ONE shuffle+sort per key, both
+    * windows share the spec so they plan as a single exchange. */
+  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String,
+                 gap: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    df.withColumn("__new", coalesce(
+        col(tsCol) - lag(col(tsCol), 1).over(w) > gap, lit(true)))
+      .withColumn("session_id", sum(when(col("__new"), 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new")
+  }
+
   /** As-of join: attach to each left row the latest right row with
     * `rightTs` ≤ `leftTs` per key (inclusive — a right row at exactly the
     * left timestamp matches). `payload` names the right columns carried

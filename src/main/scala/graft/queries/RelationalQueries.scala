@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.Relational
@@ -179,6 +180,37 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── batch sessionization: 30-min-gap sessions per user, one
+    // shuffle+sort (ts is a nanosecond long under nanosAsLong) ─────
+    "q52_sessionize" -> ((s, d) => {
+      val gapNanos = 30L * 60L * 1000000000L
+      Relational.sessionize(
+          Tables.events(s, d).select(col("user_id"), col("ts"), col("value")),
+          Seq("user_id"), "ts", gapNanos)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+          // `div`, not `/`: long / long routes through DOUBLE, whose
+          // 53-bit mantissa cannot hold nanosecond epochs (~1.7e18)
+          expr("min(ts) div 1000000").as("start_ms"),
+          expr("max(ts) div 1000000").as("end_ms"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // ───── rolling time-range aggregate: each event's trailing-1h count
+    // and sum per user (RANGE frame over the event-time ordering) ─────
+    "q53_rolling_window" -> ((s, d) => {
+      val hourNanos = 3600L * 1000000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(-hourNanos, 0)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_last_hour"),
+          sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double").as("sum_last_hour"))
+        .orderBy(col("event_id"))
+    }),
+
     // ───── as-of join: each event picks up the user's latest purchase at
     // or before its timestamp (union + carry-forward window — one
     // shuffle, never an inequality join) ─────
@@ -281,6 +313,32 @@ object RelationalQueries {
          WHERE lang <> 'en'
             OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
          ORDER BY doc_id""",
+    "q52_sessionize" ->
+      """WITH f AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         s AS (
+           SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM f)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           epoch_ns(MIN(ts)) // 1000000 AS start_ms,
+           epoch_ns(MAX(ts)) // 1000000 AS end_ms
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+    "q53_rolling_window" ->
+      """SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last_hour
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     // DuckDB's native ASOF JOIN is the oracle for the carry-forward form
     "q50_asof_join" ->
       """SELECT l.event_id, l.user_id, l.event_type,

@@ -40,6 +40,24 @@ class RelationalSpec extends SparkSpec {
     assert(out === Set((1L, "a", 1L), (1L, "b", 2L), (2L, "c", 4L)))
   }
 
+  test("sessionize increments session ids on gaps greater than the threshold") {
+    val df = Seq(
+      (1L, 100L), (1L, 150L), (1L, 151L),  // session 1
+      (1L, 300L),                          // gap 149 > 100 → session 2
+      (2L, 100L))                          // other key → its own session 1
+      .toDF("user", "ts")
+    val out = Relational.sessionize(df, Seq("user"), "ts", gap = 100L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (1L, 100L, 1L), (1L, 150L, 1L), (1L, 151L, 1L),
+      (1L, 300L, 2L), (2L, 100L, 1L)))
+    // boundary: gap exactly equal to threshold stays in-session
+    val edge = Relational.sessionize(
+      Seq((1L, 0L), (1L, 100L)).toDF("user", "ts"), Seq("user"), "ts", 100L)
+      .select("session_id").as[Long].collect().toSet
+    assert(edge === Set(1L))
+  }
+
   test("asofJoin attaches the latest right row at or before each left ts") {
     val left = Seq((1L, 10L), (1L, 20L), (1L, 25L), (2L, 5L), (3L, 30L))
       .toDF("user", "ts")
