@@ -211,6 +211,32 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // ───── hierarchical rollup: per-(flag,status), per-flag, and grand
+    // totals in ONE pass (Expand feeds a single aggregate — no
+    // re-reading the table per level) ─────
+    "q54_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ───── unpivot (wide → long): per-user event-type counts melted to
+    // (user, event_type, n) rows — the inverse of q12's pivot shape ─────
+    "q55_unpivot" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      def n(t: String) = sum(when(col("event_type") === t, 1L).otherwise(0L))
+      e.groupBy(col("user_id"))
+        .agg(n("click").as("click"), n("view").as("view"),
+          n("purchase").as("purchase"))
+        .unpivot(Array(col("user_id")),
+          Array(col("click"), col("view"), col("purchase")),
+          "event_type", "n")
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // ───── as-of join: each event picks up the user's latest purchase at
     // or before its timestamp (union + carry-forward window — one
     // shuffle, never an inequality join) ─────
@@ -339,6 +365,24 @@ object RelationalQueries {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts
                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    // DuckDB GROUPING() emits the same bitmask as Spark's grouping_id
+    "q54_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty, COUNT(*) AS n,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag, l_linestatus""",
+    "q55_unpivot" ->
+      """WITH p AS (
+           SELECT user_id,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase
+           FROM events GROUP BY user_id)
+         SELECT user_id, event_type, CAST(n AS BIGINT) AS n FROM p
+         UNPIVOT (n FOR event_type IN (click, view, purchase))
+         ORDER BY user_id, event_type""",
     // DuckDB's native ASOF JOIN is the oracle for the carry-forward form
     "q50_asof_join" ->
       """SELECT l.event_id, l.user_id, l.event_type,
