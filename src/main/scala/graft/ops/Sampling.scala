@@ -56,10 +56,48 @@ object Sampling {
     * heterogeneous training sources (e.g. upsample curated text against a
     * web crawl) without a shuffle. Weights > 1 are not materialized as
     * duplication here (dedup-safety: downstream exact-dedupe would fold
-    * them); callers wanting true upsampling should add an epoch column. */
+    * them); use [[upsampled]] when true duplication with epoch tags is
+    * wanted. */
   def weightedMixture(sources: Seq[(DataFrame, Double)], idCol: String): DataFrame =
     sources.map { case (df, p) =>
       if (p >= 1.0) df
       else df.where(hashScore(col(idCol)) < lit(hexThreshold(p)))
     }.reduce(_ unionAll _)
+
+  /** Materialized up/down-sampling for any weight: each row appears
+    * `⌊w⌋ + Bernoulli(w − ⌊w⌋)` times, tagged with an `epoch` column
+    * (0-based) so downstream exact-dedupe can distinguish deliberate
+    * repeats from accidental duplicates. Shuffle-free: the copy count is
+    * a per-row expression and the duplication an inline explode. */
+  def upsampled(df: DataFrame, idCol: String, weight: Double): DataFrame = {
+    require(weight >= 0.0, s"negative weight: $weight")
+    val whole = math.floor(weight).toLong
+    val frac = weight - whole
+    val copies = lit(whole) +
+      when(hashScore(col(idCol)) < lit(hexThreshold(frac)), 1L).otherwise(0L)
+    df.withColumn("__copies", copies)
+      .where(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
+  /** Token-budget subsample: keep docs in hash order of `idCol` until the
+    * running token total reaches `budget` (the first doc crossing the
+    * budget is kept, so the result is the smallest hash-prefix set with
+    * ≥ budget tokens — or the whole corpus if it totals less). The
+    * deterministic form of "give me ~N tokens of this corpus" used when
+    * assembling training mixes under a token budget.
+    *
+    * One global window sort — the same single-ordering shape as a global
+    * sort-limit. For corpus-scale budgets, pre-filter with a hash
+    * threshold estimated from average doc length (then this exact pass
+    * runs over slightly more than the budget, not the whole corpus). */
+  def tokenBudgetSample(df: DataFrame, idCol: String, tokenCountCol: String,
+                        budget: Long): DataFrame = {
+    val w = Window.orderBy(hashScore(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCountCol)).over(w))
+      .where(col("__cum") - col(tokenCountCol) < budget)
+      .drop("__cum")
+  }
 }

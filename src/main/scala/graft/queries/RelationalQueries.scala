@@ -211,6 +211,24 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // ───── materialized upsampling: weight 2.3 → 2 or 3 epoch-tagged
+    // copies per doc, deterministic by id hash ─────
+    "q56_upsampled" -> ((s, d) => {
+      graft.ops.Sampling.upsampled(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", weight = 2.3)
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
+    // ───── token-budget subsample: smallest hash-prefix doc set covering
+    // 10k tokens ─────
+    "q57_token_budget" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        graft.text.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ops.Sampling.tokenBudgetSample(docs, "doc_id", "n_tokens", 10000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── hierarchical rollup: per-(flag,status), per-flag, and grand
     // totals in ONE pass (Expand feeds a single aggregate — no
     // re-reading the table per level) ─────
@@ -365,6 +383,27 @@ object RelationalQueries {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts
                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    // 0x4ccccccd = Sampling.hexThreshold(0.3): floor(2.3) copies + one
+    // more when the id hash clears the fractional threshold
+    "q56_upsampled" ->
+      """SELECT doc_id, lang,
+           unnest(generate_series(0,
+             1 + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccd'
+                      THEN 1 ELSE 0 END)) AS epoch
+         FROM documents
+         ORDER BY doc_id, epoch""",
+    "q57_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT *, SUM(n_tokens) OVER (
+             ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+           FROM t)
+         SELECT doc_id, lang, n_tokens FROM c
+         WHERE cum - n_tokens < 10000 ORDER BY doc_id""",
     // DuckDB GROUPING() emits the same bitmask as Spark's grouping_id
     "q54_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -89,6 +89,33 @@ class RelationalSpec extends SparkSpec {
     assert(tiny.count() === 3L)
   }
 
+  test("upsampled materializes floor(w)+Bernoulli(frac) epoch-tagged copies") {
+    val df = (1L to 400L).toDF("id")
+    val out = Sampling.upsampled(df, "id", 2.5)
+    val counts = out.groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(counts.values.forall(c => c == 2L || c == 3L))
+    val n3 = counts.values.count(_ == 3L)
+    assert(n3 > 120 && n3 < 280, s"~half should get 3 copies, got $n3")
+    // epochs are 0..copies-1
+    assert(out.where(col("id") === 1L).select("epoch").as[Long].collect().sorted
+      === (0L until counts(1L)).toArray)
+    // w < 1 downsamples (some rows vanish entirely)
+    val down = Sampling.upsampled(df, "id", 0.5)
+    assert(down.count() < 400L && down.select("epoch").distinct().count() === 1L)
+  }
+
+  test("tokenBudgetSample keeps the smallest hash-prefix set covering the budget") {
+    val df = (1L to 100L).map(i => (i, 10L)).toDF("id", "n_tokens")
+    val out = Sampling.tokenBudgetSample(df, "id", "n_tokens", 95L)
+    assert(out.count() === 10L) // 9 docs = 90 < 95; the 10th crosses the budget
+    // determinism: same set on a different partition layout
+    val again = Sampling.tokenBudgetSample(df.repartition(7), "id", "n_tokens", 95L)
+    assert(again.select("id").as[Long].collect().toSet
+      === out.select("id").as[Long].collect().toSet)
+    // budget beyond the corpus keeps everything
+    assert(Sampling.tokenBudgetSample(df, "id", "n_tokens", 100000L).count() === 100L)
+  }
+
   test("weightedMixture keeps w=1 sources whole and ~w of the rest, deterministically") {
     val big = (1L to 1000L).map(i => (i, "crawl")).toDF("id", "src")
     val curated = (2000L to 2009L).map(i => (i, "wiki")).toDF("id", "src")
