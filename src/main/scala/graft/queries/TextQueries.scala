@@ -193,6 +193,30 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // ───── keyword extraction: top-3 tokens per doc by tf·(N/df). The
+    // idf stays RATIONAL (tf·N exact in long, ONE double division) —
+    // ln() differs in the last ulp across libm builds and would break
+    // hash parity; the ranking is order-equivalent for fixed N. ─────
+    "q58_keywords" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = toks.distinct().groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"),
+          ((col("tf") * col("n")).cast("double") / col("df")).as("score"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+        .select(col("doc_id"), col("token"), col("score"))
+        .orderBy(col("doc_id"), col("token"))
+    }),
+
     // ───── flagship composition: the full corpus-cleaning pipeline
     // (quality gate → exact dedupe → near-dup clusters → survivors) with
     // per-stage keep flags for every doc ─────
@@ -303,6 +327,18 @@ object TextQueries {
       s"""SELECT token, COUNT(*) AS n
           FROM (SELECT unnest($toks) AS token FROM documents)
           GROUP BY token ORDER BY n DESC, token LIMIT 100""",
+    "q58_keywords" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+          tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+          dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+          n AS (SELECT COUNT(*) AS n FROM documents),
+          s AS (SELECT tf.doc_id, tf.token,
+                  CAST(tf.tf * n.n AS DOUBLE) / dfreq.df AS score
+                FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+          r AS (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY score DESC, token) AS rk FROM s)
+          SELECT doc_id, token, score FROM r WHERE rk <= 3
+          ORDER BY doc_id, token""",
     // full pipeline mirror: stage CTEs compose exactly like Corpus.clean
     "q49_corpus_clean" ->
       s"""WITH RECURSIVE t AS (
