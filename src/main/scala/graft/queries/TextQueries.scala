@@ -193,6 +193,21 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // ───── q48's sketch twin: heavy hitters via the mergeable
+    // approx_top_k sketch (fixed memory regardless of vocabulary size —
+    // the unbounded-vocab scale path). On this corpus the distinct count
+    // is far below the sketch capacity, so counts are exact and the
+    // query oracle-gates; at real vocab scale the result is approximate
+    // within the sketch's guarantees. ─────
+    "q59_heavy_hitters" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .agg(expr("approx_top_k(token, 40)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("token"), col("e.count").as("n"))
+        .orderBy(col("n").desc, col("token"))
+    }),
+
     // ───── keyword extraction: top-3 tokens per doc by tf·(N/df). The
     // idf stays RATIONAL (tf·N exact in long, ONE double division) —
     // ln() differs in the last ulp across libm builds and would break
@@ -327,6 +342,10 @@ object TextQueries {
       s"""SELECT token, COUNT(*) AS n
           FROM (SELECT unnest($toks) AS token FROM documents)
           GROUP BY token ORDER BY n DESC, token LIMIT 100""",
+    "q59_heavy_hitters" ->
+      s"""SELECT token, COUNT(*) AS n
+          FROM (SELECT unnest($toks) AS token FROM documents)
+          GROUP BY token ORDER BY n DESC, token""",
     "q58_keywords" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toks) AS token FROM documents),
           tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
