@@ -347,7 +347,12 @@ object Dedup {
     * pairwise similarity into actual deduplication: every id in a cluster
     * maps to the cluster's minimum id (its "component"), so keeping only
     * `id == component` retains exactly one survivor per cluster. Returns
-    * (id, component) for every id that appears in `pairs`.
+    * (id, component) for every id that appears in a NON-self-loop pair
+    * (an id seen only as (x, x) has no edge, hence no row — callers
+    * wanting every-doc coverage left-join and coalesce, as
+    * [[dedupeByPairs]] does). Throws if `maxIter` rounds pass without
+    * convergence rather than returning a silently-partial edge set
+    * (which would map one id to several components and fan out joins).
     *
     * Algorithm: alternating large-star / small-star (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14) — the
@@ -363,7 +368,7 @@ object Dedup {
     * set — one tiny aggregate per round, no edge-set EXCEPT join.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-                          bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+                          bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("u")
     // directed large→small; self-loops dropped
@@ -404,6 +409,9 @@ object Dedup {
       edges = ss
       it += 1
     }
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"(${cur._1} directed edges remain) — raise maxIter")
     edges.select(col("u").as("id"), col("v").as("component"))
       .unionAll(edges.select(col("v").as("id"), col("v").as("component")))
       .distinct()

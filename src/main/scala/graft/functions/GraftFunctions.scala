@@ -45,13 +45,7 @@ object GraftFunctions {
       (s: String) => if (s == null) null else Strings.snakify(s))
     spark.udf.register("graft_domain",
       (s: String) => Strings.domainOf(s).orNull)
-    spark.udf.register("graft_gunzip", (bytes: Array[Byte]) =>
-      if (bytes == null) null
-      else {
-        val in = new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      })
+    spark.udf.register("graft_gunzip", Strings.gunzipBytes _)
   }
 }
 

@@ -57,15 +57,18 @@ object Strings {
   def uncamelize(name: String, overrides: Map[String, String] = Map.empty): String =
     overrides.getOrElse(name, snakify(name))
 
-  /** F13 — gunzip a binary payload column to a UTF-8 string.
+  /** F13 — gunzip bytes to a UTF-8 string (shared by the Column UDF and
+    * the SQL registration in GraftFunctions).
     * Reference: utils/DatasetShim.scala:48,58. */
+  def gunzipBytes(bytes: Array[Byte]): String =
+    if (bytes == null) null
+    else {
+      val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+
   val gunzip: Column => Column = {
-    val f = udf((bytes: Array[Byte]) =>
-      if (bytes == null) null
-      else {
-        val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
-        try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      })
+    val f = udf(gunzipBytes _)
     c => f(c)
   }
 

@@ -90,7 +90,7 @@ case class FloatVectorDot(left: Expression, right: Expression)
   * matrix is read from the reference array instead of the constant pool.
   */
 case class HyperplaneSignatures(child: Expression, planes: Seq[Double],
-                                planesPerBand: Int)
+                                planesPerBand: Int, dim: Int)
     extends UnaryExpression {
   import org.apache.spark.sql.types.LongType
   import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -106,32 +106,37 @@ case class HyperplaneSignatures(child: Expression, planes: Seq[Double],
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _)
-      if planesPerBand > 0 && planesPerBand <= 64 &&
-        planes.nonEmpty && planes.size % planesPerBand == 0 =>
+      if planesPerBand > 0 && planesPerBand <= 64 && dim > 0 &&
+        planes.nonEmpty && planes.size % (planesPerBand * dim) == 0 =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
       s"HyperplaneSignatures needs array<float|double> input and a plane " +
-        s"matrix divisible into 1..64 planes per band, got ${child.dataType}, " +
-        s"${planes.size} coefficients, $planesPerBand planes/band")
+        s"matrix divisible into 1..64 planes per band of dim > 0, got " +
+        s"${child.dataType}, ${planes.size} coefficients, " +
+        s"$planesPerBand planes/band, dim $dim")
   }
 
+  // `dim` is the declared plane dimension: bands derive from it, never
+  // from the row (a row of deviant length would silently misalign plane
+  // offsets). Rows shorter than dim are zero-padded (same result as the
+  // composed min-length dot); longer rows ignore the tail.
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val dim = v.numElements()
+    val n = math.min(dim, v.numElements())
     val bands = planeArr.length / (planesPerBand * dim)
     val out = new Array[Long](bands)
     val f = isFloat
-    var idx = 0
     var b = 0
     while (b < bands) {
       var sig = 0L
       var p = 0
       while (p < planesPerBand) {
+        val base = (b * planesPerBand + p) * dim
         var acc = 0.0
         var i = 0
-        while (i < dim) {
-          acc += planeArr(idx) * (if (f) v.getFloat(i).toDouble else v.getDouble(i))
-          idx += 1; i += 1
+        while (i < n) {
+          acc += planeArr(base + i) * (if (f) v.getFloat(i).toDouble else v.getDouble(i))
+          i += 1
         }
         if (acc > 0) sig |= 1L << p
         p += 1
@@ -145,10 +150,10 @@ case class HyperplaneSignatures(child: Expression, planes: Seq[Double],
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("planes", planeArr, "double[]")
     nullSafeCodeGen(ctx, ev, v => {
-      val dim = ctx.freshName("dim")
+      val n = ctx.freshName("n")
       val bands = ctx.freshName("bands")
       val out = ctx.freshName("out")
-      val idx = ctx.freshName("idx")
+      val base = ctx.freshName("base")
       val b = ctx.freshName("b")
       val p = ctx.freshName("p")
       val i = ctx.freshName("i")
@@ -156,16 +161,16 @@ case class HyperplaneSignatures(child: Expression, planes: Seq[Double],
       val sig = ctx.freshName("sig")
       val elem = if (isFloat) s"((double) $v.getFloat($i))" else s"$v.getDouble($i)"
       s"""
-         |int $dim = $v.numElements();
+         |int $n = Math.min($dim, $v.numElements());
          |int $bands = $planesRef.length / ($planesPerBand * $dim);
          |long[] $out = new long[$bands];
-         |int $idx = 0;
          |for (int $b = 0; $b < $bands; $b++) {
          |  long $sig = 0L;
          |  for (int $p = 0; $p < $planesPerBand; $p++) {
+         |    int $base = ($b * $planesPerBand + $p) * $dim;
          |    double $acc = 0.0;
-         |    for (int $i = 0; $i < $dim; $i++) {
-         |      $acc += $planesRef[$idx++] * $elem;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += $planesRef[$base + $i] * $elem;
          |    }
          |    if ($acc > 0) $sig |= 1L << $p;
          |  }
@@ -199,6 +204,9 @@ case class NearestCentroid(child: Expression, centroids: Seq[Double],
 
   @transient private lazy val centArr: Array[Double] = centroids.toArray
   @transient private lazy val normArr: Array[Double] = halfNorms.toArray
+  // declared centroid dimension — row offsets derive from this, never
+  // from the row's own length (a deviant row must not misalign the scan)
+  private def dim: Int = centroids.size / halfNorms.size
 
   override def dataType: DataType = IntegerType
 
@@ -209,27 +217,30 @@ case class NearestCentroid(child: Expression, centroids: Seq[Double],
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _)
-      if halfNorms.nonEmpty && centroids.size % halfNorms.size == 0 =>
+      if halfNorms.nonEmpty && centroids.nonEmpty &&
+        centroids.size % halfNorms.size == 0 =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"NearestCentroid needs array<float|double> input and a centroid " +
-        s"matrix divisible by ${halfNorms.size} cells, got ${child.dataType}")
+      s"NearestCentroid needs array<float|double> input and a non-empty " +
+        s"centroid matrix divisible by ${halfNorms.size} cells, got ${child.dataType}")
   }
 
+  // rows shorter than dim zero-pad (min-length dot, like FloatVectorDot);
+  // longer rows ignore the tail — never an out-of-bounds read
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val dim = v.numElements()
+    val n = math.min(dim, v.numElements())
     val f = isFloat
     var best = 0
     var bestScore = Double.NegativeInfinity
-    var idx = 0
     var c = 0
     while (c < normArr.length) {
+      val base = c * dim
       var acc = 0.0
       var i = 0
-      while (i < dim) {
-        acc += centArr(idx) * (if (f) v.getFloat(i).toDouble else v.getDouble(i))
-        idx += 1; i += 1
+      while (i < n) {
+        acc += centArr(base + i) * (if (f) v.getFloat(i).toDouble else v.getDouble(i))
+        i += 1
       }
       val score = acc - normArr(c)
       if (score > bestScore) { bestScore = score; best = c }
@@ -242,24 +253,24 @@ case class NearestCentroid(child: Expression, centroids: Seq[Double],
     val centsRef = ctx.addReferenceObj("centroids", centArr, "double[]")
     val normsRef = ctx.addReferenceObj("halfNorms", normArr, "double[]")
     nullSafeCodeGen(ctx, ev, v => {
-      val dim = ctx.freshName("dim")
+      val n = ctx.freshName("n")
       val best = ctx.freshName("best")
       val bestScore = ctx.freshName("bestScore")
-      val idx = ctx.freshName("idx")
+      val base = ctx.freshName("base")
       val c = ctx.freshName("c")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val score = ctx.freshName("score")
       val elem = if (isFloat) s"((double) $v.getFloat($i))" else s"$v.getDouble($i)"
       s"""
-         |int $dim = $v.numElements();
+         |int $n = Math.min($dim, $v.numElements());
          |int $best = 0;
          |double $bestScore = Double.NEGATIVE_INFINITY;
-         |int $idx = 0;
          |for (int $c = 0; $c < $normsRef.length; $c++) {
+         |  int $base = $c * $dim;
          |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $dim; $i++) {
-         |    $acc += $centsRef[$idx++] * $elem;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $centsRef[$base + $i] * $elem;
          |  }
          |  double $score = $acc - $normsRef[$c];
          |  if ($score > $bestScore) { $bestScore = $score; $best = $c; }
@@ -280,10 +291,12 @@ object VectorExpressions {
     ColumnBridge.column(FloatVectorDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Column wrapper: all LSH band signatures in one pass (array<long>,
-    * one element per band of `planesPerBand` sign bits). */
-  def hyperplaneSigs(vec: Column, planes: Seq[Double], planesPerBand: Int): Column =
+    * one element per band of `planesPerBand` sign bits of dimension
+    * `dim`). */
+  def hyperplaneSigs(vec: Column, planes: Seq[Double], planesPerBand: Int,
+                     dim: Int): Column =
     ColumnBridge.column(
-      HyperplaneSignatures(ColumnBridge.expression(vec), planes, planesPerBand))
+      HyperplaneSignatures(ColumnBridge.expression(vec), planes, planesPerBand, dim))
 
   /** Column wrapper: IVF nearest-centroid cell id in one pass. */
   def nearestCentroid(vec: Column, centroids: Seq[Double], halfNorms: Seq[Double]): Column =

@@ -93,9 +93,12 @@ object Relational {
     * sort order. Cost is that of a single window aggregation regardless
     * of how many left rows each right row serves.
     *
-    * Right-side ties (same key, same timestamp) resolve to the row
-    * latest in `tieBreak` order (default: the payload's first column) —
-    * pass an explicit tie-break column when right timestamps can collide.
+    * The payload travels as ONE struct (non-null for every right row even
+    * when individual fields are null), so the matched row's nulls come
+    * through as nulls and fields are never stitched from different right
+    * rows. Right-side ties (same key, same timestamp) resolve to the row
+    * last in `tieBreak` order — by default the payload struct itself,
+    * which makes ties deterministic without a caller-supplied column.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, payload: Seq[String],
@@ -106,19 +109,18 @@ object Relational {
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-      .withColumn("__tie", lit(null).cast("long"))
+    val pStruct = struct(payload.map(col): _*)
     val r = right.select(
-      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side") :+
-        coalesce(tieBreak.map(col).getOrElse(lit(null)).cast("long"), lit(0L)).as("__tie")) ++
-        payload.map(col): _*)
+      keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side") :+
+        tieBreak.map(col).getOrElse(pStruct).as("__tie") :+ pStruct.as("__p"): _*)
+    // left rows get null __tie/__p via unionByName; __tie only orders
+    // right rows among themselves (left rows already sort after via __side)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
+    val filled = unioned.withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
     filled.where(col("__side") === 1)
-      .select((leftCols ++ payload).map(col): _*)
+      .select(leftCols.map(col) ++ payload.map(p => col(s"__p.$p").as(p)): _*)
   }
 }

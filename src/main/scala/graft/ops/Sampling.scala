@@ -48,7 +48,7 @@ object Sampling {
                        idCol: String): DataFrame = {
     val w = Window.partitionBy(strataCols.map(col): _*)
       .orderBy(hashScore(col(idCol)), col(idCol))
-    df.withColumn("rn", row_number().over(w)).where(col("rn") <= n).drop("rn")
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn")
   }
 
   /** Weighted mixture of corpora: each source is kept with its own

@@ -56,7 +56,7 @@ object Similarity {
     * expression, not `numPlanes` composed dot products. */
   def hyperplaneSignature(vec: Column, dim: Int, numPlanes: Int, seed: Long = 42L): Column =
     element_at(graft.functions.VectorExpressions.hyperplaneSigs(
-      vec, planeFamily(dim, numPlanes, seed), numPlanes), 1)
+      vec, planeFamily(dim, numPlanes, seed), numPlanes, dim), 1)
 
   /** The query's probe buckets for multi-probe LSH (Lv et al., "Multi-Probe
     * LSH", VLDB'07): the query signature itself, then signatures reached by
@@ -156,7 +156,7 @@ object Similarity {
     // seeded family, identical to composing per-band signatures)
     val allPlanes = (0 until bands).flatMap(b => planeFamily(dim, planesPerBand, seed + b))
     val sigs = graft.functions.VectorExpressions.hyperplaneSigs(
-      col(vecCol), allPlanes, planesPerBand)
+      col(vecCol), allPlanes, planesPerBand, dim)
     val banded = embeddings.select(col(idCol),
       posexplode(sigs).as(Seq("band", "sig")))
     val cand = banded.select(col("band"), col("sig"), col(idCol).as("id_a"))

@@ -74,6 +74,19 @@ class RelationalSpec extends SparkSpec {
       (3L, 30L, None)))      // key absent on the right
   }
 
+  test("asofJoin: a matched right row's null payload stays null (no stitching)") {
+    val left = Seq((1L, 10L), (1L, 20L)).toDF("user", "ts")
+    val right = Seq((1L, 5L, Option("x"), Option(7L)),
+      (1L, 15L, Option.empty[String], Option(9L))).toDF("user", "rts", "tag", "m")
+    val out = Relational.asofJoin(left, right, Seq("user"), "ts", "rts",
+      Seq("tag", "m"))
+      .select("ts", "tag", "m")
+      .as[(Long, Option[String], Option[Long])].collect().toSet
+    // ts=20 matches the rts=15 row: its tag is GENUINELY null and must not
+    // be backfilled from the rts=5 row; both fields come from the same row
+    assert(out === Set((10L, Some("x"), Some(7L)), (20L, None, Some(9L))))
+  }
+
   test("stratifiedSample: exactly n per stratum, deterministic, id-keyed") {
     val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
       .toDF("id", "stratum")
