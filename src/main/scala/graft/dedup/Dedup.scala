@@ -142,7 +142,11 @@ object Dedup {
       .withColumn("n_sh", count(lit(1)).over(
         docWin.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("pos", row_number().over(docWin))
-      .where(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      // ε guard: t·n can round ABOVE the exact rational (0.07·100 →
+      // 7.000000000000001, ceil → 8), shortening the prefix below the
+      // PPJoin bound and silently dropping true pairs. Undershooting the
+      // ceil only lengthens the prefix (more candidates, still exact).
+      .where(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
       .select(blockCols.map(col) :+ col(idCol) :+ col("n_sh") :+ col("g"): _*)
 
     val a = prefix.select(blockCols.map(col) :+ col(idCol).as("id_a") :+

@@ -30,10 +30,18 @@ object RecommenderJob {
     val model = Recommender.train(ratings, rank = rank, maxIter = maxIter, seed = seed)
     // hash -> guid resolution frame (the reference's addonMap lookup,
     // AddonRecommender.scala:258-266, kept distributed)
-    val items = installs
+    val hashed = installs
       .select(Recommender.hashUdf(col(itemCol).cast("string")).as("item"),
         col(itemCol).as("guid_raw"))
-      .dropDuplicates("item")
+      .distinct()
+    // the ALS id space is 23 bits (Recommender.positiveHash): two guids
+    // hashing to one id would label that item's recommendations with an
+    // arbitrary one of them — fail loudly instead
+    val nCollide = hashed.groupBy(col("item")).count().where(col("count") > 1).count()
+    require(nCollide == 0,
+      s"$nCollide item-hash collisions in the 23-bit ALS id space — " +
+        "colliding guids would be mislabeled arbitrarily")
+    val items = hashed
     val recs = Recommender.recommendAll(model, k)
       .select(col("user"), posexplode(col("recommendations")).as(Seq("rnk", "rec")))
       .select(col("user"), (col("rnk") + 1).as("rnk"),

@@ -124,13 +124,26 @@ object SyncPing {
     col("ping.payload.engines").as("engines"),
     col("ping.payload.devices").as("devices"))
 
+  /** The sync list a ping shreds to: new-style `payload.syncs[]`, or the
+    * payload itself as a single old-style sync (when it carries `when`).
+    * Shared by [[nestedRows]] and [[observeShredding]] so the metrics can
+    * never desynchronize from the rows actually produced. */
+  private def syncsCol: Column = coalesce(col("ping.payload.syncs"),
+    when(col("ping.payload.when").isNotNull, array(syncFromPayload)))
+
+  /** Required-field survival rule for one sync (same sharing rationale):
+    * a sync yields a row iff it has a `when` and a uid (its own or the
+    * ping's). */
+  private def syncSurvives(s: Column): Column =
+    coalesce(s.getField("uid"), col("ping.uid")).isNotNull &&
+      s.getField("when").isNotNull
+
   /** G3 — one row per sync: new-style `payload.syncs[]`, or the payload
     * itself as a single old-style sync (when it carries `when`). */
-  def nestedRows(parsed: DataFrame, keep: Seq[Column] = Nil): DataFrame = {
-    val syncs = coalesce(col("ping.payload.syncs"),
-      when(col("ping.payload.when").isNotNull, array(syncFromPayload)))
+  def nestedRows(parsed: DataFrame, keep: Seq[Column] = Nil): DataFrame =
     parsed
-      .withColumn("sync", explode(syncs))
+      .withColumn("sync", explode(syncsCol))
+      .where(syncSurvives(col("sync"))) // required fields
       .select(keep ++ Seq(
         coalesce(col("sync.uid"), col("ping.uid")).as("uid"),
         coalesce(col("sync.deviceID"), col("ping.deviceID")).as("device_id"),
@@ -143,8 +156,6 @@ object SyncPing {
         coalesce(col("ping.payload.os.version"), col("ping.os.version")).as("os_version"),
         col("sync.engines").as("engines"),
         col("sync.devices").as("devices")): _*)
-      .where(col("uid").isNotNull && col("when").isNotNull) // required fields
-  }
 
   /** A11 — the reference's processed/ignored/failed record triple
     * (SyncView.scala:49-51,64-83) as query-observed metrics, with no second
@@ -155,13 +166,8 @@ object SyncPing {
     * before [[nestedRows]]/[[flatRows]]; read `obs.get` after an action. */
   def observeShredding(parsed: DataFrame, obs: Observation): DataFrame = {
     val failed = col("ping._corrupt_record").isNotNull
-    val syncs = coalesce(col("ping.payload.syncs"),
-      when(col("ping.payload.when").isNotNull, array(syncFromPayload)))
-    // mirrors nestedRows' required-field filter: a sync survives iff it has
-    // a `when` and a uid (its own or the ping's)
-    val yieldsRows = coalesce(exists(syncs, s =>
-      coalesce(s.getField("uid"), col("ping.uid")).isNotNull &&
-        s.getField("when").isNotNull), lit(false))
+    // the SAME syncs column and survival rule nestedRows shreds with
+    val yieldsRows = coalesce(exists(syncsCol, syncSurvives), lit(false))
     parsed.observe(obs,
       count(when(failed, 1)).as("failed"),
       count(when(!failed && !yieldsRows, 1)).as("ignored"),

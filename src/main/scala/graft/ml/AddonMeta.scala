@@ -61,6 +61,9 @@ object AddonMeta {
   def enrich(df: DataFrame, addonCol: String, catalog: DataFrame): DataFrame = {
     val meta = catalog.select(col("guid"),
       displayName.as("addon_name"), isWebextension.as("is_webextension"))
-    df.join(broadcast(meta), df(addonCol) === meta("guid"), "left").drop("guid")
+    // drop via the catalog-side reference: drop("guid") by NAME would also
+    // remove the caller's column when addonCol itself is named "guid"
+    df.join(broadcast(meta), df(addonCol) === meta("guid"), "left")
+      .drop(meta("guid"))
   }
 }

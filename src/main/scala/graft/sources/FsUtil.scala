@@ -40,20 +40,33 @@ object FsUtil {
     val c = conf(spark)
     val p = new Path(pathString)
     val raw = p.getFileSystem(c).open(p)
-    val in = Option(new CompressionCodecFactory(c).getCodec(p))
-      .map(_.createInputStream(raw)).getOrElse(raw)
-    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-    finally IOUtils.closeStream(in)
+    val in = try {
+      Option(new CompressionCodecFactory(c).getCodec(p))
+        .map(_.createInputStream(raw)).getOrElse(raw)
+    } catch { case t: Throwable => IOUtils.closeStream(raw); throw t }
+    try {
+      val body = new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      in.close() // propagate decompressor/stream failures
+      body
+    } catch { case t: Throwable => IOUtils.closeStream(in); throw t }
   }
 
-  /** Whole-file write with extension-driven compression (`writeTextFile`). */
+  /** Whole-file write with extension-driven compression (`writeTextFile`).
+    * `close()` is called on the success path and its failure PROPAGATES:
+    * for compressed output nearly all bytes (deflate flush + trailer) are
+    * emitted at close, and HDFS finalizes the block pipeline there — a
+    * swallowed close would report a truncated file as persisted. */
   def write(spark: SparkSession, pathString: String, body: String): Unit = {
     val c = conf(spark)
     val p = new Path(pathString)
     val raw = p.getFileSystem(c).create(p, true)
-    val out = Option(new CompressionCodecFactory(c).getCodec(p))
-      .map(_.createOutputStream(raw)).getOrElse(raw)
-    try out.write(body.getBytes(StandardCharsets.UTF_8))
-    finally IOUtils.closeStream(out)
+    val out = try {
+      Option(new CompressionCodecFactory(c).getCodec(p))
+        .map(_.createOutputStream(raw)).getOrElse(raw)
+    } catch { case t: Throwable => IOUtils.closeStream(raw); throw t }
+    try {
+      out.write(body.getBytes(StandardCharsets.UTF_8))
+      out.close()
+    } catch { case t: Throwable => IOUtils.closeStream(out); throw t }
   }
 }

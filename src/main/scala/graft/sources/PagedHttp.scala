@@ -77,16 +77,26 @@ object PagedHttp {
     * (AMODatabase.scala:91-106): cache hit skips fetching entirely; miss
     * runs `fetch`, persists the pages, and returns them. Pages are stored
     * as one JSON array of strings (bodies may contain newlines). */
-  def cachedPages(cachePath: Path)(fetch: => Seq[String]): Seq[String] =
-    if (Files.exists(cachePath)) {
-      mapper.readTree(Files.readString(cachePath, StandardCharsets.UTF_8))
-        .elements().asScala.map(_.asText).toVector
-    } else {
+  def cachedPages(cachePath: Path)(fetch: => Seq[String]): Seq[String] = {
+    // a crash mid-write must not poison the cache: write goes to a temp
+    // sibling then atomically moves into place, and an unparseable cache
+    // file (pre-atomic leftovers, manual edits) falls back to a re-fetch
+    // instead of failing every future run
+    def readCache(): Option[Seq[String]] =
+      try Some(mapper.readTree(Files.readString(cachePath, StandardCharsets.UTF_8))
+        .elements().asScala.map(_.asText).toVector)
+      catch { case scala.util.control.NonFatal(_) => None }
+    val hit = if (Files.exists(cachePath)) readCache() else None
+    hit.getOrElse {
       val pages = fetch
-      Files.write(cachePath,
+      val tmp = cachePath.resolveSibling(cachePath.getFileName.toString + ".tmp")
+      Files.write(tmp,
         mapper.writeValueAsString(pages.toArray).getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, cachePath, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       pages
     }
+  }
 
   /** Page bodies → one row per result record, de-duplicated on `keyField`
     * with the LAST page occurrence winning — exactly the reference's
