@@ -63,6 +63,7 @@ object RecommenderJob {
       .appName("recommender_job")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     try {
       val installs = spark.read.parquet(kv("installs"))

@@ -118,7 +118,10 @@ class NaNRMSEEvaluator(override val uid: String) extends Evaluator {
       col($(labelCol)).cast("double").as("l"))
       .where(!isnan(col("p")))
     val row = df.agg(sqrt(avg(pow(col("p") - col("l"), 2)))).head()
-    if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
+    // all-NaN fold (pure cold-start test split): +Inf, NOT NaN — NaN
+    // compares false both ways, so CrossValidator's min-metric selection
+    // could pick the degenerate combo as "best"; +Inf disqualifies it
+    if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
   }
 
   override def isLargerBetter: Boolean = false // RMSE: lower is better

@@ -17,16 +17,21 @@ object Comparator {
       leftCount: Long, rightCount: Long,
       columnsOnlyLeft: Seq[String], columnsOnlyRight: Seq[String],
       nullCountsLeft: Map[String, Long], nullCountsRight: Map[String, Long],
-      rowsOnlyLeft: Long, rowsOnlyRight: Long) {
+      rowsOnlyLeft: Long, rowsOnlyRight: Long,
+      rowsMultiplicityDiff: Long) {
+    // rowsMultiplicityDiff covers what the EXCEPT-style only-counts miss:
+    // [X,X,Y] vs [X,Y,Y] has empty excepts but differing per-row counts
     def same: Boolean =
       leftCount == rightCount && columnsOnlyLeft.isEmpty && columnsOnlyRight.isEmpty &&
-        rowsOnlyLeft == 0 && rowsOnlyRight == 0
+        rowsOnlyLeft == 0 && rowsOnlyRight == 0 && rowsMultiplicityDiff == 0
   }
 
   /** One-pass per-column null counts (A3). */
   def nullCounts(df: DataFrame, cols: Seq[String]): Map[String, Long] = {
     if (cols.isEmpty) return Map.empty
-    val aggs = cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(c))
+    // coalesce: sum over an EMPTY frame is null, and getLong would NPE
+    val aggs = cols.map(c =>
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(c))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
   }
@@ -54,7 +59,7 @@ object Comparator {
     * preserving encoding — before hashing. This makes distinct values
     * hash distinctly up to JSON fidelity (binary inside nested types and
     * map key order are the remaining caveats) rather than injectively. */
-  def diffCounts(lProj: DataFrame, rProj: DataFrame): (Long, Long, Long, Long) = {
+  def diffCounts(lProj: DataFrame, rProj: DataFrame): (Long, Long, Long, Long, Long) = {
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     def rowHash(df: DataFrame): Column = {
       val complex = df.schema.fields.collect {
@@ -72,11 +77,13 @@ object Comparator {
     val row = tagged.groupBy(col("r"))
       .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("ln"),
         sum(when(col("side") === 2, 1L).otherwise(0L)).as("rn"))
-      .agg(sum(col("ln")), sum(col("rn")),
+      // coalesce: zero groups (both inputs empty) sum to null, not 0
+      .agg(coalesce(sum(col("ln")), lit(0L)), coalesce(sum(col("rn")), lit(0L)),
         count(when(col("ln") > 0 && col("rn") === 0, 1)),
-        count(when(col("rn") > 0 && col("ln") === 0, 1)))
+        count(when(col("rn") > 0 && col("ln") === 0, 1)),
+        count(when(col("ln") =!= col("rn"), 1)))
       .head()
-    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
   }
 
   /** Both sides' null counts in ONE job over the tag-union (the naive form
@@ -87,8 +94,8 @@ object Comparator {
     val tagged = lProj.withColumn("__side", lit(1))
       .unionAll(rProj.withColumn("__side", lit(2)))
     val aggs = cols.flatMap(c => Seq(
-      sum(when(col(c).isNull && col("__side") === 1, 1L).otherwise(0L)).as(s"l_$c"),
-      sum(when(col(c).isNull && col("__side") === 2, 1L).otherwise(0L)).as(s"r_$c")))
+      coalesce(sum(when(col(c).isNull && col("__side") === 1, 1L).otherwise(0L)), lit(0L)).as(s"l_$c"),
+      coalesce(sum(when(col(c).isNull && col("__side") === 2, 1L).otherwise(0L)), lit(0L)).as(s"r_$c")))
     val row = tagged.agg(aggs.head, aggs.tail: _*).head()
     val l = cols.zipWithIndex.map { case (c, i) => c -> row.getLong(2 * i) }.toMap
     val r = cols.zipWithIndex.map { case (c, i) => c -> row.getLong(2 * i + 1) }.toMap
@@ -101,7 +108,7 @@ object Comparator {
     val common = lCols.intersect(rCols)
     val lProj = left.select(common.map(col): _*)
     val rProj = right.select(common.map(col): _*)
-    val (lCount, rCount, onlyLeft, onlyRight) = diffCounts(lProj, rProj)
+    val (lCount, rCount, onlyLeft, onlyRight, multDiff) = diffCounts(lProj, rProj)
     val (nullsL, nullsR) = nullCountsBoth(lProj, rProj, common)
     Report(
       leftCount = lCount,
@@ -111,7 +118,8 @@ object Comparator {
       nullCountsLeft = nullsL,
       nullCountsRight = nullsR,
       rowsOnlyLeft = onlyLeft,
-      rowsOnlyRight = onlyRight)
+      rowsOnlyRight = onlyRight,
+      rowsMultiplicityDiff = multDiff)
   }
 
   /** Report as a 1-row DataFrame (the reference writes this as its JSON

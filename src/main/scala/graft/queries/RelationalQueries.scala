@@ -145,7 +145,7 @@ object RelationalQueries {
       val s_ = s; import s_.implicits._
       val left  = Tables.lineitem(s, d)
       val right = left.where(col("l_quantity") <= 45)
-      val (lc, rc, onlyLeft, onlyRight) = graft.ops.Comparator.diffCounts(left, right)
+      val (lc, rc, onlyLeft, onlyRight, _) = graft.ops.Comparator.diffCounts(left, right)
       Seq((lc, rc, onlyLeft, onlyRight))
         .toDF("left_count", "right_count", "only_left", "only_right")
     }),

@@ -29,9 +29,13 @@ object TimeNorm {
     odt.withOffsetSameInstant(ZoneOffset.ofTotalSeconds(seconds)).format(isoOut)
   }
 
-  /** F3 as a Column (UDF — inherently JVM logic). */
+  /** F3 as a Column (UDF — inherently JVM logic). Unparseable input →
+    * null (the file's lenient-coercion discipline — one malformed record
+    * must not abort a 100 TB job after task retries). */
   val normalizeISOTimestamp: Column => Column = {
-    val f = udf((s: String) => if (s == null) null else normalizeISOTimestampJvm(s))
+    val f = udf((s: String) =>
+      if (s == null) null
+      else scala.util.Try(normalizeISOTimestampJvm(s)).getOrElse(null))
     c => f(c)
   }
 
@@ -50,9 +54,15 @@ object TimeNorm {
   def epochMillisToDay(c: Column): Column =
     date_format(timestamp_millis(c.cast("long")), "yyyyMMdd")
 
-  /** F6 — session-start ISO string (with offset) → epoch millis. */
-  def isoToEpochMillis(c: Column, fmt: String = "yyyy-MM-dd'T'HH:mm:ss.SXXX"): Column =
-    unix_timestamp(to_timestamp(c, fmt)) * 1000L
+  /** F6 — session-start ISO string (with offset) → epoch millis. The
+    * no-format default uses Spark's ISO parser (variable fraction digits,
+    * any legal offset); `unix_millis` keeps sub-second precision, which
+    * `unix_timestamp * 1000` truncated away. */
+  def isoToEpochMillis(c: Column): Column = unix_millis(to_timestamp(c))
+
+  /** F6 with an explicit parse pattern (single-digit-fraction inputs). */
+  def isoToEpochMillis(c: Column, fmt: String): Column =
+    unix_millis(to_timestamp(c, fmt))
 
   /** F10 — deterministic sample bucket: crc32(id) mod numBlocks.
     * Reference: utils/package.scala:156-160. */
@@ -64,8 +74,11 @@ object TimeNorm {
   def md5Block(c: Column, numBlocks: Int): Column =
     conv(substring(md5(encode(c, "UTF-8")), 1, 8), 16, 10).cast("long") % numBlocks
 
-  /** F11 — positive int hash for ML id mapping.
-    * Reference: ml/AddonRecommender.scala:84. */
+  /** F11 — positive 23-bit hash as a codegen Column (Murmur3, any input
+    * type). NOT the same function as `Recommender.positiveHash`, which
+    * reproduces the reference's exact `String.hashCode & 0x7FFFFF`
+    * (ml/AddonRecommender.scala:84) so its ids round-trip against
+    * reference-era data — never mix the two on the same id column. */
   def positiveHash(c: Column): Column = hash(c).bitwiseAND(lit(0x7FFFFF))
 
   /** F8 — inclusive `yyyyMMdd` day range; default `to` = yesterday.

@@ -50,9 +50,14 @@ object CollectOps {
     * stays relational: one hash aggregate, map-side partial agg, no array
     * ever crosses a shuffle.
     */
-  def arrayDedupeById(arr: Column, idField: String): Column =
+  def arrayDedupeById(arr: Column, idField: String): Column = {
+    // null-safe first-occurrence keep: array_position can't locate null
+    // ids (it returns null), which silently dropped EVERY null-keyed
+    // struct — the reference keeps the first one like any other key
+    val ids = transform(arr, x => x.getField(idField))
     filter(arr, (s, i) =>
-      i === array_position(transform(arr, x => x.getField(idField)), s.getField(idField)) - 1)
+      !exists(slice(ids, lit(1), i), v => v <=> s.getField(idField)))
+  }
 
   /** A7 at scale: the grouped "first struct per id in array order" as a
     * relational plan — `posexplode` turns array order into a `pos`

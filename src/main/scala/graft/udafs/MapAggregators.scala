@@ -28,8 +28,11 @@ object MapAggregators {
     def outputEncoder: Encoder[Map[String, String]] = ExpressionEncoder()
   }
 
-  /** A6 — pointwise sum of map values, null maps/values skipped. Widened to
-    * Long (the reference's IntegerType overflows at 100 TB row counts).
+  /** A6 — pointwise sum of map values; null MAPS are skipped. Null map
+    * VALUES must be pre-filtered by the caller (`map_filter(m, (_, v) ->
+    * v is not null)`): the primitive Long encoder rejects them at
+    * deserialization, before reduce could skip anything. Widened to Long
+    * (the reference's IntegerType overflows at 100 TB row counts).
     * Reference: src/main/scala/com/mozilla/telemetry/utils/udfs/AggMapSum.scala:10-58. */
   class MapSum extends Aggregator[Map[String, Long], Map[String, Long], Map[String, Long]] {
     def zero: Map[String, Long] = Map.empty

@@ -43,9 +43,13 @@ object Sketches {
     * Reference: src/main/scala/com/mozilla/telemetry/utils/udfs.scala:17-19.
     * Expressed as a when-chain (codegen'd), not a UDF. */
   def bucketed(c: Column, splits: Seq[Double]): Column = {
+    require(splits.nonEmpty, "bucketed needs at least one split")
     val sorted = splits.sorted
-    sorted.foldRight(lit(sorted.max + 1)) { (split, rest) =>
+    val chain = sorted.foldRight(lit(sorted.max + 1)) { (split, rest) =>
       when(c <= split, lit(split)).otherwise(rest)
     }
+    // a null value must stay null — every `c <= split` is null for it, so
+    // the raw chain would fall through to the overflow bucket
+    when(c.isNull, lit(null).cast("double")).otherwise(chain)
   }
 }

@@ -62,6 +62,14 @@ class PipelineSpec extends SparkSpec {
     val rep = Comparator.compareToDF(spark, left, right).head()
     assert(rep.getAs[String]("nulls_left") === "v=1")
     assert(rep.getAs[String]("nulls_right") === "")
+    // multiplicity-only differences are NOT "same" (EXCEPT is distinct-
+    // based and blind to [X,X,Y] vs [X,Y,Y])
+    val ml = Seq(1, 1, 2).toDF("v")
+    val mr = Seq(1, 2, 2).toDF("v")
+    val mult = Comparator.compare(ml, mr)
+    assert(mult.rowsOnlyLeft === 0 && mult.rowsOnlyRight === 0 && !mult.same)
+    // empty vs empty: same, not a crash
+    assert(Comparator.compare(ml.limit(0), mr.limit(0)).same)
   }
 
   test("BatchView: dynamic partition overwrite rewrites only incoming days") {

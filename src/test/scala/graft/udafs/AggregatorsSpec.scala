@@ -55,6 +55,15 @@ class AggregatorsSpec extends SparkSpec {
     assert(out === Seq(1L, 2L))
   }
 
+  test("arrayDedupeById keeps the FIRST null-id struct like any other key") {
+    val df = Seq(Tuple1(Seq((Option.empty[String], 1L), (Option.empty[String], 2L),
+      (Option("a"), 3L)))).toDF("arr")
+      .select(col("arr").cast("array<struct<id:string,v:bigint>>").as("arr"))
+    val out = df.select(CollectOps.arrayDedupeById(col("arr"), "id").as("d"))
+      .selectExpr("transform(d, x -> x.v) as vs").as[Seq[Long]].head()
+    assert(out === Seq(1L, 3L)) // null key deduped, not dropped
+  }
+
   test("rowFirstByPos keeps earliest struct per id in array order") {
     val df = Seq(
       (1, Seq(("a", 1L), ("b", 2L), ("a", 3L))),
@@ -100,5 +109,10 @@ class AggregatorsSpec extends SparkSpec {
       .select(Sketches.bucketed(col("v"), Seq(10, 20, 30, 40, 50)).as("b"))
       .as[Double].collect().toSeq
     assert(b === Seq(10.0, 10.0, 20.0, 51.0))
+    // null value -> null bucket, never the overflow bucket
+    val nb = Seq(Option(5.0), None).toDF("v")
+      .select(Sketches.bucketed(col("v"), Seq(10.0)).as("b"))
+      .as[Option[Double]].collect().toSeq
+    assert(nb === Seq(Some(10.0), None))
   }
 }
