@@ -60,8 +60,19 @@ object Bench {
       case (k, Right(v)) => s"\"" + k + "\":" + v
       case (k, Left(_)) => s"\"" + k + "\":null"
     }.mkString("{", ",", "}")
+    // escape control chars too: Spark exception messages are multi-line,
+    // and one raw newline would break the single-JSON-line contract
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val errs = results.collect { case (k, Left(e)) =>
-      s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      s"\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     val total = results.values.collect { case Right(v) => v }.sum
     val nFailed = results.values.count(_.isLeft)

@@ -52,7 +52,13 @@ object StreamingViews {
     * Event-time (not processing-time) timeouts are deliberate: they are
     * deterministic and replayable — a backfill over historical data closes
     * the same sessions as the live run, and a test can drive closure by
-    * advancing the watermark with data instead of sleeping wall-clock. */
+    * advancing the watermark with data instead of sleeping wall-clock.
+    * Sessions close two ways: a later event for the SAME user beyond the
+    * gap (emitted immediately), or the watermark passing end+gap for an
+    * idle user (timeout). `watermarkDelay` is also the out-of-order
+    * budget: with the 0 ms default, any cross-batch event older than the
+    * watermark is DROPPED by Spark before this function runs — size it to
+    * the pipeline's real delivery skew in production. */
   def sessionize(events: Dataset[SessionEvent], gapMillis: Long,
                  watermarkDelay: String = "0 milliseconds"): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
@@ -69,19 +75,32 @@ object StreamingViews {
             state.remove()
             Iterator.single(out)
           } else {
-            val batch = rows.toSeq
-            val prev = state.getOption.getOrElse(
-              SessionSummary(userId, 0L, 0.0, Long.MaxValue, Long.MinValue))
-            val next = batch.foldLeft(prev) { (s, e) =>
-              SessionSummary(userId, s.nEvents + 1, s.sumValue + e.value,
-                math.min(s.startMillis, e.tsMillis), math.max(s.endMillis, e.tsMillis))
+            // fold events in TIME order and split on every gap > gapMillis
+            // — both against the carried state and between batch events.
+            // Without this, a user whose data keeps arriving would never
+            // close a session (the timeout only fires for idle groups),
+            // and a single-batch backfill would emit one giant session.
+            val closed = scala.collection.mutable.Buffer.empty[SessionSummary]
+            var cur = state.getOption
+            rows.toSeq.sortBy(_.tsMillis).foreach { e =>
+              cur = cur match {
+                case Some(s) if e.tsMillis - s.endMillis > gapMillis =>
+                  closed += s
+                  Some(SessionSummary(userId, 1L, e.value, e.tsMillis, e.tsMillis))
+                case Some(s) =>
+                  Some(SessionSummary(userId, s.nEvents + 1, s.sumValue + e.value,
+                    math.min(s.startMillis, e.tsMillis), math.max(s.endMillis, e.tsMillis)))
+                case None =>
+                  Some(SessionSummary(userId, 1L, e.value, e.tsMillis, e.tsMillis))
+              }
             }
-            state.update(next)
+            val open = cur.get
+            state.update(open)
             // setTimeoutTimestamp must stay ahead of the current watermark;
             // late-arriving groups time out on the next batch.
             state.setTimeoutTimestamp(
-              math.max(next.endMillis + gapMillis, state.getCurrentWatermarkMs + 1))
-            Iterator.empty
+              math.max(open.endMillis + gapMillis, state.getCurrentWatermarkMs + 1))
+            closed.iterator
           }
       }
   }

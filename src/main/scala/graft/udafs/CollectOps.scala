@@ -65,7 +65,9 @@ object CollectOps {
     * occurrence. One shuffle keyed on (keys, id) carrying single structs
     * (never whole arrays), partial-aggregated map-side; survives arbitrary
     * array sizes where the HOF form is quadratic. Output: `keys` + `first`
-    * (the kept struct). */
+    * (the kept struct). NOTE: rows whose array is null or empty produce NO
+    * output row (there is no first struct to keep) — callers needing every
+    * key group back should left-join this result to the key set. */
   def rowFirstByPos(df: DataFrame, keys: Seq[String], arrCol: String,
                     idField: String): DataFrame = {
     val exploded = df.select(keys.map(col) :+ posexplode(col(arrCol)).as(Seq("pos", "e")): _*)

@@ -50,23 +50,25 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
       .format("memory").queryName("sess").start()
     try {
       q.processAllAvailable() // batch 1: state for users 1, 2; watermark → 2000
-      // Advance the event-time watermark far past both sessions' gap by
-      // dropping a second file — deterministic, no wall-clock sleep. The
-      // timed-out groups emit on the post-watermark-advance batch.
+      // user 1's events are 1000 ms apart with gap=100: the first session
+      // closes DATA-DRIVEN inside batch 1 (no timeout needed); the open
+      // sessions (1@2000, 2@1500) need the watermark advanced past their
+      // gap — drop a second file, deterministic, no wall-clock sleep.
       Seq(StreamingViews.SessionEvent(99L, 1000000L, 0.0))
         .toDF.write.mode("append").parquet(s"$dir/in")
       q.processAllAvailable()
       val deadline = System.nanoTime() + 60L * 1000000000L
       def emitted() = spark.table("sess")
+        .where(col("userId") < 99) // user 99 only advances the watermark
         .select("userId", "nEvents", "sumValue").as[(Long, Long, Double)]
-        .collect().sortBy(_._1).toSeq
+        .collect().sortBy(r => (r._1, r._3)).toSeq
       var out = emitted()
-      while (out.size < 2 && System.nanoTime() < deadline) {
+      while (out.size < 3 && System.nanoTime() < deadline) {
         Thread.sleep(100) // no-data micro-batch fires the event-time timeouts
         q.processAllAvailable()
         out = emitted()
       }
-      assert(out === Seq((1L, 2L, 5.0), (2L, 1L, 7.0)))
+      assert(out === Seq((1L, 1L, 2.0), (1L, 1L, 3.0), (2L, 1L, 7.0)))
     } finally q.stop()
   }
 
