@@ -366,22 +366,40 @@ object Dedup {
     * streams through sort-based window evaluation instead of building an
     * in-memory array. Each round is two window passes + two distincts;
     * the edge set is checkpointed per round to truncate the iterative
-    * lineage (localCheckpoint here; swap for reliable `checkpoint` on a
-    * cluster where executor loss must be survivable). Convergence is an
-    * order-independent (count, hash-XOR) signature of the directed edge
-    * set — one tiny aggregate per round, no edge-set EXCEPT join.
+    * lineage; once a round's checkpoint materializes, the PREVIOUS round's
+    * blocks are unpersisted, so at most two rounds' edge sets occupy
+    * executor storage at any time (vs maxIter copies pinned for the job's
+    * lifetime). Convergence is an order-independent (count, hash-XOR)
+    * signature of the directed edge set — one tiny aggregate per round,
+    * no edge-set EXCEPT join.
+    *
+    * @param reliable use `checkpoint` (written to the session's checkpoint
+    *                 dir, survives executor loss) instead of
+    *                 `localCheckpoint` (executor-local blocks, cheaper but
+    *                 lost with the executor) — set on clusters where a
+    *                 mid-job executor loss must not kill a long CC run
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-                          bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+                          bCol: String = "id_b", maxIter: Int = 50,
+                          reliable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("u")
-    // directed large→small; self-loops dropped
     // lazy checkpoints: the per-round signature aggregate is the action
     // that materializes them, so each round costs ONE job instead of two
-    var edges = pairs
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
+    // a checkpointed Dataset's plan is a LogicalRDD over the persisted RDD;
+    // Dataset.unpersist only covers CacheManager entries, so the block
+    // release must go through that RDD directly
+    def unpersistCkpt(df: DataFrame): Unit = df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+    // directed large→small; self-loops dropped
+    var edges = ckpt(pairs
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
-      .where(col("u") =!= col("v")).distinct().localCheckpoint(false)
+      .where(col("u") =!= col("v")).distinct())
     // order-independent set signature: (count, XOR of row hashes) — XOR
     // never overflows (vs SUM under ANSI) and distinct inputs mean no
     // duplicate self-cancellation
@@ -402,12 +420,12 @@ object Dedup {
         .distinct()
       // small-star: u and all its (smaller) neighbors link to their min
       val withM = ls.withColumn("m", min(col("v")).over(w))
-      val ss = withM.where(col("v") =!= col("m"))
+      val ss = ckpt(withM.where(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(withM.select(col("u"), col("m").as("v")))
-        .distinct()
-        .localCheckpoint(false)
-      val next = sig(ss)
+        .distinct())
+      val next = sig(ss) // action: materializes ss's checkpoint (lineage truncated)
+      unpersistCkpt(edges) // prior round's blocks are now unreachable — release them
       done = next == cur
       cur = next
       edges = ss

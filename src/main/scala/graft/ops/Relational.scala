@@ -99,20 +99,50 @@ object Relational {
     * rows. Right-side ties (same key, same timestamp) resolve to the row
     * last in `tieBreak` order — by default the payload struct itself,
     * which makes ties deterministic without a caller-supplied column.
+    * When the payload contains a non-orderable type (MapType anywhere in
+    * it), the default would fail analysis — an explicit `tieBreak` is
+    * required instead. The working columns `__ts/__side/__tie/__p` are
+    * reserved: a frame already carrying one is rejected (it would be
+    * silently clobbered otherwise).
     */
+  private val asofReserved = Seq("__ts", "__side", "__tie", "__p")
+
+  private def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => orderable(f.dataType))
+      case a: ArrayType => orderable(a.elementType)
+      case u: UserDefinedType[_] => orderable(u.sqlType)
+      case _ => true
+    }
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, payload: Seq[String],
                tieBreak: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(payload.contains),
       s"payload ${payload.mkString(",")} collides with a left column")
+    val clash = (leftCols ++ right.columns).filter(asofReserved.contains).distinct
+    require(clash.isEmpty,
+      s"column(s) ${clash.mkString(",")} collide with asofJoin's reserved " +
+        s"working columns (${asofReserved.mkString(",")}) — rename them first")
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
     val pStruct = struct(payload.map(col): _*)
+    val tie = tieBreak.map(col).getOrElse {
+      val pType = right.select(pStruct).schema.head.dataType
+      require(orderable(pType),
+        "payload contains a non-orderable type (MapType) — the default " +
+          "tie-break (the payload struct) cannot order it; pass an explicit " +
+          "tieBreak column")
+      pStruct
+    }
     val r = right.select(
       keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side") :+
-        tieBreak.map(col).getOrElse(pStruct).as("__tie") :+ pStruct.as("__p"): _*)
+        tie.as("__tie") :+ pStruct.as("__p"): _*)
     // left rows get null __tie/__p via unionByName; __tie only orders
     // right rows among themselves (left rows already sort after via __side)
     val unioned = l.unionByName(r, allowMissingColumns = true)

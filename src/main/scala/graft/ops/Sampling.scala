@@ -88,16 +88,36 @@ object Sampling {
     * deterministic form of "give me ~N tokens of this corpus" used when
     * assembling training mixes under a token budget.
     *
-    * One global window sort — the same single-ordering shape as a global
-    * sort-limit. For corpus-scale budgets, pre-filter with a hash
-    * threshold estimated from average doc length (then this exact pass
-    * runs over slightly more than the budget, not the whole corpus). */
+    * Two-pass scale shape: the exact cumulative window is a GLOBAL
+    * ordering (one task sorts its whole input), so running it over the
+    * full corpus is a straggler at scale. Instead a cheap aggregate sizes
+    * a hash-prefix pre-filter at `safety × budget / total` — because the
+    * kept set IS a hash-prefix, any prefix whose token total reaches the
+    * budget contains the entire answer, so the exact window then runs over
+    * ~`safety × budget` tokens of survivors instead of the whole corpus.
+    * If the pre-filter under-fills (pathological length/hash correlation),
+    * it falls back to the exact global pass — the result is identical in
+    * every case, only the window's input size changes. */
   def tokenBudgetSample(df: DataFrame, idCol: String, tokenCountCol: String,
-                        budget: Long): DataFrame = {
+                        budget: Long, safety: Double = 2.0): DataFrame = {
+    require(safety >= 1.0, s"safety factor must be >= 1: $safety")
     val w = Window.orderBy(hashScore(col(idCol)), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(col(tokenCountCol)).over(w))
-      .where(col("__cum") - col(tokenCountCol) < budget)
-      .drop("__cum")
+    def exactPass(in: DataFrame): DataFrame =
+      in.withColumn("__cum", sum(col(tokenCountCol)).over(w))
+        .where(col("__cum") - col(tokenCountCol) < budget)
+        .drop("__cum")
+    def tokenTotal(in: DataFrame): Long = {
+      val r = in.agg(sum(col(tokenCountCol)).cast("long")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val total = tokenTotal(df)
+    if (total <= budget) return df // whole corpus fits — no window needed
+    val p = safety * budget.toDouble / total
+    if (p >= 1.0) return exactPass(df)
+    val survivors = df.where(hashScore(col(idCol)) < lit(hexThreshold(p)))
+    // the budget-crossing doc is inside the prefix iff the prefix's token
+    // total reaches the budget; otherwise the estimate under-filled
+    if (tokenTotal(survivors) >= budget) exactPass(survivors) else exactPass(df)
   }
 }

@@ -141,6 +141,44 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ───── derived-oracle anchor for q37's machinery: annTopK probing
+    // ALL 2^numPlanes buckets is structurally exhaustive, so the full LSH
+    // path (codegen hyperplane signatures, probe enumeration, IN-bucket
+    // pruning, ranking) must reproduce the exact top-k row-for-row —
+    // giving the otherwise rows-only LSH plumbing a real DuckDB oracle.
+    // (Recall at OPERATIONAL probe counts is asserted separately in
+    // ScalaTest on planted-neighbor data; this data's true neighbors sit
+    // at cos≈0.3, too weak for any bucketing family to recall.) ─────
+    "q60_ann_lsh_fullprobe" -> ((s, d) => {
+      val q = Tables.embeddings(s, d).where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.annTopK(
+          Tables.embeddings(s, d).where(col("vec_id") =!= 0),
+          "embedding", "vec_id", q, k = 10, numPlanes = 6, probes = 64)
+        .orderBy(col("cos").desc, col("vec_id"))
+    }),
+
+    // ───── derived-oracle anchor for q42: `n_exact_pairs` is honestly
+    // cross-checked (Spark's salted all-pairs exact count vs DuckDB's
+    // all-pairs count — same threshold, same fold order), and `recall_ok`
+    // is a DOCUMENTED BOUNDED CHECK: the oracle pins the expected verdict
+    // `true`, Spark computes the actual one (LSH pairs are an exact-
+    // verified subset of the exact pair set, so recall = n_lsh/n_exact;
+    // measured 0.93 at sf0.001 and sf0.01, gated at ≥ 0.8). A recall
+    // regression in the banding flips the bit and the driver flags red. ─────
+    "q61_embed_lsh_verify" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dim = emb.select(col("embedding")).head().getSeq[Float](0).size
+      val lsh = Similarity.cosinePairsLsh(emb, "embedding", "vec_id",
+        threshold = 0.35, dim = dim, bands = 16, planesPerBand = 4)
+      val exact = Similarity.cosinePairs(emb.withColumn("__one", lit(1)),
+        "embedding", "vec_id", "__one", threshold = 0.35)
+      lsh.agg(count(lit(1)).as("__n_lsh"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact_pairs")))
+        .select(col("n_exact_pairs"),
+          (col("__n_lsh") >= col("n_exact_pairs") * 0.8).as("recall_ok"))
+    }),
+
     // ───── pairs → clusters → survivors: connected components over the
     // q29 cosine pairs (large-star/small-star), then min-id survivor
     // selection across the whole corpus ─────
@@ -311,6 +349,21 @@ object TextQueries {
           SELECT vec_id, ${cosSql("embedding", "qe")} AS cos
           FROM embeddings, q WHERE vec_id != 0
           ORDER BY cos DESC, vec_id LIMIT 10""",
+    // full-probe LSH is exhaustive by construction → the oracle is the
+    // exact top-k itself
+    "q60_ann_lsh_fullprobe" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id, ${cosSql("embedding", "qe")} AS cos
+          FROM embeddings, q WHERE vec_id != 0
+          ORDER BY cos DESC, vec_id LIMIT 10""",
+    // n_exact_pairs: honest cross-check (both engines count the same
+    // all-pairs exact-cosine set). recall_ok: bounded check — the oracle
+    // pins the EXPECTED verdict; Spark computes the actual recall of the
+    // LSH pair set against that exact count and must land ≥ 0.8.
+    "q61_embed_lsh_verify" ->
+      s"""SELECT count(*) AS n_exact_pairs, true AS recall_ok
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35""",
     // components via transitive closure (recursive CTE): component =
     // min reachable id — the same fixpoint large-star/small-star reaches
     "q44_dedup_clusters" ->

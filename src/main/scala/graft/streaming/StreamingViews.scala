@@ -75,26 +75,30 @@ object StreamingViews {
             state.remove()
             Iterator.single(out)
           } else {
-            // fold events in TIME order and split on every gap > gapMillis
-            // — both against the carried state and between batch events.
-            // Without this, a user whose data keeps arriving would never
-            // close a session (the timeout only fires for idle groups),
-            // and a single-batch backfill would emit one giant session.
-            val closed = scala.collection.mutable.Buffer.empty[SessionSummary]
-            var cur = state.getOption
-            rows.toSeq.sortBy(_.tsMillis).foreach { e =>
-              cur = cur match {
-                case Some(s) if e.tsMillis - s.endMillis > gapMillis =>
-                  closed += s
-                  Some(SessionSummary(userId, 1L, e.value, e.tsMillis, e.tsMillis))
-                case Some(s) =>
-                  Some(SessionSummary(userId, s.nEvents + 1, s.sumValue + e.value,
-                    math.min(s.startMillis, e.tsMillis), math.max(s.endMillis, e.tsMillis)))
-                case None =>
-                  Some(SessionSummary(userId, 1L, e.value, e.tsMillis, e.tsMillis))
-              }
-            }
-            val open = cur.get
+            // Merge the carried session and this batch's events as
+            // time-sorted intervals, splitting on every gap > gapMillis —
+            // between batch events, against the carried state, AND for
+            // events OLDER than the carried session start (admitted by a
+            // nonzero watermarkDelay): an event more than a gap before the
+            // session start closes as its own earlier session instead of
+            // extending the session backwards, matching a batch replay of
+            // the same data. Without the forward split, a user whose data
+            // keeps arriving would never close a session (the timeout only
+            // fires for idle groups) and a single-batch backfill would
+            // emit one giant session.
+            val items = state.getOption.toList ++
+              rows.map(e => SessionSummary(userId, 1L, e.value, e.tsMillis, e.tsMillis))
+            val sorted = items.sortBy(s => (s.startMillis, s.endMillis))
+            val merged = sorted.tail.foldLeft(List(sorted.head)) { (acc, s) =>
+              val c = acc.head
+              if (s.startMillis - c.endMillis > gapMillis) s :: acc
+              else SessionSummary(userId, c.nEvents + s.nEvents,
+                c.sumValue + s.sumValue,
+                math.min(c.startMillis, s.startMillis),
+                math.max(c.endMillis, s.endMillis)) :: acc.tail
+            }.reverse
+            val open = merged.last
+            val closed = merged.init
             state.update(open)
             // setTimeoutTimestamp must stay ahead of the current watermark;
             // late-arriving groups time out on the next batch.

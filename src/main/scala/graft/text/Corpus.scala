@@ -40,15 +40,25 @@ object Corpus {
       sig("distinct_token_ratio") >= minDistinctRatio
   }
 
+  /** Partition key for the exact-dedupe window: the md5 fingerprint for
+    * quality passers, a per-doc sentinel for failures. Never null — a
+    * shared null (or any shared sentinel) would funnel EVERY rejected doc
+    * into one window partition, and at crawl scale (~30% failures) a
+    * single task would sort a third of the corpus. Unique sentinels keep
+    * failure rows in singleton partitions that hash-spread like real
+    * fingerprints; the `keep_quality` guard already excludes them from
+    * `keep_exact` regardless of key. */
+  def exactKey(text: Column, keepQuality: Column, id: Column): Column =
+    when(keepQuality, TextOps.fingerprint(text))
+      .otherwise(concat(lit("__fail_"), id.cast("string")))
+
   def clean(docs: DataFrame, textCol: String, idCol: String,
             blockCols: Seq[String], stopwords: Seq[String],
             n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val withQ = docs.withColumn("keep_quality",
       qualityKeep(col(textCol), stopwords))
-    // fingerprint only quality passers; failures share the null-fp window
-    // partition but their guard keeps keep_exact false
     val withE = withQ
-      .withColumn("fp", when(col("keep_quality"), TextOps.fingerprint(col(textCol))))
+      .withColumn("fp", exactKey(col(textCol), col("keep_quality"), col(idCol)))
       .withColumn("keep_exact", col("keep_quality") &&
         col(idCol) === min(col(idCol)).over(Window.partitionBy(col("fp"))))
     val pairs = Dedup.ngramJaccardPairs(

@@ -87,6 +87,61 @@ class RelationalSpec extends SparkSpec {
     assert(out === Set((10L, Some("x"), Some(7L)), (20L, None, Some(9L))))
   }
 
+  test("asofJoin rejects frames already carrying its reserved working columns") {
+    val left = Seq((1L, 10L, 5L)).toDF("user", "ts", "__ts")
+    val right = Seq((1L, 9L, "x")).toDF("user", "rts", "tag")
+    val e = intercept[IllegalArgumentException] {
+      Relational.asofJoin(left, right, Seq("user"), "ts", "rts", Seq("tag"))
+    }
+    assert(e.getMessage.contains("__ts"))
+    val right2 = Seq((1L, 9L, "x", 0)).toDF("user", "rts", "tag", "__side")
+    intercept[IllegalArgumentException] {
+      Relational.asofJoin(left.drop("__ts"), right2, Seq("user"), "ts", "rts", Seq("tag"))
+    }
+  }
+
+  test("asofJoin with a MapType payload needs an explicit tieBreak") {
+    val left = Seq((1L, 10L), (1L, 20L)).toDF("user", "ts")
+    val right = Seq((1L, 5L, Map("k" -> 1L), "a"), (1L, 15L, Map("k" -> 2L), "b"))
+      .toDF("user", "rts", "attrs", "tag")
+    // default tie-break = the payload struct, which a MapType makes
+    // non-orderable — must fail loudly at plan time, not at analysis
+    val e = intercept[IllegalArgumentException] {
+      Relational.asofJoin(left, right, Seq("user"), "ts", "rts", Seq("attrs"))
+    }
+    assert(e.getMessage.contains("tieBreak"))
+    // an explicit orderable tie-break lets map payloads through
+    val out = Relational.asofJoin(left, right, Seq("user"), "ts", "rts",
+        Seq("attrs"), tieBreak = Some("tag"))
+      .select("ts", "attrs").as[(Long, Map[String, Long])].collect().toMap
+    assert(out === Map(10L -> Map("k" -> 1L), 20L -> Map("k" -> 2L)))
+  }
+
+  test("tokenBudgetSample two-pass pre-filter returns the exact global answer") {
+    // expected set: ids in md5-hash order until the budget is crossed —
+    // computed independently of the operator's pre-filter/fallback paths
+    def expected(rows: Seq[(Long, Long)], budget: Long): Set[Long] = {
+      val ordered = rows.sortBy { case (id, _) =>
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(8) -> id
+      }
+      val cum = ordered.scanLeft(0L)(_ + _._2)
+      ordered.zip(cum).takeWhile { case (_, before) => before < budget }.map(_._1._1).toSet
+    }
+    val uniform = (1L to 100L).map(i => (i, 10L))
+    val skewed = (1L to 99L).map(i => (i, 1L)) :+ (100L, 901L)
+    for ((rows, budget) <- Seq((uniform, 95L), (uniform, 400L),
+        (skewed, 450L), (skewed, 40L))) {
+      val out = Sampling.tokenBudgetSample(rows.toDF("id", "n_tokens"),
+        "id", "n_tokens", budget).select("id").as[Long].collect().toSet
+      assert(out === expected(rows, budget), s"budget=$budget")
+    }
+    // safety=1.0 maximizes under-fill pressure; the fallback must still
+    // produce the identical set
+    val tight = Sampling.tokenBudgetSample(skewed.toDF("id", "n_tokens"),
+      "id", "n_tokens", 450L, safety = 1.0).select("id").as[Long].collect().toSet
+    assert(tight === expected(skewed, 450L))
+  }
+
   test("stratifiedSample: exactly n per stratum, deterministic, id-keyed") {
     val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
       .toDF("id", "stratum")

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.concurrent.{Signaler, ThreadSignaler, TimeLimitedTests}
 import org.scalatest.time.{Minutes, Span}
 import graft.SparkSpec
+import graft.ops.Relational
 
 class StreamingSpec extends SparkSpec with TimeLimitedTests {
   import spark.implicits._
@@ -69,6 +70,58 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
         out = emitted()
       }
       assert(out === Seq((1L, 1L, 2.0), (1L, 1L, 3.0), (2L, 1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes out-of-order sessions instead of merging backwards") {
+    // an event OLDER than the carried session's start by more than the gap
+    // (admitted by a nonzero watermarkDelay) must close as its own earlier
+    // session — not extend the open session backwards — so streaming
+    // output matches a batch replay (Relational.sessionize) of the data
+    val dir = Files.createTempDirectory("graft_stream4").toString
+    val batch1 = Seq(
+      StreamingViews.SessionEvent(1L, 5000L, 1.0),
+      StreamingViews.SessionEvent(1L, 5050L, 2.0))
+    val batch2 = Seq(
+      StreamingViews.SessionEvent(1L, 1000L, 7.0),  // 4000 ms BEFORE the open session
+      StreamingViews.SessionEvent(1L, 5120L, 3.0))  // extends the open session
+    batch1.toDF.write.parquet(s"$dir/in")
+    val stream = StreamingViews.fileStream(spark, s"$dir/in",
+      batch1.toDF.schema).as[StreamingViews.SessionEvent]
+    val sessions = StreamingViews.sessionize(stream, gapMillis = 100L,
+      watermarkDelay = "10 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_ooo").start()
+    try {
+      q.processAllAvailable() // batch 1: open session [5000, 5050]
+      batch2.toDF.write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable() // batch 2: 1000 splits off; 5120 merges
+      // close the surviving open session via the watermark
+      Seq(StreamingViews.SessionEvent(99L, 100000000L, 0.0))
+        .toDF.write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      def emitted() = spark.table("sess_ooo")
+        .where(col("userId") === 1L)
+        .select("nEvents", "sumValue", "startMillis", "endMillis")
+        .as[(Long, Double, Long, Long)].collect().toSet
+      var out = emitted()
+      while (out.size < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        q.processAllAvailable()
+        out = emitted()
+      }
+      // batch replay of the same events through the batch operator
+      val all = (batch1 ++ batch2).map(e => (e.userId, e.tsMillis, e.value))
+        .toDF("userId", "tsMillis", "value")
+      val replay = Relational.sessionize(all, Seq("userId"), "tsMillis", 100L)
+        .groupBy(col("userId"), col("session_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"),
+          min(col("tsMillis")).as("lo"), max(col("tsMillis")).as("hi"))
+        .select("n", "s", "lo", "hi").as[(Long, Double, Long, Long)]
+        .collect().toSet
+      assert(out === replay)
+      assert(out === Set((1L, 7.0, 1000L, 1000L), (3L, 6.0, 5000L, 5120L)))
     } finally q.stop()
   }
 

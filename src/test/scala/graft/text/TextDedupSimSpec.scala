@@ -204,6 +204,40 @@ class TextDedupSimSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() === 0L)
   }
 
+  test("connectedComponents releases prior rounds' checkpoint blocks") {
+    // a 200-node path needs several large-star/small-star rounds: without
+    // per-round unpersist, every round's edge set stays pinned in executor
+    // storage; with it, only the final frame remains
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val path = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(path).as[(Long, Long)].collect()
+    assert(out.length === 201 && out.forall(_._2 == 0L))
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 2,
+      s"expected at most the final round's checkpoint to stay persisted, " +
+        s"found ${added.size} new persistent RDDs — prior rounds leaked")
+  }
+
+  test("Corpus.exactKey is never null; failures get per-doc partition keys") {
+    // at crawl scale a SHARED sentinel (or null) for quality failures
+    // funnels ~30% of the corpus into one window partition — keys must be
+    // unique per failing doc and the md5 for passers
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"), // passes (12 tokens)
+      (2L, "too short"),               // fails
+      (3L, "tiny"))                    // fails
+      .toDF("doc_id", "text")
+    val keyed = docs.select(col("doc_id"),
+      graft.text.Corpus.exactKey(col("text"),
+        graft.text.Corpus.qualityKeep(col("text"), Seq("the")),
+        col("doc_id")).as("fp"))
+    val fps = keyed.as[(Long, String)].collect().toMap
+    assert(fps.values.forall(_ != null), "exactKey must never be null")
+    assert(fps(2L) === "__fail_2" && fps(3L) === "__fail_3")
+    assert(fps(1L).matches("[0-9a-f]{32}"), "passers keep the md5 fingerprint")
+    assert(fps.values.toSet.size === 3, "failure keys must be unique per doc")
+  }
+
   test("percentile_approx tracks exact percentile within sketch rank error") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("lang"), TextOps.tokenCount(col("text")).cast("double").as("n"))
