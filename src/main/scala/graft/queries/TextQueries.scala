@@ -179,6 +179,45 @@ object TextQueries {
           (col("__n_lsh") >= col("n_exact_pairs") * 0.8).as("recall_ok"))
     }),
 
+    // ───── derived-oracle anchor for q27: `n_exact_pairs` is honestly
+    // cross-checked (Spark's blockless PPJoin exact-Jaccard count vs
+    // DuckDB's all-pairs count at the same threshold), and `recall_ok` is
+    // a DOCUMENTED BOUNDED CHECK (oracle pins the expected verdict):
+    // confirmed MinHash pairs are an exact-verified subset of the exact
+    // pair set, so recall = n_minhash/n_exact — measured 1.0 at sf0.001
+    // and sf0.01 (16 bands × 4 rows at J ≥ 0.8), gated at ≥ 0.8. ─────
+    "q62_minhash_verify" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mh = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        n = 3, bands = 16, rowsPerBand = 4, confirmThreshold = Some(0.8))
+      val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        Nil, n = 3, threshold = 0.8)
+      mh.agg(count(lit(1)).as("__n_mh"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact_pairs")))
+        .select(col("n_exact_pairs"),
+          (col("__n_mh") >= col("n_exact_pairs") * 0.8).as("recall_ok"))
+    }),
+
+    // ───── derived-oracle anchor for q51: the exact per-stratum quantiles
+    // are honestly cross-checked (same arithmetic as q47), and `sketch_ok`
+    // is a DOCUMENTED BOUNDED CHECK: the KLL-style percentile_approx at
+    // accuracy 10000 must land within 2 token-counts of the exact value
+    // on every stratum/percentile (measured max delta 1.5 at sf0.01). ─────
+    "q64_sketch_quantile_verify" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("lang"), TextOps.tokenCount(col("text")).cast("double").as("n"))
+        .groupBy(col("lang"))
+        .agg(percentile(col("n"), array(lit(0.25), lit(0.5), lit(0.9))).as("q"),
+          percentile_approx(col("n"), array(lit(0.25), lit(0.5), lit(0.9)),
+            lit(10000)).as("qa"))
+      base.select(col("lang"), col("q")(0).as("p25"), col("q")(1).as("p50"),
+          col("q")(2).as("p90"),
+          (abs(col("q")(0) - col("qa")(0)) <= 2.0 &&
+            abs(col("q")(1) - col("qa")(1)) <= 2.0 &&
+            abs(col("q")(2) - col("qa")(2)) <= 2.0).as("sketch_ok"))
+        .orderBy(col("lang"))
+    }),
+
     // ───── pairs → clusters → survivors: connected components over the
     // q29 cosine pairs (large-star/small-star), then min-id survivor
     // selection across the whole corpus ─────
@@ -364,6 +403,29 @@ object TextQueries {
       s"""SELECT count(*) AS n_exact_pairs, true AS recall_ok
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
           WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35""",
+    // same bounded-check shape for MinHash: n_exact_pairs is the honest
+    // blockless exact-Jaccard pair count; recall_ok pins the expected
+    // verdict for the confirmed-MinHash subset
+    "q62_minhash_verify" ->
+      s"""WITH sh AS (
+            SELECT doc_id,
+              list_distinct(CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
+                ELSE list_transform(range(1, len($toks) - 1),
+                       i -> array_to_string(($toks)[i:i+2], ' ')) END) AS s
+            FROM documents)
+          SELECT count(*) AS n_exact_pairs, true AS recall_ok
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8""",
+    // exact quantiles honest (q47's arithmetic); sketch_ok pins the
+    // expected verdict for the percentile_approx accuracy bound
+    "q64_sketch_quantile_verify" ->
+      s"""SELECT lang,
+            quantile_cont(CAST(len($toks) AS DOUBLE), 0.25) AS p25,
+            quantile_cont(CAST(len($toks) AS DOUBLE), 0.5)  AS p50,
+            quantile_cont(CAST(len($toks) AS DOUBLE), 0.9)  AS p90,
+            true AS sketch_ok
+          FROM documents GROUP BY lang ORDER BY lang""",
     // components via transitive closure (recursive CTE): component =
     // min reachable id — the same fixpoint large-star/small-star reaches
     "q44_dedup_clusters" ->
