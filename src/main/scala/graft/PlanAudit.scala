@@ -39,8 +39,17 @@ object PlanAudit {
         // simple mode tree and always counted 0 here)
         val codegen = "codegen id : (\\d+)".r.findAllMatchIn(plan)
           .map(_.group(1)).toSet.size
+        // single-partition windows (no partitionBy) funnel the whole input
+        // through ONE task — a straggler at scale. Expected only where the
+        // semantics are inherently global and the input is pre-shrunk
+        // (q57's budget-bounded survivor set); anywhere else it's a defect.
+        val globalWindows = df.queryExecution.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        }.size
         println(s"== $name")
-        println(s"   joins=${joins.mkString(",")} exchanges=$exchanges codegenSpans=$codegen")
+        println(s"   joins=${joins.mkString(",")} exchanges=$exchanges " +
+          s"codegenSpans=$codegen globalWindows=$globalWindows")
         pushed.foreach(p => println(s"   $p"))
         schemas.foreach(s => println(s"   $s"))
       } catch { case e: Throwable => println(s"== $name FAILED: ${e.getMessage.take(120)}") }

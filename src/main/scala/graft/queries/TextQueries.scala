@@ -198,6 +198,44 @@ object TextQueries {
           (col("__n_mh") >= col("n_exact_pairs") * 0.8).as("recall_ok"))
     }),
 
+    // ───── derived-oracle anchor for q41's machinery: probing ALL cells
+    // makes IVF exhaustive, so the whole path (sampled k-means build,
+    // codegen cell assignment, probe pruning, scoring) must reproduce the
+    // exact top-k row-for-row against the same DuckDB oracle as q30. ─────
+    "q65_ann_ivf_fullprobe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val (model, assigned) = Ivf.build(
+        emb.where(col("vec_id") =!= 0), "embedding", "vec_id", nCells = 16)
+      Ivf.topK(assigned, model, "embedding", "vec_id", q, k = 10, nProbe = 16)
+        .orderBy(col("cos").desc, col("vec_id"))
+    }),
+
+    // ───── self-consistency anchor for q28: pigeonhole banding is
+    // exhaustive within maxDist BY CONSTRUCTION (Manku WWW'07), so the
+    // banded pair set must EQUAL an all-pairs hamming sweep over the same
+    // signatures, and the distance filter makes precision exact. DuckDB
+    // cannot reproduce the custom xxhash64 signatures, so every column is
+    // a pinned verdict — a documented bounded check: any banding bug
+    // (missed block, wrong width) breaks set equality and fails the
+    // compare. The cross join is verification-only (signatures are 1 long
+    // per doc; the sweep is |docs|² codegen popcounts). ─────
+    "q66_simhash_verify" -> ((s, d) => {
+      val sigs = Dedup.simhashDF(Tables.documents(s, d), "text", "doc_id")
+      val banded = Dedup.simhashPairsFromSigs(sigs, "doc_id", "simhash",
+        maxDist = 3, tables = 4).select(col("id_a"), col("id_b"))
+      val a = sigs.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+      val b = sigs.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+      val brute = a.crossJoin(b).where(col("id_a") < col("id_b") &&
+          Dedup.hamming(col("sh_a"), col("sh_b")) <= 3)
+        .select(col("id_a"), col("id_b"))
+      brute.except(banded).agg(count(lit(1)).as("n_missed"))
+        .crossJoin(banded.except(brute).agg(count(lit(1)).as("n_extra")))
+        .select((col("n_missed") === 0 && col("n_extra") === 0)
+          .as("bands_equal_bruteforce"), col("n_missed"), col("n_extra"))
+    }),
+
     // ───── derived-oracle anchor for q51: the exact per-stratum quantiles
     // are honestly cross-checked (same arithmetic as q47), and `sketch_ok`
     // is a DOCUMENTED BOUNDED CHECK: the KLL-style percentile_approx at
@@ -417,6 +455,18 @@ object TextQueries {
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8""",
+    // full-probe IVF is exhaustive → oracle = the exact top-k
+    "q65_ann_ivf_fullprobe" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id, ${cosSql("embedding", "qe")} AS cos
+          FROM embeddings, q WHERE vec_id != 0
+          ORDER BY cos DESC, vec_id LIMIT 10""",
+    // all columns pinned: DuckDB cannot reproduce the custom simhash
+    // signatures; the oracle records the expected self-consistency verdict
+    // (banding == all-pairs hamming sweep, zero missed / zero extra)
+    "q66_simhash_verify" ->
+      """SELECT true AS bands_equal_bruteforce,
+         CAST(0 AS BIGINT) AS n_missed, CAST(0 AS BIGINT) AS n_extra""",
     // exact quantiles honest (q47's arithmetic); sketch_ok pins the
     // expected verdict for the percentile_approx accuracy bound
     "q64_sketch_quantile_verify" ->

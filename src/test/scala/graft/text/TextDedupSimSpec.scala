@@ -218,6 +218,18 @@ class TextDedupSimSpec extends SparkSpec {
         s"found ${added.size} new persistent RDDs — prior rounds leaked")
   }
 
+  test("connectedComponents reliable=true checkpoints durably and converges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs, reliable = true)
+      .as[(Long, Long)].collect().toSet
+    assert(out === Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // reliable mode actually wrote checkpoint data to the durable dir
+    assert(new java.io.File(dir).listFiles.nonEmpty)
+  }
+
   test("Corpus.exactKey is never null; failures get per-doc partition keys") {
     // at crawl scale a SHARED sentinel (or null) for quality failures
     // funnels ~30% of the corpus into one window partition — keys must be
