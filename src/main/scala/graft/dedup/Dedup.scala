@@ -173,6 +173,69 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus n-gram Jaccard near-dup join: pairs (id_l, id_r,
+    * jaccard ≥ threshold) between two DIFFERENT corpora — the incremental
+    * form of [[ngramJaccardPairs]]. This is the shape daily ingest needs
+    * at scale: dedupe a new batch against the accumulated corpus without
+    * re-cleaning the corpus (the self-join form would re-pair history
+    * against itself — quadratically wasted work on the 99%-unchanged
+    * side).
+    *
+    * Same exact PPJoin prefix filter as the self-join: the filter theorem
+    * holds for ANY pair under any total order both docs share, so document
+    * frequencies are computed over the UNION of both corpora's distinct
+    * shingle rows (rarest-first order stays globally consistent, and hot
+    * shingles still never enter the candidate join). Candidates then come
+    * from left-prefix × right-prefix on the shingle hash; the full
+    * intersection is counted for candidates only, exactly as in the
+    * self-join. Left and right may carry overlapping id spaces — pairs are
+    * (left id, right id), never deduped across sides.
+    *
+    * At 100 TB: the union-df window and the prefix join shuffle on the
+    * high-cardinality shingle hash; the (huge) history side streams
+    * through once. A history whose shingle index is pre-materialized and
+    * bucketed by `g` turns both the df window input and the join
+    * shuffle-free on that side. */
+  def ngramJaccardJoin(left: DataFrame, right: DataFrame, textCol: String,
+                       idCol: String, n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lRows = shingleRows(left, textCol, idCol, Nil, n)
+      .select(col(idCol), col("g"), lit(0).as("__side"))
+    val rRows = shingleRows(right, textCol, idCol, Nil, n)
+      .select(col(idCol), col("g"), lit(1).as("__side"))
+    val rows = lRows.unionAll(rRows)
+    val withDf = rows.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("g"))))
+    val docWin = Window.partitionBy(col("__side"), col(idCol))
+      .orderBy(col("df"), col("g"))
+    val prefix = withDf
+      .withColumn("n_sh", count(lit(1)).over(
+        docWin.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("pos", row_number().over(docWin))
+      // same ε guard as the self-join (see ngramJaccardPairs)
+      .where(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
+      .select(col("__side"), col(idCol), col("n_sh"), col("g"))
+    val a = prefix.where(col("__side") === 0)
+      .select(col(idCol).as("id_l"), col("n_sh").as("n_l"), col("g"))
+    val b = prefix.where(col("__side") === 1)
+      .select(col(idCol).as("id_r"), col("n_sh").as("n_r"), col("g"))
+    val cand = a.join(b, Seq("g"))
+      .where(least(col("n_l"), col("n_r")).cast("double") /
+        greatest(col("n_l"), col("n_r")) >= threshold)
+      .select(col("id_l"), col("id_r"), col("n_l"), col("n_r"))
+      .dropDuplicates("id_l", "id_r")
+    val lIdx = lRows.select(col(idCol).as("id_l"), col("g"))
+    val rIdx = rRows.select(col(idCol).as("id_r"), col("g"))
+    cand
+      .join(lIdx, "id_l")
+      .join(rIdx, Seq("id_r", "g"))
+      .groupBy(col("id_l"), col("id_r"), col("n_l"), col("n_r"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_l"), col("id_r"),
+        (col("inter").cast("double") / (col("n_l") + col("n_r") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** MinHash signature: for each of `numHashes` hash functions
     * h_i(s) = (a_i * x + b_i) mod p over base hash x = xxhash64(shingle),
     * take the min across the document's shingles. Pure expressions

@@ -347,6 +347,31 @@ object TextQueries {
         .orderBy(col("doc_id"), col("token"))
     }),
 
+    // ───── cross-corpus near-dup join (the incremental-ingest primitive):
+    // PPJoin between two corpora — odd doc_ids as the new batch, even as
+    // the accumulated history — never a history self-join ─────
+    "q67_neardup_join" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.ngramJaccardJoin(
+          docs.where(col("doc_id") % 2 === 1),
+          docs.where(col("doc_id") % 2 === 0),
+          "text", "doc_id", n = 3, threshold = 0.8)
+        .orderBy(col("id_l"), col("id_r"))
+    }),
+
+    // ───── incremental corpus clean: quality gate → exact-vs-history →
+    // near-dup-vs-history → in-batch clusters, with per-stage flags ─────
+    "q68_incremental_clean" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.Corpus.cleanIncremental(
+          docs.where(col("doc_id") % 2 === 1),
+          docs.where(col("doc_id") % 2 === 0),
+          "text", "doc_id", stopwords, n = 3, threshold = 0.5)
+        .select(col("doc_id"), col("keep_quality"), col("keep_exact"),
+          col("keep_vs_history"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── flagship composition: the full corpus-cleaning pipeline
     // (quality gate → exact dedupe → near-dup clusters → survivors) with
     // per-stage keep flags for every doc ─────
@@ -523,6 +548,84 @@ object TextQueries {
                   PARTITION BY doc_id ORDER BY score DESC, token) AS rk FROM s)
           SELECT doc_id, token, score FROM r WHERE rk <= 3
           ORDER BY doc_id, token""",
+    "q67_neardup_join" ->
+      s"""WITH sh AS (
+            SELECT doc_id,
+              list_distinct(CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
+                ELSE list_transform(range(1, len($toks) - 1),
+                       i -> array_to_string(($toks)[i:i+2], ' ')) END) AS s
+            FROM documents)
+          SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+          ORDER BY id_l, id_r""",
+    // incremental mirror: stage CTEs compose exactly like
+    // Corpus.cleanIncremental (incoming = odd ids, history = even ids)
+    "q68_incremental_clean" ->
+      s"""WITH RECURSIVE t AS (
+            SELECT doc_id, $toks AS tk FROM documents),
+          q AS (
+            SELECT doc_id, tk,
+              (len(tk) >= 10
+               AND CAST(len(list_filter(tk, w -> w IN ('the','a','of','and','to'))) AS DOUBLE) / len(tk) <= 0.5
+               AND CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) >= 0.3) AS kq
+            FROM t WHERE doc_id % 2 = 1),
+          hfp AS (
+            SELECT DISTINCT md5(lower(array_to_string(tk, ' '))) AS fp
+            FROM t WHERE doc_id % 2 = 0),
+          e AS (
+            SELECT doc_id, tk,
+              md5(lower(array_to_string(tk, ' '))) NOT IN (SELECT fp FROM hfp)
+                AND doc_id = MIN(doc_id) OVER (
+                  PARTITION BY md5(lower(array_to_string(tk, ' ')))) AS ke
+            FROM q WHERE kq),
+          mksh AS (
+            SELECT doc_id,
+              list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string((tk)[i:i+2], ' ')) END) AS s
+            FROM e WHERE ke),
+          hsh AS (
+            SELECT doc_id,
+              list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string((tk)[i:i+2], ' ')) END) AS s
+            FROM t WHERE doc_id % 2 = 0),
+          crossdup AS (
+            SELECT DISTINCT i.doc_id FROM mksh i JOIN hsh h ON true
+            WHERE CAST(len(list_intersect(i.s, h.s)) AS DOUBLE)
+                / (len(i.s) + len(h.s) - len(list_intersect(i.s, h.s))) >= 0.5),
+          hh AS (
+            SELECT doc_id, ke,
+              ke AND doc_id NOT IN (SELECT doc_id FROM crossdup) AS kh
+            FROM e),
+          sh2 AS (
+            SELECT m.doc_id, m.s FROM mksh m JOIN hh ON m.doc_id = hh.doc_id
+            WHERE hh.kh),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          reach AS (SELECT u, v FROM edges UNION
+                    SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+                    WHERE e2.v <> r.u),
+          comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component
+                   FROM reach GROUP BY u)
+          SELECT d.doc_id, q.kq AS keep_quality,
+            COALESCE(e.ke, false) AS keep_exact,
+            COALESCE(hh.kh, false) AS keep_vs_history,
+            COALESCE(hh.kh AND COALESCE(c.component, d.doc_id) = d.doc_id, false) AS keep
+          FROM documents d
+          JOIN q ON d.doc_id = q.doc_id
+          LEFT JOIN e ON d.doc_id = e.doc_id
+          LEFT JOIN hh ON d.doc_id = hh.doc_id
+          LEFT JOIN comp c ON d.doc_id = c.id
+          WHERE d.doc_id % 2 = 1
+          ORDER BY d.doc_id""",
     // full pipeline mirror: stage CTEs compose exactly like Corpus.clean
     "q49_corpus_clean" ->
       s"""WITH RECURSIVE t AS (

@@ -69,4 +69,55 @@ object Corpus {
         coalesce(col("component"), col(idCol)) === col(idCol))
       .drop("fp", "component")
   }
+
+  /** The incremental form of [[clean]] — the shape daily ingest actually
+    * runs at corpus scale: clean a NEW batch against an accumulated
+    * (already-clean) history without re-cleaning the history. Stages only
+    * ever touch the batch plus one streaming pass over history:
+    *
+    *   `keep_quality`    — batch doc passed the quality gate;
+    *   `keep_exact`      — also: its fingerprint is NOT in history (anti
+    *                       semantics via a fingerprint join — at scale,
+    *                       store history fingerprints bucketed and this
+    *                       side of the join is shuffle-free) AND it is the
+    *                       min-id representative of its in-batch
+    *                       fingerprint group;
+    *   `keep_vs_history` — also: no n-gram Jaccard near-dup in history
+    *                       ([[Dedup.ngramJaccardJoin]] — the cross-corpus
+    *                       PPJoin, never a history self-join);
+    *   `keep`            — also: the min-id survivor of its in-batch
+    *                       near-dup cluster (clusters computed over the
+    *                       docs that survived the history stages).
+    *
+    * History is taken as-is (assumed already deduplicated — it is the
+    * OUTPUT of previous rounds); both frames must carry `textCol` and
+    * `idCol` under the same names. */
+  def cleanIncremental(incoming: DataFrame, history: DataFrame,
+                       textCol: String, idCol: String, stopwords: Seq[String],
+                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val withQ = incoming.withColumn("keep_quality",
+      qualityKeep(col(textCol), stopwords))
+    val histFp = history
+      .select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
+      .withColumn("__in_hist", lit(true))
+    val withE = withQ
+      .withColumn("fp", exactKey(col(textCol), col("keep_quality"), col(idCol)))
+      .join(histFp, Seq("fp"), "left")
+      .withColumn("keep_exact", col("keep_quality") && col("__in_hist").isNull &&
+        col(idCol) === min(col(idCol)).over(Window.partitionBy(col("fp"))))
+    val crossDup = Dedup.ngramJaccardJoin(
+        withE.where(col("keep_exact")), history, textCol, idCol, n, threshold)
+      .select(col("id_l").as(idCol)).distinct()
+      .withColumn("__hist_dup", lit(true))
+    val withH = withE.join(crossDup, Seq(idCol), "left")
+      .withColumn("keep_vs_history",
+        col("keep_exact") && col("__hist_dup").isNull)
+    val pairs = Dedup.ngramJaccardPairs(
+      withH.where(col("keep_vs_history")), textCol, idCol, Nil, n, threshold)
+    val cc = Dedup.connectedComponents(pairs)
+    withH.join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("keep", col("keep_vs_history") &&
+        coalesce(col("component"), col(idCol)) === col(idCol))
+      .drop("fp", "component", "__in_hist", "__hist_dup")
+  }
 }

@@ -218,6 +218,47 @@ class TextDedupSimSpec extends SparkSpec {
         s"found ${added.size} new persistent RDDs — prior rounds leaked")
   }
 
+  test("ngramJaccardJoin: cross-corpus pairs match brute-force expectations") {
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val left = Seq((1L, long), (3L, "one two three four five six"),
+      (5L, "unrelated words here entirely now")).toDF("doc_id", "text")
+    val right = Seq((2L, long), (4L, long + " extra"),
+      (6L, "one two three four five six")).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardJoin(left, right, "text", "doc_id", 3, 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // 1↔2 identical (J=1); 1↔4 share 8 of 9 shingles (8/9); 3↔6 identical;
+    // 5 matches nothing; no within-side pairs ever appear
+    assert(out.keySet === Set((1L, 2L), (1L, 4L), (3L, 6L)))
+    assert(out((1L, 2L)) === 1.0 && out((3L, 6L)) === 1.0)
+    assert(math.abs(out((1L, 4L)) - 8.0 / 9.0) < 1e-12)
+  }
+
+  test("cleanIncremental: stage flags against an existing history corpus") {
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val hist = Seq((100L, long),
+      (102L, "completely different history document with many unique tokens here"))
+      .toDF("doc_id", "text")
+    val inc = Seq(
+      (1L, long),                 // exact dup of history → out at keep_exact
+      (2L, "too short"),          // quality fail
+      (3L, long + " changed"),    // near-dup of history → out at keep_vs_history
+      (5L, "one two three four five six seven eight nine ten eleven"),
+      (7L, "one two three four five six seven eight nine ten eleven"), // exact dup of 5
+      (9L, "one two three four five six seven eight nine ten eleven twelve")) // near-dup of 5
+      .toDF("doc_id", "text")
+    val out = graft.text.Corpus.cleanIncremental(inc, hist, "text", "doc_id",
+        stopwords = Seq("the"), n = 3, threshold = 0.5)
+      .select("doc_id", "keep_quality", "keep_exact", "keep_vs_history", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect().toSet
+    assert(out === Set(
+      (1L, true, false, false, false),
+      (2L, false, false, false, false),
+      (3L, true, true, false, false),
+      (5L, true, true, true, true),
+      (7L, true, false, false, false),
+      (9L, true, true, true, false)))
+  }
+
   test("connectedComponents reliable=true checkpoints durably and converges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
