@@ -347,6 +347,18 @@ object TextQueries {
         .orderBy(col("doc_id"), col("token"))
     }),
 
+    // ───── cross-corpus embedding near-dup (incremental-ingest form of
+    // q29): odd vec_ids as the new batch joined against even as history —
+    // salted SHJ, history streams, never self-pairs ─────
+    "q69_embed_join" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.cosineJoin(
+          emb.where(col("vec_id") % 2 === 1),
+          emb.where(col("vec_id") % 2 === 0),
+          "embedding", "vec_id", "label", threshold = 0.35)
+        .orderBy(col("id_l"), col("id_r"))
+    }),
+
     // ───── cross-corpus near-dup join (the incremental-ingest primitive):
     // PPJoin between two corpora — odd doc_ids as the new batch, even as
     // the accumulated history — never a history self-join ─────
@@ -548,6 +560,13 @@ object TextQueries {
                   PARTITION BY doc_id ORDER BY score DESC, token) AS rk FROM s)
           SELECT doc_id, token, score FROM r WHERE rk <= 3
           ORDER BY doc_id, token""",
+    "q69_embed_join" ->
+      s"""SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+            ${cosSql("a.embedding", "b.embedding")} AS cos
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id % 2 = 1 AND b.vec_id % 2 = 0
+          WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
+          ORDER BY id_l, id_r""",
     "q67_neardup_join" ->
       s"""WITH sh AS (
             SELECT doc_id,

@@ -137,6 +137,31 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** Cross-corpus embedding near-dup join: pairs (id_l, id_r, cos ≥
+    * threshold) between two DIFFERENT corpora — the incremental form of
+    * [[cosinePairs]], for deduping a new batch of embeddings against the
+    * accumulated corpus without re-pairing the corpus against itself.
+    * Same salted shuffle-hash shape: the (small, batch-sized) left side is
+    * salted and hinted as the hash-BUILD side, the (huge) right side
+    * replicates across salt values and STREAMS through as the probe —
+    * history is never broadcast and never self-joined. Norms are computed
+    * once per vector before the join; id spaces may overlap (pairs are
+    * (left id, right id), both orders meaningful to the caller). */
+  def cosineJoin(left: DataFrame, right: DataFrame, vecCol: String,
+                 idCol: String, blockCol: String, threshold: Double,
+                 saltBuckets: Int = 8): DataFrame = {
+    val l = left.select(col(blockCol).as("blk"), col(idCol).as("id_l"),
+        col(vecCol).as("v_l"), norm(col(vecCol)).as("n_l"))
+      .withColumn("salt", pmod(xxhash64(col("id_l")), lit(saltBuckets)))
+    val r = right.select(col(blockCol).as("blk"), col(idCol).as("id_r"),
+        col(vecCol).as("v_r"), norm(col(vecCol)).as("n_r"))
+      .withColumn("salt", explode(array((0 until saltBuckets).map(lit): _*)))
+    l.hint("shuffle_hash").join(r, Seq("blk", "salt"))
+      .select(col("id_l"), col("id_r"),
+        (dot(col("v_l"), col("v_r")) / (col("n_l") * col("n_r"))).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** Embedding-cosine near-dup pairs WITHOUT a natural block key: LSH
     * banding over random-hyperplane signatures (the minhashLshPairs shape
     * for the cosine metric). Each of `bands` independent plane families

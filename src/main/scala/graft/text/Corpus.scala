@@ -105,13 +105,22 @@ object Corpus {
       .join(histFp, Seq("fp"), "left")
       .withColumn("keep_exact", col("keep_quality") && col("__in_hist").isNull &&
         col(idCol) === min(col(idCol)).over(Window.partitionBy(col("fp"))))
+    // The near-dup stages each consume their doc set several times (the
+    // PPJoin reads it for the prefix AND both verification index sides),
+    // which would re-execute the window+join upstream ~6×. The survivor
+    // sets are BATCH-sized — small by the incremental contract — so
+    // checkpointing them is the right trade at any corpus scale: history
+    // itself is never materialized, only streamed.
+    val exactSurv = withE.where(col("keep_exact"))
+      .select(col(idCol), col(textCol)).localCheckpoint(eager = false)
     val crossDup = Dedup.ngramJaccardJoin(
-        withE.where(col("keep_exact")), history, textCol, idCol, n, threshold)
+        exactSurv, history, textCol, idCol, n, threshold)
       .select(col("id_l").as(idCol)).distinct()
       .withColumn("__hist_dup", lit(true))
     val withH = withE.join(crossDup, Seq(idCol), "left")
       .withColumn("keep_vs_history",
         col("keep_exact") && col("__hist_dup").isNull)
+      .localCheckpoint(eager = false)
     val pairs = Dedup.ngramJaccardPairs(
       withH.where(col("keep_vs_history")), textCol, idCol, Nil, n, threshold)
     val cc = Dedup.connectedComponents(pairs)

@@ -121,6 +121,23 @@ class TextDedupSimSpec extends SparkSpec {
     assert(cos === 1.0)
   }
 
+  test("cosineJoin pairs across corpora only, within blocks, above threshold") {
+    val newBatch = Seq(
+      (1L, Seq(1f, 0f, 0f), "a"), (3L, Seq(0f, 1f, 0f), "a"),
+      (5L, Seq(1f, 0f, 0f), "b")).toDF("vec_id", "embedding", "label")
+    val history = Seq(
+      (2L, Seq(0.9f, 0.1f, 0f), "a"), (4L, Seq(1f, 0f, 0f), "b"),
+      (6L, Seq(0f, 0f, 1f), "b")).toDF("vec_id", "embedding", "label")
+    val out = Similarity.cosineJoin(newBatch, history, "embedding", "vec_id",
+        "label", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // 1↔2 near-parallel in block a; 5↔4 identical in block b; 3 is
+    // orthogonal to 2; cross-block (1,4) never pairs; no history
+    // self-pairs (2,4,6 never appear on the left)
+    assert(out.keySet === Set((1L, 2L), (5L, 4L)))
+    assert(out((5L, 4L)) === 1.0 && out((1L, 2L)) > 0.99)
+  }
+
   test("annTopK finds the identical vector through its LSH bucket") {
     val vecs = (1 to 50).map(i => (i.toLong, Seq(math.sin(i).toFloat, math.cos(i).toFloat,
       math.sin(i * 2).toFloat, math.cos(i * 3).toFloat))).toDF("vec_id", "embedding")
