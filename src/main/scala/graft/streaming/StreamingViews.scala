@@ -39,6 +39,23 @@ object StreamingViews {
     events.withWatermark(tsCol, watermark)
       .dropDuplicates(keys :+ tsCol)
 
+  /** Streaming dedupe against a STATIC history corpus: drop stream rows
+    * whose key already exists in `history` (a stream-static left-anti
+    * join — stateless, re-planned per micro-batch, so a small history
+    * broadcasts and a huge one sort-merges), then first-occurrence dedupe
+    * within the stream bounded by the watermark. The streaming twin of
+    * the batch incremental-ingest exact stage
+    * ([[graft.text.Corpus.cleanIncremental]]'s fingerprint anti-join):
+    * history is the already-deduped output of prior days; the stream is
+    * today's arrivals. */
+  def streamingDedupeAgainstHistory(events: DataFrame, history: DataFrame,
+                                    tsCol: String, keys: Seq[String],
+                                    watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .join(history.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(),
+        keys, "left_anti")
+      .dropDuplicates(keys :+ tsCol)
+
   case class SessionEvent(userId: Long, tsMillis: Long, value: Double)
   case class SessionSummary(userId: Long, nEvents: Long, sumValue: Double,
                             startMillis: Long, endMillis: Long)

@@ -125,6 +125,28 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     } finally q.stop()
   }
 
+  test("streaming dedupe against static history drops known keys") {
+    val dir = Files.createTempDirectory("graft_stream5").toString
+    val data = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "k1", "dup-of-history"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "k2", "new"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "k2", "new"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), "k3", "new")
+    ).toDF("ts", "key", "payload")
+    data.write.parquet(s"$dir/in")
+    val history = Seq("k1", "k9").toDF("key")
+    val stream = StreamingViews.fileStream(spark, s"$dir/in", data.schema)
+    val out = StreamingViews.streamingDedupeAgainstHistory(
+      stream, history, "ts", Seq("key"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ddh").start()
+    try {
+      q.processAllAvailable()
+      val keys = spark.table("ddh").select("key").as[String].collect().sorted
+      assert(keys === Array("k2", "k3")) // k1 in history; k2 deduped to one
+    } finally q.stop()
+  }
+
   test("streaming dedupe keeps first occurrence per key") {
     val dir = Files.createTempDirectory("graft_stream2").toString
     val data = Seq(

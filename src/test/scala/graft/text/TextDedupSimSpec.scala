@@ -276,6 +276,22 @@ class TextDedupSimSpec extends SparkSpec {
       (9L, true, true, true, false)))
   }
 
+  test("incremental operators handle empty sides") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // empty history → join finds nothing
+    assert(Dedup.ngramJaccardJoin(docs, empty, "text", "doc_id", 3, 0.5).count() === 0L)
+    // empty batch → no pairs, and the pipeline emits zero rows
+    assert(Dedup.ngramJaccardJoin(empty, docs, "text", "doc_id", 3, 0.5).count() === 0L)
+    // cleanIncremental with empty history degrades to within-batch stages
+    val out = graft.text.Corpus.cleanIncremental(docs, empty, "text", "doc_id",
+        Seq("the"), 3, 0.5)
+      .select("doc_id", "keep_quality", "keep_exact", "keep_vs_history", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect().toSet
+    assert(out === Set((1L, true, true, true, true)))
+  }
+
   test("connectedComponents reliable=true checkpoints durably and converges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
