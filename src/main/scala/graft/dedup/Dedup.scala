@@ -115,9 +115,19 @@ object Dedup {
     * can't quadratically explode the candidate set; the full intersection
     * is then counted for candidates only. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-                        blockCols: Seq[String], n: Int, threshold: Double): DataFrame = {
+                        blockCols: Seq[String], n: Int, threshold: Double): DataFrame =
+    ngramJaccardPairsFromRows(
+      shingleRows(docs, textCol, idCol, blockCols, n), idCol, blockCols, threshold)
+
+  /** [[ngramJaccardPairs]] over a PRECOMPUTED shingle index — `rows` is
+    * [[shingleRows]] output (blockCols ++ idCol ++ g), or a re-read of a
+    * materialized one. The self-join and the verification stage each scan
+    * the index again, so at corpus scale the index should be persisted
+    * (bucketed by `g`) and fed to every consumer — exact-Jaccard, MinHash,
+    * and the incremental cross-join — instead of re-shingling per call. */
+  def ngramJaccardPairsFromRows(rows: DataFrame, idCol: String,
+                                blockCols: Seq[String], threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rows = shingleRows(docs, textCol, idCol, blockCols, n)
     // per-doc shingle count as an unbounded window over the doc key: one
     // extra exchange on top of the distinct, instead of the groupBy +
     // join-back form (two exchanges and a join, and the whole shingle
@@ -197,12 +207,21 @@ object Dedup {
     * bucketed by `g` turns both the df window input and the join
     * shuffle-free on that side. */
   def ngramJaccardJoin(left: DataFrame, right: DataFrame, textCol: String,
-                       idCol: String, n: Int, threshold: Double): DataFrame = {
+                       idCol: String, n: Int, threshold: Double): DataFrame =
+    ngramJaccardJoinFromRows(
+      shingleRows(left, textCol, idCol, Nil, n),
+      shingleRows(right, textCol, idCol, Nil, n), idCol, threshold)
+
+  /** [[ngramJaccardJoin]] over precomputed shingle indexes for each side
+    * (`shingleRows` output). The incremental pipeline shingles its batch
+    * ONCE and feeds this plus the within-batch self-join from the same
+    * frame; a pre-materialized history index makes the history side
+    * shuffle-free. */
+  def ngramJaccardJoinFromRows(leftRows: DataFrame, rightRows: DataFrame,
+                               idCol: String, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lRows = shingleRows(left, textCol, idCol, Nil, n)
-      .select(col(idCol), col("g"), lit(0).as("__side"))
-    val rRows = shingleRows(right, textCol, idCol, Nil, n)
-      .select(col(idCol), col("g"), lit(1).as("__side"))
+    val lRows = leftRows.select(col(idCol), col("g"), lit(0).as("__side"))
+    val rRows = rightRows.select(col(idCol), col("g"), lit(1).as("__side"))
     val rows = lRows.unionAll(rRows)
     val withDf = rows.withColumn("df",
       count(lit(1)).over(Window.partitionBy(col("g"))))
@@ -290,13 +309,22 @@ object Dedup {
     * ReuseExchange shares their shuffle. */
   def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                      confirmThreshold: Option[Double] = None): DataFrame = {
+                      confirmThreshold: Option[Double] = None): DataFrame =
+    minhashLshPairsFromRows(shingleRows(docs, textCol, idCol, Nil, n),
+      idCol, bands, rowsPerBand, confirmThreshold)
+
+  /** [[minhashLshPairs]] over a precomputed shingle index (`shingleRows`
+    * output, (idCol, g)) — the corpus-scale form where one materialized
+    * index feeds MinHash banding, exact-Jaccard, and the incremental
+    * cross-join without re-shingling. */
+  def minhashLshPairsFromRows(rows: DataFrame, idCol: String,
+                              bands: Int = 16, rowsPerBand: Int = 4,
+                              confirmThreshold: Option[Double] = None): DataFrame = {
     val p = MinhashP
     val numHashes = bands * rowsPerBand
     val rnd = new scala.util.Random(42L)
     val params = Seq.fill(numHashes)((rnd.nextInt((p - 1).toInt).toLong + 1L,
       rnd.nextInt(p.toInt).toLong))
-    val rows = shingleRows(docs, textCol, idCol, Nil, n) // (id, g=xxhash64)
     val base = rows.select(col(idCol), pmod(col("g"), lit(p)).as("h"))
     val minCols = params.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"m$i")

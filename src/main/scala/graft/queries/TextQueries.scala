@@ -188,10 +188,12 @@ object TextQueries {
     // and sf0.01 (16 bands × 4 rows at J ≥ 0.8), gated at ≥ 0.8. ─────
     "q62_minhash_verify" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val mh = Dedup.minhashLshPairs(docs, "text", "doc_id",
-        n = 3, bands = 16, rowsPerBand = 4, confirmThreshold = Some(0.8))
-      val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-        Nil, n = 3, threshold = 0.8)
+      // one shingle index feeds both paths — the materialized-index shape
+      val rows = Dedup.shingleRows(docs, "text", "doc_id", Nil, 3)
+        .localCheckpoint(eager = false)
+      val mh = Dedup.minhashLshPairsFromRows(rows, "doc_id",
+        bands = 16, rowsPerBand = 4, confirmThreshold = Some(0.8))
+      val exact = Dedup.ngramJaccardPairsFromRows(rows, "doc_id", Nil, 0.8)
       mh.agg(count(lit(1)).as("__n_mh"))
         .crossJoin(exact.agg(count(lit(1)).as("n_exact_pairs")))
         .select(col("n_exact_pairs"),

@@ -105,24 +105,30 @@ object Corpus {
       .join(histFp, Seq("fp"), "left")
       .withColumn("keep_exact", col("keep_quality") && col("__in_hist").isNull &&
         col(idCol) === min(col(idCol)).over(Window.partitionBy(col("fp"))))
-    // The near-dup stages each consume their doc set several times (the
-    // PPJoin reads it for the prefix AND both verification index sides),
-    // which would re-execute the window+join upstream ~6×. The survivor
-    // sets are BATCH-sized — small by the incremental contract — so
-    // checkpointing them is the right trade at any corpus scale: history
-    // itself is never materialized, only streamed.
-    val exactSurv = withE.where(col("keep_exact"))
-      .select(col(idCol), col(textCol)).localCheckpoint(eager = false)
-    val crossDup = Dedup.ngramJaccardJoin(
-        exactSurv, history, textCol, idCol, n, threshold)
+    // The batch is shingled ONCE into a checkpointed index that feeds both
+    // near-dup stages (each consumes its index several times — the PPJoin
+    // prefix plus both verification sides — which would otherwise
+    // re-execute the shingle pipeline AND the window+join upstream ~6×).
+    // Batch-sized state only, by the incremental contract; history is
+    // never materialized — it streams through its own shingle pass and
+    // the fingerprint join exactly once.
+    val survRows = Dedup.shingleRows(
+        withE.where(col("keep_exact")).select(col(idCol), col(textCol)),
+        textCol, idCol, Nil, n)
+      .localCheckpoint(eager = false)
+    val histRows = Dedup.shingleRows(history, textCol, idCol, Nil, n)
+    val crossDup = Dedup.ngramJaccardJoinFromRows(
+        survRows, histRows, idCol, threshold)
       .select(col("id_l").as(idCol)).distinct()
       .withColumn("__hist_dup", lit(true))
     val withH = withE.join(crossDup, Seq(idCol), "left")
       .withColumn("keep_vs_history",
         col("keep_exact") && col("__hist_dup").isNull)
       .localCheckpoint(eager = false)
-    val pairs = Dedup.ngramJaccardPairs(
-      withH.where(col("keep_vs_history")), textCol, idCol, Nil, n, threshold)
+    val pairs = Dedup.ngramJaccardPairsFromRows(
+      survRows.join(withH.where(col("keep_vs_history")).select(col(idCol)),
+        Seq(idCol), "left_semi"),
+      idCol, Nil, threshold)
     val cc = Dedup.connectedComponents(pairs)
     withH.join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("keep", col("keep_vs_history") &&
