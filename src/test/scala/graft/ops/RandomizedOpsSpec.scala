@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Randomized model checks: each operator is compared against a
+  * brute-force Scala-collections model on seeded random inputs (fixed
+  * seeds — fully deterministic, no flaky reruns). These catch the
+  * interaction cases hand-written examples miss: tie-breaks at equal
+  * timestamps, gap boundaries, hash-order skew vs the pre-filter.
+  */
+class RandomizedOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin matches the brute-force model on random data (ties included)") {
+    val rnd = new scala.util.Random(11L)
+    for (round <- 1 to 5) {
+      // coarse timestamp range forces many exact-tie collisions
+      val left = Seq.fill(40)((rnd.nextInt(4).toLong, rnd.nextInt(20).toLong))
+      val right = Seq.fill(30)(
+        (rnd.nextInt(4).toLong, rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+      val out = Relational.asofJoin(
+          left.toDF("k", "ts"), right.toDF("k", "rts", "p"),
+          Seq("k"), "ts", "rts", Seq("p"))
+        .select("k", "ts", "p").as[(Long, Long, Option[Long])]
+        .collect().sortBy(r => (r._1, r._2, r._3)).toSeq
+      // model: latest right row at or before ts; ties on rts resolve to the
+      // max payload (the window orders right rows by the payload struct,
+      // and the carry-forward takes the LAST one)
+      val model = left.map { case (k, ts) =>
+        val cands = right.filter(r => r._1 == k && r._2 <= ts)
+        (k, ts, if (cands.isEmpty) None else Some(cands.maxBy(r => (r._2, r._3))._3))
+      }.sortBy(r => (r._1, r._2, r._3))
+      assert(out === model, s"round $round")
+    }
+  }
+
+  test("sessionize matches the brute-force model on random gaps") {
+    val rnd = new scala.util.Random(23L)
+    for (round <- 1 to 5) {
+      val gap = 1L + rnd.nextInt(10)
+      val events = Seq.fill(60)((rnd.nextInt(3).toLong, rnd.nextInt(100).toLong))
+        .distinct // equal (key, ts) duplicates don't affect numbering; drop for a clean model
+      val out = Relational.sessionize(events.toDF("user", "ts"), Seq("user"), "ts", gap)
+        .select("user", "ts", "session_id").as[(Long, Long, Long)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+      val model = events.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+        val sorted = es.map(_._2).sorted
+        val ids = sorted.zip(0L +: sorted).scanLeft(0L) {
+          case (sid, (cur, prev)) => if (sid == 0L || cur - prev > gap) sid + 1 else sid
+        }.tail
+        sorted.zip(ids).map { case (ts, sid) => (u, ts, sid) }
+      }.sortBy(r => (r._1, r._2))
+      assert(out === model, s"round $round gap=$gap")
+    }
+  }
+
+  test("tokenBudgetSample two-pass equals the exact model under random skew") {
+    val rnd = new scala.util.Random(37L)
+    for (round <- 1 to 5) {
+      // heavy-tailed token counts: the pre-filter estimate is most wrong here
+      val rows = (1L to 80L).map(i =>
+        (i, if (rnd.nextInt(10) == 0) 200L + rnd.nextInt(800) else 1L + rnd.nextInt(20)))
+      val total = rows.map(_._2).sum
+      val budget = 1L + (total * (1 + rnd.nextInt(8)) / 10)
+      val out = Sampling.tokenBudgetSample(rows.toDF("id", "n_tokens"),
+          "id", "n_tokens", budget)
+        .select("id").as[Long].collect().toSet
+      val ordered = rows.sortBy { case (id, _) =>
+        (org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(8), id)
+      }
+      val cum = ordered.scanLeft(0L)(_ + _._2)
+      val model = ordered.zip(cum).takeWhile(_._2 < budget).map(_._1._1).toSet
+      assert(out === model, s"round $round budget=$budget total=$total")
+    }
+  }
+}
