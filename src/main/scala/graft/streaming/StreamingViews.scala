@@ -59,23 +59,32 @@ object StreamingViews {
   case class SessionEvent(userId: Long, tsMillis: Long, value: Double)
   case class SessionSummary(userId: Long, nEvents: Long, sumValue: Double,
                             startMillis: Long, endMillis: Long)
+  /** Per-user state: every session the watermark has not yet sealed.
+    * Size is bounded by the delivery skew — at most
+    * ⌈watermarkDelay / gap⌉ + 1 tentative sessions per user. */
+  case class SessionState(sessions: Seq[SessionSummary])
 
   /** Custom-state sessionization via `flatMapGroupsWithState`: events are
-    * folded into per-user session state; a session closes (and emits a
-    * summary row) once the EVENT-TIME watermark passes the session's last
-    * event + `gapMillis`. The `KeyValueGroupedDataset` state API is the
-    * escape hatch for semantics watermarked aggregation can't express.
+    * folded into per-user TENTATIVE sessions; a session emits only once
+    * the EVENT-TIME watermark passes its `end + gapMillis` — the proof
+    * that no admissible future event (anything older is dropped by Spark
+    * at the watermark) can merge into or extend it. Emitting any earlier
+    * (e.g. data-driven, when a later event arrives beyond the gap) is
+    * WRONG under a nonzero `watermarkDelay`: an out-of-order event in a
+    * later micro-batch may bridge two already-split sessions, and
+    * append-mode output cannot be retracted. This watermark-sealed
+    * discipline makes the streaming output equal a batch replay
+    * ([[graft.ops.Relational.sessionize]]) of the same admitted events
+    * for EVERY partition of the stream into micro-batches — asserted as a
+    * randomized property in StreamingSpec.
     *
     * Event-time (not processing-time) timeouts are deliberate: they are
-    * deterministic and replayable — a backfill over historical data closes
-    * the same sessions as the live run, and a test can drive closure by
-    * advancing the watermark with data instead of sleeping wall-clock.
-    * Sessions close two ways: a later event for the SAME user beyond the
-    * gap (emitted immediately), or the watermark passing end+gap for an
-    * idle user (timeout). `watermarkDelay` is also the out-of-order
-    * budget: with the 0 ms default, any cross-batch event older than the
-    * watermark is DROPPED by Spark before this function runs — size it to
-    * the pipeline's real delivery skew in production. */
+    * deterministic and replayable — a backfill over historical data
+    * closes the same sessions as the live run, and a test can drive
+    * closure by advancing the watermark with data instead of sleeping
+    * wall-clock. `watermarkDelay` is the out-of-order budget: with the
+    * 0 ms default any cross-batch late event is dropped before this
+    * function runs; size it to the pipeline's real delivery skew. */
   def sessionize(events: Dataset[SessionEvent], gapMillis: Long,
                  watermarkDelay: String = "0 milliseconds"): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
@@ -84,29 +93,18 @@ object StreamingViews {
       .withWatermark("eventTime", watermarkDelay)
       .as[SessionEvent]
       .groupByKey(_.userId)
-      .flatMapGroupsWithState[SessionSummary, SessionSummary](
+      .flatMapGroupsWithState[SessionState, SessionSummary](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionSummary]) =>
-          if (state.hasTimedOut) {
-            val out = state.get
-            state.remove()
-            Iterator.single(out)
-          } else {
-            // Merge the carried session and this batch's events as
-            // time-sorted intervals, splitting on every gap > gapMillis —
-            // between batch events, against the carried state, AND for
-            // events OLDER than the carried session start (admitted by a
-            // nonzero watermarkDelay): an event more than a gap before the
-            // session start closes as its own earlier session instead of
-            // extending the session backwards, matching a batch replay of
-            // the same data. Without the forward split, a user whose data
-            // keeps arriving would never close a session (the timeout only
-            // fires for idle groups) and a single-batch backfill would
-            // emit one giant session.
-            val items = state.getOption.toList ++
-              rows.map(e => SessionSummary(userId, 1L, e.value, e.tsMillis, e.tsMillis))
-            val sorted = items.sortBy(s => (s.startMillis, s.endMillis))
-            val merged = sorted.tail.foldLeft(List(sorted.head)) { (acc, s) =>
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          // one body serves both data batches and timeouts (rows is empty
+          // on timeout): merge carried sessions + new events as
+          // time-sorted intervals, splitting on every gap > gapMillis
+          val items = state.getOption.map(_.sessions).getOrElse(Seq.empty) ++
+            rows.map(e => SessionSummary(userId, 1L, e.value, e.tsMillis, e.tsMillis))
+          val sorted = items.sortBy(s => (s.startMillis, s.endMillis)).toList
+          val merged = sorted match {
+            case Nil => Nil
+            case head :: tail => tail.foldLeft(List(head)) { (acc, s) =>
               val c = acc.head
               if (s.startMillis - c.endMillis > gapMillis) s :: acc
               else SessionSummary(userId, c.nEvents + s.nEvents,
@@ -114,15 +112,19 @@ object StreamingViews {
                 math.min(c.startMillis, s.startMillis),
                 math.max(c.endMillis, s.endMillis)) :: acc.tail
             }.reverse
-            val open = merged.last
-            val closed = merged.init
-            state.update(open)
-            // setTimeoutTimestamp must stay ahead of the current watermark;
-            // late-arriving groups time out on the next batch.
-            state.setTimeoutTimestamp(
-              math.max(open.endMillis + gapMillis, state.getCurrentWatermarkMs + 1))
-            closed.iterator
           }
+          // sealed = watermark proves immutability; open sessions wait for
+          // either more data or the timeout at the earliest seal point
+          val wm = state.getCurrentWatermarkMs
+          val (closed, open) = merged.partition(_.endMillis + gapMillis < wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionState(open))
+            // must stay ahead of the current watermark or Spark rejects it
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.endMillis).min + gapMillis, wm + 1))
+          }
+          closed.iterator
       }
   }
 

@@ -147,6 +147,60 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     } finally q.stop()
   }
 
+  test("sessionize: streaming equals batch replay across random batch splits") {
+    // the strongest property the state logic must hold: ANY partition of
+    // the event stream into micro-batches (including out-of-order
+    // deliveries within the watermark) must emit exactly the sessions a
+    // batch replay computes. Seeded random data, deterministic.
+    val rnd = new scala.util.Random(71L)
+    for (round <- 1 to 2) {
+      val gap = 50L + rnd.nextInt(100)
+      val events = Seq.fill(24)(StreamingViews.SessionEvent(
+        1L + rnd.nextInt(2), rnd.nextInt(2000).toLong, rnd.nextInt(10).toDouble))
+        .distinctBy(e => (e.userId, e.tsMillis))
+      val batches = rnd.shuffle(events).grouped(8).toSeq // arbitrary order+split
+      val dir = Files.createTempDirectory(s"graft_stream_rnd$round").toString
+      batches.head.toDF.write.parquet(s"$dir/in")
+      val stream = StreamingViews.fileStream(spark, s"$dir/in",
+        batches.head.toDF.schema).as[StreamingViews.SessionEvent]
+      val sessions = StreamingViews.sessionize(stream, gap,
+        watermarkDelay = "1 hour") // admit every out-of-order delivery
+      val q = sessions.writeStream.outputMode("append")
+        .format("memory").queryName(s"sess_rnd$round").start()
+      try {
+        q.processAllAvailable()
+        batches.tail.foreach { b =>
+          b.toDF.write.mode("append").parquet(s"$dir/in")
+          q.processAllAvailable()
+        }
+        Seq(StreamingViews.SessionEvent(99L, 100000000000L, 0.0))
+          .toDF.write.mode("append").parquet(s"$dir/in")
+        q.processAllAvailable()
+        val replay = Relational.sessionize(
+            events.map(e => (e.userId, e.tsMillis, e.value))
+              .toDF("userId", "tsMillis", "value"),
+            Seq("userId"), "tsMillis", gap)
+          .groupBy(col("userId"), col("session_id"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("s"),
+            min(col("tsMillis")).as("lo"), max(col("tsMillis")).as("hi"))
+          .select("userId", "n", "s", "lo", "hi")
+          .as[(Long, Long, Double, Long, Long)].collect().toSet
+        def emitted() = spark.table(s"sess_rnd$round")
+          .where(col("userId") < 99)
+          .select("userId", "nEvents", "sumValue", "startMillis", "endMillis")
+          .as[(Long, Long, Double, Long, Long)].collect().toSet
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        var out = emitted()
+        while (out.size < replay.size && System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          q.processAllAvailable()
+          out = emitted()
+        }
+        assert(out === replay, s"round $round gap=$gap")
+      } finally q.stop()
+    }
+  }
+
   test("streaming dedupe keeps first occurrence per key") {
     val dir = Files.createTempDirectory("graft_stream2").toString
     val data = Seq(
