@@ -1,0 +1,101 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.sim.Similarity
+
+/** Randomized model checks for the pair-generation operators that claim
+  * EXACTNESS despite their sub-quadratic plans: the PPJoin prefix filter
+  * (rare-first candidate pruning must lose no pair), the salted
+  * shuffle-hash cosine join (each pair must meet exactly once), and the
+  * confirmed-MinHash subset property. Seeded random corpora drawn from a
+  * small vocabulary so near-duplicates are dense and hot shingles exist.
+  */
+class RandomizedDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "the", "of")
+
+  private def randomDocs(rnd: scala.util.Random, nDocs: Int): Seq[(Long, String)] =
+    (1L to nDocs.toLong).map { i =>
+      // clusters of mutated copies: base doc from a few templates, then
+      // light word substitution — yields a realistic mix of exact dups,
+      // near dups, and unrelated docs
+      val base = Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(4 + (i % 3).toInt)))
+      val mutated = base.map(w =>
+        if (rnd.nextInt(10) == 0) vocab(rnd.nextInt(vocab.size)) else w)
+      (i, mutated.mkString(" "))
+    }
+
+  private def bruteJaccard(docs: Seq[(Long, String)], n: Int): Map[(Long, Long), Double] = {
+    def sh(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+").toSeq
+      if (toks.size < n) Set(toks.mkString(" "))
+      else toks.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val shingled = docs.map { case (id, t) => id -> sh(t) }
+    (for {
+      (ia, sa) <- shingled; (ib, sb) <- shingled if ia < ib
+      inter = (sa & sb).size
+    } yield (ia, ib) -> inter.toDouble / (sa.size + sb.size - inter)).toMap
+  }
+
+  test("ngramJaccardPairs prefix filter is exact on random near-dup corpora") {
+    val rnd = new scala.util.Random(101L)
+    for (round <- 1 to 3) {
+      val docs = randomDocs(rnd, 40)
+      val t = 0.3 + 0.2 * rnd.nextInt(3) // 0.3 / 0.5 / 0.7
+      val out = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"),
+          "text", "doc_id", Nil, 3, t)
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val model = bruteJaccard(docs, 3).filter(_._2 >= t)
+      assert(out.keySet === model.keySet, s"round $round t=$t")
+      out.foreach { case (k, j) =>
+        assert(math.abs(j - model(k)) < 1e-12, s"round $round pair $k") }
+    }
+  }
+
+  test("confirmed MinHash pairs are an exact-Jaccard subset on random corpora") {
+    val rnd = new scala.util.Random(211L)
+    val docs = randomDocs(rnd, 40)
+    val out = Dedup.minhashLshPairs(docs.toDF("doc_id", "text"), "text",
+        "doc_id", n = 3, bands = 16, rowsPerBand = 4, confirmThreshold = Some(0.7))
+      .as[(Long, Long, Double)].collect()
+    val model = bruteJaccard(docs, 3).filter(_._2 >= 0.7)
+    out.foreach { case (a, b, j) =>
+      assert(model.contains((a, b)), s"($a,$b) not a true pair")
+      assert(math.abs(j - model((a, b))) < 1e-12)
+    }
+  }
+
+  test("salted cosinePairs meets each pair exactly once on random blocks") {
+    val rnd = new scala.util.Random(307L)
+    for (round <- 1 to 3) {
+      val vecs = (1L to 60L).map { i =>
+        (i, Seq.fill(8)(rnd.nextGaussian().toFloat), s"b${rnd.nextInt(2)}")
+      }
+      val out = Similarity.cosinePairs(vecs.toDF("vec_id", "embedding", "label"),
+          "embedding", "vec_id", "label", threshold = 0.2)
+        .as[(Long, Long, Double)].collect().toSeq
+      // exactly once: no duplicate (a, b) rows from the salt replication
+      assert(out.map(r => (r._1, r._2)).distinct.size === out.size, s"round $round dups")
+      val byId = vecs.map(v => v._1 -> v).toMap
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+        dot / (na * nb)
+      }
+      val model = (for {
+        (ia, va, ba) <- vecs; (ib, vb, bb) <- vecs
+        if ia < ib && ba == bb && cos(va, vb) >= 0.2
+      } yield (ia, ib)).toSet
+      assert(out.map(r => (r._1, r._2)).toSet === model, s"round $round")
+      out.foreach { case (a, b, c) =>
+        assert(math.abs(c - cos(byId(a)._2, byId(b)._2)) < 1e-9, s"($a,$b)") }
+    }
+  }
+}
