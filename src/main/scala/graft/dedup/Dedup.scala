@@ -255,6 +255,65 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Containment (decontamination) join: pairs where corpus doc B covers
+    * at least `threshold` of probe doc A's shingles —
+    * |A∩B| / |A| ≥ t, the asymmetric overlap used to find training docs
+    * contaminated with benchmark/eval content (Jaccard under-scores a
+    * short eval doc embedded in a long training doc; containment does
+    * not). Emits (id_l = probe, id_r = corpus, containment).
+    *
+    * Same inverted-index shape as [[ngramJaccardJoin]], with the prefix
+    * filter on the PROBE side only: containment ≥ t forces |A∩B| ≥
+    * ⌈t·|A|⌉, so A must share a shingle within its first
+    * |A| − ⌈t·|A|⌉ + 1 rarest shingles, while ANY of B's shingles can be
+    * the witness (no corpus-side prefix is sound). Candidates are also
+    * pruned by |B| ≥ ⌈t·|A|⌉ (an intersection can't exceed |B|). The
+    * probe set is the small side by contract (an eval suite vs a corpus);
+    * the corpus streams through the shingle join once. */
+  def containmentJoin(probe: DataFrame, corpus: DataFrame, textCol: String,
+                      idCol: String, n: Int, threshold: Double): DataFrame =
+    containmentJoinFromRows(
+      shingleRows(probe, textCol, idCol, Nil, n),
+      shingleRows(corpus, textCol, idCol, Nil, n), idCol, threshold)
+
+  /** [[containmentJoin]] over precomputed shingle indexes. */
+  def containmentJoinFromRows(probeRows: DataFrame, corpusRows: DataFrame,
+                              idCol: String, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lRows = probeRows.select(col(idCol), col("g"), lit(0).as("__side"))
+    val rRows = corpusRows.select(col(idCol), col("g"), lit(1).as("__side"))
+    val rows = lRows.unionAll(rRows)
+    // rare-first order still deflates probe-prefix candidates; ANY shared
+    // total order is sound because only the probe side is prefixed
+    val withDf = rows.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("g"))))
+    val docWin = Window.partitionBy(col("__side"), col(idCol))
+      .orderBy(col("df"), col("g"))
+    val sized = withDf
+      .withColumn("n_sh", count(lit(1)).over(
+        docWin.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("pos", row_number().over(docWin))
+    val a = sized.where(col("__side") === 0 &&
+        col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
+      .select(col(idCol).as("id_l"), col("n_sh").as("n_l"), col("g"))
+    val b = sized.where(col("__side") === 1)
+      .select(col(idCol).as("id_r"), col("n_sh").as("n_r"), col("g"))
+    val cand = a.join(b, Seq("g"))
+      .where(col("n_r") >= ceil(lit(threshold) * col("n_l") - lit(1e-9)))
+      .select(col("id_l"), col("id_r"), col("n_l"))
+      .dropDuplicates("id_l", "id_r")
+    val lIdx = probeRows.select(col(idCol).as("id_l"), col("g"))
+    val rIdx = corpusRows.select(col(idCol).as("id_r"), col("g"))
+    cand
+      .join(lIdx, "id_l")
+      .join(rIdx, Seq("id_r", "g"))
+      .groupBy(col("id_l"), col("id_r"), col("n_l"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_l"), col("id_r"),
+        (col("inter").cast("double") / col("n_l")).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** MinHash signature: for each of `numHashes` hash functions
     * h_i(s) = (a_i * x + b_i) mod p over base hash x = xxhash64(shingle),
     * take the min across the document's shingles. Pure expressions

@@ -349,6 +349,41 @@ object TextQueries {
         .orderBy(col("doc_id"), col("token"))
     }),
 
+    // ───── token-window chunking: long docs → context-window-sized
+    // chunks with overlap ─────
+    "q70_chunks" -> ((s, d) => {
+      TextOps.chunkRows(Tables.documents(s, d), "text", "doc_id",
+          chunkSize = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // ───── PII/link redaction: deterministic contact-info injection (part
+    // of the QUERY, so the oracle sees identical input) then scrub —
+    // exercises both patterns and the untouched-text path ─────
+    "q71_redacted" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" contact bob.smith+spam@example-mail.com or https://ex.com/a?b=c#d"))
+            .otherwise(lit(""))).as("raw"))
+        .select(col("doc_id"), TextOps.redact(col("raw")).as("clean"),
+          (length(col("raw")) - length(regexp_replace(col("raw"),
+            TextOps.UrlRe, ""))).as("n_url_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ───── decontamination: training docs (even ids) covering ≥ 70% of a
+    // probe doc's (odd ids) shingles — asymmetric containment, not
+    // Jaccard, so short eval docs inside long training docs still hit ─────
+    "q72_containment_join" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.containmentJoin(
+          docs.where(col("doc_id") % 2 === 1),
+          docs.where(col("doc_id") % 2 === 0),
+          "text", "doc_id", n = 3, threshold = 0.7)
+        .orderBy(col("id_l"), col("id_r"))
+    }),
+
     // ───── cross-corpus embedding near-dup (incremental-ingest form of
     // q29): odd vec_ids as the new batch joined against even as history —
     // salted SHJ, history streams, never self-pairs ─────
@@ -562,6 +597,36 @@ object TextQueries {
                   PARTITION BY doc_id ORDER BY score DESC, token) AS rk FROM s)
           SELECT doc_id, token, score FROM r WHERE rk <= 3
           ORDER BY doc_id, token""",
+    "q70_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents)
+          SELECT doc_id, CAST(s // 24 AS INT) AS chunk_id,
+            array_to_string(tk[s + 1 : s + 32], ' ') AS chunk_text,
+            CAST(len(tk[s + 1 : s + 32]) AS INT) AS n_chunk_tokens
+          FROM t, UNNEST(range(0, greatest(len(tk) - 8, 1), 24)) AS u(s)
+          ORDER BY doc_id, chunk_id""",
+    "q71_redacted" ->
+      s"""WITH raw AS (
+            SELECT doc_id, text || CASE WHEN doc_id % 7 = 0
+              THEN ' contact bob.smith+spam@example-mail.com or https://ex.com/a?b=c#d'
+              ELSE '' END AS raw
+            FROM documents)
+          SELECT doc_id,
+            regexp_replace(regexp_replace(raw, 'https?://[^\\s]+', '<URL>', 'g'),
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean,
+            CAST(length(raw) - length(regexp_replace(raw, 'https?://[^\\s]+', '', 'g')) AS INT) AS n_url_chars
+          FROM raw ORDER BY doc_id""",
+    "q72_containment_join" ->
+      s"""WITH sh AS (
+            SELECT doc_id,
+              list_distinct(CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
+                ELSE list_transform(range(1, len($toks) - 1),
+                       i -> array_to_string(($toks)[i:i+2], ' ')) END) AS s
+            FROM documents)
+          SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS containment
+          FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.7
+          ORDER BY id_l, id_r""",
     "q69_embed_join" ->
       s"""SELECT a.vec_id AS id_l, b.vec_id AS id_r,
             ${cosSql("a.embedding", "b.embedding")} AS cos

@@ -115,7 +115,7 @@ object StreamingViews {
           }
           // sealed = watermark proves immutability; open sessions wait for
           // either more data or the timeout at the earliest seal point
-          val wm = state.getCurrentWatermarkMs
+          val wm = state.getCurrentWatermarkMs()
           val (closed, open) = merged.partition(_.endMillis + gapMillis < wm)
           if (open.isEmpty) state.remove()
           else {

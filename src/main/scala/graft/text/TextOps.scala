@@ -66,6 +66,50 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(encode(lower(concat_ws(" ", tokens(text))), "UTF-8"))
 
+  /** Token-window chunking: split each doc into chunks of `chunkSize`
+    * tokens advancing by `chunkSize − overlap`, the standard shape for
+    * fitting long documents into a model's context window. Returns one
+    * row per chunk: (idCol, chunk_id, chunk_text, n_chunk_tokens).
+    * Chunk starts stop at `max(n − overlap, 1)` so a final fragment
+    * already covered by the previous window is not re-emitted; docs
+    * shorter than a chunk yield exactly one chunk.
+    *
+    * Tokens are materialized in their own projection BEFORE the
+    * chunk-slicing lambda (the [[graft.dedup.Dedup.shingles]] PERF
+    * CONTRACT: higher-order-function lambdas re-evaluate captured
+    * expressions per element, so an inline tokenizer would re-split the
+    * doc once per chunk). */
+  def chunkRows(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                idCol: String, chunkSize: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val step = chunkSize - overlap
+    val toksed = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val t = col("__toks")
+    val starts = filter(
+      sequence(lit(0), greatest(size(t) - 1, lit(0)), lit(step)),
+      s => s < greatest(size(t) - overlap, lit(1)))
+    toksed
+      .select(col(idCol), t,
+        posexplode(starts).as(Seq("chunk_id", "__start")))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", slice(t, col("__start") + 1, lit(chunkSize))).as("chunk_text"),
+        size(slice(t, col("__start") + 1, lit(chunkSize))).as("n_chunk_tokens"))
+  }
+
+  /** Conservative redaction patterns shared with SQL oracles — kept to
+    * syntax Java regex and RE2 interpret identically. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+
+  /** PII/link scrubbing for training text: URLs then emails replaced with
+    * typed placeholder tokens (URL first — addresses inside query strings
+    * would otherwise leave partial URLs behind). Pure codegen
+    * `regexp_replace`, no UDF. */
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(text, UrlRe, "<URL>"),
+      EmailRe, "<EMAIL>")
+
   /** Polynomial rolling hash over tokens (base-31 Horner form mod 2^31-1 —
     * modular to stay inside Long under ANSI arithmetic). Order-sensitive
     * unlike `fingerprint`'s normalization-insensitive md5 — detects

@@ -71,6 +71,35 @@ class RandomizedDedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentJoin matches the brute-force model on random corpora") {
+    val rnd = new scala.util.Random(409L)
+    def sh(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+").toSeq
+      if (toks.size < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    for (round <- 1 to 3) {
+      val probe = randomDocs(rnd, 15)
+      // corpus docs embed some probe docs verbatim inside longer text —
+      // the contamination shape Jaccard misses but containment must catch
+      val corpus = (101L to 115L).map { i =>
+        val pad = Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        val inner = if (rnd.nextBoolean()) probe(rnd.nextInt(probe.size))._2 else ""
+        (i, s"$pad $inner $pad".trim)
+      }
+      val t = 0.7
+      val out = Dedup.containmentJoin(probe.toDF("doc_id", "text"),
+          corpus.toDF("doc_id", "text"), "text", "doc_id", 3, t)
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      val model = (for {
+        (ia, ta) <- probe; (ib, tb) <- corpus
+        c = (sh(ta) & sh(tb)).size.toDouble / sh(ta).size if c >= t
+      } yield (ia, ib) -> c).toMap
+      assert(out.keySet === model.keySet, s"round $round")
+      out.foreach { case (k, c) => assert(math.abs(c - model(k)) < 1e-12, s"$k") }
+    }
+  }
+
   test("salted cosinePairs meets each pair exactly once on random blocks") {
     val rnd = new scala.util.Random(307L)
     for (round <- 1 to 3) {

@@ -276,6 +276,38 @@ class TextDedupSimSpec extends SparkSpec {
       (9L, true, true, true, false)))
   }
 
+  test("chunkRows: overlapping windows, suppressed tail, short docs whole") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c")).toDF("doc_id", "text")
+    // size=8, overlap=4 → step 4; starts < max(10-4,1)=6 → [0, 4]; the
+    // tail window at 8 (tokens 9..10, fully covered by the chunk at 4)
+    // must NOT be emitted
+    val out = TextOps.chunkRows(docs, "text", "doc_id", chunkSize = 8, overlap = 4)
+      .as[(Long, Int, String, Int)].collect().toSet
+    assert(out === Set(
+      (1L, 0, (1 to 8).map(i => s"w$i").mkString(" "), 8),
+      (1L, 1, (5 to 10).map(i => s"w$i").mkString(" "), 6),
+      (2L, 0, "a b c", 3)))
+    intercept[IllegalArgumentException] {
+      TextOps.chunkRows(docs, "text", "doc_id", chunkSize = 4, overlap = 4)
+    }
+  }
+
+  test("redact scrubs URLs then emails, leaves clean text untouched") {
+    val df = Seq(
+      (1L, "reach me at a.b+c@mail-host.org today"),
+      (2L, "see https://ex.com/p?q=1#f and http://plain.io next"),
+      (3L, "mixed https://ex.com/u x@y.io tail"),
+      (4L, "nothing to scrub here")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextOps.redact(col("text")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "reach me at <EMAIL> today")
+    assert(out(2L) === "see <URL> and <URL> next")
+    assert(out(3L) === "mixed <URL> <EMAIL> tail")
+    assert(out(4L) === "nothing to scrub here")
+  }
+
   test("incremental operators handle empty sides") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
       .toDF("doc_id", "text")
