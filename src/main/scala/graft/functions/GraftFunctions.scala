@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Literal, Multiply, RegExpReplace, Sqrt}
 
 /** SQL-callable surface of the graft function library: a user who only
   * speaks `spark.sql(...)` gets the same native expressions and scalar
@@ -25,13 +25,24 @@ object GraftFunctions {
     f(c(0), c(1))
   }
 
+  private def unary(name: String, f: Expression => Expression)(
+      c: Seq[Expression]): Expression = {
+    require(c.size == 1, s"$name expects 1 argument, got ${c.size}")
+    f(c.head)
+  }
+
   /** Native (codegen Expression) functions: name → builder. */
   val nativeBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_fdot" -> binary("graft_fdot", FloatVectorDot(_, _)) _,
     // same left-to-right fold as Similarity.cosine — bit-identical
     "graft_cosine" -> binary("graft_cosine", (a, b) =>
       Divide(FloatVectorDot(a, b),
-        Multiply(Sqrt(FloatVectorDot(a, a)), Sqrt(FloatVectorDot(b, b))))) _)
+        Multiply(Sqrt(FloatVectorDot(a, a)), Sqrt(FloatVectorDot(b, b))))) _,
+    // same pattern order as TextOps.redact — URL first, then email
+    "graft_redact" -> unary("graft_redact", e =>
+      RegExpReplace(
+        RegExpReplace(e, Literal(graft.text.TextOps.UrlRe), Literal("<URL>")),
+        Literal(graft.text.TextOps.EmailRe), Literal("<EMAIL>"))) _)
 
   /** Install every graft function into a live session. Idempotent. */
   def register(spark: SparkSession): Unit = {

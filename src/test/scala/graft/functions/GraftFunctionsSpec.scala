@@ -42,6 +42,14 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getString(3) === "example.org")
   }
 
+  test("graft_redact in SQL matches TextOps.redact") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_redact('ping a@b.io or https://x.io/q?z=1 end') AS c""")
+      .head().getString(0)
+    assert(r === "ping <EMAIL> or <URL> end")
+  }
+
   test("extensions path injects the same native builders") {
     // SparkSessionExtensions is instantiable; verify injection is accepted
     // (the config path `spark.sql.extensions=graft.functions.GraftExtensions`
