@@ -100,6 +100,59 @@ class RandomizedDedupSpec extends SparkSpec {
     }
   }
 
+  test("Corpus.clean matches a quality+union-find model on random corpora") {
+    val rnd = new scala.util.Random(503L)
+    val stop = Seq("the", "of")
+    def sh(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+").toSeq
+      if (toks.size < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    for (round <- 1 to 2) {
+      val docs = randomDocs(rnd, 35).map { case (id, t) =>
+        // sprinkle quality failures: short docs and stopword floods
+        if (id % 11 == 0) (id, "the of the")
+        else if (id % 13 == 0) (id, t.split(" ").take(4).mkString(" "))
+        else (id, t)
+      }
+      val out = graft.text.Corpus.clean(docs.toDF("doc_id", "text"),
+          "text", "doc_id", Nil, stop, n = 3, threshold = 0.5)
+        .select("doc_id", "keep_quality", "keep_exact", "keep")
+        .as[(Long, Boolean, Boolean, Boolean)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      // model
+      def kq(t: String): Boolean = {
+        val toks = t.trim.split("\\s+").toSeq
+        toks.size >= 10 &&
+          toks.count(stop.contains).toDouble / toks.size <= 0.5 &&
+          toks.distinct.size.toDouble / toks.size >= 0.3
+      }
+      val quality = docs.filter(d => kq(d._2))
+      val byFp = quality.groupBy(_._2.trim.split("\\s+").mkString(" ").toLowerCase)
+      val exact = byFp.values.map(_.map(_._1).min).toSet
+      val survivors = quality.filter(d => exact(d._1))
+      val pairs = for {
+        (ia, ta) <- survivors; (ib, tb) <- survivors if ia < ib
+        inter = (sh(ta) & sh(tb)).size
+        if inter.toDouble / (sh(ta).size + sh(tb).size - inter) >= 0.5
+      } yield (ia, ib)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val model = docs.map { case (id, t) =>
+        val q = kq(t); val e = q && exact(id)
+        id -> (q, e, e && find(id) == id)
+      }.toMap
+      assert(out === model, s"round $round")
+    }
+  }
+
   test("salted cosinePairs meets each pair exactly once on random blocks") {
     val rnd = new scala.util.Random(307L)
     for (round <- 1 to 3) {
