@@ -43,11 +43,13 @@ object Sampling {
   /** Exactly `n` rows per stratum (fewer if the stratum is smaller),
     * chosen by hash order of `idCol` — a deterministic simple random
     * sample per group. Ties broken by id so the result is total-ordered
-    * even under (astronomically unlikely) hash-prefix collisions. */
+    * even under (astronomically unlikely) hash-prefix collisions.
+    * Null ids (no hash) sort LAST: they never displace a hashable row
+    * and are drawn only when a stratum would otherwise come up short. */
   def stratifiedSample(df: DataFrame, strataCols: Seq[String], n: Int,
                        idCol: String): DataFrame = {
     val w = Window.partitionBy(strataCols.map(col): _*)
-      .orderBy(hashScore(col(idCol)), col(idCol))
+      .orderBy(hashScore(col(idCol)).asc_nulls_last, col(idCol).asc_nulls_last)
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn")
   }
 
@@ -97,18 +99,21 @@ object Sampling {
     * ~`safety × budget` tokens of survivors instead of the whole corpus.
     * If the pre-filter under-fills (pathological length/hash correlation),
     * it falls back to the exact global pass — the result is identical in
-    * every case, only the window's input size changes. */
+    * every case, only the window's input size changes.
+    * Null token counts are treated as 0 (the doc is kept at zero cost —
+    * silently dropping it would lose data); null ids sort last. */
   def tokenBudgetSample(df: DataFrame, idCol: String, tokenCountCol: String,
                         budget: Long, safety: Double = 2.0): DataFrame = {
     require(safety >= 1.0, s"safety factor must be >= 1: $safety")
-    val w = Window.orderBy(hashScore(col(idCol)), col(idCol))
+    val tok = coalesce(col(tokenCountCol).cast("long"), lit(0L))
+    val w = Window.orderBy(hashScore(col(idCol)).asc_nulls_last, col(idCol).asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def exactPass(in: DataFrame): DataFrame =
-      in.withColumn("__cum", sum(col(tokenCountCol)).over(w))
-        .where(col("__cum") - col(tokenCountCol) < budget)
+      in.withColumn("__cum", sum(tok).over(w))
+        .where(col("__cum") - tok < budget)
         .drop("__cum")
     def tokenTotal(in: DataFrame): Long = {
-      val r = in.agg(sum(col(tokenCountCol)).cast("long")).head()
+      val r = in.agg(sum(tok).cast("long")).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
     val total = tokenTotal(df)

@@ -84,7 +84,10 @@ object TextOps {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
     val step = chunkSize - overlap
-    val toksed = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    // null text has no tokens and yields no chunks (a malformed
+    // empty-chunk row would otherwise surface from null propagation)
+    val toksed = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
     val t = col("__toks")
     val starts = filter(
       sequence(lit(0), greatest(size(t) - 1, lit(0)), lit(step)),

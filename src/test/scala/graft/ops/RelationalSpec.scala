@@ -142,6 +142,23 @@ class RelationalSpec extends SparkSpec {
     assert(tight === expected(skewed, 450L))
   }
 
+  test("sampling null edges: null ids sort last, null token counts cost 0") {
+    // null ids must never displace hashable rows from a stratified sample
+    val strat = Seq((Option(1L), "a"), (Option.empty[Long], "a"), (Option(3L), "a"))
+      .toDF("id", "s")
+    val picked = Sampling.stratifiedSample(strat, Seq("s"), 2, "id")
+      .select("id").as[Option[Long]].collect().toSet
+    assert(picked === Set(Some(1L), Some(3L)))
+    // but they ARE drawn when the stratum would come up short
+    assert(Sampling.stratifiedSample(strat, Seq("s"), 3, "id").count() === 3L)
+    // null token counts: the doc is kept at zero cost, not silently lost
+    val toks = Seq((1L, Option(10L)), (2L, Option.empty[Long]), (3L, Option(10L)))
+      .toDF("id", "n_tokens")
+    val kept = Sampling.tokenBudgetSample(toks, "id", "n_tokens", 100L)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L))
+  }
+
   test("stratifiedSample: exactly n per stratum, deterministic, id-keyed") {
     val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
       .toDF("id", "stratum")

@@ -292,6 +292,11 @@ class TextDedupSimSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextOps.chunkRows(docs, "text", "doc_id", chunkSize = 4, overlap = 4)
     }
+    // null text yields no chunk rows (not a malformed empty chunk)
+    val withNull = Seq((1L, Option("a b")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    assert(TextOps.chunkRows(withNull, "text", "doc_id", 4, 1)
+      .select("doc_id").as[Long].collect().toSeq === Seq(1L))
   }
 
   test("redact scrubs URLs then emails, leaves clean text untouched") {
