@@ -70,6 +70,33 @@ object Corpus {
       .drop("fp", "component")
   }
 
+  /** The full training-mix assembly — the composition this library exists
+    * for, as one call:
+    *
+    *   weighted source mixing → corpus clean (quality / exact / near-dup)
+    *   → token-budget subsample → context-window chunking
+    *
+    * Returns one row per training chunk: (idCol, chunk_id, chunk_text,
+    * n_chunk_tokens). Every stage is the individually-exposed (and
+    * individually oracle-gated) operator, so the composition inherits
+    * their scale shapes: the mixture is shuffle-free, the clean stages
+    * only narrow, the budget pass windows over ~2× the budget, and
+    * chunking is scan-side. Deterministic end-to-end — same sources,
+    * same budget, same corpus out, byte for byte. */
+  def assemble(sources: Seq[(DataFrame, Double)], textCol: String,
+               idCol: String, blockCols: Seq[String], stopwords: Seq[String],
+               n: Int = 3, threshold: Double = 0.5,
+               tokenBudget: Long = Long.MaxValue,
+               chunkSize: Int = 1024, overlap: Int = 0): DataFrame = {
+    val mixed = graft.ops.Sampling.weightedMixture(sources, idCol)
+    val cleaned = clean(mixed, textCol, idCol, blockCols, stopwords, n, threshold)
+    val kept = cleaned.where(col("keep"))
+      .withColumn("__n_tokens", TextOps.tokenCount(col(textCol)).cast("long"))
+    val budgeted = graft.ops.Sampling.tokenBudgetSample(
+      kept, idCol, "__n_tokens", tokenBudget)
+    TextOps.chunkRows(budgeted, textCol, idCol, chunkSize, overlap)
+  }
+
   /** The incremental form of [[clean]] — the shape daily ingest actually
     * runs at corpus scale: clean a NEW batch against an accumulated
     * (already-clean) history without re-cleaning the history. Stages only

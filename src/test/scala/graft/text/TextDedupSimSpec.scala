@@ -313,6 +313,23 @@ class TextDedupSimSpec extends SparkSpec {
     assert(out(4L) === "nothing to scrub here")
   }
 
+  test("assemble: mixture -> clean -> budget -> chunks composes end-to-end") {
+    val long = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val a = Seq((1L, long), (2L, long), (3L, "too short")).toDF("doc_id", "text")
+    val b = Seq((10L, (1 to 12).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = graft.text.Corpus.assemble(
+        Seq((a, 1.0), (b, 1.0)), "text", "doc_id", Nil, Seq("the"),
+        n = 3, threshold = 0.5, tokenBudget = 100L, chunkSize = 16, overlap = 4)
+      .as[(Long, Int, String, Int)].collect()
+    val byDoc = out.groupBy(_._1)
+    // doc 2 (exact dup of 1) and doc 3 (quality fail) are gone; doc 1 (40
+    // tokens) chunks into 3 full windows of 16 stepping 12 (starts 0, 12,
+    // 24 — tokens 25..40 are exactly 16); doc 10 fits whole
+    assert(byDoc.keySet === Set(1L, 10L))
+    assert(byDoc(1L).length === 3 && byDoc(1L).map(_._4).toSeq === Seq(16, 16, 16))
+    assert(byDoc(10L).map(c => (c._2, c._4)).toSeq === Seq((0, 12)))
+  }
+
   test("incremental operators handle empty sides") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
       .toDF("doc_id", "text")
