@@ -153,6 +153,65 @@ class RandomizedDedupSpec extends SparkSpec {
     }
   }
 
+  test("cleanIncremental matches a staged model on random batch + history") {
+    val rnd = new scala.util.Random(601L)
+    val stop = Seq("the", "of")
+    def toks(t: String) = t.trim.split("\\s+").toSeq
+    def sh(t: String): Set[String] = {
+      val ts = toks(t)
+      if (ts.size < 3) Set(ts.mkString(" ")) else ts.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def kq(t: String): Boolean = {
+      val ts = toks(t)
+      ts.size >= 10 && ts.count(stop.contains).toDouble / ts.size <= 0.5 &&
+        ts.distinct.size.toDouble / ts.size >= 0.3
+    }
+    def jac(a: String, b: String): Double = {
+      val (sa, sb) = (sh(a), sh(b)); val i = (sa & sb).size
+      i.toDouble / (sa.size + sb.size - i)
+    }
+    for (round <- 1 to 2) {
+      val history = randomDocs(rnd, 12).map { case (id, t) => (id + 500, t) }
+      val batch = randomDocs(rnd, 25).map { case (id, t) =>
+        if (id % 9 == 0) (id, "the of") else (id, t) // planted quality fails
+      }
+      val out = graft.text.Corpus.cleanIncremental(
+          batch.toDF("doc_id", "text"), history.toDF("doc_id", "text"),
+          "text", "doc_id", stop, n = 3, threshold = 0.5)
+        .select("doc_id", "keep_quality", "keep_exact", "keep_vs_history", "keep")
+        .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+      // staged model
+      val histFps = history.map(_._2).map(t => toks(t).mkString(" ").toLowerCase).toSet
+      val q = batch.filter(d => kq(d._2))
+      val byFp = q.groupBy(d => toks(d._2).mkString(" ").toLowerCase)
+      val exact = q.filter { case (id, t) =>
+        val fp = toks(t).mkString(" ").toLowerCase
+        !histFps(fp) && byFp(fp).map(_._1).min == id
+      }.map(_._1).toSet
+      val kh = batch.filter { case (id, t) => exact(id) &&
+        !history.exists(h => jac(t, h._2) >= 0.5) }.map(_._1).toSet
+      val khDocs = batch.filter(d => kh(d._1))
+      val pairs = for {
+        (ia, ta) <- khDocs; (ib, tb) <- khDocs if ia < ib && jac(ta, tb) >= 0.5
+      } yield (ia, ib)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val model = batch.map { case (id, t) =>
+        val e = exact(id); val h = kh(id)
+        id -> (kq(t), e, h, h && find(id) == id)
+      }.toMap
+      assert(out === model, s"round $round")
+    }
+  }
+
   test("salted cosinePairs meets each pair exactly once on random blocks") {
     val rnd = new scala.util.Random(307L)
     for (round <- 1 to 3) {
