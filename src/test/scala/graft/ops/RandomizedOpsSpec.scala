@@ -55,6 +55,39 @@ class RandomizedOpsSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedSample / weightedMixture / upsampled match md5-hash models") {
+    val rnd = new scala.util.Random(53L)
+    def score(id: Long): String =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(8)
+    for (round <- 1 to 3) {
+      val rows = (1L to 70L).map(i => (i, if (rnd.nextBoolean()) "x" else "y"))
+      val df = rows.toDF("id", "stratum")
+      val n = 1 + rnd.nextInt(10)
+      val got = Sampling.stratifiedSample(df, Seq("stratum"), n, "id")
+        .select("id").as[Long].collect().toSet
+      val expect = rows.groupBy(_._2).values.flatMap(
+        _.map(_._1).sortBy(id => (score(id), id)).take(n)).toSet
+      assert(got === expect, s"round $round stratified n=$n")
+
+      val p = 0.1 + 0.2 * rnd.nextInt(4)
+      val thr = Sampling.hexThreshold(p)
+      val mixGot = Sampling.weightedMixture(Seq((df, p)), "id")
+        .select("id").as[Long].collect().toSet
+      assert(mixGot === rows.map(_._1).filter(score(_) < thr).toSet,
+        s"round $round mixture p=$p")
+
+      val w = 1 + rnd.nextInt(3) + 0.5
+      val upGot = Sampling.upsampled(df, "id", w)
+        .groupBy("id").count().as[(Long, Long)].collect().toMap
+      val whole = w.toLong
+      val fracThr = Sampling.hexThreshold(w - whole)
+      rows.map(_._1).foreach { id =>
+        val exp = whole + (if (score(id) < fracThr) 1L else 0L)
+        assert(upGot.getOrElse(id, 0L) === exp, s"round $round upsample id=$id")
+      }
+    }
+  }
+
   test("tokenBudgetSample two-pass equals the exact model under random skew") {
     val rnd = new scala.util.Random(37L)
     for (round <- 1 to 5) {
