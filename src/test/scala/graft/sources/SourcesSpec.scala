@@ -2,7 +2,9 @@ package graft.sources
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.SparkSpec
 
 class SourcesSpec extends SparkSpec {
@@ -57,5 +59,44 @@ class SourcesSpec extends SparkSpec {
     val out = Sources.dimensionedScan(spark, s"$dir/t",
       Map("submission_date" -> "20180607"))
     assert(out.select("id").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("AvroSchemas: .avsc drives native JSON ingestion (K6 migration shim)") {
+    val avsc = """
+      {"type": "record", "name": "Ping", "fields": [
+        {"name": "client_id", "type": "string"},
+        {"name": "n", "type": ["null", "long"]},
+        {"name": "score", "type": "double"},
+        {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "meta", "type": {"type": "map", "values": ["null", "long"]}},
+        {"name": "env", "type": {"type": "record", "name": "Env", "fields": [
+          {"name": "os", "type": "string"},
+          {"name": "build", "type": ["null", "string"]}]}}
+      ]}"""
+    val schema = AvroSchemas.toStructType(avsc)
+    assert(schema("client_id").dataType === StringType)
+    assert(!schema("client_id").nullable && schema("n").nullable)
+    assert(schema("n").dataType === LongType)
+    assert(schema("day").dataType === DateType)
+    assert(schema("tags").dataType === ArrayType(StringType, containsNull = false))
+    assert(schema("meta").dataType === MapType(StringType, LongType, valueContainsNull = true))
+    assert(schema("env").dataType.asInstanceOf[StructType]("build").nullable)
+    // the derived schema really drives the native typed JSON reader
+    val json = Seq(
+      """{"client_id":"c1","n":7,"score":0.5,"day":"2018-06-07","tags":["a"],
+         "meta":{"k":1},"env":{"os":"linux","build":null}}""".replaceAll("\\n\\s*", ""))
+    val ds = spark.createDataset(json)(Encoders.STRING)
+    val row = spark.read.schema(schema).json(ds)
+      .select("client_id", "n", "env.os", "day").head()
+    assert(row.getString(0) === "c1" && row.getLong(1) === 7L
+      && row.getString(2) === "linux"
+      && row.getDate(3).toString === "2018-06-07")
+    // general unions are rejected loudly, not silently stringified
+    intercept[IllegalArgumentException] {
+      AvroSchemas.toStructType(
+        """{"type":"record","name":"R","fields":[
+           {"name":"u","type":["string","long"]}]}""")
+    }
   }
 }
