@@ -100,6 +100,30 @@ class RandomizedDedupSpec extends SparkSpec {
     }
   }
 
+  test("chunkRows matches the sliding-window model on random docs") {
+    val rnd = new scala.util.Random(701L)
+    for (round <- 1 to 3) {
+      val size = 4 + rnd.nextInt(12)
+      val overlap = rnd.nextInt(size)
+      val step = size - overlap
+      val docs = (1L to 25L).map(i =>
+        (i, Seq.fill(1 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      val out = graft.text.TextOps.chunkRows(docs.toDF("doc_id", "text"),
+          "text", "doc_id", size, overlap)
+        .as[(Long, Int, String, Int)].collect().toSet
+      val model = docs.flatMap { case (id, t) =>
+        val toks = t.trim.split("\\s+").toSeq
+        val starts = Iterator.from(0, step)
+          .takeWhile(s => s < math.max(toks.size - overlap, 1)).toSeq
+        starts.zipWithIndex.map { case (s, ci) =>
+          val c = toks.slice(s, s + size)
+          (id, ci, c.mkString(" "), c.size)
+        }
+      }.toSet
+      assert(out === model, s"round $round size=$size overlap=$overlap")
+    }
+  }
+
   test("Corpus.clean matches a quality+union-find model on random corpora") {
     val rnd = new scala.util.Random(503L)
     val stop = Seq("the", "of")
