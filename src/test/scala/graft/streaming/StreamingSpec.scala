@@ -42,21 +42,21 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
       StreamingViews.SessionEvent(1L, 1000L, 2.0),
       StreamingViews.SessionEvent(1L, 2000L, 3.0),
       StreamingViews.SessionEvent(2L, 1500L, 7.0)
-    ).toDF.write.parquet(s"$dir/in")
+    ).toDF().write.parquet(s"$dir/in")
     val stream = StreamingViews.fileStream(spark, s"$dir/in",
-      Seq(StreamingViews.SessionEvent(0L, 0L, 0.0)).toDF.schema)
+      Seq(StreamingViews.SessionEvent(0L, 0L, 0.0)).toDF().schema)
       .as[StreamingViews.SessionEvent]
     val sessions = StreamingViews.sessionize(stream, gapMillis = 100L)
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName("sess").start()
     try {
       q.processAllAvailable() // batch 1: state for users 1, 2; watermark → 2000
-      // user 1's events are 1000 ms apart with gap=100: the first session
-      // closes DATA-DRIVEN inside batch 1 (no timeout needed); the open
-      // sessions (1@2000, 2@1500) need the watermark advanced past their
-      // gap — drop a second file, deterministic, no wall-clock sleep.
+      // sessions emit only once the watermark SEALS them (passes end+gap):
+      // user 1's first session seals when the batch-1 watermark lands at
+      // 2000; the rest need the watermark advanced past their gap — drop
+      // a second file, deterministic, no wall-clock sleep.
       Seq(StreamingViews.SessionEvent(99L, 1000000L, 0.0))
-        .toDF.write.mode("append").parquet(s"$dir/in")
+        .toDF().write.mode("append").parquet(s"$dir/in")
       q.processAllAvailable()
       val deadline = System.nanoTime() + 60L * 1000000000L
       def emitted() = spark.table("sess")
@@ -85,20 +85,20 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     val batch2 = Seq(
       StreamingViews.SessionEvent(1L, 1000L, 7.0),  // 4000 ms BEFORE the open session
       StreamingViews.SessionEvent(1L, 5120L, 3.0))  // extends the open session
-    batch1.toDF.write.parquet(s"$dir/in")
+    batch1.toDF().write.parquet(s"$dir/in")
     val stream = StreamingViews.fileStream(spark, s"$dir/in",
-      batch1.toDF.schema).as[StreamingViews.SessionEvent]
+      batch1.toDF().schema).as[StreamingViews.SessionEvent]
     val sessions = StreamingViews.sessionize(stream, gapMillis = 100L,
       watermarkDelay = "10 seconds")
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName("sess_ooo").start()
     try {
       q.processAllAvailable() // batch 1: open session [5000, 5050]
-      batch2.toDF.write.mode("append").parquet(s"$dir/in")
+      batch2.toDF().write.mode("append").parquet(s"$dir/in")
       q.processAllAvailable() // batch 2: 1000 splits off; 5120 merges
       // close the surviving open session via the watermark
       Seq(StreamingViews.SessionEvent(99L, 100000000L, 0.0))
-        .toDF.write.mode("append").parquet(s"$dir/in")
+        .toDF().write.mode("append").parquet(s"$dir/in")
       q.processAllAvailable()
       val deadline = System.nanoTime() + 60L * 1000000000L
       def emitted() = spark.table("sess_ooo")
@@ -160,9 +160,9 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
         .distinctBy(e => (e.userId, e.tsMillis))
       val batches = rnd.shuffle(events).grouped(8).toSeq // arbitrary order+split
       val dir = Files.createTempDirectory(s"graft_stream_rnd$round").toString
-      batches.head.toDF.write.parquet(s"$dir/in")
+      batches.head.toDF().write.parquet(s"$dir/in")
       val stream = StreamingViews.fileStream(spark, s"$dir/in",
-        batches.head.toDF.schema).as[StreamingViews.SessionEvent]
+        batches.head.toDF().schema).as[StreamingViews.SessionEvent]
       val sessions = StreamingViews.sessionize(stream, gap,
         watermarkDelay = "1 hour") // admit every out-of-order delivery
       val q = sessions.writeStream.outputMode("append")
@@ -170,11 +170,11 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
       try {
         q.processAllAvailable()
         batches.tail.foreach { b =>
-          b.toDF.write.mode("append").parquet(s"$dir/in")
+          b.toDF().write.mode("append").parquet(s"$dir/in")
           q.processAllAvailable()
         }
         Seq(StreamingViews.SessionEvent(99L, 100000000000L, 0.0))
-          .toDF.write.mode("append").parquet(s"$dir/in")
+          .toDF().write.mode("append").parquet(s"$dir/in")
         q.processAllAvailable()
         val replay = Relational.sessionize(
             events.map(e => (e.userId, e.tsMillis, e.value))
