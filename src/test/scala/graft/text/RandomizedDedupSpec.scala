@@ -71,6 +71,30 @@ class RandomizedDedupSpec extends SparkSpec {
     }
   }
 
+  test("ngramJaccardJoin matches the brute-force model on random corpora") {
+    val rnd = new scala.util.Random(811L)
+    def sh(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+").toSeq
+      if (toks.size < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    for (round <- 1 to 3) {
+      val left = randomDocs(rnd, 20)
+      val right = randomDocs(rnd, 20).map { case (id, t) => (id + 100, t) }
+      val t = 0.3 + 0.2 * rnd.nextInt(3)
+      val out = Dedup.ngramJaccardJoin(left.toDF("doc_id", "text"),
+          right.toDF("doc_id", "text"), "text", "doc_id", 3, t)
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      val model = (for {
+        (ia, ta) <- left; (ib, tb) <- right
+        inter = (sh(ta) & sh(tb)).size
+        j = inter.toDouble / (sh(ta).size + sh(tb).size - inter) if j >= t
+      } yield (ia, ib) -> j).toMap
+      assert(out.keySet === model.keySet, s"round $round t=$t")
+      out.foreach { case (k, j) => assert(math.abs(j - model(k)) < 1e-12, s"$k") }
+    }
+  }
+
   test("containmentJoin matches the brute-force model on random corpora") {
     val rnd = new scala.util.Random(409L)
     def sh(t: String): Set[String] = {
