@@ -76,7 +76,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.collect { case Right(v) => v }.sum
     val nFailed = results.values.count(_.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFailed,"sf":"$sfDir"}""")
+    // Output is tail-captured by the driver, so order lines least- to
+    // most-important: the big combined map first (kept when the window is
+    // large enough), then one small line per query (each independently
+    // parseable — partial capture degrades gracefully), and LAST a compact
+    // total line that always fits the tail window.
+    println(s"""{"metric":"queries","unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    results.toSeq.sortBy(_._1).foreach {
+      case (k, Right(v)) =>
+        println(s"""{"metric":"query","name":"$k","value":$v,"unit":"sec"}""")
+      case (k, Left(e)) =>
+        println(s"""{"metric":"query","name":"$k","error":"${esc(e)}"}""")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }

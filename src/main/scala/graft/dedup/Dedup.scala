@@ -93,6 +93,23 @@ object Dedup {
       .distinct()
   }
 
+  /** Per-shingle document frequency (`df`) via groupBy + join-back —
+    * deliberately NOT `count().over(Window.partitionBy(g))`: shingle
+    * frequencies are Zipfian, and a window partitioned by the shingle hash
+    * drags every row of a hot (stopword) shingle into ONE task — at corpus
+    * scale a trigram present in a few percent of documents puts 10⁸⁺ rows
+    * in a single window partition, and AQE's skew handling splits joins,
+    * not windows. The groupBy absorbs hot shingles in map-side partial
+    * aggregation and the join-back IS skew-splittable. The PPJoin prefix
+    * only needs a total order shared by all docs, so df values from either
+    * form rank identically. Both join inputs share the `rows` subtree; its
+    * terminal exchange is canonically identical on both sides, so runtime
+    * ReuseExchange materializes the shingle pipeline once. */
+  private def withShingleDf(rows: DataFrame, keyCols: Seq[String]): DataFrame =
+    rows.join(
+      rows.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("df")),
+      keyCols)
+
   /** Inverted-index (Vernica-join) form: distinct shingle rows, equi-join
     * on (block, shingle-hash) with a size-ratio prune
     * (J ≤ min|A|,|B| / max|A|,|B|) in the join condition, then ONE
@@ -128,10 +145,6 @@ object Dedup {
   def ngramJaccardPairsFromRows(rows: DataFrame, idCol: String,
                                 blockCols: Seq[String], threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // per-doc shingle count as an unbounded window over the doc key: one
-    // extra exchange on top of the distinct, instead of the groupBy +
-    // join-back form (two exchanges and a join, and the whole shingle
-    // subtree planned twice)
     val docKey = (blockCols :+ idCol).map(col)
 
     // ── prefix filter (PPJoin / Chaudhuri et al.): rank each doc's
@@ -142,8 +155,7 @@ object Dedup {
     // Hot shingles (stopword n-grams) rank LAST and never enter the
     // candidate join — this is what deflates the quadratic blow-up on
     // skewed corpora, exactly, with no recall loss.
-    val withDf = rows.withColumn("df",
-      count(lit(1)).over(Window.partitionBy((blockCols :+ "g").map(col): _*)))
+    val withDf = withShingleDf(rows, blockCols :+ "g")
     // n_sh and pos share ONE window spec (same partition, same order;
     // count uses the unbounded frame) → a single exchange+sort computes
     // both, instead of separate doc-key windows for size and rank
@@ -201,10 +213,10 @@ object Dedup {
     * self-join. Left and right may carry overlapping id spaces — pairs are
     * (left id, right id), never deduped across sides.
     *
-    * At 100 TB: the union-df window and the prefix join shuffle on the
+    * At 100 TB: the union-df aggregate and the prefix join shuffle on the
     * high-cardinality shingle hash; the (huge) history side streams
     * through once. A history whose shingle index is pre-materialized and
-    * bucketed by `g` turns both the df window input and the join
+    * bucketed by `g` turns both the df aggregate's input and the join
     * shuffle-free on that side. */
   def ngramJaccardJoin(left: DataFrame, right: DataFrame, textCol: String,
                        idCol: String, n: Int, threshold: Double): DataFrame =
@@ -223,8 +235,7 @@ object Dedup {
     val lRows = leftRows.select(col(idCol), col("g"), lit(0).as("__side"))
     val rRows = rightRows.select(col(idCol), col("g"), lit(1).as("__side"))
     val rows = lRows.unionAll(rRows)
-    val withDf = rows.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("g"))))
+    val withDf = withShingleDf(rows, Seq("g"))
     val docWin = Window.partitionBy(col("__side"), col(idCol))
       .orderBy(col("df"), col("g"))
     val prefix = withDf
@@ -245,6 +256,82 @@ object Dedup {
       .dropDuplicates("id_l", "id_r")
     val lIdx = lRows.select(col(idCol).as("id_l"), col("g"))
     val rIdx = rRows.select(col(idCol).as("id_r"), col("g"))
+    cand
+      .join(lIdx, "id_l")
+      .join(rIdx, Seq("id_r", "g"))
+      .groupBy(col("id_l"), col("id_r"), col("n_l"), col("n_r"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_l"), col("id_r"),
+        (col("inter").cast("double") / (col("n_l") + col("n_r") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Build the persistent history-side artifacts for
+    * [[ngramJaccardJoinPrebuilt]] from a history shingle index
+    * ([[shingleRows]] output):
+    *   `df`     — (g, df): per-shingle document frequency over history;
+    *   `prefix` — (idCol, n_sh, g): each history doc's PPJoin prefix rows
+    *              under the (df, g) rarest-first order, with its total
+    *              shingle count.
+    * Persist BOTH (plus the raw index itself) bucketed by `g`
+    * ([[graft.ops.BatchView.writeBucketed]]) and re-read them per batch:
+    * every full-history stage of the incremental join then plans with NO
+    * exchange on the history side — this is what the union-based
+    * [[ngramJaccardJoinFromRows]] cannot offer, because its shared-df
+    * aggregate runs over the union of both corpora and re-shuffles
+    * history on every batch. Rebuild the artifacts as history grows:
+    * staleness only shifts the candidate-pruning order (more candidates),
+    * never the result set. */
+  def historyJaccardIndex(histRows: DataFrame, idCol: String,
+                          threshold: Double): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val df = histRows.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val docWin = Window.partitionBy(col(idCol)).orderBy(col("df"), col("g"))
+    val prefix = histRows.join(df, Seq("g"))
+      .withColumn("n_sh", count(lit(1)).over(
+        docWin.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("pos", row_number().over(docWin))
+      // same ε guard as the self-join (see ngramJaccardPairsFromRows)
+      .where(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
+      .select(col(idCol), col("n_sh"), col("g"))
+    (df, prefix)
+  }
+
+  /** The corpus-scale form of [[ngramJaccardJoinFromRows]]: the history
+    * side's expensive artifacts come PREBUILT from [[historyJaccardIndex]],
+    * persisted bucketed by `g`, so a per-batch run never shuffles full
+    * history. The batch adopts the SHARED total order by joining the
+    * history df table (batch-only shingles rank rarest at df 0 — the
+    * PPJoin prefix filter is exact under ANY total order both docs share,
+    * so using history-only frequencies costs at most extra candidates,
+    * never results), windows over its OWN docs only, and prefix-joins
+    * against the prebuilt history prefix — with history bucketed by `g`,
+    * both that join and the df lookup leave the history side in place.
+    * The verification join moves only candidate history docs' shingles
+    * (the candidate set is batch-bounded; AQE broadcasts it at scale).
+    * Output is identical to [[ngramJaccardJoin]] on the raw frames. */
+  def ngramJaccardJoinPrebuilt(batchRows: DataFrame, histIdx: DataFrame,
+                               histDf: DataFrame, histPrefix: DataFrame,
+                               idCol: String, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bDf = batchRows.join(histDf, Seq("g"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+    val docWin = Window.partitionBy(col(idCol)).orderBy(col("df"), col("g"))
+    val bPrefix = bDf
+      .withColumn("n_sh", count(lit(1)).over(
+        docWin.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("pos", row_number().over(docWin))
+      // same ε guard as the self-join (see ngramJaccardPairsFromRows)
+      .where(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
+      .select(col(idCol).as("id_l"), col("n_sh").as("n_l"), col("g"))
+    val hPrefix = histPrefix.select(col(idCol).as("id_r"), col("n_sh").as("n_r"), col("g"))
+    val cand = bPrefix.join(hPrefix, Seq("g"))
+      .where(least(col("n_l"), col("n_r")).cast("double") /
+        greatest(col("n_l"), col("n_r")) >= threshold)
+      .select(col("id_l"), col("id_r"), col("n_l"), col("n_r"))
+      .dropDuplicates("id_l", "id_r")
+    val lIdx = batchRows.select(col(idCol).as("id_l"), col("g"))
+    val rIdx = histIdx.select(col(idCol).as("id_r"), col("g"))
     cand
       .join(lIdx, "id_l")
       .join(rIdx, Seq("id_r", "g"))
@@ -285,8 +372,7 @@ object Dedup {
     val rows = lRows.unionAll(rRows)
     // rare-first order still deflates probe-prefix candidates; ANY shared
     // total order is sound because only the probe side is prefixed
-    val withDf = rows.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("g"))))
+    val withDf = withShingleDf(rows, Seq("g"))
     val docWin = Window.partitionBy(col("__side"), col(idCol))
       .orderBy(col("df"), col("g"))
     val sized = withDf
@@ -543,7 +629,13 @@ object Dedup {
     // release must go through that RDD directly
     def unpersistCkpt(df: DataFrame): Unit = df.queryExecution.logical match {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
-      case _ => ()
+      case other =>
+        // the fallthrough must be OBSERVABLE: if a Spark upgrade stops
+        // wrapping checkpoint output in LogicalRDD, every round's blocks
+        // would silently leak and pin executor storage for the job's life
+        org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
+          s"connectedComponents: checkpointed plan is ${other.getClass.getSimpleName}, " +
+            "not LogicalRDD — prior round's blocks cannot be released (storage leak)")
     }
     // directed large→small; self-loops dropped
     var edges = ckpt(pairs

@@ -41,9 +41,36 @@ object BinaryOps {
     (fmt, (h % 1920).toInt + 1, (h % 1080).toInt + 1, (h % 240).toInt + 1)
   }
 
-  /** Attach a decoded-metadata struct column via per-partition batching.
-    * Input must carry (`idCol`: long, `binCol`: binary). */
-  def withMediaMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+  /** Real image-header decode via `javax.imageio` (JDK built-in — no new
+    * dependency): container format + pixel dimensions WITHOUT decoding the
+    * raster (`ImageReader` parses just the header), frame count from
+    * `getNumImages` for multi-frame containers (animated GIF). Returns
+    * None for payloads no installed reader recognizes — a crawl's binary
+    * column is never uniformly valid, so unrecognized bytes must yield a
+    * null-fielded meta row, not a task failure. */
+  def decodeImageMeta(bytes: Array[Byte]): Option[(String, Int, Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true)
+          val frames = try math.max(r.getNumImages(true), 1)
+            catch { case _: Exception => 1 } // readers without index support
+          Some((r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0), frames))
+        } catch { case _: Exception => None // truncated/corrupt header
+        } finally r.dispose()
+      }
+    } finally if (iis != null) iis.close()
+  }
+
+  /** Shared meta plumbing: per-partition batching over any header decoder.
+    * `decode` returning None records byte_len with null codec fields. */
+  private def withMeta(df: DataFrame, binCol: String,
+                       decode: Array[Byte] => Option[(String, Int, Int, Int)]): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField("media_meta", mediaMetaType))
     val enc = ExpressionEncoder(outSchema)
     val binIdx = df.schema.fieldIndex(binCol)
@@ -51,14 +78,27 @@ object BinaryOps {
       // codec init happens HERE, once per partition, in a real decoder
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        val meta = if (bytes == null) null else {
-          val (fmt, w, h, f) = stubDecode(bytes)
-          Row(bytes.length.toLong, fmt, w, h, f)
+        val meta = if (bytes == null) null else decode(bytes) match {
+          case Some((fmt, w, h, f)) => Row(bytes.length.toLong, fmt, w, h, f)
+          case None => Row(bytes.length.toLong, null, null, null, null)
         }
         Row.fromSeq(r.toSeq :+ meta)
       }
     }(enc)
   }
+
+  /** Attach a decoded-metadata struct column via per-partition batching.
+    * Input must carry (`idCol`: long, `binCol`: binary). Uses the
+    * deterministic stub codec (oracle-replicable); see [[withImageMeta]]
+    * for the real image path. */
+  def withMediaMeta(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    withMeta(df, binCol, b => Some(stubDecode(b)))
+
+  /** [[withMediaMeta]] with the REAL `javax.imageio` codec — same
+    * plumbing, genuine format/width/height/frames for actual image bytes,
+    * null codec fields for unrecognized payloads. */
+  def withImageMeta(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    withMeta(df, binCol, decodeImageMeta)
 
   /** Deterministic every-k frame sampling over a (stub-)decoded frame
     * count: emits one row per sampled frame index. */

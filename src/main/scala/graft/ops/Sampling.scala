@@ -105,6 +105,9 @@ object Sampling {
   def tokenBudgetSample(df: DataFrame, idCol: String, tokenCountCol: String,
                         budget: Long, safety: Double = 2.0): DataFrame = {
     require(safety >= 1.0, s"safety factor must be >= 1: $safety")
+    // an unbounded budget keeps everything — return before the sizing
+    // aggregate so "no budget" costs zero driver actions
+    if (budget == Long.MaxValue) return df
     val tok = coalesce(col(tokenCountCol).cast("long"), lit(0L))
     val w = Window.orderBy(hashScore(col(idCol)).asc_nulls_last, col(idCol).asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

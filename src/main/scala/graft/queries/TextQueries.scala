@@ -313,13 +313,15 @@ object TextQueries {
     // ───── q48's sketch twin: heavy hitters via the mergeable
     // approx_top_k sketch (fixed memory regardless of vocabulary size —
     // the unbounded-vocab scale path). On this corpus the distinct count
-    // is far below the sketch capacity, so counts are exact and the
-    // query oracle-gates; at real vocab scale the result is approximate
-    // within the sketch's guarantees. ─────
+    // is far below the sketch's tracking capacity (explicit, 10000), so
+    // counts are exact and the query oracle-gates — a ScalaTest guard
+    // (TextDedupSimSpec "q59 exactness precondition") fails loudly if
+    // testdata growth ever breaks that precondition; at real vocab scale
+    // the result is approximate within the sketch's guarantees. ─────
     "q59_heavy_hitters" -> ((s, d) => {
       Tables.documents(s, d)
         .select(explode(TextOps.tokens(col("text"))).as("token"))
-        .agg(expr("approx_top_k(token, 40)").as("tk"))
+        .agg(expr("approx_top_k(token, 40, 10000)").as("tk"))
         .select(explode(col("tk")).as("e"))
         .select(col("e.item").as("token"), col("e.count").as("n"))
         .orderBy(col("n").desc, col("token"))
@@ -405,6 +407,28 @@ object TextQueries {
           docs.where(col("doc_id") % 2 === 1),
           docs.where(col("doc_id") % 2 === 0),
           "text", "doc_id", n = 3, threshold = 0.8)
+        .orderBy(col("id_l"), col("id_r"))
+    }),
+
+    // ───── q67's PREBUILT form — the shape a daily pipeline actually
+    // runs: history artifacts (df table + PPJoin prefix) built once by
+    // historyJaccardIndex, each batch joined against them; with the
+    // artifacts persisted bucketed by `g` the full-history stages plan
+    // with no history-side exchange (PipelineSpec asserts the plan).
+    // Results identical to q67 under a DIFFERENT prefix order — gated by
+    // the same oracle. ─────
+    "q74_neardup_prebuilt" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // lazy checkpoint mirrors the persisted-index contract (four
+      // consumers: df agg, prefix build, verify idx) without re-shingling
+      val histRows = Dedup.shingleRows(docs.where(col("doc_id") % 2 === 0),
+          "text", "doc_id", Nil, 3)
+        .localCheckpoint(eager = false)
+      val (hDf, hPrefix) = Dedup.historyJaccardIndex(histRows, "doc_id", 0.8)
+      Dedup.ngramJaccardJoinPrebuilt(
+          Dedup.shingleRows(docs.where(col("doc_id") % 2 === 1),
+            "text", "doc_id", Nil, 3),
+          histRows, hDf, hPrefix, "doc_id", 0.8)
         .orderBy(col("id_l"), col("id_r"))
     }),
 
@@ -650,6 +674,21 @@ object TextQueries {
           WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
           ORDER BY id_l, id_r""",
     "q67_neardup_join" ->
+      s"""WITH sh AS (
+            SELECT doc_id,
+              list_distinct(CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
+                ELSE list_transform(range(1, len($toks) - 1),
+                       i -> array_to_string(($toks)[i:i+2], ' ')) END) AS s
+            FROM documents)
+          SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+          ORDER BY id_l, id_r""",
+    // the prebuilt path must emit the exact same pairs as q67
+    "q74_neardup_prebuilt" ->
       s"""WITH sh AS (
             SELECT doc_id,
               list_distinct(CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]

@@ -33,29 +33,40 @@ object AvroSchemas {
     val schema = new Schema.Parser().parse(avsc)
     require(schema.getType == Schema.Type.RECORD,
       s"top-level Avro schema must be a record, got ${schema.getType}")
-    toStruct(schema)
+    toStruct(schema, Set.empty)
   }
 
-  private def toStruct(record: Schema): StructType =
+  /** `seen` holds the record full-names on the CURRENT descent path —
+    * revisiting one means the schema is recursive (legal Avro, e.g. a
+    * linked list), which has no finite StructType analogue and must be
+    * rejected loudly rather than overflow the stack. Non-recursive reuse
+    * of a named record across sibling branches stays legal (the set is
+    * path-scoped, not global). */
+  private def toStruct(record: Schema, seen: Set[String]): StructType = {
+    if (seen.contains(record.getFullName))
+      throw new IllegalArgumentException(
+        s"recursive Avro record '${record.getFullName}' has no StructType analogue")
+    val inner = seen + record.getFullName
     StructType(record.getFields.asScala.toSeq.map { f =>
-      val (dt, nullable) = toDataType(f.schema())
+      val (dt, nullable) = toDataType(f.schema(), inner)
       StructField(f.name(), dt, nullable)
     })
+  }
 
   /** (DataType, nullable) — nullability comes from `[null, T]` unions. */
-  private def toDataType(s: Schema): (DataType, Boolean) = s.getType match {
+  private def toDataType(s: Schema, seen: Set[String]): (DataType, Boolean) = s.getType match {
     case Schema.Type.UNION =>
       val branches = s.getTypes.asScala.toSeq
       val (nulls, rest) = branches.partition(_.getType == Schema.Type.NULL)
       require(nulls.nonEmpty && rest.size == 1,
         s"only [null, T] unions map to Spark (nullable T); got $s")
-      (toDataType(rest.head)._1, true)
-    case Schema.Type.RECORD => (toStruct(s), false)
+      (toDataType(rest.head, seen)._1, true)
+    case Schema.Type.RECORD => (toStruct(s, seen), false)
     case Schema.Type.ARRAY =>
-      val (elem, elemNullable) = toDataType(s.getElementType)
+      val (elem, elemNullable) = toDataType(s.getElementType, seen)
       (ArrayType(elem, containsNull = elemNullable), false)
     case Schema.Type.MAP =>
-      val (value, valueNullable) = toDataType(s.getValueType)
+      val (value, valueNullable) = toDataType(s.getValueType, seen)
       (MapType(StringType, value, valueContainsNull = valueNullable), false)
     case Schema.Type.STRING | Schema.Type.ENUM => (StringType, false)
     case Schema.Type.BYTES | Schema.Type.FIXED =>

@@ -50,7 +50,12 @@ object Corpus {
     * `keep_exact` regardless of key. */
   def exactKey(text: Column, keepQuality: Column, id: Column): Column =
     when(keepQuality, TextOps.fingerprint(text))
-      .otherwise(concat(lit("__fail_"), id.cast("string")))
+      // coalesce: a NULL id would null the whole concat and funnel every
+      // null-id failure back into one shared-null partition — fall back to
+      // a per-row unique value (the key only needs uniqueness; failures
+      // never pass the keep_quality guard regardless of key)
+      .otherwise(concat(lit("__fail_"),
+        coalesce(id.cast("string"), hex(monotonically_increasing_id()))))
 
   def clean(docs: DataFrame, textCol: String, idCol: String,
             blockCols: Seq[String], stopwords: Seq[String],
@@ -90,8 +95,15 @@ object Corpus {
                chunkSize: Int = 1024, overlap: Int = 0): DataFrame = {
     val mixed = graft.ops.Sampling.weightedMixture(sources, idCol)
     val cleaned = clean(mixed, textCol, idCol, blockCols, stopwords, n, threshold)
-    val kept = cleaned.where(col("keep"))
+    val keptRaw = cleaned.where(col("keep"))
       .withColumn("__n_tokens", TextOps.tokenCount(col(textCol)).cast("long"))
+    // under a real budget, tokenBudgetSample fires two driver-side sizing
+    // aggregates before the final consumer pass — lazily checkpoint so the
+    // mixture→quality→dedupe→CC pipeline upstream executes once, not 3×
+    // (mirrors cleanIncremental's shingled-ONCE discipline); with no budget
+    // the sample is an identity with zero actions, so skip the checkpoint
+    val kept = if (tokenBudget == Long.MaxValue) keptRaw
+               else keptRaw.localCheckpoint(eager = false)
     val budgeted = graft.ops.Sampling.tokenBudgetSample(
       kept, idCol, "__n_tokens", tokenBudget)
     TextOps.chunkRows(budgeted, textCol, idCol, chunkSize, overlap)

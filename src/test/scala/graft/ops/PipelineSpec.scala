@@ -147,4 +147,95 @@ class PipelineSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_right")
     }
   }
+
+  test("bucketed history index feeds the incremental join with no history-side shuffle") {
+    // the 100 TB story for incremental dedupe, verified at the plan level:
+    // persist historyJaccardIndex's artifacts bucketed by the shingle hash,
+    // and the per-batch join's full-history stages (df lookup, prefix join)
+    // read them IN PLACE — only the batch side shuffles. Forced-SMJ config
+    // so tiny test tables can't trivially pass via broadcast.
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val hist = Seq((2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (6L, "one two three four five six seven"),
+      (8L, "totally disjoint history content words here")).toDF("doc_id", "text")
+    val batch = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven"),
+      (5L, "unrelated words entirely novel now")).toDF("doc_id", "text")
+    val histRows = Dedup.shingleRows(hist, "text", "doc_id", Nil, 3)
+    val (hDf, hPrefix) = Dedup.historyJaccardIndex(histRows, "doc_id", 0.5)
+    BatchView.writeBucketed(histRows, "hist_idx", Seq("g"), 4, sortCols = Seq("g"))
+    BatchView.writeBucketed(hDf, "hist_df", Seq("g"), 4, sortCols = Seq("g"))
+    BatchView.writeBucketed(hPrefix, "hist_prefix", Seq("g"), 4, sortCols = Seq("g"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // static plan audit
+    try {
+      val joined = Dedup.ngramJaccardJoinPrebuilt(
+        Dedup.shingleRows(batch, "text", "doc_id", Nil, 3),
+        spark.table("hist_idx"), spark.table("hist_df"),
+        spark.table("hist_prefix"), "doc_id", 0.5)
+      // results first: bucketed round-trip changes nothing
+      val got = joined.select("id_l", "id_r").as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 2L), (3L, 6L)))
+      // plan: the hist_df / hist_prefix scans — the stages that touch ALL
+      // of history every batch — must feed their consuming join IN PLACE:
+      // walking up from each scan, no ShuffleExchange may appear before
+      // the first join node. (Shuffles ABOVE the joins move batch-bounded
+      // candidate data and are fine; the verify stage's hist_idx side
+      // streams exchange-free at scale only via AQE broadcasting the
+      // candidates, so it is not asserted under this forced-SMJ config.)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.joins.{BaseJoinExec => JoinNode}
+      val plan = joined.queryExecution.executedPlan
+      def pathToScan(p: SparkPlan, t: String): Option[List[SparkPlan]] = p match {
+        case f: FileSourceScanExec =>
+          if (f.tableIdentifier.exists(_.table == t)) Some(List(p)) else None
+        case _ => p.children.view.flatMap(c => pathToScan(c, t)).headOption
+          .map(p :: _)
+      }
+      Seq("hist_df", "hist_prefix").foreach { t =>
+        val path = pathToScan(plan, t)
+        assert(path.nonEmpty, s"plan must read bucketed table $t")
+        // from the scan upward: nodes below the first join
+        val belowJoin = path.get.reverse.takeWhile(!_.isInstanceOf[JoinNode])
+        val shuffled = belowJoin.filter(_.isInstanceOf[ShuffleExchangeExec])
+        assert(shuffled.isEmpty,
+          s"bucketed $t must reach its join without an exchange, found: " +
+            shuffled.map(_.nodeName).mkString(", ") + s"\n$plan")
+      }
+      // sanity: the walk isn't vacuous — the batch side DOES shuffle
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      Seq("hist_idx", "hist_df", "hist_prefix").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("BinaryOps: javax.imageio decodes real PNG headers; junk yields null fields") {
+    val img = new java.awt.image.BufferedImage(17, 9,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val png = baos.toByteArray
+    val df = Seq((1L, png), (2L, "not an image at all".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "content")
+    val out = BinaryOps.withImageMeta(df, "id", "content")
+      .select(col("id"), col("media_meta")).collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    val pngMeta = out(1L)
+    assert(pngMeta.getLong(0) === png.length.toLong)
+    assert(pngMeta.getString(1) === "png")
+    assert(pngMeta.getInt(2) === 17 && pngMeta.getInt(3) === 9)
+    assert(pngMeta.getInt(4) === 1)
+    // unrecognized payload: byte_len recorded, codec fields null, no error
+    val junkMeta = out(2L)
+    assert(junkMeta.getLong(0) === 19L && junkMeta.isNullAt(1) &&
+      junkMeta.isNullAt(2) && junkMeta.isNullAt(3))
+    assert(out(3L) === null) // null payload -> null struct, as the stub path
+  }
 }

@@ -98,5 +98,21 @@ class SourcesSpec extends SparkSpec {
         """{"type":"record","name":"R","fields":[
            {"name":"u","type":["string","long"]}]}""")
     }
+    // recursive records (legal Avro, e.g. a linked list) have no finite
+    // StructType analogue — rejected loudly, not a StackOverflowError
+    val rec = intercept[IllegalArgumentException] {
+      AvroSchemas.toStructType(
+        """{"type":"record","name":"Node","fields":[
+           {"name":"v","type":"long"},
+           {"name":"next","type":["null","Node"]}]}""")
+    }
+    assert(rec.getMessage.contains("recursive"))
+    // non-recursive REUSE of a named record across branches stays legal
+    val reused = AvroSchemas.toStructType(
+      """{"type":"record","name":"Pair","fields":[
+         {"name":"a","type":{"type":"record","name":"Pt","fields":[
+           {"name":"x","type":"long"}]}},
+         {"name":"b","type":"Pt"}]}""")
+    assert(reused("a").dataType === reused("b").dataType)
   }
 }

@@ -330,6 +330,32 @@ class TextDedupSimSpec extends SparkSpec {
     assert(byDoc(10L).map(c => (c._2, c._4)).toSeq === Seq((0, 12)))
   }
 
+  test("assemble: finite budget seals clean stages behind a checkpoint") {
+    // tokenBudgetSample fires two driver-side sizing aggregates — without
+    // the lazy checkpoint each one re-executes the whole clean pipeline.
+    // Sealed = none of clean()'s operators (the exact-dedupe `fp` window)
+    // appear above the checkpoint in the budgeted plan; the unbounded
+    // path skips both the checkpoint and the sizing actions entirely.
+    val long = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val a = Seq((1L, long), (2L, "short")).toDF("doc_id", "text")
+    def hasFpWindow(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.flatMap(_.references.toSeq).exists(_.name == "fp") => w
+      }.nonEmpty
+    val budgeted = graft.text.Corpus.assemble(Seq((a, 1.0)), "text", "doc_id",
+      Nil, Seq("the"), tokenBudget = 10L, chunkSize = 16, overlap = 0)
+    assert(!hasFpWindow(budgeted),
+      "finite budget: clean stages must be sealed behind the lazy checkpoint")
+    val unbounded = graft.text.Corpus.assemble(Seq((a, 1.0)), "text", "doc_id",
+      Nil, Seq("the"), chunkSize = 16, overlap = 0)
+    assert(hasFpWindow(unbounded),
+      "unbounded budget: identity sample, no checkpoint interposed")
+    // and the identity really is an identity — zero actions, same frame
+    val df = Seq((1L, 5L)).toDF("doc_id", "n")
+    assert(graft.ops.Sampling.tokenBudgetSample(df, "doc_id", "n", Long.MaxValue) eq df)
+  }
+
   test("incremental operators handle empty sides") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
       .toDF("doc_id", "text")
@@ -349,11 +375,13 @@ class TextDedupSimSpec extends SparkSpec {
   test("connectedComponents reliable=true checkpoints durably and converges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
-    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    // a 40-node path has diameter 40 → needs several large/small-star
+    // rounds, so multiple reliable checkpoints hit the durable dir
+    val pairs = ((0L until 40L).map(i => (i, i + 1)) :+ (100L, 101L))
+      .toDF("id_a", "id_b")
     val out = Dedup.connectedComponents(pairs, reliable = true)
       .as[(Long, Long)].collect().toSet
-    assert(out === Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L))
+    assert(out === ((0L to 40L).map(_ -> 0L) ++ Seq(100L -> 100L, 101L -> 100L)).toSet)
     // reliable mode actually wrote checkpoint data to the durable dir
     assert(new java.io.File(dir).listFiles.nonEmpty)
   }
@@ -376,6 +404,16 @@ class TextDedupSimSpec extends SparkSpec {
     assert(fps(2L) === "__fail_2" && fps(3L) === "__fail_3")
     assert(fps(1L).matches("[0-9a-f]{32}"), "passers keep the md5 fingerprint")
     assert(fps.values.toSet.size === 3, "failure keys must be unique per doc")
+    // NULL ids: concat would null the sentinel and re-create the shared
+    // partition — the fallback must keep failure keys non-null AND unique
+    val nullIds = Seq((Option.empty[Long], "short one"), (Option.empty[Long], "short two"))
+      .toDF("doc_id", "text")
+    val nks = nullIds.select(graft.text.Corpus.exactKey(col("text"),
+        graft.text.Corpus.qualityKeep(col("text"), Seq("the")),
+        col("doc_id")).as("fp"))
+      .as[String].collect()
+    assert(nks.forall(k => k != null && k.startsWith("__fail_")))
+    assert(nks.toSet.size === 2, "null-id failure keys must still be unique")
   }
 
   test("percentile_approx tracks exact percentile within sketch rank error") {
@@ -472,5 +510,87 @@ class TextDedupSimSpec extends SparkSpec {
       .as[(Long, Long, Boolean)].collect().toSet
     assert(out === Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
       (9L, 9L, true)))
+  }
+
+  test("PPJoin pipelines never window-partition by the shingle hash alone") {
+    // shingle frequencies are Zipfian: a window partitioned solely by `g`
+    // funnels every row of a hot shingle into ONE task, and AQE skew
+    // handling splits joins, not windows — the df stage must stay the
+    // groupBy+join form. Guards q26/q49/q67/q68/q72/q73 at 100 TB.
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
+    val plans = Seq(
+      "ngramJaccardPairs" -> Dedup.ngramJaccardPairs(docs, "text", "doc_id", Nil, 3, 0.5),
+      "ngramJaccardPairs/blocked" ->
+        Dedup.ngramJaccardPairs(docs.withColumn("lang", lit("en")), "text",
+          "doc_id", Seq("lang"), 3, 0.5),
+      "ngramJaccardJoin" -> Dedup.ngramJaccardJoin(docs, docs, "text", "doc_id", 3, 0.5),
+      "containmentJoin" -> Dedup.containmentJoin(docs, docs, "text", "doc_id", 3, 0.5))
+    plans.foreach { case (name, df) =>
+      val offending = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.flatMap(_.references.toSeq).forall(_.name == "g") => w
+      }
+      assert(offending.isEmpty,
+        s"$name: window partitioned only by the shingle hash — Zipfian straggler")
+    }
+  }
+
+  test("q59 exactness precondition: vocabulary under the approx_top_k capacity") {
+    // q59 oracle-gates only while every distinct token fits the sketch's
+    // tracking capacity (10000, explicit in the query) — past it the
+    // counts silently go approximate and the oracle would flip red
+    // confusingly. Fail HERE with the remedy instead.
+    val dir = new java.io.File("/root/testdata/sf0.01/documents.parquet")
+    assume(dir.exists, "driver testdata not present")
+    val distinct = spark.read.parquet(dir.toString)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .distinct().count()
+    assert(distinct < 10000,
+      s"documents vocabulary ($distinct tokens) reached approx_top_k capacity " +
+        "(10000): q59_heavy_hitters is no longer exact — demote it to " +
+        "rows-only (drop its oracleSql entry) or raise maxItemsTracked")
+  }
+
+  test("prebuilt history index: join parity and shared-order prefix math") {
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val hist = Seq((2L, long), (4L, long + " extra"),
+      (6L, "one two three four five six"),
+      (8L, "totally disjoint history content words")).toDF("doc_id", "text")
+    val batch = Seq((1L, long), (3L, "one two three four five six"),
+      (5L, "unrelated words here entirely now")).toDF("doc_id", "text")
+    val histRows = Dedup.shingleRows(hist, "text", "doc_id", Nil, 3)
+    val (histDf, histPrefix) = Dedup.historyJaccardIndex(histRows, "doc_id", 0.5)
+    val batchRows = Dedup.shingleRows(batch, "text", "doc_id", Nil, 3)
+    val got = Dedup.ngramJaccardJoinPrebuilt(batchRows, histRows, histDf,
+        histPrefix, "doc_id", 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val expected = Dedup.ngramJaccardJoin(batch, hist, "text", "doc_id", 3, 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === expected)
+    assert(got.keySet === Set((1L, 2L), (1L, 4L), (3L, 6L)))
+  }
+
+  test("prebuilt history join matches union-df join on random corpora") {
+    // randomized model check: the prebuilt path uses a DIFFERENT total
+    // order (history-only df, unseen shingles at 0) — results must still
+    // be identical to the union-df form on every draw
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = (1 to 18).map(i => s"w$i")
+    def doc(): String =
+      (0 until (8 + rnd.nextInt(6))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (trial <- 1 to 3) {
+      val hist = (1L to 12L).map(i => (i, doc())).toDF("doc_id", "text")
+      val batch = (101L to 110L).map(i => (i, doc())).toDF("doc_id", "text")
+      val histRows = Dedup.shingleRows(hist, "text", "doc_id", Nil, 3)
+      val (hDf, hPrefix) = Dedup.historyJaccardIndex(histRows, "doc_id", 0.4)
+      val batchRows = Dedup.shingleRows(batch, "text", "doc_id", Nil, 3)
+      val got = Dedup.ngramJaccardJoinPrebuilt(batchRows, histRows, hDf,
+          hPrefix, "doc_id", 0.4)
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      val expected = Dedup.ngramJaccardJoin(batch, hist, "text", "doc_id", 3, 0.4)
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === expected, s"trial $trial")
+    }
   }
 }
