@@ -281,7 +281,15 @@ object Dedup {
     * aggregate runs over the union of both corpora and re-shuffles
     * history on every batch. Rebuild the artifacts as history grows:
     * staleness only shifts the candidate-pruning order (more candidates),
-    * never the result set. */
+    * never the result set.
+    *
+    * THRESHOLD CONTRACT: the prefix length is derived from `threshold`,
+    * and a pair's recall needs BOTH prefixes at (or below) the join
+    * threshold — build with the LOWEST threshold you intend to join at
+    * (a lower-threshold prefix is a superset, so joining higher stays
+    * exact; joining lower than the build silently misses pairs —
+    * [[ngramJaccardJoinPrebuilt]] rejects that). The built prefix rows
+    * carry the build threshold in a `__t` column for that guard. */
   def historyJaccardIndex(histRows: DataFrame, idCol: String,
                           threshold: Double): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
@@ -293,7 +301,7 @@ object Dedup {
       .withColumn("pos", row_number().over(docWin))
       // same ε guard as the self-join (see ngramJaccardPairsFromRows)
       .where(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
-      .select(col(idCol), col("n_sh"), col("g"))
+      .select(col(idCol), col("n_sh"), col("g"), lit(threshold).as("__t"))
     (df, prefix)
   }
 
@@ -324,6 +332,17 @@ object Dedup {
       // same ε guard as the self-join (see ngramJaccardPairsFromRows)
       .where(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
       .select(col(idCol).as("id_l"), col("n_sh").as("n_l"), col("g"))
+    // threshold contract (see historyJaccardIndex): an index built at a
+    // HIGHER threshold has too-short prefixes for this join and would
+    // silently miss pairs — fail loudly instead (one-row probe, cheap)
+    if (histPrefix.columns.contains("__t")) {
+      val t0 = histPrefix.select(col("__t")).take(1)
+      if (t0.nonEmpty && t0.head.getDouble(0) > threshold + 1e-12)
+        throw new IllegalArgumentException(
+          s"history index was built at threshold ${t0.head.getDouble(0)}; " +
+            s"joining at lower threshold $threshold would miss pairs — " +
+            "rebuild the index at (or below) the join threshold")
+    }
     val hPrefix = histPrefix.select(col(idCol).as("id_r"), col("n_sh").as("n_r"), col("g"))
     val cand = bPrefix.join(hPrefix, Seq("g"))
       .where(least(col("n_l"), col("n_r")).cast("double") /
@@ -390,6 +409,65 @@ object Dedup {
       .dropDuplicates("id_l", "id_r")
     val lIdx = probeRows.select(col(idCol).as("id_l"), col("g"))
     val rIdx = corpusRows.select(col(idCol).as("id_r"), col("g"))
+    cand
+      .join(lIdx, "id_l")
+      .join(rIdx, Seq("id_r", "g"))
+      .groupBy(col("id_l"), col("id_r"), col("n_l"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_l"), col("id_r"),
+        (col("inter").cast("double") / col("n_l")).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
+  /** Corpus-side artifacts for [[containmentJoinPrebuilt]], built once
+    * from a corpus shingle index ([[shingleRows]] output):
+    *   `df`    — (g, df): per-shingle document frequency over the corpus
+    *             (the probe-prefix pruning order — the corpus knows which
+    *             shingles are hot, the probe suite does not);
+    *   `sizes` — (idCol, n_sh): per-doc shingle counts for the
+    *             |B| ≥ ⌈t·|A|⌉ candidate prune.
+    * Persist `df` and the index bucketed by `g`; `sizes` is one row per
+    * doc. Decontamination is a RECURRING job against a mostly-static
+    * corpus — prebuilding moves the corpus-wide aggregates out of every
+    * run. */
+  def corpusContainmentIndex(corpusRows: DataFrame, idCol: String): (DataFrame, DataFrame) =
+    (corpusRows.groupBy(col("g")).agg(count(lit(1)).as("df")),
+      corpusRows.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")))
+
+  /** The corpus-scale form of [[containmentJoinFromRows]]: corpus
+    * artifacts come prebuilt from [[corpusContainmentIndex]]. Only the
+    * probe side is prefixed (sound for asymmetric overlap under ANY probe
+    * ordering — the ⌈t·|A|⌉-sized intersection cannot hide entirely in
+    * the ⌈t·|A|⌉−1-sized suffix), ordered corpus-rare-first so hot corpus
+    * shingles stay out of the prefix; probe-only shingles rank rarest at
+    * df 0. The probe suite is small by contract, so the candidate join
+    * broadcasts it and the corpus index streams once, in place when
+    * bucketed by `g`. Output is identical to [[containmentJoin]]. */
+  def containmentJoinPrebuilt(probeRows: DataFrame, corpusIdx: DataFrame,
+                              corpusDf: DataFrame, corpusSizes: DataFrame,
+                              idCol: String, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pDf = probeRows.join(corpusDf, Seq("g"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+    val docWin = Window.partitionBy(col(idCol)).orderBy(col("df"), col("g"))
+    val pPrefix = pDf
+      .withColumn("n_sh", count(lit(1)).over(
+        docWin.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("pos", row_number().over(docWin))
+      // same ε guard as the self-join (see ngramJaccardPairsFromRows)
+      .where(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
+      .select(col(idCol).as("id_l"), col("n_sh").as("n_l"), col("g"))
+    val cand = pPrefix
+      .join(corpusIdx.select(col(idCol).as("id_r"), col("g")), Seq("g"))
+      .select(col("id_l"), col("id_r"), col("n_l"))
+      .dropDuplicates("id_l", "id_r")
+      // size prune AFTER dedup: cand is probe-bounded, so the sizes join
+      // is tiny — never a corpus-wide shuffle
+      .join(corpusSizes.select(col(idCol).as("id_r"), col("n_sh").as("n_r")), "id_r")
+      .where(col("n_r") >= ceil(lit(threshold) * col("n_l") - lit(1e-9)))
+      .select(col("id_l"), col("id_r"), col("n_l"))
+    val lIdx = probeRows.select(col(idCol).as("id_l"), col("g"))
+    val rIdx = corpusIdx.select(col(idCol).as("id_r"), col("g"))
     cand
       .join(lIdx, "id_l")
       .join(rIdx, Seq("id_r", "g"))

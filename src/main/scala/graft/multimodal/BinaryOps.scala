@@ -100,6 +100,49 @@ object BinaryOps {
   def withImageMeta(df: DataFrame, idCol: String, binCol: String): DataFrame =
     withMeta(df, binCol, decodeImageMeta)
 
+  val audioMetaType: StructType = StructType(Seq(
+    StructField("byte_len", LongType, nullable = false),
+    StructField("format", StringType),
+    StructField("sample_rate", FloatType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType)))
+
+  /** Real audio-header decode via `javax.sound.sampled` (JDK built-in):
+    * container type, sample rate, channel count, and frame length parsed
+    * from the header without decoding samples. None for unrecognized
+    * payloads (same never-fail contract as [[decodeImageMeta]]). */
+  def decodeAudioMeta(bytes: Array[Byte]): Option[(String, Float, Int, Long)] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = aff.getFormat
+      Some((aff.getType.toString.toLowerCase, fmt.getSampleRate,
+        fmt.getChannels, aff.getFrameLength.toLong))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Attach an `audio_meta` struct via the same per-partition batching as
+    * the image path — the audio half of the multimodal surface, genuine
+    * for WAV/AIFF/AU payloads the JDK parses natively. */
+  def withAudioMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("audio_meta", audioMetaType))
+    val enc = ExpressionEncoder(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val meta = if (bytes == null) null else decodeAudioMeta(bytes) match {
+          case Some((t, sr, ch, fl)) => Row(bytes.length.toLong, t, sr, ch, fl)
+          case None => Row(bytes.length.toLong, null, null, null, null)
+        }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
   /** Deterministic every-k frame sampling over a (stub-)decoded frame
     * count: emits one row per sampled frame index. */
   def sampleFrames(df: DataFrame, everyK: Int): DataFrame =

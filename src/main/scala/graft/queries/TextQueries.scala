@@ -386,6 +386,24 @@ object TextQueries {
         .orderBy(col("id_l"), col("id_r"))
     }),
 
+    // ───── q72's PREBUILT form — decontamination as the recurring job it
+    // is: corpus df + per-doc sizes built once by corpusContainmentIndex,
+    // the probe suite prefixed under the corpus-rare-first order and
+    // joined against the (bucketed-at-scale) corpus index. Same result
+    // set, gated by the same oracle. ─────
+    "q75_containment_prebuilt" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpusRows = Dedup.shingleRows(docs.where(col("doc_id") % 2 === 0),
+          "text", "doc_id", Nil, 3)
+        .localCheckpoint(eager = false) // mirrors the persisted-index contract
+      val (cDf, cSizes) = Dedup.corpusContainmentIndex(corpusRows, "doc_id")
+      Dedup.containmentJoinPrebuilt(
+          Dedup.shingleRows(docs.where(col("doc_id") % 2 === 1),
+            "text", "doc_id", Nil, 3),
+          corpusRows, cDf, cSizes, "doc_id", 0.7)
+        .orderBy(col("id_l"), col("id_r"))
+    }),
+
     // ───── cross-corpus embedding near-dup (incremental-ingest form of
     // q29): odd vec_ids as the new batch joined against even as history —
     // salted SHJ, history streams, never self-pairs ─────
@@ -655,6 +673,19 @@ object TextQueries {
             CAST(length(raw) - length(regexp_replace(raw, 'https?://[^\\s]+', '', 'g')) AS INT) AS n_url_chars
           FROM raw ORDER BY doc_id""",
     "q72_containment_join" ->
+      s"""WITH sh AS (
+            SELECT doc_id,
+              list_distinct(CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
+                ELSE list_transform(range(1, len($toks) - 1),
+                       i -> array_to_string(($toks)[i:i+2], ' ')) END) AS s
+            FROM documents)
+          SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS containment
+          FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.7
+          ORDER BY id_l, id_r""",
+    // the prebuilt path must emit the exact same containment pairs as q72
+    "q75_containment_prebuilt" ->
       s"""WITH sh AS (
             SELECT doc_id,
               list_distinct(CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]

@@ -134,14 +134,68 @@ object Corpus {
   def cleanIncremental(incoming: DataFrame, history: DataFrame,
                        textCol: String, idCol: String, stopwords: Seq[String],
                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val withQ = incoming.withColumn("keep_quality",
-      qualityKeep(col(textCol), stopwords))
     val histFp = history
       .select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
-      .withColumn("__in_hist", lit(true))
+    val histRows = Dedup.shingleRows(history, textCol, idCol, Nil, n)
+    cleanIncrementalCore(incoming, histFp,
+      survRows => Dedup.ngramJaccardJoinFromRows(survRows, histRows, idCol, threshold),
+      textCol, idCol, stopwords, n, threshold)
+  }
+
+  /** History-side artifacts for [[cleanIncrementalPrebuilt]] — everything
+    * the daily job needs about history, derivable once and persisted:
+    * `fingerprints` (fp) for the exact stage; `shingles` (idCol, g), `df`
+    * (g, df), `prefix` (idCol, n_sh, g, __t) for the near-dup stage
+    * ([[Dedup.historyJaccardIndex]] artifacts). Persist the g-keyed
+    * frames bucketed by `g` and `fingerprints` bucketed by `fp`
+    * ([[graft.ops.BatchView.writeBucketed]]): every history side of the
+    * daily join then plans exchange-free. */
+  final case class HistoryIndex(fingerprints: DataFrame, shingles: DataFrame,
+                                df: DataFrame, prefix: DataFrame)
+
+  /** Build a [[HistoryIndex]] from an (already-clean) history corpus —
+    * run once per index refresh, NOT per batch. `threshold` must be at or
+    * below every join threshold the index will serve (see
+    * [[Dedup.historyJaccardIndex]]'s threshold contract). */
+  def buildHistoryIndex(history: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, threshold: Double = 0.5): HistoryIndex = {
+    val rows = Dedup.shingleRows(history, textCol, idCol, Nil, n)
+    val (df, prefix) = Dedup.historyJaccardIndex(rows, idCol, threshold)
+    HistoryIndex(
+      history.select(TextOps.fingerprint(col(textCol)).as("fp")).distinct(),
+      rows, df, prefix)
+  }
+
+  /** [[cleanIncremental]] against PREBUILT history artifacts — the form a
+    * daily pipeline actually runs at corpus scale: history text is never
+    * touched; the fingerprint anti-join reads the persisted fingerprint
+    * table, and the near-dup stage runs [[Dedup.ngramJaccardJoinPrebuilt]]
+    * against the persisted shingle index (exchange-free on the history
+    * side when bucketed by `g`). Stage flags are identical to
+    * [[cleanIncremental]] over the corpus the index was built from. */
+  def cleanIncrementalPrebuilt(incoming: DataFrame, hist: HistoryIndex,
+                               textCol: String, idCol: String,
+                               stopwords: Seq[String],
+                               n: Int = 3, threshold: Double = 0.5): DataFrame =
+    cleanIncrementalCore(incoming, hist.fingerprints,
+      survRows => Dedup.ngramJaccardJoinPrebuilt(
+        survRows, hist.shingles, hist.df, hist.prefix, idCol, threshold),
+      textCol, idCol, stopwords, n, threshold)
+
+  /** Shared staging for the incremental forms: quality gate → fingerprint
+    * anti-join vs `histFp` → cross-corpus near-dup via `crossPairsOf`
+    * (takes the checkpointed batch shingle index, returns (id_l, id_r,
+    * jaccard)) → in-batch clusters. */
+  private def cleanIncrementalCore(incoming: DataFrame, histFp: DataFrame,
+                                   crossPairsOf: DataFrame => DataFrame,
+                                   textCol: String, idCol: String,
+                                   stopwords: Seq[String],
+                                   n: Int, threshold: Double): DataFrame = {
+    val withQ = incoming.withColumn("keep_quality",
+      qualityKeep(col(textCol), stopwords))
     val withE = withQ
       .withColumn("fp", exactKey(col(textCol), col("keep_quality"), col(idCol)))
-      .join(histFp, Seq("fp"), "left")
+      .join(histFp.withColumn("__in_hist", lit(true)), Seq("fp"), "left")
       .withColumn("keep_exact", col("keep_quality") && col("__in_hist").isNull &&
         col(idCol) === min(col(idCol)).over(Window.partitionBy(col("fp"))))
     // The batch is shingled ONCE into a checkpointed index that feeds both
@@ -150,14 +204,12 @@ object Corpus {
     // re-execute the shingle pipeline AND the window+join upstream ~6×).
     // Batch-sized state only, by the incremental contract; history is
     // never materialized — it streams through its own shingle pass and
-    // the fingerprint join exactly once.
+    // the fingerprint join exactly once (or, prebuilt, is read in place).
     val survRows = Dedup.shingleRows(
         withE.where(col("keep_exact")).select(col(idCol), col(textCol)),
         textCol, idCol, Nil, n)
       .localCheckpoint(eager = false)
-    val histRows = Dedup.shingleRows(history, textCol, idCol, Nil, n)
-    val crossDup = Dedup.ngramJaccardJoinFromRows(
-        survRows, histRows, idCol, threshold)
+    val crossDup = crossPairsOf(survRows)
       .select(col("id_l").as(idCol)).distinct()
       .withColumn("__hist_dup", lit(true))
     val withH = withE.join(crossDup, Seq(idCol), "left")

@@ -238,4 +238,29 @@ class PipelineSpec extends SparkSpec {
       junkMeta.isNullAt(2) && junkMeta.isNullAt(3))
     assert(out(3L) === null) // null payload -> null struct, as the stub path
   }
+
+  test("BinaryOps: javax.sound decodes real WAV headers; junk yields null fields") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 800 frames of 16-bit mono PCM at 8 kHz, written as a real WAV
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](1600)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, 800),
+      AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    val df = Seq((1L, wav), (2L, "definitely not audio".getBytes("UTF-8")))
+      .toDF("id", "content")
+    val out = BinaryOps.withAudioMeta(df, "id", "content")
+      .select(col("id"), col("audio_meta")).collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    val meta = out(1L)
+    assert(meta.getLong(0) === wav.length.toLong)
+    assert(meta.getString(1) === "wave")
+    assert(meta.getFloat(2) === 8000f)
+    assert(meta.getInt(3) === 1)
+    assert(meta.getLong(4) === 800L)
+    val junk = out(2L)
+    assert(junk.getLong(0) === 20L && junk.isNullAt(1) && junk.isNullAt(2))
+  }
 }

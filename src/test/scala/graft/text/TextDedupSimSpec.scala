@@ -276,6 +276,33 @@ class TextDedupSimSpec extends SparkSpec {
       (9L, true, true, true, false)))
   }
 
+  test("cleanIncrementalPrebuilt: stage flags match cleanIncremental exactly") {
+    // the prebuilt form must reproduce the streaming form's flags on the
+    // same corpus — fingerprint stage via the persisted fp table, near-dup
+    // stage via the prebuilt Jaccard index
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val hist = Seq((100L, long),
+      (102L, "completely different history document with many unique tokens here"))
+      .toDF("doc_id", "text")
+    val inc = Seq(
+      (1L, long), (2L, "too short"), (3L, long + " changed"),
+      (5L, "one two three four five six seven eight nine ten eleven"),
+      (7L, "one two three four five six seven eight nine ten eleven"),
+      (9L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    def flags(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "keep_quality", "keep_exact", "keep_vs_history", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect().toSet
+    val idx = graft.text.Corpus.buildHistoryIndex(hist, "text", "doc_id",
+      n = 3, threshold = 0.5)
+    val got = flags(graft.text.Corpus.cleanIncrementalPrebuilt(
+      inc, idx, "text", "doc_id", Seq("the"), 3, 0.5))
+    val expected = flags(graft.text.Corpus.cleanIncremental(
+      inc, hist, "text", "doc_id", Seq("the"), 3, 0.5))
+    assert(got === expected)
+    assert(got.exists { case (id, _, _, _, keep) => id == 5L && keep })
+  }
+
   test("chunkRows: overlapping windows, suppressed tail, short docs whole") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
@@ -571,6 +598,30 @@ class TextDedupSimSpec extends SparkSpec {
     assert(got.keySet === Set((1L, 2L), (1L, 4L), (3L, 6L)))
   }
 
+  test("prebuilt containment join matches union-df containment on random corpora") {
+    // probe-only prefix under corpus-rare-first order must emit exactly
+    // the pairs the union-df form does, on every draw (the theorem holds
+    // for ANY probe ordering; this checks the implementation)
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = (1 to 15).map(i => s"w$i")
+    def doc(lo: Int, hi: Int): String =
+      (0 until (lo + rnd.nextInt(hi - lo + 1)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (trial <- 1 to 3) {
+      val corpus = (1L to 14L).map(i => (i, doc(10, 20))).toDF("doc_id", "text")
+      val probe = (101L to 106L).map(i => (i, doc(5, 9))).toDF("doc_id", "text")
+      val corpusRows = Dedup.shingleRows(corpus, "text", "doc_id", Nil, 3)
+      val (cDf, cSizes) = Dedup.corpusContainmentIndex(corpusRows, "doc_id")
+      val got = Dedup.containmentJoinPrebuilt(
+          Dedup.shingleRows(probe, "text", "doc_id", Nil, 3),
+          corpusRows, cDf, cSizes, "doc_id", 0.6)
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      val expected = Dedup.containmentJoin(probe, corpus, "text", "doc_id", 3, 0.6)
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("prebuilt history join matches union-df join on random corpora") {
     // randomized model check: the prebuilt path uses a DIFFERENT total
     // order (history-only df, unseen shingles at 0) — results must still
@@ -592,5 +643,23 @@ class TextDedupSimSpec extends SparkSpec {
         .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
       assert(got === expected, s"trial $trial")
     }
+  }
+
+  test("prebuilt history index rejects joins below its build threshold") {
+    // an index built at 0.8 has prefixes too short for a 0.5 join —
+    // silently missing pairs is the failure mode, so the join must throw;
+    // joining at or ABOVE the build threshold stays legal (superset prefix)
+    val docs = Seq((2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val histRows = Dedup.shingleRows(docs, "text", "doc_id", Nil, 3)
+    val (hDf, hPrefix) = Dedup.historyJaccardIndex(histRows, "doc_id", 0.8)
+    val batchRows = Dedup.shingleRows(
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "text", "doc_id", Nil, 3)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardJoinPrebuilt(batchRows, histRows, hDf, hPrefix, "doc_id", 0.5)
+    }
+    assert(e.getMessage.contains("rebuild the index"))
+    assert(Dedup.ngramJaccardJoinPrebuilt(batchRows, histRows, hDf, hPrefix,
+      "doc_id", 0.9).count() === 1L)
   }
 }
