@@ -133,8 +133,14 @@ object Dedup {
     * is then counted for candidates only. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         blockCols: Seq[String], n: Int, threshold: Double): DataFrame =
+    // the index feeds FOUR consumers (df aggregate, prefix join-back, both
+    // verification sides); AQE exchange reuse covers only some of them
+    // (measured: the df branch re-executes the whole shingle pipeline), so
+    // materialize once — the in-session form of the FromRows persistence
+    // advice. Lazy: the first action pays it.
     ngramJaccardPairsFromRows(
-      shingleRows(docs, textCol, idCol, blockCols, n), idCol, blockCols, threshold)
+      shingleRows(docs, textCol, idCol, blockCols, n).localCheckpoint(eager = false),
+      idCol, blockCols, threshold)
 
   /** [[ngramJaccardPairs]] over a PRECOMPUTED shingle index — `rows` is
     * [[shingleRows]] output (blockCols ++ idCol ++ g), or a re-read of a
@@ -220,8 +226,13 @@ object Dedup {
     * shuffle-free on that side. */
   def ngramJaccardJoin(left: DataFrame, right: DataFrame, textCol: String,
                        idCol: String, n: Int, threshold: Double): DataFrame =
+    // batch (left) side: small by the incremental contract → materialize
+    // its index once for the union-df, join, and verify consumers. The
+    // history (right) side is deliberately NOT checkpointed — at corpus
+    // scale recomputing its streaming passes beats materializing it; use
+    // ngramJaccardJoinPrebuilt when history artifacts are persisted.
     ngramJaccardJoinFromRows(
-      shingleRows(left, textCol, idCol, Nil, n),
+      shingleRows(left, textCol, idCol, Nil, n).localCheckpoint(eager = false),
       shingleRows(right, textCol, idCol, Nil, n), idCol, threshold)
 
   /** [[ngramJaccardJoin]] over precomputed shingle indexes for each side
@@ -378,8 +389,10 @@ object Dedup {
     * the corpus streams through the shingle join once. */
   def containmentJoin(probe: DataFrame, corpus: DataFrame, textCol: String,
                       idCol: String, n: Int, threshold: Double): DataFrame =
+    // probe suite: small by contract → materialize once (see
+    // ngramJaccardJoin's rationale); the corpus side streams
     containmentJoinFromRows(
-      shingleRows(probe, textCol, idCol, Nil, n),
+      shingleRows(probe, textCol, idCol, Nil, n).localCheckpoint(eager = false),
       shingleRows(corpus, textCol, idCol, Nil, n), idCol, threshold)
 
   /** [[containmentJoin]] over precomputed shingle indexes. */
