@@ -549,6 +549,81 @@ object Dedup {
     minhashLshPairsFromRows(shingleRows(docs, textCol, idCol, Nil, n),
       idCol, bands, rowsPerBand, confirmThreshold)
 
+  /** Per-doc MinHash signature table from a shingle index: ONE hash
+    * aggregate computes all `bands × rowsPerBand` minima as columns
+    * `m0..m(N-1)` plus the per-doc shingle count — output
+    * (idCol, m0.., n_sh). Deterministic under the fixed seed, so
+    * signature tables built at different times (a persisted history table
+    * vs today's batch) band-join consistently. This is the CHEAPEST
+    * history artifact of all the near-dup paths — `bands × rowsPerBand`
+    * longs + one count per doc, orders of magnitude smaller than a
+    * shingle index — which makes [[minhashLshJoinFromSigs]] the practical
+    * incremental near-dup primitive when storing history shingles is too
+    * expensive. */
+  def minhashSigTable(rows: DataFrame, idCol: String,
+                      bands: Int = 16, rowsPerBand: Int = 4,
+                      seed: Long = 42L): DataFrame = {
+    val p = MinhashP
+    val numHashes = bands * rowsPerBand
+    val rnd = new scala.util.Random(seed)
+    val params = Seq.fill(numHashes)((rnd.nextInt((p - 1).toInt).toLong + 1L,
+      rnd.nextInt(p.toInt).toLong))
+    val base = rows.select(col(idCol), pmod(col("g"), lit(p)).as("h"))
+    val minCols = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"m$i")
+    }
+    base.groupBy(col(idCol))
+      .agg(minCols.head, (minCols.tail :+ count(lit(1)).as("n_sh")): _*)
+  }
+
+  /** (idCol, band, bucket) LSH banding rows from a signature table. */
+  private def bandedBuckets(sig: DataFrame, idCol: String,
+                            bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandBuckets = (0 until bands).map { bnd =>
+      xxhash64(concat_ws("_", lit(bnd) +:
+        (0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}")): _*))
+    }
+    sig.select(col(idCol), posexplode(array(bandBuckets: _*)).as(Seq("band", "bucket")))
+  }
+
+  /** Cross-corpus MinHash+LSH near-dup join: batch signatures banded
+    * against a (typically persisted) history SIGNATURE table — the
+    * incremental form of [[minhashLshPairsFromRows]], and the one whose
+    * history state is signature-sized, not shingle-sized. Candidates are
+    * (id_l ∈ batch, id_r ∈ history) pairs agreeing on at least one full
+    * band; both tables must come from [[minhashSigTable]] with the same
+    * seed/band geometry (the fixed default makes tables comparable across
+    * builds). `confirm = Some((batchRows, histRows, t))` adds the exact-
+    * Jaccard gate over the two shingle indexes, candidates only — at
+    * scale the history index can stay in cold storage and only candidate
+    * docs' shingles are fetched. */
+  def minhashLshJoinFromSigs(batchSigs: DataFrame, histSigs: DataFrame,
+                             idCol: String, bands: Int = 16, rowsPerBand: Int = 4,
+                             confirm: Option[(DataFrame, DataFrame, Double)] = None): DataFrame = {
+    val l = bandedBuckets(batchSigs, idCol, bands, rowsPerBand)
+      .select(col("band"), col("bucket"), col(idCol).as("id_l"))
+    val r = bandedBuckets(histSigs, idCol, bands, rowsPerBand)
+      .select(col("band"), col("bucket"), col(idCol).as("id_r"))
+    val cand = l.join(r, Seq("band", "bucket"))
+      .select(col("id_l"), col("id_r"))
+      .dropDuplicates("id_l", "id_r")
+    confirm match {
+      case Some((batchRows, histRows, t)) =>
+        val inter = cand
+          .join(batchRows.select(col(idCol).as("id_l"), col("g")), "id_l")
+          .join(histRows.select(col(idCol).as("id_r"), col("g")), Seq("id_r", "g"))
+          .groupBy(col("id_l"), col("id_r"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(batchSigs.select(col(idCol).as("id_l"), col("n_sh").as("n_l")), "id_l")
+          .join(histSigs.select(col(idCol).as("id_r"), col("n_sh").as("n_r")), "id_r")
+          .select(col("id_l"), col("id_r"),
+            (col("inter").cast("double") / (col("n_l") + col("n_r") - col("inter"))).as("jaccard"))
+          .where(col("jaccard") >= t)
+      case None => cand
+    }
+  }
+
   /** [[minhashLshPairs]] over a precomputed shingle index (`shingleRows`
     * output, (idCol, g)) — the corpus-scale form where one materialized
     * index feeds MinHash banding, exact-Jaccard, and the incremental
@@ -556,24 +631,9 @@ object Dedup {
   def minhashLshPairsFromRows(rows: DataFrame, idCol: String,
                               bands: Int = 16, rowsPerBand: Int = 4,
                               confirmThreshold: Option[Double] = None): DataFrame = {
-    val p = MinhashP
-    val numHashes = bands * rowsPerBand
-    val rnd = new scala.util.Random(42L)
-    val params = Seq.fill(numHashes)((rnd.nextInt((p - 1).toInt).toLong + 1L,
-      rnd.nextInt(p.toInt).toLong))
-    val base = rows.select(col(idCol), pmod(col("g"), lit(p)).as("h"))
-    val minCols = params.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"m$i")
-    }
     // one pass: all 64 minima + the shingle count (|A| for Jaccard)
-    val sig = base.groupBy(col(idCol))
-      .agg(minCols.head, (minCols.tail :+ count(lit(1)).as("n_sh")): _*)
-    val bandBuckets = (0 until bands).map { bnd =>
-      xxhash64(concat_ws("_", lit(bnd) +:
-        (0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}")): _*))
-    }
-    val banded = sig.select(col(idCol),
-      posexplode(array(bandBuckets: _*)).as(Seq("band", "bucket")))
+    val sig = minhashSigTable(rows, idCol, bands, rowsPerBand)
+    val banded = bandedBuckets(sig, idCol, bands, rowsPerBand)
     val cand = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col(idCol).as("id_b")),
         Seq("band", "bucket"))

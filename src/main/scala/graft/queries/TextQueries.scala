@@ -478,6 +478,22 @@ object TextQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // ───── q73 plus the decontamination stage: docs covering ≥ 70% of any
+    // "eval-suite" doc (doc_id % 10 = 3 as a stand-in benchmark set) are
+    // dropped BEFORE the token budget — the full production shape of
+    // training-mix assembly ─────
+    "q76_assemble_decon" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.Corpus.assemble(
+          Seq((docs.where(col("lang") === "en"), 0.5),
+            (docs.where(col("lang") =!= "en"), 1.0)),
+          "text", "doc_id", Seq("lang"), stopwords,
+          n = 3, threshold = 0.5, tokenBudget = 5000L,
+          chunkSize = 32, overlap = 8,
+          decontaminate = Some((docs.where(col("doc_id") % 10 === 3), 0.7)))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // ───── flagship composition: the full corpus-cleaning pipeline
     // (quality gate → exact dedupe → near-dup clusters → survivors) with
     // per-stage keep flags for every doc ─────
@@ -841,6 +857,70 @@ object TextQueries {
                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
                   ROWS UNBOUNDED PRECEDING) AS cum
               FROM kept)
+            WHERE cum - n < 5000)
+          SELECT doc_id, CAST(s // 24 AS INT) AS chunk_id,
+            array_to_string(tk[s + 1 : s + 32], ' ') AS chunk_text,
+            CAST(len(tk[s + 1 : s + 32]) AS INT) AS n_chunk_tokens
+          FROM bud, UNNEST(range(0, greatest(len(tk) - 8, 1), 24)) AS u(s)
+          ORDER BY doc_id, chunk_id""",
+    // q73's staged mirror plus a decontamination CTE between kept and bud
+    "q76_assemble_decon" ->
+      s"""WITH RECURSIVE t AS (
+            SELECT doc_id, lang, $toks AS tk FROM documents
+            WHERE lang <> 'en'
+               OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'),
+          q AS (
+            SELECT doc_id, lang, tk,
+              (len(tk) >= 10
+               AND CAST(len(list_filter(tk, w -> w IN ('the','a','of','and','to'))) AS DOUBLE) / len(tk) <= 0.5
+               AND CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) >= 0.3) AS kq
+            FROM t),
+          e AS (
+            SELECT doc_id, lang, tk,
+              doc_id = MIN(doc_id) OVER (PARTITION BY md5(lower(array_to_string(tk, ' ')))) AS ke
+            FROM q WHERE kq),
+          sh AS (
+            SELECT doc_id, lang,
+              list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string((tk)[i:i+2], ' ')) END) AS s
+            FROM e WHERE ke),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          reach AS (SELECT u, v FROM edges UNION
+                    SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+                    WHERE e2.v <> r.u),
+          comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component
+                   FROM reach GROUP BY u),
+          kept AS (
+            SELECT e.doc_id, e.tk FROM e LEFT JOIN comp c ON e.doc_id = c.id
+            WHERE e.ke AND COALESCE(c.component, e.doc_id) = e.doc_id),
+          ksh AS (
+            SELECT doc_id, tk,
+              list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string((tk)[i:i+2], ' ')) END) AS s
+            FROM kept),
+          psh AS (
+            SELECT list_distinct(CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
+                ELSE list_transform(range(1, len($toks) - 1), i -> array_to_string(($toks)[i:i+2], ' ')) END) AS s
+            FROM documents WHERE doc_id % 10 = 3),
+          decon AS (
+            -- ANTI JOIN, not NOT EXISTS: DuckDB cannot bind correlated
+            -- columns inside list_intersect in a subquery
+            SELECT k.doc_id, k.tk FROM ksh k
+            ANTI JOIN psh p
+              ON CAST(len(list_intersect(p.s, k.s)) AS DOUBLE) / len(p.s) >= 0.7),
+          bud AS (
+            SELECT doc_id, tk FROM (
+              SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
+                SUM(CAST(len(tk) AS BIGINT)) OVER (
+                  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM decon)
             WHERE cum - n < 5000)
           SELECT doc_id, CAST(s // 24 AS INT) AS chunk_id,
             array_to_string(tk[s + 1 : s + 32], ' ') AS chunk_text,

@@ -79,33 +79,54 @@ object Corpus {
     * for, as one call:
     *
     *   weighted source mixing → corpus clean (quality / exact / near-dup)
-    *   → token-budget subsample → context-window chunking
+    *   → eval-suite decontamination (optional) → token-budget subsample
+    *   → context-window chunking
     *
     * Returns one row per training chunk: (idCol, chunk_id, chunk_text,
     * n_chunk_tokens). Every stage is the individually-exposed (and
     * individually oracle-gated) operator, so the composition inherits
     * their scale shapes: the mixture is shuffle-free, the clean stages
-    * only narrow, the budget pass windows over ~2× the budget, and
-    * chunking is scan-side. Deterministic end-to-end — same sources,
-    * same budget, same corpus out, byte for byte. */
+    * only narrow, decontamination streams the survivors once against the
+    * (small) probe suite, the budget pass windows over ~2× the budget,
+    * and chunking is scan-side. Deterministic end-to-end — same sources,
+    * same budget, same corpus out, byte for byte.
+    *
+    * @param decontaminate optional (evalSuite, containmentThreshold):
+    *        drops every cleaned doc whose shingles cover ≥ threshold of
+    *        any eval-suite doc ([[Dedup.containmentJoin]] semantics) —
+    *        applied BEFORE the token budget so contaminated docs never
+    *        consume it */
   def assemble(sources: Seq[(DataFrame, Double)], textCol: String,
                idCol: String, blockCols: Seq[String], stopwords: Seq[String],
                n: Int = 3, threshold: Double = 0.5,
                tokenBudget: Long = Long.MaxValue,
-               chunkSize: Int = 1024, overlap: Int = 0): DataFrame = {
+               chunkSize: Int = 1024, overlap: Int = 0,
+               decontaminate: Option[(DataFrame, Double)] = None): DataFrame = {
     val mixed = graft.ops.Sampling.weightedMixture(sources, idCol)
     val cleaned = clean(mixed, textCol, idCol, blockCols, stopwords, n, threshold)
     val keptRaw = cleaned.where(col("keep"))
       .withColumn("__n_tokens", TextOps.tokenCount(col(textCol)).cast("long"))
-    // under a real budget, tokenBudgetSample fires two driver-side sizing
-    // aggregates before the final consumer pass — lazily checkpoint so the
-    // mixture→quality→dedupe→CC pipeline upstream executes once, not 3×
-    // (mirrors cleanIncremental's shingled-ONCE discipline); with no budget
-    // the sample is an identity with zero actions, so skip the checkpoint
-    val kept = if (tokenBudget == Long.MaxValue) keptRaw
-               else keptRaw.localCheckpoint(eager = false)
+    // downstream stages are multi-pass consumers (tokenBudgetSample fires
+    // two driver-side sizing aggregates; containment scans its corpus side
+    // repeatedly) — lazily checkpoint so the mixture→quality→dedupe→CC
+    // pipeline upstream executes once, not per pass (mirrors
+    // cleanIncremental's shingled-ONCE discipline); with no budget and no
+    // decontamination there is exactly one consumer, so skip it
+    val multiPass = tokenBudget != Long.MaxValue || decontaminate.nonEmpty
+    val kept = if (multiPass) keptRaw.localCheckpoint(eager = false) else keptRaw
+    val decon = decontaminate match {
+      case Some((evalSuite, t)) =>
+        val contaminated = Dedup.containmentJoin(evalSuite, kept, textCol, idCol, n, t)
+          .select(col("id_r").as(idCol)).distinct()
+        val anti = kept.join(contaminated, Seq(idCol), "left_anti")
+        // seal the (expensive) containment stage away from the budget
+        // pass's repeated driver actions, same rationale as `kept`
+        if (tokenBudget != Long.MaxValue) anti.localCheckpoint(eager = false)
+        else anti
+      case None => kept
+    }
     val budgeted = graft.ops.Sampling.tokenBudgetSample(
-      kept, idCol, "__n_tokens", tokenBudget)
+      decon, idCol, "__n_tokens", tokenBudget)
     TextOps.chunkRows(budgeted, textCol, idCol, chunkSize, overlap)
   }
 

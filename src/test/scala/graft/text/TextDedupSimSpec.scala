@@ -357,6 +357,26 @@ class TextDedupSimSpec extends SparkSpec {
     assert(byDoc(10L).map(c => (c._2, c._4)).toSeq === Seq((0, 12)))
   }
 
+  test("assemble: decontamination drops docs covering an eval-suite doc") {
+    val long = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 30).map(i => s"w$i").mkString(" ")
+    val a = Seq((1L, long), (5L, other)).toDF("doc_id", "text")
+    // the eval doc is an 8-token slice of doc 1 → doc 1 covers 100% of its
+    // shingles (containment, not Jaccard — the slice is tiny vs doc 1)
+    val eval = Seq((900L, (10 to 17).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.text.Corpus.assemble(Seq((a, 1.0)), "text", "doc_id",
+        Nil, Seq("the"), n = 3, threshold = 0.5, tokenBudget = 1000L,
+        chunkSize = 16, overlap = 0, decontaminate = Some((eval, 0.7)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(5L), "doc 1 contains the eval doc and must be dropped")
+    val undecon = graft.text.Corpus.assemble(Seq((a, 1.0)), "text", "doc_id",
+        Nil, Seq("the"), n = 3, threshold = 0.5, tokenBudget = 1000L,
+        chunkSize = 16, overlap = 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(undecon === Set(1L, 5L))
+  }
+
   test("assemble: finite budget seals clean stages behind a checkpoint") {
     // tokenBudgetSample fires two driver-side sizing aggregates — without
     // the lazy checkpoint each one re-executes the whole clean pipeline.
@@ -643,6 +663,50 @@ class TextDedupSimSpec extends SparkSpec {
         .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
       assert(got === expected, s"trial $trial")
     }
+  }
+
+  test("minhashLshJoinFromSigs: candidates == brute-force band agreement; confirm exact") {
+    // signatures are deterministic under the fixed seed, so cross-corpus
+    // banding has an exact model: a pair is a candidate iff the two
+    // signature vectors agree on ALL rows of at least one band
+    val rnd = new scala.util.Random(20260815L)
+    val vocab = (1 to 12).map(i => s"w$i")
+    def doc(): String =
+      (0 until (8 + rnd.nextInt(8))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val histDocs = (1L to 10L).map(i => (i, doc()))
+    val batchDocs = (101L to 108L).map(i => (i, doc())) :+ (200L -> histDocs.head._2)
+    val hist = histDocs.toDF("doc_id", "text")
+    val batch = batchDocs.toDF("doc_id", "text")
+    val (bands, rpb) = (8, 2)
+    val histRows = Dedup.shingleRows(hist, "text", "doc_id", Nil, 3)
+    val batchRows = Dedup.shingleRows(batch, "text", "doc_id", Nil, 3)
+    val histSigs = Dedup.minhashSigTable(histRows, "doc_id", bands, rpb)
+    val batchSigs = Dedup.minhashSigTable(batchRows, "doc_id", bands, rpb)
+    def sigMap(df: org.apache.spark.sql.DataFrame): Map[Long, IndexedSeq[Long]] =
+      df.collect().map(r => r.getLong(0) ->
+        (0 until bands * rpb).map(i => r.getLong(i + 1))).toMap
+    val (hs, bs) = (sigMap(histSigs), sigMap(batchSigs))
+    val expected = (for {
+      (lb, sl) <- bs.toSeq; (rh, sr) <- hs.toSeq
+      if (0 until bands).exists(b => (0 until rpb).forall(k => sl(b * rpb + k) == sr(b * rpb + k)))
+    } yield (lb, rh)).toSet
+    val got = Dedup.minhashLshJoinFromSigs(batchSigs, histSigs, "doc_id", bands, rpb)
+      .as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.contains((200L, 1L)), "the planted exact dup must be a candidate")
+    // confirm stage: exact Jaccard over the shingle indexes, candidates only
+    def shingleSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.as[(Long, Long)].collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val (hSh, bSh) = (shingleSets(histRows), shingleSets(batchRows))
+    def jac(a: Set[Long], b: Set[Long]): Double =
+      a.intersect(b).size.toDouble / a.union(b).size
+    val confirmed = Dedup.minhashLshJoinFromSigs(batchSigs, histSigs, "doc_id",
+        bands, rpb, confirm = Some((batchRows, histRows, 0.5)))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val expectedConfirmed = expected.filter { case (l, r) => jac(bSh(l), hSh(r)) >= 0.5 }
+    assert(confirmed.keySet === expectedConfirmed)
+    confirmed.foreach { case ((l, r), j) =>
+      assert(math.abs(j - jac(bSh(l), hSh(r))) < 1e-12) }
   }
 
   test("prebuilt history index rejects joins below its build threshold") {
