@@ -709,16 +709,7 @@ object Dedup {
                            maxDist: Int = 3, tables: Int = 4): DataFrame = {
     require(tables > maxDist && tables <= 64,
       s"pigeonhole cover needs maxDist < tables <= 64 (got $maxDist, $tables)")
-    val blocks = (0 until tables).map { t =>
-      val lo = t * 64 / tables
-      val width = (t + 1) * 64 / tables - lo
-      val key = shiftrightunsigned(col(simhashCol), lo)
-        .bitwiseAND(lit(if (width == 64) -1L else (1L << width) - 1))
-      struct(lit(t).as("tbl"), key.as("key"))
-    }
-    val banded = sigs
-      .select(col(idCol), col(simhashCol).as("sh"), explode(array(blocks: _*)).as("b"))
-      .select(col(idCol), col("sh"), col("b.tbl").as("tbl"), col("b.key").as("key"))
+    val banded = simhashBanded(sigs, idCol, simhashCol, tables)
     val l = banded.select(col("tbl"), col("key"), col(idCol).as("id_a"), col("sh").as("sh_a"))
     val r = banded.select(col("tbl"), col("key"), col(idCol).as("id_b"), col("sh").as("sh_b"))
     l.join(r, Seq("tbl", "key")).where(col("id_a") < col("id_b"))
@@ -733,6 +724,44 @@ object Dedup {
                    maxDist: Int = 3, tables: Int = 4): DataFrame =
     simhashPairsFromSigs(
       simhashDF(docs, textCol, idCol), idCol, "simhash", maxDist, tables)
+
+  /** (tbl, key, id, sh) pigeonhole banding rows for a signature table. */
+  private def simhashBanded(sigs: DataFrame, idCol: String, simhashCol: String,
+                            tables: Int): DataFrame = {
+    val blocks = (0 until tables).map { t =>
+      val lo = t * 64 / tables
+      val width = (t + 1) * 64 / tables - lo
+      val key = shiftrightunsigned(col(simhashCol), lo)
+        .bitwiseAND(lit(if (width == 64) -1L else (1L << width) - 1))
+      struct(lit(t).as("tbl"), key.as("key"))
+    }
+    sigs.select(col(idCol), col(simhashCol).as("sh"), explode(array(blocks: _*)).as("b"))
+      .select(col(idCol), col("sh"), col("b.tbl").as("tbl"), col("b.key").as("key"))
+  }
+
+  /** Cross-corpus SimHash near-dup join: batch signatures banded against a
+    * (typically persisted) history signature table — the incremental form
+    * of [[simhashPairsFromSigs]], with the smallest possible history state
+    * of any near-dup path: ONE long per doc. Same pigeonhole guarantee —
+    * every (batch, history) pair within `maxDist` agrees exactly on at
+    * least one of the `tables` disjoint bit blocks, so recall is 1.0 by
+    * construction. Both tables must carry signatures from the same
+    * [[simhashDF]] (deterministic, parameter-free). Emits
+    * (id_l ∈ batch, id_r ∈ history, dist ≤ maxDist). */
+  def simhashJoinFromSigs(batchSigs: DataFrame, histSigs: DataFrame,
+                          idCol: String, simhashCol: String,
+                          maxDist: Int = 3, tables: Int = 4): DataFrame = {
+    require(tables > maxDist && tables <= 64,
+      s"pigeonhole cover needs maxDist < tables <= 64 (got $maxDist, $tables)")
+    val l = simhashBanded(batchSigs, idCol, simhashCol, tables)
+      .select(col("tbl"), col("key"), col(idCol).as("id_l"), col("sh").as("sh_l"))
+    val r = simhashBanded(histSigs, idCol, simhashCol, tables)
+      .select(col("tbl"), col("key"), col(idCol).as("id_r"), col("sh").as("sh_r"))
+    l.join(r, Seq("tbl", "key"))
+      .select(col("id_l"), col("id_r"), hamming(col("sh_l"), col("sh_r")).as("dist"))
+      .where(col("dist") <= maxDist)
+      .dropDuplicates("id_l", "id_r") // a pair can agree on several blocks
+  }
 
   /** Connected components over a near-dup pair list — the step that turns
     * pairwise similarity into actual deduplication: every id in a cluster

@@ -709,6 +709,33 @@ class TextDedupSimSpec extends SparkSpec {
       assert(math.abs(j - jac(bSh(l), hSh(r))) < 1e-12) }
   }
 
+  test("simhashJoinFromSigs: cross-corpus banding == brute-force Hamming sweep") {
+    // the pigeonhole guarantee is exact, so the cross form has a
+    // deterministic model: every (batch, history) pair within maxDist,
+    // none beyond — checked against an all-pairs sweep of the signatures
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = (1 to 14).map(i => s"w$i")
+    def doc(): String =
+      (0 until (10 + rnd.nextInt(10))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val hist = (1L to 12L).map(i => (i, doc())).toDF("doc_id", "text")
+    val batch = (101L to 110L).map(i => (i, doc())).toDF("doc_id", "text")
+    val histSigs = Dedup.simhashDF(hist, "text", "doc_id")
+    val batchSigs = Dedup.simhashDF(batch, "text", "doc_id")
+    val hs = histSigs.as[(Long, Long)].collect().toMap
+    val bs = batchSigs.as[(Long, Long)].collect().toMap
+    val maxDist = 6
+    val expected = (for {
+      (l, sl) <- bs.toSeq; (r, sr) <- hs.toSeq
+      if java.lang.Long.bitCount(sl ^ sr) <= maxDist
+    } yield (l, r)).toSet
+    val got = Dedup.simhashJoinFromSigs(batchSigs, histSigs, "doc_id", "simhash",
+        maxDist = maxDist, tables = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet === expected)
+    got.foreach { case (l, r, d) =>
+      assert(d === java.lang.Long.bitCount(bs(l) ^ hs(r)).toLong) }
+  }
+
   test("prebuilt history index rejects joins below its build threshold") {
     // an index built at 0.8 has prefixes too short for a 0.5 join —
     // silently missing pairs is the failure mode, so the join must throw;
