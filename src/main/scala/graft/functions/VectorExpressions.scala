@@ -284,6 +284,217 @@ case class NearestCentroid(child: Expression, centroids: Seq[Double],
     copy(child = newChild)
 }
 
+/** Product-quantization encoder: one codegen pass maps a vector to its `m`
+  * subspace code ids (array<int>). `codebooks` is the flattened
+  * (m × k × dsub) centroid tensor — subspace-major, then code, then
+  * coefficient. Per subspace the code is the nearest centroid of the
+  * (optionally L2-normalized) subvector by euclidean distance, computed in
+  * the monotone `x·c − |c|²/2` form (ties → lowest code id, matching
+  * [[NearestCentroid]]).
+  *
+  * Same referenced-matrix rationale as [[NearestCentroid]]: a realistic
+  * codebook (m=16, k=256, dsub=48) is 196k coefficients — composed as
+  * literals it would overflow generated-method limits and drop the stage
+  * to interpreted evaluation. Here the tensor rides as ONE referenced
+  * double[] and encoding is three nested loops.
+  *
+  * Rows shorter than the declared dim zero-pad (missing tail coefficients
+  * contribute nothing to any score); longer rows ignore the tail — offsets
+  * always derive from the DECLARED geometry, never the row's length. */
+case class PqEncode(child: Expression, codebooks: Seq[Double], m: Int, k: Int,
+                    normalize: Boolean)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  @transient private lazy val bookArr: Array[Double] = codebooks.toArray
+  // per-code |c|²/2, [sub][code] flattened — derived once from the tensor
+  @transient private lazy val halfArr: Array[Double] = {
+    val h = new Array[Double](m * k)
+    var sc = 0
+    while (sc < m * k) {
+      var acc = 0.0; var i = 0; val base = sc * dsub
+      while (i < dsub) { val v = bookArr(base + i); acc += v * v; i += 1 }
+      h(sc) = acc / 2.0
+      sc += 1
+    }
+    h
+  }
+  private def dsub: Int = codebooks.size / (m * k)
+  private def dim: Int = dsub * m
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _)
+      if m > 0 && k > 0 && codebooks.nonEmpty && codebooks.size % (m * k) == 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"PqEncode needs array<float|double> input and a codebook tensor " +
+        s"divisible into m=$m × k=$k codes, got ${child.dataType}, " +
+        s"${codebooks.size} coefficients")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    val f = isFloat
+    def elem(i: Int): Double = if (f) v.getFloat(i).toDouble else v.getDouble(i)
+    var inv = 1.0
+    if (normalize) {
+      var acc = 0.0; var i = 0
+      while (i < n) { val e = elem(i); acc += e * e; i += 1 }
+      inv = if (acc > 0) 1.0 / math.sqrt(acc) else 1.0
+    }
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val off = s * dsub
+      val lim = math.min(dsub, math.max(0, n - off))
+      var best = 0
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < k) {
+        val base = (s * k + c) * dsub
+        var acc = 0.0
+        var i = 0
+        while (i < lim) { acc += bookArr(base + i) * (elem(off + i) * inv); i += 1 }
+        val score = acc - halfArr(s * k + c)
+        if (score > bestScore) { bestScore = score; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bookRef = ctx.addReferenceObj("codebooks", bookArr, "double[]")
+    val halfRef = ctx.addReferenceObj("halfNorms", halfArr, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val inv = ctx.freshName("inv")
+      val nacc = ctx.freshName("nacc")
+      val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s")
+      val off = ctx.freshName("off")
+      val lim = ctx.freshName("lim")
+      val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      val c = ctx.freshName("c")
+      val base = ctx.freshName("base")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val score = ctx.freshName("score")
+      def elem(ix: String) =
+        if (isFloat) s"((double) $v.getFloat($ix))" else s"$v.getDouble($ix)"
+      val normBlock = if (normalize)
+        s"""
+           |double $nacc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double __e = ${elem(i)}; $nacc += __e * __e;
+           |}
+           |if ($nacc > 0) $inv = 1.0 / Math.sqrt($nacc);
+         """.stripMargin
+      else ""
+      s"""
+         |int $n = Math.min($dim, $v.numElements());
+         |double $inv = 1.0;
+         |$normBlock
+         |int[] $codes = new int[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $off = $s * $dsub;
+         |  int $lim = Math.min($dsub, Math.max(0, $n - $off));
+         |  int $best = 0;
+         |  double $bestScore = Double.NEGATIVE_INFINITY;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    int $base = ($s * $k + $c) * $dsub;
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $lim; $i++) {
+         |      $acc += $bookRef[$base + $i] * (${elem(s"($off + $i)")} * $inv);
+         |    }
+         |    double $score = $acc - $halfRef[$s * $k + $c];
+         |    if ($score > $bestScore) { $bestScore = $score; $best = $c; }
+         |  }
+         |  $codes[$s] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance (ADC) scorer: sums the per-subspace lookup table at
+  * each code id — `Σ_s table[s*k + codes[s]]` — turning a query-vs-encoded
+  * comparison into `m` array reads instead of a `dim`-wide dot product.
+  * The table is query-specific (built driver-side:
+  * `table[s*k+c] = q̂_sub(s) · codebook(s,c)`), so the score is the exact
+  * inner product of the query with the RECONSTRUCTED (decoded) vector.
+  * Codes outside [0, k) and rows with fewer than m codes contribute
+  * nothing (defensive: a corrupt code must not read out of bounds). */
+case class PqAdcScore(child: Expression, table: Seq[Double], k: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+
+  @transient private lazy val tabArr: Array[Double] = table.toArray
+  private def m: Int = table.size / k
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _)
+      if k > 0 && table.nonEmpty && table.size % k == 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"PqAdcScore needs array<int> codes and a table divisible by k=$k, " +
+        s"got ${child.dataType}, ${table.size} entries")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(m, v.numElements())
+    var acc = 0.0
+    var s = 0
+    while (s < n) {
+      val code = v.getInt(s)
+      if (code >= 0 && code < k) acc += tabArr(s * k + code)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tabRef = ctx.addReferenceObj("adcTable", tabArr, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val s = ctx.freshName("s")
+      val code = ctx.freshName("code")
+      s"""
+         |int $n = Math.min($m, $v.numElements());
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $n; $s++) {
+         |  int $code = $v.getInt($s);
+         |  if ($code >= 0 && $code < $k) $acc += $tabRef[$s * $k + $code];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graft.ColumnBridge
   /** Column wrapper over the native dot product. */
@@ -302,4 +513,14 @@ object VectorExpressions {
   def nearestCentroid(vec: Column, centroids: Seq[Double], halfNorms: Seq[Double]): Column =
     ColumnBridge.column(
       NearestCentroid(ColumnBridge.expression(vec), centroids, halfNorms))
+
+  /** Column wrapper: PQ subspace codes in one pass. */
+  def pqEncode(vec: Column, codebooks: Seq[Double], m: Int, k: Int,
+               normalize: Boolean): Column =
+    ColumnBridge.column(
+      PqEncode(ColumnBridge.expression(vec), codebooks, m, k, normalize))
+
+  /** Column wrapper: ADC score of an `array<int>` code column. */
+  def pqAdcScore(codes: Column, table: Seq[Double], k: Int): Column =
+    ColumnBridge.column(PqAdcScore(ColumnBridge.expression(codes), table, k))
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.text.TextOps
 import graft.dedup.Dedup
-import graft.sim.{Ivf, Similarity}
+import graft.sim.{Ivf, Pq, Similarity}
 
 /** Query surface for the training-data-pipeline operators: text analysis,
   * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), and embedding
@@ -212,6 +212,43 @@ object TextQueries {
         emb.where(col("vec_id") =!= 0), "embedding", "vec_id", nCells = 16)
       Ivf.topK(assigned, model, "embedding", "vec_id", q, k = 10, nProbe = 16)
         .orderBy(col("cos").desc, col("vec_id"))
+    }),
+
+    // ───── derived-oracle anchor for the PQ machinery: a shortlist
+    // covering the whole corpus makes the ADC stage structurally
+    // exhaustive, so encode → ADC shortlist → exact rerank must reproduce
+    // the exact top-k row-for-row — giving the codes/ADC/rerank path
+    // (codegen PqEncode + PqAdcScore, broadcast candidate join) the same
+    // real DuckDB oracle as q30. Operational-shortlist recall is asserted
+    // separately in PqSpec (measured 0.9–1.0 at m=16). ─────
+    "q77_ann_pq_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dim = emb.select(col("embedding")).head().getSeq[Float](0).size
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val others = emb.where(col("vec_id") =!= 0)
+      val (model, encoded) = Pq.build(others, "embedding", "vec_id", dim,
+        m = 16, k = 16)
+      Pq.topKRefined(encoded, model, "embedding", "vec_id", q,
+          k = 10, shortlist = 1 << 20)
+        .orderBy(col("cos").desc, col("vec_id"))
+    }),
+
+    // ───── production IVF+PQ at operational parameters: cell-pruned scan
+    // of the 8-byte/row code table, ADC-only scoring. Quantized scores
+    // have no DuckDB analogue → rows-only; the family's exactness anchor
+    // is q77 and the IVF pruning anchor is q65. ─────
+    "q78_ann_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dim = emb.select(col("embedding")).head().getSeq[Float](0).size
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val others = emb.where(col("vec_id") =!= 0)
+      val (ivfModel, assigned) = Ivf.build(others, "embedding", "vec_id", nCells = 16)
+      val pqModel = Pq.train(others, "embedding", "vec_id", dim, m = 16, k = 16)
+      val encoded = Pq.encode(assigned, "embedding", pqModel)
+      Pq.topKCells(encoded, ivfModel, pqModel, "vec_id", q, k = 10, nProbe = 4)
+        .orderBy(col("adc").desc, col("vec_id"))
     }),
 
     // ───── self-consistency anchor for q28: pigeonhole banding is
@@ -576,6 +613,13 @@ object TextQueries {
     // full-probe LSH is exhaustive by construction → the oracle is the
     // exact top-k itself
     "q60_ann_lsh_fullprobe" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id, ${cosSql("embedding", "qe")} AS cos
+          FROM embeddings, q WHERE vec_id != 0
+          ORDER BY cos DESC, vec_id LIMIT 10""",
+    // corpus-covering shortlist + exact rerank is exhaustive by
+    // construction → the oracle is the exact top-k itself
+    "q77_ann_pq_rerank" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
           SELECT vec_id, ${cosSql("embedding", "qe")} AS cos
           FROM embeddings, q WHERE vec_id != 0
