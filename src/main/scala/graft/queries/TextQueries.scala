@@ -539,7 +539,12 @@ object TextQueries {
           Seq("lang"), stopwords, n = 3, threshold = 0.5)
         .select(col("doc_id"), col("keep_quality"), col("keep_exact"), col("keep"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // ───── Gopher-style repetition filters ─────
+    "q79_repetition" -> ((s, d) =>
+      TextOps.repetitionSignals(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("doc_id")))
   )
 
   // DuckDB fragments shared by oracle SQL below.
@@ -1009,6 +1014,57 @@ object TextQueries {
           LEFT JOIN q ON d.doc_id = q.doc_id
           LEFT JOIN e ON d.doc_id = e.doc_id
           LEFT JOIN comp c ON d.doc_id = c.id
+          ORDER BY d.doc_id""",
+
+    // mirrors TextOps.repetitionSignals definitions exactly: trimmed
+    // non-empty lines; dup-line fracs over line occurrences; top word
+    // 2-gram by (count, char-coverage) struct max (same lexicographic
+    // tie-break in both engines), coverage capped at 1.0
+    "q79_repetition" ->
+      s"""WITH lines AS (
+            SELECT doc_id, trim(l) AS line
+            FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                  FROM documents)
+            WHERE len(trim(l)) > 0),
+          per_line AS (
+            SELECT doc_id, line, count(*) AS cnt, len(line) AS ln
+            FROM lines GROUP BY doc_id, line),
+          line_sig AS (
+            SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+              1.0 - CAST(count(*) AS DOUBLE) / sum(cnt) AS dup_line_frac,
+              CAST(sum(CASE WHEN cnt > 1 THEN cnt * ln ELSE 0 END) AS DOUBLE)
+                / sum(cnt * ln) AS dup_line_char_frac
+            FROM per_line GROUP BY doc_id),
+          tk AS (
+            SELECT doc_id, list_filter($toks, t -> len(t) > 0) AS ts
+            FROM documents),
+          tok_chars AS (
+            SELECT doc_id, CAST(len(array_to_string(ts, '')) AS BIGINT) AS tc
+            FROM tk WHERE len(ts) > 0),
+          per_big AS (
+            SELECT doc_id, b['g'] AS g, CAST(b['cover'] AS BIGINT) AS cover,
+              count(*) AS cnt
+            FROM (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+                    i -> {'g': ts[i] || ' ' || ts[i+1],
+                          'cover': len(ts[i]) + len(ts[i+1])})) AS b
+                  FROM tk WHERE len(ts) >= 2)
+            GROUP BY doc_id, b['g'], b['cover']),
+          big_top AS (
+            SELECT doc_id, max({'cnt': cnt, 'cover': cover}) AS t
+            FROM per_big GROUP BY doc_id),
+          big_sig AS (
+            SELECT b.doc_id, least(1.0,
+              CAST(struct_extract(t, 'cnt') * struct_extract(t, 'cover') AS DOUBLE)
+                / c.tc) AS top_bigram_char_frac
+            FROM big_top b JOIN tok_chars c USING (doc_id))
+          SELECT d.doc_id,
+            COALESCE(l.n_lines, 0) AS n_lines,
+            COALESCE(l.dup_line_frac, 0.0) AS dup_line_frac,
+            COALESCE(l.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+            COALESCE(b.top_bigram_char_frac, 0.0) AS top_bigram_char_frac
+          FROM documents d
+          LEFT JOIN line_sig l USING (doc_id)
+          LEFT JOIN big_sig b USING (doc_id)
           ORDER BY d.doc_id"""
   )
 }

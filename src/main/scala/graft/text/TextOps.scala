@@ -120,4 +120,70 @@ object TextOps {
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, w) =>
       pmod(acc * lit(31L) + crc32(encode(w, "UTF-8")).cast("long"), lit(2147483647L)))
+
+  /** Repetition quality signals per document — the Gopher-style filters
+    * (Rae et al. 2021, §A1.1) that catch boilerplate/spam the per-token
+    * [[qualitySignals]] miss:
+    *
+    *  - `n_lines`: non-empty (trimmed) line count;
+    *  - `dup_line_frac`: `1 − distinct_lines / total_lines` — the
+    *    fraction of line occurrences that repeat an earlier line;
+    *  - `dup_line_char_frac`: characters on lines that occur more than
+    *    once (ALL their occurrences) over total line characters;
+    *  - `top_bigram_char_frac`: characters covered by the most frequent
+    *    word 2-gram (`count × chars(bigram)`, occurrences of overlapping
+    *    repeats double-counted, capped at 1.0) over total token
+    *    characters. Ties resolve to the larger character coverage
+    *    (lexicographic struct max — deterministic, mirrored by the SQL
+    *    oracle's struct max).
+    *
+    * Docs with no non-empty lines / fewer than 2 tokens report 0 for the
+    * respective signals. Shape notes for scale: both stages aggregate
+    * keyed by the DOCUMENT id — two shuffles of (id, small-row) data,
+    * map-side partial aggregation absorbing per-doc repetition; the only
+    * window is the per-doc bigram `lead`, partitioned by id (never by a
+    * Zipfian token key — the [[graft.dedup.Dedup.shingleDf]] rule). */
+  def repetitionSignals(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                        idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col(idCol)
+    val lines = docs
+      .select(id, explode(split(col(textCol), "\n")).as("__raw"))
+      .select(id, trim(col("__raw")).as("__line"))
+      .where(length(col("__line")) > 0)
+    val perLine = lines.groupBy(id, col("__line"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__len", length(col("__line")).cast("long"))
+    val lineSig = perLine.groupBy(id).agg(
+      sum("__cnt").as("n_lines"),
+      (lit(1.0) - count(lit(1)).cast("double") / sum("__cnt")).as("dup_line_frac"),
+      (sum(when(col("__cnt") > 1, col("__cnt") * col("__len")).otherwise(0L))
+        .cast("double") / sum(col("__cnt") * col("__len"))).as("dup_line_char_frac"))
+    val toks = docs
+      .select(id, posexplode(tokens(col(textCol))).as(Seq("__pos", "__w")))
+      .where(length(col("__w")) > 0)
+    val tokChars = toks.groupBy(id)
+      .agg(sum(length(col("__w")).cast("long")).as("__tok_chars"))
+    val win = Window.partitionBy(id).orderBy(col("__pos"))
+    val bigSig = toks
+      .select(id, col("__w"), lead(col("__w"), 1).over(win).as("__w1"))
+      .where(col("__w1").isNotNull)
+      .groupBy(id, concat_ws(" ", col("__w"), col("__w1")).as("__g"),
+        (length(col("__w")) + length(col("__w1"))).cast("long").as("__cover"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(id)
+      .agg(max(struct(col("__cnt"), col("__cover"))).as("__top"))
+      .join(tokChars, Seq(idCol))
+      .select(id, least(lit(1.0),
+        (col("__top.__cnt") * col("__top.__cover")).cast("double") / col("__tok_chars"))
+        .as("top_bigram_char_frac"))
+    docs.select(id)
+      .join(lineSig, Seq(idCol), "left")
+      .join(bigSig, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("dup_line_frac"), lit(0.0)).as("dup_line_frac"),
+        coalesce(col("dup_line_char_frac"), lit(0.0)).as("dup_line_char_frac"),
+        coalesce(col("top_bigram_char_frac"), lit(0.0)).as("top_bigram_char_frac"))
+  }
 }

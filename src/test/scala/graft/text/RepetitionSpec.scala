@@ -1,0 +1,83 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def signals(rows: Seq[(Long, String)]) =
+    TextOps.repetitionSignals(rows.toDF("doc_id", "text"), "text", "doc_id")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+
+  test("hand-computed document: line duplication and top-bigram coverage") {
+    // 4 non-empty lines; "a b" (3 chars) appears twice, others once.
+    // tokens: a b a b c d e -> top bigram "a b"/"b a": "a b" count 2,
+    // "b a" count 1, "b c" 1, ... -> top = ("a b", cnt 2, cover 2)
+    val doc = "a b\na b\n\n  \nc d e\nxx yy"
+    val out = signals(Seq((1L, doc)))
+    val (nLines, dupLine, dupChar, topBig) = out(1L)
+    assert(nLines === 4L)
+    assert(math.abs(dupLine - (1.0 - 3.0 / 4.0)) < 1e-12)
+    // chars: "a b"×2 = 6 dup chars; total = 6 + 5 + 5 = 16
+    assert(math.abs(dupChar - 6.0 / 16.0) < 1e-12)
+    // tokens a,b,a,b,c,d,e,xx,yy -> chars 1*7+2+2 = 11; top bigram
+    // "a b" cnt=2 cover=2 -> 4/11
+    assert(math.abs(topBig - 4.0 / 11.0) < 1e-12)
+  }
+
+  test("degenerate documents: empty, whitespace, single token, all-duplicate lines") {
+    val out = signals(Seq(
+      (1L, ""), (2L, "   \n \n"), (3L, "word"),
+      (4L, "same line\nsame line\nsame line")))
+    assert(out(1L) === ((0L, 0.0, 0.0, 0.0)))
+    assert(out(2L) === ((0L, 0.0, 0.0, 0.0)))
+    // one line, no bigram
+    assert(out(3L) === ((1L, 0.0, 0.0, 0.0)))
+    val (n4, dl4, dc4, tb4) = out(4L)
+    assert(n4 === 3L && math.abs(dl4 - (1.0 - 1.0 / 3.0)) < 1e-12 && dc4 === 1.0)
+    // tokens: same,line,same,line,same,line (chars 24); bigrams:
+    // "same line"×3 (cover 8), "line same"×2 -> 3*8/24 = 1.0
+    assert(tb4 === 1.0)
+  }
+
+  test("coverage cap: overlapping repeats cannot exceed 1.0") {
+    val (_, _, _, tb) = signals(Seq((1L, "a a a a a a a a")))(1L)
+    // bigram "a a" cnt=7, cover=2 -> 14/8 capped at 1.0
+    assert(tb === 1.0)
+  }
+
+  test("randomized model check vs a direct Scala reference") {
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("a", "bb", "ccc", "dddd", "ee")
+    def line(): String =
+      (0 until (1 + rnd.nextInt(4))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = (1L to 40L).map { i =>
+      (i, (0 until rnd.nextInt(8)).map(_ => if (rnd.nextBoolean()) line() else "").mkString("\n"))
+    }
+    val got = signals(docs)
+    docs.foreach { case (id, text) =>
+      val lines = text.split("\n", -1).map(_.trim).filter(_.nonEmpty)
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val expN = lines.length.toLong
+      val lineCnt = lines.groupBy(identity).view.mapValues(_.length).toMap
+      val expDupLine = if (lines.isEmpty) 0.0 else 1.0 - lineCnt.size.toDouble / lines.length
+      val totalCh = lines.map(_.length.toLong).sum
+      val dupCh = lineCnt.collect { case (l, c) if c > 1 => c.toLong * l.length }.sum
+      val expDupChar = if (lines.isEmpty) 0.0 else dupCh.toDouble / totalCh
+      val expTop = if (toks.length < 2) 0.0 else {
+        val bigs = toks.sliding(2).map(p => (p.mkString(" "), p.map(_.length).sum.toLong)).toSeq
+        val counts = bigs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val (cnt, cover) = counts.toSeq.map { case ((_, cov), c) => (c, cov) }
+          .max // (cnt, cover) lexicographic — matches struct max
+        math.min(1.0, (cnt * cover).toDouble / toks.map(_.length.toLong).sum)
+      }
+      val (n, dl, dc, tb) = got(id)
+      assert(n === expN, s"doc $id n_lines")
+      assert(math.abs(dl - expDupLine) < 1e-12, s"doc $id dup_line_frac")
+      assert(math.abs(dc - expDupChar) < 1e-12, s"doc $id dup_line_char_frac")
+      assert(math.abs(tb - expTop) < 1e-12, s"doc $id top_bigram: $tb vs $expTop")
+    }
+  }
+}
