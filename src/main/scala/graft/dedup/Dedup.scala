@@ -26,6 +26,81 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  // ───── Bloom-filter membership pre-filter (incremental exact dedup) ─────
+
+  /** Serialized Bloom filter over `xxhash64(key)`, built with Catalyst's
+    * own mergeable [[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]
+    * (the sketch behind runtime row-level join filtering): partial filters
+    * build map-side per partition and OR-merge up the aggregation tree, so
+    * the history scans exactly once with no row shuffle — only the binary
+    * partials move. ~`numBits / items` bits per document of state (vs 16
+    * bytes/doc for a persisted fingerprint index), the cheapest possible
+    * history representation for membership. Persist the bytes beside the
+    * corpus and rebuild [[bloomMightContain]] plans anywhere.
+    *
+    * `numBits` defaults to ~10 bits/item (≈1% fpp), floored at 64 and
+    * capped at 2³⁰ (128 MiB — a driver-held literal; at 10⁹⁺-item
+    * history shard the filter per partition instead). */
+  def keyBloom(df: DataFrame, key: Column, expectedItems: Long,
+               numBits: Long = 0L): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.ColumnBridge
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    val bits = if (numBits > 0) numBits
+      else math.min(math.max(expectedItems * 10, 64L), 1L << 30)
+    val agg = new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(key)),
+      Literal(expectedItems), Literal(bits))
+    df.select(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Membership test against a [[keyBloom]] filter — a codegen scan-side
+    * predicate (no join, no shuffle): false ⇒ the key is DEFINITELY not
+    * in the filtered set; true ⇒ present or a false positive. */
+  def bloomMightContain(bloom: Array[Byte], key: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType),
+      ColumnBridge.expression(xxhash64(key))))
+  }
+
+  /** Incremental exact anti-join with a Bloom pre-filter: batch rows whose
+    * `keyCol` is in `history` are dropped, but rows the filter proves
+    * absent skip the confirm join entirely — the join's probe side shrinks
+    * from |batch| to |batch ∩ bloom| (true dups + ~fpp of the batch). At a
+    * typical low dup rate the confirm join is over a few percent of the
+    * batch against the key-pruned history scan.
+    *
+    * `confirm = false` skips the confirm join (NO history scan at all —
+    * the filter bytes are the only history state touched): exact-no-dups
+    * is still guaranteed (no false negatives), but ~fpp of genuinely-new
+    * rows are dropped too. The right trade when the filter is a persisted
+    * artifact and the corpus values recall of duplicates over per-row
+    * precision. */
+  def bloomAntiJoin(batch: DataFrame, history: DataFrame, keyCol: String,
+                    bloom: Array[Byte], confirm: Boolean = true): DataFrame = {
+    val hit = bloomMightContain(bloom, col(keyCol))
+    val clean = batch.where(!hit)
+    if (!confirm) clean
+    else clean.unionByName(
+      batch.where(hit).join(history.select(col(keyCol)), Seq(keyCol), "left_anti"))
+  }
+
+  /** [[bloomAntiJoin]] building the filter from `history` in one pass
+    * (`expectedItems` ≤ 0 ⇒ one cheap count(*) action sizes it). */
+  def bloomAntiJoin(batch: DataFrame, history: DataFrame, keyCol: String,
+                    expectedItems: Long, confirm: Boolean): DataFrame = {
+    val est = if (expectedItems > 0) expectedItems
+      else math.max(history.count(), 1L)
+    bloomAntiJoin(batch, history, keyCol,
+      keyBloom(history, col(keyCol), est), confirm)
+  }
+
   /** Word n-gram shingles (distinct), the unit set for Jaccard/MinHash.
     *
     * PERF CONTRACT: `tokensCol` MUST be a materialized column (attribute),

@@ -544,7 +544,23 @@ object TextQueries {
     // ───── Gopher-style repetition filters ─────
     "q79_repetition" -> ((s, d) =>
       TextOps.repetitionSignals(Tables.documents(s, d), "text", "doc_id")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // ───── Bloom-prefiltered incremental exact dedup: the filter bytes
+    // are the only broadcast state; rows the bloom proves new skip the
+    // confirm join, so the join probe side is |batch ∩ bloom|. With
+    // confirm=true results are EXACTLY the plain anti-join — the oracle
+    // is the NOT IN form over md5 fingerprints. ─────
+    "q80_bloom_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+      Dedup.bloomAntiJoin(
+          docs.where(col("doc_id") % 2 === 1),
+          docs.where(col("doc_id") % 2 === 0),
+          "fp", expectedItems = 0L, confirm = true)
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   // DuckDB fragments shared by oracle SQL below.
@@ -1065,6 +1081,17 @@ object TextQueries {
           FROM documents d
           LEFT JOIN line_sig l USING (doc_id)
           LEFT JOIN big_sig b USING (doc_id)
-          ORDER BY d.doc_id"""
+          ORDER BY d.doc_id""",
+
+    // confirm=true makes the bloom pre-filter semantically invisible:
+    // the result is the plain fingerprint anti-join
+    "q80_bloom_dedup" ->
+      s"""WITH f AS (SELECT doc_id,
+              md5(lower(array_to_string($toks, ' '))) AS fp
+            FROM documents)
+          SELECT doc_id, fp FROM f
+          WHERE doc_id % 2 = 1
+            AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 2 = 0)
+          ORDER BY doc_id"""
   )
 }

@@ -155,6 +155,30 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("PqEncode/PqAdcScore: generated code compiles and matches interpreted eval") {
+    // the HOF-fallback pitfall is silent (correct results, interpreted
+    // speed) — so force BOTH paths explicitly and compare
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
+    import graft.functions.{PqAdcScore, PqEncode}
+    val books = Seq(0.1, 0.2, 0.3, 0.4, -0.5, 0.6, 0.7, -0.8) // m=2 k=2 dsub=2
+    val enc = PqEncode(BoundReference(0, ArrayType(FloatType, containsNull = false),
+      nullable = false), books, m = 2, k = 2, normalize = true)
+    val vecRow = InternalRow(new GenericArrayData(Array(0.3f, -0.2f, 0.9f, 0.1f)))
+    val encGen = UnsafeProjection.create(Seq(enc)) // throws if doGenCode is invalid
+    val gCodes = encGen(vecRow).getArray(0).toIntArray().toSeq
+    val iCodes = enc.eval(vecRow).asInstanceOf[ArrayData].toIntArray().toSeq
+    assert(gCodes === iCodes)
+    val adc = PqAdcScore(BoundReference(0, ArrayType(IntegerType, containsNull = false),
+      nullable = false), Seq(0.5, 0.25, 0.125, 0.0625), k = 2)
+    val codeRow = InternalRow(new GenericArrayData(Array(1, 0)))
+    val adcGen = UnsafeProjection.create(Seq(adc))
+    assert(adcGen(codeRow).getDouble(0) === adc.eval(codeRow).asInstanceOf[Double])
+    assert(adc.eval(codeRow) === 0.25 + 0.125)
+  }
+
   test("short rows zero-pad; out-of-range codes score 0") {
     val vecs = Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(1f, 0f))).toDF("vec_id", "embedding")
     val model = Pq.train(vecs, "embedding", "vec_id", dim = 4, m = 2, k = 2,
