@@ -546,6 +546,13 @@ object TextQueries {
       TextOps.repetitionSignals(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // ───── C4-style line-level cleaning: boilerplate LINES dropped
+    // (short / no terminal punctuation / banned markers), survivors
+    // re-joined in order with kept/dropped counts ─────
+    "q81_clean_lines" -> ((s, d) =>
+      TextOps.cleanLines(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // ───── Bloom-prefiltered incremental exact dedup: the filter bytes
     // are the only broadcast state; rows the bloom proves new skip the
     // confirm join, so the join probe side is |batch ∩ bloom|. With
@@ -1081,6 +1088,39 @@ object TextQueries {
           FROM documents d
           LEFT JOIN line_sig l USING (doc_id)
           LEFT JOIN big_sig b USING (doc_id)
+          ORDER BY d.doc_id""",
+
+    // mirrors TextOps.cleanLines exactly: trimmed non-empty lines, the
+    // same keep predicate (word count, terminal punct, banned markers),
+    // order-preserving string_agg of survivors (string_agg and concat_ws
+    // both skip the NULLed dropped lines)
+    "q81_clean_lines" ->
+      s"""WITH lines AS (
+            SELECT doc_id, p['pos'] AS pos, p['line'] AS line FROM (
+              SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+                i -> {'pos': i, 'line': trim(ls[i])})) AS p
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                    FROM documents))
+            WHERE len(p['line']) > 0),
+          flagged AS (
+            SELECT doc_id, pos, line,
+              (len(regexp_split_to_array(line, '\\s+')) >= 3
+               AND regexp_matches(line, '[.!?"'']$$')
+               AND NOT contains(lower(line), 'lorem ipsum')
+               AND NOT contains(lower(line), 'javascript')
+               AND NOT contains(lower(line), '{')) AS keep
+            FROM lines),
+          agged AS (
+            SELECT doc_id,
+              CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+              string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos)
+                AS clean_text
+            FROM flagged GROUP BY doc_id)
+          SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+            COALESCE(a.n_kept, 0) AS n_kept,
+            COALESCE(a.n_dropped, 0) AS n_dropped
+          FROM documents d LEFT JOIN agged a USING (doc_id)
           ORDER BY d.doc_id""",
 
     // confirm=true makes the bloom pre-filter semantically invisible:

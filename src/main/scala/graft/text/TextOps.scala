@@ -143,6 +143,62 @@ object TextOps {
     * map-side partial aggregation absorbing per-doc repetition; the only
     * window is the per-doc bigram `lead`, partitioned by id (never by a
     * Zipfian token key — the [[graft.dedup.Dedup.shingleDf]] rule). */
+  /** Terminal-punctuation set for [[cleanLines]] — shared with the SQL
+    * oracle (kept to characters Java regex and RE2 read identically). */
+  val TerminalPunctRe = "[.!?\"']$"
+
+  /** C4-style line-level cleaning (Raffel et al. 2020, §2.2): drop
+    * boilerplate LINES rather than whole documents. A trimmed non-empty
+    * line is kept iff it has ≥ `minWords` whitespace words, ends in
+    * terminal punctuation (`. ! ? " '`, when `requireTerminalPunct`), and
+    * contains none of `banned` (case-insensitive substrings — the C4
+    * "lorem ipsum"/"javascript"/curly-brace filters). Returns one row per
+    * input doc: (idCol, `clean_text` — surviving lines re-joined in
+    * original order, empty string when none survive, `n_kept`,
+    * `n_dropped` over non-empty lines).
+    *
+    * Shape: explode → codegen predicates → ONE doc-keyed aggregate (the
+    * sorted re-assembly collects each doc's own lines — bounded per-group
+    * arrays, never a corpus-wide sort). */
+  def cleanLines(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                 idCol: String, minWords: Int = 3,
+                 requireTerminalPunct: Boolean = true,
+                 banned: Seq[String] = Seq("lorem ipsum", "javascript", "{"))
+      : org.apache.spark.sql.DataFrame = {
+    val id = col(idCol)
+    val lines = docs
+      .select(id, posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__raw")))
+      .select(id, col("__pos"), trim(col("__raw")).as("__line"))
+      .where(length(col("__line")) > 0)
+    val keepPred = Seq(
+      Some(size(split(col("__line"), "\\s+")) >= minWords),
+      if (requireTerminalPunct) Some(col("__line").rlike(TerminalPunctRe)) else None,
+      Some(!banned.map(b => lower(col("__line")).contains(b.toLowerCase))
+        .reduce(_ || _))
+    ).flatten.reduce(_ && _)
+    // one collect: dropped lines ride as nulls (concat_ws skips them), so
+    // the kept/dropped counts and the re-assembly share a single aggregate
+    val packed = graft.udafs.CollectOps.sortedCollect(
+      // sortedCollect orders DESC — negated pos yields original order
+      Seq(-col("__pos")),
+      Seq("__lines" -> when(col("__keep"), col("__line"))), Int.MaxValue)
+    val agged = lines
+      .withColumn("__keep", keepPred)
+      .groupBy(id)
+      .agg(
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"),
+        packed.head.as("__all"))
+      .select(id, col("n_kept"), col("n_dropped"),
+        concat_ws("\n", col("__all")).as("clean_text"))
+    docs.select(id)
+      .join(agged, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   def repetitionSignals(docs: org.apache.spark.sql.DataFrame, textCol: String,
                         idCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window

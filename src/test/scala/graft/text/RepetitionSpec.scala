@@ -48,6 +48,48 @@ class RepetitionSpec extends SparkSpec {
     assert(tb === 1.0)
   }
 
+  test("cleanLines: C4 predicates, order-preserving reassembly, counts") {
+    val docs = Seq(
+      (1L, "This line is properly terminated.\nshort.\nNo terminal punctuation here\n" +
+        "Check Javascript is required.\nAnother good line stays here!\n\n   "),
+      (2L, ""),
+      (3L, "all dropped")).toDF("doc_id", "text")
+    val out = TextOps.cleanLines(docs, "text", "doc_id")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: "short." < 3 words; "No terminal..." lacks punctuation;
+    // "…Javascript…" hits a banned marker (case-insensitive)
+    assert(out(1L) === (("This line is properly terminated.\nAnother good line stays here!",
+      2L, 3L)))
+    assert(out(2L) === (("", 0L, 0L)))
+    assert(out(3L) === (("", 0L, 1L)))
+  }
+
+  test("cleanLines randomized model check vs a direct Scala reference") {
+    val rnd = new scala.util.Random(813L)
+    val words = Vector("alpha", "beta", "Lorem", "ipsum", "javascript", "x")
+    def line(): String = {
+      val body = (0 until rnd.nextInt(5)).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+      body + (if (rnd.nextBoolean()) "." else "")
+    }
+    val docs = (1L to 30L).map(i =>
+      (i, (0 until rnd.nextInt(6)).map(_ => line()).mkString("\n")))
+    val got = TextOps.cleanLines(docs.toDF("doc_id", "text"), "text", "doc_id")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val banned = Seq("lorem ipsum", "javascript", "{")
+    docs.foreach { case (id, text) =>
+      val lines = text.split("\n", -1).map(_.trim).filter(_.nonEmpty)
+      val (kept, dropped) = lines.partition { l =>
+        l.split("\\s+").length >= 3 &&
+          l.matches(".*[.!?\"']$") &&
+          !banned.exists(b => l.toLowerCase.contains(b))
+      }
+      assert(got(id) === ((kept.mkString("\n"), kept.length.toLong, dropped.length.toLong)),
+        s"doc $id: [$text]")
+    }
+  }
+
   test("randomized model check vs a direct Scala reference") {
     val rnd = new scala.util.Random(20260813L)
     val vocab = Vector("a", "bb", "ccc", "dddd", "ee")
