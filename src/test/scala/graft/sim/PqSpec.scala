@@ -143,6 +143,36 @@ class PqSpec extends SparkSpec {
     assert(one.toSet.subsetOf(codesOnly.toSet) || one.nonEmpty)
   }
 
+  test("IVF+PQ persisted layout: probes prune partitions AND never scan the vectors") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dim = emb.select(col("embedding")).head().getSeq[Float](0).size
+    val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val others = emb.where(col("vec_id") =!= 0)
+    val (ivfModel, assigned) = Ivf.build(others, "embedding", "vec_id", nCells = 8)
+    val pqModel = Pq.train(others, "embedding", "vec_id", dim, m = 8, k = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    // the persisted index carries ONLY (id, codes) inside cell partitions
+    Pq.encode(assigned, "embedding", pqModel)
+      .select(col("vec_id"), col("ivf_cell"), col("pq_codes"))
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val probed = Pq.topKCells(back, ivfModel, pqModel, "vec_id", q, k = 10, nProbe = 2)
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    // the cell filter prunes partitions at the scan…
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_cell"),
+      s"probe filter did not prune partitions:\n$plan")
+    // …and the scan reads only id + codes — the embedding column never
+    // exists in the index, so the probe I/O is ~8 bytes of codes per row
+    assert(!plan.contains("embedding"), s"probe plan touched raw vectors:\n$plan")
+    // same result as probing the in-memory frame
+    val direct = Pq.topKCells(Pq.encode(assigned, "embedding", pqModel),
+        ivfModel, pqModel, "vec_id", q, k = 10, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(probed.select("vec_id").as[Long].collect().toSeq === direct)
+  }
+
   test("training is deterministic for a fixed seed; degenerate inputs guarded") {
     val sf = "/root/testdata/sf0.001"
     val emb = graft.Tables.embeddings(spark, sf)
