@@ -56,6 +56,12 @@ object Dedup {
       .head().getAs[Array[Byte]](0)
   }
 
+  /** Multi-column form: the key is the struct of `keys` (hashing the
+    * struct keeps column-order and null semantics identical between the
+    * build side and any probe built with the same column list). */
+  def keyBloom(df: DataFrame, keys: Seq[String], expectedItems: Long): Array[Byte] =
+    keyBloom(df, struct(keys.map(col): _*), expectedItems)
+
   /** Membership test against a [[keyBloom]] filter — a codegen scan-side
     * predicate (no join, no shuffle): false ⇒ the key is DEFINITELY not
     * in the filtered set; true ⇒ present or a false positive. */

@@ -56,6 +56,25 @@ object StreamingViews {
         keys, "left_anti")
       .dropDuplicates(keys :+ tsCol)
 
+  /** [[streamingDedupeAgainstHistory]] with the history compressed into a
+    * Bloom filter (built once with `Dedup.keyBloom(history, keys, n)` and
+    * shipped as bytes): the membership test becomes a stateless codegen
+    * PREDICATE, so no stream-static join and no per-micro-batch history
+    * scan at all — the stream's only state is the watermark-bounded
+    * in-stream dedupe. Exactly the batch `bloomAntiJoin(confirm = false)`
+    * trade: never keeps a history duplicate (no false negatives), drops
+    * ~fpp of genuinely-new rows. The right shape when history is too big
+    * to rescan every few seconds. */
+  def streamingDedupeBloom(events: DataFrame, historyBloom: Array[Byte],
+                           tsCol: String, keys: Seq[String],
+                           watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, struct}
+    events.withWatermark(tsCol, watermark)
+      .where(!graft.dedup.Dedup.bloomMightContain(
+        historyBloom, struct(keys.map(col): _*)))
+      .dropDuplicates(keys :+ tsCol)
+  }
+
   case class SessionEvent(userId: Long, tsMillis: Long, value: Double)
   case class SessionSummary(userId: Long, nEvents: Long, sumValue: Double,
                             startMillis: Long, endMillis: Long)

@@ -147,6 +147,32 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     } finally q.stop()
   }
 
+  test("streaming bloom dedupe: history as a predicate, no stream-static join") {
+    val dir = Files.createTempDirectory("graft_stream_bloom").toString
+    val data = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "k1", "dup-of-history"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "k2", "new"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "k2", "new"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), "k3", "new")
+    ).toDF("ts", "key", "payload")
+    data.write.parquet(s"$dir/in")
+    // the filter is built ONCE from history and shipped as bytes — the
+    // stream never scans history (numBits oversized so the deterministic
+    // test keys cannot false-positive)
+    val bloom = graft.dedup.Dedup.keyBloom(
+      Seq("k1", "k9").toDF("key"), org.apache.spark.sql.functions.struct($"key"),
+      expectedItems = 2, numBits = 1 << 16)
+    val stream = StreamingViews.fileStream(spark, s"$dir/in", data.schema)
+    val out = StreamingViews.streamingDedupeBloom(stream, bloom, "ts", Seq("key"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ddb").start()
+    try {
+      q.processAllAvailable()
+      val keys = spark.table("ddb").select("key").as[String].collect().sorted
+      assert(keys === Array("k2", "k3")) // k1 in history; k2 deduped in-stream
+    } finally q.stop()
+  }
+
   test("sessionize: streaming equals batch replay across random batch splits") {
     // the strongest property the state logic must hold: ANY partition of
     // the event stream into micro-batches (including out-of-order
