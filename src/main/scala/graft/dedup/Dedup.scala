@@ -26,6 +26,51 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Corpus-wide PARAGRAPH-level exact dedup (the paragraph-granularity
+    * form of Lee et al. 2022's exact-substring dedup): every later
+    * occurrence of a duplicated paragraph is dropped — across documents
+    * and within one — and each document is re-assembled from its
+    * surviving paragraphs in order. Paragraphs split on blank lines
+    * (`\n{2,}`), trimmed, empties ignored. "First" is the global minimum
+    * of (idCol, position): deterministic under any partitioning.
+    * Returns one row per doc: (idCol, clean_text, n_kept, n_dropped).
+    *
+    * Scale shape: occurrence selection is `groupBy(fingerprint).agg(min)`
+    * — ONE shuffle on the 16-byte md5 (map-side partials absorb hot
+    * boilerplate paragraphs) — and the flag-back join on the fingerprint
+    * is AQE-skew-splittable, the same discipline as [[shingleDf]]. The
+    * re-assembly aggregates per DOC (bounded arrays). Never a window over
+    * the fingerprint. */
+  def paragraphDedupe(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val paras = docs
+      .select(id, posexplode(split(col(textCol), "\n{2,}")).as(Seq("__pos", "__raw")))
+      .select(id, col("__pos"), trim(col("__raw")).as("__par"))
+      .where(length(col("__par")) > 0)
+      .withColumn("__fp", md5(encode(col("__par"), "UTF-8")))
+    val firsts = paras.groupBy(col("__fp"))
+      .agg(min(struct(id, col("__pos"))).as("__first"))
+    val flagged = paras.join(firsts, Seq("__fp"))
+      .withColumn("__keep",
+        col("__first").getField(idCol) === id &&
+          col("__first").getField("__pos") === col("__pos"))
+    val agged = flagged.groupBy(id).agg(
+      sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"),
+      graft.udafs.CollectOps.sortedCollect(
+        Seq(-col("__pos")),
+        Seq("__pars" -> when(col("__keep"), col("__par"))), Int.MaxValue)
+        .head.as("__all"))
+      .select(id, col("n_kept"), col("n_dropped"),
+        concat_ws("\n\n", col("__all")).as("clean_text"))
+    docs.select(id)
+      .join(agged, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   // ───── Bloom-filter membership pre-filter (incremental exact dedup) ─────
 
   /** Serialized Bloom filter over `xxhash64(key)`, built with Catalyst's
@@ -38,20 +83,32 @@ object Dedup {
     * history representation for membership. Persist the bytes beside the
     * corpus and rebuild [[bloomMightContain]] plans anywhere.
     *
-    * `numBits` defaults to ~10 bits/item (≈1% fpp), floored at 64 and
-    * capped at 2³⁰ (128 MiB — a driver-held literal; at 10⁹⁺-item
-    * history shard the filter per partition instead). */
+    * `numBits` defaults to ~10 bits/item (≈1% fpp), floored at 64.
+    * Catalyst enforces the session caps
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits`
+    * (defaults 4M items / 2²⁶ bits = 8 MiB) — both inputs clamp to them,
+    * so an over-sized request degrades to a denser (higher-fpp) filter
+    * instead of failing analysis; raise the confs for 10⁸⁺-item
+    * histories, or shard the filter per partition. */
   def keyBloom(df: DataFrame, key: Column, expectedItems: Long,
                numBits: Long = 0L): Array[Byte] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.internal.SQLConf
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
-    val bits = if (numBits > 0) numBits
-      else math.min(math.max(expectedItems * 10, 64L), 1L << 30)
+    val maxItems = SQLConf.get.getConf(SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS)
+    val maxBits = SQLConf.get.getConf(SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)
+    val items = math.min(expectedItems, maxItems)
+    val bits = math.min(
+      if (numBits > 0) numBits
+      // overflow-safe ×10: anything past maxBits/10 saturates anyway
+      else if (expectedItems > maxBits / 10) maxBits
+      else math.max(expectedItems * 10, 64L),
+      maxBits)
     val agg = new BloomFilterAggregate(
       ColumnBridge.expression(xxhash64(key)),
-      Literal(expectedItems), Literal(bits))
+      Literal(items), Literal(bits))
     df.select(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
   }

@@ -553,6 +553,13 @@ object TextQueries {
       TextOps.cleanLines(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // ───── corpus-wide paragraph dedup: later occurrences of a duplicated
+    // paragraph dropped across (and within) documents, docs re-assembled
+    // from the survivors ─────
+    "q82_paragraph_dedup" -> ((s, d) =>
+      Dedup.paragraphDedupe(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // ───── Bloom-prefiltered incremental exact dedup: the filter bytes
     // are the only broadcast state; rows the bloom proves new skip the
     // confirm join, so the join probe side is |batch ∩ bloom|. With
@@ -1116,6 +1123,39 @@ object TextQueries {
               CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
               string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos)
                 AS clean_text
+            FROM flagged GROUP BY doc_id)
+          SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+            COALESCE(a.n_kept, 0) AS n_kept,
+            COALESCE(a.n_dropped, 0) AS n_dropped
+          FROM documents d LEFT JOIN agged a USING (doc_id)
+          ORDER BY d.doc_id""",
+
+    // mirrors Dedup.paragraphDedupe: blank-line paragraph split, global
+    // first occurrence by (doc_id, pos) struct min, order-preserving
+    // re-assembly of survivors
+    "q82_paragraph_dedup" ->
+      s"""WITH paras AS (
+            SELECT doc_id, p['pos'] AS pos, p['par'] AS par FROM (
+              SELECT doc_id, unnest(list_transform(range(1, len(ps) + 1),
+                i -> {'pos': i, 'par': trim(ps[i])})) AS p
+              FROM (SELECT doc_id,
+                      string_split_regex(text, '\\n{2,}') AS ps
+                    FROM documents))
+            WHERE len(p['par']) > 0),
+          firsts AS (
+            SELECT par, min({'id': doc_id, 'pos': pos}) AS fi
+            FROM paras GROUP BY par),
+          flagged AS (
+            SELECT p.doc_id, p.pos, p.par,
+              (struct_extract(fi, 'id') = p.doc_id
+               AND struct_extract(fi, 'pos') = p.pos) AS keep
+            FROM paras p JOIN firsts f ON p.par = f.par),
+          agged AS (
+            SELECT doc_id,
+              CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+              string_agg(CASE WHEN keep THEN par END, chr(10) || chr(10)
+                ORDER BY pos) AS clean_text
             FROM flagged GROUP BY doc_id)
           SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
             COALESCE(a.n_kept, 0) AS n_kept,

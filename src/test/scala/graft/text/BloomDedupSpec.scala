@@ -46,5 +46,9 @@ class BloomDedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.keyBloom(hist, col("k"), expectedItems = 0)
     }
+    // an over-sized request clamps to the session caps (degrading fpp)
+    // instead of failing Catalyst's checkInputDataTypes
+    val huge = Dedup.keyBloom(hist, col("k"), expectedItems = Long.MaxValue / 16)
+    assert(huge.nonEmpty)
   }
 }

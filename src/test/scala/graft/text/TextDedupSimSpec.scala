@@ -736,6 +736,42 @@ class TextDedupSimSpec extends SparkSpec {
       assert(d === java.lang.Long.bitCount(bs(l) ^ hs(r)).toLong) }
   }
 
+  test("paragraphDedupe: global first occurrence wins, docs re-assemble in order") {
+    val docs = Seq(
+      (1L, "shared boilerplate\n\nunique to one\n\nshared boilerplate"),
+      (2L, "shared boilerplate\n\nunique to two"),
+      (3L, "   \n\nunique to three"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedupe(docs, "text", "doc_id")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 owns the first "shared boilerplate" (pos 0) and drops its own
+    // repeat at pos 2; doc 2's copy is a cross-doc duplicate
+    assert(out(1L) === (("shared boilerplate\n\nunique to one", 2L, 1L)))
+    assert(out(2L) === (("unique to two", 1L, 1L)))
+    assert(out(3L) === (("unique to three", 1L, 0L)))
+    assert(out(4L) === (("", 0L, 0L)))
+  }
+
+  test("paragraphDedupe randomized model check vs a direct Scala reference") {
+    val rnd = new scala.util.Random(4242L)
+    val pool = (1 to 12).map(i => s"paragraph number $i with body text")
+    val docs = (1L to 25L).map { i =>
+      (i, (0 until rnd.nextInt(6)).map(_ => pool(rnd.nextInt(pool.size)))
+        .mkString("\n\n"))
+    }
+    val got = Dedup.paragraphDedupe(docs.toDF("doc_id", "text"), "text", "doc_id")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val seen = scala.collection.mutable.Set[String]()
+    val expect = docs.sortBy(_._1).map { case (id, text) =>
+      val paras = text.split("\n{2,}", -1).map(_.trim).filter(_.nonEmpty)
+      val kept = paras.filter(p => seen.add(p))
+      id -> ((kept.mkString("\n\n"), kept.length.toLong, (paras.length - kept.length).toLong))
+    }.toMap
+    docs.foreach { case (id, _) => assert(got(id) === expect(id), s"doc $id") }
+  }
+
   test("prebuilt history index rejects joins below its build threshold") {
     // an index built at 0.8 has prefixes too short for a 0.5 join —
     // silently missing pairs is the failure mode, so the join must throw;
