@@ -553,6 +553,13 @@ object TextQueries {
       TextOps.cleanLines(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // ───── corpus-relative rare-token ratio (outlier/gibberish signal;
+    // integer counting, one division per doc) ─────
+    "q83_rare_tokens" -> ((s, d) =>
+      TextOps.rareTokenRatio(Tables.documents(s, d), "text", "doc_id",
+          minDocFreq = 3L)
+        .orderBy(col("doc_id"))),
+
     // ───── corpus-wide paragraph dedup: later occurrences of a duplicated
     // paragraph dropped across (and within) documents, docs re-assembled
     // from the survivors ─────
@@ -1129,6 +1136,28 @@ object TextQueries {
             COALESCE(a.n_dropped, 0) AS n_dropped
           FROM documents d LEFT JOIN agged a USING (doc_id)
           ORDER BY d.doc_id""",
+
+    // integer df counting + one double division per doc — bit-identical
+    // across engines (the q58 rational discipline)
+    "q83_rare_tokens" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(list_filter($toks, t -> len(t) > 0)) AS w
+            FROM documents),
+          dfreq AS (
+            SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM toks GROUP BY w),
+          agged AS (
+            SELECT t.doc_id,
+              CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN d.df < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+            FROM toks t JOIN dfreq d USING (w)
+            GROUP BY t.doc_id)
+          SELECT doc.doc_id,
+            COALESCE(a.n_tokens, 0) AS n_tokens,
+            COALESCE(a.n_rare, 0) AS n_rare,
+            COALESCE(CAST(a.n_rare AS DOUBLE) / a.n_tokens, 0.0) AS rare_ratio
+          FROM documents doc LEFT JOIN agged a USING (doc_id)
+          ORDER BY doc.doc_id""",
 
     // mirrors Dedup.paragraphDedupe: blank-line paragraph split, global
     // first occurrence by (doc_id, pos) struct min, order-preserving

@@ -199,6 +199,41 @@ object TextOps {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 
+  /** Corpus-relative rare-token ratio — the CCNet-style outlier signal
+    * with exact (hashable) arithmetic: the fraction of a document's token
+    * OCCURRENCES whose corpus-wide document frequency is below
+    * `minDocFreq`. High values flag gibberish/OCR noise/codeswitching
+    * that per-doc signals miss, because the reference statistic is the
+    * whole corpus. All counting is integer (one double division per doc
+    * at the end), so the result is bit-reproducible across engines —
+    * the same discipline as q58's rational tf·N/df.
+    *
+    * Scale: token df is `groupBy(token).count` (map-side partials absorb
+    * Zipfian heads) and the flag-back join on the token is
+    * AQE-skew-splittable — never a window over the token. Returns
+    * (idCol, n_tokens, n_rare, rare_ratio). */
+  def rareTokenRatio(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                     idCol: String, minDocFreq: Long): org.apache.spark.sql.DataFrame = {
+    val id = col(idCol)
+    val toks = docs
+      .select(id, explode(tokens(col(textCol))).as("__w"))
+      .where(length(col("__w")) > 0)
+    // document frequency: in how many distinct docs does the token occur
+    val df = toks.select(id, col("__w")).distinct()
+      .groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+    val agged = toks.join(df, Seq("__w"))
+      .groupBy(id).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__df") < minDocFreq, 1L).otherwise(0L)).as("n_rare"))
+      .select(id, col("n_tokens"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_tokens")).as("rare_ratio"))
+    docs.select(id).join(agged, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        coalesce(col("rare_ratio"), lit(0.0)).as("rare_ratio"))
+  }
+
   def repetitionSignals(docs: org.apache.spark.sql.DataFrame, textCol: String,
                         idCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -90,6 +90,22 @@ class RepetitionSpec extends SparkSpec {
     }
   }
 
+  test("rareTokenRatio: corpus-relative df over occurrences, integer-exact") {
+    val docs = Seq(
+      (1L, "common common rare1"),
+      (2L, "common unique2"),
+      (3L, "common gibberishxyz qqq"),
+      (4L, "")).toDF("doc_id", "text")
+    // df: common appears in 3 docs; every other token in exactly 1
+    val out = TextOps.rareTokenRatio(docs, "text", "doc_id", minDocFreq = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((3L, 1L, 1.0 / 3.0))) // common×2 occurrences not rare
+    assert(out(2L) === ((2L, 1L, 0.5)))
+    assert(out(3L) === ((3L, 2L, 2.0 / 3.0)))
+    assert(out(4L) === ((0L, 0L, 0.0)))
+  }
+
   test("randomized model check vs a direct Scala reference") {
     val rnd = new scala.util.Random(20260813L)
     val vocab = Vector("a", "bb", "ccc", "dddd", "ee")
