@@ -553,6 +553,18 @@ object TextQueries {
       TextOps.cleanLines(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // ───── q49's pipeline with the Gopher repetition gate ANDed into the
+    // quality stage — the thresholds bite (~28% of testdata docs exceed
+    // top_bigram 0.1), so downstream exact/near-dup stages run over a
+    // genuinely different survivor set than q49 ─────
+    "q84_clean_repetition" -> ((s, d) => {
+      graft.text.Corpus.clean(Tables.documents(s, d), "text", "doc_id",
+          Seq("lang"), stopwords, n = 3, threshold = 0.5,
+          repetition = Some((0.3, 0.1)))
+        .select(col("doc_id"), col("keep_quality"), col("keep_exact"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── corpus-relative rare-token ratio (outlier/gibberish signal;
     // integer counting, one division per doc) ─────
     "q83_rare_tokens" -> ((s, d) =>
@@ -1135,6 +1147,86 @@ object TextQueries {
             COALESCE(a.n_kept, 0) AS n_kept,
             COALESCE(a.n_dropped, 0) AS n_dropped
           FROM documents d LEFT JOIN agged a USING (doc_id)
+          ORDER BY d.doc_id""",
+
+    // q49's staged CTE with the q79 repetition CTEs merged: kq gains the
+    // dup-line and top-bigram thresholds; every later stage (exact window,
+    // shingle pairs, recursive components) then flows over the narrowed set
+    "q84_clean_repetition" ->
+      s"""WITH RECURSIVE lines AS (
+            SELECT doc_id, trim(l) AS line
+            FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                  FROM documents)
+            WHERE len(trim(l)) > 0),
+          per_line AS (
+            SELECT doc_id, line, count(*) AS cnt
+            FROM lines GROUP BY doc_id, line),
+          line_sig AS (
+            SELECT doc_id,
+              1.0 - CAST(count(*) AS DOUBLE) / sum(cnt) AS dlf
+            FROM per_line GROUP BY doc_id),
+          tk0 AS (
+            SELECT doc_id, list_filter($toks, t -> len(t) > 0) AS ts
+            FROM documents),
+          tok_chars AS (
+            SELECT doc_id, CAST(len(array_to_string(ts, '')) AS BIGINT) AS tc
+            FROM tk0 WHERE len(ts) > 0),
+          per_big AS (
+            SELECT doc_id, b['g'] AS g, CAST(b['cover'] AS BIGINT) AS cover,
+              count(*) AS cnt
+            FROM (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+                    i -> {'g': ts[i] || ' ' || ts[i+1],
+                          'cover': len(ts[i]) + len(ts[i+1])})) AS b
+                  FROM tk0 WHERE len(ts) >= 2)
+            GROUP BY doc_id, b['g'], b['cover']),
+          big_top AS (
+            SELECT doc_id, max({'cnt': cnt, 'cover': cover}) AS t
+            FROM per_big GROUP BY doc_id),
+          big_sig AS (
+            SELECT b.doc_id, least(1.0,
+              CAST(struct_extract(t, 'cnt') * struct_extract(t, 'cover') AS DOUBLE)
+                / c.tc) AS tbf
+            FROM big_top b JOIN tok_chars c USING (doc_id)),
+          t AS (
+            SELECT doc_id, lang, $toks AS tk FROM documents),
+          q AS (
+            SELECT t.doc_id, lang, tk,
+              (len(tk) >= 10
+               AND CAST(len(list_filter(tk, w -> w IN ('the','a','of','and','to'))) AS DOUBLE) / len(tk) <= 0.5
+               AND CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) >= 0.3
+               AND COALESCE(l.dlf, 0.0) <= 0.3
+               AND COALESCE(b.tbf, 0.0) <= 0.1) AS kq
+            FROM t
+            LEFT JOIN line_sig l ON t.doc_id = l.doc_id
+            LEFT JOIN big_sig b ON t.doc_id = b.doc_id),
+          e AS (
+            SELECT doc_id, lang, tk,
+              doc_id = MIN(doc_id) OVER (PARTITION BY md5(lower(array_to_string(tk, ' ')))) AS ke
+            FROM q WHERE kq),
+          sh AS (
+            SELECT doc_id, lang,
+              list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string((tk)[i:i+2], ' ')) END) AS s
+            FROM e WHERE ke),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          reach AS (SELECT u, v FROM edges UNION
+                    SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+                    WHERE e2.v <> r.u),
+          comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component
+                   FROM reach GROUP BY u)
+          SELECT d.doc_id, q.kq AS keep_quality,
+            COALESCE(e.ke, false) AS keep_exact,
+            COALESCE(e.ke AND COALESCE(c.component, d.doc_id) = d.doc_id, false) AS keep
+          FROM documents d
+          LEFT JOIN q ON d.doc_id = q.doc_id
+          LEFT JOIN e ON d.doc_id = e.doc_id
+          LEFT JOIN comp c ON d.doc_id = c.id
           ORDER BY d.doc_id""",
 
     // integer df counting + one double division per doc — bit-identical

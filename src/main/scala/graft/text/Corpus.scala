@@ -57,11 +57,29 @@ object Corpus {
       .otherwise(concat(lit("__fail_"),
         coalesce(id.cast("string"), hex(monotonically_increasing_id()))))
 
+  /** @param repetition optional (maxDupLineFrac, maxTopBigramCharFrac):
+    *        ANDs the Gopher-style repetition gate
+    *        ([[TextOps.repetitionSignals]]) into `keep_quality`. The
+    *        signals need their own doc-keyed aggregation pass joined back
+    *        on the id, so the quality stage stops being purely scan-side —
+    *        the default `None` keeps the original single-scan plan. */
   def clean(docs: DataFrame, textCol: String, idCol: String,
             blockCols: Seq[String], stopwords: Seq[String],
-            n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val withQ = docs.withColumn("keep_quality",
+            n: Int = 3, threshold: Double = 0.5,
+            repetition: Option[(Double, Double)] = None): DataFrame = {
+    val base = docs.withColumn("keep_quality",
       qualityKeep(col(textCol), stopwords))
+    val withQ = repetition match {
+      case None => base
+      case Some((maxDupLine, maxTopBigram)) =>
+        val rep = TextOps.repetitionSignals(docs, textCol, idCol)
+          .select(col(idCol), col("dup_line_frac"), col("top_bigram_char_frac"))
+        base.join(rep, Seq(idCol))
+          .withColumn("keep_quality", col("keep_quality") &&
+            col("dup_line_frac") <= maxDupLine &&
+            col("top_bigram_char_frac") <= maxTopBigram)
+          .drop("dup_line_frac", "top_bigram_char_frac")
+    }
     val withE = withQ
       .withColumn("fp", exactKey(col(textCol), col("keep_quality"), col(idCol)))
       .withColumn("keep_exact", col("keep_quality") &&
