@@ -71,6 +71,60 @@ object Dedup {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 
+  /** Incremental [[paragraphDedupe]]: paragraphs already present in
+    * `history` are dropped from the batch (history is the accumulated,
+    * already-deduped corpus — its own order is settled), then the batch
+    * deduplicates within itself by global (id, pos) first occurrence and
+    * re-assembles. History state is ONE md5 row per distinct history
+    * paragraph; pair the scan with a [[keyBloom]] over those fingerprints
+    * to pre-filter the membership join when history is cold storage.
+    * Same output shape as [[paragraphDedupe]]. */
+  def paragraphDedupeIncremental(batch: DataFrame, historyParagraphFps: DataFrame,
+                                 textCol: String, idCol: String,
+                                 fpCol: String = "fp"): DataFrame = {
+    val id = col(idCol)
+    val paras = batch
+      .select(id, posexplode(split(col(textCol), "\n{2,}")).as(Seq("__pos", "__raw")))
+      .select(id, col("__pos"), trim(col("__raw")).as("__par"))
+      .where(length(col("__par")) > 0)
+      .withColumn("__fp", md5(encode(col("__par"), "UTF-8")))
+    val fresh = paras.join(
+      historyParagraphFps.select(col(fpCol).as("__fp")), Seq("__fp"), "left_anti")
+    val firsts = fresh.groupBy(col("__fp"))
+      .agg(min(struct(id, col("__pos"))).as("__first"))
+    val flagged = paras
+      .join(firsts, Seq("__fp"), "left")
+      .withColumn("__keep",
+        col("__first").isNotNull &&
+          col("__first").getField(idCol) === id &&
+          col("__first").getField("__pos") === col("__pos"))
+    val agged = flagged.groupBy(id).agg(
+      sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"),
+      graft.udafs.CollectOps.sortedCollect(
+        Seq(-col("__pos")),
+        Seq("__pars" -> when(col("__keep"), col("__par"))), Int.MaxValue)
+        .head.as("__all"))
+      .select(id, col("n_kept"), col("n_dropped"),
+        concat_ws("\n\n", col("__all")).as("clean_text"))
+    batch.select(id)
+      .join(agged, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
+  /** Distinct (md5) paragraph fingerprints of a corpus — the history
+    * state [[paragraphDedupeIncremental]] consumes; persist and append
+    * each batch's kept-paragraph fps after the run. */
+  def paragraphFps(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(posexplode(split(col(textCol), "\n{2,}")).as(Seq("__pos", "__raw")))
+      .select(trim(col("__raw")).as("__par"))
+      .where(length(col("__par")) > 0)
+      .select(md5(encode(col("__par"), "UTF-8")).as("fp"))
+      .distinct()
+
   // ───── Bloom-filter membership pre-filter (incremental exact dedup) ─────
 
   /** Serialized Bloom filter over `xxhash64(key)`, built with Catalyst's

@@ -579,6 +579,17 @@ object TextQueries {
       Dedup.paragraphDedupe(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // ───── q82's incremental form: paragraphs already in the accumulated
+    // history drop first, then the batch dedupes within itself ─────
+    "q85_paragraph_dedup_inc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.paragraphDedupeIncremental(
+          docs.where(col("doc_id") % 2 === 1),
+          Dedup.paragraphFps(docs.where(col("doc_id") % 2 === 0), "text", "doc_id"),
+          "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── Bloom-prefiltered incremental exact dedup: the filter bytes
     // are the only broadcast state; rows the bloom proves new skip the
     // confirm join, so the join probe side is |batch ∩ bloom|. With
@@ -1250,6 +1261,43 @@ object TextQueries {
             COALESCE(CAST(a.n_rare AS DOUBLE) / a.n_tokens, 0.0) AS rare_ratio
           FROM documents doc LEFT JOIN agged a USING (doc_id)
           ORDER BY doc.doc_id""",
+
+    // q82's CTE with a history exclusion: odd docs are the batch, even
+    // docs' paragraphs are settled history
+    "q85_paragraph_dedup_inc" ->
+      s"""WITH paras AS (
+            SELECT doc_id, p['pos'] AS pos, p['par'] AS par FROM (
+              SELECT doc_id, unnest(list_transform(range(1, len(ps) + 1),
+                i -> {'pos': i, 'par': trim(ps[i])})) AS p
+              FROM (SELECT doc_id,
+                      string_split_regex(text, '\\n{2,}') AS ps
+                    FROM documents))
+            WHERE len(p['par']) > 0),
+          hist AS (SELECT DISTINCT par FROM paras WHERE doc_id % 2 = 0),
+          bp AS (SELECT * FROM paras WHERE doc_id % 2 = 1),
+          fresh AS (SELECT * FROM bp WHERE par NOT IN (SELECT par FROM hist)),
+          firsts AS (
+            SELECT par, min({'id': doc_id, 'pos': pos}) AS fi
+            FROM fresh GROUP BY par),
+          flagged AS (
+            SELECT b.doc_id, b.pos, b.par,
+              (f.par IS NOT NULL
+               AND struct_extract(f.fi, 'id') = b.doc_id
+               AND struct_extract(f.fi, 'pos') = b.pos) AS keep
+            FROM bp b LEFT JOIN firsts f ON b.par = f.par),
+          agged AS (
+            SELECT doc_id,
+              CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+              string_agg(CASE WHEN keep THEN par END, chr(10) || chr(10)
+                ORDER BY pos) AS clean_text
+            FROM flagged GROUP BY doc_id)
+          SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+            COALESCE(a.n_kept, 0) AS n_kept,
+            COALESCE(a.n_dropped, 0) AS n_dropped
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+          LEFT JOIN agged a USING (doc_id)
+          ORDER BY d.doc_id""",
 
     // mirrors Dedup.paragraphDedupe: blank-line paragraph split, global
     // first occurrence by (doc_id, pos) struct min, order-preserving

@@ -772,6 +772,45 @@ class TextDedupSimSpec extends SparkSpec {
     docs.foreach { case (id, _) => assert(got(id) === expect(id), s"doc $id") }
   }
 
+  test("paragraphDedupeIncremental: history paragraphs drop, batch dedupes within itself") {
+    val hist = Seq((100L, "seen before\n\nalso seen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "seen before\n\nbrand new one"),
+      (2L, "brand new one\n\nbrand new two"),
+      (3L, "also seen")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedupeIncremental(
+        batch, Dedup.paragraphFps(hist, "text", "doc_id"), "text", "doc_id")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === (("brand new one", 1L, 1L)))
+    assert(out(2L) === (("brand new two", 1L, 1L))) // "one" claimed by doc 1
+    assert(out(3L) === (("", 0L, 1L)))
+  }
+
+  test("paragraphDedupeIncremental randomized: staged model (history set, then in-batch)") {
+    val rnd = new scala.util.Random(1717L)
+    val pool = (1 to 10).map(i => s"para body $i")
+    def doc(): String =
+      (0 until rnd.nextInt(5)).map(_ => pool(rnd.nextInt(pool.size))).mkString("\n\n")
+    val hist = (1L to 8L).map(i => (i, doc()))
+    val batch = (101L to 120L).map(i => (i, doc()))
+    val got = Dedup.paragraphDedupeIncremental(
+        batch.toDF("doc_id", "text"),
+        Dedup.paragraphFps(hist.toDF("doc_id", "text"), "text", "doc_id"),
+        "text", "doc_id")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val seen = scala.collection.mutable.Set[String]()
+    hist.foreach { case (_, t) =>
+      t.split("\n{2,}", -1).map(_.trim).filter(_.nonEmpty).foreach(seen.add) }
+    batch.sortBy(_._1).foreach { case (id, text) =>
+      val paras = text.split("\n{2,}", -1).map(_.trim).filter(_.nonEmpty)
+      val kept = paras.filter(p => seen.add(p))
+      assert(got(id) === ((kept.mkString("\n\n"), kept.length.toLong,
+        (paras.length - kept.length).toLong)), s"doc $id")
+    }
+  }
+
   test("prebuilt history index rejects joins below its build threshold") {
     // an index built at 0.8 has prefixes too short for a 0.5 join —
     // silently missing pairs is the failure mode, so the join must throw;
