@@ -579,6 +579,20 @@ object TextQueries {
       Dedup.paragraphDedupe(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // ───── BPE-ish token statistics: subword-granularity counts beside
+    // the whitespace count, chars-per-token compression ratio ─────
+    "q86_bpe_tokens" -> ((s, d) => {
+      val t = col("text")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.bpeTokenCount(t).as("n_bpe"),
+          TextOps.tokenCount(t).as("n_ws"),
+          when(TextOps.bpeTokenCount(t) > 0,
+            length(t).cast("double") / TextOps.bpeTokenCount(t))
+            .otherwise(0.0).as("chars_per_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── q82's incremental form: paragraphs already in the accumulated
     // history drop first, then the batch dedupes within itself ─────
     "q85_paragraph_dedup_inc" -> ((s, d) => {
@@ -1261,6 +1275,21 @@ object TextQueries {
             COALESCE(CAST(a.n_rare AS DOUBLE) / a.n_tokens, 0.0) AS rare_ratio
           FROM documents doc LEFT JOIN agged a USING (doc_id)
           ORDER BY doc.doc_id""",
+
+    // the BPE pre-tokenizer pattern replayed verbatim by RE2 (quote
+    // doubled for the SQL literal); one double division per doc
+    "q86_bpe_tokens" ->
+      s"""SELECT doc_id,
+            CAST(len(regexp_extract_all(text,
+              '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')) AS INT) AS n_bpe,
+            CAST(len($toks) AS INT) AS n_ws,
+            CASE WHEN len(regexp_extract_all(text,
+                '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')) > 0
+              THEN CAST(length(text) AS DOUBLE)
+                / len(regexp_extract_all(text,
+                    '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))
+              ELSE 0.0 END AS chars_per_bpe
+          FROM documents ORDER BY doc_id""",
 
     // q82's CTE with a history exclusion: odd docs are the batch, even
     // docs' paragraphs are settled history

