@@ -36,7 +36,11 @@ object QualityClassifier {
     val lr = new LogisticRegression()
       .setFeaturesCol("__features").setLabelCol(labelCol)
       .setMaxIter(maxIter).setRegParam(regParam)
+      // every intermediate column __-prefixed: transform() must never
+      // clobber (or collide with) a user column named "prediction" etc.
       .setProbabilityCol("__prob")
+      .setRawPredictionCol("__raw_pred")
+      .setPredictionCol("__pred")
     new Pipeline().setStages(Array(tok, tf, lr)).fit(labeled)
   }
 
@@ -47,6 +51,5 @@ object QualityClassifier {
     model.transform(docs)
       .withColumn("quality_prob", vector_to_array(col("__prob")).getItem(1))
       .withColumn("quality_keep", col("quality_prob") >= threshold)
-      .drop("__words", "__features", "__rawPrediction", "__prob", "prediction",
-        "rawPrediction")
+      .drop("__words", "__features", "__prob", "__raw_pred", "__pred")
 }

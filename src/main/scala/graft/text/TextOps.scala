@@ -192,8 +192,10 @@ object TextOps {
     val keepPred = Seq(
       Some(size(split(col("__line"), "\\s+")) >= minWords),
       if (requireTerminalPunct) Some(col("__line").rlike(TerminalPunctRe)) else None,
-      Some(!banned.map(b => lower(col("__line")).contains(b.toLowerCase))
-        .reduce(_ || _))
+      // reduceOption: an empty banned list means no marker filter, not a
+      // reduce-on-empty crash
+      banned.map(b => !lower(col("__line")).contains(b.toLowerCase))
+        .reduceOption(_ && _)
     ).flatten.reduce(_ && _)
     // one collect: dropped lines ride as nulls (concat_ws skips them), so
     // the kept/dropped counts and the re-assembly share a single aggregate

@@ -43,5 +43,9 @@ class QualityClassifierSpec extends SparkSpec {
     val scored = QualityClassifier.score(model, docs)
     assert(scored.columns.toSet ===
       Set("doc_id", "text", "lang", "quality_prob", "quality_keep"))
+    // user columns named like ML defaults must survive untouched
+    val tricky = Seq((1L, goodDoc(), 42.0)).toDF("doc_id", "text", "prediction")
+    val scored2 = QualityClassifier.score(model, tricky)
+    assert(scored2.select("prediction").head().getDouble(0) === 42.0)
   }
 }
