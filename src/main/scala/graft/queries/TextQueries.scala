@@ -579,6 +579,15 @@ object TextQueries {
       Dedup.paragraphDedupe(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // ───── grouped vector pooling, exact decimal path: per-label
+    // element-wise embedding sums (associative decimal accumulation —
+    // reproducible under any partitioning, replayable by the oracle; the
+    // float Aggregator twin is ScalaTest-gated against this) ─────
+    "q87_embed_centroids" -> ((s, d) =>
+      graft.sim.VectorAgg.vectorSumElements(
+          Tables.embeddings(s, d), "embedding", Seq("label"))
+        .orderBy(col("label"), col("pos"))),
+
     // ───── BPE-ish token statistics: subword-granularity counts beside
     // the whitespace count, chars-per-token compression ratio ─────
     "q86_bpe_tokens" -> ((s, d) => {
@@ -1275,6 +1284,26 @@ object TextQueries {
             COALESCE(CAST(a.n_rare AS DOUBLE) / a.n_tokens, 0.0) AS rare_ratio
           FROM documents doc LEFT JOIN agged a USING (doc_id)
           ORDER BY doc.doc_id""",
+
+    // element-wise decimal sums: associative, so engine-internal
+    // aggregation order cannot change the result
+    "q87_embed_centroids" ->
+      s"""WITH ex AS (
+            SELECT label, p['pos'] AS pos, p['v'] AS v FROM (
+              SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+                i -> {'pos': i - 1, 'v': embedding[i]})) AS p
+              FROM embeddings WHERE embedding IS NOT NULL)),
+          sums AS (
+            SELECT label, CAST(pos AS INT) AS pos,
+              CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))
+                AS BIGINT) AS elem_sum_micro
+            FROM ex GROUP BY label, pos),
+          cnt AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS n_vectors
+            FROM embeddings WHERE embedding IS NOT NULL GROUP BY label)
+          SELECT s.label, s.pos, s.elem_sum_micro, c.n_vectors
+          FROM sums s JOIN cnt c USING (label)
+          ORDER BY s.label, s.pos""",
 
     // the BPE pre-tokenizer pattern replayed verbatim by RE2 (quote
     // doubled for the SQL literal); one double division per doc

@@ -1,0 +1,104 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Grouped vector pooling — the aggregation side of the embedding
+  * toolkit: chunk embeddings → document embedding, per-class centroids,
+  * IVF retraining inputs. Two shapes, same semantics:
+  *
+  *  - [[vectorSum]] / [[vectorMean]]: a typed mergeable `Aggregator` over
+  *    `array<float>` — element-wise double accumulation in ONE buffer per
+  *    group per partition (map-side partial aggregation; a group's
+  *    vectors never co-locate before combining). The hot path for wide
+  *    aggregations.
+  *  - [[vectorSumRows]]: the same sum as a relational plan (posexplode →
+  *    groupBy(keys, pos) → decimal sum → re-collect) — exact decimal
+  *    arithmetic, so the result is bit-reproducible regardless of
+  *    partitioning or merge order, and a DuckDB oracle can replay it
+  *    (float summation order across rows is engine-dependent; decimal
+  *    addition is associative). Use for audits/oracles; the Aggregator
+  *    for throughput.
+  *
+  * Vectors of differing lengths within a group aggregate over the union
+  * length, missing tails contributing nothing (the [[Similarity]]
+  * zero-pad convention); null vectors are skipped. */
+object VectorAgg {
+
+  private type Buf = (Array[Double], Long)
+
+  private def accumulate(b: Buf, in: Seq[Float]): Buf = {
+    if (in == null) return b
+    val arr = if (b._1.length >= in.length) b._1
+      else java.util.Arrays.copyOf(b._1, in.length)
+    var i = 0
+    while (i < in.length) { arr(i) += in(i); i += 1 }
+    (arr, b._2 + 1)
+  }
+
+  private def combine(a: Buf, b: Buf): Buf = {
+    val (big, small) = if (a._1.length >= b._1.length) (a._1, b._1) else (b._1, a._1)
+    val out = java.util.Arrays.copyOf(big, big.length)
+    var i = 0
+    while (i < small.length) { out(i) += small(i); i += 1 }
+    (out, a._2 + b._2)
+  }
+
+  /** Element-wise sum Aggregator; finish returns array<double>. */
+  class VectorSum extends Aggregator[Seq[Float], Buf, Seq[Double]] {
+    def zero: Buf = (Array.emptyDoubleArray, 0L)
+    def reduce(b: Buf, in: Seq[Float]): Buf = accumulate(b, in)
+    def merge(a: Buf, b: Buf): Buf = combine(a, b)
+    def finish(b: Buf): Seq[Double] = b._1.toSeq
+    def bufferEncoder: Encoder[Buf] = Encoders.tuple(
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]](),
+      Encoders.scalaLong)
+    def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Element-wise mean Aggregator (sum / vector count). */
+  class VectorMean extends VectorSum {
+    override def finish(b: Buf): Seq[Double] =
+      if (b._2 == 0) Nil else b._1.map(_ / b._2).toSeq
+  }
+
+  /** Column form: `vectorSum(col("embedding"))`. */
+  def vectorSum(vec: Column): Column = udaf(new VectorSum).apply(vec)
+
+  /** Column form: `vectorMean(col("embedding"))`. */
+  def vectorMean(vec: Column): Column = udaf(new VectorMean).apply(vec)
+
+  /** Exact relational element-wise sum, one row per (keys, element
+    * position): `pos` (0-based), `elem_sum_micro` (the element quantized
+    * to fixed-point MICRO-units — `round(double(v) × 10⁶)` — and summed
+    * as BIGINT) and the group's `n_vectors`. Integer accumulation is
+    * associative AND the quantization is two IEEE double ops every engine
+    * performs identically, so the result is bit-reproducible under any
+    * partitioning and replayable by a SQL oracle. (A DECIMAL(p,6) cast is
+    * NOT portable: engines disagree on float→decimal tie rounding at the
+    * last place — measured on real data.) The audit/oracle twin of
+    * [[vectorSum]]. */
+  def vectorSumElements(df: DataFrame, vecCol: String, keys: Seq[String]): DataFrame = {
+    val k = keys.map(col)
+    val counts = df.where(col(vecCol).isNotNull)
+      .groupBy(k: _*).agg(count(lit(1)).as("n_vectors"))
+    df.where(col(vecCol).isNotNull)
+      .select(k :+ posexplode(col(vecCol)).as(Seq("pos", "__v")): _*)
+      .groupBy(k :+ col("pos"): _*)
+      .agg(sum(round(col("__v").cast("double") * 1000000L).cast("long"))
+        .as("elem_sum_micro"))
+      .join(counts, keys)
+  }
+
+  /** [[vectorSumElements]] re-collected to one `vec_sum_micro:
+    * array<long>` row per group (index order preserved). */
+  def vectorSumRows(df: DataFrame, vecCol: String, keys: Seq[String]): DataFrame =
+    vectorSumElements(df, vecCol, keys)
+      .groupBy(keys.map(col) :+ col("n_vectors"): _*)
+      .agg(graft.udafs.CollectOps.sortedCollect(
+        Seq(-col("pos")), Seq("vec_sum_micro" -> col("elem_sum_micro")), Int.MaxValue)
+        .head.as("vec_sum_micro"))
+      .select(keys.map(col) :+ col("vec_sum_micro") :+ col("n_vectors"): _*)
+}

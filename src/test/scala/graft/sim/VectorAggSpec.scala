@@ -1,0 +1,55 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vectorSum/vectorMean: element-wise over groups, null vectors skipped") {
+    val df = Seq(
+      ("a", Seq(1f, 2f, 3f)), ("a", Seq(10f, 20f, 30f)),
+      ("b", Seq(5f, 5f)), ("b", null.asInstanceOf[Seq[Float]])
+    ).toDF("label", "embedding")
+    val out = df.groupBy($"label")
+      .agg(VectorAgg.vectorSum($"embedding").as("s"),
+        VectorAgg.vectorMean($"embedding").as("m"))
+      .as[(String, Seq[Double], Seq[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("a")._1 === Seq(11.0, 22.0, 33.0))
+    assert(out("a")._2 === Seq(5.5, 11.0, 16.5))
+    // the null vector is skipped entirely — and does NOT count toward the
+    // mean's denominator
+    assert(out("b")._1 === Seq(5.0, 5.0))
+    assert(out("b")._2 === Seq(5.0, 5.0))
+  }
+
+  test("ragged lengths aggregate over the union length (zero-pad convention)") {
+    val df = Seq(("a", Seq(1f, 1f)), ("a", Seq(1f, 1f, 4f))).toDF("label", "embedding")
+    val s = df.groupBy($"label").agg(VectorAgg.vectorSum($"embedding").as("s"))
+      .select("s").as[Seq[Double]].head()
+    assert(s === Seq(2.0, 2.0, 4.0))
+  }
+
+  test("Aggregator agrees with the exact decimal relational path on real embeddings") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val fast = emb.groupBy($"label")
+      .agg(VectorAgg.vectorSum($"embedding").as("s"), count(lit(1)).as("n"))
+      .as[(String, Seq[Double], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val exact = VectorAgg.vectorSumRows(emb, "embedding", Seq("label"))
+      .select($"label", $"vec_sum_micro", $"n_vectors")
+      .as[(String, Seq[Long], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(fast.keySet === exact.keySet)
+    fast.foreach { case (label, (s, n)) =>
+      val (es, en) = exact(label)
+      assert(n === en)
+      assert(s.size === es.size)
+      // float-order sums vs micro-unit fixed point: within the per-row
+      // quantization (0.5e-6 each) plus accumulated float error
+      s.zip(es).foreach { case (a, bMicro) =>
+        assert(math.abs(a - bMicro / 1e6) < 1e-2, s"$label: $a vs $bMicro") }
+    }
+  }
+}
