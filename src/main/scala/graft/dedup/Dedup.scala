@@ -26,34 +26,22 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** Corpus-wide PARAGRAPH-level exact dedup (the paragraph-granularity
-    * form of Lee et al. 2022's exact-substring dedup): every later
-    * occurrence of a duplicated paragraph is dropped — across documents
-    * and within one — and each document is re-assembled from its
-    * surviving paragraphs in order. Paragraphs split on blank lines
-    * (`\n{2,}`), trimmed, empties ignored. "First" is the global minimum
-    * of (idCol, position): deterministic under any partitioning.
-    * Returns one row per doc: (idCol, clean_text, n_kept, n_dropped).
-    *
-    * Scale shape: occurrence selection is `groupBy(fingerprint).agg(min)`
-    * — ONE shuffle on the 16-byte md5 (map-side partials absorb hot
-    * boilerplate paragraphs) — and the flag-back join on the fingerprint
-    * is AQE-skew-splittable, the same discipline as [[shingleDf]]. The
-    * re-assembly aggregates per DOC (bounded arrays). Never a window over
-    * the fingerprint. */
-  def paragraphDedupe(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val id = col(idCol)
-    val paras = docs
-      .select(id, posexplode(split(col(textCol), "\n{2,}")).as(Seq("__pos", "__raw")))
-      .select(id, col("__pos"), trim(col("__raw")).as("__par"))
+  /** (id, pos, trimmed paragraph, md5 fingerprint) rows — the shared
+    * extraction every paragraph operator builds on (blank-line split,
+    * empties dropped). ONE definition: the batch path, the incremental
+    * path, and the history fingerprints must always split identically or
+    * history matching silently breaks. */
+  private def paragraphRows(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n{2,}")).as(Seq("__pos", "__raw")))
+      .select(col(idCol), col("__pos"), trim(col("__raw")).as("__par"))
       .where(length(col("__par")) > 0)
       .withColumn("__fp", md5(encode(col("__par"), "UTF-8")))
-    val firsts = paras.groupBy(col("__fp"))
-      .agg(min(struct(id, col("__pos"))).as("__first"))
-    val flagged = paras.join(firsts, Seq("__fp"))
-      .withColumn("__keep",
-        col("__first").getField(idCol) === id &&
-          col("__first").getField("__pos") === col("__pos"))
+
+  /** Re-assemble flagged paragraph rows (id, __pos, __par, __keep) into
+    * one row per input doc: (idCol, clean_text, n_kept, n_dropped). */
+  private def reassemble(docs: DataFrame, flagged: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
     val agged = flagged.groupBy(id).agg(
       sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
       sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"),
@@ -71,6 +59,43 @@ object Dedup {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 
+  private def paragraphDedupeImpl(batch: DataFrame, textCol: String, idCol: String,
+                                  historyFps: Option[DataFrame]): DataFrame = {
+    val id = col(idCol)
+    val paras = paragraphRows(batch, textCol, idCol)
+    val fresh = historyFps match {
+      case None    => paras
+      case Some(h) => paras.join(h, Seq("__fp"), "left_anti")
+    }
+    val firsts = fresh.groupBy(col("__fp"))
+      .agg(min(struct(id, col("__pos"))).as("__first"))
+    val flagged = paras
+      .join(firsts, Seq("__fp"), "left")
+      .withColumn("__keep",
+        col("__first").isNotNull &&
+          col("__first").getField(idCol) === id &&
+          col("__first").getField("__pos") === col("__pos"))
+    reassemble(batch, flagged, idCol)
+  }
+
+  /** Corpus-wide PARAGRAPH-level exact dedup (the paragraph-granularity
+    * form of Lee et al. 2022's exact-substring dedup): every later
+    * occurrence of a duplicated paragraph is dropped — across documents
+    * and within one — and each document is re-assembled from its
+    * surviving paragraphs in order. Paragraphs split on blank lines
+    * (`\n{2,}`), trimmed, empties ignored. "First" is the global minimum
+    * of (idCol, position): deterministic under any partitioning.
+    * Returns one row per doc: (idCol, clean_text, n_kept, n_dropped).
+    *
+    * Scale shape: occurrence selection is `groupBy(fingerprint).agg(min)`
+    * — ONE shuffle on the 16-byte md5 (map-side partials absorb hot
+    * boilerplate paragraphs) — and the flag-back join on the fingerprint
+    * is AQE-skew-splittable, the same discipline as [[shingleDf]]. The
+    * re-assembly aggregates per DOC (bounded arrays). Never a window over
+    * the fingerprint. */
+  def paragraphDedupe(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    paragraphDedupeImpl(docs, textCol, idCol, None)
+
   /** Incremental [[paragraphDedupe]]: paragraphs already present in
     * `history` are dropped from the batch (history is the accumulated,
     * already-deduped corpus — its own order is settled), then the batch
@@ -81,49 +106,15 @@ object Dedup {
     * Same output shape as [[paragraphDedupe]]. */
   def paragraphDedupeIncremental(batch: DataFrame, historyParagraphFps: DataFrame,
                                  textCol: String, idCol: String,
-                                 fpCol: String = "fp"): DataFrame = {
-    val id = col(idCol)
-    val paras = batch
-      .select(id, posexplode(split(col(textCol), "\n{2,}")).as(Seq("__pos", "__raw")))
-      .select(id, col("__pos"), trim(col("__raw")).as("__par"))
-      .where(length(col("__par")) > 0)
-      .withColumn("__fp", md5(encode(col("__par"), "UTF-8")))
-    val fresh = paras.join(
-      historyParagraphFps.select(col(fpCol).as("__fp")), Seq("__fp"), "left_anti")
-    val firsts = fresh.groupBy(col("__fp"))
-      .agg(min(struct(id, col("__pos"))).as("__first"))
-    val flagged = paras
-      .join(firsts, Seq("__fp"), "left")
-      .withColumn("__keep",
-        col("__first").isNotNull &&
-          col("__first").getField(idCol) === id &&
-          col("__first").getField("__pos") === col("__pos"))
-    val agged = flagged.groupBy(id).agg(
-      sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
-      sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"),
-      graft.udafs.CollectOps.sortedCollect(
-        Seq(-col("__pos")),
-        Seq("__pars" -> when(col("__keep"), col("__par"))), Int.MaxValue)
-        .head.as("__all"))
-      .select(id, col("n_kept"), col("n_dropped"),
-        concat_ws("\n\n", col("__all")).as("clean_text"))
-    batch.select(id)
-      .join(agged, Seq(idCol), "left")
-      .select(id,
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
-  }
+                                 fpCol: String = "fp"): DataFrame =
+    paragraphDedupeImpl(batch, textCol, idCol,
+      Some(historyParagraphFps.select(col(fpCol).as("__fp"))))
 
   /** Distinct (md5) paragraph fingerprints of a corpus — the history
     * state [[paragraphDedupeIncremental]] consumes; persist and append
     * each batch's kept-paragraph fps after the run. */
   def paragraphFps(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(posexplode(split(col(textCol), "\n{2,}")).as(Seq("__pos", "__raw")))
-      .select(trim(col("__raw")).as("__par"))
-      .where(length(col("__par")) > 0)
-      .select(md5(encode(col("__par"), "UTF-8")).as("fp"))
-      .distinct()
+    paragraphRows(docs, textCol, idCol).select(col("__fp").as("fp")).distinct()
 
   // ───── Bloom-filter membership pre-filter (incremental exact dedup) ─────
 
@@ -163,8 +154,17 @@ object Dedup {
     val agg = new BloomFilterAggregate(
       ColumnBridge.expression(xxhash64(key)),
       Literal(items), Literal(bits))
-    df.select(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    val row = df.select(ColumnBridge.column(agg.toAggregateExpression()).as("bf")).head()
+    // BloomFilterAggregate.eval returns NULL when zero items were added;
+    // a null literal would make every downstream predicate null and every
+    // where() drop ALL rows — the empty-history bootstrap run must instead
+    // get a valid contains-nothing filter (same wire format: the
+    // aggregate serializes org.apache.spark.util.sketch.BloomFilter)
+    if (row.isNullAt(0)) {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.spark.util.sketch.BloomFilter.create(items, bits).writeTo(bos)
+      bos.toByteArray
+    } else row.getAs[Array[Byte]](0)
   }
 
   /** Multi-column form: the key is the struct of `keys` (hashing the
@@ -198,7 +198,15 @@ object Dedup {
     * is still guaranteed (no false negatives), but ~fpp of genuinely-new
     * rows are dropped too. The right trade when the filter is a persisted
     * artifact and the corpus values recall of duplicates over per-row
-    * precision. */
+    * precision.
+    *
+    * PLAN NOTE: the confirmed form evaluates `batch` twice (the
+    * complementary filters are separate scans). This is deliberate — the
+    * alternative (one pass, hit-flag inside the anti-join condition)
+    * shuffles the ENTIRE batch through the join, while this shape
+    * shuffles only the hit rows and re-runs what is typically a scan +
+    * cheap projections. If the batch is an expensive computed pipeline,
+    * `localCheckpoint` it first. */
   def bloomAntiJoin(batch: DataFrame, history: DataFrame, keyCol: String,
                     bloom: Array[Byte], confirm: Boolean = true): DataFrame = {
     val hit = bloomMightContain(bloom, col(keyCol))

@@ -215,12 +215,25 @@ object Pq {
     * anchor for the whole encode→ADC→rerank path. */
   def topKRefined(encoded: DataFrame, model: PqModel, vecCol: String,
                   idCol: String, query: Seq[Float], k: Int, shortlist: Int,
-                  codesCol: String = "pq_codes"): DataFrame = {
+                  codesCol: String = "pq_codes"): DataFrame =
+    topKRefinedSplit(encoded, encoded, model, vecCol, idCol, query, k,
+      shortlist, codesCol)
+
+  /** [[topKRefined]] with the code table and the raw-vector store as
+    * SEPARATE frames — the persisted production layout: `codes` is the
+    * slim (id, codes[, cell]) index read back from parquet, `vectors` the
+    * full-width embedding table fetched only for the broadcast shortlist
+    * ids. This is the form that actually realizes the "scan low-TB codes,
+    * touch the 100 TB vectors for ~4·k rows" topology. */
+  def topKRefinedSplit(codes: DataFrame, vectors: DataFrame, model: PqModel,
+                       vecCol: String, idCol: String, query: Seq[Float],
+                       k: Int, shortlist: Int,
+                       codesCol: String = "pq_codes"): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
-    val cand = topK(encoded, model, idCol, query, shortlist, codesCol)
+    val cand = topK(codes, model, idCol, query, shortlist, codesCol)
       .select(col(idCol))
     val q = array(query.map(lit): _*)
-    encoded.join(broadcast(cand), idCol)
+    vectors.join(broadcast(cand), idCol)
       .select(col(idCol), Similarity.cosine(col(vecCol), q).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)

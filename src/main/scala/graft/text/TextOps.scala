@@ -121,28 +121,6 @@ object TextOps {
     aggregate(tokens(text), lit(0L), (acc, w) =>
       pmod(acc * lit(31L) + crc32(encode(w, "UTF-8")).cast("long"), lit(2147483647L)))
 
-  /** Repetition quality signals per document — the Gopher-style filters
-    * (Rae et al. 2021, §A1.1) that catch boilerplate/spam the per-token
-    * [[qualitySignals]] miss:
-    *
-    *  - `n_lines`: non-empty (trimmed) line count;
-    *  - `dup_line_frac`: `1 − distinct_lines / total_lines` — the
-    *    fraction of line occurrences that repeat an earlier line;
-    *  - `dup_line_char_frac`: characters on lines that occur more than
-    *    once (ALL their occurrences) over total line characters;
-    *  - `top_bigram_char_frac`: characters covered by the most frequent
-    *    word 2-gram (`count × chars(bigram)`, occurrences of overlapping
-    *    repeats double-counted, capped at 1.0) over total token
-    *    characters. Ties resolve to the larger character coverage
-    *    (lexicographic struct max — deterministic, mirrored by the SQL
-    *    oracle's struct max).
-    *
-    * Docs with no non-empty lines / fewer than 2 tokens report 0 for the
-    * respective signals. Shape notes for scale: both stages aggregate
-    * keyed by the DOCUMENT id — two shuffles of (id, small-row) data,
-    * map-side partial aggregation absorbing per-doc repetition; the only
-    * window is the per-doc bigram `lead`, partitioned by id (never by a
-    * Zipfian token key — the [[graft.dedup.Dedup.shingleDf]] rule). */
   /** Terminal-punctuation set for [[cleanLines]] — shared with the SQL
     * oracle (kept to characters Java regex and RE2 read identically). */
   val TerminalPunctRe = "[.!?\"']$"
@@ -255,6 +233,28 @@ object TextOps {
         coalesce(col("rare_ratio"), lit(0.0)).as("rare_ratio"))
   }
 
+  /** Repetition quality signals per document — the Gopher-style filters
+    * (Rae et al. 2021, §A1.1) that catch boilerplate/spam the per-token
+    * [[qualitySignals]] miss:
+    *
+    *  - `n_lines`: non-empty (trimmed) line count;
+    *  - `dup_line_frac`: `1 − distinct_lines / total_lines` — the
+    *    fraction of line occurrences that repeat an earlier line;
+    *  - `dup_line_char_frac`: characters on lines that occur more than
+    *    once (ALL their occurrences) over total line characters;
+    *  - `top_bigram_char_frac`: characters covered by the most frequent
+    *    word 2-gram (`count × chars(bigram)`, occurrences of overlapping
+    *    repeats double-counted, capped at 1.0) over total token
+    *    characters. Ties resolve to the larger character coverage
+    *    (lexicographic struct max — deterministic, mirrored by the SQL
+    *    oracle's struct max).
+    *
+    * Docs with no non-empty lines / fewer than 2 tokens report 0 for the
+    * respective signals. Shape notes for scale: both stages aggregate
+    * keyed by the DOCUMENT id — two shuffles of (id, small-row) data,
+    * map-side partial aggregation absorbing per-doc repetition; the only
+    * window is the per-doc bigram `lead`, partitioned by id (never by a
+    * Zipfian token key — the [[graft.dedup.Dedup.shingleDf]] rule). */
   def repetitionSignals(docs: org.apache.spark.sql.DataFrame, textCol: String,
                         idCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window

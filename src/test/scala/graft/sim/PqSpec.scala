@@ -140,7 +140,18 @@ class PqSpec extends SparkSpec {
     assert(all === codesOnly)
     val one = Pq.topKCells(both, ivfModel, pqModel, "vec_id", q, k = 10, nProbe = 1)
       .as[(Long, Double)].collect().toSeq
-    assert(one.toSet.subsetOf(codesOnly.toSet) || one.nonEmpty)
+    // nProbe=1 results must come from the probed cell only, carry the
+    // same ADC scores as the global scoring, and rank descending
+    val cell1 = Ivf.probeCells(ivfModel, q, 1).toSet
+    val cellOf = both.select($"vec_id", $"ivf_cell").as[(Long, Int)].collect().toMap
+    val globalAdc = Pq.topK(both, pqModel, "vec_id", q, k = both.count().toInt)
+      .as[(Long, Double)].collect().toMap
+    assert(one.nonEmpty)
+    one.foreach { case (id, adc) =>
+      assert(cell1.contains(cellOf(id)), s"id $id outside the probed cell")
+      assert(adc === globalAdc(id), s"id $id: cell-pruned ADC differs")
+    }
+    assert(one.map(_._2) === one.map(_._2).sorted.reverse)
   }
 
   test("IVF+PQ persisted layout: probes prune partitions AND never scan the vectors") {
@@ -171,6 +182,14 @@ class PqSpec extends SparkSpec {
         ivfModel, pqModel, "vec_id", q, k = 10, nProbe = 2)
       .select("vec_id").as[Long].collect().toSeq
     assert(probed.select("vec_id").as[Long].collect().toSeq === direct)
+    // the split rerank runs against this codes-only table + the separate
+    // vector store — and with an exhaustive shortlist equals exact top-k
+    val refined = Pq.topKRefinedSplit(back, others, pqModel, "embedding",
+        "vec_id", q, k = 10, shortlist = 1000)
+      .as[(Long, Double)].collect().toSeq
+    val exact = Similarity.bruteForceTopK(others, "embedding", "vec_id", q, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(refined === exact)
   }
 
   test("training is deterministic for a fixed seed; degenerate inputs guarded") {

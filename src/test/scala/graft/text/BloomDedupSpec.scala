@@ -35,6 +35,20 @@ class BloomDedupSpec extends SparkSpec {
       s"approx mode dropped $dropped of ${expected.size} clean rows — fpp way off spec")
   }
 
+  test("empty history bootstrap: the filter contains nothing, the batch passes whole") {
+    // BloomFilterAggregate returns NULL at zero items — a null literal
+    // would nullify the predicate and silently drop EVERY batch row on
+    // the first incremental run; keyBloom must return a valid
+    // contains-nothing filter instead
+    val empty = Seq.empty[(Long, String)].toDF("id", "k")
+    val bloom = Dedup.keyBloom(empty, col("k"), expectedItems = 1)
+    val batch = (1L to 50L).map(i => (i, s"doc$i")).toDF("id", "k")
+    assert(batch.where(Dedup.bloomMightContain(bloom, col("k"))).count() === 0L)
+    val out = Dedup.bloomAntiJoin(batch, empty, "k", bloom, confirm = true)
+    assert(out.count() === 50L)
+    assert(Dedup.bloomAntiJoin(batch, empty, "k", bloom, confirm = false).count() === 50L)
+  }
+
   test("prebuilt filter bytes are a portable artifact; sizing guards hold") {
     val hist = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "k")
     val bloom = Dedup.keyBloom(hist, col("k"), expectedItems = 100)
