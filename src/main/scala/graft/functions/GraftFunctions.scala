@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Literal, Multiply, RegExpReplace, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Literal, Multiply, RegExpExtractAll, RegExpReplace, Size, Sqrt}
 
 /** SQL-callable surface of the graft function library: a user who only
   * speaks `spark.sql(...)` gets the same native expressions and scalar
@@ -42,7 +42,11 @@ object GraftFunctions {
     "graft_redact" -> unary("graft_redact", e =>
       RegExpReplace(
         RegExpReplace(e, Literal(graft.text.TextOps.UrlRe), Literal("<URL>")),
-        Literal(graft.text.TextOps.EmailRe), Literal("<EMAIL>"))) _)
+        Literal(graft.text.TextOps.EmailRe), Literal("<EMAIL>"))) _,
+    // same pattern as TextOps.bpeTokenCount — the subword budget statistic
+    "graft_bpe_count" -> unary("graft_bpe_count", e =>
+      new Size(new RegExpExtractAll(e, Literal(graft.text.TextOps.BpeTokenRe),
+        Literal(0)))) _)
 
   /** Install every graft function into a live session. Idempotent. */
   def register(spark: SparkSession): Unit = {

@@ -16,6 +16,19 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getDouble(2) === 0.0)
   }
 
+  test("graft_bpe_count in SQL matches TextOps.bpeTokenCount") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq("don't stop", "hello world 123!", "").toDF("t")
+    df.createOrReplaceTempView("bpe_docs")
+    val viaSql = spark.sql("SELECT graft_bpe_count(t) AS n FROM bpe_docs")
+      .as[Int].collect().toSeq
+    val viaCol = df.select(graft.text.TextOps.bpeTokenCount(col("t")).as("n"))
+      .as[Int].collect().toSeq
+    assert(viaSql === viaCol && viaSql === Seq(3, 4, 0))
+  }
+
   test("SQL results match the Column API bit-for-bit on float vectors") {
     GraftFunctions.register(spark)
     import spark.implicits._
