@@ -61,6 +61,11 @@ object GraftFunctions {
     spark.udf.register("graft_domain",
       (s: String) => Strings.domainOf(s).orNull)
     spark.udf.register("graft_gunzip", Strings.gunzipBytes _)
+    // grouped vector pooling (typed mergeable Aggregators)
+    spark.udf.register("graft_vector_sum",
+      org.apache.spark.sql.functions.udaf(new graft.sim.VectorAgg.VectorSum))
+    spark.udf.register("graft_vector_mean",
+      org.apache.spark.sql.functions.udaf(new graft.sim.VectorAgg.VectorMean))
   }
 }
 

@@ -29,6 +29,19 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaSql === viaCol && viaSql === Seq(3, 4, 0))
   }
 
+  test("graft_vector_mean aggregates per group from pure SQL") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(("a", Seq(1f, 2f)), ("a", Seq(3f, 4f)), ("b", Seq(5f, 5f)))
+      .toDF("label", "embedding").createOrReplaceTempView("pool_docs")
+    val out = spark.sql(
+      """SELECT label, graft_vector_mean(embedding) AS m
+         FROM pool_docs GROUP BY label""")
+      .as[(String, Seq[Double])].collect().toMap
+    assert(out("a") === Seq(2.0, 3.0))
+    assert(out("b") === Seq(5.0, 5.0))
+  }
+
   test("SQL results match the Column API bit-for-bit on float vectors") {
     GraftFunctions.register(spark)
     import spark.implicits._
