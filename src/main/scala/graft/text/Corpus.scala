@@ -119,9 +119,11 @@ object Corpus {
                n: Int = 3, threshold: Double = 0.5,
                tokenBudget: Long = Long.MaxValue,
                chunkSize: Int = 1024, overlap: Int = 0,
-               decontaminate: Option[(DataFrame, Double)] = None): DataFrame = {
+               decontaminate: Option[(DataFrame, Double)] = None,
+               repetition: Option[(Double, Double)] = None): DataFrame = {
     val mixed = graft.ops.Sampling.weightedMixture(sources, idCol)
-    val cleaned = clean(mixed, textCol, idCol, blockCols, stopwords, n, threshold)
+    val cleaned = clean(mixed, textCol, idCol, blockCols, stopwords, n, threshold,
+      repetition)
     val keptRaw = cleaned.where(col("keep"))
       .withColumn("__n_tokens", TextOps.tokenCount(col(textCol)).cast("long"))
     // downstream stages are multi-pass consumers (tokenBudgetSample fires

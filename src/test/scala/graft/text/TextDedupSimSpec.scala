@@ -357,6 +357,25 @@ class TextDedupSimSpec extends SparkSpec {
     assert(byDoc(10L).map(c => (c._2, c._4)).toSeq === Seq((0, 12)))
   }
 
+  test("assemble: repetition gate drops boilerplate the base quality gate passes") {
+    val varied = (1 to 40).map(i => s"tok$i").mkString(" ")
+    // "spam ham" ×8 + 8 distinct fillers: 24 tokens, distinct ratio 10/24
+    // (passes the base 0.3 gate), but the top bigram covers 8×7 = 56 of
+    // 72 token chars (0.78 — fails the 0.5 repetition gate)
+    val spammy = ((1 to 8).flatMap(_ => Seq("spam", "ham")) ++
+      (1 to 8).map(i => s"f$i")).mkString(" ")
+    val docs = Seq((1L, varied), (2L, spammy)).toDF("doc_id", "text")
+    val ungated = graft.text.Corpus.assemble(Seq((docs, 1.0)), "text", "doc_id",
+        Nil, Seq("the"), n = 3, threshold = 0.5, chunkSize = 64)
+      .select("doc_id").as[Long].collect().toSet
+    val gated = graft.text.Corpus.assemble(Seq((docs, 1.0)), "text", "doc_id",
+        Nil, Seq("the"), n = 3, threshold = 0.5, chunkSize = 64,
+        repetition = Some((0.3, 0.5)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(ungated === Set(1L, 2L), "spammy doc passes the base gate")
+    assert(gated === Set(1L), "the repetition gate must catch it")
+  }
+
   test("assemble: decontamination drops docs covering an eval-suite doc") {
     val long = (1 to 40).map(i => s"tok$i").mkString(" ")
     val other = (1 to 30).map(i => s"w$i").mkString(" ")
