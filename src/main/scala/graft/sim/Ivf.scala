@@ -30,9 +30,28 @@ import org.apache.spark.sql.functions._
 object Ivf {
 
   /** Trained cell partitioner: just the centroids (fully serializable —
-    * ship it, store it, rebuild probe plans anywhere). */
+    * ship it, store it, rebuild probe plans anywhere; [[save]]/[[load]]
+    * persist it as parquet beside the cell-partitioned table). */
   final case class IvfModel(centroids: Array[Array[Double]]) {
     def nCells: Int = centroids.length
+  }
+
+  /** Persist a model as parquet (one row per cell: cell, centroid). */
+  def save(model: IvfModel, path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    model.centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[save]]d model (cells re-ordered by id — the ids encoded in
+    * any persisted `ivf_cell` column stay valid). */
+  def load(path: String, spark: org.apache.spark.sql.SparkSession): IvfModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("cell"), col("centroid")).as[(Int, Seq[Double])]
+      .collect().sortBy(_._1)
+    IvfModel(rows.map(_._2.toArray))
   }
 
   private def nearestCell(p: Array[Double], cents: Array[Array[Double]]): Int = {

@@ -40,13 +40,30 @@ object Pq {
 
   /** Trained codebooks: `books` is the flattened (m × k × dsub) tensor,
     * subspace-major (fully serializable — ship it, store it, rebuild
-    * encode/score plans anywhere). */
+    * encode/score plans anywhere; [[save]]/[[load]] persist it as a
+    * one-row parquet beside the code table). */
   final case class PqModel(dim: Int, m: Int, k: Int, books: Array[Double],
                            normalized: Boolean) {
     def dsub: Int = dim / m
     require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     require(books.length == m * k * dsub,
       s"codebook tensor has ${books.length} coefficients, want ${m * k * dsub}")
+  }
+
+  /** Persist a model as a one-row parquet (schema: dim, m, k, books,
+    * normalized) — the durable artifact a daily encode job loads. */
+  def save(model: PqModel, path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    Seq((model.dim, model.m, model.k, model.books.toSeq, model.normalized))
+      .toDF("dim", "m", "k", "books", "normalized")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[save]]d model. */
+  def load(path: String, spark: org.apache.spark.sql.SparkSession): PqModel = {
+    val r = spark.read.parquet(path).head()
+    PqModel(r.getAs[Int]("dim"), r.getAs[Int]("m"), r.getAs[Int]("k"),
+      r.getAs[Seq[Double]]("books").toArray, r.getAs[Boolean]("normalized"))
   }
 
   private def kmeans(pts: Array[Array[Double]], k: Int, seed: Long,

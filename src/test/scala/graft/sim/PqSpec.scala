@@ -192,6 +192,47 @@ class PqSpec extends SparkSpec {
     assert(refined === exact)
   }
 
+  test("model save/load round-trips: an encode job in another session scores identically") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dim = emb.select(col("embedding")).head().getSeq[Float](0).size
+    val q = emb.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+    val pq = Pq.train(emb, "embedding", "vec_id", dim, m = 8, k = 16)
+    val ivf = Ivf.train(emb, "embedding", "vec_id", nCells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_models").toString
+    Pq.save(pq, s"$dir/pq", spark)
+    Ivf.save(ivf, s"$dir/ivf", spark)
+    val pq2 = Pq.load(s"$dir/pq", spark)
+    val ivf2 = Ivf.load(s"$dir/ivf", spark)
+    assert(pq2 === pq.copy(books = pq2.books) && pq2.books.toSeq === pq.books.toSeq)
+    assert(ivf2.centroids.map(_.toSeq).toSeq === ivf.centroids.map(_.toSeq).toSeq)
+    // loaded models produce identical codes, cells, and ADC scores
+    val a = Pq.encode(Ivf.assign(emb, "embedding", ivf), "embedding", pq)
+      .select(col("vec_id"), col("ivf_cell"), col("pq_codes"),
+        Pq.adcScore(col("pq_codes"), q, pq).as("adc"))
+      .as[(Long, Int, Seq[Int], Double)].collect().sortBy(_._1).toSeq
+    val b = Pq.encode(Ivf.assign(emb, "embedding", ivf2), "embedding", pq2)
+      .select(col("vec_id"), col("ivf_cell"), col("pq_codes"),
+        Pq.adcScore(col("pq_codes"), q, pq2).as("adc"))
+      .as[(Long, Int, Seq[Int], Double)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+  }
+
+  test("degenerate training inputs: zero vectors and oversized k") {
+    val vecs = Seq((1L, Seq(0f, 0f, 0f, 0f)), (2L, Seq(0f, 0f, 0f, 0f)),
+      (3L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    // zero-norm vectors encode without NaNs (inv falls back to 1.0) and
+    // k far beyond the distinct-subvector count pads codebooks safely
+    val model = Pq.train(vecs, "embedding", "vec_id", dim = 4, m = 2, k = 16,
+      trainSample = 3)
+    val codes = Pq.encode(vecs, "embedding", model)
+      .select("pq_codes").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.size == 2 && c.forall(x => x >= 0 && x < 16)))
+    val adc = Pq.topK(Pq.encode(vecs, "embedding", model), model, "vec_id",
+      Seq(0f, 0f, 0f, 0f), k = 3).as[(Long, Double)].collect()
+    assert(adc.length === 3 && adc.forall(r => !r._2.isNaN))
+  }
+
   test("training is deterministic for a fixed seed; degenerate inputs guarded") {
     val sf = "/root/testdata/sf0.001"
     val emb = graft.Tables.embeddings(spark, sf)
