@@ -216,6 +216,56 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("two-day runbook: every history artifact survives parquet and the filesystem") {
+    import graft.dedup.Dedup
+    import graft.text.Corpus
+    val dir = Files.createTempDirectory("graft_runbook").toString
+    val stop = Seq("the", "a")
+    def doc(i: Int, body: String) = (i.toLong, body)
+    val day1 = Seq(
+      doc(1, (1 to 15).map(i => s"alpha$i").mkString(" ")),
+      doc(2, (1 to 15).map(i => s"beta$i").mkString(" ") + "\n\nshared boilerplate para"),
+      doc(3, (1 to 12).map(i => s"gamma$i").mkString(" "))).toDF("doc_id", "text")
+    val day2 = Seq(
+      doc(11, (1 to 15).map(i => s"alpha$i").mkString(" ")),       // exact dup of 1
+      doc(12, (1 to 14).map(i => s"beta$i").mkString(" ") + " x"), // near-dup of 2
+      doc(13, (1 to 13).map(i => s"delta$i").mkString(" ") + "\n\nshared boilerplate para"),
+      doc(14, (1 to 12).map(i => s"epsilon$i").mkString(" "))).toDF("doc_id", "text")
+
+    // ── day 1: build + PERSIST every artifact the daily cycle needs ──
+    val idx = Corpus.buildHistoryIndex(day1, "text", "doc_id", n = 3, threshold = 0.5)
+    idx.fingerprints.write.parquet(s"$dir/fps")
+    idx.shingles.write.parquet(s"$dir/shingles")
+    idx.df.write.parquet(s"$dir/df")
+    idx.prefix.write.parquet(s"$dir/prefix")
+    Dedup.paragraphFps(day1, "text", "doc_id").write.parquet(s"$dir/para_fps")
+    Files.write(java.nio.file.Paths.get(s"$dir/bloom.bin"),
+      Dedup.keyBloom(day1.select(graft.text.TextOps.fingerprint($"text").as("fp")),
+        col("fp"), expectedItems = 3))
+
+    // ── day 2: read back, run the batch against cold artifacts only ──
+    val cold = Corpus.HistoryIndex(
+      spark.read.parquet(s"$dir/fps"), spark.read.parquet(s"$dir/shingles"),
+      spark.read.parquet(s"$dir/df"), spark.read.parquet(s"$dir/prefix"))
+    val flags = Corpus.cleanIncrementalPrebuilt(day2, cold, "text", "doc_id", stop)
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(flags === Map(11L -> false, 12L -> false, 13L -> true, 14L -> true))
+    // bloom pre-filter from the persisted bytes agrees on the exact dup
+    val bloom = Files.readAllBytes(java.nio.file.Paths.get(s"$dir/bloom.bin"))
+    val b2 = day2.withColumn("fp", graft.text.TextOps.fingerprint($"text"))
+    val survivors = Dedup.bloomAntiJoin(b2,
+        spark.read.parquet(s"$dir/fps"), "fp", bloom, confirm = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(12L, 13L, 14L)) // only 11 is an exact dup
+    // paragraph history drops the shared boilerplate from doc 13
+    val para = Dedup.paragraphDedupeIncremental(day2,
+        spark.read.parquet(s"$dir/para_fps"), "text", "doc_id")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(!para(13L).contains("shared boilerplate"))
+    assert(para(14L).nonEmpty)
+  }
+
   test("BinaryOps: javax.imageio decodes real PNG headers; junk yields null fields") {
     val img = new java.awt.image.BufferedImage(17, 9,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
