@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for the token-array statistics the quality gate
+  * evaluates on EVERY document. The composable forms are higher-order
+  * functions (`filter(t, w -> ...)`, `aggregate(t, 0, ...)`) — interpreted
+  * per element (CodegenFallback), which puts a lambda interpreter in the
+  * hottest scan of the corpus-clean pipeline. Same values, compiled loops,
+  * full codegen — the [[FloatVectorDot]] discipline applied to text. */
+
+/** Count of array elements contained in a FIXED string set (occurrences,
+  * not distinct — `array_except` dedupes and cannot express this). The
+  * set rides as one referenced UTF8String[] turned into a HashSet at
+  * codegen init, so membership is O(1) per element. Null elements don't
+  * count (the tokenizer never produces them; defensive). */
+case class ArrayCountInSet(child: Expression, set: Seq[String])
+    extends UnaryExpression {
+
+  @transient private lazy val utf8Set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](math.max(16, set.size * 2))
+    set.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ArrayCountInSet needs array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var n = 0
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i) && utf8Set.contains(arr.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", utf8Set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = 0;
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  if (!$arr.isNullAt($i) && $setRef.contains($arr.getUTF8String($i))) $n++;
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Sum of string lengths (in characters) over an array — the numerator of
+  * mean-token-length, as one compiled loop. Null elements contribute 0. */
+case class ArrayStringLenSum(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ArrayStringLenSum needs array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var acc = 0L
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) acc += arr.getUTF8String(i).numChars()
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  if (!$arr.isNullAt($i)) $acc += $arr.getUTF8String($i).numChars();
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Occurrences of `set` members in a string array (codegen). */
+  def countInSet(arr: Column, set: Seq[String]): Column =
+    ColumnBridge.column(ArrayCountInSet(ColumnBridge.expression(arr), set))
+
+  /** Character-length sum of a string array (codegen). */
+  def lenSum(arr: Column): Column =
+    ColumnBridge.column(ArrayStringLenSum(ColumnBridge.expression(arr)))
+}

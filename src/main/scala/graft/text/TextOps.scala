@@ -20,16 +20,22 @@ object TextOps {
 
   def charCount(text: Column): Column = length(text)
 
-  /** Mean token length — exact int/int double division (oracle-stable). */
+  /** Mean token length — exact int/int double division (oracle-stable).
+    * The length sum is a native codegen loop ([[graft.functions
+    * .ArrayStringLenSum]]) — the `aggregate` HOF form interprets its
+    * lambda per token, in the quality gate's per-document hot path. */
   def meanTokenLen(text: Column): Column = {
     val t = tokens(text)
-    aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(t)
+    graft.functions.TextExpressions.lenSum(t).cast("double") / size(t)
   }
 
-  /** Fraction of tokens found in `words` (e.g. stopwords). */
+  /** Fraction of token OCCURRENCES found in `words` (e.g. stopwords).
+    * Native codegen membership count ([[graft.functions.ArrayCountInSet]])
+    * — `filter(t, w -> ...)` interprets per element, and `array_except`
+    * cannot express occurrence counting (it dedupes). */
   def wordSetRatio(text: Column, words: Seq[String]): Column = {
     val t = tokens(text)
-    size(filter(t, w => w.isInCollection(words))).cast("double") / size(t)
+    graft.functions.TextExpressions.countInSet(t, words).cast("double") / size(t)
   }
 
   /** Quality heuristics bundle: length bounds + stopword presence +
@@ -55,7 +61,7 @@ object TextOps {
     // language — deterministic on both engines.
     val ranked = markers.keys.toSeq.sorted.zipWithIndex.toMap
     val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(size(filter(t, w => w.isInCollection(words))).as("score"),
+      struct(graft.functions.TextExpressions.countInSet(t, words).as("score"),
         lit(-ranked(lang)).as("nrank"), lit(lang).as("lang"))
     }
     array_max(array(scored: _*)).getField("lang")

@@ -16,6 +16,26 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getDouble(2) === 0.0)
   }
 
+  test("ArrayCountInSet/ArrayStringLenSum: generated code matches interpreted eval") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val arrT = ArrayType(StringType, containsNull = true)
+    val in = new GenericArrayData(Array[Any](
+      UTF8String.fromString("the"), UTF8String.fromString("quick"), null,
+      UTF8String.fromString("the"), UTF8String.fromString("fox")))
+    val row = InternalRow(in)
+    val cnt = ArrayCountInSet(BoundReference(0, arrT, nullable = false), Seq("the", "a"))
+    val len = ArrayStringLenSum(BoundReference(0, arrT, nullable = false))
+    assert(cnt.eval(row) === 2)   // occurrences, null skipped
+    assert(len.eval(row) === 14L) // 3+5+0+3+3
+    val proj = UnsafeProjection.create(Seq(cnt, len)) // throws on bad codegen
+    val out = proj(row)
+    assert(out.getInt(0) === 2 && out.getLong(1) === 14L)
+  }
+
   test("graft_bpe_count in SQL matches TextOps.bpeTokenCount") {
     GraftFunctions.register(spark)
     import spark.implicits._
