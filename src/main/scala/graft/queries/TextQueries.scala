@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.text.TextOps
+import graft.text.{Packing, TextOps}
 import graft.dedup.Dedup
 import graft.sim.{Ivf, Pq, Similarity}
 
@@ -627,6 +627,37 @@ object TextQueries {
           "fp", expectedItems = 0L, confirm = true)
         .select(col("doc_id"), col("fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ───── sequence packing, concat-and-chunk: the corpus as one virtual
+    // token stream in doc_id order, cut every 1024 tokens; the map rows
+    // cover every doc's tokens exactly once and every sequence except the
+    // last is exactly full. Distributed prefix sum — never a
+    // single-partition global window. ─────
+    "q88_pack_sequences" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("text").isNotNull)
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n"))
+      Packing.packSequences(docs, "doc_id", "n", 1024L)
+        .orderBy(col("doc_id"), col("seq"))
+    }),
+
+    // ───── whole-document greedy packing: never splits a doc; a doc lands
+    // where its first token falls, sequences overflow by < one doc ─────
+    "q89_pack_greedy" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("text").isNotNull)
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n"))
+      Packing.packGreedy(docs, "doc_id", "n", 1024L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ───── materialized packed sequences: slice whitespace tokens per the
+    // q88 map, reassemble each sequence's pieces in offset order ─────
+    "q90_packed_text" -> ((s, d) => {
+      val base = Tables.documents(s, d).where(col("text").isNotNull)
+      val docs = base.select(col("doc_id"), TextOps.tokenCount(col("text")).as("n"))
+      Packing.packedText(Packing.packSequences(docs, "doc_id", "n", 1024L),
+          base, "doc_id", "text")
+        .orderBy(col("seq"))
     })
   )
 
@@ -1399,6 +1430,64 @@ object TextQueries {
           SELECT doc_id, fp FROM f
           WHERE doc_id % 2 = 1
             AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 2 = 0)
-          ORDER BY doc_id"""
+          ORDER BY doc_id""",
+
+    // exclusive prefix sum over doc_id order, then each doc's slice rows
+    // from integer-division sequence bounds (// floors on BIGINT — same
+    // as Spark's `div`); all arithmetic stays integral
+    "q88_pack_sequences" ->
+      s"""WITH c AS (
+            SELECT doc_id, n,
+              CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+            FROM (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n
+                  FROM documents WHERE text IS NOT NULL)
+            WHERE n > 0)
+          SELECT doc_id, s.seq AS seq,
+            GREATEST(s.seq * 1024 - cum0, 0) AS doc_tok_start,
+            LEAST(n, (s.seq + 1) * 1024 - cum0) AS doc_tok_end,
+            GREATEST(cum0 - s.seq * 1024, 0) AS seq_tok_start
+          FROM c, LATERAL (SELECT unnest(generate_series(
+            cum0 // 1024, (cum0 + n - 1) // 1024)) AS seq) s
+          ORDER BY doc_id, seq""",
+
+    "q89_pack_greedy" ->
+      s"""WITH c AS (
+            SELECT doc_id, n,
+              CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+            FROM (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n
+                  FROM documents WHERE text IS NOT NULL)
+            WHERE n > 0)
+          SELECT doc_id, CAST(cum0 // 1024 AS BIGINT) AS seq,
+            CAST(cum0 - (cum0 // 1024) * 1024 AS BIGINT) AS seq_tok_start,
+            n AS n_tokens
+          FROM c ORDER BY doc_id""",
+
+    // the q88 map re-derived, pieces sliced from the token array
+    // (list_slice is 1-based inclusive-end — matches Spark's
+    // slice(toks, start+1, len)) and stitched in offset order
+    "q90_packed_text" ->
+      s"""WITH d AS (
+            SELECT doc_id, $toks AS toksa,
+              CAST(len($toks) AS BIGINT) AS n
+            FROM documents WHERE text IS NOT NULL),
+          c AS (
+            SELECT doc_id, toksa, n,
+              CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+            FROM d WHERE n > 0),
+          m AS (
+            SELECT doc_id, toksa, s.seq AS seq,
+              GREATEST(s.seq * 1024 - cum0, 0) AS a,
+              LEAST(n, (s.seq + 1) * 1024 - cum0) AS b,
+              GREATEST(cum0 - s.seq * 1024, 0) AS seq_tok_start
+            FROM c, LATERAL (SELECT unnest(generate_series(
+              cum0 // 1024, (cum0 + n - 1) // 1024)) AS seq) s)
+          SELECT seq,
+            string_agg(array_to_string(list_slice(toksa, a + 1, b), ' '),
+              ' ' ORDER BY seq_tok_start) AS seq_text,
+            CAST(sum(b - a) AS BIGINT) AS n_seq_tokens
+          FROM m GROUP BY seq ORDER BY seq"""
   )
 }

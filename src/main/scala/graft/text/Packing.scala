@@ -1,0 +1,175 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining pipelines: map a corpus of
+  * variable-length documents onto fixed-capacity training sequences.
+  *
+  * Two standard shapes:
+  *  - [[packSequences]] — GPT-style "concat and chunk": the corpus is one
+  *    virtual token stream in a deterministic document order, cut every
+  *    `capacity` tokens; documents straddle sequence boundaries. Every
+  *    sequence except the last holds exactly `capacity` tokens — zero
+  *    padding waste.
+  *  - [[packGreedy]] — whole-document greedy fill: each document lands in
+  *    the sequence where its first token falls; documents are never split.
+  *    Sequences average `capacity` tokens and overflow by at most one
+  *    document's length — chunk long documents first ([[TextOps.chunkRows]])
+  *    when a hard cap matters.
+  *
+  * Both emit a PACKING MAP (doc id → sequence id + token offsets), not
+  * materialized text: the map is what a tokenizer-side loader consumes, it
+  * is orders of magnitude smaller than the corpus, and building it never
+  * moves document bodies through a shuffle. [[packedText]] materializes
+  * sequence text from the map when an engine-side corpus is wanted.
+  *
+  * Scale design: the only global state is an EXCLUSIVE PREFIX SUM of token
+  * counts in document order. A naive `sum().over(Window.orderBy(...))` is a
+  * single-partition window — one task sorts and scans the whole corpus (the
+  * exact straggler [[graft.ops.Sampling.tokenBudgetSample]] documents).
+  * [[withExclusivePrefixSum]] instead range-partitions by the order key,
+  * windows WITHIN each partition, and shifts each partition by the total of
+  * its predecessors (one tiny driver-side action over #partitions rows) —
+  * the classic two-phase parallel scan. Identical values, no global sort on
+  * one task, and the per-partition windows ride the range exchange that
+  * ordering needed anyway.
+  */
+object Packing {
+
+  /** `out` = sum of `value` over all rows STRICTLY BEFORE this row in
+    * `orderCol` order (0 for the first row) — the distributed exclusive
+    * prefix sum.
+    *
+    * `orderCol` must be a TOTAL order (unique per row): rows tied on the
+    * order key would otherwise receive order-dependent sums. Null order
+    * keys sort last. `value` is read as long; null values count 0.
+    *
+    * Plan shape: ONE range exchange (the sort the ordering semantics
+    * require anyway), a per-partition pre-aggregate collected to the
+    * driver (#partitions rows), and a broadcast joined offset per
+    * partition. The ranged frame is lazily checkpointed because range
+    * partitioning SAMPLES its boundaries — the offsets action and the
+    * output action must see the same partitioning or offsets would shift
+    * between passes. */
+  def withExclusivePrefixSum(df: DataFrame, orderCol: String, value: Column,
+                             out: String): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = df
+      .withColumn("__v", coalesce(value.cast("long"), lit(0L)))
+      .repartitionByRange(col(orderCol).asc_nulls_last)
+      .localCheckpoint(eager = false)
+      .withColumn("__pid", spark_partition_id())
+    val partSums = ranged.groupBy(col("__pid"))
+      .agg(sum(col("__v")).as("__s"))
+      .collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
+    // exclusive scan over partition totals: partition k's offset is the
+    // sum of totals of partitions 0..k-1 (range partitions are ordered)
+    val offsets = partSums.scanLeft((0, 0L)) {
+      case ((_, acc), (pid, s)) => (pid + 1, acc + s)
+    }.init.zip(partSums).map { case ((_, off), (pid, _)) => (pid, off) }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col(orderCol).asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(out, col("__off") + coalesce(sum(col("__v")).over(w), lit(0L)))
+      .drop("__pid", "__off", "__v")
+  }
+
+  /** Concat-and-chunk packing map: documents concatenate in ascending
+    * `idCol` order into one virtual token stream, cut every `capacity`
+    * tokens. Emits one row per (document, sequence) overlap:
+    *
+    *   (idCol, seq, doc_tok_start, doc_tok_end, seq_tok_start)
+    *
+    * where `seq` is the 0-based sequence id, `[doc_tok_start,
+    * doc_tok_end)` the 0-based token slice of THIS document placed there,
+    * and `seq_tok_start` the slice's offset inside the sequence. Every
+    * token of every counted document appears in exactly one slice; every
+    * sequence except the last is exactly full.
+    *
+    * `tokenCountCol` is the caller's tokenizer-of-record count
+    * ([[TextOps.tokenCount]], [[TextOps.bpeTokenCount]], a real tokenizer's
+    * output — the map is tokenizer-agnostic). Rows with null/zero/negative
+    * counts occupy no tokens and emit no slices. For a shuffled training
+    * order, materialize a deterministic shuffle key (e.g.
+    * [[graft.ops.Sampling.hashScore]]) as the id passed here.
+    *
+    * idCol must be unique and non-null (the packing order). */
+  def packSequences(docs: DataFrame, idCol: String, tokenCountCol: String,
+                    capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val counted = docs
+      .select(col(idCol), coalesce(col(tokenCountCol).cast("long"), lit(0L)).as("__n"))
+      .where(col("__n") > 0)
+    // long-exact sequence ids: `div` (integral divide), never floor(a/b)
+    // (double division truncates past 2^53 — corpus token totals reach it)
+    withExclusivePrefixSum(counted, idCol, col("__n"), "__cum0")
+      .select(col(idCol), col("__n"), col("__cum0"),
+        explode(sequence(
+          expr(s"__cum0 div ${capacity}L"),
+          expr(s"(__cum0 + __n - 1) div ${capacity}L"))).as("seq"))
+      .select(col(idCol), col("seq"),
+        greatest(col("seq") * capacity - col("__cum0"), lit(0L)).as("doc_tok_start"),
+        least(col("__n"), (col("seq") + 1) * capacity - col("__cum0")).as("doc_tok_end"),
+        greatest(col("__cum0") - col("seq") * capacity, lit(0L)).as("seq_tok_start"))
+  }
+
+  /** Whole-document greedy packing map: in ascending `idCol` order, each
+    * document goes to the sequence where its first token falls —
+    * `seq = floor(prefix_tokens / capacity)`. Emits one row per document:
+    *
+    *   (idCol, seq, seq_tok_start, n_tokens)
+    *
+    * Documents are never split, so a document whose tokens straddle the
+    * boundary overflows its sequence: sequences average `capacity` tokens
+    * and exceed it by less than their last document's length. The standard
+    * no-split trade; pre-chunk with [[TextOps.chunkRows]] for a hard cap.
+    * Zero/null-count documents are dropped (they occupy no tokens). */
+  def packGreedy(docs: DataFrame, idCol: String, tokenCountCol: String,
+                 capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val counted = docs
+      .select(col(idCol), coalesce(col(tokenCountCol).cast("long"), lit(0L)).as("__n"))
+      .where(col("__n") > 0)
+    withExclusivePrefixSum(counted, idCol, col("__n"), "__cum0")
+      .select(col(idCol),
+        expr(s"__cum0 div ${capacity}L").as("seq"),
+        (col("__cum0") - expr(s"__cum0 div ${capacity}L") * capacity).as("seq_tok_start"),
+        col("__n").as("n_tokens"))
+  }
+
+  /** Materialize sequence text from a [[packSequences]] map: slice each
+    * document's whitespace tokens per the map, assemble each sequence's
+    * slices in offset order. Emits (seq, seq_text, n_seq_tokens).
+    *
+    * The join moves only (id, slice bounds) against the docs scan, slices
+    * BEFORE the sequence shuffle (a sequence's slices are bounded by
+    * `capacity` tokens — never a whole-document array through the group),
+    * and reassembles with the same order-preserving collect the corpus
+    * cleaners use. Whitespace tokens only — for a real tokenizer, apply
+    * the map loader-side instead. */
+  def packedText(map: DataFrame, docs: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val toksed = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+    map.join(toksed, Seq(idCol))
+      .select(col("seq"), col("seq_tok_start"),
+        concat_ws(" ", slice(col("__toks"), col("doc_tok_start") + 1,
+          col("doc_tok_end") - col("doc_tok_start"))).as("__piece"),
+        (col("doc_tok_end") - col("doc_tok_start")).as("__pn"))
+      .groupBy(col("seq"))
+      .agg(
+        // sortedCollect orders DESCENDING — negate for offset order
+        graft.udafs.CollectOps.sortedCollect(
+          Seq(-col("seq_tok_start")), Seq("__pieces" -> col("__piece")), Int.MaxValue)
+          .head.as("__ordered"),
+        sum(col("__pn")).as("n_seq_tokens"))
+      .select(col("seq"), concat_ws(" ", col("__ordered")).as("seq_text"),
+        col("n_seq_tokens"))
+  }
+}

@@ -1,0 +1,146 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: the distributed prefix sum against a sequential
+  * scan, the concat-and-chunk map against a straight-line reference
+  * packer, and the materialized-text composition. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Straight-line reference: walk docs in id order carrying a running
+    * token offset; emit every (doc, seq) slice. */
+  private def referencePack(docs: Seq[(Long, Long)], capacity: Long): Seq[(Long, Long, Long, Long, Long)] = {
+    var cum = 0L
+    docs.sortBy(_._1).flatMap { case (id, n) =>
+      val slices = if (n <= 0) Seq.empty else {
+        val s0 = cum / capacity
+        val s1 = (cum + n - 1) / capacity
+        (s0 to s1).map { seq =>
+          val docStart = math.max(seq * capacity - cum, 0L)
+          val docEnd = math.min(n, (seq + 1) * capacity - cum)
+          val seqStart = math.max(cum - seq * capacity, 0L)
+          (id, seq, docStart, docEnd, seqStart)
+        }
+      }
+      if (n > 0) cum += n
+      slices
+    }
+  }
+
+  test("withExclusivePrefixSum equals a sequential scan under many partitions") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 500L).map(i => (i, rnd.nextInt(50).toLong))
+    val df = spark.createDataFrame(rows).toDF("id", "n").repartition(13)
+    val got = Packing.withExclusivePrefixSum(df, "id", col("n"), "cum")
+      .select("id", "cum").as[(Long, Long)].collect().sortBy(_._1)
+    var acc = 0L
+    val want = rows.sortBy(_._1).map { case (id, n) => val c = acc; acc += n; (id, c) }
+    assert(got.toSeq == want)
+  }
+
+  test("packSequences matches the straight-line packer on random corpora") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val cap = Seq(7L, 64L, 1000L)(trial)
+      // lengths span 0, tiny, about-capacity, many-times-capacity
+      val docs = (0L until 200L).map(i => (i, rnd.nextInt(3) match {
+        case 0 => rnd.nextInt(5).toLong
+        case 1 => (cap - 2 + rnd.nextInt(5)).max(0)
+        case _ => (cap * (1 + rnd.nextInt(4)) + rnd.nextInt(10))
+      }))
+      val df = spark.createDataFrame(docs).toDF("id", "n").repartition(9)
+      val got = Packing.packSequences(df, "id", "n", cap)
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      assert(got.toSeq == referencePack(docs, cap), s"trial $trial cap $cap")
+    }
+  }
+
+  test("packSequences invariants: full coverage, full sequences, in-sequence tiling") {
+    val rnd = new scala.util.Random(3)
+    val cap = 128L
+    val docs = (0L until 300L).map(i => (i, rnd.nextInt(400).toLong))
+    val df = spark.createDataFrame(docs).toDF("id", "n")
+    val rows = Packing.packSequences(df, "id", "n", cap)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // every token of every doc covered exactly once, in order
+    val byDoc = rows.groupBy(_._1)
+    for ((id, n) <- docs if n > 0) {
+      val slices = byDoc(id).sortBy(_._2).map(r => (r._3, r._4))
+      assert(slices.head._1 == 0L && slices.last._2 == n)
+      slices.sliding(2).foreach {
+        case Array((_, e), (s, _)) => assert(e == s)
+        case _ =>
+      }
+    }
+    assert(byDoc.keySet == docs.filter(_._2 > 0).map(_._1).toSet)
+    // every sequence except the last holds exactly `cap` tokens
+    val bySeq = rows.groupBy(_._2).view.mapValues(_.map(r => r._4 - r._3).sum)
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (seq, tot) =>
+      if (seq < lastSeq) assert(tot == cap, s"seq $seq") else assert(tot <= cap)
+    }
+    // slices tile each sequence contiguously from offset 0
+    rows.groupBy(_._2).foreach { case (seq, rs) =>
+      val tiles = rs.sortBy(_._5).map(r => (r._5, r._5 + (r._4 - r._3)))
+      assert(tiles.head._1 == 0L)
+      tiles.sliding(2).foreach {
+        case Array((_, e), (s, _)) => assert(e == s, s"gap in seq $seq")
+        case _ =>
+      }
+    }
+  }
+
+  test("packGreedy: never splits, bounded overflow, id-order monotone") {
+    val rnd = new scala.util.Random(5)
+    val cap = 100L
+    val docs = (0L until 250L).map(i => (i, (1 + rnd.nextInt(60)).toLong))
+    val df = spark.createDataFrame(docs).toDF("id", "n").repartition(7)
+    val got = Packing.packGreedy(df, "id", "n", cap)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // one row per doc; seq assignment matches the running-offset rule
+    assert(got.map(_._1).toSeq == docs.map(_._1))
+    var cum = 0L
+    docs.foreach { case (id, n) =>
+      val r = got(id.toInt)
+      assert(r._2 == cum / cap && r._3 == cum % cap && r._4 == n)
+      cum += n
+    }
+    // overflow bound: each sequence's total < cap + its max doc length
+    got.groupBy(_._2).foreach { case (seq, rs) =>
+      val tot = rs.map(_._4).sum
+      assert(tot < cap + rs.map(_._4).max, s"seq $seq total $tot")
+    }
+  }
+
+  test("packSequences edge cases: empty input, all-zero counts, null counts") {
+    val empty = spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("id", "n")
+    assert(Packing.packSequences(empty, "id", "n", 10L).count() == 0)
+    val zeros = spark.createDataFrame(Seq((1L, 0L), (2L, 0L))).toDF("id", "n")
+    assert(Packing.packSequences(zeros, "id", "n", 10L).count() == 0)
+    val nulls = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+    val df = spark.createDataFrame(nulls).toDF("id", "n")
+    val rows = Packing.packSequences(df, "id", "n", 10L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // null-count doc occupies nothing; 5+7 tokens pack into seqs 0,1
+    assert(rows.toSeq == Seq((1L, 0L, 0L, 5L, 0L), (3L, 0L, 0L, 5L, 5L), (3L, 1L, 5L, 7L, 0L)))
+  }
+
+  test("packedText round-trips the token stream") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta"),
+      (3L, "eta theta iota kappa lambda mu nu xi"),
+      (4L, "omicron"))
+    val df = spark.createDataFrame(docs).toDF("id", "text")
+    val counted = df.select(col("id"), TextOps.tokenCount(col("text")).as("n"))
+    val map = Packing.packSequences(counted, "id", "n", 5L)
+    val out = Packing.packedText(map, df, "id", "text")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val stream = docs.sortBy(_._1).flatMap(_._2.split("\\s+"))
+    val want = stream.grouped(5).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" "), g.length.toLong) }.toSeq
+    assert(out.toSeq == want)
+  }
+}
