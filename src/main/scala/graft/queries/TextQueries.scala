@@ -650,6 +650,27 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── SemDeDup: nearest-centroid cells → within-cell cosine pairs →
+    // connected components → min-id survivor. Centroids here are the
+    // EXACT per-label means (the q87 fixed-point path) so the oracle can
+    // re-derive them; production trains them with Ivf.train. ─────
+    "q91_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).where(col("embedding").isNotNull)
+      val sums = graft.sim.VectorAgg.vectorSumElements(emb, "embedding", Seq("label"))
+        .collect()
+      val cents = sums.groupBy(_.getAs[Int]("label")).toSeq.sortBy(_._1)
+        .map { case (_, rows) =>
+          rows.sortBy(_.getAs[Int]("pos"))
+            .map(r => r.getAs[Long]("elem_sum_micro") / 1e6 /
+              r.getAs[Long]("n_vectors"))
+            .toArray
+        }.toArray
+      Similarity.semanticDedup(emb, "embedding", "vec_id",
+          Ivf.IvfModel(cents), threshold = 0.35)
+        .select(col("vec_id"), col("ivf_cell"), col("component"), col("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ───── materialized packed sequences: slice whitespace tokens per the
     // q88 map, reassemble each sequence's pieces in offset order ─────
     "q90_packed_text" -> ((s, d) => {
@@ -1488,6 +1509,73 @@ object TextQueries {
             string_agg(array_to_string(list_slice(toksa, a + 1, b), ' '),
               ' ' ORDER BY seq_tok_start) AS seq_text,
             CAST(sum(b - a) AS BIGINT) AS n_seq_tokens
-          FROM m GROUP BY seq ORDER BY seq"""
+          FROM m GROUP BY seq ORDER BY seq""",
+
+    // centroid = exact per-label mean (micro-unit sums — the q87 path);
+    // cell assignment replays NearestCentroid exactly: coefficients
+    // float-rounded (CAST REAL), half-norms over RAW doubles, score =
+    // dot − |c|²/2, ties to the lowest cell id; then q44's recursive-CTE
+    // components over within-cell cosine pairs
+    "q91_semantic_dedup" ->
+      s"""WITH RECURSIVE ex AS (
+            SELECT label, p['pos'] AS pos, p['v'] AS v FROM (
+              SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+                i -> {'pos': i - 1, 'v': embedding[i]})) AS p
+              FROM embeddings WHERE embedding IS NOT NULL)),
+          sums AS (
+            SELECT label, pos,
+              CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))
+                AS BIGINT) AS mic
+            FROM ex GROUP BY label, pos),
+          cnt AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS n
+            FROM embeddings WHERE embedding IS NOT NULL GROUP BY label),
+          mm AS (
+            SELECT s.label, s.pos,
+              CAST(s.mic AS DOUBLE) / 1000000 / CAST(c.n AS DOUBLE) AS m
+            FROM sums s JOIN cnt c USING (label)),
+          cent AS (
+            SELECT label,
+              list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS cf,
+              list_sum(list_transform(list(m ORDER BY pos), x -> x * x)) / 2 AS hn
+            FROM mm GROUP BY label),
+          cellmap AS (
+            SELECT label, cf, hn,
+              CAST(ROW_NUMBER() OVER (ORDER BY label) - 1 AS INT) AS cell
+            FROM cent),
+          scored AS (
+            SELECT e.vec_id, c.cell,
+              list_sum(list_transform(list_zip(c.cf, e.embedding),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) - c.hn AS score
+            FROM embeddings e CROSS JOIN cellmap c
+            WHERE e.embedding IS NOT NULL),
+          assigned AS (
+            SELECT vec_id, cell FROM (
+              SELECT vec_id, cell, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+              FROM scored) WHERE rn = 1),
+          pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM (SELECT e.vec_id, e.embedding, s.cell
+                  FROM embeddings e JOIN assigned s USING (vec_id)) a
+            JOIN (SELECT e.vec_id, e.embedding, s.cell
+                  FROM embeddings e JOIN assigned s USING (vec_id)) b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35),
+          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          reach AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            WHERE e.v <> r.u),
+          comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component
+                   FROM reach GROUP BY u)
+          SELECT e.vec_id, s.cell AS ivf_cell,
+            COALESCE(c.component, e.vec_id) AS component,
+            COALESCE(c.component, e.vec_id) = e.vec_id AS keep
+          FROM embeddings e JOIN assigned s USING (vec_id)
+          LEFT JOIN comp c ON e.vec_id = c.id
+          ORDER BY e.vec_id"""
   )
 }

@@ -199,4 +199,36 @@ object Similarity {
         (dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** Semantic dedup (the SemDeDup pattern: cluster embeddings with
+    * k-means, prune within-cluster cosine near-dups): assign every vector
+    * to its nearest `model` centroid, find within-cell pairs with
+    * cosine ≥ `threshold`, connect them into semantic groups, and flag
+    * one canonical survivor (min id) per group. Returns the input +
+    * `ivf_cell`, `component`, `keep` — filter `keep` for the pruned
+    * corpus, or keep the labels for cluster-aware curation.
+    *
+    * Scale shape: cell assignment is one codegen expression pass (the
+    * [[graft.functions.NearestCentroid]] referenced-matrix loop — no
+    * join against a centroid table); the pairwise stage is
+    * [[cosinePairs]] blocked by cell, so the quadratic work is bounded
+    * per cluster and the salted shuffle-hash join splits hot cells
+    * deterministically; components and the survivor flag-back are
+    * [[graft.dedup.Dedup.dedupeByPairs]] (the pair graph is tiny next to
+    * the corpus — AQE broadcasts the component map). Assignment is
+    * recomputed per consumer rather than materialized (vectors are the
+    * dominant payload; persisting them per-job costs more than the
+    * expression pass) — for a recurring pipeline, persist the assigned
+    * table cell-partitioned once via [[Ivf.build]] + [[BatchView]] and
+    * feed it straight to [[cosinePairs]]. Train the model on the corpus
+    * ([[Ivf.train]]) or supply domain centroids; more cells = less
+    * pairwise work but more boundary misses (near-dups straddling a cell
+    * boundary are not compared — the SemDeDup trade). */
+  def semanticDedup(embeddings: DataFrame, vecCol: String, idCol: String,
+                    model: Ivf.IvfModel, threshold: Double,
+                    saltBuckets: Int = 8): DataFrame = {
+    val assigned = Ivf.assign(embeddings, vecCol, model)
+    val pairs = cosinePairs(assigned, vecCol, idCol, "ivf_cell", threshold, saltBuckets)
+    graft.dedup.Dedup.dedupeByPairs(assigned, idCol, pairs)
+  }
 }
