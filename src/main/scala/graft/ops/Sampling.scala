@@ -83,6 +83,58 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Temperature-weighted mixture under a token budget: source i gets a
+    * share of `budgetTokens` proportional to `totalTokens_i ^ alpha` (the
+    * size^α re-weighting used for multilingual / multi-source pretraining
+    * mixes — α < 1 upweights small sources relative to their raw size;
+    * α = 1 is proportional sampling). Each source is then kept with its
+    * derived probability `min(1, share·budget / total)` via the
+    * deterministic [[hashScore]] threshold, and survivors union with a
+    * `source` tag. Shares can only DOWN-sample (p caps at 1); compose with
+    * [[upsampled]] for sources whose target exceeds their size.
+    *
+    * Deterministic end to end: totals are exact integer sums, weights are
+    * computed driver-side in source-list order, and every keep decision is
+    * an md5 threshold — a re-run emits the identical corpus. α = 0.5 uses
+    * `sqrt` (IEEE-exact, so an external engine replays the thresholds
+    * bit-for-bit); other α use `pow`, whose last-ulp behaviour is libm-
+    * specific — fine for production, not for cross-engine replay.
+    *
+    * Scale shape: ONE aggregate action sizes every source (the tagged
+    * union scans each source once, column-pruned to the token count), then
+    * each source scans once more through its shuffle-free hash filter. */
+  def temperatureMixture(sources: Seq[(String, DataFrame)], idCol: String,
+                         tokenCountCol: String, budgetTokens: Long,
+                         alpha: Double = 0.5): DataFrame = {
+    require(sources.nonEmpty, "temperatureMixture needs at least one source")
+    require(sources.map(_._1).distinct.size == sources.size, "duplicate source names")
+    require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha out of (0, 1]: $alpha")
+    val tagged = sources.map { case (name, df) =>
+      df.select(lit(name).as("__src"),
+        coalesce(col(tokenCountCol).cast("long"), lit(0L)).as("__n"))
+    }.reduce(_ unionAll _)
+    val totals = tagged.groupBy(col("__src")).agg(sum(col("__n")).as("t"))
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
+    def weight(x: Double): Double =
+      if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)
+    // weight sum folds in SOURCE-LIST order (replayable externally)
+    val weights = sources.map { case (name, _) =>
+      weight(totals.getOrElse(name, 0L).toDouble)
+    }
+    val wSum = weights.sum
+    sources.zip(weights).map { case ((name, df), w) =>
+      val total = totals.getOrElse(name, 0L)
+      val p = if (total <= 0L || wSum <= 0.0) 0.0
+        else math.min(1.0, w / wSum * budgetTokens / total.toDouble)
+      val out = df.withColumn("source", lit(name))
+      if (p >= 1.0) out
+      else out.where(hashScore(col(idCol)) < lit(hexThreshold(p)))
+    }.reduce(_ unionAll _)
+  }
+
   /** Token-budget subsample: keep docs in hash order of `idCol` until the
     * running token total reaches `budget` (the first doc crossing the
     * budget is kept, so the result is the smallest hash-prefix set with

@@ -229,6 +229,22 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── temperature mixture: per-lang sources re-weighted by
+    // size^0.5 under a 20k-token budget (α = 0.5 rides IEEE sqrt, so the
+    // oracle replays the thresholds exactly) ─────
+    "q92_temperature_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("lang").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          graft.text.TextOps.tokenCount(col("text")).as("n"))
+      val langs = docs.select(col("lang")).distinct()
+        .collect().map(_.getString(0)).sorted
+      val sources = langs.toSeq.map(l => l -> docs.where(col("lang") === l))
+      graft.ops.Sampling.temperatureMixture(sources, "doc_id", "n",
+          budgetTokens = 20000L)
+        .select(col("doc_id"), col("source"), col("n"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── hierarchical rollup: per-(flag,status), per-flag, and grand
     // totals in ONE pass (Expand feeds a single aggregate — no
     // re-reading the table per level) ─────
@@ -404,6 +420,29 @@ object RelationalQueries {
            FROM t)
          SELECT doc_id, lang, n_tokens FROM c
          WHERE cum - n_tokens < 10000 ORDER BY doc_id""",
+    // replays temperatureMixture bit-for-bit: exact integer totals,
+    // sqrt weights folded in lang order (list_sum = the driver's
+    // source-list fold), p = min(1, share·budget/total), md5 threshold
+    // hex via floor(x+0.5) — Scala's math.round
+    "q92_temperature_mix" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n
+           FROM documents WHERE lang IS NOT NULL),
+         tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nt FROM d GROUP BY lang),
+         sq AS (SELECT lang, nt, sqrt(CAST(nt AS DOUBLE)) AS s FROM tot),
+         ws AS (SELECT list_sum(list(s ORDER BY lang)) AS wsum FROM sq),
+         pr AS (SELECT lang,
+                  LEAST(1.0, s / wsum * 20000 / CAST(nt AS DOUBLE)) AS p
+                FROM sq, ws),
+         thr AS (SELECT lang, p,
+                  printf('%08x', CAST(LEAST(floor(p * 4294967296 + 0.5),
+                    4294967295) AS BIGINT)) AS h
+                 FROM pr)
+         SELECT d.doc_id, d.lang AS source, d.n
+         FROM d JOIN thr USING (lang)
+         WHERE p >= 1.0 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < h
+         ORDER BY d.doc_id""",
     // DuckDB GROUPING() emits the same bitmask as Spark's grouping_id
     "q54_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -107,4 +107,40 @@ class RandomizedOpsSpec extends SparkSpec {
       assert(out === model, s"round $round budget=$budget total=$total")
     }
   }
+
+  test("temperatureMixture matches the md5-threshold model; shares follow size^alpha") {
+    val rnd = new scala.util.Random(53L)
+    def md5hex8(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    for (round <- 1 to 3) {
+      // skewed sizes so alpha < 1 visibly boosts the small source
+      val sizes = Seq("big" -> (400 + rnd.nextInt(100)), "small" -> (30 + rnd.nextInt(20)))
+      var nextId = 0L
+      val srcRows = sizes.map { case (name, k) =>
+        name -> Seq.fill(k) { nextId += 1; (nextId, 1L + rnd.nextInt(100)) }
+      }
+      val budget = 5000L
+      val sources = srcRows.map { case (n, rows) => n -> rows.toDF("id", "n") }
+      val out = Sampling.temperatureMixture(sources, "id", "n", budget)
+        .select("id", "source").as[(Long, String)].collect().toSet
+      // straight-line model: exact totals, sqrt weights, min(1, ·) probs,
+      // then the same md5-prefix threshold per row
+      val totals = srcRows.map { case (n, rows) => n -> rows.map(_._2).sum }
+      val wSum = totals.map(t => math.sqrt(t._2.toDouble)).sum
+      val model = srcRows.flatMap { case (name, rows) =>
+        val total = totals.toMap.apply(name)
+        val p = math.min(1.0, math.sqrt(total.toDouble) / wSum * budget / total.toDouble)
+        val thr = f"${math.round(p * 4294967296.0).min(4294967295L)}%08x"
+        rows.collect { case (id, _) if p >= 1.0 || md5hex8(id) < thr => (id, name) }
+      }.toSet
+      assert(out === model, s"round $round")
+      // the α=0.5 boost: the small source keeps a larger FRACTION of its
+      // rows than the big one (its per-token budget share is higher)
+      val keptFrac = srcRows.map { case (name, rows) =>
+        name -> out.count(_._2 == name).toDouble / rows.size
+      }.toMap
+      assert(keptFrac("small") > keptFrac("big"), s"round $round $keptFrac")
+    }
+  }
 }
