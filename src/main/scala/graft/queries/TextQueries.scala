@@ -650,6 +650,15 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── q88 in deterministic-SHUFFLE order: the reproducible random
+    // document order a training run wants, replayable by any engine ─────
+    "q93_pack_shuffled" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("text").isNotNull)
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n"))
+      Packing.packSequences(docs, "doc_id", "n", 1024L, shuffled = true)
+        .orderBy(col("doc_id"), col("seq"))
+    }),
+
     // ───── SemDeDup: nearest-centroid cells → within-cell cosine pairs →
     // connected components → min-id survivor. Centroids here are the
     // EXACT per-label means (the q87 fixed-point path) so the oracle can
@@ -1510,6 +1519,26 @@ object TextQueries {
               ' ' ORDER BY seq_tok_start) AS seq_text,
             CAST(sum(b - a) AS BIGINT) AS n_seq_tokens
           FROM m GROUP BY seq ORDER BY seq""",
+
+    // q88's CTE with the md5-shuffle order (hash prefix, then id — the
+    // same total order the engine range-partitions on)
+    "q93_pack_shuffled" ->
+      s"""WITH c AS (
+            SELECT doc_id, n,
+              CAST(COALESCE(SUM(n) OVER (
+                ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cum0
+            FROM (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n
+                  FROM documents WHERE text IS NOT NULL)
+            WHERE n > 0)
+          SELECT doc_id, s.seq AS seq,
+            GREATEST(s.seq * 1024 - cum0, 0) AS doc_tok_start,
+            LEAST(n, (s.seq + 1) * 1024 - cum0) AS doc_tok_end,
+            GREATEST(cum0 - s.seq * 1024, 0) AS seq_tok_start
+          FROM c, LATERAL (SELECT unnest(generate_series(
+            cum0 // 1024, (cum0 + n - 1) // 1024)) AS seq) s
+          ORDER BY doc_id, seq""",
 
     // centroid = exact per-label mean (micro-unit sums — the q87 path);
     // cell assignment replays NearestCentroid exactly: coefficients

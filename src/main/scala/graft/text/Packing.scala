@@ -54,11 +54,19 @@ object Packing {
     * output action must see the same partitioning or offsets would shift
     * between passes. */
   def withExclusivePrefixSum(df: DataFrame, orderCol: String, value: Column,
-                             out: String): DataFrame = {
+                             out: String): DataFrame =
+    withExclusivePrefixSumBy(df, Seq(col(orderCol)), value, out)
+
+  /** Multi-key form of [[withExclusivePrefixSum]]: the order is the
+    * lexicographic composite of `orderCols` (must be total across rows —
+    * make the last key unique). */
+  def withExclusivePrefixSumBy(df: DataFrame, orderCols: Seq[Column],
+                               value: Column, out: String): DataFrame = {
     val spark = df.sparkSession
+    val ord = orderCols.map(_.asc_nulls_last)
     val ranged = df
       .withColumn("__v", coalesce(value.cast("long"), lit(0L)))
-      .repartitionByRange(col(orderCol).asc_nulls_last)
+      .repartitionByRange(ord: _*)
       .localCheckpoint(eager = false)
       .withColumn("__pid", spark_partition_id())
     val partSums = ranged.groupBy(col("__pid"))
@@ -74,7 +82,7 @@ object Packing {
     import spark.implicits._
     val offDf = offsets.toSeq.toDF("__pid", "__off")
     val w = Window.partitionBy(col("__pid"))
-      .orderBy(col(orderCol).asc_nulls_last)
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     ranged.join(broadcast(offDf), Seq("__pid"))
       .withColumn(out, col("__off") + coalesce(sum(col("__v")).over(w), lit(0L)))
@@ -96,20 +104,23 @@ object Packing {
     * `tokenCountCol` is the caller's tokenizer-of-record count
     * ([[TextOps.tokenCount]], [[TextOps.bpeTokenCount]], a real tokenizer's
     * output — the map is tokenizer-agnostic). Rows with null/zero/negative
-    * counts occupy no tokens and emit no slices. For a shuffled training
-    * order, materialize a deterministic shuffle key (e.g.
-    * [[graft.ops.Sampling.hashScore]]) as the id passed here.
+    * counts occupy no tokens and emit no slices. `shuffled = true` packs
+    * in deterministic-shuffle order — ([[graft.ops.Sampling.hashScore]],
+    * id) instead of raw id order — the reproducible random document order
+    * training runs want, at identical cost (the prefix sum just range-
+    * partitions on the hash key; a re-run, any partition layout, or an
+    * external engine replays the same order).
     *
     * idCol must be unique and non-null (the packing order). */
   def packSequences(docs: DataFrame, idCol: String, tokenCountCol: String,
-                    capacity: Long): DataFrame = {
+                    capacity: Long, shuffled: Boolean = false): DataFrame = {
     require(capacity > 0, s"capacity must be positive: $capacity")
     val counted = docs
       .select(col(idCol), coalesce(col(tokenCountCol).cast("long"), lit(0L)).as("__n"))
       .where(col("__n") > 0)
     // long-exact sequence ids: `div` (integral divide), never floor(a/b)
     // (double division truncates past 2^53 — corpus token totals reach it)
-    withExclusivePrefixSum(counted, idCol, col("__n"), "__cum0")
+    withExclusivePrefixSumBy(counted, packOrder(idCol, shuffled), col("__n"), "__cum0")
       .select(col(idCol), col("__n"), col("__cum0"),
         explode(sequence(
           expr(s"__cum0 div ${capacity}L"),
@@ -119,6 +130,13 @@ object Packing {
         least(col("__n"), (col("seq") + 1) * capacity - col("__cum0")).as("doc_tok_end"),
         greatest(col("__cum0") - col("seq") * capacity, lit(0L)).as("seq_tok_start"))
   }
+
+  /** Packing order: raw id, or the deterministic shuffle (hash, id) —
+    * the id tiebreak keeps the order total under 32-bit hash-prefix
+    * collisions. */
+  private def packOrder(idCol: String, shuffled: Boolean): Seq[Column] =
+    if (shuffled) Seq(graft.ops.Sampling.hashScore(col(idCol)), col(idCol))
+    else Seq(col(idCol))
 
   /** Whole-document greedy packing map: in ascending `idCol` order, each
     * document goes to the sequence where its first token falls —
@@ -132,12 +150,12 @@ object Packing {
     * no-split trade; pre-chunk with [[TextOps.chunkRows]] for a hard cap.
     * Zero/null-count documents are dropped (they occupy no tokens). */
   def packGreedy(docs: DataFrame, idCol: String, tokenCountCol: String,
-                 capacity: Long): DataFrame = {
+                 capacity: Long, shuffled: Boolean = false): DataFrame = {
     require(capacity > 0, s"capacity must be positive: $capacity")
     val counted = docs
       .select(col(idCol), coalesce(col(tokenCountCol).cast("long"), lit(0L)).as("__n"))
       .where(col("__n") > 0)
-    withExclusivePrefixSum(counted, idCol, col("__n"), "__cum0")
+    withExclusivePrefixSumBy(counted, packOrder(idCol, shuffled), col("__n"), "__cum0")
       .select(col(idCol),
         expr(s"__cum0 div ${capacity}L").as("seq"),
         (col("__cum0") - expr(s"__cum0 div ${capacity}L") * capacity).as("seq_tok_start"),

@@ -114,6 +114,34 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("shuffled packing = the straight-line packer over (md5, id) order") {
+    def md5hex8(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val rnd = new scala.util.Random(19)
+    val cap = 50L
+    val docs = (0L until 150L).map(i => (i, (1 + rnd.nextInt(40)).toLong))
+    val df = spark.createDataFrame(docs).toDF("id", "n").repartition(11)
+    val got = Packing.packSequences(df, "id", "n", cap, shuffled = true)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // reference walks docs in (hash, id) order
+    var cum = 0L
+    val want = docs.sortBy { case (id, _) => (md5hex8(id), id) }.flatMap { case (id, n) =>
+      val s0 = cum / cap; val s1 = (cum + n - 1) / cap
+      val slices = (s0 to s1).map { seq =>
+        (id, seq, math.max(seq * cap - cum, 0L), math.min(n, (seq + 1) * cap - cum),
+          math.max(cum - seq * cap, 0L))
+      }
+      cum += n
+      slices
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want)
+    // a genuine shuffle: differs from id-order packing
+    val plain = Packing.packSequences(df, "id", "n", cap)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(plain.toSeq != got.toSeq)
+  }
+
   test("packSequences edge cases: empty input, all-zero counts, null counts") {
     val empty = spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("id", "n")
     assert(Packing.packSequences(empty, "id", "n", 10L).count() == 0)
