@@ -659,6 +659,29 @@ object TextQueries {
         .orderBy(col("doc_id"), col("seq"))
     }),
 
+    // ───── best-fit packing anchor (the imperative BFD packer is not
+    // SQL-expressible; this emits what any correct packing must satisfy):
+    // doc/token totals honest, overflow bins == oversize docs honest
+    // (each n > cap doc gets a DEDICATED bin), capacity + ≥85%-mean-fill
+    // invariants as pinned booleans ─────
+    "q94_pack_bestfit_verify" -> ((s, d) => {
+      val cap = 512L
+      val docs = Tables.documents(s, d).where(col("text").isNotNull)
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n"))
+      val packed = Packing.packBestFit(docs, "doc_id", "n", cap, numPartitions = 4)
+      packed.groupBy(col("seq"))
+        .agg(sum(col("n_tokens")).as("fill"), count(lit(1)).as("nd"))
+        .agg(
+          sum(col("nd")).cast("long").as("n_docs"),
+          sum(col("fill")).cast("long").as("sum_tokens"),
+          sum(when(col("fill") > cap, 1L).otherwise(0L)).cast("long")
+            .as("n_overflow_bins"),
+          max(when(col("fill") > cap, col("nd")).otherwise(lit(1L))).cast("long")
+            .as("max_overflow_docs"),
+          (sum(when(col("fill") <= cap, col("fill"))).cast("double") /
+            (count(when(col("fill") <= cap, lit(1))) * cap) >= 0.85).as("fill_ok"))
+    }),
+
     // ───── SemDeDup: nearest-centroid cells → within-cell cosine pairs →
     // connected components → min-id survivor. Centroids here are the
     // EXACT per-label means (the q87 fixed-point path) so the oracle can
@@ -1519,6 +1542,19 @@ object TextQueries {
               ' ' ORDER BY seq_tok_start) AS seq_text,
             CAST(sum(b - a) AS BIGINT) AS n_seq_tokens
           FROM m GROUP BY seq ORDER BY seq""",
+
+    // totals + the dedicated-overflow-bin equivalence are engine-
+    // independent facts; the capacity/fill booleans are pinned verdicts
+    "q94_pack_bestfit_verify" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n) AS BIGINT) AS sum_tokens,
+            CAST(sum(CASE WHEN n > 512 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_overflow_bins,
+            CAST(1 AS BIGINT) AS max_overflow_docs,
+            TRUE AS fill_ok
+          FROM (SELECT CAST(len($toks) AS BIGINT) AS n
+                FROM documents WHERE text IS NOT NULL)
+          WHERE n > 0""",
 
     // q88's CTE with the md5-shuffle order (hash prefix, then id — the
     // same total order the engine range-partitions on)

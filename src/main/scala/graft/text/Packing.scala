@@ -162,6 +162,74 @@ object Packing {
         col("__n").as("n_tokens"))
   }
 
+  /** Whole-document BEST-FIT-DECREASING packing: the high-fill-efficiency
+    * no-split variant ([[packGreedy]] leaves the boundary-straddling gap
+    * unfilled; BFD back-fills it with smaller documents). Documents hash-
+    * distribute across `numPartitions` tasks; each task sorts its slice
+    * size-descending and best-fits into open bins (tightest remaining
+    * capacity that fits, via a TreeMap — O(n log bins) per task, never
+    * the naive first-fit scan). Emits one row per doc:
+    *
+    *   (idCol, seq, seq_tok_start, n_tokens)
+    *
+    * No bin ever exceeds `capacity` — an oversize document (n > capacity)
+    * gets a dedicated overflow bin (`seq_tok_start` 0) rather than being
+    * dropped or split; pre-chunk with [[TextOps.chunkRows]] if oversize
+    * docs should split instead.
+    *
+    * Bin ids are `(partition << 32) | localBin` — non-contiguous by
+    * design (contiguity would serialize the packing). Packing is
+    * deterministic for a fixed `numPartitions` (hash placement + in-task
+    * sort order are both keyed on (size, id)); unlike the stream shapes
+    * it is NOT partition-layout-independent — pin `numPartitions` when
+    * the artifact must be reproducible. Scale: each task's open-bin index
+    * is O(its bins) longs; no shuffle carries document bodies. */
+  def packBestFit(docs: DataFrame, idCol: String, tokenCountCol: String,
+                  capacity: Long, numPartitions: Int = 0): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val spark = docs.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val counted = docs
+      .select(col(idCol), coalesce(col(tokenCountCol).cast("long"), lit(0L)).as("__n"))
+      .where(col("__n") > 0)
+      .repartition(parts, col(idCol))
+      .sortWithinPartitions(col("__n").desc, col(idCol).asc_nulls_last)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      counted.schema.fields.filterNot(_.name == "__n") ++ Seq(
+        org.apache.spark.sql.types.StructField("seq",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("seq_tok_start",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_tokens",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    counted.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      // remaining capacity -> bin ids at that remaining (LIFO; ties are
+      // deterministic because insertion order follows the sorted input)
+      val open = new java.util.TreeMap[Long, java.util.ArrayDeque[Long]]()
+      var nextBin = 0L
+      val fill = scala.collection.mutable.LongMap.empty[Long] // bin -> used
+      rows.map { r =>
+        val n = r.getLong(1)
+        val entry = open.ceilingEntry(n)
+        val bin = if (entry == null || n > capacity) {
+          val b = nextBin; nextBin += 1; fill(b) = 0L; b
+        } else {
+          val q = entry.getValue
+          val b = q.pop()
+          if (q.isEmpty) open.remove(entry.getKey)
+          b
+        }
+        val start = fill(bin)
+        fill(bin) = start + n
+        val rem = capacity - fill(bin)
+        if (rem > 0) open.computeIfAbsent(rem, _ => new java.util.ArrayDeque[Long]()).push(bin)
+        org.apache.spark.sql.Row(r.get(0), (pid << 32) | bin, start, n)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Materialize sequence text from a [[packSequences]] map: slice each
     * document's whitespace tokens per the map, assemble each sequence's
     * slices in offset order. Emits (seq, seq_text, n_seq_tokens).

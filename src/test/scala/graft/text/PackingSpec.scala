@@ -155,6 +155,51 @@ class PackingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 0L, 0L, 5L, 0L), (3L, 0L, 0L, 5L, 5L), (3L, 1L, 5L, 7L, 0L)))
   }
 
+  test("packBestFit: no overflow, exact coverage, deterministic, beats greedy fill") {
+    val rnd = new scala.util.Random(29)
+    val cap = 100L
+    val docs = (0L until 400L).map(i => (i, (1 + rnd.nextInt(90)).toLong))
+    val df = spark.createDataFrame(docs).toDF("id", "n")
+    def run() = Packing.packBestFit(df, "id", "n", cap, numPartitions = 5)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val got = run()
+    // every doc exactly once, with its own token count
+    assert(got.map(_._1).toSeq == docs.map(_._1))
+    assert(got.map(r => r._1 -> r._4).toMap == docs.toMap)
+    // bins never exceed capacity; starts tile each bin contiguously
+    got.groupBy(_._2).foreach { case (bin, rs) =>
+      assert(rs.map(_._4).sum <= cap, s"bin $bin overflows")
+      val tiles = rs.sortBy(_._3).map(r => (r._3, r._3 + r._4))
+      assert(tiles.head._1 == 0L)
+      tiles.sliding(2).foreach {
+        case Array((_, e), (s, _)) => assert(e == s, s"gap in bin $bin")
+        case _ =>
+      }
+    }
+    // deterministic re-run
+    assert(run().toSeq == got.toSeq)
+    // fill efficiency: BFD should not use more bins than greedy's
+    // straddle-overflow bound implies (greedy averages cap per bin but
+    // BFD back-fills; require >= 90% mean fill here)
+    val nBins = got.map(_._2).distinct.length
+    val total = docs.map(_._2).sum.toDouble
+    assert(total / (nBins * cap) >= 0.9, s"fill ${total / (nBins * cap)}")
+  }
+
+  test("packBestFit: oversize docs get dedicated bins, zero/null counts drop") {
+    val docs = Seq((1L, Some(250L)), (2L, Some(40L)), (3L, None), (4L, Some(0L)), (5L, Some(60L)))
+    val df = spark.createDataFrame(docs).toDF("id", "n")
+    val got = Packing.packBestFit(df, "id", "n", 100L, numPartitions = 1)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 5L))
+    val oversize = got.find(_._1 == 1L).get
+    assert(oversize._3 == 0L && oversize._4 == 250L)
+    // nothing shares the oversize bin
+    assert(got.count(_._2 == oversize._2) == 1)
+    // 40 + 60 back-fill one bin exactly
+    assert(got.filter(_._1 != 1L).map(_._2).distinct.length == 1)
+  }
+
   test("packedText round-trips the token stream") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
