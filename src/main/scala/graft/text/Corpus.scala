@@ -150,6 +150,49 @@ object Corpus {
     TextOps.chunkRows(budgeted, textCol, idCol, chunkSize, overlap)
   }
 
+  /** [[assemble]] + sequence packing: the loader-ready form. The
+    * assembled training chunks pack WHOLE (never split mid-chunk — a
+    * chunk is already a curated context window) into `capacity`-token
+    * sequences by [[Packing.packGreedy]] in deterministic-shuffle order,
+    * so the emitted corpus is both reproducible and randomly ordered.
+    * One row per chunk:
+    *
+    *   (seq, seq_tok_start, idCol, chunk_id, chunk_text, n_chunk_tokens)
+    *
+    * sorted consumption of (seq, seq_tok_start) IS the training stream.
+    * `capacity` must be ≥ the assemble `chunkSize` (a chunk longer than a
+    * sequence could never pack whole); with `capacity == chunkSize` only
+    * full-size chunks fill a sequence alone and every doc-tail chunk
+    * back-fills across documents. Each assembled chunk carries a unique
+    * `(idCol, chunk_id)` identity; packing orders by the md5 of
+    * `"id#chunk"` (total, replayable).
+    *
+    * The assemble pipeline is lazily checkpointed here: the packer's
+    * prefix sum and the text join-back are separate consumers, and the
+    * clean/decontaminate/budget stages must not re-execute per pass
+    * (the [[assemble]] multi-pass discipline, one level up). */
+  def assemblePacked(sources: Seq[(DataFrame, Double)], textCol: String,
+                     idCol: String, blockCols: Seq[String],
+                     stopwords: Seq[String], capacity: Long,
+                     n: Int = 3, threshold: Double = 0.5,
+                     tokenBudget: Long = Long.MaxValue,
+                     chunkSize: Int = 1024, overlap: Int = 0,
+                     decontaminate: Option[(DataFrame, Double)] = None,
+                     repetition: Option[(Double, Double)] = None): DataFrame = {
+    require(capacity >= chunkSize,
+      s"capacity ($capacity) must be >= chunkSize ($chunkSize): chunks pack whole")
+    val chunks = assemble(sources, textCol, idCol, blockCols, stopwords, n,
+        threshold, tokenBudget, chunkSize, overlap, decontaminate, repetition)
+      .withColumn("__chunk_key",
+        concat_ws("#", col(idCol).cast("string"), col("chunk_id").cast("string")))
+      .localCheckpoint(eager = false)
+    Packing.packGreedy(chunks, "__chunk_key", "n_chunk_tokens", capacity,
+        shuffled = true)
+      .join(chunks, Seq("__chunk_key"))
+      .select(col("seq"), col("seq_tok_start"), col(idCol), col("chunk_id"),
+        col("chunk_text"), col("n_chunk_tokens"))
+  }
+
   /** The incremental form of [[clean]] — the shape daily ingest actually
     * runs at corpus scale: clean a NEW batch against an accumulated
     * (already-clean) history without re-cleaning the history. Stages only

@@ -357,6 +357,40 @@ class TextDedupSimSpec extends SparkSpec {
     assert(byDoc(10L).map(c => (c._2, c._4)).toSeq === Seq((0, 12)))
   }
 
+  test("assemblePacked: chunks pack whole in shuffle order; stream is loader-ready") {
+    val long = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val a = Seq((1L, long), (2L, long), (3L, "too short")).toDF("doc_id", "text")
+    val b = Seq((10L, (1 to 12).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = graft.text.Corpus.assemblePacked(
+        Seq((a, 1.0), (b, 1.0)), "text", "doc_id", Nil, Seq("the"),
+        capacity = 32L, n = 3, threshold = 0.5, tokenBudget = 100L,
+        chunkSize = 16, overlap = 4)
+      .as[(Long, Long, Long, Int, String, Int)].collect()
+    // the same 4 chunks as the assemble test (3×16 from doc 1, 1×12 from
+    // doc 10), each appearing WHOLE exactly once
+    assert(out.map(r => (r._3, r._4)).sorted.toSeq ===
+      Seq((1L, 0), (1L, 1), (1L, 2), (10L, 0)))
+    out.foreach(r => assert(r._6 == r._5.split("\\s+").length))
+    // greedy semantics: (seq, seq_tok_start) addresses the VIRTUAL token
+    // stream (an overflowing chunk consumes the next sequence's leading
+    // tokens); the stream must tile [0, total) with no gap or overlap,
+    // and every chunk must START inside its own sequence
+    val stream = out.map(r => (r._1 * 32L + r._2, r._6.toLong)).sortBy(_._1)
+    assert(stream.head._1 == 0L)
+    stream.sliding(2).foreach {
+      case Array((c, n0), (c2, _)) => assert(c + n0 == c2, s"gap after $c")
+      case _ =>
+    }
+    out.foreach(r => assert(r._2 < 32L, s"chunk starts past capacity: $r"))
+    // deterministic: a re-run packs identically
+    val again = graft.text.Corpus.assemblePacked(
+        Seq((a, 1.0), (b, 1.0)), "text", "doc_id", Nil, Seq("the"),
+        capacity = 32L, n = 3, threshold = 0.5, tokenBudget = 100L,
+        chunkSize = 16, overlap = 4)
+      .as[(Long, Long, Long, Int, String, Int)].collect()
+    assert(again.sortBy(r => (r._3, r._4)).toSeq === out.sortBy(r => (r._3, r._4)).toSeq)
+  }
+
   test("assemble: repetition gate drops boilerplate the base quality gate passes") {
     val varied = (1 to 40).map(i => s"tok$i").mkString(" ")
     // "spam ham" ×8 + 8 distinct fillers: 24 tokens, distinct ratio 10/24
