@@ -26,6 +26,21 @@ object TextQueries {
     "fr" -> Seq("value", "key", "sort"),
     "zh" -> Seq("spark", "group", "row"))
 
+  /** Deterministic IvfModel for the oracle-gated ANN-maintenance queries:
+    * exact per-label mean centroids via the fixed-point micro-unit path
+    * (q87), cells ordered by ascending label — fully re-derivable in SQL. */
+  private def labelMeanModel(emb: DataFrame): Ivf.IvfModel = {
+    val sums = graft.sim.VectorAgg.vectorSumElements(emb, "embedding", Seq("label"))
+      .collect()
+    Ivf.IvfModel(sums.groupBy(_.getAs[Int]("label")).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getAs[Int]("pos"))
+          .map(r => r.getAs[Long]("elem_sum_micro") / 1e6 /
+            r.getAs[Long]("n_vectors"))
+          .toArray
+      }.toArray)
+  }
+
   val queries: Map[String, Q] = Map(
     // ───── token / char statistics ─────
     "q21_token_stats" -> ((s, d) => {
@@ -688,19 +703,18 @@ object TextQueries {
     // re-derive them; production trains them with Ivf.train. ─────
     "q91_semantic_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).where(col("embedding").isNotNull)
-      val sums = graft.sim.VectorAgg.vectorSumElements(emb, "embedding", Seq("label"))
-        .collect()
-      val cents = sums.groupBy(_.getAs[Int]("label")).toSeq.sortBy(_._1)
-        .map { case (_, rows) =>
-          rows.sortBy(_.getAs[Int]("pos"))
-            .map(r => r.getAs[Long]("elem_sum_micro") / 1e6 /
-              r.getAs[Long]("n_vectors"))
-            .toArray
-        }.toArray
       Similarity.semanticDedup(emb, "embedding", "vec_id",
-          Ivf.IvfModel(cents), threshold = 0.35)
+          labelMeanModel(emb), threshold = 0.35)
         .select(col("vec_id"), col("ivf_cell"), col("component"), col("keep"))
         .orderBy(col("vec_id"))
+    }),
+
+    // ───── IVF index health: per-cell occupancy + fixed-point coherence
+    // sums over the same oracle-derivable centroids as q91 ─────
+    "q95_ivf_cell_stats" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).where(col("embedding").isNotNull)
+      Ivf.cellStats(emb, "embedding", labelMeanModel(emb))
+        .orderBy(col("ivf_cell"))
     }),
 
     // ───── materialized packed sequences: slice whitespace tokens per the
@@ -1575,6 +1589,55 @@ object TextQueries {
           FROM c, LATERAL (SELECT unnest(generate_series(
             cum0 // 1024, (cum0 + n - 1) // 1024)) AS seq) s
           ORDER BY doc_id, seq""",
+
+    // q91's assignment CTEs, then per-cell counts + micro-unit cosine
+    // sums against the float-rounded centroid (associative integers —
+    // fold order cannot break parity)
+    "q95_ivf_cell_stats" ->
+      s"""WITH ex AS (
+            SELECT label, p['pos'] AS pos, p['v'] AS v FROM (
+              SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+                i -> {'pos': i - 1, 'v': embedding[i]})) AS p
+              FROM embeddings WHERE embedding IS NOT NULL)),
+          sums AS (
+            SELECT label, pos,
+              CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))
+                AS BIGINT) AS mic
+            FROM ex GROUP BY label, pos),
+          cnt AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS n
+            FROM embeddings WHERE embedding IS NOT NULL GROUP BY label),
+          mm AS (
+            SELECT s.label, s.pos,
+              CAST(s.mic AS DOUBLE) / 1000000 / CAST(c.n AS DOUBLE) AS m
+            FROM sums s JOIN cnt c USING (label)),
+          cent AS (
+            SELECT label,
+              list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS cf,
+              list_sum(list_transform(list(m ORDER BY pos), x -> x * x)) / 2 AS hn
+            FROM mm GROUP BY label),
+          cellmap AS (
+            SELECT label, cf, hn,
+              CAST(ROW_NUMBER() OVER (ORDER BY label) - 1 AS INT) AS cell
+            FROM cent),
+          scored AS (
+            SELECT e.vec_id, c.cell,
+              list_sum(list_transform(list_zip(c.cf, e.embedding),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) - c.hn AS score
+            FROM embeddings e CROSS JOIN cellmap c
+            WHERE e.embedding IS NOT NULL),
+          assigned AS (
+            SELECT vec_id, cell FROM (
+              SELECT vec_id, cell, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+              FROM scored) WHERE rn = 1)
+          SELECT s.cell AS ivf_cell, CAST(count(*) AS BIGINT) AS n_vectors,
+            CAST(sum(CAST(round(${cosSql("e.embedding", "c.cf")} * 1000000, 0)
+              AS BIGINT)) AS BIGINT) AS cos_sum_micro
+          FROM embeddings e
+          JOIN assigned s USING (vec_id)
+          JOIN cellmap c ON s.cell = c.cell
+          GROUP BY s.cell ORDER BY ivf_cell""",
 
     // centroid = exact per-label mean (micro-unit sums — the q87 path);
     // cell assignment replays NearestCentroid exactly: coefficients

@@ -129,6 +129,37 @@ object Ivf {
   def assign(embeddings: DataFrame, vecCol: String, model: IvfModel): DataFrame =
     embeddings.withColumn("ivf_cell", cellColumn(col(vecCol), model))
 
+  /** Per-cell occupancy and coherence — the index-health signal that says
+    * when to retrain: occupancy skew means hot cells dominate probe cost,
+    * falling mean vector↔centroid cosine means the corpus drifted off the
+    * trained partition. One row per NON-EMPTY cell:
+    *
+    *   (ivf_cell, n_vectors, cos_sum_micro)
+    *
+    * with mean coherence = `cos_sum_micro / 1e6 / n_vectors`. The cosine
+    * sum is fixed-point micro-units (round(cos·10⁶) per vector, integer
+    * sum) — associative, so engine-internal aggregation order cannot
+    * change it and an external engine replays it exactly (the
+    * [[VectorAgg.vectorSumElements]] discipline; a double mean would
+    * differ by fold order).
+    *
+    * Plan: one assignment expression pass, a broadcast join against the
+    * nCells-row centroid table (float-rounded coefficients — the same
+    * values [[cellColumn]] scores with), one hash aggregate. */
+  def cellStats(embeddings: DataFrame, vecCol: String, model: IvfModel): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = model.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.map(_.toFloat).toSeq) }
+    val centDf = cents.toDF("ivf_cell", "__cent")
+    assign(embeddings, vecCol, model)
+      .join(broadcast(centDf), Seq("ivf_cell"))
+      .groupBy(col("ivf_cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(round(Similarity.cosine(col(vecCol), col("__cent")) * 1000000L)
+          .cast("long")).as("cos_sum_micro"))
+  }
+
   /** Train + assign in one call. */
   def build(embeddings: DataFrame, vecCol: String, idCol: String, nCells: Int,
             seed: Long = 42L, maxIter: Int = 20,

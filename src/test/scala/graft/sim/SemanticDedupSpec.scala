@@ -29,6 +29,48 @@ class SemanticDedupSpec extends SparkSpec {
     best
   }
 
+  test("cellStats matches brute-force occupancy and micro-cosine sums on a trained model") {
+    val rnd = new scala.util.Random(97L)
+    val dim = 8
+    val vecs = (1L to 120L).map { i =>
+      (i, Seq.fill(dim)((rnd.nextGaussian() * 2).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val model = Ivf.train(df, "embedding", "vec_id", nCells = 5, seed = 7L)
+    val got = Ivf.cellStats(df, "embedding", model)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    // brute force with the SAME float-rounded coefficients the expression
+    // scores with (cellStats joins float-cast centroids for the cosine)
+    val cf = model.centroids.map(_.map(_.toFloat))
+    def assignCell(v: Seq[Float]): Int = {
+      var best = 0; var bestScore = Double.NegativeInfinity
+      for (c <- model.centroids.indices) {
+        var acc = 0.0
+        for (i <- v.indices) acc += cf(c)(i).toDouble * v(i).toDouble
+        val score = acc - model.centroids(c).map(x => x * x).sum / 2.0
+        if (score > bestScore) { bestScore = score; best = c }
+      }
+      best
+    }
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val want = vecs.groupBy { case (_, v) => assignCell(v) }.toSeq.sortBy(_._1)
+      .map { case (c, vs) =>
+        (c, vs.size.toLong,
+          vs.map { case (_, v) => math.round(cos(v, cf(c).toSeq) * 1000000.0) }.sum)
+      }
+    assert(got.toSeq == want)
+    assert(got.map(_._2).sum == vecs.size)
+    // coherence sanity: every mean cosine is a valid cosine
+    got.foreach { case (c, n, micro) =>
+      val mean = micro / 1e6 / n
+      assert(mean >= -1.0 - 1e-6 && mean <= 1.0 + 1e-6, s"cell $c mean $mean")
+    }
+  }
+
   test("semanticDedup matches a union-find reference on random clustered vectors") {
     val rnd = new scala.util.Random(411L)
     for (round <- 1 to 3) {
