@@ -200,6 +200,21 @@ class PackingSpec extends SparkSpec {
     assert(got.filter(_._1 != 1L).map(_._2).distinct.length == 1)
   }
 
+  test("plan shape: the prefix sum never plans a single-partition window") {
+    val df = spark.createDataFrame((0L until 100L).map(i => (i, i % 7)))
+      .toDF("id", "n")
+    for (plan <- Seq(
+      Packing.packSequences(df, "id", "n", 64L).queryExecution.executedPlan,
+      Packing.packSequences(df, "id", "n", 64L, shuffled = true).queryExecution.executedPlan,
+      Packing.packGreedy(df, "id", "n", 64L).queryExecution.executedPlan)) {
+      val globals = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(globals.isEmpty, s"global window in:\n$plan")
+    }
+  }
+
   test("packedText round-trips the token stream") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
