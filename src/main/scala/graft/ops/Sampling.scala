@@ -180,4 +180,61 @@ object Sampling {
     // total reaches the budget; otherwise the estimate under-filled
     if (tokenTotal(survivors) >= budget) exactPass(survivors) else exactPass(df)
   }
+
+  /** At most `n` rows per key (e.g. per domain / per source), chosen by
+    * hash order of `idCol` — the standard cap against a handful of hosts
+    * dominating a web corpus. Result is EXACTLY the n smallest
+    * (hashScore, id) rows of every key, so it is replayable by any engine
+    * with md5 (`row_number() OVER (PARTITION BY key ORDER BY md5-prefix,
+    * id) <= n` in SQL).
+    *
+    * Scale shape — key frequencies are Zipfian, so the naive single
+    * window `row_number().over(partitionBy(key))` puts a hot key's every
+    * row (10⁸⁺ docs for a big crawl host) in ONE task. Instead:
+    *  1. `groupBy(key).count()` sizes every key (map-side partial agg
+    *     absorbs hot keys; the join-back is AQE-skew-splittable).
+    *  2. Keys with ≤ n rows are kept outright — no window at all. Under
+    *     Zipf that is almost every key.
+    *  3. Oversize keys pre-filter to `hashScore < safety·n/count` — the
+    *     kept set is a hash-prefix per key, and any per-key prefix with
+    *     ≥ n survivors provably contains that key's exact answer (every
+    *     non-survivor hashes above every survivor).
+    *  4. The ranking window runs over ~safety·n rows per key — bounded by
+    *     the cap, not the key's corpus share. Keys whose prefix
+    *     under-filled (hash clustering; P ≈ e^{-Θ(n)} per key) fall back
+    *     to their full row set, so the result is identical in every case.
+    *
+    * Null keys form one group like any SQL PARTITION BY; null ids sort
+    * last (never displace a hashable row). */
+  def perKeyCap(df: DataFrame, keyCol: String, idCol: String, n: Int,
+                safety: Double = 4.0): DataFrame = {
+    require(n > 0, s"cap must be positive: $n")
+    require(safety >= 1.0, s"safety factor must be >= 1: $safety")
+    val reserved = Seq("__k", "__cnt", "__ok", "__scnt", "__rn")
+    require(!df.columns.exists(reserved.contains),
+      s"input reserves column names ${reserved.mkString(", ")}")
+    val key = col(keyCol)
+    val outCols = df.columns.map(col).toSeq
+    val counts = df.groupBy(key.as("__k")).agg(count(lit(1)).as("__cnt"))
+    val joined = df.join(counts, key <=> col("__k"), "left")
+    val small = joined.where(col("__cnt") <= n)
+    val big = joined.where(col("__cnt") > n)
+    // per-row threshold: round(min(1, safety*n/cnt) * 2^32) as 8-digit hex
+    // (the expression form of hexThreshold — same rounding, same clamp)
+    val p = least(lit(1.0), lit(safety * n) / col("__cnt").cast("double"))
+    val thr = lpad(lower(hex(least(round(p * lit(4294967296.0)).cast("long"),
+      lit(4294967295L)))), 8, "0")
+    val surv = big.where(p >= 1.0 || hashScore(col(idCol)) < thr)
+    // keys whose prefix holds ≥ n survivors are safe; the rest rank fully
+    val okKeys = surv.groupBy(col("__k").as("__ok")).agg(count(lit(1)).as("__scnt"))
+      .where(col("__scnt") >= n).select(col("__ok"))
+    val windowInput =
+      surv.join(okKeys, col("__k") <=> col("__ok"), "left_semi") unionByName
+        big.join(okKeys, col("__k") <=> col("__ok"), "left_anti")
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(hashScore(col(idCol)).asc_nulls_last, col(idCol).asc_nulls_last)
+    val capped = windowInput.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+    small.select(outCols: _*) unionByName capped.select(outCols: _*)
+  }
 }

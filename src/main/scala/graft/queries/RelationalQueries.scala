@@ -245,6 +245,16 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── per-key cap: at most 70 docs per language, hash order — the
+    // anti-domination cap. fr/de are under the cap (kept outright, no
+    // window), es/zh/en rank inside their bounded hash prefix ─────
+    "q96_domain_cap" -> ((s, d) => {
+      graft.ops.Sampling.perKeyCap(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")),
+          keyCol = "lang", idCol = "doc_id", n = 70)
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── hierarchical rollup: per-(flag,status), per-flag, and grand
     // totals in ONE pass (Expand feeds a single aggregate — no
     // re-reading the table per level) ─────
@@ -443,6 +453,15 @@ object RelationalQueries {
          FROM d JOIN thr USING (lang)
          WHERE p >= 1.0 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < h
          ORDER BY d.doc_id""",
+    // the cap is EXACTLY top-n per key by (md5-prefix, id) — the oracle
+    // is the plain single-window form the operator avoids at scale
+    "q96_domain_cap" ->
+      """SELECT doc_id, lang, source FROM (
+           SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+           FROM documents) WHERE rn <= 70
+         ORDER BY doc_id""",
     // DuckDB GROUPING() emits the same bitmask as Spark's grouping_id
     "q54_rollup" ->
       """SELECT l_returnflag, l_linestatus,

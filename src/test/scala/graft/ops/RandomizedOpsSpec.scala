@@ -108,6 +108,33 @@ class RandomizedOpsSpec extends SparkSpec {
     }
   }
 
+  test("perKeyCap equals exact top-n per key under skew, tight safety, and null keys") {
+    val rnd = new scala.util.Random(71L)
+    def score(id: Long): String =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(8)
+    for (round <- 1 to 4) {
+      // Zipf-ish keys: one hot key holds most rows, plus a null-key group
+      val rows = (1L to 120L).map { i =>
+        val k = rnd.nextInt(10) match {
+          case 0 => Option.empty[String]
+          case j if j <= 6 => Some("hot")
+          case j => Some(s"k$j")
+        }
+        (i, k)
+      }
+      val n = 1 + rnd.nextInt(12)
+      // safety = 1.0 keeps the prefix ≈ n survivors, so the under-fill
+      // fallback actually fires some rounds; 4.0 is the production shape
+      for (safety <- Seq(1.0, 4.0)) {
+        val got = Sampling.perKeyCap(rows.toDF("id", "k"), "k", "id", n, safety)
+          .select("id").as[Long].collect().toSet
+        val expect = rows.groupBy(_._2).values.flatMap(
+          _.map(_._1).sortBy(id => (score(id), id)).take(n)).toSet
+        assert(got === expect, s"round $round n=$n safety=$safety")
+      }
+    }
+  }
+
   test("temperatureMixture matches the md5-threshold model; shares follow size^alpha") {
     val rnd = new scala.util.Random(53L)
     def md5hex8(id: Long): String = java.security.MessageDigest.getInstance("MD5")
