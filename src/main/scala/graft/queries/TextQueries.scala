@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.text.{Packing, TextOps}
+import graft.text.{Packing, SubstringDedup, TextOps}
 import graft.dedup.Dedup
 import graft.sim.{Ivf, Pq, Similarity}
 
@@ -725,6 +725,28 @@ object TextQueries {
       Packing.packedText(Packing.packSequences(docs, "doc_id", "n", 1024L),
           base, "doc_id", "text")
         .orderBy(col("seq"))
+    }),
+
+    // ───── ExactSubstr: strip every 8-token span duplicated anywhere in
+    // the corpus, keeping the first (min id, pos) occurrence — repeated
+    // boilerplate dies even where whole-document dedup can't see it ─────
+    "q97_substring_dedup" -> ((s, d) => {
+      SubstringDedup.substringDedup(Tables.documents(s, d), "text", "doc_id",
+          k = 8, keepFirst = true)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ───── incremental ExactSubstr: the odd-id batch deduped against the
+    // even-id history's gram index — history always wins, in-batch dups
+    // keep their first occurrence ─────
+    "q98_substring_dedup_inc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      SubstringDedup.substringDedupAgainstHistory(
+          docs.where(col("doc_id") % 2 === 1),
+          SubstringDedup.gramIndex(
+            docs.where(col("doc_id") % 2 === 0), "text", "doc_id", 8),
+          "text", "doc_id", k = 8)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1704,6 +1726,74 @@ object TextQueries {
             COALESCE(c.component, e.vec_id) = e.vec_id AS keep
           FROM embeddings e JOIN assigned s USING (vec_id)
           LEFT JOIN comp c ON e.vec_id = c.id
-          ORDER BY e.vec_id"""
+          ORDER BY e.vec_id""",
+
+    // grams grouped by their STRING (the operator hashes them — identical
+    // short of an xxhash64 collision); canonical occurrence = row_number 1
+    // over (doc_id, pos); token coverage replays the same RANGE-frame
+    // lookback; rebuild = ordered string_agg over surviving tokens
+    "q97_substring_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+          occ AS (
+            SELECT doc_id, s AS pos, array_to_string(tk[s + 1 : s + 8], ' ') AS gram
+            FROM t, UNNEST(range(greatest(len(tk) - 7, 0))) AS u(s)),
+          marked AS (
+            SELECT doc_id, pos,
+              count(*) OVER (PARTITION BY gram) AS cnt,
+              row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+            FROM occ),
+          removable AS (SELECT doc_id, pos FROM marked WHERE cnt >= 2 AND rn > 1),
+          tok AS (SELECT doc_id, s AS pos, tk[s + 1] AS w
+                  FROM t, UNNEST(range(len(tk))) AS u(s)),
+          ev AS (
+            SELECT doc_id, pos, w, 0 AS s FROM tok
+            UNION ALL SELECT doc_id, pos, NULL, 1 FROM removable),
+          fl AS (
+            SELECT doc_id, pos, w, s,
+              max(s) OVER (PARTITION BY doc_id ORDER BY pos
+                           RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS rem
+            FROM ev)
+          SELECT doc_id,
+            coalesce(string_agg(w, ' ' ORDER BY pos) FILTER (WHERE rem = 0), '') AS clean_text,
+            CAST(sum(rem) AS INT) AS n_removed,
+            CAST(count(*) AS INT) AS n_tokens
+          FROM fl WHERE s = 0
+          GROUP BY doc_id ORDER BY doc_id""",
+
+    // q97's machinery over the odd-id batch, with removability extended
+    // by membership in the even-id history's distinct-gram set
+    "q98_substring_dedup_inc" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id % 2 = 1),
+          h AS (
+            SELECT DISTINCT array_to_string(tk[s + 1 : s + 8], ' ') AS gram
+            FROM (SELECT $toks AS tk FROM documents WHERE doc_id % 2 = 0),
+                 UNNEST(range(greatest(len(tk) - 7, 0))) AS u(s)),
+          occ AS (
+            SELECT doc_id, s AS pos, array_to_string(tk[s + 1 : s + 8], ' ') AS gram
+            FROM t, UNNEST(range(greatest(len(tk) - 7, 0))) AS u(s)),
+          marked AS (
+            SELECT doc_id, pos, gram,
+              count(*) OVER (PARTITION BY gram) AS cnt,
+              row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+            FROM occ),
+          removable AS (
+            SELECT m.doc_id, m.pos FROM marked m LEFT JOIN h ON m.gram = h.gram
+            WHERE h.gram IS NOT NULL OR (m.cnt >= 2 AND m.rn > 1)),
+          tok AS (SELECT doc_id, s AS pos, tk[s + 1] AS w
+                  FROM t, UNNEST(range(len(tk))) AS u(s)),
+          ev AS (
+            SELECT doc_id, pos, w, 0 AS s FROM tok
+            UNION ALL SELECT doc_id, pos, NULL, 1 FROM removable),
+          fl AS (
+            SELECT doc_id, pos, w, s,
+              max(s) OVER (PARTITION BY doc_id ORDER BY pos
+                           RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS rem
+            FROM ev)
+          SELECT doc_id,
+            coalesce(string_agg(w, ' ' ORDER BY pos) FILTER (WHERE rem = 0), '') AS clean_text,
+            CAST(sum(rem) AS INT) AS n_removed,
+            CAST(count(*) AS INT) AS n_tokens
+          FROM fl WHERE s = 0
+          GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -147,6 +147,42 @@ object StreamingViews {
       }
   }
 
+  /** Streaming corpus ingest: the stateless prefix of
+    * [[graft.text.Corpus.cleanIncremental]] as a live stream —
+    *
+    *   quality gate → (optional) Bloom history filter → watermarked
+    *   first-fingerprint-wins dedupe
+    *
+    * Every stage keeps the scale shape of its batch twin: the quality
+    * gate and fingerprint are pure codegen expressions on the scan, the
+    * history test is a stateless predicate (no stream-static join, no
+    * per-micro-batch history scan), and the only state is the
+    * watermark-bounded in-stream fingerprint dedupe. Near-dup clustering
+    * is deliberately NOT here: PPJoin + connected components need the
+    * whole batch's candidate graph, so the streaming pipeline lands
+    * cleaned docs and the nightly `cleanIncremental` run clusters them —
+    * the standard lambda split for dedup state too big to keep hot.
+    *
+    * Emits the input columns plus `fp` (the md5 fingerprint, for
+    * downstream history maintenance). Quality failures and duplicates are
+    * dropped, not flagged — append-mode streams cannot retract a flag. */
+  def streamingClean(docs: DataFrame, textCol: String, tsCol: String,
+                     stopwords: Seq[String],
+                     historyBloom: Option[Array[Byte]] = None,
+                     watermark: String = "1 hour"): DataFrame = {
+    val gated = docs
+      .where(graft.text.Corpus.qualityKeep(col(textCol), stopwords))
+      .withColumn("fp", graft.text.TextOps.fingerprint(col(textCol)))
+    val unseen = historyBloom.fold(gated)(b =>
+      gated.where(!graft.dedup.Dedup.bloomMightContain(b, col("fp"))))
+    // WithinWatermark (not dropDuplicates(fp, ts)): a re-crawled dup
+    // carries a DIFFERENT timestamp, so ts must not be part of the key —
+    // any same-fp arrival inside the watermark horizon drops, and state
+    // still expires at the horizon
+    unseen.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("fp"))
+  }
+
   /** One-shot catch-up run into a day-partitioned view — the streaming
     * equivalent of the reference's per-day batch loop. */
   def availableNowWriter(df: DataFrame, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =

@@ -245,4 +245,50 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
       assert(spark.table("dd").count() === 2)
     } finally q.stop()
   }
+
+  test("streamingClean gates quality, drops history dups, dedups whitespace-equal docs") {
+    import graft.text.TextOps
+    val dir = Files.createTempDirectory("graft_stream_clean").toString
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val hist = "one two three four five six seven eight nine ten eleven twelve"
+    // batch 1: the original good doc, a quality failure, a history dup
+    val b1 = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1L, good),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 3L, "too short"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:04:00"), 4L, hist)
+    ).toDF("ts", "doc_id", "text")
+    // batch 2 (a LATER micro-batch): a whitespace-variant of doc 1 — same
+    // fingerprint, different ts — must be dropped by RETAINED dedup state
+    // (only WithinWatermark semantics catch this; (fp, ts)-keyed dedup
+    // wouldn't), plus a genuinely fresh doc
+    val b2 = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 2L,
+        "  " + good.replace(" ", "   ")),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 5L,
+        "fresh unique words carry twelve distinct tokens here more pad fill end")
+    ).toDF("ts", "doc_id", "text")
+    b1.coalesce(1).write.parquet(s"$dir/in")
+    Thread.sleep(1100) // distinct mtimes: maxFilesPerTrigger orders on them
+    b2.coalesce(1).write.mode("append").parquet(s"$dir/in")
+    // history compressed to a fingerprint bloom — built once, shipped as
+    // bytes; oversized so the deterministic test can't false-positive
+    val bloom = graft.dedup.Dedup.keyBloom(
+      Seq(hist).toDF("text").select(TextOps.fingerprint($"text").as("fp")),
+      $"fp", expectedItems = 1, numBits = 1 << 16)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val out = StreamingViews.streamingClean(stream, "text", "ts",
+      Seq("the", "a", "of", "and", "to"), Some(bloom))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sclean").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sclean").select("doc_id", "fp")
+        .as[(Long, String)].collect().sortBy(_._1)
+      assert(rows.map(_._1).toSeq === Seq(1L, 5L))
+      // the emitted fp is the real md5 fingerprint (usable as history state)
+      assert(rows.head._2 ===
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(good))
+    } finally q.stop()
+  }
 }

@@ -287,4 +287,72 @@ class RandomizedDedupSpec extends SparkSpec {
         assert(math.abs(c - cos(byId(a)._2, byId(b)._2)) < 1e-9, s"($a,$b)") }
     }
   }
+
+  test("substringDedup matches the brute-force span model on random corpora") {
+    val rnd = new scala.util.Random(97L)
+    def model(docs: Seq[(Long, String)], k: Int, keepFirst: Boolean)
+        : Map[Long, (String, Int, Int)] = {
+      val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+      val occs = for {
+        (id, tk) <- toks; p <- 0 to tk.length - k
+      } yield (tk.slice(p, p + k).mkString(" "), id, p)
+      val removable = occs.groupBy(_._1).values.flatMap { os =>
+        if (os.size < 2) Nil
+        else if (keepFirst) os.sortBy(o => (o._2, o._3)).tail else os
+      }.map(o => (o._2, o._3)).toSet
+      toks.map { case (id, tk) =>
+        val rem = tk.indices.filter(p =>
+          (math.max(0, p - k + 1) to p).exists(s => removable((id, s)))).toSet
+        id -> (tk.indices.filterNot(rem).map(tk).mkString(" "),
+               rem.size, tk.length)
+      }.toMap
+    }
+    for (round <- 1 to 4; keepFirst <- Seq(true, false)) {
+      val k = 2 + rnd.nextInt(3)
+      // tiny vocabulary + repeated templates → dense duplicated spans,
+      // including within-doc repeats; plus empty + whitespace-only docs
+      val docs = randomDocs(rnd, 40) ++
+        Seq((98L, ""), (99L, "   "), (100L, "alpha beta"))
+      val got = SubstringDedup.substringDedup(
+          docs.toDF("doc_id", "text"), "text", "doc_id", k, keepFirst)
+        .as[(Long, String, Int, Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got === model(docs, k, keepFirst),
+        s"round $round k=$k keepFirst=$keepFirst")
+    }
+  }
+
+  test("substringDedupAgainstHistory matches the staged model on random splits") {
+    val rnd = new scala.util.Random(98L)
+    for (round <- 1 to 4) {
+      val k = 2 + rnd.nextInt(3)
+      val all = randomDocs(rnd, 40)
+      val (hist, batch) = all.partition(_._1 % 2 == 0)
+      def gramsOf(tk: Seq[String]): Seq[(Int, String)] =
+        (0 to tk.length - k).map(p => p -> tk.slice(p, p + k).mkString(" "))
+      val histGrams = hist.flatMap { case (_, t) =>
+        gramsOf(t.trim.split("\\s+").toSeq).map(_._2) }.toSet
+      val toks = batch.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+      val occs = for ((id, tk) <- toks; (p, g) <- gramsOf(tk)) yield (g, id, p)
+      val firstIn = occs.groupBy(_._1).map { case (g, os) =>
+        g -> os.map(o => (o._2, o._3)).min }
+      val batchCnt = occs.groupBy(_._1).map { case (g, os) => g -> os.size }
+      val removable = occs.filter { case (g, id, p) =>
+        histGrams(g) || (batchCnt(g) >= 2 && firstIn(g) != ((id, p)))
+      }.map(o => (o._2, o._3)).toSet
+      val expect = toks.map { case (id, tk) =>
+        val rem = tk.indices.filter(p =>
+          (math.max(0, p - k + 1) to p).exists(s => removable((id, s)))).toSet
+        id -> ((tk.indices.filterNot(rem).map(tk).mkString(" "),
+                rem.size, tk.length))
+      }.toMap
+      val got = SubstringDedup.substringDedupAgainstHistory(
+          batch.toDF("doc_id", "text"),
+          SubstringDedup.gramIndex(hist.toDF("doc_id", "text"), "text", "doc_id", k),
+          "text", "doc_id", k)
+        .as[(Long, String, Int, Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got === expect, s"round $round k=$k")
+    }
+  }
 }
