@@ -46,7 +46,11 @@ object GraftFunctions {
     // same pattern as TextOps.bpeTokenCount — the subword budget statistic
     "graft_bpe_count" -> unary("graft_bpe_count", e =>
       new Size(new RegExpExtractAll(e, Literal(graft.text.TextOps.BpeTokenRe),
-        Literal(0)))) _)
+        Literal(0)))) _,
+    // same composition as TextOps.normalizeText — NFC, then control strip
+    "graft_normalize" -> unary("graft_normalize", e =>
+      RegExpReplace(NfcNormalize(e),
+        Literal(graft.text.TextOps.ControlCharRe), Literal(""))) _)
 
   /** Install every graft function into a live session. Idempotent. */
   def register(spark: SparkSession): Unit = {

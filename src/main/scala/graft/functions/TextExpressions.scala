@@ -108,6 +108,50 @@ case class ArrayStringLenSum(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (composed canonical form) — no Spark
+  * built-in exists. Crawled text mixes composed and decomposed forms of
+  * the same glyph ("é" as one codepoint vs "e"+U+0301); every
+  * downstream equality — fingerprints, shingles, paragraph hashes —
+  * silently misses duplicates until forms are canonicalized, so this
+  * belongs at ingest, on every document.
+  *
+  * Fast paths keep the hot loop allocation-free for the common case:
+  * pure-ASCII strings (numBytes == numChars) are NFC by definition and
+  * return the input reference; non-ASCII strings already in NFC (the
+  * vast majority of real UTF-8 text) return the input after an
+  * `isNormalized` scan. Only genuinely decomposed strings pay the
+  * normalize-and-reencode. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"NfcNormalize needs string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.NfcNormalize$$.MODULE$$.nfc($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def nfc(s: UTF8String): UTF8String = {
+    if (s.numBytes == s.numChars) s // pure ASCII: NFC is the identity
+    else {
+      val str = s.toString
+      if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    }
+  }
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graft.ColumnBridge
 
@@ -118,4 +162,8 @@ object TextExpressions {
   /** Character-length sum of a string array (codegen). */
   def lenSum(arr: Column): Column =
     ColumnBridge.column(ArrayStringLenSum(ColumnBridge.expression(arr)))
+
+  /** Unicode NFC canonicalization (codegen). */
+  def nfc(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
 }

@@ -736,6 +736,22 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── Unicode canonicalization: decomposed combining marks + a
+    // control char injected in the QUERY (so the oracle sees identical
+    // input), then NFC + control strip — the ingest normalization every
+    // hash-equality downstream depends on ─────
+    "q99_normalized" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            lit(" café naïve")).otherwise(lit(""))).as("raw"))
+        .select(col("doc_id"),
+          TextOps.normalizeText(col("raw")).as("clean_text"),
+          (length(col("raw")) - length(TextOps.normalizeText(col("raw"))))
+            .cast("int").as("n_changed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── incremental ExactSubstr: the odd-id batch deduped against the
     // even-id history's gram index — history always wins, in-batch dups
     // keep their first occurrence ─────
@@ -1794,6 +1810,24 @@ object TextQueries {
             CAST(sum(rem) AS INT) AS n_removed,
             CAST(count(*) AS INT) AS n_tokens
           FROM fl WHERE s = 0
-          GROUP BY doc_id ORDER BY doc_id"""
+          GROUP BY doc_id ORDER BY doc_id""",
+
+    // chr(769)/chr(776) are the combining acute/diaeresis — the same
+    // DECOMPOSED injection as the Spark query; nfc_normalize + the shared
+    // control-char class replay normalizeText exactly
+    "q99_normalized" ->
+      """WITH raw AS (
+           SELECT doc_id, text || CASE WHEN doc_id % 5 = 0
+             THEN ' cafe' || chr(769) || ' nai' || chr(776) || 've' || chr(7)
+             ELSE '' END AS raw
+           FROM documents),
+         n AS (
+           SELECT doc_id, raw,
+             regexp_replace(nfc_normalize(raw),
+               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS clean_text
+           FROM raw)
+         SELECT doc_id, clean_text,
+           CAST(length(raw) - length(clean_text) AS INT) AS n_changed
+         FROM n ORDER BY doc_id"""
   )
 }

@@ -119,6 +119,19 @@ object TextOps {
     regexp_replace(regexp_replace(text, UrlRe, "<URL>"),
       EmailRe, "<EMAIL>")
 
+  /** Control characters with no place in training text: C0 except
+    * tab/LF/CR, plus DEL. Hex escapes read identically in Java regex and
+    * RE2 — shared with the SQL oracle. */
+  val ControlCharRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Ingest-time text canonicalization: Unicode NFC (composed forms —
+    * without it, fingerprints/shingles/paragraph hashes silently miss
+    * duplicates whose bytes differ only by composition) then control-char
+    * strip. NFC is a codegen expression ([[graft.functions.NfcNormalize]])
+    * with an identity fast path for ASCII and already-normalized text. */
+  def normalizeText(text: Column): Column =
+    regexp_replace(graft.functions.TextExpressions.nfc(text), ControlCharRe, "")
+
   /** Polynomial rolling hash over tokens (base-31 Horner form mod 2^31-1 —
     * modular to stay inside Long under ANSI arithmetic). Order-sensitive
     * unlike `fingerprint`'s normalization-insensitive md5 — detects

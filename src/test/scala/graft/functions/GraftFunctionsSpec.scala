@@ -103,4 +103,41 @@ class GraftFunctionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders validated above
   }
+
+  test("NfcNormalize: codegen matches interpreted; fast paths return input") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val decomposed = "café naïve" // e/i + combining marks
+    val composed = "café naïve"
+    val expr = NfcNormalize(BoundReference(0, StringType, nullable = false))
+    val proj = UnsafeProjection.create(Seq(expr)) // throws on bad codegen
+    for (s <- Seq(decomposed, composed, "plain ascii", "")) {
+      val gen = proj(InternalRow(UTF8String.fromString(s))).getUTF8String(0).toString
+      val interp = expr.eval(InternalRow(UTF8String.fromString(s)))
+        .asInstanceOf[UTF8String].toString
+      assert(gen === interp, s"input: $s")
+      assert(gen === java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+    // identity fast paths: ASCII and already-NFC inputs return the SAME ref
+    val ascii = UTF8String.fromString("plain")
+    assert(NfcNormalize.nfc(ascii) eq ascii)
+    val nfc = UTF8String.fromString(composed)
+    assert(NfcNormalize.nfc(nfc) eq nfc)
+    assert(NfcNormalize.nfc(UTF8String.fromString(decomposed)).toString === composed)
+  }
+
+  test("graft_normalize in SQL matches TextOps.normalizeText") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq("café ok", "plain", "").toDF("t")
+    df.createOrReplaceTempView("norm_docs")
+    val viaSql = spark.sql("SELECT graft_normalize(t) AS n FROM norm_docs")
+      .as[String].collect().toSeq
+    val viaCol = df.select(graft.text.TextOps.normalizeText(col("t")).as("n"))
+      .as[String].collect().toSeq
+    assert(viaSql === viaCol && viaSql === Seq("café ok", "plain", ""))
+  }
 }
