@@ -74,11 +74,22 @@ object Corpus {
       case Some((maxDupLine, maxTopBigram)) =>
         val rep = TextOps.repetitionSignals(docs, textCol, idCol)
           .select(col(idCol), col("dup_line_frac"), col("top_bigram_char_frac"))
-        base.join(rep, Seq(idCol))
-          .withColumn("keep_quality", col("keep_quality") &&
+        // the quality flag stops being a cheap re-runnable scan expression
+        // once the repetition aggregation joins in, and the frame feeds
+        // BOTH the shingle pipeline and the final flag join. Checkpoint
+        // ONLY the NARROW (id, keep_quality) verdict — a wide checkpoint
+        // would barrier column pruning and force full-text rows through
+        // block storage (measured 2× slower); each consumer instead
+        // re-runs the pruned scan and joins the 9-byte/row verdict.
+        val qFlag = docs
+          .select(col(idCol), qualityKeep(col(textCol), stopwords).as("kq"))
+          .join(rep, Seq(idCol))
+          .select(col(idCol), (col("kq") &&
             col("dup_line_frac") <= maxDupLine &&
-            col("top_bigram_char_frac") <= maxTopBigram)
-          .drop("dup_line_frac", "top_bigram_char_frac")
+            col("top_bigram_char_frac") <= maxTopBigram).as("keep_quality"))
+          .localCheckpoint(eager = false)
+        docs.join(qFlag, Seq(idCol))
+          .select(docs.columns.map(col) :+ col("keep_quality"): _*)
     }
     val withE = withQ
       .withColumn("fp", exactKey(col(textCol), col("keep_quality"), col(idCol)))

@@ -624,7 +624,12 @@ class TextDedupSimSpec extends SparkSpec {
         Dedup.ngramJaccardPairs(docs.withColumn("lang", lit("en")), "text",
           "doc_id", Seq("lang"), 3, 0.5),
       "ngramJaccardJoin" -> Dedup.ngramJaccardJoin(docs, docs, "text", "doc_id", 3, 0.5),
-      "containmentJoin" -> Dedup.containmentJoin(docs, docs, "text", "doc_id", 3, 0.5))
+      "containmentJoin" -> Dedup.containmentJoin(docs, docs, "text", "doc_id", 3, 0.5),
+      // same Zipfian-gram concern for ExactSubstr: occurrence stats must
+      // be the partially-aggregable groupBy, never a gram-keyed window
+      "substringDedup" -> SubstringDedup.substringDedup(docs, "text", "doc_id", 3),
+      "substringDedupAgainstHistory" -> SubstringDedup.substringDedupAgainstHistory(
+        docs, SubstringDedup.gramIndex(docs, "text", "doc_id", 3), "text", "doc_id", 3))
     plans.foreach { case (name, df) =>
       val offending = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
