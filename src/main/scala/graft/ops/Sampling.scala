@@ -237,4 +237,27 @@ object Sampling {
       .where(col("__rn") <= n)
     small.select(outCols: _*) unionByName capped.select(outCols: _*)
   }
+
+  /** Deterministic train/val/test (or any n-way) split: each row gets the
+    * label of the md5-hash interval its id falls in — scan-side, shuffle
+    * free, stable across runs/partitionings/engines (a doc NEVER migrates
+    * between splits when the corpus grows, the property random splits
+    * lack and eval hygiene needs). `fractions` need not sum to 1; rows
+    * past the last cumulative threshold get the final label (the
+    * remainder split). Null ids sort above every hash, landing in the
+    * last split deterministically. */
+  def hashSplit(df: DataFrame, idCol: String,
+                fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.size >= 2, "need at least two splits")
+    require(fractions.map(_._2).forall(f => f >= 0 && f <= 1) &&
+      fractions.map(_._2).sum <= 1.0 + 1e-9,
+      s"fractions must be probabilities summing to <= 1: $fractions")
+    val cum = fractions.init.scanLeft(0.0)(_ + _._2).tail
+    val score = hashScore(col(idCol))
+    val labeled = fractions.init.zip(cum).foldRight(
+      lit(fractions.last._1): Column) { case (((name, _), c), rest) =>
+      when(score < lit(hexThreshold(c)), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", labeled)
+  }
 }

@@ -245,6 +245,16 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── deterministic 80/10/10 train/val/test split: md5-interval
+    // labels, scan-side and growth-stable (a doc never migrates splits
+    // when the corpus grows — the eval-hygiene property) ─────
+    "q100_split" -> ((s, d) => {
+      graft.ops.Sampling.hashSplit(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── per-key cap: at most 70 docs per language, hash order — the
     // anti-domination cap. fr/de are under the cap (kept outright, no
     // window), es/zh/en rank inside their bounded hash prefix ─────
@@ -453,6 +463,16 @@ object RelationalQueries {
          FROM d JOIN thr USING (lang)
          WHERE p >= 1.0 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < h
          ORDER BY d.doc_id""",
+    // thresholds are the same round(p·2^32) hex rounding hashSplit uses
+    "q100_split" ->
+      s"""SELECT doc_id, lang,
+            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   < '${graft.ops.Sampling.hexThreshold(0.8)}' THEN 'train'
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   < '${graft.ops.Sampling.hexThreshold(0.9)}' THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents ORDER BY doc_id""",
+
     // the cap is EXACTLY top-n per key by (md5-prefix, id) — the oracle
     // is the plain single-window form the operator avoids at scale
     "q96_domain_cap" ->

@@ -135,6 +135,33 @@ class RandomizedOpsSpec extends SparkSpec {
     }
   }
 
+  test("hashSplit matches the md5-interval model; splits are growth-stable") {
+    def score(id: Long): String =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(8)
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val t1 = Sampling.hexThreshold(0.8); val t2 = Sampling.hexThreshold(0.9)
+    def model(id: Long): String =
+      if (score(id) < t1) "train" else if (score(id) < t2) "val" else "test"
+    val ids = (1L to 400L)
+    val got = Sampling.hashSplit(ids.toDF("id"), "id", fr)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(got === ids.map(i => i -> model(i)).toMap)
+    // growth stability: the 400-row assignment is a restriction of the
+    // 4000-row assignment — no doc migrates when the corpus grows
+    val grown = Sampling.hashSplit((1L to 4000L).toDF("id"), "id", fr)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(ids.forall(i => grown(i) == got(i)))
+    // all three splits non-empty at n=400 and roughly proportioned
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.keySet === Set("train", "val", "test"))
+    assert(sizes("train") > sizes("val") && sizes("train") > sizes("test"))
+    // null ids land in the LAST split, deterministically
+    val withNull = Sampling.hashSplit(
+      Seq(Some(1L), None).toDF("id"), "id", fr)
+      .select("split").as[String].collect()
+    assert(withNull.contains("test"))
+  }
+
   test("temperatureMixture matches the md5-threshold model; shares follow size^alpha") {
     val rnd = new scala.util.Random(53L)
     def md5hex8(id: Long): String = java.security.MessageDigest.getInstance("MD5")
