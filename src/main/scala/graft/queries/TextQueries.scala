@@ -321,6 +321,36 @@ object TextQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // ───── duplication audit: cluster-size histogram over q44's
+    // components — the "how duplicated is this corpus" report (n_clusters
+    // at each size; singletons included). Two tiny aggregates on top of
+    // the CC output ─────
+    "q101_cluster_sizes" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pairs = Similarity.cosinePairs(emb, "embedding", "vec_id",
+        "label", threshold = 0.35)
+      Dedup.dedupeByPairs(emb.select(col("vec_id")), "vec_id", pairs)
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+
+    // ───── one-call corpus report: the numbers a curation run prints
+    // first. Exact counts only (no rate divisions — integer parity is
+    // unbreakable); ONE aggregate over a single scan ─────
+    "q102_corpus_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(when(graft.text.Corpus.qualityKeep(col("text"), stopwords), 1L)
+          .otherwise(0L)).as("n_quality_pass"),
+        countDistinct(TextOps.fingerprint(col("text"))).as("n_unique_docs"))
+    }),
+
     // ───── corpus length distribution: EXACT per-stratum quantiles (both
     // engines interpolate linearly, so values match bit-for-bit on the
     // same doubles). One shuffle; percentile carries a per-group value
@@ -912,6 +942,41 @@ object TextQueries {
                  COALESCE(c.component, e.vec_id) = e.vec_id AS keep
           FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
           ORDER BY e.vec_id""",
+    // q44's recursive-CTE components, then the two-level size rollup
+    "q101_cluster_sizes" ->
+      s"""WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35),
+          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          reach AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            WHERE e.v <> r.u),
+          comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component
+                   FROM reach GROUP BY u),
+          assigned AS (
+            SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS component
+            FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id),
+          sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+                    FROM assigned GROUP BY component)
+          SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+          FROM sizes GROUP BY sz ORDER BY cluster_size""",
+    // q22's keep rule inlined; everything integer-exact
+    "q102_corpus_report" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(len($toks)) AS BIGINT) AS n_tokens,
+            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+            CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+            CAST(sum(CASE WHEN len($toks) >= 10
+              AND CAST(len(list_filter($toks, w -> w IN ('the','a','of','and','to'))) AS DOUBLE) / len($toks) <= 0.5
+              AND CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) >= 0.3
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+            CAST(count(DISTINCT md5(lower(array_to_string($toks, ' ')))) AS BIGINT) AS n_unique_docs
+          FROM documents""",
     "q47_quality_quantiles" ->
       s"""SELECT lang,
             quantile_cont(CAST(len($toks) AS DOUBLE), 0.25) AS p25,
