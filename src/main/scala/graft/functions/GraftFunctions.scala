@@ -50,7 +50,13 @@ object GraftFunctions {
     // same composition as TextOps.normalizeText — NFC, then control strip
     "graft_normalize" -> unary("graft_normalize", e =>
       RegExpReplace(NfcNormalize(e),
-        Literal(graft.text.TextOps.ControlCharRe), Literal(""))) _)
+        Literal(graft.text.TextOps.ControlCharRe), Literal(""))) _,
+    // graft_hash_vector(tokens, dim) — dim must be a literal (it sizes
+    // the accumulator at plan time)
+    "graft_hash_vector" -> binary("graft_hash_vector", (arr, d) => {
+      require(d.foldable, "graft_hash_vector: dim must be a literal")
+      HashingVector(arr, d.eval().asInstanceOf[Number].intValue())
+    }) _)
 
   /** Install every graft function into a live session. Idempotent. */
   def register(spark: SparkSession): Unit = {

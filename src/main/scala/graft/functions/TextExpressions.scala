@@ -152,6 +152,68 @@ object NfcNormalize {
   }
 }
 
+/** Hashing-trick document vectors (feature hashing, Weinberger et al.
+  * 2009 / Vowpal Wabbit): token → md5-prefix bucket → per-bucket counts
+  * as one `array<long>` of length `dim`. Gives every downstream vector
+  * operator (cosine pairs, ANN, semantic dedup, centroids) a document
+  * representation WITHOUT an external embedder, and stays engine-
+  * replayable: the bucket is the first 8 md5 hex digits taken as an
+  * unsigned int mod dim — `CAST('0x' || substr(md5(w),1,8) AS BIGINT) %
+  * dim` in DuckDB, `conv(substring(md5(w),1,8),16,10) % dim` in SQL
+  * Spark. Counts are exact integers, so parity cannot break on floats.
+  *
+  * A native expression rather than HOFs because the HOF form is
+  * O(dim × tokens) per document (filter per bucket) and interpreted;
+  * this is one compiled O(tokens) pass with a long[dim] accumulator. */
+case class HashingVector(child: Expression, dim: Int) extends UnaryExpression {
+  require(dim > 0, s"dim must be positive: $dim")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"HashingVector needs array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashingVector.count(input.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.HashingVector$$.MODULE$$.count($arr, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashingVector {
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** Bucket = first 4 digest bytes as an unsigned 32-bit int, mod dim —
+    * exactly the value of the first 8 md5 HEX DIGITS, so any engine with
+    * md5 + hex parsing replays it. */
+  def bucket(w: UTF8String, dim: Int): Int = {
+    val d = md.get(); d.reset()
+    val h = d.digest(w.getBytes)
+    val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    (v % dim).toInt
+  }
+
+  def count(arr: ArrayData, dim: Int): ArrayData = {
+    val counts = new Array[Long](dim)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) counts(bucket(arr.getUTF8String(i), dim)) += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graft.ColumnBridge
 
@@ -166,4 +228,8 @@ object TextExpressions {
   /** Unicode NFC canonicalization (codegen). */
   def nfc(text: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+
+  /** Feature-hashed token-count vector (codegen). */
+  def hashingVector(arr: Column, dim: Int): Column =
+    ColumnBridge.column(HashingVector(ColumnBridge.expression(arr), dim))
 }

@@ -336,6 +336,18 @@ object TextQueries {
         .orderBy(col("cluster_size"))
     }),
 
+    // ───── feature-hashed doc vectors: md5-bucket token counts, the
+    // embedder-free representation for the vector stack. dim=16 keeps the
+    // oracle's O(dim·tokens) HOF replay cheap; integer-exact parity ─────
+    "q103_hashing_vectors" -> ((s, d) => {
+      // exploded (doc_id, bucket, n) — scalar columns survive the hash
+      // compare; the vector expression itself is what's under test
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextOps.hashingVector(col("text"), 16)).as(Seq("bucket", "n")))
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
+
     // ───── one-call corpus report: the numbers a curation run prints
     // first. Exact counts only (no rate divisions — integer parity is
     // unbreakable); ONE aggregate over a single scan ─────
@@ -965,6 +977,15 @@ object TextQueries {
                     FROM assigned GROUP BY component)
           SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
           FROM sizes GROUP BY sz ORDER BY cluster_size""",
+    // the operator's compiled O(tokens) pass, replayed as the O(dim·n)
+    // HOF form: bucket = first 8 md5 hex digits as unsigned int mod dim
+    "q103_hashing_vectors" ->
+      s"""SELECT doc_id, CAST(i AS INT) AS bucket,
+            CAST(len(list_filter($toks, w ->
+              CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 16 = i)) AS BIGINT) AS n
+          FROM documents, UNNEST(range(16)) AS u(i)
+          ORDER BY doc_id, bucket""",
+
     // q22's keep rule inlined; everything integer-exact
     "q102_corpus_report" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,

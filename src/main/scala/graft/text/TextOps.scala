@@ -132,6 +132,12 @@ object TextOps {
   def normalizeText(text: Column): Column =
     regexp_replace(graft.functions.TextExpressions.nfc(text), ControlCharRe, "")
 
+  /** Hashing-trick document vector ([[graft.functions.HashingVector]]):
+    * md5-bucketed token counts as `array<long>`, the engine-replayable
+    * no-external-embedder representation for the vector operators. */
+  def hashingVector(text: Column, dim: Int): Column =
+    graft.functions.TextExpressions.hashingVector(tokens(text), dim)
+
   /** Polynomial rolling hash over tokens (base-31 Horner form mod 2^31-1 —
     * modular to stay inside Long under ANSI arithmetic). Order-sensitive
     * unlike `fingerprint`'s normalization-insensitive md5 — detects

@@ -128,6 +128,36 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(NfcNormalize.nfc(UTF8String.fromString(decomposed)).toString === composed)
   }
 
+  test("HashingVector: codegen matches interpreted and the md5-prefix model") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val dim = 16
+    val words = Seq("the", "quick", "brown", "fox", "the", "é")
+    def modelBucket(w: String): Int =
+      (java.lang.Long.parseLong(org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(w.getBytes("UTF-8")).take(8), 16) % dim).toInt
+    val expect = Array.fill(dim)(0L)
+    words.foreach(w => expect(modelBucket(w)) += 1)
+    val arrT = ArrayType(StringType, containsNull = true)
+    val in = new GenericArrayData(
+      (words.map(w => UTF8String.fromString(w): Any) :+ (null: Any)).toArray)
+    val expr = HashingVector(BoundReference(0, arrT, nullable = false), dim)
+    val proj = UnsafeProjection.create(Seq(expr)) // throws on bad codegen
+    val gen = proj(InternalRow(in)).getArray(0).toLongArray()
+    val interp = expr.eval(InternalRow(in))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(gen.toSeq === interp.toSeq)
+    assert(gen.toSeq === expect.toSeq) // null element skipped; é multi-byte ok
+    assert(gen.sum === words.size)
+    // empty array → all-zero vector
+    val empty = expr.eval(InternalRow(new GenericArrayData(Array.empty[Any])))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(empty.toSeq === Seq.fill(dim)(0L))
+  }
+
   test("graft_normalize in SQL matches TextOps.normalizeText") {
     GraftFunctions.register(spark)
     import spark.implicits._
