@@ -115,6 +115,41 @@ object Ivf {
     IvfModel(centroids)
   }
 
+  /** One (or more) DISTRIBUTED Lloyd iterations from an existing model
+    * over the full corpus — the production retrain [[cellStats]]' drift
+    * signal asks for. [[train]] seeds from a 4096-row driver sample;
+    * refine then walks every vector: assign via the codegen
+    * [[cellColumn]], per-cell means via ONE hash aggregate per iteration
+    * (exact micro-unit integer sums — [[VectorAgg.vectorSumElements]] —
+    * so the result is bit-reproducible under any partitioning), empty
+    * cells keep their centroid. Per iteration: one scan + one narrow
+    * shuffle of cells × dim longs; the collect is the nCells × dim model
+    * update, a driver-side model object like train's. */
+  def refine(embeddings: DataFrame, vecCol: String, model: IvfModel,
+             iters: Int = 1): IvfModel = {
+    require(iters >= 1, s"iters must be positive: $iters")
+    var m = model
+    for (_ <- 0 until iters) {
+      val dim = m.centroids.head.length
+      val assigned = embeddings.where(col(vecCol).isNotNull)
+        .select(col(vecCol).as("__vec"), cellColumn(col(vecCol), m).as("__cell"))
+      val next = m.centroids.map(_.clone())
+      VectorAgg.vectorSumElements(assigned, "__vec", Seq("__cell"))
+        .collect()
+        .groupBy(_.getAs[Int]("__cell"))
+        .foreach { case (cell, rows) =>
+          val n = rows.head.getAs[Long]("n_vectors")
+          val c = new Array[Double](dim)
+          rows.foreach(r =>
+            c(r.getAs[Int]("pos")) =
+              r.getAs[Long]("elem_sum_micro").toDouble / 1e6 / n)
+          next(cell) = c
+        }
+      m = IvfModel(next)
+    }
+    m
+  }
+
   /** Nearest-centroid cell id as a pure codegen expression: argmax of
     * `x·c − |c|²/2`, ties → lowest cell id. One referenced-matrix loop
     * (see [[graft.functions.NearestCentroid]]); centroid coefficients are

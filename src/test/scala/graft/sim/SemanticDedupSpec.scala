@@ -71,6 +71,40 @@ class SemanticDedupSpec extends SparkSpec {
     }
   }
 
+  test("refine: the distributed Lloyd step matches the brute-force update exactly") {
+    val rnd = new scala.util.Random(11L)
+    val dim = 6
+    val vecs = (1L to 150L).map(i => (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val m0 = Ivf.train(df, "embedding", "vec_id", nCells = 4, seed = 3L, maxIter = 1)
+    val m1 = Ivf.refine(df, "embedding", m0)
+    // brute force: float-rounded assignment replay, then the SAME
+    // micro-unit quantized means (long sums are associative — exact)
+    val byCell = vecs.groupBy { case (_, v) => assignCell(v, m0.centroids) }
+    val expect = m0.centroids.zipWithIndex.map { case (old, c) =>
+      byCell.get(c) match {
+        case None => old
+        case Some(vs) =>
+          (0 until dim).map(p =>
+            vs.map { case (_, v) => math.round(v(p).toDouble * 1000000L) }.sum
+              .toDouble / 1e6 / vs.size).toArray
+      }
+    }
+    m1.centroids.zip(expect).zipWithIndex.foreach { case ((got, want), c) =>
+      assert(got.toSeq === want.toSeq, s"cell $c")
+    }
+    // an unreachable centroid (huge half-norm penalty) captures nothing
+    // and must survive a refine untouched
+    val far = Array.fill(dim)(1000.0)
+    val mFar = Ivf.IvfModel(Array(Array.fill(dim)(0.0), far))
+    val m2 = Ivf.refine(df, "embedding", mFar)
+    assert(m2.centroids(1).toSeq === far.toSeq)
+    assert(m2.centroids(0).toSeq !== mFar.centroids(0).toSeq)
+    // refine is deterministic: same inputs, same model, bit for bit
+    val m1b = Ivf.refine(df, "embedding", m0)
+    assert(m1.centroids.map(_.toSeq).toSeq === m1b.centroids.map(_.toSeq).toSeq)
+  }
+
   test("semanticDedup matches a union-find reference on random clustered vectors") {
     val rnd = new scala.util.Random(411L)
     for (round <- 1 to 3) {
