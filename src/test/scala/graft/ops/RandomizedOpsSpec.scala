@@ -135,6 +135,24 @@ class RandomizedOpsSpec extends SparkSpec {
     }
   }
 
+  test("skewReport surfaces hot and null keys; partitionStats counts rows") {
+    val rows = Seq.fill(60)(("hot", 1)) ++ Seq.fill(25)((null: String, 2)) ++
+      (1 to 15).map(i => (s"k$i", 3))
+    val df = rows.toDF("key", "v")
+    val rep = Diagnostics.skewReport(df, Seq("key", "v"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val keyRows = rep.filter(_._1 == "key")
+    assert(keyRows.take(2).map(r => (r._2, r._3)).toSeq ===
+      Seq(("hot", 60L), ("NULL", 25L)))
+    assert(math.abs(keyRows.head._4 - 0.6) < 1e-12)
+    val vRows = rep.filter(_._1 == "v")
+    assert(vRows.head._2 === "1" && vRows.head._3 === 60L)
+    assert(rep.count(_._1 == "key") === 3) // top-k bound respected
+    val parts = Diagnostics.partitionStats(df.repartition(4))
+      .collect().map(_.getLong(1))
+    assert(parts.sum === rows.size.toLong)
+  }
+
   test("hashSplit matches the md5-interval model; splits are growth-stable") {
     def score(id: Long): String =
       org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(8)
