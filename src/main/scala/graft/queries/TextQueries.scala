@@ -598,6 +598,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── the full Lee-et-al composition: ExactSubstr span removal
+    // FIRST (boilerplate dies at span granularity), then the standard
+    // clean over the rewritten corpus — quality / exact / near-dup flags
+    // now reflect post-rewrite text ─────
+    "q104_clean_substr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val rewritten = docs.select(col("doc_id"), col("lang"))
+        .join(graft.text.SubstringDedup.substringDedup(docs, "text", "doc_id", k = 8)
+          .select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
+      graft.text.Corpus.clean(rewritten, "text", "doc_id",
+          Seq("lang"), stopwords, n = 3, threshold = 0.5)
+        .select(col("doc_id"), col("keep_quality"), col("keep_exact"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── Gopher-style repetition filters ─────
     "q79_repetition" -> ((s, d) =>
       TextOps.repetitionSignals(Tables.documents(s, d), "text", "doc_id")
@@ -1320,6 +1335,74 @@ object TextQueries {
           LEFT JOIN e ON d.doc_id = e.doc_id
           LEFT JOIN comp c ON d.doc_id = c.id
           ORDER BY d.doc_id""",
+
+    // q97's substring rewrite feeding q49's clean chain — the Spark side
+    // composes the same two oracle-gated operators
+    "q104_clean_substr" ->
+      s"""WITH RECURSIVE t0 AS (
+            SELECT doc_id, $toks AS tk FROM documents),
+          occ AS (
+            SELECT doc_id, s AS pos, array_to_string(tk[s + 1 : s + 8], ' ') AS gram
+            FROM t0, UNNEST(range(greatest(len(tk) - 7, 0))) AS u(s)),
+          marked AS (
+            SELECT doc_id, pos,
+              count(*) OVER (PARTITION BY gram) AS cnt,
+              row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+            FROM occ),
+          removable AS (SELECT doc_id, pos FROM marked WHERE cnt >= 2 AND rn > 1),
+          tok AS (SELECT doc_id, s AS pos, tk[s + 1] AS w
+                  FROM t0, UNNEST(range(len(tk))) AS u(s)),
+          ev AS (
+            SELECT doc_id, pos, w, 0 AS s FROM tok
+            UNION ALL SELECT doc_id, pos, NULL, 1 FROM removable),
+          fl AS (
+            SELECT doc_id, pos, w, s,
+              max(s) OVER (PARTITION BY doc_id ORDER BY pos
+                           RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS rem
+            FROM ev),
+          rw AS (
+            SELECT doc_id,
+              coalesce(string_agg(w, ' ' ORDER BY pos) FILTER (WHERE rem = 0), '') AS ct
+            FROM fl WHERE s = 0 GROUP BY doc_id),
+          t AS (
+            SELECT r.doc_id, d.lang,
+              regexp_split_to_array(trim(r.ct), '\\s+') AS tk
+            FROM rw r JOIN documents d USING (doc_id)),
+          q AS (
+            SELECT doc_id, lang, tk,
+              (len(tk) >= 10
+               AND CAST(len(list_filter(tk, w -> w IN ('the','a','of','and','to'))) AS DOUBLE) / len(tk) <= 0.5
+               AND CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) >= 0.3) AS kq
+            FROM t),
+          e AS (
+            SELECT doc_id, lang, tk,
+              doc_id = MIN(doc_id) OVER (PARTITION BY md5(lower(array_to_string(tk, ' ')))) AS ke
+            FROM q WHERE kq),
+          sh AS (
+            SELECT doc_id, lang,
+              list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string((tk)[i:i+2], ' ')) END) AS s
+            FROM e WHERE ke),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          reach AS (SELECT u, v FROM edges UNION
+                    SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+                    WHERE e2.v <> r.u),
+          comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component
+                   FROM reach GROUP BY u)
+          SELECT t.doc_id, q.kq AS keep_quality,
+            COALESCE(e.ke, false) AS keep_exact,
+            COALESCE(e.ke AND COALESCE(c.component, t.doc_id) = t.doc_id, false) AS keep
+          FROM t
+          LEFT JOIN q ON t.doc_id = q.doc_id
+          LEFT JOIN e ON t.doc_id = e.doc_id
+          LEFT JOIN comp c ON t.doc_id = c.id
+          ORDER BY t.doc_id""",
 
     // mirrors TextOps.repetitionSignals definitions exactly: trimmed
     // non-empty lines; dup-line fracs over line occurrences; top word
