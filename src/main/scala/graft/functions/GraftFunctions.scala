@@ -71,6 +71,7 @@ object GraftFunctions {
     spark.udf.register("graft_domain",
       (s: String) => Strings.domainOf(s).orNull)
     spark.udf.register("graft_gunzip", Strings.gunzipBytes _)
+    spark.udf.register("graft_compression_ratio", Strings.deflateRatio _)
     // grouped vector pooling (typed mergeable Aggregators)
     spark.udf.register("graft_vector_sum",
       org.apache.spark.sql.functions.udaf(new graft.sim.VectorAgg.VectorSum))

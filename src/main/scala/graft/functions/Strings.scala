@@ -72,6 +72,39 @@ object Strings {
     c => f(c)
   }
 
+  /** Deflate compression ratio (compressed bytes / raw UTF-8 bytes) — the
+    * Gopher/RefinedWeb redundancy proxy: boilerplate and repetitive spam
+    * compress far below the ~0.4–0.7 of natural prose, so a low ratio is
+    * a cheap document-level repetition signal complementing
+    * [[graft.text.TextOps.repetitionSignals]]' exact counters. UDF
+    * because the JVM deflater is the only compressor available (no
+    * Catalyst equivalent); scan-side, no shuffle. Fixed level 6 +
+    * default strategy so the value is stable for a given zlib. Empty
+    * text → null (no meaningful ratio). */
+  def deflateRatio(s: String): java.lang.Double =
+    if (s == null) null
+    else {
+      val raw = s.getBytes("UTF-8")
+      if (raw.isEmpty) null
+      else {
+        val d = new java.util.zip.Deflater(6)
+        d.setInput(raw); d.finish()
+        // only the SIZE matters: stream through a scratch chunk (a sized
+        // buffer underestimates zlib's worst-case incompressible overhead
+        // and would spin on a full buffer)
+        val chunk = new Array[Byte](8192)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(chunk)
+        d.end()
+        n.toDouble / raw.length
+      }
+    }
+
+  val compressionRatio: Column => Column = {
+    val f = udf(deflateRatio _)
+    c => f(c)
+  }
+
   /** F14 — URL → registrable-ish domain: host's last two labels, with a
     * regex fallback for URIs `new URI` rejects.
     * Reference: views/pioneer/package.scala:19-31. */

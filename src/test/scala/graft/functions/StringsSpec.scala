@@ -61,4 +61,27 @@ class StringsSpec extends SparkSpec {
     // batch query the simplest check is via the collected result count
     assert(observed.count() === 3)
   }
+
+  test("compressionRatio: repetitive text compresses far below varied text") {
+    val rep = ("the same line over and over\n" * 200).trim
+    val rnd = new scala.util.Random(7L)
+    val varied = Seq.fill(1200)(rnd.alphanumeric.take(4).mkString).mkString(" ")
+    val repR = Strings.deflateRatio(rep)
+    val varR = Strings.deflateRatio(varied)
+    assert(repR < 0.05 && varR > 0.3, s"rep=$repR varied=$varR")
+    assert(Strings.deflateRatio("") == null && Strings.deflateRatio(null) == null)
+    // incompressible input must terminate and land near (or just above) 1
+    val rndBytes = new Array[Byte](64 * 1024)
+    rnd.nextBytes(rndBytes)
+    val noise = new String(rndBytes.map(b => (33 + (b & 63)).toChar))
+    assert(Strings.deflateRatio(noise) > 0.7)
+    // Column + SQL forms agree with the direct function
+    GraftFunctions.register(spark)
+    val df = Seq(rep).toDF("t")
+    df.createOrReplaceTempView("cr_docs")
+    val viaCol = df.select(Strings.compressionRatio($"t")).head().getDouble(0)
+    val viaSql = spark.sql("SELECT graft_compression_ratio(t) FROM cr_docs")
+      .head().getDouble(0)
+    assert(viaCol === repR && viaSql === repR)
+  }
 }
