@@ -45,6 +45,14 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle groups by the gram string itself and agrees unless a
   * collision actually occurs (same documented trade as
   * [[graft.dedup.Dedup.shingleRows]]).
+  *
+  * Gram construction concatenates k tokens per position — O(k) bytes
+  * through the hash per position, the standard token-level ExactSubstr
+  * cost. A Rabin–Karp rolling hash would amortize that to O(1) (prefix
+  * sums mod 2⁶⁴ with an odd-base modular inverse are expressible in pure
+  * Long arithmetic), at the price of a weaker hash and the inverse
+  * machinery — consciously deferred until a profile shows the concat
+  * dominating; at the k=8–20 used for span dedup it does not.
   */
 object SubstringDedup {
 

@@ -216,6 +216,55 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bucketed gram index feeds the incremental substring dedup with no history-side shuffle") {
+    // same discipline as the PPJoin history index, for ExactSubstr: the
+    // distinct-gram state persisted bucketed by `g` must reach its join
+    // IN PLACE — only the batch side shuffles per day
+    import graft.text.SubstringDedup
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val hist = Seq((2L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "totally different history words here now")).toDF("doc_id", "text")
+    val batch = Seq((1L, "alpha beta gamma delta epsilon zeta eta"),
+      (3L, "novel batch content nothing shared at all")).toDF("doc_id", "text")
+    BatchView.writeBucketed(
+      SubstringDedup.gramIndex(hist, "text", "doc_id", 3),
+      "gram_idx", Seq("g"), 4, sortCols = Seq("g"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = SubstringDedup.substringDedupAgainstHistory(
+        batch, spark.table("gram_idx"), "text", "doc_id", 3)
+      // results first: doc 1's shared prefix span is removed, doc 3 intact
+      val got = out.select("doc_id", "n_removed")
+        .as[(Long, Int)].collect().toMap
+      assert(got(1L) > 0 && got(3L) === 0)
+      // plan: walking up from the bucketed scan, no exchange before the
+      // first join (the scan's bucketing IS the join distribution)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.joins.{BaseJoinExec => JoinNode}
+      val plan = out.queryExecution.executedPlan
+      def pathToScan(p: SparkPlan): Option[List[SparkPlan]] = p match {
+        case f: FileSourceScanExec =>
+          if (f.tableIdentifier.exists(_.table == "gram_idx")) Some(List(p)) else None
+        case _ => p.children.view.flatMap(pathToScan).headOption.map(p :: _)
+      }
+      val path = pathToScan(plan)
+      assert(path.nonEmpty, s"plan must read bucketed table gram_idx:\n$plan")
+      val belowJoin = path.get.reverse.takeWhile(!_.isInstanceOf[JoinNode])
+      assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"bucketed gram_idx must reach its join without an exchange:\n$plan")
+      // the walk isn't vacuous: the batch side DOES shuffle
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS gram_idx")
+    }
+  }
+
   test("two-day runbook: every history artifact survives parquet and the filesystem") {
     import graft.dedup.Dedup
     import graft.text.Corpus
