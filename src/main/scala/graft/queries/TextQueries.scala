@@ -820,6 +820,52 @@ object TextQueries {
             docs.where(col("doc_id") % 2 === 0), "text", "doc_id", 8),
           "text", "doc_id", k = 8)
         .orderBy(col("doc_id"))
+    }),
+
+    // ───── DSIR: hashed-bigram importance ratio to the en target slice,
+    // deterministic top-k (the paper's top-k variant). Weight = the
+    // left-to-right ratio product — both engines fold left, so the
+    // double's bits match; ratios are single divisions of exact integer
+    // products. One scan to fit, a literal-array model, TakeOrdered. ─────
+    "q105_dsir" -> ((s, d) => {
+      graft.text.Dsir.select(Tables.documents(s, d), col("lang") === "en",
+          "text", "doc_id", dim = 64, k = 100)
+        .orderBy(col("dsir_weight").desc, col("doc_id"))
+    }),
+
+    // ───── cluster-balanced sample: nearest-centroid cells over the q87
+    // exact per-label centroids (oracle re-derivable), then the q96
+    // per-key hash-order cap per cell — diversity-preserving curation:
+    // no cell contributes more than its quota ─────
+    "q106_cluster_balanced" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).where(col("embedding").isNotNull)
+      graft.ops.Sampling.perKeyCap(
+          Ivf.assign(emb, "embedding", labelMeanModel(emb))
+            .select(col("vec_id"), col("ivf_cell")),
+          keyCol = "ivf_cell", idCol = "vec_id", n = 40)
+        .orderBy(col("vec_id"))
+    }),
+
+    // ───── Stupid Backoff per-token scores: trigram LM trained on the en
+    // slice, every doc scored; level = n-gram order that fired. Scores
+    // are rational (exact-int divisions, fixed α parenthesization) so
+    // the doubles replay bit-for-bit ─────
+    "q107_lm_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.NgramLm.scoreTokens(docs,
+          graft.text.NgramLm.fit(docs.where(col("lang") === "en"), "text"),
+          "text", "doc_id")
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ───── CCNet-style LM filter: per-doc mean backoff score vs τ=1/20,
+    // aggregated in exact integer picos (fold-order-free) ─────
+    "q108_lm_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.NgramLm.filterByScore(docs,
+          graft.text.NgramLm.fit(docs.where(col("lang") === "en"), "text"),
+          "text", "doc_id", tauNum = 1L, tauDen = 20L)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1997,6 +2043,198 @@ object TextQueries {
            FROM raw)
          SELECT doc_id, clean_text,
            CAST(length(raw) - length(clean_text) AS INT) AS n_changed
-         FROM n ORDER BY doc_id"""
+         FROM n ORDER BY doc_id""",
+
+    // DSIR replay: same md5-prefix bucket as q103, ratios as single
+    // divisions of exact integer products, weight via list_reduce over a
+    // 1.0-prepended ratio list — left fold, same multiply order as
+    // Spark's aggregate(), so the double product matches bit-for-bit
+    "q105_dsir" ->
+      s"""WITH t0 AS (
+            SELECT doc_id, lang, $toks AS tk
+            FROM documents WHERE text IS NOT NULL),
+          grams AS (
+            SELECT doc_id, lang,
+              CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+                i -> tk[i] || ' ' || tk[i + 1]) ELSE [] END AS gs
+            FROM t0),
+          gb AS (
+            SELECT lang, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 64 AS b
+            FROM grams, UNNEST(gs) AS u(g)),
+          agg AS (
+            SELECT b, CAST(count(*) AS BIGINT) AS craw,
+              CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ctgt
+            FROM gb GROUP BY b),
+          tot AS (
+            SELECT CAST(sum(craw) AS BIGINT) AS rawtot,
+              CAST(sum(ctgt) AS BIGINT) AS tgttot FROM agg),
+          spine AS (SELECT CAST(u.i AS BIGINT) AS b FROM UNNEST(range(64)) AS u(i)),
+          ratios AS (
+            SELECT s.b,
+              CAST((COALESCE(a.ctgt, 0) + 1) * (t.rawtot + 64) AS DOUBLE)
+                / CAST((COALESCE(a.craw, 0) + 1) * (t.tgttot + 64) AS DOUBLE) AS r
+            FROM spine s LEFT JOIN agg a USING (b) CROSS JOIN tot t),
+          rl AS (SELECT list(r ORDER BY b) AS l FROM ratios),
+          w AS (
+            SELECT doc_id,
+              list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                list_transform(gs, g -> l[CAST(CAST('0x' || substr(md5(g), 1, 8)
+                  AS BIGINT) % 64 AS INT) + 1])),
+                (a, x) -> a * x) AS dsir_weight
+            FROM grams CROSS JOIN rl)
+          SELECT doc_id, dsir_weight FROM w
+          ORDER BY dsir_weight DESC, doc_id LIMIT 100""",
+
+    // q91's exact-centroid assignment CTEs, then q96's single-window cap
+    // form per cell
+    "q106_cluster_balanced" ->
+      s"""WITH ex AS (
+            SELECT label, p['pos'] AS pos, p['v'] AS v FROM (
+              SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+                i -> {'pos': i - 1, 'v': embedding[i]})) AS p
+              FROM embeddings WHERE embedding IS NOT NULL)),
+          sums AS (
+            SELECT label, pos,
+              CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))
+                AS BIGINT) AS mic
+            FROM ex GROUP BY label, pos),
+          cnt AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS n
+            FROM embeddings WHERE embedding IS NOT NULL GROUP BY label),
+          mm AS (
+            SELECT s.label, s.pos,
+              CAST(s.mic AS DOUBLE) / 1000000 / CAST(c.n AS DOUBLE) AS m
+            FROM sums s JOIN cnt c USING (label)),
+          cent AS (
+            SELECT label,
+              list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS cf,
+              list_sum(list_transform(list(m ORDER BY pos), x -> x * x)) / 2 AS hn
+            FROM mm GROUP BY label),
+          cellmap AS (
+            SELECT label, cf, hn,
+              CAST(ROW_NUMBER() OVER (ORDER BY label) - 1 AS INT) AS cell
+            FROM cent),
+          scored AS (
+            SELECT e.vec_id, c.cell,
+              list_sum(list_transform(list_zip(c.cf, e.embedding),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) - c.hn AS score
+            FROM embeddings e CROSS JOIN cellmap c
+            WHERE e.embedding IS NOT NULL),
+          assigned AS (
+            SELECT vec_id, cell FROM (
+              SELECT vec_id, cell, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+              FROM scored) WHERE rn = 1)
+          SELECT vec_id, ivf_cell FROM (
+            SELECT vec_id, cell AS ivf_cell, ROW_NUMBER() OVER (
+              PARTITION BY cell
+              ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8), vec_id) AS rn
+            FROM assigned) WHERE rn <= 40
+          ORDER BY vec_id""",
+
+    // Stupid Backoff replay: counts from the en slice, five left joins,
+    // identical CASE parenthesization — every score is a single division
+    // or an α-product of one, so the doubles match exactly
+    "q107_lm_score" ->
+      s"""WITH d AS (
+            SELECT doc_id, lang, $toks AS tk
+            FROM documents WHERE text IS NOT NULL),
+          p AS (
+            SELECT doc_id, lang, CAST(u.i AS INT) AS pos,
+              tk[u.i + 1] AS w,
+              CASE WHEN u.i >= 1 THEN tk[u.i] END AS prev,
+              CASE WHEN u.i >= 2 THEN tk[u.i - 1] END AS prev2
+            FROM d, UNNEST(range(len(tk))) AS u(i)),
+          tp AS (SELECT * FROM p WHERE lang = 'en'),
+          uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tp GROUP BY w),
+          bi AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS c
+                 FROM tp WHERE pos >= 1 GROUP BY prev, w),
+          tri AS (SELECT prev2, prev, w, CAST(count(*) AS BIGINT) AS c
+                  FROM tp WHERE pos >= 2 GROUP BY prev2, prev, w),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                    CAST(count(DISTINCT w) AS BIGINT) AS vocab FROM tp),
+          j AS (
+            SELECT p.doc_id, p.pos, p.w, u1.c AS c1w, u2.c AS c1prev,
+              b1.c AS c2, b2.c AS c2ctx, t3.c AS c3, tot.n_tokens, tot.vocab
+            FROM p
+            LEFT JOIN uni u1 ON p.w = u1.w
+            LEFT JOIN uni u2 ON p.prev = u2.w
+            LEFT JOIN bi b1 ON p.prev = b1.prev AND p.w = b1.w
+            LEFT JOIN bi b2 ON p.prev2 = b2.prev AND p.prev = b2.w
+            LEFT JOIN tri t3 ON p.prev2 = t3.prev2 AND p.prev = t3.prev
+              AND p.w = t3.w
+            CROSS JOIN tot),
+          s1c AS (
+            SELECT *, CAST(COALESCE(c1w, 0) + 1 AS DOUBLE)
+              / CAST(n_tokens + vocab AS DOUBLE) AS s1 FROM j),
+          s2c AS (
+            SELECT *, CASE WHEN c2 IS NOT NULL AND c1prev IS NOT NULL
+              THEN CAST(c2 AS DOUBLE) / CAST(c1prev AS DOUBLE)
+              ELSE 0.4 * s1 END AS s2 FROM s1c),
+          s3c AS (
+            SELECT *, CASE WHEN c3 IS NOT NULL AND c2ctx IS NOT NULL
+              THEN CAST(c3 AS DOUBLE) / CAST(c2ctx AS DOUBLE)
+              ELSE 0.4 * s2 END AS s3 FROM s2c)
+          SELECT doc_id, pos, w AS token,
+            CASE WHEN pos >= 2 AND c3 IS NOT NULL THEN 3
+                 WHEN pos >= 1 AND c2 IS NOT NULL THEN 2
+                 ELSE 1 END AS level,
+            CASE WHEN pos = 0 THEN s1 WHEN pos = 1 THEN s2 ELSE s3 END AS score
+          FROM s3c ORDER BY doc_id, pos""",
+
+    // per-doc pico-integer aggregate of the q107 scores; keep is the
+    // integer comparison mean ≥ 1/20
+    "q108_lm_filter" ->
+      s"""WITH d AS (
+            SELECT doc_id, lang, $toks AS tk
+            FROM documents WHERE text IS NOT NULL),
+          p AS (
+            SELECT doc_id, lang, CAST(u.i AS INT) AS pos,
+              tk[u.i + 1] AS w,
+              CASE WHEN u.i >= 1 THEN tk[u.i] END AS prev,
+              CASE WHEN u.i >= 2 THEN tk[u.i - 1] END AS prev2
+            FROM d, UNNEST(range(len(tk))) AS u(i)),
+          tp AS (SELECT * FROM p WHERE lang = 'en'),
+          uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tp GROUP BY w),
+          bi AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS c
+                 FROM tp WHERE pos >= 1 GROUP BY prev, w),
+          tri AS (SELECT prev2, prev, w, CAST(count(*) AS BIGINT) AS c
+                  FROM tp WHERE pos >= 2 GROUP BY prev2, prev, w),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                    CAST(count(DISTINCT w) AS BIGINT) AS vocab FROM tp),
+          j AS (
+            SELECT p.doc_id, p.pos, u1.c AS c1w, u2.c AS c1prev,
+              b1.c AS c2, b2.c AS c2ctx, t3.c AS c3, tot.n_tokens, tot.vocab
+            FROM p
+            LEFT JOIN uni u1 ON p.w = u1.w
+            LEFT JOIN uni u2 ON p.prev = u2.w
+            LEFT JOIN bi b1 ON p.prev = b1.prev AND p.w = b1.w
+            LEFT JOIN bi b2 ON p.prev2 = b2.prev AND p.prev = b2.w
+            LEFT JOIN tri t3 ON p.prev2 = t3.prev2 AND p.prev = t3.prev
+              AND p.w = t3.w
+            CROSS JOIN tot),
+          s1c AS (
+            SELECT *, CAST(COALESCE(c1w, 0) + 1 AS DOUBLE)
+              / CAST(n_tokens + vocab AS DOUBLE) AS s1 FROM j),
+          s2c AS (
+            SELECT *, CASE WHEN c2 IS NOT NULL AND c1prev IS NOT NULL
+              THEN CAST(c2 AS DOUBLE) / CAST(c1prev AS DOUBLE)
+              ELSE 0.4 * s1 END AS s2 FROM s1c),
+          s3c AS (
+            SELECT *, CASE WHEN c3 IS NOT NULL AND c2ctx IS NOT NULL
+              THEN CAST(c3 AS DOUBLE) / CAST(c2ctx AS DOUBLE)
+              ELSE 0.4 * s2 END AS s3 FROM s2c),
+          sc AS (
+            SELECT doc_id,
+              CASE WHEN pos = 0 THEN s1 WHEN pos = 1 THEN s2 ELSE s3 END AS score
+            FROM s3c),
+          per AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+              CAST(sum(CAST(round(score * 1e12, 0) AS BIGINT)) AS BIGINT)
+                AS score_sum_pico
+            FROM sc GROUP BY doc_id)
+          SELECT doc_id, n_scored, score_sum_pico,
+            score_sum_pico * 20 >= n_scored * 1 * 1000000000000 AS keep
+          FROM per ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,147 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Stupid Backoff trigram language model (Brants et al. 2007, "Large
+  * Language Models in Machine Translation") — the backoff score designed
+  * explicitly for distributed count-based training, here driving a
+  * CCNet-style (Wenzek et al. 2020) model-perplexity quality filter:
+  * train on a trusted target slice, score every document, keep the ones
+  * the target model finds predictable.
+  *
+  * Score of token w with context (u, v) — counts from the TRAINING slice:
+  *
+  *   S(w | u v) = c(uvw)/c(uv)        if c(uvw) > 0
+  *              = α · S(w | v)        otherwise          (α = 0.4)
+  *   S(w | v)   = c(vw)/c(v)          if c(vw) > 0
+  *              = α · S(w)            otherwise
+  *   S(w)       = (c(w)+1)/(N+V)      (Laplace unigrams: unseen words
+  *                                     score > 0, so log is total)
+  *
+  * Training is three `groupBy().count()` passes over exploded positions
+  * (map-side partial aggregation; count tables are reusable artifacts —
+  * persist them bucketed by their gram key for join-in-place scoring,
+  * the [[graft.ops.BatchView.writeBucketed]] discipline). Scoring is
+  * five left joins against those tables keyed on gram strings — plain
+  * shuffle joins Catalyst plans with AQE skew handling; no windows, no
+  * per-doc state beyond the row.
+  *
+  * Oracle parity: every score is rational — integer counts cast to
+  * double and divided ONCE, α-multiplied in a fixed parenthesization —
+  * so DuckDB replays the bits exactly (`ln()` is banned from compared
+  * values; see q58). Per-document aggregation quantizes each per-token
+  * score to picos (`round(s·10¹²)` as long) and sums INTEGERS — an
+  * associative, fold-order-free reduction both engines agree on. The
+  * production perplexity path ([[perDocPerplexity]]) uses real `log`;
+  * it is ScalaTest-gated against the rational path, not the oracle.
+  */
+object NgramLm {
+
+  /** Count-table model: `uni(w, c1)`, `bi(w1, w2, c2)`,
+    * `tri(w1, w2, w3, c3)`, `totals(n_tokens, vocab)` (one row). All
+    * lazy DataFrames — persist with [[graft.ops.BatchView.writeBucketed]]
+    * keyed on the gram columns for repeated scoring. */
+  case class LmModel(uni: DataFrame, bi: DataFrame, tri: DataFrame,
+                     totals: DataFrame)
+
+  /** `(…, __pos, __w, __prev, __prev2)` exploded token positions; context
+    * columns are null before the document start. Derived from the token
+    * array in the projection (element_at on the pre-explode array — no
+    * window, no self-join). */
+  private def positions(docs: DataFrame, textCol: String,
+                        keep: Seq[Column]): DataFrame = {
+    val tk = col("__tk")
+    docs.where(col(textCol).isNotNull)
+      .select(keep :+ TextOps.tokens(col(textCol)).as("__tk"): _*)
+      .select(keep ++ Seq(tk, posexplode(tk).as(Seq("__pos", "__w"))): _*)
+      .select(keep ++ Seq(col("__pos"), col("__w"),
+        when(col("__pos") >= 1, element_at(tk, col("__pos"))).as("__prev"),
+        when(col("__pos") >= 2, element_at(tk, col("__pos") - 1)).as("__prev2")): _*)
+  }
+
+  /** Train the count tables on `docs` (the trusted target slice). */
+  def fit(docs: DataFrame, textCol: String): LmModel = {
+    val pos = positions(docs, textCol, Seq.empty)
+    LmModel(
+      uni = pos.groupBy(col("__w").as("w")).agg(count(lit(1)).as("c1")),
+      bi = pos.where(col("__pos") >= 1)
+        .groupBy(col("__prev").as("w1"), col("__w").as("w2"))
+        .agg(count(lit(1)).as("c2")),
+      tri = pos.where(col("__pos") >= 2)
+        .groupBy(col("__prev2").as("w1"), col("__prev").as("w2"),
+          col("__w").as("w3"))
+        .agg(count(lit(1)).as("c3")),
+      totals = pos.agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("__w")).as("vocab")))
+  }
+
+  /** Per-token backoff scores for every document in `docs`:
+    * `(idCol, pos, token, level, score)` where `level` is the n-gram
+    * order that fired (3/2/1) and `score` the Stupid Backoff value. */
+  def scoreTokens(docs: DataFrame, model: LmModel, textCol: String,
+                  idCol: String, alpha: Double = 0.4): DataFrame = {
+    val pos = positions(docs, textCol, Seq(col(idCol)))
+    val uniW = model.uni.select(col("w").as("__uw"), col("c1").as("__c1w"))
+    val uniP = model.uni.select(col("w").as("__upw"), col("c1").as("__c1prev"))
+    val biWP = model.bi.select(col("w1").as("__b1"), col("w2").as("__b2"),
+      col("c2").as("__c2"))
+    val biCtx = model.bi.select(col("w1").as("__x1"), col("w2").as("__x2"),
+      col("c2").as("__c2ctx"))
+    val tri = model.tri.select(col("w1").as("__t1"), col("w2").as("__t2"),
+      col("w3").as("__t3"), col("c3").as("__c3"))
+    val joined = pos
+      .join(uniW, col("__w") === col("__uw"), "left")
+      .join(uniP, col("__prev") === col("__upw"), "left")
+      .join(biWP, col("__prev") === col("__b1") && col("__w") === col("__b2"), "left")
+      .join(biCtx, col("__prev2") === col("__x1") && col("__prev") === col("__x2"), "left")
+      .join(tri, col("__prev2") === col("__t1") && col("__prev") === col("__t2") &&
+        col("__w") === col("__t3"), "left")
+      .crossJoin(broadcast(model.totals))
+    val s1 = (coalesce(col("__c1w"), lit(0L)) + lit(1L)).cast("double") /
+      (col("n_tokens") + col("vocab")).cast("double")
+    val s2 = when(col("__c2").isNotNull && col("__c1prev").isNotNull,
+        col("__c2").cast("double") / col("__c1prev").cast("double"))
+      .otherwise(lit(alpha) * s1)
+    val s3 = when(col("__c3").isNotNull && col("__c2ctx").isNotNull,
+        col("__c3").cast("double") / col("__c2ctx").cast("double"))
+      .otherwise(lit(alpha) * s2)
+    joined.select(col(idCol), col("__pos").as("pos"), col("__w").as("token"),
+      when(col("__pos") >= 2 && col("__c3").isNotNull, 3)
+        .when(col("__pos") >= 1 && col("__c2").isNotNull, 2)
+        .otherwise(1).as("level"),
+      when(col("__pos") === 0, s1)
+        .when(col("__pos") === 1, s2)
+        .otherwise(s3).as("score"))
+  }
+
+  /** Per-document aggregate in exact integer picos:
+    * `(idCol, n_scored, score_sum_pico, keep)` with
+    * `keep ⇔ mean score ≥ tauNum/tauDen` evaluated as the integer
+    * comparison `score_sum_pico · tauDen ≥ n_scored · tauNum · 10¹²` —
+    * no double accumulation anywhere, so any engine agrees. */
+  def filterByScore(docs: DataFrame, model: LmModel, textCol: String,
+                    idCol: String, tauNum: Long, tauDen: Long,
+                    alpha: Double = 0.4): DataFrame = {
+    require(tauDen > 0, s"tauDen must be positive: $tauDen")
+    scoreTokens(docs, model, textCol, idCol, alpha)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(round(col("score") * lit(1e12)).cast("long")).as("score_sum_pico"))
+      .withColumn("keep",
+        col("score_sum_pico") * tauDen >= col("n_scored") * tauNum * lit(1000000000000L))
+  }
+
+  /** Production CCNet-style perplexity: `(idCol, n_scored, avg_logprob,
+    * perplexity)` with natural-log scoring (finite for every token —
+    * Laplace unigrams guarantee score > 0). Not oracle-comparable (libm
+    * `ln`); gated in ScalaTest against [[filterByScore]]'s rational
+    * ranking instead. */
+  def perDocPerplexity(docs: DataFrame, model: LmModel, textCol: String,
+                       idCol: String, alpha: Double = 0.4): DataFrame =
+    scoreTokens(docs, model, textCol, idCol, alpha)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"),
+        avg(log(col("score"))).as("avg_logprob"))
+      .withColumn("perplexity", exp(-col("avg_logprob")))
+}

@@ -1,0 +1,147 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DSIR importance selection + Stupid Backoff LM scoring: hand-computed
+  * models on tiny corpora, a randomized driver-side replay of the DSIR
+  * fold product, and internal consistency between the rational pico path
+  * and the production log/perplexity path. */
+class DsirLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  // driver-side twin of Dsir.bucketOf / HashingVector.bucket
+  private def bucket(g: String, dim: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(g.getBytes("UTF-8"))
+    val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    (v % dim).toInt
+  }
+
+  private def localBigrams(text: String): Seq[String] = {
+    val t = text.trim.split("\\s+").toSeq
+    if (t.length < 2) Seq.empty else t.sliding(2).map(_.mkString(" ")).toSeq
+  }
+
+  test("Dsir: fitRatios matches a driver-side count replay") {
+    val docs = Seq(
+      (1L, "en", "spark scan fast spark scan"),
+      (2L, "en", "fast scan fast scan"),
+      (3L, "de", "merge window stream merge"),
+      (4L, "de", "stream merge stream")).toDF("doc_id", "lang", "text")
+    val dim = 8
+    val ratios = Dsir.fitRatios(docs, col("lang") === "en", "text", dim)
+    val all = Seq("spark scan fast spark scan", "fast scan fast scan",
+      "merge window stream merge", "stream merge stream")
+    val tgt = all.take(2)
+    val rawC = new Array[Long](dim); val tgtC = new Array[Long](dim)
+    all.foreach(t => localBigrams(t).foreach(g => rawC(bucket(g, dim)) += 1))
+    tgt.foreach(t => localBigrams(t).foreach(g => tgtC(bucket(g, dim)) += 1))
+    val expected = Array.tabulate(dim) { b =>
+      ((tgtC(b) + 1L) * (rawC.sum + dim)).toDouble /
+        ((rawC(b) + 1L) * (tgtC.sum + dim)).toDouble
+    }
+    assert(ratios.toSeq === expected.toSeq)
+  }
+
+  test("Dsir: weight is the exact positional fold product; empty docs are neutral") {
+    val docs = Seq(
+      (1L, "en", "spark scan fast spark scan"),
+      (2L, "de", "merge window stream merge"),
+      (3L, "en", "solo"),
+      (4L, "en", "")).toDF("doc_id", "lang", "text")
+    val dim = 8
+    val ratios = Dsir.fitRatios(docs, col("lang") === "en", "text", dim)
+    val got = docs
+      .select(col("doc_id"), Dsir.importanceWeight(col("text"), ratios, dim)
+        .as("w"))
+      .as[(Long, Double)].collect().toMap
+    def expected(t: String): Double =
+      localBigrams(t).foldLeft(1.0)((acc, g) => acc * ratios(bucket(g, dim)))
+    assert(got(1L) === expected("spark scan fast spark scan"))
+    assert(got(2L) === expected("merge window stream merge"))
+    assert(got(3L) === 1.0 && got(4L) === 1.0)
+    // the target-language doc must outrank the off-target doc
+    assert(got(1L) > got(2L))
+  }
+
+  test("Dsir: randomized docs replay the fold product bit-for-bit") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val texts = (1L to 60L).map { id =>
+      val n = 1 + rnd.nextInt(12)
+      (id, if (id % 3 == 0) "tgt" else "raw",
+        Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = texts.toDF("doc_id", "src", "text")
+    val dim = 16
+    val ratios = Dsir.fitRatios(docs, col("src") === "tgt", "text", dim)
+    val got = docs.select(col("doc_id"),
+        Dsir.importanceWeight(col("text"), ratios, dim).as("w"))
+      .as[(Long, Double)].collect().toMap
+    texts.foreach { case (id, _, t) =>
+      val exp = localBigrams(t).foldLeft(1.0)((acc, g) => acc * ratios(bucket(g, dim)))
+      assert(got(id) === exp, s"doc $id text '$t'")
+    }
+    // top-k selection orders by weight desc then id
+    val sel = Dsir.select(docs, col("src") === "tgt", "text", "doc_id",
+      dim, k = 10).as[(Long, Double)].collect()
+    val expTop = texts.map { case (id, _, t) =>
+      (id, localBigrams(t).foldLeft(1.0)((a, g) => a * ratios(bucket(g, dim))))
+    }.sortBy { case (id, w) => (-w, id) }.take(10)
+    assert(sel.toSeq === expTop.toSeq)
+  }
+
+  test("NgramLm: hand-computed Stupid Backoff scores on a tiny corpus") {
+    // train: "a b c" and "a b d" → trigrams (a,b,c), (a,b,d); N=6, V=4
+    val train = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val model = NgramLm.fit(train, "text")
+    val score = Seq((10L, "a b c"), (11L, "a b x"), (12L, "z a b"))
+      .toDF("doc_id", "text")
+    val got = NgramLm.scoreTokens(score, model, "text", "doc_id")
+      .select(col("doc_id"), col("pos"), col("level"), col("score"))
+      .as[(Long, Int, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val n = 6.0; val v = 4.0
+    // "a b c": pos0 unigram (2+1)/(N+V); pos1 c2(a,b)/c1(a)=2/2; pos2 c3/c2ctx=1/2
+    assert(got((10L, 0)) === ((1, 3.0 / (n + v))))
+    assert(got((10L, 1)) === ((2, 2.0 / 2.0)))
+    assert(got((10L, 2)) === ((3, 1.0 / 2.0)))
+    // "a b x": pos2 trigram (a,b,x) unseen → α·S2; bigram (b,x) unseen →
+    // α·S1(x); x unseen → Laplace (0+1)/(N+V)
+    assert(got((11L, 2)) === ((1, 0.4 * (0.4 * (1.0 / (n + v))))))
+    // "z a b": pos0 z unseen → 1/(N+V); pos1 bigram (z,a) unseen →
+    // α·S1(a) = 0.4·3/(N+V); pos2 trigram (z,a,b) unseen, bigram (a,b)
+    // SEEN → level 2 via backoff: α·(c2(a,b)/c1(a)) = 0.4·1.0
+    assert(got((12L, 0)) === ((1, 1.0 / (n + v))))
+    assert(got((12L, 1)) === ((1, 0.4 * (3.0 / (n + v)))))
+    assert(got((12L, 2)) === ((2, 0.4 * (2.0 / 2.0))))
+  }
+
+  test("NgramLm: filterByScore picos equal a driver-side requantization; perplexity agrees") {
+    val docs = Seq(
+      (1L, "en", "the fast scan the fast scan the fast scan"),
+      (2L, "en", "the fast scan runs the fast scan runs again"),
+      (3L, "de", "merge window stream merge window stream")).toDF("doc_id", "lang", "text")
+    val model = NgramLm.fit(docs.where(col("lang") === "en"), "text")
+    val perTok = NgramLm.scoreTokens(docs, model, "text", "doc_id")
+      .select(col("doc_id"), col("score")).as[(Long, Double)].collect()
+    val expPico = perTok.groupBy(_._1).view.mapValues(ts =>
+      (ts.length.toLong, ts.map(t => math.round(t._2 * 1e12)).sum)).toMap
+    val got = NgramLm.filterByScore(docs, model, "text", "doc_id",
+        tauNum = 1L, tauDen = 20L)
+      .select(col("doc_id"), col("n_scored"), col("score_sum_pico"), col("keep"))
+      .as[(Long, Long, Long, Boolean)].collect()
+    got.foreach { case (id, nSc, pico, keep) =>
+      assert((nSc, pico) === expPico(id), s"doc $id")
+      assert(keep === (pico * 20L >= nSc * 1000000000000L), s"doc $id keep")
+    }
+    // production path: finite positive perplexity, and the on-model en
+    // docs score lower perplexity than the off-model de doc
+    val ppl = NgramLm.perDocPerplexity(docs, model, "text", "doc_id")
+      .select(col("doc_id"), col("perplexity")).as[(Long, Double)].collect().toMap
+    ppl.values.foreach(p => assert(p > 0 && java.lang.Double.isFinite(p)))
+    assert(ppl(1L) < ppl(3L) && ppl(2L) < ppl(3L))
+  }
+}
