@@ -88,6 +88,13 @@ object Bench {
       case (k, Left(e)) =>
         println(s"""{"metric":"query","name":"$k","error":"${esc(e)}"}""")
     }
+    // failure NAMES directly before the total: the driver's tail capture
+    // keeps the end of the output, and the per-query error lines above can
+    // scroll out of a small window — this line makes "which queries
+    // failed" survive any capture that keeps the total at all
+    val errNames = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
+      .toSeq.sorted.mkString("[", ",", "]")
+    println(s"""{"metric":"errors","names":$errNames}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
     if (nFailed > 0) sys.exit(1)

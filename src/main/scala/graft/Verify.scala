@@ -17,9 +17,10 @@ object Verify {
       // (O(n^2) for shingles) - semantics-neutral to exclude.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
-      // default; read as nanos-epoch LongType (order-equivalent to DuckDB's
-      // TIMESTAMP_NS — queries never emit ts raw, see Tables.scala).
+      // Some testdata generations store events.ts as TIMESTAMP(NANOS),
+      // which Spark 4 rejects by default — this reads that variant as a
+      // nanos-epoch LongType and is inert on timestamp[us] fixtures;
+      // queries dispatch on the arrived type via Tables.tsNanos.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -30,6 +31,17 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A failed query must produce a RED correctness row, not an absent
+        // one: dump a 1-row sentinel whose schema can never match any
+        // oracle, so the driver's compare records the regression instead
+        // of silently skipping the query (round-6 lesson: q52/q53 errored
+        // and CORRECTNESS_r06.json simply had no row for them).
+        try {
+          val s_ = spark; import s_.implicits._
+          Seq(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(500)}")
+            .toDF("_error").coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

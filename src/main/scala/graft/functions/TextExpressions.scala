@@ -214,6 +214,86 @@ object HashingVector {
   }
 }
 
+/** DSIR importance weight (Xie et al. 2023) over a token array: the
+  * left-to-right product of per-bigram bucket ratios,
+  * `Π_i ratios[bucket(t[i] + " " + t[i+1])]`, as ONE compiled pass.
+  *
+  * Replaces the interpreted `aggregate(bigrams(text), 1.0, (acc,g) =>
+  * acc * element_at(...))` HOF form — same values to the last bit (same
+  * md5-prefix bucket as [[HashingVector.bucket]], same sequential fold
+  * order, same double multiplies) but codegen'd: the HOF lambda
+  * interpreter made DSIR scoring the single most expensive scan in the
+  * bench (q105 at ~13 s vs ~0.5 s for the equivalently-shaped q103
+  * compiled scan; round-6 verdict What's-wrong #3). The dim-sized ratio
+  * model rides as one referenced `double[]` — no join, no shuffle, no
+  * per-row literal array.
+  *
+  * Bigram bytes are `utf8(a) ++ 0x20 ++ utf8(b)` — exactly the
+  * `concat_ws(" ", a, b)` encoding the HOF hashed, so DuckDB's
+  * `md5(a || ' ' || b)` replay still matches. Fewer than 2 tokens →
+  * neutral weight 1.0 (matches the HOF's empty-array fold). */
+case class DsirWeight(child: Expression, ratios: Array[Double])
+    extends UnaryExpression {
+  require(ratios.nonEmpty, "ratios must be non-empty")
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"DsirWeight needs array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    DsirWeight.weight(input.asInstanceOf[ArrayData], ratios)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("dsirRatios", ratios, "double[]")
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.DsirWeight$$.MODULE$$.weight($arr, $r);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DsirWeight {
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  private val SPACE = Array[Byte](' ')
+
+  /** Bucket of one bigram: md5 over `a ++ " " ++ b`, first 4 digest bytes
+    * as an unsigned 32-bit int, mod dim — [[HashingVector.bucket]] over
+    * the concatenated gram, without materializing the gram string.
+    * A null token contributes nothing (concat_ws semantics: separator
+    * only between non-null args; the tokenizer never emits nulls —
+    * defensive parity with the HOF form). */
+  def weight(arr: ArrayData, ratios: Array[Double]): Double = {
+    val dim = ratios.length
+    val n = arr.numElements()
+    var acc = 1.0
+    if (n >= 2) {
+      val d = md.get()
+      var i = 0
+      while (i < n - 1) {
+        d.reset()
+        val aNull = arr.isNullAt(i)
+        val bNull = arr.isNullAt(i + 1)
+        if (!aNull) d.update(arr.getUTF8String(i).getBytes)
+        if (!aNull && !bNull) d.update(SPACE)
+        if (!bNull) d.update(arr.getUTF8String(i + 1).getBytes)
+        val h = d.digest()
+        val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+          ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+        acc *= ratios((v % dim).toInt)
+        i += 1
+      }
+    }
+    acc
+  }
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graft.ColumnBridge
 
@@ -232,4 +312,8 @@ object TextExpressions {
   /** Feature-hashed token-count vector (codegen). */
   def hashingVector(arr: Column, dim: Int): Column =
     ColumnBridge.column(HashingVector(ColumnBridge.expression(arr), dim))
+
+  /** DSIR bigram importance-ratio product over a token array (codegen). */
+  def dsirWeight(arr: Column, ratios: Array[Double]): Column =
+    ColumnBridge.column(DsirWeight(ColumnBridge.expression(arr), ratios))
 }

@@ -181,11 +181,14 @@ object RelationalQueries {
     }),
 
     // ───── batch sessionization: 30-min-gap sessions per user, one
-    // shuffle+sort (ts is a nanosecond long under nanosAsLong) ─────
+    // shuffle+sort (ts normalized to nanos-long via Tables.tsNanos — the
+    // physical type has flipped between TIMESTAMP(NANOS) and
+    // timestamp[us] across testdata regenerations) ─────
     "q52_sessionize" -> ((s, d) => {
       val gapNanos = 30L * 60L * 1000000000L
+      val e = Tables.events(s, d)
       Relational.sessionize(
-          Tables.events(s, d).select(col("user_id"), col("ts"), col("value")),
+          e.select(col("user_id"), Tables.tsNanos(e).as("ts"), col("value")),
           Seq("user_id"), "ts", gapNanos)
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"),
@@ -203,7 +206,9 @@ object RelationalQueries {
       val hourNanos = 3600L * 1000000000L
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
         .rangeBetween(-hourNanos, 0)
-      Tables.events(s, d)
+      val e = Tables.events(s, d)
+      e.select(col("event_id"), col("user_id"), Tables.tsNanos(e).as("ts"),
+          col("value"))
         .select(col("event_id"), col("user_id"),
           count(lit(1)).over(w).as("n_last_hour"),
           sum(col("value").cast("decimal(18,2)")).over(w)

@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 
@@ -21,9 +20,10 @@ import graft.dedup.Dedup
   *                    evaluated among exact survivors).
   *
   * Scale shape: stages only narrow the data — the quality gate is
-  * scan-side (pure expressions), exact dedupe is one window over the
-  * 16-byte fingerprint, and the expensive near-dup join runs on the
-  * already-deduped survivor set. Each stage reuses the operator the
+  * scan-side (pure expressions), exact dedupe is a groupBy on the
+  * 16-byte fingerprint plus a flag-back join (map-side partials absorb
+  * hot boilerplate keys; never a fingerprint window), and the expensive
+  * near-dup join runs on the already-deduped survivor set. Each stage reuses the operator the
   * library exposes individually (`TextOps.qualitySignals`, `TextOps
   * .fingerprint`, `Dedup.ngramJaccardPairs`, `Dedup.connectedComponents`),
   * so the composition is exactly as scalable as its parts.
@@ -40,12 +40,12 @@ object Corpus {
       sig("distinct_token_ratio") >= minDistinctRatio
   }
 
-  /** Partition key for the exact-dedupe window: the md5 fingerprint for
+  /** Grouping key for the exact-dedupe stage: the md5 fingerprint for
     * quality passers, a per-doc sentinel for failures. Never null — a
     * shared null (or any shared sentinel) would funnel EVERY rejected doc
-    * into one window partition, and at crawl scale (~30% failures) a
-    * single task would sort a third of the corpus. Unique sentinels keep
-    * failure rows in singleton partitions that hash-spread like real
+    * onto one join key, and at crawl scale (~30% failures) the flag-back
+    * join would hash a third of the corpus to one task. Unique sentinels
+    * keep failure rows on singleton keys that hash-spread like real
     * fingerprints; the `keep_quality` guard already excludes them from
     * `keep_exact` regardless of key. */
   def exactKey(text: Column, keepQuality: Column, id: Column): Column =
@@ -91,10 +91,20 @@ object Corpus {
         docs.join(qFlag, Seq(idCol))
           .select(docs.columns.map(col) :+ col("keep_quality"): _*)
     }
-    val withE = withQ
+    val withF = withQ
       .withColumn("fp", exactKey(col(textCol), col("keep_quality"), col(idCol)))
-      .withColumn("keep_exact", col("keep_quality") &&
-        col(idCol) === min(col(idCol)).over(Window.partitionBy(col("fp"))))
+    // min-id per fingerprint as groupBy + flag-back join, NEVER
+    // `min(id).over(Window.partitionBy(fp))`: at crawl scale the hottest
+    // exact duplicate (parked-domain boilerplate) repeats 10⁷-10⁸×, and a
+    // window partition is one un-splittable task sorting all of it —
+    // whereas the groupBy absorbs hot keys in map-side partials and the
+    // flag-back join is AQE-skew-splittable (the paragraphDedupe
+    // discipline, Dedup.scala). The aggregate side scans only (fp, id)
+    // after column pruning.
+    val withE = withF
+      .join(withF.groupBy(col("fp")).agg(min(col(idCol)).as("__fp_min")), Seq("fp"))
+      .withColumn("keep_exact", col("keep_quality") && col(idCol) === col("__fp_min"))
+      .drop("__fp_min")
     val pairs = Dedup.ngramJaccardPairs(
       withE.where(col("keep_exact")), textCol, idCol, blockCols, n, threshold)
     val cc = Dedup.connectedComponents(pairs)
@@ -288,11 +298,18 @@ object Corpus {
                                    n: Int, threshold: Double): DataFrame = {
     val withQ = incoming.withColumn("keep_quality",
       qualityKeep(col(textCol), stopwords))
-    val withE = withQ
+    val withF = withQ
       .withColumn("fp", exactKey(col(textCol), col("keep_quality"), col(idCol)))
+    // in-batch min-id per fingerprint via groupBy + flag-back join (same
+    // skew rationale as [[clean]]; histFp is distinct so the history join
+    // preserves row multiplicity and the min is over the whole batch group
+    // exactly as the window form was)
+    val withE = withF
       .join(histFp.withColumn("__in_hist", lit(true)), Seq("fp"), "left")
+      .join(withF.groupBy(col("fp")).agg(min(col(idCol)).as("__fp_min")), Seq("fp"))
       .withColumn("keep_exact", col("keep_quality") && col("__in_hist").isNull &&
-        col(idCol) === min(col(idCol)).over(Window.partitionBy(col("fp"))))
+        col(idCol) === col("__fp_min"))
+      .drop("__fp_min")
     // The batch is shingled ONCE into a checkpointed index that feeds both
     // near-dup stages (each consumes its index several times — the PPJoin
     // prefix plus both verification sides — which would otherwise

@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   *   - per-bucket ratio = ONE double division of exact integer products
   *     (Laplace-smoothed counts; identical bits on any IEEE engine);
   *   - per-document weight = left-to-right sequential fold over the
-  *     document's bigrams multiplying the looked-up ratios — both Spark's
-  *     `aggregate` HOF and DuckDB's `list_reduce` fold left, so the
-  *     product's bits match exactly;
+  *     document's bigrams multiplying the looked-up ratios — the compiled
+  *     [[graft.functions.DsirWeight]] loop, the `aggregate` HOF twin, and
+  *     DuckDB's `list_reduce` all fold left, so the product's bits match
+  *     exactly across all three;
   *   - selection = deterministic top-k by weight (the paper's top-k
   *     variant), `TakeOrdered` on the driver — no global sort.
   *
@@ -100,9 +101,22 @@ object Dsir {
   }
 
   /** Per-document importance weight: left-to-right product of the bucket
-    * ratios of the document's bigrams. The model rides the plan as an
-    * array literal — a per-row projection with no join. */
+    * ratios of the document's bigrams. The model rides the plan as a
+    * referenced `double[]` — a per-row projection with no join, and a
+    * COMPILED one: [[graft.functions.DsirWeight]] hashes and folds in one
+    * codegen pass (the interpreted `aggregate`/`transform` HOF form,
+    * preserved as [[importanceWeightHof]], re-ran the lambda interpreter
+    * per bigram and was ~20× slower at the same bits). */
   def importanceWeight(text: Column, ratios: Array[Double], dim: Int): Column = {
+    require(ratios.length == dim, s"model dim ${ratios.length} != $dim")
+    graft.functions.TextExpressions.dsirWeight(TextOps.tokens(text), ratios)
+  }
+
+  /** The higher-order-function twin of [[importanceWeight]] — interpreted,
+    * kept as the independently-derived reference the spec checks the
+    * compiled expression against bit-for-bit (and as the form an engine
+    * without expression extension points would run). */
+  def importanceWeightHof(text: Column, ratios: Array[Double], dim: Int): Column = {
     require(ratios.length == dim, s"model dim ${ratios.length} != $dim")
     val rl = array(ratios.map(lit).toSeq: _*)
     aggregate(bigrams(text), lit(1.0),

@@ -36,10 +36,8 @@ class BatchJobSpec extends SparkSpec {
     assert(days === Array("20240105", "20240106"))
 
     // rollup matches a direct aggregate over the same day range
-    val (lo, _) = EventsDailyView.dayBoundsNanos("20240105")
-    val (_, hi) = EventsDailyView.dayBoundsNanos("20240106")
-    val direct = graft.Tables.events(spark, sf)
-      .where(col("ts") >= lo && col("ts") < hi).count()
+    val ev = graft.Tables.events(spark, sf)
+    val direct = ev.where(EventsDailyView.dayRange(ev, "20240105", "20240107")).count()
     assert(view.agg(sum("n_events")).head().getLong(0) === direct)
 
     // the day filter reaches the parquet scan

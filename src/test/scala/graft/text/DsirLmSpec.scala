@@ -84,6 +84,15 @@ class DsirLmSpec extends SparkSpec {
       val exp = localBigrams(t).foldLeft(1.0)((acc, g) => acc * ratios(bucket(g, dim)))
       assert(got(id) === exp, s"doc $id text '$t'")
     }
+    // the compiled expression and its interpreted HOF twin agree to the
+    // last bit (same hash, same fold order, same double multiplies)
+    val hof = docs.select(col("doc_id"),
+        Dsir.importanceWeightHof(col("text"), ratios, dim).as("w"))
+      .as[(Long, Double)].collect().toMap
+    texts.foreach { case (id, _, t) =>
+      assert(java.lang.Double.doubleToLongBits(got(id)) ===
+        java.lang.Double.doubleToLongBits(hof(id)), s"codegen≠HOF for doc $id '$t'")
+    }
     // top-k selection orders by weight desc then id
     val sel = Dsir.select(docs, col("src") === "tgt", "text", "doc_id",
       dim, k = 10).as[(Long, Double)].collect()

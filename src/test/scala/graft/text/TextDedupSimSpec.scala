@@ -433,23 +433,24 @@ class TextDedupSimSpec extends SparkSpec {
   test("assemble: finite budget seals clean stages behind a checkpoint") {
     // tokenBudgetSample fires two driver-side sizing aggregates — without
     // the lazy checkpoint each one re-executes the whole clean pipeline.
-    // Sealed = none of clean()'s operators (the exact-dedupe `fp` window)
-    // appear above the checkpoint in the budgeted plan; the unbounded
-    // path skips both the checkpoint and the sizing actions entirely.
+    // Sealed = none of clean()'s operators (the exact-dedupe groupBy on
+    // `fp`; it is a groupBy + flag-back join, never a window) appear
+    // above the checkpoint in the budgeted plan; the unbounded path
+    // skips both the checkpoint and the sizing actions entirely.
     val long = (1 to 40).map(i => s"tok$i").mkString(" ")
     val a = Seq((1L, long), (2L, "short")).toDF("doc_id", "text")
-    def hasFpWindow(df: org.apache.spark.sql.DataFrame): Boolean =
+    def hasFpAgg(df: org.apache.spark.sql.DataFrame): Boolean =
       df.queryExecution.optimizedPlan.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window
-          if w.partitionSpec.flatMap(_.references.toSeq).exists(_.name == "fp") => w
+        case g: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if g.groupingExpressions.flatMap(_.references.toSeq).exists(_.name == "fp") => g
       }.nonEmpty
     val budgeted = graft.text.Corpus.assemble(Seq((a, 1.0)), "text", "doc_id",
       Nil, Seq("the"), tokenBudget = 10L, chunkSize = 16, overlap = 0)
-    assert(!hasFpWindow(budgeted),
+    assert(!hasFpAgg(budgeted),
       "finite budget: clean stages must be sealed behind the lazy checkpoint")
     val unbounded = graft.text.Corpus.assemble(Seq((a, 1.0)), "text", "doc_id",
       Nil, Seq("the"), chunkSize = 16, overlap = 0)
-    assert(hasFpWindow(unbounded),
+    assert(hasFpAgg(unbounded),
       "unbounded budget: identity sample, no checkpoint interposed")
     // and the identity really is an identity — zero actions, same frame
     val df = Seq((1L, 5L)).toDF("doc_id", "n")
@@ -542,8 +543,9 @@ class TextDedupSimSpec extends SparkSpec {
       (4L, long + " changed", "en"),         // near-dup of 1 → dropped at cluster
       (5L, "one two three four five six seven eight nine ten eleven", "en"))
       .toDF("doc_id", "text", "lang")
-    val out = graft.text.Corpus.clean(docs, "text", "doc_id", Seq("lang"),
+    val frame = graft.text.Corpus.clean(docs, "text", "doc_id", Seq("lang"),
         stopwords = Seq("the"), threshold = 0.5)
+    val out = frame
       .select("doc_id", "keep_quality", "keep_exact", "keep")
       .as[(Long, Boolean, Boolean, Boolean)].collect().toSet
     assert(out === Set(
@@ -552,6 +554,14 @@ class TextDedupSimSpec extends SparkSpec {
       (3L, true, false, false),
       (4L, true, true, false),
       (5L, true, true, true)))
+    // the exact stage must stay groupBy+join-back — a window partitioned
+    // by the fingerprint is one un-splittable task per hot boilerplate
+    // key at crawl scale (round-6 verdict What's-wrong #2)
+    val fpWindows = frame.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.exists(_.references.exists(_.name == "fp")) => w
+    }
+    assert(fpWindows.isEmpty, s"fingerprint-partitioned window in plan: $fpWindows")
   }
 
   test("IVF cell-partitioned persistence: probes prune partitions at the scan") {
