@@ -186,6 +186,83 @@ object BinaryOps {
     }(enc)
   }
 
+  /** REAL image feature extraction, pure JVM (no new dependency): decode
+    * the payload with `javax.imageio`, box-average the pixels onto an 8×8
+    * luminance grid (Rec. 601 weights, 0.299R+0.587G+0.114B), and emit
+    *
+    *   - `features: array<float>` — the 64 cell means normalized to
+    *     [0,1], a genuine perceptual embedding that feeds
+    *     [[graft.sim.Similarity]]'s ANN/dedup operators directly;
+    *   - `ahash: long` — the classic average-hash: bit i set iff cell i
+    *     is at or above the grid mean (Hamming distance on it is the
+    *     standard near-duplicate-image signal, and it composes with
+    *     [[graft.dedup.Dedup]]'s SimHash banding which also works on
+    *     64-bit signatures).
+    *
+    * Box-averaging over exact pixel indices (not `getScaledInstance`,
+    * whose filtering is implementation-defined) keeps the features
+    * deterministic across JVMs for a given decoded raster. Unrecognized
+    * or corrupt payloads yield null features (never a task failure), same
+    * contract as the meta decoders. The stub [[extractFeatures]] remains
+    * for oracle-replicable plumbing tests. */
+  def withImageFeatures(df: DataFrame, binCol: String, grid: Int = 8): DataFrame = {
+    require(grid >= 1 && grid <= 64, s"grid must be in [1,64]: $grid")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("features", ArrayType(FloatType)),
+      StructField("ahash", LongType)))
+    val enc = ExpressionEncoder(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      // ImageIO reader discovery is per-call; nothing heavier to init here
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val cells = if (bytes == null) null else luminanceGrid(bytes, grid)
+        cells match {
+          case null => Row.fromSeq(r.toSeq ++ Seq(null, null))
+          case g =>
+            val mean = g.sum / g.length
+            var hash = 0L
+            var i = 0
+            while (i < g.length && i < 64) {
+              if (g(i) >= mean) hash |= (1L << i)
+              i += 1
+            }
+            Row.fromSeq(r.toSeq ++ Seq(g.map(v => (v / 255.0).toFloat).toSeq, hash))
+        }
+      }
+    }(enc)
+  }
+
+  /** Decode + box-average to a `grid`×`grid` luminance array (row-major,
+    * values 0-255). Null for undecodable payloads. */
+  private[multimodal] def luminanceGrid(bytes: Array[Byte], grid: Int): Array[Double] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 1 || img.getHeight < 1) null
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val sums = new Array[Double](grid * grid)
+        val counts = new Array[Long](grid * grid)
+        var y = 0
+        while (y < h) {
+          val cy = (y.toLong * grid / h).toInt
+          var x = 0
+          while (x < w) {
+            val cx = (x.toLong * grid / w).toInt
+            val rgb = img.getRGB(x, y)
+            val lum = 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            val c = cy * grid + cx
+            sums(c) += lum; counts(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Array.tabulate(grid * grid)(i =>
+          if (counts(i) == 0) 0.0 else sums(i) / counts(i))
+      }
+    } catch { case _: Exception => null }
+
   /** Resize stage: emits a `resized` binary (stub: the md5 digest as a
     * deterministic 16-byte "thumbnail") plus the recorded target dims —
     * batched per partition like the decode, so a real scaler slots in. */

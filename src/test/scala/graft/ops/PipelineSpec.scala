@@ -362,4 +362,46 @@ class PipelineSpec extends SparkSpec {
     val junk = out(2L)
     assert(junk.getLong(0) === 20L && junk.isNullAt(1) && junk.isNullAt(2))
   }
+
+  test("BinaryOps: real PNG-derived aHash features ANN-search end-to-end") {
+    import java.awt.image.BufferedImage
+    // deterministic painted rasters → real encoded PNGs
+    def png(paint: (Int, Int) => Int, w: Int = 32, h: Int = 32): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, paint(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", baos))
+      baos.toByteArray
+    }
+    def grey(v: Int) = (v << 16) | (v << 8) | v
+    val gradientH = png((x, _) => grey(x * 8))              // left-dark → right-light
+    val gradientHNoisy = png((x, y) =>                       // same, a few pixels flipped
+      if ((x + y * 32) % 97 == 0) grey(255 - x * 8) else grey(x * 8))
+    val gradientV = png((_, y) => grey(y * 8))              // rotated 90°: different layout
+    val checker = png((x, y) => if (((x / 4) + (y / 4)) % 2 == 0) grey(230) else grey(20))
+    val docs = Seq(
+      (1L, gradientH), (2L, gradientHNoisy), (3L, gradientV), (4L, checker),
+      (5L, "not an image".getBytes("UTF-8")))
+      .toDF("img_id", "content")
+    val featured = BinaryOps.withImageFeatures(docs, "content")
+      .select(col("img_id"), col("features"), col("ahash"))
+    val rows = featured.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Float](1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(rows(5L)._1 == null && rows(5L)._2.isEmpty, "junk bytes → null features")
+    assert(rows(1L)._1.length === 64)
+    // aHash: the noisy twin is Hamming-near its original, far from others
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(rows(1L)._2.get, rows(2L)._2.get) <= 4,
+      "near-duplicate image must be Hamming-near on aHash")
+    assert(ham(rows(1L)._2.get, rows(4L)._2.get) > 8,
+      "unrelated image must be Hamming-far")
+    // ANN end-to-end over the REAL features: query with image 1's vector,
+    // nearest other image must be its noisy twin
+    val q = rows(1L)._1.toSeq
+    val top = graft.sim.Similarity.bruteForceTopK(
+        featured.where(col("features").isNotNull && col("img_id") =!= 1L),
+        "features", "img_id", q, k = 1)
+      .select("img_id").head().getLong(0)
+    assert(top === 2L, "ANN over PNG-derived features must surface the near-dup")
+  }
 }
