@@ -274,7 +274,12 @@ object Dedup {
   def shingleRows(docs: DataFrame, textCol: String, idCol: String,
                   blockCols: Seq[String], n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(blockCols.map(col) :+ col(idCol) :+
+    // NOT fanned out: the map side before the id-window exchange is just
+    // tokenize+posexplode (cheap), and the window/groupBy shuffles already
+    // spread the per-gram work — an extra round-robin exchange here
+    // measured as pure overhead (bench r7: +0.5-1 s per shingle query)
+    val src = docs.select(blockCols.map(col) :+ col(idCol) :+ col(textCol): _*)
+    val toks = src.select(blockCols.map(col) :+ col(idCol) :+
       posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "w")): _*)
     val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val leads = (1 until n).map(k => lead(col("w"), k).over(win).as(s"w$k"))
@@ -284,7 +289,7 @@ object Dedup {
       .select(blockCols.map(col) :+ col(idCol) :+
         concat_ws(" ", col("w") +: (1 until n).map(k => col(s"w$k")): _*).as("g0"): _*)
     // short docs (< n tokens): whole normalized text is the only shingle
-    val short = docs
+    val short = src
       .where(size(TextOps.tokens(col(textCol))) < n)
       .select(blockCols.map(col) :+ col(idCol) :+
         concat_ws(" ", TextOps.tokens(col(textCol))).as("g0"): _*)

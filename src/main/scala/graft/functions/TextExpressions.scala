@@ -294,6 +294,120 @@ object DsirWeight {
   }
 }
 
+/** Adjacent-pair bigram strings of a token array — `[t0+" "+t1,
+  * t1+" "+t2, …]`, `n-1` elements, empty for fewer than 2 tokens. One
+  * compiled pass; replaces the `transform(sequence(...), i =>
+  * concat_ws(" ", element_at(t,i+1), element_at(t,i+2)))` HOF whose
+  * lambda interpreter dominated the DSIR fit scan (the model-fitting
+  * side of the same round-6 q105 finding the [[DsirWeight]] scorer
+  * fixed). Null tokens follow concat_ws semantics (skipped, separator
+  * only between non-null parts) for parity with the HOF form. */
+case class BigramArray(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"BigramArray needs array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BigramArray.bigrams(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.BigramArray$$.MODULE$$.bigrams($arr);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BigramArray {
+  private val SPACE = UTF8String.fromString(" ")
+  private val EMPTY = UTF8String.fromString("")
+
+  def bigrams(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](n - 1)
+      var i = 0
+      while (i < n - 1) {
+        val a = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+        val b = if (arr.isNullAt(i + 1)) null else arr.getUTF8String(i + 1)
+        out(i) =
+          if (a == null && b == null) EMPTY
+          else if (a == null) b
+          else if (b == null) a
+          else UTF8String.concat(a, SPACE, b)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+}
+
+/** Bigram bucket ids of a token array: `bucket(t[i]+" "+t[i+1])` for each
+  * adjacent pair, as one compiled `array<int>` pass — the md5-prefix
+  * bucket of [[HashingVector.bucket]]/[[DsirWeight]], without
+  * materializing gram strings or routing through the SQL
+  * `conv(substring(md5(..),1,8),16,10)` chain (hex encode + substring +
+  * radix parse per gram). Feeds the DSIR fit scan: `explode` over ints,
+  * then a dim-bounded groupBy. Values replay in DuckDB as
+  * `CAST('0x' || substr(md5(a || ' ' || b),1,8) AS BIGINT) % dim`. */
+case class DsirBuckets(child: Expression, dim: Int) extends UnaryExpression {
+  require(dim > 0, s"dim must be positive: $dim")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"DsirBuckets needs array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    DsirBuckets.buckets(input.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.DsirBuckets$$.MODULE$$.buckets($arr, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DsirBuckets {
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  private val SPACE = Array[Byte](' ')
+
+  def buckets(arr: ArrayData, dim: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Int])
+    else {
+      val out = new Array[Int](n - 1)
+      val d = md.get()
+      var i = 0
+      while (i < n - 1) {
+        d.reset()
+        val aNull = arr.isNullAt(i)
+        val bNull = arr.isNullAt(i + 1)
+        if (!aNull) d.update(arr.getUTF8String(i).getBytes)
+        if (!aNull && !bNull) d.update(SPACE)
+        if (!bNull) d.update(arr.getUTF8String(i + 1).getBytes)
+        val h = d.digest()
+        val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+          ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+        out(i) = (v % dim).toInt
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graft.ColumnBridge
 
@@ -316,4 +430,12 @@ object TextExpressions {
   /** DSIR bigram importance-ratio product over a token array (codegen). */
   def dsirWeight(arr: Column, ratios: Array[Double]): Column =
     ColumnBridge.column(DsirWeight(ColumnBridge.expression(arr), ratios))
+
+  /** Adjacent-pair bigram strings of a token array (codegen). */
+  def bigramArray(arr: Column): Column =
+    ColumnBridge.column(BigramArray(ColumnBridge.expression(arr)))
+
+  /** Bigram md5-prefix bucket ids of a token array (codegen). */
+  def dsirBuckets(arr: Column, dim: Int): Column =
+    ColumnBridge.column(DsirBuckets(ColumnBridge.expression(arr), dim))
 }

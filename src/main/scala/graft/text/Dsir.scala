@@ -46,8 +46,15 @@ object Dsir {
 
   /** Whitespace-token bigrams as strings in position order (the fold
     * order the weight product depends on). Single-token and empty
-    * documents get an empty list → weight 1.0 (ratio-neutral). */
-  def bigrams(text: Column): Column = {
+    * documents get an empty list → weight 1.0 (ratio-neutral). One
+    * compiled pass ([[graft.functions.BigramArray]]); [[bigramsHof]] is
+    * the interpreted twin the spec cross-checks. */
+  def bigrams(text: Column): Column =
+    graft.functions.TextExpressions.bigramArray(TextOps.tokens(text))
+
+  /** Higher-order-function twin of [[bigrams]] — interpreted; kept as the
+    * independently-derived reference for the parity spec. */
+  def bigramsHof(text: Column): Column = {
     val t = TextOps.tokens(text)
     when(size(t) >= 2,
       transform(sequence(lit(0), size(t) - 2),
@@ -78,10 +85,17 @@ object Dsir {
   def fitRatios(docs: DataFrame, targetPred: Column, textCol: String,
                 dim: Int): Array[Double] = {
     require(dim > 0, s"dim must be positive: $dim")
-    val perBucket = docs
-      .where(col(textCol).isNotNull)
-      .select(targetPred.as("__t"), explode(bigrams(col(textCol))).as("__g"))
-      .select(col("__t"), bucketOf(col("__g"), dim).cast("int").as("__b"))
+    // gram→bucket compiled in ONE pass (DsirBuckets): no gram-string
+    // materialization, no SQL hex/substring/radix chain — the explode
+    // carries 4-byte ints and the groupBy state stays O(dim). The narrow
+    // (flag, text) projection fans out first so the hashing uses every
+    // core even when the source is a single-split file (no-op at scale).
+    val perBucket = TextOps.fanOutSmall(docs
+        .where(col(textCol).isNotNull)
+        .select(targetPred.as("__t"), col(textCol).as("__text")))
+      .select(col("__t"),
+        explode(graft.functions.TextExpressions.dsirBuckets(
+          TextOps.tokens(col("__text")), dim)).as("__b"))
       .groupBy(col("__b"))
       .agg(count(lit(1)).as("__raw"),
         sum(when(col("__t"), 1L).otherwise(0L)).as("__tgt"))
@@ -119,7 +133,7 @@ object Dsir {
   def importanceWeightHof(text: Column, ratios: Array[Double], dim: Int): Column = {
     require(ratios.length == dim, s"model dim ${ratios.length} != $dim")
     val rl = array(ratios.map(lit).toSeq: _*)
-    aggregate(bigrams(text), lit(1.0),
+    aggregate(bigramsHof(text), lit(1.0),
       (acc, g) => acc * element_at(rl, (bucketOf(g, dim) + 1).cast("int")))
   }
 
@@ -130,7 +144,8 @@ object Dsir {
              idCol: String, dim: Int, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val ratios = fitRatios(docs, targetPred, textCol, dim)
-    docs.where(col(textCol).isNotNull)
+    TextOps.fanOutSmall(docs.where(col(textCol).isNotNull)
+        .select(col(idCol), col(textCol)))
       .select(col(idCol), importanceWeight(col(textCol), ratios, dim)
         .as("dsir_weight"))
       .orderBy(col("dsir_weight").desc, col(idCol))

@@ -13,6 +13,31 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Fan a SMALL input out to the session's full parallelism before a
+    * compute-heavy scan (per-gram hashing costs orders of magnitude more
+    * than the bytes feeding it). Guarded by the optimizer's size
+    * estimate, NOT by executing anything: below the threshold the source
+    * cannot have enough row groups to split (a single-file fixture scans
+    * as ONE task, serializing every downstream gram on one core — at
+    * local[32] that is a 32× loss), and a one-pass round-robin shuffle of
+    * ≤1 GB is cheap; at or above it, real corpora split natively across
+    * files/row-groups and the repartition would be a catastrophic
+    * whole-input shuffle — so it is a no-op exactly where 100 TB lives.
+    *
+    * Use ONLY where the heavy compute is entirely map-side with no
+    * downstream row shuffle to spread it (DSIR's fit/score scans: the
+    * only exchange is a dim-sized aggregate). Operators whose gram
+    * stream shuffles anyway (shingle window/groupBy, LM count tables,
+    * paragraph fingerprint groupBy) get their parallelism from that
+    * exchange, and an extra round-robin here measured as pure overhead
+    * (+0.5-1 s per shingle query, bench r7). */
+  def fanOutSmall(df: org.apache.spark.sql.DataFrame,
+                  thresholdBytes: Long = 1L << 30): org.apache.spark.sql.DataFrame = {
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (size < thresholdBytes) df.repartition(target) else df
+  }
+
   /** Whitespace tokenization (leading/trailing space trimmed). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
@@ -284,7 +309,8 @@ object TextOps {
                         idCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val id = col(idCol)
-    val lines = docs
+    val src = docs.select(id, col(textCol))
+    val lines = src
       .select(id, explode(split(col(textCol), "\n")).as("__raw"))
       .select(id, trim(col("__raw")).as("__line"))
       .where(length(col("__line")) > 0)
@@ -296,7 +322,7 @@ object TextOps {
       (lit(1.0) - count(lit(1)).cast("double") / sum("__cnt")).as("dup_line_frac"),
       (sum(when(col("__cnt") > 1, col("__cnt") * col("__len")).otherwise(0L))
         .cast("double") / sum(col("__cnt") * col("__len"))).as("dup_line_char_frac"))
-    val toks = docs
+    val toks = src
       .select(id, posexplode(tokens(col(textCol))).as(Seq("__pos", "__w")))
       .where(length(col("__w")) > 0)
     val tokChars = toks.groupBy(id)

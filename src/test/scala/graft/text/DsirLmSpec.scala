@@ -84,6 +84,11 @@ class DsirLmSpec extends SparkSpec {
       val exp = localBigrams(t).foldLeft(1.0)((acc, g) => acc * ratios(bucket(g, dim)))
       assert(got(id) === exp, s"doc $id text '$t'")
     }
+    // the compiled bigram array equals the interpreted HOF twin
+    val bg = docs.select(col("doc_id"), Dsir.bigrams(col("text")).as("a"),
+        Dsir.bigramsHof(col("text")).as("b"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+    bg.foreach { case (id, a, b) => assert(a === b, s"bigrams mismatch doc $id") }
     // the compiled expression and its interpreted HOF twin agree to the
     // last bit (same hash, same fold order, same double multiplies)
     val hof = docs.select(col("doc_id"),
