@@ -305,15 +305,25 @@ object Dedup {
     * scale a trigram present in a few percent of documents puts 10⁸⁺ rows
     * in a single window partition, and AQE's skew handling splits joins,
     * not windows. The groupBy absorbs hot shingles in map-side partial
-    * aggregation and the join-back IS skew-splittable. The PPJoin prefix
-    * only needs a total order shared by all docs, so df values from either
-    * form rank identically. Both join inputs share the `rows` subtree; its
-    * terminal exchange is canonically identical on both sides, so runtime
-    * ReuseExchange materializes the shingle pipeline once. */
-  private def withShingleDf(rows: DataFrame, keyCols: Seq[String]): DataFrame =
-    rows.join(
-      rows.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("df")),
-      keyCols)
+    * aggregation and the join-back IS skew-splittable.
+    *
+    * The join-back carries ONLY the `df > 1` subset (a LEFT join;
+    * unmatched rows default to df = 1): ranking is unchanged, but on real
+    * corpora duplicated shingles are the small minority of DISTINCT
+    * shingles, so the right side shrinks by orders of magnitude and AQE
+    * promotes the join to broadcast when it fits — then the shingle
+    * stream reaches the prefix window without an extra shuffle-by-g
+    * pass. When the dup subset is too big to broadcast, this degrades to
+    * the same skew-splittable shuffled join as before, just smaller. The
+    * PPJoin prefix only needs a total order shared by all docs, so df
+    * values from either form rank identically. */
+  private def withShingleDf(rows: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val dups = rows.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__df"))
+      .where(col("__df") > 1)
+    rows.join(dups, keyCols, "left")
+      .withColumn("df", coalesce(col("__df"), lit(1L)))
+      .drop("__df")
+  }
 
   /** Inverted-index (Vernica-join) form: distinct shingle rows, equi-join
     * on (block, shingle-hash) with a size-ratio prune
