@@ -1088,4 +1088,33 @@ object Dedup {
       .withColumn("component", coalesce(col("component"), col(idCol)))
       .withColumn("keep", col("component") === col(idCol))
   }
+
+  /** [[dedupeByPairs]] with QUALITY-AWARE survivor selection: instead of
+    * the min-id member, each near-dup cluster keeps its best member by
+    * `prefer` (highest wins; ties to the lowest id) — the curation form a
+    * training pipeline actually wants ("of these near-duplicate pages,
+    * keep the longest / cleanest / highest-scoring one"). `prefer` is any
+    * deterministic numeric expression over `docs`' columns; `idCol` must
+    * be numeric (the tie-break negates it).
+    *
+    * Survivor pick is `groupBy(component).agg(max(struct(prefer, -id)))`
+    * + a flag-back join — the skew-safe first-occurrence discipline
+    * (never a window over the component; a viral boilerplate cluster
+    * would pin one task). The component map still only holds docs that
+    * appear in a pair, so both joins stay broadcast-promotable where
+    * near-dups are a small fraction. */
+  def dedupeByPairsBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+                        prefer: Column,
+                        aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val labeled = docs.join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val best = labeled
+      .groupBy(col("component"))
+      .agg(max(struct(prefer.as("__p"), (-col(idCol)).as("__nid"))).as("__b"))
+      .select(col("component"), (-col("__b.__nid")).as("__best_id"))
+    labeled.join(best, Seq("component"))
+      .withColumn("keep", col(idCol) === col("__best_id"))
+      .drop("__best_id")
+  }
 }

@@ -766,6 +766,35 @@ object TextQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // ───── incremental SemDeDup: odd vec_ids are today's batch, even
+    // vec_ids the accumulated history — batch drops members with a
+    // same-cell history neighbor ≥ t, then dedupes within itself. Model =
+    // the same oracle-derivable per-label means as q91. ─────
+    "q109_semantic_dedup_inc" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).where(col("embedding").isNotNull)
+      val batch = emb.where(col("vec_id") % 2 === 1)
+      val hist = emb.where(col("vec_id") % 2 === 0)
+      Similarity.semanticDedupIncremental(batch, hist, "embedding", "vec_id",
+          labelMeanModel(emb), threshold = 0.35)
+        .select(col("vec_id"), col("ivf_cell"), col("keep_vs_history"),
+          col("component"), col("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ───── quality-aware survivor selection: q44's clusters, but each
+    // cluster keeps its HIGHEST-NORM member (ties to lowest id) instead
+    // of the min id — "of these near-duplicates, keep the best one" ─────
+    "q110_cluster_best" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).where(col("embedding").isNotNull)
+      val pairs = Similarity.cosinePairs(emb, "embedding", "vec_id",
+        "label", threshold = 0.35)
+      Dedup.dedupeByPairsBest(
+          emb.select(col("vec_id"), col("embedding")), "vec_id", pairs,
+          prefer = Similarity.norm(col("embedding")))
+        .select(col("vec_id"), col("component"), col("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ───── IVF index health: per-cell occupancy + fixed-point coherence
     // sums over the same oracle-derivable centroids as q91 ─────
     "q95_ivf_cell_stats" -> ((s, d) => {
@@ -1958,6 +1987,117 @@ object TextQueries {
           FROM embeddings e JOIN assigned s USING (vec_id)
           LEFT JOIN comp c ON e.vec_id = c.id
           ORDER BY e.vec_id""",
+
+    // q91's centroid/assignment CTEs, then: batch (odd ids) drops members
+    // with a same-cell history (even ids) neighbor >= t, survivors get
+    // q44's recursive-CTE components within the batch
+    "q109_semantic_dedup_inc" ->
+      s"""WITH RECURSIVE ex AS (
+            SELECT label, p['pos'] AS pos, p['v'] AS v FROM (
+              SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+                i -> {'pos': i - 1, 'v': embedding[i]})) AS p
+              FROM embeddings WHERE embedding IS NOT NULL)),
+          sums AS (
+            SELECT label, pos,
+              CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))
+                AS BIGINT) AS mic
+            FROM ex GROUP BY label, pos),
+          cnt AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS n
+            FROM embeddings WHERE embedding IS NOT NULL GROUP BY label),
+          mm AS (
+            SELECT s.label, s.pos,
+              CAST(s.mic AS DOUBLE) / 1000000 / CAST(c.n AS DOUBLE) AS m
+            FROM sums s JOIN cnt c USING (label)),
+          cent AS (
+            SELECT label,
+              list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS cf,
+              list_sum(list_transform(list(m ORDER BY pos), x -> x * x)) / 2 AS hn
+            FROM mm GROUP BY label),
+          cellmap AS (
+            SELECT label, cf, hn,
+              CAST(ROW_NUMBER() OVER (ORDER BY label) - 1 AS INT) AS cell
+            FROM cent),
+          scored AS (
+            SELECT e.vec_id, c.cell,
+              list_sum(list_transform(list_zip(c.cf, e.embedding),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) - c.hn AS score
+            FROM embeddings e CROSS JOIN cellmap c
+            WHERE e.embedding IS NOT NULL),
+          assigned AS (
+            SELECT vec_id, cell FROM (
+              SELECT vec_id, cell, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+              FROM scored) WHERE rn = 1),
+          av AS (
+            SELECT e.vec_id, e.embedding, s.cell
+            FROM embeddings e JOIN assigned s USING (vec_id)),
+          histdup AS (
+            SELECT DISTINCT a.vec_id
+            FROM av a JOIN av b ON a.cell = b.cell
+              AND a.vec_id % 2 = 1 AND b.vec_id % 2 = 0
+            WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35),
+          pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE a.vec_id % 2 = 1 AND b.vec_id % 2 = 1
+              AND a.vec_id NOT IN (SELECT vec_id FROM histdup)
+              AND b.vec_id NOT IN (SELECT vec_id FROM histdup)
+              AND ${cosSql("a.embedding", "b.embedding")} >= 0.35),
+          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          reach AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            WHERE e.v <> r.u),
+          comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component
+                   FROM reach GROUP BY u)
+          SELECT e.vec_id, s.cell AS ivf_cell,
+            (h.vec_id IS NULL) AS keep_vs_history,
+            COALESCE(c.component, e.vec_id) AS component,
+            (h.vec_id IS NULL)
+              AND COALESCE(c.component, e.vec_id) = e.vec_id AS keep
+          FROM embeddings e JOIN assigned s USING (vec_id)
+          LEFT JOIN histdup h ON e.vec_id = h.vec_id
+          LEFT JOIN comp c ON e.vec_id = c.id
+          WHERE e.vec_id % 2 = 1
+          ORDER BY e.vec_id""",
+
+    // q44's recursive-CTE components, survivor = highest L2 norm per
+    // cluster (list_sum left-folds like the codegen dot, so the norm's
+    // bits match), ties to the lowest id
+    "q110_cluster_best" ->
+      s"""WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+              AND ${cosSql("a.embedding", "b.embedding")} >= 0.35),
+          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          reach AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            WHERE e.v <> r.u),
+          comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component
+                   FROM reach GROUP BY u),
+          labeled AS (
+            SELECT e.vec_id,
+              COALESCE(c.component, e.vec_id) AS component,
+              sqrt(list_sum(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
+            WHERE e.embedding IS NOT NULL),
+          best AS (
+            SELECT component, vec_id AS best_id FROM (
+              SELECT component, vec_id, ROW_NUMBER() OVER (
+                PARTITION BY component ORDER BY nrm DESC, vec_id ASC) AS rn
+              FROM labeled) WHERE rn = 1)
+          SELECT l.vec_id, l.component, l.vec_id = b.best_id AS keep
+          FROM labeled l JOIN best b USING (component)
+          ORDER BY l.vec_id""",
 
     // grams grouped by their STRING (the operator hashes them — identical
     // short of an xxhash64 collision); canonical occurrence = row_number 1

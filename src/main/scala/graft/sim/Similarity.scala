@@ -231,4 +231,47 @@ object Similarity {
     val pairs = cosinePairs(assigned, vecCol, idCol, "ivf_cell", threshold, saltBuckets)
     graft.dedup.Dedup.dedupeByPairs(assigned, idCol, pairs)
   }
+
+  /** Incremental [[semanticDedup]] — the daily-ingest form: dedupe a NEW
+    * batch of embeddings against an accumulated (already semantically
+    * deduped) history, then within itself, without ever re-pairing
+    * history against history. Per batch row:
+    *
+    *   `keep_vs_history` — no history embedding in the same cell has
+    *                       cosine ≥ threshold ([[cosineJoin]]: history
+    *                       streams once as the probe side, batch is the
+    *                       salted build side);
+    *   `component`       — in-batch semantic group over the history
+    *                       survivors (docs dropped vs history keep their
+    *                       own id);
+    *   `keep`            — `keep_vs_history` AND the group's min-id
+    *                       survivor.
+    *
+    * Scale shape mirrors the other incremental operators: cell assignment
+    * is the codegen [[graft.functions.NearestCentroid]] pass on BOTH
+    * sides (history's assignment is recomputed in stream — or persist the
+    * assigned table cell-partitioned and skip it), state is batch-sized
+    * only, and cell blocking bounds the cross-join exactly as in the
+    * batch form. Same boundary-miss trade as SemDeDup: near-dups
+    * straddling a cell boundary are not compared. */
+  def semanticDedupIncremental(batch: DataFrame, history: DataFrame,
+                               vecCol: String, idCol: String,
+                               model: Ivf.IvfModel, threshold: Double,
+                               saltBuckets: Int = 8): DataFrame = {
+    val bAssigned = Ivf.assign(batch, vecCol, model)
+    val hAssigned = Ivf.assign(history.select(col(idCol), col(vecCol)), vecCol, model)
+    val histDup = cosineJoin(bAssigned, hAssigned, vecCol, idCol, "ivf_cell",
+        threshold, saltBuckets)
+      .select(col("id_l").as(idCol)).distinct()
+      .withColumn("__hist_dup", lit(true))
+    val withH = bAssigned.join(histDup, Seq(idCol), "left")
+      .withColumn("keep_vs_history", col("__hist_dup").isNull)
+      .drop("__hist_dup")
+    val pairs = cosinePairs(withH.where(col("keep_vs_history")), vecCol, idCol,
+      "ivf_cell", threshold, saltBuckets)
+    val cc = graft.dedup.Dedup.connectedComponents(pairs)
+    withH.join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn("keep", col("keep_vs_history") && col("component") === col(idCol))
+  }
 }

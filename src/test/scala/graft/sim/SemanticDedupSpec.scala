@@ -143,4 +143,66 @@ class SemanticDedupSpec extends SparkSpec {
       if (round == 1) assert(out.exists(!_._4), "no duplicates generated")
     }
   }
+
+  test("semanticDedupIncremental matches a batch-vs-history union-find reference") {
+    val rnd = new scala.util.Random(1209L)
+    val dim = 6
+    val nCells = 3
+    val cents = Array.fill(nCells)(Array.fill(dim)(rnd.nextGaussian() * 3))
+    val vecs = (1L to 60L).map { i =>
+      val c = cents(rnd.nextInt(nCells))
+      (i, c.map(x => (x + rnd.nextGaussian() * 0.4).toFloat).toSeq)
+    }
+    val hist = vecs.filter(_._1 % 2 == 0)
+    val batch = vecs.filter(_._1 % 2 == 1)
+    val model = Ivf.IvfModel(cents)
+    val out = Similarity.semanticDedupIncremental(
+        batch.toDF("vec_id", "embedding"), hist.toDF("vec_id", "embedding"),
+        "embedding", "vec_id", model, 0.9)
+      .select("vec_id", "ivf_cell", "keep_vs_history", "component", "keep")
+      .as[(Long, Int, Boolean, Long, Boolean)].collect().sortBy(_._1)
+
+    val cellOf = vecs.map { case (id, v) => id -> assignCell(v, cents) }.toMap
+    val vecOf = vecs.toMap
+    val histDup = batch.collect { case (ib, vb)
+      if hist.exists { case (ih, vh) =>
+        cellOf(ib) == cellOf(ih) && cos(vb, vh) >= 0.9 } => ib
+    }.toSet
+    val surv = batch.filterNot(b => histDup(b._1))
+    val parent = scala.collection.mutable.Map(batch.map(v => v._1 -> v._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      (ia, va) <- surv; (ib, vb) <- surv
+      if ia < ib && cellOf(ia) == cellOf(ib) && cos(va, vb) >= 0.9
+    } {
+      val (ra, rb) = (find(ia), find(ib))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = batch.map { case (id, _) =>
+      val kvh = !histDup(id)
+      val comp = if (kvh) find(id) else id
+      (id, cellOf(id), kvh, comp, kvh && comp == id)
+    }
+    assert(out.toSeq == want)
+    assert(out.exists(!_._3), "no history duplicates generated")
+    assert(vecOf.size == 60) // split covers everything
+  }
+
+  test("dedupeByPairsBest keeps the highest-prefer member per cluster, ties to min id") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, 5.0), (2L, 9.0), (3L, 7.0),   // cluster {1,2,3} → best is 2
+      (4L, 1.0), (5L, 1.0),              // cluster {4,5}: tie → min id 4
+      (6L, 0.0))                          // singleton keeps itself
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = graft.dedup.Dedup.dedupeByPairsBest(docs, "doc_id", pairs,
+        prefer = col("score"))
+      .select("doc_id", "component", "keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (4L, 4L, true), (5L, 4L, false), (6L, 6L, true)))
+  }
 }
