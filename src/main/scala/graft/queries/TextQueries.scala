@@ -795,6 +795,28 @@ object TextQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // ───── BPE vocabulary induction (Sennrich et al.): the 8 best merges
+    // over the corpus word table — pair counts are exact integers and the
+    // greedy merge pass replays as a non-regex `replace`, so the whole
+    // training loop is oracle-replayable stage by stage ─────
+    "q111_bpe_merges" -> ((s, d) => {
+      val s_ = s; import s_.implicits._
+      graft.text.BpeVocab.train(Tables.documents(s, d), "text", numMerges = 8)
+        .zipWithIndex
+        .map { case (m, i) => (i + 1, m.left, m.right, m.count) }
+        .toDF("rank", "l", "r", "pair_count")
+        .orderBy(col("rank"))
+    }),
+
+    // ───── apply the learned merges: per-doc word and subword counts
+    // (segmentation runs once per DISTINCT word, docs pay a join) ─────
+    "q112_bpe_segment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.BpeVocab.train(docs, "text", numMerges = 8)
+      graft.text.BpeVocab.subwordStats(docs, "text", "doc_id", merges)
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── IVF index health: per-cell occupancy + fixed-point coherence
     // sums over the same oracle-derivable centroids as q91 ─────
     "q95_ivf_cell_stats" -> ((s, d) => {
@@ -900,6 +922,46 @@ object TextQueries {
 
   // DuckDB fragments shared by oracle SQL below.
   private val toks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** Generated CTE chain replaying [[graft.text.BpeVocab.train]] stage by
+    * stage: w0 = the word table with codepoint symbols; per merge i,
+    * `p_i` the weighted adjacent-pair counts, `b_i` the best pair
+    * (count desc, then binary string order), `w_i` the merge applied via
+    * non-regex `replace` over a U+001F-delimited rendering — every symbol
+    * is flanked by a DOUBLE separator and the pattern consumes the inner
+    * one on each side, so adjacent matches never contend for a shared
+    * boundary and `replace`'s left-to-right non-overlapping semantics
+    * equal the trainer's greedy pass exactly. */
+  private def bpeCtes(k: Int): String = {
+    val S = 31.toChar.toString
+    val b = new StringBuilder
+    b.append(s"""w0 AS MATERIALIZED (
+            SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+              regexp_split_to_array(word, '') AS ss
+            FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                  FROM documents WHERE text IS NOT NULL)
+            WHERE length(word) > 0 GROUP BY word)""")
+    for (i <- 1 to k) {
+      val p = i - 1
+      b.append(s""",
+          p$i AS MATERIALIZED (
+            SELECT pr[1] AS a, pr[2] AS b, CAST(sum(cnt) AS BIGINT) AS c
+            FROM (SELECT cnt, unnest(list_zip(ss, ss[2:])) AS pr
+                  FROM w$p WHERE len(ss) >= 2)
+            WHERE pr[2] IS NOT NULL GROUP BY pr[1], pr[2]),
+          b$i AS MATERIALIZED (SELECT a, b, c FROM p$i WHERE c >= 2
+                  ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+          w$i AS MATERIALIZED (
+            SELECT word, cnt,
+              list_filter(string_split(
+                replace('$S$S' || array_to_string(ss, '$S$S') || '$S$S',
+                  '$S' || (SELECT a FROM b$i) || '$S$S' || (SELECT b FROM b$i) || '$S',
+                  '$S' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || '$S'),
+                '$S$S'), x -> x <> '') AS ss
+            FROM w$p)""")
+    }
+    b.toString
+  }
   private def cosSql(a: String, b: String) =
     s"""(list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))
         / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
@@ -2098,6 +2160,28 @@ object TextQueries {
           SELECT l.vec_id, l.component, l.vec_id = b.best_id AS keep
           FROM labeled l JOIN best b USING (component)
           ORDER BY l.vec_id""",
+
+    // the trainer replayed stage by stage (see bpeCtes); ranks stitch the
+    // per-stage best-pair rows back together
+    "q111_bpe_merges" ->
+      s"""WITH ${bpeCtes(8)}
+          SELECT CAST(rank AS INT) AS rank, l, r, pair_count FROM (
+            ${(1 to 8).map(i =>
+              s"SELECT $i AS rank, a AS l, b AS r, c AS pair_count FROM b$i")
+              .mkString("\n            UNION ALL ")})
+          ORDER BY rank""",
+
+    // same chain; final word state joined back to per-doc words
+    "q112_bpe_segment" ->
+      s"""WITH ${bpeCtes(8)},
+          seg AS (SELECT word, CAST(len(ss) AS BIGINT) AS n FROM w8),
+          dw AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                 FROM documents WHERE text IS NOT NULL)
+          SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+            CAST(sum(g.n) AS BIGINT) AS n_subwords
+          FROM dw d JOIN seg g USING (word)
+          WHERE length(d.word) > 0
+          GROUP BY d.doc_id ORDER BY d.doc_id""",
 
     // grams grouped by their STRING (the operator hashes them — identical
     // short of an xxhash64 collision); canonical occurrence = row_number 1
