@@ -917,6 +917,17 @@ object TextQueries {
           graft.text.NgramLm.fit(docs.where(col("lang") === "en"), "text"),
           "text", "doc_id", tauNum = 1L, tauDen = 20L)
         .orderBy(col("doc_id"))
+    }),
+
+    // ───── CCNet head/middle/tail partition: per-doc mean backoff score
+    // cut at the exact corpus tertiles — comparison labels, no global
+    // rank window ─────
+    "q113_ccnet_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.NgramLm.ccnetBuckets(docs,
+          graft.text.NgramLm.fit(docs.where(col("lang") === "en"), "text"),
+          "text", "doc_id")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2459,6 +2470,72 @@ object TextQueries {
             FROM sc GROUP BY doc_id)
           SELECT doc_id, n_scored, score_sum_pico,
             score_sum_pico * 20 >= n_scored * 1 * 1000000000000 AS keep
-          FROM per ORDER BY doc_id"""
+          FROM per ORDER BY doc_id""",
+
+    // q108's per-doc pico aggregate, mean = one exact-int division,
+    // tertiles via quantile_cont (the q47 percentile parity), labels by
+    // comparison
+    "q113_ccnet_buckets" ->
+      s"""WITH d AS (
+            SELECT doc_id, lang, $toks AS tk
+            FROM documents WHERE text IS NOT NULL),
+          p AS (
+            SELECT doc_id, lang, CAST(u.i AS INT) AS pos,
+              tk[u.i + 1] AS w,
+              CASE WHEN u.i >= 1 THEN tk[u.i] END AS prev,
+              CASE WHEN u.i >= 2 THEN tk[u.i - 1] END AS prev2
+            FROM d, UNNEST(range(len(tk))) AS u(i)),
+          tp AS (SELECT * FROM p WHERE lang = 'en'),
+          uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tp GROUP BY w),
+          bi AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS c
+                 FROM tp WHERE pos >= 1 GROUP BY prev, w),
+          tri AS (SELECT prev2, prev, w, CAST(count(*) AS BIGINT) AS c
+                  FROM tp WHERE pos >= 2 GROUP BY prev2, prev, w),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                    CAST(count(DISTINCT w) AS BIGINT) AS vocab FROM tp),
+          j AS (
+            SELECT p.doc_id, p.pos, u1.c AS c1w, u2.c AS c1prev,
+              b1.c AS c2, b2.c AS c2ctx, t3.c AS c3, tot.n_tokens, tot.vocab
+            FROM p
+            LEFT JOIN uni u1 ON p.w = u1.w
+            LEFT JOIN uni u2 ON p.prev = u2.w
+            LEFT JOIN bi b1 ON p.prev = b1.prev AND p.w = b1.w
+            LEFT JOIN bi b2 ON p.prev2 = b2.prev AND p.prev = b2.w
+            LEFT JOIN tri t3 ON p.prev2 = t3.prev2 AND p.prev = t3.prev
+              AND p.w = t3.w
+            CROSS JOIN tot),
+          s1c AS (
+            SELECT *, CAST(COALESCE(c1w, 0) + 1 AS DOUBLE)
+              / CAST(n_tokens + vocab AS DOUBLE) AS s1 FROM j),
+          s2c AS (
+            SELECT *, CASE WHEN c2 IS NOT NULL AND c1prev IS NOT NULL
+              THEN CAST(c2 AS DOUBLE) / CAST(c1prev AS DOUBLE)
+              ELSE 0.4 * s1 END AS s2 FROM s1c),
+          s3c AS (
+            SELECT *, CASE WHEN c3 IS NOT NULL AND c2ctx IS NOT NULL
+              THEN CAST(c3 AS DOUBLE) / CAST(c2ctx AS DOUBLE)
+              ELSE 0.4 * s2 END AS s3 FROM s2c),
+          sc AS (
+            SELECT doc_id,
+              CASE WHEN pos = 0 THEN s1 WHEN pos = 1 THEN s2 ELSE s3 END AS score
+            FROM s3c),
+          per AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+              CAST(sum(CAST(round(score * 1e12, 0) AS BIGINT)) AS BIGINT)
+                AS score_sum_pico
+            FROM sc GROUP BY doc_id),
+          m AS (
+            SELECT doc_id, n_scored, score_sum_pico,
+              CAST(score_sum_pico AS DOUBLE) / n_scored AS mean_score
+            FROM per),
+          thr AS (
+            SELECT quantile_cont(mean_score, CAST(1 AS DOUBLE) / 3) AS t_lo,
+                   quantile_cont(mean_score, CAST(2 AS DOUBLE) / 3) AS t_hi
+            FROM m)
+          SELECT doc_id, n_scored, score_sum_pico,
+            CASE WHEN mean_score >= t_hi THEN 'head'
+                 WHEN mean_score >= t_lo THEN 'middle'
+                 ELSE 'tail' END AS bucket
+          FROM m CROSS JOIN thr ORDER BY doc_id"""
   )
 }

@@ -144,4 +144,35 @@ object NgramLm {
       .agg(count(lit(1)).as("n_scored"),
         avg(log(col("score"))).as("avg_logprob"))
       .withColumn("perplexity", exp(-col("avg_logprob")))
+
+  /** The CCNet head/middle/tail corpus partition (Wenzek et al. 2020):
+    * per-doc mean backoff score (the pico-integer aggregate — one
+    * division of exact integers, bit-replayable), split at the exact
+    * corpus tertiles. "head" = most target-like third. Returns
+    * `(idCol, n_scored, score_sum_pico, bucket)`.
+    *
+    * Scale shape: one scoring pass + the per-doc aggregate (as
+    * [[filterByScore]]), tertile thresholds via ONE exact-`percentile`
+    * aggregate over the per-doc means (one value per doc — at extreme
+    * doc counts swap to `percentile_approx`, the documented q47/SCALE.md
+    * trade), labels via a broadcast of the 1-row threshold frame. No
+    * global window — the bucket is a comparison, not a rank. */
+  def ccnetBuckets(docs: DataFrame, model: LmModel, textCol: String,
+                   idCol: String, alpha: Double = 0.4): DataFrame = {
+    val per = scoreTokens(docs, model, textCol, idCol, alpha)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(round(col("score") * lit(1e12)).cast("long")).as("score_sum_pico"))
+      .withColumn("mean_score",
+        col("score_sum_pico").cast("double") / col("n_scored"))
+    val thr = per.agg(
+        percentile(col("mean_score"), array(lit(1.0 / 3), lit(2.0 / 3))).as("t"))
+      .select(col("t")(0).as("__t_lo"), col("t")(1).as("__t_hi"))
+    per.crossJoin(broadcast(thr))
+      .withColumn("bucket",
+        when(col("mean_score") >= col("__t_hi"), "head")
+          .when(col("mean_score") >= col("__t_lo"), "middle")
+          .otherwise("tail"))
+      .drop("__t_lo", "__t_hi", "mean_score")
+  }
 }

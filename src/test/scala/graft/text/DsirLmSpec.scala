@@ -158,4 +158,54 @@ class DsirLmSpec extends SparkSpec {
     ppl.values.foreach(p => assert(p > 0 && java.lang.Double.isFinite(p)))
     assert(ppl(1L) < ppl(3L) && ppl(2L) < ppl(3L))
   }
+
+  test("NgramLm: ccnetBuckets cuts at exact tertiles with head = most target-like") {
+    // 6 docs, clearly ordered by en-model fit: the on-model docs land in
+    // head, the off-model ones in tail
+    val docs = Seq(
+      (1L, "en", "the fast scan the fast scan the fast scan"),
+      (2L, "en", "the fast scan the fast scan runs"),
+      (3L, "en", "the fast scan runs again and again"),
+      (4L, "de", "merge window stream merge window stream"),
+      (5L, "de", "merge window stream plan"),
+      (6L, "de", "zzz qqq vvv kkk")).toDF("doc_id", "lang", "text")
+    val model = NgramLm.fit(docs.where(col("lang") === "en"), "text")
+    val out = NgramLm.ccnetBuckets(docs, model, "text", "doc_id")
+      .select(col("doc_id"), col("n_scored"), col("score_sum_pico"), col("bucket"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // labels replay from the returned picos: mean = pico/n, tertile cut
+    val means = out.map(r => r._1 -> r._3.toDouble / r._2).toMap
+    val sorted = means.values.toSeq.sorted
+    def q(f: Double): Double = { // percentile_cont interpolation
+      val pos = (sorted.size - 1) * f
+      val lo = pos.toInt; val frac = pos - lo
+      if (lo + 1 < sorted.size) sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
+      else sorted(lo)
+    }
+    val (tLo, tHi) = (q(1.0 / 3), q(2.0 / 3))
+    out.foreach { case (id, _, _, b) =>
+      val want = if (means(id) >= tHi) "head"
+        else if (means(id) >= tLo) "middle" else "tail"
+      assert(b === want, s"doc $id")
+    }
+    // on-model docs outrank off-model ones (within the off-model group,
+    // LONGER docs mean lower — more α²-floored positions)
+    val byBucket = out.groupBy(_._4).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byBucket("head").subsetOf(Set(1L, 2L, 3L)))
+    assert(byBucket("tail").subsetOf(Set(4L, 5L, 6L)))
+  }
+
+  test("semanticDedupIncremental with empty history degrades to in-batch semanticDedup") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0.999f, 0.01f, 0f)), // near-dups
+      (3L, Seq(0f, 1f, 0f)))
+    val model = graft.sim.Ivf.IvfModel(Array(Array(1.0, 0, 0), Array(0, 1.0, 0)))
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val out = graft.sim.Similarity.semanticDedupIncremental(
+        vecs.toDF("vec_id", "embedding"), empty, "embedding", "vec_id", model, 0.9)
+      .select("vec_id", "keep_vs_history", "component", "keep")
+      .as[(Long, Boolean, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, true, 1L, true), (2L, true, 1L, false), (3L, true, 3L, true)))
+  }
 }
