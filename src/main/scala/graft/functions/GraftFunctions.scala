@@ -56,6 +56,14 @@ object GraftFunctions {
     "graft_hash_vector" -> binary("graft_hash_vector", (arr, d) => {
       require(d.foldable, "graft_hash_vector: dim must be a literal")
       HashingVector(arr, d.eval().asInstanceOf[Number].intValue())
+    }) _,
+    // adjacent-pair bigram strings of a token array (the DSIR featurizer)
+    "graft_bigrams" -> unary("graft_bigrams", BigramArray(_)) _,
+    // graft_dsir_buckets(tokens, dim) — md5-prefix bucket per bigram;
+    // dim must be a literal (plan-time modulus)
+    "graft_dsir_buckets" -> binary("graft_dsir_buckets", (arr, d) => {
+      require(d.foldable, "graft_dsir_buckets: dim must be a literal")
+      DsirBuckets(arr, d.eval().asInstanceOf[Number].intValue())
     }) _)
 
   /** Install every graft function into a live session. Idempotent. */

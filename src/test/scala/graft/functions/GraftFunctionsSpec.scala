@@ -16,6 +16,25 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getDouble(2) === 0.0)
   }
 
+  test("graft_bigrams / graft_dsir_buckets expose the DSIR featurizers to SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_bigrams(array('a', 'b', 'c')) AS bg,
+                graft_bigrams(array('solo')) AS one,
+                graft_dsir_buckets(array('a', 'b', 'c'), 16) AS bk""")
+      .head()
+    assert(r.getSeq[String](0) === Seq("a b", "b c"))
+    assert(r.getSeq[String](1) === Seq.empty)
+    // buckets replay the md5-prefix model: first 8 hex digits mod dim
+    def bucket(g: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5").digest(g.getBytes("UTF-8"))
+      val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      (v % 16).toInt
+    }
+    assert(r.getSeq[Int](2) === Seq(bucket("a b"), bucket("b c")))
+  }
+
   test("ArrayCountInSet/ArrayStringLenSum: generated code matches interpreted eval") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
