@@ -80,8 +80,15 @@ object NgramLm {
     * `(idCol, pos, token, level, score)` where `level` is the n-gram
     * order that fired (3/2/1) and `score` the Stupid Backoff value. */
   def scoreTokens(docs: DataFrame, model: LmModel, textCol: String,
-                  idCol: String, alpha: Double = 0.4): DataFrame = {
-    val pos = positions(docs, textCol, Seq(col(idCol)))
+                  idCol: String, alpha: Double = 0.4): DataFrame =
+    scoredRows(docs, model, textCol, Seq(col(idCol)), alpha)
+
+  /** [[scoreTokens]] with arbitrary carried key columns (the streaming
+    * path needs the event-time column to survive to the aggregate). */
+  private def scoredRows(docs: DataFrame, model: LmModel, textCol: String,
+                         keep: Seq[org.apache.spark.sql.Column],
+                         alpha: Double): DataFrame = {
+    val pos = positions(docs, textCol, keep)
     val uniW = model.uni.select(col("w").as("__uw"), col("c1").as("__c1w"))
     val uniP = model.uni.select(col("w").as("__upw"), col("c1").as("__c1prev"))
     val biWP = model.bi.select(col("w1").as("__b1"), col("w2").as("__b2"),
@@ -106,13 +113,13 @@ object NgramLm {
     val s3 = when(col("__c3").isNotNull && col("__c2ctx").isNotNull,
         col("__c3").cast("double") / col("__c2ctx").cast("double"))
       .otherwise(lit(alpha) * s2)
-    joined.select(col(idCol), col("__pos").as("pos"), col("__w").as("token"),
+    joined.select(keep ++ Seq(col("__pos").as("pos"), col("__w").as("token"),
       when(col("__pos") >= 2 && col("__c3").isNotNull, 3)
         .when(col("__pos") >= 1 && col("__c2").isNotNull, 2)
         .otherwise(1).as("level"),
       when(col("__pos") === 0, s1)
         .when(col("__pos") === 1, s2)
-        .otherwise(s3).as("score"))
+        .otherwise(s3).as("score")): _*)
   }
 
   /** Per-document aggregate in exact integer picos:
@@ -144,6 +151,32 @@ object NgramLm {
       .agg(count(lit(1)).as("n_scored"),
         avg(log(col("score"))).as("avg_logprob"))
       .withColumn("perplexity", exp(-col("avg_logprob")))
+
+  /** Streaming form of [[filterByScore]]: score arriving docs against a
+    * STATIC model (the count tables are batch artifacts — persist them
+    * bucketed by their gram keys like the other history indexes) and
+    * emit each doc's pico aggregate once the event-time watermark seals
+    * it. The token joins are stream-static left joins — STATELESS, the
+    * stream side probes the model; the only state is the per-doc
+    * aggregate inside the watermark horizon. The aggregate keys include
+    * the watermarked `tsCol`, which is what licenses append-mode
+    * emission; `keep` is the same integer comparison as the batch form,
+    * so a doc scores identically live or in backfill.
+    * Emits `(idCol, tsCol, n_scored, score_sum_pico, keep)`. */
+  def streamingFilterByScore(docs: DataFrame, model: LmModel, textCol: String,
+                             idCol: String, tsCol: String,
+                             tauNum: Long, tauDen: Long,
+                             alpha: Double = 0.4,
+                             watermark: String = "1 hour"): DataFrame = {
+    require(tauDen > 0, s"tauDen must be positive: $tauDen")
+    scoredRows(docs.withWatermark(tsCol, watermark), model, textCol,
+        Seq(col(idCol), col(tsCol)), alpha)
+      .groupBy(col(idCol), col(tsCol))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(round(col("score") * lit(1e12)).cast("long")).as("score_sum_pico"))
+      .withColumn("keep",
+        col("score_sum_pico") * tauDen >= col("n_scored") * tauNum * lit(1000000000000L))
+  }
 
   /** The CCNet head/middle/tail corpus partition (Wenzek et al. 2020):
     * per-doc mean backoff score (the pico-integer aggregate — one

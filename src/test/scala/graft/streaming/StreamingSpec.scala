@@ -291,4 +291,50 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
         org.apache.commons.codec.digest.DigestUtils.md5Hex(good))
     } finally q.stop()
   }
+
+  test("streamingFilterByScore equals the batch LM filter once the watermark seals") {
+    import graft.text.NgramLm
+    val dir = Files.createTempDirectory("graft_stream_lm").toString
+    val modelDocs = Seq(
+      (100L, "the fast scan the fast scan the fast scan"),
+      (101L, "the fast scan runs the fast scan runs again")).toDF("doc_id", "text")
+    val model = NgramLm.fit(modelDocs, "text")
+    val onModel = "the fast scan runs"
+    val offModel = "merge window stream plan"
+    val b1 = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1L, onModel),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 2L, offModel)
+    ).toDF("ts", "doc_id", "text")
+    // a much-later doc advances the watermark past docs 1 and 2, sealing
+    // their aggregates (with a 0s delay the final empty micro-batch seals
+    // the late doc as well — nothing can be older than the max seen ts)
+    val b2 = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 99L, onModel)
+    ).toDF("ts", "doc_id", "text")
+    b1.coalesce(1).write.parquet(s"$dir/in")
+    Thread.sleep(1100)
+    b2.coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val out = NgramLm.streamingFilterByScore(stream, model, "text", "doc_id",
+      "ts", tauNum = 1L, tauDen = 20L, watermark = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("slm").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("slm")
+        .select("doc_id", "n_scored", "score_sum_pico", "keep")
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+      assert(got.map(_._1).toSeq === Seq(1L, 2L, 99L), "sealed docs emitted exactly once")
+      // live scores equal a batch replay of the same docs, bit for bit
+      val batch = NgramLm.filterByScore(
+          Seq((1L, onModel), (2L, offModel), (99L, onModel)).toDF("doc_id", "text"),
+          model, "text", "doc_id", tauNum = 1L, tauDen = 20L)
+        .select("doc_id", "n_scored", "score_sum_pico", "keep")
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+      assert(got.toSeq === batch.toSeq)
+      // the on-model docs pass the τ=1/20 filter, the off-model one fails
+      assert(got.find(_._1 == 1L).get._4 && !got.find(_._1 == 2L).get._4)
+    } finally q.stop()
+  }
 }
