@@ -647,6 +647,28 @@ object Dedup {
       .where(col("containment") >= threshold)
   }
 
+  /** The eval-hygiene REPORT a decontamination run publishes: one row
+    * per PROBE (eval-suite) doc — clean ones included, which is the
+    * point of an audit — with how many corpus docs cover it at ≥
+    * `threshold` and the worst containment found:
+    * `(idCol, n_contaminating, max_containment, contaminated)`;
+    * `max_containment` is null for clean docs (no hit to report).
+    * Pure composition: [[containmentJoin]] pairs → per-probe aggregate →
+    * flag-back join on the (tiny, probe-sized) report. */
+  def contaminationReport(probe: DataFrame, corpus: DataFrame, textCol: String,
+                          idCol: String, n: Int, threshold: Double): DataFrame = {
+    val agg = containmentJoin(probe, corpus, textCol, idCol, n, threshold)
+      .groupBy(col("id_l"))
+      .agg(count(lit(1)).as("n_contaminating"),
+        max(col("containment")).as("max_containment"))
+    probe.select(col(idCol).as("id_l")).distinct()
+      .join(agg, Seq("id_l"), "left")
+      .select(col("id_l").as(idCol),
+        coalesce(col("n_contaminating"), lit(0L)).as("n_contaminating"),
+        col("max_containment"),
+        col("n_contaminating").isNotNull.as("contaminated"))
+  }
+
   /** Corpus-side artifacts for [[containmentJoinPrebuilt]], built once
     * from a corpus shingle index ([[shingleRows]] output):
     *   `df`    — (g, df): per-shingle document frequency over the corpus

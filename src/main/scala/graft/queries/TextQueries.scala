@@ -480,6 +480,18 @@ object TextQueries {
         .orderBy(col("id_l"), col("id_r"))
     }),
 
+    // ───── the decontamination AUDIT: every eval doc reported — clean
+    // ones included — with its contaminating-doc count and worst
+    // containment ─────
+    "q114_contamination_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationReport(
+          docs.where(col("doc_id") % 2 === 1),
+          docs.where(col("doc_id") % 2 === 0),
+          "text", "doc_id", n = 3, threshold = 0.7)
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── q72's PREBUILT form — decontamination as the recurring job it
     // is: corpus df + per-doc sizes built once by corpusContainmentIndex,
     // the probe suite prefixed under the corpus-rare-first order and
@@ -1217,6 +1229,31 @@ object TextQueries {
           FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.7
           ORDER BY id_l, id_r""",
+    // q72's pairs rolled up per probe doc; clean docs kept via the left
+    // join with a 0 default
+    "q114_contamination_report" ->
+      s"""WITH sh AS (
+            SELECT doc_id,
+              list_distinct(CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
+                ELSE list_transform(range(1, len($toks) - 1),
+                       i -> array_to_string(($toks)[i:i+2], ' ')) END) AS s
+            FROM documents),
+          pairs AS (
+            SELECT a.doc_id AS id_l,
+              CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS containment
+            FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.7),
+          agg AS (
+            SELECT id_l, CAST(count(*) AS BIGINT) AS n_contaminating,
+              max(containment) AS max_containment
+            FROM pairs GROUP BY id_l)
+          SELECT d.doc_id,
+            COALESCE(g.n_contaminating, 0) AS n_contaminating,
+            g.max_containment,
+            g.n_contaminating IS NOT NULL AS contaminated
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+          LEFT JOIN agg g ON d.doc_id = g.id_l
+          ORDER BY d.doc_id""",
     // the prebuilt path must emit the exact same containment pairs as q72
     "q75_containment_prebuilt" ->
       s"""WITH sh AS (
