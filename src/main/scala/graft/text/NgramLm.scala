@@ -178,28 +178,64 @@ object NgramLm {
         col("score_sum_pico") * tauDen >= col("n_scored") * tauNum * lit(1000000000000L))
   }
 
+  /** Tertile-cut strategy for [[ccnetBuckets]].
+    *
+    * [[TertileCut.Exact]] keeps the bit-replayable oracle semantics but
+    * its aggregate buffers a value→count map whose FINAL MERGE lands on
+    * one task; per-doc means are near-unique doubles, so that state is
+    * O(docs) — an OOM wall at 10⁹⁺ documents. [[TertileCut.Approx]] is
+    * the production path: `percentile_approx`'s KLL-style sketch is
+    * mergeable with bounded per-task state (rank error ≤ n/accuracy),
+    * so the cut survives any corpus size; bucket labels can differ from
+    * exact only for docs within that rank band of a tertile boundary. */
+  sealed trait TertileCut
+  object TertileCut {
+    /** Exact `percentile` interpolated tertiles — oracle/fixture scale. */
+    case object Exact extends TertileCut
+    /** Mergeable sketch tertiles — the web-scale default. `accuracy` is
+      * the KLL budget: max rank error n/accuracy, state O(accuracy). */
+    final case class Approx(accuracy: Int = 10000) extends TertileCut
+  }
+
   /** The CCNet head/middle/tail corpus partition (Wenzek et al. 2020):
     * per-doc mean backoff score (the pico-integer aggregate — one
-    * division of exact integers, bit-replayable), split at the exact
-    * corpus tertiles. "head" = most target-like third. Returns
+    * division of exact integers, bit-replayable), split at the corpus
+    * tertiles. "head" = most target-like third. Returns
     * `(idCol, n_scored, score_sum_pico, bucket)`.
     *
     * Scale shape: one scoring pass + the per-doc aggregate (as
-    * [[filterByScore]]), tertile thresholds via ONE exact-`percentile`
-    * aggregate over the per-doc means (one value per doc — at extreme
-    * doc counts swap to `percentile_approx`, the documented q47/SCALE.md
-    * trade), labels via a broadcast of the 1-row threshold frame. No
-    * global window — the bucket is a comparison, not a rank. */
+    * [[filterByScore]]), tertile thresholds via ONE aggregate over the
+    * per-doc means — exact `percentile` for the oracle, or the
+    * mergeable `percentile_approx` sketch for production (`cut`
+    * parameter; see [[TertileCut]] for the 10⁹-doc argument) — labels
+    * via a broadcast of the 1-row threshold frame. No global window —
+    * the bucket is a comparison, not a rank. CCNet itself needs only
+    * approximate tertiles (the paper cuts on a sampled histogram), so
+    * Approx is semantically faithful, not a concession.
+    *
+    * Exact-path determinism note: the oracle compares Spark `percentile`
+    * against DuckDB `quantile_cont`; both interpolate doubles, so a cut
+    * landing exactly on a run of duplicated means could differ by 1 ulp
+    * between the two formulas. The fixture is pinned by
+    * TestdataContractSpec (a regeneration fails `sbt test` before the
+    * oracle runs), so the risk cannot bite silently. */
   def ccnetBuckets(docs: DataFrame, model: LmModel, textCol: String,
-                   idCol: String, alpha: Double = 0.4): DataFrame = {
+                   idCol: String, alpha: Double = 0.4,
+                   cut: TertileCut = TertileCut.Exact): DataFrame = {
     val per = scoreTokens(docs, model, textCol, idCol, alpha)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_scored"),
         sum(round(col("score") * lit(1e12)).cast("long")).as("score_sum_pico"))
       .withColumn("mean_score",
         col("score_sum_pico").cast("double") / col("n_scored"))
-    val thr = per.agg(
-        percentile(col("mean_score"), array(lit(1.0 / 3), lit(2.0 / 3))).as("t"))
+    val tAgg = cut match {
+      case TertileCut.Exact =>
+        percentile(col("mean_score"), array(lit(1.0 / 3), lit(2.0 / 3)))
+      case TertileCut.Approx(accuracy) =>
+        percentile_approx(col("mean_score"),
+          array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy))
+    }
+    val thr = per.agg(tAgg.as("t"))
       .select(col("t")(0).as("__t_lo"), col("t")(1).as("__t_hi"))
     per.crossJoin(broadcast(thr))
       .withColumn("bucket",

@@ -195,6 +195,44 @@ class DsirLmSpec extends SparkSpec {
     assert(byBucket("tail").subsetOf(Set(4L, 5L, 6L)))
   }
 
+  test("ccnetBuckets: Approx cut agrees with Exact on the sf0.001 fixture") {
+    // the production (mergeable-sketch) tertile cut vs the oracle (exact
+    // percentile) cut on the real fixture: at n << accuracy the sketch
+    // holds every value, so thresholds snap to observed order statistics
+    // adjacent to the interpolated exact cut — buckets may differ only
+    // for docs sitting exactly between the two threshold variants
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val model = NgramLm.fit(docs.where(col("lang") === "en"), "text")
+    def run(cut: NgramLm.TertileCut): Map[Long, (String, Double)] =
+      NgramLm.ccnetBuckets(docs, model, "text", "doc_id", cut = cut)
+        .withColumn("mean", col("score_sum_pico").cast("double") / col("n_scored"))
+        .select(col("doc_id"), col("bucket"), col("mean"))
+        .as[(Long, String, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = run(NgramLm.TertileCut.Exact)
+    val approx = run(NgramLm.TertileCut.Approx())
+    assert(exact.keySet === approx.keySet)
+    val n = exact.size
+    val disagree = exact.keys.filter(id => exact(id)._1 != approx(id)._1).toSeq
+    // boundary-only drift: every disagreement is a one-step bucket move,
+    // and there are at most a handful (docs between the interpolated and
+    // the snapped threshold)
+    val rank = Map("tail" -> 0, "middle" -> 1, "head" -> 2)
+    disagree.foreach { id =>
+      assert(math.abs(rank(exact(id)._1) - rank(approx(id)._1)) === 1,
+        s"doc $id jumped ${exact(id)._1} -> ${approx(id)._1}")
+    }
+    assert(disagree.size <= math.max(2, n / 50),
+      s"${disagree.size}/$n docs disagree: $disagree")
+    // both cuts produce three non-degenerate buckets of ~n/3
+    Seq(exact, approx).foreach { m =>
+      val sizes = m.values.groupBy(_._1).view.mapValues(_.size).toMap
+      Seq("head", "middle", "tail").foreach { b =>
+        assert(sizes.getOrElse(b, 0) > n / 6, s"$b degenerate: $sizes")
+      }
+    }
+  }
+
   test("semanticDedupIncremental with empty history degrades to in-batch semanticDedup") {
     val vecs = Seq(
       (1L, Seq(1f, 0f, 0f)), (2L, Seq(0.999f, 0.01f, 0f)), // near-dups
