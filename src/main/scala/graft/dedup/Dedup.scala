@@ -728,6 +728,36 @@ object Dedup {
       .where(col("containment") >= threshold)
   }
 
+  /** The recurring form of [[contaminationReport]]: the audit probes
+    * PREBUILT corpus artifacts ([[corpusContainmentIndex]] + the persisted
+    * shingle index) instead of re-shingling the corpus per run — the
+    * corpus is the 100 TB side and mostly static between audits, so a
+    * scan of it belongs in index-build time, not in every report. The
+    * probe suite (tiny by contract) is shingled here; the universe —
+    * clean docs included, the point of an audit — comes from `probe`
+    * itself, so docs that produce no shingles still get a clean row.
+    * Output is identical to [[contaminationReport]] (same oracle). */
+  def contaminationReportPrebuilt(probe: DataFrame, textCol: String,
+                                  corpusIdx: DataFrame, corpusDf: DataFrame,
+                                  corpusSizes: DataFrame, idCol: String,
+                                  n: Int, threshold: Double): DataFrame = {
+    val probeRows = shingleRows(probe, textCol, idCol, Nil, n)
+      // four consumers downstream (prefix build, candidate join, verify
+      // idx, universe) — mirror the q75 persisted-index contract
+      .localCheckpoint(eager = false)
+    val agg = containmentJoinPrebuilt(probeRows, corpusIdx, corpusDf,
+        corpusSizes, idCol, threshold)
+      .groupBy(col("id_l"))
+      .agg(count(lit(1)).as("n_contaminating"),
+        max(col("containment")).as("max_containment"))
+    probe.select(col(idCol).as("id_l")).distinct()
+      .join(agg, Seq("id_l"), "left")
+      .select(col("id_l").as(idCol),
+        coalesce(col("n_contaminating"), lit(0L)).as("n_contaminating"),
+        col("max_containment"),
+        col("n_contaminating").isNotNull.as("contaminated"))
+  }
+
   /** MinHash signature: for each of `numHashes` hash functions
     * h_i(s) = (a_i * x + b_i) mod p over base hash x = xxhash64(shingle),
     * take the min across the document's shingles. Pure expressions

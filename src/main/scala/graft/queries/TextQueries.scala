@@ -492,6 +492,22 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── q114's PREBUILT form — the audit as the recurring job it is:
+    // corpus artifacts built once (at scale: persisted, bucketed by g),
+    // each audit run shingles only the tiny probe suite. Same report,
+    // same oracle as q114. ─────
+    "q115_contamination_report_prebuilt" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpusRows = Dedup.shingleRows(docs.where(col("doc_id") % 2 === 0),
+          "text", "doc_id", Nil, 3)
+        .localCheckpoint(eager = false) // mirrors the persisted-index contract
+      val (cDf, cSizes) = Dedup.corpusContainmentIndex(corpusRows, "doc_id")
+      Dedup.contaminationReportPrebuilt(
+          docs.where(col("doc_id") % 2 === 1), "text",
+          corpusRows, cDf, cSizes, "doc_id", n = 3, threshold = 0.7)
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── q72's PREBUILT form — decontamination as the recurring job it
     // is: corpus df + per-doc sizes built once by corpusContainmentIndex,
     // the probe suite prefixed under the corpus-rare-first order and
@@ -946,6 +962,32 @@ object TextQueries {
   // DuckDB fragments shared by oracle SQL below.
   private val toks = "regexp_split_to_array(trim(text), '\\s+')"
 
+  /** Shared by q114 (union-df audit) and q115 (prebuilt audit): the two
+    * paths must produce the identical report. */
+  private lazy val contaminationReportSql =
+    s"""WITH sh AS (
+          SELECT doc_id,
+            list_distinct(CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
+              ELSE list_transform(range(1, len($toks) - 1),
+                     i -> array_to_string(($toks)[i:i+2], ' ')) END) AS s
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS id_l,
+            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS containment
+          FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.7),
+        agg AS (
+          SELECT id_l, CAST(count(*) AS BIGINT) AS n_contaminating,
+            max(containment) AS max_containment
+          FROM pairs GROUP BY id_l)
+        SELECT d.doc_id,
+          COALESCE(g.n_contaminating, 0) AS n_contaminating,
+          g.max_containment,
+          g.n_contaminating IS NOT NULL AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        LEFT JOIN agg g ON d.doc_id = g.id_l
+        ORDER BY d.doc_id"""
+
   /** Generated CTE chain replaying [[graft.text.BpeVocab.train]] stage by
     * stage: w0 = the word table with codepoint symbols; per merge i,
     * `p_i` the weighted adjacent-pair counts, `b_i` the best pair
@@ -1231,29 +1273,9 @@ object TextQueries {
           ORDER BY id_l, id_r""",
     // q72's pairs rolled up per probe doc; clean docs kept via the left
     // join with a 0 default
-    "q114_contamination_report" ->
-      s"""WITH sh AS (
-            SELECT doc_id,
-              list_distinct(CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
-                ELSE list_transform(range(1, len($toks) - 1),
-                       i -> array_to_string(($toks)[i:i+2], ' ')) END) AS s
-            FROM documents),
-          pairs AS (
-            SELECT a.doc_id AS id_l,
-              CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS containment
-            FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.7),
-          agg AS (
-            SELECT id_l, CAST(count(*) AS BIGINT) AS n_contaminating,
-              max(containment) AS max_containment
-            FROM pairs GROUP BY id_l)
-          SELECT d.doc_id,
-            COALESCE(g.n_contaminating, 0) AS n_contaminating,
-            g.max_containment,
-            g.n_contaminating IS NOT NULL AS contaminated
-          FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
-          LEFT JOIN agg g ON d.doc_id = g.id_l
-          ORDER BY d.doc_id""",
+    "q114_contamination_report" -> contaminationReportSql,
+    // the prebuilt audit must emit the exact same report as q114
+    "q115_contamination_report_prebuilt" -> contaminationReportSql,
     // the prebuilt path must emit the exact same containment pairs as q72
     "q75_containment_prebuilt" ->
       s"""WITH sh AS (

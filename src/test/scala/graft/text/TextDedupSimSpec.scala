@@ -710,6 +710,33 @@ class TextDedupSimSpec extends SparkSpec {
     }
   }
 
+  test("prebuilt contamination report matches union-df report on random corpora") {
+    // the audit twin of the pair-level parity above: same rolled-up
+    // report (clean docs included) whether the corpus is shingled per
+    // run or probed via prebuilt artifacts
+    val rnd = new scala.util.Random(20260815L)
+    val vocab = (1 to 15).map(i => s"w$i")
+    def doc(lo: Int, hi: Int): String =
+      (0 until (lo + rnd.nextInt(hi - lo + 1)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (trial <- 1 to 3) {
+      val corpus = (1L to 14L).map(i => (i, doc(10, 20))).toDF("doc_id", "text")
+      val probe = (101L to 106L).map(i => (i, doc(5, 9))).toDF("doc_id", "text")
+      val corpusRows = Dedup.shingleRows(corpus, "text", "doc_id", Nil, 3)
+      val (cDf, cSizes) = Dedup.corpusContainmentIndex(corpusRows, "doc_id")
+      val got = Dedup.contaminationReportPrebuilt(probe, "text",
+          corpusRows, cDf, cSizes, "doc_id", 3, 0.6)
+        .as[(Long, Long, Option[Double], Boolean)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      val expected = Dedup.contaminationReport(probe, corpus, "text",
+          "doc_id", 3, 0.6)
+        .as[(Long, Long, Option[Double], Boolean)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(got === expected, s"trial $trial")
+      assert(got.keySet === (101L to 106L).toSet, s"trial $trial universe")
+    }
+  }
+
   test("prebuilt history join matches union-df join on random corpora") {
     // randomized model check: the prebuilt path uses a DIFFERENT total
     // order (history-only df, unseen shingles at 0) — results must still
