@@ -40,11 +40,19 @@ object BpeVocab {
   final case class Merge(left: String, right: String, count: Long)
 
   /** Distinct words with corpus occurrence counts — one scan, one
-    * shuffle; the only corpus-sized step of training. */
+    * shuffle; the only corpus-sized step of training. Tokens containing
+    * U+001F (the oracle's symbol separator — `\s` split passes 0x1F
+    * through) fail HERE, loudly, instead of silently desyncing the
+    * trainer from its replay; the guard rides the kept column so column
+    * pruning cannot drop it. */
   def wordTable(docs: DataFrame, textCol: String): DataFrame =
     docs.where(col(textCol).isNotNull)
       .select(explode(TextOps.tokens(col(textCol))).as("word"))
       .where(length(col("word")) > 0)
+      .select(when(col("word").contains(lit("\u001f")),
+          raise_error(concat(lit("BpeVocab: token contains U+001F separator: "),
+            col("word"))))
+        .otherwise(col("word")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
   /** Unicode-codepoint split (parity with DuckDB's
@@ -112,6 +120,142 @@ object BpeVocab {
     }
     prev.foreach(_.unpersist())
     words.unpersist()
+    merges.toSeq
+  }
+
+  /** Driver-local training: collect the word table ONCE and run the
+    * merge loop in JVM code — the mode a real 30-50 k-merge vocabulary
+    * wants, because [[train]] costs 2 Spark jobs PER MERGE (a pair-count
+    * shuffle + a TakeOrdered), i.e. ~10⁵ sequential jobs for a
+    * production tokenizer, all to pick one row each time. The word table
+    * is Zipf-bounded and model-sized (distinct words, not corpus rows —
+    * the IVF/PQ training justification), so the single collect is the
+    * ONLY corpus-coupled cost; `maxWords` caps it and fails loudly if a
+    * corpus exceeds the budget (at ~60 B/word, the 20 M default is
+    * ~1-2 GB of driver heap — raise it deliberately, with the heap).
+    *
+    * Merges are IDENTICAL to [[train]] (ScalaTest-pinned): the same
+    * per-position overlapping pair counts, the same
+    * (count desc, left, right) tie-break under UTF-8 BYTE order (Spark's
+    * UTF8String comparison — NOT String.compareTo, which orders by
+    * UTF-16 code unit and diverges on supplementary characters), the
+    * same greedy non-overlapping apply, the same cnt ≥ 2 early stop.
+    * The loop maintains pair counts incrementally with an inverted
+    * pair→words index and a lazily-invalidated max-heap, so per-merge
+    * work is O(words touched by the merge), not O(vocab). */
+  def trainLocal(docs: DataFrame, textCol: String, numMerges: Int,
+                 maxWords: Int = 20000000): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges must be positive: $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tbl = wordTable(docs, textCol).as[(String, Long)].collect()
+    require(tbl.length <= maxWords,
+      s"word table has ${tbl.length} distinct words > maxWords=$maxWords; " +
+        "raise maxWords (with driver heap) or use the distributed train()")
+    trainOnWordTable(tbl, numMerges)
+  }
+
+  /** Spark's UTF8String binary comparison: unsigned UTF-8 bytes. */
+  private[text] def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** The local merge loop over a collected `(word, count)` table — the
+    * core of [[trainLocal]], factored out for direct testing. */
+  private[text] def trainOnWordTable(tbl: Array[(String, Long)],
+                                     numMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    val syms = tbl.map { case (w, _) => mutable.ArrayBuffer(codepoints(w): _*) }
+    val cnts = tbl.map(_._2)
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+
+    // heap orders (count desc, left asc, right asc) under UTF-8 bytes —
+    // the exact total order train()'s orderBy uses; entries go stale when
+    // a pair's count changes (every change pushes a fresh entry, so the
+    // entry matching the CURRENT count is always present)
+    final case class Entry(cnt: Long, a: String, b: String)
+    val heap = new java.util.PriorityQueue[Entry](11,
+      new java.util.Comparator[Entry] {
+        def compare(x: Entry, y: Entry): Int = {
+          if (x.cnt != y.cnt) return java.lang.Long.compare(y.cnt, x.cnt)
+          val c = utf8Compare(x.a, y.a)
+          if (c != 0) c else utf8Compare(x.b, y.b)
+        }
+      })
+
+    def bump(p: (String, String), delta: Long,
+             changed: mutable.HashSet[(String, String)]): Unit = {
+      val nc = pairCount.getOrElse(p, 0L) + delta
+      if (nc == 0L) pairCount.remove(p) else pairCount(p) = nc
+      changed += p
+    }
+
+    // initial pass: counts + inverted index
+    val init = mutable.HashSet.empty[(String, String)]
+    var wi = 0
+    while (wi < syms.length) {
+      val ss = syms(wi)
+      var i = 0
+      while (i + 1 < ss.length) {
+        val p = (ss(i), ss(i + 1))
+        bump(p, cnts(wi), init)
+        pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+        i += 1
+      }
+      wi += 1
+    }
+    pairCount.foreach { case (p, c) => if (c >= 2) heap.add(Entry(c, p._1, p._2)) }
+
+    val merges = mutable.ArrayBuffer.empty[Merge]
+    var done = false
+    while (merges.length < numMerges && !done) {
+      // pop to the first live entry (count still current)
+      var best: Entry = null
+      while (best == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (pairCount.get((e.a, e.b)).contains(e.cnt)) best = e
+      }
+      if (best == null || best.cnt < 2) done = true
+      else {
+        val (a, b) = (best.a, best.b)
+        merges += Merge(a, b, best.cnt)
+        val affected = pairWords.getOrElse((a, b), mutable.BitSet.empty).toArray
+        val changed = mutable.HashSet.empty[(String, String)]
+        affected.foreach { w =>
+          val old = syms(w)
+          var i = 0
+          while (i + 1 < old.length) {
+            val p = (old(i), old(i + 1))
+            bump(p, -cnts(w), changed)
+            pairWords.get(p).foreach(_ -= w)
+            i += 1
+          }
+          val next = mutable.ArrayBuffer(applyMerge(old.toIndexedSeq, a, b): _*)
+          syms(w) = next
+          i = 0
+          while (i + 1 < next.length) {
+            val p = (next(i), next(i + 1))
+            bump(p, cnts(w), changed)
+            pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += w
+            i += 1
+          }
+        }
+        changed.foreach { p =>
+          val c = pairCount.getOrElse(p, 0L)
+          if (c >= 2) heap.add(Entry(c, p._1, p._2))
+        }
+      }
+    }
     merges.toSeq
   }
 

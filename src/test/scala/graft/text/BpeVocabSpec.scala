@@ -51,4 +51,51 @@ class BpeVocabSpec extends SparkSpec {
   test("codepoints splits astral-plane characters whole") {
     assert(BpeVocab.codepoints("a😀b") === Vector("a", "😀", "b"))
   }
+
+  test("trainLocal produces identical merges to train on the q111 fixture") {
+    // the driver-local loop is the production mode for 30-50k-merge
+    // vocabularies; merge-for-merge identity with the distributed form
+    // is the contract that lets it ride q111's oracle transitively
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dist = BpeVocab.train(docs, "text", numMerges = 8)
+    val local = BpeVocab.trainLocal(docs, "text", numMerges = 8)
+    assert(local === dist)
+  }
+
+  test("trainLocal matches train merge-for-merge on random corpora") {
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 3) {
+      // skewed small alphabet → deep merge chains, ties, overlaps, and
+      // merged-pair REAPPEARANCE (a,b re-adjacent after a later merge)
+      val alpha = "aabbbcdde"
+      def word(): String =
+        (0 until (1 + rnd.nextInt(6))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val docs = (1L to 40L)
+        .map(i => (i, (0 until (3 + rnd.nextInt(5))).map(_ => word()).mkString(" ")))
+        .toDF("doc_id", "text")
+      val dist = BpeVocab.train(docs, "text", numMerges = 12)
+      val local = BpeVocab.trainLocal(docs, "text", numMerges = 12)
+      assert(local === dist, s"trial $trial")
+      assert(dist.nonEmpty, s"trial $trial degenerate draw")
+    }
+  }
+
+  test("utf8Compare orders supplementary characters by UTF-8 bytes") {
+    // U+FFFD (efbfbd) vs U+10400 (f0 90 90 80): UTF-16 code-unit order
+    // says FFFD > surrogate pair start D801, but UTF-8 bytes say ef < f0
+    assert(BpeVocab.utf8Compare("�", new String(Character.toChars(0x10400))) < 0)
+    assert("�".compareTo(new String(Character.toChars(0x10400))) > 0)
+    assert(BpeVocab.utf8Compare("ab", "ab") === 0)
+    assert(BpeVocab.utf8Compare("a", "ab") < 0)
+  }
+
+  test("wordTable fails loudly on a token containing U+001F") {
+    val docs = Seq((1L, "ok bad\u001ftoken")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      BpeVocab.wordTable(docs, "text").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("U+001F")))
+  }
 }
