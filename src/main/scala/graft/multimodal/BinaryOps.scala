@@ -10,10 +10,19 @@ import org.apache.spark.sql.types._
   * plumbing.
   *
   * The Spark-side machinery (schema, partition-sized batching, iterator
-  * contract, metadata struct) is real and tested; the codec itself is a
-  * deterministic STUB (`stubDecode`) because no image/audio libraries ship
-  * in this environment — swap `stubDecode` for a real decoder (JavaCV,
-  * TwelveMonkeys, ffmpeg-cli per partition) without touching the plumbing.
+  * contract, metadata struct) is real and tested, and so are the
+  * pure-JVM codecs: image/audio HEADER decode (`javax.imageio` /
+  * `javax.sound.sampled`), raster FEATURES (`withImageFeatures` — 8×8
+  * luminance grid + average-hash), RESIZE (`resizeImage` — bilinear
+  * `Graphics2D` draw, PNG re-encode), and multi-frame EXTRACTION
+  * (`extractImageFrames` — the reader's frame-index walk, animated GIF).
+  * Only LEARNED embeddings remain a deterministic stub
+  * (`extractFeatures`'s md5 encoder — no vision/audio ML libraries ship
+  * in this environment); it shares the exact plumbing, so a real encoder
+  * (JavaCV, ONNX runtime, ffmpeg-cli per partition) slots in without
+  * structural change. The md5 stub also stays as the ORACLE-replicable
+  * twin (q36/q38/q43 replay it in SQL — a real codec can't be replayed
+  * by DuckDB, so real-codec operators are ScalaTest-gated instead).
   *
   * Scale notes: decode runs via `mapPartitions` so a codec is initialized
   * once per partition (not per row) — the same batching rationale as
@@ -262,6 +271,112 @@ object BinaryOps {
           if (counts(i) == 0) 0.0 else sums(i) / counts(i))
       }
     } catch { case _: Exception => null }
+
+  /** Scale a decoded raster to `width`×`height` with `Graphics2D`
+    * bilinear interpolation and re-encode as PNG (JDK-only). Null for
+    * undecodable payloads — the never-fail contract of every decoder
+    * here. PNG re-encode is lossless over the scaled raster, so
+    * downstream decode sees exactly the pixels drawn (byte-identity of
+    * the container across JVMs is NOT promised — compare rasters, not
+    * bytes). */
+  private[multimodal] def scaleRaster(bytes: Array[Byte], width: Int,
+                                      height: Int): Array[Byte] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 1 || img.getHeight < 1) null
+      else {
+        val out = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, width, height, null)
+        } finally g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        if (javax.imageio.ImageIO.write(out, "png", baos)) baos.toByteArray else null
+      }
+    } catch { case _: Exception => null }
+
+  /** REAL resize stage, pure JVM: decode with `javax.imageio`, scale via
+    * a `Graphics2D` bilinear draw, re-encode as PNG. Same output shape
+    * as [[resizeStub]] (`resized` binary + target dims) so the two are
+    * drop-in twins; undecodable payloads get a null `resized`, never a
+    * task failure. Batched per partition like every decode stage; run
+    * [[repartitionByPayloadSize]] first when payload sizes skew. */
+  def resizeImage(df: DataFrame, binCol: String, width: Int, height: Int): DataFrame = {
+    require(width >= 1 && height >= 1, s"target dims must be positive: ${width}x$height")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("resized", BinaryType),
+      StructField("target_width", IntegerType, nullable = false),
+      StructField("target_height", IntegerType, nullable = false)))
+    val enc = ExpressionEncoder(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val resized = if (bytes == null) null else scaleRaster(bytes, width, height)
+        Row.fromSeq(r.toSeq ++ Seq(resized, width, height))
+      }
+    }(enc)
+  }
+
+  /** REAL multi-frame extraction, pure JVM: walk the container's frame
+    * index with the `javax.imageio` reader (animated GIF is the format
+    * the JDK reads multi-frame natively), re-encode every `everyK`-th
+    * frame as PNG, and emit ONE ROW PER SAMPLED FRAME —
+    * `(…, n_frames, frame_idx, frame)`. This is the decode-side sibling
+    * of [[sampleFrames]] (which samples INDICES from already-attached
+    * metadata without touching pixels): use `sampleFrames` to plan which
+    * frames a downstream GPU stage should fetch, and this operator when
+    * the pipeline needs the actual rasters (e.g. to feed
+    * [[withImageFeatures]] per frame). Undecodable or single-frame-only
+    * payloads degrade per the decoder contract: unrecognized bytes emit
+    * one row with null frame fields. */
+  def extractImageFrames(df: DataFrame, binCol: String, everyK: Int): DataFrame = {
+    require(everyK >= 1, s"everyK must be positive: $everyK")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("n_frames", IntegerType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame", BinaryType)))
+    val enc = ExpressionEncoder(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val frames: Seq[(Integer, Integer, Array[Byte])] =
+          if (bytes == null) Seq((null, null, null))
+          else {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) Seq((null, null, null))
+              else {
+                val rd = readers.next()
+                try {
+                  rd.setInput(iis, false)
+                  val n = try math.max(rd.getNumImages(true), 1)
+                    catch { case _: Exception => 1 }
+                  (0 until n by everyK).map { i =>
+                    val png = try {
+                      val baos = new java.io.ByteArrayOutputStream()
+                      if (javax.imageio.ImageIO.write(rd.read(i), "png", baos))
+                        baos.toByteArray
+                      else null
+                    } catch { case _: Exception => null }
+                    (Integer.valueOf(n), Integer.valueOf(i), png)
+                  }
+                } catch {
+                  case _: Exception => Seq((null, null, null)) // corrupt container
+                } finally rd.dispose()
+              }
+            } finally if (iis != null) iis.close()
+          }
+        frames.map { case (n, i, png) => Row.fromSeq(r.toSeq ++ Seq(n, i, png)) }
+      }
+    }(enc)
+  }
 
   /** Resize stage: emits a `resized` binary (stub: the md5 digest as a
     * deterministic 16-byte "thumbnail") plus the recorded target dims —

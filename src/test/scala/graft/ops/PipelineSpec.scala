@@ -404,4 +404,82 @@ class PipelineSpec extends SparkSpec {
       .select("img_id").head().getLong(0)
     assert(top === 2L, "ANN over PNG-derived features must surface the near-dup")
   }
+
+  test("BinaryOps: resizeImage scales real rasters; junk and null degrade") {
+    import java.awt.image.BufferedImage
+    def grey(v: Int) = (v << 16) | (v << 8) | v
+    // 32x32 horizontal gradient: left dark, right light
+    val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) img.setRGB(x, y, grey(x * 8))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val df = Seq((1L, baos.toByteArray),
+      (2L, "not an image".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "content")
+    val out = BinaryOps.resizeImage(df, "content", 8, 4)
+      .select(col("id"), col("resized"), col("target_width"), col("target_height"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3))).toMap
+    assert(out(2L)._1 == null && out(3L)._1 == null, "junk/null -> null resized")
+    assert(out(1L)._2 === 8 && out(1L)._3 === 4)
+    // the resized payload is a REAL image at the target dims, and the
+    // gradient survives the scale: luminance strictly rises left->right
+    val scaled = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L)._1))
+    assert(scaled.getWidth === 8 && scaled.getHeight === 4)
+    val lums = (0 until 8).map(x => scaled.getRGB(x, 2) & 0xff)
+    assert(lums === lums.sorted, s"gradient lost in resize: $lums")
+    assert(lums.last - lums.head > 100, s"gradient flattened: $lums")
+  }
+
+  test("BinaryOps: extractImageFrames walks a real animated GIF") {
+    import java.awt.image.BufferedImage
+    // a 5-frame animated GIF, frame i uniformly grey(40*i) — few colors,
+    // so the GIF palette encodes each frame losslessly
+    def frame(v: Int): BufferedImage = {
+      // 16x16 >= the 8x8 feature grid, so every grid cell is populated
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      val rgb = (v << 16) | (v << 8) | v
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, rgb)
+      img
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    for (i <- 0 until 5)
+      w.writeToSequence(new javax.imageio.IIOImage(frame(40 * i), null, null), null)
+    w.endWriteSequence(); w.dispose(); ios.close()
+    val gif = baos.toByteArray
+    val df = Seq((1L, gif), (2L, "junk bytes".getBytes("UTF-8")))
+      .toDF("id", "content")
+    val out = BinaryOps.extractImageFrames(df, "content", everyK = 2)
+      .select(col("id"), col("n_frames"), col("frame_idx"), col("frame"))
+      .collect()
+    val junk = out.filter(_.getLong(0) == 2L)
+    assert(junk.length === 1 && junk.head.isNullAt(1) && junk.head.isNullAt(3),
+      "unrecognized payload -> one null-frame row")
+    val sampled = out.filter(_.getLong(0) == 1L).sortBy(_.getInt(2))
+    assert(sampled.map(_.getInt(2)).toSeq === Seq(0, 2, 4), "every-2nd frame")
+    assert(sampled.forall(_.getInt(1) === 5), "n_frames from the real container")
+    // each emitted frame is a decodable raster carrying ITS OWN frame's
+    // pixels (grey 0 / 80 / 160), proving a genuine per-index read
+    sampled.zip(Seq(0, 80, 160)).foreach { case (r, want) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](3)))
+      assert(img.getWidth === 16 && img.getHeight === 16)
+      val got = img.getRGB(7, 7) & 0xff
+      assert(math.abs(got - want) <= 8, s"frame ${r.getInt(2)}: grey $got want ~$want")
+    }
+    // the real frame walk feeds the real feature extractor end-to-end
+    val feats = BinaryOps.withImageFeatures(
+        BinaryOps.extractImageFrames(df.where(col("id") === 1L), "content", 2), "frame")
+      .where(col("features").isNotNull)
+      .select(col("frame_idx"), col("features")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    assert(feats.keySet === Set(0, 2, 4))
+    // uniform frames: every grid cell equals the frame's grey level
+    assert(feats(4).forall(f => math.abs(f - 160f / 255f) < 0.05))
+  }
 }
