@@ -1,13 +1,78 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.ExplainMode
 
-/** Plan hygiene audit: for each query, report scan pushdown (PushedFilters
-  * / ReadSchema), join strategies, exchange count, and codegen coverage —
-  * the checklist from the build plan ("explain until it's the plan you'd
-  * want"). Run: `sbt "runMain graft.PlanAudit [sfDir]"`. */
+/** Plan hygiene audit — and GATE. For each query: scan pushdown
+  * (PushedFilters / ReadSchema), join strategies, exchange count, codegen
+  * coverage — the checklist from the build plan ("explain until it's the
+  * plan you'd want") — plus structural violations that are defects at
+  * scale, enforced both here (nonzero exit) and in `sbt test`
+  * (PlanAuditSpec walks the same checks), so a scale-killer turns red
+  * BEFORE the driver runs:
+  *
+  *   - a CartesianProduct, or a condition-less logical join where
+  *     NEITHER side is provably ≤ 1 row (1-row broadcast merges — the
+  *     threshold/centroid crossJoin pattern — are fine and auto-pass via
+  *     `maxRows`);
+  *   - a single-partition window (`WindowExec` with empty partitionSpec)
+  *     outside the named allowlist: the whole input funnels through ONE
+  *     task. Allowed only where the input is provably pre-shrunk —
+  *     tokenBudgetSample's exact pass windows over ~2× the token budget
+  *     (q57 and the assemble compositions that inherit it).
+  *
+  * Run: `sbt "runMain graft.PlanAudit [sfDir]"` — exits 1 on violations.
+  */
 object PlanAudit {
+
+  /** Queries allowed a global (single-partition) window, with why. */
+  val globalWindowAllowlist: Set[String] = Set(
+    "q57_token_budget",     // budget-bounded exact pass (~2× budget rows)
+    "q73_assemble",         // composes tokenBudgetSample (same bound)
+    "q76_assemble_decon")   // composes tokenBudgetSample (same bound)
+
+  final case class PlanStats(cartesians: Int, bigCrossJoins: Int,
+                             globalWindows: Int, windows: Int)
+
+  /** Structural stats for the gate. Call with AQE DISABLED in the
+    * session — under AQE the executed plan is an adaptive placeholder
+    * whose physical operators are not yet visible to `collect`. */
+  def inspect(df: DataFrame): PlanStats = {
+    val physical = df.queryExecution.executedPlan
+    val cartesians = physical.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.size
+    val globalWindows = physical.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }.size
+    val windows = physical.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.size
+    // logical view: a join with no condition is a cross product; benign
+    // iff one side is provably single-row (Aggregate with no grouping,
+    // limit(1), …) — `maxRows` carries that proof through Project/Filter
+    val bigCross = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.isEmpty &&
+            j.left.maxRows.getOrElse(Long.MaxValue) > 1L &&
+            j.right.maxRows.getOrElse(Long.MaxValue) > 1L => j
+    }.size
+    PlanStats(cartesians, bigCross, globalWindows, windows)
+  }
+
+  /** The gate: violations for one query's plan (empty = clean). */
+  def violations(name: String, stats: PlanStats): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (stats.cartesians > 0)
+      out += s"$name: ${stats.cartesians} CartesianProduct in physical plan"
+    if (stats.bigCrossJoins > 0)
+      out += s"$name: ${stats.bigCrossJoins} condition-less join(s) where neither side is provably 1 row"
+    if (stats.globalWindows > 0 && !globalWindowAllowlist.contains(name))
+      out += s"$name: ${stats.globalWindows} single-partition window(s) outside the allowlist"
+    out.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -24,6 +89,7 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val allViolations = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -39,21 +105,26 @@ object PlanAudit {
         // simple mode tree and always counted 0 here)
         val codegen = "codegen id : (\\d+)".r.findAllMatchIn(plan)
           .map(_.group(1)).toSet.size
-        // single-partition windows (no partitionBy) funnel the whole input
-        // through ONE task — a straggler at scale. Expected only where the
-        // semantics are inherently global and the input is pre-shrunk
-        // (q57's budget-bounded survivor set); anywhere else it's a defect.
-        val globalWindows = df.queryExecution.executedPlan.collect {
-          case w: org.apache.spark.sql.execution.window.WindowExec
-            if w.partitionSpec.isEmpty => w
-        }.size
-        println(s"== $name")
+        val stats = inspect(df)
+        val v = violations(name, stats)
+        allViolations ++= v
+        println(s"== $name${if (v.nonEmpty) " [VIOLATION]" else ""}")
         println(s"   joins=${joins.mkString(",")} exchanges=$exchanges " +
-          s"codegenSpans=$codegen globalWindows=$globalWindows")
+          s"codegenSpans=$codegen globalWindows=${stats.globalWindows} " +
+          s"windows=${stats.windows}")
+        v.foreach(x => println(s"   VIOLATION: $x"))
         pushed.foreach(p => println(s"   $p"))
         schemas.foreach(s => println(s"   $s"))
-      } catch { case e: Throwable => println(s"== $name FAILED: ${e.getMessage.take(120)}") }
+      } catch { case e: Throwable =>
+        allViolations += s"$name: FAILED ${e.getMessage.take(120)}"
+        println(s"== $name FAILED: ${e.getMessage.take(120)}")
+      }
     }
     spark.stop()
+    if (allViolations.nonEmpty) {
+      println(s"PLAN GATE: ${allViolations.size} violation(s)")
+      allViolations.foreach(v => println(s"  $v"))
+      sys.exit(1)
+    }
   }
 }
