@@ -301,9 +301,16 @@ object DsirWeight {
   * lambda interpreter dominated the DSIR fit scan (the model-fitting
   * side of the same round-6 q105 finding the [[DsirWeight]] scorer
   * fixed). Null tokens follow concat_ws semantics (skipped, separator
-  * only between non-null parts) for parity with the HOF form. */
+  * only between non-null parts) for parity with the HOF form. NULL
+  * INPUT (null text → null token array) yields the EMPTY array, not
+  * null — the HOF twin's `when(...).otherwise(array())` does the same
+  * (a null condition falls to the otherwise branch), so both forms are
+  * ratio-neutral on null docs and callers need no isNotNull pre-filter
+  * for agreement. */
 case class BigramArray(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -311,12 +318,25 @@ case class BigramArray(child: Expression) extends UnaryExpression {
       s"BigramArray needs array<string>, got $t")
   }
 
-  override def nullSafeEval(input: Any): Any =
-    BigramArray.bigrams(input.asInstanceOf[ArrayData])
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) BigramArray.emptyArray
+    else BigramArray.bigrams(v.asInstanceOf[ArrayData])
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, arr =>
-      s"${ev.value} = graft.functions.BigramArray$$.MODULE$$.bigrams($arr);")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+    ev.copy(
+      code = childGen.code +
+        code"""
+        $javaType ${ev.value} = ${childGen.isNull}
+          ? graft.functions.BigramArray$$.MODULE$$.emptyArray()
+          : graft.functions.BigramArray$$.MODULE$$.bigrams(${childGen.value});""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -325,6 +345,11 @@ case class BigramArray(child: Expression) extends UnaryExpression {
 object BigramArray {
   private val SPACE = UTF8String.fromString(" ")
   private val EMPTY = UTF8String.fromString("")
+
+  /** Shared empty result — null input and <2-token input both land here
+    * (ratio-neutral, matching the HOF twin). */
+  def emptyArray(): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
 
   def bigrams(arr: ArrayData): ArrayData = {
     val n = arr.numElements()

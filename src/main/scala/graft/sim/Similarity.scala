@@ -141,21 +141,28 @@ object Similarity {
     * threshold) between two DIFFERENT corpora — the incremental form of
     * [[cosinePairs]], for deduping a new batch of embeddings against the
     * accumulated corpus without re-pairing the corpus against itself.
-    * Same salted shuffle-hash shape: the (small, batch-sized) left side is
-    * salted and hinted as the hash-BUILD side, the (huge) right side
-    * replicates across salt values and STREAMS through as the probe —
-    * history is never broadcast and never self-joined. Norms are computed
-    * once per vector before the join; id spaces may overlap (pairs are
-    * (left id, right id), both orders meaningful to the caller). */
+    *
+    * Orientation is sized for `right` ≫ `left` (history vs batch): the
+    * HUGE right side takes ONE salt per row (`hash(id) % buckets`) and
+    * STREAMS through the join exactly once — never replicated, never
+    * broadcast, never self-joined — while the (small-by-contract) LEFT
+    * side replicates across all salt values and, via the shuffle-hash
+    * hint, becomes the per-task build map (one block's worth of batch
+    * rows — batch-bounded memory, the size contract that licenses SHJ's
+    * unspillable build). The salt here splits each block's PROBE stream
+    * `saltBuckets` ways, so a hot cell gets that much task parallelism
+    * instead of one straggler. Norms are computed once per vector before
+    * the join; id spaces may overlap (pairs are (left id, right id),
+    * both orders meaningful to the caller). */
   def cosineJoin(left: DataFrame, right: DataFrame, vecCol: String,
                  idCol: String, blockCol: String, threshold: Double,
                  saltBuckets: Int = 8): DataFrame = {
     val l = left.select(col(blockCol).as("blk"), col(idCol).as("id_l"),
         col(vecCol).as("v_l"), norm(col(vecCol)).as("n_l"))
-      .withColumn("salt", pmod(xxhash64(col("id_l")), lit(saltBuckets)))
+      .withColumn("salt", explode(array((0 until saltBuckets).map(lit): _*)))
     val r = right.select(col(blockCol).as("blk"), col(idCol).as("id_r"),
         col(vecCol).as("v_r"), norm(col(vecCol)).as("n_r"))
-      .withColumn("salt", explode(array((0 until saltBuckets).map(lit): _*)))
+      .withColumn("salt", pmod(xxhash64(col("id_r")), lit(saltBuckets)))
     l.hint("shuffle_hash").join(r, Seq("blk", "salt"))
       .select(col("id_l"), col("id_r"),
         (dot(col("v_l"), col("v_r")) / (col("n_l") * col("n_r"))).as("cos"))

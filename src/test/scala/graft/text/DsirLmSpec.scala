@@ -195,6 +195,21 @@ class DsirLmSpec extends SparkSpec {
     assert(byBucket("tail").subsetOf(Set(4L, 5L, 6L)))
   }
 
+  test("bigrams and bigramsHof agree on null/empty/single-token docs") {
+    // the compiled form must be ratio-neutral on null text exactly like
+    // the HOF twin (empty array, NOT null) — no isNotNull pre-filter
+    // required for agreement
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "one"),
+      (4L, "two tokens here")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), Dsir.bigrams(col("text")).as("b"),
+        Dsir.bigramsHof(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1), r.getSeq[String](2))).toMap
+    got.foreach { case (id, (b, h)) => assert(b === h, s"doc $id") }
+    assert(got(1L)._1 === Seq.empty)
+    assert(got(4L)._1 === Seq("two tokens", "tokens here"))
+  }
+
   test("ccnetBuckets: Approx cut agrees with Exact on the sf0.001 fixture") {
     // the production (mergeable-sketch) tertile cut vs the oracle (exact
     // percentile) cut on the real fixture: at n << accuracy the sketch
