@@ -836,6 +836,19 @@ object TextQueries {
         .orderBy(col("rank"))
     }),
 
+    // ───── q111's DRIVER-LOCAL twin: the production training mode for
+    // real 30-50k-merge vocabularies (one word-table collect, JVM merge
+    // loop) — gated directly against the SAME stage-replayed oracle, so
+    // the pinned trainLocal == train identity is also oracle-verified ─────
+    "q116_bpe_merges_local" -> ((s, d) => {
+      val s_ = s; import s_.implicits._
+      graft.text.BpeVocab.trainLocal(Tables.documents(s, d), "text", numMerges = 8)
+        .zipWithIndex
+        .map { case (m, i) => (i + 1, m.left, m.right, m.count) }
+        .toDF("rank", "l", "r", "pair_count")
+        .orderBy(col("rank"))
+    }),
+
     // ───── apply the learned merges: per-doc word and subword counts
     // (segmentation runs once per DISTINCT word, docs pay a join) ─────
     "q112_bpe_segment" -> ((s, d) => {
@@ -955,6 +968,20 @@ object TextQueries {
       graft.text.NgramLm.ccnetBuckets(docs,
           graft.text.NgramLm.fit(docs.where(col("lang") === "en"), "text"),
           "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ───── q113's PRODUCTION cut: the mergeable percentile_approx
+    // tertiles (O(accuracy) state per task — the 10⁹-doc path; SCALE.md).
+    // ROWS-ONLY: a KLL sketch isn't bit-replayable in DuckDB; anchored by
+    // the exact twin q113 and the DsirLmSpec approx-vs-exact agreement
+    // test on the same fixture. ─────
+    "q117_ccnet_buckets_approx" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.NgramLm.ccnetBuckets(docs,
+          graft.text.NgramLm.fit(docs.where(col("lang") === "en"), "text"),
+          "text", "doc_id",
+          cut = graft.text.NgramLm.TertileCut.Approx())
         .orderBy(col("doc_id"))
     })
   )
@@ -2234,6 +2261,15 @@ object TextQueries {
     // the trainer replayed stage by stage (see bpeCtes); ranks stitch the
     // per-stage best-pair rows back together
     "q111_bpe_merges" ->
+      s"""WITH ${bpeCtes(8)}
+          SELECT CAST(rank AS INT) AS rank, l, r, pair_count FROM (
+            ${(1 to 8).map(i =>
+              s"SELECT $i AS rank, a AS l, b AS r, c AS pair_count FROM b$i")
+              .mkString("\n            UNION ALL ")})
+          ORDER BY rank""",
+
+    // the driver-local trainer must replay the exact same merge chain
+    "q116_bpe_merges_local" ->
       s"""WITH ${bpeCtes(8)}
           SELECT CAST(rank AS INT) AS rank, l, r, pair_count FROM (
             ${(1 to 8).map(i =>
