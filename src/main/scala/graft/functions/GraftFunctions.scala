@@ -64,7 +64,12 @@ object GraftFunctions {
     "graft_dsir_buckets" -> binary("graft_dsir_buckets", (arr, d) => {
       require(d.foldable, "graft_dsir_buckets: dim must be a literal")
       DsirBuckets(arr, d.eval().asInstanceOf[Number].intValue())
-    }) _)
+    }) _,
+    // int8 scalar quantization: per-vector absmax scale, tinyint codes,
+    // exact integer dot (graft.sim.Quant)
+    "graft_int8_scale" -> unary("graft_int8_scale", Int8Scale(_)) _,
+    "graft_int8_codes" -> binary("graft_int8_codes", Int8Codes(_, _)) _,
+    "graft_int8_dot" -> binary("graft_int8_dot", Int8Dot(_, _)) _)
 
   /** Install every graft function into a live session. Idempotent. */
   def register(spark: SparkSession): Unit = {

@@ -495,6 +495,248 @@ case class PqAdcScore(child: Expression, table: Seq[Double], k: Int)
     copy(child = newChild)
 }
 
+/** Symmetric int8 scalar-quantization scale of a vector: `max|v_i| / 127`
+  * in double. Zero for the all-zero vector (callers treat scale 0 as "all
+  * codes 0"). One codegen loop; float inputs widen exactly to double.
+  *
+  * Why per-vector (not per-corpus) scale: the scale rides next to the
+  * codes as ONE double, quantization needs no corpus-wide statistics
+  * pass, and the operator stays embarrassingly parallel — the property
+  * that makes int8 compression free at 100 TB. */
+case class Int8Scale(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"Int8Scale needs array<float|double>, got ${child.dataType}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val f = isFloat
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(if (f) v.getFloat(i).toDouble else v.getDouble(i))
+      if (x > m) m = x
+      i += 1
+    }
+    m / 127.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val x = ctx.freshName("x")
+      val elem = if (isFloat) s"((double) $v.getFloat($i))" else s"$v.getDouble($i)"
+      s"""
+         |int $n = $v.numElements();
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = Math.abs($elem);
+         |  if ($x > $m) $m = $x;
+         |}
+         |${ev.value} = $m / 127.0;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Int8 codes of a vector given its quantization scale:
+  * `clamp(round(v_i / scale), ±127)` as `array<tinyint>` — 4× smaller
+  * than the float vector it replaces. Scale 0 (the all-zero vector)
+  * yields all-zero codes, never a division by zero.
+  *
+  * Rounding is half-AWAY-FROM-ZERO — the semantics of both Spark SQL
+  * `round` (BigDecimal HALF_UP) and DuckDB `round`, so the codes replay
+  * exactly in an ANSI-SQL oracle. (The `floor(x+0.5)` form can disagree
+  * with true half-away only when `v/scale` lands within half an ulp of a
+  * `k+0.5` boundary — the same accepted 1-ulp class as the documented
+  * ccnetBuckets tertile note; the fixture pin makes a silent flip
+  * impossible.) The clamp exists because `maxabs/scale` can exceed 127 by
+  * a rounding ulp, and 128 must saturate, not wrap to −128. */
+case class Int8Codes(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.ByteType
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _) | ArrayType(DoubleType, _), DoubleType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"Int8Codes needs (array<float|double>, double), got " +
+        s"${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val scale = b.asInstanceOf[Double]
+    val n = v.numElements()
+    val f = isFloat
+    val out = new Array[Byte](n)
+    if (scale != 0.0) {
+      var i = 0
+      while (i < n) {
+        val x = (if (f) v.getFloat(i).toDouble else v.getDouble(i)) / scale
+        val r = if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)
+        out(i) = math.max(-127.0, math.min(127.0, r)).toByte
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, scale) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val r = ctx.freshName("r")
+      val out = ctx.freshName("out")
+      val elem = if (isFloat) s"((double) $v.getFloat($i))" else s"$v.getDouble($i)"
+      s"""
+         |int $n = $v.numElements();
+         |byte[] $out = new byte[$n];
+         |if ($scale != 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $elem / $scale;
+         |    double $r = $x >= 0 ? Math.floor($x + 0.5) : Math.ceil($x - 0.5);
+         |    $out[$i] = (byte) Math.max(-127.0, Math.min(127.0, $r));
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact integer dot product of two `array<tinyint>` code columns — the
+  * int8 similarity kernel. Accumulates in long (127²·dim never
+  * overflows); unequal lengths fold over the common prefix, mirroring
+  * [[FloatVectorDot]]. Quantized cosine needs no scales:
+  * `dot(qa,qb) / (‖qa‖·‖qb‖)` — the per-vector scales cancel. */
+case class Int8Dot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.{ByteType, LongType}
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(ByteType, _), ArrayType(ByteType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"Int8Dot needs two array<tinyint> args, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getByte(i).toLong * y.getByte(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((long) $x.getByte($i)) * ((long) $y.getByte($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Int8 dot product against a FIXED query-code vector (the ANN serving
+  * shape): the query rides as ONE referenced `byte[]`, not a literal
+  * array column — same rationale as [[HyperplaneSignatures]]'s referenced
+  * matrix (a per-element literal would bloat generated code, and Spark
+  * `lit` has no `array<tinyint>` form at all — `Array[Byte]` literals
+  * become BinaryType). */
+case class Int8QueryDot(child: Expression, query: Seq[Byte])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{ByteType, LongType}
+
+  @transient private lazy val qArr: Array[Byte] = query.toArray
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ByteType, _) if query.nonEmpty =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"Int8QueryDot needs array<tinyint> input and a nonempty query, " +
+        s"got ${child.dataType}, ${query.size} query codes")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(qArr.length, v.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += v.getByte(i).toLong * qArr(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qRef = ctx.addReferenceObj("queryCodes", qArr, "byte[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($qRef.length, $v.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((long) $v.getByte($i)) * ((long) $qRef[$i]);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graft.ColumnBridge
   /** Column wrapper over the native dot product. */
@@ -523,4 +765,21 @@ object VectorExpressions {
   /** Column wrapper: ADC score of an `array<int>` code column. */
   def pqAdcScore(codes: Column, table: Seq[Double], k: Int): Column =
     ColumnBridge.column(PqAdcScore(ColumnBridge.expression(codes), table, k))
+
+  /** Column wrapper: int8 quantization scale (`max|v|/127`). */
+  def int8Scale(vec: Column): Column =
+    ColumnBridge.column(Int8Scale(ColumnBridge.expression(vec)))
+
+  /** Column wrapper: int8 codes given a scale column. */
+  def int8Codes(vec: Column, scale: Column): Column =
+    ColumnBridge.column(
+      Int8Codes(ColumnBridge.expression(vec), ColumnBridge.expression(scale)))
+
+  /** Column wrapper: exact integer dot of two code columns. */
+  def int8Dot(a: Column, b: Column): Column =
+    ColumnBridge.column(Int8Dot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column wrapper: int8 dot against a fixed query-code vector. */
+  def int8QueryDot(codes: Column, query: Seq[Byte]): Column =
+    ColumnBridge.column(Int8QueryDot(ColumnBridge.expression(codes), query))
 }

@@ -983,6 +983,38 @@ object TextQueries {
           "text", "doc_id",
           cut = graft.text.NgramLm.TertileCut.Approx())
         .orderBy(col("doc_id"))
+    }),
+
+    // ───── int8 scalar quantization of the embedding table: per-vector
+    // absmax scale + tinyint codes, pinned by exact integer checksums
+    // (sum, sum-of-squares via the int8 dot kernel, position-weighted
+    // sum — the triple fixes the code array up to astronomically
+    // unlikely collisions) ─────
+    "q118_quantize_int8" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).where(col("embedding").isNotNull)
+      val q = graft.sim.Quant.quantizeInt8(emb, "embedding")
+      q.select(col("vec_id"), col("q8_scale"),
+          size(col("q8")).cast("long").as("n_dims"),
+          aggregate(transform(col("q8"), x => x.cast("long")),
+            lit(0L), (a, x) => a + x).as("code_sum"),
+          graft.functions.VectorExpressions.int8Dot(col("q8"), col("q8"))
+            .as("code_sumsq"),
+          aggregate(transform(col("q8"), (x, i) => (i.cast("long") + 1L) * x.cast("long")),
+            lit(0L), (a, x) => a + x).as("code_possum"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ───── brute-force ANN over the QUANTIZED corpus: rank by int8
+    // cosine (exact integer dot / code norms — scales cancel). Fully
+    // oracle-replayable, unlike float-kernel ANN: the scores are
+    // integer-derived ─────
+    "q119_ann_int8" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).where(col("embedding").isNotNull)
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      graft.sim.Quant.topKInt8(emb.where(col("vec_id") =!= 0),
+          "embedding", "vec_id", q, k = 10)
+        .orderBy(col("cos8").desc, col("vec_id"))
     })
   )
 
@@ -2631,6 +2663,63 @@ object TextQueries {
             CASE WHEN mean_score >= t_hi THEN 'head'
                  WHEN mean_score >= t_lo THEN 'middle'
                  ELSE 'tail' END AS bucket
-          FROM m CROSS JOIN thr ORDER BY doc_id"""
+          FROM m CROSS JOIN thr ORDER BY doc_id""",
+
+    // int8 quantization replayed in list arithmetic: absmax/127 scale,
+    // half-away-from-zero round (DuckDB round == Spark round), ±127
+    // clamp; checksums are exact integers
+    "q118_quantize_int8" ->
+      s"""WITH e AS (
+            SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings WHERE embedding IS NOT NULL),
+          s AS (
+            SELECT vec_id, v,
+              list_max(list_transform(v, x -> abs(x))) / 127.0 AS q8_scale
+            FROM e),
+          c AS (
+            SELECT vec_id, q8_scale,
+              CASE WHEN q8_scale = 0
+                THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                ELSE list_transform(v, x -> GREATEST(CAST(-127 AS BIGINT),
+                  LEAST(CAST(127 AS BIGINT),
+                    CAST(round(x / q8_scale, 0) AS BIGINT)))) END AS q
+            FROM s)
+          SELECT vec_id, q8_scale,
+            CAST(len(q) AS BIGINT) AS n_dims,
+            CAST(list_sum(q) AS BIGINT) AS code_sum,
+            CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS code_sumsq,
+            CAST(list_sum(list_transform(range(1, len(q) + 1),
+              i -> i * q[i])) AS BIGINT) AS code_possum
+          FROM c ORDER BY vec_id""",
+
+    // int8 ANN replay: quantize both sides in SQL, exact integer dot,
+    // cosine from code norms (scales cancel); same ordering/ties
+    "q119_ann_int8" ->
+      s"""WITH e AS (
+            SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings WHERE embedding IS NOT NULL),
+          s AS (
+            SELECT vec_id, v,
+              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+            FROM e),
+          c AS (
+            SELECT vec_id, scale,
+              CASE WHEN scale = 0
+                THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                ELSE list_transform(v, x -> GREATEST(CAST(-127 AS BIGINT),
+                  LEAST(CAST(127 AS BIGINT),
+                    CAST(round(x / scale, 0) AS BIGINT)))) END AS q
+            FROM s),
+          qv AS (SELECT q AS qq FROM c WHERE vec_id = 0)
+          SELECT c.vec_id,
+            CAST(list_sum(list_transform(list_zip(c.q, qv.qq),
+                p -> p[1] * p[2])) AS DOUBLE)
+              / (sqrt(CAST(list_sum(list_transform(c.q, x -> x * x)) AS DOUBLE))
+               * sqrt(CAST(list_sum(list_transform(qv.qq, x -> x * x)) AS DOUBLE)))
+              AS cos8
+          FROM c, qv WHERE c.vec_id != 0 AND c.scale > 0
+          ORDER BY cos8 DESC, vec_id LIMIT 10"""
   )
 }
