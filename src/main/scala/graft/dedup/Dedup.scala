@@ -758,6 +758,55 @@ object Dedup {
         col("n_contaminating").isNotNull.as("contaminated"))
   }
 
+  /** ONE-PASS multi-benchmark decontamination audit: the report of
+    * [[contaminationReport]] for EVERY benchmark in one corpus scan.
+    * `probe` carries a `benchCol` label per eval doc; docs shared by
+    * several benchmarks (MMLU items quoted in two suites) are deduped by
+    * id before shingling, joined against the corpus ONCE, and the verdict
+    * is fanned back to every (benchmark, doc) membership row. Running K
+    * separate audits scans the 100 TB corpus K times; this scans it once
+    * — the benchmark label never rides the shingle join at all.
+    * Returns `(benchCol, idCol, n_contaminating, max_containment,
+    * contaminated)` — identical rows, per benchmark, to K separate
+    * [[contaminationReport]] runs (parity asserted in DedupSpec).
+    *
+    * For the recurring form, compose the same fan-back over
+    * [[containmentJoinPrebuilt]] + [[corpusContainmentIndex]] — the
+    * membership/fan-back stages are corpus-free, so the prebuilt
+    * argument (q115) carries over unchanged. */
+  def contaminationReportMulti(probe: DataFrame, benchCol: String,
+                               corpus: DataFrame, textCol: String,
+                               idCol: String, n: Int,
+                               threshold: Double): DataFrame = {
+    // same id ⇒ same text by contract (an eval item is one document);
+    // dedup by id so a doc in many benchmarks is shingled and joined once
+    val uniq = probe.select(col(idCol), col(textCol)).dropDuplicates(idCol)
+    val agg = containmentJoin(uniq, corpus, textCol, idCol, n, threshold)
+      .groupBy(col("id_l"))
+      .agg(count(lit(1)).as("n_contaminating"),
+        max(col("containment")).as("max_containment"))
+    // membership fan-back: (benchmark, doc) universe × per-doc verdict —
+    // probe-sized frames only, the corpus never appears here
+    probe.select(col(benchCol), col(idCol).as("id_l")).distinct()
+      .join(agg, Seq("id_l"), "left")
+      .select(col(benchCol), col("id_l").as(idCol),
+        coalesce(col("n_contaminating"), lit(0L)).as("n_contaminating"),
+        col("max_containment"),
+        col("n_contaminating").isNotNull.as("contaminated"))
+  }
+
+  /** Per-benchmark rollup of [[contaminationReportMulti]] — the table a
+    * decontamination run actually publishes: how dirty is each eval
+    * suite. `contamination_rate` is one exact-integer division per
+    * benchmark; `worst_containment` is null for a fully clean suite. */
+  def contaminationSummary(reportMulti: DataFrame, benchCol: String): DataFrame =
+    reportMulti.groupBy(col(benchCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), lit(1L)).otherwise(lit(0L))).as("n_contaminated"),
+        max(col("max_containment")).as("worst_containment"))
+      .withColumn("contamination_rate",
+        col("n_contaminated").cast("double") / col("n_docs"))
+
   /** MinHash signature: for each of `numHashes` hash functions
     * h_i(s) = (a_i * x + b_i) mod p over base hash x = xxhash64(shingle),
     * take the min across the document's shingles. Pure expressions

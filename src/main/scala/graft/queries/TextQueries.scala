@@ -1015,16 +1015,44 @@ object TextQueries {
       graft.sim.Quant.topKInt8(emb.where(col("vec_id") =!= 0),
           "embedding", "vec_id", q, k = 10)
         .orderBy(col("cos8").desc, col("vec_id"))
+    }),
+
+    // ───── q114 for EVERY benchmark in one corpus scan: odd docs are K
+    // eval suites keyed by source, even docs the training corpus — the
+    // audit joins once, the benchmark label rides only the probe-sized
+    // fan-back ─────
+    "q120_contamination_multi" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationReportMulti(
+          docs.where(col("doc_id") % 2 === 1).withColumnRenamed("source", "benchmark"),
+          "benchmark",
+          docs.where(col("doc_id") % 2 === 0),
+          "text", "doc_id", n = 3, threshold = 0.7)
+        .orderBy(col("benchmark"), col("doc_id"))
+    }),
+
+    // ───── the per-suite rollup the audit publishes: how dirty is each
+    // benchmark (exact-integer rate, worst containment) ─────
+    "q121_contamination_summary" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationSummary(
+        Dedup.contaminationReportMulti(
+          docs.where(col("doc_id") % 2 === 1).withColumnRenamed("source", "benchmark"),
+          "benchmark",
+          docs.where(col("doc_id") % 2 === 0),
+          "text", "doc_id", n = 3, threshold = 0.7), "benchmark")
+        .orderBy(col("benchmark"))
     })
   )
 
   // DuckDB fragments shared by oracle SQL below.
   private val toks = "regexp_split_to_array(trim(text), '\\s+')"
 
-  /** Shared by q114 (union-df audit) and q115 (prebuilt audit): the two
-    * paths must produce the identical report. */
-  private lazy val contaminationReportSql =
-    s"""WITH sh AS (
+  /** Shingle/pair/verdict CTE chain shared by every decontamination-audit
+    * oracle (q114/q115/q120/q121): per-probe contaminating count + worst
+    * containment over the odd-vs-even split. */
+  private lazy val contaminationCtes =
+    s"""sh AS (
           SELECT doc_id,
             list_distinct(CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
               ELSE list_transform(range(1, len($toks) - 1),
@@ -1038,7 +1066,12 @@ object TextQueries {
         agg AS (
           SELECT id_l, CAST(count(*) AS BIGINT) AS n_contaminating,
             max(containment) AS max_containment
-          FROM pairs GROUP BY id_l)
+          FROM pairs GROUP BY id_l)"""
+
+  /** Shared by q114 (union-df audit) and q115 (prebuilt audit): the two
+    * paths must produce the identical report. */
+  private lazy val contaminationReportSql =
+    s"""WITH $contaminationCtes
         SELECT d.doc_id,
           COALESCE(g.n_contaminating, 0) AS n_contaminating,
           g.max_containment,
@@ -1046,6 +1079,19 @@ object TextQueries {
         FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
         LEFT JOIN agg g ON d.doc_id = g.id_l
         ORDER BY d.doc_id"""
+
+  /** q120: the same per-doc verdicts fanned back to every
+    * (benchmark, doc) membership row — one corpus pass for K suites. */
+  private lazy val contaminationMultiSql =
+    s"""WITH $contaminationCtes
+        SELECT d.source AS benchmark, d.doc_id,
+          COALESCE(g.n_contaminating, 0) AS n_contaminating,
+          g.max_containment,
+          g.n_contaminating IS NOT NULL AS contaminated
+        FROM (SELECT DISTINCT source, doc_id FROM documents
+              WHERE doc_id % 2 = 1) d
+        LEFT JOIN agg g ON d.doc_id = g.id_l
+        ORDER BY benchmark, d.doc_id"""
 
   /** Generated CTE chain replaying [[graft.text.BpeVocab.train]] stage by
     * stage: w0 = the word table with codepoint symbols; per merge i,
@@ -2720,6 +2766,27 @@ object TextQueries {
                * sqrt(CAST(list_sum(list_transform(qv.qq, x -> x * x)) AS DOUBLE)))
               AS cos8
           FROM c, qv WHERE c.vec_id != 0 AND c.scale > 0
-          ORDER BY cos8 DESC, vec_id LIMIT 10"""
+          ORDER BY cos8 DESC, vec_id LIMIT 10""",
+
+    "q120_contamination_multi" -> contaminationMultiSql,
+
+    // the per-suite rollup over the same verdicts
+    "q121_contamination_summary" ->
+      s"""WITH $contaminationCtes,
+          rep AS (
+            SELECT d.source AS benchmark, d.doc_id,
+              g.n_contaminating IS NOT NULL AS contaminated,
+              g.max_containment
+            FROM (SELECT DISTINCT source, doc_id FROM documents
+                  WHERE doc_id % 2 = 1) d
+            LEFT JOIN agg g ON d.doc_id = g.id_l)
+          SELECT benchmark,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_contaminated,
+            max(max_containment) AS worst_containment,
+            CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*) AS contamination_rate
+          FROM rep GROUP BY benchmark ORDER BY benchmark"""
   )
 }

@@ -737,6 +737,49 @@ class TextDedupSimSpec extends SparkSpec {
     }
   }
 
+  test("multi-benchmark audit equals K separate reports; shared docs shingle once") {
+    // one-pass parity: contaminationReportMulti's (benchmark, doc) rows
+    // must equal running contaminationReport per benchmark — including a
+    // doc that belongs to TWO suites (deduped by id before the join, so
+    // both memberships get the same verdict)
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = (1 to 15).map(i => s"w$i")
+    def doc(lo: Int, hi: Int): String =
+      (0 until (lo + rnd.nextInt(hi - lo + 1)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (trial <- 1 to 3) {
+      val corpus = (1L to 14L).map(i => (i, doc(10, 20))).toDF("doc_id", "text")
+      val items = (101L to 106L).map(i => (i, doc(5, 9)))
+      val probe = (items.take(4).map { case (i, t) => ("benchA", i, t) } ++
+          items.drop(2).map { case (i, t) => ("benchB", i, t) })   // 103,104 shared
+        .toDF("benchmark", "doc_id", "text")
+      val got = Dedup.contaminationReportMulti(probe, "benchmark", corpus,
+          "text", "doc_id", 3, 0.6)
+        .as[(String, Long, Long, Option[Double], Boolean)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+      val expected = Seq("benchA", "benchB").flatMap { b =>
+        Dedup.contaminationReport(
+            probe.where(col("benchmark") === b).select("doc_id", "text"),
+            corpus, "text", "doc_id", 3, 0.6)
+          .as[(Long, Long, Option[Double], Boolean)].collect()
+          .map(r => (b, r._1) -> (r._2, r._3, r._4))
+      }.toMap
+      assert(got === expected, s"trial $trial")
+      assert(got.keySet.size === 8, s"trial $trial membership rows")
+      // the rollup agrees with hand-aggregation of the report
+      val summary = Dedup.contaminationSummary(
+          Dedup.contaminationReportMulti(probe, "benchmark", corpus,
+            "text", "doc_id", 3, 0.6), "benchmark")
+        .as[(String, Long, Long, Option[Double], Double)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._5)).toMap
+      Seq("benchA", "benchB").foreach { b =>
+        val rows = got.filter(_._1._1 == b).values
+        val nDirty = rows.count(_._3)
+        assert(summary(b) === ((4L, nDirty.toLong, nDirty.toDouble / 4)), s"trial $trial $b")
+      }
+    }
+  }
+
   test("prebuilt history join matches union-df join on random corpora") {
     // randomized model check: the prebuilt path uses a DIFFERENT total
     // order (history-only df, unseen shingles at 0) — results must still
