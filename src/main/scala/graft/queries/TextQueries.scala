@@ -1042,6 +1042,17 @@ object TextQueries {
           docs.where(col("doc_id") % 2 === 0),
           "text", "doc_id", n = 3, threshold = 0.7), "benchmark")
         .orderBy(col("benchmark"))
+    }),
+
+    // ───── CCNet's ACTUAL cut: head/middle/tail at PER-LANGUAGE
+    // tertiles — each language partitioned against its own score
+    // distribution, never one global threshold ─────
+    "q122_ccnet_by_lang" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.NgramLm.ccnetBucketsGrouped(docs,
+          graft.text.NgramLm.fit(docs.where(col("lang") === "en"), "text"),
+          "text", "doc_id", "lang")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2787,6 +2798,73 @@ object TextQueries {
             max(max_containment) AS worst_containment,
             CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS DOUBLE)
               / count(*) AS contamination_rate
-          FROM rep GROUP BY benchmark ORDER BY benchmark"""
+          FROM rep GROUP BY benchmark ORDER BY benchmark""",
+
+    // q113's replay with the tertiles computed PER LANGUAGE (thr grouped
+    // by lang, labels joined on lang) — same scoring chain, same
+    // percentile/quantile_cont parity
+    "q122_ccnet_by_lang" ->
+      s"""WITH d AS (
+            SELECT doc_id, lang, $toks AS tk
+            FROM documents WHERE text IS NOT NULL),
+          p AS (
+            SELECT doc_id, lang, CAST(u.i AS INT) AS pos,
+              tk[u.i + 1] AS w,
+              CASE WHEN u.i >= 1 THEN tk[u.i] END AS prev,
+              CASE WHEN u.i >= 2 THEN tk[u.i - 1] END AS prev2
+            FROM d, UNNEST(range(len(tk))) AS u(i)),
+          tp AS (SELECT * FROM p WHERE lang = 'en'),
+          uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tp GROUP BY w),
+          bi AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS c
+                 FROM tp WHERE pos >= 1 GROUP BY prev, w),
+          tri AS (SELECT prev2, prev, w, CAST(count(*) AS BIGINT) AS c
+                  FROM tp WHERE pos >= 2 GROUP BY prev2, prev, w),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                    CAST(count(DISTINCT w) AS BIGINT) AS vocab FROM tp),
+          j AS (
+            SELECT p.doc_id, p.lang, p.pos, u1.c AS c1w, u2.c AS c1prev,
+              b1.c AS c2, b2.c AS c2ctx, t3.c AS c3, tot.n_tokens, tot.vocab
+            FROM p
+            LEFT JOIN uni u1 ON p.w = u1.w
+            LEFT JOIN uni u2 ON p.prev = u2.w
+            LEFT JOIN bi b1 ON p.prev = b1.prev AND p.w = b1.w
+            LEFT JOIN bi b2 ON p.prev2 = b2.prev AND p.prev = b2.w
+            LEFT JOIN tri t3 ON p.prev2 = t3.prev2 AND p.prev = t3.prev
+              AND p.w = t3.w
+            CROSS JOIN tot),
+          s1c AS (
+            SELECT *, CAST(COALESCE(c1w, 0) + 1 AS DOUBLE)
+              / CAST(n_tokens + vocab AS DOUBLE) AS s1 FROM j),
+          s2c AS (
+            SELECT *, CASE WHEN c2 IS NOT NULL AND c1prev IS NOT NULL
+              THEN CAST(c2 AS DOUBLE) / CAST(c1prev AS DOUBLE)
+              ELSE 0.4 * s1 END AS s2 FROM s1c),
+          s3c AS (
+            SELECT *, CASE WHEN c3 IS NOT NULL AND c2ctx IS NOT NULL
+              THEN CAST(c3 AS DOUBLE) / CAST(c2ctx AS DOUBLE)
+              ELSE 0.4 * s2 END AS s3 FROM s2c),
+          sc AS (
+            SELECT doc_id, lang,
+              CASE WHEN pos = 0 THEN s1 WHEN pos = 1 THEN s2 ELSE s3 END AS score
+            FROM s3c),
+          per AS (
+            SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_scored,
+              CAST(sum(CAST(round(score * 1e12, 0) AS BIGINT)) AS BIGINT)
+                AS score_sum_pico
+            FROM sc GROUP BY doc_id, lang),
+          m AS (
+            SELECT doc_id, lang, n_scored, score_sum_pico,
+              CAST(score_sum_pico AS DOUBLE) / n_scored AS mean_score
+            FROM per),
+          thr AS (
+            SELECT lang,
+              quantile_cont(mean_score, CAST(1 AS DOUBLE) / 3) AS t_lo,
+              quantile_cont(mean_score, CAST(2 AS DOUBLE) / 3) AS t_hi
+            FROM m GROUP BY lang)
+          SELECT m.doc_id, m.lang, n_scored, score_sum_pico,
+            CASE WHEN mean_score >= t_hi THEN 'head'
+                 WHEN mean_score >= t_lo THEN 'middle'
+                 ELSE 'tail' END AS bucket
+          FROM m JOIN thr ON m.lang = thr.lang ORDER BY m.doc_id"""
   )
 }

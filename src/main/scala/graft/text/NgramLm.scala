@@ -244,4 +244,46 @@ object NgramLm {
           .otherwise("tail"))
       .drop("__t_lo", "__t_hi", "mean_score")
   }
+
+  /** [[ccnetBuckets]] with PER-GROUP tertiles — the cut CCNet actually
+    * ships: Wenzek et al. partition each LANGUAGE at its own thresholds
+    * (a Wikipedia-trained LM scores languages on incomparable scales, so
+    * one global cut would label whole low-resource languages "tail").
+    * `groupCol` is typically the language column; a doc is head/middle/
+    * tail relative to its own group's score distribution.
+    *
+    * Scale shape: identical to [[ccnetBuckets]] plus one DOC-SIZED join
+    * to attach the group label (the corpus text is never rescanned) —
+    * thresholds via ONE groupBy aggregate (rows = #groups), labels via a
+    * broadcast join on the group key. The [[TertileCut]] argument carries
+    * over unchanged: `Approx` keeps per-task state at O(accuracy) PER
+    * GROUP, so the 10⁹-doc argument holds group-by-group. Returns
+    * `(idCol, groupCol, n_scored, score_sum_pico, bucket)`. */
+  def ccnetBucketsGrouped(docs: DataFrame, model: LmModel, textCol: String,
+                          idCol: String, groupCol: String,
+                          alpha: Double = 0.4,
+                          cut: TertileCut = TertileCut.Exact): DataFrame = {
+    val per = scoreTokens(docs, model, textCol, idCol, alpha)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(round(col("score") * lit(1e12)).cast("long")).as("score_sum_pico"))
+      .withColumn("mean_score",
+        col("score_sum_pico").cast("double") / col("n_scored"))
+      .join(docs.select(col(idCol), col(groupCol)).dropDuplicates(idCol),
+        Seq(idCol))
+    val tAgg = cut match {
+      case TertileCut.Exact =>
+        percentile(col("mean_score"), array(lit(1.0 / 3), lit(2.0 / 3)))
+      case TertileCut.Approx(accuracy) =>
+        percentile_approx(col("mean_score"),
+          array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy))
+    }
+    val thr = per.groupBy(col(groupCol)).agg(tAgg.as("t"))
+      .select(col(groupCol), col("t")(0).as("__t_lo"), col("t")(1).as("__t_hi"))
+    per.join(broadcast(thr), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("n_scored"), col("score_sum_pico"),
+        when(col("mean_score") >= col("__t_hi"), "head")
+          .when(col("mean_score") >= col("__t_lo"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

@@ -248,6 +248,49 @@ class DsirLmSpec extends SparkSpec {
     }
   }
 
+  test("ccnetBucketsGrouped: per-language tertiles partition each language ~ in thirds") {
+    // the grouped cut's defining property: EVERY language lands ~n/3 per
+    // bucket, even languages the ungrouped (global-threshold) cut labels
+    // mostly tail because the en-trained LM scores them off-scale
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val model = NgramLm.fit(docs.where(col("lang") === "en"), "text")
+    val out = NgramLm.ccnetBucketsGrouped(docs, model, "text", "doc_id", "lang")
+      .select(col("doc_id"), col("lang"), col("n_scored"),
+        col("score_sum_pico"), col("bucket"))
+      .as[(Long, String, Long, Long, String)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val n = rows.size
+      val sizes = rows.groupBy(_._5).view.mapValues(_.size).toMap
+      Seq("head", "middle", "tail").foreach { b =>
+        assert(sizes.getOrElse(b, 0) >= n / 6,
+          s"lang $lang bucket $b degenerate: $sizes")
+      }
+      // labels replay from the returned picos against this language's own cut
+      val means = rows.map(r => r._1 -> (r._4.toDouble / r._3)).toMap
+      val sorted = means.values.toSeq.sorted
+      def q(f: Double): Double = {
+        val pos = (sorted.size - 1) * f
+        val lo = pos.toInt; val frac = pos - lo
+        if (lo + 1 < sorted.size) sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
+        else sorted(lo)
+      }
+      val (tLo, tHi) = (q(1.0 / 3), q(2.0 / 3))
+      rows.foreach { case (id, _, _, _, b) =>
+        val want = if (means(id) >= tHi) "head"
+          else if (means(id) >= tLo) "middle" else "tail"
+        assert(b === want, s"lang $lang doc $id")
+      }
+    }
+    // grouped on a CONSTANT group column degrades to the ungrouped cut
+    val global = NgramLm.ccnetBuckets(docs, model, "text", "doc_id")
+      .select(col("doc_id"), col("bucket")).as[(Long, String)].collect().toMap
+    val constGrouped = NgramLm.ccnetBucketsGrouped(
+        docs.withColumn("one", lit("x")), model, "text", "doc_id", "one")
+      .select(col("doc_id"), col("bucket")).as[(Long, String)].collect().toMap
+    assert(constGrouped === global)
+  }
+
   test("semanticDedupIncremental with empty history degrades to in-batch semanticDedup") {
     val vecs = Seq(
       (1L, Seq(1f, 0f, 0f)), (2L, Seq(0.999f, 0.01f, 0f)), // near-dups
