@@ -807,6 +807,55 @@ object Dedup {
       .withColumn("contamination_rate",
         col("n_contaminated").cast("double") / col("n_docs"))
 
+  /** Per-row distinct shingle HASH array, computed statelessly (array
+    * functions only — no window, no distinct aggregate), so it is legal
+    * on a STREAMING DataFrame. Same shingle semantics as [[shingleRows]]:
+    * token n-grams joined by " ", whole normalized text for docs shorter
+    * than `n` tokens, xxhash64, distinct. Parity with the batch path is
+    * asserted in StreamingSpec (the two constructions must agree or the
+    * streaming filter diverges from backfill). */
+  private[graft] def shingleHashArray(textCol: Column, n: Int): Column = {
+    val tk = graft.text.TextOps.tokens(textCol)
+    val grams = when(size(tk) < n, array(concat_ws(" ", tk)))
+      .otherwise(transform(sequence(lit(0), size(tk) - n),
+        i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
+    array_distinct(transform(grams, g => xxhash64(g)))
+  }
+
+  /** STREAMING decontamination: arriving docs probed against a PREBUILT
+    * static corpus shingle index ([[shingleRows]] output, persisted —
+    * the 100 TB side never rides the stream). Emits one row per
+    * (sealed doc, contaminating corpus doc) with containment ≥
+    * `threshold`: `(idCol, tsCol, id_r, containment)` — the hits stream
+    * a live ingest pipeline uses to drop eval-contaminated docs before
+    * they land. Clean docs emit nothing (the full clean-rows-included
+    * audit is [[contaminationReportPrebuilt]]'s batch job).
+    *
+    * Shape: stateless per-row shingling ([[shingleHashArray]]) →
+    * stream-static inner join on `g` (STATELESS — the stream probes the
+    * index; bucket the persisted index by `g` and the probe is
+    * exchange-free) → ONE watermark-sealed aggregate keyed by
+    * (doc, ts, corpus doc), state bounded by candidates inside the
+    * horizon. Containment is the same `inter / n_sh` integer-derived
+    * ratio as the batch join, so a doc scores identically live or in
+    * backfill (parity asserted in StreamingSpec). */
+  def streamingContaminationHits(docs: DataFrame, corpusIdx: DataFrame,
+                                 textCol: String, idCol: String,
+                                 tsCol: String, n: Int, threshold: Double,
+                                 watermark: String = "1 hour"): DataFrame = {
+    val sh = docs.withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        shingleHashArray(col(textCol), n).as("__sh"))
+      .select(col(idCol), col(tsCol), size(col("__sh")).as("n_sh"),
+        explode(col("__sh")).as("g"))
+    sh.join(corpusIdx.select(col(idCol).as("id_r"), col("g")), "g")
+      .groupBy(col(idCol), col(tsCol), col("id_r"), col("n_sh"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col(idCol), col(tsCol), col("id_r"),
+        (col("inter").cast("double") / col("n_sh")).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** MinHash signature: for each of `numHashes` hash functions
     * h_i(s) = (a_i * x + b_i) mod p over base hash x = xxhash64(shingle),
     * take the min across the document's shingles. Pure expressions

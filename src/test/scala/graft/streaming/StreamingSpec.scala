@@ -337,4 +337,68 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
       assert(got.find(_._1 == 1L).get._4 && !got.find(_._1 == 2L).get._4)
     } finally q.stop()
   }
+
+  test("stateless shingle array equals the batch shingleRows construction") {
+    import graft.dedup.Dedup
+    // window-free per-row shingling must produce the identical (id, g)
+    // set as the batch window path, including short docs and empty text
+    val docs = Seq(
+      (1L, "the quick brown fox jumps the quick brown"),
+      (2L, "tiny doc"),          // < n tokens: whole text is the shingle
+      (3L, ""),                  // empty: "" shingle
+      (4L, "a b c a b c a b c") // repeated grams: distinct must dedup
+    ).toDF("doc_id", "text")
+    val batch = Dedup.shingleRows(docs, "text", "doc_id", Nil, 3)
+      .select("doc_id", "g").as[(Long, Long)].collect().toSet
+    val stateless = docs
+      .select(col("doc_id"), explode(Dedup.shingleHashArray(col("text"), 3)).as("g"))
+      .as[(Long, Long)].collect().toSet
+    assert(stateless === batch)
+  }
+
+  test("streamingContaminationHits equals the batch containment join once sealed") {
+    import graft.dedup.Dedup
+    val dir = Files.createTempDirectory("graft_stream_decon").toString
+    // corpus: two training docs; probe doc 1 is covered by corpus doc 10
+    // (≥0.7 of its shingles), probe 2 shares nothing
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "one two three four five")).toDF("doc_id", "text")
+    val corpusIdx = Dedup.shingleRows(corpus, "text", "doc_id", Nil, 3)
+    val b1 = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1L,
+        "alpha beta gamma delta epsilon"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 2L,
+        "unrelated words entirely different here")
+    ).toDF("ts", "doc_id", "text")
+    val b2 = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 99L,
+        "alpha beta gamma delta")
+    ).toDF("ts", "doc_id", "text")
+    b1.coalesce(1).write.parquet(s"$dir/in")
+    Thread.sleep(1100)
+    b2.coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val hits = Dedup.streamingContaminationHits(stream, corpusIdx,
+      "text", "doc_id", "ts", n = 3, threshold = 0.7, watermark = "0 seconds")
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("sdecon").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sdecon")
+        .select("doc_id", "id_r", "containment")
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      // batch replay of the same probe docs against the same corpus
+      val batch = Dedup.containmentJoin(
+          Seq((1L, "alpha beta gamma delta epsilon"),
+            (2L, "unrelated words entirely different here"),
+            (99L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+          corpus, "text", "doc_id", n = 3, threshold = 0.7)
+        .select("id_l", "id_r", "containment")
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      assert(got.toSeq === batch.toSeq)
+      assert(got.map(_._1).contains(1L) && !got.map(_._1).contains(2L))
+    } finally q.stop()
+  }
 }
