@@ -1053,6 +1053,16 @@ object TextQueries {
           graft.text.NgramLm.fit(docs.where(col("lang") === "en"), "text"),
           "text", "doc_id", "lang")
         .orderBy(col("doc_id"))
+    }),
+
+    // ───── q29's int8 twin: blocked near-dup pairs over QUANTIZED
+    // vectors — 4× less data through the salted shuffle, exact integer
+    // scoring (fully SQL-replayable, unlike float-fold kernels) ─────
+    "q123_embed_neardup_int8" -> ((s, d) => {
+      graft.sim.Quant.cosinePairsInt8(
+          Tables.embeddings(s, d).where(col("embedding").isNotNull),
+          "embedding", "vec_id", "label", threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -2865,6 +2875,39 @@ object TextQueries {
             CASE WHEN mean_score >= t_hi THEN 'head'
                  WHEN mean_score >= t_lo THEN 'middle'
                  ELSE 'tail' END AS bucket
-          FROM m JOIN thr ON m.lang = thr.lang ORDER BY m.doc_id"""
+          FROM m JOIN thr ON m.lang = thr.lang ORDER BY m.doc_id""",
+
+    // int8 quantization + same-label pairs scored by the exact integer
+    // dot over code norms
+    "q123_embed_neardup_int8" ->
+      s"""WITH e AS (
+            SELECT vec_id, label,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings WHERE embedding IS NOT NULL),
+          s AS (
+            SELECT vec_id, label, v,
+              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+            FROM e),
+          c AS (
+            SELECT vec_id, label, scale,
+              CASE WHEN scale = 0
+                THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                ELSE list_transform(v, x -> GREATEST(CAST(-127 AS BIGINT),
+                  LEAST(CAST(127 AS BIGINT),
+                    CAST(round(x / scale, 0) AS BIGINT)))) END AS q
+            FROM s WHERE scale > 0)
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                p -> p[1] * p[2])) AS DOUBLE)
+              / (sqrt(CAST(list_sum(list_transform(a.q, x -> x * x)) AS DOUBLE))
+               * sqrt(CAST(list_sum(list_transform(b.q, x -> x * x)) AS DOUBLE)))
+              AS cos8
+          FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE CAST(list_sum(list_transform(list_zip(a.q, b.q),
+              p -> p[1] * p[2])) AS DOUBLE)
+            / (sqrt(CAST(list_sum(list_transform(a.q, x -> x * x)) AS DOUBLE))
+             * sqrt(CAST(list_sum(list_transform(b.q, x -> x * x)) AS DOUBLE)))
+            >= 0.35
+          ORDER BY id_a, id_b"""
   )
 }

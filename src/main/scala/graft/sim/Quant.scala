@@ -73,6 +73,38 @@ object Quant {
     when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
   }
 
+  /** Blocked embedding near-dup pairs over QUANTIZED vectors — the int8
+    * variant of [[Similarity.cosinePairs]] and the operator where the
+    * 4× compression actually pays: the bytes riding the salted shuffle
+    * are `array<tinyint>` codes, not floats, so the pairwise join moves
+    * a quarter of the data for the same candidate set. Same salted
+    * shuffle-hash-join shape (left side salted + hinted as the build
+    * map, right side replicated across `saltBuckets`; every (a, b) pair
+    * meets exactly once at a's salt); the kernel is the exact integer
+    * dot over code norms, so scores replay bit-for-bit in SQL. Zero
+    * vectors (scale 0) are excluded — quantized cosine is undefined.
+    * Returns `(id_a, id_b, cos8)` with id_a < id_b and cos8 ≥
+    * `threshold`. Precision/recall vs the float kernel is bounded by
+    * the per-element quantization error (asserted in QuantSpec). */
+  def cosinePairsInt8(embeddings: DataFrame, vecCol: String, idCol: String,
+                      blockCol: String, threshold: Double,
+                      saltBuckets: Int = 8): DataFrame = {
+    val q = quantizeInt8(embeddings, vecCol)
+      .where(col("q8_scale") > 0)
+      .select(col(blockCol).as("blk"), col(idCol), col("q8").as("v"),
+        sqrt(int8Dot(col("q8"), col("q8")).cast("double")).as("nrm"))
+    val l = q.toDF("blk", "id_a", "v_a", "n_a")
+      .withColumn("salt", pmod(xxhash64(col("id_a")), lit(saltBuckets)))
+    val r = q.toDF("blk", "id_b", "v_b", "n_b")
+      .withColumn("salt", explode(array((0 until saltBuckets).map(lit): _*)))
+    l.hint("shuffle_hash").join(r, Seq("blk", "salt"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (int8Dot(col("v_a"), col("v_b")).cast("double") /
+          (col("n_a") * col("n_b"))).as("cos8"))
+      .where(col("cos8") >= threshold)
+  }
+
   /** Brute-force top-k by int8-quantized cosine: quantize the corpus
     * in-plan, the query driver-side, and rank by
     * `dot8 / (‖corpus codes‖ · ‖query codes‖)`. Returns

@@ -100,6 +100,34 @@ class QuantSpec extends SparkSpec {
     assert(recall >= 0.8, s"int8 recall $recall; exact $exact vs int8 $got")
   }
 
+  test("cosinePairsInt8: each pair meets once; recall vs float pairs >= 0.8") {
+    val emb = graft.Tables.embeddings(spark, sf).where(col("embedding").isNotNull)
+    val int8 = Quant.cosinePairsInt8(emb, "embedding", "vec_id", "label", 0.35)
+      .select("id_a", "id_b", "cos8").as[(Long, Long, Double)].collect()
+    // the salted join must not duplicate or reorder pairs
+    assert(int8.map(p => (p._1, p._2)).distinct.length === int8.length)
+    int8.foreach { case (a, b, c) =>
+      assert(a < b)
+      assert(c >= 0.35 && c <= 1.0 + 1e-12)
+    }
+    val float = Similarity.cosinePairs(emb, "embedding", "vec_id", "label", 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val got = int8.map(p => (p._1, p._2)).toSet
+    if (float.nonEmpty) {
+      val recall = float.intersect(got).size.toDouble / float.size
+      assert(recall >= 0.8, s"int8 recall $recall (float ${float.size}, int8 ${got.size})")
+    }
+    // scores replay from driver-side quantization exactly
+    val codes = Quant.quantizeInt8(emb, "embedding")
+      .select(col("vec_id"), col("q8")).as[(Long, Seq[Byte])].collect().toMap
+    int8.take(20).foreach { case (a, b, c) =>
+      val (qa, qb) = (codes(a), codes(b))
+      val dot = qa.zip(qb).foldLeft(0L) { case (s, (x, y)) => s + x.toLong * y.toLong }
+      def nrm(q: Seq[Byte]) = math.sqrt(q.foldLeft(0L)((s, x) => s + x.toLong * x.toLong).toDouble)
+      assert(c === dot.toDouble / (nrm(qa) * nrm(qb)), s"pair ($a,$b)")
+    }
+  }
+
   test("cosineInt8 of a vector with itself is 1; zero-norm guard yields 0") {
     val df = Seq(
       (1L, Seq[Byte](1, 2, 3), Seq[Byte](1, 2, 3)),
