@@ -1063,8 +1063,76 @@ object TextQueries {
           Tables.embeddings(s, d).where(col("embedding").isNotNull),
           "embedding", "vec_id", "label", threshold = 0.35)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ───── URL canonicalization: the pre-content-dedup key rewrite
+    // (fragment/tracking-param/default-port/case normalization). The
+    // fixture has no URL column, so the query derives a deterministic
+    // MESSY url per doc from (doc_id, source) — same expression in the
+    // oracle — and canonicalizes it ─────
+    "q124_url_canonical" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), messyUrl.as("url"))
+        .withColumn("url_canon", graft.text.UrlOps.canonicalizeUrl(col("url")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ───── URL-level exact dedup over the canonical key: keeper = min
+    // doc_id (first-crawled wins), ONE hash aggregate ─────
+    "q125_url_dedup" -> ((s, d) => {
+      graft.text.UrlOps.urlDedupe(
+          Tables.documents(s, d).select(col("doc_id"), messyUrl.as("url")),
+          "url", "doc_id")
+        .orderBy(col("url_canon"))
+    }),
+
+    // ───── Unicode-script histogram + dominant script (the CCNet-style
+    // routing signal). A deterministic multi-script suffix keyed by
+    // (lang, doc_id) exercises Han/Cyrillic/Arabic counting on the
+    // Latin-only synthetic corpus — same concat in the oracle ─────
+    "q126_script_profile" -> ((s, d) => {
+      val sigs = graft.text.TextOps.scriptProfile(col("__t"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), multiScriptText.as("__t"))
+        .select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ───── Gopher-style composite quality verdict (Rae et al. 2021):
+    // per-rule booleans + conjunction, one codegen'd projection ─────
+    "q127_gopher_quality" -> ((s, d) => {
+      val sigs = graft.text.TextOps.gopherSignals(col("text"), stopwords,
+        minWords = 20)
+      Tables.documents(s, d)
+        .select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Deterministic messy URL for q124/q125 — replayed verbatim in the
+    * oracle SQL. Mixed case, www, default and non-default ports,
+    * tracking params, unsorted params, fragments. */
+  private def messyUrl: org.apache.spark.sql.Column =
+    concat(
+      when(col("doc_id") % 3 === 0, "HTTP://WWW.")
+        .when(col("doc_id") % 3 === 1, "https://www.")
+        .otherwise("http://"),
+      upper(col("source")), lit(".example.com"),
+      when(col("doc_id") % 4 === 0, ":80")
+        .when(col("doc_id") % 4 === 1, ":443").otherwise(""),
+      lit("/Articles/"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 2 === 0, "/?utm_source=feed&b=2&a=1&gclid=XYZ")
+        .otherwise("?a=1&b=2"),
+      when(col("doc_id") % 5 === 0, "#section-2").otherwise(""))
+
+  /** Text + deterministic multi-script suffix for q126 — replayed
+    * verbatim in the oracle SQL. */
+  private def multiScriptText: org.apache.spark.sql.Column =
+    concat(col("text"),
+      when(col("lang") === "zh", " 中文测试")
+        .when(col("doc_id") % 7 === 0, " привет мир")
+        .when(col("doc_id") % 7 === 1, " مرحبا")
+        .otherwise(""))
 
   // DuckDB fragments shared by oracle SQL below.
   private val toks = "regexp_split_to_array(trim(text), '\\s+')"
@@ -2667,8 +2735,9 @@ object TextQueries {
           FROM per ORDER BY doc_id""",
 
     // q108's per-doc pico aggregate, mean = one exact-int division,
-    // tertiles via quantile_cont (the q47 percentile parity), labels by
-    // comparison
+    // tertiles as ORDER STATISTICS (sorted-list element at rank
+    // ceil(n/3) — no interpolation, so the only float step is the same
+    // IEEE division Spark performs), labels by comparison
     "q113_ccnet_buckets" ->
       s"""WITH d AS (
             SELECT doc_id, lang, $toks AS tk
@@ -2723,8 +2792,11 @@ object TextQueries {
               CAST(score_sum_pico AS DOUBLE) / n_scored AS mean_score
             FROM per),
           thr AS (
-            SELECT quantile_cont(mean_score, CAST(1 AS DOUBLE) / 3) AS t_lo,
-                   quantile_cont(mean_score, CAST(2 AS DOUBLE) / 3) AS t_hi
+            SELECT
+              (list_sort(list(mean_score)))[CAST(ceil(count(*) / 3.0) AS BIGINT)]
+                AS t_lo,
+              (list_sort(list(mean_score)))[CAST(ceil(count(*) * 2 / 3.0) AS BIGINT)]
+                AS t_hi
             FROM m)
           SELECT doc_id, n_scored, score_sum_pico,
             CASE WHEN mean_score >= t_hi THEN 'head'
@@ -2812,7 +2884,7 @@ object TextQueries {
 
     // q113's replay with the tertiles computed PER LANGUAGE (thr grouped
     // by lang, labels joined on lang) — same scoring chain, same
-    // percentile/quantile_cont parity
+    // order-statistic cut per group
     "q122_ccnet_by_lang" ->
       s"""WITH d AS (
             SELECT doc_id, lang, $toks AS tk
@@ -2868,8 +2940,10 @@ object TextQueries {
             FROM per),
           thr AS (
             SELECT lang,
-              quantile_cont(mean_score, CAST(1 AS DOUBLE) / 3) AS t_lo,
-              quantile_cont(mean_score, CAST(2 AS DOUBLE) / 3) AS t_hi
+              (list_sort(list(mean_score)))[CAST(ceil(count(*) / 3.0) AS BIGINT)]
+                AS t_lo,
+              (list_sort(list(mean_score)))[CAST(ceil(count(*) * 2 / 3.0) AS BIGINT)]
+                AS t_hi
             FROM m GROUP BY lang)
           SELECT m.doc_id, m.lang, n_scored, score_sum_pico,
             CASE WHEN mean_score >= t_hi THEN 'head'
@@ -2908,6 +2982,194 @@ object TextQueries {
             / (sqrt(CAST(list_sum(list_transform(a.q, x -> x * x)) AS DOUBLE))
              * sqrt(CAST(list_sum(list_transform(b.q, x -> x * x)) AS DOUBLE)))
             >= 0.35
-          ORDER BY id_a, id_b"""
+          ORDER BY id_a, id_b""",
+
+    // the messy-url build replayed verbatim, then the same five rewrite
+    // steps: fragment strip, scheme/host lowercase, default-port + www
+    // strip, tracking-param drop + bytewise param sort, trailing-slash
+    // trim
+    "q124_url_canonical" ->
+      s"""WITH u0 AS (
+            SELECT doc_id, $messyUrlSql AS url FROM documents),
+          p AS (
+            SELECT doc_id, url,
+              regexp_replace(trim(url), '#.*$$', '') AS nf FROM u0),
+          x AS (
+            SELECT doc_id, url,
+              lower(regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+                AS scheme,
+              lower(regexp_extract(nf,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+              regexp_extract(nf,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+              regexp_extract(nf, '\\?([^#]*)', 1) AS query0
+            FROM p),
+          h AS (
+            SELECT doc_id, url, scheme,
+              regexp_replace(
+                CASE WHEN (scheme = 'http' AND hostport LIKE '%:80')
+                       OR (scheme = 'https' AND hostport LIKE '%:443')
+                  THEN regexp_replace(hostport, ':(80|443)$$', '')
+                  ELSE hostport END,
+                '^www\\.', '') AS host,
+              CASE WHEN length(path0) > 1
+                THEN regexp_replace(path0, '/$$', '') ELSE path0 END AS path,
+              array_to_string(list_sort(list_filter(string_split(query0, '&'),
+                q -> NOT (starts_with(q, 'utm_') OR q = ''
+                  OR q = 'gclid' OR starts_with(q, 'gclid=')
+                  OR q = 'fbclid' OR starts_with(q, 'fbclid=')
+                  OR q = 'msclkid' OR starts_with(q, 'msclkid=')
+                  OR q = 'ref' OR starts_with(q, 'ref=')
+                  OR q = 'igshid' OR starts_with(q, 'igshid=')))), '&') AS q
+            FROM x)
+          SELECT doc_id, url,
+            CASE WHEN scheme = '' THEN trim(url)
+              ELSE concat(scheme, '://', host, path,
+                CASE WHEN q = '' THEN '' ELSE concat('?', q) END) END
+              AS url_canon
+          FROM h ORDER BY doc_id""",
+
+    // canonical-key group: keeper = min doc_id, collapse count
+    "q125_url_dedup" ->
+      s"""WITH u0 AS (
+            SELECT doc_id, $messyUrlSql AS url FROM documents),
+          p AS (
+            SELECT doc_id, regexp_replace(trim(url), '#.*$$', '') AS nf,
+              trim(url) AS u FROM u0),
+          x AS (
+            SELECT doc_id, u,
+              lower(regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+                AS scheme,
+              lower(regexp_extract(nf,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+              regexp_extract(nf,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+              regexp_extract(nf, '\\?([^#]*)', 1) AS query0
+            FROM p),
+          h AS (
+            SELECT doc_id, u, scheme,
+              regexp_replace(
+                CASE WHEN (scheme = 'http' AND hostport LIKE '%:80')
+                       OR (scheme = 'https' AND hostport LIKE '%:443')
+                  THEN regexp_replace(hostport, ':(80|443)$$', '')
+                  ELSE hostport END,
+                '^www\\.', '') AS host,
+              CASE WHEN length(path0) > 1
+                THEN regexp_replace(path0, '/$$', '') ELSE path0 END AS path,
+              array_to_string(list_sort(list_filter(string_split(query0, '&'),
+                q -> NOT (starts_with(q, 'utm_') OR q = ''
+                  OR q = 'gclid' OR starts_with(q, 'gclid=')
+                  OR q = 'fbclid' OR starts_with(q, 'fbclid=')
+                  OR q = 'msclkid' OR starts_with(q, 'msclkid=')
+                  OR q = 'ref' OR starts_with(q, 'ref=')
+                  OR q = 'igshid' OR starts_with(q, 'igshid=')))), '&') AS q
+            FROM x),
+          c AS (
+            SELECT doc_id,
+              CASE WHEN scheme = '' THEN u
+                ELSE concat(scheme, '://', host, path,
+                  CASE WHEN q = '' THEN '' ELSE concat('?', q) END) END
+                AS url_canon
+            FROM h)
+          SELECT url_canon, min(doc_id) AS keep_id,
+            CAST(count(*) AS BIGINT) AS n_urls
+          FROM c GROUP BY url_canon ORDER BY url_canon""",
+
+    // script histogram over the suffixed text; dominant via the q23-style
+    // CASE chain (priority latin > han > cyrillic > arabic on ties)
+    "q126_script_profile" ->
+      s"""WITH t AS (
+            SELECT doc_id, $multiScriptTextSql AS tx FROM documents),
+          c AS (
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(tx, '\\p{Latin}')) AS BIGINT)
+                AS n_latin,
+              CAST(len(regexp_extract_all(tx, '\\p{Han}')) AS BIGINT)
+                AS n_han,
+              CAST(len(regexp_extract_all(tx, '\\p{Cyrillic}')) AS BIGINT)
+                AS n_cyrillic,
+              CAST(len(regexp_extract_all(tx, '\\p{Arabic}')) AS BIGINT)
+                AS n_arabic,
+              CAST(len(regexp_extract_all(tx, '[0-9]')) AS BIGINT) AS n_digit,
+              CAST(len(regexp_extract_all(tx, '\\s')) AS BIGINT) AS n_space
+            FROM t)
+          SELECT doc_id, n_latin, n_han, n_cyrillic, n_arabic, n_digit,
+            n_space,
+            CASE
+              WHEN greatest(n_latin, n_han, n_cyrillic, n_arabic) = 0
+                THEN 'none'
+              WHEN n_latin >= greatest(n_han, n_cyrillic, n_arabic)
+                THEN 'latin'
+              WHEN n_han >= greatest(n_cyrillic, n_arabic) THEN 'han'
+              WHEN n_cyrillic >= n_arabic THEN 'cyrillic'
+              ELSE 'arabic' END AS dominant
+          FROM c ORDER BY doc_id""",
+
+    // the Gopher rules replayed in list arithmetic (q22 tokenization
+    // parity); single-line fixture docs make the line rules degenerate
+    // but still computed
+    "q127_gopher_quality" ->
+      s"""WITH b AS (
+            SELECT doc_id, text, $toks AS tk,
+              list_filter(string_split(text, chr(10)),
+                l -> length(trim(l)) > 0) AS lines
+            FROM documents),
+          m AS (
+            SELECT doc_id,
+              len(tk) AS n_words,
+              CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
+                / len(tk) AS mean_len,
+              CAST(len(regexp_extract_all(text, '#'))
+                + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE)
+                / len(tk) AS symbol_ratio,
+              CAST(len(list_filter(lines, l -> regexp_matches(trim(l),
+                  '^([-*•‣▪]|\\d+[.)])\\s'))) AS DOUBLE)
+                / greatest(len(lines), 1) AS bullet_frac,
+              CAST(len(list_filter(lines, l -> regexp_matches(trim(l),
+                  '(\\.\\.\\.|…)$$'))) AS DOUBLE)
+                / greatest(len(lines), 1) AS ellipsis_frac,
+              CAST(len(list_filter(tk, w -> regexp_matches(w, '\\p{L}')))
+                AS DOUBLE) / greatest(len(tk), 1) AS alpha_frac,
+              len(list_filter(tk,
+                w -> w IN ('the','a','of','and','to'))) AS stop_hits
+            FROM b),
+          r AS (
+            SELECT doc_id,
+              (n_words >= 20 AND n_words <= 100000) AS ok_word_count,
+              (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_mean_word_len,
+              (symbol_ratio < 0.1) AS ok_symbol_ratio,
+              (bullet_frac <= 0.9) AS ok_bullet_lines,
+              (ellipsis_frac <= 0.3) AS ok_ellipsis_lines,
+              (alpha_frac >= 0.8) AS ok_alpha_words,
+              (stop_hits >= 2) AS ok_stopwords
+            FROM m)
+          SELECT doc_id, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
+            ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words, ok_stopwords,
+            (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+             AND ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words
+             AND ok_stopwords) AS keep
+          FROM r ORDER BY doc_id"""
   )
+
+  /** q124/q125's messy-url build as DuckDB SQL — must mirror
+    * [[messyUrl]] exactly. */
+  private def messyUrlSql: String =
+    """concat(
+      CASE doc_id % 3 WHEN 0 THEN 'HTTP://WWW.'
+        WHEN 1 THEN 'https://www.' ELSE 'http://' END,
+      upper(source), '.example.com',
+      CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443' ELSE '' END,
+      '/Articles/', CAST(doc_id % 50 AS VARCHAR),
+      CASE doc_id % 2 WHEN 0 THEN '/?utm_source=feed&b=2&a=1&gclid=XYZ'
+        ELSE '?a=1&b=2' END,
+      CASE doc_id % 5 WHEN 0 THEN '#section-2' ELSE '' END)"""
+
+  /** q126's suffixed text as DuckDB SQL — must mirror
+    * [[multiScriptText]] exactly. */
+  private def multiScriptTextSql: String =
+    """concat(text,
+      CASE WHEN lang = 'zh' THEN ' 中文测试'
+        WHEN doc_id % 7 = 0 THEN ' привет мир'
+        WHEN doc_id % 7 = 1 THEN ' مرحبا'
+        ELSE '' END)"""
 }

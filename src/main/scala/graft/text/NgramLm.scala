@@ -181,16 +181,20 @@ object NgramLm {
   /** Tertile-cut strategy for [[ccnetBuckets]].
     *
     * [[TertileCut.Exact]] keeps the bit-replayable oracle semantics but
-    * its aggregate buffers a value→count map whose FINAL MERGE lands on
-    * one task; per-doc means are near-unique doubles, so that state is
-    * O(docs) — an OOM wall at 10⁹⁺ documents. [[TertileCut.Approx]] is
-    * the production path: `percentile_approx`'s KLL-style sketch is
-    * mergeable with bounded per-task state (rank error ≤ n/accuracy),
-    * so the cut survives any corpus size; bucket labels can differ from
-    * exact only for docs within that rank band of a tertile boundary. */
+    * its aggregate collects every per-doc mean onto one task; per-doc
+    * means are near-unique doubles, so that state is O(docs) — an OOM
+    * wall at 10⁹⁺ documents. [[TertileCut.Approx]] is the production
+    * path: `percentile_approx`'s KLL-style sketch is mergeable with
+    * bounded per-task state (rank error ≤ n/accuracy), so the cut
+    * survives any corpus size; bucket labels can differ from exact only
+    * for docs within that rank band of a tertile boundary. */
   sealed trait TertileCut
   object TertileCut {
-    /** Exact `percentile` interpolated tertiles — oracle/fixture scale. */
+    /** Exact ORDER-STATISTIC tertiles — the threshold is the observed
+      * mean at rank ceil(n/3) (1-based, ascending), never an
+      * interpolated value, so the bucket comparison only touches doubles
+      * both engines derived by one IEEE division of identical integers.
+      * Oracle/fixture scale (collects the mean list on one task). */
     case object Exact extends TertileCut
     /** Mergeable sketch tertiles — the web-scale default. `accuracy` is
       * the KLL budget: max rank error n/accuracy, state O(accuracy). */
@@ -205,7 +209,7 @@ object NgramLm {
     *
     * Scale shape: one scoring pass + the per-doc aggregate (as
     * [[filterByScore]]), tertile thresholds via ONE aggregate over the
-    * per-doc means — exact `percentile` for the oracle, or the
+    * per-doc means — an exact order-statistic cut for the oracle, or the
     * mergeable `percentile_approx` sketch for production (`cut`
     * parameter; see [[TertileCut]] for the 10⁹-doc argument) — labels
     * via a broadcast of the 1-row threshold frame. No global window —
@@ -213,12 +217,12 @@ object NgramLm {
     * approximate tertiles (the paper cuts on a sampled histogram), so
     * Approx is semantically faithful, not a concession.
     *
-    * Exact-path determinism note: the oracle compares Spark `percentile`
-    * against DuckDB `quantile_cont`; both interpolate doubles, so a cut
-    * landing exactly on a run of duplicated means could differ by 1 ulp
-    * between the two formulas. The fixture is pinned by
-    * TestdataContractSpec (a regeneration fails `sbt test` before the
-    * oracle runs), so the risk cannot bite silently. */
+    * Exact-path determinism note: thresholds are ORDER STATISTICS —
+    * `element_at(sorted means, ceil(n/3))` — not interpolations, so the
+    * only floating-point step either engine performs is the one IEEE
+    * division `score_sum_pico / n_scored` (correctly rounded, therefore
+    * bit-identical across engines). A cut landing on a run of duplicated
+    * means picks the duplicated value itself in both engines. */
   def ccnetBuckets(docs: DataFrame, model: LmModel, textCol: String,
                    idCol: String, alpha: Double = 0.4,
                    cut: TertileCut = TertileCut.Exact): DataFrame = {
@@ -228,15 +232,20 @@ object NgramLm {
         sum(round(col("score") * lit(1e12)).cast("long")).as("score_sum_pico"))
       .withColumn("mean_score",
         col("score_sum_pico").cast("double") / col("n_scored"))
-    val tAgg = cut match {
+    val thr = cut match {
       case TertileCut.Exact =>
-        percentile(col("mean_score"), array(lit(1.0 / 3), lit(2.0 / 3)))
+        per.agg(sort_array(collect_list(col("mean_score"))).as("ms"),
+            count(lit(1)).as("n"))
+          .select(
+            element_at(col("ms"), ceil(col("n") / lit(3.0)).cast("int"))
+              .as("__t_lo"),
+            element_at(col("ms"), ceil(col("n") * lit(2) / lit(3.0)).cast("int"))
+              .as("__t_hi"))
       case TertileCut.Approx(accuracy) =>
-        percentile_approx(col("mean_score"),
-          array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy))
+        per.agg(percentile_approx(col("mean_score"),
+            array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("t"))
+          .select(col("t")(0).as("__t_lo"), col("t")(1).as("__t_hi"))
     }
-    val thr = per.agg(tAgg.as("t"))
-      .select(col("t")(0).as("__t_lo"), col("t")(1).as("__t_hi"))
     per.crossJoin(broadcast(thr))
       .withColumn("bucket",
         when(col("mean_score") >= col("__t_hi"), "head")
@@ -271,15 +280,23 @@ object NgramLm {
         col("score_sum_pico").cast("double") / col("n_scored"))
       .join(docs.select(col(idCol), col(groupCol)).dropDuplicates(idCol),
         Seq(idCol))
-    val tAgg = cut match {
+    val thr = cut match {
       case TertileCut.Exact =>
-        percentile(col("mean_score"), array(lit(1.0 / 3), lit(2.0 / 3)))
+        per.groupBy(col(groupCol))
+          .agg(sort_array(collect_list(col("mean_score"))).as("ms"),
+            count(lit(1)).as("n"))
+          .select(col(groupCol),
+            element_at(col("ms"), ceil(col("n") / lit(3.0)).cast("int"))
+              .as("__t_lo"),
+            element_at(col("ms"), ceil(col("n") * lit(2) / lit(3.0)).cast("int"))
+              .as("__t_hi"))
       case TertileCut.Approx(accuracy) =>
-        percentile_approx(col("mean_score"),
-          array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy))
+        per.groupBy(col(groupCol))
+          .agg(percentile_approx(col("mean_score"),
+            array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("t"))
+          .select(col(groupCol), col("t")(0).as("__t_lo"),
+            col("t")(1).as("__t_hi"))
     }
-    val thr = per.groupBy(col(groupCol)).agg(tAgg.as("t"))
-      .select(col(groupCol), col("t")(0).as("__t_lo"), col("t")(1).as("__t_hi"))
     per.join(broadcast(thr), Seq(groupCol))
       .select(col(idCol), col(groupCol), col("n_scored"), col("score_sum_pico"),
         when(col("mean_score") >= col("__t_hi"), "head")

@@ -349,4 +349,90 @@ object TextOps {
         coalesce(col("dup_line_char_frac"), lit(0.0)).as("dup_line_char_frac"),
         coalesce(col("top_bigram_char_frac"), lit(0.0)).as("top_bigram_char_frac"))
   }
+
+  /** Unicode-script classes profiled by [[scriptProfile]], in dominance
+    * tie-break priority order. Each entry is (name, Java-regex class);
+    * the classes cover the fixture's languages and the bulk of web text —
+    * extend the list for broader corpora. */
+  val scriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "\\p{IsLatin}",
+    "han" -> "\\p{IsHan}",
+    "cyrillic" -> "\\p{IsCyrillic}",
+    "arabic" -> "\\p{IsArabic}")
+
+  /** Per-document Unicode script histogram + dominant script — the
+    * pre-language-ID routing signal CCNet-style pipelines cut on (a doc
+    * whose chars are 95% Han goes to the zh models regardless of what a
+    * stopword vote says), and the garbage filter for mixed-script spam.
+    *
+    * Returns `(n_<script>… , n_digit, n_space, dominant)` as
+    * exact integer counts (regexp_count per class — codegen'd, one scan
+    * pass, no shuffle). `dominant` is the argmax over the script classes
+    * with ties broken by [[scriptClasses]] order; all-zero docs get
+    * "none". */
+  def scriptProfile(text: Column): Seq[(String, Column)] = {
+    val counts = scriptClasses.map { case (name, re) =>
+      name -> regexp_count(text, lit(re)) }
+    // argmax via array_max over (count, -priority, name) structs: field-
+    // order comparison makes earlier classes win count ties — same trick
+    // as langId, deterministic on both engines
+    val ranked = counts.zipWithIndex.map { case ((name, c), i) =>
+      struct(c.as("n"), lit(-i).as("nrank"), lit(name).as("script")) }
+    val top = array_max(array(ranked: _*))
+    counts.map { case (n, c) => s"n_$n" -> c.cast("long") } ++ Seq(
+      "n_digit" -> regexp_count(text, lit("[0-9]")).cast("long"),
+      "n_space" -> regexp_count(text, lit("\\s")).cast("long"),
+      "dominant" -> when(top.getField("n") === 0, "none")
+        .otherwise(top.getField("script")))
+  }
+
+  /** Gopher-style composite quality verdict (Rae et al. 2021, Appendix A
+    * — the published web-corpus filter rules, restricted to the
+    * deterministic-arithmetic subset):
+    *   - word count within [minWords, maxWords];
+    *   - mean word length within [3, 10] chars;
+    *   - symbol-to-word ratio (`#` or `…`/`...`) below 0.1;
+    *   - at most 90% of lines starting with a bullet and at most 30%
+    *     ending in an ellipsis;
+    *   - at least 80% of words containing an alphabetic character;
+    *   - at least `minStopwords` hits from the stopword list.
+    * Returns one boolean per rule plus the conjunction `keep` — callers
+    * log per-rule rejection rates (the published pipelines tune rules
+    * individually) and filter on `keep`.
+    *
+    * One codegen'd projection per doc: tokens and lines are each
+    * materialized once in their own projection (the [[graft.dedup.Dedup
+    * .shingles]] PERF CONTRACT — lambdas re-evaluate captured
+    * expressions), then every rule is arithmetic over them. No shuffle,
+    * no UDF. */
+  def gopherSignals(text: Column, stopwords: Seq[String],
+                    minWords: Int = 50, maxWords: Int = 100000,
+                    minStopwords: Int = 2): Seq[(String, Column)] = {
+    val t = tokens(text)
+    val nWords = size(t)
+    val meanLen = meanTokenLen(text)
+    val symbolRatio =
+      (regexp_count(text, lit("#")) + regexp_count(text, lit("\\.\\.\\.|…")))
+        .cast("double") / nWords
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines)
+    val bulletFrac = size(filter(lines, l =>
+        regexp_like(trim(l), lit("^([-*•‣▪]|\\d+[.)])\\s")))).cast("double") /
+      greatest(nLines, lit(1))
+    val ellipsisFrac = size(filter(lines, l =>
+        regexp_like(trim(l), lit("(\\.\\.\\.|…)$")))).cast("double") /
+      greatest(nLines, lit(1))
+    val alphaFrac = size(filter(t, w => regexp_like(w, lit("\\p{L}"))))
+      .cast("double") / greatest(nWords, lit(1))
+    val stopHits = graft.functions.TextExpressions.countInSet(t, stopwords)
+    val rules = Seq(
+      "ok_word_count" -> (nWords >= minWords && nWords <= maxWords),
+      "ok_mean_word_len" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "ok_symbol_ratio" -> (symbolRatio < 0.1),
+      "ok_bullet_lines" -> (bulletFrac <= 0.9),
+      "ok_ellipsis_lines" -> (ellipsisFrac <= 0.3),
+      "ok_alpha_words" -> (alphaFrac >= 0.8),
+      "ok_stopwords" -> (stopHits >= minStopwords))
+    rules ++ Seq("keep" -> rules.map(_._2).reduce(_ && _))
+  }
 }

@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + URL-level dedup — the stage every web-corpus
+  * pipeline runs BEFORE content dedup: two crawls of the same page under
+  * cosmetically different URLs (tracking params, default ports, casing,
+  * fragments) must collapse to one key so the cheap exact-dedup catches
+  * them without ever touching document text.
+  *
+  * Extension beyond the reference's URL handling (it only extracts the
+  * domain — views/pioneer/package.scala:19-31, our
+  * [[graft.functions.Strings.domainOf]]); the canonical-key form is the
+  * standard web-pipeline normalization (WHATWG-ish subset, restricted to
+  * rules that are deterministic pure string rewrites).
+  *
+  * Everything here is built-in-function composition (regexp_extract /
+  * array ops) — whole-stage-codegen'd, no UDF, and replayable in ANSI
+  * SQL for the oracle. Scale shape: a narrow per-row projection (no
+  * shuffle); [[urlDedupe]] adds ONE hash aggregate on the canonical key.
+  */
+object UrlOps {
+
+  /** Query parameters dropped during canonicalization: click/campaign
+    * trackers that never affect page content. Prefix match for `utm_`. */
+  val trackingParams: Seq[String] =
+    Seq("gclid", "fbclid", "msclkid", "ref", "igshid")
+
+  private val schemeRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+  // host[:port] = everything between :// and the first /?#
+  private val hostRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
+  // path = from the first / after authority up to ? or #
+  private val pathRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+  // query = between ? and # (without the ?)
+  private val queryRe = "\\?([^#]*)"
+
+  /** Canonical form of an absolute http(s) URL:
+    *   1. strip the fragment (`#…` never reaches the server);
+    *   2. lowercase scheme and host (case-insensitive per RFC 3986);
+    *   3. drop a `www.` host prefix and the scheme's default port
+    *      (`:80` http / `:443` https);
+    *   4. drop tracking query params ([[trackingParams]] + `utm_*`),
+    *      sort the survivors bytewise (param order is almost never
+    *      semantic), keep duplicates;
+    *   5. drop a trailing `/` on a non-root path and an empty `?`.
+    * Non-URLs (no `scheme://`) pass through trimmed — the caller decides
+    * whether to treat them as keys or discard. */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, schemeRe, 1))
+    val hostPort = lower(regexp_extract(noFrag, hostRe, 1))
+    val host0 = regexp_replace(hostPort, ":(80|443)$", "")
+    // only strip the port when it IS the scheme default
+    val hostNoDefault = when(
+        (scheme === "http" && hostPort.endsWith(":80")) ||
+          (scheme === "https" && hostPort.endsWith(":443")),
+        host0)
+      .otherwise(hostPort)
+    val host = regexp_replace(hostNoDefault, "^www\\.", "")
+    val path0 = regexp_extract(noFrag, pathRe, 1)
+    val path = when(length(path0) > 1, regexp_replace(path0, "/$", ""))
+      .otherwise(path0)
+    val query0 = regexp_extract(noFrag, queryRe, 1)
+    val kept = filter(split(query0, "&"), p =>
+      !(p.startsWith("utm_") || p === "" ||
+        trackingParams.map(t => p === t || p.startsWith(t + "="))
+          .reduce(_ || _)))
+    val query = array_join(array_sort(kept), "&")
+    when(scheme === "", u).otherwise(
+      concat(scheme, lit("://"), host, path,
+        when(query === "", "").otherwise(concat(lit("?"), query))))
+  }
+
+  /** URL-level exact dedup: one row per canonical URL with the keeper
+    * (min id — first-crawled wins under monotone ids) and the collapse
+    * count. ONE hash aggregate on the canonical key (map-side partial
+    * combine; the key is computed in the scan projection, so nothing
+    * wide shuffles). */
+  def urlDedupe(docs: DataFrame, urlCol: String, idCol: String): DataFrame =
+    docs.select(canonicalizeUrl(col(urlCol)).as("url_canon"), col(idCol))
+      .groupBy(col("url_canon"))
+      .agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).cast("long").as("n_urls"))
+}

@@ -173,16 +173,14 @@ class DsirLmSpec extends SparkSpec {
     val out = NgramLm.ccnetBuckets(docs, model, "text", "doc_id")
       .select(col("doc_id"), col("n_scored"), col("score_sum_pico"), col("bucket"))
       .as[(Long, Long, Long, String)].collect().sortBy(_._1)
-    // labels replay from the returned picos: mean = pico/n, tertile cut
+    // labels replay from the returned picos: mean = pico/n, order-stat cut
     val means = out.map(r => r._1 -> r._3.toDouble / r._2).toMap
     val sorted = means.values.toSeq.sorted
-    def q(f: Double): Double = { // percentile_cont interpolation
-      val pos = (sorted.size - 1) * f
-      val lo = pos.toInt; val frac = pos - lo
-      if (lo + 1 < sorted.size) sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
-      else sorted(lo)
-    }
-    val (tLo, tHi) = (q(1.0 / 3), q(2.0 / 3))
+    val n = sorted.size
+    // thresholds are the observed means at rank ceil(n/3) / ceil(2n/3)
+    // (1-based ascending) — never interpolated values
+    val tLo = sorted(math.ceil(n / 3.0).toInt - 1)
+    val tHi = sorted(math.ceil(n * 2 / 3.0).toInt - 1)
     out.foreach { case (id, _, _, b) =>
       val want = if (means(id) >= tHi) "head"
         else if (means(id) >= tLo) "middle" else "tail"
@@ -211,11 +209,11 @@ class DsirLmSpec extends SparkSpec {
   }
 
   test("ccnetBuckets: Approx cut agrees with Exact on the sf0.001 fixture") {
-    // the production (mergeable-sketch) tertile cut vs the oracle (exact
-    // percentile) cut on the real fixture: at n << accuracy the sketch
-    // holds every value, so thresholds snap to observed order statistics
-    // adjacent to the interpolated exact cut — buckets may differ only
-    // for docs sitting exactly between the two threshold variants
+    // the production (mergeable-sketch) tertile cut vs the oracle
+    // (order-statistic) cut on the real fixture: at n << accuracy the
+    // sketch holds every value, so both paths pick observed order
+    // statistics — they can differ only by the two rank conventions'
+    // one-element offset at a tertile boundary
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val model = NgramLm.fit(docs.where(col("lang") === "en"), "text")
     def run(cut: NgramLm.TertileCut): Map[Long, (String, Double)] =
@@ -266,16 +264,12 @@ class DsirLmSpec extends SparkSpec {
         assert(sizes.getOrElse(b, 0) >= n / 6,
           s"lang $lang bucket $b degenerate: $sizes")
       }
-      // labels replay from the returned picos against this language's own cut
+      // labels replay from the returned picos against this language's own
+      // order-statistic cut (means at rank ceil(n/3) / ceil(2n/3))
       val means = rows.map(r => r._1 -> (r._4.toDouble / r._3)).toMap
       val sorted = means.values.toSeq.sorted
-      def q(f: Double): Double = {
-        val pos = (sorted.size - 1) * f
-        val lo = pos.toInt; val frac = pos - lo
-        if (lo + 1 < sorted.size) sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
-        else sorted(lo)
-      }
-      val (tLo, tHi) = (q(1.0 / 3), q(2.0 / 3))
+      val tLo = sorted(math.ceil(sorted.size / 3.0).toInt - 1)
+      val tHi = sorted(math.ceil(sorted.size * 2 / 3.0).toInt - 1)
       rows.foreach { case (id, _, _, _, b) =>
         val want = if (means(id) >= tHi) "head"
           else if (means(id) >= tLo) "middle" else "tail"

@@ -1,0 +1,101 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[UrlOps]] canonicalization/dedup + the round-8 TextOps additions
+  * ([[TextOps.scriptProfile]], [[TextOps.gopherSignals]]). */
+class UrlQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("canonicalizeUrl: case, ports, www, fragments, tracking params") {
+    val cases = Seq(
+      // scheme+host lowercase, www and default port stripped, fragment cut
+      "HTTP://WWW.Example.COM:80/A/B#frag" -> "http://example.com/A/B",
+      // https default port; params sorted; utm_/gclid dropped
+      "https://example.com:443/x?b=2&utm_source=f&a=1&gclid=z" ->
+        "https://example.com/x?a=1&b=2",
+      // NON-default port kept (443 on http is not the scheme default)
+      "http://example.com:443/x" -> "http://example.com:443/x",
+      // trailing slash trimmed on non-root, kept on root
+      "http://example.com/path/" -> "http://example.com/path",
+      "http://example.com/" -> "http://example.com/",
+      // empty query after tracking-drop: no dangling '?'
+      "http://example.com/x?utm_campaign=c" -> "http://example.com/x",
+      // bare tracking param without '=' also dropped; 'refresh' is NOT
+      // a prefix match for 'ref'
+      "http://example.com/x?ref&refresh=1" -> "http://example.com/x?refresh=1",
+      // path case preserved (paths are case-sensitive per RFC 3986)
+      "http://example.com/CaseSensitive" -> "http://example.com/CaseSensitive",
+      // non-URL passes through trimmed
+      "  not a url  " -> "not a url")
+    val out = cases.map(_._1).toDF("url")
+      .select(UrlOps.canonicalizeUrl(col("url")).as("c")).as[String].collect()
+    out.zip(cases).foreach { case (got, (in, want)) =>
+      assert(got === want, s"input $in")
+    }
+  }
+
+  test("urlDedupe collapses canonical twins to min-id keeper") {
+    val docs = Seq(
+      (1L, "http://www.a.com/p?utm_x=1"),
+      (2L, "HTTP://A.COM:80/p"),
+      (3L, "https://a.com/p"), // different scheme — different key
+      (4L, "http://a.com/p#s")).toDF("doc_id", "url")
+    val out = UrlOps.urlDedupe(docs, "url", "doc_id")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array(
+      ("http://a.com/p", 1L, 3L),
+      ("https://a.com/p", 3L, 1L)))
+  }
+
+  test("scriptProfile counts scripts and picks a deterministic dominant") {
+    val sigs = TextOps.scriptProfile(col("t"))
+    val df = Seq(
+      ("latin mostly здесь", "latin"), // latin wins on count
+      ("中文测试", "han"),
+      ("привет мир", "cyrillic"),
+      ("مرحبا", "arabic"),
+      ("12345 !!!", "none") // no script chars at all
+    ).toDF("t", "want")
+    val out = df.select(col("want") +: sigs.map { case (n, c) => c.as(n) }: _*)
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[String]("dominant") === r.getAs[String]("want"),
+        r.toString)
+    }
+    // exact counts on the mixed row
+    val m = df.where(col("want") === "latin")
+      .select(sigs.map { case (n, c) => c.as(n) }: _*).collect()(0)
+    assert(m.getAs[Long]("n_latin") === 11L)
+    assert(m.getAs[Long]("n_cyrillic") === 5L)
+    assert(m.getAs[Long]("n_space") === 2L)
+  }
+
+  test("gopherSignals: each rule fires on its designed violator") {
+    val stop = Seq("the", "a", "of", "and", "to")
+    val okDoc = ("the quick brown fox jumps over a lazy dog and runs to " +
+      "the river bank where the water flows past stones and reeds") // 24 words
+    val rows = Seq(
+      1L -> okDoc,
+      2L -> "too short to pass", // word count
+      3L -> okDoc.replaceAll("\\b\\w+\\b", "xx"), // mean len < 3, no stopwords
+      4L -> (okDoc + " " + Seq.fill(10)("###").mkString(" ")), // symbols
+      5L -> (1 to 25).map(i => s"- bullet item $i the a of").mkString("\n"),
+      6L -> ((1 to 25).map(_ => "the and of to a item line...").mkString("\n")),
+      7L -> (okDoc.split(" ").map(_ => "123 456").mkString(" ")) // no alpha
+    ).toDF("doc_id", "text")
+    val sigs = TextOps.gopherSignals(col("text"), stop, minWords = 20)
+    val out = rows.select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("ok_word_count"))
+    assert(!out(3L).getAs[Boolean]("ok_mean_word_len"))
+    assert(!out(3L).getAs[Boolean]("ok_stopwords"))
+    assert(!out(4L).getAs[Boolean]("ok_symbol_ratio"))
+    assert(!out(5L).getAs[Boolean]("ok_bullet_lines"))
+    assert(!out(6L).getAs[Boolean]("ok_ellipsis_lines"))
+    assert(!out(7L).getAs[Boolean]("ok_alpha_words"))
+    assert(out.values.count(r => !r.getAs[Boolean]("keep")) === 6)
+  }
+}
