@@ -1106,6 +1106,24 @@ object TextQueries {
       Tables.documents(s, d)
         .select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
         .orderBy(col("doc_id"))
+    }),
+
+    // ───── the web-corpus front half composed from this round's gated
+    // operators, in the order real pipelines run it (cheapest key first):
+    // URL-canonical dedup → Gopher quality gate → exact-text dedup.
+    // Each stage is its own oracle-gated operator (q125, q127, q25) ─────
+    "q128_web_clean" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), messyUrl.as("url"))
+      val urlKeep = graft.text.UrlOps.urlDedupe(docs, "url", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      val keep = graft.text.TextOps
+        .gopherSignals(col("text"), stopwords, minWords = 20).toMap.apply("keep")
+      Dedup.exact(
+          docs.join(urlKeep, Seq("doc_id"), "left_semi").where(keep),
+          "text", "doc_id")
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3148,7 +3166,93 @@ object TextQueries {
             (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
              AND ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words
              AND ok_stopwords) AS keep
-          FROM r ORDER BY doc_id"""
+          FROM r ORDER BY doc_id""",
+
+    // the q125 canonical-key keeper, then the q127 keep predicate, then
+    // the q25 fingerprint dedup — spliced CTEs of the three gated stages
+    "q128_web_clean" ->
+      s"""WITH u0 AS (
+            SELECT doc_id, text, $messyUrlSql AS url FROM documents),
+          p AS (
+            SELECT doc_id, text,
+              regexp_replace(trim(url), '#.*$$', '') AS nf FROM u0),
+          x AS (
+            SELECT doc_id, text,
+              lower(regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+                AS scheme,
+              lower(regexp_extract(nf,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+              regexp_extract(nf,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+              regexp_extract(nf, '\\?([^#]*)', 1) AS query0
+            FROM p),
+          h AS (
+            SELECT doc_id, text, concat(scheme, '://',
+              regexp_replace(
+                CASE WHEN (scheme = 'http' AND hostport LIKE '%:80')
+                       OR (scheme = 'https' AND hostport LIKE '%:443')
+                  THEN regexp_replace(hostport, ':(80|443)$$', '')
+                  ELSE hostport END,
+                '^www\\.', ''),
+              CASE WHEN length(path0) > 1
+                THEN regexp_replace(path0, '/$$', '') ELSE path0 END,
+              CASE WHEN array_to_string(list_sort(list_filter(
+                  string_split(query0, '&'),
+                  q -> NOT (starts_with(q, 'utm_') OR q = ''
+                    OR q = 'gclid' OR starts_with(q, 'gclid=')
+                    OR q = 'fbclid' OR starts_with(q, 'fbclid=')
+                    OR q = 'msclkid' OR starts_with(q, 'msclkid=')
+                    OR q = 'ref' OR starts_with(q, 'ref=')
+                    OR q = 'igshid' OR starts_with(q, 'igshid=')))), '&') = ''
+                THEN ''
+                ELSE concat('?', array_to_string(list_sort(list_filter(
+                  string_split(query0, '&'),
+                  q -> NOT (starts_with(q, 'utm_') OR q = ''
+                    OR q = 'gclid' OR starts_with(q, 'gclid=')
+                    OR q = 'fbclid' OR starts_with(q, 'fbclid=')
+                    OR q = 'msclkid' OR starts_with(q, 'msclkid=')
+                    OR q = 'ref' OR starts_with(q, 'ref=')
+                    OR q = 'igshid' OR starts_with(q, 'igshid=')))), '&'))
+                END) AS url_canon
+            FROM x),
+          keepers AS (
+            SELECT min(doc_id) AS doc_id FROM h GROUP BY url_canon),
+          g AS (
+            SELECT h.doc_id, h.text, $toks AS tk,
+              list_filter(string_split(h.text, chr(10)),
+                l -> length(trim(l)) > 0) AS lines
+            FROM h JOIN keepers ON h.doc_id = keepers.doc_id),
+          m AS (
+            SELECT doc_id, text, tk,
+              len(tk) AS n_words,
+              CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
+                / len(tk) AS mean_len,
+              CAST(len(regexp_extract_all(text, '#'))
+                + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE)
+                / len(tk) AS symbol_ratio,
+              CAST(len(list_filter(lines, l -> regexp_matches(trim(l),
+                  '^([-*•‣▪]|\\d+[.)])\\s'))) AS DOUBLE)
+                / greatest(len(lines), 1) AS bullet_frac,
+              CAST(len(list_filter(lines, l -> regexp_matches(trim(l),
+                  '(\\.\\.\\.|…)$$'))) AS DOUBLE)
+                / greatest(len(lines), 1) AS ellipsis_frac,
+              CAST(len(list_filter(tk, w -> regexp_matches(w, '\\p{L}')))
+                AS DOUBLE) / greatest(len(tk), 1) AS alpha_frac,
+              len(list_filter(tk,
+                w -> w IN ('the','a','of','and','to'))) AS stop_hits
+            FROM g),
+          q AS (
+            SELECT doc_id, tk FROM m
+            WHERE n_words >= 20 AND n_words <= 100000
+              AND mean_len >= 3.0 AND mean_len <= 10.0
+              AND symbol_ratio < 0.1 AND bullet_frac <= 0.9
+              AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+              AND stop_hits >= 2),
+          e AS (
+            SELECT md5(lower(array_to_string(tk, ' '))) AS fp,
+              min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+            FROM q GROUP BY 1)
+          SELECT doc_id, n_copies FROM e ORDER BY doc_id"""
   )
 
   /** q124/q125's messy-url build as DuckDB SQL — must mirror
