@@ -183,6 +183,27 @@ object StreamingViews {
       .dropDuplicatesWithinWatermark(Seq("fp"))
   }
 
+  /** Streaming URL-frontier dedup: [[graft.text.UrlOps.canonicalizeUrl]]
+    * as a scan-side expression (a pure codegen projection, so it streams
+    * unchanged), an optional Bloom of already-crawled canonical URLs as
+    * a stateless predicate, then watermarked first-canonical-URL-wins
+    * dedupe — the streaming twin of [[graft.text.UrlOps.urlDedupe]]'s
+    * keeper rule under arrival order. Same state discipline as
+    * [[streamingClean]]: the only state is the watermark-bounded key
+    * set; a re-crawl carries a different timestamp, so the key is
+    * `url_canon` alone (WithinWatermark semantics). Emits input columns
+    * plus `url_canon` for downstream history maintenance. */
+  def streamingUrlDedupe(docs: DataFrame, urlCol: String, tsCol: String,
+                         historyBloom: Option[Array[Byte]] = None,
+                         watermark: String = "1 hour"): DataFrame = {
+    val keyed = docs.withColumn("url_canon",
+      graft.text.UrlOps.canonicalizeUrl(col(urlCol)))
+    val unseen = historyBloom.fold(keyed)(b =>
+      keyed.where(!graft.dedup.Dedup.bloomMightContain(b, col("url_canon"))))
+    unseen.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("url_canon"))
+  }
+
   /** One-shot catch-up run into a day-partitioned view — the streaming
     * equivalent of the reference's per-day batch loop. */
   def availableNowWriter(df: DataFrame, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =

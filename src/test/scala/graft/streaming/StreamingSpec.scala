@@ -401,4 +401,45 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
       assert(got.map(_._1).contains(1L) && !got.map(_._1).contains(2L))
     } finally q.stop()
   }
+
+  test("streamingUrlDedupe: canonical twins collapse across micro-batches, bloom drops crawled") {
+    val dir = Files.createTempDirectory("graft_stream_url").toString
+    // batch 1: a fresh URL, and one already in the crawled-history bloom
+    val b1 = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1L,
+        "HTTP://WWW.New.COM:80/p?utm_x=1"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 2L,
+        "http://old.com/seen")
+    ).toDF("ts", "doc_id", "url")
+    // batch 2: a cosmetic variant of doc 1's URL (different ts — only
+    // WithinWatermark key semantics catch it) and a genuinely new URL
+    val b2 = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 3L,
+        "http://new.com/p#frag"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:04:00"), 4L,
+        "https://new.com/p")
+    ).toDF("ts", "doc_id", "url")
+    b1.coalesce(1).write.parquet(s"$dir/in")
+    Thread.sleep(1100)
+    b2.coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val bloom = graft.dedup.Dedup.keyBloom(
+      Seq("http://old.com/seen").toDF("u")
+        .select(graft.text.UrlOps.canonicalizeUrl($"u").as("k")),
+      $"k", expectedItems = 1, numBits = 1 << 16)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val out = StreamingViews.streamingUrlDedupe(stream, "url", "ts", Some(bloom))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("surl").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("surl").select("doc_id", "url_canon")
+        .as[(Long, String)].collect().sortBy(_._1)
+      // doc 2 bloom-dropped; doc 3 is doc 1's canonical twin; doc 4's
+      // https scheme is a different canonical key and survives
+      assert(rows.map(_._1).toSeq === Seq(1L, 4L))
+      assert(rows.head._2 === "http://new.com/p")
+      assert(rows.last._2 === "https://new.com/p")
+    } finally q.stop()
+  }
 }
