@@ -104,10 +104,37 @@ object PipelineQueries {
           element_at(col("features"), 3).as("f2"),
           element_at(col("features"), 4).as("f3"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ───── Morton (Z-order) key: the two-dimensional data-skipping
+    // layout key — pure bit arithmetic, exactly replayable ─────
+    "q129_zorder_key" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+          graft.ops.ZOrder.zorderKey(col("l_orderkey"), col("l_partkey"))
+            .as("zkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
 
+  /** One 31-bit Morton spread step chain for column `c` → alias `o`,
+    * as DuckDB SQL (mirrors ZOrder.spreadBits). */
+  private def spreadSql(c: String): String = {
+    val steps = Seq(
+      (16, "281470681808895"), (8, "71777214294589695"),
+      (4, "1085102592571150095"), (2, "3689348814741910323"),
+      (1, "6148914691236517205"))
+    steps.foldLeft(s"($c & 2147483647)") { case (acc, (sh, mask)) =>
+      s"(($acc | ($acc << $sh)) & $mask)"
+    }
+  }
+
   val oracles: Map[String, String] = Map(
+    "q129_zorder_key" ->
+      s"""SELECT l_orderkey, l_partkey, l_linenumber,
+          (${spreadSql("l_orderkey")} | (${spreadSql("l_partkey")} << 1))
+            AS zkey
+          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q31_json_extract" ->
       """SELECT user_id, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
          COUNT(json_extract_string(props, '$.k')) AS n_k
