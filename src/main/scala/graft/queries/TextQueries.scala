@@ -1108,6 +1108,30 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── count-min point-frequency estimates for the exact top-20
+    // tokens: the estimate column is the CMS guarantee as a pinned
+    // verdict (never below exact, within ε·N above — deterministic for
+    // the fixed seed), beside honest exact counts; the top-20 driver
+    // collect is the blessed O2 bounded-top-k pattern ─────
+    "q130_cms_heavy_hitters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val eps = 1e-4
+      val cms = graft.udafs.Sketches.tokenCms(docs, "text", eps,
+        confidence = 0.99, seed = 42)
+      val top = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token")).limit(20).collect()
+      val budget = math.ceil(eps * cms.totalCount()).toLong
+      val rows = top.toSeq.map { r =>
+        val (w, n) = (r.getString(0), r.getLong(1))
+        val est = cms.estimateCount(w)
+        (w, n, est >= n && est <= n + budget)
+      }
+      val s_ = s; import s_.implicits._
+      rows.toDF("token", "n_exact", "cms_ok")
+        .orderBy(col("n_exact").desc, col("token"))
+    }),
+
     // ───── the web-corpus front half composed from this round's gated
     // operators, in the order real pipelines run it (cheapest key first):
     // URL-canonical dedup → Gopher quality gate → exact-text dedup.
@@ -3167,6 +3191,15 @@ object TextQueries {
              AND ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words
              AND ok_stopwords) AS keep
           FROM r ORDER BY doc_id""",
+
+    // exact top-20 replay; cms_ok is the pinned CMS guarantee (the q63
+    // bounded-anchor pattern: honest exact values + pinned verdict)
+    "q130_cms_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest($toks) AS token FROM documents),
+          c AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+                FROM t GROUP BY token)
+          SELECT token, n_exact, TRUE AS cms_ok FROM c
+          ORDER BY n_exact DESC, token LIMIT 20""",
 
     // the q125 canonical-key keeper, then the q127 keep predicate, then
     // the q25 fingerprint dedup — spliced CTEs of the three gated stages

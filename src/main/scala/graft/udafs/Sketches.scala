@@ -39,6 +39,22 @@ object Sketches {
   /** Estimated distinct count from a serialized sketch. */
   def hllCardinality(c: Column): Column = hll_sketch_estimate(c)
 
+  /** Count-min sketch over the whitespace tokens of `textCol` — the
+    * mergeable POINT-FREQUENCY sketch (Cormode & Muthukrishnan 2005),
+    * complementing HLL (cardinalities) and approx_top_k (heavy hitters):
+    * `estimateCount(w)` is never below the true count and exceeds it by
+    * at most ε·N with probability 1−δ. Built distributed through the
+    * public `DataFrameStatFunctions` API (one explode + one mergeable
+    * aggregate, O(width·depth) state per task). At 100 TB the pattern is
+    * the HLL one for frequencies: per-day sketches persist small and
+    * `mergeInPlace` into corpus totals without rescanning raw data —
+    * same (eps, confidence, seed) ⇒ merge is exact. */
+  def tokenCms(docs: org.apache.spark.sql.DataFrame, textCol: String,
+               eps: Double, confidence: Double,
+               seed: Int): org.apache.spark.util.sketch.CountMinSketch =
+    docs.select(explode(graft.text.TextOps.tokens(col(textCol))).as("__w"))
+      .stat.countMinSketch("__w", eps, confidence, seed)
+
   /** F12 — `bucketed(value, splits)`: first split ≥ value, else max+1.
     * Reference: src/main/scala/com/mozilla/telemetry/utils/udfs.scala:17-19.
     * Expressed as a when-chain (codegen'd), not a UDF. */
