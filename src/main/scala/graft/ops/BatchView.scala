@@ -25,17 +25,31 @@ object BatchView {
   def viewPath(base: String, name: String, version: Int): String =
     s"$base/$name/v$version"
 
+  /** `bloomFilterCols` writes a parquet BLOOM FILTER per listed column
+    * (`parquet.bloom.filter.enabled#<col>`): point-lookup predicates on
+    * those columns (`fp = 'x'`, `url_canon IN (...)` — the shape every
+    * incremental-dedup probe takes) skip whole row groups whose filter
+    * rules the value out, without any clustering requirement. Use for
+    * high-cardinality keys where min/max stats are useless (hashes,
+    * fingerprints); `bloomFilterNdv` sizes the filters (expected distinct
+    * values per row group). */
   def write(df: DataFrame, base: String, name: String, version: Int,
-            partitionCols: Seq[String], maxRecordsPerFile: Long = 5000000L): Unit = {
+            partitionCols: Seq[String], maxRecordsPerFile: Long = 5000000L,
+            bloomFilterCols: Seq[String] = Nil,
+            bloomFilterNdv: Long = 1000000L): Unit = {
     val spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     spark.sparkContext.hadoopConfiguration
       .set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
-    df.write
+    val w0 = df.write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .option("compression", "snappy")
-      .partitionBy(partitionCols: _*)
+    val w = bloomFilterCols.foldLeft(w0) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", bloomFilterNdv)
+    }
+    w.partitionBy(partitionCols: _*)
       .parquet(viewPath(base, name, version))
   }
 

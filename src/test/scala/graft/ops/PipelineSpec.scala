@@ -482,4 +482,35 @@ class PipelineSpec extends SparkSpec {
     // uniform frames: every grid cell equals the frame's grey level
     assert(feats(4).forall(f => math.abs(f - 160f / 255f) < 0.05))
   }
+
+  test("BatchView.write plants parquet bloom filters on the listed columns") {
+    val dir = Files.createTempDirectory("graft_bloom_view").toString
+    val df = (1L to 500L)
+      .map(i => (i, org.apache.commons.codec.digest.DigestUtils.md5Hex(i.toString), "d1"))
+      .toDF("doc_id", "fp", "day").coalesce(1)
+    BatchView.write(df, dir, "docs", 1, Seq("day"),
+      bloomFilterCols = Seq("fp"), bloomFilterNdv = 1000L)
+    val files = new java.io.File(s"$dir/docs/v1/day=d1").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(files.head.getAbsolutePath), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val cols = reader.getRowGroups.get(0).getColumns
+      import scala.jdk.CollectionConverters._
+      val byName = cols.asScala.map(c => c.getPath.toDotString -> c).toMap
+      // bloom filter present exactly on the listed column
+      assert(byName("fp").getBloomFilterOffset >= 0, "fp bloom missing")
+      assert(byName("doc_id").getBloomFilterOffset < 0, "unexpected bloom")
+      // and it answers membership: a written key hits, a foreign key
+      // (overwhelmingly) misses
+      val bf = reader.readBloomFilter(byName("fp"))
+      def hit(s: String): Boolean =
+        bf.findHash(bf.hash(org.apache.parquet.io.api.Binary.fromString(s)))
+      assert(hit(org.apache.commons.codec.digest.DigestUtils.md5Hex("7")))
+      assert(!hit("not-a-fingerprint-in-this-view"))
+    } finally reader.close()
+  }
 }
