@@ -71,12 +71,61 @@ object GraftFunctions {
     "graft_int8_codes" -> binary("graft_int8_codes", Int8Codes(_, _)) _,
     "graft_int8_dot" -> binary("graft_int8_dot", Int8Dot(_, _)) _)
 
+  /** One 31-bit Morton spread chain in Spark SQL (mirrors
+    * `ZOrder.spreadBits`; `shiftleft` + `&`/`|` operators). */
+  private def spreadSparkSql(c: String): String =
+    Seq((16, "281470681808895"), (8, "71777214294589695"),
+      (4, "1085102592571150095"), (2, "3689348814741910323"),
+      (1, "6148914691236517205"))
+      .foldLeft(s"($c & 2147483647)") { case (acc, (sh, m)) =>
+        s"(($acc | shiftleft($acc, $sh)) & $m)"
+      }
+
+  /** SQL scalar functions (Spark 4 `CREATE FUNCTION ... RETURN expr`) for
+    * the Column-COMPOSED trees that cannot ride the FunctionRegistry
+    * builder path (the registry wants a Catalyst expression, these are
+    * built from `functions._` compositions). Bodies mirror the Column
+    * implementations exactly — GraftFunctionsSpec pins SQL == Column.
+    * Regex literals avoid backslashes (`[?]`, `[.]`) so parser escape
+    * modes cannot change the pattern. */
+  private val sqlFunctionDdl: Seq[String] = {
+    // graft_canonical_url: mirrors UrlOps.canonicalizeUrl step by step
+    val nf = "regexp_replace(trim(u), '#.*$', '')"
+    val scheme = s"lower(regexp_extract($nf, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    val hostport = s"lower(regexp_extract($nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1))"
+    val path0 = s"regexp_extract($nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    val query0 = s"regexp_extract($nf, '[?]([^#]*)', 1)"
+    val host =
+      s"""regexp_replace(CASE WHEN ($scheme = 'http' AND $hostport LIKE '%:80')
+            OR ($scheme = 'https' AND $hostport LIKE '%:443')
+          THEN regexp_replace($hostport, ':(80|443)$$', '')
+          ELSE $hostport END, '^www[.]', '')"""
+    val path =
+      s"CASE WHEN length($path0) > 1 THEN regexp_replace($path0, '/$$', '') ELSE $path0 END"
+    val trackers = graft.text.UrlOps.trackingParams
+      .map(t => s"p = '$t' OR startswith(p, '$t=')").mkString(" OR ")
+    val query =
+      s"""array_join(array_sort(filter(split($query0, '&'),
+          p -> NOT (startswith(p, 'utm_') OR p = '' OR $trackers))), '&')"""
+    val canonicalBody =
+      s"""CASE WHEN $scheme = '' THEN trim(u)
+          ELSE concat($scheme, '://', $host, $path,
+            CASE WHEN $query = '' THEN '' ELSE concat('?', $query) END) END"""
+    Seq(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_canonical_url(u STRING)
+          RETURNS STRING RETURN $canonicalBody""",
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_zorder(a BIGINT, b BIGINT)
+          RETURNS BIGINT
+          RETURN (${spreadSparkSql("a")} | shiftleft(${spreadSparkSql("b")}, 1))""")
+  }
+
   /** Install every graft function into a live session. Idempotent. */
   def register(spark: SparkSession): Unit = {
     nativeBuilders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    sqlFunctionDdl.foreach(spark.sql(_))
     spark.udf.register("graft_camelize",
       (s: String) => if (s == null) null else Strings.camelize(s))
     spark.udf.register("graft_snakify",

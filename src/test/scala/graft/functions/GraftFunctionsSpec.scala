@@ -189,4 +189,26 @@ class GraftFunctionsSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(viaSql === viaCol && viaSql === Seq("café ok", "plain", ""))
   }
+
+  test("graft_canonical_url and graft_zorder in SQL match the Column API") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val urls = Seq("HTTP://WWW.Ex.COM:80/A?b=2&utm_s=x&a=1#f", "plain")
+      .toDF("u")
+    urls.createOrReplaceTempView("url_docs")
+    val viaSql = spark.sql("SELECT graft_canonical_url(u) AS c FROM url_docs")
+      .as[String].collect().toSeq
+    val viaCol = urls.select(
+        graft.text.UrlOps.canonicalizeUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+    assert(viaSql === viaCol && viaSql.head === "http://ex.com/A?a=1&b=2")
+    val pts = Seq((3L, 5L), (2147483647L, 0L)).toDF("a", "b")
+    pts.createOrReplaceTempView("z_pts")
+    val zSql = spark.sql("SELECT graft_zorder(a, b) AS z FROM z_pts")
+      .as[Long].collect().toSeq
+    val zCol = pts.select(graft.ops.ZOrder.zorderKey(col("a"), col("b")).as("z"))
+      .as[Long].collect().toSeq
+    assert(zSql === zCol)
+  }
 }
