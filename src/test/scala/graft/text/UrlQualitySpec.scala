@@ -36,6 +36,44 @@ class UrlQualitySpec extends SparkSpec {
     }
   }
 
+  test("canonicalizeUrl is idempotent and produces invariant-clean keys") {
+    // seeded pseudo-random messy URLs: every combination of case, www,
+    // port, params (tracking/plain/empty/bare), trailing slash, fragment
+    val rnd = new scala.util.Random(7)
+    val schemes = Seq("http://", "https://", "HTTP://", "HtTpS://")
+    val hosts = Seq("www.Ex.COM", "ex.com", "WWW.ex.com", "a.b.ex.com")
+    val ports = Seq("", ":80", ":443", ":8080")
+    val paths = Seq("", "/", "/A/b", "/A/b/", "/x%20y")
+    val queries = Seq("", "?a=1", "?b=2&a=1", "?utm_s=1", "?ref&z=9",
+      "?gclid=x&a=1&a=0")
+    val frags = Seq("", "#f", "#a/b?c")
+    val urls = (1 to 300).map { _ =>
+      schemes(rnd.nextInt(schemes.size)) + hosts(rnd.nextInt(hosts.size)) +
+        ports(rnd.nextInt(ports.size)) + paths(rnd.nextInt(paths.size)) +
+        queries(rnd.nextInt(queries.size)) + frags(rnd.nextInt(frags.size))
+    }
+    val once = urls.toDF("url")
+      .select(UrlOps.canonicalizeUrl(col("url")).as("c")).as[String].collect()
+    val twice = once.toSeq.toDF("c")
+      .select(UrlOps.canonicalizeUrl(col("c")).as("c2")).as[String].collect()
+    once.zip(twice).foreach { case (a, b) => assert(a === b, "not a fixed point") }
+    once.foreach { c =>
+      assert(!c.contains("#"), c)
+      assert(!c.contains("utm_") && !c.contains("gclid"), c)
+      assert(!c.contains("://www."), c)
+      // no scheme-DEFAULT port survives (non-defaults like http://..:443
+      // and :8080 legitimately do)
+      assert(!c.matches("^http://[^/?#]*:80([/?].*)?$"), c)
+      assert(!c.matches("^https://[^/?#]*:443([/?].*)?$"), c)
+      // kept params are sorted
+      val qi = c.indexOf('?')
+      if (qi >= 0) {
+        val ps = c.substring(qi + 1).split("&").toSeq
+        assert(ps === ps.sorted, c)
+      }
+    }
+  }
+
   test("urlDedupe collapses canonical twins to min-id keeper") {
     val docs = Seq(
       (1L, "http://www.a.com/p?utm_x=1"),
