@@ -48,6 +48,29 @@ object ZOrder {
   def zorderKey(a: Column, b: Column): Column =
     spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
 
+  /** 3-way spread: bit i of the low 21 bits lands at position 3i (the
+    * standard 3-D Morton mask chain). */
+  private def spreadBits3(x: Column): Column = {
+    val steps = Seq(
+      (32, 0x1f00000000ffffL),
+      (16, 0x1f0000ff0000ffL),
+      (8, 0x100f00f00f00f00fL),
+      (4, 0x10c30c30c30c30c3L),
+      (2, 0x1249249249249249L))
+    steps.foldLeft(x.bitwiseAND(lit(0x1fffffL))) {
+      case (acc, (s, mask)) =>
+        acc.bitwiseOR(shiftleft(acc, s)).bitwiseAND(lit(mask))
+    }
+  }
+
+  /** Three-dimension Morton key (21 bits per dimension — 63 bits total,
+    * sign-bit-safe): `a` at positions 3i, `b` at 3i+1, `c` at 3i+2.
+    * Same binning contract as [[zorderKey]], modulo 2²¹ per dimension. */
+  def zorderKey3(a: Column, b: Column, c: Column): Column =
+    spreadBits3(a)
+      .bitwiseOR(shiftleft(spreadBits3(b), 1))
+      .bitwiseOR(shiftleft(spreadBits3(c), 2))
+
   /** Re-layout for a Z-ordered write: range-partition on the Morton key
     * (disjoint key ranges per output file → tight per-file min/max on
     * BOTH dimensions), sort within partitions, drop the key. Pay this

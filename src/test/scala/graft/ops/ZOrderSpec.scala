@@ -27,6 +27,72 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("zorderKey3 matches the bit-by-bit 3-way reference interleave") {
+    def morton3(a: Long, b: Long, c: Long): Long = {
+      val (x, y, z) = (a & 0x1fffffL, b & 0x1fffffL, c & 0x1fffffL)
+      (0 until 21).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (3 * i)) |
+          (((y >> i) & 1L) << (3 * i + 1)) |
+          (((z >> i) & 1L) << (3 * i + 2))
+      }
+    }
+    val pts = Seq((0L, 0L, 0L), (1L, 2L, 4L), (0x1fffffL, 0x1fffffL, 0x1fffffL),
+      (12345L, 67890L, 13579L), (1L << 30, 3L, -1L))
+    val got = pts.toDF("a", "b", "c")
+      .select(ZOrder.zorderKey3(col("a"), col("b"), col("c")))
+      .as[Long].collect()
+    got.zip(pts).foreach { case (z, (a, b, c)) =>
+      assert(z === morton3(a, b, c), s"($a,$b,$c)")
+      assert(z >= 0L)
+    }
+  }
+
+  test("written z-ordered files carry box-prunable min/max stats on both dims") {
+    // the actual artifact check: write the clustered layout as parquet,
+    // read each file's FOOTER column statistics, and count files whose
+    // [min,max] intervals intersect an 8×8 query box on BOTH dimensions —
+    // that count is exactly the row groups a stats-pruning reader scans
+    val dir = java.nio.file.Files.createTempDirectory("graft_zwrite").toString
+    val df = (for { a <- 0L until 64L; b <- 0L until 64L } yield (a, b))
+      .toDF("a", "b")
+    ZOrder.cluster(df, "a", "b", 16).write.parquet(s"$dir/z")
+    df.repartitionByRange(16, col("a")).sortWithinPartitions(col("a"))
+      .write.parquet(s"$dir/one")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def fileRanges(sub: String): Seq[Map[String, (Long, Long)]] =
+      new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            r.getRowGroups.asScala.flatMap(_.getColumns.asScala).toSeq
+              .groupBy(_.getPath.toDotString).view.mapValues { cs =>
+                val stats = cs.map(_.getStatistics)
+                (stats.map(_.genericGetMin.asInstanceOf[Long]).min,
+                  stats.map(_.genericGetMax.asInstanceOf[Long]).max)
+              }.toMap
+          } finally r.close()
+        }
+    def boxFiles(ranges: Seq[Map[String, (Long, Long)]],
+                 lo: Long, hi: Long): Int =
+      ranges.count { m =>
+        val (aLo, aHi) = m("a"); val (bLo, bHi) = m("b")
+        aHi >= lo && aLo <= hi && bHi >= lo && bLo <= hi
+      }
+    // an empty output partition writes a file with no row groups
+    val z = fileRanges("z").filter(_.nonEmpty)
+    val one = fileRanges("one").filter(_.nonEmpty)
+    assert(z.size >= 8 && one.size >= 8)
+    // 8×8 box at (8..15)²: z-ordered stats confine it to a few files;
+    // the a-sorted layout has tight a-stats but every candidate file
+    // spans all of b, so b-stats never prune anything
+    assert(boxFiles(z, 8, 15) <= 4, s"z: ${boxFiles(z, 8, 15)}/${z.size}")
+    assert(one.forall { m => val (bLo, bHi) = m("b"); bLo == 0 && bHi == 63 },
+      "one-dim layout should span all of b in every file")
+  }
+
   test("cluster: disjoint per-partition Morton ranges, sorted within") {
     val df = (for { a <- 0L until 64L; b <- 0L until 64L } yield (a, b))
       .toDF("a", "b")
