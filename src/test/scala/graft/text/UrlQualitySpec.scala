@@ -110,6 +110,44 @@ class UrlQualitySpec extends SparkSpec {
     assert(m.getAs[Long]("n_space") === 2L)
   }
 
+  test("gopherSignals matches a driver-side reference model on random docs") {
+    val stop = Seq("the", "a", "of", "and", "to")
+    val vocab = Seq("the", "a", "of", "and", "to", "alpha", "beta", "gamma",
+      "###", "x", "12", "3456", "räksmörgås", "...", "word...", "- item")
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 120L).map { i =>
+      // every line carries ≥1 token: empty docs tokenize differently in
+      // the two models ([""] vs []) and are covered by the violator test
+      val lines = (0 to rnd.nextInt(4)).map { _ =>
+        (0 to rnd.nextInt(28)).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      (i, lines.mkString("\n"))
+    }
+    def model(text: String): (Boolean, Boolean, Boolean, Boolean) = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val n = toks.size
+      val meanLen = if (n == 0) Double.NaN else toks.map(_.length).sum.toDouble / n
+      val symbols = "#".r.findAllIn(text).size +
+        "(\\.\\.\\.|…)".r.findAllIn(text).size
+      val alpha = toks.count(_.exists(_.isLetter))
+      (n >= 20 && n <= 100000,
+        meanLen >= 3.0 && meanLen <= 10.0,
+        symbols.toDouble / n < 0.1,
+        alpha.toDouble / math.max(n, 1) >= 0.8)
+    }
+    val sigs = TextOps.gopherSignals(col("text"), stop, minWords = 20)
+    val got = docs.toDF("doc_id", "text")
+      .select(col("doc_id") +: sigs.map { case (nm, c) => c.as(nm) }: _*)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("ok_word_count"), r.getAs[Boolean]("ok_mean_word_len"),
+          r.getAs[Boolean]("ok_symbol_ratio"), r.getAs[Boolean]("ok_alpha_words")))
+      .toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) === model(text), s"doc $id: ${text.take(80)}")
+    }
+  }
+
   test("gopherSignals: each rule fires on its designed violator") {
     val stop = Seq("the", "a", "of", "and", "to")
     val okDoc = ("the quick brown fox jumps over a lazy dog and runs to " +
