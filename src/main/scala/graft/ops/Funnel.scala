@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence funnel analytics — the `windowFunnel` capability of
+  * the OLAP engines, re-expressed Spark-first. For each user the GREEDY
+  * earliest chain of `steps`: t₁ = min ts of step 1; tₖ = min ts of step
+  * k with tₖ > tₖ₋₁ and tₖ ≤ t₁ + window. Greedy-earliest is
+  * deterministic and exactly SQL-replayable; it can under-count funnels
+  * that only a LATER first-step occurrence would complete — the standard
+  * simplification, documented here.
+  *
+  * Scale shape: NO per-user collected arrays and NO window functions —
+  * step k is one filtered min-aggregate equi-joined on the user key, so
+  * every exchange hashes on `userCol` and AQE broadcasts the shrinking
+  * reached-set as conversion decays. Extension beyond the reference
+  * (its event analytics stop at per-day counts, e.g.
+  * views/MainEventsView.scala); the event-sequence shape the events
+  * table exists for. Timestamps are epoch NANOS longs
+  * ([[graft.Tables.tsNanos]] normalizes either physical type).
+  */
+object Funnel {
+
+  /** Per-user step-completion times: (userCol, t1 .. tN nullable,
+    * max_step). Row present for every user who completed step 1; tₖ is
+    * null where the chain stopped before step k. */
+  def funnelTimes(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, steps: Seq[String],
+                  windowNanos: Long): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val first = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    // inner chain: stage k carries (user, t1..tk) for users who reached k
+    val stages = steps.zipWithIndex.tail.scanLeft(first) {
+      case (acc, (st, i)) =>
+        val carried = (1 to i).map(j => min(col(s"t$j")).as(s"t$j"))
+        events.where(col(typeCol) === st)
+          .join(acc, Seq(userCol))
+          .where(col(tsCol) > col(s"t$i") &&
+            col(tsCol) <= col("t1") + lit(windowNanos))
+          .groupBy(col(userCol))
+          .agg(carried.head, carried.tail :+ min(col(tsCol)).as(s"t${i + 1}"): _*)
+    }
+    // fan back out: step-1 users, left-joined with each deeper stage's
+    // newest column (stage frames shrink monotonically — AQE broadcasts)
+    val out = stages.tail.zipWithIndex.foldLeft(first) {
+      case (acc, (stage, idx)) =>
+        val k = idx + 2
+        acc.join(stage.select(col(userCol), col(s"t$k")), Seq(userCol), "left")
+    }
+    // ascending fold leaves the DEEPEST step as the outermost branch
+    val maxStep = steps.indices.tail
+      .foldLeft(lit(1)) { (rest, i) =>
+        when(col(s"t${i + 1}").isNotNull, lit(i + 1)).otherwise(rest)
+      }
+    out.withColumn("max_step", maxStep.cast("int"))
+  }
+
+  /** Conversion counts per step depth: (step, n_users) for 1..N. ONE
+    * aggregate over [[funnelTimes]]. */
+  def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, steps: Seq[String],
+                   windowNanos: Long): DataFrame = {
+    val times = funnelTimes(events, userCol, typeCol, tsCol, steps, windowNanos)
+    val counts = times.agg(
+      count(lit(1)).as("n1"),
+      (2 to steps.size).map(k =>
+        count(col(s"t$k")).as(s"n$k")): _*)
+    counts.select(explode(array(steps.indices.map(i =>
+        struct(lit(i + 1).as("step"), col(s"n${i + 1}").as("n_users"))): _*))
+        .as("e"))
+      .select(col("e.step"), col("e.n_users"))
+  }
+}

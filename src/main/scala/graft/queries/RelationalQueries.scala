@@ -309,6 +309,18 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("last_purchase_value"))
         .orderBy(col("event_id"))
+    }),
+
+    // ───── windowFunnel: greedy earliest view→click→purchase chain
+    // within 3 days of the first view — per-step equi-joins on the user
+    // key, no per-user arrays, no windows ─────
+    "q131_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      graft.ops.Funnel.funnelTimes(
+          e.select(col("user_id"), col("event_type"), Tables.tsNanos(e).as("tn")),
+          "user_id", "event_type", "tn",
+          Seq("view", "click", "purchase"), windowNanos = 3L * 86400L * 1000000000L)
+        .orderBy(col("user_id"))
     })
   )
 
@@ -513,6 +525,34 @@ object RelationalQueries {
          ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                          WHERE event_type = 'purchase') r
            ON l.user_id = r.user_id AND l.ts >= r.ts
-         ORDER BY l.event_id"""
+         ORDER BY l.event_id""",
+
+    // the greedy chain replayed step by step: s2/s3 each re-anchor on the
+    // carried t1 window, exactly Funnel.funnelTimes's join semantics
+    "q131_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_ns(ts) AS tn FROM events),
+         s1 AS (
+           SELECT user_id, min(tn) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (
+           SELECT e.user_id, min(s1.t1) AS t1c, min(tn) AS t2
+           FROM e JOIN s1 ON e.user_id = s1.user_id
+           WHERE event_type = 'click' AND tn > s1.t1
+             AND tn <= s1.t1 + 259200000000000
+           GROUP BY e.user_id),
+         s3 AS (
+           SELECT e.user_id, min(tn) AS t3
+           FROM e JOIN s2 ON e.user_id = s2.user_id
+           WHERE event_type = 'purchase' AND tn > s2.t2
+             AND tn <= s2.t1c + 259200000000000
+           GROUP BY e.user_id)
+         SELECT s1.user_id, t1, t2, t3,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS INT) AS max_step
+         FROM s1
+         LEFT JOIN s2 ON s1.user_id = s2.user_id
+         LEFT JOIN s3 ON s1.user_id = s3.user_id
+         ORDER BY s1.user_id"""
   )
 }

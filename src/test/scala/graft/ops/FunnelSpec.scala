@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val steps = Seq("A", "B", "C")
+
+  test("funnelTimes: order, window anchor, and greedy-earliest semantics") {
+    val events = Seq(
+      // u1: full in-order chain inside the window
+      (1L, "A", 100L), (1L, "B", 200L), (1L, "C", 300L),
+      // u2: B BEFORE the first A — not a chain; later B missing
+      (2L, "B", 50L), (2L, "A", 100L),
+      // u3: chain breaks on the window: C at t1+window+1
+      (3L, "A", 100L), (3L, "B", 200L), (3L, "C", 1101L),
+      // u4: window boundary inclusive: C exactly at t1+window
+      (4L, "A", 100L), (4L, "B", 200L), (4L, "C", 1100L),
+      // u5: greedy anchor — the EARLIEST A anchors even though only the
+      // later A's window would reach the C (documented under-count)
+      (5L, "A", 100L), (5L, "A", 900L), (5L, "B", 950L), (5L, "C", 1500L),
+      // u6: same-timestamp step is NOT "after" (strict >)
+      (6L, "A", 100L), (6L, "B", 100L),
+      // u7: never enters (no A at all)
+      (7L, "B", 100L), (7L, "C", 200L)
+    ).toDF("user_id", "event_type", "tn")
+    val out = Funnel.funnelTimes(events, "user_id", "event_type", "tn",
+        steps, windowNanos = 1000L)
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"), col("max_step"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getInt(4)))
+      .toMap
+    assert(out(1L) === ((Some(100L), Some(200L), Some(300L), 3)))
+    assert(out(2L) === ((Some(100L), None, None, 1)))
+    assert(out(3L) === ((Some(100L), Some(200L), None, 2)))
+    assert(out(4L) === ((Some(100L), Some(200L), Some(1100L), 3)))
+    // greedy: anchored at t1=100, window ends 1100 < C@1500 — step 2 only
+    assert(out(5L) === ((Some(100L), Some(950L), None, 2)))
+    assert(out(6L) === ((Some(100L), None, None, 1)))
+    assert(!out.contains(7L))
+  }
+
+  test("funnelCounts: monotone conversion depths") {
+    val events = Seq(
+      (1L, "A", 1L), (1L, "B", 2L), (1L, "C", 3L),
+      (2L, "A", 1L), (2L, "B", 2L),
+      (3L, "A", 1L)
+    ).toDF("user_id", "event_type", "tn")
+    val counts = Funnel.funnelCounts(events, "user_id", "event_type", "tn",
+        steps, windowNanos = 100L)
+      .as[(Int, Long)].collect().sortBy(_._1)
+    assert(counts.toSeq === Seq((1, 3L), (2, 2L), (3, 1L)))
+  }
+}
