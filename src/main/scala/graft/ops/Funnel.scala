@@ -57,6 +57,26 @@ object Funnel {
     out.withColumn("max_step", maxStep.cast("int"))
   }
 
+  /** Cohort retention: users bucketed by their FIRST-activity time
+    * bucket (epoch-anchored `bucketNanos` intervals — deterministic, no
+    * calendar arithmetic), counted in every later bucket they were
+    * active. Returns (cohort_bucket, bucket_offset, n_users). Shape: one
+    * distinct + two user-keyed aggregates + one user-key join — the
+    * cohort map is user-sized and AQE-broadcastable; bucket arithmetic
+    * is integer `div` (a double division would misplace boundary events:
+    * nanosecond epochs exceed the 53-bit mantissa). */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      bucketNanos: Long): DataFrame = {
+    val wk = events.select(col(userCol),
+      expr(s"`$tsCol` div ${bucketNanos}L").as("__wk"))
+    val cohort = wk.groupBy(col(userCol))
+      .agg(min(col("__wk")).as("cohort_bucket"))
+    wk.distinct().join(cohort, Seq(userCol))
+      .groupBy(col("cohort_bucket"),
+        (col("__wk") - col("cohort_bucket")).as("bucket_offset"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+  }
+
   /** Conversion counts per step depth: (step, n_users) for 1..N. ONE
     * aggregate over [[funnelTimes]]. */
   def funnelCounts(events: DataFrame, userCol: String, typeCol: String,

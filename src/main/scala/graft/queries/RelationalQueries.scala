@@ -321,6 +321,17 @@ object RelationalQueries {
           "user_id", "event_type", "tn",
           Seq("view", "click", "purchase"), windowNanos = 3L * 86400L * 1000000000L)
         .orderBy(col("user_id"))
+    }),
+
+    // ───── weekly cohort retention: users bucketed by first-activity
+    // week, counted in every later active week — integer bucket
+    // arithmetic (nanos exceed double mantissa) ─────
+    "q132_retention" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      graft.ops.Funnel.cohortRetention(
+          e.select(col("user_id"), Tables.tsNanos(e).as("tn")),
+          "user_id", "tn", bucketNanos = 7L * 86400L * 1000000000L)
+        .orderBy(col("cohort_bucket"), col("bucket_offset"))
     })
   )
 
@@ -553,6 +564,19 @@ object RelationalQueries {
          FROM s1
          LEFT JOIN s2 ON s1.user_id = s2.user_id
          LEFT JOIN s3 ON s1.user_id = s3.user_id
-         ORDER BY s1.user_id"""
+         ORDER BY s1.user_id""",
+
+    // integer-div week buckets (// == Spark's div for non-negative
+    // epochs), first-activity cohort, distinct active (user, week)
+    "q132_retention" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) // 604800000000000 AS wk
+           FROM events),
+         c AS (SELECT user_id, min(wk) AS cw FROM e GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id, wk FROM e)
+         SELECT c.cw AS cohort_bucket, a.wk - c.cw AS bucket_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+         FROM a JOIN c ON a.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

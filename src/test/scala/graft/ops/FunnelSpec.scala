@@ -42,6 +42,26 @@ class FunnelSpec extends SparkSpec {
     assert(!out.contains(7L))
   }
 
+  test("cohortRetention: first-activity cohorts, distinct active buckets") {
+    val wk = 100L
+    val events = Seq(
+      // u1: joins bucket 0, active 0 and 2 (twice in 2 — counted once)
+      (1L, 10L), (1L, 250L), (1L, 260L),
+      // u2: joins bucket 1, active 1 only
+      (2L, 150L),
+      // u3: joins bucket 0, active 0, 1, 2
+      (3L, 0L), (3L, 199L), (3L, 250L)
+    ).toDF("user_id", "tn")
+    val out = Funnel.cohortRetention(events, "user_id", "tn", wk)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 2L), // u1, u3
+      (0L, 1L, 1L), // u3
+      (0L, 2L, 2L), // u1, u3
+      (1L, 0L, 1L)  // u2
+    ))
+  }
+
   test("funnelCounts: monotone conversion depths") {
     val events = Seq(
       (1L, "A", 1L), (1L, "B", 2L), (1L, "C", 3L),
