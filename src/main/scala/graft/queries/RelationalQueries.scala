@@ -323,6 +323,17 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // ───── the funnel rolled up to conversion depths — ONE aggregate
+    // over funnelTimes ─────
+    "q133_funnel_counts" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      graft.ops.Funnel.funnelCounts(
+          e.select(col("user_id"), col("event_type"), Tables.tsNanos(e).as("tn")),
+          "user_id", "event_type", "tn",
+          Seq("view", "click", "purchase"), windowNanos = 3L * 86400L * 1000000000L)
+        .orderBy(col("step"))
+    }),
+
     // ───── weekly cohort retention: users bucketed by first-activity
     // week, counted in every later active week — integer bucket
     // arithmetic (nanos exceed double mantissa) ─────
@@ -565,6 +576,32 @@ object RelationalQueries {
          LEFT JOIN s2 ON s1.user_id = s2.user_id
          LEFT JOIN s3 ON s1.user_id = s3.user_id
          ORDER BY s1.user_id""",
+
+    // q131's chain CTEs rolled up to per-depth user counts
+    "q133_funnel_counts" ->
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_ns(ts) AS tn FROM events),
+         s1 AS (
+           SELECT user_id, min(tn) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (
+           SELECT e.user_id, min(s1.t1) AS t1c, min(tn) AS t2
+           FROM e JOIN s1 ON e.user_id = s1.user_id
+           WHERE event_type = 'click' AND tn > s1.t1
+             AND tn <= s1.t1 + 259200000000000
+           GROUP BY e.user_id),
+         s3 AS (
+           SELECT e.user_id, min(tn) AS t3
+           FROM e JOIN s2 ON e.user_id = s2.user_id
+           WHERE event_type = 'purchase' AND tn > s2.t2
+             AND tn <= s2.t1c + 259200000000000
+           GROUP BY e.user_id)
+         SELECT * FROM (VALUES
+           (1, (SELECT CAST(count(*) AS BIGINT) FROM s1)),
+           (2, (SELECT CAST(count(*) AS BIGINT) FROM s2)),
+           (3, (SELECT CAST(count(*) AS BIGINT) FROM s3)))
+           AS t(step, n_users)
+         ORDER BY step""",
 
     // integer-div week buckets (// == Spark's div for non-negative
     // epochs), first-activity cohort, distinct active (user, week)
