@@ -147,6 +147,92 @@ object StreamingViews {
       }
   }
 
+  case class FunnelEvent(userId: Long, step: Int, tsMillis: Long)
+  /** Buffered step events the watermark has not yet ruled in or out. */
+  case class FunnelBuffer(events: Seq[(Int, Long)])
+  /** One row per user: stepTimes(k) = completion millis of step k+1, -1
+    * where the chain stopped. */
+  case class FunnelResult(userId: Long, stepTimes: Seq[Long], maxStep: Int)
+
+  /** The greedy-earliest chain over buffered events — EXACTLY
+    * [[graft.ops.Funnel.funnelTimes]]'s semantics (t₁ = min first-step
+    * ts; tₖ = min step-k ts with tₖ > tₖ₋₁ and tₖ ≤ t₁ + window). */
+  private def funnelChain(evts: Seq[(Int, Long)], nSteps: Int,
+                          windowMillis: Long): FunnelResult = {
+    val times = Array.fill(nSteps)(-1L)
+    times(0) = evts.collect { case (0, ts) => ts }.min
+    var k = 1
+    var done = false
+    while (k < nSteps && !done) {
+      val cand = evts.collect {
+        case (s, ts) if s == k && ts > times(k - 1) &&
+          ts <= times(0) + windowMillis => ts
+      }
+      if (cand.isEmpty) done = true else { times(k) = cand.min; k += 1 }
+    }
+    FunnelResult(0L, times.toSeq, k) // userId filled by the caller
+  }
+
+  /** Streaming [[graft.ops.Funnel.funnelTimes]]: per-user step events are
+    * BUFFERED until the event-time watermark proves the chain immutable,
+    * then the batch chain computation runs once and emits — so the live
+    * result is bit-equal to a batch replay of the admitted events
+    * (asserted in StreamingSpec). Emitting any earlier would be wrong
+    * under a nonzero watermark delay: an out-of-order earlier first-step
+    * event re-anchors the window and can change every later step.
+    *
+    * Seal/eviction discipline (all event-time, deterministic):
+    *  - a user WITH a first-step event seals once `wm > t1 + window` —
+    *    no admissible event can lower t1 (it would be older than the
+    *    watermark) or join the window (likewise);
+    *  - a user with only later-step events keeps them while `wm < max
+    *    ts`: a future first-step must arrive at ts ≥ wm and chains only
+    *    strictly forward, so older buffered events become dead state and
+    *    are dropped at their own timestamps.
+    * State per user is its step-relevant events inside the out-of-order
+    * horizon — bounded by delivery skew, never the full history. One
+    * result row per user per chain lifetime (the batch operator is the
+    * re-analysis path). */
+  def streamingFunnel(events: Dataset[FunnelEvent], nSteps: Int,
+                      windowMillis: Long,
+                      watermarkDelay: String = "0 milliseconds"): Dataset[FunnelResult] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[FunnelEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelBuffer, FunnelResult](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelBuffer]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val buf = state.getOption.map(_.events).getOrElse(Seq.empty) ++
+            rows.filter(e => e.step >= 0 && e.step < nSteps)
+              .map(e => (e.step, e.tsMillis))
+          val firsts = buf.collect { case (0, ts) => ts }
+          if (firsts.nonEmpty && wm > firsts.min + windowMillis) {
+            state.remove()
+            Iterator.single(
+              funnelChain(buf, nSteps, windowMillis).copy(userId = userId))
+          } else {
+            // drop dead later-step events (no buffered t1 at or before
+            // them, and any future t1 arrives at ts ≥ wm)
+            val live = buf.filter { case (s, ts) =>
+              s == 0 || ts >= wm || firsts.exists(_ <= ts)
+            }
+            if (live.isEmpty) { state.remove(); Iterator.empty }
+            else {
+              state.update(FunnelBuffer(live))
+              val sealAt =
+                if (firsts.nonEmpty) firsts.min + windowMillis + 1
+                else live.map(_._2).max
+              state.setTimeoutTimestamp(math.max(sealAt, wm + 1))
+              Iterator.empty
+            }
+          }
+      }
+  }
+
   /** Streaming corpus ingest: the stateless prefix of
     * [[graft.text.Corpus.cleanIncremental]] as a live stream —
     *

@@ -402,6 +402,63 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     } finally q.stop()
   }
 
+  test("streamingFunnel seals on the watermark and equals the batch chain") {
+    import StreamingViews.FunnelEvent
+    val dir = Files.createTempDirectory("graft_stream_funnel").toString
+    // steps 0→1→2, window 1000 ms. u1 completes ACROSS micro-batches with
+    // an out-of-order first step (step-1 event arrives before its
+    // anchoring step-0); u2 stalls at depth 1; u3's step-2 misses the
+    // window anchored at its EARLIEST step-0
+    val b1 = Seq(
+      FunnelEvent(1L, 1, 300L), // step 2 arrives first
+      FunnelEvent(2L, 0, 100L),
+      FunnelEvent(3L, 0, 100L), FunnelEvent(3L, 0, 900L))
+    val b2 = Seq(
+      FunnelEvent(1L, 0, 200L), // out-of-order anchor, inside the delay
+      FunnelEvent(1L, 2, 800L),
+      FunnelEvent(3L, 1, 950L), FunnelEvent(3L, 2, 1500L))
+    b1.toDF().write.parquet(s"$dir/in")
+    Thread.sleep(1100)
+    b2.toDF().write.mode("append").parquet(s"$dir/in")
+    val stream = StreamingViews.fileStream(spark, s"$dir/in",
+      b1.toDF().schema).as[FunnelEvent]
+    val out = StreamingViews.streamingFunnel(stream, nSteps = 3,
+      windowMillis = 1000L, watermarkDelay = "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sfun").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark far past every seal point
+      Seq(FunnelEvent(99L, 0, 100000000L))
+        .toDF().write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      def emitted() = spark.table("sfun").where(col("userId") < 99)
+        .select("userId", "stepTimes", "maxStep")
+        .as[(Long, Seq[Long], Int)].collect().sortBy(_._1).toSeq
+      var got = emitted()
+      while (got.size < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        q.processAllAvailable()
+        got = emitted()
+      }
+      // batch replay of the same admitted events
+      val all = (b1 ++ b2).toDF("user_id", "step", "tn")
+      val batch = graft.ops.Funnel.funnelTimes(
+          all.withColumn("event_type", concat(lit("s"), col("step")))
+            .select(col("user_id"), col("event_type"), col("tn")),
+          "user_id", "event_type", "tn", Seq("s0", "s1", "s2"),
+          windowNanos = 1000L)
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"), col("max_step"))
+        .collect().map(r => (r.getLong(0),
+          Seq(1, 2, 3).map(i => if (r.isNullAt(i)) -1L else r.getLong(i)),
+          r.getInt(4))).sortBy(_._1).toSeq
+      assert(got === batch)
+      assert(got.map(g => g._1 -> g._3).toMap === Map(1L -> 3, 2L -> 1, 3L -> 2))
+      assert(got.find(_._1 == 1L).get._2 === Seq(200L, 300L, 800L))
+    } finally q.stop()
+  }
+
   test("streamingUrlDedupe: canonical twins collapse across micro-batches, bloom drops crawled") {
     val dir = Files.createTempDirectory("graft_stream_url").toString
     // batch 1: a fresh URL, and one already in the crawled-history bloom
