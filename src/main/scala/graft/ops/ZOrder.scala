@@ -78,9 +78,12 @@ object ZOrder {
     * row groups instead of scanning the table. `numPartitions` sizes the
     * output files (at 100 TB: total bytes / target file size). */
   def cluster(df: DataFrame, a: String, b: String,
-              numPartitions: Int): DataFrame =
+              numPartitions: Int): DataFrame = {
+    require(!df.columns.contains("__z"),
+      "cluster uses a scratch column named __z; rename the input's")
     df.withColumn("__z", zorderKey(col(a), col(b)))
       .repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
+  }
 }
