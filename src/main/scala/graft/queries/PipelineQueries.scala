@@ -106,6 +106,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── the Z-order layout end-to-end: cluster → parquet → filtered
+    // read-back. The aggregate is layout-independent, so the oracle
+    // proves the re-layout preserved content exactly; the layout's
+    // pruning value is footer-verified in ZOrderSpec ─────
+    "q134_zorder_readback" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_zread").toString
+      graft.ops.ZOrder.cluster(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+            col("l_quantity")),
+          "l_orderkey", "l_partkey", numPartitions = 16)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .where(col("l_orderkey").between(100, 999) &&
+          col("l_partkey").between(100, 499))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_orderkey") * col("l_partkey")).as("key_checksum"))
+    }),
+
     // ───── Morton (Z-order) key: the two-dimensional data-skipping
     // layout key — pure bit arithmetic, exactly replayable ─────
     "q129_zorder_key" -> ((s, d) => {
@@ -130,6 +150,13 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q134_zorder_readback" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+         SUM(l_quantity) AS sum_qty,
+         CAST(SUM(l_orderkey * l_partkey) AS BIGINT) AS key_checksum
+         FROM lineitem
+         WHERE l_orderkey BETWEEN 100 AND 999
+           AND l_partkey BETWEEN 100 AND 499""",
     "q129_zorder_key" ->
       s"""SELECT l_orderkey, l_partkey, l_linenumber,
           (${spreadSql("l_orderkey")} | (${spreadSql("l_partkey")} << 1))
