@@ -1132,6 +1132,15 @@ object TextQueries {
         .orderBy(col("n_exact").desc, col("token"))
     }),
 
+    // ───── Gopher's duplicate-n-gram character coverage (the half of
+    // the published repetition table q79 doesn't carry): one window
+    // pass builds every lead, one hash aggregate per n ─────
+    "q135_dup_ngrams" -> ((s, d) => {
+      graft.text.TextOps.dupNgramCharFrac(
+          Tables.documents(s, d), "text", "doc_id", ns = Seq(2, 3, 4))
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── the web-corpus front half composed from this round's gated
     // operators, in the order real pipelines run it (cheapest key first):
     // URL-canonical dedup → Gopher quality gate → exact-text dedup.
@@ -3200,6 +3209,45 @@ object TextQueries {
                 FROM t GROUP BY token)
           SELECT token, n_exact, TRUE AS cms_ok FROM c
           ORDER BY n_exact DESC, token LIMIT 20""",
+
+    // q79's gram construction generalized per n: duplicate-gram char
+    // coverage over token chars, capped at 1
+    "q135_dup_ngrams" -> {
+      def gramCte(n: Int): String = {
+        val g = (0 until n).map(k => s"ts[i+$k]").mkString(" || ' ' || ")
+        val cover = (0 until n).map(k => s"len(ts[i+$k])").mkString(" + ")
+        s"""per_$n AS (
+            SELECT doc_id, b['g'] AS g, CAST(b['cover'] AS BIGINT) AS cover,
+              count(*) AS cnt
+            FROM (SELECT doc_id,
+                    unnest(list_transform(range(1, len(ts) - ${n - 2}),
+                      i -> {'g': $g, 'cover': $cover})) AS b
+                  FROM tk WHERE len(ts) >= $n)
+            GROUP BY doc_id, b['g'], b['cover']),
+          sig_$n AS (
+            SELECT p.doc_id, least(1.0,
+              CAST(sum(CASE WHEN cnt > 1 THEN cnt * cover ELSE 0 END)
+                AS DOUBLE) / min(c.tc)) AS f
+            FROM per_$n p JOIN tok_chars c USING (doc_id)
+            GROUP BY p.doc_id)"""
+      }
+      s"""WITH tk AS (
+            SELECT doc_id, list_filter($toks, t -> len(t) > 0) AS ts
+            FROM documents),
+          tok_chars AS (
+            SELECT doc_id, CAST(len(array_to_string(ts, '')) AS BIGINT) AS tc
+            FROM tk WHERE len(ts) > 0),
+          ${Seq(2, 3, 4).map(gramCte).mkString(",\n          ")}
+          SELECT d.doc_id,
+            COALESCE(s2.f, 0.0) AS dup_2gram_char_frac,
+            COALESCE(s3.f, 0.0) AS dup_3gram_char_frac,
+            COALESCE(s4.f, 0.0) AS dup_4gram_char_frac
+          FROM documents d
+          LEFT JOIN sig_2 s2 USING (doc_id)
+          LEFT JOIN sig_3 s3 USING (doc_id)
+          LEFT JOIN sig_4 s4 USING (doc_id)
+          ORDER BY d.doc_id"""
+    },
 
     // the q125 canonical-key keeper, then the q127 keep predicate, then
     // the q25 fingerprint dedup — spliced CTEs of the three gated stages

@@ -350,6 +350,54 @@ object TextOps {
         coalesce(col("top_bigram_char_frac"), lit(0.0)).as("top_bigram_char_frac"))
   }
 
+  /** The OTHER half of Gopher's repetition table (Rae et al. 2021,
+    * Table A1): fraction of token characters covered by DUPLICATE
+    * n-grams (any gram occurring more than once), for each n in `ns` —
+    * [[repetitionSignals]] carries the top-single-gram form; together
+    * they complete the published rule set. Overlapping duplicates
+    * overcount characters, so the fraction is capped at 1 (the published
+    * rules threshold well below it).
+    *
+    * One token explode + ONE per-doc window pass builds every lead
+    * column up to max(ns); each n then costs one (doc, gram) hash
+    * aggregate — scalar gram rows through the shuffles, the
+    * [[graft.dedup.Dedup.shingles]] discipline, never an array-valued
+    * shuffle. Returns (idCol, dup_<n>gram_char_frac…), 0.0 for docs
+    * shorter than n tokens. */
+  def dupNgramCharFrac(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                       idCol: String,
+                       ns: Seq[Int] = Seq(2, 3, 4)): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ns.nonEmpty && ns.forall(_ >= 2), "n-grams need n >= 2")
+    val id = col(idCol)
+    val toks = docs
+      .select(id, posexplode(tokens(col(textCol))).as(Seq("__pos", "__w")))
+      .where(length(col("__w")) > 0)
+    val tokChars = toks.groupBy(id)
+      .agg(sum(length(col("__w")).cast("long")).as("__tok_chars"))
+    val win = Window.partitionBy(id).orderBy(col("__pos"))
+    val withLeads = toks.select(
+      id +: col("__w") +: (1 until ns.max).map(k =>
+        lead(col("__w"), k).over(win).as(s"__w$k")): _*)
+    ns.sorted.foldLeft(docs.select(id).join(tokChars, Seq(idCol), "left")) {
+      (acc, n) =>
+        val grams = col("__w") +: (1 until n).map(k => col(s"__w$k"))
+        val sig = withLeads
+          .where(grams.map(_.isNotNull).reduce(_ && _))
+          .groupBy(id, concat_ws(" ", grams: _*).as("__g"),
+            grams.map(length(_).cast("long")).reduce(_ + _).as("__cover"))
+          .agg(count(lit(1)).as("__cnt"))
+          .groupBy(id)
+          .agg(sum(when(col("__cnt") > 1, col("__cnt") * col("__cover"))
+            .otherwise(0L)).as("__dupcov"))
+        acc.join(sig, Seq(idCol), "left")
+          .withColumn(s"dup_${n}gram_char_frac",
+            least(lit(1.0), coalesce(
+              col("__dupcov").cast("double") / col("__tok_chars"), lit(0.0))))
+          .drop("__dupcov")
+    }.drop("__tok_chars")
+  }
+
   /** Unicode-script classes profiled by [[scriptProfile]], in dominance
     * tie-break priority order. Each entry is (name, Java-regex class);
     * the classes cover the fixture's languages and the bulk of web text —

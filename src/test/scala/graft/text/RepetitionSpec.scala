@@ -163,4 +163,31 @@ class RepetitionSpec extends SparkSpec {
       assert(math.abs(tb - expTop) < 1e-12, s"doc $id top_bigram: $tb vs $expTop")
     }
   }
+
+  test("dupNgramCharFrac: hand-computed coverage, cap, and short docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      // "a b" repeats: dup bigram cover 2*2 = 4 of 5 token chars; all
+      // 3/4-grams unique
+      (1L, "a b a b c"),
+      // overlapping duplicates overcount → capped at 1.0 (bigrams AND
+      // trigram "x x x" at n=3? only one trigram → unique → 0)
+      (2L, "x x x"),
+      // shorter than every n → all zeros
+      (3L, "solo"),
+      (4L, "no repeats at all here")
+    ).toDF("doc_id", "text")
+    val got = TextOps.dupNgramCharFrac(docs, "text", "doc_id")
+      .select(col("doc_id"), col("dup_2gram_char_frac"),
+        col("dup_3gram_char_frac"), col("dup_4gram_char_frac"))
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(math.abs(got(1L)._1 - 0.8) < 1e-12)
+    assert(got(1L)._2 === 0.0 && got(1L)._3 === 0.0)
+    assert(got(2L)._1 === 1.0) // 2*2/3 capped
+    assert(got(2L)._2 === 0.0)
+    assert(got(3L) === ((0.0, 0.0, 0.0)))
+    assert(got(4L) === ((0.0, 0.0, 0.0)))
+  }
 }
