@@ -77,6 +77,37 @@ object Funnel {
       .agg(count(lit(1)).cast("long").as("n_users"))
   }
 
+  /** Rolling-window distinct actives (the 7-day-active-users shape):
+    * for every `bucketNanos` bucket `t` up to the newest bucket in the
+    * data, the count of distinct keys active in `[t − w + 1, t]`.
+    *
+    * Shape: distinct (key, bucket) first (the only pass over the full
+    * event volume), then each active bucket FANS OUT to the ≤ `w`
+    * window ends it contributes to (`sequence` explode — map-side, ×w,
+    * no inequality join, no global window), then a second distinct +
+    * count keyed on (bucket, key). Both exchanges hash on key-bearing
+    * composites, so hot buckets split across tasks; the newest-bucket
+    * clamp rides a broadcast 1-row aggregate. Buckets are epoch-anchored
+    * integer `div` intervals like [[cohortRetention]] — nanos exceed the
+    * double mantissa. Returns (bucket, n_active); buckets with no
+    * active key in their window are absent (no dense grid is emitted —
+    * the SQL replay does the same). */
+  def rollingActive(events: DataFrame, keyCol: String, tsCol: String,
+                    bucketNanos: Long, windowBuckets: Int): DataFrame = {
+    require(windowBuckets >= 1, "window must span at least one bucket")
+    val kb = events.select(col(keyCol),
+        expr(s"`$tsCol` div ${bucketNanos}L").as("__b"))
+      .distinct()
+    val newest = kb.agg(max(col("__b")).as("__mb"))
+    kb.crossJoin(broadcast(newest))
+      .select(col(keyCol), explode(sequence(col("__b"),
+        least(col("__b") + lit(windowBuckets - 1L), col("__mb"))))
+        .as("bucket"))
+      .distinct()
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_active"))
+  }
+
   /** Conversion counts per step depth: (step, n_users) for 1..N. ONE
     * aggregate over [[funnelTimes]]. */
   def funnelCounts(events: DataFrame, userCol: String, typeCol: String,

@@ -343,6 +343,18 @@ object RelationalQueries {
           e.select(col("user_id"), Tables.tsNanos(e).as("tn")),
           "user_id", "tn", bucketNanos = 7L * 86400L * 1000000000L)
         .orderBy(col("cohort_bucket"), col("bucket_offset"))
+    }),
+
+    // ───── rolling 7-day distinct active users per day bucket — active
+    // buckets fan out to their ≤7 window ends (sequence explode, no
+    // inequality join), then one distinct + count ─────
+    "q138_rolling_active" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      graft.ops.Funnel.rollingActive(
+          e.select(col("user_id"), Tables.tsNanos(e).as("tn")),
+          "user_id", "tn", bucketNanos = 86400L * 1000000000L,
+          windowBuckets = 7)
+        .orderBy(col("bucket"))
     })
   )
 
@@ -614,6 +626,21 @@ object RelationalQueries {
          SELECT c.cw AS cohort_bucket, a.wk - c.cw AS bucket_offset,
            CAST(count(*) AS BIGINT) AS n_users
          FROM a JOIN c ON a.user_id = c.user_id
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // each active (user, day) contributes to window ends day..day+6,
+    // clamped at the newest day in the data; range() excludes its upper
+    // bound so the +7/+1 pair replays Spark's inclusive sequence()
+    "q138_rolling_active" ->
+      """WITH e AS (
+           SELECT DISTINCT user_id,
+             epoch_ns(ts) // 86400000000000 AS b FROM events),
+         m AS (SELECT max(b) AS mb FROM e),
+         t AS (
+           SELECT DISTINCT user_id, u.t AS bucket
+           FROM e CROSS JOIN m,
+             UNNEST(range(b, least(b + 7, mb + 1))) AS u(t))
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_active
+         FROM t GROUP BY bucket ORDER BY bucket"""
   )
 }

@@ -1157,8 +1157,47 @@ object TextQueries {
           "text", "doc_id")
         .select(col("doc_id"), col("n_copies"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ───── BM25 retrieval: odd docs' first-5-token prefixes as the
+    // query suite, even docs as the corpus — exact-integer odds-idf
+    // scoring (micro fixed point, sequential divs, no ln), top-3 per
+    // query with ties to the smaller doc_id ─────
+    "q136_bm25_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.Retrieval.topKPerQuery(
+          graft.text.Retrieval.bm25OddsScores(
+            bm25Queries(docs), docs.where(col("doc_id") % 2 === 0),
+            "text", "doc_id"),
+          "score_pico", 3)
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+
+    // ───── q136's PREBUILT form — retrieval as the recurring job it is:
+    // postings/dl/stats built once by bm25Index (at scale: persisted,
+    // postings bucketed by token), each query suite probes without
+    // re-tokenizing the corpus. Same result, same oracle ─────
+    "q137_bm25_prebuilt" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (postings, dfreq, dl, stats) = graft.text.Retrieval.bm25Index(
+        docs.where(col("doc_id") % 2 === 0), "text", "doc_id")
+      val p = postings.localCheckpoint(eager = false) // persisted-index contract
+      graft.text.Retrieval.topKPerQuery(
+          graft.text.Retrieval.bm25OddsScoresPrebuilt(
+            graft.text.Retrieval.queryTerms(bm25Queries(docs), "text", "doc_id"),
+            p, dfreq.localCheckpoint(eager = false), dl, stats),
+          "score_pico", 3)
+        .orderBy(col("query_id"), col("doc_id"))
     })
   )
+
+  /** Query suite for q136/q137 — odd docs' first-5-token prefixes,
+    * replayed as `tk[1:5]` in the oracle. */
+  private def bm25Queries(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), concat_ws(" ",
+        slice(graft.text.TextOps.tokens(col("text")), 1, 5)).as("text"))
 
   /** Deterministic messy URL for q124/q125 — replayed verbatim in the
     * oracle SQL. Mixed case, www, default and non-default ports,
@@ -3333,8 +3372,56 @@ object TextQueries {
             SELECT md5(lower(array_to_string(tk, ' '))) AS fp,
               min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
             FROM q GROUP BY 1)
-          SELECT doc_id, n_copies FROM e ORDER BY doc_id"""
+          SELECT doc_id, n_copies FROM e ORDER BY doc_id""",
+
+    // BM25 odds-idf retrieval replayed with the same integer fixed-point
+    // arithmetic: `//` == Spark's `div` on these non-negative operands,
+    // the milli-quantized dl/avgdl ratio and the two micro scales divide
+    // identical integers in identical order on both engines
+    "q136_bm25_topk" -> bm25OddsSql,
+    "q137_bm25_prebuilt" -> bm25OddsSql
   )
+
+  /** q136/q137's shared replay — the prebuilt path must emit the exact
+    * same ranked lists as the inline build. */
+  private def bm25OddsSql: String =
+    s"""WITH corpus AS (
+          SELECT doc_id, $toks AS tk FROM documents WHERE doc_id % 2 = 0),
+        qt AS (
+          SELECT DISTINCT doc_id AS query_id, unnest(tk[1:5]) AS token
+          FROM (SELECT doc_id, $toks AS tk FROM documents
+                WHERE doc_id % 2 = 1)),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(len(tk)) AS BIGINT) AS s FROM corpus),
+        dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM corpus),
+        post AS (
+          SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(tk) AS token FROM corpus)
+          GROUP BY 1, 2),
+        dfreq AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+        w AS (
+          SELECT qt.query_id, post.doc_id,
+            ((22000000000 * tf)
+              // (10000 * tf + 3000 + 9 * ((1000 * dl.dl * stats.n) // stats.s)))
+            * greatest(
+                (1000000 * (2 * stats.n - 2 * dfreq.df + 1))
+                  // (2 * dfreq.df + 1), 0) AS w_pico
+          FROM qt
+          JOIN post USING (token)
+          JOIN dfreq USING (token)
+          JOIN dl ON post.doc_id = dl.doc_id
+          CROSS JOIN stats),
+        sc AS (
+          SELECT query_id, doc_id, CAST(sum(w_pico) AS BIGINT) AS score_pico
+          FROM w GROUP BY 1, 2),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score_pico DESC, doc_id) AS rk
+          FROM sc)
+        SELECT query_id, doc_id, score_pico FROM r WHERE rk <= 3
+        ORDER BY query_id, doc_id"""
 
   /** q124/q125's messy-url build as DuckDB SQL — must mirror
     * [[messyUrl]] exactly. */

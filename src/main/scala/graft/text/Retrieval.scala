@@ -1,0 +1,192 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval (BM25) over the whitespace-token stream the
+  * rest of graft.text shares — the ranked-search capability a
+  * training-data pipeline uses for retrieval-based decontamination,
+  * targeted data selection, and eval-suite neighbor audits. Extension
+  * beyond the reference (its text processing stops at per-field
+  * aggregation, e.g. views/LongitudinalView.scala's scalar rollups);
+  * the `documents` table exists for this family.
+  *
+  * Two scorers, one topology:
+  *
+  *  - [[bm25OddsScores]] — the ORACLE-EXACT variant: Robertson
+  *    tf-normalization (k1 = 1.2, b = 0.75 as exact rationals 6/5 and
+  *    3/4) times the raw odds idf `(N − df + ½)/(df + ½)`, floored at
+  *    zero, evaluated ENTIRELY in 64-bit integer arithmetic (micro
+  *    fixed-point, sequential `div`s — identical on Spark and any ANSI
+  *    engine, no `ln`, no doubles, no rounding-mode coupling). Ranking
+  *    agrees with classic BM25 wherever one term dominates or df spread
+  *    is moderate; it is a DIFFERENT (log-free) scoring function and is
+  *    documented as such — the spec pins top-k agreement with the
+  *    production scorer on the fixture corpus.
+  *  - [[bm25Scores]] — the PRODUCTION scorer: Lucene-style
+  *    `ln(1 + odds)` idf in doubles (always positive, no clamp cliff).
+  *    Not oracle-gated (transcendental replay across engines is a
+  *    documented flake risk — the round-7 ccnet lesson); gated instead
+  *    by ScalaTest brute-force model checks and rank agreement with the
+  *    exact variant.
+  *
+  * Integer envelope of the exact variant: per-term weight is
+  * `tfn_micro · idf_micro` with `tfn_micro ≤ 2.2e6` and
+  * `idf_micro ≤ 2e6·N`, so scores stay inside int64 for corpora up to
+  * ~2e6 docs — exactly the verification context. The production scorer
+  * has no such bound.
+  *
+  * Scale shape (both scorers): the corpus pays ONE tokenize+explode
+  * pass into `(token, doc_id, tf)` postings plus a vocab-sized `df`
+  * rollup, doc-sized `dl` and a 1-row `(n, s)` stats aggregate — the
+  * persistable index
+  * ([[bm25Index]]; recurring retrieval rides [[bm25ScoresPrebuilt]]
+  * and never re-tokenizes the corpus, the q75/q115 prebuilt pattern).
+  * The probe side is query-term-sized and broadcasts into the postings
+  * join; candidate volume is Σ_t df(t), bounded by dropping
+  * provably-zero-weight terms (`idf_micro` floors to 0 exactly when
+  * `10⁶·(2N − 2df + 1) < 2df + 1`, i.e. ubiquitous terms in corpora
+  * beyond ~5·10⁵ docs) when `pruneZeroIdf` is on. Scoring is one hash aggregate keyed
+  * `(query_id, doc_id)`; top-k is a window per query key — bounded by
+  * that query's candidate count, never a global window.
+  */
+object Retrieval {
+
+  /** Positive-operand integer division, evaluated as SQL `div` — floor
+    * == truncation for the non-negative quantities used here, byte-for-
+    * byte replayable as `//` in DuckDB. */
+  private def idiv(a: Column, b: Column): Column =
+    call_function("div", a, b)
+
+  /** The persistable corpus index: `(postings(token, doc_id, tf),
+    * dfreq(token, df), dl(doc_id, dl), stats(n, s))`. Postings come
+    * from one explode+groupBy pass (map-side combined); dfreq is the
+    * vocab-sized rollup of that same pass — persisted alongside so a
+    * recurring query suite never re-scans corpus-sized postings for
+    * term statistics. At scale write postings (and dfreq) bucketed by
+    * `token` (`BatchView.writeBucketed`) so every later probe join
+    * plans exchange-free on the corpus side. */
+  def bm25Index(docs: DataFrame, textCol: String, idCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.tokens(col(textCol))).as("token"))
+    val postings = toks.groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val dl = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokenCount(col(textCol)).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+    (postings, dfreq, dl, stats)
+  }
+
+  /** Distinct query terms `(query_id, token)` from a query table —
+    * standard short-query BM25 (query-side tf ignored). */
+  def queryTerms(queries: DataFrame, textCol: String, idCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .distinct()
+
+  /** Exact-integer odds-idf BM25 over prebuilt index artifacts:
+    * `(query_id, doc_id, score_pico)`, one row per query × matched doc.
+    *
+    * Per matched (query term, doc) posting, all integer:
+    * {{{
+    * r_milli    = (1000·dl·N) div S                     // dl/avgdl, milli
+    * tfn_micro  = (10⁶·22000·tf) div (10⁴·tf + 3000 + 9·r_milli)
+    * idf_micro  = max((10⁶·(2N − 2df + 1)) div (2df + 1), 0)
+    * w_pico     = tfn_micro · idf_micro                 // 10⁻⁶·10⁻⁶ = pico
+    * }}}
+    * The dl/avgdl ratio is QUANTIZED to milli before entering the
+    * denominator — part of the operator's definition, applied
+    * identically in the SQL replay, so both engines divide the same
+    * integers in the same order. */
+  def bm25OddsScoresPrebuilt(qTerms: DataFrame, postings: DataFrame,
+                             dfreq: DataFrame, dl: DataFrame,
+                             stats: DataFrame,
+                             pruneZeroIdf: Boolean = false): DataFrame = {
+    // a term's weight is exactly 0 iff its idf_micro floors to 0 — safe
+    // to drop before the postings join (docs matched ONLY by such terms
+    // drop from the candidate list instead of appearing with score 0,
+    // which is why the oracle-gated query keeps pruning OFF)
+    val dfKept =
+      if (pruneZeroIdf) dfreq.crossJoin(broadcast(stats))
+        .where(lit(1000000L) * (lit(2L) * col("n") - lit(2L) * col("df") + 1L) >=
+          lit(2L) * col("df") + 1L)
+        .select(col("token"), col("df"))
+      else dfreq
+    val matched = broadcast(qTerms)
+      .join(postings, Seq("token"))
+      .join(dfKept, Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+    val rMilli = idiv(lit(1000L) * col("dl") * col("n"), col("s"))
+    val tfnMicro = idiv(lit(22000000000L) * col("tf"),
+      lit(10000L) * col("tf") + lit(3000L) + lit(9L) * rMilli)
+    val idfMicro = greatest(
+      idiv(lit(1000000L) * (lit(2L) * col("n") - lit(2L) * col("df") + 1L),
+        lit(2L) * col("df") + 1L),
+      lit(0L))
+    matched
+      .select(col("query_id"), col("doc_id"),
+        (tfnMicro * idfMicro).as("w_pico"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w_pico")).as("score_pico"))
+  }
+
+  /** [[bm25OddsScoresPrebuilt]] with the index built inline — the
+    * one-shot form. */
+  def bm25OddsScores(queries: DataFrame, corpus: DataFrame,
+                     textCol: String, idCol: String,
+                     pruneZeroIdf: Boolean = false): DataFrame = {
+    val (postings, dfreq, dl, stats) = bm25Index(corpus, textCol, idCol)
+    bm25OddsScoresPrebuilt(queryTerms(queries, textCol, idCol),
+      postings, dfreq, dl, stats, pruneZeroIdf)
+  }
+
+  /** Deterministic top-k per query over any `(query_id, doc_id, score)`
+    * frame: rank by score descending, ties to the smaller doc_id. The
+    * window partitions on the query key — each partition is one query's
+    * candidate list, never the corpus. */
+  def topKPerQuery(scores: DataFrame, scoreCol: String, k: Int): DataFrame =
+    scores
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col(scoreCol).desc, col("doc_id"))))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+
+  /** Production scorer: Lucene BM25 — `ln(1 + (N − df + ½)/(df + ½))`
+    * idf (strictly positive, no clamp) with the same k1 = 1.2 / b = 0.75
+    * tf normalization in doubles. Same joins, same aggregate — only the
+    * per-posting arithmetic differs. */
+  def bm25ScoresPrebuilt(qTerms: DataFrame, postings: DataFrame,
+                         dfreq: DataFrame, dl: DataFrame,
+                         stats: DataFrame): DataFrame = {
+    val matched = broadcast(qTerms)
+      .join(postings, Seq("token"))
+      .join(dfreq, Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+    val avgdl = col("s").cast("double") / col("n")
+    val tfn = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    matched
+      .select(col("query_id"), col("doc_id"), (tfn * idf).as("w"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("score"))
+  }
+
+  /** One-shot production BM25 top-k: `(query_id, doc_id, score)`. */
+  def bm25TopK(queries: DataFrame, corpus: DataFrame,
+               textCol: String, idCol: String, k: Int): DataFrame = {
+    val (postings, dfreq, dl, stats) = bm25Index(corpus, textCol, idCol)
+    topKPerQuery(
+      bm25ScoresPrebuilt(queryTerms(queries, textCol, idCol),
+        postings, dfreq, dl, stats),
+      "score", k)
+  }
+}

@@ -62,6 +62,39 @@ class FunnelSpec extends SparkSpec {
     ))
   }
 
+  test("rollingActive: window fan-out, dedup within window, edge clamp") {
+    // bucketNanos = 10, window = 3 buckets
+    val events = Seq(
+      (1L, 5L),   // u1 active bucket 0
+      (1L, 7L),   // same bucket — counts once
+      (1L, 25L),  // u1 active bucket 2 — still ONE active in window {0..2}
+      (2L, 31L)   // u2 active bucket 3 (the newest bucket)
+    ).toDF("user_id", "tn")
+    val out = Funnel.rollingActive(events, "user_id", "tn",
+        bucketNanos = 10L, windowBuckets = 3)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // bucket 0: {u1}; 1: {u1}; 2: {u1} (both activities, one user);
+    // 3: {u1 (from bucket 2), u2}; fan-out clamps at newest bucket 3 —
+    // bucket 4 (which only u2 would reach) is not emitted
+    assert(out === Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 2L)))
+  }
+
+  test("rollingActive matches the brute-force model on random activity") {
+    val rnd = new scala.util.Random(77)
+    val events = Seq.fill(300)(
+      (rnd.nextInt(12).toLong, rnd.nextInt(200).toLong * 3L))
+    val w = 7
+    val out = Funnel.rollingActive(events.toDF("user_id", "tn"),
+        "user_id", "tn", bucketNanos = 25L, windowBuckets = w)
+      .as[(Long, Long)].collect().toMap
+    val kb = events.map { case (u, t) => (u, t / 25L) }.distinct
+    val mb = kb.map(_._2).max
+    val model = kb
+      .flatMap { case (u, b) => (b to math.min(b + w - 1, mb)).map(u -> _) }
+      .distinct.groupBy(_._2).map { case (t, g) => t -> g.size.toLong }
+    assert(out == model)
+  }
+
   test("funnelCounts: monotone conversion depths") {
     val events = Seq(
       (1L, "A", 1L), (1L, "B", 2L), (1L, "C", 3L),

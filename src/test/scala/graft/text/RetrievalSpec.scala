@@ -1,0 +1,162 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** BM25 retrieval ([[Retrieval]]): the exact-integer odds-idf scorer
+  * against a driver-side model, prebuilt == inline, the production
+  * ln-idf scorer's ranking behavior, and top-k tie determinism. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpusDf(docs: Seq[(Long, String)]) = docs.toDF("doc_id", "text")
+
+  /** Driver-side replay of the documented integer arithmetic. */
+  private def modelScores(queries: Seq[(Long, String)],
+                          corpus: Seq[(Long, String)])
+      : Map[(Long, Long), Long] = {
+    def toks(t: String): Seq[String] = t.trim.split("\\s+").toSeq
+    val n = corpus.size.toLong
+    val dl = corpus.map { case (id, t) => id -> toks(t).size.toLong }.toMap
+    val s = dl.values.sum
+    val post = corpus.flatMap { case (id, t) =>
+      toks(t).groupBy(identity).map { case (w, g) => (w, id, g.size.toLong) }
+    }
+    val dfm = post.groupBy(_._1).map { case (w, g) => w -> g.size.toLong }
+    val out = collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+    for ((qid, qt) <- queries; w <- toks(qt).distinct;
+         (t, did, tf) <- post if t == w) {
+      val rMilli = 1000L * dl(did) * n / s
+      val tfnMicro = 22000000000L * tf / (10000L * tf + 3000L + 9L * rMilli)
+      val idfMicro = math.max(
+        1000000L * (2L * n - 2L * dfm(w) + 1L) / (2L * dfm(w) + 1L), 0L)
+      out((qid, did)) += tfnMicro * idfMicro
+    }
+    out.toMap
+  }
+
+  test("odds-idf scores match the driver-side integer model exactly") {
+    val rnd = new Random(2026)
+    val vocab = Vector("the", "cat", "sat", "on", "mat", "dog", "ran",
+      "fast", "quantum", "flux", "entropy", "spark")
+    val corpus = (0L until 40L).map { i =>
+      i -> Seq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    val queries = (100L until 110L).map { i =>
+      i -> Seq.fill(1 + rnd.nextInt(4))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    val got = Retrieval.bm25OddsScores(
+        corpusDf(queries), corpusDf(corpus), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == modelScores(queries, corpus))
+  }
+
+  test("prebuilt index path emits identical scores to the inline build") {
+    val corpus = Seq(0L -> "alpha beta gamma", 2L -> "beta beta delta",
+      4L -> "gamma delta epsilon epsilon", 6L -> "alpha")
+    val queries = Seq(1L -> "beta epsilon", 3L -> "alpha gamma gamma")
+    val inline = Retrieval.bm25OddsScores(
+      corpusDf(queries), corpusDf(corpus), "text", "doc_id")
+    val (post, dfreq, dl, stats) =
+      Retrieval.bm25Index(corpusDf(corpus), "text", "doc_id")
+    val pre = Retrieval.bm25OddsScoresPrebuilt(
+      Retrieval.queryTerms(corpusDf(queries), "text", "doc_id"),
+      post, dfreq, dl, stats)
+    val key = Seq("query_id", "doc_id", "score_pico").map(col)
+    assert(inline.orderBy(key: _*).collect().toSeq ==
+      pre.orderBy(key: _*).collect().toSeq)
+  }
+
+  test("pruneZeroIdf drops only terms whose integer weight is exactly zero") {
+    // small corpus: no term's idf_micro can floor to 0 (needs N > ~5e5),
+    // so pruning must be a no-op here
+    val corpus = Seq(0L -> "a b c", 2L -> "a b", 4L -> "a")
+    val queries = Seq(1L -> "a c")
+    val on = Retrieval.bm25OddsScores(
+      corpusDf(queries), corpusDf(corpus), "text", "doc_id", pruneZeroIdf = true)
+    val off = Retrieval.bm25OddsScores(
+      corpusDf(queries), corpusDf(corpus), "text", "doc_id")
+    val key = Seq("query_id", "doc_id").map(col)
+    assert(on.orderBy(key: _*).collect().toSeq ==
+      off.orderBy(key: _*).collect().toSeq)
+  }
+
+  test("production and exact scorers agree on an unambiguous ranking") {
+    // rare term beats common term; higher tf beats lower tf — rankings
+    // any BM25 variant must produce
+    val corpus = Seq(
+      0L -> "common rare", // matches both query terms
+      2L -> "common common common filler filler", // common only, high tf
+      4L -> "common filler other words here", // common only, low tf
+      6L -> "filler filler filler filler") // no match
+    val queries = Seq(1L -> "common rare")
+    val exact = Retrieval.topKPerQuery(
+        Retrieval.bm25OddsScores(corpusDf(queries), corpusDf(corpus),
+          "text", "doc_id"), "score_pico", 3)
+      .orderBy(col("score_pico").desc).select("doc_id")
+      .as[Long].collect().toSeq
+    val prod = Retrieval.bm25TopK(corpusDf(queries), corpusDf(corpus),
+        "text", "doc_id", k = 3)
+      .orderBy(col("score").desc).select("doc_id")
+      .as[Long].collect().toSeq
+    assert(exact == Seq(0L, 2L, 4L))
+    assert(prod == Seq(0L, 2L, 4L))
+  }
+
+  test("bucketed postings feed the probe join with no corpus-side shuffle") {
+    // the recurring-retrieval discipline: postings persisted bucketed by
+    // `token` must reach their join IN PLACE — only probe-bounded
+    // candidate data shuffles per query suite
+    import graft.ops.BatchView
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec => JoinNode}
+    val corpus = Seq(0L -> "alpha beta gamma", 2L -> "beta beta delta",
+      4L -> "gamma delta epsilon epsilon").toDF("doc_id", "text")
+    val queries = Seq(1L -> "beta epsilon")
+    val (post, dfreq, dl, stats) =
+      Retrieval.bm25Index(corpus, "text", "doc_id")
+    BatchView.writeBucketed(post, "bm25_post", Seq("token"), 4,
+      sortCols = Seq("token"))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // static plan audit
+    try {
+      val scored = Retrieval.bm25OddsScoresPrebuilt(
+        Retrieval.queryTerms(queries.toDF("doc_id", "text"), "text", "doc_id"),
+        spark.table("bm25_post"), dfreq, dl, stats)
+      val expect = Retrieval.bm25OddsScores(
+        queries.toDF("doc_id", "text"), corpus, "text", "doc_id")
+      val key = Seq("query_id", "doc_id", "score_pico").map(col)
+      assert(scored.orderBy(key: _*).collect().toSeq ==
+        expect.orderBy(key: _*).collect().toSeq)
+      val plan = scored.queryExecution.executedPlan
+      def pathToScan(p: SparkPlan): Option[List[SparkPlan]] = p match {
+        case f: FileSourceScanExec =>
+          if (f.tableIdentifier.exists(_.table == "bm25_post")) Some(List(p))
+          else None
+        case _ => p.children.view.flatMap(pathToScan).headOption.map(p :: _)
+      }
+      val path = pathToScan(plan)
+      assert(path.nonEmpty, s"plan must read the bucketed postings\n$plan")
+      val belowJoin = path.get.reverse.takeWhile(!_.isInstanceOf[JoinNode])
+      assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"bucketed postings must reach their join without an exchange\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS bm25_post")
+    }
+  }
+
+  test("top-k ranks by score then smaller doc_id, k bounds each query") {
+    val scores = Seq((1L, 10L, 5L), (1L, 7L, 5L), (1L, 9L, 9L),
+      (1L, 11L, 1L), (2L, 3L, 2L))
+      .toDF("query_id", "doc_id", "score_pico")
+    val got = Retrieval.topKPerQuery(scores, "score_pico", 2)
+      .orderBy(col("query_id"), col("score_pico").desc, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 9L), (1L, 7L), (2L, 3L)))
+  }
+}
