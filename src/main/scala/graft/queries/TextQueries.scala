@@ -1173,6 +1173,18 @@ object TextQueries {
         .orderBy(col("query_id"), col("doc_id"))
     }),
 
+    // ───── apply the learned merges all the way to TOKEN IDS: per-doc
+    // ordered id streams (exploded for comparison) — segmentation once
+    // per distinct word, ids = final subwords in UTF-8 byte order ─────
+    "q139_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.BpeVocab.trainLocal(docs, "text", numMerges = 8)
+      graft.text.BpeVocab.encode(docs, "text", "doc_id", merges)
+        .select(col("doc_id"), posexplode(col("token_ids")))
+        .toDF("doc_id", "pos", "token_id")
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // ───── q136's PREBUILT form — retrieval as the recurring job it is:
     // postings/dl/stats built once by bm25Index (at scale: persisted,
     // postings bucketed by token), each query suite probes without
@@ -2524,6 +2536,32 @@ object TextQueries {
               s"SELECT $i AS rank, a AS l, b AS r, c AS pair_count FROM b$i")
               .mkString("\n            UNION ALL ")})
           ORDER BY rank""",
+
+    // same merge chain; ids = row_number − 1 over the distinct final
+    // subwords under binary collation (== the operator's UTF-8 byte
+    // sort); per-doc positions replay (word pos, subword pos) order
+    "q139_bpe_encode" ->
+      s"""WITH ${bpeCtes(8)},
+          vx AS (SELECT DISTINCT unnest(ss) AS sub FROM w8),
+          vocab AS (SELECT sub,
+              CAST(row_number() OVER (ORDER BY sub) - 1 AS BIGINT) AS id
+            FROM vx),
+          sp AS (SELECT word, u.k AS spos, ss[u.k + 1] AS sub
+                 FROM w8, UNNEST(range(len(ss))) AS u(k)),
+          wid AS (SELECT sp.word, sp.spos, vocab.id
+                  FROM sp JOIN vocab USING (sub)),
+          dw AS (SELECT doc_id, u.k AS wpos, tk[u.k + 1] AS word
+                 FROM (SELECT doc_id, $toks AS tk FROM documents
+                       WHERE text IS NOT NULL) t,
+                   UNNEST(range(len(tk))) AS u(k)
+                 WHERE length(tk[u.k + 1]) > 0),
+          fl AS (SELECT dw.doc_id, dw.wpos, wid.spos, wid.id
+                 FROM dw JOIN wid ON dw.word = wid.word)
+          SELECT doc_id,
+            CAST(row_number() OVER (
+              PARTITION BY doc_id ORDER BY wpos, spos) - 1 AS INT) AS pos,
+            id AS token_id
+          FROM fl ORDER BY doc_id, pos""",
 
     // the driver-local trainer must replay the exact same merge chain
     "q116_bpe_merges_local" ->

@@ -259,6 +259,56 @@ object BpeVocab {
     merges.toSeq
   }
 
+  /** Encode documents to ordered BPE token-id arrays with a learned
+    * merge list — the production tokenizer-application step:
+    * `(idCol, token_ids array<long>, n_tokens)`.
+    *
+    * Ids are assigned deterministically: the distinct FINAL subwords of
+    * the corpus segmentation in UTF-8 byte order ([[utf8Compare]]),
+    * 0-based — engine-replayable as `row_number() OVER (ORDER BY sub)
+    * − 1` under binary collation. The vocabulary is model-sized by
+    * construction (⊆ alphabet ∪ merge outputs, ≤ |alphabet| +
+    * numMerges entries).
+    *
+    * Scale shape: ONE word-table scan (the only corpus-sized pass),
+    * collected under the [[trainLocal]] cap and segmented in JVM code —
+    * once per DISTINCT word, never per occurrence. Documents then pay a
+    * posexplode + a word join (AQE broadcasts the model-sized word→ids
+    * map) + one doc-keyed assembly aggregate; the id arrays travel ONE
+    * shuffle, the materialization trade [[Packing.packedText]] makes.
+    * Output feeds `Packing.packSequences` directly (its tokenizer-
+    * agnostic (doc, tokens) contract). */
+  def encode(docs: DataFrame, textCol: String, idCol: String,
+             merges: Seq[Merge], maxWords: Int = 20000000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = wordTable(docs, textCol).select(col("word")).as[String].collect()
+    require(words.length <= maxWords,
+      s"word table has ${words.length} distinct words > maxWords=$maxWords; " +
+        "raise maxWords (with driver heap) or segment distributed as in " +
+        "subwordStats")
+    val segd = words.map { w =>
+      var ss = codepoints(w)
+      merges.foreach(m => ss = applyMerge(ss, m.left, m.right))
+      (w, ss)
+    }
+    val vocab = segd.iterator.flatMap(_._2).toSet.toArray
+      .sortWith(utf8Compare(_, _) < 0)
+    val idOf = vocab.zipWithIndex.map { case (s, i) => s -> i.toLong }.toMap
+    val seg = segd.toSeq.map { case (w, ss) => (w, ss.map(idOf)) }
+      .toDF("word", "ids")
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(TextOps.tokens(col(textCol))))
+      .toDF(idCol, "wpos", "word")
+      .where(length(col("word")) > 0)
+      .join(seg, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("wpos"), col("ids")))),
+        x => x.getField("ids"))).as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
+
   /** Segment every distinct word with a learned merge list and roll the
     * subword counts back up to documents: (idCol, n_words, n_subwords).
     * The merge application runs once per DISTINCT word (model-sized);

@@ -48,6 +48,43 @@ class BpeVocabSpec extends SparkSpec {
     assert(raw === Seq((1L, 3L, 6L), (2L, 2L, 4L)))
   }
 
+  test("encode emits ordered ids that decode back to the documents") {
+    // "ab ab ac" → merges (a,b), (a,c) → every word one symbol
+    val docs = Seq((1L, "ab ab ac"), (2L, "ac ab"), (3L, "b")).toDF("doc_id", "text")
+    val merges = BpeVocab.train(docs, "text", numMerges = 5)
+    val out = BpeVocab.encode(docs, "text", "doc_id", merges)
+      .orderBy(col("doc_id"))
+      .as[(Long, Seq[Long], Long)].collect().toSeq
+    // final subwords across the corpus: {ab, ac, b} → UTF-8 sorted:
+    // ab=0, ac=1, b=2
+    assert(out === Seq((1L, Seq(0L, 0L, 1L), 3L), (2L, Seq(1L, 0L), 2L),
+      (3L, Seq(2L), 1L)))
+    // decode round-trip: id → subword concatenated per doc == the words
+    val vocabInv = Map(0L -> "ab", 1L -> "ac", 2L -> "b")
+    assert(out.map(_._2.map(vocabInv).mkString(" ")) ===
+      Seq("ab ab ac", "ac ab", "b"))
+  }
+
+  test("encode token counts equal subwordStats rollups on a mixed corpus") {
+    val docs = Seq((1L, "banana band ban"), (2L, "an an banana"),
+      (3L, "unrelated words here")).toDF("doc_id", "text")
+    val merges = BpeVocab.train(docs, "text", numMerges = 3)
+    val enc = BpeVocab.encode(docs, "text", "doc_id", merges)
+      .select(col("doc_id"), col("n_tokens"))
+      .as[(Long, Long)].collect().toMap
+    val stats = BpeVocab.subwordStats(docs, "text", "doc_id", merges)
+      .select(col("doc_id"), col("n_subwords"))
+      .as[(Long, Long)].collect().toMap
+    assert(enc === stats)
+    // and the id stream preserves word order: same words, different order
+    val pair = Seq((10L, "banana band"), (11L, "band banana")).toDF("doc_id", "text")
+    val e2 = BpeVocab.encode(pair, "text", "doc_id", merges)
+      .orderBy(col("doc_id")).as[(Long, Seq[Long], Long)].collect()
+    val (b1, b2) = (e2(0)._2, e2(1)._2)
+    assert(b1 !== b2) // order matters
+    assert(b1.sorted === b2.sorted) // same multiset
+  }
+
   test("codepoints splits astral-plane characters whole") {
     assert(BpeVocab.codepoints("a😀b") === Vector("a", "😀", "b"))
   }
