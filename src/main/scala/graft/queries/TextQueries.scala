@@ -1173,6 +1173,37 @@ object TextQueries {
         .orderBy(col("query_id"), col("doc_id"))
     }),
 
+    // ───── hybrid retrieval: BM25 lexical arm + exact-cosine dense arm
+    // fused by reciprocal rank (integer pico weights) — 10 probe docs
+    // (doc_id % 50 == 1), top-20 per arm, top-5 fused ─────
+    "q140_rrf_hybrid" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val queriesDf = docs.where(col("doc_id") % 50 === 1)
+        .select(col("doc_id"), concat_ws(" ",
+          slice(graft.text.TextOps.tokens(col("text")), 1, 5)).as("text"))
+      val lex = graft.text.Retrieval.rankPerQuery(
+          graft.text.Retrieval.bm25OddsScores(
+            queriesDf, docs.where(col("doc_id") % 2 === 0), "text", "doc_id"),
+          Seq(col("score_pico").desc, col("doc_id")))
+        .where(col("rank") <= 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.where(col("vec_id") % 50 === 1)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq.sortBy(_._1)
+      val dense = graft.text.Retrieval.rankPerQuery(
+          Similarity.bruteForceScores(emb.where(col("vec_id") % 2 === 0),
+              "embedding", "vec_id", probes)
+            .withColumnRenamed("vec_id", "doc_id"),
+          Seq(col("cos").desc, col("doc_id")))
+        .where(col("rank") <= 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      graft.text.Retrieval.topKPerQuery(
+          graft.text.Retrieval.rrfFuse(Seq(lex, dense), k0 = 60),
+          "rrf_pico", 5)
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+
     // ───── apply the learned merges all the way to TOKEN IDS: per-doc
     // ordered id streams (exploded for comparison) — segmentation once
     // per distinct word, ids = final subwords in UTF-8 byte order ─────
@@ -2536,6 +2567,71 @@ object TextQueries {
               s"SELECT $i AS rank, a AS l, b AS r, c AS pair_count FROM b$i")
               .mkString("\n            UNION ALL ")})
           ORDER BY rank""",
+
+    // both arms replayed under their gated arithmetic (q136's integer
+    // BM25; q30's double cosine fold), ranked with the same tie-breaks,
+    // fused with the same ⌊10¹²/(60+rank)⌋ integer weights
+    "q140_rrf_hybrid" ->
+      s"""WITH corpus AS (
+            SELECT doc_id, $toks AS tk FROM documents WHERE doc_id % 2 = 0),
+          qt AS (
+            SELECT DISTINCT doc_id AS query_id, unnest(tk[1:5]) AS token
+            FROM (SELECT doc_id, $toks AS tk FROM documents
+                  WHERE doc_id % 50 = 1)),
+          stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(len(tk)) AS BIGINT) AS s FROM corpus),
+          dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM corpus),
+          post AS (
+            SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(tk) AS token FROM corpus)
+            GROUP BY 1, 2),
+          dfreq AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+          w AS (
+            SELECT qt.query_id, post.doc_id,
+              ((22000000000 * tf)
+                // (10000 * tf + 3000 + 9 * ((1000 * dl.dl * stats.n) // stats.s)))
+              * greatest(
+                  (1000000 * (2 * stats.n - 2 * dfreq.df + 1))
+                    // (2 * dfreq.df + 1), 0) AS w_pico
+            FROM qt
+            JOIN post USING (token)
+            JOIN dfreq USING (token)
+            JOIN dl ON post.doc_id = dl.doc_id
+            CROSS JOIN stats),
+          lexsc AS (
+            SELECT query_id, doc_id, CAST(sum(w_pico) AS BIGINT) AS score_pico
+            FROM w GROUP BY 1, 2),
+          lex AS (
+            SELECT query_id, doc_id, rank FROM (
+              SELECT query_id, doc_id, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY score_pico DESC, doc_id) AS rank
+              FROM lexsc) WHERE rank <= 20),
+          qv AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM embeddings WHERE vec_id % 50 = 1),
+          dsc AS (
+            SELECT qv.query_id, e.vec_id AS doc_id,
+              ${cosSql("e.embedding", "qv.qe")} AS cos
+            FROM embeddings e CROSS JOIN qv WHERE e.vec_id % 2 = 0),
+          den AS (
+            SELECT query_id, doc_id, rank FROM (
+              SELECT query_id, doc_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
+              FROM dsc) WHERE rank <= 20),
+          u AS (SELECT * FROM lex UNION ALL SELECT * FROM den),
+          f AS (
+            SELECT query_id, doc_id,
+              CAST(sum(1000000000000 // (60 + rank)) AS BIGINT) AS rrf_pico,
+              CAST(count(*) AS BIGINT) AS n_arms
+            FROM u GROUP BY 1, 2),
+          r AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY rrf_pico DESC, doc_id) AS rk
+            FROM f)
+          SELECT query_id, doc_id, rrf_pico, n_arms FROM r WHERE rk <= 5
+          ORDER BY query_id, doc_id""",
 
     // same merge chain; ids = row_number − 1 over the distinct final
     // subwords under binary collation (== the operator's UTF-8 byte

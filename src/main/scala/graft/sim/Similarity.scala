@@ -41,6 +41,27 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact cosine of a DRIVER-SIDE probe suite against every corpus
+    * vector: `(query_id, idCol, cos)`. The suite rides the plan as ONE
+    * array-of-structs literal exploded per corpus row — a generator
+    * fan-out, not a join, so no cartesian enters the plan; output is
+    * |queries| × corpus by construction, which is why the suite must be
+    * evaluation-sized (the q30 collected-query pattern). Production
+    * multi-query retrieval probes [[annTopK]] / [[Ivf.topK]] per query
+    * instead; this is the exact-ranking arm for gates and fusion
+    * ([[graft.text.Retrieval.rrfFuse]]). */
+  def bruteForceScores(embeddings: DataFrame, vecCol: String, idCol: String,
+                       queries: Seq[(Long, Seq[Float])]): DataFrame = {
+    require(queries.nonEmpty, "probe suite must be non-empty")
+    val qLit = array(queries.map { case (qid, v) =>
+      struct(lit(qid).as("query_id"), array(v.map(lit): _*).as("qe"))
+    }: _*)
+    embeddings
+      .select(col(idCol), col(vecCol), explode(qLit).as("__q"))
+      .select(col("__q.query_id").as("query_id"), col(idCol),
+        cosine(col(vecCol), col("__q.qe")).as("cos"))
+  }
+
   /** The seeded plane family shared by signature generation and the
     * driver-side probe computation: `numPlanes` rows of `dim` gaussians,
     * flattened plane-major. */

@@ -157,6 +157,34 @@ object Retrieval {
       .where(col("__rk") <= k)
       .drop("__rk")
 
+  /** 1-based per-query rank under a deterministic order (pass explicit
+    * tie-breaks — ranks feed [[rrfFuse]], so order IS the semantics).
+    * Window partitions on the query key, bounded by that query's
+    * candidate list. */
+  def rankPerQuery(scores: DataFrame, order: Seq[Column]): DataFrame =
+    scores.withColumn("rank", row_number().over(
+      Window.partitionBy(col("query_id")).orderBy(order: _*)))
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of K rankings —
+    * the standard hybrid-retrieval combiner (lexical arm + dense arm):
+    * `(query_id, doc_id, rrf_pico, n_arms)` with
+    * `rrf_pico = Σ_arms ⌊10¹² / (k0 + rank)⌋` — exact integers, so the
+    * fusion replays on any engine regardless of how each arm was
+    * scored. Inputs need (query_id, doc_id, rank); arms are
+    * candidate-bounded (each ranking is already top-n per query), so
+    * the union + one hash aggregate touch probe-sized data only. */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_.unionByName(_))
+      .select(col("query_id"), col("doc_id"),
+        idiv(lit(1000000000000L), lit(k0.toLong) + col("rank")).as("w_pico"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w_pico")).as("rrf_pico"),
+        count(lit(1)).as("n_arms"))
+  }
+
   /** Production scorer: Lucene BM25 — `ln(1 + (N − df + ½)/(df + ½))`
     * idf (strictly positive, no clamp) with the same k1 = 1.2 / b = 0.75
     * tf normalization in doubles. Same joins, same aggregate — only the

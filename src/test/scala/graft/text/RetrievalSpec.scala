@@ -150,6 +150,56 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("rrfFuse sums floor(1e12/(k0+rank)) across arms") {
+    val armA = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 10L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val armB = Seq((1L, 11L, 1), (1L, 12L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(armA, armB), k0 = 60)
+      .orderBy(col("query_id"), col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    def w(r: Int): Long = 1000000000000L / (60L + r)
+    assert(got === Seq(
+      (1L, 10L, w(1), 1L),          // arm A only
+      (1L, 11L, w(2) + w(1), 2L),   // both arms
+      (1L, 12L, w(2), 1L),          // arm B only
+      (2L, 10L, w(1), 1L)))
+  }
+
+  test("rrf hybrid ranks a doc found by both arms above single-arm docs") {
+    // doc 0 ranks #1 in both arms; doc 2 is #2 lexical only; doc 4 is
+    // #2 dense only → fused order: 0, then 2/4 tied (tie → smaller id)
+    val lex = Seq((1L, 0L, 1), (1L, 2L, 2)).toDF("query_id", "doc_id", "rank")
+    val den = Seq((1L, 0L, 1), (1L, 4L, 2)).toDF("query_id", "doc_id", "rank")
+    val fused = Retrieval.topKPerQuery(
+        Retrieval.rrfFuse(Seq(lex, den)), "rrf_pico", 3)
+      .orderBy(col("rrf_pico").desc, col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(fused.map(_._2) === Seq(0L, 2L, 4L))
+    assert(fused.head._4 === 2L)
+  }
+
+  test("bruteForceScores equals per-query bruteForceTopK rankings") {
+    import graft.sim.Similarity
+    val rnd = new Random(11)
+    val emb = (0L until 30L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() - 0.5f)).toDF("vec_id", "embedding")
+    val probes = Seq(100L -> Seq.fill(8)(rnd.nextFloat() - 0.5f),
+      101L -> Seq.fill(8)(rnd.nextFloat() - 0.5f))
+    val multi = Retrieval.rankPerQuery(
+        Similarity.bruteForceScores(emb, "embedding", "vec_id", probes),
+        Seq(col("cos").desc, col("vec_id")))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    val single = probes.flatMap { case (qid, v) =>
+      Similarity.bruteForceTopK(emb, "embedding", "vec_id", v, 5)
+        .select(col("vec_id")).as[Long].collect()
+        .zipWithIndex.map { case (id, i) => (qid, id, i + 1) }
+    }.toSet
+    assert(multi === single)
+  }
+
   test("top-k ranks by score then smaller doc_id, k bounds each query") {
     val scores = Seq((1L, 10L, 5L), (1L, 7L, 5L), (1L, 9L, 9L),
       (1L, 11L, 1L), (2L, 3L, 2L))
