@@ -1234,11 +1234,16 @@ object TextQueries {
     })
   )
 
-  /** Query suite for q136/q137 — odd docs' first-5-token prefixes,
-    * replayed as `tk[1:5]` in the oracle. */
+  /** Query suite for q136/q137 — docs ≡ 1 (mod 10): first-5-token
+    * prefixes, replayed as `tk[1:5]` in the oracle. A tenth of the
+    * docs (disjoint from the even-id corpus) keeps the gate substantial
+    * while bounding the benchmark's candidate volume — exact BM25 pays
+    * Σ_t df(t) PER QUERY TERM, and the Zipf head (stopword terms in
+    * half the queries × df ≈ N postings) made a full odd-id suite the
+    * most expensive query in the suite (~20 s at sf0.1). */
   private def bm25Queries(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    docs.where(col("doc_id") % 2 === 1)
+    docs.where(col("doc_id") % 10 === 1)
       .select(col("doc_id"), concat_ws(" ",
         slice(graft.text.TextOps.tokens(col("text")), 1, 5)).as("text"))
 
@@ -3524,7 +3529,7 @@ object TextQueries {
         qt AS (
           SELECT DISTINCT doc_id AS query_id, unnest(tk[1:5]) AS token
           FROM (SELECT doc_id, $toks AS tk FROM documents
-                WHERE doc_id % 2 = 1)),
+                WHERE doc_id % 10 = 1)),
         stats AS (
           SELECT CAST(count(*) AS BIGINT) AS n,
             CAST(sum(len(tk)) AS BIGINT) AS s FROM corpus),

@@ -116,11 +116,11 @@ object Retrieval {
           lit(2L) * col("df") + 1L)
         .select(col("token"), col("df"))
       else dfreq
-    val matched = broadcast(qTerms)
-      .join(postings, Seq("token"))
-      .join(dfKept, Seq("token"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
+    // the per-term weight depends only on (token, doc) — compute it on
+    // the corpus-sized postings stream FIRST, so the query fan-out join
+    // (output Σ_t df(t)·q(t) rows, the expensive part of exact BM25)
+    // carries one precomputed long straight into the hash aggregate
+    // instead of re-deriving the arithmetic per candidate
     val rMilli = idiv(lit(1000L) * col("dl") * col("n"), col("s"))
     val tfnMicro = idiv(lit(22000000000L) * col("tf"),
       lit(10000L) * col("tf") + lit(3000L) + lit(9L) * rMilli)
@@ -128,9 +128,14 @@ object Retrieval {
       idiv(lit(1000000L) * (lit(2L) * col("n") - lit(2L) * col("df") + 1L),
         lit(2L) * col("df") + 1L),
       lit(0L))
-    matched
-      .select(col("query_id"), col("doc_id"),
+    val postW = postings
+      .join(dfKept, Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("token"), col("doc_id"),
         (tfnMicro * idfMicro).as("w_pico"))
+    broadcast(qTerms)
+      .join(postW, Seq("token"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("w_pico")).as("score_pico"))
   }
@@ -192,18 +197,20 @@ object Retrieval {
   def bm25ScoresPrebuilt(qTerms: DataFrame, postings: DataFrame,
                          dfreq: DataFrame, dl: DataFrame,
                          stats: DataFrame): DataFrame = {
-    val matched = broadcast(qTerms)
-      .join(postings, Seq("token"))
-      .join(dfreq, Seq("token"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
     val avgdl = col("s").cast("double") / col("n")
     val tfn = col("tf") * lit(2.2) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
     val idf = log(lit(1.0) +
       (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    matched
-      .select(col("query_id"), col("doc_id"), (tfn * idf).as("w"))
+    // same posting-side precompute as the exact variant: weights on the
+    // corpus stream, the fan-out join carries one double
+    val postW = postings
+      .join(dfreq, Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("token"), col("doc_id"), (tfn * idf).as("w"))
+    broadcast(qTerms)
+      .join(postW, Seq("token"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("w")).as("score"))
   }
