@@ -233,6 +233,78 @@ object StreamingViews {
       }
   }
 
+  case class ActivityEvent(userId: Long, tsMillis: Long)
+  /** Distinct contributors the watermark has not yet sealed, per target
+    * bucket. */
+  case class BucketContributors(users: Seq[Long])
+  case class ActiveCount(bucket: Long, nActive: Long)
+  /** Internal fan-out row of [[streamingRollingActive]] (public for the
+    * typed deserializer's codegen). */
+  case class FanRow(userId: Long, bucket: Long, tsMillis: Long)
+
+  /** Streaming [[graft.ops.Funnel.rollingActive]]: each event fans out
+    * STATELESSLY to the `windowBuckets` window ends its activity bucket
+    * contributes to; per target bucket a distinct-contributor set
+    * accumulates until the event-time watermark passes the last
+    * admissible contributor (`(bucket+1)·bucketMillis`), then the count
+    * emits ONCE — equal to the batch operator over the admitted events
+    * (asserted in StreamingSpec). Buckets whose seal time lies past the
+    * watermark stay pending, which is the stream-edge analogue of the
+    * batch operator's newest-bucket clamp.
+    *
+    * Late rows (event time below the current watermark) are dropped in
+    * the group function — the fan-out projects the watermark-tagged
+    * column away, so the engine's own late filter cannot apply, and
+    * without the guard a straggler could resurrect a sealed bucket's
+    * state and emit the bucket twice (append mode cannot retract).
+    *
+    * State per in-flight bucket is its EXACT distinct key set — the
+    * irreducible cost of an exact streaming distinct (≤ window + delay
+    * horizon buckets in flight, × that bucket's actives); swap the set
+    * for a sketch to trade exactness for O(1) state, as the batch sketch
+    * layer does with HLL. */
+  def streamingRollingActive(events: Dataset[ActivityEvent],
+                             bucketMillis: Long, windowBuckets: Int,
+                             watermarkDelay: String = "0 milliseconds")
+      : Dataset[ActiveCount] = {
+    import events.sparkSession.implicits._
+    require(windowBuckets >= 1, "window must span at least one bucket")
+    events
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .withWatermark("eventTime", watermarkDelay)
+      // eventTime stays in the projection: the analyzer requires the
+      // watermark-tagged attribute in the fMGWS input (the typed
+      // deserializer reads only FanRow's fields)
+      .select(col("userId"),
+        explode(sequence(expr(s"tsMillis div ${bucketMillis}L"),
+          expr(s"tsMillis div ${bucketMillis}L") + lit(windowBuckets - 1L)))
+          .as("bucket"),
+        col("tsMillis"), col("eventTime"))
+      .as[FanRow]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketContributors, ActiveCount](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bucket: Long, rows: Iterator[FanRow], state: GroupState[BucketContributors]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val sealAt = bucket * bucketMillis + bucketMillis
+          val fresh = rows.filter(_.tsMillis >= wm).map(_.userId)
+          val users = (state.getOption.map(_.users).getOrElse(Seq.empty) ++
+            fresh).distinct
+          if (wm >= sealAt) {
+            state.remove()
+            if (users.nonEmpty) Iterator.single(ActiveCount(bucket, users.size.toLong))
+            else Iterator.empty
+          } else if (users.isEmpty) {
+            state.remove()
+            Iterator.empty
+          } else {
+            state.update(BucketContributors(users))
+            state.setTimeoutTimestamp(math.max(sealAt, wm + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming corpus ingest: the stateless prefix of
     * [[graft.text.Corpus.cleanIncremental]] as a live stream —
     *
