@@ -259,6 +259,40 @@ object BpeVocab {
     merges.toSeq
   }
 
+  /** Rank-based word segmentation — the production path for real vocab
+    * sizes: instead of replaying all M merges over every word (O(V·M),
+    * hopeless at 30-50k merges), repeatedly contract the best-ranked
+    * adjacent pair present (greedy left-to-right over all its
+    * non-overlapping occurrences, via [[applyMerge]]). Equivalent to
+    * the sequential replay for any merge list PRODUCED BY BPE TRAINING:
+    * a pair (c, a⊕b) can only be learned after (a, b) existed, so its
+    * rank is always higher — contracting a pair never enables a
+    * lower-ranked one. Pinned against the sequential twin by a
+    * randomized test; cost is O(word len × merges APPLICABLE to the
+    * word), independent of vocabulary size. */
+  private[text] def segmentByRank(w: String,
+                                  rank: Map[(String, String), Int]): IndexedSeq[String] = {
+    var ss = codepoints(w)
+    var done = false
+    while (!done && ss.length >= 2) {
+      var best = Int.MaxValue
+      var bi = -1
+      var i = 0
+      while (i < ss.length - 1) {
+        val r = rank.getOrElse((ss(i), ss(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) done = true
+      else ss = applyMerge(ss, ss(bi), ss(bi + 1))
+    }
+    ss
+  }
+
+  /** Merge list → rank lookup for [[segmentByRank]]. */
+  private[text] def mergeRanks(merges: Seq[Merge]): Map[(String, String), Int] =
+    merges.zipWithIndex.map { case (m, i) => (m.left, m.right) -> i }.toMap
+
   /** Encode documents to ordered BPE token-id arrays with a learned
     * merge list — the production tokenizer-application step:
     * `(idCol, token_ids array<long>, n_tokens)`.
@@ -287,11 +321,8 @@ object BpeVocab {
       s"word table has ${words.length} distinct words > maxWords=$maxWords; " +
         "raise maxWords (with driver heap) or segment distributed as in " +
         "subwordStats")
-    val segd = words.map { w =>
-      var ss = codepoints(w)
-      merges.foreach(m => ss = applyMerge(ss, m.left, m.right))
-      (w, ss)
-    }
+    val ranks = mergeRanks(merges)
+    val segd = words.map(w => (w, segmentByRank(w, ranks)))
     val vocab = segd.iterator.flatMap(_._2).toSet.toArray
       .sortWith(utf8Compare(_, _) < 0)
     val idOf = vocab.zipWithIndex.map { case (s, i) => s -> i.toLong }.toMap
@@ -318,12 +349,9 @@ object BpeVocab {
                    merges: Seq[Merge]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val ranks = mergeRanks(merges)
     val seg = wordTable(docs, textCol).select(col("word")).as[String]
-      .map { w =>
-        var ss = codepoints(w)
-        merges.foreach(m => ss = applyMerge(ss, m.left, m.right))
-        (w, ss.length.toLong)
-      }
+      .map(w => (w, segmentByRank(w, ranks).length.toLong))
       .toDF("word", "n_sub")
     docs.where(col(textCol).isNotNull)
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("word"))

@@ -85,6 +85,24 @@ class BpeVocabSpec extends SparkSpec {
     assert(b1.sorted === b2.sorted) // same multiset
   }
 
+  test("segmentByRank equals the sequential merge replay on random corpora") {
+    val rnd = new scala.util.Random(400)
+    for (round <- 1 to 8) {
+      val alpha = "ab" + ("cde".take(rnd.nextInt(3)))
+      val words = Seq.fill(30)(
+        Seq.fill(1 + rnd.nextInt(8))(alpha(rnd.nextInt(alpha.length))).mkString)
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val merges = BpeVocab.train(docs, "text", numMerges = 6)
+      val ranks = BpeVocab.mergeRanks(merges)
+      words.distinct.foreach { w =>
+        var ss = BpeVocab.codepoints(w)
+        merges.foreach(m => ss = BpeVocab.applyMerge(ss, m.left, m.right))
+        assert(BpeVocab.segmentByRank(w, ranks) === ss,
+          s"round $round word '$w' merges $merges")
+      }
+    }
+  }
+
   test("codepoints splits astral-plane characters whole") {
     assert(BpeVocab.codepoints("a😀b") === Vector("a", "😀", "b"))
   }
