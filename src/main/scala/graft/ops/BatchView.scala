@@ -53,6 +53,46 @@ object BatchView {
       .parquet(viewPath(base, name, version))
   }
 
+  /** Compact a parquet directory's small files — the operational answer
+    * to streaming sinks and high-parallelism writes leaving thousands of
+    * KB-sized files per partition (each one a scan task + a NameNode
+    * entry at 100 TB). Reads the directory, repartitions to
+    * `ceil(rows / targetRecordsPerFile)` tasks (optionally RANGE-
+    * partitioned + sorted by `sortCols`, preserving a clustered layout's
+    * min/max pruning through the rewrite), writes to a sibling temp dir,
+    * then atomically swaps via two FS renames. Content is byte-for-byte
+    * the same rows; the swap window (old gone → new in place) is the
+    * non-transactional-FS caveat, documented rather than hidden — on
+    * object stores front this with a manifest or table format.
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, dir: String,
+              targetRecordsPerFile: Long,
+              sortCols: Seq[String] = Nil): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: String): Int =
+      fs.listStatus(new Path(p)).count(_.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles(dir)
+    val df = spark.read.parquet(dir)
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    val shaped =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols.map(df.col): _*)
+          .sortWithinPartitions(sortCols.map(df.col): _*)
+      else df.repartition(nFiles)
+    val tmp = dir.stripSuffix("/") + "_compacting"
+    val old = dir.stripSuffix("/") + "_precompact"
+    shaped.write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .option("compression", "snappy")
+      .parquet(tmp)
+    fs.rename(new Path(dir), new Path(old))
+    fs.rename(new Path(tmp), new Path(dir))
+    fs.delete(new Path(old), true)
+    (before, parquetFiles(dir))
+  }
+
   /** Read a view; partition-column predicates prune directories via
     * Catalyst (`PruneFileSourcePartitions`) — the Spark-native form of the
     * reference's path-constructed day reads. */

@@ -513,4 +513,32 @@ class PipelineSpec extends SparkSpec {
       assert(!hit("not-a-fingerprint-in-this-view"))
     } finally reader.close()
   }
+
+  test("BatchView.compact collapses small files, preserves rows, keeps sorted layout") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString + "/t"
+    val rows = (0L until 500L).map(i => (i, s"v$i"))
+    // a deliberately fragmented write: many tiny files
+    rows.toDF("k", "v").repartition(25).write.parquet(dir)
+    val (before, after) = BatchView.compact(spark, dir,
+      targetRecordsPerFile = 250L, sortCols = Seq("k"))
+    assert(before >= 20)
+    assert(after == 2)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 500L)
+    assert(back.as[(Long, String)].collect().sortBy(_._1).toSeq ===
+      rows.sortBy(_._1).toSeq)
+    // range-partitioned rewrite: per-file key ranges must be DISJOINT, so
+    // a point predicate prunes to one file via parquet min/max
+    import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
+    val ranges = back
+      .select(input_file_name().as("f"), col("k"))
+      .groupBy(col("f")).agg(fmin(col("k")).as("lo"), fmax(col("k")).as("hi"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(ranges.length == 2)
+    assert(ranges(0)._3 < ranges(1)._2)
+    // idempotent: compacting an already-compact dir keeps 2 files
+    val (b2, a2) = BatchView.compact(spark, dir, 250L, Seq("k"))
+    assert(b2 == 2 && a2 == 2)
+  }
 }
