@@ -88,6 +88,23 @@ object Retrieval {
         explode(TextOps.tokens(col(textCol))).as("token"))
       .distinct()
 
+  /** Stopword elision for the scale path: drop query terms whose df
+    * exceeds `maxDfFrac · N` BEFORE the postings join. Exact BM25 pays
+    * Σ_t df(t) candidate rows per query term — at 10⁹ docs one "the"
+    * is 10⁹ postings, and its near-zero idf cannot change any top-k
+    * that matters. This is the standard bounded-recall trade (Lucene's
+    * stopword/maxClauseCount territory, short of full WAND): scores of
+    * surviving docs drop by at most Σ_elided idf·tfn ≈ 0, but docs
+    * matched ONLY by elided terms vanish rather than scoring ≈ 0 —
+    * which is why the oracle-gated queries run unpruned. Terms-sized
+    * work: dfreq join + broadcast stats, no corpus touch. */
+  def elideHighDf(qTerms: DataFrame, dfreq: DataFrame, stats: DataFrame,
+                  maxDfFrac: Double): DataFrame =
+    qTerms.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(stats))
+      .where(col("df").cast("double") <= lit(maxDfFrac) * col("n").cast("double"))
+      .select(col("query_id"), col("token"))
+
   /** Exact-integer odds-idf BM25 over prebuilt index artifacts:
     * `(query_id, doc_id, score_pico)`, one row per query × matched doc.
     *

@@ -150,6 +150,27 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("elideHighDf drops only ubiquitous query terms") {
+    // "a" in 3/3 docs (df frac 1.0), "b" in 2/3, "c" in 1/3
+    val corpus = Seq(0L -> "a b c", 2L -> "a b", 4L -> "a")
+    val queries = Seq(1L -> "a b c")
+    val (post, dfreq, dl, stats) =
+      Retrieval.bm25Index(corpusDf(corpus), "text", "doc_id")
+    val qt = Retrieval.queryTerms(corpusDf(queries), "text", "doc_id")
+    val kept = Retrieval.elideHighDf(qt, dfreq, stats, maxDfFrac = 0.7)
+      .select("token").as[String].collect().sorted.toSeq
+    assert(kept === Seq("b", "c"))
+    // scoring the elided suite == scoring with the term absent entirely
+    val pruned = Retrieval.bm25OddsScoresPrebuilt(
+      Retrieval.elideHighDf(qt, dfreq, stats, 0.7), post, dfreq, dl, stats)
+    val noA = Retrieval.bm25OddsScores(
+      Seq(1L -> "b c").toDF("doc_id", "text"), corpusDf(corpus),
+      "text", "doc_id")
+    val key = Seq("query_id", "doc_id", "score_pico").map(col)
+    assert(pruned.orderBy(key: _*).collect().toSeq ===
+      noA.orderBy(key: _*).collect().toSeq)
+  }
+
   test("rrfFuse sums floor(1e12/(k0+rank)) across arms") {
     val armA = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 10L, 1))
       .toDF("query_id", "doc_id", "rank")
