@@ -1216,6 +1216,20 @@ object TextQueries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // ───── the pretraining data-prep tail composed end-to-end: train
+    // BPE merges → encode docs to id streams → pack the REAL subword
+    // counts into capacity-256 context windows (doc order, straight-
+    // line packer) — each stage its own gated operator (q116, q139,
+    // q88) ─────
+    "q141_bpe_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.BpeVocab.trainLocal(docs, "text", numMerges = 8)
+      graft.text.Packing.packSequences(
+          graft.text.BpeVocab.encode(docs, "text", "doc_id", merges),
+          "doc_id", "n_tokens", capacity = 256L)
+        .orderBy(col("doc_id"), col("seq"))
+    }),
+
     // ───── q136's PREBUILT form — retrieval as the recurring job it is:
     // postings/dl/stats built once by bm25Index (at scale: persisted,
     // postings bucketed by token), each query suite probes without
@@ -2637,6 +2651,30 @@ object TextQueries {
             FROM f)
           SELECT query_id, doc_id, rrf_pico, n_arms FROM r WHERE rk <= 5
           ORDER BY query_id, doc_id""",
+
+    // q139's merge-chain subword counts spliced into q88's packing
+    // replay — the composed stages keep their own gated arithmetic
+    "q141_bpe_pack" ->
+      s"""WITH ${bpeCtes(8)},
+          seg AS (SELECT word, CAST(len(ss) AS BIGINT) AS nsub FROM w8),
+          dw AS (SELECT doc_id, unnest($toks) AS word
+                 FROM documents WHERE text IS NOT NULL),
+          dn AS (SELECT d.doc_id, CAST(sum(g.nsub) AS BIGINT) AS n
+                 FROM dw d JOIN seg g USING (word)
+                 WHERE length(d.word) > 0
+                 GROUP BY d.doc_id),
+          c AS (SELECT doc_id, n,
+                 CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum0
+                FROM dn WHERE n > 0)
+          SELECT doc_id, s.seq AS seq,
+            GREATEST(s.seq * 256 - cum0, 0) AS doc_tok_start,
+            LEAST(n, (s.seq + 1) * 256 - cum0) AS doc_tok_end,
+            GREATEST(cum0 - s.seq * 256, 0) AS seq_tok_start
+          FROM c, LATERAL (SELECT unnest(generate_series(
+            cum0 // 256, (cum0 + n - 1) // 256)) AS seq) s
+          ORDER BY doc_id, seq""",
 
     // same merge chain; ids = row_number − 1 over the distinct final
     // subwords under binary collation (== the operator's UTF-8 byte
