@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   *    is moderate; it is a DIFFERENT (log-free) scoring function and is
   *    documented as such — the spec pins top-k agreement with the
   *    production scorer on the fixture corpus.
-  *  - [[bm25Scores]] — the PRODUCTION scorer: Lucene-style
+  *  - [[bm25ScoresPrebuilt]]/[[bm25TopK]] — the PRODUCTION scorer: Lucene-style
   *    `ln(1 + odds)` idf in doubles (always positive, no clamp cliff).
   *    Not oracle-gated (transcendental replay across engines is a
   *    documented flake risk — the round-7 ccnet lesson); gated instead
@@ -79,6 +79,25 @@ object Retrieval {
       TextOps.tokenCount(col(textCol)).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
     (postings, dfreq, dl, stats)
+  }
+
+  /** Merge two corpus indexes — the daily-ingest path: yesterday's
+    * persisted artifacts + today's batch index, NO raw-text re-scan.
+    * Doc sets must be disjoint (the incremental contract everywhere in
+    * graft): postings and dl then union WITHOUT re-aggregation — at
+    * scale, append today's postings into the same token-bucketed table
+    * and the layout survives — while df (vocab-sized) and the 1-row
+    * stats re-aggregate cheaply. Spec-pinned identical to rebuilding
+    * over the concatenated corpus. */
+  def bm25IndexMerge(a: (DataFrame, DataFrame, DataFrame, DataFrame),
+                     b: (DataFrame, DataFrame, DataFrame, DataFrame))
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (aPost, aDf, aDl, aStats) = a
+    val (bPost, bDf, bDl, bStats) = b
+    (aPost.unionByName(bPost),
+      aDf.unionByName(bDf).groupBy(col("token")).agg(sum(col("df")).as("df")),
+      aDl.unionByName(bDl),
+      aStats.unionByName(bStats).agg(sum(col("n")).as("n"), sum(col("s")).as("s")))
   }
 
   /** Distinct query terms `(query_id, token)` from a query table —

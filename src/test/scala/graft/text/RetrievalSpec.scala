@@ -150,6 +150,31 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("bm25IndexMerge equals a full rebuild over the concatenated corpus") {
+    val dayA = Seq(0L -> "alpha beta gamma", 2L -> "beta beta delta")
+    val dayB = Seq(4L -> "gamma delta epsilon epsilon", 6L -> "alpha beta")
+    val queries = Seq(1L -> "beta epsilon alpha")
+    val merged = Retrieval.bm25IndexMerge(
+      Retrieval.bm25Index(corpusDf(dayA), "text", "doc_id"),
+      Retrieval.bm25Index(corpusDf(dayB), "text", "doc_id"))
+    val rebuilt = Retrieval.bm25Index(corpusDf(dayA ++ dayB), "text", "doc_id")
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col): _*).collect().toSeq
+    assert(sortedRows(merged._1) === sortedRows(rebuilt._1))
+    assert(sortedRows(merged._2) === sortedRows(rebuilt._2))
+    assert(sortedRows(merged._3) === sortedRows(rebuilt._3))
+    assert(sortedRows(merged._4) === sortedRows(rebuilt._4))
+    // and scoring through the merged artifacts is identical
+    val qt = Retrieval.queryTerms(corpusDf(queries), "text", "doc_id")
+    val viaMerged = Retrieval.bm25OddsScoresPrebuilt(
+      qt, merged._1, merged._2, merged._3, merged._4)
+    val viaRebuilt = Retrieval.bm25OddsScoresPrebuilt(
+      qt, rebuilt._1, rebuilt._2, rebuilt._3, rebuilt._4)
+    val key = Seq("query_id", "doc_id", "score_pico").map(col)
+    assert(viaMerged.orderBy(key: _*).collect().toSeq ===
+      viaRebuilt.orderBy(key: _*).collect().toSeq)
+  }
+
   test("elideHighDf drops only ubiquitous query terms") {
     // "a" in 3/3 docs (df frac 1.0), "b" in 2/3, "c" in 1/3
     val corpus = Seq(0L -> "a b c", 2L -> "a b", 4L -> "a")
