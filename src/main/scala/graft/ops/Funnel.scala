@@ -108,6 +108,35 @@ object Funnel {
       .agg(count(lit(1)).cast("long").as("n_active"))
   }
 
+  /** [[rollingActive]]'s sketch path — the 10⁹-actives form: per-bucket
+    * HLL sketches (`hll_sketch_agg`, ~2ᵏ bytes each) replace the
+    * distinct (key, bucket) set, the `sequence` fan-out ships ONE
+    * sketch row per (bucket, window end) instead of one row per key,
+    * and each window's count is `hll_sketch_estimate` over
+    * `hll_union_agg`. Task state is O(sketches), independent of key
+    * cardinality; per-bucket sketches are the persistable daily
+    * artifact (union yesterday's stored sketches, never rescan raw
+    * events — the same merge discipline as [[graft.udafs.Sketches]]).
+    * lgK 12 ⇒ ~1.6 % standard error; the exact operator remains the
+    * verification path. Returns (bucket, n_active_approx). */
+  def rollingActiveApprox(events: DataFrame, keyCol: String, tsCol: String,
+                          bucketNanos: Long, windowBuckets: Int,
+                          lgConfigK: Int = 12): DataFrame = {
+    require(windowBuckets >= 1, "window must span at least one bucket")
+    val perBucket = events
+      .select(col(keyCol), expr(s"`$tsCol` div ${bucketNanos}L").as("__b"))
+      .groupBy(col("__b"))
+      .agg(hll_sketch_agg(col(keyCol), lit(lgConfigK)).as("__sk"))
+    val newest = perBucket.agg(max(col("__b")).as("__mb"))
+    perBucket.crossJoin(broadcast(newest))
+      .select(col("__sk"), explode(sequence(col("__b"),
+        least(col("__b") + lit(windowBuckets - 1L), col("__mb"))))
+        .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"), lit(false)))
+        .as("n_active_approx"))
+  }
+
   /** Conversion counts per step depth: (step, n_users) for 1..N. ONE
     * aggregate over [[funnelTimes]]. */
   def funnelCounts(events: DataFrame, userCol: String, typeCol: String,

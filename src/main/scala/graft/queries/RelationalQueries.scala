@@ -355,6 +355,25 @@ object RelationalQueries {
           "user_id", "tn", bucketNanos = 86400L * 1000000000L,
           windowBuckets = 7)
         .orderBy(col("bucket"))
+    }),
+
+    // ───── q138's SKETCH path anchored by its exact twin (the q63/q130
+    // bounded-verdict pattern): per-day HLL sketches unioned per window,
+    // estimate pinned within 5% (or ±1) of the exact count — the oracle
+    // replays the exact half and expects every verdict TRUE ─────
+    "q142_rolling_active_approx" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val ev = e.select(col("user_id"), Tables.tsNanos(e).as("tn"))
+      val exact = graft.ops.Funnel.rollingActive(ev, "user_id", "tn",
+        bucketNanos = 86400L * 1000000000L, windowBuckets = 7)
+      val approx = graft.ops.Funnel.rollingActiveApprox(ev, "user_id", "tn",
+        bucketNanos = 86400L * 1000000000L, windowBuckets = 7)
+      exact.join(approx, Seq("bucket"))
+        .select(col("bucket"), col("n_active"),
+          (abs(col("n_active_approx") - col("n_active")).cast("double") <=
+            greatest(col("n_active").cast("double") * 0.05, lit(1.0)))
+            .as("hll_ok"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -641,6 +660,20 @@ object RelationalQueries {
            FROM e CROSS JOIN m,
              UNNEST(range(b, least(b + 7, mb + 1))) AS u(t))
          SELECT bucket, CAST(count(*) AS BIGINT) AS n_active
+         FROM t GROUP BY bucket ORDER BY bucket""",
+
+    // exact half replayed; the sketch estimate's 5% verdict is pinned
+    "q142_rolling_active_approx" ->
+      """WITH e AS (
+           SELECT DISTINCT user_id,
+             epoch_ns(ts) // 86400000000000 AS b FROM events),
+         m AS (SELECT max(b) AS mb FROM e),
+         t AS (
+           SELECT DISTINCT user_id, u.t AS bucket
+           FROM e CROSS JOIN m,
+             UNNEST(range(b, least(b + 7, mb + 1))) AS u(t))
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_active,
+           TRUE AS hll_ok
          FROM t GROUP BY bucket ORDER BY bucket"""
   )
 }

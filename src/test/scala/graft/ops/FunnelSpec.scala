@@ -95,6 +95,23 @@ class FunnelSpec extends SparkSpec {
     assert(out == model)
   }
 
+  test("rollingActiveApprox tracks the exact counts within the HLL error band") {
+    val rnd = new scala.util.Random(123)
+    val events = Seq.fill(3000)(
+      (rnd.nextInt(800).toLong, rnd.nextInt(300).toLong * 5L))
+    val exact = Funnel.rollingActive(events.toDF("user_id", "tn"),
+        "user_id", "tn", bucketNanos = 100L, windowBuckets = 7)
+      .as[(Long, Long)].collect().toMap
+    val approx = Funnel.rollingActiveApprox(events.toDF("user_id", "tn"),
+        "user_id", "tn", bucketNanos = 100L, windowBuckets = 7)
+      .as[(Long, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (b, n) =>
+      assert(math.abs(approx(b) - n) <= math.max(0.05 * n, 1.0),
+        s"bucket $b exact $n approx ${approx(b)}")
+    }
+  }
+
   test("funnelCounts: monotone conversion depths") {
     val events = Seq(
       (1L, "A", 1L), (1L, "B", 2L), (1L, "C", 3L),
