@@ -357,6 +357,26 @@ object RelationalQueries {
         .orderBy(col("bucket"))
     }),
 
+    // ───── user-path analysis: the top-20 most common per-session
+    // event-type sequences — gap sessionization (q52's operator), one
+    // session-keyed ordered assembly, one path count, TakeOrdered ─────
+    "q143_session_paths" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val sess = Relational.sessionize(
+        e.select(col("user_id"), Tables.tsNanos(e).as("ts"),
+          col("event_id"), col("event_type")),
+        Seq("user_id"), "ts", gap = 30L * 60L * 1000000000L)
+      sess.groupBy(col("user_id"), col("session_id"))
+        .agg(concat_ws(">", transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    }),
+
     // ───── q138's SKETCH path anchored by its exact twin (the q63/q130
     // bounded-verdict pattern): per-day HLL sketches unioned per window,
     // estimate pinned within 5% (or ±1) of the exact count — the oracle
@@ -661,6 +681,27 @@ object RelationalQueries {
              UNNEST(range(b, least(b + 7, mb + 1))) AS u(t))
          SELECT bucket, CAST(count(*) AS BIGINT) AS n_active
          FROM t GROUP BY bucket ORDER BY bucket""",
+
+    // q52's session CTEs + ordered string_agg; (ts, event_id) totally
+    // orders within a session so both engines assemble identical paths
+    "q143_session_paths" ->
+      """WITH f AS (
+           SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         s AS (
+           SELECT user_id, ts, event_id, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM f),
+         p AS (
+           SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+           FROM s GROUP BY user_id, session_id)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         FROM p GROUP BY path
+         ORDER BY n_sessions DESC, path LIMIT 20""",
 
     // exact half replayed; the sketch estimate's 5% verdict is pinned
     "q142_rolling_active_approx" ->
