@@ -1,0 +1,63 @@
+package graft.jobs
+
+import graft.SparkSpec
+import graft.text.Retrieval
+import org.apache.spark.sql.functions._
+
+/** Two-day BM25 index maintenance: appended artifacts score identically
+  * to a full rebuild, and the appended bucketed postings still feed the
+  * probe join without a corpus-side exchange. */
+class RetrievalIndexJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cleanup(): Unit =
+    Seq(RetrievalIndexJob.PostingsTable, RetrievalIndexJob.DfTable,
+      RetrievalIndexJob.DlTable, RetrievalIndexJob.StatsTable)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  test("two-day ingest == full rebuild; appended postings probe exchange-free") {
+    cleanup()
+    val day1 = Seq(0L -> "alpha beta gamma", 2L -> "beta beta delta")
+    val day2 = Seq(4L -> "gamma delta epsilon epsilon", 6L -> "alpha beta zeta")
+    val queries = Seq(1L -> "beta epsilon zeta alpha")
+    try {
+      RetrievalIndexJob.runDay(spark, day1.toDF("doc_id", "text"),
+        "20240101", "text", "doc_id", buckets = 4)
+      RetrievalIndexJob.runDay(spark, day2.toDF("doc_id", "text"),
+        "20240102", "text", "doc_id", buckets = 4)
+      val viaJob = RetrievalIndexJob.score(spark,
+        queries.toDF("doc_id", "text"), "text", "doc_id")
+      val rebuilt = Retrieval.bm25OddsScores(
+        queries.toDF("doc_id", "text"),
+        (day1 ++ day2).toDF("doc_id", "text"), "text", "doc_id")
+      val key = Seq("query_id", "doc_id", "score_pico").map(col)
+      assert(viaJob.orderBy(key: _*).collect().toSeq ===
+        rebuilt.orderBy(key: _*).collect().toSeq)
+
+      // the day-2 append must keep the bucket layout: walking up from the
+      // postings scan, no shuffle before the first join
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.{BaseJoinExec => JoinNode}
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val plan = RetrievalIndexJob.score(spark,
+            queries.toDF("doc_id", "text"), "text", "doc_id")
+          .queryExecution.executedPlan
+        def pathToScan(p: SparkPlan): Option[List[SparkPlan]] = p match {
+          case f: FileSourceScanExec =>
+            if (f.tableIdentifier.exists(_.table ==
+              RetrievalIndexJob.PostingsTable)) Some(List(p))
+            else None
+          case _ => p.children.view.flatMap(pathToScan).headOption.map(p :: _)
+        }
+        val path = pathToScan(plan)
+        assert(path.nonEmpty, s"plan must read the postings table\n$plan")
+        val belowJoin = path.get.reverse.takeWhile(!_.isInstanceOf[JoinNode])
+        assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"appended postings must reach their join without an exchange\n$plan")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    } finally cleanup()
+  }
+}
