@@ -379,7 +379,10 @@ object RelationalQueries {
 
     // ───── q138's SKETCH path anchored by its exact twin (the q63/q130
     // bounded-verdict pattern): per-day HLL sketches unioned per window,
-    // estimate pinned within 5% (or ±1) of the exact count — the oracle
+    // estimate pinned within 10% (or ±1) of the exact count — ≈6σ at
+    // lgK 12's 1.6% RSE, so the verdict cannot flake even if a testdata
+    // regeneration pushes the sketch out of its exact sparse regime
+    // (today's sf0.01 windows hold ~150 actives — exact); the oracle
     // replays the exact half and expects every verdict TRUE ─────
     "q142_rolling_active_approx" -> ((s, d) => {
       val e = Tables.events(s, d)
@@ -391,7 +394,7 @@ object RelationalQueries {
       exact.join(approx, Seq("bucket"))
         .select(col("bucket"), col("n_active"),
           (abs(col("n_active_approx") - col("n_active")).cast("double") <=
-            greatest(col("n_active").cast("double") * 0.05, lit(1.0)))
+            greatest(col("n_active").cast("double") * 0.10, lit(1.0)))
             .as("hll_ok"))
         .orderBy(col("bucket"))
     })
