@@ -108,6 +108,29 @@ object Funnel {
       .agg(count(lit(1)).cast("long").as("n_active"))
   }
 
+  /** Per-segment [[rollingActive]] — rolling distinct actives for every
+    * (segment, bucket): the same distinct → fan-out → distinct + count
+    * shape with the segment riding every key, so hot segments split
+    * across tasks exactly like hot buckets. The newest-bucket clamp
+    * stays GLOBAL (one shared data edge, one broadcast row) — segments
+    * report the same bucket range, absent where they had no active key. */
+  def rollingActiveBy(events: DataFrame, keyCol: String, segCol: String,
+                      tsCol: String, bucketNanos: Long,
+                      windowBuckets: Int): DataFrame = {
+    require(windowBuckets >= 1, "window must span at least one bucket")
+    val kb = events.select(col(keyCol), col(segCol),
+        expr(s"`$tsCol` div ${bucketNanos}L").as("__b"))
+      .distinct()
+    val newest = kb.agg(max(col("__b")).as("__mb"))
+    kb.crossJoin(broadcast(newest))
+      .select(col(keyCol), col(segCol), explode(sequence(col("__b"),
+        least(col("__b") + lit(windowBuckets - 1L), col("__mb"))))
+        .as("bucket"))
+      .distinct()
+      .groupBy(col(segCol), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_active"))
+  }
+
   /** [[rollingActive]]'s sketch path — the 10⁹-actives form: per-bucket
     * HLL sketches (`hll_sketch_agg`, ~2ᵏ bytes each) replace the
     * distinct (key, bucket) set, the `sequence` fan-out ships ONE

@@ -357,6 +357,18 @@ object RelationalQueries {
         .orderBy(col("bucket"))
     }),
 
+    // ───── q138 per segment: rolling 7-day actives for every
+    // (event_type, day) — the segment-analytics form, same fan-out
+    // shape with the segment riding every key ─────
+    "q144_rolling_active_by" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      graft.ops.Funnel.rollingActiveBy(
+          e.select(col("user_id"), col("event_type"), Tables.tsNanos(e).as("tn")),
+          "user_id", "event_type", "tn",
+          bucketNanos = 86400L * 1000000000L, windowBuckets = 7)
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // ───── user-path analysis: the top-20 most common per-session
     // event-type sequences — gap sessionization (q52's operator), one
     // session-keyed ordered assembly, one path count, TakeOrdered ─────
@@ -684,6 +696,21 @@ object RelationalQueries {
              UNNEST(range(b, least(b + 7, mb + 1))) AS u(t))
          SELECT bucket, CAST(count(*) AS BIGINT) AS n_active
          FROM t GROUP BY bucket ORDER BY bucket""",
+
+    // q138's replay with the segment carried through fan-out and count;
+    // the clamp stays global (max over ALL segments' activity)
+    "q144_rolling_active_by" ->
+      """WITH e AS (
+           SELECT DISTINCT user_id, event_type,
+             epoch_ns(ts) // 86400000000000 AS b FROM events),
+         m AS (SELECT max(b) AS mb FROM e),
+         t AS (
+           SELECT DISTINCT user_id, event_type, u.t AS bucket
+           FROM e CROSS JOIN m,
+             UNNEST(range(b, least(b + 7, mb + 1))) AS u(t))
+         SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n_active
+         FROM t GROUP BY event_type, bucket
+         ORDER BY event_type, bucket""",
 
     // q52's session CTEs + ordered string_agg; (ts, event_id) totally
     // orders within a session so both engines assemble identical paths

@@ -95,6 +95,26 @@ class FunnelSpec extends SparkSpec {
     assert(out == model)
   }
 
+  test("rollingActiveBy matches per-segment brute force with a global clamp") {
+    val rnd = new scala.util.Random(55)
+    val segs = Vector("a", "b", "c")
+    val events = Seq.fill(400)((rnd.nextInt(10).toLong,
+      segs(rnd.nextInt(3)), rnd.nextInt(150).toLong * 2L))
+    val w = 5
+    val out = Funnel.rollingActiveBy(events.toDF("user_id", "seg", "tn"),
+        "user_id", "seg", "tn", bucketNanos = 20L, windowBuckets = w)
+      .as[(String, Long, Long)].collect()
+      .map { case (sg, b, n) => (sg, b) -> n }.toMap
+    val kb = events.map { case (u, sg, t) => (u, sg, t / 20L) }.distinct
+    val mb = kb.map(_._3).max // GLOBAL newest bucket, across all segments
+    val model = kb
+      .flatMap { case (u, sg, b) =>
+        (b to math.min(b + w - 1, mb)).map(t => (u, sg, t)) }
+      .distinct.groupBy(x => (x._2, x._3))
+      .map { case (k, g) => k -> g.size.toLong }
+    assert(out == model)
+  }
+
   test("rollingActiveApprox tracks the exact counts within the HLL error band") {
     val rnd = new scala.util.Random(123)
     val events = Seq.fill(3000)(
