@@ -357,6 +357,43 @@ object RelationalQueries {
         .orderBy(col("bucket"))
     }),
 
+    // ───── time-to-convert distribution: the funnel's click→purchase
+    // latency bucketed into hours — one integer-div projection + one
+    // count over the gated funnelTimes frame ─────
+    "q145_conversion_latency" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      graft.ops.Funnel.funnelTimes(
+          e.select(col("user_id"), col("event_type"), Tables.tsNanos(e).as("tn")),
+          "user_id", "event_type", "tn",
+          Seq("view", "click", "purchase"), windowNanos = 3L * 86400L * 1000000000L)
+        .where(col("t3").isNotNull)
+        .select(expr("(t3 - t2) div 3600000000000").as("latency_hours"))
+        .groupBy(col("latency_hours"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("latency_hours"))
+    }),
+
+    // ───── day-over-day churn: users active on day b but not on day
+    // b+1, reported at b+1 — one distinct + one anti-join keyed
+    // (user, bucket), clamped at the newest day (no right edge beyond
+    // data). Windowed variants compose the same anti-join over
+    // rollingActive-style fan-outs ─────
+    "q146_churned_users" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val kb = e.select(col("user_id"), Tables.tsNanos(e).as("tn"))
+        .select(col("user_id"), expr("tn div 86400000000000").as("b"))
+        .distinct()
+      val newest = kb.agg(max(col("b")).as("mb"))
+      kb.select(col("user_id"), (col("b") + lit(1L)).as("bucket"))
+        .join(kb.select(col("user_id"), col("b").as("bucket")),
+          Seq("user_id", "bucket"), "left_anti")
+        .crossJoin(broadcast(newest))
+        .where(col("bucket") <= col("mb"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_churned"))
+        .orderBy(col("bucket"))
+    }),
+
     // ───── q138 per segment: rolling 7-day actives for every
     // (event_type, day) — the segment-analytics form, same fan-out
     // shape with the segment riding every key ─────
@@ -696,6 +733,43 @@ object RelationalQueries {
              UNNEST(range(b, least(b + 7, mb + 1))) AS u(t))
          SELECT bucket, CAST(count(*) AS BIGINT) AS n_active
          FROM t GROUP BY bucket ORDER BY bucket""",
+
+    // q131's chain CTEs, converters joined back for their step times
+    "q145_conversion_latency" ->
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_ns(ts) AS tn FROM events),
+         s1 AS (
+           SELECT user_id, min(tn) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (
+           SELECT e.user_id, min(s1.t1) AS t1c, min(tn) AS t2
+           FROM e JOIN s1 ON e.user_id = s1.user_id
+           WHERE event_type = 'click' AND tn > s1.t1
+             AND tn <= s1.t1 + 259200000000000
+           GROUP BY e.user_id),
+         s3 AS (
+           SELECT e.user_id, min(tn) AS t3
+           FROM e JOIN s2 ON e.user_id = s2.user_id
+           WHERE event_type = 'purchase' AND tn > s2.t2
+             AND tn <= s2.t1c + 259200000000000
+           GROUP BY e.user_id)
+         SELECT (s3.t3 - s2.t2) // 3600000000000 AS latency_hours,
+           CAST(count(*) AS BIGINT) AS n_users
+         FROM s3 JOIN s2 ON s3.user_id = s2.user_id
+         GROUP BY 1 ORDER BY 1""",
+
+    // yesterday's actives absent today, clamped at the newest day
+    "q146_churned_users" ->
+      """WITH e AS (
+           SELECT DISTINCT user_id,
+             epoch_ns(ts) // 86400000000000 AS b FROM events),
+         m AS (SELECT max(b) AS mb FROM e),
+         pri AS (SELECT user_id, b + 1 AS bucket FROM e)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_churned
+         FROM pri CROSS JOIN m
+         WHERE bucket <= mb AND NOT EXISTS (SELECT 1 FROM e
+           WHERE e.b = pri.bucket AND e.user_id = pri.user_id)
+         GROUP BY bucket ORDER BY bucket""",
 
     // q138's replay with the segment carried through fan-out and count;
     // the clamp stays global (max over ALL segments' activity)
