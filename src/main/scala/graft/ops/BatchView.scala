@@ -70,8 +70,26 @@ object BatchView {
               sortCols: Seq[String] = Nil): (Int, Int) = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir.stripSuffix("/") + "_compacting")
+    val old = new Path(dir.stripSuffix("/") + "_precompact")
+    // fail fast on leftovers from a crashed prior run: renaming onto an
+    // existing path either no-ops (local FS) or NESTS src under dst
+    // (HDFS), silently corrupting the layout — surface it instead
+    require(!fs.exists(tmp) && !fs.exists(old),
+      s"stale compaction dirs exist ($tmp / $old) — a prior run crashed " +
+        "mid-swap; inspect and remove them before compacting")
+    // a Hive-partitioned tree would be read WITH inferred partition
+    // columns and rewritten flat (directory pruning destroyed); compact
+    // each leaf partition directory instead
+    val subdirs = fs.listStatus(new Path(dir))
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+    require(subdirs.isEmpty,
+      s"$dir contains subdirectories (${subdirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
+        "compact leaf partition directories individually, not a partitioned root")
     def parquetFiles(p: String): Int =
       fs.listStatus(new Path(p)).count(_.getPath.getName.endsWith(".parquet"))
+    def renameOrThrow(src: Path, dst: Path): Unit =
+      require(fs.rename(src, dst), s"rename $src -> $dst failed")
     val before = parquetFiles(dir)
     val df = spark.read.parquet(dir)
     val rows = df.count()
@@ -81,15 +99,15 @@ object BatchView {
         df.repartitionByRange(nFiles, sortCols.map(df.col): _*)
           .sortWithinPartitions(sortCols.map(df.col): _*)
       else df.repartition(nFiles)
-    val tmp = dir.stripSuffix("/") + "_compacting"
-    val old = dir.stripSuffix("/") + "_precompact"
     shaped.write.mode("overwrite")
       .option("maxRecordsPerFile", targetRecordsPerFile)
       .option("compression", "snappy")
-      .parquet(tmp)
-    fs.rename(new Path(dir), new Path(old))
-    fs.rename(new Path(tmp), new Path(dir))
-    fs.delete(new Path(old), true)
+      .parquet(tmp.toString)
+    renameOrThrow(new Path(dir), old)
+    renameOrThrow(tmp, new Path(dir))
+    if (!fs.delete(old, true))
+      throw new java.io.IOException(
+        s"compacted $dir but could not delete the pre-compaction copy $old")
     (before, parquetFiles(dir))
   }
 

@@ -541,4 +541,34 @@ class PipelineSpec extends SparkSpec {
     val (b2, a2) = BatchView.compact(spark, dir, 250L, Seq("k"))
     assert(b2 == 2 && a2 == 2)
   }
+
+  test("BatchView.compact fails fast on stale swap dirs and on partitioned roots") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_compact_guard").toString
+    val dir = base + "/t"
+    (0L until 50L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(5).write.parquet(dir)
+    // a leftover _precompact from a crashed run must abort BEFORE any
+    // rewrite — rename onto it would nest or no-op and corrupt the layout
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(dir + "_precompact"))
+    val e1 = intercept[IllegalArgumentException] {
+      BatchView.compact(spark, dir, 250L)
+    }
+    assert(e1.getMessage.contains("stale compaction dirs"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir + "_precompact"))
+    // sanity: guard gone, compact proceeds
+    assert(BatchView.compact(spark, dir, 250L)._2 == 1)
+
+    // a Hive-partitioned root must be rejected: the rewrite would emit
+    // partition columns as data columns in a flat tree
+    val pdir = base + "/p"
+    (0L until 50L).map(i => (i, i % 3, s"v$i")).toDF("k", "day", "v")
+      .write.partitionBy("day").parquet(pdir)
+    val e2 = intercept[IllegalArgumentException] {
+      BatchView.compact(spark, pdir, 250L)
+    }
+    assert(e2.getMessage.contains("subdirectories"))
+    // leaf partition directories compact fine
+    assert(BatchView.compact(spark, pdir + "/day=0", 250L)._2 == 1)
+  }
 }
