@@ -1245,6 +1245,24 @@ object TextQueries {
             p, dfreq.localCheckpoint(eager = false), dl, stats),
           "score_pico", 3)
         .orderBy(col("query_id"), col("doc_id"))
+    }),
+
+    // ───── q136 answered through MaxScore-style pruning: rare terms
+    // (df ≤ 5% of corpus) generate candidates, per-term weight bounds
+    // close the top-3 per query, and queries where the bound does not
+    // close fall back to the unpruned fan-out — so the ORACLE is the
+    // same unpruned SQL replay: pruning is a work saver, never an
+    // answer changer ─────
+    "q147_bm25_pruned" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (postings, dfreq, dl, stats) = graft.text.Retrieval.bm25Index(
+        docs.where(col("doc_id") % 2 === 0), "text", "doc_id")
+      graft.text.Retrieval.bm25OddsTopKPruned(
+          graft.text.Retrieval.queryTerms(bm25Queries(docs), "text", "doc_id"),
+          postings.localCheckpoint(eager = false),
+          dfreq.localCheckpoint(eager = false), dl, stats,
+          k = 3, essentialDfFrac = 0.05)
+        .orderBy(col("query_id"), col("doc_id"))
     })
   )
 
@@ -3556,7 +3574,10 @@ object TextQueries {
     // the milli-quantized dl/avgdl ratio and the two micro scales divide
     // identical integers in identical order on both engines
     "q136_bm25_topk" -> bm25OddsSql,
-    "q137_bm25_prebuilt" -> bm25OddsSql
+    "q137_bm25_prebuilt" -> bm25OddsSql,
+    // the pruned path must emit EXACTLY the unpruned ranked lists —
+    // same replay; fallback guarantees it for any essentialDfFrac
+    "q147_bm25_pruned" -> bm25OddsSql
   )
 
   /** q136/q137's shared replay — the prebuilt path must emit the exact

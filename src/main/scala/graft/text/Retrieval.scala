@@ -43,8 +43,10 @@ import org.apache.spark.sql.functions._
   * persistable index
   * ([[bm25Index]]; recurring retrieval rides [[bm25ScoresPrebuilt]]
   * and never re-tokenizes the corpus, the q75/q115 prebuilt pattern).
-  * The probe side is query-term-sized and broadcasts into the postings
-  * join; candidate volume is Σ_t df(t), bounded by dropping
+  * The probe side is query-term-sized (AQE broadcasts it into the
+  * postings join from runtime sizes — no forced hint, so a
+  * corpus-sized query table degrades to a shuffle join instead of an
+  * OOM); candidate volume is Σ_t df(t), bounded by dropping
   * provably-zero-weight terms (`idf_micro` floors to 0 exactly when
   * `10⁶·(2N − 2df + 1) < 2df + 1`, i.e. ubiquitous terms in corpora
   * beyond ~5·10⁵ docs) when `pruneZeroIdf` is on. Scoring is one hash aggregate keyed
@@ -138,6 +140,32 @@ object Retrieval {
     * denominator — part of the operator's definition, applied
     * identically in the SQL replay, so both engines divide the same
     * integers in the same order. */
+  /** The per-(token, doc) exact-integer weight stream — the shared
+    * corpus side of every odds-idf entry point. Computing weights on the
+    * postings stream FIRST means the query fan-out join (output
+    * Σ_t df(t)·q(t) rows, the expensive part of exact BM25) carries one
+    * precomputed long straight into the hash aggregate instead of
+    * re-deriving the arithmetic per candidate. */
+  private def oddsPostingWeights(postings: DataFrame, dfreq: DataFrame,
+                                 dl: DataFrame, stats: DataFrame): DataFrame = {
+    val rMilli = idiv(lit(1000L) * col("dl") * col("n"), col("s"))
+    val tfnMicro = idiv(lit(22000000000L) * col("tf"),
+      lit(10000L) * col("tf") + lit(3000L) + lit(9L) * rMilli)
+    val idfMicro = greatest(
+      idiv(lit(1000000L) * (lit(2L) * col("n") - lit(2L) * col("df") + 1L),
+        lit(2L) * col("df") + 1L),
+      lit(0L))
+    postings
+      .join(dfreq, Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("token"), col("doc_id"),
+        (tfnMicro * idfMicro).as("w_pico"))
+  }
+
+  /** No broadcast hint on the query side: probe suites are small and AQE
+    * broadcasts them from runtime sizes; a FORCED hint would OOM the
+    * moment someone feeds a corpus-sized query table. */
   def bm25OddsScoresPrebuilt(qTerms: DataFrame, postings: DataFrame,
                              dfreq: DataFrame, dl: DataFrame,
                              stats: DataFrame,
@@ -152,26 +180,8 @@ object Retrieval {
           lit(2L) * col("df") + 1L)
         .select(col("token"), col("df"))
       else dfreq
-    // the per-term weight depends only on (token, doc) — compute it on
-    // the corpus-sized postings stream FIRST, so the query fan-out join
-    // (output Σ_t df(t)·q(t) rows, the expensive part of exact BM25)
-    // carries one precomputed long straight into the hash aggregate
-    // instead of re-deriving the arithmetic per candidate
-    val rMilli = idiv(lit(1000L) * col("dl") * col("n"), col("s"))
-    val tfnMicro = idiv(lit(22000000000L) * col("tf"),
-      lit(10000L) * col("tf") + lit(3000L) + lit(9L) * rMilli)
-    val idfMicro = greatest(
-      idiv(lit(1000000L) * (lit(2L) * col("n") - lit(2L) * col("df") + 1L),
-        lit(2L) * col("df") + 1L),
-      lit(0L))
-    val postW = postings
-      .join(dfKept, Seq("token"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .select(col("token"), col("doc_id"),
-        (tfnMicro * idfMicro).as("w_pico"))
-    broadcast(qTerms)
-      .join(postW, Seq("token"))
+    qTerms
+      .join(oddsPostingWeights(postings, dfKept, dl, stats), Seq("token"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("w_pico")).as("score_pico"))
   }
@@ -239,13 +249,15 @@ object Retrieval {
     val idf = log(lit(1.0) +
       (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     // same posting-side precompute as the exact variant: weights on the
-    // corpus stream, the fan-out join carries one double
+    // corpus stream, the fan-out join carries one double; no broadcast
+    // hint on the query side (AQE broadcasts small probe suites from
+    // runtime sizes — a forced hint would OOM on a corpus-sized one)
     val postW = postings
       .join(dfreq, Seq("token"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .select(col("token"), col("doc_id"), (tfn * idf).as("w"))
-    broadcast(qTerms)
+    qTerms
       .join(postW, Seq("token"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("w")).as("score"))
@@ -259,5 +271,114 @@ object Retrieval {
       bm25ScoresPrebuilt(queryTerms(queries, textCol, idCol),
         postings, dfreq, dl, stats),
       "score", k)
+  }
+
+  /** Per-term weight upper bound `(token, max_w_pico)` — one more
+    * vocab-sized aggregate over the posting-weight stream. Persist it
+    * with the index: it is what lets [[bm25OddsTopKPruned]] skip the
+    * Zipf head's postings for top-k queries. */
+  def bm25MaxWeights(postings: DataFrame, dfreq: DataFrame, dl: DataFrame,
+                     stats: DataFrame): DataFrame =
+    oddsPostingWeights(postings, dfreq, dl, stats)
+      .groupBy(col("token"))
+      .agg(max(col("w_pico")).as("max_w_pico"))
+
+  /** MaxScore-style pruned exact top-k (the WAND family's two-level
+    * idea, reshaped for a batch engine): instead of scoring every
+    * posting of every query term — Σ_t df(t) candidate rows, which at
+    * web scale means one stopword = 10⁹ postings — split each query's
+    * terms into ESSENTIAL (df ≤ `essentialDfFrac`·N, the discriminative
+    * tail) and the rest, and only essential postings GENERATE
+    * candidates. Candidates are then fully scored (all their matched
+    * terms, common ones included), so candidate scores are exactly the
+    * unpruned scores.
+    *
+    * Exactness is per-query and SELF-VERIFYING, using the per-term
+    * upper bounds of [[bm25MaxWeights]]: a doc matched ONLY by
+    * non-essential terms scores at most `ub_rest = Σ_{t non-essential}
+    * max_w(t)`, so when the query's k-th candidate score θ exceeds
+    * ub_rest (strictly — integer scores make the tie-break clean), the
+    * candidate top-k IS the unpruned top-k. Queries where the bound
+    * does not close (θ ≤ ub_rest, or fewer than k candidates) FALL BACK
+    * to the unpruned fan-out for just those queries — the result is
+    * therefore ALWAYS exact, and the pruning is purely a work saver
+    * (oracle-gated against the unpruned SQL replay for that reason).
+    *
+    * Scale shape: the decision frame (query terms × df × max_w) is
+    * probe-sized; candidate volume is Σ_{t essential} df(t) — bounded
+    * by construction since essential terms are rare; the rescore join
+    * fans each candidate doc out to its OWN postings (doc-length-
+    * bounded), never to the full term posting lists. The candidate
+    * top-k is local-checkpointed: it feeds both the verdict and the
+    * output, and it is probe-sized. */
+  def bm25OddsTopKPruned(qTerms: DataFrame, postings: DataFrame,
+                         dfreq: DataFrame, dl: DataFrame, stats: DataFrame,
+                         k: Int, essentialDfFrac: Double = 0.05): DataFrame =
+    bm25OddsTopKPrunedWithVerdict(qTerms, postings, dfreq, dl, stats,
+      k, essentialDfFrac)._1
+
+  /** [[bm25OddsTopKPruned]] plus the per-query pruning verdict
+    * `(query_id, n_top, theta, ub_rest, exact_ok)` — the spec hook that
+    * proves which queries were answered from the pruned path. */
+  private[graft] def bm25OddsTopKPrunedWithVerdict(
+      qTerms: DataFrame, postings: DataFrame, dfreq: DataFrame,
+      dl: DataFrame, stats: DataFrame, k: Int,
+      essentialDfFrac: Double): (DataFrame, DataFrame) = {
+    require(k >= 1, s"k must be positive: $k")
+    val postW = oddsPostingWeights(postings, dfreq, dl, stats)
+    val maxw = bm25MaxWeights(postings, dfreq, dl, stats)
+    // probe-sized decision frame: each query term with its df and bound
+    val qt = qTerms
+      .join(dfreq, Seq("token"))
+      .join(maxw, Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("essential",
+        col("df").cast("double") <= lit(essentialDfFrac) * col("n").cast("double"))
+    val qBounds = qt.groupBy(col("query_id"))
+      .agg(sum(when(!col("essential"), col("max_w_pico")).otherwise(lit(0L)))
+        .as("ub_rest"))
+    // candidate generation: essential postings only — the work saving
+    val candidates = qt.where(col("essential"))
+      .select(col("query_id"), col("token"))
+      .join(postings.select(col("token"), col("doc_id")), Seq("token"))
+      .select(col("query_id"), col("doc_id"))
+      .distinct()
+    // full rescore of candidates: fan each candidate doc out to its own
+    // postings, keep the query's terms — candidate scores are EXACT
+    val candScores = candidates
+      .join(postW, Seq("doc_id"))
+      .join(qTerms, Seq("query_id", "token"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w_pico")).as("score_pico"))
+    val topCand = topKPerQuery(candScores, "score_pico", k)
+      .localCheckpoint(eager = false) // probe-sized; feeds verdict AND output
+    // fresh-aliased key on the verdict branch: topCand (checkpointed)
+    // and the live qTerms/qt branch carry the SAME query_id attribute,
+    // and a semi-join between them would be an unresolvable self-join
+    val verdict = qBounds
+      .join(topCand.groupBy(col("query_id").as("__vq"))
+          .agg(count(lit(1)).as("n_top"), min(col("score_pico")).as("theta")),
+        col("query_id") === col("__vq"), "left")
+      .drop("__vq")
+      .withColumn("exact_ok",
+        col("ub_rest") === 0L ||
+          (coalesce(col("n_top"), lit(0L)) >= k &&
+            coalesce(col("theta"), lit(Long.MinValue)) > col("ub_rest")))
+    def queryIds(cond: Column): DataFrame =
+      verdict.where(cond).select(col("query_id").as("__vq"))
+    val prunedPart = topCand
+      .join(queryIds(col("exact_ok")), col("query_id") === col("__vq"),
+        "left_semi")
+    // self-repair: queries whose bound did not close rerun unpruned —
+    // exactness never depends on the frac chosen
+    val fallbackPart = topKPerQuery(
+      qTerms
+        .join(queryIds(!col("exact_ok")), col("query_id") === col("__vq"),
+          "left_semi")
+        .join(postW, Seq("token"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("w_pico")).as("score_pico")),
+      "score_pico", k)
+    (prunedPart.unionByName(fallbackPart), verdict)
   }
 }

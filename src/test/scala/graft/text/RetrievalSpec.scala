@@ -246,6 +246,99 @@ class RetrievalSpec extends SparkSpec {
     assert(multi === single)
   }
 
+  test("pruned top-k is identical to unpruned at every essentialDfFrac") {
+    val rnd = new Random(77)
+    // Zipf-flavored vocab: "the"/"of" ubiquitous, tail terms rare
+    val head = Vector("the", "of")
+    val tail = Vector("cat", "mat", "dog", "flux", "spark", "quark",
+      "nebula", "ion", "prism", "vortex")
+    val corpus = (0L until 60L).map { i =>
+      val words = Seq.fill(4 + rnd.nextInt(8))(
+        if (rnd.nextInt(3) < 2) head(rnd.nextInt(head.size))
+        else tail(rnd.nextInt(tail.size)))
+      i -> words.mkString(" ")
+    }
+    val queries = (100L until 112L).map { i =>
+      i -> Seq.fill(2 + rnd.nextInt(3))(
+        if (rnd.nextBoolean()) head(rnd.nextInt(head.size))
+        else tail(rnd.nextInt(tail.size))).mkString(" ")
+    }
+    val (post, dfreq, dl, stats) =
+      Retrieval.bm25Index(corpusDf(corpus), "text", "doc_id")
+    val qt = Retrieval.queryTerms(corpusDf(queries), "text", "doc_id")
+    val key = Seq("query_id", "doc_id", "score_pico").map(col)
+    val unpruned = Retrieval.topKPerQuery(
+        Retrieval.bm25OddsScoresPrebuilt(qt, post, dfreq, dl, stats),
+        "score_pico", 3)
+      .orderBy(key: _*).collect().toSeq
+    // frac 0 = nothing essential (pure fallback), 1 = everything
+    // essential (pure candidate path), 0.3 = mixed — all must agree
+    for (frac <- Seq(0.0, 0.3, 1.0)) {
+      val pruned = Retrieval.bm25OddsTopKPruned(
+          qt, post, dfreq, dl, stats, k = 3, essentialDfFrac = frac)
+        .orderBy(key: _*).collect().toSeq
+      assert(pruned === unpruned, s"essentialDfFrac=$frac diverged")
+    }
+  }
+
+  test("pruning verdict: stopword-heavy corpus answers from the pruned path") {
+    // every doc carries the stopword; rare terms discriminate — the
+    // candidate top-k closes the bound and no query needs fallback
+    val corpus = (0L until 30L).map { i =>
+      i -> s"the the the term$i term${i % 5}"
+    }
+    val queries = Seq(100L -> "the term3", 101L -> "the term7 term4")
+    val (post, dfreq, dl, stats) =
+      Retrieval.bm25Index(corpusDf(corpus), "text", "doc_id")
+    val qt = Retrieval.queryTerms(corpusDf(queries), "text", "doc_id")
+    val (result, verdict) = Retrieval.bm25OddsTopKPrunedWithVerdict(
+      qt, post, dfreq, dl, stats, k = 3, essentialDfFrac = 0.5)
+    val v = verdict.orderBy(col("query_id"))
+      .select(col("query_id"), col("exact_ok")).as[(Long, Boolean)]
+      .collect().toSeq
+    assert(v === Seq(100L -> true, 101L -> true),
+      "both queries must be served from the pruned path")
+    // the pruned path generated candidates from rare postings only: the
+    // stopword's 30 postings never enter candidate generation
+    val candVolume = qt.join(dfreq, Seq("token"))
+      .join(Retrieval.bm25MaxWeights(post, dfreq, dl, stats), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .where(col("df").cast("double") <= lit(0.5) * col("n").cast("double"))
+      .join(post.select(col("token"), col("doc_id")), Seq("token"))
+      .count()
+    val fullVolume = qt.join(post, Seq("token")).count()
+    assert(candVolume < fullVolume,
+      s"pruning must touch fewer postings ($candVolume vs $fullVolume)")
+    // and the answers are still the unpruned answers
+    val key = Seq("query_id", "doc_id", "score_pico").map(col)
+    val unpruned = Retrieval.topKPerQuery(
+        Retrieval.bm25OddsScoresPrebuilt(qt, post, dfreq, dl, stats),
+        "score_pico", 3)
+      .orderBy(key: _*).collect().toSeq
+    assert(result.orderBy(key: _*).collect().toSeq === unpruned)
+  }
+
+  test("scorers place no forced broadcast hint on the query side") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val corpus = Seq(0L -> "alpha beta", 2L -> "beta gamma")
+    val queries = Seq(1L -> "beta")
+    val (post, dfreq, dl, stats) =
+      Retrieval.bm25Index(corpusDf(corpus), "text", "doc_id")
+    val qt = Retrieval.queryTerms(corpusDf(queries), "text", "doc_id")
+    for (scored <- Seq(
+        Retrieval.bm25OddsScoresPrebuilt(qt, post, dfreq, dl, stats),
+        Retrieval.bm25ScoresPrebuilt(qt, post, dfreq, dl, stats))) {
+      val hints = scored.queryExecution.analyzed.collect {
+        case h: ResolvedHint => h
+      }
+      // the only hint is the documented 1-row stats merge — the query
+      // side must be AQE's decision, not a forced broadcast that OOMs
+      // on a corpus-sized query table
+      assert(hints.forall(_.child.output.map(_.name).toSet == Set("n", "s")),
+        s"unexpected broadcast hint:\n${hints.mkString("\n")}")
+    }
+  }
+
   test("top-k ranks by score then smaller doc_id, k bounds each query") {
     val scores = Seq((1L, 10L, 5L), (1L, 7L, 5L), (1L, 9L, 9L),
       (1L, 11L, 1L), (2L, 3L, 2L))
