@@ -288,8 +288,12 @@ object StreamingViews {
           val wm = state.getCurrentWatermarkMs()
           val sealAt = bucket * bucketMillis + bucketMillis
           val fresh = rows.filter(_.tsMillis >= wm).map(_.userId)
-          val users = (state.getOption.map(_.users).getOrElse(Seq.empty) ++
-            fresh).distinct
+          // carried state is ALREADY distinct: only dedup the new keys
+          // against it (a re-distinct of the whole set per micro-batch
+          // would pay O(|state|) extra on every hot bucket)
+          val prev = state.getOption.map(_.users).getOrElse(Seq.empty)
+          val prevSet = prev.toSet
+          val users = prev ++ fresh.filterNot(prevSet).toSeq.distinct
           if (wm >= sealAt) {
             state.remove()
             if (users.nonEmpty) Iterator.single(ActiveCount(bucket, users.size.toLong))
@@ -299,6 +303,66 @@ object StreamingViews {
             Iterator.empty
           } else {
             state.update(BucketContributors(users))
+            state.setTimeoutTimestamp(math.max(sealAt, wm + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** The watermark-sealed HLL sketch for one in-flight bucket —
+    * DataSketches updatable serialization, O(2^lgK) bytes regardless of
+    * key cardinality. */
+  case class BucketSketch(sketch: Array[Byte])
+  case class ActiveEstimate(bucket: Long, nActiveApprox: Long)
+
+  /** [[streamingRollingActive]]'s sketch path — the streaming twin of
+    * [[graft.ops.Funnel.rollingActiveApprox]]: the same stateless
+    * `sequence` fan-out to window ends, but per-bucket state is ONE
+    * updatable HLL sketch (the same DataSketches `HllSketch(lgK,
+    * HLL_8)` Spark's `hll_sketch_agg` builds, so stream and batch
+    * estimates agree exactly — HLL registers are order-independent
+    * maxima, asserted in StreamingSpec) instead of the exact distinct
+    * key set. State per in-flight bucket drops from O(actives) to
+    * O(2^lgK) bytes — the 10⁹-actives regime the batch sketch path
+    * exists for; the exact operator remains the verification path.
+    * Seal/late-row discipline is identical to the exact variant. */
+  def streamingRollingActiveApprox(events: Dataset[ActivityEvent],
+                                   bucketMillis: Long, windowBuckets: Int,
+                                   lgConfigK: Int = 12,
+                                   watermarkDelay: String = "0 milliseconds")
+      : Dataset[ActiveEstimate] = {
+    import events.sparkSession.implicits._
+    import org.apache.datasketches.hll.{HllSketch, TgtHllType}
+    require(windowBuckets >= 1, "window must span at least one bucket")
+    events
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .withWatermark("eventTime", watermarkDelay)
+      .select(col("userId"),
+        explode(sequence(expr(s"tsMillis div ${bucketMillis}L"),
+          expr(s"tsMillis div ${bucketMillis}L") + lit(windowBuckets - 1L)))
+          .as("bucket"),
+        col("tsMillis"), col("eventTime"))
+      .as[FanRow]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketSketch, ActiveEstimate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bucket: Long, rows: Iterator[FanRow], state: GroupState[BucketSketch]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val sealAt = bucket * bucketMillis + bucketMillis
+          val sketch = state.getOption
+            .map(s => HllSketch.heapify(s.sketch))
+            .getOrElse(new HllSketch(lgConfigK, TgtHllType.HLL_8))
+          rows.filter(_.tsMillis >= wm).foreach(r => sketch.update(r.userId))
+          if (wm >= sealAt) {
+            state.remove()
+            if (sketch.isEmpty) Iterator.empty
+            else Iterator.single(
+              ActiveEstimate(bucket, Math.round(sketch.getEstimate)))
+          } else if (sketch.isEmpty) {
+            state.remove()
+            Iterator.empty
+          } else {
+            state.update(BucketSketch(sketch.toUpdatableByteArray))
             state.setTimeoutTimestamp(math.max(sealAt, wm + 1))
             Iterator.empty
           }

@@ -510,6 +510,66 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     } finally q.stop()
   }
 
+  test("streamingRollingActiveApprox sketch estimates equal the batch sketch path") {
+    import StreamingViews.ActivityEvent
+    val dir = Files.createTempDirectory("graft_stream_ract_sk").toString
+    // enough distinct keys across buckets that the estimate is doing
+    // real work, split over two micro-batches with an out-of-order row
+    val b1 = (0L until 40L).map(u => ActivityEvent(u, 50L + u)) ++
+      (0L until 25L).map(u => ActivityEvent(u * 3, 250L + u))
+    val b2 = Seq(ActivityEvent(500L, 150L)) ++ // bucket 1, arrives late-ish
+      (0L until 30L).map(u => ActivityEvent(u * 2, 430L + u))
+    b1.toDF().write.parquet(s"$dir/in")
+    Thread.sleep(1100)
+    b2.toDF().write.mode("append").parquet(s"$dir/in")
+    val stream = StreamingViews.fileStream(spark, s"$dir/in",
+      b1.toDF().schema).as[ActivityEvent]
+    val out = StreamingViews.streamingRollingActiveApprox(stream,
+      bucketMillis = 100L, windowBuckets = 3, lgConfigK = 12,
+      watermarkDelay = "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sractsk").start()
+    try {
+      q.processAllAvailable()
+      Seq(ActivityEvent(99L, 100000000L)) // push the watermark past every seal
+        .toDF().write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      def emitted() = spark.table("sractsk").where(col("bucket") < 1000)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      var got = emitted()
+      while (got.size < 7 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        q.processAllAvailable()
+        got = emitted()
+      }
+      // batch sketch replay over the same admitted events: the stream's
+      // per-bucket updatable sketch and the batch hll_sketch_agg +
+      // hll_union_agg build the SAME HLL_8 registers (order-independent
+      // maxima), so estimates must agree EXACTLY, not within a band
+      val batch = graft.ops.Funnel.rollingActiveApprox(
+          (b1 ++ b2 :+ ActivityEvent(99L, 100000000L))
+            .map(e => (e.userId, e.tsMillis)).toDF("user_id", "tn"),
+          "user_id", "tn", bucketNanos = 100L, windowBuckets = 3,
+          lgConfigK = 12)
+        .where(col("bucket") < 1000)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got === batch)
+      // and the sketch estimate tracks the exact count on this fixture
+      val exact = graft.ops.Funnel.rollingActive(
+          (b1 ++ b2 :+ ActivityEvent(99L, 100000000L))
+            .map(e => (e.userId, e.tsMillis)).toDF("user_id", "tn"),
+          "user_id", "tn", bucketNanos = 100L, windowBuckets = 3)
+        .where(col("bucket") < 1000)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got.map(_._1) === exact.map(_._1))
+      got.zip(exact).foreach { case ((_, est), (_, ex)) =>
+        assert(math.abs(est - ex).toDouble <= math.max(2.0, 0.1 * ex),
+          s"estimate $est too far from exact $ex")
+      }
+    } finally q.stop()
+  }
+
   test("streamingUrlDedupe: canonical twins collapse across micro-batches, bloom drops crawled") {
     val dir = Files.createTempDirectory("graft_stream_url").toString
     // batch 1: a fresh URL, and one already in the crawled-history bloom
