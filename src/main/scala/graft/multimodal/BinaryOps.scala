@@ -398,6 +398,50 @@ object BinaryOps {
     }(enc)
   }
 
+  /** Deterministic grayscale PNG synthesizer: per row, a `width`×`height`
+    * raster whose cell i (row-major) holds the 8-bit gray value
+    * `(4·((id mod 7) + 1) + 4·i) mod 256` — a per-id rotation of the
+    * {0,4,…,252} ramp. Properties that make it the REAL-codec oracle
+    * fixture (PNG is lossless, so decode returns these exact values on
+    * any JVM):
+    *   - at 64 cells the value multiset is always {0,4,…,252} → the
+    *     luminance-grid mean is 126 and no cell value ties it (values
+    *     are even multiples of 4), so [[withImageFeatures]]'s ahash
+    *     bits are ulp-robust and exactly replayable in integer SQL;
+    *   - the id offset starts at 4, so cell 63's value is ≤ 24 — bit 63
+    *     never sets and the ahash stays in positive BIGINT range.
+    * This synthesizes CONTENT (unlike [[stubDecode]], which fakes
+    * metadata): it exists so real `javax.imageio` decode paths can be
+    * driven and oracle-gated without binary fixtures on disk. */
+  def synthRaster(df: DataFrame, idCol: String, width: Int, height: Int): DataFrame = {
+    require(width >= 1 && height >= 1, s"dims must be positive: ${width}x$height")
+    val outSchema = StructType(df.schema.fields :+
+      StructField("content", BinaryType))
+    val enc = ExpressionEncoder(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val a = 4 * ((id % 7).toInt + 1)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val v = (a + 4 * (y * width + x)) % 256
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        Row.fromSeq(r.toSeq :+ baos.toByteArray)
+      }
+    }(enc)
+  }
+
   /** Rebalance partitions by cumulative payload size before expensive
     * decode — avoids one task decoding all the large payloads. */
   def repartitionByPayloadSize(df: DataFrame, binCol: String, targetPartitions: Int): DataFrame =

@@ -134,6 +134,42 @@ object PipelineQueries {
           graft.ops.ZOrder.zorderKey(col("l_orderkey"), col("l_partkey"))
             .as("zkey"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ───── multimodal REAL-codec round-trip: synthesize a deterministic
+    // 8×8 grayscale PNG per doc (synthRaster — lossless, so decode is
+    // exact on any JVM), bilinear-resize it with the real Graphics2D
+    // path, and header-decode the RESIZED bytes with the real
+    // javax.imageio reader. Pixel values after bilinear interpolation
+    // are implementation-shaded (raster-level checks live in ScalaTest);
+    // the decoded container format/dims/frame-count are deterministic —
+    // the oracle-able surface of the real resize→decode pipeline ─────
+    "q148_media_real_roundtrip" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      BinaryOps.withImageMeta(
+          BinaryOps.resizeImage(
+            BinaryOps.synthRaster(ids, "doc_id", 8, 8), "content", 4, 4),
+          "doc_id", "resized")
+        .select(col("doc_id"),
+          col("media_meta.format").as("format"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"),
+          col("media_meta.n_frames").as("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ───── multimodal REAL feature extraction, oracle-gated: the real
+    // decode→luminance-grid→average-hash path over synthRaster's ramp
+    // rasters. The ramp is built so the grid mean is 126 with every
+    // cell value ≥ 4 away — ahash bits are ulp-robust and replay as
+    // pure integer SQL (bit i set iff (4·((doc_id mod 7)+1) + 4i) mod
+    // 256 ≥ 128) ─────
+    "q149_image_ahash" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      BinaryOps.withImageFeatures(
+          BinaryOps.synthRaster(ids, "doc_id", 8, 8), "content", grid = 8)
+        .select(col("doc_id"), col("ahash"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -201,6 +237,16 @@ object PipelineQueries {
       """SELECT doc_id,
          CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 240 AS INT) + 1 AS n_frames,
          CAST(CEIL((CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 240 AS INT) + 1) / 10.0) AS BIGINT) AS n_sampled
+         FROM documents ORDER BY doc_id""",
+    "q148_media_real_roundtrip" ->
+      """SELECT doc_id, 'png' AS format, 4 AS width, 4 AS height,
+         1 AS n_frames FROM documents ORDER BY doc_id""",
+    "q149_image_ahash" ->
+      """SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 64),
+           i -> CASE WHEN (4 * ((doc_id % 7) + 1) + 4 * i) % 256 >= 128
+                THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+           AS BIGINT) AS ahash
          FROM documents ORDER BY doc_id""",
     "q43_media_features" ->
       """SELECT doc_id,

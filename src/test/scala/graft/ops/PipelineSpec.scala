@@ -405,6 +405,35 @@ class PipelineSpec extends SparkSpec {
     assert(top === 2L, "ANN over PNG-derived features must surface the near-dup")
   }
 
+  test("BinaryOps: synthRaster drives the real codecs with a replayable ahash") {
+    val ids = (0L until 14L).toDF("doc_id")
+    // real decode → luminance grid → average hash over the synthesized
+    // ramp PNGs must equal the pure-integer model the oracle SQL replays
+    val feat = BinaryOps.withImageFeatures(
+        BinaryOps.synthRaster(ids, "doc_id", 8, 8), "content", grid = 8)
+      .select(col("doc_id"), col("ahash"))
+      .as[(Long, Long)].collect().toMap
+    def model(id: Long): Long = {
+      val a = 4 * ((id % 7).toInt + 1)
+      (0 until 64).foldLeft(0L)((h, i) =>
+        if ((a + 4 * i) % 256 >= 128) h | (1L << i) else h)
+    }
+    (0L until 14L).foreach(id => assert(feat(id) === model(id), s"id $id"))
+    assert(feat.values.forall(_ >= 0L), "bit 63 must never set (oracle BIGINT)")
+    assert(feat.values.toSet.size === 7, "7 distinct ramp rotations")
+    // resize → header-decode round-trip: every resized payload is a
+    // genuine 4×4 single-frame PNG under the real javax.imageio reader
+    val meta = BinaryOps.withImageMeta(
+        BinaryOps.resizeImage(
+          BinaryOps.synthRaster(ids, "doc_id", 8, 8), "content", 4, 4),
+        "doc_id", "resized")
+      .select(col("media_meta.format"), col("media_meta.width"),
+        col("media_meta.height"), col("media_meta.n_frames"))
+      .as[(String, Int, Int, Int)].collect().toSeq
+    assert(meta.size === 14)
+    assert(meta.forall(_ == ("png", 4, 4, 1)), s"unexpected meta: ${meta.distinct}")
+  }
+
   test("BinaryOps: resizeImage scales real rasters; junk and null degrade") {
     import java.awt.image.BufferedImage
     def grey(v: Int) = (v << 16) | (v << 8) | v
