@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Audience set algebra over theta sketches — the distinct-count
+  * capability HLL cannot give: HLL unions only, while theta sketches
+  * (Spark 4 ships the DataSketches implementations as built-ins)
+  * support INTERSECTION and DIFFERENCE, i.e. "users active in segment A
+  * and B", "in A but not B" — the overlap/exclusivity questions every
+  * event-analytics surface asks. Extension beyond the reference (its
+  * distinct counting is the HLL layer, [[graft.udafs.Sketches]]).
+  *
+  * Scale shape: one hash aggregate over the events builds a
+  * segment-sized sketch table (O(2^lgK) bytes per segment — the
+  * persistable daily artifact: [[mergeSegmentSketches]] re-aggregates
+  * stored sketches without rescanning raw events, the same discipline
+  * as the HLL and KLL layers). Pairwise set algebra then touches ONLY
+  * the sketch table: segment counts are inherently low-cardinality, so
+  * the pair frame is driver-built (capped and guarded) and the whole
+  * overlap matrix costs two broadcast-sized equi-joins — never a
+  * second pass over the events. Estimates are EXACT while segments stay
+  * under the sketch's nominal capacity (2^lgK entries) and ~2 % RSE
+  * beyond it — the oracle gate runs in the exact regime; the
+  * approximate regime is spec-banded in ScalaTest. */
+object Audience {
+
+  /** One theta sketch per segment: `(seg, sk)` — the persistable
+    * artifact. `seg` is cast to string (the pair frame is driver-built;
+    * a typed key adds nothing downstream). */
+  def segmentSketches(events: DataFrame, keyCol: String, segCol: String,
+                      lgK: Int = 12): DataFrame =
+    events.groupBy(col(segCol).cast("string").as("seg"))
+      .agg(theta_sketch_agg(col(keyCol), lit(lgK)).as("sk"))
+
+  /** Merge per-day sketch tables into corpus totals — sketch-sized
+    * input, no raw-event rescan. */
+  def mergeSegmentSketches(sketchTables: Seq[DataFrame], lgK: Int = 12): DataFrame = {
+    require(sketchTables.nonEmpty, "need at least one sketch table")
+    sketchTables.reduce(_.unionByName(_))
+      .groupBy(col("seg"))
+      .agg(theta_union_agg(col("sk"), lit(lgK)).as("sk"))
+  }
+
+  /** The pairwise overlap matrix over a prebuilt sketch table:
+    * `(seg_a, seg_b, n_a, n_b, n_both, n_union, n_only_a)` for every
+    * unordered segment pair (seg_a < seg_b lexicographically). The
+    * segment list is collected to the driver (guarded by `maxSegments`
+    * — segments are dashboard-cardinality by construction; the guard
+    * turns a mis-keyed call into a loud error instead of a driver OOM)
+    * and the pair frame joins the sketch table twice on equality. */
+  def segmentOverlap(sketches: DataFrame, lgK: Int = 12,
+                     maxSegments: Int = 1000): DataFrame = {
+    val spark = sketches.sparkSession
+    import spark.implicits._
+    val sk = sketches.localCheckpoint(eager = true) // both join sides reuse it
+    val segs = sk.select(col("seg")).as[String].collect().sorted
+    require(segs.length <= maxSegments,
+      s"${segs.length} segments exceed maxSegments=$maxSegments — " +
+        "is the segment column actually a key column?")
+    val pairs = segs.flatMap(a => segs.collect { case b if a < b => (a, b) })
+      .toSeq.toDF("seg_a", "seg_b")
+    pairs
+      .join(sk.select(col("seg").as("seg_a"), col("sk").as("sk_a")), Seq("seg_a"))
+      .join(sk.select(col("seg").as("seg_b"), col("sk").as("sk_b")), Seq("seg_b"))
+      .select(col("seg_a"), col("seg_b"),
+        theta_sketch_estimate(col("sk_a")).cast("long").as("n_a"),
+        theta_sketch_estimate(col("sk_b")).cast("long").as("n_b"),
+        theta_sketch_estimate(theta_intersection(col("sk_a"), col("sk_b")))
+          .cast("long").as("n_both"),
+        theta_sketch_estimate(theta_union(col("sk_a"), col("sk_b"), lit(lgK)))
+          .cast("long").as("n_union"),
+        theta_sketch_estimate(theta_difference(col("sk_a"), col("sk_b")))
+          .cast("long").as("n_only_a"))
+  }
+
+  /** Events → overlap matrix in one call (the one-shot form). */
+  def segmentOverlapFromEvents(events: DataFrame, keyCol: String,
+                               segCol: String, lgK: Int = 12): DataFrame =
+    segmentOverlap(segmentSketches(events, keyCol, segCol, lgK), lgK)
+}

@@ -446,6 +446,37 @@ object RelationalQueries {
             greatest(col("n_active").cast("double") * 0.10, lit(1.0)))
             .as("hll_ok"))
         .orderBy(col("bucket"))
+    }),
+
+    // ───── entity resolution: suffix-blocked Levenshtein join of a
+    // deterministically-dirtied name set (3rd-from-last char → 'X')
+    // back onto the originals — the record-linkage shape; the block key
+    // (last 2 chars) survives the perturbation by construction, dist ≤ 2
+    // also surfaces one-digit-apart neighbors sharing the block ─────
+    "q150_fuzzy_match" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      val dirty = cust.select(
+        (col("c_custkey") + lit(1000000L)).as("d_id"),
+        concat(substring(col("c_name"), lit(1), length(col("c_name")) - 3),
+          lit("X"), substring(col("c_name"), -2, 2)).as("d_name"))
+      graft.text.Fuzzy.blockedEditJoin(
+          dirty, "d_name", "d_id", cust, "c_name", "c_custkey",
+          suffixLen = 2, lenTol = 1, maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ───── audience set algebra: the pairwise segment-overlap matrix
+    // (∩, ∪, A∖B distinct-user counts) over per-segment THETA sketches —
+    // one aggregate over events, then sketch-only arithmetic. Segment
+    // cardinalities here sit far below the sketch's 2^12 nominal
+    // capacity, so estimates are EXACT and the oracle replays true
+    // distinct counts; the approximate regime is ScalaTest-banded ─────
+    "q151_segment_overlap" -> ((s, d) => {
+      graft.ops.Audience.segmentOverlapFromEvents(
+          Tables.events(s, d)
+            .where(col("user_id").isNotNull && col("event_type").isNotNull),
+          "user_id", "event_type")
+        .orderBy(col("seg_a"), col("seg_b"))
     })
   )
 
@@ -819,6 +850,47 @@ object RelationalQueries {
              UNNEST(range(b, least(b + 7, mb + 1))) AS u(t))
          SELECT bucket, CAST(count(*) AS BIGINT) AS n_active,
            TRUE AS hll_ok
-         FROM t GROUP BY bucket ORDER BY bucket"""
+         FROM t GROUP BY bucket ORDER BY bucket""",
+
+    // the same dirty-name build, suffix block, length band and
+    // unbounded levenshtein — Spark's threshold form returns the exact
+    // distance for every surviving pair, so the replays agree
+    "q150_fuzzy_match" ->
+      """WITH cust AS (SELECT c_custkey, c_name FROM customer),
+         dirty AS (
+           SELECT c_custkey + 1000000 AS d_id,
+             concat(substr(c_name, 1, length(c_name) - 3), 'X',
+               right(c_name, 2)) AS d_name
+           FROM customer)
+         SELECT d_id AS id_a, c_custkey AS id_b,
+           CAST(levenshtein(d_name, c_name) AS INT) AS dist
+         FROM dirty JOIN cust ON right(d_name, 2) = right(c_name, 2)
+         WHERE abs(length(d_name) - length(c_name)) <= 1
+           AND levenshtein(d_name, c_name) <= 2
+         ORDER BY id_a, id_b""",
+
+    // theta estimates are exact below nominal capacity, so the replay
+    // is plain distinct-set arithmetic
+    "q151_segment_overlap" ->
+      """WITH s AS (
+           SELECT DISTINCT event_type AS seg, user_id FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         c AS (SELECT seg, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+         p AS (SELECT x.seg AS seg_a, y.seg AS seg_b
+               FROM c x JOIN c y ON x.seg < y.seg),
+         i AS (SELECT sa.seg AS seg_a, sb.seg AS seg_b,
+                 CAST(count(*) AS BIGINT) AS n_both
+               FROM s sa JOIN s sb
+                 ON sa.user_id = sb.user_id AND sa.seg < sb.seg
+               GROUP BY 1, 2)
+         SELECT p.seg_a, p.seg_b, ca.n AS n_a, cb.n AS n_b,
+           COALESCE(i.n_both, 0) AS n_both,
+           ca.n + cb.n - COALESCE(i.n_both, 0) AS n_union,
+           ca.n - COALESCE(i.n_both, 0) AS n_only_a
+         FROM p
+         JOIN c ca ON ca.seg = p.seg_a
+         JOIN c cb ON cb.seg = p.seg_b
+         LEFT JOIN i ON i.seg_a = p.seg_a AND i.seg_b = p.seg_b
+         ORDER BY p.seg_a, p.seg_b"""
   )
 }

@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Theta-sketch audience set algebra ([[Audience]]): exact below
+  * nominal capacity, banded above it, day-merge == single pass. */
+class AudienceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def exactModel(events: Seq[(Long, String)])
+      : Map[(String, String), (Long, Long, Long, Long, Long)] = {
+    val sets = events.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val segs = sets.keys.toSeq.sorted
+    (for (a <- segs; b <- segs if a < b) yield {
+      val (sa, sb) = (sets(a), sets(b))
+      (a, b) -> (sa.size.toLong, sb.size.toLong, (sa & sb).size.toLong,
+        (sa | sb).size.toLong, (sa -- sb).size.toLong)
+    }).toMap
+  }
+
+  test("overlap matrix is exact below the sketch's nominal capacity") {
+    val rnd = new Random(7)
+    val events = (0 until 3000).map(_ =>
+      (rnd.nextInt(400).toLong, s"seg${rnd.nextInt(4)}"))
+    val got = Audience.segmentOverlapFromEvents(
+        events.toDF("user_id", "seg"), "user_id", "seg")
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7)))
+      .toMap
+    assert(got === exactModel(events))
+  }
+
+  test("estimates stay within 5% in the approximate regime") {
+    // two segments of 30k distinct users with a known 10k overlap —
+    // far past lgK 12's 4096 nominal entries
+    val a = (0L until 30000L).map(u => (u, "A"))
+    val b = (20000L until 50000L).map(u => (u, "B"))
+    val got = Audience.segmentOverlapFromEvents(
+        (a ++ b).toDF("user_id", "seg"), "user_id", "seg")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().head
+    def near(est: Long, truth: Long): Boolean =
+      math.abs(est - truth).toDouble <= 0.05 * truth
+    assert(near(got._3, 30000L), s"n_a=${got._3}")
+    assert(near(got._4, 30000L), s"n_b=${got._4}")
+    assert(near(got._5, 10000L), s"n_both=${got._5}")
+    assert(near(got._6, 50000L), s"n_union=${got._6}")
+    assert(near(got._7, 20000L), s"n_only_a=${got._7}")
+  }
+
+  test("merged per-day sketch tables equal a single-pass build") {
+    val rnd = new Random(21)
+    val all = (0 until 2000).map(_ =>
+      (rnd.nextInt(300).toLong, s"seg${rnd.nextInt(3)}"))
+    val (day1, day2) = all.splitAt(900)
+    val merged = Audience.mergeSegmentSketches(Seq(
+      Audience.segmentSketches(day1.toDF("user_id", "seg"), "user_id", "seg"),
+      Audience.segmentSketches(day2.toDF("user_id", "seg"), "user_id", "seg")))
+    val key = Seq(col("seg_a"), col("seg_b"))
+    assert(
+      Audience.segmentOverlap(merged).orderBy(key: _*).collect().toSeq ===
+        Audience.segmentOverlapFromEvents(
+          all.toDF("user_id", "seg"), "user_id", "seg")
+          .orderBy(key: _*).collect().toSeq)
+  }
+
+  test("a key-cardinality segment column fails loudly instead of OOMing") {
+    val df = (0L until 2000L).map(u => (u, s"u$u")).toDF("user_id", "seg")
+    val e = intercept[IllegalArgumentException] {
+      Audience.segmentOverlapFromEvents(df, "user_id", "seg")
+    }
+    assert(e.getMessage.contains("maxSegments"))
+  }
+}

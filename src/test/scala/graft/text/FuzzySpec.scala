@@ -1,0 +1,65 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Blocked edit-distance matching ([[Fuzzy]]): the banded kernel + the
+  * blocking discipline against a driver-side model. */
+class FuzzySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Classic DP Levenshtein — the model the banded kernel must match. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("blockedEditJoin equals the driver model on random strings") {
+    val rnd = new Random(404)
+    val alpha = "abcde"
+    def word() = Seq.fill(4 + rnd.nextInt(5))(alpha(rnd.nextInt(5))).mkString
+    val as = (0L until 60L).map(i => i -> word())
+    val bs = (1000L until 1060L).map(i => i -> word())
+    val got = Fuzzy.blockedEditJoin(
+        as.toDF("id", "s"), "s", "id", bs.toDF("id", "s"), "s", "id",
+        suffixLen = 2, lenTol = 2, maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (ia, sa) <- as
+      (ib, sb) <- bs
+      if sa.takeRight(2) == sb.takeRight(2)
+      if math.abs(sa.length - sb.length) <= 2
+      d = lev(sa, sb)
+      if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "fixture must exercise the match path")
+  }
+
+  test("blocking is the only recall loss: in-block pairs are never missed") {
+    // same suffix, distance exactly at the threshold boundary
+    val a = Seq(1L -> "kitten_zz").toDF("id", "s")
+    val b = Seq(10L -> "sitten_zz", 11L -> "sittin_zz", 12L -> "kitten_qq")
+      .toDF("id", "s")
+    val got = Fuzzy.blockedEditJoin(a, "s", "id", b, "s", "id",
+        suffixLen = 2, lenTol = 1, maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    // 10: one substitution; 11: two; 12: same string but different
+    // block suffix — the documented recall trade, never compared
+    assert(got === Set((1L, 10L, 1), (1L, 11L, 2)))
+  }
+
+  test("editDistancePairs emits each unordered pair once, no self pairs") {
+    val df = Seq(1L -> "abcd_x", 2L -> "abcf_x", 3L -> "abcd_x", 4L -> "qqqq_y")
+      .toDF("id", "s")
+    val got = Fuzzy.editDistancePairs(df, "s", "id",
+        suffixLen = 2, lenTol = 0, maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 1), (1L, 3L, 0), (2L, 3L, 1)))
+  }
+}
