@@ -170,6 +170,21 @@ object PipelineQueries {
           BinaryOps.synthRaster(ids, "doc_id", 8, 8), "content", grid = 8)
         .select(col("doc_id"), col("ahash"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ───── link-graph centrality: fixed-point PageRank over the
+    // order→part bipartite graph (the corpus-quality-weighting shape:
+    // popular parts accrue rank from the orders referencing them) — 3
+    // synchronous integer iterations, top-100 by rank then node. The
+    // oracle unrolls the same three iterations; all-integer arithmetic
+    // makes the replay bit-exact ─────
+    "q152_pagerank" -> ((s, d) => {
+      graft.ops.Graphs.pageRankFixed(
+          Tables.lineitem(s, d).select(col("l_orderkey").as("src"),
+            (col("l_partkey") + lit(1000000000L)).as("dst")),
+          "src", "dst", iterations = 3)
+        .orderBy(col("rank_micro").desc, col("node"))
+        .limit(100)
     })
   )
 
@@ -238,6 +253,37 @@ object PipelineQueries {
          CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 240 AS INT) + 1 AS n_frames,
          CAST(CEIL((CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 240 AS INT) + 1) / 10.0) AS BIGINT) AS n_sampled
          FROM documents ORDER BY doc_id""",
+    // the three iterations unrolled; `//` == Spark `div` on these
+    // non-negative operands, long sums are order-free, so bit-exact
+    "q152_pagerank" -> {
+      def step(prev: String, out: String): String =
+        s"""s$out AS (
+              SELECT e.dst, sum(r$prev.r // od.outdeg) AS s
+              FROM r$prev JOIN od ON od.src = r$prev.node
+              JOIN e ON e.src = od.src GROUP BY e.dst),
+            r$out AS (
+              SELECT node,
+                CAST(((1000 - 850) * 1000000000000) // 1000 // n
+                  + (850 * COALESCE(s, 0)) // 1000 AS BIGINT) AS r
+              FROM nodes CROSS JOIN nn
+              LEFT JOIN s$out ON s$out.dst = nodes.node)"""
+      s"""WITH e AS (
+            SELECT l_orderkey AS src, l_partkey + 1000000000 AS dst
+            FROM lineitem),
+          nodes AS (
+            SELECT DISTINCT src AS node FROM e
+            UNION SELECT DISTINCT dst FROM e),
+          nn AS (SELECT count(*) AS n FROM nodes),
+          od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                 FROM e GROUP BY 1),
+          r0 AS (SELECT node, 1000000000000 // n AS r
+                 FROM nodes CROSS JOIN nn),
+          ${step("0", "1")},
+          ${step("1", "2")},
+          ${step("2", "3")}
+          SELECT node, r AS rank_micro FROM r3
+          ORDER BY rank_micro DESC, node LIMIT 100"""
+    },
     "q148_media_real_roundtrip" ->
       """SELECT doc_id, 'png' AS format, 4 AS width, 4 AS height,
          1 AS n_frames FROM documents ORDER BY doc_id""",

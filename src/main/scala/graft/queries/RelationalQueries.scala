@@ -455,7 +455,11 @@ object RelationalQueries {
     // also surfaces one-digit-apart neighbors sharing the block ─────
     "q150_fuzzy_match" -> ((s, d) => {
       val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
-      val dirty = cust.select(
+      // every-5th customer as the dirty probe set: the operator's cost
+      // is |dirty| × block size, and the structured names make blocks
+      // dense (100 suffix blocks) — a full-set probe is the same code
+      // path at 5× the bench bill for no extra coverage
+      val dirty = cust.where(col("c_custkey") % 5 === 0).select(
         (col("c_custkey") + lit(1000000L)).as("d_id"),
         concat(substring(col("c_name"), lit(1), length(col("c_name")) - 3),
           lit("X"), substring(col("c_name"), -2, 2)).as("d_name"))
@@ -861,7 +865,7 @@ object RelationalQueries {
            SELECT c_custkey + 1000000 AS d_id,
              concat(substr(c_name, 1, length(c_name) - 3), 'X',
                right(c_name, 2)) AS d_name
-           FROM customer)
+           FROM customer WHERE c_custkey % 5 = 0)
          SELECT d_id AS id_a, c_custkey AS id_b,
            CAST(levenshtein(d_name, c_name) AS INT) AS dist
          FROM dirty JOIN cust ON right(d_name, 2) = right(c_name, 2)

@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Fixed-point PageRank ([[Graphs]]): bit-equality against a
+  * driver-side integer model, plus ranking sanity on known shapes. */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The documented integer iteration, replayed sequentially. */
+  private def model(edges: Seq[(Long, Long)], iters: Int,
+                    damp: Long): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size.toLong
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val init = 1000000000000L / n
+    val base = (1000L - damp) * 1000000000000L / 1000L / n
+    var r = nodes.map(_ -> init).toMap
+    for (_ <- 1 to iters) {
+      val s = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / outdeg(u) }.sum).toMap
+      r = nodes.map(v => v -> (base + damp * s.getOrElse(v, 0L) / 1000L)).toMap
+    }
+    r
+  }
+
+  test("pageRankFixed matches the driver-side integer model exactly") {
+    val rnd = new Random(1234)
+    val edges = (0 until 300).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val got = Graphs.pageRankFixed(edges.toDF("src", "dst"), "src", "dst",
+        iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === model(edges, 4, 850L))
+  }
+
+  test("a star hub outranks its spokes; dangling mass just leaks") {
+    // spokes 1..5 all link to hub 0; hub links nowhere (dangling)
+    val edges = (1L to 5L).map(u => (u, 0L))
+    val ranks = Graphs.pageRankFixed(edges.toDF("src", "dst"), "src", "dst",
+        iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(u => ranks(0L) > ranks(u)))
+    assert((1L to 5L).map(ranks).toSet.size === 1, "spokes tie exactly")
+    // total mass only shrinks (floor divisions + dropped dangling mass)
+    assert(ranks.values.sum <= 1000000000000L)
+  }
+}
