@@ -481,6 +481,22 @@ object RelationalQueries {
             .where(col("user_id").isNotNull && col("event_type").isNotNull),
           "user_id", "event_type")
         .orderBy(col("seg_a"), col("seg_b"))
+    }),
+
+    // ───── metrics anomaly detection: per-event-type daily counts
+    // smoothed by the integer half-life EWMA (E' = (E + n) div 2 —
+    // exact longs, bit-replayable), spikes judged against the PRIOR
+    // smoothed level. One aggregate per key over its bucket series —
+    // no windows; the oracle replays the fold as an O(n²) prefix
+    // list_reduce (series are days, not events) ─────
+    "q153_ewma_spikes" -> ((s, d) => {
+      val e = Tables.events(s, d).where(col("event_type").isNotNull)
+      graft.ops.Timeseries.ewmaAnomalies(
+          graft.ops.Timeseries.bucketCounts(
+            e.select(col("event_type"), Tables.tsNanos(e).as("tn")),
+            "event_type", "tn", bucketNanos = 86400L * 1000000000L),
+          "event_type", "bucket", "n")
+        .orderBy(col("event_type"), col("bucket"))
     })
   )
 
@@ -895,6 +911,30 @@ object RelationalQueries {
          JOIN c ca ON ca.seg = p.seg_a
          JOIN c cb ON cb.seg = p.seg_b
          LEFT JOIN i ON i.seg_a = p.seg_a AND i.seg_b = p.seg_b
-         ORDER BY p.seg_a, p.seg_b"""
+         ORDER BY p.seg_a, p.seg_b""",
+
+    // the same integer fold, replayed as a prefix list_reduce per
+    // position (E after j elements = left fold of the first j counts)
+    "q153_ewma_spikes" ->
+      """WITH c AS (
+           SELECT event_type AS k,
+             epoch_ns(ts) // 86400000000000 AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+         g AS (
+           SELECT k,
+             list_sort(list(struct_pack(bucket := bucket, n := n))) AS arr
+           FROM c GROUP BY k),
+         x AS (
+           SELECT k, arr[u.i].bucket AS bucket, arr[u.i].n AS n,
+             CASE WHEN u.i = 1 THEN NULL
+               ELSE list_reduce(
+                 list_transform(arr[1:u.i-1], e -> e.n),
+                 (a, b) -> (a + b) // 2) END AS ewma_prev
+           FROM g, UNNEST(range(1, len(arr) + 1)) AS u(i))
+         SELECT k AS event_type, bucket, n,
+           CAST(ewma_prev AS BIGINT) AS ewma_prev,
+           n > 3 * ewma_prev AS spike
+         FROM x ORDER BY event_type, bucket"""
   )
 }
