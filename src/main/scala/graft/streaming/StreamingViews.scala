@@ -369,6 +369,67 @@ object StreamingViews {
       }
   }
 
+  /** Per-key EWMA state: the running smoothed level (one long for the
+    * key's whole lifetime — EWMA memory is the point) plus the counts
+    * of buckets the watermark has not yet sealed. */
+  case class EwmaState(e: Option[Long], pending: Map[Long, Long])
+  case class EwmaPoint(key: Long, bucket: Long, n: Long,
+                       ewmaPrev: Option[Long], spike: Option[Boolean])
+
+  /** Streaming [[graft.ops.Timeseries.ewmaAnomalies]]: per-key bucket
+    * counts accumulate until the event-time watermark seals a bucket,
+    * then buckets fold into the integer half-life EWMA IN ORDER and
+    * emit with the prior level + spike verdict — equal to the batch
+    * fold over the admitted events (asserted in StreamingSpec).
+    * Sealing strictly bucket-ordered is what preserves batch parity:
+    * the fold is sequential, so emitting a later bucket before an
+    * earlier one finishes would change every subsequent level.
+    *
+    * State per key is the pending in-horizon bucket counts (bounded by
+    * delivery skew) plus ONE long of smoothed history — the streaming
+    * EWMA's whole memory, regardless of how long the key lives. */
+  def streamingEwma(events: Dataset[ActivityEvent], bucketMillis: Long,
+                    spikeFactor: Long = 3L,
+                    watermarkDelay: String = "0 milliseconds")
+      : Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    require(spikeFactor >= 1L, s"spikeFactor must be >= 1: $spikeFactor")
+    events
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[ActivityEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[ActivityEvent], state: GroupState[EwmaState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st = state.getOption.getOrElse(EwmaState(None, Map.empty))
+          // late rows (below the watermark) are dropped: their bucket is
+          // sealed and append mode cannot retract its point
+          val pending = rows.filter(_.tsMillis >= wm).foldLeft(st.pending) {
+            (m, r) =>
+              val b = r.tsMillis / bucketMillis
+              m.updated(b, m.getOrElse(b, 0L) + 1L)
+          }
+          val (ripe, open) =
+            pending.partition { case (b, _) => (b + 1L) * bucketMillis <= wm }
+          var e = st.e
+          val out = ripe.keys.toSeq.sorted.map { b =>
+            val n = ripe(b)
+            val prev = e
+            e = Some(prev.fold(n)(p => (p + n) / 2))
+            EwmaPoint(key, b, n, prev, prev.map(p => n > spikeFactor * p))
+          }
+          state.update(EwmaState(e, open))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              (open.keys.min + 1L) * bucketMillis, wm + 1))
+          // no pending buckets → no timeout: the long-lived level waits
+          // for the key's next event (state is one long + an empty map)
+          out.iterator
+      }
+  }
+
   /** Streaming corpus ingest: the stateless prefix of
     * [[graft.text.Corpus.cleanIncremental]] as a live stream —
     *

@@ -570,6 +570,59 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     } finally q.stop()
   }
 
+  test("streamingEwma seals buckets in order and equals the batch fold") {
+    import StreamingViews.ActivityEvent
+    val dir = Files.createTempDirectory("graft_stream_ewma").toString
+    // key 1: buckets 0..3 with counts 2, 1, 6, 1 (bucket 2 is a spike);
+    // the bucket-2 burst arrives partly out of order in batch 2
+    val b1 = Seq(
+      ActivityEvent(1L, 10L), ActivityEvent(1L, 90L),   // bucket 0: 2
+      ActivityEvent(1L, 150L),                          // bucket 1: 1
+      ActivityEvent(1L, 210L), ActivityEvent(1L, 220L), // bucket 2 part
+      ActivityEvent(2L, 50L))                           // key 2, bucket 0
+    val b2 = Seq(
+      ActivityEvent(1L, 230L), ActivityEvent(1L, 240L), // bucket 2 more
+      ActivityEvent(1L, 250L), ActivityEvent(1L, 260L),
+      ActivityEvent(1L, 350L))                          // bucket 3: 1
+    b1.toDF().write.parquet(s"$dir/in")
+    Thread.sleep(1100)
+    b2.toDF().write.mode("append").parquet(s"$dir/in")
+    val stream = StreamingViews.fileStream(spark, s"$dir/in",
+      b1.toDF().schema).as[ActivityEvent]
+    val out = StreamingViews.streamingEwma(stream, bucketMillis = 100L,
+      watermarkDelay = "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sewma").start()
+    try {
+      q.processAllAvailable()
+      Seq(ActivityEvent(99L, 100000000L)) // advance the watermark
+        .toDF().write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      def emitted() = spark.table("sewma").where(col("key") < 99)
+        .as[(Long, Long, Long, Option[Long], Option[Boolean])]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+      var got = emitted()
+      while (got.size < 5 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        q.processAllAvailable()
+        got = emitted()
+      }
+      // batch replay over the same admitted events
+      val batch = graft.ops.Timeseries.ewmaAnomalies(
+          graft.ops.Timeseries.bucketCounts(
+            (b1 ++ b2).map(e => (e.userId, e.tsMillis)).toDF("k", "tn"),
+            "k", "tn", bucketNanos = 100L),
+          "k", "bucket", "n")
+        .as[(Long, Long, Long, Option[Long], Option[Boolean])]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got === batch)
+      // the hand-checked spike: E after buckets 0,1 = (2+1)/2 = 1;
+      // bucket 2's count 6 > 3·1 → spike
+      assert(got.find(r => r._1 == 1L && r._2 == 2L).get._5 === Some(true))
+    } finally q.stop()
+  }
+
   test("streamingUrlDedupe: canonical twins collapse across micro-batches, bloom drops crawled") {
     val dir = Files.createTempDirectory("graft_stream_url").toString
     // batch 1: a fresh URL, and one already in the crawled-history bloom
