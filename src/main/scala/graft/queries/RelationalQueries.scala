@@ -483,6 +483,18 @@ object RelationalQueries {
         .orderBy(col("seg_a"), col("seg_b"))
     }),
 
+    // ───── entity resolution, pass two: sorted-neighborhood blocking —
+    // rows totally ordered by (name, id), each paired with its next 3
+    // neighbors, banded Levenshtein filter. The pass that recovers
+    // pairs whose edits touch q150's suffix block; no global window —
+    // range-partitioned sort + zipWithIndex + sequence-explode pairing ─────
+    "q154_sorted_neighbors" -> ((s, d) => {
+      graft.text.Fuzzy.sortedNeighborPairs(
+          Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+          "c_name", "c_custkey", window = 3, maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ───── metrics anomaly detection: per-event-type daily counts
     // smoothed by the integer half-life EWMA (E' = (E + n) div 2 —
     // exact longs, bit-replayable), spikes judged against the PRIOR
@@ -912,6 +924,19 @@ object RelationalQueries {
          JOIN c cb ON cb.seg = p.seg_b
          LEFT JOIN i ON i.seg_a = p.seg_a AND i.seg_b = p.seg_b
          ORDER BY p.seg_a, p.seg_b""",
+
+    // the same total order as a row_number window (fine in the oracle;
+    // the Spark side deliberately avoids the global window), neighbor
+    // pairs by rank distance, same unbounded levenshtein filter
+    "q154_sorted_neighbors" ->
+      """WITH s AS (SELECT c_name AS s, c_custkey AS id FROM customer),
+         r AS (SELECT s, id, row_number() OVER (ORDER BY s, id) AS rn
+               FROM s)
+         SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS INT) AS dist
+         FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+         WHERE levenshtein(a.s, b.s) <= 2
+         ORDER BY id_a, id_b""",
 
     // the same integer fold, replayed as a prefix list_reduce per
     // position (E after j elements = left fold of the first j counts)

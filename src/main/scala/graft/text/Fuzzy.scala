@@ -61,4 +61,52 @@ object Fuzzy {
     blockedEditJoin(df, textCol, idCol, df, textCol, idCol,
       suffixLen, lenTol, maxDist)
       .where(col("id_a") < col("id_b"))
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    * second standard blocking pass, recovering exactly the pairs a
+    * character-block pass can miss (edits touching the block key):
+    * rows are totally ordered by `(text, id)` and every row is paired
+    * with its next `window` neighbors in that order, then the banded
+    * kernel filters to `dist ≤ maxDist`. Union with
+    * [[editDistancePairs]] for the classic multi-pass candidate set.
+    *
+    * Shape: NO global window function — the total order comes from a
+    * range repartition + within-partition sort and `zipWithIndex`
+    * (deterministic: range boundaries and partition-local indices are
+    * functions of the data), and the neighbor pairing is a `sequence`
+    * explode (×window) equi-joined on position — the rolling-actives
+    * fan-out pattern, so hot regions split across tasks and candidate
+    * volume is exactly n·window. */
+  def sortedNeighborPairs(df: DataFrame, textCol: String, idCol: String,
+                          window: Int, maxDist: Int,
+                          numPartitions: Int = 32): DataFrame = {
+    require(window >= 1, s"window must be positive: $window")
+    val spark = df.sparkSession
+    val sorted = df
+      .select(col(textCol).cast("string").as("s"), col(idCol).cast("long").as("id"))
+      .repartitionByRange(numPartitions, col("s"), col("id"))
+      .sortWithinPartitions(col("s"), col("id"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val withPos = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row(
+          if (r.isNullAt(0)) null else r.getString(0),
+          if (r.isNullAt(1)) null else r.getLong(1), i)
+      }, schema)
+    val d = levenshtein(col("s_a"), col("s_b"), maxDist)
+    withPos
+      .select(col("id").as("id_a"), col("s").as("s_a"),
+        explode(sequence(col("pos") + 1L, col("pos") + window.toLong))
+          .as("__tgt"))
+      .join(withPos.select(col("id").as("id_b"), col("s").as("s_b"),
+        col("pos").as("__tgt")), Seq("__tgt"))
+      .select(col("id_a"), col("id_b"), d.as("dist"))
+      .where(col("dist") >= 0)
+  }
 }

@@ -54,6 +54,41 @@ class FuzzySpec extends SparkSpec {
     assert(got === Set((1L, 10L, 1), (1L, 11L, 2)))
   }
 
+  test("sortedNeighborPairs equals the global sliding-window model") {
+    val rnd = new Random(808)
+    val alpha = "abcd"
+    def word() = Seq.fill(5 + rnd.nextInt(3))(alpha(rnd.nextInt(4))).mkString
+    val rows = (0L until 80L).map(i => i -> word())
+    val got = Fuzzy.sortedNeighborPairs(rows.toDF("id", "s"), "s", "id",
+        window = 3, maxDist = 2, numPartitions = 7)
+      .as[(Long, Long, Int)].collect().toSet
+    val ordered = rows.map { case (i, s) => (s, i) }.sorted
+    val want = (for {
+      a <- ordered.indices
+      b <- (a + 1) to math.min(a + 3, ordered.size - 1)
+      d = lev(ordered(a)._1, ordered(b)._1)
+      if d <= 2
+    } yield (ordered(a)._2, ordered(b)._2, d)).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
+  test("multi-pass union: sorted neighborhood recovers suffix-edit pairs") {
+    // the edit touches the SUFFIX, so suffix blocking can never compare
+    // the pair — but the strings sort adjacently
+    val df = Seq(1L -> "kitten_aa", 2L -> "kitten_ab").toDF("id", "s")
+    val bySuffix = Fuzzy.editDistancePairs(df, "s", "id",
+      suffixLen = 2, lenTol = 0, maxDist = 2)
+    assert(bySuffix.count() === 0L, "suffix pass must miss the suffix edit")
+    val byNeighbor = Fuzzy.sortedNeighborPairs(df, "s", "id",
+      window = 1, maxDist = 2)
+    assert(byNeighbor.as[(Long, Long, Int)].collect().toSet ===
+      Set((1L, 2L, 1)))
+    // the classic composition: union of the two passes
+    val union = bySuffix.unionByName(byNeighbor).distinct()
+    assert(union.count() === 1L)
+  }
+
   test("editDistancePairs emits each unordered pair once, no self pairs") {
     val df = Seq(1L -> "abcd_x", 2L -> "abcf_x", 3L -> "abcd_x", 4L -> "qqqq_y")
       .toDF("id", "s")
