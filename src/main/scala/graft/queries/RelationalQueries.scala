@@ -495,6 +495,21 @@ object RelationalQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ───── fuzzy dedup end-to-end: suffix-blocked dist-≤1 pairs →
+    // connected components → min-id survivors — the entity-resolution
+    // composition of q150's candidate generator with q44's clustering,
+    // each stage its own gated operator ─────
+    "q155_fuzzy_clusters" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      val pairs = graft.text.Fuzzy.editDistancePairs(
+          cust, "c_name", "c_custkey",
+          suffixLen = 2, lenTol = 0, maxDist = 1)
+        .select(col("id_a"), col("id_b"))
+      graft.dedup.Dedup.dedupeByPairs(
+          cust.select(col("c_custkey")), "c_custkey", pairs)
+        .orderBy(col("c_custkey"))
+    }),
+
     // ───── metrics anomaly detection: per-event-type daily counts
     // smoothed by the integer half-life EWMA (E' = (E + n) div 2 —
     // exact longs, bit-replayable), spikes judged against the PRIOR
@@ -924,6 +939,29 @@ object RelationalQueries {
          JOIN c cb ON cb.seg = p.seg_b
          LEFT JOIN i ON i.seg_a = p.seg_a AND i.seg_b = p.seg_b
          ORDER BY p.seg_a, p.seg_b""",
+
+    // q44's recursive-CTE component replay over the levenshtein edge set
+    "q155_fuzzy_clusters" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+           FROM customer a JOIN customer b
+             ON right(a.c_name, 2) = right(b.c_name, 2)
+               AND a.c_custkey < b.c_custkey
+           WHERE length(a.c_name) = length(b.c_name)
+             AND levenshtein(a.c_name, b.c_name) <= 1),
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+           WHERE e.v <> r.u),
+         comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component
+                  FROM reach GROUP BY u)
+         SELECT c2.c_custkey, COALESCE(c.component, c2.c_custkey) AS component,
+                COALESCE(c.component, c2.c_custkey) = c2.c_custkey AS keep
+         FROM customer c2 LEFT JOIN comp c ON c2.c_custkey = c.id
+         ORDER BY c2.c_custkey""",
 
     // the same total order as a row_number window (fine in the oracle;
     // the Spark side deliberately avoids the global window), neighbor
