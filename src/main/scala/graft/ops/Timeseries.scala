@@ -67,4 +67,42 @@ object Timeseries {
     events.select(col(keyCol), expr(s"`$tsCol` div ${bucketNanos}L").as("bucket"))
       .groupBy(col(keyCol), col("bucket"))
       .agg(count(lit(1)).as("n"))
+
+  /** Rolling-window quantiles over mergeable KLL sketches — the
+    * "rolling p95 latency" metrics shape at any event volume: ONE pass
+    * builds a per-bucket KLL sketch (the persistable daily artifact,
+    * mergeable without raw rescans — the HLL rolling-actives
+    * discipline applied to QUANTILES), the `sequence` fan-out ships one
+    * sketch row per (bucket, window end), and each window's estimate
+    * comes from `kll_merge_agg` + `get_quantile`. Task state is
+    * O(k) per sketch regardless of volume. Returns
+    * `(bucket, quantile_est)` for every window end up to the newest
+    * bucket (the rollingActive clamp).
+    *
+    * KLL compaction is randomized, so past ~k values per window the
+    * ESTIMATE is not run-deterministic — but its normalized RANK error
+    * is bounded (~1.65 % at k = 200, 99 % conf.). Gates therefore pin
+    * the exact order-statistic half and a rank-band verdict (the
+    * q142/q63 bounded-anchor pattern), never the raw estimate. */
+  def rollingQuantileSketch(events: DataFrame, valueCol: String,
+                            tsCol: String, bucketNanos: Long,
+                            windowBuckets: Int, q: Double,
+                            kllK: Int = 200): DataFrame = {
+    require(windowBuckets >= 1, "window must span at least one bucket")
+    require(q > 0.0 && q < 1.0, s"quantile must be in (0, 1): $q")
+    val perBucket = events
+      .select(col(valueCol).cast("double").as("__v"),
+        expr(s"`$tsCol` div ${bucketNanos}L").as("__b"))
+      .groupBy(col("__b"))
+      .agg(kll_sketch_agg_double(col("__v"), lit(kllK)).as("__sk"))
+    val newest = perBucket.agg(max(col("__b")).as("__mb"))
+    perBucket.crossJoin(broadcast(newest))
+      .select(col("__sk"), explode(sequence(col("__b"),
+        least(col("__b") + lit(windowBuckets - 1L), col("__mb"))))
+        .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(kll_sketch_get_quantile_double(
+        kll_merge_agg_double(col("__sk"), lit(kllK)), lit(q))
+        .as("quantile_est"))
+  }
 }

@@ -495,6 +495,40 @@ object RelationalQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ───── rolling p95 over mergeable KLL sketches — q142's
+    // bounded-anchor pattern applied to QUANTILES: the exact half
+    // (order-statistic p95 per 7-day window, no interpolation) is
+    // hashed, and the sketch estimate — whose randomized compaction
+    // makes the VALUE non-replayable — is pinned by a rank-band
+    // verdict: its exact rank in the window must sit within
+    // max(5%·n, 2) of 0.95·n (≈3× KLL's k=200 error bound, so the
+    // verdict cannot flake) ─────
+    "q156_rolling_p95" -> ((s, d) => {
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+      val base = e.select(col("value").cast("double").as("v"),
+          Tables.tsNanos(e).as("tn"))
+        .select(col("v"), expr("tn div 86400000000000").as("b"))
+      val newest = base.agg(max(col("b")).as("mb"))
+      val exact = base.crossJoin(broadcast(newest))
+        .select(col("v"), explode(sequence(col("b"),
+          least(col("b") + lit(6L), col("mb")))).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          array_sort(collect_list(col("v"))).as("vals"))
+      val sk = graft.ops.Timeseries.rollingQuantileSketch(
+        e.select(col("value"), Tables.tsNanos(e).as("tn")),
+        "value", "tn", bucketNanos = 86400L * 1000000000L,
+        windowBuckets = 7, q = 0.95)
+      exact.join(sk, Seq("bucket"))
+        .select(col("bucket"), col("n"),
+          element_at(col("vals"), ceil(col("n") * lit(0.95)).cast("int"))
+            .as("p95_exact"),
+          (abs(size(filter(col("vals"), v => v <= col("quantile_est")))
+            .cast("double") - col("n") * lit(0.95)) <=
+            greatest(col("n") * lit(0.05), lit(2.0))).as("kll_rank_ok"))
+        .orderBy(col("bucket"))
+    }),
+
     // ───── fuzzy dedup end-to-end: suffix-blocked dist-≤1 pairs →
     // connected components → min-id survivors — the entity-resolution
     // composition of q150's candidate generator with q44's clustering,
@@ -939,6 +973,23 @@ object RelationalQueries {
          JOIN c cb ON cb.seg = p.seg_b
          LEFT JOIN i ON i.seg_a = p.seg_a AND i.seg_b = p.seg_b
          ORDER BY p.seg_a, p.seg_b""",
+
+    // exact half replayed (order statistic, same ceil position); the
+    // sketch's rank-band verdict is pinned TRUE
+    "q156_rolling_p95" ->
+      """WITH b AS (
+           SELECT CAST(value AS DOUBLE) AS v,
+             epoch_ns(ts) // 86400000000000 AS bkt
+           FROM events WHERE value IS NOT NULL),
+         m AS (SELECT max(bkt) AS mb FROM b),
+         t AS (SELECT v, u.t AS bucket FROM b CROSS JOIN m,
+               UNNEST(range(bkt, least(bkt + 7, mb + 1))) AS u(t)),
+         gx AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                list_sort(list(v)) AS vals FROM t GROUP BY bucket)
+         SELECT bucket, n,
+           vals[CAST(ceil(n * 0.95) AS INT)] AS p95_exact,
+           TRUE AS kll_rank_ok
+         FROM gx ORDER BY bucket""",
 
     // q44's recursive-CTE component replay over the levenshtein edge set
     "q155_fuzzy_clusters" ->

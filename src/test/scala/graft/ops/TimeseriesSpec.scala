@@ -50,6 +50,39 @@ class TimeseriesSpec extends SparkSpec {
     assert(got.map(_._5) === Seq(None, Some(false), Some(true), Some(false)))
   }
 
+  test("rollingQuantileSketch rank error stays inside the band") {
+    val rnd = new Random(91)
+    // two buckets, window 2: bucket-1's window merges both sketches;
+    // 8000 values per bucket forces real compaction
+    val events = (0 until 16000).map { i =>
+      (rnd.nextDouble() * 1000.0, (i % 2).toLong * 10L)
+    }
+    val est = Timeseries.rollingQuantileSketch(
+        events.toDF("value", "tn"), "value", "tn",
+        bucketNanos = 10L, windowBuckets = 2, q = 0.95)
+      .as[(Long, Double)].collect().toMap
+    assert(est.keySet === Set(0L, 1L))
+    def rankOf(vals: Seq[Double], x: Double): Double =
+      vals.count(_ <= x).toDouble / vals.size
+    val b0 = events.filter(_._2 == 0L).map(_._1)
+    val all = events.map(_._1)
+    assert(math.abs(rankOf(b0, est(0L)) - 0.95) <= 0.04,
+      s"bucket-0 rank ${rankOf(b0, est(0L))}")
+    assert(math.abs(rankOf(all, est(1L)) - 0.95) <= 0.04,
+      s"window rank ${rankOf(all, est(1L))}")
+  }
+
+  test("rollingQuantileSketch is the exact order statistic below capacity") {
+    // 50 values < k=200: no compaction, the sketch retains everything
+    val events = (1 to 50).map(i => (i.toDouble, 0L))
+    val est = Timeseries.rollingQuantileSketch(
+        events.toDF("value", "tn"), "value", "tn",
+        bucketNanos = 10L, windowBuckets = 1, q = 0.5)
+      .as[(Long, Double)].collect().toMap
+    // exact-mode median of 1..50 under either rank convention
+    assert(est(0L) === 25.0 || est(0L) === 26.0, s"got ${est(0L)}")
+  }
+
   test("bucketCounts uses integer div bucketing") {
     val events = Seq((1L, 999L), (1L, 1000L), (1L, 1999L), (2L, 0L))
       .toDF("k", "tn")
