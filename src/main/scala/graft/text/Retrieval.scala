@@ -313,20 +313,31 @@ object Retrieval {
     * output, and it is probe-sized. */
   def bm25OddsTopKPruned(qTerms: DataFrame, postings: DataFrame,
                          dfreq: DataFrame, dl: DataFrame, stats: DataFrame,
-                         k: Int, essentialDfFrac: Double = 0.05): DataFrame =
+                         k: Int, essentialDfFrac: Double = 0.05,
+                         prebuiltMaxW: Option[DataFrame] = None): DataFrame =
     bm25OddsTopKPrunedWithVerdict(qTerms, postings, dfreq, dl, stats,
-      k, essentialDfFrac)._1
+      k, essentialDfFrac, prebuiltMaxW)._1
 
   /** [[bm25OddsTopKPruned]] plus the per-query pruning verdict
     * `(query_id, n_top, theta, ub_rest, exact_ok)` — the spec hook that
     * proves which queries were answered from the pruned path. */
+  /** `prebuiltMaxW`: pass the persisted [[bm25MaxWeights]] table for a
+    * recurring query suite so each run skips the vocab-sized rebuild.
+    * NOTE the bounds depend on the WHOLE index's (N, S): recompute the
+    * artifact after index merges, never union per-day maxima (a
+    * stale-but-valid upper bound only costs pruning power if weights
+    * shrank; a merge GROWS N and can grow idf, which would make stale
+    * bounds unsound — hence recompute, spec-pinned identical to the
+    * inline build). */
   private[graft] def bm25OddsTopKPrunedWithVerdict(
       qTerms: DataFrame, postings: DataFrame, dfreq: DataFrame,
       dl: DataFrame, stats: DataFrame, k: Int,
-      essentialDfFrac: Double): (DataFrame, DataFrame) = {
+      essentialDfFrac: Double,
+      prebuiltMaxW: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be positive: $k")
     val postW = oddsPostingWeights(postings, dfreq, dl, stats)
-    val maxw = bm25MaxWeights(postings, dfreq, dl, stats)
+    val maxw = prebuiltMaxW.getOrElse(
+      bm25MaxWeights(postings, dfreq, dl, stats))
     // probe-sized decision frame: each query term with its df and bound
     val qt = qTerms
       .join(dfreq, Seq("token"))

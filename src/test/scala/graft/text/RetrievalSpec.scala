@@ -318,6 +318,27 @@ class RetrievalSpec extends SparkSpec {
     assert(result.orderBy(key: _*).collect().toSeq === unpruned)
   }
 
+  test("pruned top-k with a prebuilt maxw table equals the inline build") {
+    val corpus = (0L until 30L).map(i => i -> s"the the term$i term${i % 5}")
+    val queries = Seq(100L -> "the term3", 101L -> "term7 term4")
+    val (post, dfreq, dl, stats) =
+      Retrieval.bm25Index(corpusDf(corpus), "text", "doc_id")
+    val qt = Retrieval.queryTerms(corpusDf(queries), "text", "doc_id")
+    // the recurring-suite path: persist maxw once, reuse per run
+    val maxw = Retrieval.bm25MaxWeights(post, dfreq, dl, stats)
+      .localCheckpoint(eager = true)
+    val key = Seq("query_id", "doc_id", "score_pico").map(col)
+    val viaPrebuilt = Retrieval.bm25OddsTopKPruned(
+        qt, post, dfreq, dl, stats, k = 3, essentialDfFrac = 0.5,
+        prebuiltMaxW = Some(maxw))
+      .orderBy(key: _*).collect().toSeq
+    val inline = Retrieval.bm25OddsTopKPruned(
+        qt, post, dfreq, dl, stats, k = 3, essentialDfFrac = 0.5)
+      .orderBy(key: _*).collect().toSeq
+    assert(viaPrebuilt === inline)
+    assert(viaPrebuilt.nonEmpty)
+  }
+
   test("scorers place no forced broadcast hint on the query side") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val corpus = Seq(0L -> "alpha beta", 2L -> "beta gamma")
