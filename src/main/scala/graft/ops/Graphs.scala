@@ -40,17 +40,40 @@ object Graphs {
     * r'(v)   = base + (damp · Σ_{u→v} contrib(u)) div 1000
     * }}} */
   def pageRankFixed(edges: DataFrame, srcCol: String, dstCol: String,
-                    iterations: Int, dampMilli: Long = 850L): DataFrame = {
+                    iterations: Int, dampMilli: Long = 850L): DataFrame =
+    pageRankFixedImpl(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), lit(1L).as("w")),
+      iterations, dampMilli, weighted = false)
+
+  /** Edge-WEIGHTED fixed-point PageRank: a node splits its rank over
+    * out-edges proportionally to weight — `contrib(u→v) = (r(u) · w)
+    * div W(u)` with `W(u) = Σ out-weights` — the co-occurrence /
+    * interaction-strength centrality. Weights must be positive longs;
+    * keep them modest (r·w rides an int64: w ≤ ~10⁶ is safe at the
+    * 10¹² mass scale). `pageRankFixed` is the all-weights-1 special
+    * case of the same iteration. */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iterations: Int,
+                       dampMilli: Long = 850L): DataFrame =
+    pageRankFixedImpl(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w")),
+      iterations, dampMilli, weighted = true)
+
+  private def pageRankFixedImpl(edgesW: DataFrame, iterations: Int,
+                                dampMilli: Long,
+                                weighted: Boolean): DataFrame = {
     require(iterations >= 1, s"iterations must be positive: $iterations")
     require(dampMilli >= 0L && dampMilli <= 1000L,
       s"dampMilli must be in [0, 1000]: $dampMilli")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-      .localCheckpoint(eager = true) // walked every iteration
+    val e0 = if (weighted) edgesW.where(col("w") > 0L) else edgesW
+    val e = e0.localCheckpoint(eager = true) // walked every iteration
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(eager = true)
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
       .localCheckpoint(eager = true)
     // n is a driver scalar by necessity (it seeds every rank literal);
     // one count over the node table, not the edges
@@ -60,9 +83,10 @@ object Graphs {
     var ranks = nodes.select(col("node"), lit(init).as("r"))
     for (_ <- 1 to iterations) {
       val contrib = ranks
-        .join(outdeg, ranks("node") === outdeg("src"))
-        .select(col("src"), expr("r div outdeg").as("c"))
+        .join(outw, ranks("node") === outw("src"))
+        .select(col("src"), col("r"), col("outw"))
         .join(e, Seq("src"))
+        .select(col("dst"), expr("(r * w) div outw").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       ranks = nodes
         .join(contrib, nodes("node") === contrib("dst"), "left")

@@ -185,6 +185,20 @@ object PipelineQueries {
           "src", "dst", iterations = 3)
         .orderBy(col("rank_micro").desc, col("node"))
         .limit(100)
+    }),
+
+    // ───── q152's WEIGHTED form: rank splits over out-edges
+    // proportionally to l_quantity (interaction-strength centrality) —
+    // same three unrolled integer iterations, contrib = (r·w) div
+    // Σ out-weights ─────
+    "q157_pagerank_weighted" -> ((s, d) => {
+      graft.ops.Graphs.pageRankWeighted(
+          Tables.lineitem(s, d).select(col("l_orderkey").as("src"),
+            (col("l_partkey") + lit(1000000000L)).as("dst"),
+            col("l_quantity").cast("long").as("w")),
+          "src", "dst", "w", iterations = 3)
+        .orderBy(col("rank_micro").desc, col("node"))
+        .limit(100)
     })
   )
 
@@ -253,6 +267,37 @@ object PipelineQueries {
          CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 240 AS INT) + 1 AS n_frames,
          CAST(CEIL((CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 240 AS INT) + 1) / 10.0) AS BIGINT) AS n_sampled
          FROM documents ORDER BY doc_id""",
+    // the weighted iterations unrolled: contrib = (r·w) // Σ out-w
+    "q157_pagerank_weighted" -> {
+      def step(prev: String, out: String): String =
+        s"""s$out AS (
+              SELECT e.dst, sum((r$prev.r * e.w) // od.outw) AS s
+              FROM r$prev JOIN od ON od.src = r$prev.node
+              JOIN e ON e.src = od.src GROUP BY e.dst),
+            r$out AS (
+              SELECT node,
+                CAST(((1000 - 850) * 1000000000000) // 1000 // n
+                  + (850 * COALESCE(s, 0)) // 1000 AS BIGINT) AS r
+              FROM nodes CROSS JOIN nn
+              LEFT JOIN s$out ON s$out.dst = nodes.node)"""
+      s"""WITH e AS (
+            SELECT l_orderkey AS src, l_partkey + 1000000000 AS dst,
+              CAST(l_quantity AS BIGINT) AS w
+            FROM lineitem WHERE CAST(l_quantity AS BIGINT) > 0),
+          nodes AS (
+            SELECT DISTINCT src AS node FROM e
+            UNION SELECT DISTINCT dst FROM e),
+          nn AS (SELECT count(*) AS n FROM nodes),
+          od AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw
+                 FROM e GROUP BY 1),
+          r0 AS (SELECT node, 1000000000000 // n AS r
+                 FROM nodes CROSS JOIN nn),
+          ${step("0", "1")},
+          ${step("1", "2")},
+          ${step("2", "3")}
+          SELECT node, r AS rank_micro FROM r3
+          ORDER BY rank_micro DESC, node LIMIT 100"""
+    },
     // the three iterations unrolled; `//` == Spark `div` on these
     // non-negative operands, long sums are order-free, so bit-exact
     "q152_pagerank" -> {

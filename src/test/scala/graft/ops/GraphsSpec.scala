@@ -37,6 +37,55 @@ class GraphsSpec extends SparkSpec {
     assert(got === model(edges, 4, 850L))
   }
 
+  /** Weighted integer iteration replayed sequentially. */
+  private def modelW(edges: Seq[(Long, Long, Long)], iters: Int,
+                     damp: Long): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size.toLong
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val init = 1000000000000L / n
+    val base = (1000L - damp) * 1000000000000L / 1000L / n
+    var r = nodes.map(_ -> init).toMap
+    for (_ <- 1 to iters) {
+      val s = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _, w) => r(u) * w / outw(u) }.sum).toMap
+      r = nodes.map(v => v -> (base + damp * s.getOrElse(v, 0L) / 1000L)).toMap
+    }
+    r
+  }
+
+  test("pageRankWeighted matches the model; all-weights-1 equals unweighted") {
+    val rnd = new Random(555)
+    val edges = (0 until 200).map(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong,
+        rnd.nextInt(9).toLong + 1L))
+      .filter { case (a, b, _) => a != b }
+      .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq // unique (src,dst)
+    val got = Graphs.pageRankWeighted(edges.toDF("src", "dst", "w"),
+        "src", "dst", "w", iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === modelW(edges, 4, 850L))
+    // weight 1 everywhere collapses to the unweighted operator exactly
+    val ones = edges.map { case (a, b, _) => (a, b, 1L) }
+    val viaW = Graphs.pageRankWeighted(ones.toDF("src", "dst", "w"),
+        "src", "dst", "w", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    val plain = Graphs.pageRankFixed(
+        ones.map(e => (e._1, e._2)).toDF("src", "dst"), "src", "dst",
+        iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(viaW === plain)
+  }
+
+  test("weight dominance: the heavier-weighted target accrues more rank") {
+    // u 0 links to 1 (weight 9) and 2 (weight 1)
+    val edges = Seq((0L, 1L, 9L), (0L, 2L, 1L))
+    val ranks = Graphs.pageRankWeighted(edges.toDF("src", "dst", "w"),
+        "src", "dst", "w", iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(ranks(1L) > ranks(2L))
+  }
+
   test("a star hub outranks its spokes; dangling mass just leaks") {
     // spokes 1..5 all link to hub 0; hub links nowhere (dangling)
     val edges = (1L to 5L).map(u => (u, 0L))
