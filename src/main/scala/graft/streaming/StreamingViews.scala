@@ -430,6 +430,70 @@ object StreamingViews {
       }
   }
 
+  case class SegmentEvent(seg: String, userId: Long, tsMillis: Long)
+  /** One in-flight (segment, bucket) theta sketch — DataSketches
+    * updatable serialization, O(2^lgK) bytes at any key cardinality. */
+  case class SegSketch(sketch: Array[Byte])
+  /** A watermark-sealed per-(segment, bucket) audience sketch: compact
+    * bytes ready for [[graft.ops.Audience.mergeSegmentSketches]] /
+    * `theta_union_agg`, plus the distinct estimate. */
+  case class SealedSegmentSketch(seg: String, bucket: Long,
+                                 sketch: Array[Byte], nApprox: Long)
+
+  /** Streaming producer of [[graft.ops.Audience]]'s daily artifacts:
+    * per-(segment, time-bucket) THETA sketches accumulate in state and
+    * emit ONCE the event-time watermark seals the bucket — the sealed
+    * compact bytes are exactly what the batch set-algebra layer
+    * consumes (`mergeSegmentSketches` unions them across days, then
+    * `segmentOverlap` answers ∩/∪/∖ — spec-pinned equal to a batch
+    * build over the same events). Late rows below the watermark drop
+    * (the sealed sketch cannot be retracted in append mode). State per
+    * in-flight (segment, bucket) is one updatable theta sketch —
+    * bounded by the out-of-order horizon × segment count, never by
+    * user cardinality. */
+  def streamingSegmentSketches(events: Dataset[SegmentEvent],
+                               bucketMillis: Long, lgK: Int = 12,
+                               watermarkDelay: String = "0 milliseconds")
+      : Dataset[SealedSegmentSketch] = {
+    import events.sparkSession.implicits._
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.UpdateSketch
+    events
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[SegmentEvent]
+      .groupByKey(e => (e.seg, e.tsMillis / bucketMillis))
+      .flatMapGroupsWithState[SegSketch, SealedSegmentSketch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, Long), rows: Iterator[SegmentEvent],
+         state: GroupState[SegSketch]) =>
+          val (seg, bucket) = key
+          val wm = state.getCurrentWatermarkMs()
+          val sealAt = (bucket + 1L) * bucketMillis
+          val sketch = state.getOption
+            .map(s => UpdateSketch.heapify(Memory.wrap(s.sketch)))
+            .getOrElse(UpdateSketch.builder()
+              .setNominalEntries(1 << lgK).build())
+          rows.filter(_.tsMillis >= wm).foreach(r => sketch.update(r.userId))
+          if (wm >= sealAt) {
+            state.remove()
+            if (sketch.getRetainedEntries(true) == 0) Iterator.empty
+            else {
+              val compact = sketch.compact()
+              Iterator.single(SealedSegmentSketch(seg, bucket,
+                compact.toByteArray, Math.round(compact.getEstimate)))
+            }
+          } else if (sketch.getRetainedEntries(true) == 0) {
+            state.remove()
+            Iterator.empty
+          } else {
+            state.update(SegSketch(sketch.toByteArray))
+            state.setTimeoutTimestamp(math.max(sealAt, wm + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming corpus ingest: the stateless prefix of
     * [[graft.text.Corpus.cleanIncremental]] as a live stream —
     *

@@ -623,6 +623,61 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     } finally q.stop()
   }
 
+  test("streamingSegmentSketches seal to the batch theta artifacts") {
+    import StreamingViews.SegmentEvent
+    val dir = Files.createTempDirectory("graft_stream_theta").toString
+    // two segments over two 100ms buckets; u3 overlaps both segments,
+    // u1 repeats within a bucket (distinct semantics), one out-of-order
+    // arrival in batch 2
+    val b1 = Seq(
+      SegmentEvent("A", 1L, 10L), SegmentEvent("A", 1L, 20L),
+      SegmentEvent("A", 2L, 30L), SegmentEvent("B", 3L, 40L),
+      SegmentEvent("A", 3L, 150L))
+    val b2 = Seq(
+      SegmentEvent("B", 4L, 60L),   // late-ish, bucket 0
+      SegmentEvent("B", 3L, 160L), SegmentEvent("B", 5L, 170L))
+    b1.toDF().write.parquet(s"$dir/in")
+    Thread.sleep(1100)
+    b2.toDF().write.mode("append").parquet(s"$dir/in")
+    val stream = StreamingViews.fileStream(spark, s"$dir/in",
+      b1.toDF().schema).as[SegmentEvent]
+    val out = StreamingViews.streamingSegmentSketches(stream,
+      bucketMillis = 100L, watermarkDelay = "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("stheta").start()
+    try {
+      q.processAllAvailable()
+      Seq(SegmentEvent("Z", 99L, 100000000L)) // advance the watermark
+        .toDF().write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      def emitted() = spark.table("stheta").where(col("seg") =!= "Z")
+      var got = emitted().count()
+      while (got < 4 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        q.processAllAvailable()
+        got = emitted().count()
+      }
+      // per-(seg, bucket) estimates are the exact distinct counts
+      val est = emitted().select(col("seg"), col("bucket"), col("nApprox"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(est === Set(("A", 0L, 2L), ("A", 1L, 1L),
+        ("B", 0L, 2L), ("B", 1L, 2L)))
+      // the sealed bytes ARE the batch layer's artifacts: union across
+      // buckets + pairwise overlap equals a batch build over the events
+      val merged = graft.ops.Audience.mergeSegmentSketches(Seq(
+        emitted().select(col("seg"), col("sketch").as("sk"))))
+      val key = Seq(col("seg_a"), col("seg_b"))
+      val viaStream = graft.ops.Audience.segmentOverlap(merged)
+        .orderBy(key: _*).collect().toSeq
+      val viaBatch = graft.ops.Audience.segmentOverlapFromEvents(
+          (b1 ++ b2).map(e => (e.userId, e.seg)).toDF("user_id", "seg"),
+          "user_id", "seg")
+        .orderBy(key: _*).collect().toSeq
+      assert(viaStream === viaBatch)
+    } finally q.stop()
+  }
+
   test("streamingUrlDedupe: canonical twins collapse across micro-batches, bloom drops crawled") {
     val dir = Files.createTempDirectory("graft_stream_url").toString
     // batch 1: a fresh URL, and one already in the crawled-history bloom
