@@ -45,7 +45,12 @@ object RetrievalIndexJob {
   def runDay(spark: SparkSession, dayDocs: DataFrame, day: String,
              textCol: String, idCol: String, buckets: Int = 64): Unit = {
     val (post, dfreq, dl, stats) = Retrieval.bm25Index(dayDocs, textCol, idCol)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // `insertInto` takes no per-write options, so dynamic overwrite must go
+    // through the session conf — save and RESTORE it, or a later unrelated
+    // INSERT OVERWRITE would silently keep stale partitions
+    val overwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = spark.conf.getOption(overwriteModeKey)
+    spark.conf.set(overwriteModeKey, "dynamic")
     def writeDay(df: DataFrame, table: String, bucketed: Boolean): Unit = {
       val withDay = df.withColumn("day", lit(day))
       if (!spark.catalog.tableExists(table)) {
@@ -60,10 +65,15 @@ object RetrievalIndexJob {
         withDay.write.mode("overwrite").insertInto(table)
       }
     }
-    writeDay(post, PostingsTable, bucketed = true)
-    writeDay(dl, DlTable, bucketed = false)
-    writeDay(dfreq, DfTable, bucketed = false)
-    writeDay(stats, StatsTable, bucketed = false)
+    try {
+      writeDay(post, PostingsTable, bucketed = true)
+      writeDay(dl, DlTable, bucketed = false)
+      writeDay(dfreq, DfTable, bucketed = false)
+      writeDay(stats, StatsTable, bucketed = false)
+    } finally prevMode match {
+      case Some(v) => spark.conf.set(overwriteModeKey, v)
+      case None    => spark.conf.unset(overwriteModeKey)
+    }
   }
 
   /** Days present per table — the partial-ingest detector: a crash

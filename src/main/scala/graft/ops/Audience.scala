@@ -27,10 +27,13 @@ object Audience {
 
   /** One theta sketch per segment: `(seg, sk)` — the persistable
     * artifact. `seg` is cast to string (the pair frame is driver-built;
-    * a typed key adds nothing downstream). */
+    * a typed key adds nothing downstream). Null-segment rows are
+    * DROPPED here: a null is not an audience, and letting it through
+    * would NPE the driver-side pair build in [[segmentOverlap]]. */
   def segmentSketches(events: DataFrame, keyCol: String, segCol: String,
                       lgK: Int = 12): DataFrame =
-    events.groupBy(col(segCol).cast("string").as("seg"))
+    events.where(col(segCol).isNotNull)
+      .groupBy(col(segCol).cast("string").as("seg"))
       .agg(theta_sketch_agg(col(keyCol), lit(lgK)).as("sk"))
 
   /** Merge per-day sketch tables into corpus totals — sketch-sized
@@ -54,12 +57,16 @@ object Audience {
     val spark = sketches.sparkSession
     import spark.implicits._
     val sk = sketches.localCheckpoint(eager = true) // both join sides reuse it
-    val segs = sk.select(col("seg")).as[String].collect().sorted
+    val segs = sk.select(col("seg")).as[String].collect()
+    require(!segs.contains(null),
+      "sketch table contains a null segment key — filter nulls upstream " +
+        "(segmentSketches drops them) or fix the segment column")
+    val sorted = segs.sorted
+    val pairsSeq = sorted.flatMap(a => sorted.collect { case b if a < b => (a, b) })
     require(segs.length <= maxSegments,
       s"${segs.length} segments exceed maxSegments=$maxSegments — " +
         "is the segment column actually a key column?")
-    val pairs = segs.flatMap(a => segs.collect { case b if a < b => (a, b) })
-      .toSeq.toDF("seg_a", "seg_b")
+    val pairs = pairsSeq.toSeq.toDF("seg_a", "seg_b")
     pairs
       .join(sk.select(col("seg").as("seg_a"), col("sk").as("sk_a")), Seq("seg_a"))
       .join(sk.select(col("seg").as("seg_b"), col("sk").as("sk_b")), Seq("seg_b"))

@@ -38,11 +38,14 @@ object BatchView {
             bloomFilterCols: Seq[String] = Nil,
             bloomFilterNdv: Long = 1000000L): Unit = {
     val spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     spark.sparkContext.hadoopConfiguration
       .set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+    // per-WRITE dynamic overwrite (the writer option takes precedence over
+    // the session conf), so this call never leaks the mode into the shared
+    // session — a later unrelated INSERT OVERWRITE keeps static semantics
     val w0 = df.write
       .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .option("compression", "snappy")
     val w = bloomFilterCols.foldLeft(w0) { (w, c) =>
@@ -109,6 +112,48 @@ object BatchView {
       throw new java.io.IOException(
         s"compacted $dir but could not delete the pre-compaction copy $old")
     (before, parquetFiles(dir))
+  }
+
+  /** Walk a partitioned view root and [[compact]] each LEAF partition
+    * directory — the partitioned answer to streaming sinks leaving
+    * thousands of small files per day (each a scan task + a NameNode
+    * entry at 100 TB), closing the gap [[compact]]'s partitioned-root
+    * rejection opens. The directory layout (and so partition pruning)
+    * is untouched: only the files WITHIN each leaf are rewritten, and
+    * each leaf swap keeps [[compact]]'s fail-fast guards. Stale
+    * `_compacting`/`_precompact` leftovers anywhere in the tree abort
+    * BEFORE any leaf is touched (a crashed swap needs inspection, and
+    * the walker must never compact a half-swapped temp dir as if it
+    * were a partition). Returns `(leafPath, filesBefore, filesAfter)`
+    * per leaf, leaves ordered by path. */
+  def compactPartitioned(spark: SparkSession, root: String,
+                         targetRecordsPerFile: Long,
+                         sortCols: Seq[String] = Nil): Seq[(String, Int, Int)] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def isSwapDir(name: String): Boolean =
+      name.endsWith("_compacting") || name.endsWith("_precompact")
+    def walk(p: Path): (Seq[Path], Seq[Path]) = { // (leaves, stale swap dirs)
+      val dirs = fs.listStatus(p)
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(_.getPath)
+      val (stale, real) = dirs.partition(d => isSwapDir(d.getName))
+      if (real.isEmpty) (Seq(p), stale.toSeq)
+      else {
+        val sub = real.map(walk)
+        (sub.flatMap(_._1).toSeq, stale.toSeq ++ sub.flatMap(_._2))
+      }
+    }
+    val (leaves, stale) = walk(new Path(root))
+    require(stale.isEmpty,
+      s"stale compaction dirs under $root (${stale.take(3).mkString(", ")}…) — " +
+        "a prior run crashed mid-swap; inspect and remove them first")
+    leaves.sortBy(_.toString).map { leaf =>
+      val (before, after) = compact(spark, leaf.toString,
+        targetRecordsPerFile, sortCols)
+      (leaf.toString, before, after)
+    }
   }
 
   /** Read a view; partition-column predicates prune directories via

@@ -30,6 +30,49 @@ import org.apache.spark.sql.functions._
   * stay k linear jobs instead of one exponentially nested plan. */
 object Graphs {
 
+  /** Map STRING node keys (hosts, canonical URLs — the web-corpus graph
+    * keys the centrality operators exist for) to stable long ids via a
+    * collision-checked xxhash64 dictionary. Returns `(mappedEdges,
+    * dict)`: the edge frame with `srcCol`/`dstCol` replaced by longs
+    * (other columns pass through), and the `(node_id, node_key)`
+    * mapping frame to join ranks back to keys.
+    *
+    * A hash dictionary (not a dense rank) is deliberate at scale: dense
+    * ids need a GLOBAL row-number — a single-partition window or a
+    * zipWithIndex seam — while the hash is a pure codegen projection
+    * and the collision check is one vocab-sized aggregate. A collision
+    * among node keys fails LOUDLY (at 10⁹ nodes the 64-bit birthday
+    * bound is ~3·10⁻²; rerun with a salt suffix on the keys if one ever
+    * fires). Null node keys fail loudly too — an inner-join mapping
+    * would silently drop those edges. */
+  def withNodeIds(edges: DataFrame, srcCol: String, dstCol: String): (DataFrame, DataFrame) = {
+    val e = edges
+      .withColumn(srcCol, col(srcCol).cast("string"))
+      .withColumn(dstCol, col(dstCol).cast("string"))
+      .localCheckpoint(eager = true) // scanned for the guard, dict + mapping
+    val nullKeys = e.where(col(srcCol).isNull || col(dstCol).isNull).count()
+    require(nullKeys == 0L,
+      s"$nullKeys edge rows have null node keys — clean the edge list " +
+        "before building the id dictionary")
+    val dict = e.select(col(srcCol).as("node_key"))
+      .union(e.select(col(dstCol).as("node_key")))
+      .distinct()
+      .select(xxhash64(col("node_key")).as("node_id"), col("node_key"))
+      .localCheckpoint(eager = true)
+    val collisions = dict.groupBy(col("node_id"))
+      .agg(count(lit(1)).as("c")).where(col("c") > 1L).count()
+    require(collisions == 0L,
+      s"$collisions xxhash64 collisions among node keys — salt the keys " +
+        "(e.g. prefix a constant) and rebuild the dictionary")
+    val mapped = e
+      .join(dict.select(col("node_key").as(srcCol), col("node_id").as("__src_id")), Seq(srcCol))
+      .join(dict.select(col("node_key").as(dstCol), col("node_id").as("__dst_id")), Seq(dstCol))
+      .drop(srcCol, dstCol)
+      .withColumnRenamed("__src_id", srcCol)
+      .withColumnRenamed("__dst_id", dstCol)
+    (mapped, dict)
+  }
+
   /** Fixed-point PageRank: `(node, rank_micro)` over the directed edge
     * list, `iterations` synchronous steps at damping `dampMilli`/1000.
     *
@@ -42,9 +85,15 @@ object Graphs {
   def pageRankFixed(edges: DataFrame, srcCol: String, dstCol: String,
                     iterations: Int, dampMilli: Long = 850L): DataFrame =
     pageRankFixedImpl(
-      edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"), lit(1L).as("w")),
+      edges.select(tryLong(srcCol).as("src"),
+        tryLong(dstCol).as("dst"), lit(1L).as("w")),
       iterations, dampMilli, weighted = false)
+
+  /** `try_cast` (not `cast`): under ANSI a garbage id would throw a
+    * generic CAST error mid-job; the null it yields here instead is
+    * caught by the impl's guard with the actionable message (use
+    * [[withNodeIds]]), and non-ANSI sessions behave identically. */
+  private def tryLong(c: String) = expr(s"try_cast(`$c` as bigint)")
 
   /** Edge-WEIGHTED fixed-point PageRank: a node splits its rank over
     * out-edges proportionally to weight — `contrib(u→v) = (r(u) · w)
@@ -57,9 +106,9 @@ object Graphs {
                        weightCol: String, iterations: Int,
                        dampMilli: Long = 850L): DataFrame =
     pageRankFixedImpl(
-      edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"),
-        col(weightCol).cast("long").as("w")),
+      edges.select(tryLong(srcCol).as("src"),
+        tryLong(dstCol).as("dst"),
+        tryLong(weightCol).as("w")),
       iterations, dampMilli, weighted = true)
 
   private def pageRankFixedImpl(edgesW: DataFrame, iterations: Int,
@@ -68,8 +117,18 @@ object Graphs {
     require(iterations >= 1, s"iterations must be positive: $iterations")
     require(dampMilli >= 0L && dampMilli <= 1000L,
       s"dampMilli must be in [0, 1000]: $dampMilli")
-    val e0 = if (weighted) edgesW.where(col("w") > 0L) else edgesW
-    val e = e0.localCheckpoint(eager = true) // walked every iteration
+    val eAll = edgesW.localCheckpoint(eager = true) // walked every iteration
+    // a non-numeric node id (string hosts/URLs — the operator's primary
+    // documented use) long-casts to NULL; without this guard every
+    // unparseable id would collapse into one null node and the rank
+    // table would be silently garbage. Same loud-error discipline as
+    // Audience's cardinality guard; one cheap pass over checkpointed data.
+    val badIds = eAll.where(col("src").isNull || col("dst").isNull ||
+      (if (weighted) col("w").isNull else lit(false))).count()
+    require(badIds == 0L,
+      s"$badIds edge rows have null node ids/weights after the long cast " +
+        "— string node keys? map them through Graphs.withNodeIds first")
+    val e = if (weighted) eAll.where(col("w") > 0L) else eAll
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(eager = true)
@@ -78,6 +137,9 @@ object Graphs {
     // n is a driver scalar by necessity (it seeds every rank literal);
     // one count over the node table, not the edges
     val n = nodes.count()
+    require(n > 0L, "edge list is empty" +
+      (if (weighted) " (or all weights are non-positive)" else "") +
+      " — nothing to rank")
     val init = 1000000000000L / n
     val base = (1000L - dampMilli) * 1000000000000L / 1000L / n
     var ranks = nodes.select(col("node"), lit(init).as("r"))

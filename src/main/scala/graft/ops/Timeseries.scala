@@ -1,11 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Per-key time-series smoothing + anomaly flags — the metrics-monitor
   * capability of the OLAP engines (exponential moving averages over
-  * per-bucket counts, spike verdicts against the smoothed history).
+  * per-bucket counts, spike/dip verdicts against the smoothed history).
   * Extension beyond the reference (its event analytics stop at per-day
   * counts).
   *
@@ -19,10 +19,26 @@ import org.apache.spark.sql.functions._
   * events; a year of daily buckets is 365 structs), the same
   * collect-and-fold discipline as the DSIR weight fold. Gaps are
   * OBSERVED-ONLY (absent buckets do not contribute zeros — the SQL
-  * replay does the same); zero-fill composes upstream via a `sequence`
-  * fan-out if absence-as-zero semantics are wanted.
+  * replay does the same); [[zeroFill]] is the gated absence-as-zero
+  * composition, the prerequisite for OUTAGE detection (a key that goes
+  * silent emits zero-count buckets that can flag as dips).
   */
 object Timeseries {
+
+  /** Events → per-(key, epoch-bucket) counts — the standard front half
+    * (exact integer floor-div bucketing; see [[floorDivExpr]]). */
+  def bucketCounts(events: DataFrame, keyCol: String, tsCol: String,
+                   bucketNanos: Long): DataFrame =
+    events.select(col(keyCol), floorDivExpr(tsCol, bucketNanos).as("bucket"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Floor-division bucketing expression for a long (nanos) column:
+    * `(ts div b) - (ts % b < 0 ? 1 : 0)` — identical to `div` for
+    * non-negative timestamps, and identical to DuckDB `//` everywhere. */
+  private def floorDivExpr(tsCol: String, b: Long): Column =
+    expr(s"(`$tsCol` div ${b}L) - " +
+      s"(case when `$tsCol` % ${b}L < 0 then 1 else 0 end)")
 
   /** Per-(key, bucket) counts → the smoothed series with spike flags:
     * `(key, bucket, n, ewma_prev, spike)` where `ewma_prev` is the
@@ -35,6 +51,35 @@ object Timeseries {
   def ewmaAnomalies(counts: DataFrame, keyCol: String, bucketCol: String,
                     nCol: String, spikeFactor: Long = 3L): DataFrame = {
     require(spikeFactor >= 1L, s"spikeFactor must be >= 1: $spikeFactor")
+    ewmaFolded(counts, keyCol, bucketCol, nCol)
+      .select(col(keyCol), col("bucket"), col("n"), col("ewma_prev"),
+        (col("n") > lit(spikeFactor) * col("ewma_prev")).as("spike"))
+  }
+
+  /** [[ewmaAnomalies]] with BOTH verdicts — the monitor shape: `spike =
+    * n > spikeFactor · ewma_prev` and `dip = n < ewma_prev div
+    * dipFactor` (integer floor of the prior level — a traffic COLLAPSE,
+    * the outage signal). A key that vanishes entirely emits nothing at
+    * all under observed-only gaps: compose with [[zeroFill]] upstream
+    * so silent buckets arrive as `n = 0` and can flag. Both verdicts
+    * are null for each key's first bucket (no history). */
+  def ewmaAnomaliesSigned(counts: DataFrame, keyCol: String,
+                          bucketCol: String, nCol: String,
+                          spikeFactor: Long = 3L,
+                          dipFactor: Long = 3L): DataFrame = {
+    require(spikeFactor >= 1L, s"spikeFactor must be >= 1: $spikeFactor")
+    require(dipFactor >= 1L, s"dipFactor must be >= 1: $dipFactor")
+    ewmaFolded(counts, keyCol, bucketCol, nCol)
+      .select(col(keyCol), col("bucket"), col("n"), col("ewma_prev"),
+        (col("n") > lit(spikeFactor) * col("ewma_prev")).as("spike"),
+        (col("n") < expr(s"ewma_prev div ${dipFactor}L")).as("dip"))
+  }
+
+  /** The shared integer fold: one aggregate per key over its sorted
+    * bucket series, emitting each element with the PRIOR smoothed
+    * level attached — `(key, bucket, n, ewma_prev)`. */
+  private def ewmaFolded(counts: DataFrame, keyCol: String,
+                         bucketCol: String, nCol: String): DataFrame = {
     val series = counts.groupBy(col(keyCol))
       .agg(array_sort(collect_list(struct(
         col(bucketCol).cast("long").as("bucket"),
@@ -55,46 +100,64 @@ object Timeseries {
            acc -> acc.out)"""))
     folded.select(col(keyCol), explode(col("__out")).as("__e"))
       .select(col(keyCol), col("__e.bucket").as("bucket"),
-        col("__e.n").as("n"), col("__e.ewma_prev").as("ewma_prev"),
-        (col("__e.n") > lit(spikeFactor) * col("__e.ewma_prev"))
-          .as("spike"))
+        col("__e.n").as("n"), col("__e.ewma_prev").as("ewma_prev"))
   }
 
-  /** Events → per-(key, epoch-bucket) counts — the standard front half
-    * (integer `div` bucketing; nano epochs exceed the double mantissa). */
-  def bucketCounts(events: DataFrame, keyCol: String, tsCol: String,
-                   bucketNanos: Long): DataFrame =
-    events.select(col(keyCol), expr(s"`$tsCol` div ${bucketNanos}L").as("bucket"))
-      .groupBy(col(keyCol), col("bucket"))
-      .agg(count(lit(1)).as("n"))
+  /** Fill each key's ABSENT buckets with `n = 0` between its first and
+    * last observed bucket — the absence-as-zero composition
+    * [[ewmaAnomaliesSigned]]'s outage verdict needs (a silent day emits
+    * a zero-count bucket instead of nothing). One aggregate per key:
+    * the observed series collects, a `sequence` spans min..max, and a
+    * map lookup fills — no joins, no windows; per-task state is the
+    * key's SPAN in buckets (days, not events — same bound as the EWMA
+    * fold itself). Duplicate `(key, bucket)` rows fail loudly
+    * (`map_from_entries` rejects duplicate keys) — feed it
+    * [[bucketCounts]]-shaped unique counts. Returns
+    * `(key, bucket, n)`. */
+  def zeroFill(counts: DataFrame, keyCol: String, bucketCol: String,
+               nCol: String): DataFrame =
+    counts.groupBy(col(keyCol))
+      .agg(collect_list(struct(
+        col(bucketCol).cast("long").as("bucket"),
+        col(nCol).cast("long").as("n"))).as("__arr"))
+      .select(col(keyCol), explode(expr(
+        """transform(
+             sequence(array_min(__arr.bucket), array_max(__arr.bucket)),
+             b -> struct(b as bucket,
+               coalesce(element_at(map_from_entries(__arr), b),
+                        cast(0 as bigint)) as n))""")).as("__e"))
+      .select(col(keyCol), col("__e.bucket").as("bucket"),
+        col("__e.n").as("n"))
 
-  /** Rolling-window quantiles over mergeable KLL sketches — the
-    * "rolling p95 latency" metrics shape at any event volume: ONE pass
-    * builds a per-bucket KLL sketch (the persistable daily artifact,
-    * mergeable without raw rescans — the HLL rolling-actives
-    * discipline applied to QUANTILES), the `sequence` fan-out ships one
-    * sketch row per (bucket, window end), and each window's estimate
-    * comes from `kll_merge_agg` + `get_quantile`. Task state is
-    * O(k) per sketch regardless of volume. Returns
-    * `(bucket, quantile_est)` for every window end up to the newest
-    * bucket (the rollingActive clamp).
-    *
-    * KLL compaction is randomized, so past ~k values per window the
-    * ESTIMATE is not run-deterministic — but its normalized RANK error
-    * is bounded (~1.65 % at k = 200, 99 % conf.). Gates therefore pin
-    * the exact order-statistic half and a rank-band verdict (the
-    * q142/q63 bounded-anchor pattern), never the raw estimate. */
-  def rollingQuantileSketch(events: DataFrame, valueCol: String,
-                            tsCol: String, bucketNanos: Long,
-                            windowBuckets: Int, q: Double,
-                            kllK: Int = 200): DataFrame = {
+  /** One mergeable KLL sketch per epoch-bucket: `(bucket, sketch)` —
+    * the persistable daily artifact of the quantile layer (the HLL
+    * rolling-actives discipline applied to QUANTILES): store these and
+    * [[rollingQuantileFromSketches]] answers any window/quantile later
+    * without raw rescans. The streaming producer
+    * ([[graft.streaming.StreamingViews.streamingBucketQuantileSketches]])
+    * seals the same artifact live. */
+  def bucketQuantileSketches(events: DataFrame, valueCol: String,
+                             tsCol: String, bucketNanos: Long,
+                             kllK: Int = 200): DataFrame =
+    events
+      .select(col(valueCol).cast("double").as("__v"),
+        floorDivExpr(tsCol, bucketNanos).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(kll_sketch_agg_double(col("__v"), lit(kllK)).as("sketch"))
+
+  /** Window a per-bucket sketch table (batch-built or
+    * streaming-sealed): the `sequence` fan-out ships one sketch row per
+    * (bucket, window end) and each window's estimate comes from
+    * `kll_merge_agg` + `get_quantile` — sketch-sized input, O(k) task
+    * state, no raw-event touch. Returns `(bucket, quantile_est)` for
+    * every window end up to the newest bucket. */
+  def rollingQuantileFromSketches(sketches: DataFrame, bucketCol: String,
+                                  sketchCol: String, windowBuckets: Int,
+                                  q: Double, kllK: Int = 200): DataFrame = {
     require(windowBuckets >= 1, "window must span at least one bucket")
     require(q > 0.0 && q < 1.0, s"quantile must be in (0, 1): $q")
-    val perBucket = events
-      .select(col(valueCol).cast("double").as("__v"),
-        expr(s"`$tsCol` div ${bucketNanos}L").as("__b"))
-      .groupBy(col("__b"))
-      .agg(kll_sketch_agg_double(col("__v"), lit(kllK)).as("__sk"))
+    val perBucket = sketches.select(col(bucketCol).cast("long").as("__b"),
+      col(sketchCol).as("__sk"))
     val newest = perBucket.agg(max(col("__b")).as("__mb"))
     perBucket.crossJoin(broadcast(newest))
       .select(col("__sk"), explode(sequence(col("__b"),
@@ -105,4 +168,24 @@ object Timeseries {
         kll_merge_agg_double(col("__sk"), lit(kllK)), lit(q))
         .as("quantile_est"))
   }
+
+  /** Rolling-window quantiles over mergeable KLL sketches — the
+    * "rolling p95 latency" metrics shape at any event volume:
+    * [[bucketQuantileSketches]] (ONE pass) composed with
+    * [[rollingQuantileFromSketches]]. Returns `(bucket, quantile_est)`
+    * for every window end up to the newest bucket (the rollingActive
+    * clamp).
+    *
+    * KLL compaction is randomized, so past ~k values per window the
+    * ESTIMATE is not run-deterministic — but its normalized RANK error
+    * is bounded (~1.65 % at k = 200, 99 % conf.). Gates therefore pin
+    * the exact order-statistic half and a rank-band verdict (the
+    * q142/q63 bounded-anchor pattern), never the raw estimate. */
+  def rollingQuantileSketch(events: DataFrame, valueCol: String,
+                            tsCol: String, bucketNanos: Long,
+                            windowBuckets: Int, q: Double,
+                            kllK: Int = 200): DataFrame =
+    rollingQuantileFromSketches(
+      bucketQuantileSketches(events, valueCol, tsCol, bucketNanos, kllK),
+      "bucket", "sketch", windowBuckets, q, kllK)
 }

@@ -199,6 +199,27 @@ object PipelineQueries {
           "src", "dst", "w", iterations = 3)
         .orderBy(col("rank_micro").desc, col("node"))
         .limit(100)
+    }),
+
+    // ───── PageRank over a STRING-keyed edge list — the operator's
+    // primary documented use (host/URL centrality): node keys go
+    // through the collision-checked xxhash64 dictionary
+    // (Graphs.withNodeIds), ranks join back to keys through it. The
+    // oracle runs the SAME unrolled integer iterations directly on the
+    // string keys — the dictionary must be semantics-free, which is
+    // exactly what this gate proves. Every-4th order keeps the gate at
+    // a quarter of q152's edge volume (same code path) ─────
+    "q158_pagerank_string_ids" -> ((s, d) => {
+      val e = Tables.lineitem(s, d)
+        .where(col("l_orderkey") % 4 === 0)
+        .select(concat(lit("o"), col("l_orderkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+      val (mapped, dict) = graft.ops.Graphs.withNodeIds(e, "src", "dst")
+      graft.ops.Graphs.pageRankFixed(mapped, "src", "dst", iterations = 3)
+        .join(dict, col("node") === col("node_id"))
+        .select(col("node_key"), col("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("node_key"))
+        .limit(100)
     })
   )
 
@@ -332,6 +353,39 @@ object PipelineQueries {
     "q148_media_real_roundtrip" ->
       """SELECT doc_id, 'png' AS format, 4 AS width, 4 AS height,
          1 AS n_frames FROM documents ORDER BY doc_id""",
+    // q152's unrolled iterations on STRING node keys directly — no
+    // dictionary in the oracle; agreement proves the Spark-side hash
+    // dictionary is semantics-free
+    "q158_pagerank_string_ids" -> {
+      def step(prev: String, out: String): String =
+        s"""s$out AS (
+              SELECT e.dst, sum(r$prev.r // od.outdeg) AS s
+              FROM r$prev JOIN od ON od.src = r$prev.node
+              JOIN e ON e.src = od.src GROUP BY e.dst),
+            r$out AS (
+              SELECT node,
+                CAST(((1000 - 850) * 1000000000000) // 1000 // n
+                  + (850 * COALESCE(s, 0)) // 1000 AS BIGINT) AS r
+              FROM nodes CROSS JOIN nn
+              LEFT JOIN s$out ON s$out.dst = nodes.node)"""
+      s"""WITH e AS (
+            SELECT concat('o', l_orderkey) AS src,
+              concat('p', l_partkey) AS dst
+            FROM lineitem WHERE l_orderkey % 4 = 0),
+          nodes AS (
+            SELECT DISTINCT src AS node FROM e
+            UNION SELECT DISTINCT dst FROM e),
+          nn AS (SELECT count(*) AS n FROM nodes),
+          od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                 FROM e GROUP BY 1),
+          r0 AS (SELECT node, 1000000000000 // n AS r
+                 FROM nodes CROSS JOIN nn),
+          ${step("0", "1")},
+          ${step("1", "2")},
+          ${step("2", "3")}
+          SELECT node AS node_key, r AS rank_micro FROM r3
+          ORDER BY rank_micro DESC, node LIMIT 100"""
+    },
     "q149_image_ahash" ->
       """SELECT doc_id,
          CAST(list_sum(list_transform(range(0, 64),

@@ -558,6 +558,50 @@ object RelationalQueries {
             "event_type", "tn", bucketNanos = 86400L * 1000000000L),
           "event_type", "bucket", "n")
         .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // ───── outage detection: a simulated weekly outage (every 7th day
+    // dropped) is reinstated as n=0 buckets by zeroFill, then the
+    // signed EWMA flags BOTH verdicts — spikes vs the prior level and
+    // dips (n < prev div 3), the traffic-collapse shape a monitor most
+    // needs. Same bit-replayable integer fold as q153, replayed over
+    // the zero-filled series ─────
+    "q159_ewma_outages" -> ((s, d) => {
+      val e = Tables.events(s, d).where(col("event_type").isNotNull)
+      val counts = graft.ops.Timeseries.bucketCounts(
+          e.select(col("event_type"), Tables.tsNanos(e).as("tn")),
+          "event_type", "tn", bucketNanos = 86400L * 1000000000L)
+        .where(col("bucket") % 7 =!= 3) // simulate a weekly outage day
+      graft.ops.Timeseries.ewmaAnomaliesSigned(
+          graft.ops.Timeseries.zeroFill(counts, "event_type", "bucket", "n"),
+          "event_type", "bucket", "n")
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // ───── entity resolution, the CLASSIC composition: suffix-block
+    // pass ∪ sorted-neighborhood pass, normalized + deduped on the
+    // pair key — each pass recovers exactly the pairs the other's
+    // blocking misses (q150's suffix blocks vs q154's sort order) ─────
+    "q160_fuzzy_multipass" -> ((s, d) => {
+      graft.text.Fuzzy.multiPassPairs(
+          Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+          "c_name", "c_custkey",
+          suffixLen = 2, lenTol = 1, maxDist = 2, window = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ───── fuzzy dedup over the MULTI-PASS candidate set: the q155
+    // composition (pairs → connected components → min-id survivors)
+    // fed by the union of both blocking passes — clusters can only
+    // grow vs the single-pass gate ─────
+    "q161_multipass_clusters" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      val pairs = graft.text.Fuzzy.multiPassPairs(cust, "c_name", "c_custkey",
+          suffixLen = 2, lenTol = 0, maxDist = 1, window = 2)
+        .select(col("id_a"), col("id_b"))
+      graft.dedup.Dedup.dedupeByPairs(
+          cust.select(col("c_custkey")), "c_custkey", pairs)
+        .orderBy(col("c_custkey"))
     })
   )
 
@@ -1049,6 +1093,98 @@ object RelationalQueries {
          SELECT k AS event_type, bucket, n,
            CAST(ewma_prev AS BIGINT) AS ewma_prev,
            n > 3 * ewma_prev AS spike
-         FROM x ORDER BY event_type, bucket"""
+         FROM x ORDER BY event_type, bucket""",
+
+    // the q153 fold replayed over a ZERO-FILLED series (generate_series
+    // per key span, absent buckets coalesce to 0), plus the dip verdict
+    // n < ewma_prev // 3
+    "q159_ewma_outages" ->
+      """WITH c AS (
+           SELECT event_type AS k,
+             epoch_ns(ts) // 86400000000000 AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+         cf AS (SELECT * FROM c WHERE bucket % 7 <> 3),
+         sp AS (SELECT k, min(bucket) AS mn, max(bucket) AS mx
+                FROM cf GROUP BY 1),
+         filled AS (
+           SELECT f.k, f.bucket, COALESCE(cf.n, 0) AS n
+           FROM (SELECT sp.k, u.b AS bucket
+                 FROM sp, UNNEST(range(sp.mn, sp.mx + 1)) AS u(b)) f
+           LEFT JOIN cf ON cf.k = f.k AND cf.bucket = f.bucket),
+         g AS (
+           SELECT k,
+             list_sort(list(struct_pack(bucket := bucket, n := n))) AS arr
+           FROM filled GROUP BY k),
+         x AS (
+           SELECT k, arr[u.i].bucket AS bucket, arr[u.i].n AS n,
+             CASE WHEN u.i = 1 THEN NULL
+               ELSE list_reduce(
+                 list_transform(arr[1:u.i-1], e -> e.n),
+                 (a, b) -> (a + b) // 2) END AS ewma_prev
+           FROM g, UNNEST(range(1, len(arr) + 1)) AS u(i))
+         SELECT k AS event_type, bucket, n,
+           CAST(ewma_prev AS BIGINT) AS ewma_prev,
+           n > 3 * ewma_prev AS spike,
+           n < ewma_prev // 3 AS dip
+         FROM x ORDER BY event_type, bucket""",
+
+    // union of the q150-style suffix self-join pass and the q154
+    // sorted-neighborhood pass, normalized to id_a < id_b and deduped
+    // on the pair key (the distance is exact in both passes, MIN is
+    // just the dedup)
+    "q160_fuzzy_multipass" ->
+      """WITH s AS (SELECT c_name AS s, c_custkey AS id FROM customer),
+         p1 AS (
+           SELECT a.id AS id_a, b.id AS id_b,
+             CAST(levenshtein(a.s, b.s) AS INT) AS dist
+           FROM s a JOIN s b
+             ON right(a.s, 2) = right(b.s, 2) AND a.id < b.id
+           WHERE abs(length(a.s) - length(b.s)) <= 1
+             AND levenshtein(a.s, b.s) <= 2),
+         r AS (SELECT s, id, row_number() OVER (ORDER BY s, id) AS rn
+               FROM s),
+         p2 AS (
+           SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+             CAST(levenshtein(a.s, b.s) AS INT) AS dist
+           FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+           WHERE levenshtein(a.s, b.s) <= 2 AND a.id <> b.id),
+         u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+         SELECT id_a, id_b, MIN(dist) AS dist
+         FROM u GROUP BY 1, 2 ORDER BY id_a, id_b""",
+
+    // q155's recursive-CTE component replay over the UNION of both
+    // blocking passes' edge sets (suffix block + rank-window 2, both
+    // dist <= 1)
+    "q161_multipass_clusters" ->
+      """WITH RECURSIVE p1 AS (
+           SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+           FROM customer a JOIN customer b
+             ON right(a.c_name, 2) = right(b.c_name, 2)
+               AND a.c_custkey < b.c_custkey
+           WHERE length(a.c_name) = length(b.c_name)
+             AND levenshtein(a.c_name, b.c_name) <= 1),
+         r AS (SELECT c_name AS s, c_custkey AS id,
+                 row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+               FROM customer),
+         p2 AS (
+           SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+           FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 2
+           WHERE levenshtein(a.s, b.s) <= 1 AND a.id <> b.id),
+         pairs AS (SELECT id_a, id_b FROM p1
+                   UNION SELECT id_a, id_b FROM p2),
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+           WHERE e.v <> r.u),
+         comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component
+                  FROM reach GROUP BY u)
+         SELECT c2.c_custkey, COALESCE(c.component, c2.c_custkey) AS component,
+                COALESCE(c.component, c2.c_custkey) = c2.c_custkey AS keep
+         FROM customer c2 LEFT JOIN comp c ON c2.c_custkey = c.id
+         ORDER BY c2.c_custkey"""
   )
 }

@@ -494,6 +494,66 @@ object StreamingViews {
       }
   }
 
+  case class MeasureEvent(value: Double, tsMillis: Long)
+  /** One in-flight per-bucket KLL sketch — DataSketches serialization,
+    * O(k) bytes at any event volume. */
+  case class BucketKll(sketch: Array[Byte])
+  /** A watermark-sealed per-bucket quantile sketch: bytes ready for
+    * `kll_merge_agg_double` /
+    * [[graft.ops.Timeseries.rollingQuantileFromSketches]], plus the
+    * sealed value count. */
+  case class SealedBucketQuantile(bucket: Long, sketch: Array[Byte], n: Long)
+
+  /** Streaming producer of [[graft.ops.Timeseries.bucketQuantileSketches]]'s
+    * daily artifacts — completing the sketch-family symmetry (HLL
+    * actives, theta segments and EWMA all have streaming twins): one
+    * KLL doubles sketch per time bucket accumulates in state and emits
+    * ONCE the event-time watermark seals the bucket; the sealed bytes
+    * are exactly what the batch window layer consumes
+    * (`rollingQuantileFromSketches` — spec-pinned equal to a batch
+    * build over the same admitted events in the below-k exact regime,
+    * where KLL retains everything and no randomized compaction runs).
+    * Late rows below the watermark drop (append mode cannot retract a
+    * sealed sketch). State per in-flight bucket is O(k) bytes
+    * regardless of event volume — the irreducible cost of streaming
+    * quantiles, vs O(events) for an exact buffer. */
+  def streamingBucketQuantileSketches(events: Dataset[MeasureEvent],
+                                      bucketMillis: Long, kllK: Int = 200,
+                                      watermarkDelay: String = "0 milliseconds")
+      : Dataset[SealedBucketQuantile] = {
+    import events.sparkSession.implicits._
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    events
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[MeasureEvent]
+      .groupByKey(e => Math.floorDiv(e.tsMillis, bucketMillis))
+      .flatMapGroupsWithState[BucketKll, SealedBucketQuantile](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bucket: Long, rows: Iterator[MeasureEvent], state: GroupState[BucketKll]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val sealAt = (bucket + 1L) * bucketMillis
+          val sketch = state.getOption
+            .map(s => KllDoublesSketch.heapify(Memory.wrap(s.sketch)))
+            .getOrElse(KllDoublesSketch.newHeapInstance(kllK))
+          rows.filter(_.tsMillis >= wm).foreach(r => sketch.update(r.value))
+          if (wm >= sealAt) {
+            state.remove()
+            if (sketch.isEmpty) Iterator.empty
+            else Iterator.single(SealedBucketQuantile(bucket,
+              sketch.toByteArray, sketch.getN))
+          } else if (sketch.isEmpty) {
+            state.remove()
+            Iterator.empty
+          } else {
+            state.update(BucketKll(sketch.toByteArray))
+            state.setTimeoutTimestamp(math.max(sealAt, wm + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming corpus ingest: the stateless prefix of
     * [[graft.text.Corpus.cleanIncremental]] as a live stream —
     *

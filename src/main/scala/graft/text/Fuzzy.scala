@@ -70,35 +70,43 @@ object Fuzzy {
     * kernel filters to `dist ≤ maxDist`. Union with
     * [[editDistancePairs]] for the classic multi-pass candidate set.
     *
-    * Shape: NO global window function — the total order comes from a
-    * range repartition + within-partition sort and `zipWithIndex`
-    * (deterministic: range boundaries and partition-local indices are
-    * functions of the data), and the neighbor pairing is a `sequence`
-    * explode (×window) equi-joined on position — the rolling-actives
-    * fan-out pattern, so hot regions split across tasks and candidate
-    * volume is exactly n·window. */
+    * Shape: NO global window function AND no RDD seam — the total order
+    * comes from a range repartition + within-partition sort, and the
+    * global position is Catalyst-native two-pass arithmetic: one small
+    * per-partition COUNT pass (collected — bounded by `numPartitions`,
+    * the Audience-guard discipline) builds the partition offset table,
+    * and `monotonically_increasing_id` (partition id in the upper 31
+    * bits, partition-local row number in the lower 33) supplies the
+    * local index, so `pos = offset(pid) + local`. Both passes see
+    * identical partitioning: the range partitioner's sampling is
+    * seeded per partition index, hence deterministic over the same
+    * input. The neighbor pairing is a `sequence` explode (×window)
+    * equi-joined on position — the rolling-actives fan-out pattern, so
+    * hot regions split across tasks and candidate volume is exactly
+    * n·window. */
   def sortedNeighborPairs(df: DataFrame, textCol: String, idCol: String,
                           window: Int, maxDist: Int,
                           numPartitions: Int = 32): DataFrame = {
     require(window >= 1, s"window must be positive: $window")
     val spark = df.sparkSession
+    import spark.implicits._
     val sorted = df
       .select(col(textCol).cast("string").as("s"), col(idCol).cast("long").as("id"))
       .repartitionByRange(numPartitions, col("s"), col("id"))
       .sortWithinPartitions(col("s"), col("id"))
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("s",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("pos",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    val withPos = spark.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row(
-          if (r.isNullAt(0)) null else r.getString(0),
-          if (r.isNullAt(1)) null else r.getLong(1), i)
-      }, schema)
+    val counts = sorted.groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2)).toSeq
+    val offDf = offsets.toDF("__pid", "__off")
+    val withPos = sorted
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
+      .join(broadcast(offDf), Seq("__pid"))
+      .select(col("s"), col("id"),
+        (col("__off") + col("__mid").bitwiseAND(lit((1L << 33) - 1L)))
+          .as("pos"))
     val d = levenshtein(col("s_a"), col("s_b"), maxDist)
     withPos
       .select(col("id").as("id_a"), col("s").as("s_a"),
@@ -108,5 +116,28 @@ object Fuzzy {
         col("pos").as("__tgt")), Seq("__tgt"))
       .select(col("id_a"), col("id_b"), d.as("dist"))
       .where(col("dist") >= 0)
+  }
+
+  /** The classic MULTI-PASS candidate set (Hernández & Stolfo's
+    * composition): suffix-block pass ∪ sorted-neighborhood pass, each
+    * recovering exactly the pairs the other's blocking key misses.
+    * Sorted-neighborhood pairs are normalized to `id_a < id_b` (their
+    * order is positional) and the union dedups on the pair key — the
+    * distance is the exact Levenshtein in both passes, so a pair seen
+    * twice agrees and `min` is just the dedup. Feed into
+    * [[graft.dedup.Dedup.dedupeByPairs]] for cluster assignment. */
+  def multiPassPairs(df: DataFrame, textCol: String, idCol: String,
+                     suffixLen: Int, lenTol: Int, maxDist: Int,
+                     window: Int, numPartitions: Int = 32): DataFrame = {
+    val bySuffix = editDistancePairs(df, textCol, idCol,
+      suffixLen, lenTol, maxDist)
+    val byNeighbor = sortedNeighborPairs(df, textCol, idCol,
+      window, maxDist, numPartitions)
+      .where(col("id_a") =!= col("id_b")) // duplicate ids pair positionally
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
+    bySuffix.unionByName(byNeighbor)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("dist")).as("dist"))
   }
 }

@@ -22,9 +22,16 @@ class RetrievalIndexJobSpec extends SparkSpec {
     val day1 = Seq(0L -> "alpha beta gamma", 2L -> "beta beta delta")
     val day2 = Seq(4L -> "gamma delta epsilon epsilon", 6L -> "alpha beta zeta")
     val queries = Seq(1L -> "beta epsilon zeta alpha")
+    // runDay must RESTORE the session's partitionOverwriteMode: leaking
+    // "dynamic" would silently change later unrelated INSERT OVERWRITEs
+    val overwriteKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevOverwrite = spark.conf.getOption(overwriteKey)
+    spark.conf.set(overwriteKey, "static")
     try {
       RetrievalIndexJob.runDay(spark, day1.toDF("doc_id", "text"),
         "20240101", "text", "doc_id", buckets = 4)
+      assert(spark.conf.get(overwriteKey) === "static",
+        "runDay must restore the session overwrite mode")
       RetrievalIndexJob.runDay(spark, day2.toDF("doc_id", "text"),
         "20240102", "text", "doc_id", buckets = 4)
       val key = Seq("query_id", "doc_id", "score_pico").map(col)
@@ -75,7 +82,13 @@ class RetrievalIndexJobSpec extends SparkSpec {
         assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
           s"postings must reach their join without an exchange\n$plan")
       } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    } finally cleanup()
+    } finally {
+      cleanup()
+      prevOverwrite match {
+        case Some(v) => spark.conf.set(overwriteKey, v)
+        case None    => spark.conf.unset(overwriteKey)
+      }
+    }
   }
 
   test("score fails loudly when a partial ingest left the tables inconsistent") {

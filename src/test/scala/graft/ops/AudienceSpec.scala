@@ -65,6 +65,21 @@ class AudienceSpec extends SparkSpec {
           .orderBy(key: _*).collect().toSeq)
   }
 
+  test("null segments drop at the sketch build; a null-keyed sketch table errors") {
+    val events = Seq((1L, "A"), (2L, "A"), (3L, null.asInstanceOf[String]))
+      .toDF("user_id", "seg")
+    val sk = Audience.segmentSketches(events, "user_id", "seg")
+    assert(sk.select("seg").as[String].collect().toSeq === Seq("A"))
+    // a sketch table that DOES carry a null key (built elsewhere) fails
+    // with a descriptive error, not a driver NPE from sorting
+    val withNull = sk.unionByName(
+      sk.withColumn("seg", lit(null).cast("string")))
+    val e = intercept[IllegalArgumentException] {
+      Audience.segmentOverlap(withNull)
+    }
+    assert(e.getMessage.contains("null segment"))
+  }
+
   test("a key-cardinality segment column fails loudly instead of OOMing") {
     val df = (0L until 2000L).map(u => (u, s"u$u")).toDF("user_id", "seg")
     val e = intercept[IllegalArgumentException] {

@@ -86,6 +86,68 @@ class GraphsSpec extends SparkSpec {
     assert(ranks(1L) > ranks(2L))
   }
 
+  test("string node ids error loudly instead of null-casting to garbage") {
+    // without the guard every unparseable id long-casts to null and
+    // collapses into ONE node — the rank table would be silently wrong
+    val edges = Seq(("example.com", "other.org"), ("other.org", "example.com"))
+      .toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graphs.pageRankFixed(edges, "src", "dst", iterations = 1).collect()
+    }
+    assert(e.getMessage.contains("withNodeIds"))
+    val ew = intercept[IllegalArgumentException] {
+      Graphs.pageRankWeighted(edges.withColumn("w", lit(1L)),
+        "src", "dst", "w", iterations = 1).collect()
+    }
+    assert(ew.getMessage.contains("withNodeIds"))
+  }
+
+  test("an empty edge list errors loudly instead of dividing by zero") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graphs.pageRankFixed(empty, "src", "dst", iterations = 1).collect()
+    }
+    assert(e.getMessage.contains("empty"))
+    // weighted: all-nonpositive weights leave no rankable edge either
+    val nonpos = Seq((1L, 2L, 0L), (2L, 3L, -5L)).toDF("src", "dst", "w")
+    val ew = intercept[IllegalArgumentException] {
+      Graphs.pageRankWeighted(nonpos, "src", "dst", "w",
+        iterations = 1).collect()
+    }
+    assert(ew.getMessage.contains("empty"))
+  }
+
+  test("withNodeIds: string-keyed PageRank equals the model through the dictionary") {
+    val rnd = new Random(77)
+    val hosts = (0 until 30).map(i => s"host$i.example")
+    val edges = (0 until 200).map(_ =>
+      (hosts(rnd.nextInt(30)), hosts(rnd.nextInt(30))))
+      .filter { case (a, b) => a != b }.distinct
+    val (mapped, dict) = Graphs.withNodeIds(
+      edges.toDF("src", "dst"), "src", "dst")
+    // the dictionary is a bijection over the node keys
+    val d = dict.as[(Long, String)].collect()
+    assert(d.map(_._2).toSet === (edges.map(_._1) ++ edges.map(_._2)).toSet)
+    assert(d.map(_._1).distinct.length === d.length)
+    val ranks = Graphs.pageRankFixed(mapped, "src", "dst", iterations = 3)
+      .join(dict, col("node") === col("node_id"))
+      .select(col("node_key"), col("rank_micro"))
+      .as[(String, Long)].collect().toMap
+    // model over LONG ids via the same dictionary: ids are opaque to the
+    // iteration, so keyed results must agree exactly
+    val toId = d.map { case (id, k) => k -> id }.toMap
+    val want = model(edges.map { case (a, b) => (toId(a), toId(b)) }, 3, 850L)
+    assert(ranks.map { case (k, r) => toId(k) -> r } === want)
+  }
+
+  test("withNodeIds fails loudly on null node keys") {
+    val edges = Seq(("a", "b"), (null, "b")).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graphs.withNodeIds(edges, "src", "dst")
+    }
+    assert(e.getMessage.contains("null node keys"))
+  }
+
   test("a star hub outranks its spokes; dangling mass just leaks") {
     // spokes 1..5 all link to hub 0; hub links nowhere (dangling)
     val edges = (1L to 5L).map(u => (u, 0L))

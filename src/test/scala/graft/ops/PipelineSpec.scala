@@ -600,4 +600,62 @@ class PipelineSpec extends SparkSpec {
     // leaf partition directories compact fine
     assert(BatchView.compact(spark, pdir + "/day=0", 250L)._2 == 1)
   }
+
+  test("BatchView.compactPartitioned walks leaves: fewer files, same rows, pruning intact") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_compact_part").toString
+    // a 2-day partitioned view written FRAGMENTED (the streaming-sink
+    // small-file shape: many tiny files per day)
+    val rows = (0L until 400L).map(i => (i, s"d${i % 2}", s"v$i"))
+    rows.toDF("k", "day", "v").repartition(20)
+      .write.partitionBy("day").parquet(s"$base/t")
+    val results = BatchView.compactPartitioned(spark, s"$base/t",
+      targetRecordsPerFile = 200L, sortCols = Seq("k"))
+    assert(results.map(_._1.stripPrefix("file:")).sorted ===
+      Seq(s"$base/t/day=d0", s"$base/t/day=d1"))
+    results.foreach { case (leaf, before, after) =>
+      assert(before >= 15, s"$leaf not fragmented before")
+      assert(after == 1, s"$leaf not compacted")
+    }
+    // directory layout unchanged → partition pruning still applies, and
+    // content is byte-identical
+    val back = spark.read.parquet(s"$base/t")
+    assert(back.count() === 400L)
+    assert(back.select("k", "day", "v").as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq === rows.sortBy(_._1))
+    val pruned = back.where(col("day") === "d1")
+    assert(pruned.count() === 200L)
+    val scanned = pruned.select(
+      org.apache.spark.sql.functions.input_file_name()).distinct()
+      .as[String].collect()
+    assert(scanned.length === 1 && scanned.head.contains("day=d1"),
+      s"day predicate must prune to the one d1 file: ${scanned.toSeq}")
+
+    // a stale swap dir ANYWHERE in the tree aborts before touching leaves
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(s"$base/t/day=d0_precompact"))
+    val e = intercept[IllegalArgumentException] {
+      BatchView.compactPartitioned(spark, s"$base/t", 200L)
+    }
+    assert(e.getMessage.contains("stale compaction dirs"))
+  }
+
+  test("BatchView.write no longer leaks dynamic overwrite into the session conf") {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "static")
+      val base = java.nio.file.Files.createTempDirectory("graft_bv_conf").toString
+      BatchView.write(Seq((1L, "d1")).toDF("id", "day"), base, "t", 1, Seq("day"))
+      assert(spark.conf.get(key) === "static",
+        "per-write option must not mutate the session conf")
+      // and the write itself still overwrote dynamically: a second write
+      // of d2 only must keep d1
+      BatchView.write(Seq((2L, "d2")).toDF("id", "day"), base, "t", 1, Seq("day"))
+      assert(BatchView.read(spark, base, "t", 1).count() === 2L)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }

@@ -83,11 +83,72 @@ class TimeseriesSpec extends SparkSpec {
     assert(est(0L) === 25.0 || est(0L) === 26.0, s"got ${est(0L)}")
   }
 
-  test("bucketCounts uses integer div bucketing") {
+  test("bucketCounts uses FLOOR-division bucketing (DuckDB // semantics)") {
     val events = Seq((1L, 999L), (1L, 1000L), (1L, 1999L), (2L, 0L))
       .toDF("k", "tn")
     val got = Timeseries.bucketCounts(events, "k", "tn", bucketNanos = 1000L)
       .as[(Long, Long, Long)].collect().toSet
     assert(got === Set((1L, 0L, 1L), (1L, 1L, 2L), (2L, 0L, 1L)))
+    // pre-epoch timestamps floor DOWN (Spark `div` would truncate -1..-999
+    // into bucket 0, diverging from the DuckDB oracle's `//`)
+    val neg = Seq((1L, -1L), (1L, -1000L), (1L, -1001L), (1L, 1L))
+      .toDF("k", "tn")
+    val gotNeg = Timeseries.bucketCounts(neg, "k", "tn", bucketNanos = 1000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotNeg === Set((1L, -1L, 2L), (1L, -2L, 1L), (1L, 0L, 1L)))
+  }
+
+  test("zeroFill reinstates absent buckets as n=0 within each key's span") {
+    val counts = Seq((1L, 3L, 10L), (1L, 6L, 7L), (2L, 5L, 1L))
+      .toDF("k", "bucket", "n")
+    val got = Timeseries.zeroFill(counts, "k", "bucket", "n")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 3L, 10L), (1L, 4L, 0L), (1L, 5L, 0L), (1L, 6L, 7L),
+      (2L, 5L, 1L)))
+  }
+
+  test("zeroFill fails loudly on duplicate (key, bucket) rows") {
+    val dup = Seq((1L, 3L, 10L), (1L, 3L, 4L)).toDF("k", "bucket", "n")
+    val e = intercept[Exception] {
+      Timeseries.zeroFill(dup, "k", "bucket", "n").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("duplicate"))
+  }
+
+  test("ewmaAnomaliesSigned flags the outage: zero-filled silent bucket dips") {
+    // hand-checked: counts 10, 12, (missing), 11 → zeroFill inserts b2=0
+    // E: 10, (10+12)/2=11, (11+0)/2=5, …; dip at b2: 0 < 11 div 3 = 3
+    val counts = Seq((1L, 0L, 10L), (1L, 1L, 12L), (1L, 3L, 11L))
+      .toDF("k", "bucket", "n")
+    val got = Timeseries.ewmaAnomaliesSigned(
+        Timeseries.zeroFill(counts, "k", "bucket", "n"),
+        "k", "bucket", "n")
+      .orderBy(col("bucket"))
+      .as[(Long, Long, Long, Option[Long], Option[Boolean], Option[Boolean])]
+      .collect().toSeq
+    assert(got.map(_._4) === Seq(None, Some(10L), Some(11L), Some(5L)))
+    assert(got.map(_._6) === Seq(None, Some(false), Some(true), Some(false)))
+    // spike verdicts agree with the unsigned operator on the same input
+    assert(got.map(_._5) ===
+      Timeseries.ewmaAnomalies(
+          Timeseries.zeroFill(counts, "k", "bucket", "n"),
+          "k", "bucket", "n")
+        .orderBy(col("bucket"))
+        .as[(Long, Long, Long, Option[Long], Option[Boolean])]
+        .collect().toSeq.map(_._5))
+  }
+
+  test("ewmaAnomaliesSigned: a collapse (not just zero) dips; recovery clears") {
+    // 100, 90, 10 (collapse), 95: E = 100, 95, 52; dip at b2 (10 < 95//3
+    // = 31), cleared at b3 (95 > 52//3); b3 is ALSO not a spike
+    val counts = Seq((1L, 0L, 100L), (1L, 1L, 90L), (1L, 2L, 10L),
+      (1L, 3L, 95L)).toDF("k", "bucket", "n")
+    val got = Timeseries.ewmaAnomaliesSigned(counts, "k", "bucket", "n")
+      .orderBy(col("bucket"))
+      .as[(Long, Long, Long, Option[Long], Option[Boolean], Option[Boolean])]
+      .collect().toSeq
+    assert(got.map(_._6) === Seq(None, Some(false), Some(true), Some(false)))
+    assert(got.map(_._5) === Seq(None, Some(false), Some(false), Some(false)))
   }
 }

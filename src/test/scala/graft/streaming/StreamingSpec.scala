@@ -623,6 +623,63 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     } finally q.stop()
   }
 
+  test("streamingBucketQuantileSketches seal to the batch KLL artifacts") {
+    import StreamingViews.MeasureEvent
+    val dir = Files.createTempDirectory("graft_stream_kll").toString
+    // three 100ms buckets, < k values each (KLL retains everything below
+    // k — no randomized compaction — so stream and batch estimates must
+    // agree EXACTLY); bucket 1 gets an out-of-order burst in batch 2
+    // ts starts at 1, not 0: an event AT the initial watermark (0) sits on
+    // the engine's late-row boundary — boundary semantics are Spark's, not
+    // this operator's, so the fixture stays off it (as the EWMA/theta
+    // fixtures do)
+    val b1 = (0 until 30).map(i => MeasureEvent(i.toDouble, (i * 3 + 1).toLong)) ++
+      (0 until 20).map(i => MeasureEvent(100.0 + i, 100L + i)) ++
+      Seq(MeasureEvent(777.0, 255L)) // bucket 2, early arrival
+    val b2 = (0 until 10).map(i => MeasureEvent(200.0 + i, 150L + i)) ++ // late bucket-1 burst
+      (0 until 15).map(i => MeasureEvent(300.0 + i, 200L + i))
+    b1.toDF().write.parquet(s"$dir/in")
+    Thread.sleep(1100)
+    b2.toDF().write.mode("append").parquet(s"$dir/in")
+    val stream = StreamingViews.fileStream(spark, s"$dir/in",
+      b1.toDF().schema).as[MeasureEvent]
+    val out = StreamingViews.streamingBucketQuantileSketches(stream,
+      bucketMillis = 100L, watermarkDelay = "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("skll").start()
+    try {
+      q.processAllAvailable()
+      Seq(MeasureEvent(0.0, 100000000L)) // advance the watermark
+        .toDF().write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      def emitted() = spark.table("skll").where(col("bucket") < 1000L)
+      var got = emitted().count()
+      while (got < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        q.processAllAvailable()
+        got = emitted().count()
+      }
+      // sealed value counts per bucket
+      assert(emitted().select(col("bucket"), col("n"))
+        .as[(Long, Long)].collect().toSet ===
+        Set((0L, 30L), (1L, 30L), (2L, 16L)))
+      // the sealed bytes ARE the batch layer's artifacts: the window
+      // estimates over them equal a batch build over the same admitted
+      // events, bit-exact in the below-k regime
+      val viaStream = graft.ops.Timeseries.rollingQuantileFromSketches(
+          emitted().select(col("bucket"), col("sketch")),
+          "bucket", "sketch", windowBuckets = 2, q = 0.5)
+        .as[(Long, Double)].collect().toMap
+      val viaBatch = graft.ops.Timeseries.rollingQuantileSketch(
+          (b1 ++ b2).map(e => (e.value, e.tsMillis)).toDF("value", "tn"),
+          "value", "tn", bucketNanos = 100L, windowBuckets = 2, q = 0.5)
+        .as[(Long, Double)].collect().toMap
+      assert(viaStream === viaBatch)
+      assert(viaStream.keySet === Set(0L, 1L, 2L))
+    } finally q.stop()
+  }
+
   test("streamingSegmentSketches seal to the batch theta artifacts") {
     import StreamingViews.SegmentEvent
     val dir = Files.createTempDirectory("graft_stream_theta").toString

@@ -89,6 +89,43 @@ class FuzzySpec extends SparkSpec {
     assert(union.count() === 1L)
   }
 
+  test("multiPassPairs equals the union of both pass models, deduped") {
+    val rnd = new Random(909)
+    val alpha = "abc"
+    def word() = Seq.fill(5 + rnd.nextInt(2))(alpha(rnd.nextInt(3))).mkString
+    val rows = (0L until 70L).map(i => i -> word())
+    val got = Fuzzy.multiPassPairs(rows.toDF("id", "s"), "s", "id",
+        suffixLen = 2, lenTol = 1, maxDist = 2, window = 3,
+        numPartitions = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    val p1 = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && sa.takeRight(2) == sb.takeRight(2)
+      if math.abs(sa.length - sb.length) <= 1
+      d = lev(sa, sb) if d <= 2
+    } yield (ia, ib, d)).toSet
+    val ordered = rows.map { case (i, s) => (s, i) }.sorted
+    val p2 = (for {
+      a <- ordered.indices
+      b <- (a + 1) to math.min(a + 3, ordered.size - 1)
+      d = lev(ordered(a)._1, ordered(b)._1) if d <= 2
+    } yield (math.min(ordered(a)._2, ordered(b)._2),
+      math.max(ordered(a)._2, ordered(b)._2), d)).toSet
+    assert(got === (p1 ++ p2))
+    // both passes must contribute pairs the other misses for the
+    // fixture to actually exercise the composition
+    assert((p1 -- p2).nonEmpty && (p2 -- p1).nonEmpty)
+  }
+
+  test("sortedNeighborPairs stays Catalyst-native: no RDD scan boundary") {
+    val rows = (0L until 20L).map(i => i -> s"w${i % 7}x")
+    val plan = Fuzzy.sortedNeighborPairs(rows.toDF("id", "s"), "s", "id",
+        window = 2, maxDist = 2, numPartitions = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"),
+      s"RDD seam reintroduced:\n$plan")
+  }
+
   test("editDistancePairs emits each unordered pair once, no self pairs") {
     val df = Seq(1L -> "abcd_x", 2L -> "abcf_x", 3L -> "abcd_x", 4L -> "qqqq_y")
       .toDF("id", "s")
