@@ -111,6 +111,191 @@ object Graphs {
         tryLong(weightCol).as("w")),
       iterations, dampMilli, weighted = true)
 
+  /** PERSONALIZED PageRank: the teleport mass returns only to the SEED
+    * set (uniformly), so ranks measure centrality RELATIVE to the seeds
+    * — the trusted-seed quality-propagation shape of web-corpus
+    * curation (rank hosts by proximity to a curated whitelist), and the
+    * seeded variant of [[pageRankFixed]]'s global iteration. Same
+    * 64-bit fixed-point discipline (floor `div`s, order-free long sums
+    * ⇒ bit-replayable):
+    * {{{
+    * r₀(v)   = [v ∈ S] · 10¹² div |S|
+    * r'(v)   = [v ∈ S] · ((1000 − damp) · 10¹² div 1000 div |S|)
+    *           + (damp · Σ_{u→v} r(u) div outdeg(u)) div 1000
+    * }}}
+    * `seeds` is a one-column frame of node ids; ids outside the edge
+    * list's node set are ignored (they can neither receive nor emit
+    * mass), and an empty effective seed set fails loudly. Scale shape
+    * is [[pageRankFixed]]'s plus one broadcast-sized membership flag
+    * join on the node table — seed sets are whitelist-sized. */
+  def pageRankPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iterations: Int, dampMilli: Long = 850L): DataFrame = {
+    require(iterations >= 1, s"iterations must be positive: $iterations")
+    require(dampMilli >= 0L && dampMilli <= 1000L,
+      s"dampMilli must be in [0, 1000]: $dampMilli")
+    val e = edges.select(tryLong(srcCol).as("src"), tryLong(dstCol).as("dst"))
+      .localCheckpoint(eager = true)
+    val badIds = e.where(col("src").isNull || col("dst").isNull).count()
+    require(badIds == 0L,
+      s"$badIds edge rows have null node ids after the long cast " +
+        "— string node keys? map them through Graphs.withNodeIds first")
+    val seedIds = seeds.select(tryLong(seedCol).as("node")).distinct()
+    val nodesAll = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // membership flag rides the node table; seeds outside the graph
+    // drop here (inner semi join), matching the documented semantics
+    val nodes = nodesAll
+      .join(seedIds.select(col("node"), lit(1L).as("seed")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("seed"), lit(0L)).as("seed"))
+      .localCheckpoint(eager = true)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outw"))
+      .localCheckpoint(eager = true)
+    val nSeeds = nodes.where(col("seed") === 1L).count()
+    require(nSeeds > 0L,
+      "no seed id appears in the edge list's node set — personalized " +
+        "rank is undefined without an effective seed")
+    val init = 1000000000000L / nSeeds
+    val base = (1000L - dampMilli) * 1000000000000L / 1000L / nSeeds
+    var ranks = nodes.select(col("node"), (col("seed") * lit(init)).as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib = ranks
+        .join(outdeg, ranks("node") === outdeg("src"))
+        .select(col("src"), col("r"), col("outw"))
+        .join(e, Seq("src"))
+        .select(col("dst"), expr("r div outw").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (col("seed") * lit(base) +
+            expr(s"($dampMilli * coalesce(s, cast(0 as bigint))) div 1000"))
+            .as("r"))
+        .localCheckpoint(eager = true)
+    }
+    ranks.select(col("node"), col("r").as("rank_micro"))
+  }
+
+  /** Per-node triangle counts + local clustering coefficient over the
+    * UNDIRECTED simple graph induced by the edge list (direction,
+    * duplicates and self-loops are normalized away) — the cohesion
+    * signal of link/co-occurrence analysis (a host whose neighbors
+    * interlink is a community; one whose neighbors don't is a hub or a
+    * spam farm). Returns `(node, degree, triangles, cc_micro)` with
+    * `cc_micro = (2 · triangles · 10⁶) div (degree · (degree − 1))` —
+    * all integer, bit-replayable.
+    *
+    * Counting is COMPACT-FORWARD: every canonical edge is oriented from
+    * the smaller to the larger endpoint under the total order
+    * `(degree, id)`, so each triangle `a ≺ b ≺ c` materializes exactly
+    * once as the wedge `(a→b, a→c)` closed by `a`'s higher-degree
+    * neighbors' edge `b→c`. The orientation is the scale move: wedge
+    * fan-out per node is bounded by its FORWARD degree (O(√m) on any
+    * graph), so a 10⁸-follower hub generates zero wedges instead of
+    * 10¹⁶ — a plain id-ordered wedge join has no such bound. Three
+    * node-keyed hash joins + one aggregate; pre-bucketing the edge list
+    * on the node id makes them exchange-free at 100 TB. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(tryLong(srcCol).as("a"), tryLong(dstCol).as("b"))
+      .localCheckpoint(eager = true)
+    val badIds = raw.where(col("a").isNull || col("b").isNull).count()
+    require(badIds == 0L,
+      s"$badIds edge rows have null node ids after the long cast " +
+        "— string node keys? map them through Graphs.withNodeIds first")
+    // canonical simple graph: undirected, deduped, no self-loops
+    val und = raw.where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(eager = true)
+    // orient by (degree, id): struct comparison gives the total order
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), Seq("b"))
+    val oriented = withDeg.select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst"),
+            col("db").as("dstDeg")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+            col("da").as("dstDeg"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.dstDeg").as("dstDeg"))
+      .localCheckpoint(eager = true) // walked three times below
+    // wedges (u→v, u→w) with v ≺ w; closed iff v→w is an oriented edge
+    val w1 = oriented.select(col("src"), col("dst").as("v"),
+      col("dstDeg").as("vd"))
+    val w2 = oriented.select(col("src"), col("dst").as("w"),
+      col("dstDeg").as("wd"))
+    val triangles = w1.join(w2, Seq("src"))
+      .where(struct(col("vd"), col("v")) < struct(col("wd"), col("w")))
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"))
+      .select(explode(array(col("src"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(triangles, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2L,
+          expr("(2 * coalesce(triangles, cast(0 as bigint)) * 1000000) " +
+            "div (degree * (degree - 1))"))
+          .otherwise(lit(0L)).as("cc_micro"))
+  }
+
+  /** k-CORE decomposition by iterative peeling: repeatedly delete nodes
+    * whose degree in the REMAINING undirected simple graph is < k, until
+    * fixpoint (or `maxRounds` peels). Returns `(node, degree)` — the
+    * surviving nodes with their within-core degree. The k-core is the
+    * standard "dense kernel" extractor: spam-link detection (link farms
+    * survive high k), community cores, and crawl-frontier priority all
+    * peel the same way.
+    *
+    * Each round is one degree aggregate + two node-keyed semi-joins on
+    * the shrinking edge list, `localCheckpoint`ed so r rounds stay r
+    * linear jobs; the rounds-to-fixpoint is bounded by the degeneracy
+    * ordering (tens, not thousands, on real web graphs — and `maxRounds`
+    * caps it deterministically for replay). The only driver scalar per
+    * round is the "did anything peel" count — same discipline as the
+    * PageRank node count. Exchanges key on node ids throughout:
+    * pre-bucketed edge tables peel exchange-free at 100 TB. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = Int.MaxValue): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(maxRounds >= 1, s"maxRounds must be positive: $maxRounds")
+    val raw = edges.select(tryLong(srcCol).as("a"), tryLong(dstCol).as("b"))
+      .localCheckpoint(eager = true)
+    val badIds = raw.where(col("a").isNull || col("b").isNull).count()
+    require(badIds == 0L,
+      s"$badIds edge rows have null node ids after the long cast " +
+        "— string node keys? map them through Graphs.withNodeIds first")
+    var cur = raw.where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val deg = degrees(cur).localCheckpoint(eager = true)
+      if (deg.where(col("degree") < k).isEmpty) converged = true
+      else {
+        val good = deg.where(col("degree") >= k).select(col("node"))
+        cur = cur
+          .join(good.select(col("node").as("a")), Seq("a"), "left_semi")
+          .join(good.select(col("node").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+          .localCheckpoint(eager = true)
+        round += 1
+      }
+    }
+    degrees(cur)
+  }
+
   private def pageRankFixedImpl(edgesW: DataFrame, iterations: Int,
                                 dampMilli: Long,
                                 weighted: Boolean): DataFrame = {

@@ -220,6 +220,59 @@ object PipelineQueries {
         .select(col("node_key"), col("rank_micro"))
         .orderBy(col("rank_micro").desc, col("node_key"))
         .limit(100)
+    }),
+
+    // ───── PERSONALIZED PageRank: teleport mass returns only to the
+    // urgent-order seed set, so ranks measure proximity to the seeds —
+    // the trusted-whitelist quality-propagation shape. Bidirectional
+    // order↔part edges (the bipartite graph walked both ways) so seed
+    // mass actually circulates; same three unrolled integer
+    // iterations, seed membership as a 0/1 factor on init and base ─────
+    "q162_pagerank_personalized" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey").as("o"),
+          (col("l_partkey") + lit(1000000000L)).as("p"))
+      val e = li.select(col("o").as("src"), col("p").as("dst"))
+        .unionByName(li.select(col("p").as("src"), col("o").as("dst")))
+      val seeds = Tables.orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey").as("seed"))
+      graft.ops.Graphs.pageRankPersonalized(e, "src", "dst",
+          seeds, "seed", iterations = 3)
+        .orderBy(col("rank_micro").desc, col("node"))
+        .limit(100)
+    }),
+
+    // ───── triangle counting + clustering coefficient over the part
+    // co-occurrence graph (parts sharing an order interlink — the
+    // co-purchase community signal). The operator orients edges by
+    // (degree, id) — compact-forward — so the oracle's simpler
+    // id-ordered wedge join agreeing proves the orientation is a pure
+    // execution strategy, not a semantics change ─────
+    "q163_triangles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).where(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"), col("x.o") === col("y.o") &&
+          col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      graft.ops.Graphs.triangleCounts(e, "src", "dst")
+        .orderBy(col("triangles").desc, col("node"))
+        .limit(100)
+    }),
+
+    // ───── 3-core of the same co-occurrence graph: peel nodes with
+    // fewer than 3 surviving co-purchase partners until fixpoint
+    // (capped at 6 peels; the oracle unrolls the same 6 rounds, which
+    // coincide with fixpoint whenever peeling converges earlier) ─────
+    "q164_kcore" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).where(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"), col("x.o") === col("y.o") &&
+          col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      graft.ops.Graphs.kCore(e, "src", "dst", k = 3, maxRounds = 6)
+        .orderBy(col("node"))
     })
   )
 
@@ -385,6 +438,98 @@ object PipelineQueries {
           ${step("2", "3")}
           SELECT node AS node_key, r AS rank_micro FROM r3
           ORDER BY rank_micro DESC, node LIMIT 100"""
+    },
+    // the personalized iterations unrolled: seed ∈ {0,1} scales init and
+    // the teleport base; |S| counts only seeds present in the node set
+    "q162_pagerank_personalized" -> {
+      def step(prev: String, out: String): String =
+        s"""s$out AS (
+              SELECT e.dst, sum(r$prev.r // od.outdeg) AS s
+              FROM r$prev JOIN od ON od.src = r$prev.node
+              JOIN e ON e.src = od.src GROUP BY e.dst),
+            r$out AS (
+              SELECT node,
+                CAST(seed * (((1000 - 850) * 1000000000000) // 1000 // k)
+                  + (850 * COALESCE(s, 0)) // 1000 AS BIGINT) AS r
+              FROM nodes CROSS JOIN ns
+              LEFT JOIN s$out ON s$out.dst = nodes.node)"""
+      s"""WITH li AS (
+            SELECT l_orderkey AS o, l_partkey + 1000000000 AS p
+            FROM lineitem WHERE l_orderkey % 4 = 0),
+          e AS (SELECT o AS src, p AS dst FROM li
+                UNION ALL SELECT p, o FROM li),
+          nodes0 AS (
+            SELECT DISTINCT src AS node FROM e
+            UNION SELECT DISTINCT dst FROM e),
+          sd AS (SELECT DISTINCT o_orderkey AS node FROM orders
+                 WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 4 = 0),
+          nodes AS (
+            SELECT n.node,
+              CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS seed
+            FROM nodes0 n LEFT JOIN sd s ON s.node = n.node),
+          ns AS (SELECT count(*) AS k FROM nodes WHERE seed = 1),
+          od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                 FROM e GROUP BY 1),
+          r0 AS (SELECT node, seed * (1000000000000 // k) AS r
+                 FROM nodes CROSS JOIN ns),
+          ${step("0", "1")},
+          ${step("1", "2")},
+          ${step("2", "3")}
+          SELECT node, r AS rank_micro FROM r3
+          ORDER BY rank_micro DESC, node LIMIT 100"""
+    },
+    // triangles by the plain id-ordered wedge join (a<b<c appears exactly
+    // once) — agreement proves the operator's degree orientation is pure
+    // execution strategy
+    "q163_triangles" ->
+      """WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+                     FROM lineitem WHERE l_orderkey % 3 = 0),
+          e AS (SELECT DISTINCT x.p AS a, y.p AS b
+                FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+          deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+                    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+                  GROUP BY 1),
+          tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                  FROM e e1
+                  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+          pernode AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+                      FROM (SELECT x AS node FROM tri
+                            UNION ALL SELECT y FROM tri
+                            UNION ALL SELECT z FROM tri) GROUP BY 1)
+          SELECT d.node, d.degree,
+            COALESCE(p.triangles, 0) AS triangles,
+            CAST(CASE WHEN d.degree >= 2
+              THEN (2 * COALESCE(p.triangles, 0) * 1000000)
+                   // (d.degree * (d.degree - 1))
+              ELSE 0 END AS BIGINT) AS cc_micro
+          FROM deg d LEFT JOIN pernode p ON p.node = d.node
+          ORDER BY triangles DESC, d.node LIMIT 100""",
+    // six peeling rounds unrolled; rounds past fixpoint are identity, so
+    // the cap and fixpoint coincide whenever peeling converges early
+    "q164_kcore" -> {
+      // MATERIALIZED: inlined, each round re-expands its predecessor
+      // three times (3^6 scans of the base table — fd exhaustion)
+      def peel(prev: String, out: String): String =
+        s"""d$out AS MATERIALIZED (SELECT node FROM (
+                SELECT a AS node FROM e$prev UNION ALL SELECT b FROM e$prev)
+              GROUP BY node HAVING count(*) >= 3),
+            e$out AS MATERIALIZED (SELECT a, b FROM e$prev
+              WHERE a IN (SELECT node FROM d$out)
+                AND b IN (SELECT node FROM d$out))"""
+      s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+                      FROM lineitem WHERE l_orderkey % 3 = 0),
+          e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+                 FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+          ${peel("0", "1")},
+          ${peel("1", "2")},
+          ${peel("2", "3")},
+          ${peel("3", "4")},
+          ${peel("4", "5")},
+          ${peel("5", "6")}
+          SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT a AS node FROM e6 UNION ALL SELECT b FROM e6)
+          GROUP BY node ORDER BY node"""
     },
     "q149_image_ahash" ->
       """SELECT doc_id,

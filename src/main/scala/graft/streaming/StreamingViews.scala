@@ -554,6 +554,81 @@ object StreamingViews {
       }
   }
 
+  /** Internal fan row of [[streamingTokenCms]] (public for the typed
+    * deserializer's codegen). */
+  case class TokenFreqEvent(token: String, tsMillis: Long)
+  /** One in-flight per-bucket count-min sketch — Spark's
+    * `util.sketch.CountMinSketch` serialization, O(depth·width)
+    * counters at any token volume. */
+  case class BucketCmsState(sketch: Array[Byte])
+  /** A watermark-sealed per-bucket token-frequency sketch plus the
+    * sealed token count. Bytes are `CountMinSketch.readFrom`-able and
+    * `mergeInPlace`-compatible with the batch
+    * [[graft.udafs.Sketches.tokenCms]] artifacts (same eps/confidence/
+    * seed). */
+  case class SealedBucketCms(bucket: Long, sketch: Array[Byte], nTokens: Long)
+
+  /** Streaming producer of the token-frequency CMS — the FREQUENCY
+    * family's streaming twin (HLL actives, theta segments, EWMA and
+    * KLL quantiles all have one): docs tokenize STATELESSLY with the
+    * same `TextOps.tokens` expression the batch sketch uses, each
+    * token fans to its time bucket, and one updatable count-min sketch
+    * per in-flight bucket accumulates until the event-time watermark
+    * seals it. CMS counters are SUMS — commutative and
+    * order-independent — so sealed per-bucket sketches `mergeInPlace`
+    * to BYTE-IDENTICAL artifacts vs a batch [[graft.udafs.Sketches
+    * .tokenCms]] build over the same admitted docs (spec-pinned),
+    * exactness no other sketch family's twin can claim. Late rows
+    * below the watermark drop (append mode cannot retract). State per
+    * in-flight bucket is the fixed counter grid — O(depth·width)
+    * bytes at any token volume. */
+  def streamingTokenCms(docs: DataFrame, textCol: String, tsCol: String,
+                        bucketMillis: Long, eps: Double, confidence: Double,
+                        seed: Int,
+                        watermarkDelay: String = "0 milliseconds")
+      : Dataset[SealedBucketCms] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.util.sketch.CountMinSketch
+    docs
+      .withColumn("eventTime", timestamp_millis(col(tsCol).cast("long")))
+      .withWatermark("eventTime", watermarkDelay)
+      .select(explode(graft.text.TextOps.tokens(col(textCol))).as("token"),
+        col(tsCol).cast("long").as("tsMillis"), col("eventTime"))
+      .as[TokenFreqEvent]
+      .groupByKey(e => Math.floorDiv(e.tsMillis, bucketMillis))
+      .flatMapGroupsWithState[BucketCmsState, SealedBucketCms](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bucket: Long, rows: Iterator[TokenFreqEvent],
+         state: GroupState[BucketCmsState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val sealAt = (bucket + 1L) * bucketMillis
+          val sketch = state.getOption
+            .map(s => CountMinSketch.readFrom(
+              new java.io.ByteArrayInputStream(s.sketch)))
+            .getOrElse(CountMinSketch.create(eps, confidence, seed))
+          rows.filter(_.tsMillis >= wm).foreach(r => sketch.addString(r.token))
+          def bytes(): Array[Byte] = {
+            val bos = new java.io.ByteArrayOutputStream()
+            sketch.writeTo(bos)
+            bos.toByteArray
+          }
+          if (wm >= sealAt) {
+            state.remove()
+            if (sketch.totalCount() == 0L) Iterator.empty
+            else Iterator.single(
+              SealedBucketCms(bucket, bytes(), sketch.totalCount()))
+          } else if (sketch.totalCount() == 0L) {
+            state.remove()
+            Iterator.empty
+          } else {
+            state.update(BucketCmsState(bytes()))
+            state.setTimeoutTimestamp(math.max(sealAt, wm + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming corpus ingest: the stateless prefix of
     * [[graft.text.Corpus.cleanIncremental]] as a live stream —
     *

@@ -86,6 +86,65 @@ class GraphsSpec extends SparkSpec {
     assert(ranks(1L) > ranks(2L))
   }
 
+  /** The documented personalized iteration, replayed sequentially. */
+  private def modelP(edges: Seq[(Long, Long)], seeds: Set[Long],
+                     iters: Int, damp: Long): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val active = seeds.intersect(nodes.toSet)
+    val k = active.size.toLong
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val init = 1000000000000L / k
+    val base = (1000L - damp) * 1000000000000L / 1000L / k
+    var r = nodes.map(v => v -> (if (active(v)) init else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val s = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / outdeg(u) }.sum).toMap
+      r = nodes.map(v => v -> ((if (active(v)) base else 0L) +
+        damp * s.getOrElse(v, 0L) / 1000L)).toMap
+    }
+    r
+  }
+
+  test("pageRankPersonalized matches the model; all-nodes seeds == global PageRank") {
+    val rnd = new Random(4242)
+    val edges = (0 until 250).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    // a seed set with ids both inside and OUTSIDE the node set (the
+    // outsiders must be ignored, per the documented semantics)
+    val seeds = Set(0L, 1L, 2L, 999L)
+    val got = Graphs.pageRankPersonalized(edges.toDF("src", "dst"),
+        "src", "dst", seeds.toSeq.toDF("seed"), "seed", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === modelP(edges, seeds, 3, 850L))
+    // seeding EVERY node collapses to the global operator exactly
+    val allNodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val viaP = Graphs.pageRankPersonalized(edges.toDF("src", "dst"),
+        "src", "dst", allNodes.toDF("seed"), "seed", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    val global = Graphs.pageRankFixed(edges.toDF("src", "dst"),
+        "src", "dst", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(viaP === global)
+  }
+
+  test("personalized mass stays with the seed's component; no-seed graphs error") {
+    // two disconnected 2-cycles; seed in the first: the other component
+    // can never receive teleport or link mass — exactly zero rank
+    val edges = Seq((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L))
+    val ranks = Graphs.pageRankPersonalized(edges.toDF("src", "dst"),
+        "src", "dst", Seq(0L).toDF("seed"), "seed", iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(ranks(0L) > 0L && ranks(1L) > 0L)
+    assert(ranks(2L) === 0L && ranks(3L) === 0L)
+    // a seed set entirely outside the node set is undefined — loud error
+    val e = intercept[IllegalArgumentException] {
+      Graphs.pageRankPersonalized(edges.toDF("src", "dst"), "src", "dst",
+        Seq(99L).toDF("seed"), "seed", iterations = 1)
+    }
+    assert(e.getMessage.contains("seed"))
+  }
+
   test("string node ids error loudly instead of null-casting to garbage") {
     // without the guard every unparseable id long-casts to null and
     // collapses into ONE node — the rank table would be silently wrong
@@ -158,5 +217,89 @@ class GraphsSpec extends SparkSpec {
     assert((1L to 5L).map(ranks).toSet.size === 1, "spokes tie exactly")
     // total mass only shrinks (floor divisions + dropped dangling mass)
     assert(ranks.values.sum <= 1000000000000L)
+  }
+
+  /** Brute-force per-node triangle counts over the canonical simple
+    * graph (direction/dupes/self-loops normalized like the operator). */
+  private def modelTri(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val und = edges.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq
+    nodes.map { v =>
+      val nb = adj(v)
+      val tri = nb.toSeq.combinations(2)
+        .count { case Seq(x, y) => adj(x).contains(y) }
+      v -> (nb.size.toLong, tri.toLong)
+    }.toMap
+  }
+
+  test("triangleCounts matches brute force; direction/dupes/loops normalize away") {
+    val rnd = new Random(777)
+    // directed, duplicated, self-looped — the operator must canonicalize
+    val edges = (0 until 400).map(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val got = Graphs.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (n, d, t, c) => n -> (d, t, c) }.toMap
+    val want = modelTri(edges)
+    assert(got.keySet === want.keySet)
+    want.foreach { case (v, (d, t)) =>
+      val (gd, gt, gc) = got(v)
+      assert(gd === d, s"degree of $v")
+      assert(gt === t, s"triangles of $v")
+      val expectedCc = if (d >= 2) 2L * t * 1000000L / (d * (d - 1L)) else 0L
+      assert(gc === expectedCc, s"cc of $v")
+    }
+    // a known shape: K4 has 3 triangles per node and cc = 1
+    val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    val k4got = Graphs.triangleCounts(k4.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(k4got.forall { case (_, d, t, c) =>
+      d === 3L && t === 3L && c === 1000000L })
+  }
+
+  /** The peeling loop, replayed sequentially on the driver. */
+  private def modelKCore(edges: Seq[(Long, Long)], k: Int,
+                         maxRounds: Int): Map[Long, Long] = {
+    var cur = edges.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    def deg(e: Seq[(Long, Long)]): Map[Long, Long] =
+      (e.map(_._1) ++ e.map(_._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val d = deg(cur)
+      if (d.values.forall(_ >= k)) converged = true
+      else {
+        val good = d.filter(_._2 >= k).keySet
+        cur = cur.filter { case (a, b) => good(a) && good(b) }
+        round += 1
+      }
+    }
+    deg(cur)
+  }
+
+  test("kCore peels to the model at fixpoint and under a round cap") {
+    val rnd = new Random(888)
+    val edges = (0 until 300).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    for ((k, cap) <- Seq((3, Int.MaxValue), (4, 2), (5, 100))) {
+      val got = Graphs.kCore(edges.toDF("src", "dst"), "src", "dst", k, cap)
+        .as[(Long, Long)].collect().toMap
+      assert(got === modelKCore(edges, k, cap), s"k=$k cap=$cap")
+    }
+    // K4 plus a pendant chain: the 3-core is exactly the K4 (all deg 3)
+    val k4chain = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 4L), (4L, 5L))
+    val core = Graphs.kCore(k4chain.toDF("src", "dst"), "src", "dst", k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // a graph whose core is empty peels to zero rows, not an error
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    assert(Graphs.kCore(chain.toDF("src", "dst"), "src", "dst", k = 2)
+      .count() === 0L)
   }
 }

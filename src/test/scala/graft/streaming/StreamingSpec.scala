@@ -623,6 +623,59 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     } finally q.stop()
   }
 
+  test("streamingTokenCms seals byte-identical frequency artifacts") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val dir = Files.createTempDirectory("graft_stream_cms").toString
+    // two 100ms buckets; one out-of-order bucket-0 doc arrives in batch 2
+    val b1 = Seq(("alpha beta beta", 10L), ("gamma alpha", 150L))
+    val b2 = Seq(("beta gamma gamma", 60L), ("delta", 160L))
+    b1.toDF("text", "ts").write.parquet(s"$dir/in")
+    Thread.sleep(1100)
+    b2.toDF("text", "ts").write.mode("append").parquet(s"$dir/in")
+    val stream = StreamingViews.fileStream(spark, s"$dir/in",
+      b1.toDF("text", "ts").schema)
+    val out = StreamingViews.streamingTokenCms(stream, "text", "ts",
+      bucketMillis = 100L, eps = 0.01, confidence = 0.99, seed = 42,
+      watermarkDelay = "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("scms").start()
+    try {
+      q.processAllAvailable()
+      Seq(("zz", 100000000L)) // advance the watermark
+        .toDF("text", "ts").write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      def emitted() = spark.table("scms").where(col("bucket") < 1000L)
+      var got = emitted().count()
+      while (got < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        q.processAllAvailable()
+        got = emitted().count()
+      }
+      assert(emitted().select(col("bucket"), col("nTokens"))
+        .as[(Long, Long)].collect().toSet === Set((0L, 6L), (1L, 3L)))
+      // CMS counters are sums — order-free — so merging the sealed
+      // buckets is BYTE-IDENTICAL to one batch build over the same docs
+      val sealedCms = emitted().select(col("sketch"))
+        .as[Array[Byte]].collect()
+        .map(b => CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))
+      val merged = sealedCms.reduce { (a, b) => a.mergeInPlace(b); a }
+      val batch = graft.udafs.Sketches.tokenCms(
+        (b1 ++ b2).toDF("text", "ts"), "text",
+        eps = 0.01, confidence = 0.99, seed = 42)
+      def bytes(s: CountMinSketch): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        s.writeTo(bos)
+        bos.toByteArray
+      }
+      assert(java.util.Arrays.equals(bytes(merged), bytes(batch)))
+      Seq("alpha" -> 2L, "beta" -> 3L, "gamma" -> 3L, "delta" -> 1L)
+        .foreach { case (tok, n) =>
+          assert(merged.estimateCount(tok) === n, tok)
+        }
+    } finally q.stop()
+  }
+
   test("streamingBucketQuantileSketches seal to the batch KLL artifacts") {
     import StreamingViews.MeasureEvent
     val dir = Files.createTempDirectory("graft_stream_kll").toString
