@@ -118,6 +118,54 @@ object Relational {
     }
   }
 
+  /** Bucketized INTERVAL JOIN: every (left, right) pair with equal
+    * `keys` and `start ≤ ts < end` — the log-alignment shape (enrich
+    * point events with the session / deployment / experiment window
+    * they fall into) that a naive range join plans as a per-key
+    * CARTESIAN product. Instead: each interval fans out to the
+    * fixed-size time buckets it covers (`sequence` explode), each point
+    * lands in exactly ONE bucket, and the match becomes a plain hash
+    * equi-join on `keys :+ bucket` + the exact containment filter. No
+    * dedup pass is needed precisely because a point has one bucket.
+    *
+    * Returns all left columns + the right `payload` columns, one output
+    * row per match (inner semantics: null timestamps/bounds and empty
+    * intervals match nothing). `bucketNanos` trades fan-out for match
+    * selectivity — pick it near the median interval length so a typical
+    * interval explodes to O(1) buckets; the fan-out is
+    * `(len div bucket) + 1` rows per interval, NEVER data-dependent on
+    * the right side (a hot key degrades to a bigger hash join, not a
+    * cross product). Bounds use exact floor division, so pre-epoch
+    * timestamps bucket identically to DuckDB `//`. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   startCol: String, endCol: String, tsCol: String,
+                   bucketNanos: Long, payload: Seq[String]): DataFrame = {
+    require(bucketNanos > 0L, s"bucketNanos must be positive: $bucketNanos")
+    require(keys.nonEmpty, "interval join needs at least one equi-key")
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(payload.contains),
+      s"payload ${payload.mkString(",")} collides with a left column")
+    val clash2 = leftCols.filter(Set("__b", "__ts", "__p").contains)
+    require(clash2.isEmpty && !right.columns.contains("__b"),
+      s"column(s) ${(clash2 ++ Seq("__b")).distinct.mkString(",")} collide " +
+        "with intervalJoin's working columns (__b,__ts,__p) — rename first")
+    def fdiv(c: String): String =
+      s"(`$c` div ${bucketNanos}L) - (case when `$c` % ${bucketNanos}L < 0 then 1 else 0 end)"
+    val l = left
+      .where(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(startCol) < col(endCol))
+      .withColumn("__b", explode(expr(
+        s"sequence(${fdiv(startCol)}, (`$endCol` - 1) div ${bucketNanos}L - " +
+          s"(case when (`$endCol` - 1) % ${bucketNanos}L < 0 then 1 else 0 end))")))
+    val r = right.select(
+      keys.map(col) :+ expr(fdiv(tsCol)).as("__b") :+
+        col(tsCol).as("__ts") :+
+        struct(payload.map(col): _*).as("__p"): _*)
+    l.join(r, keys :+ "__b")
+      .where(col("__ts") >= col(startCol) && col("__ts") < col(endCol))
+      .select(leftCols.map(col) ++ payload.map(p => col(s"__p.$p").as(p)): _*)
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, payload: Seq[String],
                tieBreak: Option[String] = None): DataFrame = {

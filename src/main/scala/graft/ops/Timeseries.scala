@@ -188,4 +188,61 @@ object Timeseries {
     rollingQuantileFromSketches(
       bucketQuantileSketches(events, valueCol, tsCol, bucketNanos, kllK),
       "bucket", "sketch", windowBuckets, q, kllK)
+
+  /** One mergeable count-min sketch per bucket: `(bucket, sketch,
+    * n_tokens)` — the persistable FREQUENCY artifact (the
+    * [[bucketQuantileSketches]] discipline applied to token counts;
+    * vocabulary-drift monitoring across crawl snapshots is the use).
+    * `bucketCol` is any long grouping column (epoch bucket, ingest
+    * shard). The token stream never reaches the custom aggregate: an
+    * ordinary codegen'd `count` collapses it to distinct
+    * `(bucket, token)` pairs first (partial-aggregable, map-side
+    * combined) and the Kryo-buffered sketch aggregator adds each token
+    * ONCE with its weight — byte-compatible with
+    * [[graft.udafs.Sketches.tokenCms]] and the streaming sealed
+    * artifacts under the same (eps, confidence, seed). */
+  def bucketTokenCms(docs: DataFrame, textCol: String, bucketCol: String,
+                     eps: Double, confidence: Double, seed: Int): DataFrame =
+    docs
+      .select(col(bucketCol).cast("long").as("bucket"),
+        explode(graft.text.TextOps.tokens(col(textCol))).as("__w"))
+      .groupBy(col("bucket"), col("__w"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("bucket"))
+      .agg(graft.udafs.Sketches
+          .cmsAgg(col("__w"), col("__n"), eps, confidence, seed)
+          .as("sketch"),
+        sum(col("__n")).as("n_tokens"))
+
+  /** Window a per-bucket CMS table (batch-built or streaming-sealed)
+    * for a fixed token WATCHLIST: `(bucket, token, freq_est)` per
+    * window end, where the window covers `windowBuckets` buckets ending
+    * at `bucket` (clamped to the newest bucket, the rolling-actives
+    * shape). The same `sequence` fan-out as
+    * [[rollingQuantileFromSketches]]: sketch-sized input, one
+    * counter-grid merge per window, the watchlist estimated once per
+    * window row — raw events are never rescanned, so "how did these
+    * terms trend" replays from the daily artifacts alone. Estimates
+    * carry the CMS guarantee (never below the true windowed count,
+    * ≤ ε·N above it w.p. the configured confidence). */
+  def rollingTokenFreqFromSketches(sketches: DataFrame, bucketCol: String,
+                                   sketchCol: String, tokens: Seq[String],
+                                   windowBuckets: Int, eps: Double,
+                                   confidence: Double, seed: Int): DataFrame = {
+    require(windowBuckets >= 1, "window must span at least one bucket")
+    require(tokens.nonEmpty, "the watchlist must name at least one token")
+    val perBucket = sketches.select(col(bucketCol).cast("long").as("__b"),
+      col(sketchCol).as("__sk"))
+    val newest = perBucket.agg(max(col("__b")).as("__mb"))
+    perBucket.crossJoin(broadcast(newest))
+      .select(col("__sk"), explode(sequence(col("__b"),
+        least(col("__b") + lit(windowBuckets - 1L), col("__mb"))))
+        .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(graft.udafs.Sketches
+        .cmsMergeAgg(col("__sk"), eps, confidence, seed).as("__m"))
+      .select(col("bucket"),
+        explode(graft.udafs.Sketches.cmsEstimates(col("__m"), tokens))
+          .as(Seq("token", "freq_est")))
+  }
 }

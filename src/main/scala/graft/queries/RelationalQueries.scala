@@ -602,6 +602,31 @@ object RelationalQueries {
       graft.dedup.Dedup.dedupeByPairs(
           cust.select(col("c_custkey")), "c_custkey", pairs)
         .orderBy(col("c_custkey"))
+    }),
+
+    // ───── bucketized interval join: purchases attributed to the 3-day
+    // window after each signup of the same user — the log-alignment
+    // shape a naive range join plans as a per-key cartesian. Each
+    // window fans to the ≤4 day-buckets it covers; each purchase lands
+    // in exactly ONE bucket (no dedup pass); the match is a plain hash
+    // equi-join on (user, bucket) + the exact containment filter ─────
+    "q165_interval_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val base = e.select(col("event_id"), col("user_id"),
+        col("event_type"), Tables.tsNanos(e).as("tn"), col("value"))
+      val day = 86400L * 1000000000L
+      val signups = base.where(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          col("tn").as("w_start"), (col("tn") + lit(3L * day)).as("w_end"))
+      val purchases = base.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("tn"),
+          col("value").cast("decimal(18,2)").as("v"))
+      graft.ops.Relational.intervalJoin(signups, purchases, Seq("user_id"),
+          "w_start", "w_end", "tn", bucketNanos = day, payload = Seq("v"))
+        .groupBy(col("signup_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("v")).as("total_value"))
+        .orderBy(col("signup_id"))
     })
   )
 
@@ -1185,6 +1210,24 @@ object RelationalQueries {
          SELECT c2.c_custkey, COALESCE(c.component, c2.c_custkey) AS component,
                 COALESCE(c.component, c2.c_custkey) = c2.c_custkey AS keep
          FROM customer c2 LEFT JOIN comp c ON c2.c_custkey = c.id
-         ORDER BY c2.c_custkey"""
+         ORDER BY c2.c_custkey""",
+
+    // the interval join replayed as the plain inequality join the
+    // operator's bucketization is provably equivalent to
+    "q165_interval_join" ->
+      """WITH b AS (SELECT event_id, user_id, event_type,
+                      epoch_ns(ts) AS tn, value FROM events),
+          s AS (SELECT event_id AS signup_id, user_id, tn AS st,
+                  tn + 259200000000000 AS en
+                FROM b WHERE event_type = 'signup'),
+          p AS (SELECT user_id, tn, CAST(value AS DECIMAL(18,2)) AS v
+                FROM b WHERE event_type = 'purchase')
+          SELECT s.signup_id, s.user_id,
+            CAST(count(*) AS BIGINT) AS n_purchases,
+            SUM(p.v) AS total_value
+          FROM s JOIN p ON p.user_id = s.user_id
+            AND p.tn >= s.st AND p.tn < s.en
+          GROUP BY s.signup_id, s.user_id
+          ORDER BY s.signup_id"""
   )
 }

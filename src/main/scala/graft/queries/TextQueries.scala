@@ -1263,6 +1263,52 @@ object TextQueries {
           dfreq.localCheckpoint(eager = false), dl, stats,
           k = 3, essentialDfFrac = 0.05)
         .orderBy(col("query_id"), col("doc_id"))
+    }),
+
+    // ───── rolling token frequencies from PER-BUCKET count-min sketches
+    // (vocabulary-drift monitoring over ingest shards): the q130 CMS
+    // guarantee as a pinned verdict per (window, watch token), beside
+    // the honest exact windowed counts. The production path touches
+    // only the sketch artifacts; the exact half exists solely for the
+    // gate (the q156/q142 bounded-anchor pattern) ─────
+    "q166_rolling_token_freq" -> ((s, d) => {
+      val eps = 1e-3; val conf = 0.99; val seed = 42; val win = 4
+      val watch = Seq("the", "data", "of", "model")
+      val docs = Tables.documents(s, d)
+        .select(expr("doc_id div 50").as("bucket"), col("text"))
+      val sk = graft.ops.Timeseries.bucketTokenCms(
+        docs, "text", "bucket", eps, conf, seed)
+      val est = graft.ops.Timeseries.rollingTokenFreqFromSketches(
+        sk, "bucket", "sketch", watch, win, eps, conf, seed)
+      // exact windowed counts + token totals, for the verdict only
+      val perB = docs
+        .select(col("bucket"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("bucket"), col("token")).agg(count(lit(1)).as("n"))
+      val maxB = perB.agg(max(col("bucket")).as("mb"))
+      val wins = perB.select(col("bucket")).distinct()
+        .crossJoin(broadcast(maxB))
+        .select(explode(sequence(col("bucket"),
+          least(col("bucket") + lit(win - 1L), col("mb")))).as("wend"))
+        .distinct()
+      val s_ = s; import s_.implicits._
+      val ex = wins.crossJoin(broadcast(watch.toDF("wtoken")))
+        .join(perB,
+          perB("token") === col("wtoken") &&
+            perB("bucket").between(col("wend") - (win - 1L), col("wend")),
+          "left")
+        .groupBy(col("wend"), col("wtoken"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_exact"))
+      val totals = sk.crossJoin(broadcast(maxB))
+        .select(col("n_tokens"), explode(sequence(col("bucket"),
+          least(col("bucket") + lit(win - 1L), col("mb")))).as("wend"))
+        .groupBy(col("wend")).agg(sum(col("n_tokens")).as("ntot"))
+      est.join(ex, est("bucket") === ex("wend") && est("token") === ex("wtoken"))
+        .join(totals, est("bucket") === totals("wend"))
+        .select(est("bucket"), est("token"), col("n_exact"),
+          (col("freq_est") >= col("n_exact") &&
+            col("freq_est") <= col("n_exact") +
+              ceil(lit(eps) * col("ntot")).cast("long")).as("cms_ok"))
+        .orderBy(col("bucket"), col("token"))
     })
   )
 
@@ -3577,7 +3623,31 @@ object TextQueries {
     "q137_bm25_prebuilt" -> bm25OddsSql,
     // the pruned path must emit EXACTLY the unpruned ranked lists —
     // same replay; fallback guarantees it for any essentialDfFrac
-    "q147_bm25_pruned" -> bm25OddsSql
+    "q147_bm25_pruned" -> bm25OddsSql,
+    // exact windowed watch-token counts; cms_ok is the pinned CMS
+    // guarantee (the q130 bounded-anchor pattern applied per window)
+    "q166_rolling_token_freq" ->
+      s"""WITH dk AS (
+            SELECT doc_id // 50 AS bucket, unnest($toks) AS token
+            FROM documents),
+          pb AS (SELECT bucket, token, CAST(count(*) AS BIGINT) AS n
+                 FROM dk GROUP BY 1, 2),
+          mb AS (SELECT max(bucket) AS m FROM dk),
+          wins AS (
+            SELECT DISTINCT w AS wend FROM (
+              SELECT unnest(generate_series(bucket,
+                least(bucket + 3, (SELECT m FROM mb)))) AS w
+              FROM (SELECT DISTINCT bucket FROM dk))),
+          watch AS (
+            SELECT unnest(['the', 'data', 'of', 'model']) AS token)
+          SELECT w.wend AS bucket, wt.token,
+            COALESCE(CAST(SUM(pb.n) AS BIGINT), 0) AS n_exact,
+            TRUE AS cms_ok
+          FROM wins w CROSS JOIN watch wt
+          LEFT JOIN pb ON pb.token = wt.token
+            AND pb.bucket BETWEEN w.wend - 3 AND w.wend
+          GROUP BY w.wend, wt.token
+          ORDER BY bucket, wt.token"""
   )
 
   /** q136/q137's shared replay — the prebuilt path must emit the exact

@@ -213,4 +213,43 @@ class RelationalSpec extends SparkSpec {
     assert(again.select("id").as[Long].collect().sorted
       === out.select("id").as[Long].collect().sorted)
   }
+
+  test("intervalJoin matches the brute-force range join, half-open bounds") {
+    val rnd = new scala.util.Random(2026)
+    // negative timestamps included: floor bucketing must stay exact
+    val intervals = (0 until 120).map { i =>
+      val st = rnd.nextLong() % 1000L
+      (i.toLong, rnd.nextInt(5).toLong, st, st + rnd.nextInt(40).toLong)
+    } // (iid, key, start, end) — some empty (end == start)
+    val points = (0 until 300).map { j =>
+      (j.toLong, rnd.nextInt(5).toLong, rnd.nextLong() % 1000L)
+    } // (pid, key, ts)
+    val got = Relational.intervalJoin(
+        intervals.toDF("iid", "key", "st", "en"),
+        points.toDF("pid", "key", "ts"),
+        Seq("key"), "st", "en", "ts", bucketNanos = 7L, payload = Seq("pid"))
+      .select(col("iid"), col("pid")).as[(Long, Long)].collect().sorted
+    val want = (for {
+      (iid, ik, st, en) <- intervals
+      (pid, pk, ts) <- points
+      if ik == pk && ts >= st && ts < en
+    } yield (iid, pid)).sorted
+    assert(got.toSeq === want)
+    // boundary: start inclusive, end exclusive, exactly
+    val one = Relational.intervalJoin(
+        Seq((1L, 1L, 10L, 20L)).toDF("iid", "key", "st", "en"),
+        Seq((1L, 1L, 10L), (2L, 1L, 19L), (3L, 1L, 20L), (4L, 1L, 9L))
+          .toDF("pid", "key", "ts"),
+        Seq("key"), "st", "en", "ts", bucketNanos = 100L, payload = Seq("pid"))
+      .select(col("pid")).as[Long].collect().sorted
+    assert(one.toSeq === Seq(1L, 2L))
+    // working-column collisions fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Relational.intervalJoin(
+        Seq((1L, 1L, 1L, 2L)).toDF("__b", "key", "st", "en"),
+        Seq((1L, 1L)).toDF("key", "ts"),
+        Seq("key"), "st", "en", "ts", 10L, Seq("ts"))
+    }
+    assert(e.getMessage.contains("__b"))
+  }
 }
