@@ -166,6 +166,48 @@ object Relational {
       .select(leftCols.map(col) ++ payload.map(p => col(s"__p.$p").as(p)): _*)
   }
 
+  /** SCD-2 snapshot build: turn an append-only change log into
+    * validity INTERVALS — `(keys, attrs, valid_from, valid_to)` with
+    * `valid_to` null on each key's current row — the
+    * slowly-changing-dimension shape every warehouse needs before a
+    * point-in-time ([[asofJoin]]) or range ([[intervalJoin]]) lookup.
+    * With `collapseUnchanged` (default), consecutive rows whose `attrs`
+    * are unchanged (null-safe struct compare) merge into one interval,
+    * so the output is the minimal history.
+    *
+    * One exchange: the collapse lag and the validity lead ride the SAME
+    * `(keys, ts)` window spec, and the filter between them preserves
+    * the partitioning — Catalyst plans a single shuffle+sort. Duplicate
+    * `(keys, ts)` rows make interval bounds ambiguous and fail loudly
+    * (one cheap aggregate pass — the Graphs guard discipline). */
+  def scd2(changes: DataFrame, keys: Seq[String], tsCol: String,
+           attrs: Seq[String], collapseUnchanged: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "scd2 needs at least one key column")
+    require(attrs.nonEmpty, "scd2 needs at least one tracked attribute")
+    val reserved = Seq("valid_from", "valid_to", "__prev")
+    val clash = changes.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"column(s) ${clash.mkString(",")} collide with scd2's output/" +
+        "working columns (valid_from, valid_to) — rename them first")
+    val dups = changes.groupBy((keys :+ tsCol).map(col): _*)
+      .agg(count(lit(1)).as("__c")).where(col("__c") > 1L).count()
+    require(dups == 0L,
+      s"$dups duplicate (keys, ts) groups — interval bounds would be " +
+        "ambiguous; dedupe the change log first (e.g. argminPerKey)")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val aStruct = struct(attrs.map(col): _*)
+    val collapsed =
+      if (!collapseUnchanged) changes
+      else changes
+        .withColumn("__prev", lag(aStruct, 1).over(w))
+        .where(!(aStruct <=> col("__prev")))
+        .drop("__prev")
+    collapsed
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select((keys ++ attrs ++ Seq("valid_from", "valid_to")).map(col): _*)
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, payload: Seq[String],
                tieBreak: Option[String] = None): DataFrame = {

@@ -53,6 +53,34 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn")
   }
 
+  /** Weight-proportional sample WITHOUT replacement: `n` rows drawn so
+    * a row's inclusion odds scale with its positive integer weight —
+    * SEQUENTIAL POISSON sampling (Ohlsson 1998, the PPS estimator
+    * standard): each row gets priority `u/w` with `u` uniform from the
+    * id hash, and the n smallest priorities win. The priority is kept
+    * EXACT-INTEGER — `(h << 31) div w` with the 32-bit hash `h`, no
+    * overflow for `w ≥ 1` — so the order (and thus the sample) is
+    * bit-identical on any ANSI engine: no `pow`/`ln` whose last-ulp
+    * libm differences could flip a boundary row (the Efraimidis-
+    * Spirakis exponential key needs both). Ties break by id.
+    *
+    * One scan + a distributed top-k (`TakeOrdered` — per-partition
+    * heaps of n, no global sort materialization). Rows with null or
+    * non-positive weight are EXCLUDED (documented, mirrored by the
+    * oracle) — zero weight means zero inclusion probability. Weights
+    * must be integral (lengths, token counts); pre-scale fractional
+    * weights. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     n: Int): DataFrame = {
+    require(n >= 1, s"sample size must be positive: $n")
+    val h = s"cast(conv(substring(md5(cast(`$idCol` as string)), 1, 8), " +
+      "16, 10) as bigint)"
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .orderBy(expr(s"shiftleft($h, 31) div cast(`$weightCol` as bigint)"),
+        col(idCol))
+      .limit(n)
+  }
+
   /** Weighted mixture of corpora: each source is kept with its own
     * probability, then all survivors union — the standard way to re-weight
     * heterogeneous training sources (e.g. upsample curated text against a

@@ -627,7 +627,29 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_purchases"),
           sum(col("v")).as("total_value"))
         .orderBy(col("signup_id"))
-    })
+    }),
+
+    // ───── SCD-2 history build: each user's event-type stream becomes
+    // minimal validity intervals (consecutive duplicates collapse,
+    // valid_to null on the current row) — the slowly-changing-dimension
+    // shape point-in-time lookups join against ─────
+    "q167_scd2" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      graft.ops.Relational.scd2(
+          e.select(col("user_id"), Tables.tsNanos(e).as("tn"),
+            col("event_type")),
+          keys = Seq("user_id"), tsCol = "tn", attrs = Seq("event_type"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
+    // ───── sequential Poisson weighted sample: 100 documents drawn
+    // with odds proportional to length — the PPS corpus-sampling shape
+    // — via exact-integer priorities, bit-replayable on any engine ─────
+    "q168_weighted_sample" -> ((s, d) =>
+      graft.ops.Sampling.weightedSample(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", n = 100)
+        .orderBy(col("doc_id")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1228,6 +1250,34 @@ object RelationalQueries {
           FROM s JOIN p ON p.user_id = s.user_id
             AND p.tn >= s.st AND p.tn < s.en
           GROUP BY s.signup_id, s.user_id
-          ORDER BY s.signup_id"""
+          ORDER BY s.signup_id""",
+
+    // the two-window SCD2 replay: collapse consecutive duplicates, then
+    // lead() for the validity upper bound (data has no null attrs, so
+    // <> matches the operator's null-safe compare)
+    "q167_scd2" ->
+      """WITH b AS (SELECT user_id, epoch_ns(ts) AS tn, event_type
+                    FROM events),
+          c AS (SELECT user_id, tn, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY tn)
+                    AS pe
+                FROM b),
+          k AS (SELECT user_id, tn, event_type FROM c
+                WHERE pe IS NULL OR pe <> event_type)
+          SELECT user_id, event_type, tn AS valid_from,
+            lead(tn) OVER (PARTITION BY user_id ORDER BY tn) AS valid_to
+          FROM k ORDER BY user_id, valid_from""",
+
+    // identical exact-integer priority: (h << 31) // w, ties by id
+    "q168_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM (
+           SELECT doc_id, n_chars FROM documents
+           WHERE n_chars IS NOT NULL AND n_chars > 0
+           ORDER BY (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) * 2147483648)
+                    // CAST(n_chars AS BIGINT),
+                    doc_id
+           LIMIT 100)
+         ORDER BY doc_id"""
   )
 }

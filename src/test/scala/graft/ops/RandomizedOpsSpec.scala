@@ -215,4 +215,73 @@ class RandomizedOpsSpec extends SparkSpec {
       assert(keptFrac("small") > keptFrac("big"), s"round $round $keptFrac")
     }
   }
+
+  test("weightedSample matches the integer-priority model; weights tilt inclusion") {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def priority(id: Long, w: Long): Long =
+      (java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) << 31) / w
+    val rnd = new scala.util.Random(99L)
+    val rows = (0 until 500).map(i =>
+      (i.toLong, rnd.nextInt(50).toLong - 2L)) // some weights <= 0
+    val got = Sampling.weightedSample(
+        rows.toDF("id", "w"), "id", "w", n = 50)
+      .select(col("id")).as[Long].collect().toSet
+    val want = rows.filter(_._2 > 0L)
+      .sortBy { case (id, w) => (priority(id, w), id) }
+      .take(50).map(_._1).toSet
+    assert(got === want)
+    // heavier rows win more: split ids into weight-1 and weight-20
+    // halves, the heavy half must dominate the sample
+    val tilted = (0 until 1000).map(i =>
+      (i.toLong, if (i % 2 == 0) 1L else 20L))
+    val sample = Sampling.weightedSample(
+        tilted.toDF("id", "w"), "id", "w", n = 200)
+      .select(col("id")).as[Long].collect()
+    val heavy = sample.count(_ % 2 == 1)
+    assert(heavy > 140, s"heavy half got only $heavy of 200")
+  }
+
+  test("scd2 matches the interval model on random change logs") {
+    val rnd = new scala.util.Random(123L)
+    val log = (0 until 60).flatMap { _ =>
+      val key = rnd.nextInt(5).toLong
+      Seq((key, rnd.nextInt(1000).toLong, s"s${rnd.nextInt(3)}"))
+    }.distinct
+      // unique (key, ts): keep one row per pair
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val got = Relational.scd2(log.toDF("k", "ts", "state"),
+        Seq("k"), "ts", Seq("state"))
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    val want = log.groupBy(_._1).flatMap { case (k, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val collapsed = sorted.foldLeft(Vector.empty[(Long, String)]) {
+        case (acc, (_, ts, st)) =>
+          if (acc.nonEmpty && acc.last._2 == st) acc else acc :+ (ts, st)
+      }
+      collapsed.zipWithIndex.map { case ((ts, st), i) =>
+        (k, st, ts,
+          if (i + 1 < collapsed.size) Some(collapsed(i + 1)._1) else None)
+      }
+    }.toSet
+    assert(got === want)
+    // duplicate (key, ts) fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Relational.scd2(
+        Seq((1L, 10L, "a"), (1L, 10L, "b")).toDF("k", "ts", "state"),
+        Seq("k"), "ts", Seq("state"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // collapseUnchanged=false keeps every change row as its own interval
+    val raw = Relational.scd2(
+        Seq((1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "b"))
+          .toDF("k", "ts", "state"),
+        Seq("k"), "ts", Seq("state"), collapseUnchanged = false)
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(raw === Set((1L, "a", 1L, Some(2L)), (1L, "a", 2L, Some(3L)),
+      (1L, "b", 3L, None)))
+  }
 }
