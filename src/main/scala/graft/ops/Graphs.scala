@@ -176,6 +176,73 @@ object Graphs {
     ranks.select(col("node"), col("r").as("rank_micro"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) in integer fixed point —
+    * the BIPARTITE-flavored centrality PageRank can't express: a good
+    * HUB points at good authorities, a good AUTHORITY is pointed at by
+    * good hubs (query→document, order→part, crawler→host). Returns
+    * `(node, hub_nano, auth_nano)` over the deduped directed edge list.
+    *
+    * Per iteration, all integer (SCALE = 10⁹ nano units; the initial
+    * hub mass is `SCALE div n` so total mass starts L1-normalized):
+    * {{{
+    * a_raw(v) = Σ_{u→v} h(u);  a(v) = a_raw(v)·10⁹ div Σ a_raw
+    * h_raw(u) = Σ_{u→v} a(v);  h(u) = h_raw(u)·10⁹ div Σ h_raw
+    * }}}
+    * The L1 normalization replaces the classical L2 (a square root has
+    * no exact integer form); it preserves the ranking and keeps every
+    * step a floor `div` of non-negative longs — bit-replayable, the
+    * [[pageRankFixed]] discipline. The normalizer AND the node count
+    * are ONE-ROW frames broadcast back (no driver collect at all,
+    * unlike PageRank's unavoidable n). Overflow headroom: normalized
+    * mass keeps every raw score ≤ 10⁹, so `raw·SCALE ≤ 10¹⁸` always;
+    * the normalizer sum is ≤ m·10⁹ — safe to ~9·10⁹ edges, shrink
+    * SCALE for more. Assumes n < 10⁹ nodes (init floors to zero
+    * beyond). Two edge-sized joins + two node-keyed aggregates per
+    * iteration, exchanges keyed on node ids throughout (pre-bucketed
+    * edges iterate exchange-free); each iteration `localCheckpoint`ed
+    * — k linear jobs. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be positive: $iterations")
+    val SCALE = 1000000000L
+    val raw = edges.select(tryLong(srcCol).as("src"), tryLong(dstCol).as("dst"))
+      .localCheckpoint(eager = true)
+    val badIds = raw.where(col("src").isNull || col("dst").isNull).count()
+    require(badIds == 0L,
+      s"$badIds edge rows have null node ids after the long cast " +
+        "— string node keys? map them through Graphs.withNodeIds first")
+    val e = raw.distinct().localCheckpoint(eager = true)
+    require(!e.isEmpty, "edge list is empty — nothing to rank")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = true)
+    val ncount = nodes.agg(count(lit(1)).as("n"))
+    var hubs = nodes.crossJoin(broadcast(ncount))
+      .select(col("node"), expr(s"${SCALE}L div n").as("h"))
+    var auths = hubs.select(col("node"), col("h").as("a"))
+    for (_ <- 1 to iterations) {
+      val araw = hubs.join(e, hubs("node") === e("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("v"))
+      val asum = araw.agg(sum(col("v")).as("s"))
+      auths = nodes.crossJoin(broadcast(asum))
+        .join(araw, nodes("node") === araw("dst"), "left")
+        .select(col("node"),
+          coalesce(expr(s"(v * ${SCALE}L) div s"), lit(0L)).as("a"))
+        .localCheckpoint(eager = true)
+      val hraw = auths.join(e, auths("node") === e("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("v"))
+      val hsum = hraw.agg(sum(col("v")).as("s"))
+      hubs = nodes.crossJoin(broadcast(hsum))
+        .join(hraw, nodes("node") === hraw("src"), "left")
+        .select(col("node"),
+          coalesce(expr(s"(v * ${SCALE}L) div s"), lit(0L)).as("h"))
+        .localCheckpoint(eager = true)
+    }
+    nodes
+      .join(hubs, Seq("node")).join(auths, Seq("node"))
+      .select(col("node"), col("h").as("hub_nano"), col("a").as("auth_nano"))
+  }
+
   /** Per-node triangle counts + local clustering coefficient over the
     * UNDIRECTED simple graph induced by the edge list (direction,
     * duplicates and self-loops are normalized away) — the cohesion

@@ -273,6 +273,19 @@ object PipelineQueries {
         .select(col("x.p").as("src"), col("y.p").as("dst"))
       graft.ops.Graphs.kCore(e, "src", "dst", k = 3, maxRounds = 6)
         .orderBy(col("node"))
+    }),
+
+    // ───── HITS over the DIRECTED order→part graph: orders that gather
+    // popular parts become hubs, parts gathered by strong orders become
+    // authorities — the mutually-recursive centrality PageRank can't
+    // express; two integer iterations unrolled in the oracle ─────
+    "q169_hits" -> ((s, d) => {
+      val e = Tables.lineitem(s, d).where(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey").as("src"),
+          (col("l_partkey") + lit(1000000000L)).as("dst"))
+      graft.ops.Graphs.hits(e, "src", "dst", iterations = 2)
+        .orderBy(col("auth_nano").desc, col("node"))
+        .limit(100)
     })
   )
 
@@ -530,6 +543,39 @@ object PipelineQueries {
           SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
             SELECT a AS node FROM e6 UNION ALL SELECT b FROM e6)
           GROUP BY node ORDER BY node"""
+    },
+    // the two HITS iterations unrolled: L1-normalized integer
+    // hub/authority mass, floor divs throughout — bit-exact
+    "q169_hits" -> {
+      def iter(p: String, o: String): String =
+        s"""ar$o AS (SELECT li.dst AS node, sum(h$p.h) AS v
+              FROM li JOIN h$p ON h$p.node = li.src GROUP BY li.dst),
+            as$o AS (SELECT sum(v) AS s FROM ar$o),
+            a$o AS (SELECT n.node,
+                CAST(COALESCE((ar$o.v * 1000000000) // s, 0) AS BIGINT) AS a
+              FROM nodes n CROSS JOIN as$o
+              LEFT JOIN ar$o ON ar$o.node = n.node),
+            hr$o AS (SELECT li.src AS node, sum(a$o.a) AS v
+              FROM li JOIN a$o ON a$o.node = li.dst GROUP BY li.src),
+            hs$o AS (SELECT sum(v) AS s FROM hr$o),
+            h$o AS (SELECT n.node,
+                CAST(COALESCE((hr$o.v * 1000000000) // s, 0) AS BIGINT) AS h
+              FROM nodes n CROSS JOIN hs$o
+              LEFT JOIN hr$o ON hr$o.node = n.node)"""
+      s"""WITH li AS (
+            SELECT DISTINCT l_orderkey AS src, l_partkey + 1000000000 AS dst
+            FROM lineitem WHERE l_orderkey % 3 = 0),
+          nodes AS (SELECT src AS node FROM li UNION SELECT dst FROM li),
+          nc AS (SELECT count(*) AS n FROM nodes),
+          h0 AS (SELECT node, CAST(1000000000 // n AS BIGINT) AS h
+                 FROM nodes CROSS JOIN nc),
+          ${iter("0", "1")},
+          ${iter("1", "2")}
+          SELECT n.node, h2.h AS hub_nano, a2.a AS auth_nano
+          FROM nodes n
+          JOIN h2 ON h2.node = n.node
+          JOIN a2 ON a2.node = n.node
+          ORDER BY auth_nano DESC, n.node LIMIT 100"""
     },
     "q149_image_ahash" ->
       """SELECT doc_id,

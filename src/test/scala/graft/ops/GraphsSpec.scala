@@ -219,6 +219,51 @@ class GraphsSpec extends SparkSpec {
     assert(ranks.values.sum <= 1000000000000L)
   }
 
+  /** The documented L1-normalized integer HITS iteration, replayed
+    * sequentially on the driver. */
+  private def modelHits(edges: Seq[(Long, Long)],
+                        iters: Int): Map[Long, (Long, Long)] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val S = 1000000000L
+    var h = nodes.map(_ -> S / nodes.size).toMap
+    var a = h
+    for (_ <- 1 to iters) {
+      val araw = e.groupBy(_._2).view.mapValues(_.map(x => h(x._1)).sum).toMap
+      val as = araw.values.sum
+      a = nodes.map(v => v -> araw.get(v).map(_ * S / as).getOrElse(0L)).toMap
+      val hraw = e.groupBy(_._1).view.mapValues(_.map(x => a(x._2)).sum).toMap
+      val hs = hraw.values.sum
+      h = nodes.map(v => v -> hraw.get(v).map(_ * S / hs).getOrElse(0L)).toMap
+    }
+    nodes.map(v => v -> (h(v), a(v))).toMap
+  }
+
+  test("hits matches the integer model; hub/authority separation on a star") {
+    val rnd = new Random(31337)
+    val edges = (0 until 300).map(_ =>
+      (rnd.nextInt(30).toLong, 100L + rnd.nextInt(30).toLong))
+    val got = Graphs.hits(edges.toDF("src", "dst"), "src", "dst",
+        iterations = 3)
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, hb, au) => n -> (hb, au) }.toMap
+    assert(got === modelHits(edges, 3))
+    // a pure out-star: the center is the only hub, leaves the only
+    // authorities — and the empty graph errors loudly
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val s = Graphs.hits(star.toDF("src", "dst"), "src", "dst", iterations = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(s(0L)._1 > 0L && s(0L)._2 === 0L, "center is hub only")
+    (1L to 3L).foreach { v =>
+      assert(s(v)._1 === 0L && s(v)._2 > 0L, s"leaf $v is authority only")
+    }
+    assert(s(1L)._2 === s(2L)._2 && s(2L)._2 === s(3L)._2, "leaves tie")
+    val err = intercept[IllegalArgumentException] {
+      Graphs.hits(Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst", 1)
+    }
+    assert(err.getMessage.contains("empty"))
+  }
+
   /** Brute-force per-node triangle counts over the canonical simple
     * graph (direction/dupes/self-loops normalized like the operator). */
   private def modelTri(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
