@@ -629,6 +629,48 @@ object StreamingViews {
       }
   }
 
+  /** Streaming twin of [[graft.ops.Relational.intervalJoin]]: match
+    * each point event to the live intervals containing it — session
+    * windows enriching their clicks, deployment windows claiming their
+    * errors — as a native STREAM-STREAM inner join. Spark's state
+    * cleanup needs a time-range bound between the two EVENT-TIME
+    * columns, so the caller declares `maxIntervalLen` (an interval
+    * literal, e.g. `"3 days"`): the join condition carries
+    * `point < start + maxIntervalLen` alongside the exact containment
+    * `start ≤ point < end`, which lets both sides' buffers purge at
+    * the watermark instead of growing forever. Intervals longer than
+    * `maxIntervalLen` are truncated (matches past the bound drop) —
+    * size it at the schema's maximum interval length. Both inputs
+    * carry epoch-MILLIS longs (`startCol`/`endCol`/`tsCol`); output is
+    * every interval column + the point `payload` columns, exactly the
+    * batch operator's shape. */
+  def streamingIntervalJoin(intervals: DataFrame, points: DataFrame,
+                            keys: Seq[String], startCol: String,
+                            endCol: String, tsCol: String,
+                            payload: Seq[String], maxIntervalLen: String,
+                            watermarkDelay: String = "0 milliseconds")
+      : DataFrame = {
+    require(keys.nonEmpty, "interval join needs at least one equi-key")
+    val iCols = intervals.columns.toSeq
+    require(!iCols.exists(payload.contains),
+      s"payload ${payload.mkString(",")} collides with an interval column")
+    val i = intervals
+      .withColumn("__istart", timestamp_millis(col(startCol).cast("long")))
+      .withWatermark("__istart", watermarkDelay)
+    val p = points
+      .select(keys.map(k => col(k).as(s"__k_$k")) ++ Seq(
+        col(tsCol).cast("long").as("__pmillis"),
+        struct(payload.map(col): _*).as("__p")): _*)
+      .withColumn("__pts", timestamp_millis(col("__pmillis")))
+      .withWatermark("__pts", watermarkDelay)
+    val cond = keys.map(k => col(k) === col(s"__k_$k")).reduce(_ && _) &&
+      col("__pts") >= col("__istart") &&
+      col("__pts") < col("__istart") + expr(s"INTERVAL $maxIntervalLen") &&
+      col("__pmillis") >= col(startCol) && col("__pmillis") < col(endCol)
+    i.join(p, cond)
+      .select(iCols.map(col) ++ payload.map(c => col(s"__p.$c").as(c)): _*)
+  }
+
   /** Streaming corpus ingest: the stateless prefix of
     * [[graft.text.Corpus.cleanIncremental]] as a live stream —
     *

@@ -623,6 +623,44 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     } finally q.stop()
   }
 
+  test("streamingIntervalJoin matches the batch bucketized interval join") {
+    val dir = Files.createTempDirectory("graft_stream_ij").toString
+    val i1 = Seq((1L, 1L, 100L, 200L), (2L, 2L, 150L, 260L))
+    val p1 = Seq((10L, 1L, 120L), (11L, 2L, 100L))
+    // batch 2: a LATE interval and points that must match batch-1 state
+    val i2 = Seq((3L, 1L, 50L, 120L))
+    val p2 = Seq((12L, 1L, 110L), (13L, 2L, 200L), (14L, 1L, 210L))
+    i1.toDF("iid", "key", "st", "en").write.parquet(s"$dir/i")
+    p1.toDF("pid", "key", "ts").write.parquet(s"$dir/p")
+    Thread.sleep(1100)
+    i2.toDF("iid", "key", "st", "en").write.mode("append").parquet(s"$dir/i")
+    p2.toDF("pid", "key", "ts").write.mode("append").parquet(s"$dir/p")
+    val out = StreamingViews.streamingIntervalJoin(
+      StreamingViews.fileStream(spark, s"$dir/i",
+        i1.toDF("iid", "key", "st", "en").schema),
+      StreamingViews.fileStream(spark, s"$dir/p",
+        p1.toDF("pid", "key", "ts").schema),
+      Seq("key"), "st", "en", "ts", payload = Seq("pid"),
+      maxIntervalLen = "1 seconds", watermarkDelay = "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sij").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sij").select(col("iid"), col("pid"))
+        .as[(Long, Long)].collect().toSet
+      val want = graft.ops.Relational.intervalJoin(
+          (i1 ++ i2).toDF("iid", "key", "st", "en"),
+          (p1 ++ p2).toDF("pid", "key", "ts"),
+          Seq("key"), "st", "en", "ts", bucketNanos = 50L,
+          payload = Seq("pid"))
+        .select(col("iid"), col("pid")).as[(Long, Long)].collect().toSet
+      assert(got === want)
+      // the fixture exercises the boundary rows: end-exclusive (ts 120
+      // vs [50,120)) and cross-micro-batch matches (late i3 × early p)
+      assert(want === Set((1L, 10L), (1L, 12L), (3L, 12L), (2L, 13L)))
+    } finally q.stop()
+  }
+
   test("streamingTokenCms seals byte-identical frequency artifacts") {
     import org.apache.spark.util.sketch.CountMinSketch
     val dir = Files.createTempDirectory("graft_stream_cms").toString
