@@ -311,6 +311,57 @@ object Graphs {
           .otherwise(lit(0L)).as("cc_micro"))
   }
 
+  /** Synchronous LABEL PROPAGATION over the undirected simple graph —
+    * community detection at linear cost (Raghavan et al. 2007), the
+    * scale-out alternative to modularity optimization: labels start as
+    * node ids and each round every node adopts its neighbors' most
+    * frequent label. Returns `(node, label)` after exactly `rounds`
+    * synchronous rounds.
+    *
+    * Classic LPA breaks frequency ties RANDOMLY, which is useless for
+    * replay; this variant is fully DETERMINISTIC: ties break toward the
+    * smallest label (`min_by` over `(-count, label)`), so the result is
+    * a pure function of the edge list and bit-replayable in ANSI SQL
+    * (`row_number() ORDER BY count DESC, label`). Synchronous updates
+    * can oscillate on bipartite structure — `rounds` is an explicit
+    * budget, not a convergence claim (the standard trade for the
+    * deterministic synchronous form).
+    *
+    * Per round: one adjacency-sized join + one `(node, label)` count
+    * aggregate + one `min_by` argmax per node, exchanges keyed on node
+    * ids (pre-bucketed edges propagate exchange-free); rounds are
+    * `localCheckpoint`ed linear jobs. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive: $rounds")
+    val raw = edges.select(tryLong(srcCol).as("a"), tryLong(dstCol).as("b"))
+      .localCheckpoint(eager = true)
+    val badIds = raw.where(col("a").isNull || col("b").isNull).count()
+    require(badIds == 0L,
+      s"$badIds edge rows have null node ids after the long cast " +
+        "— string node keys? map them through Graphs.withNodeIds first")
+    val und = raw.where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(eager = true)
+    var labels = adj.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to rounds) {
+      labels = adj
+        .join(labels, adj("v") === labels("node"))
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("u"))
+        .agg(min_by(col("lbl"),
+          struct((col("c") * lit(-1L)).as("nc"), col("lbl"))).as("lbl"))
+        .select(col("u").as("node"), col("lbl"))
+        .localCheckpoint(eager = true)
+    }
+    labels.select(col("node"), col("lbl").as("label"))
+  }
+
   /** k-CORE decomposition by iterative peeling: repeatedly delete nodes
     * whose degree in the REMAINING undirected simple graph is < k, until
     * fixpoint (or `maxRounds` peels). Returns `(node, degree)` — the

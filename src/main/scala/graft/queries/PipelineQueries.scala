@@ -286,6 +286,20 @@ object PipelineQueries {
       graft.ops.Graphs.hits(e, "src", "dst", iterations = 2)
         .orderBy(col("auth_nano").desc, col("node"))
         .limit(100)
+    }),
+
+    // ───── deterministic label propagation: three synchronous rounds of
+    // most-frequent-neighbor-label (ties to the smallest) over the part
+    // co-occurrence graph — community detection at linear cost, the
+    // oracle replays the argmax as row_number ─────
+    "q170_label_propagation" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).where(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"), col("x.o") === col("y.o") &&
+          col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      graft.ops.Graphs.labelPropagation(e, "src", "dst", rounds = 3)
+        .orderBy(col("node"))
     })
   )
 
@@ -543,6 +557,30 @@ object PipelineQueries {
           SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
             SELECT a AS node FROM e6 UNION ALL SELECT b FROM e6)
           GROUP BY node ORDER BY node"""
+    },
+    // three LPA rounds unrolled: the deterministic argmax (count desc,
+    // label asc) replayed as row_number — bit-exact
+    "q170_label_propagation" -> {
+      def round(p: String, o: String): String =
+        s"""c$o AS MATERIALIZED (
+              SELECT adj.u, l$p.lbl, count(*) AS c
+              FROM adj JOIN l$p ON l$p.node = adj.v GROUP BY 1, 2),
+            l$o AS MATERIALIZED (
+              SELECT u AS node, lbl FROM (
+                SELECT u, lbl, row_number() OVER (
+                  PARTITION BY u ORDER BY c DESC, lbl) AS rn FROM c$o)
+              WHERE rn = 1)"""
+      s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+                      FROM lineitem WHERE l_orderkey % 3 = 0),
+          e AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+                 FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+          adj AS MATERIALIZED (
+            SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+          l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM adj),
+          ${round("0", "1")},
+          ${round("1", "2")},
+          ${round("2", "3")}
+          SELECT node, lbl AS label FROM l3 ORDER BY node"""
     },
     // the two HITS iterations unrolled: L1-normalized integer
     // hub/authority mass, floor divs throughout — bit-exact

@@ -305,6 +305,46 @@ class GraphsSpec extends SparkSpec {
       d === 3L && t === 3L && c === 1000000L })
   }
 
+  /** The deterministic synchronous LPA round, replayed sequentially. */
+  private def modelLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val und = edges.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    var lbl = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      lbl = adj.map { case (v, nbrs) =>
+        val counts = nbrs.map(lbl).groupBy(identity)
+          .view.mapValues(_.size.toLong).toMap
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lbl
+  }
+
+  test("labelPropagation matches the deterministic model; two cliques separate") {
+    val rnd = new Random(5150)
+    val edges = (0 until 350).map(_ =>
+      (rnd.nextInt(28).toLong, rnd.nextInt(28).toLong))
+    for (r <- Seq(1, 3)) {
+      val got = Graphs.labelPropagation(edges.toDF("src", "dst"),
+          "src", "dst", rounds = r)
+        .as[(Long, Long)].collect().toMap
+      assert(got === modelLpa(edges, r), s"rounds=$r")
+    }
+    // two 4-cliques joined by one bridge edge: each clique converges to
+    // its own minimum label
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val two = clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((3L, 10L))
+    val out = Graphs.labelPropagation(two.toDF("src", "dst"),
+        "src", "dst", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(0L, 1L, 2L, 3L).map(out).forall(_ === 0L))
+    assert(Seq(11L, 12L, 13L).map(out).forall(_ === 10L))
+  }
+
   /** The peeling loop, replayed sequentially on the driver. */
   private def modelKCore(edges: Seq[(Long, Long)], k: Int,
                          maxRounds: Int): Map[Long, Long] = {
