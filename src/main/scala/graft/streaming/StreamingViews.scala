@@ -629,6 +629,74 @@ object StreamingViews {
       }
   }
 
+  /** Input row of [[streamingScd2]]. */
+  case class ChangeEvent(key: Long, tsMillis: Long, attr: String)
+  /** Per-key SCD2 state: the currently-open interval + the in-horizon
+    * pending changes (ts → attr). */
+  case class Scd2State(openFrom: Option[Long], openAttr: Option[String],
+                       pending: Map[Long, String])
+  /** A CLOSED validity interval ([[streamingScd2]] emits nothing for a
+    * key's still-open current row — append mode cannot retract it). */
+  case class Scd2Interval(key: Long, attr: String,
+                          validFrom: Long, validTo: Long)
+
+  /** Streaming twin of [[graft.ops.Relational.scd2]]: closed validity
+    * intervals sealed live from a change stream. Like
+    * [[streamingEwma]], sealing is STRICTLY ORDERED — interval bounds
+    * depend on each key's change order, so a change at `ts` processes
+    * only once the watermark passes it (any still-missing earlier
+    * change would be late-and-dropped by then). Consecutive unchanged
+    * attrs collapse exactly like the batch operator; each key's current
+    * open interval lives in state (O(1) + the in-horizon pending
+    * changes) and is never emitted — the batch operator over the
+    * compacted log owns the point-in-time read including open rows.
+    * Duplicate (key, ts) changes fail the query loudly (the batch
+    * guard's discipline — silent last-write-wins would corrupt
+    * bounds). */
+  def streamingScd2(changes: Dataset[ChangeEvent],
+                    watermarkDelay: String = "0 milliseconds")
+      : Dataset[Scd2Interval] = {
+    import changes.sparkSession.implicits._
+    changes
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[ChangeEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Scd2State, Scd2Interval](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[ChangeEvent], state: GroupState[Scd2State]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st = state.getOption.getOrElse(Scd2State(None, None, Map.empty))
+          val pending = rows.filter(_.tsMillis >= wm).foldLeft(st.pending) {
+            (m, r) =>
+              if (m.contains(r.tsMillis))
+                throw new IllegalStateException(
+                  s"duplicate change at (key=$key, ts=${r.tsMillis}) — " +
+                    "interval bounds would be ambiguous; dedupe upstream")
+              m.updated(r.tsMillis, r.attr)
+          }
+          // strictly-below-watermark changes are final: no earlier row
+          // can still arrive between them (it would be late and dropped)
+          val (ripe, open) = pending.partition { case (ts, _) => ts < wm }
+          var from = st.openFrom
+          var attr = st.openAttr
+          val out = Vector.newBuilder[Scd2Interval]
+          ripe.keys.toSeq.sorted.foreach { ts =>
+            val a = pending(ts)
+            (from, attr) match {
+              case (Some(_), Some(pa)) if pa == a => () // unchanged: collapse
+              case (Some(f), Some(pa)) =>
+                out += Scd2Interval(key, pa, f, ts); from = Some(ts); attr = Some(a)
+              case _ => from = Some(ts); attr = Some(a)
+            }
+          }
+          state.update(Scd2State(from, attr, open))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(math.max(open.keys.min + 1, wm + 1))
+          out.result().iterator
+      }
+  }
+
   /** Streaming twin of [[graft.ops.Relational.intervalJoin]]: match
     * each point event to the live intervals containing it — session
     * windows enriching their clicks, deployment windows claiming their

@@ -623,6 +623,54 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     } finally q.stop()
   }
 
+  test("streamingScd2 seals the batch operator's closed intervals in order") {
+    import StreamingViews.ChangeEvent
+    val dir = Files.createTempDirectory("graft_stream_scd2").toString
+    // key 1 changes a→a→b→a (middle a collapses); key 2 changes once.
+    // Batch 2 delivers an OUT-OF-ORDER change (ts 150 after ts 300).
+    val b1 = Seq(ChangeEvent(1L, 100L, "a"), ChangeEvent(1L, 200L, "a"),
+      ChangeEvent(2L, 120L, "x"))
+    val b2 = Seq(ChangeEvent(1L, 300L, "b"), ChangeEvent(1L, 150L, "a"),
+      ChangeEvent(1L, 400L, "a"), ChangeEvent(2L, 500L, "y"))
+    import spark.implicits._
+    b1.toDF().write.parquet(s"$dir/in")
+    Thread.sleep(1100)
+    b2.toDF().write.mode("append").parquet(s"$dir/in")
+    val out = StreamingViews.streamingScd2(
+      StreamingViews.fileStream(spark, s"$dir/in", b1.toDF().schema)
+        .as[ChangeEvent],
+      watermarkDelay = "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sscd").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark far past every fixture ts so all closable
+      // intervals seal; the open tails (1,"a",400,-) and (2,"y",500,-)
+      // must NOT appear
+      Seq(ChangeEvent(99L, 100000000L, "z")).toDF()
+        .write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      def emitted() = spark.table("sscd").where(col("key") < 99L)
+      while (emitted().count() < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(100); q.processAllAvailable()
+      }
+      val got = emitted()
+        .select(col("key"), col("attr"), col("validFrom"), col("validTo"))
+        .as[(Long, String, Long, Long)].collect().toSet
+      // batch replay over the same admitted rows: closed intervals only
+      val batch = graft.ops.Relational.scd2(
+          (b1 ++ b2).toDF().select(col("key"), col("tsMillis"), col("attr")),
+          Seq("key"), "tsMillis", Seq("attr"))
+        .where(col("valid_to").isNotNull)
+        .select(col("key"), col("attr"), col("valid_from"), col("valid_to"))
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got === batch)
+      assert(got === Set((1L, "a", 100L, 300L), (1L, "b", 300L, 400L),
+        (2L, "x", 120L, 500L)))
+    } finally q.stop()
+  }
+
   test("streamingIntervalJoin matches the batch bucketized interval join") {
     val dir = Files.createTempDirectory("graft_stream_ij").toString
     val i1 = Seq((1L, 1L, 100L, 200L), (2L, 2L, 150L, 260L))
