@@ -1290,8 +1290,8 @@ object TextQueries {
         .select(explode(sequence(col("bucket"),
           least(col("bucket") + lit(win - 1L), col("mb")))).as("wend"))
         .distinct()
-      val s_ = s; import s_.implicits._
-      val ex = wins.crossJoin(broadcast(watch.toDF("wtoken")))
+      val ex = wins
+        .select(col("wend"), explode(typedLit(watch)).as("wtoken"))
         .join(perB,
           perB("token") === col("wtoken") &&
             perB("bucket").between(col("wend") - (win - 1L), col("wend")),
