@@ -311,6 +311,58 @@ object Graphs {
           .otherwise(lit(0L)).as("cc_micro"))
   }
 
+  /** DETERMINISTIC random walks — the DeepWalk/node2vec sampling stage
+    * (walk corpora feed skip-gram graph embeddings) with the randomness
+    * derandomized the way all sampling here is ([[graft.ops.Sampling]]):
+    * at step `i` from node `v`, the walk moves to the neighbor
+    * minimizing `md5(v ⊕ i ⊕ nbr)` (ties toward the smaller id) — a
+    * uniform-in-distribution choice that is a pure FUNCTION of the
+    * graph, so walks are bit-replayable on any engine and stable across
+    * reruns (re-training an embedding sees the same corpus). One walk
+    * starts at every node; returns `(start, step, node)` for steps
+    * `0..steps`, over the undirected simple graph.
+    *
+    * Scale shape: NO per-node adjacency arrays and NO ranked-neighbor
+    * window (a 10⁸-degree hub would serialize through one task either
+    * way) — each step is one frontier⋈adjacency hash join + one
+    * `min_by` aggregate keyed on the walk, both partial-aggregable and
+    * skew-splittable by AQE; steps are `localCheckpoint`ed linear
+    * jobs. Frontier size stays exactly n rows per step. */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                  steps: Int): DataFrame = {
+    require(steps >= 1, s"steps must be positive: $steps")
+    val raw = edges.select(tryLong(srcCol).as("a"), tryLong(dstCol).as("b"))
+      .localCheckpoint(eager = true)
+    val badIds = raw.where(col("a").isNull || col("b").isNull).count()
+    require(badIds == 0L,
+      s"$badIds edge rows have null node ids after the long cast " +
+        "— string node keys? map them through Graphs.withNodeIds first")
+    val und = raw.where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(eager = true)
+    var frontier = adj.select(col("u").as("start")).distinct()
+      .select(col("start"), col("start").as("node"))
+      .localCheckpoint(eager = true)
+    var out = frontier.withColumn("step", lit(0))
+    for (i <- 1 to steps) {
+      frontier = frontier
+        .join(adj, frontier("node") === adj("u"))
+        .select(col("start"),
+          substring(md5(concat_ws("_",
+            col("node"), lit(i), col("v"))), 1, 8).as("h"),
+          col("v"))
+        .groupBy(col("start"))
+        .agg(min_by(col("v"), struct(col("h"), col("v"))).as("node"))
+        .localCheckpoint(eager = true)
+      out = out.unionByName(frontier.withColumn("step", lit(i)))
+    }
+    out.select(col("start"), col("step"), col("node"))
+  }
+
   /** Synchronous LABEL PROPAGATION over the undirected simple graph —
     * community detection at linear cost (Raghavan et al. 2007), the
     * scale-out alternative to modularity optimization: labels start as

@@ -300,6 +300,19 @@ object PipelineQueries {
         .select(col("x.p").as("src"), col("y.p").as("dst"))
       graft.ops.Graphs.labelPropagation(e, "src", "dst", rounds = 3)
         .orderBy(col("node"))
+    }),
+
+    // ───── deterministic random walks (the DeepWalk sampling stage):
+    // three hash-chosen steps from every node of the co-occurrence
+    // graph; the oracle replays each argmin step as row_number ─────
+    "q171_random_walks" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).where(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"), col("x.o") === col("y.o") &&
+          col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      graft.ops.Graphs.randomWalks(e, "src", "dst", steps = 3)
+        .orderBy(col("start"), col("step"))
     })
   )
 
@@ -581,6 +594,35 @@ object PipelineQueries {
           ${round("1", "2")},
           ${round("2", "3")}
           SELECT node, lbl AS label FROM l3 ORDER BY node"""
+    },
+    // three hash-greedy walk steps unrolled: each argmin replayed as
+    // row_number over (md5 prefix, neighbor id) — bit-exact
+    "q171_random_walks" -> {
+      def step(p: String, o: String): String =
+        s"""s$o AS (SELECT f$p.start, adj.v,
+              substr(md5(CAST(f$p.node AS VARCHAR) || '_${o}_'
+                || CAST(adj.v AS VARCHAR)), 1, 8) AS h
+            FROM f$p JOIN adj ON adj.u = f$p.node),
+            f$o AS MATERIALIZED (
+              SELECT start, v AS node FROM (
+                SELECT start, v, row_number() OVER (
+                  PARTITION BY start ORDER BY h, v) AS rn FROM s$o)
+              WHERE rn = 1)"""
+      s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+                      FROM lineitem WHERE l_orderkey % 3 = 0),
+          e AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+                 FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+          adj AS MATERIALIZED (
+            SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+          f0 AS (SELECT DISTINCT u AS start, u AS node FROM adj),
+          ${step("0", "1")},
+          ${step("1", "2")},
+          ${step("2", "3")}
+          SELECT start, 0 AS step, node FROM f0
+          UNION ALL SELECT start, 1, node FROM f1
+          UNION ALL SELECT start, 2, node FROM f2
+          UNION ALL SELECT start, 3, node FROM f3
+          ORDER BY start, step"""
     },
     // the two HITS iterations unrolled: L1-normalized integer
     // hub/authority mass, floor divs throughout — bit-exact

@@ -305,6 +305,53 @@ class GraphsSpec extends SparkSpec {
       d === 3L && t === 3L && c === 1000000L })
   }
 
+  /** The hash-greedy walk, replayed sequentially on the driver. */
+  private def modelWalks(edges: Seq[(Long, Long)],
+                         steps: Int): Set[(Long, Int, Long)] = {
+    def md5p(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString.take(8)
+    }
+    val und = edges.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    adj.keys.flatMap { start =>
+      var node = start
+      (start, 0, start) +: (1 to steps).map { i =>
+        node = adj(node).minBy(v => (md5p(s"${node}_${i}_$v"), v))
+        (start, i, node)
+      }
+    }.toSet
+  }
+
+  test("randomWalks matches the hash-greedy model and is rerun-stable") {
+    val rnd = new Random(2718)
+    val edges = (0 until 200).map(_ =>
+      (rnd.nextInt(22).toLong, rnd.nextInt(22).toLong))
+    val out = Graphs.randomWalks(edges.toDF("src", "dst"), "src", "dst",
+        steps = 3)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(out === modelWalks(edges, 3))
+    // a pure function of the graph: a second run is identical
+    val again = Graphs.randomWalks(edges.toDF("src", "dst"), "src", "dst",
+        steps = 3).as[(Long, Int, Long)].collect().toSet
+    assert(again === out)
+    // every step moves along a real edge of the canonical graph
+    val und = edges.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val byWalk = out.groupBy(_._1).values
+    byWalk.foreach { w =>
+      val path = w.toSeq.sortBy(_._2).map(_._3)
+      path.sliding(2).foreach {
+        case Seq(x, y) =>
+          assert(und((math.min(x, y), math.max(x, y))), s"$x->$y not an edge")
+        case _ => ()
+      }
+    }
+  }
+
   /** The deterministic synchronous LPA round, replayed sequentially. */
   private def modelLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
     val und = edges.filter { case (a, b) => a != b }
