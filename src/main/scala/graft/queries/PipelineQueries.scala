@@ -313,6 +313,34 @@ object PipelineQueries {
         .select(col("x.p").as("src"), col("y.p").as("dst"))
       graft.ops.Graphs.randomWalks(e, "src", "dst", steps = 3)
         .orderBy(col("start"), col("step"))
+    }),
+
+    // ───── COMPOSITION gate: community exemplars = label propagation
+    // (who clusters together) ∘ PageRank (who matters) over the same
+    // deduped co-occurrence graph — per community: size, total rank
+    // mass, and the top-ranked member (ties to the smaller id). Both
+    // stages are independently gated (q170, q152); this pins their
+    // JOIN composition, the report a curation pipeline actually ships ─────
+    "q173_community_exemplars" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).where(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"), col("x.o") === col("y.o") &&
+          col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+        .distinct()
+      val labels = graft.ops.Graphs.labelPropagation(e, "src", "dst",
+        rounds = 3)
+      val ranks = graft.ops.Graphs.pageRankFixed(e, "src", "dst",
+        iterations = 3)
+      labels.join(ranks, Seq("node"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("size"),
+          sum(col("rank_micro")).as("mass_micro"),
+          min_by(col("node"),
+            struct((col("rank_micro") * lit(-1L)).as("nr"), col("node")))
+            .as("exemplar"))
+        .orderBy(col("size").desc, col("label"))
+        .limit(100)
     })
   )
 
@@ -594,6 +622,65 @@ object PipelineQueries {
           ${round("1", "2")},
           ${round("2", "3")}
           SELECT node, lbl AS label FROM l3 ORDER BY node"""
+    },
+    // the LPA rounds (q170's chain) and PageRank iterations (q152's
+    // chain) concatenated over the same deduped edge list, joined and
+    // rolled up — the exemplar argmax replayed as row_number
+    "q173_community_exemplars" -> {
+      def lpaRound(p: String, o: String): String =
+        s"""c$o AS MATERIALIZED (
+              SELECT adj.u, l$p.lbl, count(*) AS c
+              FROM adj JOIN l$p ON l$p.node = adj.v GROUP BY 1, 2),
+            l$o AS MATERIALIZED (
+              SELECT u AS node, lbl FROM (
+                SELECT u, lbl, row_number() OVER (
+                  PARTITION BY u ORDER BY c DESC, lbl) AS rn FROM c$o)
+              WHERE rn = 1)"""
+      def prStep(p: String, o: String): String =
+        s"""s$o AS (
+              SELECT e0.dst, sum(r$p.r // od.outdeg) AS s
+              FROM r$p JOIN od ON od.src = r$p.node
+              JOIN e0 ON e0.src = od.src GROUP BY e0.dst),
+            r$o AS MATERIALIZED (
+              SELECT nodes.node,
+                CAST(((1000 - 850) * 1000000000000) // 1000 // n
+                  + (850 * COALESCE(s, 0)) // 1000 AS BIGINT) AS r
+              FROM nodes CROSS JOIN nn
+              LEFT JOIN s$o ON s$o.dst = nodes.node)"""
+      s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+                      FROM lineitem WHERE l_orderkey % 3 = 0),
+          e0 AS MATERIALIZED (SELECT DISTINCT x.p AS src, y.p AS dst
+                 FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+          adj AS MATERIALIZED (
+            SELECT src AS u, dst AS v FROM e0
+            UNION ALL SELECT dst, src FROM e0),
+          l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM adj),
+          ${lpaRound("0", "1")},
+          ${lpaRound("1", "2")},
+          ${lpaRound("2", "3")},
+          nodes AS (SELECT DISTINCT src AS node FROM e0
+                    UNION SELECT DISTINCT dst FROM e0),
+          nn AS (SELECT count(*) AS n FROM nodes),
+          od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                 FROM e0 GROUP BY 1),
+          r0 AS (SELECT node, 1000000000000 // n AS r
+                 FROM nodes CROSS JOIN nn),
+          ${prStep("0", "1")},
+          ${prStep("1", "2")},
+          ${prStep("2", "3")},
+          j AS MATERIALIZED (
+            SELECT l3.node, l3.lbl, r3.r
+            FROM l3 JOIN r3 ON r3.node = l3.node),
+          ex AS (SELECT lbl, node AS exemplar FROM (
+                   SELECT lbl, node, row_number() OVER (
+                     PARTITION BY lbl ORDER BY r DESC, node) AS rn FROM j)
+                 WHERE rn = 1),
+          ag AS (SELECT lbl, CAST(count(*) AS BIGINT) AS size,
+                   CAST(sum(r) AS BIGINT) AS mass_micro
+                 FROM j GROUP BY lbl)
+          SELECT ag.lbl AS label, ag.size, ag.mass_micro, ex.exemplar
+          FROM ag JOIN ex ON ex.lbl = ag.lbl
+          ORDER BY ag.size DESC, label LIMIT 100"""
     },
     // three hash-greedy walk steps unrolled: each argmin replayed as
     // row_number over (md5 prefix, neighbor id) — bit-exact

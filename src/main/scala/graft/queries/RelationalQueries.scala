@@ -642,6 +642,14 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("valid_from"))
     }),
 
+    // ───── one-pass data profile (the ANALYZE shape): per column, row
+    // count, null count, EXACT distinct count, min/max — all columns'
+    // aggregates in one scan via a single multi-distinct Expand ─────
+    "q172_profile" -> ((s, d) =>
+      graft.ops.Profile.profile(Tables.lineitem(s, d),
+          Seq("l_orderkey", "l_linenumber", "l_returnflag"))
+        .orderBy(col("col_name"))),
+
     // ───── sequential Poisson weighted sample: 100 documents drawn
     // with odds proportional to length — the PPS corpus-sampling shape
     // — via exact-integer priorities, bit-replayable on any engine ─────
@@ -1268,6 +1276,20 @@ object RelationalQueries {
             lead(tn) OVER (PARTITION BY user_id ORDER BY tn) AS valid_to
           FROM k ORDER BY user_id, valid_from""",
 
+    // per-column exact profile replay
+    "q172_profile" -> {
+      def one(c: String): String =
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+              CAST(count(*) - count($c) AS BIGINT) AS n_null,
+              CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+              CAST(min($c) AS VARCHAR) AS min_value,
+              CAST(max($c) AS VARCHAR) AS max_value
+            FROM lineitem"""
+      s"""${one("l_orderkey")}
+          UNION ALL ${one("l_linenumber")}
+          UNION ALL ${one("l_returnflag")}
+          ORDER BY col_name"""
+    },
     // identical exact-integer priority: (h << 31) // w, ties by id
     "q168_weighted_sample" ->
       """SELECT doc_id, n_chars FROM (

@@ -214,6 +214,20 @@ class RelationalSpec extends SparkSpec {
       === out.select("id").as[Long].collect().sorted)
   }
 
+  test("profile: one-pass per-column stats with nulls and exact distincts") {
+    val df = Seq((1L, Some("a")), (2L, None), (2L, Some("b")), (3L, Some("a")))
+      .toDF("id", "tag")
+    val p = Profile.profile(df, Seq("id", "tag"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(p("id") === (("id", 4L, 0L, 3L, "1", "3")))
+    assert(p("tag") === (("tag", 4L, 1L, 2L, "a", "b")))
+    val e = intercept[IllegalArgumentException] {
+      Profile.profile(df, Seq("nope"))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("intervalJoin matches the brute-force range join, half-open bounds") {
     val rnd = new scala.util.Random(2026)
     // negative timestamps included: floor bucketing must stay exact
