@@ -306,7 +306,9 @@ object PipelineQueries {
     // three hash-chosen steps from every node of the co-occurrence
     // graph; the oracle replays each argmin step as row_number ─────
     "q171_random_walks" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).where(col("l_orderkey") % 3 === 0)
+      // every-4th order (the q158 quarter-volume precedent — same code
+      // path, cheaper gate; residue 1 keeps it independent of q163/164)
+      val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 1)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       val e = li.as("x").join(li.as("y"), col("x.o") === col("y.o") &&
           col("x.p") < col("y.p"))
@@ -322,12 +324,14 @@ object PipelineQueries {
     // stages are independently gated (q170, q152); this pins their
     // JOIN composition, the report a curation pipeline actually ships ─────
     "q173_community_exemplars" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).where(col("l_orderkey") % 3 === 0)
+      val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 1)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      // checkpoint: BOTH stages walk this edge list — build it once
       val e = li.as("x").join(li.as("y"), col("x.o") === col("y.o") &&
           col("x.p") < col("y.p"))
         .select(col("x.p").as("src"), col("y.p").as("dst"))
         .distinct()
+        .localCheckpoint(eager = true)
       val labels = graft.ops.Graphs.labelPropagation(e, "src", "dst",
         rounds = 3)
       val ranks = graft.ops.Graphs.pageRankFixed(e, "src", "dst",
@@ -648,7 +652,7 @@ object PipelineQueries {
               FROM nodes CROSS JOIN nn
               LEFT JOIN s$o ON s$o.dst = nodes.node)"""
       s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
-                      FROM lineitem WHERE l_orderkey % 3 = 0),
+                      FROM lineitem WHERE l_orderkey % 4 = 1),
           e0 AS MATERIALIZED (SELECT DISTINCT x.p AS src, y.p AS dst
                  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
           adj AS MATERIALIZED (
@@ -696,7 +700,7 @@ object PipelineQueries {
                   PARTITION BY start ORDER BY h, v) AS rn FROM s$o)
               WHERE rn = 1)"""
       s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
-                      FROM lineitem WHERE l_orderkey % 3 = 0),
+                      FROM lineitem WHERE l_orderkey % 4 = 1),
           e AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
                  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
           adj AS MATERIALIZED (

@@ -86,6 +86,26 @@ class PipelineSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(s"$base/t/v1/_SUCCESS")))
   }
 
+  test("dynamic partition pruning reaches the day-partitioned scan") {
+    // the 100 TB star-join shape: fact partitioned by day, dim filtered
+    // on an attribute — the day set to scan is only known at runtime,
+    // and DPP must push it into the fact scan's partition filters
+    // (without it, a dim-filtered join reads every day)
+    val base = Files.createTempDirectory("graft_dpp").toString
+    val fact = (1 to 300).map(i => (i.toLong, s"d${i % 3}"))
+      .toDF("id", "day")
+    BatchView.write(fact, base, "f", 1, Seq("day"))
+    Seq(("d0", "keep"), ("d1", "drop"), ("d2", "drop"))
+      .toDF("day", "tag").write.parquet(s"$base/dim")
+    val dim = spark.read.parquet(s"$base/dim")
+    val joined = BatchView.read(spark, base, "f", 1)
+      .join(dim.where(col("tag") === "keep"), Seq("day"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic-pruning partition filter on the fact scan:\n$plan")
+    assert(joined.count() === 100L)
+  }
+
   test("BinaryOps: stub decode plumbing produces stable metadata + frame sampling") {
     val df = Seq((1L, "hello world"), (2L, "other payload")).toDF("id", "text")
       .select(col("id"), encode(col("text"), "UTF-8").as("content"))
