@@ -311,6 +311,39 @@ object Graphs {
           .otherwise(lit(0L)).as("cc_micro"))
   }
 
+  /** Bipartite CO-OCCURRENCE projection with a HARD fan-out cap — the
+    * graph CONSTRUCTION step five of this module's gates inline
+    * (items sharing a basket, terms sharing a doc, pages sharing a
+    * session), made safe for the hot-key regime: an uncapped
+    * projection of a src with 10⁵ items emits 10¹⁰ pairs — one
+    * pathological basket kills the job. Here each src contributes only
+    * its `maxPerSrc` SMALLEST item ids (deterministic, id-ordered —
+    * chosen over "first seen" because arrival order isn't replayable),
+    * selected by the bounded [[graft.udafs.TopK]] aggregator: O(K)
+    * task state at any group size, partial-aggregable, NO window (a
+    * `row_number` cap would drag the hot src's rows into one task).
+    * Pair fan-out is then ≤ K²/2 per src by construction. Returns
+    * `(node_a, node_b, weight)`, `a < b`, weight = number of distinct
+    * srcs whose capped item set contains both. */
+  def cooccurrenceProject(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxPerSrc: Int): DataFrame = {
+    require(maxPerSrc >= 2, s"maxPerSrc must be >= 2: $maxPerSrc")
+    val raw = edges.select(tryLong(srcCol).as("s"), tryLong(dstCol).as("i"))
+      .localCheckpoint(eager = true)
+    val badIds = raw.where(col("s").isNull || col("i").isNull).count()
+    require(badIds == 0L,
+      s"$badIds edge rows have null node ids after the long cast " +
+        "— string node keys? map them through Graphs.withNodeIds first")
+    val capped = raw.distinct()
+      .groupBy(col("s"))
+      .agg(graft.udafs.TopK.smallestK(col("i"), maxPerSrc).as("items"))
+      .select(col("s"), explode(col("items")).as("i"))
+    capped.as("x").join(capped.as("y"),
+        col("x.s") === col("y.s") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("node_a"), col("y.i").as("node_b"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
   /** DETERMINISTIC random walks — the DeepWalk/node2vec sampling stage
     * (walk corpora feed skip-gram graph embeddings) with the randomness
     * derandomized the way all sampling here is ([[graft.ops.Sampling]]):

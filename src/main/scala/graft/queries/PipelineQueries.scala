@@ -345,7 +345,19 @@ object PipelineQueries {
             .as("exemplar"))
         .orderBy(col("size").desc, col("label"))
         .limit(100)
-    })
+    }),
+
+    // ───── capped co-occurrence projection: the co-purchase graph
+    // builder with the hot-basket fan-out bound (each order contributes
+    // only its 5 smallest part ids — deterministic, selected by the
+    // bounded TopK aggregator, no window) ─────
+    "q175_cooccurrence_project" -> ((s, d) =>
+      graft.ops.Graphs.cooccurrenceProject(
+          Tables.lineitem(s, d).select(col("l_orderkey").as("src"),
+            col("l_partkey").as("dst")),
+          "src", "dst", maxPerSrc = 5)
+        .orderBy(col("weight").desc, col("node_a"), col("node_b"))
+        .limit(500))
   )
 
   /** One 31-bit Morton spread step chain for column `c` → alias `o`,
@@ -627,6 +639,20 @@ object PipelineQueries {
           ${round("2", "3")}
           SELECT node, lbl AS label FROM l3 ORDER BY node"""
     },
+    // the id-ordered cap replayed as row_number (same selection the
+    // bounded aggregator makes), then the within-src pair join
+    "q175_cooccurrence_project" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS s, l_partkey AS i
+                    FROM lineitem),
+          cap AS (SELECT s, i FROM (
+                    SELECT s, i, row_number() OVER (
+                      PARTITION BY s ORDER BY i) AS rn FROM e)
+                  WHERE rn <= 5),
+          pairs AS (SELECT x.i AS node_a, y.i AS node_b
+                    FROM cap x JOIN cap y ON x.s = y.s AND x.i < y.i)
+          SELECT node_a, node_b, CAST(count(*) AS BIGINT) AS weight
+          FROM pairs GROUP BY 1, 2
+          ORDER BY weight DESC, node_a, node_b LIMIT 500""",
     // the LPA rounds (q170's chain) and PageRank iterations (q152's
     // chain) concatenated over the same deduped edge list, joined and
     // rolled up — the exemplar argmax replayed as row_number

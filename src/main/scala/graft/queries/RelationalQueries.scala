@@ -642,6 +642,42 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("valid_from"))
     }),
 
+    // ───── COMPOSITION gate: the SCD-2 point-in-time lookup — the
+    // reason the history table exists. Each purchase is enriched with
+    // the user's activity state (q167's intervals) AS OF the purchase
+    // instant: containment against closed intervals, the open current
+    // row catches everything after its valid_from ─────
+    "q174_scd2_lookup" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val base = e.select(col("event_id"), col("user_id"),
+        Tables.tsNanos(e).as("tn"), col("event_type"))
+      val hist = graft.ops.Relational.scd2(
+        base.select(col("user_id"), col("tn"), col("event_type")),
+        keys = Seq("user_id"), tsCol = "tn", attrs = Seq("event_type"))
+      val purchases = base.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id").as("u"), col("tn").as("pt"))
+      // point-in-time join: valid_from <= pt < coalesce(valid_to, inf).
+      // The history is interval-keyed, so the bucketized intervalJoin
+      // applies; the OPEN row is a plain equi+filter join (one row per
+      // key — broadcast-sized relative to the fact side)
+      val closed = graft.ops.Relational.intervalJoin(
+        hist.where(col("valid_to").isNotNull)
+          .select(col("user_id"), col("event_type").as("state"),
+            col("valid_from"), col("valid_to")),
+        purchases.select(col("u").as("user_id"), col("event_id"), col("pt")),
+        Seq("user_id"), "valid_from", "valid_to", "pt",
+        bucketNanos = 86400L * 1000000000L, payload = Seq("event_id", "pt"))
+      val open = hist.where(col("valid_to").isNull)
+        .select(col("user_id"), col("event_type").as("state"),
+          col("valid_from"))
+        .join(purchases, col("user_id") === col("u") &&
+          col("pt") >= col("valid_from"))
+      closed.select(col("event_id"), col("user_id"), col("state"))
+        .unionByName(open.select(col("event_id"), col("user_id"),
+          col("state")))
+        .orderBy(col("event_id"))
+    }),
+
     // ───── one-pass data profile (the ANALYZE shape): per column, row
     // count, null count, EXACT distinct count, min/max — all columns'
     // aggregates in one scan via a single multi-distinct Expand ─────
@@ -1276,6 +1312,26 @@ object RelationalQueries {
             lead(tn) OVER (PARTITION BY user_id ORDER BY tn) AS valid_to
           FROM k ORDER BY user_id, valid_from""",
 
+    // the point-in-time lookup replayed as one inequality join over the
+    // two-window SCD2 history
+    "q174_scd2_lookup" ->
+      """WITH b AS (SELECT event_id, user_id, epoch_ns(ts) AS tn,
+                      event_type FROM events),
+          c AS (SELECT user_id, tn, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY tn)
+                    AS pe
+                FROM b),
+          k AS (SELECT user_id, tn, event_type FROM c
+                WHERE pe IS NULL OR pe <> event_type),
+          h AS (SELECT user_id, event_type AS state, tn AS vf,
+                  lead(tn) OVER (PARTITION BY user_id ORDER BY tn) AS vt
+                FROM k),
+          p AS (SELECT event_id, user_id, tn AS pt FROM b
+                WHERE event_type = 'purchase')
+          SELECT p.event_id, p.user_id, h.state
+          FROM p JOIN h ON h.user_id = p.user_id AND p.pt >= h.vf
+            AND (h.vt IS NULL OR p.pt < h.vt)
+          ORDER BY p.event_id""",
     // per-column exact profile replay
     "q172_profile" -> {
       def one(c: String): String =

@@ -305,6 +305,30 @@ class GraphsSpec extends SparkSpec {
       d === 3L && t === 3L && c === 1000000L })
   }
 
+  test("cooccurrenceProject caps fan-out deterministically and weights pairs") {
+    // src 1 has 4 items (> cap 3): only its 3 smallest project; src 2
+    // shares two of them; duplicate edges must not inflate weights
+    val edges = Seq((1L, 30L), (1L, 10L), (1L, 20L), (1L, 40L), (1L, 10L),
+      (2L, 10L), (2L, 20L), (3L, 99L))
+    val got = Graphs.cooccurrenceProject(edges.toDF("src", "dst"),
+        "src", "dst", maxPerSrc = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((10L, 20L, 2L), (10L, 30L, 1L), (20L, 30L, 1L)))
+    // model equality on random bipartite data
+    val rnd = new Random(6021)
+    val re = (0 until 600).map(_ =>
+      (rnd.nextInt(40).toLong, 100L + rnd.nextInt(25).toLong))
+    val got2 = Graphs.cooccurrenceProject(re.toDF("src", "dst"),
+        "src", "dst", maxPerSrc = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val capped = re.distinct.groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.take(4)).toMap
+    val want = capped.values.flatMap { items =>
+      for (a <- items; b <- items if a < b) yield (a, b)
+    }.groupBy(identity).map { case ((a, b), xs) => (a, b, xs.size.toLong) }
+    assert(got2 === want.toSet)
+  }
+
   /** The hash-greedy walk, replayed sequentially on the driver. */
   private def modelWalks(edges: Seq[(Long, Long)],
                          steps: Int): Set[(Long, Int, Long)] = {

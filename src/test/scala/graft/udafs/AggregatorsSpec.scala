@@ -115,4 +115,21 @@ class AggregatorsSpec extends SparkSpec {
       .as[Option[Double]].collect().toSeq
     assert(nb === Seq(Some(10.0), None))
   }
+
+  test("TopK.smallestK: bounded per-group top-K matches full-sort model") {
+    val rnd = new scala.util.Random(4711L)
+    val rows = (0 until 2000).map(_ =>
+      (rnd.nextInt(7).toLong, rnd.nextLong() % 10000L))
+    val got = rows.toDF("g", "v").repartition(8)
+      .groupBy(col("g")).agg(TopK.smallestK(col("v"), 5).as("top"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val want = rows.groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.take(5)).toMap
+    assert(got === want)
+    // groups smaller than K return all values, still sorted
+    val small = Seq((1L, 3L), (1L, 1L)).toDF("g", "v")
+      .groupBy(col("g")).agg(TopK.smallestK(col("v"), 10).as("top"))
+      .as[(Long, Seq[Long])].collect().head
+    assert(small._2 === Seq(1L, 3L))
+  }
 }
