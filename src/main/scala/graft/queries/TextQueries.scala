@@ -1265,6 +1265,19 @@ object TextQueries {
         .orderBy(col("query_id"), col("doc_id"))
     }),
 
+    // ───── χ² feature selection: the 50 tokens whose document presence
+    // most discriminates lang='en' — the vocabulary-pruning stage in
+    // front of a quality/domain classifier. Score halves are exact
+    // 64-bit integers; the ranking division is one IEEE op ─────
+    "q176_chi2_tokens" -> ((s, d) =>
+      graft.text.TextOps.chiSquareTokens(
+          Tables.documents(s, d).select(col("doc_id"), col("text"),
+            (col("lang") === "en").as("is_en")),
+          "text", "doc_id", "is_en")
+        .orderBy((col("chi2_num").cast("double") / col("chi2_den")).desc,
+          col("token"))
+        .limit(50)),
+
     // ───── rolling token frequencies from PER-BUCKET count-min sketches
     // (vocabulary-drift monitoring over ingest shards): the q130 CMS
     // guarantee as a pinned verdict per (window, watch token), beside
@@ -3624,6 +3637,31 @@ object TextQueries {
     // the pruned path must emit EXACTLY the unpruned ranked lists —
     // same replay; fallback guarantees it for any essentialDfFrac
     "q147_bm25_pruned" -> bm25OddsSql,
+    // the contingency table in exact integers; ranking by one IEEE
+    // division — bit-exact on both engines
+    "q176_chi2_tokens" ->
+      s"""WITH base AS (
+            SELECT doc_id, $toks AS tk, (lang = 'en') AS l
+            FROM documents),
+          tot AS (SELECT
+              CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+              CAST(sum(CASE WHEN NOT l THEN 1 ELSE 0 END) AS BIGINT) AS n0
+            FROM base),
+          pres AS (SELECT DISTINCT doc_id, unnest(tk) AS token, l
+                   FROM base),
+          ab AS (SELECT token,
+              CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS a,
+              CAST(sum(CASE WHEN NOT l THEN 1 ELSE 0 END) AS BIGINT) AS b
+            FROM pres GROUP BY 1)
+          SELECT token, a AS n_pos, b AS n_neg,
+            CAST((n1 + n0) * (a * (n0 - b) - b * (n1 - a))
+              * (a * (n0 - b) - b * (n1 - a)) AS BIGINT) AS chi2_num,
+            CAST((a + b) * ((n1 - a) + (n0 - b)) * n1 * n0 AS BIGINT)
+              AS chi2_den
+          FROM ab CROSS JOIN tot
+          WHERE (a + b) * ((n1 - a) + (n0 - b)) * n1 * n0 <> 0
+          ORDER BY CAST(chi2_num AS DOUBLE) / chi2_den DESC, token
+          LIMIT 50""",
     // exact windowed watch-token counts; cms_ok is the pinned CMS
     // guarantee (the q130 bounded-anchor pattern applied per window)
     "q166_rolling_token_freq" ->

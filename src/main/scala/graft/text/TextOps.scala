@@ -483,4 +483,52 @@ object TextOps {
       "ok_stopwords" -> (stopHits >= minStopwords))
     rules ++ Seq("keep" -> rules.map(_._2).reduce(_ && _))
   }
+
+  /** χ² FEATURE SELECTION over token presence vs a boolean label — the
+    * vocabulary-pruning stage in front of a quality/domain classifier
+    * ([[graft.ml.QualityClassifier]]): score each token by the χ²
+    * statistic of its document-presence contingency table
+    * `(a, b; c, d)` (a = labeled docs containing it, b = unlabeled
+    * containing, c/d = the complements) and keep the top
+    * discriminators. Returns
+    * `(token, n_pos, n_neg, chi2_num, chi2_den)` where
+    * {{{ χ² = chi2_num / chi2_den
+    *        = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)) }}}
+    * BOTH halves are EXACT 64-bit integers (`N⁵/16` headroom: safe to
+    * ~10⁴ docs, and ANSI mode fails LOUDLY past it — sample the doc
+    * frame beyond that, the statistic estimates fine from a sample, or
+    * shift the projection to doubles) — the score is one IEEE
+    * division, so ranking replays
+    * bit-exact on any engine, the [[graft.ops.Sampling]] no-libm
+    * discipline. Tokens present in every document or none score null
+    * (degenerate table, zero denominator) and drop.
+    *
+    * One token-presence aggregate (distinct (doc, token) — partial-
+    * aggregable) + one vocab-sized score projection; the doc totals
+    * are a 1-row broadcast. */
+  def chiSquareTokens(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                      idCol: String, labelCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    val base = docs.select(col(idCol).as("__id"), col(textCol).as("__t"),
+      col(labelCol).cast("boolean").as("__l"))
+    val totals = base.agg(
+      sum(when(col("__l"), 1L).otherwise(0L)).as("__n1"),
+      sum(when(!col("__l"), 1L).otherwise(0L)).as("__n0"))
+    val present = base
+      .select(col("__id"), explode(tokens(col("__t"))).as("token"),
+        col("__l"))
+      .distinct() // PRESENCE per (doc, token) — repeat tokens count once
+      .groupBy(col("token"))
+      .agg(sum(when(col("__l"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("__l"), 1L).otherwise(0L)).as("b"))
+    present.crossJoin(bc(totals))
+      .select(col("token"), col("a").as("n_pos"), col("b").as("n_neg"),
+        expr("""(__n1 + __n0) *
+                (a * (__n0 - b) - b * (__n1 - a)) *
+                (a * (__n0 - b) - b * (__n1 - a))""").as("chi2_num"),
+        expr("""(a + b) * ((__n1 - a) + (__n0 - b)) *
+                (a + (__n1 - a)) * (b + (__n0 - b))""").as("chi2_den"))
+      .where(col("chi2_den") =!= 0L)
+  }
 }

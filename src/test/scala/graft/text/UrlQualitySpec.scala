@@ -174,4 +174,24 @@ class UrlQualitySpec extends SparkSpec {
     assert(!out(7L).getAs[Boolean]("ok_alpha_words"))
     assert(out.values.count(r => !r.getAs[Boolean]("keep")) === 6)
   }
+
+  test("chiSquareTokens: exact contingency halves on a hand-checked fixture") {
+    // 2 positive docs, 2 negative. "hot" in both positives only;
+    // "cold" in both negatives only; "both" everywhere (degenerate —
+    // must drop); "dup hot" repeats within a doc (presence counts once)
+    val docs = Seq(
+      (1L, "hot both hot", true), (2L, "hot both", true),
+      (3L, "cold both", false), (4L, "cold both cold", false)
+    ).toDF("id", "text", "lbl")
+    val out = TextOps.chiSquareTokens(docs, "text", "id", "lbl")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // hot: a=2 b=0 c=0 d=2, N=4: num = 4·(2·2 − 0)² = 64;
+    // den = (a+b)(c+d)(a+c)(b+d) = 2·2·2·2 = 16 → χ² = 4 (perfect)
+    assert(out("hot") === (("hot", 2L, 0L, 64L, 16L)))
+    assert(out("cold") === (("cold", 0L, 2L, 64L, 16L)))
+    assert(!out.contains("both"), "all-docs token is degenerate")
+    // χ² ranks the perfect discriminators at 4.0 exactly
+    assert(out("hot")._4.toDouble / out("hot")._5 === 4.0)
+  }
 }
