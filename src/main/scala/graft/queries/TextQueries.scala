@@ -1265,6 +1265,15 @@ object TextQueries {
         .orderBy(col("query_id"), col("doc_id"))
     }),
 
+    // ───── collocation mining: the 50 adjacent-pair collocations with
+    // the highest association lift (PMI's monotone core, no libm log)
+    // among pairs seen ≥ 5 times — phrase/boilerplate detection ─────
+    "q177_collocations" -> ((s, d) =>
+      graft.text.TextOps.collocations(Tables.documents(s, d),
+          "text", "doc_id", minCount = 5L)
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(50)),
+
     // ───── χ² feature selection: the 50 tokens whose document presence
     // most discriminates lang='en' — the vocabulary-pruning stage in
     // front of a quality/domain classifier. Score halves are exact
@@ -3637,6 +3646,28 @@ object TextQueries {
     // the pruned path must emit EXACTLY the unpruned ranked lists —
     // same replay; fallback guarantees it for any essentialDfFrac
     "q147_bm25_pruned" -> bm25OddsSql,
+    // bigrams via 1-indexed list pairing; identical integer counts and
+    // the identical (double·N)/(n_x·n_y) lift expression
+    "q177_collocations" ->
+      s"""WITH tkf AS (SELECT doc_id, $toks AS tk FROM documents),
+          pos AS (SELECT unnest(tk) AS w FROM tkf),
+          uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+                  FROM pos GROUP BY 1),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM pos),
+          pr AS (SELECT unnest(list_transform(range(1, len(tk)),
+                   i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS p
+                 FROM tkf WHERE len(tk) >= 2),
+          b AS (SELECT p['w1'] AS w1, p['w2'] AS w2,
+                  CAST(count(*) AS BIGINT) AS n_xy
+                FROM pr GROUP BY 1, 2 HAVING count(*) >= 5)
+          SELECT b.w1, b.w2, b.n_xy,
+            u1.n AS n_w1, u2.n AS n_w2,
+            (CAST(b.n_xy AS DOUBLE) * ntot) / (u1.n * u2.n) AS lift
+          FROM b
+          JOIN uni u1 ON u1.w = b.w1
+          JOIN uni u2 ON u2.w = b.w2
+          CROSS JOIN tot
+          ORDER BY lift DESC, b.w1, b.w2 LIMIT 50""",
     // the contingency table in exact integers; ranking by one IEEE
     // division — bit-exact on both engines
     "q176_chi2_tokens" ->

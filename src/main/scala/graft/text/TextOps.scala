@@ -506,6 +506,48 @@ object TextOps {
     * One token-presence aggregate (distinct (doc, token) — partial-
     * aggregable) + one vocab-sized score projection; the doc totals
     * are a 1-row broadcast. */
+  /** COLLOCATION mining: adjacent token pairs ranked by association
+    * LIFT — `P(xy) / (P(x)·P(y))`, the monotone core of PMI without
+    * the log (a libm call whose last-ulp varies by engine; the RANKING
+    * is what matters and lift preserves it). The phrase-detection
+    * stage of corpus pipelines (multi-word expressions, named
+    * entities, boilerplate signatures). Returns
+    * `(w1, w2, n_xy, n_w1, n_w2, lift)` for pairs with
+    * `n_xy ≥ minCount`;
+    * `lift = (double(n_xy) · N) / (n_w1 · n_w2)` — integer products
+    * first, one IEEE multiply + divide, bit-replayable.
+    *
+    * Bigrams ride the q79/q135 window-lead pattern (one window pass
+    * per doc, partitions bounded by doc length — never a corpus-wide
+    * window); unigram counts and the token total are plain hash
+    * aggregates, the total a 1-row broadcast. */
+  def collocations(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                   idCol: String, minCount: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    require(minCount >= 1L, s"minCount must be positive: $minCount")
+    val pos = docs
+      .select(col(idCol).as("__id"),
+        posexplode(tokens(col(textCol))).as(Seq("__p", "__w")))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__p"))
+    val pairs = pos
+      .withColumn("__w2", lead(col("__w"), 1).over(w))
+      .where(col("__w2").isNotNull)
+      .groupBy(col("__w").as("w1"), col("__w2").as("w2"))
+      .agg(count(lit(1)).as("n_xy"))
+      .where(col("n_xy") >= minCount)
+    val uni = pos.groupBy(col("__w")).agg(count(lit(1)).as("n"))
+    val total = pos.agg(count(lit(1)).as("__N"))
+    pairs
+      .join(uni.select(col("__w").as("w1"), col("n").as("n_w1")), Seq("w1"))
+      .join(uni.select(col("__w").as("w2"), col("n").as("n_w2")), Seq("w2"))
+      .crossJoin(bc(total))
+      .select(col("w1"), col("w2"), col("n_xy"), col("n_w1"), col("n_w2"),
+        ((col("n_xy").cast("double") * col("__N")) /
+          (col("n_w1") * col("n_w2"))).as("lift"))
+  }
+
   def chiSquareTokens(docs: org.apache.spark.sql.DataFrame, textCol: String,
                       idCol: String, labelCol: String)
       : org.apache.spark.sql.DataFrame = {

@@ -175,6 +175,20 @@ class UrlQualitySpec extends SparkSpec {
     assert(out.values.count(r => !r.getAs[Boolean]("keep")) === 6)
   }
 
+  test("collocations: hand-checked lift on adjacent pairs; bigrams stay per-doc") {
+    // "a b" appears 3 times; "b a" twice; doc boundary must NOT pair
+    // (doc1 ends in b, doc2 starts with a)
+    val docs = Seq((1L, "a b a b"), (2L, "a b x"), (3L, "x y"))
+      .toDF("id", "text")
+    val out = TextOps.collocations(docs, "text", "id", minCount = 2L)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // tokens: a=3 b=3 x=2 y=1, N=9; "a b": n_xy=3 → lift = 3·9/(3·3) = 3
+    assert(out(("a", "b")) === (("a", "b", 3L, 3L, 3L, 3.0)))
+    assert(!out.contains(("b", "a")), "b,a occurs once — below minCount")
+    assert(!out.contains(("b", "x")), "cross-doc boundary must not pair")
+  }
+
   test("chiSquareTokens: exact contingency halves on a hand-checked fixture") {
     // 2 positive docs, 2 negative. "hot" in both positives only;
     // "cold" in both negatives only; "both" everywhere (degenerate —
