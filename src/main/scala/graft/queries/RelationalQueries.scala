@@ -642,6 +642,30 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("valid_from"))
     }),
 
+    // ───── data-quality check suite over the star schema: uniqueness,
+    // referential integrity (incl. a deliberately violated expectation
+    // so the report proves it COUNTS, not just passes), null and
+    // range checks — one summary row per check ─────
+    "q178_quality_checks" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val cust = Tables.customer(s, d)
+      graft.ops.Checks.report(Seq(
+        "orders_pk_unique" ->
+          graft.ops.Checks.uniqueViolations(orders, Seq("o_orderkey")),
+        "lineitem_orders_fk" ->
+          graft.ops.Checks.referentialViolations(li, Seq("l_orderkey"),
+            orders, Seq("o_orderkey")),
+        "customer_key_not_null" ->
+          graft.ops.Checks.nullViolations(cust, Seq("c_custkey")),
+        // a violated expectation: not every order is high-priced —
+        // the count must be the exact offender tally
+        "orders_price_over_1000" ->
+          graft.ops.Checks.expectViolations(orders,
+            col("o_totalprice") > 1000.0)))
+        .orderBy(col("check_name"))
+    }),
+
     // ───── COMPOSITION gate: the SCD-2 point-in-time lookup — the
     // reason the history table exists. Each purchase is enriched with
     // the user's activity state (q167's intervals) AS OF the purchase
@@ -1312,6 +1336,27 @@ object RelationalQueries {
             lead(tn) OVER (PARTITION BY user_id ORDER BY tn) AS valid_to
           FROM k ORDER BY user_id, valid_from""",
 
+    // each check replayed as its defining aggregate/anti-join count
+    "q178_quality_checks" ->
+      """SELECT 'customer_key_not_null' AS check_name,
+            CAST((SELECT count(*) FROM customer WHERE c_custkey IS NULL)
+              AS BIGINT) AS n_violations
+          UNION ALL
+          SELECT 'lineitem_orders_fk',
+            CAST((SELECT count(*) FROM lineitem
+                  WHERE l_orderkey IS NULL OR l_orderkey NOT IN
+                    (SELECT o_orderkey FROM orders)) AS BIGINT)
+          UNION ALL
+          SELECT 'orders_pk_unique',
+            CAST((SELECT count(*) FROM (
+               SELECT o_orderkey FROM orders GROUP BY 1
+               HAVING count(*) > 1)) AS BIGINT)
+          UNION ALL
+          SELECT 'orders_price_over_1000',
+            CAST((SELECT count(*) FROM orders
+                  WHERE NOT COALESCE(o_totalprice > 1000.0, FALSE))
+              AS BIGINT)
+          ORDER BY check_name""",
     // the point-in-time lookup replayed as one inequality join over the
     // two-window SCD2 history
     "q174_scd2_lookup" ->

@@ -214,6 +214,32 @@ class RelationalSpec extends SparkSpec {
       === out.select("id").as[Long].collect().sorted)
   }
 
+  test("Checks: violations come back as rows; the report counts exactly") {
+    val child = Seq(Some(1L), Some(1L), Some(3L), None).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    // uniqueness: key 1 occurs twice
+    val uniq = Checks.uniqueViolations(child, Seq("fk"))
+      .as[(Option[Long], Long)].collect()
+    assert(uniq.toSeq === Seq((Some(1L), 2L)))
+    // referential: 3 has no parent; the NULL key is a violation too
+    val refv = Checks.referentialViolations(child, Seq("fk"),
+        parent, Seq("pk"))
+      .as[Option[Long]].collect().toSet
+    assert(refv === Set(Some(3L), None))
+    // nulls + expectation (null cond counts as violation)
+    assert(Checks.nullViolations(child, Seq("fk")).count() === 1L)
+    val ex = Checks.expectViolations(child, col("fk") <= 1L)
+      .as[Option[Long]].collect().toSet
+    assert(ex === Set(Some(3L), None))
+    val rep = Checks.report(Seq(
+        "uniq" -> Checks.uniqueViolations(child, Seq("fk")),
+        "ref" -> Checks.referentialViolations(child, Seq("fk"), parent,
+          Seq("pk")),
+        "ok" -> Checks.expectViolations(parent, col("pk") >= 1L)))
+      .as[(String, Long)].collect().toMap
+    assert(rep === Map("uniq" -> 1L, "ref" -> 2L, "ok" -> 0L))
+  }
+
   test("profile: one-pass per-column stats with nulls and exact distincts") {
     val df = Seq((1L, Some("a")), (2L, None), (2L, Some("b")), (3L, Some("a")))
       .toDF("id", "tag")
