@@ -499,6 +499,112 @@ object Graphs {
     degrees(cur)
   }
 
+  /** Multi-source shortest paths (truncated Bellman–Ford): integer
+    * distances from the nearest of the `sources` over the directed edge
+    * list, `maxIter` synchronous relaxation rounds — so `dist(v)` is
+    * the cheapest path of AT MOST `maxIter` edges (exact SSSP once
+    * `maxIter` reaches the graph's hop diameter; the truncation is the
+    * deterministic-replay cap, same role as k-core's `maxRounds`).
+    * "How many hops is every page from the curated seed set" is the
+    * crawl-frontier / quality-tier shape this exists for. Returns
+    * `(node, dist)` for REACHED nodes only; unreached nodes are absent
+    * (their distance is not 0 or ∞-as-sentinel — they have none). A
+    * source id absent from the edge list still emits `(source, 0)` —
+    * it is a component of its own.
+    *
+    * `weightCol` switches hop counts to positive integer edge weights
+    * (latency, toll); all arithmetic stays in longs — bit-replayable.
+    * Per round: one frontier⋈edges hash join + one min-aggregate on the
+    * destination — both keyed on node ids, so pre-bucketed edges relax
+    * exchange-free; each round `localCheckpoint`ed (k linear jobs). */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    sources: DataFrame, sourceCol: String, maxIter: Int,
+                    weightCol: Option[String] = None): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be positive: $maxIter")
+    val e = edges.select(tryLong(srcCol).as("src"), tryLong(dstCol).as("dst"),
+        weightCol.map(tryLong).getOrElse(lit(1L)).as("w"))
+      .localCheckpoint(eager = true)
+    val badIds = e.where(col("src").isNull || col("dst").isNull ||
+      col("w").isNull).count()
+    require(badIds == 0L,
+      s"$badIds edge rows have null node ids/weights after the long cast " +
+        "— string node keys? map them through Graphs.withNodeIds first")
+    val badW = e.where(col("w") <= 0L).count()
+    require(badW == 0L,
+      s"$badW edge rows have non-positive weights — shortest paths over " +
+        "zero/negative edges are not the truncated-relaxation semantics")
+    var dist = sources.select(tryLong(sourceCol).as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(eager = true)
+    require(dist.where(col("node").isNull).isEmpty,
+      "source ids must cast to non-null longs — map string keys through " +
+        "Graphs.withNodeIds first")
+    for (_ <- 1 to maxIter) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = true)
+    }
+    dist
+  }
+
+  /** Link prediction by common-neighbor evidence over the undirected
+    * simple graph: for each NON-EDGE pair that shares at least one
+    * neighbor, `(node_a, node_b, cn, deg_a, deg_b, jaccard_milli)` —
+    * `cn` common neighbors and the integer-milli Jaccard
+    * `cn·1000 div (deg_a + deg_b − cn)`. The "who should link next"
+    * signal: co-purchase recommendation, crawl-link suggestion, missing
+    * citation detection.
+    *
+    * Candidate pairs come from WEDGES (two-hop paths), so the pair
+    * space is evidence-sized, never all-pairs. `maxWedgeDegree` is the
+    * hub cap — the [[cooccurrenceProject]] fan-out bound: a node with
+    * more neighbors than the cap CENTERS no wedges (its pair fan-out is
+    * quadratic in its degree and its evidence is weak — everyone shares
+    * the mega-hub), so `cn` counts common neighbors of degree ≤ cap —
+    * EXACT when the cap clears the max degree, a documented lower bound
+    * under it. Degrees in the Jaccard are always the full degrees.
+    * One wedge self-join (bounded by the cap) + one pair aggregate +
+    * one edge anti-join + two degree joins, all keyed on node/pair ids. */
+  def linkPredict(edges: DataFrame, srcCol: String, dstCol: String,
+                  maxWedgeDegree: Int): DataFrame = {
+    require(maxWedgeDegree >= 2,
+      s"maxWedgeDegree must be at least 2 (a wedge needs 2 neighbors): " +
+        s"$maxWedgeDegree")
+    val raw = edges.select(tryLong(srcCol).as("a"), tryLong(dstCol).as("b"))
+      .localCheckpoint(eager = true)
+    val badIds = raw.where(col("a").isNull || col("b").isNull).count()
+    require(badIds == 0L,
+      s"$badIds edge rows have null node ids after the long cast " +
+        "— string node keys? map them through Graphs.withNodeIds first")
+    val und = raw.where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(eager = true) // adjacency, degrees, and the anti-join
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(eager = true)
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+    val centers = deg.where(col("degree") <= maxWedgeDegree)
+      .select(col("node").as("u"))
+    val capped = adj.join(centers, Seq("u"), "left_semi")
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.v").as("a"), col("y.v").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+      .join(und, Seq("a", "b"), "left_anti") // existing edges are not predictions
+    pairs
+      .join(deg.select(col("node").as("a"), col("degree").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("degree").as("deg_b")), Seq("b"))
+      .select(col("a").as("node_a"), col("b").as("node_b"), col("cn"),
+        col("deg_a"), col("deg_b"),
+        expr("(cn * 1000) div (deg_a + deg_b - cn)").as("jaccard_milli"))
+  }
+
   private def pageRankFixedImpl(edgesW: DataFrame, iterations: Int,
                                 dampMilli: Long,
                                 weighted: Boolean): DataFrame = {

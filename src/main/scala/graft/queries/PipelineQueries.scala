@@ -347,6 +347,38 @@ object PipelineQueries {
         .limit(100)
     }),
 
+    // ───── multi-source shortest paths: hop distance from the %97
+    // seed parts over the symmetrized co-occurrence graph, 3
+    // relaxation rounds — the crawl-frontier "how far from the curated
+    // seeds" shape; the oracle unrolls the same 3 min-relaxations ─────
+    "q181_shortest_paths" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 1)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e0 = li.as("x").join(li.as("y"), col("x.o") === col("y.o") &&
+          col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val sources = li.where(col("p") % 97 === 0)
+        .select(col("p").as("seed")).distinct()
+      graft.ops.Graphs.shortestPaths(e, "src", "dst", sources, "seed",
+          maxIter = 3)
+        .orderBy(col("node"))
+    }),
+
+    // ───── link prediction: non-edge part pairs ranked by common
+    // co-purchase neighbors (wedge-generated, hub cap 30) with the
+    // integer-milli Jaccard — "which parts should co-occur next" ─────
+    "q182_link_predict" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 1)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"), col("x.o") === col("y.o") &&
+          col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      graft.ops.Graphs.linkPredict(e, "src", "dst", maxWedgeDegree = 30)
+        .orderBy(col("cn").desc, col("node_a"), col("node_b"))
+        .limit(300)
+    }),
+
     // ───── capped co-occurrence projection: the co-purchase graph
     // builder with the hot-basket fan-out bound (each order contributes
     // only its 5 smallest part ids — deterministic, selected by the
@@ -653,6 +685,60 @@ object PipelineQueries {
           SELECT node_a, node_b, CAST(count(*) AS BIGINT) AS weight
           FROM pairs GROUP BY 1, 2
           ORDER BY weight DESC, node_a, node_b LIMIT 500""",
+    // the 3 min-relaxation rounds unrolled (duplicate edges are
+    // harmless under min, matching the operator)
+    "q181_shortest_paths" -> {
+      def round(p: String, o: String): String =
+        s"""d$o AS MATERIALIZED (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d$p
+                UNION ALL
+                SELECT e.dst, d$p.dist + 1 FROM d$p
+                JOIN e ON e.src = d$p.node) GROUP BY node)"""
+      s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+                      FROM lineitem WHERE l_orderkey % 4 = 1),
+          e0 AS (SELECT x.p AS src, y.p AS dst
+                 FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+          e AS MATERIALIZED (
+            SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+          d0 AS (SELECT DISTINCT p AS node, CAST(0 AS BIGINT) AS dist
+                 FROM li WHERE p % 97 = 0),
+          ${round("0", "1")},
+          ${round("1", "2")},
+          ${round("2", "3")}
+          SELECT node, dist FROM d3 ORDER BY node"""
+    },
+    // wedge generation under the same hub cap, anti-join against the
+    // edge set, full degrees in the Jaccard — the operator replayed
+    "q182_link_predict" ->
+      """WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+                     FROM lineitem WHERE l_orderkey % 4 = 1),
+          e0 AS (SELECT x.p AS a, y.p AS b
+                 FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+          und AS MATERIALIZED (
+            SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+            FROM e0 WHERE a <> b),
+          deg AS MATERIALIZED (
+            SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+              SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+            GROUP BY 1),
+          adj AS (SELECT a AS u, b AS v FROM und
+                  UNION ALL SELECT b, a FROM und),
+          capped AS (SELECT adj.u, adj.v FROM adj
+                     JOIN deg ON deg.node = adj.u WHERE deg.degree <= 30),
+          pairs AS (SELECT x.v AS a, y.v AS b,
+                      CAST(count(*) AS BIGINT) AS cn
+                    FROM capped x JOIN capped y
+                      ON x.u = y.u AND x.v < y.v GROUP BY 1, 2),
+          np AS (SELECT p.* FROM pairs p
+                 ANTI JOIN und ON und.a = p.a AND und.b = p.b)
+          SELECT np.a AS node_a, np.b AS node_b, np.cn,
+            da.degree AS deg_a, db.degree AS deg_b,
+            (np.cn * 1000) // (da.degree + db.degree - np.cn)
+              AS jaccard_milli
+          FROM np JOIN deg da ON da.node = np.a
+          JOIN deg db ON db.node = np.b
+          ORDER BY cn DESC, node_a, node_b LIMIT 300""",
     // the LPA rounds (q170's chain) and PageRank iterations (q152's
     // chain) concatenated over the same deduped edge list, joined and
     // rolled up — the exemplar argmax replayed as row_number

@@ -717,7 +717,44 @@ object RelationalQueries {
       graft.ops.Sampling.weightedSample(
           Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
           "doc_id", "n_chars", n = 100)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // ───── snapshot diff: two simulated order-table snapshots (keys
+    // %7/%5-partitioned, %3 keys mutated) diffed into the I/U/D
+    // changelog — one full-outer join, the incremental-shipping
+    // primitive; the oracle replays the classification directly ─────
+    "q179_snapshot_diff" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"))
+      val base = o.where(col("o_orderkey") % 7 =!= 0)
+      val next = o.where(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_custkey", when(col("o_orderkey") % 3 === 0,
+          col("o_custkey") + 1L).otherwise(col("o_custkey")))
+      graft.ops.Cdc.snapshotDiff(base, next, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ───── changelog apply: three change waves (seq 1 updates, seq 2
+    // deletes, seq 3 re-inserts — keys in several waves exercise
+    // latest-wins: a %12 key is updated then deleted; a %12∩%6 key is
+    // deleted then re-inserted) merged into the base snapshot ─────
+    "q180_cdc_apply" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"))
+      val base = o.where(col("o_orderkey") % 7 =!= 0)
+      val upd = o.where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), (col("o_custkey") + 10L).as("o_custkey"),
+          col("o_orderstatus"), lit("U").as("op"), lit(1L).as("seq"))
+      val del = o.where(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          lit("D").as("op"), lit(2L).as("seq"))
+      val ins = o.where(col("o_orderkey") % 6 === 0)
+        .select(col("o_orderkey"), (col("o_custkey") + 20L).as("o_custkey"),
+          lit("O").as("o_orderstatus"), lit("I").as("op"), lit(3L).as("seq"))
+      graft.ops.Cdc.cdcApply(base,
+          upd.unionByName(del).unionByName(ins), Seq("o_orderkey"), "seq")
+        .orderBy(col("o_orderkey"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -1401,6 +1438,44 @@ object RelationalQueries {
                     // CAST(n_chars AS BIGINT),
                     doc_id
            LIMIT 100)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    // the I/U/D classification replayed as one full-outer join; payload
+    // comparison IS DISTINCT FROM (null-safe) like the operator
+    "q179_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+                      o_orderstatus AS st FROM orders),
+          b AS (SELECT * FROM o WHERE k % 7 <> 0),
+          n AS (SELECT k, CASE WHEN k % 3 = 0 THEN c + 1 ELSE c END AS c,
+                  st FROM o WHERE k % 5 <> 0)
+          SELECT COALESCE(b.k, n.k) AS o_orderkey,
+            CASE WHEN n.k IS NULL THEN b.c ELSE n.c END AS o_custkey,
+            CASE WHEN n.k IS NULL THEN b.st ELSE n.st END AS o_orderstatus,
+            CASE WHEN n.k IS NULL THEN 'D' WHEN b.k IS NULL THEN 'I'
+              ELSE 'U' END AS op
+          FROM b FULL OUTER JOIN n ON b.k = n.k
+          WHERE n.k IS NULL OR b.k IS NULL
+            OR b.c IS DISTINCT FROM n.c OR b.st IS DISTINCT FROM n.st
+          ORDER BY o_orderkey""",
+    // latest change per key as row_number over (seq, op, payload) desc
+    // (the operator's max_by tuple), then anti-join + union
+    "q180_cdc_apply" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+                      o_orderstatus AS st FROM orders),
+          b AS (SELECT * FROM o WHERE k % 7 <> 0),
+          ch AS (
+            SELECT k, c + 10 AS c, st, 'U' AS op, 1 AS seq
+            FROM o WHERE k % 3 = 0
+            UNION ALL SELECT k, c, st, 'D', 2 FROM o WHERE k % 4 = 0
+            UNION ALL SELECT k, c + 20, 'O', 'I', 3 FROM o WHERE k % 6 = 0),
+          latest AS (SELECT k, c, st, op FROM (
+            SELECT *, row_number() OVER (PARTITION BY k
+              ORDER BY seq DESC, op DESC, c DESC, st DESC) AS rn FROM ch)
+            WHERE rn = 1)
+          SELECT b.k AS o_orderkey, b.c AS o_custkey,
+            b.st AS o_orderstatus
+          FROM b ANTI JOIN latest ON b.k = latest.k
+          UNION ALL
+          SELECT k, c, st FROM latest WHERE op <> 'D'
+          ORDER BY o_orderkey"""
   )
 }

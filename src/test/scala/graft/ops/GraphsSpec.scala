@@ -458,4 +458,82 @@ class GraphsSpec extends SparkSpec {
     assert(Graphs.kCore(chain.toDF("src", "dst"), "src", "dst", k = 2)
       .count() === 0L)
   }
+
+  /** Truncated Bellman–Ford replayed sequentially. */
+  private def modelSp(edges: Seq[(Long, Long, Long)], sources: Seq[Long],
+                      iters: Int): Map[Long, Long] = {
+    var d = sources.distinct.map(_ -> 0L).toMap
+    for (_ <- 1 to iters) {
+      val relaxed = edges.flatMap { case (u, v, w) =>
+        d.get(u).map(du => v -> (du + w)) }
+      d = (d.toSeq ++ relaxed).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    d
+  }
+
+  test("shortestPaths: hop distances on a path graph, truncation honored") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val got = Graphs.shortestPaths(path.toDF("src", "dst"), "src", "dst",
+        Seq(1L).toDF("seed"), "seed", maxIter = 3)
+      .as[(Long, Long)].collect().toMap
+    // node 5 is 4 hops away: absent under maxIter = 3, not 0/sentinel
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("shortestPaths matches the model on random weighted multigraphs") {
+    val rnd = new Random(4242)
+    val edges = (0 until 400).map(_ => (rnd.nextInt(30).toLong,
+      rnd.nextInt(30).toLong, 1L + rnd.nextInt(5).toLong))
+    val sources = Seq(0L, 7L, 13L)
+    val got = Graphs.shortestPaths(edges.toDF("src", "dst", "w"),
+        "src", "dst", sources.toDF("seed"), "seed", maxIter = 4,
+        weightCol = Some("w"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === modelSp(edges, sources, 4))
+  }
+
+  test("shortestPaths: an off-graph source emits dist 0; bad weights fail") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val got = Graphs.shortestPaths(e, "src", "dst",
+        Seq(99L).toDF("seed"), "seed", maxIter = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got(99L) === 0L)
+    val ex = intercept[IllegalArgumentException] {
+      Graphs.shortestPaths(Seq((1L, 2L, 0L)).toDF("src", "dst", "w"),
+        "src", "dst", Seq(1L).toDF("seed"), "seed", maxIter = 1,
+        weightCol = Some("w")).collect()
+    }
+    assert(ex.getMessage.contains("non-positive"))
+  }
+
+  test("linkPredict: square graph diagonals, full Jaccard, no edge echoes") {
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val got = Graphs.linkPredict(square.toDF("src", "dst"), "src", "dst",
+        maxWedgeDegree = 10)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // only the two diagonals predict: cn=2, deg 2/2, jaccard 1000
+    assert(got === Set((1L, 3L, 2L, 2L, 2L, 1000L),
+      (2L, 4L, 2L, 2L, 2L, 1000L)))
+  }
+
+  test("linkPredict: the hub cap suppresses mega-hub wedges only") {
+    // star center 0 with 5 leaves, plus edge 1-2 (a real edge, never
+    // predicted); leaves pair only THROUGH the center
+    val star = (1L to 5L).map(l => (0L, l)) :+ (1L, 2L)
+    val capped = Graphs.linkPredict(star.toDF("src", "dst"), "src", "dst",
+      maxWedgeDegree = 3)
+    assert(capped.count() === 0L) // center deg 5 > 3: no wedge source
+    val open = Graphs.linkPredict(star.toDF("src", "dst"), "src", "dst",
+        maxWedgeDegree = 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // all leaf pairs except the real edge (1,2); cn=1 via the center
+    val exp = (for { a <- 1L to 5L; b <- a + 1 to 5L
+                     if (a, b) != ((1L, 2L)) } yield {
+      val da = if (a <= 2) 2L else 1L
+      val db = if (b <= 2) 2L else 1L
+      (a, b, 1L, da, db, 1000L / (da + db - 1L))
+    }).toSet
+    assert(open === exp)
+  }
 }
