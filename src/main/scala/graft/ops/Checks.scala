@@ -65,4 +65,54 @@ object Checks {
         .select(lit(name).as("check_name"), col("n_violations"))
     }.reduce(_ unionByName _)
   }
+
+  /** Robust per-group outlier annotation by median / MAD (the
+    * modified-z-score discipline, integer-exact): each row of
+    * `(keyCol, valCol)` comes back as `(key, v, med, mad, outlier)`
+    * where `med` is the group's LOWER MEDIAN (the order statistic at
+    * rank `⌈n/2⌉` — exact, no interpolated doubles on either engine),
+    * `mad` the lower median of `|v − med|`, and
+    * `outlier = |v − med|·10 > kDeci · mad`. Median/MAD resist the
+    * contamination that wrecks mean/stddev fences: one 10⁹ sentinel in
+    * a group shifts a mean-based fence past every real value, while the
+    * median never moves — the standard robust screen for sensor
+    * glitches, price typos and unit mix-ups. A group that is > 50 %
+    * one constant has `mad = 0` and every deviating row flags —
+    * that is the textbook caveat, documented rather than papered over.
+    *
+    * Values must already be integers (scale decimals upstream — a
+    * double→long cast TRUNCATES in Spark but ROUNDS in DuckDB, so
+    * feeding raw doubles couples results to the engine). Two per-KEY
+    * window passes (rank + count share one exchange each) and two
+    * key-sized joins — groups hash-partition by key and sorts stream/
+    * spill per group, so a skewed key slows only its own partition
+    * (AQE-splittable), never a global window. */
+  def madOutliers(df: DataFrame, keyCol: String, valCol: String,
+                  kDeci: Long = 50L): DataFrame = {
+    require(kDeci >= 1L, s"kDeci must be >= 1: $kDeci")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val inType = df.schema(valCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(inType),
+      s"value column `$valCol` must be integral, got $inType — scale " +
+        "decimals upstream (a double→long cast truncates in Spark but " +
+        "rounds in DuckDB)")
+    val v = df.select(col(keyCol).as("k"), col(valCol).cast("long").as("v"))
+    def lowerMedian(in: DataFrame, c: String): DataFrame = {
+      val w = Window.partitionBy(col("k")).orderBy(col(c))
+      in.select(col("k"), col(c),
+          row_number().over(w).as("__rn"),
+          count(lit(1)).over(Window.partitionBy(col("k"))).as("__cnt"))
+        .where(col("__rn") === expr("(__cnt + 1) div 2"))
+        .select(col("k"), col(c).as("__m"))
+    }
+    val med = lowerMedian(v, "v").select(col("k"), col("__m").as("med"))
+    val dev = v.join(med, Seq("k"))
+      .withColumn("__absdev", abs(col("v") - col("med")))
+    val mad = lowerMedian(dev.select(col("k"), col("__absdev")), "__absdev")
+      .select(col("k"), col("__m").as("mad"))
+    dev.join(mad, Seq("k"))
+      .select(col("k").as(keyCol), col("v"), col("med"), col("mad"),
+        (col("__absdev") * lit(10L) > lit(kDeci) * col("mad")).as("outlier"))
+  }
 }

@@ -35,7 +35,11 @@ object Timeseries {
 
   /** Floor-division bucketing expression for a long (nanos) column:
     * `(ts div b) - (ts % b < 0 ? 1 : 0)` — identical to `div` for
-    * non-negative timestamps, and identical to DuckDB `//` everywhere. */
+    * non-negative timestamps. Floor is the calendar-aligned choice for
+    * PRE-EPOCH timestamps (bucket -1 covers the day before 1970, and
+    * buckets -1..1 never merge); note DuckDB's integer `//` TRUNCATES
+    * (it floors only on floats), so oracle replays assume non-negative
+    * timestamps — which `epoch_ns` of the event data always satisfies. */
   private def floorDivExpr(tsCol: String, b: Long): Column =
     expr(s"(`$tsCol` div ${b}L) - " +
       s"(case when `$tsCol` % ${b}L < 0 then 1 else 0 end)")
@@ -101,6 +105,60 @@ object Timeseries {
     folded.select(col(keyCol), explode(col("__out")).as("__e"))
       .select(col(keyCol), col("__e.bucket").as("bucket"),
         col("__e.n").as("n"), col("__e.ewma_prev").as("ewma_prev"))
+  }
+
+  /** Holt double-exponential smoothing (level + TREND) in exact integer
+    * arithmetic, with a forecast-deviation anomaly verdict — what the
+    * EWMA family can't express: a steadily GROWING series stops
+    * false-flagging (the trend term absorbs the growth), and a
+    * plateauing one flags when it falls off its trend line. Per
+    * element, α = β = ½ (the EWMA half-life discipline — exact longs,
+    * bit-replayable on any engine):
+    * {{{
+    * l₀ = n₀, t₀ = 0
+    * f  = l + t                      // the one-step forecast
+    * l' = (n + l + t) div 2          // div truncates toward zero —
+    * t' = (l' − l + t) div 2         // matching integer `//` in DuckDB
+    * }}}
+    * Returns `(key, bucket, n, forecast_prev, anom)`: `forecast_prev`
+    * is the forecast made from STRICTLY EARLIER buckets (null for each
+    * key's first — no history, no verdict, the [[ewmaAnomalies]]
+    * convention) and `anom = |n − f|·10 > factorDeci · max(|f|, 1)` —
+    * deviation beyond `factorDeci/10` times the forecast magnitude
+    * (the max(…,1) floor keeps a zero forecast from flagging every
+    * nonzero bucket vacuously). Same collect-and-fold shape as the
+    * EWMA: one aggregate per key, task state = the key's bucket series
+    * (days, not events), no window functions. Compose with [[zeroFill]]
+    * for outage semantics, exactly as with [[ewmaAnomaliesSigned]]. */
+  def holtAnomalies(counts: DataFrame, keyCol: String, bucketCol: String,
+                    nCol: String, factorDeci: Long = 20L): DataFrame = {
+    require(factorDeci >= 1L, s"factorDeci must be >= 1: $factorDeci")
+    val series = counts.groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(
+        col(bucketCol).cast("long").as("bucket"),
+        col(nCol).cast("long").as("n")))).as("__arr"))
+    // trend sums can go negative: `div` truncates toward zero, which is
+    // exactly what DuckDB's integer `//` does (it floors only on
+    // floats) — so the fold replays bit-for-bit on both engines
+    val lNew = "((x.n + acc.l + acc.t) div 2)"
+    val tNew = s"(($lNew - acc.l + acc.t) div 2)"
+    val folded = series.withColumn("__out", expr(
+      s"""aggregate(
+           __arr,
+           struct(cast(null as bigint) as l, cast(null as bigint) as t,
+                  cast(array() as array<struct<bucket: bigint, n: bigint,
+                                               f: bigint>>) as out),
+           (acc, x) -> struct(
+             if(acc.l is null, x.n, $lNew) as l,
+             if(acc.l is null, cast(0 as bigint), $tNew) as t,
+             concat(acc.out, array(struct(x.bucket as bucket, x.n as n,
+               acc.l + acc.t as f))) as out),
+           acc -> acc.out)"""))
+    folded.select(col(keyCol), explode(col("__out")).as("__e"))
+      .select(col(keyCol), col("__e.bucket").as("bucket"),
+        col("__e.n").as("n"), col("__e.f").as("forecast_prev"),
+        (abs(col("__e.n") - col("__e.f")) * lit(10L) >
+          lit(factorDeci) * greatest(abs(col("__e.f")), lit(1L))).as("anom"))
   }
 
   /** Fill each key's ABSENT buckets with `n = 0` between its first and

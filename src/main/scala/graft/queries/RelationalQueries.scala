@@ -578,6 +578,33 @@ object RelationalQueries {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // ───── trend-aware anomaly detection: the same daily counts under
+    // Holt level+trend smoothing (α=β=½, exact integer floor-divs) —
+    // a growing series stops false-flagging, a plateau off its trend
+    // line flags; the oracle replays the two-state fold as a prefix
+    // list_reduce over struct state ─────
+    "q183_holt_forecast" -> ((s, d) => {
+      val e = Tables.events(s, d).where(col("event_type").isNotNull)
+      graft.ops.Timeseries.holtAnomalies(
+          graft.ops.Timeseries.bucketCounts(
+            e.select(col("event_type"), Tables.tsNanos(e).as("tn")),
+            "event_type", "tn", bucketNanos = 86400L * 1000000000L),
+          "event_type", "bucket", "n")
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // ───── robust outlier screen: per-part order quantities against
+    // the median/MAD fence (exact lower-median order statistics — no
+    // interpolated doubles on either engine); only flagged rows ship ─────
+    "q184_mad_outliers" -> ((s, d) => {
+      graft.ops.Checks.madOutliers(
+          Tables.lineitem(s, d).where(col("l_orderkey") % 5 === 0)
+            .select(col("l_partkey"), col("l_quantity").cast("long").as("qty")),
+          "l_partkey", "qty", kDeci = 18L)
+        .where(col("outlier"))
+        .orderBy(col("l_partkey"), col("v"))
+    }),
+
     // ───── entity resolution, the CLASSIC composition: suffix-block
     // pass ∪ sorted-neighborhood pass, normalized + deduped on the
     // pair key — each pass recovers exactly the pairs the other's
@@ -1247,6 +1274,50 @@ object RelationalQueries {
            n > 3 * ewma_prev AS spike
          FROM x ORDER BY event_type, bucket""",
 
+    // the Holt (level, trend) fold replayed as a RECURSIVE CTE over
+    // per-key positions — not a list_reduce prefix fold: DuckDB 1.0's
+    // list_reduce drops the second field of a struct accumulator, so
+    // two-state folds must recurse (O(n) anyway, vs the O(n²) prefix
+    // trick); integer `//` truncates exactly like Spark's `div`
+    "q183_holt_forecast" ->
+      """WITH RECURSIVE c AS (
+           SELECT event_type AS k,
+             epoch_ns(ts) // 86400000000000 AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+         s AS (SELECT k, bucket, n, row_number() OVER (
+                 PARTITION BY k ORDER BY bucket) AS i FROM c),
+         f AS (
+           SELECT k, i, n AS l, CAST(0 AS BIGINT) AS t FROM s WHERE i = 1
+           UNION ALL
+           SELECT s.k, s.i,
+             (s.n + f.l + f.t) // 2 AS l,
+             ((s.n + f.l + f.t) // 2 - f.l + f.t) // 2 AS t
+           FROM f JOIN s ON s.k = f.k AND s.i = f.i + 1)
+         SELECT s.k AS event_type, s.bucket, s.n,
+           CAST(p.l + p.t AS BIGINT) AS forecast_prev,
+           abs(s.n - (p.l + p.t)) * 10 >
+             20 * greatest(abs(p.l + p.t), 1) AS anom
+         FROM s LEFT JOIN f p ON p.k = s.k AND p.i = s.i - 1
+         ORDER BY event_type, bucket""",
+    // the two lower medians replayed as rank-(⌈n/2⌉) order statistics
+    "q184_mad_outliers" ->
+      """WITH v AS (SELECT l_partkey AS k, CAST(l_quantity AS BIGINT) AS v
+                    FROM lineitem WHERE l_orderkey % 5 = 0),
+         r AS (SELECT k, v,
+                 row_number() OVER (PARTITION BY k ORDER BY v) AS rn,
+                 count(*) OVER (PARTITION BY k) AS cnt FROM v),
+         med AS (SELECT k, v AS med FROM r WHERE rn = (cnt + 1) // 2),
+         d AS (SELECT v.k, v.v, med.med, abs(v.v - med.med) AS absdev
+               FROM v JOIN med ON v.k = med.k),
+         r2 AS (SELECT k, absdev,
+                  row_number() OVER (PARTITION BY k ORDER BY absdev) AS rn,
+                  count(*) OVER (PARTITION BY k) AS cnt FROM d),
+         mad AS (SELECT k, absdev AS mad FROM r2 WHERE rn = (cnt + 1) // 2)
+         SELECT d.k AS l_partkey, d.v, d.med, mad.mad, TRUE AS outlier
+         FROM d JOIN mad ON d.k = mad.k
+         WHERE d.absdev * 10 > 18 * mad.mad
+         ORDER BY l_partkey, v""",
     // the q153 fold replayed over a ZERO-FILLED series (generate_series
     // per key span, absent buckets coalesce to 0), plus the dip verdict
     // n < ewma_prev // 3

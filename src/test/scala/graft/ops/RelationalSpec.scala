@@ -240,6 +240,33 @@ class RelationalSpec extends SparkSpec {
     assert(rep === Map("uniq" -> 1L, "ref" -> 2L, "ok" -> 0L))
   }
 
+  test("madOutliers: lower medians, MAD fence, sentinel-proof robustness") {
+    // the 1000 sentinel wrecks a mean/stddev fence (mean ≈ 152, stddev
+    // ≈ 370 — NOTHING flags at 2σ); the median never moves
+    val a = Seq(10L, 10L, 10L, 12L, 14L, 16L, 1000L).map(("a", _))
+    // even-count group: lower median (rank ⌈n/2⌉), not interpolation
+    val b = Seq(1L, 3L, 5L, 7L).map(("b", _))
+    val got = Checks.madOutliers(
+        (a ++ b).toDF("k", "v"), "k", "v", kDeci = 50L)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    val byKey = got.groupBy(_._1)
+    assert(byKey("a").forall(r => r._3 === 12L && r._4 === 2L))
+    assert(byKey("a").filter(_._5).map(_._2).toSeq === Seq(1000L))
+    assert(byKey("b").forall(r => r._3 === 3L && r._4 === 2L))
+    assert(byKey("b").count(_._5) === 0) // absdev 4 · 10 = 40 ≤ 50·2
+    // mad = 0 (majority-constant group): every deviating row flags —
+    // the documented textbook caveat
+    val c = Seq(5L, 5L, 5L, 9L).map(("c", _))
+    val gotC = Checks.madOutliers(c.toDF("k", "v"), "k", "v")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(gotC.filter(_._5).map(_._2).toSeq === Seq(9L))
+    // non-integral values fail loudly (double casts differ across engines)
+    val exc = intercept[IllegalArgumentException] {
+      Checks.madOutliers(Seq(("a", 1.5)).toDF("k", "v"), "k", "v")
+    }
+    assert(exc.getMessage.contains("integral"))
+  }
+
   test("profile: one-pass per-column stats with nulls and exact distincts") {
     val df = Seq((1L, Some("a")), (2L, None), (2L, Some("b")), (3L, Some("a")))
       .toDF("id", "tag")

@@ -83,19 +83,76 @@ class TimeseriesSpec extends SparkSpec {
     assert(est(0L) === 25.0 || est(0L) === 26.0, s"got ${est(0L)}")
   }
 
-  test("bucketCounts uses FLOOR-division bucketing (DuckDB // semantics)") {
+  test("bucketCounts uses FLOOR-division bucketing (calendar-aligned)") {
     val events = Seq((1L, 999L), (1L, 1000L), (1L, 1999L), (2L, 0L))
       .toDF("k", "tn")
     val got = Timeseries.bucketCounts(events, "k", "tn", bucketNanos = 1000L)
       .as[(Long, Long, Long)].collect().toSet
     assert(got === Set((1L, 0L, 1L), (1L, 1L, 2L), (2L, 0L, 1L)))
-    // pre-epoch timestamps floor DOWN (Spark `div` would truncate -1..-999
-    // into bucket 0, diverging from the DuckDB oracle's `//`)
+    // pre-epoch timestamps floor DOWN (plain `div` would truncate
+    // -1..-999 into bucket 0, merging the day before epoch into day 0;
+    // DuckDB's integer `//` truncates too, so the oracles additionally
+    // assume non-negative timestamps — see floorDivExpr's doc)
     val neg = Seq((1L, -1L), (1L, -1000L), (1L, -1001L), (1L, 1L))
       .toDF("k", "tn")
     val gotNeg = Timeseries.bucketCounts(neg, "k", "tn", bucketNanos = 1000L)
       .as[(Long, Long, Long)].collect().toSet
     assert(gotNeg === Set((1L, -1L, 2L), (1L, -2L, 1L), (1L, 0L, 1L)))
+  }
+
+  /** The documented Holt fold, replayed sequentially (truncating /). */
+  private def modelHolt(series: Seq[(Long, Long)], factorDeci: Long)
+      : Seq[(Long, Long, Option[Long], Option[Boolean])] = {
+    var lt: Option[(Long, Long)] = None
+    series.sortBy(_._1).map { case (b, n) =>
+      val f = lt.map { case (l, t) => l + t }
+      lt = Some(lt.fold((n, 0L)) { case (l, t) =>
+        val ln = (n + l + t) / 2 // Long / truncates toward zero, like div
+        (ln, (ln - l + t) / 2)
+      })
+      (b, n, f, f.map(fv => (n - fv).abs * 10L > factorDeci * math.max(fv.abs, 1L)))
+    }
+  }
+
+  test("holtAnomalies equals the sequential (level, trend) fold per key") {
+    val rnd = new Random(99)
+    val counts = for (k <- 0L until 5L; b <- 0L until 40L if rnd.nextInt(10) > 1)
+      yield (k, b, rnd.nextInt(200).toLong)
+    val got = Timeseries.holtAnomalies(
+        counts.toDF("k", "bucket", "n"), "k", "bucket", "n")
+      .as[(Long, Long, Long, Option[Long], Option[Boolean])]
+      .collect().toSeq
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(r => (r._2, r._3, r._4, r._5))).toMap
+    val want = counts.groupBy(_._1).view
+      .mapValues(s => modelHolt(s.map(x => (x._2, x._3)), 20L)).toMap
+    assert(got.keySet === want.keySet)
+    got.keySet.foreach(k => assert(got(k) === want(k), s"key $k"))
+  }
+
+  test("holt tracks a linear ramp the flat EWMA would false-flag") {
+    // doubling-ish growth 10,20,30..90: the trend term keeps forecasts
+    // near the actual, so nothing flags at 2× deviation
+    val ramp = (0L until 9L).map(b => (1L, b, 10L * (b + 1)))
+    val holt = Timeseries.holtAnomalies(
+        ramp.toDF("k", "bucket", "n"), "k", "bucket", "n")
+      .as[(Long, Long, Long, Option[Long], Option[Boolean])]
+      .collect().toSeq.sortBy(_._2)
+    assert(holt.flatMap(_._5).forall(_ == false))
+    // the late forecasts stay within 40% of the actual (trend absorbed)
+    val tail = holt.drop(4).flatMap(r => r._4.map(f => (r._3, f)))
+    assert(tail.forall { case (n, f) => (n - f).abs * 10 <= 4 * n })
+    // a hard stop off the learned trend line flags at a dip-sensitive
+    // factor (a collapse to zero is a 1.0× deviation — the default 2.0×
+    // is a spike threshold; deviation thresholds < 1× catch outages)
+    val stop = ramp ++ Seq((1L, 9L, 0L))
+    val last = Timeseries.holtAnomalies(
+        stop.toDF("k", "bucket", "n"), "k", "bucket", "n", factorDeci = 5L)
+      .where(col("bucket") === 9L)
+      .as[(Long, Long, Long, Option[Long], Option[Boolean])]
+      .collect().head
+    assert(last._4 === Some(100L)) // forecast carried the trend: 90 + 10
+    assert(last._5 === Some(true))
   }
 
   test("zeroFill reinstates absent buckets as n=0 within each key's span") {
