@@ -79,6 +79,41 @@ object Relational {
       .drop("__new")
   }
 
+  /** Exact semi-join with a Bloom pre-filter — the fact-to-dimension
+    * membership filter ("only events of known-good users") with the
+    * shuffle paid ONLY by probable hits: rows the filter proves absent
+    * drop at the scan (a codegen predicate, no exchange), and the
+    * confirm semi-join sees |fact ∩ bloom| rows — true members + ~fpp
+    * of the fact side — instead of the whole fact table. Result is
+    * EXACTLY `fact.join(dim, keys, "left_semi")`; the filter is purely
+    * a work saver (no false negatives ⇒ no lost members; the confirm
+    * join removes the false positives). The [[graft.dedup.Dedup
+    * .bloomAntiJoin]] discipline applied to the keep side; at 100 TB
+    * the filter bytes are a persistable artifact (`Dedup.keyBloom`) —
+    * ship yesterday's dimension filter to today's fact scan.
+    *
+    * `confirm = false` skips the confirm join entirely (no dimension
+    * scan at all): keeps ~fpp non-members — the right trade when the
+    * downstream tolerates slack (e.g. a pre-filter before an exact
+    * aggregate that re-joins anyway). */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame, keyCol: String,
+                    bloom: Array[Byte], confirm: Boolean = true): DataFrame = {
+    val pre = fact.where(
+      graft.dedup.Dedup.bloomMightContain(bloom, col(keyCol)))
+    if (!confirm) pre
+    else pre.join(dim.select(col(keyCol)), Seq(keyCol), "left_semi")
+  }
+
+  /** [[bloomSemiJoin]] building the filter from `dim` in one pass
+    * (`expectedItems` ≤ 0 ⇒ one cheap count(*) action sizes it). */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame, keyCol: String,
+                    expectedItems: Long, confirm: Boolean): DataFrame = {
+    val est = if (expectedItems > 0) expectedItems
+      else math.max(dim.count(), 1L)
+    bloomSemiJoin(fact, dim, keyCol,
+      graft.dedup.Dedup.keyBloom(dim, col(keyCol), est), confirm)
+  }
+
   /** As-of join: attach to each left row the latest right row with
     * `rightTs` ≤ `leftTs` per key (inclusive — a right row at exactly the
     * left timestamp matches). `payload` names the right columns carried

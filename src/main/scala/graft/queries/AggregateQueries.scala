@@ -145,6 +145,37 @@ object AggregateQueries {
           col("n_filtered_exact") * 0.03).as("hll_filtered_ok"))
     }),
 
+    // ───── AGMS join-size estimation gate (the q63 bounded-anchor
+    // shape): exact |orders_even ⋈ lineitem| on the orderkey honestly
+    // computed on both engines; the sketch estimate — deterministic
+    // under the fixed seed — must sit inside the 4σ AGMS band
+    // (est − exact)²·width ≤ 16·F₂a·F₂b, pinned TRUE ─────
+    "q186_join_size" -> ((s, d) => {
+      import graft.udafs.JoinSize
+      val oc = Tables.orders(s, d).where(col("o_orderkey") % 2 === 0)
+        .groupBy(col("o_orderkey").cast("string").as("k"))
+        .agg(count(lit(1)).as("na"))
+      val lc = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").cast("string").as("k"))
+        .agg(count(lit(1)).as("nb"))
+      val skA = oc.agg(
+        JoinSize.agmsAgg(col("k"), col("na"), 7, 2048, 42).as("ska"),
+        sum(col("na") * col("na")).as("f2a"))
+      val skB = lc.agg(
+        JoinSize.agmsAgg(col("k"), col("nb"), 7, 2048, 42).as("skb"),
+        sum(col("nb") * col("nb")).as("f2b"))
+      val exact = oc.join(lc, Seq("k"))
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_n"))
+      exact.crossJoin(skA).crossJoin(skB)
+        .select(col("exact_n"),
+          JoinSize.estimateCol(col("ska"), col("skb")).as("__est"),
+          col("f2a"), col("f2b"))
+        .select(col("exact_n"),
+          ((col("__est") - col("exact_n")) * (col("__est") - col("exact_n"))
+            * lit(2048L) <= lit(16L) * col("f2a") * col("f2b"))
+            .as("within_band"))
+    }),
+
     // ───── exact-distinct anchor for the same shape as q18 ─────
     "q19_count_distinct" -> ((s, d) => {
       Tables.events(s, d)
@@ -164,6 +195,17 @@ object AggregateQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q186_join_size" ->
+      """WITH oc AS (SELECT CAST(o_orderkey AS VARCHAR) AS k,
+                       CAST(count(*) AS BIGINT) AS na
+                     FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+          lc AS (SELECT CAST(l_orderkey AS VARCHAR) AS k,
+                   CAST(count(*) AS BIGINT) AS nb
+                 FROM lineitem GROUP BY 1)
+          SELECT CAST(COALESCE((SELECT sum(oc.na * lc.nb)
+                                FROM oc JOIN lc ON oc.k = lc.k), 0)
+            AS BIGINT) AS exact_n,
+          TRUE AS within_band""",
     "q13_map_sum" ->
       """SELECT user_id, event_type AS key, COUNT(*) AS n
          FROM events GROUP BY user_id, event_type ORDER BY user_id, key""",

@@ -605,6 +605,21 @@ object RelationalQueries {
         .orderBy(col("l_partkey"), col("v"))
     }),
 
+    // ───── Bloom-prefiltered exact semi-join: line items of high-value
+    // orders — the fact-to-dimension membership filter with the shuffle
+    // paid only by probable hits; the filter is exactness-neutral (the
+    // confirm join drops its false positives), so the plain semi-join
+    // oracle gates it by construction ─────
+    "q185_bloom_semi_join" -> ((s, d) => {
+      val dim = Tables.orders(s, d).where(col("o_totalprice") > 150000.0)
+        .select(col("o_orderkey").as("l_orderkey"))
+      graft.ops.Relational.bloomSemiJoin(
+          Tables.lineitem(s, d).select(col("l_orderkey"),
+            col("l_linenumber"), col("l_quantity")),
+          dim, "l_orderkey", expectedItems = 0L, confirm = true)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // ───── entity resolution, the CLASSIC composition: suffix-block
     // pass ∪ sorted-neighborhood pass, normalized + deduped on the
     // pair key — each pass recovers exactly the pairs the other's
@@ -1352,6 +1367,12 @@ object RelationalQueries {
            n < ewma_prev // 3 AS dip
          FROM x ORDER BY event_type, bucket""",
 
+    // the semi-join the Bloom pre-filter provably preserves
+    "q185_bloom_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                              WHERE o_totalprice > 150000.0)
+         ORDER BY l_orderkey, l_linenumber""",
     // union of the q150-style suffix self-join pass and the q154
     // sorted-neighborhood pass, normalized to id_a < id_b and deduped
     // on the pair key (the distance is exact in both passes, MIN is

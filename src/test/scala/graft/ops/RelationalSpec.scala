@@ -240,6 +240,28 @@ class RelationalSpec extends SparkSpec {
     assert(rep === Map("uniq" -> 1L, "ref" -> 2L, "ok" -> 0L))
   }
 
+  test("bloomSemiJoin is exactly the semi-join; unconfirmed is a superset") {
+    val fact = (0L until 500L).map(i => (i, s"p$i")).toDF("k", "payload")
+    val dim = (0L until 500L by 7L).map(Tuple1(_)).toDF("k")
+    val bloom = graft.dedup.Dedup.keyBloom(dim, col("k"), 100L)
+    val want = fact.join(dim, Seq("k"), "left_semi")
+      .as[(Long, String)].collect().toSet
+    val got = Relational.bloomSemiJoin(fact, dim, "k", bloom)
+      .as[(Long, String)].collect().toSet
+    assert(got === want)
+    // count-sized builder path agrees
+    val sized = Relational.bloomSemiJoin(fact, dim, "k",
+        expectedItems = -1L, confirm = true)
+      .as[(Long, String)].collect().toSet
+    assert(sized === want)
+    // confirm=false: no false negatives (superset of the true members),
+    // never more than the fact side
+    val loose = Relational.bloomSemiJoin(fact, dim, "k", bloom,
+        confirm = false)
+      .as[(Long, String)].collect().toSet
+    assert(want.subsetOf(loose) && loose.size <= 500)
+  }
+
   test("madOutliers: lower medians, MAD fence, sentinel-proof robustness") {
     // the 1000 sentinel wrecks a mean/stddev fence (mean ≈ 152, stddev
     // ≈ 370 — NOTHING flags at 2σ); the median never moves
