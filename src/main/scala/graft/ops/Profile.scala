@@ -41,4 +41,75 @@ object Profile {
       .select(col("col_name"), col("__n").as("n"), col("n_null"),
         col("n_distinct"), col("min_value"), col("max_value"))
   }
+
+  /** EQUI-DEPTH histogram over an integral column: `k` buckets holding
+    * ~equal row counts, cut at the exact ORDER STATISTICS
+    * `rank ⌈i·n/k⌉` (1-based, ascending — never an interpolation, the
+    * [[graft.text.NgramLm.TertileCut]] discipline generalized to any
+    * k). Returns one row per NON-EMPTY bucket:
+    * `(bucket, lo, hi, n_rows)` with `bucket ∈ 1..k`; a value equal to
+    * a boundary belongs to the boundary's bucket, so duplicate runs
+    * never split (bucket counts are therefore ~n/k, exactly n/k only
+    * when values are distinct — the standard equi-depth caveat). The
+    * histogram the optimizer-statistics layer wants next to
+    * [[profile]]: selectivity estimation under skew, where equi-WIDTH
+    * buckets put 99 % of rows in one bar.
+    *
+    * This EXACT form collects the sorted value list in one aggregate —
+    * O(rows) driver-side-free but single-task state; oracle/fixture
+    * scale, same wall as `TertileCut.Exact`.
+    * [[equiDepthHistogramApprox]] is the 10⁹-row path. Bucket ASSIGN
+    * is a comparison against the broadcast 1-row boundary frame — no
+    * global rank window ever. Null values are excluded (they have no
+    * rank); integral input enforced loudly ([[Checks.madOutliers]]'
+    * cast-divergence argument). */
+  def equiDepthHistogram(df: DataFrame, valCol: String, k: Int): DataFrame = {
+    val bounds = boundsFrame(df, valCol, k,
+      s"""transform(sequence(1, ${k - 1}),
+            i -> element_at(__s, cast((i * size(__s) + $k - 1) div $k as int)))""",
+      s"sort_array(collect_list(__v))")
+    assignAndCount(df, valCol, bounds)
+  }
+
+  /** [[equiDepthHistogram]] on `percentile_approx`'s mergeable KLL-style
+    * sketch — bounded task state (rank error ≤ n/accuracy), the
+    * production cut for 10⁹⁺ rows; bucket labels can differ from exact
+    * only for values within that rank band of a boundary. */
+  def equiDepthHistogramApprox(df: DataFrame, valCol: String, k: Int,
+                               accuracy: Int = 10000): DataFrame = {
+    val fracs = (1 until k).map(i => i.toDouble / k)
+      .mkString("array(", ", ", ")")
+    val bounds = boundsFrame(df, valCol, k,
+      "__s", s"percentile_approx(__v, $fracs, $accuracy)")
+    assignAndCount(df, valCol, bounds)
+  }
+
+  private def boundsFrame(df: DataFrame, valCol: String, k: Int,
+                          boundExpr: String, aggExpr: String): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val inType = df.schema(valCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(inType),
+      s"value column `$valCol` must be integral, got $inType — scale " +
+        "decimals upstream (cast semantics diverge across engines)")
+    val v = df.select(col(valCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+    require(!v.isEmpty,
+      s"`$valCol` has no non-null values — a histogram of nothing has " +
+        "no boundaries")
+    v.agg(expr(s"$aggExpr").as("__s"))
+      .select(expr(boundExpr).as("__b"))
+  }
+
+  private def assignAndCount(df: DataFrame, valCol: String,
+                             bounds: DataFrame): DataFrame =
+    df.select(col(valCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(col("__v"),
+        (expr("size(filter(__b, b -> b < __v))") + lit(1))
+          .cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"),
+        count(lit(1)).as("n_rows"))
 }

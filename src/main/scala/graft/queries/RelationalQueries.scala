@@ -752,6 +752,17 @@ object RelationalQueries {
           Seq("l_orderkey", "l_linenumber", "l_returnflag"))
         .orderBy(col("col_name"))),
 
+    // ───── equi-depth quantity histogram: 4 buckets cut at exact
+    // order statistics (rank ⌈i·n/4⌉) — the optimizer-statistics
+    // histogram that stays informative under skew; boundary-equal
+    // values stay with their boundary's bucket ─────
+    "q187_equidepth_hist" -> ((s, d) =>
+      graft.ops.Profile.equiDepthHistogram(
+          Tables.lineitem(s, d)
+            .select(col("l_quantity").cast("long").as("qty")),
+          "qty", k = 4)
+        .orderBy(col("bucket"))),
+
     // ───── sequential Poisson weighted sample: 100 documents drawn
     // with odds proportional to length — the PPS corpus-sampling shape
     // — via exact-integer priorities, bit-replayable on any engine ─────
@@ -1520,6 +1531,23 @@ object RelationalQueries {
           UNION ALL ${one("l_returnflag")}
           ORDER BY col_name"""
     },
+    // boundaries at rank ceil(i*n/4) over the sorted list, assignment
+    // by counting strictly-smaller bounds — the operator replayed
+    "q187_equidepth_hist" ->
+      """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS v FROM lineitem
+                    WHERE l_quantity IS NOT NULL),
+          s AS (SELECT list_sort(list(v)) AS arr, count(*) AS n FROM v),
+          b AS (SELECT t.i AS i,
+                  arr[CAST((t.i * n + 3) // 4 AS INT)] AS bound
+                FROM s, UNNEST(range(1, 4)) AS t(i)),
+          a AS (SELECT v.v,
+                  1 + (SELECT count(*) FROM b WHERE b.bound < v.v)
+                    AS bucket
+                FROM v)
+          SELECT CAST(bucket AS BIGINT) AS bucket,
+            CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi,
+            CAST(count(*) AS BIGINT) AS n_rows
+          FROM a GROUP BY bucket ORDER BY bucket""",
     // identical exact-integer priority: (h << 31) // w, ties by id
     "q168_weighted_sample" ->
       """SELECT doc_id, n_chars FROM (

@@ -697,6 +697,69 @@ object StreamingViews {
       }
   }
 
+  case class CdcChangeEvent(key: Long, tsMillis: Long, op: String, value: Long)
+  /** The in-flight best change of one `(key, day)` — O(1) state. */
+  case class DayChangeState(tsMillis: Long, op: String, value: Long)
+  /** A watermark-sealed net change: the day's WINNING op/payload for
+    * one key, `seq` carrying the winning change's timestamp so
+    * downstream [[graft.ops.Cdc.cdcApply]] replays latest-wins across
+    * days exactly. */
+  case class SealedDayChange(key: Long, day: Long, seq: Long, op: String,
+                             value: Long)
+
+  /** Streaming producer of the DAILY COMPACTED CHANGELOG — the CDC
+    * family's streaming twin ([[graft.ops.Cdc]]): a change stream
+    * compacts to one net change per `(key, day)`, sealed once the
+    * event-time watermark passes the day boundary; the sealed rows are
+    * exactly what the batch [[graft.ops.Cdc.cdcApply]] consumes to roll
+    * a snapshot forward day by day (spec-pinned: applying a sealed day
+    * == applying that day's raw changes). Latest-wins is ORDER-FREE —
+    * the winner is the max `(tsMillis, op, value)` tuple, the same
+    * total order as `cdcApply`'s `max_by struct(seq, op, payload)`
+    * (ASCII op codes compare identically in both) — so unlike the
+    * EWMA/SCD2 twins no ordered sealing is needed; any arrival order
+    * inside the horizon yields the same sealed row. Late rows below
+    * the watermark drop (append mode cannot retract a sealed change —
+    * the batch operator over the raw log is the corrector). State per
+    * in-flight `(key, day)` is ONE change — O(keys churning today),
+    * not O(changes). */
+  def streamingDailyChangelog(changes: Dataset[CdcChangeEvent],
+                              bucketMillis: Long,
+                              watermarkDelay: String = "0 milliseconds")
+      : Dataset[SealedDayChange] = {
+    import changes.sparkSession.implicits._
+    require(bucketMillis > 0L, s"bucketMillis must be positive: $bucketMillis")
+    def beats(a: DayChangeState, b: DayChangeState): Boolean =
+      Ordering.Tuple3[Long, String, Long].gt(
+        (a.tsMillis, a.op, a.value), (b.tsMillis, b.op, b.value))
+    changes
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[CdcChangeEvent]
+      .groupByKey(e => (e.key, Math.floorDiv(e.tsMillis, bucketMillis)))
+      .flatMapGroupsWithState[DayChangeState, SealedDayChange](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((key, day), rows, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          val sealAt = (day + 1L) * bucketMillis
+          var best = state.getOption.orNull
+          rows.filter(_.tsMillis >= wm).foreach { r =>
+            val cand = DayChangeState(r.tsMillis, r.op, r.value)
+            if (best == null || beats(cand, best)) best = cand
+          }
+          if (best == null) { state.remove(); Iterator.empty }
+          else if (wm >= sealAt) {
+            state.remove()
+            Iterator.single(
+              SealedDayChange(key, day, best.tsMillis, best.op, best.value))
+          } else {
+            state.update(best)
+            state.setTimeoutTimestamp(math.max(sealAt, wm + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming twin of [[graft.ops.Relational.intervalJoin]]: match
     * each point event to the live intervals containing it — session
     * windows enriching their clicks, deployment windows claiming their

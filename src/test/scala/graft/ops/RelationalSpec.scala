@@ -303,6 +303,35 @@ class RelationalSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("equiDepthHistogram: exact order-statistic cuts, duplicates stay whole") {
+    // distinct 1..8, k=4: boundaries at ranks 2,4,6 → values 2,4,6
+    val got = Profile.equiDepthHistogram(
+        (1L to 8L).map(Tuple1(_)).toDF("v"), "v", k = 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 1L, 2L, 2L), (2L, 3L, 4L, 2L),
+      (3L, 5L, 6L, 2L), (4L, 7L, 8L, 2L)))
+    // a duplicate run spanning a boundary lands WHOLE in one bucket
+    val dup = Seq(1L, 5L, 5L, 5L, 5L, 5L, 9L).map(Tuple1(_)).toDF("v")
+    val gotDup = Profile.equiDepthHistogram(dup, "v", k = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // boundary = rank ceil(7/2)=4 → 5; all 5s ≤ boundary → bucket 1
+    assert(gotDup.toSeq === Seq((1L, 1L, 5L, 6L), (2L, 9L, 9L, 1L)))
+    // approx form agrees on small distinct data (sketch is exact there)
+    val approx = Profile.equiDepthHistogramApprox(
+        (1L to 8L).map(Tuple1(_)).toDF("v"), "v", k = 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(approx.map(_._4).sum === 8L && approx.length <= 4)
+    // loud guards: empty input, non-integral column
+    val e1 = intercept[IllegalArgumentException] {
+      Profile.equiDepthHistogram(Seq.empty[Tuple1[Long]].toDF("v"), "v", 2)
+    }
+    assert(e1.getMessage.contains("no non-null values"))
+    val e2 = intercept[IllegalArgumentException] {
+      Profile.equiDepthHistogram(Seq(Tuple1(1.5)).toDF("v"), "v", 2)
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
+
   test("intervalJoin matches the brute-force range join, half-open bounds") {
     val rnd = new scala.util.Random(2026)
     // negative timestamps included: floor bucketing must stay exact

@@ -709,6 +709,70 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     } finally q.stop()
   }
 
+  test("streamingDailyChangelog seals net changes; applying them == batch CDC") {
+    import StreamingViews.CdcChangeEvent
+    val dir = Files.createTempDirectory("graft_stream_cdc").toString
+    // 1s "days". Day 0: key 1 updated twice (latest wins), key 2
+    // deleted, key 6 inserted. Day 1: key 3 updated, key 1 deleted.
+    // Batch 2 delivers an OUT-OF-ORDER day-0 change (ts 200) that must
+    // LOSE to the already-seen ts 300 — latest-wins is order-free.
+    val b1 = Seq(CdcChangeEvent(1L, 100L, "U", 11L),
+      CdcChangeEvent(1L, 300L, "U", 12L),
+      CdcChangeEvent(2L, 150L, "D", 0L),
+      CdcChangeEvent(6L, 500L, "I", 60L))
+    val b2 = Seq(CdcChangeEvent(1L, 200L, "U", 99L),
+      CdcChangeEvent(3L, 1100L, "U", 33L),
+      CdcChangeEvent(1L, 1500L, "D", 0L))
+    b1.toDF().write.parquet(s"$dir/in")
+    Thread.sleep(1100)
+    b2.toDF().write.mode("append").parquet(s"$dir/in")
+    val out = StreamingViews.streamingDailyChangelog(
+      StreamingViews.fileStream(spark, s"$dir/in", b1.toDF().schema)
+        .as[CdcChangeEvent],
+      bucketMillis = 1000L, watermarkDelay = "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("scdc").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark past both days so they seal
+      Seq(CdcChangeEvent(99L, 100000000L, "U", 0L)).toDF()
+        .write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      def emitted() = spark.table("scdc").where(col("key") < 99L)
+      while (emitted().count() < 5 && System.nanoTime() < deadline) {
+        Thread.sleep(100); q.processAllAvailable()
+      }
+      val got = emitted()
+        .select(col("key"), col("day"), col("seq"), col("op"), col("value"))
+        .as[(Long, Long, Long, String, Long)].collect().toSet
+      assert(got === Set(
+        (1L, 0L, 300L, "U", 12L), (2L, 0L, 150L, "D", 0L),
+        (6L, 0L, 500L, "I", 60L), (3L, 1L, 1100L, "U", 33L),
+        (1L, 1L, 1500L, "D", 0L)))
+      // COMPOSITION: rolling a snapshot forward with the sealed days
+      // (day 0 applied, then day 1) equals one batch cdcApply over the
+      // raw change log — the artifact is a faithful compaction
+      val base = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))
+        .toDF("key", "value")
+      val sealedDf = emitted()
+        .select(col("key"), col("day"), col("seq"), col("op"), col("value"))
+      val rolled = Seq(0L, 1L).foldLeft(base) { (snap, d) =>
+        graft.ops.Cdc.cdcApply(snap,
+          sealedDf.where(col("day") === d).drop("day"),
+          Seq("key"), "seq")
+      }
+      val direct = graft.ops.Cdc.cdcApply(base,
+        (b1 ++ b2).toDF().select(col("key"), col("value"), col("op"),
+          col("tsMillis").as("seq")),
+        Seq("key"), "seq")
+      assert(rolled.collect().map(_.toSeq).toSet ===
+        direct.collect().map(_.toSeq).toSet)
+      assert(direct.as[(Long, Long)].collect().toSet ===
+        Set((3L, 33L), (4L, 4L), (6L, 60L)))
+    } finally q.stop()
+  }
+
   test("streamingTokenCms seals byte-identical frequency artifacts") {
     import org.apache.spark.util.sketch.CountMinSketch
     val dir = Files.createTempDirectory("graft_stream_cms").toString
