@@ -365,6 +365,25 @@ object PipelineQueries {
         .orderBy(col("node"))
     }),
 
+    // ───── WEIGHTED shortest paths: same seeds, but each co-occurrence
+    // edge carries a deterministic integer toll — cheapest-cost tiering
+    // where a longer hop path can beat a heavy direct edge ─────
+    "q189_weighted_paths" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 1)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e0 = li.as("x").join(li.as("y"), col("x.o") === col("y.o") &&
+          col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+        .withColumn("w", lit(1L) + (col("src") + col("dst")) % 3L)
+      val e = e0.union(e0.select(col("dst").as("src"),
+        col("src").as("dst"), col("w")))
+      val sources = li.where(col("p") % 97 === 0)
+        .select(col("p").as("seed")).distinct()
+      graft.ops.Graphs.shortestPaths(e, "src", "dst", sources, "seed",
+          maxIter = 3, weightCol = Some("w"))
+        .orderBy(col("node"))
+    }),
+
     // ───── link prediction: non-edge part pairs ranked by common
     // co-purchase neighbors (wedge-generated, hub cap 30) with the
     // integer-milli Jaccard — "which parts should co-occur next" ─────
@@ -701,6 +720,30 @@ object PipelineQueries {
                  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
           e AS MATERIALIZED (
             SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+          d0 AS (SELECT DISTINCT p AS node, CAST(0 AS BIGINT) AS dist
+                 FROM li WHERE p % 97 = 0),
+          ${round("0", "1")},
+          ${round("1", "2")},
+          ${round("2", "3")}
+          SELECT node, dist FROM d3 ORDER BY node"""
+    },
+    // the weighted relaxations unrolled — dist + per-edge toll
+    "q189_weighted_paths" -> {
+      def round(p: String, o: String): String =
+        s"""d$o AS MATERIALIZED (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d$p
+                UNION ALL
+                SELECT e.dst, d$p.dist + e.w FROM d$p
+                JOIN e ON e.src = d$p.node) GROUP BY node)"""
+      s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+                      FROM lineitem WHERE l_orderkey % 4 = 1),
+          e0 AS (SELECT x.p AS src, y.p AS dst,
+                   1 + (x.p + y.p) % 3 AS w
+                 FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+          e AS MATERIALIZED (
+            SELECT src, dst, w FROM e0
+            UNION ALL SELECT dst, src, w FROM e0),
           d0 AS (SELECT DISTINCT p AS node, CAST(0 AS BIGINT) AS dist
                  FROM li WHERE p % 97 = 0),
           ${round("0", "1")},

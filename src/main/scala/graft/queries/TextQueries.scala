@@ -1265,6 +1265,14 @@ object TextQueries {
         .orderBy(col("query_id"), col("doc_id"))
     }),
 
+    // ───── exact phrase search over positional postings: documents
+    // containing "sort merge" contiguously, with occurrence counts —
+    // anchor voting (pos − role), all roles present = a match ─────
+    "q188_phrase_search" -> ((s, d) =>
+      graft.text.Retrieval.phraseSearch(Tables.documents(s, d),
+          "doc_id", "text", Seq("sort", "merge"))
+        .orderBy(col("doc_id"))),
+
     // ───── collocation mining: the 50 adjacent-pair collocations with
     // the highest association lift (PMI's monotone core, no libm log)
     // among pairs seen ≥ 5 times — phrase/boilerplate detection ─────
@@ -3646,6 +3654,19 @@ object TextQueries {
     // the pruned path must emit EXACTLY the unpruned ranked lists —
     // same replay; fallback guarantees it for any essentialDfFrac
     "q147_bm25_pruned" -> bm25OddsSql,
+    // the same anchor voting over 1-indexed positions (anchors shift by
+    // a constant vs 0-indexed — counts identical)
+    "q188_phrase_search" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents),
+          t AS (SELECT doc_id, u.i AS pos, tk[u.i] AS tok
+                FROM d, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+          r AS (SELECT t.doc_id, t.pos - o.r AS anchor, o.r
+                FROM t JOIN (VALUES ('sort', 1), ('merge', 2)) AS o(w, r)
+                  ON o.w = t.tok),
+          hit AS (SELECT doc_id, anchor FROM r
+                  GROUP BY doc_id, anchor HAVING count(DISTINCT r) = 2)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+          FROM hit GROUP BY doc_id ORDER BY doc_id""",
     // bigrams via 1-indexed list pairing; identical integer counts and
     // the identical (double·N)/(n_x·n_y) lift expression
     "q177_collocations" ->

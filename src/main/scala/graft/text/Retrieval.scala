@@ -392,4 +392,48 @@ object Retrieval {
       "score_pico", k)
     (prunedPart.unionByName(fallbackPart), verdict)
   }
+
+  /** Exact PHRASE search over positional postings — the retrieval
+    * operator BM25's bag-of-words scoring cannot express ("sort merge"
+    * as a unit, not two terms): returns `(idCol, n_matches)` for every
+    * document containing the token sequence `phrase` contiguously
+    * (tokenizer = [[graft.text.TextOps.tokens]], the corpus-wide
+    * whitespace contract), with the exact occurrence count.
+    *
+    * The classic positional-index shape, batch-formed: each posting of
+    * a phrase TERM votes for the phrase start it would imply
+    * (`anchor = pos − role`), and a start with ALL `m` distinct roles
+    * present is a match. A term repeated in the phrase fans its
+    * postings to every role it plays — `countDistinct(role)` (not
+    * `count`) is what makes "batch batch" need two positions. Scale
+    * shape: the token stream filters to the m phrase terms BEFORE any
+    * exchange (broadcast role list — the watchlist discipline), so the
+    * shuffle carries only phrase-term postings; one `(doc, anchor)`
+    * aggregate + one per-doc rollup, both partial-aggregable. A
+    * persisted positional postings table `(token, doc, pos)` serves
+    * the same plan without re-tokenizing — the phrase side of the
+    * [[RetrievalIndexJob]] artifact family. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "the phrase needs at least one token")
+    require(phrase.forall(w => w != null && w.nonEmpty && !w.exists(_.isWhitespace)),
+      s"phrase tokens must be single non-empty tokens: $phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val m = phrase.length
+    val roles = phrase.zipWithIndex.map { case (w, i) => (w, i.toLong) }
+      .toDF("__w", "__r")
+    docs
+      .select(col(idCol),
+        posexplode(graft.text.TextOps.tokens(col(textCol)))
+          .as(Seq("__pos", "__tok")))
+      .join(broadcast(roles), col("__tok") === col("__w"))
+      .select(col(idCol), (col("__pos") - col("__r")).as("__anchor"),
+        col("__r"))
+      .groupBy(col(idCol), col("__anchor"))
+      .agg(countDistinct(col("__r")).as("__k"))
+      .where(col("__k") === m)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"))
+  }
 }

@@ -369,4 +369,34 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 9L), (1L, 7L), (2L, 3L)))
   }
+
+  test("phraseSearch: contiguity, occurrence counts, repeated terms") {
+    val docs = Seq(
+      (1L, "a b c a b"),          // "a b" twice
+      (2L, "a c b"),              // both terms, never adjacent
+      (3L, "b a"),                // wrong order
+      (4L, "x a b y a b a b z"),  // three occurrences
+      (5L, "a a b")               // one occurrence at pos 2
+    ).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, "doc_id", "text", Seq("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 4L -> 3L, 5L -> 1L))
+    // a REPEATED phrase term needs two distinct positions: "b b" must
+    // not match a single b voting for both roles
+    val rep = Seq((1L, "a b c"), (2L, "a b b c"), (3L, "b x b"))
+      .toDF("doc_id", "text")
+    val gotRep = Retrieval.phraseSearch(rep, "doc_id", "text",
+        Seq("b", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotRep === Map(2L -> 1L))
+    // single-token phrase degenerates to term counting
+    val one = Retrieval.phraseSearch(docs, "doc_id", "text", Seq("a"))
+      .as[(Long, Long)].collect().toMap
+    assert(one === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 2L))
+    // malformed phrase tokens fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.phraseSearch(docs, "doc_id", "text", Seq("a b"))
+    }
+    assert(e.getMessage.contains("single non-empty"))
+  }
 }
