@@ -59,19 +59,26 @@ object Comparator {
     * preserving encoding — before hashing. This makes distinct values
     * hash distinctly up to JSON fidelity (binary inside nested types and
     * map key order are the remaining caveats) rather than injectively. */
-  def diffCounts(lProj: DataFrame, rProj: DataFrame): (Long, Long, Long, Long, Long) = {
+  /** The diff/checksum row fingerprint: `xxhash64` over the row with
+    * interleaved null markers and JSON-serialized complex columns (the
+    * null-distinguishing, boundary-preserving encoding [[diffCounts]]
+    * documents). COLUMN ORDER is part of the fingerprint — project both
+    * sides identically before comparing. */
+  def rowFingerprint(df: DataFrame): Column = {
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
-    def rowHash(df: DataFrame): Column = {
-      val complex = df.schema.fields.collect {
-        case f if f.dataType.isInstanceOf[StructType] ||
-          f.dataType.isInstanceOf[ArrayType] ||
-          f.dataType.isInstanceOf[MapType] => f.name
-      }.toSet
-      def enc(c: String): Column =
-        if (complex(c)) to_json(col(c), Map("ignoreNullFields" -> "false"))
-        else col(c)
-      xxhash64(struct(df.columns.toSeq.flatMap(c => Seq(isnull(col(c)), enc(c))): _*))
-    }
+    val complex = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[StructType] ||
+        f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[MapType] => f.name
+    }.toSet
+    def enc(c: String): Column =
+      if (complex(c)) to_json(col(c), Map("ignoreNullFields" -> "false"))
+      else col(c)
+    xxhash64(struct(df.columns.toSeq.flatMap(c => Seq(isnull(col(c)), enc(c))): _*))
+  }
+
+  def diffCounts(lProj: DataFrame, rProj: DataFrame): (Long, Long, Long, Long, Long) = {
+    def rowHash(df: DataFrame): Column = rowFingerprint(df)
     val tagged = lProj.select(rowHash(lProj).as("r"), lit(1).as("side"))
       .unionAll(rProj.select(rowHash(rProj).as("r"), lit(2).as("side")))
     val row = tagged.groupBy(col("r"))
@@ -137,4 +144,41 @@ object Comparator {
       .toDF("left_count", "right_count", "cols_only_left", "cols_only_right",
         "nulls_left", "nulls_right", "rows_only_left", "rows_only_right", "same")
   }
+
+  /** Per-bucket table checksums — the ANTI-ENTROPY artifact for
+    * comparing a 100 TB table against its replica/derived copy without
+    * moving rows: `(bucket, n, checksum)` where `checksum` is the SUM
+    * of the [[rowFingerprint]]s (order-free, so any partitioning
+    * produces the same value) under a caller-supplied bucket expression
+    * (a key hash, a day, `key % 1024` — anything both sides compute
+    * identically). Publish each side's checksum table (kilobytes),
+    * join them ([[checksumDiff]]), and only buckets that DISAGREE need
+    * a row-level [[diffCounts]] — the Merkle-tree idea, one level deep,
+    * in two aggregates. Multiset-sensitive (a duplicated row changes
+    * the sum) but order-blind; differing buckets that sum-collide are
+    * the usual 64-bit birthday caveat, amplified by summation —
+    * adversarial inputs can cancel, honest drift cannot (documented
+    * like [[diffCounts]]'s bound). */
+  def bucketChecksums(df: DataFrame, bucket: Column): DataFrame =
+    df.groupBy(bucket.cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        // decimal(38,0) accumulator: a sum of ±2⁶³ hashes overflows a
+        // long under ANSI after two rows; 38 digits hold ~10¹⁹ rows per
+        // bucket before the same cliff (size buckets well before that)
+        sum(rowFingerprint(df).cast("decimal(38,0)")).as("checksum"))
+
+  /** Join two [[bucketChecksums]] tables: `(bucket, n_a, n_b,
+    * consistent)` per bucket present on EITHER side (absent side counts
+    * 0, never consistent). The inputs must have been built over
+    * identically-projected rows — column order is part of the
+    * fingerprint. */
+  def checksumDiff(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("bucket"), col("n").as("n_a"), col("checksum").as("__ca"))
+      .join(b.select(col("bucket"), col("n").as("n_b"),
+        col("checksum").as("__cb")), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        (coalesce(col("n_a"), lit(0L)) === coalesce(col("n_b"), lit(0L)) &&
+          col("__ca") <=> col("__cb")).as("consistent"))
 }

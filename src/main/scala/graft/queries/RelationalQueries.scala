@@ -620,6 +620,23 @@ object RelationalQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // ───── anti-entropy table comparison: per-bucket checksums of a
+    // snapshot vs its drifted copy (%97≡5 keys deleted, %101≡7 keys
+    // mutated) — only disagreeing buckets would need a row-level diff;
+    // the oracle decides each bucket's verdict by EXACT multiset
+    // comparison, gating the checksum's fidelity ─────
+    "q190_table_checksums" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"))
+      val b = o.where(col("o_orderkey") % 97 =!= 5)
+        .withColumn("o_custkey", when(col("o_orderkey") % 101 === 7,
+          col("o_custkey") + 1L).otherwise(col("o_custkey")))
+      graft.ops.Comparator.checksumDiff(
+          graft.ops.Comparator.bucketChecksums(o, pmod(col("o_orderkey"), lit(64L))),
+          graft.ops.Comparator.bucketChecksums(b, pmod(col("o_orderkey"), lit(64L))))
+        .orderBy(col("bucket"))
+    }),
+
     // ───── entity resolution, the CLASSIC composition: suffix-block
     // pass ∪ sorted-neighborhood pass, normalized + deduped on the
     // pair key — each pass recovers exactly the pairs the other's
@@ -1378,6 +1395,37 @@ object RelationalQueries {
            n < ewma_prev // 3 AS dip
          FROM x ORDER BY event_type, bucket""",
 
+    // per-bucket counts on both sides; the verdict replayed as an
+    // EXACT per-bucket multiset comparison (full-outer join on every
+    // column + multiplicity), which the checksum must reproduce
+    "q190_table_checksums" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+                      o_orderstatus AS st FROM orders),
+          a AS (SELECT k % 64 AS bucket, k, c, st FROM o),
+          b AS (SELECT k % 64 AS bucket, k,
+                  CASE WHEN k % 101 = 7 THEN c + 1 ELSE c END AS c, st
+                FROM o WHERE k % 97 <> 5),
+          ga AS (SELECT bucket, k, c, st, count(*) AS cnt
+                 FROM a GROUP BY ALL),
+          gb AS (SELECT bucket, k, c, st, count(*) AS cnt
+                 FROM b GROUP BY ALL),
+          bad AS (SELECT DISTINCT COALESCE(ga.bucket, gb.bucket) AS bucket
+                  FROM ga FULL OUTER JOIN gb
+                    ON ga.bucket = gb.bucket AND ga.k = gb.k
+                    AND ga.c IS NOT DISTINCT FROM gb.c
+                    AND ga.st IS NOT DISTINCT FROM gb.st
+                    AND ga.cnt = gb.cnt
+                  WHERE ga.bucket IS NULL OR gb.bucket IS NULL),
+          na AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_a
+                 FROM a GROUP BY 1),
+          nb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_b
+                 FROM b GROUP BY 1)
+          SELECT COALESCE(na.bucket, nb.bucket) AS bucket,
+            COALESCE(na.n_a, 0) AS n_a, COALESCE(nb.n_b, 0) AS n_b,
+            bad.bucket IS NULL AS consistent
+          FROM na FULL OUTER JOIN nb ON na.bucket = nb.bucket
+          LEFT JOIN bad ON bad.bucket = COALESCE(na.bucket, nb.bucket)
+          ORDER BY bucket""",
     // the semi-join the Bloom pre-filter provably preserves
     "q185_bloom_semi_join" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

@@ -72,6 +72,41 @@ class PipelineSpec extends SparkSpec {
     assert(Comparator.compare(ml.limit(0), mr.limit(0)).same)
   }
 
+  test("bucketChecksums/checksumDiff: drift localizes to its buckets") {
+    import spark.implicits._
+    val base = (0L until 400L).map(i => (i, s"v$i")).toDF("id", "payload")
+    val bucket = pmod(col("id"), lit(8L))
+    // identical copies: every bucket consistent
+    val same = Comparator.checksumDiff(
+        Comparator.bucketChecksums(base, bucket),
+        Comparator.bucketChecksums(base, bucket))
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(same.length === 8 && same.forall(_._4))
+    // one modified row (same count!) + one deleted row flip EXACTLY
+    // their buckets: id 13 → bucket 5 modified, id 16 → bucket 0 gone
+    val drifted = base
+      .withColumn("payload", when(col("id") === 13L, lit("MUT"))
+        .otherwise(col("payload")))
+      .where(col("id") =!= 16L)
+    val got = Comparator.checksumDiff(
+        Comparator.bucketChecksums(base, bucket),
+        Comparator.bucketChecksums(drifted, bucket))
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.filterNot(_._4).map(_._1).toSeq === Seq(0L, 5L))
+    val b0 = got.find(_._1 === 0L).get
+    assert(b0._2 === 50L && b0._3 === 49L) // the delete shows in counts
+    val b5 = got.find(_._1 === 5L).get
+    assert(b5._2 === b5._3) // the mutation does NOT — only the checksum
+    // a bucket present on one side only reports 0-vs-n, inconsistent
+    val extra = Comparator.checksumDiff(
+        Comparator.bucketChecksums(base.where(col("id") < 100L), bucket),
+        Comparator.bucketChecksums(
+          base.withColumn("id", col("id") + 1000L), lit(99L)))
+      .as[(Long, Long, Long, Boolean)].collect()
+    val lone = extra.find(_._1 === 99L).get
+    assert(lone._2 === 0L && lone._3 === 400L && !lone._4)
+  }
+
   test("BatchView: dynamic partition overwrite rewrites only incoming days") {
     val base = Files.createTempDirectory("graft_bv").toString
     val day1 = Seq((1L, "d1"), (2L, "d1"), (3L, "d2")).toDF("id", "day")
