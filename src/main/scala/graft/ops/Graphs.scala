@@ -605,6 +605,217 @@ object Graphs {
         expr("(cn * 1000) div (deg_a + deg_b - cn)").as("jaccard_milli"))
   }
 
+  /** Modularity of a community assignment over the undirected simple
+    * graph — the "is this clustering better than chance" score that
+    * adjudicates [[labelPropagation]] round budgets and compares
+    * clusterings. Newman's Q = Σ_c (L_c/m − (d_c/2m)²) where `L_c` =
+    * intra-community edges, `d_c` = total degree in c, `m` = edge
+    * count; returned EXACTLY as per-community integers — `(label,
+    * size, intra_edges, degree_sum, q_num_part)` with
+    * `q_num_part = 4m·L_c − d_c²` so `Q = Σ q_num_part / (4m²)` is a
+    * ratio of longs (no doubles ⇒ bit-replayable, the PageRank
+    * discipline). Nodes absent from `labels` fail loudly — a silent
+    * inner join would drop their edges and skew every community's
+    * score.
+    *
+    * Scale shape: two node-keyed label joins fanned onto the edge
+    * list, one degree aggregate, one label aggregate — all exchanges
+    * key on node ids or labels; pre-bucketed edges pay only the
+    * label-sized final shuffle. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame, nodeCol: String,
+                 labelCol: String): DataFrame = {
+    val raw = edges.select(tryLong(srcCol).as("a"), tryLong(dstCol).as("b"))
+      .localCheckpoint(eager = true)
+    val badIds = raw.where(col("a").isNull || col("b").isNull).count()
+    require(badIds == 0L,
+      s"$badIds edge rows have null node ids after the long cast " +
+        "— string node keys? map them through Graphs.withNodeIds first")
+    val und = raw.where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val lbl = labels.select(tryLong(nodeCol).as("node"),
+        col(labelCol).as("lbl"))
+      .localCheckpoint(eager = true)
+    require(lbl.where(col("node").isNull || col("lbl").isNull).isEmpty,
+      "labels frame has null node ids or labels")
+    val m = und.count()
+    require(m > 0L, "edge list is empty — modularity is undefined")
+    val withLbls = und
+      .join(lbl.select(col("node").as("a"), col("lbl").as("la")), Seq("a"),
+        "left")
+      .join(lbl.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"),
+        "left")
+      .localCheckpoint(eager = true)
+    val unlabeled = withLbls.where(col("la").isNull || col("lb").isNull)
+      .count()
+    require(unlabeled == 0L,
+      s"$unlabeled edges touch nodes absent from the labels frame — " +
+        "label every node in the edge list (or filter the edges first)")
+    val intra = withLbls.where(col("la") === col("lb"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val degSum = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .join(lbl, Seq("node"))
+      .groupBy(col("lbl").as("label"))
+      .agg(count(lit(1)).as("degree_sum"),
+        count_distinct(col("node")).as("size"))
+    degSum.join(intra, Seq("label"), "left")
+      .select(col("label"), col("size"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        (lit(4L * m) * coalesce(col("intra_edges"), lit(0L)) -
+          col("degree_sum") * col("degree_sum")).as("q_num_part"))
+  }
+
+  /** STRONGLY connected components of the directed graph — the directed
+    * sibling of [[graft.dedup.Dedup]]'s undirected components: link-spam
+    * ring detection, crawl-loop discovery, dependency-cycle audits.
+    * Returns `(node, scc_id)` where `scc_id` is the LARGEST node id in
+    * the component (a pure function of the graph ⇒ replayable).
+    *
+    * Algorithm: Orzan's coloring (the standard distributed SCC shape —
+    * FW-BW without pivot selection), alternated with TRIM rounds that
+    * settle in/out-degree-0 nodes as singletons in cheap degree-only
+    * passes. Per peel: (1) propagate the MAX id
+    * forward along edges to a fixed point, so `color(v)` = the largest
+    * id that reaches v; (2) nodes with `color(v) = v` are roots, and the
+    * SCC of root r is exactly the nodes of color r that reach r BACKWARD
+    * through same-color nodes (grown to a fixed point along reversed
+    * edges); (3) settled SCCs leave the graph, repeat. Every color class
+    * sheds its root SCC each peel, so peels are bounded by the longest
+    * root-SCC chain — tens on real graphs; `maxPeels` caps it and
+    * non-convergence fails LOUDLY (never a silently partial result).
+    *
+    * Scale shape: both fixed points are node-keyed hash joins +
+    * max/distinct aggregates over the shrinking edge list (pre-bucketed
+    * edges iterate exchange-free); each step `localCheckpoint`ed so k
+    * steps stay k linear jobs. The only driver scalars are the
+    * convergence counts — the k-core discipline. */
+  def scc(edges: DataFrame, srcCol: String, dstCol: String,
+          maxPeels: Int = 64): DataFrame = {
+    require(maxPeels >= 1, s"maxPeels must be positive: $maxPeels")
+    val raw = edges.select(tryLong(srcCol).as("src"), tryLong(dstCol).as("dst"))
+      .localCheckpoint(eager = true)
+    val badIds = raw.where(col("src").isNull || col("dst").isNull).count()
+    require(badIds == 0L,
+      s"$badIds edge rows have null node ids after the long cast " +
+        "— string node keys? map them through Graphs.withNodeIds first")
+    // self-loops don't change SCC membership; self-loop-only nodes stay
+    // in the node set and settle as singletons
+    var rem = raw.where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(eager = true)
+    var nodes = raw.select(col("src").as("node"))
+      .union(raw.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = true)
+    val spark = edges.sparkSession
+    var result = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("scc_id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    var remaining = nodes.count()
+    var peel = 0
+    while (remaining > 0L && peel < maxPeels) {
+      // (0) TRIM — the standard FW-BW companion: a node with in- or
+      // out-degree 0 in the REMAINING graph is a singleton SCC; settling
+      // those in cheap degree-only rounds keeps tree tendrils and
+      // inter-cycle paths from costing one full coloring fixed point
+      // per chain link. Capped as an optimization (leftovers settle via
+      // peels — correctness never depends on the trim reaching fixpoint).
+      var trimmed = true
+      var trimRound = 0
+      while (trimmed && trimRound < 256 && remaining > 0L) {
+        val keep = nodes
+          .join(rem.select(col("dst").as("node")).distinct(), Seq("node"),
+            "left_semi")
+          .join(rem.select(col("src").as("node")).distinct(), Seq("node"),
+            "left_semi")
+          .localCheckpoint(eager = true)
+        val keepN = keep.count()
+        if (keepN == remaining) trimmed = false
+        else {
+          val dropped = nodes.join(keep, Seq("node"), "left_anti")
+          result = result.union(
+              dropped.select(col("node"), col("node").as("scc_id")))
+            .localCheckpoint(eager = true)
+          nodes = keep
+          rem = rem
+            .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+            .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+            .localCheckpoint(eager = true)
+          remaining = keepN
+        }
+        trimRound += 1
+      }
+      if (remaining > 0L) {
+      // (1) forward max-id propagation to fixed point
+      var colors = nodes.select(col("node"), col("node").as("color"))
+        .localCheckpoint(eager = true)
+      var changedN = 1L
+      while (changedN > 0L) {
+        val pushed = colors.join(rem, colors("node") === rem("src"))
+          .select(col("dst").as("node"), col("color"))
+        val next = colors.select(col("node"), col("color")).union(pushed)
+          .groupBy(col("node")).agg(max(col("color")).as("color"))
+          .localCheckpoint(eager = true)
+        changedN = next.as("n")
+          .join(colors.as("o"), col("n.node") === col("o.node"))
+          .where(col("n.color") =!= col("o.color")).count()
+        colors = next
+      }
+      // (2) backward membership sweep from the roots, same-color only
+      val eCol = rem
+        .join(colors.select(col("node").as("src"), col("color").as("csrc")),
+          Seq("src"))
+        .join(colors.select(col("node").as("dst"), col("color").as("cdst")),
+          Seq("dst"))
+        .where(col("csrc") === col("cdst"))
+        .select(col("src"), col("dst"), col("csrc").as("color"))
+        .localCheckpoint(eager = true)
+      var member = colors.where(col("color") === col("node"))
+        .select(col("node"), col("color"))
+        .localCheckpoint(eager = true)
+      var memberN = member.count()
+      var grew = true
+      while (grew) {
+        val grown = eCol.as("e")
+          .join(member.as("m"), col("e.dst") === col("m.node") &&
+            col("e.color") === col("m.color"))
+          .select(col("e.src").as("node"), col("e.color").as("color"))
+        val next = member.union(grown).distinct()
+          .localCheckpoint(eager = true)
+        val nextN = next.count()
+        grew = nextN > memberN
+        member = next
+        memberN = nextN
+      }
+      // (3) settle and peel
+      result = result.union(member
+        .select(col("node"), col("color").as("scc_id")))
+        .localCheckpoint(eager = true)
+      nodes = nodes.join(member.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint(eager = true)
+      rem = rem
+        .join(member.select(col("node").as("src")), Seq("src"), "left_anti")
+        .join(member.select(col("node").as("dst")), Seq("dst"), "left_anti")
+        .localCheckpoint(eager = true)
+      remaining = nodes.count()
+      }
+      peel += 1
+    }
+    require(remaining == 0L,
+      s"scc did not settle every node in $maxPeels peels ($remaining " +
+        "left) — raise maxPeels (long chains of single-node components " +
+        "peel one chain link per pass)")
+    result
+  }
+
   private def pageRankFixedImpl(edgesW: DataFrame, iterations: Int,
                                 dampMilli: Long,
                                 weighted: Boolean): DataFrame = {

@@ -408,7 +408,83 @@ object PipelineQueries {
             col("l_partkey").as("dst")),
           "src", "dst", maxPerSrc = 5)
         .orderBy(col("weight").desc, col("node_a"), col("node_b"))
-        .limit(500))
+        .limit(500)),
+
+    // ───── COMPOSITION gate: modularity of the 3-round LPA communities
+    // over the q170 co-occurrence graph — per community, the exact
+    // integer parts (4m·L_c − d_c², denominator 4m²) of Newman's Q.
+    // The oracle chains q170's unrolled rounds into the formula ─────
+    "q191_modularity" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).where(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"), col("x.o") === col("y.o") &&
+          col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+        .localCheckpoint(eager = true) // both stages walk it
+      val labels = graft.ops.Graphs.labelPropagation(e, "src", "dst",
+        rounds = 3)
+      graft.ops.Graphs.modularity(e, "src", "dst", labels, "node", "label")
+        .orderBy(col("label"))
+    }),
+
+    // ───── strongly connected components over a deterministic directed
+    // graph derived from the order keys (doubling map + two coupling
+    // edge families — short cycles merged into multi-node SCCs, tree
+    // tendrils for the trim phase). The oracle computes MUTUAL
+    // REACHABILITY from the definition via a recursive CTE — the
+    // algorithm (trim + forward-max coloring + backward sweep) must
+    // reproduce the semantics exactly ─────
+    "q192_scc" -> ((s, d) => {
+      val v = Tables.orders(s, d)
+        .select((col("o_orderkey") % 60).cast("long").as("v")).distinct()
+      val e = v.select(col("v").as("src"), ((col("v") * 2 + 1) % 60).as("dst"))
+        .union(v.where(col("v") % 3 === 0)
+          .select(col("v").as("src"), ((col("v") + 37) % 60).as("dst")))
+        .union(v.where(col("v") % 5 === 0)
+          .select(col("v").as("src"), expr("v div 5").as("dst")))
+      graft.ops.Graphs.scc(e, "src", "dst").orderBy(col("node"))
+    }),
+
+    // ───── zone-map pruned read: range-layout a copy of events, build
+    // the per-file min/max manifest (ONE scan), then answer a value
+    // range scan through manifest pruning — identical rows to the plain
+    // filtered read of the ORIGINAL table, which is what the oracle
+    // runs (the multi-file skip-count proof lives in PipelineSpec) ─────
+    "q193_zonemap_read" -> ((s, d) => {
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_zonemap_gate").getAbsolutePath
+      Tables.events(s, d).repartitionByRange(8, col("value"))
+        .write.mode("overwrite").parquet(dir)
+      val manifest = graft.sources.ZoneMaps.build(s, dir, Seq("value"))
+        .localCheckpoint(eager = true)
+      graft.sources.ZoneMaps.prunedRead(s, dir, manifest,
+          "value", 100.0, 250.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("users"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ───── k-anonymity suppression after numeric generalization:
+    // account balances floor to 2000-wide buckets (exact integer
+    // arithmetic — truncate-toward-zero then floor-bucket, replayed
+    // verbatim in SQL), quasi key = (nation, balance bucket), under-k
+    // combinations suppressed ─────
+    "q194_k_anonymize" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .withColumn("bal_b", col("c_acctbal").cast("long"))
+      val g = graft.ops.Privacy.generalizeNum(cust, "bal_b", 2000L)
+      graft.ops.Privacy.kAnonymize(g, Seq("c_nationkey", "bal_b"), k = 4)
+        .select(col("c_custkey"), col("c_nationkey"), col("bal_b"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ───── the release-review report: per nation, row count and
+    // distinct market segments with both k- and l-verdicts ─────
+    "q195_anonymity_report" -> ((s, d) =>
+      graft.ops.Privacy.anonymityReport(Tables.customer(s, d),
+          Seq("c_nationkey"), "c_mktsegment", k = 50, l = 5)
+        .withColumnRenamed("rows", "n_rows") // `rows` is reserved in DuckDB
+        .orderBy(col("c_nationkey")))
   )
 
   /** One 31-bit Morton spread step chain for column `c` → alias `o`,
@@ -916,6 +992,96 @@ object PipelineQueries {
          CAST(CAST('0x' || substr(md5(text), 9, 8) AS BIGINT) / 4294967296.0 AS FLOAT) AS f1,
          CAST(CAST('0x' || substr(md5(text), 17, 8) AS BIGINT) / 4294967296.0 AS FLOAT) AS f2,
          CAST(CAST('0x' || substr(md5(text), 25, 8) AS BIGINT) / 4294967296.0 AS FLOAT) AS f3
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    // q170's unrolled LPA rounds chained into Newman's Q: per label,
+    // intra-edge count and degree sum over the DISTINCT undirected edge
+    // set, exact integer numerator parts 4m·L_c − d_c²
+    "q191_modularity" -> {
+      def round(p: String, o: String): String =
+        s"""c$o AS MATERIALIZED (
+              SELECT adj.u, l$p.lbl, count(*) AS c
+              FROM adj JOIN l$p ON l$p.node = adj.v GROUP BY 1, 2),
+            l$o AS MATERIALIZED (
+              SELECT u AS node, lbl FROM (
+                SELECT u, lbl, row_number() OVER (
+                  PARTITION BY u ORDER BY c DESC, lbl) AS rn FROM c$o)
+              WHERE rn = 1)"""
+      s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+                      FROM lineitem WHERE l_orderkey % 3 = 0),
+          e AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+                 FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+          adj AS MATERIALIZED (
+            SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+          l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM adj),
+          ${round("0", "1")},
+          ${round("1", "2")},
+          ${round("2", "3")},
+          m AS (SELECT count(*) AS m FROM e),
+          intra AS (SELECT la.lbl AS label, count(*) AS intra_edges
+                    FROM e JOIN l3 la ON la.node = e.a
+                           JOIN l3 lb ON lb.node = e.b
+                    WHERE la.lbl = lb.lbl GROUP BY 1),
+          degs AS (SELECT l3.lbl AS label, count(*) AS degree_sum,
+                          count(DISTINCT adj.u) AS size
+                   FROM adj JOIN l3 ON l3.node = adj.u GROUP BY 1)
+          SELECT d.label, CAST(d.size AS BIGINT) AS size,
+                 CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+                 CAST(d.degree_sum AS BIGINT) AS degree_sum,
+                 CAST(4 * m.m * coalesce(i.intra_edges, 0)
+                      - d.degree_sum * d.degree_sum AS BIGINT) AS q_num_part
+          FROM degs d LEFT JOIN intra i ON i.label = d.label CROSS JOIN m
+          ORDER BY d.label"""
+    },
+    // SCC from the DEFINITION: recursive-CTE reachability, then
+    // scc_id(v) = max over {v} ∪ {u : v→*u ∧ u→*v} — the operator's
+    // trim/color/sweep pipeline must land on exactly this
+    "q192_scc" ->
+      """WITH RECURSIVE
+          v AS (SELECT DISTINCT CAST(o_orderkey % 60 AS BIGINT) AS v
+                FROM orders),
+          e0 AS (SELECT v AS src, (v * 2 + 1) % 60 AS dst FROM v
+                 UNION ALL
+                 SELECT v, (v + 37) % 60 FROM v WHERE v % 3 = 0
+                 UNION ALL
+                 SELECT v, v // 5 FROM v WHERE v % 5 = 0),
+          n AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+          e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+          r(a, b) AS (SELECT src, dst FROM e
+                      UNION
+                      SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b),
+          mutual AS (SELECT r1.a AS node, r1.b AS other
+                     FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a)
+          SELECT n.node,
+                 CAST(greatest(n.node, coalesce(max(m.other), n.node))
+                   AS BIGINT) AS scc_id
+          FROM n LEFT JOIN mutual m ON m.node = n.node
+          GROUP BY n.node ORDER BY n.node""",
+    // the pruned read is provably the plain filtered read — the oracle
+    // filters the ORIGINAL table directly
+    "q193_zonemap_read" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS users
+         FROM events WHERE value >= 100.0 AND value <= 250.0
+         GROUP BY event_type ORDER BY event_type""",
+    // truncate-toward-zero then floor-bucket (v − ((v % w + w) % w)),
+    // keep combinations with ≥ k rows
+    "q194_k_anonymize" ->
+      """WITH g AS (SELECT c_custkey, c_nationkey,
+                 CAST(trunc(c_acctbal) AS BIGINT)
+                   - ((CAST(trunc(c_acctbal) AS BIGINT) % 2000 + 2000)
+                      % 2000) AS bal_b
+               FROM customer),
+          ok AS (SELECT c_nationkey, bal_b FROM g
+                 GROUP BY 1, 2 HAVING count(*) >= 4)
+          SELECT g.c_custkey, g.c_nationkey, g.bal_b
+          FROM g JOIN ok USING (c_nationkey, bal_b)
+          ORDER BY g.c_custkey""",
+    "q195_anonymity_report" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(DISTINCT c_mktsegment) AS BIGINT)
+                  AS sensitive_distinct,
+                count(*) >= 50 AS k_ok,
+                count(DISTINCT c_mktsegment) >= 5 AS l_ok
+         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""
   )
 }

@@ -536,4 +536,100 @@ class GraphsSpec extends SparkSpec {
     }).toSet
     assert(open === exp)
   }
+
+  // ───────────────────────── modularity ─────────────────────────
+
+  test("modularity: two triangles with a bridge, hand-computed parts") {
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4: m=7, each community
+    // has 3 intra edges; degrees 2+2+3=7 per side
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("src", "dst")
+    val lbl = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"),
+      (6L, "b")).toDF("node", "label")
+    val got = Graphs.modularity(e, "src", "dst", lbl, "node", "label")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // q_num_part = 4·7·3 − 7² = 35 each; Q = 70 / (4·49) = 0.357…
+    assert(got === Set(("a", 3L, 3L, 7L, 35L), ("b", 3L, 3L, 7L, 35L)))
+  }
+
+  test("modularity: a single all-in community scores exactly zero") {
+    val rnd = new Random(77)
+    val e = (0 until 120).map(_ =>
+        (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val nodes = (0L until 20L).map((_, 1L)).toDF("node", "label")
+    val parts = Graphs.modularity(e, "src", "dst", nodes, "node", "label")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(parts.map(_._5).sum === 0L) // 4m·m − (2m)² = 0
+  }
+
+  test("modularity fails loudly on unlabeled edge nodes") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val lbl = Seq((1L, "a"), (2L, "a")).toDF("node", "label")
+    val ex = intercept[IllegalArgumentException] {
+      Graphs.modularity(e, "src", "dst", lbl, "node", "label").collect()
+    }
+    assert(ex.getMessage.contains("absent from the labels"))
+  }
+
+  // ──────────────────────────── scc ────────────────────────────
+
+  /** SCC from the definition: per-node forward reachability, then
+    * scc_id(v) = max of v and every mutually-reachable u. */
+  private def sccModel(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val adj = edges.filter(e => e._1 != e._2).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def reach(s: Long): Set[Long] = {
+      var seen = Set.empty[Long]
+      var frontier = adj.getOrElse(s, Set.empty)
+      while (frontier.nonEmpty) {
+        seen ++= frontier
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty)) -- seen
+      }
+      seen
+    }
+    val r = nodes.map(v => v -> reach(v)).toMap
+    nodes.map(v =>
+      v -> (r(v).filter(u => r(u).contains(v)) + v).max).toMap
+  }
+
+  test("scc matches the mutual-reachability model on a random digraph") {
+    val rnd = new Random(4242)
+    val edges = (0 until 150).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)).distinct
+    val got = Graphs.scc(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got === sccModel(edges))
+  }
+
+  test("scc: cycles, one-way bridge, tendrils, self-loops") {
+    // 3-cycle {1,2,3} → bridge → 3-cycle {10,11,12}, tendril 20→21→3,
+    // self-loop-only node 30
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 10L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L), (21L, 3L),
+      (30L, 30L))
+    val got = Graphs.scc(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L,
+      10L -> 12L, 11L -> 12L, 12L -> 12L,
+      20L -> 20L, 21L -> 21L, 30L -> 30L))
+  }
+
+  test("scc: a long decreasing chain settles via trim, not peels") {
+    // worst case for pure coloring (one root per peel); trim handles it
+    val chain = (1L until 30L).map(i => (i + 1, i))
+    val got = Graphs.scc(chain.toDF("src", "dst"), "src", "dst",
+        maxPeels = 3) // pure peeling would need ~30
+      .as[(Long, Long)].collect().toMap
+    assert(got === (1L to 30L).map(v => v -> v).toMap)
+  }
+
+  test("scc fails loudly on string node keys") {
+    val e = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graphs.scc(e, "src", "dst").collect()
+    }
+    assert(ex.getMessage.contains("withNodeIds"))
+  }
 }
