@@ -816,6 +816,110 @@ object Graphs {
     result
   }
 
+  /** EXACT neighborhood function: `(node, radius, reach)` — how many
+    * nodes are within ≤ radius directed hops (self included), for
+    * radius 0..`maxRadius`. The truth HyperBall approximates; its cost
+    * is the materialized reachable-pair set (Σ ball sizes), so it's the
+    * SMALL-graph / sampled-sources tool — fixture gates, per-seed
+    * audits — while [[hyperBall]] carries the full-graph job at scale.
+    * Each round: one pair⋈edges hash join + a distinct, node-keyed,
+    * checkpointed. */
+  def neighborhoodExact(edges: DataFrame, srcCol: String, dstCol: String,
+                        maxRadius: Int): DataFrame = {
+    require(maxRadius >= 1, s"maxRadius must be positive: $maxRadius")
+    val raw = edges.select(tryLong(srcCol).as("src"), tryLong(dstCol).as("dst"))
+      .localCheckpoint(eager = true)
+    val badIds = raw.where(col("src").isNull || col("dst").isNull).count()
+    require(badIds == 0L,
+      s"$badIds edge rows have null node ids after the long cast " +
+        "— string node keys? map them through Graphs.withNodeIds first")
+    val e = raw.where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(eager = true)
+    val nodes = raw.select(col("src").as("node"))
+      .union(raw.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = true)
+    var pairs = nodes.select(col("node"), col("node").as("reached"))
+      .localCheckpoint(eager = true)
+    var acc = nodes.select(col("node"), lit(0).as("radius"),
+      lit(1L).as("reach"))
+    for (k <- 1 to maxRadius) {
+      pairs = pairs.union(
+          pairs.join(e, pairs("reached") === e("src"))
+            .select(pairs("node"), e("dst").as("reached")))
+        .distinct()
+        .localCheckpoint(eager = true)
+      acc = acc.union(pairs.groupBy(col("node"))
+        .agg(count(lit(1)).as("reach"))
+        .select(col("node"), lit(k).as("radius"), col("reach")))
+    }
+    acc
+  }
+
+  /** HyperBall (Boldi & Vigna 2013): the neighborhood function by
+    * HLL sketch — per node a ball sketch starts as {node} and each
+    * round unions in the out-neighbors' balls, so after k rounds
+    * `reach_est` estimates |{u : dist(v,u) ≤ k}| (±~1.6% at lgK 12).
+    * THE way to compute closeness/harmonic centrality on a 10⁹-node
+    * graph: state is O(n · 2^lgK) bytes — node-sized, never pair-sized
+    * — where [[neighborhoodExact]]'s pair frame would be the
+    * transitive closure. Deterministic (DataSketches HLL is a pure
+    * function of the value set), so reruns replay. Per round: one
+    * edges⋈balls hash join + one node-keyed `hll_union_agg`,
+    * checkpointed; pre-bucketed edges gather exchange-free. Returns
+    * `(node, radius, reach_est)` for radius 0..`maxRadius`, estimates
+    * as longs. */
+  def hyperBall(edges: DataFrame, srcCol: String, dstCol: String,
+                maxRadius: Int, lgK: Int = 12): DataFrame = {
+    require(maxRadius >= 1, s"maxRadius must be positive: $maxRadius")
+    val raw = edges.select(tryLong(srcCol).as("src"), tryLong(dstCol).as("dst"))
+      .localCheckpoint(eager = true)
+    val badIds = raw.where(col("src").isNull || col("dst").isNull).count()
+    require(badIds == 0L,
+      s"$badIds edge rows have null node ids after the long cast " +
+        "— string node keys? map them through Graphs.withNodeIds first")
+    val e = raw.where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(eager = true)
+    val nodes = raw.select(col("src").as("node"))
+      .union(raw.select(col("dst").as("node"))).distinct()
+    var balls = nodes.groupBy(col("node"))
+      .agg(hll_sketch_agg(col("node"), lit(lgK)).as("ball"))
+      .localCheckpoint(eager = true)
+    def emit(k: Int) = balls.select(col("node"), lit(k).as("radius"),
+      hll_sketch_estimate(col("ball")).cast("long").as("reach_est"))
+    var acc = emit(0)
+    for (k <- 1 to maxRadius) {
+      val gathered = e.join(balls, e("dst") === balls("node"))
+        .select(e("src").as("node"), col("ball"))
+      balls = balls.select(col("node"), col("ball")).union(gathered)
+        .groupBy(col("node"))
+        .agg(hll_union_agg(col("ball"), lit(false)).as("ball"))
+        .localCheckpoint(eager = true)
+      acc = acc.union(emit(k))
+    }
+    acc
+  }
+
+  /** Truncated harmonic centrality from a ball table
+    * (`(node, radius, reach*)` — [[neighborhoodExact]] output for the
+    * exact form, [[hyperBall]] for the estimated one):
+    * `harmonic_milli = Σ_{k=1..R} (N_k − N_{k−1}) · 1000 div k` — each
+    * newly reached node contributes 1/d(v,u), integer-milli. The
+    * per-node window is ≤ R+1 rows by construction (radius values), so
+    * the sort is bounded — never a data-sized window partition. */
+  def harmonicFromBalls(balls: DataFrame): DataFrame = {
+    val reachCol = if (balls.columns.contains("reach")) "reach"
+      else "reach_est"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy("radius")
+    balls.select(col("node"), col("radius"),
+        col(reachCol).cast("long").as("n"))
+      .withColumn("prev", lag(col("n"), 1).over(w))
+      .where(col("radius") >= 1)
+      .groupBy(col("node"))
+      .agg(sum(expr("((n - prev) * 1000) div radius"))
+        .as("harmonic_milli"))
+  }
+
   private def pageRankFixedImpl(edgesW: DataFrame, iterations: Int,
                                 dampMilli: Long,
                                 weighted: Boolean): DataFrame = {

@@ -15,7 +15,7 @@ import graft.multimodal.BinaryOps
 object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = Map[String, Q](
     // ───── F15: JSON path extraction + coercion on events.props ─────
     "q31_json_extract" -> ((s, d) => {
       Tables.events(s, d)
@@ -485,6 +485,48 @@ object PipelineQueries {
           Seq("c_nationkey"), "c_mktsegment", k = 50, l = 5)
         .withColumnRenamed("rows", "n_rows") // `rows` is reserved in DuckDB
         .orderBy(col("c_nationkey")))
+  ) ++ graphBallQueries
+
+  /** The q192 doubling-map digraph — shared by the SCC and
+    * neighborhood/centrality gates (built once per caller). */
+  private def ballGraph(s: org.apache.spark.sql.SparkSession,
+                        d: String): org.apache.spark.sql.DataFrame = {
+    val v = Tables.orders(s, d)
+      .select((col("o_orderkey") % 60).cast("long").as("v")).distinct()
+    v.select(col("v").as("src"), ((col("v") * 2 + 1) % 60).as("dst"))
+      .union(v.where(col("v") % 3 === 0)
+        .select(col("v").as("src"), ((col("v") + 37) % 60).as("dst")))
+      .union(v.where(col("v") % 5 === 0)
+        .select(col("v").as("src"), expr("v div 5").as("dst")))
+  }
+
+  // defs, not vals: `queries`/`oracles` above reference these during
+  // object init — a later-declared val would still be null there
+  private def graphBallQueries: Map[String, Q] = Map(
+    // ───── exact neighborhood function on the q192 digraph: how many
+    // nodes lie within ≤k hops, k=0..3 — the truth HyperBall
+    // approximates; oracle unrolls the same pair-growth rounds ─────
+    "q196_neighborhood_exact" -> ((s, d) =>
+      graft.ops.Graphs.neighborhoodExact(ballGraph(s, d), "src", "dst",
+          maxRadius = 3)
+        .orderBy(col("node"), col("radius"))),
+
+    // ───── HyperBall: the same neighborhood function by HLL ball
+    // sketches — node-sized state instead of the transitive closure.
+    // Rows-only (estimates); q196 is the exact anchor on the SAME
+    // graph and GraphsSpec pins the estimate band ─────
+    "q197_hyperball" -> ((s, d) =>
+      graft.ops.Graphs.hyperBall(ballGraph(s, d), "src", "dst",
+          maxRadius = 3)
+        .orderBy(col("node"), col("radius"))),
+
+    // ───── truncated harmonic centrality from the EXACT balls —
+    // integer-milli Σ (N_k − N_{k−1})/k, fully SQL-replayable ─────
+    "q198_harmonic" -> ((s, d) =>
+      graft.ops.Graphs.harmonicFromBalls(
+          graft.ops.Graphs.neighborhoodExact(ballGraph(s, d), "src", "dst",
+            maxRadius = 3))
+        .orderBy(col("node")))
   )
 
   /** One 31-bit Morton spread step chain for column `c` → alias `o`,
@@ -1082,6 +1124,68 @@ object PipelineQueries {
                   AS sensitive_distinct,
                 count(*) >= 50 AS k_ok,
                 count(DISTINCT c_mktsegment) >= 5 AS l_ok
-         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""
+         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    // the pair-growth rounds unrolled: p_k = p_{k-1} ∪ (p_{k-1} ⋈ e),
+    // reach = per-node pair count at each radius
+    "q196_neighborhood_exact" -> {
+      def grow(p: String, o: String): String =
+        s"""p$o AS MATERIALIZED (
+              SELECT node, reached FROM p$p
+              UNION
+              SELECT p$p.node, e.dst FROM p$p
+              JOIN e ON e.src = p$p.reached)"""
+      s"""WITH $ballGraphSql,
+          p0 AS (SELECT node, node AS reached FROM n),
+          ${grow("0", "1")},
+          ${grow("1", "2")},
+          ${grow("2", "3")}
+          SELECT node, radius, reach FROM (
+            SELECT node, 0 AS radius, CAST(1 AS BIGINT) AS reach FROM n
+            UNION ALL SELECT node, 1, count(*) FROM p1 GROUP BY node
+            UNION ALL SELECT node, 2, count(*) FROM p2 GROUP BY node
+            UNION ALL SELECT node, 3, count(*) FROM p3 GROUP BY node)
+          ORDER BY node, radius"""
+    },
+    // harmonic_milli = Σ_k (N_k − N_{k−1})·1000 // k over the same
+    // unrolled exact balls
+    "q198_harmonic" -> {
+      def grow(p: String, o: String): String =
+        s"""p$o AS MATERIALIZED (
+              SELECT node, reached FROM p$p
+              UNION
+              SELECT p$p.node, e.dst FROM p$p
+              JOIN e ON e.src = p$p.reached)"""
+      s"""WITH $ballGraphSql,
+          p0 AS (SELECT node, node AS reached FROM n),
+          ${grow("0", "1")},
+          ${grow("1", "2")},
+          ${grow("2", "3")},
+          c AS (SELECT node, 0 AS radius, CAST(1 AS BIGINT) AS reach FROM n
+                UNION ALL SELECT node, 1, count(*) FROM p1 GROUP BY node
+                UNION ALL SELECT node, 2, count(*) FROM p2 GROUP BY node
+                UNION ALL SELECT node, 3, count(*) FROM p3 GROUP BY node),
+          lagd AS (SELECT node, radius, reach,
+                     lag(reach) OVER (PARTITION BY node ORDER BY radius)
+                       AS prev
+                   FROM c)
+          SELECT node,
+                 CAST(sum(((reach - prev) * 1000) // radius) AS BIGINT)
+                   AS harmonic_milli
+          FROM lagd WHERE radius >= 1 GROUP BY node ORDER BY node"""
+    }
   )
+
+  /** Shared SQL for the q192/q196/q198 doubling-map digraph: CTEs
+    * `v`, `e0`, `n` (all endpoint nodes), `e` (distinct, no loops). */
+  private def ballGraphSql: String =
+    """v AS (SELECT DISTINCT CAST(o_orderkey % 60 AS BIGINT) AS v
+            FROM orders),
+       e0 AS (SELECT v AS src, (v * 2 + 1) % 60 AS dst FROM v
+              UNION ALL
+              SELECT v, (v + 37) % 60 FROM v WHERE v % 3 = 0
+              UNION ALL
+              SELECT v, v // 5 FROM v WHERE v % 5 = 0),
+       n AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+       e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0
+                          WHERE src <> dst)"""
 }

@@ -632,4 +632,54 @@ class GraphsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("withNodeIds"))
   }
+
+  // ─────────────── neighborhood / HyperBall / harmonic ───────────────
+
+  /** BFS truth: |{u : dist(v,u) ≤ k}| including v itself. */
+  private def ballModel(edges: Seq[(Long, Long)],
+                        maxR: Int): Map[(Long, Int), Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val adj = edges.filter(e => e._1 != e._2).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    nodes.flatMap { v =>
+      var ball = Set(v)
+      (0 to maxR).map { k =>
+        if (k > 0) ball ++= ball.flatMap(u => adj.getOrElse(u, Set.empty))
+        (v, k) -> ball.size.toLong
+      }
+    }.toMap
+  }
+
+  test("neighborhoodExact matches the BFS model on a random digraph") {
+    val rnd = new Random(909)
+    val edges = (0 until 120).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)).distinct
+    val got = Graphs.neighborhoodExact(edges.toDF("src", "dst"),
+        "src", "dst", maxRadius = 3)
+      .as[(Long, Int, Long)].collect()
+      .map { case (n, r, c) => (n, r) -> c }.toMap
+    assert(got === ballModel(edges, 3))
+  }
+
+  test("hyperBall equals the exact neighborhood in the sparse regime") {
+    // DataSketches HLL is exact far below 2^lgK registers — so at test
+    // cardinality the estimate must EQUAL the truth, not just approach it
+    val rnd = new Random(321)
+    val edges = (0 until 150).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)).distinct
+    val est = Graphs.hyperBall(edges.toDF("src", "dst"), "src", "dst",
+        maxRadius = 3)
+      .as[(Long, Int, Long)].collect()
+      .map { case (n, r, c) => (n, r) -> c }.toMap
+    assert(est === ballModel(edges, 3))
+  }
+
+  test("harmonicFromBalls: hand-checked directed path") {
+    // 1→2→3: h(1) = 1 + 1/2 = 1500 milli, h(2) = 1000, h(3) = 0
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graphs.harmonicFromBalls(
+        Graphs.neighborhoodExact(e, "src", "dst", maxRadius = 3))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1500L, 2L -> 1000L, 3L -> 0L))
+  }
 }
