@@ -899,6 +899,30 @@ object Graphs {
     acc
   }
 
+  /** Effective diameter from a ball table ([[neighborhoodExact]] or
+    * [[hyperBall]] output): the smallest radius whose cumulative
+    * reachable-pair count covers ≥ `permille`/1000 of the pairs
+    * reachable at the table's maximum radius — the "90% of connected
+    * pairs sit within k hops" summary (the HyperBall paper's headline
+    * statistic). One radius-keyed aggregate over the ball table + a
+    * 1-row broadcast of the total — integer throughout. Returns one
+    * row `(eff_diameter, covered_pairs, total_pairs)`. */
+  def effectiveDiameter(balls: DataFrame, permille: Long = 900L): DataFrame = {
+    require(permille >= 1L && permille <= 1000L,
+      s"permille must be in [1, 1000]: $permille")
+    val reachCol = if (balls.columns.contains("reach")) "reach"
+      else "reach_est"
+    val per = balls.groupBy(col("radius").cast("int").as("radius"))
+      .agg(sum(col(reachCol).cast("long")).as("covered"))
+    val total = per.select(max_by(col("covered"), col("radius"))
+      .as("total"))
+    per.crossJoin(broadcast(total)) // total is one row by construction
+      .where(col("covered") * lit(1000L) >= lit(permille) * col("total"))
+      .agg(min(col("radius")).as("eff_diameter"),
+        min_by(col("covered"), col("radius")).as("covered_pairs"),
+        first(col("total")).as("total_pairs"))
+  }
+
   /** Truncated harmonic centrality from a ball table
     * (`(node, radius, reach*)` — [[neighborhoodExact]] output for the
     * exact form, [[hyperBall]] for the estimated one):

@@ -303,4 +303,71 @@ object Timeseries {
         explode(graft.udafs.Sketches.cmsEstimates(col("__m"), tokens))
           .as(Seq("token", "freq_est")))
   }
+
+  /** CUSUM level-shift detection (Page 1954) — the changepoint shape
+    * the EWMA/Holt family can't express: a SMALL persistent shift
+    * (each bucket individually inside the spike band) accumulates in
+    * the one-sided sums until it crosses the decision threshold. Per
+    * key, all integer:
+    * {{{
+    * μ   = (Σ first `warmup` n) div warmup        // the reference level
+    * S⁺' = max(0, S⁺ + n − μ − slack)             // upward drift
+    * S⁻' = max(0, S⁻ + μ − n − slack)             // downward drift
+    * shift_up = S⁺' > threshold ; shift_down = S⁻' > threshold
+    * }}}
+    * Returns `(key, bucket, n, mu, s_pos, s_neg, shift_up,
+    * shift_down)`; the `warmup` buckets that DEFINE μ get null sums
+    * and verdicts (they are the baseline, not candidates), as does
+    * every row of a key with fewer than `warmup` buckets (no
+    * reference, no verdict — the ewma first-bucket convention).
+    * `slack` absorbs noise below the shift size worth flagging;
+    * truncating `div` matches integer `//` on replay engines for the
+    * non-negative counts this consumes. Same collect-and-fold shape as
+    * the EWMA/Holt folds: one aggregate per key, task state = the
+    * key's bucket series, no window functions; compose with
+    * [[zeroFill]] so a silenced key's zero buckets can drive S⁻. */
+  def cusumShifts(counts: DataFrame, keyCol: String, bucketCol: String,
+                  nCol: String, warmup: Int, slack: Long,
+                  threshold: Long): DataFrame = {
+    require(warmup >= 1, s"warmup must be positive: $warmup")
+    require(slack >= 0L, s"slack must be non-negative: $slack")
+    require(threshold >= 1L, s"threshold must be positive: $threshold")
+    val series = counts.groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(
+        col(bucketCol).cast("long").as("bucket"),
+        col(nCol).cast("long").as("n")))).as("__arr"))
+      .withColumn("__mu", expr(
+        s"""if(size(__arr) < $warmup, cast(null as bigint),
+              aggregate(slice(__arr, 1, $warmup), 0L, (a, x) -> a + x.n)
+                div ${warmup}L)"""))
+    // the S⁺/S⁻ update appears twice per branch (emitted value and
+    // carried state) — HOF lambdas have no lets
+    def sPos = s"greatest(0L, acc.sp + x.n - __mu - ${slack}L)"
+    def sNeg = s"greatest(0L, acc.sn + __mu - x.n - ${slack}L)"
+    val folded = series.withColumn("__out", expr(
+      s"""aggregate(
+            __arr,
+            struct(0L as i, 0L as sp, 0L as sn,
+                   cast(array() as array<struct<
+                     bucket: bigint, n: bigint, s_pos: bigint,
+                     s_neg: bigint>>) as out),
+            (acc, x) -> struct(
+              acc.i + 1 as i,
+              if(__mu is null or acc.i + 1 <= $warmup, 0L, $sPos) as sp,
+              if(__mu is null or acc.i + 1 <= $warmup, 0L, $sNeg) as sn,
+              concat(acc.out, array(struct(
+                x.bucket as bucket, x.n as n,
+                if(__mu is null or acc.i + 1 <= $warmup,
+                   cast(null as bigint), $sPos) as s_pos,
+                if(__mu is null or acc.i + 1 <= $warmup,
+                   cast(null as bigint), $sNeg) as s_neg))) as out),
+            acc -> acc.out)"""))
+    folded.select(col(keyCol), col("__mu").as("mu"),
+        explode(col("__out")).as("__e"))
+      .select(col(keyCol), col("__e.bucket").as("bucket"),
+        col("__e.n").as("n"), col("mu"),
+        col("__e.s_pos").as("s_pos"), col("__e.s_neg").as("s_neg"),
+        (col("__e.s_pos") > threshold).as("shift_up"),
+        (col("__e.s_neg") > threshold).as("shift_down"))
+  }
 }

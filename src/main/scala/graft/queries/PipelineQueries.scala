@@ -526,7 +526,16 @@ object PipelineQueries {
       graft.ops.Graphs.harmonicFromBalls(
           graft.ops.Graphs.neighborhoodExact(ballGraph(s, d), "src", "dst",
             maxRadius = 3))
-        .orderBy(col("node")))
+        .orderBy(col("node"))),
+
+    // ───── effective diameter from the same exact ball table: the
+    // smallest radius covering ≥60% of the radius-3 reachable pairs
+    // (60‰·3 keeps the verdict radius strictly inside the truncation
+    // at both SFs — a 900‰ cut of a radius-3 table would just echo 3) ─────
+    "q199_eff_diameter" -> ((s, d) =>
+      graft.ops.Graphs.effectiveDiameter(
+        graft.ops.Graphs.neighborhoodExact(ballGraph(s, d), "src", "dst",
+          maxRadius = 3), permille = 600L))
   )
 
   /** One 31-bit Morton spread step chain for column `c` → alias `o`,
@@ -1172,6 +1181,32 @@ object PipelineQueries {
                  CAST(sum(((reach - prev) * 1000) // radius) AS BIGINT)
                    AS harmonic_milli
           FROM lagd WHERE radius >= 1 GROUP BY node ORDER BY node"""
+    },
+    // per-radius covered pairs are just |p_k|; smallest radius with
+    // covered·1000 ≥ permille·total(= covered at max radius)
+    "q199_eff_diameter" -> {
+      def grow(p: String, o: String): String =
+        s"""p$o AS MATERIALIZED (
+              SELECT node, reached FROM p$p
+              UNION
+              SELECT p$p.node, e.dst FROM p$p
+              JOIN e ON e.src = p$p.reached)"""
+      s"""WITH $ballGraphSql,
+          p0 AS (SELECT node, node AS reached FROM n),
+          ${grow("0", "1")},
+          ${grow("1", "2")},
+          ${grow("2", "3")},
+          per AS (SELECT 0 AS radius, count(*) AS covered FROM p0
+                  UNION ALL SELECT 1, count(*) FROM p1
+                  UNION ALL SELECT 2, count(*) FROM p2
+                  UNION ALL SELECT 3, count(*) FROM p3),
+          t AS (SELECT covered AS total FROM per
+                ORDER BY radius DESC LIMIT 1)
+          SELECT CAST(min(per.radius) AS INT) AS eff_diameter,
+                 CAST(arg_min(per.covered, per.radius) AS BIGINT)
+                   AS covered_pairs,
+                 CAST(min(t.total) AS BIGINT) AS total_pairs
+          FROM per, t WHERE per.covered * 1000 >= 600 * t.total"""
     }
   )
 

@@ -593,6 +593,23 @@ object RelationalQueries {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // ───── CUSUM level-shift detection: the changepoint shape the
+    // spike/dip/forecast verdicts can't see — a small persistent shift
+    // accumulates in the one-sided sums until it crosses the decision
+    // threshold. μ from the first 3 buckets, slack 1, threshold 5;
+    // the oracle replays μ as a warmup aggregate and the fold as a
+    // recursive CTE (the q183 two-state pattern) ─────
+    "q200_cusum" -> ((s, d) => {
+      val e = Tables.events(s, d).where(col("event_type").isNotNull)
+      graft.ops.Timeseries.cusumShifts(
+          graft.ops.Timeseries.bucketCounts(
+            e.select(col("event_type"), Tables.tsNanos(e).as("tn")),
+            "event_type", "tn", bucketNanos = 86400L * 1000000000L),
+          "event_type", "bucket", "n",
+          warmup = 3, slack = 1L, threshold = 5L)
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // ───── robust outlier screen: per-part order quantities against
     // the median/MAD fence (exact lower-median order statistics — no
     // interpolated doubles on either engine); only flagged rows ship ─────
@@ -1342,6 +1359,37 @@ object RelationalQueries {
            abs(s.n - (p.l + p.t)) * 10 >
              20 * greatest(abs(p.l + p.t), 1) AS anom
          FROM s LEFT JOIN f p ON p.k = s.k AND p.i = s.i - 1
+         ORDER BY event_type, bucket""",
+    // μ as a warmup aggregate (exactly 3 buckets or no reference), the
+    // one-sided sums as a two-state recursive fold (the q183 pattern);
+    // warmup rows keep mu but null sums/verdicts
+    "q200_cusum" ->
+      """WITH RECURSIVE c AS (
+           SELECT event_type AS k,
+             epoch_ns(ts) // 86400000000000 AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+         s AS (SELECT k, bucket, n, row_number() OVER (
+                 PARTITION BY k ORDER BY bucket) AS i FROM c),
+         mu AS (SELECT k, CAST(sum(n) // 3 AS BIGINT) AS mu FROM s
+                WHERE i <= 3 GROUP BY k HAVING count(*) = 3),
+         f AS (
+           SELECT mu.k, 3 AS i, CAST(0 AS BIGINT) AS sp,
+             CAST(0 AS BIGINT) AS sn
+           FROM mu
+           UNION ALL
+           SELECT f.k, f.i + 1,
+             greatest(0, f.sp + s.n - mu.mu - 1),
+             greatest(0, f.sn + mu.mu - s.n - 1)
+           FROM f JOIN s ON s.k = f.k AND s.i = f.i + 1
+                  JOIN mu ON mu.k = f.k)
+         SELECT s.k AS event_type, s.bucket, s.n, mu.mu AS mu,
+           CASE WHEN s.i > 3 THEN CAST(f.sp AS BIGINT) END AS s_pos,
+           CASE WHEN s.i > 3 THEN CAST(f.sn AS BIGINT) END AS s_neg,
+           CASE WHEN s.i > 3 THEN f.sp > 5 END AS shift_up,
+           CASE WHEN s.i > 3 THEN f.sn > 5 END AS shift_down
+         FROM s LEFT JOIN mu ON mu.k = s.k
+                LEFT JOIN f ON f.k = s.k AND f.i = s.i
          ORDER BY event_type, bucket""",
     // the two lower medians replayed as rank-(⌈n/2⌉) order statistics
     "q184_mad_outliers" ->

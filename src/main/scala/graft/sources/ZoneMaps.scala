@@ -75,4 +75,46 @@ object ZoneMaps {
     * the observability hook a planner logs to prove skipping works. */
   def pruneStats(manifest: DataFrame, c: String, lo: Any, hi: Any): (Long, Long) =
     (manifest.count(), pruneRange(manifest, c, lo, hi).count())
+
+  /** Incremental manifest maintenance: scan ONLY the files `dir` has
+    * that `existing` lacks and union their fresh zones in — the append
+    * pattern (a streaming sink, a daily batch drop) pays one scan of
+    * the NEW bytes, never a rebuild of the 100 TB history. Files that
+    * disappeared (compaction, retention) drop out of the result; the
+    * surviving rows carry over byte-identical, so update ∘ update ≡
+    * one [[build]] of the final state. `cols` must match the existing
+    * manifest's columns (the zone schema is part of the artifact's
+    * contract — fail loudly, never a half-schema manifest). */
+  def update(spark: SparkSession, dir: String, existing: DataFrame,
+             cols: Seq[String]): DataFrame = {
+    val expected = "file" +: "rows" +: cols.flatMap(c =>
+      Seq(s"${c}_min", s"${c}_max", s"${c}_nnull"))
+    require(existing.columns.toSeq == expected,
+      s"existing manifest columns ${existing.columns.toSeq} don't match " +
+        s"the zone schema for $cols: $expected")
+    // inputFiles is a driver-side LISTING (no data scan); manifest keys
+    // came from input_file_name() — normalize both to scheme-free paths
+    // before comparing (file:///x vs file:/x)
+    def norm(f: String): String = new java.net.URI(f).getPath
+    val current = spark.read.parquet(dir).inputFiles.map(norm).toSet
+    val existingFiles = existing.select(col("file")).collect()
+      .map(_.getString(0))
+    val fresh = (current -- existingFiles.map(norm)).toArray.sorted
+    val keptNames = existingFiles.filter(f => current.contains(norm(f)))
+    val kept = existing.join(
+      spark.createDataset(keptNames.toSeq)(
+        org.apache.spark.sql.Encoders.STRING).toDF("file"),
+      Seq("file"), "left_semi")
+    if (fresh.isEmpty) kept
+    else {
+      val df = spark.read.option("basePath", dir)
+        .parquet(fresh.toSeq: _*)
+      val aggs = cols.flatMap { c =>
+        Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+          count(col(c)).as(s"${c}_nnull"))
+      }
+      kept.unionByName(df.groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("rows"), aggs: _*))
+    }
+  }
 }

@@ -674,6 +674,21 @@ class GraphsSpec extends SparkSpec {
     assert(est === ballModel(edges, 3))
   }
 
+  test("effectiveDiameter: hand-checked path graph, exact and sketch") {
+    // 1→2→3→4: Σ N_k = 4, 7, 9, 10 — 90% of 10 is first covered at
+    // radius 2; 100% only at the full radius 3
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val exact = Graphs.neighborhoodExact(e, "src", "dst", maxRadius = 3)
+    assert(Graphs.effectiveDiameter(exact, permille = 900L)
+      .as[(Int, Long, Long)].collect().toSeq === Seq((2, 9L, 10L)))
+    assert(Graphs.effectiveDiameter(exact, permille = 1000L)
+      .as[(Int, Long, Long)].collect().toSeq === Seq((3, 10L, 10L)))
+    // the sketch table feeds the same fold (exact in the sparse regime)
+    val est = Graphs.hyperBall(e, "src", "dst", maxRadius = 3)
+    assert(Graphs.effectiveDiameter(est, permille = 900L)
+      .as[(Int, Long, Long)].collect().toSeq === Seq((2, 9L, 10L)))
+  }
+
   test("harmonicFromBalls: hand-checked directed path") {
     // 1→2→3: h(1) = 1 + 1/2 = 1500 milli, h(2) = 1000, h(3) = 0
     val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")

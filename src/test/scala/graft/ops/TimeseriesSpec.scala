@@ -208,4 +208,47 @@ class TimeseriesSpec extends SparkSpec {
     assert(got.map(_._6) === Seq(None, Some(false), Some(true), Some(false)))
     assert(got.map(_._5) === Seq(None, Some(false), Some(false), Some(false)))
   }
+
+  test("cusum: a small persistent up-shift accumulates to the threshold") {
+    // each 14 is inside the 3× spike band, but +3/bucket accumulates:
+    // μ=10, slack 1 → S⁺ = 0,0,3,6,9 — crosses 5 at the SECOND shifted
+    // bucket
+    val counts = Seq((1L, 10L), (2L, 11L), (3L, 9L), (4L, 10L), (5L, 10L),
+      (6L, 14L), (7L, 14L), (8L, 14L))
+      .map { case (b, n) => ("a", b, n) }.toDF("k", "bucket", "n")
+    val got = Timeseries.cusumShifts(counts, "k", "bucket", "n",
+        warmup = 3, slack = 1L, threshold = 5L)
+      .orderBy(col("bucket"))
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long],
+        Option[Boolean], Option[Boolean])].collect().toSeq
+    assert(got.map(_._4).forall(_ === Some(10L))) // μ on every row
+    assert(got.map(_._5) === Seq(None, None, None, Some(0L), Some(0L),
+      Some(3L), Some(6L), Some(9L)))
+    assert(got.map(_._7) === Seq(None, None, None, Some(false), Some(false),
+      Some(false), Some(true), Some(true)))
+    assert(got.flatMap(_._8).forall(!_)) // no downward verdicts
+  }
+
+  test("cusum: a collapse drives the one-sided lower sum") {
+    val counts = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).map { case (b, n) => ("b", b, n) }.toDF("k", "bucket", "n")
+    val got = Timeseries.cusumShifts(counts, "k", "bucket", "n",
+        warmup = 3, slack = 1L, threshold = 5L)
+      .orderBy(col("bucket"))
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long],
+        Option[Boolean], Option[Boolean])].collect().toSeq
+    assert(got.map(_._6) === Seq(None, None, None, Some(5L), Some(10L),
+      Some(15L)))
+    assert(got.map(_._8) === Seq(None, None, None, Some(false), Some(true),
+      Some(true)))
+  }
+
+  test("cusum: a key shorter than the warmup gets no reference and no verdicts") {
+    val counts = Seq(("c", 1L, 7L), ("c", 2L, 8L)).toDF("k", "bucket", "n")
+    val got = Timeseries.cusumShifts(counts, "k", "bucket", "n",
+        warmup = 3, slack = 1L, threshold = 5L)
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long],
+        Option[Boolean], Option[Boolean])].collect().toSeq
+    assert(got.forall(r => r._4.isEmpty && r._5.isEmpty && r._7.isEmpty))
+  }
 }

@@ -56,6 +56,54 @@ class ZoneMapsSpec extends SparkSpec {
     assert(got.count() === 0L)
   }
 
+  test("incremental update scans only new files and equals a rebuild") {
+    val dir = tmp()
+    (0L until 50L).map(i => (i, s"a$i")).toDF("k", "s")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val m1 = ZoneMaps.build(spark, dir, Seq("k"))
+      .localCheckpoint(eager = true) // freeze before the append
+    (50L until 120L).map(i => (i, s"b$i")).toDF("k", "s")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val updated = ZoneMaps.update(spark, dir, m1, Seq("k"))
+    val rebuilt = ZoneMaps.build(spark, dir, Seq("k"))
+    assert(updated.orderBy("file").collect().toSeq ===
+      rebuilt.orderBy("file").collect().toSeq)
+    // update on an already-current manifest is the identity
+    val again = ZoneMaps.update(spark, dir, updated.localCheckpoint(true),
+      Seq("k"))
+    assert(again.orderBy("file").collect().toSeq ===
+      rebuilt.orderBy("file").collect().toSeq)
+  }
+
+  test("update drops manifest rows for files that disappeared") {
+    val dir = tmp()
+    (0L until 40L).map(i => (i, i)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    (40L until 80L).map(i => (i, i)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val m1 = ZoneMaps.build(spark, dir, Seq("k"))
+      .localCheckpoint(eager = true)
+    assert(m1.count() === 2L)
+    // simulate compaction/retention: remove the file holding k<40
+    val victim = m1.orderBy("k_min").select("file").collect()
+      .head.getString(0)
+    assert(new java.io.File(new java.net.URI(victim).getPath).delete())
+    val updated = ZoneMaps.update(spark, dir, m1, Seq("k"))
+    assert(updated.count() === 1L)
+    assert(updated.select("k_min").collect().head.getLong(0) === 40L)
+  }
+
+  test("update fails loudly on a zone-schema mismatch") {
+    val dir = tmp()
+    (0L until 10L).map(i => (i, i)).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    val m = ZoneMaps.build(spark, dir, Seq("k"))
+    val ex = intercept[IllegalArgumentException] {
+      ZoneMaps.update(spark, dir, m, Seq("v"))
+    }
+    assert(ex.getMessage.contains("zone schema"))
+  }
+
   test("partition-directory columns survive the pruned read") {
     val dir = tmp()
     (0L until 200L).map(i => (i, s"d${i % 2}")).toDF("k", "day")
