@@ -430,6 +430,72 @@ object StreamingViews {
       }
   }
 
+  /** Per-key CUSUM state: the warmup accumulator until μ exists, then
+    * the two one-sided sums — plus the unsealed bucket counts. */
+  case class CusumState(warmCount: Int, warmSum: Long, mu: Option[Long],
+                        sPos: Long, sNeg: Long, pending: Map[Long, Long])
+  case class CusumPoint(key: Long, bucket: Long, n: Long, mu: Option[Long],
+                        sPos: Option[Long], sNeg: Option[Long],
+                        shiftUp: Option[Boolean], shiftDown: Option[Boolean])
+
+  /** Streaming [[graft.ops.Timeseries.cusumShifts]]: buckets seal at
+    * the watermark IN ORDER (the [[streamingEwma]] discipline — the
+    * fold is sequential) and feed the same integer CUSUM — μ from the
+    * first `warmup` sealed buckets, then `S⁺/S⁻` accumulate and flag.
+    * Equal to the batch fold over the admitted events on every sum and
+    * verdict column (StreamingSpec); the ONE divergence is μ on warmup
+    * rows — batch backfills it retroactively, the stream cannot know
+    * it yet, and both leave the sums/verdicts null there. State per
+    * key is three longs + the in-horizon pending counts. */
+  def streamingCusum(events: Dataset[ActivityEvent], bucketMillis: Long,
+                     warmup: Int, slack: Long, threshold: Long,
+                     watermarkDelay: String = "0 milliseconds")
+      : Dataset[CusumPoint] = {
+    import events.sparkSession.implicits._
+    require(warmup >= 1, s"warmup must be positive: $warmup")
+    require(slack >= 0L, s"slack must be non-negative: $slack")
+    require(threshold >= 1L, s"threshold must be positive: $threshold")
+    events
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[ActivityEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[ActivityEvent], state: GroupState[CusumState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st = state.getOption
+            .getOrElse(CusumState(0, 0L, None, 0L, 0L, Map.empty))
+          val pending = rows.filter(_.tsMillis >= wm).foldLeft(st.pending) {
+            (m, r) =>
+              val b = r.tsMillis / bucketMillis
+              m.updated(b, m.getOrElse(b, 0L) + 1L)
+          }
+          val (ripe, open) =
+            pending.partition { case (b, _) => (b + 1L) * bucketMillis <= wm }
+          var (wc, ws, mu, sp, sn) =
+            (st.warmCount, st.warmSum, st.mu, st.sPos, st.sNeg)
+          val out = ripe.keys.toSeq.sorted.map { b =>
+            val n = ripe(b)
+            if (mu.isEmpty) {
+              wc += 1; ws += n
+              if (wc == warmup) mu = Some(ws / warmup)
+              CusumPoint(key, b, n, None, None, None, None, None)
+            } else {
+              sp = math.max(0L, sp + n - mu.get - slack)
+              sn = math.max(0L, sn + mu.get - n - slack)
+              CusumPoint(key, b, n, mu, Some(sp), Some(sn),
+                Some(sp > threshold), Some(sn > threshold))
+            }
+          }
+          state.update(CusumState(wc, ws, mu, sp, sn, open))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              (open.keys.min + 1L) * bucketMillis, wm + 1))
+          out.iterator
+      }
+  }
+
   case class SegmentEvent(seg: String, userId: Long, tsMillis: Long)
   /** One in-flight (segment, bucket) theta sketch — DataSketches
     * updatable serialization, O(2^lgK) bytes at any key cardinality. */

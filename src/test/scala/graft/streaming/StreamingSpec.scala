@@ -978,4 +978,72 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
       assert(rows.last._2 === "https://new.com/p")
     } finally q.stop()
   }
+
+  test("streamingCusum seals buckets in order and equals the batch fold") {
+    import StreamingViews.ActivityEvent
+    val dir = Files.createTempDirectory("graft_stream_cusum").toString
+    // key 1: buckets 0..4 with counts 2, 2, 3, 3, 3 — warmup 2 pins
+    // mu = 2, then the persistent +1 shift accumulates S+ = 1, 2, 3 and
+    // crosses threshold 2 at bucket 4; bucket 3's events arrive out of
+    // order in batch 2. key 2 never completes warmup.
+    val b1 = Seq(
+      ActivityEvent(1L, 10L), ActivityEvent(1L, 90L),   // bucket 0: 2
+      ActivityEvent(1L, 110L), ActivityEvent(1L, 150L), // bucket 1: 2
+      ActivityEvent(1L, 210L), ActivityEvent(1L, 220L), // bucket 2 part
+      ActivityEvent(2L, 50L))                           // key 2, bucket 0
+    val b2 = Seq(
+      ActivityEvent(1L, 230L),                          // bucket 2: 3
+      ActivityEvent(1L, 310L), ActivityEvent(1L, 320L), // bucket 3: 3
+      ActivityEvent(1L, 330L),
+      ActivityEvent(1L, 410L), ActivityEvent(1L, 420L), // bucket 4: 3
+      ActivityEvent(1L, 430L))
+    b1.toDF().write.parquet(s"$dir/in")
+    Thread.sleep(1100)
+    b2.toDF().write.mode("append").parquet(s"$dir/in")
+    val stream = StreamingViews.fileStream(spark, s"$dir/in",
+      b1.toDF().schema).as[ActivityEvent]
+    val out = StreamingViews.streamingCusum(stream, bucketMillis = 100L,
+      warmup = 2, slack = 0L, threshold = 2L, watermarkDelay = "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("scusum").start()
+    try {
+      q.processAllAvailable()
+      Seq(ActivityEvent(99L, 100000000L)) // advance the watermark
+        .toDF().write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      def emitted() = spark.table("scusum").where(col("key") < 99)
+        .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long],
+          Option[Boolean], Option[Boolean])]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+      var got = emitted()
+      while (got.size < 6 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        q.processAllAvailable()
+        got = emitted()
+      }
+      // batch replay over the same admitted events; the one documented
+      // divergence is mu on warmup rows (the stream cannot know it yet)
+      val batch = graft.ops.Timeseries.cusumShifts(
+          graft.ops.Timeseries.bucketCounts(
+            (b1 ++ b2).map(e => (e.userId, e.tsMillis)).toDF("k", "tn"),
+            "k", "tn", bucketNanos = 100L),
+          "k", "bucket", "n", warmup = 2, slack = 0L, threshold = 2L)
+        .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long],
+          Option[Boolean], Option[Boolean])]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+        .map(r => if (r._5.isEmpty) r.copy(_4 = None) else r)
+      assert(got === batch)
+      // hand-checked: S+ = 1, 2, 3 over buckets 2..4; threshold 2
+      // crossed only at bucket 4
+      val k1 = got.filter(_._1 == 1L)
+      assert(k1.map(_._5) ===
+        Seq(None, None, Some(1L), Some(2L), Some(3L)))
+      assert(k1.map(_._7) ===
+        Seq(None, None, Some(false), Some(false), Some(true)))
+      // key 2 never warms up: no mu, no sums, no verdicts
+      val k2 = got.filter(_._1 == 2L).head
+      assert(k2._4 === None && k2._5 === None && k2._7 === None)
+    } finally q.stop()
+  }
 }
