@@ -1339,6 +1339,40 @@ object TextQueries {
             col("freq_est") <= col("n_exact") +
               ceil(lit(eps) * col("ntot")).cast("long")).as("cms_ok"))
         .orderBy(col("bucket"), col("token"))
+    }),
+
+    // ───── Misra–Gries frequent items (the sketch that FINDS the heavy
+    // tokens — CMS only answers point queries about tokens the caller
+    // already knows). Two regimes in one gate: the fixture vocabulary
+    // (31 tokens) ≤ k=64 means no trim can ever fire, so the two-level
+    // shard→merge build is provably order-free exact sums — `mg_exact`
+    // is a bit-exact VALUE column the oracle replays as the true count;
+    // k=16 < vocabulary forces real trims on every partial, and its
+    // column carries the deterministic MG guarantee (est ≤ true,
+    // true − est ≤ N/(k+1), heavy ⇒ present) as pinned verdicts — the
+    // q130/q156 bounded-anchor pattern. FreqItemsSpec hammers the trim
+    // path on skewed randomized data ─────
+    "q201_mg_heavy_hitters" -> ((s, d) => {
+      import graft.udafs.FreqItems
+      val tok = Tables.documents(s, d).select((col("doc_id") % 4).as("shard"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+      val total = exact.agg(sum(col("n_exact")).as("n_total"))
+      val merged64 = tok.groupBy(col("shard"))
+        .agg(FreqItems.mgAgg(col("token"), lit(1L), 64).as("mg"))
+        .agg(FreqItems.mgMergeAgg(col("mg"), 64).as("mg64"))
+      val mg16 = tok.agg(FreqItems.mgAgg(col("token"), lit(1L), 16).as("mg16"))
+      val est16 = coalesce(element_at(col("mg16"), col("token")), lit(0L))
+      exact.crossJoin(broadcast(merged64)).crossJoin(broadcast(mg16))
+        .crossJoin(broadcast(total))
+        .select(col("token"), col("n_exact"),
+          element_at(col("mg64"), col("token")).as("mg_exact"),
+          (est16 <= col("n_exact") &&
+            col("n_exact") - est16 <= expr("n_total div 17") &&
+            (col("n_exact") <= expr("n_total div 17") ||
+              element_at(col("mg16"), col("token")).isNotNull))
+            .as("mg_bounds_ok"))
+        .orderBy(col("token"))
     })
   )
 
@@ -3737,7 +3771,17 @@ object TextQueries {
           LEFT JOIN pb ON pb.token = wt.token
             AND pb.bucket BETWEEN w.wend - 3 AND w.wend
           GROUP BY w.wend, wt.token
-          ORDER BY bucket, wt.token"""
+          ORDER BY bucket, wt.token""",
+    // exact per-token replay; mg_exact is bit-exact (k ≥ vocabulary ⇒
+    // Misra–Gries never trims ⇒ counters are true counts) and
+    // mg_bounds_ok is the pinned deterministic MG guarantee
+    "q201_mg_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest($toks) AS token FROM documents),
+          c AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+                FROM t GROUP BY token)
+          SELECT token, n_exact, n_exact AS mg_exact,
+            TRUE AS mg_bounds_ok
+          FROM c ORDER BY token"""
   )
 
   /** q136/q137's shared replay — the prebuilt path must emit the exact

@@ -695,6 +695,69 @@ object StreamingViews {
       }
   }
 
+  /** One in-flight per-bucket Misra–Gries summary (≤ k counters). */
+  case class BucketMgState(summary: Map[String, Long])
+  /** A watermark-sealed per-bucket frequent-items summary. Maps are
+    * [[graft.udafs.FreqItems.mgMergeAgg]]-compatible with batch
+    * artifacts built under the same k. */
+  case class SealedBucketMg(bucket: Long, summary: Map[String, Long])
+
+  /** Streaming producer of per-bucket Misra–Gries frequent-items
+    * summaries — the HEAVY-HITTER family's streaming twin (HLL actives,
+    * theta segments, CMS frequencies, EWMA, CUSUM and KLL quantiles all
+    * have one): docs tokenize statelessly with the same
+    * `TextOps.tokens` expression the batch aggregator consumes, each
+    * token fans to its time bucket, and one ≤ k-counter summary per
+    * in-flight bucket accumulates until the event-time watermark seals
+    * it. The deterministic MG guarantee (est ≤ true, true − est ≤
+    * N_bucket/(k+1), heavy ⇒ present) is ORDER-FREE, so it holds for
+    * sealed buckets regardless of arrival order; while a bucket's
+    * vocabulary stays ≤ k no trim fires and the sealed summary is
+    * bit-exact equal to a batch [[graft.udafs.FreqItems.mgAgg]] build
+    * over the same admitted docs (spec-pinned — the KLL below-capacity
+    * convention). Late rows below the watermark drop (append mode
+    * cannot retract). State per in-flight bucket is AT MOST k counters
+    * at any token volume. */
+  def streamingTokenHeavyHitters(docs: DataFrame, textCol: String,
+                                 tsCol: String, bucketMillis: Long, k: Int,
+                                 watermarkDelay: String = "0 milliseconds")
+      : Dataset[SealedBucketMg] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"summary size must be positive: $k")
+    docs
+      .withColumn("eventTime", timestamp_millis(col(tsCol).cast("long")))
+      .withWatermark("eventTime", watermarkDelay)
+      .select(explode(graft.text.TextOps.tokens(col(textCol))).as("token"),
+        col(tsCol).cast("long").as("tsMillis"), col("eventTime"))
+      .as[TokenFreqEvent]
+      .groupByKey(e => Math.floorDiv(e.tsMillis, bucketMillis))
+      .flatMapGroupsWithState[BucketMgState, SealedBucketMg](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bucket: Long, rows: Iterator[TokenFreqEvent],
+         state: GroupState[BucketMgState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val sealAt = (bucket + 1L) * bucketMillis
+          val summary = rows.filter(_.tsMillis >= wm)
+            .foldLeft(state.getOption.map(_.summary).getOrElse(Map.empty)) {
+              (m, r) => graft.udafs.FreqItems.trim(
+                m.updated(r.token, m.getOrElse(r.token, 0L) + 1L), k)
+            }
+          if (wm >= sealAt) {
+            state.remove()
+            if (summary.isEmpty) Iterator.empty
+            else Iterator.single(SealedBucketMg(bucket, summary))
+          } else if (summary.isEmpty) {
+            state.remove()
+            Iterator.empty
+          } else {
+            state.update(BucketMgState(summary))
+            state.setTimeoutTimestamp(math.max(sealAt, wm + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Input row of [[streamingScd2]]. */
   case class ChangeEvent(key: Long, tsMillis: Long, attr: String)
   /** Per-key SCD2 state: the currently-open interval + the in-horizon

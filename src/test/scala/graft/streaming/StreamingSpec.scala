@@ -826,6 +826,52 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     } finally q.stop()
   }
 
+  test("streamingTokenHeavyHitters seals per-bucket MG summaries equal to batch") {
+    val dir = Files.createTempDirectory("graft_stream_mg").toString
+    // two 100ms buckets; one out-of-order bucket-0 doc arrives in batch 2;
+    // per-bucket vocabulary ≤ k ⇒ the exact regime — sealed summaries must
+    // be bit-exact equal to a batch per-bucket mgAgg build
+    val b1 = Seq(("alpha beta beta", 10L), ("gamma alpha", 150L))
+    val b2 = Seq(("beta gamma gamma", 60L), ("delta", 160L))
+    b1.toDF("text", "ts").write.parquet(s"$dir/in")
+    Thread.sleep(1100)
+    b2.toDF("text", "ts").write.mode("append").parquet(s"$dir/in")
+    val stream = StreamingViews.fileStream(spark, s"$dir/in",
+      b1.toDF("text", "ts").schema)
+    val out = StreamingViews.streamingTokenHeavyHitters(stream, "text", "ts",
+      bucketMillis = 100L, k = 8, watermarkDelay = "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("smg").start()
+    try {
+      q.processAllAvailable()
+      Seq(("zz", 100000000L)) // advance the watermark
+        .toDF("text", "ts").write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      def emitted() = spark.table("smg").where(col("bucket") < 1000L)
+      var got = emitted().count()
+      while (got < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        q.processAllAvailable()
+        got = emitted().count()
+      }
+      val sealedMg = emitted().select(col("bucket"), col("summary"))
+        .as[(Long, Map[String, Long])].collect().toMap
+      assert(sealedMg === Map(
+        0L -> Map("alpha" -> 1L, "beta" -> 3L, "gamma" -> 2L),
+        1L -> Map("gamma" -> 1L, "alpha" -> 1L, "delta" -> 1L)))
+      // bit-exact vs the batch per-bucket build over the same docs
+      val batch = (b1 ++ b2).toDF("text", "ts")
+        .select(expr("ts div 100").as("bucket"),
+          explode(graft.text.TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("bucket"))
+        .agg(graft.udafs.FreqItems.mgAgg(col("token"), lit(1L), 8)
+          .as("summary"))
+        .as[(Long, Map[String, Long])].collect().toMap
+      assert(sealedMg === batch)
+    } finally q.stop()
+  }
+
   test("streamingBucketQuantileSketches seal to the batch KLL artifacts") {
     import StreamingViews.MeasureEvent
     val dir = Files.createTempDirectory("graft_stream_kll").toString
