@@ -485,7 +485,34 @@ object PipelineQueries {
           Seq("c_nationkey"), "c_mktsegment", k = 50, l = 5)
         .withColumnRenamed("rows", "n_rows") // `rows` is reserved in DuckDB
         .orderBy(col("c_nationkey")))
-  ) ++ graphBallQueries
+  ) ++ graphBallQueries ++ Map[String, (SparkSession, String) => DataFrame](
+
+    // ───── TextRank keyword extraction (Mihalcea & Tarau 2004):
+    // adjacent-token co-occurrence MULTIGRAPH (window 2, both
+    // directions — repeat co-occurrences keep their weight as parallel
+    // edges) → the SAME string-keyed integer PageRank q158 gates
+    // (withNodeIds dictionary + three unrolled iterations). Keyword
+    // salience for document tagging, composed entirely from gated
+    // operators; the oracle replays the pair construction and the
+    // iterations directly on the token strings ─────
+    "q202_textrank_keywords" -> ((s, d) => {
+      val pairs = Tables.documents(s, d)
+        .select(graft.text.TextOps.tokens(col("text")).as("ts"))
+        .where(size(col("ts")) >= 2)
+        .select(explode(expr(
+          """transform(slice(ts, 1, size(ts) - 1),
+             (t, i) -> struct(t as a, element_at(ts, i + 2) as b))"""))
+          .as("p"))
+      val e = pairs.select(col("p.a").as("src"), col("p.b").as("dst"))
+        .unionByName(pairs.select(col("p.b").as("src"), col("p.a").as("dst")))
+      val (mapped, dict) = graft.ops.Graphs.withNodeIds(e, "src", "dst")
+      graft.ops.Graphs.pageRankFixed(mapped, "src", "dst", iterations = 3)
+        .join(dict, col("node") === col("node_id"))
+        .select(col("node_key").as("token"), col("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("token"))
+        .limit(50)
+    })
+  )
 
   /** The q192 doubling-map digraph — shared by the SCC and
     * neighborhood/centrality gates (built once per caller). */
@@ -1207,6 +1234,46 @@ object PipelineQueries {
                    AS covered_pairs,
                  CAST(min(t.total) AS BIGINT) AS total_pairs
           FROM per, t WHERE per.covered * 1000 >= 600 * t.total"""
+    },
+    // the q158 unrolled iterations over the adjacent-token multigraph,
+    // directly on token strings — agreement proves both the pair
+    // construction and (again) that the hash dictionary is
+    // semantics-free
+    "q202_textrank_keywords" -> {
+      def step(prev: String, out: String): String =
+        s"""s$out AS (
+              SELECT e.dst, sum(r$prev.r // od.outdeg) AS s
+              FROM r$prev JOIN od ON od.src = r$prev.node
+              JOIN e ON e.src = od.src GROUP BY e.dst),
+            r$out AS (
+              SELECT node,
+                CAST(((1000 - 850) * 1000000000000) // 1000 // n
+                  + (850 * COALESCE(s, 0)) // 1000 AS BIGINT) AS r
+              FROM nodes CROSS JOIN nn
+              LEFT JOIN s$out ON s$out.dst = nodes.node)"""
+      s"""WITH tk AS (
+            SELECT regexp_split_to_array(trim(text), '\\s+') AS ts
+            FROM documents),
+          ad AS (
+            SELECT unnest(list_transform(range(1, len(ts)),
+              i -> {'a': ts[i], 'b': ts[i + 1]})) AS p
+            FROM tk WHERE len(ts) >= 2),
+          e0 AS (SELECT p['a'] AS src, p['b'] AS dst FROM ad),
+          e AS (SELECT src, dst FROM e0
+                UNION ALL SELECT dst, src FROM e0),
+          nodes AS (
+            SELECT DISTINCT src AS node FROM e
+            UNION SELECT DISTINCT dst FROM e),
+          nn AS (SELECT count(*) AS n FROM nodes),
+          od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                 FROM e GROUP BY 1),
+          r0 AS (SELECT node, 1000000000000 // n AS r
+                 FROM nodes CROSS JOIN nn),
+          ${step("0", "1")},
+          ${step("1", "2")},
+          ${step("2", "3")}
+          SELECT node AS token, r AS rank_micro FROM r3
+          ORDER BY rank_micro DESC, node LIMIT 50"""
     }
   )
 
