@@ -758,6 +758,76 @@ object StreamingViews {
       }
   }
 
+  /** One in-flight per-bucket AGMS counter grid + admitted-row count. */
+  case class BucketAgmsState(sketch: Array[Byte], n: Long)
+  /** A watermark-sealed per-bucket AGMS join-size sketch plus the
+    * sealed row count. Bytes are [[graft.udafs.JoinSize.deserialize]]-
+    * able and merge counter-wise with batch artifacts under the same
+    * (depth, width, seed). */
+  case class SealedBucketAgms(bucket: Long, sketch: Array[Byte], n: Long)
+
+  /** Streaming producer of per-bucket AGMS join-size sketches — the
+    * OPTIMIZER-STATISTICS family's streaming twin (HLL actives, theta
+    * segments, CMS frequencies, MG heavy hitters, EWMA, CUSUM and KLL
+    * quantiles all have one): each row's key updates one signed-counter
+    * grid per in-flight time bucket until the event-time watermark
+    * seals it. AGMS updates are signed SUMS — commutative and
+    * order-independent — so sealed per-bucket sketches merge
+    * counter-wise to BYTE-IDENTICAL artifacts vs a batch
+    * [[graft.udafs.JoinSize.agmsAgg]] build over the same admitted rows
+    * (spec-pinned, the CMS twin's exactness claim): the day's
+    * join-cardinality planning questions ("should this broadcast, is it
+    * skew-exploded") answer from kilobytes of streamed artifacts with
+    * no batch re-scan. Late rows below the watermark drop (append mode
+    * cannot retract). State per in-flight bucket is the fixed
+    * depth×width grid at any row volume. */
+  def streamingKeyAgms(rows: DataFrame, keyCol: String, tsCol: String,
+                       bucketMillis: Long, depth: Int, width: Int, seed: Int,
+                       watermarkDelay: String = "0 milliseconds")
+      : Dataset[SealedBucketAgms] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    import graft.udafs.JoinSize
+    rows
+      .withColumn("eventTime", timestamp_millis(col(tsCol).cast("long")))
+      .withWatermark("eventTime", watermarkDelay)
+      .select(col(keyCol).cast("string").as("token"),
+        col(tsCol).cast("long").as("tsMillis"), col("eventTime"))
+      .as[TokenFreqEvent]
+      .groupByKey(e => Math.floorDiv(e.tsMillis, bucketMillis))
+      .flatMapGroupsWithState[BucketAgmsState, SealedBucketAgms](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bucket: Long, rs: Iterator[TokenFreqEvent],
+         state: GroupState[BucketAgmsState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val sealAt = (bucket + 1L) * bucketMillis
+          val (counters, n0) = state.getOption
+            .map(s => (JoinSize.deserialize(s.sketch)._4, s.n))
+            .getOrElse((new Array[Long](depth * width), 0L))
+          var n = n0
+          rs.filter(_.tsMillis >= wm).foreach { r =>
+            if (r.token != null) {
+              JoinSize.addInto(counters, r.token, 1L, depth, width, seed)
+              n += 1L
+            }
+          }
+          def bytes(): Array[Byte] =
+            JoinSize.serialize(depth, width, seed, counters)
+          if (wm >= sealAt) {
+            state.remove()
+            if (n == 0L) Iterator.empty
+            else Iterator.single(SealedBucketAgms(bucket, bytes(), n))
+          } else if (n == 0L) {
+            state.remove()
+            Iterator.empty
+          } else {
+            state.update(BucketAgmsState(bytes(), n))
+            state.setTimeoutTimestamp(math.max(sealAt, wm + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Input row of [[streamingScd2]]. */
   case class ChangeEvent(key: Long, tsMillis: Long, attr: String)
   /** Per-key SCD2 state: the currently-open interval + the in-horizon

@@ -61,6 +61,20 @@ object JoinSize {
     (d, w, s, c)
   }
 
+  /** Add `n` occurrences of `key` into a raw counter array — the single
+    * update primitive [[AgmsAgg]] and the streaming producer share
+    * (updates are signed SUMS: commutative, so arrival order and
+    * raw-vs-precounted feeding land identical counters). */
+  private[graft] def addInto(counters: Array[Long], key: String, n: Long,
+                             depth: Int, width: Int, seed: Int): Unit = {
+    var r = 0
+    while (r < depth) {
+      val h = hash(key, seed, r)
+      counters(r * width + bucketOf(h, width)) += signOf(h) * n
+      r += 1
+    }
+  }
+
   /** Per-group AGMS sketch from exact `(key, count)` rows. `depth` must
     * be odd (the estimator is the median over rows — an even middle
     * would interpolate and break integer replay). */
@@ -70,14 +84,7 @@ object JoinSize {
     require(width >= 2, s"width must be >= 2: $width")
     def zero: Array[Long] = new Array[Long](depth * width)
     def reduce(b: Array[Long], in: (String, Long)): Array[Long] = {
-      if (in != null && in._1 != null) {
-        var r = 0
-        while (r < depth) {
-          val h = hash(in._1, seed, r)
-          b(r * width + bucketOf(h, width)) += signOf(h) * in._2
-          r += 1
-        }
-      }
+      if (in != null && in._1 != null) addInto(b, in._1, in._2, depth, width, seed)
       b
     }
     def merge(a: Array[Long], b: Array[Long]): Array[Long] = {

@@ -826,6 +826,61 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     } finally q.stop()
   }
 
+  test("streamingKeyAgms seals byte-identical join-size artifacts") {
+    import graft.udafs.JoinSize
+    val dir = Files.createTempDirectory("graft_stream_agms").toString
+    // two 100ms buckets; one out-of-order bucket-0 row arrives in batch 2
+    val b1 = Seq(("k1", 10L), ("k2", 40L), ("k1", 150L))
+    val b2 = Seq(("k3", 60L), ("k2", 160L), ("k2", 170L))
+    b1.toDF("key", "ts").write.parquet(s"$dir/in")
+    Thread.sleep(1100)
+    b2.toDF("key", "ts").write.mode("append").parquet(s"$dir/in")
+    val stream = StreamingViews.fileStream(spark, s"$dir/in",
+      b1.toDF("key", "ts").schema)
+    val (depth, width, seed) = (5, 16, 7)
+    val out = StreamingViews.streamingKeyAgms(stream, "key", "ts",
+      bucketMillis = 100L, depth, width, seed,
+      watermarkDelay = "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sagms").start()
+    try {
+      q.processAllAvailable()
+      Seq(("zz", 100000000L)) // advance the watermark
+        .toDF("key", "ts").write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      def emitted() = spark.table("sagms").where(col("bucket") < 1000L)
+      var got = emitted().count()
+      while (got < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        q.processAllAvailable()
+        got = emitted().count()
+      }
+      assert(emitted().select(col("bucket"), col("n"))
+        .as[(Long, Long)].collect().toSet === Set((0L, 3L), (1L, 3L)))
+      // AGMS counters are signed sums — order-free and linear — so
+      // merging the sealed buckets counter-wise is BYTE-IDENTICAL to
+      // one batch build over the same rows
+      val sealedSketches = emitted().select(col("sketch"))
+        .as[Array[Byte]].collect()
+      val merged = sealedSketches.map(JoinSize.deserialize(_)._4)
+        .reduce { (a, b) =>
+          var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+        }
+      val batch = (b1 ++ b2).toDF("key", "ts")
+        .groupBy(col("key")).agg(count(lit(1)).as("c"))
+        .agg(JoinSize.agmsAgg(col("key"), col("c"), depth, width, seed)
+          .as("sk"))
+        .as[Array[Byte]].head()
+      assert(java.util.Arrays.equals(
+        JoinSize.serialize(depth, width, seed, merged), batch))
+      // the merged artifact answers the planning question: its self
+      // inner product is the exact F2 = 2² + 3² + 1² = 14 (median over
+      // 5 rows under the fixed seed — deterministic)
+      assert(JoinSize.estimateF2(batch) === 14L)
+    } finally q.stop()
+  }
+
   test("streamingTokenHeavyHitters seals per-bucket MG summaries equal to batch") {
     val dir = Files.createTempDirectory("graft_stream_mg").toString
     // two 100ms buckets; one out-of-order bucket-0 doc arrives in batch 2;
