@@ -278,4 +278,34 @@ object Relational {
     filled.where(col("__side") === 1)
       .select(leftCols.map(col) ++ payload.map(p => col(s"__p.$p").as(p)): _*)
   }
+
+  /** Skew-splitting equi-join: the `big` side takes a uniform salt in
+    * `[0, salt)`, the `small` side replicates once per salt value, and
+    * the join keys on `keys :+ salt` — a hot key's rows spread over
+    * `salt` reducers instead of wedging one. The RESULT is provably the
+    * plain join (each big row carries exactly ONE salt and the small
+    * side covers all of them, so every matching pair appears exactly
+    * once; `rand`'s nondeterminism never reaches the output). Price:
+    * the small side shuffles ×salt — size salt to the hot key's needed
+    * split, not higher. When to reach for it at 100 TB: AQE's skew-join
+    * handling only rewrites SORT-MERGE joins at stage boundaries; a
+    * skewed stream-static join, a bucketed join AQE won't touch, or a
+    * hot-key hash join inside a cached plan needs the explicit split.
+    * Inner and left joins (a big row without a match survives exactly
+    * once — its single salt row misses). */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 salt: Int, joinType: String = "inner"): DataFrame = {
+    require(salt >= 1, s"salt must be positive: $salt")
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"saltedJoin supports inner/left joins, got: $joinType " +
+        "(a right/full join's unmatched SMALL rows would appear once per salt)")
+    val clash = (big.columns ++ small.columns).filter(_ == "__salt").distinct
+    require(clash.isEmpty,
+      "column __salt collides with saltedJoin's working column — rename it")
+    val b = big.withColumn("__salt",
+      floor(rand(0) * salt).cast("int"))
+    val sm = small.withColumn("__salt",
+      explode(typedLit((0 until salt).toVector)))
+    b.join(sm, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

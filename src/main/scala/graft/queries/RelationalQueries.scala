@@ -610,6 +610,25 @@ object RelationalQueries {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // ───── skew-splitting salted join: the hot-key shape AQE's
+    // skew-join rewrite can't always reach (it only splits sort-merge
+    // stages). The big side takes one uniform salt, the small side
+    // replicates per salt value, the join keys on (key, salt) — a hot
+    // part's line items spread over 8 reducers. The plain-join oracle
+    // gates it because the result is provably salt-invariant: each big
+    // row carries exactly ONE salt and the small side covers all of
+    // them, so rand's nondeterminism never reaches the output ─────
+    "q203_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"))
+      val p = Tables.part(s, d)
+        .select(col("p_partkey").as("l_partkey"), col("p_type"))
+      graft.ops.Relational.saltedJoin(li, p, Seq("l_partkey"), salt = 8)
+        .groupBy(col("p_type"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"))
+        .orderBy(col("p_type"))
+    }),
+
     // ───── robust outlier screen: per-part order quantities against
     // the median/MAD fence (exact lower-median order statistics — no
     // interpolated doubles on either engine); only flagged rows ship ─────
@@ -1391,6 +1410,12 @@ object RelationalQueries {
          FROM s LEFT JOIN mu ON mu.k = s.k
                 LEFT JOIN f ON f.k = s.k AND f.i = s.i
          ORDER BY event_type, bucket""",
+    // the plain join — the salted rewrite is provably result-invariant
+    "q203_salted_join" ->
+      """SELECT p_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         GROUP BY p_type ORDER BY p_type""",
     // the two lower medians replayed as rank-(⌈n/2⌉) order statistics
     "q184_mad_outliers" ->
       """WITH v AS (SELECT l_partkey AS k, CAST(l_quantity AS BIGINT) AS v

@@ -370,4 +370,48 @@ class RelationalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("__b"))
   }
+
+  test("saltedJoin equals the plain join: inner, left, dup keys, hot key") {
+    val rnd = new scala.util.Random(77)
+    // a hot key (0) plus a long tail; duplicate keys on BOTH sides so
+    // pair multiplicity is exercised, and keys with no match either way
+    val big = (0 until 500).map { i =>
+      (i.toLong, if (rnd.nextBoolean()) 0L else rnd.nextInt(20).toLong)
+    }
+    val small = (0 until 40).map { j =>
+      (rnd.nextInt(15).toLong, s"v$j")
+    }
+    for (jt <- Seq("inner", "left")) {
+      val got = graft.ops.Relational.saltedJoin(
+          big.toDF("id", "key"), small.toDF("key", "payload"),
+          Seq("key"), salt = 7, joinType = jt)
+        .select(col("id"), col("payload"))
+        .as[(Long, Option[String])].collect().sorted
+      val want = big.toDF("id", "key")
+        .join(small.toDF("key", "payload"), Seq("key"), jt)
+        .select(col("id"), col("payload"))
+        .as[(Long, Option[String])].collect().sorted
+      assert(got.toSeq === want.toSeq, jt)
+    }
+    // the physical join keys on the salt: the exchange spreads a hot
+    // key over `salt` partitions instead of wedging one reducer
+    val plan = graft.ops.Relational.saltedJoin(
+        big.toDF("id", "key"), small.toDF("key", "payload"),
+        Seq("key"), salt = 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), plan.take(500))
+    // guards: bad salt, unsupported join type, working-column collision
+    assert(intercept[IllegalArgumentException] {
+      graft.ops.Relational.saltedJoin(big.toDF("id", "key"),
+        small.toDF("key", "payload"), Seq("key"), salt = 0)
+    }.getMessage.contains("salt"))
+    assert(intercept[IllegalArgumentException] {
+      graft.ops.Relational.saltedJoin(big.toDF("id", "key"),
+        small.toDF("key", "payload"), Seq("key"), 4, joinType = "right")
+    }.getMessage.contains("right"))
+    assert(intercept[IllegalArgumentException] {
+      graft.ops.Relational.saltedJoin(big.toDF("id", "__salt"),
+        small.toDF("key", "payload"), Seq("key"), 4)
+    }.getMessage.contains("__salt"))
+  }
 }
