@@ -855,6 +855,92 @@ object Graphs {
     acc
   }
 
+  /** Stress centrality from sampled sources (the INTEGER member of the
+    * Brandes 1982/2001 family): `stress(v) = Σ_{s∈sources, t} σ_st(v)`,
+    * the number of shortest s→t paths passing THROUGH v — the
+    * load-bearing-junction signal betweenness normalizes, kept in exact
+    * longs so the gate is bit-replayable (betweenness's σ_sv/σ_st
+    * ratios are rationals; stress is the same two-pass algorithm
+    * without the division). Two passes per the classic scheme:
+    *
+    *  1. forward BFS from all sources at once: `dist(s,v)` and the
+    *     path counts `σ(s,v)` (sum of predecessor σ, level by level);
+    *  2. backward over each source's shortest-path DAG:
+    *     `p(v) = Σ_{v→w ∈ DAG} (1 + p(w))` — the number of DAG paths
+    *     leaving v (each ends at some t≠v, all of them shortest-path
+    *     segments) — then `stress(v) = Σ_s σ(s,v)·p_s(v)` over interior
+    *     rows (v ≠ s).
+    *
+    * `maxDepth` truncates both passes (the deterministic-replay cap,
+    * [[shortestPaths]]' `maxIter` role): pairs farther than `maxDepth`
+    * hops from their source don't contribute — exact once it clears
+    * the sampled eccentricities. Parallel edges are collapsed
+    * (`distinct` — σ counts paths in the SIMPLE digraph; a doubled
+    * edge row must not double the count) and self-loops never lie on a
+    * shortest path. Sampled sources is the honest 100 TB shape
+    * (Brandes–Pich 2007): exact all-sources stress is Θ(n·m); a seed
+    * sample bounds the forward state to |S|·n rows keyed on (source,
+    * node), every join node-keyed, each level checkpointed. Returns
+    * `(node, stress)` for interior nodes only (stress ≥ 1). */
+  def stressCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                       sources: DataFrame, sourceCol: String,
+                       maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be positive: $maxDepth")
+    val raw = edges.select(tryLong(srcCol).as("src"), tryLong(dstCol).as("dst"))
+      .localCheckpoint(eager = true)
+    val badIds = raw.where(col("src").isNull || col("dst").isNull).count()
+    require(badIds == 0L,
+      s"$badIds edge rows have null node ids after the long cast " +
+        "— string node keys? map them through Graphs.withNodeIds first")
+    val e = raw.where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(eager = true)
+    var settled = sources.select(tryLong(sourceCol).as("s")).distinct()
+      .select(col("s"), col("s").as("v"), lit(0).as("dist"),
+        lit(1L).as("sigma"))
+      .localCheckpoint(eager = true)
+    require(settled.where(col("s").isNull).isEmpty,
+      "source ids must cast to non-null longs — map string keys through " +
+        "Graphs.withNodeIds first")
+    for (l <- 0 until maxDepth) {
+      val frontier = settled.where(col("dist") === l)
+      val expanded = frontier.join(e, frontier("v") === e("src"))
+        .groupBy(col("s"), col("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("s"), col("dst").as("v"), lit(l + 1).as("dist"),
+          col("sigma"))
+      val fresh = expanded
+        .join(settled.select(col("s"), col("v")), Seq("s", "v"), "left_anti")
+      settled = settled.unionByName(fresh).localCheckpoint(eager = true)
+    }
+    // each source's shortest-path DAG: v at level d → w at level d+1
+    val y = settled.select(col("s").as("ys"), col("v").as("yv"),
+      col("dist").as("ydist"))
+    val dagE = settled.join(e, settled("v") === e("src"))
+      .join(y, col("ys") === col("s") && col("yv") === e("dst") &&
+        col("ydist") === col("dist") + 1)
+      .select(col("s"), col("v"), col("yv").as("w"), col("dist"))
+      .localCheckpoint(eager = true)
+    var pLevel = settled.select(col("s"), col("v"), lit(0L).as("p")).limit(0)
+      .localCheckpoint(eager = true)
+    var pAll = pLevel
+    for (l <- (0 until maxDepth).reverse) {
+      val pw = pLevel.select(col("s").as("ps"), col("v").as("pv"),
+        col("p"))
+      val pThis = dagE.where(col("dist") === l)
+        .join(pw, col("ps") === col("s") && col("pv") === col("w"), "left")
+        .groupBy(col("s"), col("v"))
+        .agg(sum(lit(1L) + coalesce(col("p"), lit(0L))).as("p"))
+        .localCheckpoint(eager = true)
+      pAll = pAll.unionByName(pThis)
+      pLevel = pThis
+    }
+    settled.join(pAll, Seq("s", "v"))
+      .where(col("v") =!= col("s"))
+      .groupBy(col("v"))
+      .agg(sum(col("sigma") * col("p")).as("stress"))
+      .select(col("v").as("node"), col("stress"))
+  }
+
   /** HyperBall (Boldi & Vigna 2013): the neighborhood function by
     * HLL sketch — per node a ball sketch starts as {node} and each
     * round unions in the out-neighbors' balls, so after k rounds

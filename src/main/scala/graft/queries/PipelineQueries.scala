@@ -511,6 +511,20 @@ object PipelineQueries {
         .select(col("node_key").as("token"), col("rank_micro"))
         .orderBy(col("rank_micro").desc, col("token"))
         .limit(50)
+    }),
+
+    // ───── stress centrality from sampled sources over the q192
+    // doubling-map digraph: the integer Brandes two-pass (forward
+    // BFS path counts, backward DAG-path counts) — which junctions
+    // carry the shortest-path load. maxDepth 3 is the deterministic
+    // truncation cap the oracle replays level by level ─────
+    "q204_stress_centrality" -> ((s, d) => {
+      val g = ballGraph(s, d)
+      val seeds = g.select(col("src").as("seed"))
+        .where(col("seed") % 7 === 0).distinct()
+      graft.ops.Graphs.stressCentrality(g, "src", "dst", seeds, "seed",
+          maxDepth = 3)
+        .orderBy(col("node"))
     })
   )
 
@@ -1274,6 +1288,66 @@ object PipelineQueries {
           ${step("2", "3")}
           SELECT node AS token, r AS rank_micro FROM r3
           ORDER BY rank_micro DESC, node LIMIT 50"""
+    },
+    // the Brandes two-pass unrolled: three forward BFS levels with path
+    // counts (anti-joins keep first-reached levels), the shortest-path
+    // DAG, then backward DAG-path counts p2→p1→p0; stress = Σ σ·p over
+    // interior rows. MATERIALIZED where a CTE is referenced repeatedly
+    // (DuckDB inlines by default — the q164 fd-exhaustion lesson)
+    "q204_stress_centrality" -> {
+      s"""WITH ${ballGraphSql},
+          sd AS (SELECT DISTINCT src AS s FROM e0 WHERE src % 7 = 0),
+          d0 AS MATERIALIZED (
+            SELECT s, s AS v, 0 AS dist, CAST(1 AS BIGINT) AS sigma
+            FROM sd),
+          x1 AS MATERIALIZED (
+            SELECT d0.s, e.dst AS v, CAST(sum(d0.sigma) AS BIGINT) AS sigma
+            FROM d0 JOIN e ON e.src = d0.v GROUP BY 1, 2),
+          d1 AS MATERIALIZED (
+            SELECT x1.s, x1.v, 1 AS dist, x1.sigma
+            FROM x1 ANTI JOIN d0 ON d0.s = x1.s AND d0.v = x1.v),
+          x2 AS MATERIALIZED (
+            SELECT d1.s, e.dst AS v, CAST(sum(d1.sigma) AS BIGINT) AS sigma
+            FROM d1 JOIN e ON e.src = d1.v GROUP BY 1, 2),
+          s01 AS MATERIALIZED (
+            SELECT s, v FROM d0 UNION ALL SELECT s, v FROM d1),
+          d2 AS MATERIALIZED (
+            SELECT x2.s, x2.v, 2 AS dist, x2.sigma
+            FROM x2 ANTI JOIN s01 ON s01.s = x2.s AND s01.v = x2.v),
+          x3 AS MATERIALIZED (
+            SELECT d2.s, e.dst AS v, CAST(sum(d2.sigma) AS BIGINT) AS sigma
+            FROM d2 JOIN e ON e.src = d2.v GROUP BY 1, 2),
+          s012 AS MATERIALIZED (
+            SELECT s, v FROM s01 UNION ALL SELECT s, v FROM d2),
+          d3 AS MATERIALIZED (
+            SELECT x3.s, x3.v, 3 AS dist, x3.sigma
+            FROM x3 ANTI JOIN s012 ON s012.s = x3.s AND s012.v = x3.v),
+          alld AS MATERIALIZED (
+            SELECT * FROM d0 UNION ALL SELECT * FROM d1
+            UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3),
+          dage AS MATERIALIZED (
+            SELECT a.s, a.v, b.v AS w, a.dist
+            FROM alld a JOIN e ON e.src = a.v
+            JOIN alld b ON b.s = a.s AND b.v = e.dst
+              AND b.dist = a.dist + 1),
+          p2 AS MATERIALIZED (
+            SELECT s, v, CAST(count(*) AS BIGINT) AS p
+            FROM dage WHERE dist = 2 GROUP BY 1, 2),
+          p1 AS MATERIALIZED (
+            SELECT g.s, g.v,
+              CAST(sum(1 + COALESCE(p2.p, 0)) AS BIGINT) AS p
+            FROM dage g LEFT JOIN p2 ON p2.s = g.s AND p2.v = g.w
+            WHERE g.dist = 1 GROUP BY 1, 2),
+          p0 AS MATERIALIZED (
+            SELECT g.s, g.v,
+              CAST(sum(1 + COALESCE(p1.p, 0)) AS BIGINT) AS p
+            FROM dage g LEFT JOIN p1 ON p1.s = g.s AND p1.v = g.w
+            WHERE g.dist = 0 GROUP BY 1, 2),
+          pp AS (SELECT * FROM p0 UNION ALL SELECT * FROM p1
+                 UNION ALL SELECT * FROM p2)
+          SELECT a.v AS node, CAST(sum(a.sigma * pp.p) AS BIGINT) AS stress
+          FROM alld a JOIN pp ON pp.s = a.s AND pp.v = a.v
+          WHERE a.v <> a.s GROUP BY 1 ORDER BY node"""
     }
   )
 

@@ -697,4 +697,71 @@ class GraphsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1500L, 2L -> 1000L, 3L -> 0L))
   }
+
+  test("stressCentrality: hand-checked diamond, truncation, parallel-edge collapse") {
+    // diamond + tail: 1→{2,3}→4→5. From s=1: σ(4)=2 via two paths;
+    // stress — v2: (1-2-4) + (1-2-4-5) = 2; v3: 2; v4: paths to 5 via
+    // both branches = 2; v5 is never interior
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("seed")
+    val got = Graphs.stressCentrality(e, "src", "dst", seeds, "seed",
+        maxDepth = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(2L -> 2L, 3L -> 2L, 4L -> 2L))
+    // truncation at maxDepth 2: pairs beyond two hops (t=5) vanish —
+    // v2/v3 keep only their (s=1, t=4) path; v4 loses its only pair
+    val trunc = Graphs.stressCentrality(e, "src", "dst", seeds, "seed",
+        maxDepth = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(trunc === Map(2L -> 1L, 3L -> 1L))
+    // a doubled edge row must not double σ — paths count in the SIMPLE
+    // digraph
+    val dup = Graphs.stressCentrality(
+        e.union(Seq((1L, 2L)).toDF("src", "dst")), "src", "dst",
+        seeds, "seed", maxDepth = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(dup === got)
+  }
+
+  test("stressCentrality equals the brute-force model on a random digraph") {
+    val rnd = new scala.util.Random(42)
+    val n = 18
+    val edges = (for {
+      a <- 0 until n; b <- 0 until n
+      if a != b && rnd.nextDouble() < 0.12
+    } yield (a.toLong, b.toLong)).distinct
+    val srcs = Seq(0L, 3L, 7L)
+    val cap = 10 // > any eccentricity here: the exact regime
+    // brute force: BFS dist/σ from EVERY node, then the definition
+    def bfs(s: Int): (Array[Int], Array[Long]) = {
+      val dist = Array.fill(n)(-1); val sig = Array.fill(n)(0L)
+      dist(s) = 0; sig(s) = 1L
+      var frontier = List(s)
+      while (frontier.nonEmpty) {
+        val nxt = scala.collection.mutable.ListBuffer[Int]()
+        for (u <- frontier; (a, b) <- edges if a == u) {
+          val w = b.toInt
+          if (dist(w) == -1) { dist(w) = dist(u) + 1; nxt += w }
+          if (dist(w) == dist(u) + 1) sig(w) += sig(u)
+        }
+        frontier = nxt.distinct.toList
+      }
+      (dist, sig)
+    }
+    val all = (0 until n).map(bfs)
+    val want = (for {
+      s <- srcs.map(_.toInt); v <- 0 until n; t <- 0 until n
+      if v != s && v != t && t != s
+      (ds, ss) = all(s); (dv, sv) = all(v)
+      if ds(v) >= 0 && dv(t) >= 0 && ds(t) >= 0
+      if ds(t) <= cap && ds(v) + dv(t) == ds(t)
+    } yield (v.toLong, ss(v) * sv(t)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      .filter(_._2 > 0L)
+    val got = Graphs.stressCentrality(edges.toDF("src", "dst"),
+        "src", "dst", srcs.toDF("seed"), "seed", maxDepth = cap)
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
 }
