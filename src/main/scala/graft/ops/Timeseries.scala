@@ -304,6 +304,53 @@ object Timeseries {
           .as(Seq("token", "freq_est")))
   }
 
+  /** Per-bucket Misra–Gries summaries — the heavy-hitter analog of
+    * [[bucketTokenCms]] and the persistable daily artifact
+    * [[rollingHeavyHittersFromSummaries]] consumes: exact per-(bucket,
+    * token) counts collapse first (codegen'd, map-side combined), then
+    * one ≤ k-counter summary per bucket. */
+  def bucketTokenHeavyHitters(docs: DataFrame, textCol: String,
+                              bucketCol: String, k: Int): DataFrame =
+    docs
+      .select(col(bucketCol).cast("long").as("bucket"),
+        explode(graft.text.TextOps.tokens(col(textCol))).as("__w"))
+      .groupBy(col("bucket"), col("__w"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("bucket"))
+      .agg(graft.udafs.FreqItems.mgAgg(col("__w"), col("__n"), k)
+        .as("summary"))
+
+  /** Window a per-bucket Misra–Gries table (batch-built or
+    * streaming-sealed) into the rolling CANDIDATE set — the complement
+    * of [[rollingTokenFreqFromSketches]], which needs the caller to
+    * already know the watchlist: `(bucket, token, n_est)` per window
+    * end for every token the merged window summary retains. Same
+    * `sequence` fan-out, summary-sized input, one pointwise-sum+trim
+    * merge per window; raw events are never rescanned, so "what was
+    * trending this week" replays from ≤ k-entry daily artifacts alone.
+    * Estimates carry the deterministic MG guarantee over the window
+    * (never above the true windowed count, within N_window/(k+1) below,
+    * every token above that threshold present); while the window
+    * vocabulary stays ≤ k the candidate set IS the exact windowed
+    * count table. */
+  def rollingHeavyHittersFromSummaries(summaries: DataFrame,
+                                       bucketCol: String, summaryCol: String,
+                                       k: Int,
+                                       windowBuckets: Int): DataFrame = {
+    require(windowBuckets >= 1, "window must span at least one bucket")
+    val perBucket = summaries.select(col(bucketCol).cast("long").as("__b"),
+      col(summaryCol).as("__sk"))
+    val newest = perBucket.agg(max(col("__b")).as("__mb"))
+    perBucket.crossJoin(broadcast(newest))
+      .select(col("__sk"), explode(sequence(col("__b"),
+        least(col("__b") + lit(windowBuckets - 1L), col("__mb"))))
+        .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(graft.udafs.FreqItems.mgMergeAgg(col("__sk"), k).as("__m"))
+      .select(col("bucket"),
+        explode(col("__m")).as(Seq("token", "n_est")))
+  }
+
   /** CUSUM level-shift detection (Page 1954) — the changepoint shape
     * the EWMA/Holt family can't express: a SMALL persistent shift
     * (each bucket individually inside the spike band) accumulates in

@@ -1373,6 +1373,23 @@ object TextQueries {
               element_at(col("mg16"), col("token")).isNotNull))
             .as("mg_bounds_ok"))
         .orderBy(col("token"))
+    }),
+
+    // ───── rolling heavy-hitter candidates from per-bucket MG daily
+    // artifacts — the q166 rolling-CMS complement that needs NO
+    // watchlist: merged window summaries name the candidates
+    // themselves. k=64 ≥ the fixture vocabulary keeps every window in
+    // the exact regime, so the candidate table is BIT-EXACT the
+    // windowed count table (a stronger gate than q166's verdict
+    // columns); FreqItemsSpec carries the forced-trim regime ─────
+    "q205_rolling_heavy_hitters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(expr("doc_id div 50").as("bucket"), col("text"))
+      graft.ops.Timeseries.rollingHeavyHittersFromSummaries(
+          graft.ops.Timeseries.bucketTokenHeavyHitters(
+            docs, "text", "bucket", k = 64),
+          "bucket", "summary", k = 64, windowBuckets = 4)
+        .orderBy(col("bucket"), col("token"))
     })
   )
 
@@ -3781,7 +3798,26 @@ object TextQueries {
                 FROM t GROUP BY token)
           SELECT token, n_exact, n_exact AS mg_exact,
             TRUE AS mg_bounds_ok
-          FROM c ORDER BY token"""
+          FROM c ORDER BY token""",
+    // the exact windowed count table — k ≥ vocabulary pins the merged
+    // window summaries bit-exact (the q201 exact regime per window)
+    "q205_rolling_heavy_hitters" ->
+      s"""WITH dk AS (
+            SELECT doc_id // 50 AS bucket, unnest($toks) AS token
+            FROM documents),
+          pb AS (SELECT bucket, token, CAST(count(*) AS BIGINT) AS n
+                 FROM dk GROUP BY 1, 2),
+          mb AS (SELECT max(bucket) AS m FROM dk),
+          wins AS (
+            SELECT DISTINCT w AS wend FROM (
+              SELECT unnest(generate_series(bucket,
+                least(bucket + 3, (SELECT m FROM mb)))) AS w
+              FROM (SELECT DISTINCT bucket FROM dk)))
+          SELECT w.wend AS bucket, pb.token,
+            CAST(sum(pb.n) AS BIGINT) AS n_est
+          FROM wins w JOIN pb
+            ON pb.bucket BETWEEN w.wend - 3 AND w.wend
+          GROUP BY 1, 2 ORDER BY bucket, token"""
   )
 
   /** q136/q137's shared replay — the prebuilt path must emit the exact

@@ -924,6 +924,16 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
           .as("summary"))
         .as[(Long, Map[String, Long])].collect().toMap
       assert(sealedMg === batch)
+      // the rolling window layer consumes the STREAM-sealed artifacts
+      // unchanged: window over both buckets == exact combined counts
+      val rolled = graft.ops.Timeseries.rollingHeavyHittersFromSummaries(
+          emitted().select(col("bucket"), col("summary")),
+          "bucket", "summary", k = 8, windowBuckets = 2)
+        .where(col("bucket") === 1L)
+        .select(col("token"), col("n_est"))
+        .as[(String, Long)].collect().toMap
+      assert(rolled === Map("alpha" -> 2L, "beta" -> 3L, "gamma" -> 3L,
+        "delta" -> 1L))
     } finally q.stop()
   }
 

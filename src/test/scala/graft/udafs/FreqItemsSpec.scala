@@ -100,6 +100,36 @@ class FreqItemsSpec extends SparkSpec {
     }
   }
 
+  test("rolling window merges keep the MG bounds under forced trims") {
+    val rnd = new scala.util.Random(99)
+    // 6 buckets of skewed text, vocabulary ~60 > k=10: every bucket
+    // summary trims, and so does every window merge
+    val docs = (0 until 6).flatMap { b =>
+      (0 until 80).map { _ =>
+        val i = (math.pow(rnd.nextDouble(), 2.0) * 60).toInt
+        (b.toLong, s"w$i w${(i * 7) % 60}")
+      }
+    }
+    val df = docs.toDF("bucket", "text")
+    val win = 3; val k = 10
+    val got = graft.ops.Timeseries.rollingHeavyHittersFromSummaries(
+        graft.ops.Timeseries.bucketTokenHeavyHitters(df, "text", "bucket", k),
+        "bucket", "summary", k, win)
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    // exact windowed counts per window end
+    val tok = docs.flatMap { case (b, t) => t.split(" ").map(b -> _) }
+    val maxB = docs.map(_._1).max
+    for (wend <- 0L to maxB) {
+      val inWin = tok.filter { case (b, _) =>
+        b >= wend - (win - 1) && b <= wend }
+      val exact = inWin.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      checkBounds(got.getOrElse(wend, Map.empty), exact, k)
+      assert(got(wend).size < exact.size) // trims fired in the window
+    }
+  }
+
   test("nulls and non-positive weights are ignored; empty input is empty") {
     val got = Seq(("a", 1L), (null, 5L), ("b", 0L), ("c", -2L), ("a", 2L))
       .toDF("token", "n")
