@@ -1390,6 +1390,29 @@ object TextQueries {
             docs, "text", "bucket", k = 64),
           "bucket", "summary", k = 64, windowBuckets = 4)
         .orderBy(col("bucket"), col("token"))
+    }),
+
+    // ───── retrieval-quality evaluation over the q136 BM25 ranking:
+    // exact-integer MRR / precision@5 / recall per query (micro fixed
+    // point, no NDCG logs) against a deterministic label set (each
+    // query's ±1/+5 neighbor docs that exist in the even-id corpus).
+    // The measurement layer the retrieval family was missing — scorers
+    // were gated, nothing said whether they rank well ─────
+    "q206_retrieval_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(col("doc_id") % 2 === 0)
+      val ranked = graft.text.Retrieval.rankPerQuery(
+          graft.text.Retrieval.bm25OddsScores(
+            bm25Queries(docs), corpus, "text", "doc_id"),
+          Seq(col("score_pico").desc, col("doc_id")))
+        .where(col("rank") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val labels = bm25Queries(docs).select(col("doc_id").as("query_id"))
+        .select(col("query_id"), explode(array(col("query_id") - 1,
+          col("query_id") + 1, col("query_id") + 5)).as("doc_id"))
+        .join(corpus.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      graft.text.Retrieval.evalRanking(ranked, labels, k = 5)
+        .orderBy(col("query_id"))
     })
   )
 
@@ -3817,13 +3840,59 @@ object TextQueries {
             CAST(sum(pb.n) AS BIGINT) AS n_est
           FROM wins w JOIN pb
             ON pb.bucket BETWEEN w.wend - 3 AND w.wend
-          GROUP BY 1, 2 ORDER BY bucket, token"""
+          GROUP BY 1, 2 ORDER BY bucket, token""",
+    // the q136 scoring chain ranked to depth 10, the ±1/+5 neighbor
+    // label set, and the micro-integer eval replayed exactly
+    "q206_retrieval_eval" ->
+      s"""WITH $bm25ScoreCtes,
+          r AS (
+            SELECT query_id, doc_id, row_number() OVER (
+              PARTITION BY query_id ORDER BY score_pico DESC, doc_id)
+              AS rank
+            FROM sc),
+          rk AS (SELECT * FROM r WHERE rank <= 10),
+          lab AS (
+            SELECT q.query_id, c.doc_id
+            FROM (SELECT DISTINCT query_id FROM qt) q
+            JOIN corpus c ON c.doc_id = q.query_id - 1
+              OR c.doc_id = q.query_id + 1
+              OR c.doc_id = q.query_id + 5),
+          nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+                   FROM lab GROUP BY 1),
+          nrk AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_ranked
+                  FROM rk GROUP BY 1),
+          hit AS (
+            SELECT rk.query_id, min(rk.rank) AS frr,
+              CAST(sum(CASE WHEN rk.rank <= 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits
+            FROM rk JOIN lab ON lab.query_id = rk.query_id
+              AND lab.doc_id = rk.doc_id
+            GROUP BY 1),
+          allq AS (SELECT query_id FROM nrk
+                   UNION SELECT query_id FROM nrel)
+          SELECT a.query_id,
+            COALESCE(nrk.n_ranked, 0) AS n_ranked,
+            COALESCE(nrel.n_rel, 0) AS n_rel,
+            COALESCE(hit.hits, 0) AS hits_at_k,
+            CAST(COALESCE(1000000 // hit.frr, 0) AS BIGINT) AS rr_micro,
+            CAST(COALESCE(hit.hits, 0) * 1000000 // 5 AS BIGINT)
+              AS prec_at_k_micro,
+            CAST(CASE WHEN COALESCE(nrel.n_rel, 0) > 0
+              THEN COALESCE(hit.hits, 0) * 1000000 // nrel.n_rel
+              ELSE 0 END AS BIGINT) AS recall_micro
+          FROM allq a
+          LEFT JOIN nrk USING (query_id)
+          LEFT JOIN nrel USING (query_id)
+          LEFT JOIN hit USING (query_id)
+          ORDER BY a.query_id"""
   )
 
   /** q136/q137's shared replay — the prebuilt path must emit the exact
     * same ranked lists as the inline build. */
-  private def bm25OddsSql: String =
-    s"""WITH corpus AS (
+  /** The shared BM25 scoring chain (through per-(query, doc) pico
+    * scores in CTE `sc`) — q136/q137's replay and q206's eval base. */
+  private def bm25ScoreCtes: String =
+    s"""corpus AS (
           SELECT doc_id, $toks AS tk FROM documents WHERE doc_id % 2 = 0),
         qt AS (
           SELECT DISTINCT doc_id AS query_id, unnest(tk[1:5]) AS token
@@ -3853,7 +3922,10 @@ object TextQueries {
           CROSS JOIN stats),
         sc AS (
           SELECT query_id, doc_id, CAST(sum(w_pico) AS BIGINT) AS score_pico
-          FROM w GROUP BY 1, 2),
+          FROM w GROUP BY 1, 2)"""
+
+  private def bm25OddsSql: String =
+    s"""WITH $bm25ScoreCtes,
         r AS (
           SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY score_pico DESC, doc_id) AS rk

@@ -436,4 +436,61 @@ object Retrieval {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_matches"))
   }
+
+  /** Ranking-quality evaluation in EXACT integers — the measurement
+    * layer the retrieval family was missing (scorers exist; nothing
+    * said whether they rank well). Input: `ranked` as `(query_id,
+    * doc_id, rank)` (1-based, top-n per query — [[rankPerQuery]]'s
+    * shape) and `labels` as relevant `(query_id, doc_id)` pairs.
+    * Output one row per query appearing in EITHER side (a labeled
+    * query that retrieved nothing is a recall-0 row, not a missing
+    * row): `n_ranked`, `n_rel`, `hits_at_k` (relevant in the top k),
+    * `rr_micro` = 10⁶ div rank-of-first-relevant (0 when none
+    * retrieved — MRR's convention), `prec_at_k_micro` = hits·10⁶ div
+    * k, `recall_micro` = hits·10⁶ div n_rel (0 when the query has no
+    * labels). Micro fixed point, truncating div — bit-replayable on
+    * any engine, no NDCG logs. One labels⋈ranked hash join + three
+    * query-keyed aggregates; everything is candidate-list-sized, the
+    * corpus is never touched. */
+  def evalRanking(ranked: DataFrame, labels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val lab = labels.select(col("query_id"), col("doc_id")).distinct()
+    val nRel = lab.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    val nRanked = ranked.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_ranked"))
+    val hit = ranked.join(lab, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(min(col("rank")).as("__frr"),
+        sum(when(col("rank") <= k, 1L).otherwise(0L)).as("hits_at_k"))
+    nRanked.join(nRel, Seq("query_id"), "full_outer")
+      .join(hit, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_ranked"), lit(0L)).as("n_ranked"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        coalesce(expr("1000000 div __frr"), lit(0L)).cast("long")
+          .as("rr_micro"),
+        expr(s"coalesce(hits_at_k, 0) * 1000000 div $k").cast("long")
+          .as("prec_at_k_micro"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0L,
+          expr("coalesce(hits_at_k, 0) * 1000000 div n_rel"))
+          .otherwise(lit(0L)).cast("long").as("recall_micro"))
+  }
+
+  /** Corpus rollup of [[evalRanking]]'s per-query rows: one row of
+    * exact sums plus truncating micro means (MRR, mean P@k, mean
+    * recall). Means divide by the full query count — the standard
+    * convention where a zero-retrieval query drags the mean. */
+  def evalSummary(perQuery: DataFrame): DataFrame =
+    perQuery.agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("hits_at_k")).as("sum_hits"),
+        sum(col("rr_micro")).as("__srr"),
+        sum(col("prec_at_k_micro")).as("__sp"),
+        sum(col("recall_micro")).as("__sr"))
+      .select(col("n_queries"), col("sum_hits"),
+        expr("__srr div n_queries").as("mrr_micro"),
+        expr("__sp div n_queries").as("mean_prec_micro"),
+        expr("__sr div n_queries").as("mean_recall_micro"))
 }

@@ -399,4 +399,47 @@ class RetrievalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("single non-empty"))
   }
+
+  test("evalRanking: hand-checked MRR/P@k/recall incl. the degenerate rows") {
+    // q1: rel {10, 30}, first hit at rank 2, both in top-3 → rr 500000,
+    //     hits 2, prec@3 666666, recall 1000000
+    // q2: rel {99} never retrieved → rr 0, hits 0, recall 0
+    // q3: retrieved but NO labels → n_rel 0, recall 0 (not a crash)
+    // q4: labeled but retrieved NOTHING → n_ranked 0, recall-0 row present
+    val ranked = Seq(
+      (1L, 20L, 1), (1L, 10L, 2), (1L, 30L, 3), (1L, 40L, 4),
+      (2L, 20L, 1), (2L, 30L, 2),
+      (3L, 50L, 1)).toDF("query_id", "doc_id", "rank")
+    val labels = Seq(
+      (1L, 10L), (1L, 30L),
+      (2L, 99L),
+      (4L, 10L)).toDF("query_id", "doc_id")
+    val got = Retrieval.evalRanking(ranked, labels, k = 3)
+      .orderBy(col("query_id"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 4L, 2L, 2L, 500000L, 666666L, 1000000L),
+      (2L, 2L, 1L, 0L, 0L, 0L, 0L),
+      (3L, 1L, 0L, 0L, 0L, 0L, 0L),
+      (4L, 0L, 1L, 0L, 0L, 0L, 0L)))
+    // a relevant doc BELOW k still drives MRR but not hits: rank 4 hit
+    val below = Retrieval.evalRanking(
+        Seq((9L, 5L, 1), (9L, 6L, 2), (9L, 7L, 3), (9L, 8L, 4))
+          .toDF("query_id", "doc_id", "rank"),
+        Seq((9L, 8L)).toDF("query_id", "doc_id"), k = 3)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(below === ((9L, 4L, 1L, 0L, 250000L, 0L, 0L)))
+    // duplicate label pairs count once
+    val dup = Retrieval.evalRanking(
+        Seq((9L, 5L, 1)).toDF("query_id", "doc_id", "rank"),
+        Seq((9L, 5L), (9L, 5L)).toDF("query_id", "doc_id"), k = 3)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(dup === ((9L, 1L, 1L, 1L, 1000000L, 333333L, 1000000L)))
+    // the corpus rollup: exact sums, truncating micro means over ALL
+    // queries (zero-retrieval rows drag the mean — the convention)
+    val summary = Retrieval.evalSummary(
+        Retrieval.evalRanking(ranked, labels, k = 3))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(summary === ((4L, 2L, 125000L, 166666L, 250000L)))
+  }
 }
