@@ -115,4 +115,44 @@ object Checks {
       .select(col("k").as(keyCol), col("v"), col("med"), col("mad"),
         (col("__absdev") * lit(10L) > lit(kDeci) * col("mad")).as("outlier"))
   }
+
+  /** Benford's-law first-digit permilles (Newcomb 1881 / Benford 1938,
+    * P(d) = log₁₀(1 + 1/d)). */
+  private[graft] val benfordPermille =
+    Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+
+  /** Benford first-digit audit — the fraud/fabrication screen for
+    * naturally-occurring magnitudes (amounts, populations, counts):
+    * observed first-digit distribution of `|⌊value⌋| ≥ 1` beside the
+    * Benford expectation, all integer permilles (the irrational
+    * log₁₀(1+1/d) is pinned as the standard rounded-permille table).
+    * Returns exactly nine rows `(digit, n_obs, obs_permille,
+    * exp_permille)` — digits that never occur emit 0 rows rather than
+    * vanishing (absence is the loudest Benford violation). The REPORT
+    * is the deliverable: whether deviation means fraud or just a
+    * non-Benford domain (uniform prices, bounded ids) is the analyst's
+    * call, so no verdict column pretends otherwise. One codegen'd
+    * projection + one 9-group aggregate + a 1-row broadcast total;
+    * corpus-sized input, kilobyte output. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = df
+      .select(floor(abs(col(valueCol))).cast("long").as("__v"))
+      .where(col("__v") >= 1L)
+      .select(substring(col("__v").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val total = digits.agg(sum(col("n_obs")).as("__n"))
+    val exp = df.sparkSession.range(1)
+      .select(explode(typedLit(
+        benfordPermille.zipWithIndex.map { case (p, i) => (i + 1, p) }))
+        .as("e"))
+      .select(col("e._1").as("digit"), col("e._2").as("exp_permille"))
+    exp.join(digits, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        expr("coalesce(n_obs, 0) * 1000 div __n").as("obs_permille"),
+        col("exp_permille"))
+      .orderBy(col("digit"))
+  }
 }

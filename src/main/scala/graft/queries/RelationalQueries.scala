@@ -629,6 +629,15 @@ object RelationalQueries {
         .orderBy(col("p_type"))
     }),
 
+    // ───── Benford first-digit audit over extended prices: observed
+    // vs expected permilles, all integers — the fraud/fabrication
+    // screen as a nine-row report (the honest output for a synthetic
+    // uniform-ish price column is DEVIATION, and the report shows it
+    // rather than a verdict pretending a threshold) ─────
+    "q207_benford_audit" -> ((s, d) =>
+      graft.ops.Checks.benfordAudit(
+        Tables.lineitem(s, d), "l_extendedprice")),
+
     // ───── robust outlier screen: per-part order quantities against
     // the median/MAD fence (exact lower-median order statistics — no
     // interpolated doubles on either engine); only flagged rows ship ─────
@@ -1410,6 +1419,26 @@ object RelationalQueries {
          FROM s LEFT JOIN mu ON mu.k = s.k
                 LEFT JOIN f ON f.k = s.k AND f.i = s.i
          ORDER BY event_type, bucket""",
+    // nine-row digit histogram + the pinned rounded-permille Benford
+    // table, replayed exactly
+    "q207_benford_audit" ->
+      """WITH v AS (SELECT CAST(floor(abs(l_extendedprice)) AS BIGINT) AS v
+                    FROM lineitem),
+         d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit
+               FROM v WHERE v >= 1),
+         c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+               FROM d GROUP BY 1),
+         t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM c),
+         e AS (SELECT unnest(generate_series(1, 9)) AS digit,
+                 unnest([301, 176, 125, 97, 79, 67, 58, 51, 46])
+                   AS exp_permille)
+         SELECT CAST(e.digit AS INT) AS digit,
+           COALESCE(c.n_obs, 0) AS n_obs,
+           CAST(COALESCE(c.n_obs, 0) * 1000 // t.n AS BIGINT)
+             AS obs_permille,
+           CAST(e.exp_permille AS BIGINT) AS exp_permille
+         FROM e LEFT JOIN c USING (digit) CROSS JOIN t
+         ORDER BY digit""",
     // the plain join — the salted rewrite is provably result-invariant
     "q203_salted_join" ->
       """SELECT p_type, CAST(count(*) AS BIGINT) AS n,

@@ -371,6 +371,24 @@ class RelationalSpec extends SparkSpec {
     assert(e.getMessage.contains("__b"))
   }
 
+  test("benfordAudit: digit extraction, zero/negative handling, permilles") {
+    import graft.ops.Checks
+    // 19.5→1, -250.0→2 (abs), 0.7→⌊⌋=0 dropped, 0 dropped, 999→9, 12→1
+    val df = Seq(19.5, -250.0, 0.7, 0.0, 999.0, 12.0).toDF("v")
+    val got = Checks.benfordAudit(df, "v")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got.size === 9) // all nine digits present, zeros included
+    val byDigit = got.map(r => r._1 -> r._2).toMap
+    assert(byDigit === Map(1 -> 2L, 2 -> 1L, 3 -> 0L, 4 -> 0L, 5 -> 0L,
+      6 -> 0L, 7 -> 0L, 8 -> 0L, 9 -> 1L))
+    // permilles: 4 counted values → digit 1 = 500, digit 2 = 250
+    assert(got.find(_._1 == 1).get._3 === 500L)
+    assert(got.find(_._1 == 2).get._3 === 250L)
+    // the pinned Benford table rides along
+    assert(got.map(_._4) === Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L,
+      51L, 46L))
+  }
+
   test("saltedJoin equals the plain join: inner, left, dup keys, hot key") {
     val rnd = new scala.util.Random(77)
     // a hot key (0) plus a long tail; duplicate keys on BOTH sides so
