@@ -1413,7 +1413,19 @@ object TextQueries {
         .join(corpus.select(col("doc_id")), Seq("doc_id"), "left_semi")
       graft.text.Retrieval.evalRanking(ranked, labels, k = 5)
         .orderBy(col("query_id"))
-    })
+    }),
+
+    // ───── embedding-drift monitor: exact integer L1 between
+    // consecutive ingest-shard centroids in micro units (the
+    // common-denominator trick — no float accumulation, no sqrt) —
+    // the "did the encoder or corpus shift" MLOps alarm, replayable
+    // from the q87 centroid-sum artifacts alone ─────
+    "q208_embedding_drift" -> ((s, d) =>
+      graft.sim.VectorAgg.centroidDrift(
+          Tables.embeddings(s, d)
+            .select(expr("vec_id div 50").as("bucket"), col("embedding")),
+          "embedding", "bucket")
+        .orderBy(col("bucket")))
   )
 
   /** Query suite for q136/q137 — docs ≡ 1 (mod 10): first-5-token
@@ -3884,7 +3896,37 @@ object TextQueries {
           LEFT JOIN nrk USING (query_id)
           LEFT JOIN nrel USING (query_id)
           LEFT JOIN hit USING (query_id)
-          ORDER BY a.query_id"""
+          ORDER BY a.query_id""",
+    // q87's micro-quantized element sums per shard, then the exact
+    // common-denominator L1 between consecutive shard centroids
+    "q208_embedding_drift" ->
+      """WITH ex AS (
+           SELECT vec_id // 50 AS b, p['pos'] AS pos, p['v'] AS v FROM (
+             SELECT vec_id, unnest(list_transform(
+               range(1, len(embedding) + 1),
+               i -> {'pos': i - 1, 'v': embedding[i]})) AS p
+             FROM embeddings WHERE embedding IS NOT NULL)),
+         sums AS (
+           SELECT b, pos,
+             CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0)
+               AS BIGINT)) AS BIGINT) AS s
+           FROM ex GROUP BY 1, 2),
+         cnt AS (
+           SELECT vec_id // 50 AS b, CAST(count(*) AS BIGINT) AS n
+           FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1),
+         pair AS (
+           SELECT a.b,
+             CAST(sum(abs(a.s * cb.n - bb.s * ca.n)) AS BIGINT) AS l1s,
+             CAST(min(ca.n) AS BIGINT) AS n_a,
+             CAST(min(cb.n) AS BIGINT) AS n_b
+           FROM sums a
+           JOIN sums bb ON bb.b = a.b + 1 AND bb.pos = a.pos
+           JOIN cnt ca ON ca.b = a.b
+           JOIN cnt cb ON cb.b = a.b + 1
+           GROUP BY a.b)
+         SELECT b AS bucket, b + 1 AS bucket_next, n_a, n_b,
+           CAST(l1s // (n_a * n_b) AS BIGINT) AS l1_micro
+         FROM pair ORDER BY bucket"""
   )
 
   /** q136/q137's shared replay — the prebuilt path must emit the exact

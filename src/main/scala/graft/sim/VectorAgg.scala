@@ -92,6 +92,38 @@ object VectorAgg {
       .join(counts, keys)
   }
 
+  /** Embedding-drift monitor between CONSECUTIVE buckets (days,
+    * ingest shards): the exact integer L1 distance between bucket
+    * centroid vectors in micro units — the "did the upstream encoder
+    * or corpus shift" MLOps alarm. The whole computation stays in
+    * exact longs via the common-denominator trick: per dimension,
+    * `|mean_a − mean_b| = |sum_a·n_b − sum_b·n_a| / (n_a·n_b)`, so the
+    * per-pair fold is `Σ_pos |sa·nb − sb·na|` (one truncating div by
+    * `n_a·n_b` at the very end) — no float accumulation order, no
+    * sqrt, bit-replayable. Input is [[vectorSumElements]]'s artifact
+    * shape, so daily centroid-sum tables persist small and drift
+    * replays from artifacts without rescanning vectors. Returns
+    * `(bucket, bucket_next, n_a, n_b, l1_micro)` per consecutive
+    * present pair (a missing day breaks the chain rather than
+    * pretending adjacency). Longs bound the regime: |sums| ≲ 10⁶·n and
+    * the product needs `10⁶·n²  < 2⁶³` — fine through ~10⁸-vector
+    * buckets; beyond that, lift the two products to DECIMAL(38,0). */
+  def centroidDrift(df: DataFrame, vecCol: String,
+                    bucketCol: String): DataFrame = {
+    val sums = vectorSumElements(df, vecCol, Seq(bucketCol))
+      .select(col(bucketCol).cast("long").as("__b"), col("pos"),
+        col("elem_sum_micro").as("__s"), col("n_vectors").as("__n"))
+    val nxt = sums.select((col("__b") - 1L).as("__b"), col("pos"),
+      col("__s").as("__s2"), col("__n").as("__n2"))
+    sums.join(nxt, Seq("__b", "pos"))
+      .groupBy(col("__b"), col("__n"), col("__n2"))
+      .agg(sum(abs(col("__s") * col("__n2") - col("__s2") * col("__n")))
+        .as("__l1s"))
+      .select(col("__b").as("bucket"), (col("__b") + 1L).as("bucket_next"),
+        col("__n").as("n_a"), col("__n2").as("n_b"),
+        expr("__l1s div (__n * __n2)").as("l1_micro"))
+  }
+
   /** [[vectorSumElements]] re-collected to one `vec_sum_micro:
     * array<long>` row per group (index order preserved). */
   def vectorSumRows(df: DataFrame, vecCol: String, keys: Seq[String]): DataFrame =

@@ -52,4 +52,24 @@ class VectorAggSpec extends SparkSpec {
         assert(math.abs(a - bMicro / 1e6) < 1e-2, s"$label: $a vs $bMicro") }
     }
   }
+
+  test("centroidDrift: hand-checked L1, missing bucket breaks the chain") {
+    import spark.implicits._
+    // bucket 0: means (2, 3); bucket 1: means (2, 2) → L1 = 1.0 = 10⁶ µ
+    val df = Seq(
+      (0L, Seq(1.0f, 2.0f)), (0L, Seq(3.0f, 4.0f)),
+      (1L, Seq(2.0f, 2.0f)),
+      (3L, Seq(9.0f, 9.0f))) // bucket 2 missing: 1→2 and 2→3 absent
+      .toDF("bucket", "embedding")
+    val got = VectorAgg.centroidDrift(df, "embedding", "bucket")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq((0L, 1L, 2L, 1L, 1000000L)))
+    // identical consecutive buckets drift exactly 0
+    val same = VectorAgg.centroidDrift(
+        Seq((0L, Seq(1.5f, -2.0f)), (1L, Seq(1.5f, -2.0f)))
+          .toDF("bucket", "embedding"),
+        "embedding", "bucket")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(same === ((0L, 1L, 1L, 1L, 0L)))
+  }
 }
