@@ -525,6 +525,28 @@ object PipelineQueries {
       graft.ops.Graphs.stressCentrality(g, "src", "dst", seeds, "seed",
           maxDepth = 3)
         .orderBy(col("node"))
+    }),
+
+    // ───── IMAGE near-duplicate detection: the q149 real-codec ahash
+    // (decode → luminance grid → 64-bit average hash) fed through the
+    // SAME pigeonhole banding the text SimHash path gates (ahash IS a
+    // 64-bit locality signature — one dedup engine, two modalities).
+    // Sub-quadratic banded candidates, per-doc rollup; the oracle
+    // brute-forces every pair with bit_count(xor) and replays the
+    // closed-form ahash of the synthetic ramp ─────
+    "q209_image_neardup" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      val sigs = BinaryOps.withImageFeatures(
+          BinaryOps.synthRaster(ids, "doc_id", 8, 8), "content", grid = 8)
+        .select(col("doc_id"), col("ahash"))
+      val pairs = graft.dedup.Dedup.simhashPairsFromSigs(
+        sigs, "doc_id", "ahash", maxDist = 6, tables = 8)
+      pairs.select(col("id_a").as("doc_id"), col("id_b").as("p"))
+        .unionByName(
+          pairs.select(col("id_b").as("doc_id"), col("id_a").as("p")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_near"), min(col("p")).as("min_partner"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1348,7 +1370,25 @@ object PipelineQueries {
           SELECT a.v AS node, CAST(sum(a.sigma * pp.p) AS BIGINT) AS stress
           FROM alld a JOIN pp ON pp.s = a.s AND pp.v = a.v
           WHERE a.v <> a.s GROUP BY 1 ORDER BY node"""
-    }
+    },
+    // q149's closed-form ahash + brute-force hamming pairs — agreement
+    // proves the banded candidate generation finds EVERY pair
+    "q209_image_neardup" ->
+      """WITH h AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 64),
+               i -> CASE WHEN (4 * ((doc_id % 7) + 1) + 4 * i) % 256 >= 128
+                    THEN (CAST(1 AS BIGINT) << i)
+                    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ahash
+           FROM documents),
+         p AS (SELECT a.doc_id AS x, b.doc_id AS y
+               FROM h a JOIN h b ON a.doc_id < b.doc_id
+                 AND bit_count(xor(a.ahash, b.ahash)) <= 6),
+         sym AS (SELECT x AS doc_id, y AS p FROM p
+                 UNION ALL SELECT y, x FROM p)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near,
+           CAST(min(p) AS BIGINT) AS min_partner
+         FROM sym GROUP BY 1 ORDER BY doc_id"""
   )
 
   /** Shared SQL for the q192/q196/q198 doubling-map digraph: CTEs
