@@ -1426,6 +1426,17 @@ object TextQueries {
             .select(expr("vec_id div 50").as("bucket"), col("embedding")),
           "embedding", "bucket")
         .orderBy(col("bucket")))
+    ,
+
+    // ───── centroid-distance outlier screen per label: the
+    // mislabeled/corrupt-vector detector, exact integer micro² scores
+    // via the shifted common-denominator deviation (bit-replayable —
+    // no float accumulation) ─────
+    "q210_embedding_outliers" -> ((s, d) =>
+      graft.sim.VectorAgg.centroidOutliers(
+          Tables.embeddings(s, d), "embedding", "vec_id", Seq("label"),
+          threshold = 1030000000000L)
+        .orderBy(col("vec_id")))
   )
 
   /** Query suite for q136/q137 — docs ≡ 1 (mod 10): first-5-token
@@ -3926,7 +3937,35 @@ object TextQueries {
            GROUP BY a.b)
          SELECT b AS bucket, b + 1 AS bucket_next, n_a, n_b,
            CAST(l1s // (n_a * n_b) AS BIGINT) AS l1_micro
-         FROM pair ORDER BY bucket"""
+         FROM pair ORDER BY bucket""",
+    // micro-quantized per-label sums, then the SHIFTED floor-division
+    // deviation (non-negative numerator ⇒ floor == Spark's truncate)
+    // squared and summed per vector
+    "q210_embedding_outliers" ->
+      """WITH ex AS (
+           SELECT label, vec_id, p['pos'] AS pos,
+             CAST(round(CAST(p['v'] AS DOUBLE) * 1000000, 0) AS BIGINT)
+               AS vm
+           FROM (SELECT label, vec_id, unnest(list_transform(
+                   range(1, len(embedding) + 1),
+                   i -> {'pos': i - 1, 'v': embedding[i]})) AS p
+                 FROM embeddings WHERE embedding IS NOT NULL)),
+         sums AS (SELECT label, pos, CAST(sum(vm) AS BIGINT) AS s
+                  FROM ex GROUP BY 1, 2),
+         cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+                 FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1),
+         d AS (SELECT ex.label, ex.vec_id, cnt.n,
+                 ((cnt.n * ex.vm - sums.s) + 10000000 * cnt.n) // cnt.n
+                   - 10000000 AS dd
+               FROM ex
+               JOIN sums ON sums.label = ex.label AND sums.pos = ex.pos
+               JOIN cnt ON cnt.label = ex.label),
+         sc AS (SELECT label, vec_id, CAST(min(n) AS BIGINT) AS n_vectors,
+                  CAST(sum(dd * dd) AS BIGINT) AS d2_micro2
+                FROM d GROUP BY 1, 2)
+         SELECT label, vec_id, n_vectors, d2_micro2,
+           d2_micro2 > 1030000000000 AS outlier
+         FROM sc ORDER BY vec_id"""
   )
 
   /** q136/q137's shared replay — the prebuilt path must emit the exact

@@ -124,6 +124,46 @@ object VectorAgg {
         expr("__l1s div (__n * __n2)").as("l1_micro"))
   }
 
+  /** Centroid-distance outlier screen — the mislabeled/corrupt-vector
+    * detector: per group (label, day), flag vectors whose squared
+    * distance from the group centroid exceeds `threshold`. Exact
+    * integer arithmetic end to end: vectors quantize to micro units
+    * (the [[vectorSumElements]] convention), and the per-dimension
+    * deviation from the mean uses the common-denominator form
+    * `(n·v − s) / n` in micro units. The numerator can be negative,
+    * where Spark's `div` (truncate) and replay engines' `//` (floor)
+    * disagree — so both sides compute the SHIFTED form
+    * `((n·v − s) + 10⁷·n) div n − 10⁷`, whose numerator is
+    * non-negative whenever the deviation is within 10 units (floor ==
+    * truncate there; far beyond any unit-ish embedding), making
+    * `d2_micro2 = Σ_pos dev²` bit-replayable — no float accumulation,
+    * overflow-safe (per-dim ~10¹², Σ over dims ≪ 2⁶³).
+    * Returns every vector with its group size and score plus the
+    * verdict — downstream decides whether to drop, re-embed, or audit.
+    * One element fan-out + one (group, pos) aggregate + one
+    * group-keyed join back; no windows, no pair joins. */
+  def centroidOutliers(df: DataFrame, vecCol: String, idCol: String,
+                       keys: Seq[String], threshold: Long): DataFrame = {
+    require(threshold >= 0L, s"threshold must be non-negative: $threshold")
+    val k = keys.map(col)
+    val sums = vectorSumElements(df, vecCol, keys)
+      .select(k :+ col("pos") :+ col("elem_sum_micro").as("__s") :+
+        col("n_vectors").as("__n"): _*)
+    df.where(col(vecCol).isNotNull)
+      .select(k :+ col(idCol) :+
+        posexplode(col(vecCol)).as(Seq("pos", "__v")): _*)
+      .withColumn("__vm", round(col("__v").cast("double") * 1000000L)
+        .cast("long"))
+      .join(sums, keys :+ "pos")
+      .withColumn("__d",
+        expr("((__n * __vm - __s) + 10000000L * __n) div __n - 10000000L"))
+      .groupBy(k :+ col(idCol) :+ col("__n"): _*)
+      .agg(sum(col("__d") * col("__d")).as("d2_micro2"))
+      .select(k :+ col(idCol) :+ col("__n").as("n_vectors") :+
+        col("d2_micro2") :+
+        (col("d2_micro2") > threshold).as("outlier"): _*)
+  }
+
   /** [[vectorSumElements]] re-collected to one `vec_sum_micro:
     * array<long>` row per group (index order preserved). */
   def vectorSumRows(df: DataFrame, vecCol: String, keys: Seq[String]): DataFrame =

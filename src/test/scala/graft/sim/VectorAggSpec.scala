@@ -72,4 +72,25 @@ class VectorAggSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].head()
     assert(same === ((0L, 1L, 1L, 1L, 0L)))
   }
+
+  test("centroidOutliers: hand-checked scores, negative deviations exact") {
+    import spark.implicits._
+    // label 0: three vectors, one far off; mean = (1, 0)
+    // v1 (0,0):  dev (-1e6, 0)     → d2 = 1e12
+    // v2 (0,-3): dev (-1e6, -3e6)  → d2 = 1e13  (flagged)
+    // v3 (3,3):  dev (2e6, 3e6)    → d2 = 1.3e13 (flagged)
+    val df = Seq(
+      (1L, 0, Seq(0.0f, 0.0f)),
+      (2L, 0, Seq(0.0f, -3.0f)),
+      (3L, 0, Seq(3.0f, 3.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = VectorAgg.centroidOutliers(df, "embedding", "vec_id",
+        Seq("label"), threshold = 5000000000000L)
+      .select(col("vec_id"), col("d2_micro2"), col("outlier"))
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 1000000000000L, false),
+      (2L, 10000000000000L, true),
+      (3L, 13000000000000L, true)))
+  }
 }
