@@ -109,19 +109,35 @@ object VectorAgg {
     * the product needs `10⁶·n²  < 2⁶³` — fine through ~10⁸-vector
     * buckets; beyond that, lift the two products to DECIMAL(38,0). */
   def centroidDrift(df: DataFrame, vecCol: String,
-                    bucketCol: String): DataFrame = {
-    val sums = vectorSumElements(df, vecCol, Seq(bucketCol))
-      .select(col(bucketCol).cast("long").as("__b"), col("pos"),
-        col("elem_sum_micro").as("__s"), col("n_vectors").as("__n"))
-    val nxt = sums.select((col("__b") - 1L).as("__b"), col("pos"),
-      col("__s").as("__s2"), col("__n").as("__n2"))
-    sums.join(nxt, Seq("__b", "pos"))
-      .groupBy(col("__b"), col("__n"), col("__n2"))
-      .agg(sum(abs(col("__s") * col("__n2") - col("__s2") * col("__n")))
+                    bucketCol: String): DataFrame =
+    centroidDriftFromSums(
+      vectorSumElements(df, vecCol, Seq(bucketCol)), bucketCol)
+
+  /** [[centroidDrift]]'s read side over an EXISTING centroid-sum
+    * table — batch-persisted or streaming-sealed
+    * ([[graft.streaming.StreamingViews.streamingCentroidSums]] emits
+    * this exact row shape): `(bucketCol, pos, elem_sum_micro,
+    * n_vectors)` rows in, consecutive-pair drift rows out. */
+  def centroidDriftFromSums(sumsTable: DataFrame,
+                            bucketCol: String): DataFrame = {
+    // self-join with FULLY renamed sides (fresh aliases mint fresh
+    // attributes, so references resolve uniquely — the plain
+    // using-columns self-join off a streaming memory view trips
+    // conflicting-reference resolution)
+    val left = sumsTable
+      .select(col(bucketCol).cast("long").as("__xb"), col("pos").as("__xp"),
+        col("elem_sum_micro").as("__xs"), col("n_vectors").as("__xn"))
+    val right = sumsTable
+      .select(col(bucketCol).cast("long").as("__yb"), col("pos").as("__yp"),
+        col("elem_sum_micro").as("__ys"), col("n_vectors").as("__yn"))
+    left.join(right,
+        col("__yb") === col("__xb") + 1L && col("__yp") === col("__xp"))
+      .groupBy(col("__xb"), col("__xn"), col("__yn"))
+      .agg(sum(abs(col("__xs") * col("__yn") - col("__ys") * col("__xn")))
         .as("__l1s"))
-      .select(col("__b").as("bucket"), (col("__b") + 1L).as("bucket_next"),
-        col("__n").as("n_a"), col("__n2").as("n_b"),
-        expr("__l1s div (__n * __n2)").as("l1_micro"))
+      .select(col("__xb").as("bucket"), (col("__xb") + 1L).as("bucket_next"),
+        col("__xn").as("n_a"), col("__yn").as("n_b"),
+        expr("__l1s div (__xn * __yn)").as("l1_micro"))
   }
 
   /** Centroid-distance outlier screen — the mislabeled/corrupt-vector

@@ -828,6 +828,85 @@ object StreamingViews {
       }
   }
 
+  /** Internal fan row of [[streamingCentroidSums]]. */
+  case class VecEvent(embedding: Seq[Float], tsMillis: Long)
+  /** One in-flight per-bucket centroid accumulator: micro element sums
+    * + vector count. */
+  case class BucketVecState(sums: Seq[Long], n: Long)
+  /** A watermark-sealed per-bucket centroid-sum artifact — exactly
+    * [[graft.sim.VectorAgg.vectorSumElements]]'s row shape, one row
+    * per dimension. */
+  case class SealedBucketVec(bucket: Long, pos: Int, elem_sum_micro: Long,
+                             n_vectors: Long)
+
+  /** Streaming producer of per-bucket centroid-sum artifacts — the
+    * VECTOR family's streaming twin: embeddings quantize to micro
+    * longs with the same `round(v·10⁶)` the batch layer uses, each
+    * vector adds into its time bucket's element-sum accumulator, and
+    * the watermark seals the bucket into
+    * [[graft.sim.VectorAgg.vectorSumElements]]-shaped rows. Integer
+    * element sums are order-free, so sealed artifacts are BIT-EXACT
+    * equal to a batch build over the same admitted vectors
+    * (spec-pinned) — [[graft.sim.VectorAgg.centroidDrift]] and the
+    * outlier screen consume them unchanged, so the drift alarm runs
+    * live off the stream with state = one long per dimension per
+    * in-flight bucket. Ragged lengths extend the accumulator
+    * (the batch zero-pad convention); late rows below the watermark
+    * drop. */
+  def streamingCentroidSums(vecs: DataFrame, vecCol: String, tsCol: String,
+                            bucketMillis: Long,
+                            watermarkDelay: String = "0 milliseconds")
+      : Dataset[SealedBucketVec] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs
+      .where(col(vecCol).isNotNull)
+      .withColumn("eventTime", timestamp_millis(col(tsCol).cast("long")))
+      .withWatermark("eventTime", watermarkDelay)
+      .select(col(vecCol).as("embedding"),
+        col(tsCol).cast("long").as("tsMillis"), col("eventTime"))
+      .as[VecEvent]
+      .groupByKey(e => Math.floorDiv(e.tsMillis, bucketMillis))
+      .flatMapGroupsWithState[BucketVecState, SealedBucketVec](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bucket: Long, rows: Iterator[VecEvent],
+         state: GroupState[BucketVecState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val sealAt = (bucket + 1L) * bucketMillis
+          var st = state.getOption.getOrElse(BucketVecState(Vector.empty, 0L))
+          rows.filter(_.tsMillis >= wm).foreach { r =>
+            if (r.embedding != null) {
+              // BigDecimal HALF_UP matches Spark's `round` exactly —
+              // math.round floors half-values toward +∞ on negatives
+              val micro = r.embedding.map(v =>
+                BigDecimal(v.toDouble * 1e6)
+                  .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+              val base =
+                if (st.sums.length >= micro.length) st.sums
+                else st.sums ++ Vector.fill(micro.length - st.sums.length)(0L)
+              val sums = base.zipWithIndex.map { case (s, i) =>
+                if (i < micro.length) s + micro(i) else s
+              }
+              st = BucketVecState(sums, st.n + 1L)
+            }
+          }
+          if (wm >= sealAt) {
+            state.remove()
+            if (st.n == 0L) Iterator.empty
+            else st.sums.iterator.zipWithIndex.map { case (s, i) =>
+              SealedBucketVec(bucket, i, s, st.n)
+            }
+          } else if (st.n == 0L) {
+            state.remove()
+            Iterator.empty
+          } else {
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(sealAt, wm + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Input row of [[streamingScd2]]. */
   case class ChangeEvent(key: Long, tsMillis: Long, attr: String)
   /** Per-key SCD2 state: the currently-open interval + the in-horizon

@@ -826,6 +826,57 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     } finally q.stop()
   }
 
+  test("streamingCentroidSums seals bit-exact vector artifacts; drift runs live") {
+    val dir = Files.createTempDirectory("graft_stream_vec").toString
+    // two 100ms buckets; one out-of-order bucket-0 vector in batch 2
+    val b1 = Seq((Seq(1.0f, 2.0f), 10L), (Seq(2.0f, 2.0f), 150L))
+    val b2 = Seq((Seq(3.0f, 4.0f), 60L), (Seq(-1.5f, 0.5f), 160L))
+    b1.toDF("embedding", "ts").write.parquet(s"$dir/in")
+    Thread.sleep(1100)
+    b2.toDF("embedding", "ts").write.mode("append").parquet(s"$dir/in")
+    val stream = StreamingViews.fileStream(spark, s"$dir/in",
+      b1.toDF("embedding", "ts").schema)
+    val out = StreamingViews.streamingCentroidSums(stream, "embedding", "ts",
+      bucketMillis = 100L, watermarkDelay = "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("svec").start()
+    try {
+      q.processAllAvailable()
+      Seq((Seq(0.0f), 100000000L)) // advance the watermark
+        .toDF("embedding", "ts").write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      def emitted() = spark.table("svec").where(col("bucket") < 1000L)
+      var got = emitted().count()
+      while (got < 4 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        q.processAllAvailable()
+        got = emitted().count()
+      }
+      // bit-exact vs the batch vectorSumElements build on the same rows
+      val sealedRows = emitted()
+        .select(col("bucket"), col("pos"), col("elem_sum_micro"),
+          col("n_vectors"))
+        .as[(Long, Int, Long, Long)].collect().toSet
+      val batch = graft.sim.VectorAgg.vectorSumElements(
+          (b1 ++ b2).toDF("embedding", "ts")
+            .select(expr("ts div 100").as("bucket"), col("embedding")),
+          "embedding", Seq("bucket"))
+        .select(col("bucket"), col("pos"), col("elem_sum_micro"),
+          col("n_vectors"))
+        .as[(Long, Int, Long, Long)].collect().toSet
+      assert(sealedRows === batch)
+      // the drift monitor consumes the STREAM artifacts unchanged:
+      // means (2, 3) vs (0.25, 1.25) → L1 = 1.75 + 1.75 = 3.5 → 3.5e6 µ
+      val drift = graft.sim.VectorAgg.centroidDriftFromSums(
+          emitted().select(col("bucket"), col("pos"),
+            col("elem_sum_micro"), col("n_vectors")),
+          "bucket")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(drift === Seq((0L, 1L, 2L, 2L, 3500000L)))
+    } finally q.stop()
+  }
+
   test("streamingKeyAgms seals byte-identical join-size artifacts") {
     import graft.udafs.JoinSize
     val dir = Files.createTempDirectory("graft_stream_agms").toString
