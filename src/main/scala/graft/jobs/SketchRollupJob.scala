@@ -32,15 +32,32 @@ object SketchRollupJob {
 
   val ViewName = "sketch_daily"
 
-  /** Ingest one day's events — idempotent per day. */
+  /** Ingest one day's events — idempotent per day. Round 11 widens the
+    * row to the FULL mergeable-summary family: beside HLL (distinct)
+    * and KLL (quantiles), `mg_keys` (Misra–Gries map — the heavy-key
+    * CANDIDATES over any day range via `mgMergeAgg`) and `agms_keys`
+    * (AGMS signed-counter sketch — join-size planning between any two
+    * ranges via `JoinSize.estimate`, counter-wise exact merges). The
+    * key stream pre-collapses to exact per-key counts first (codegen'd,
+    * map-side combined), then both key summaries ride ONE aggregate. */
   def runDay(spark: SparkSession, dayEvents: DataFrame, day: String,
              base: String, userCol: String, valueCol: String,
-             version: Int = 1, lgK: Int = 12, kllK: Int = 200): Unit = {
-    val row = dayEvents.agg(
-        Sketches.hllSketch(col(userCol), lgK).as("hll_users"),
-        kll_sketch_agg_double(col(valueCol).cast("double"), lit(kllK))
-          .as("kll_value"),
-        count(lit(1)).as("n_events"))
+             version: Int = 1, lgK: Int = 12, kllK: Int = 200,
+             mgK: Int = 64, agmsDepth: Int = 5, agmsWidth: Int = 64,
+             agmsSeed: Int = 7): Unit = {
+    val sketches = dayEvents.agg(
+      Sketches.hllSketch(col(userCol), lgK).as("hll_users"),
+      kll_sketch_agg_double(col(valueCol).cast("double"), lit(kllK))
+        .as("kll_value"),
+      count(lit(1)).as("n_events"))
+    val keyed = dayEvents
+      .groupBy(col(userCol).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(graft.udafs.FreqItems.mgAgg(col("__k"), col("__n"), mgK)
+          .as("mg_keys"),
+        graft.udafs.JoinSize.agmsAgg(col("__k"), col("__n"),
+          agmsDepth, agmsWidth, agmsSeed).as("agms_keys"))
+    val row = sketches.crossJoin(broadcast(keyed))
       .withColumn("day", lit(day))
     BatchView.write(row, base, ViewName, version, partitionCols = Seq("day"))
   }
@@ -59,6 +76,28 @@ object SketchRollupJob {
       .agg(Sketches.hllCardinality(Sketches.hllMerge(col("hll_users")))
           .as("active_users"),
         sum(col("n_events")).as("n_events"))
+
+  /** Heavy-key candidates over the day range: an N-row Misra–Gries
+    * merge — the "who dominated this week" question from kilobyte
+    * artifacts, no watchlist needed. `mgK` must match the write side
+    * (a larger-k input merges soundly; the result carries this k's
+    * bound). */
+  def heavyKeys(spark: SparkSession, base: String, fromDay: String,
+                toDay: String, version: Int = 1, mgK: Int = 64): DataFrame =
+    read(spark, base, fromDay, toDay, version)
+      .agg(graft.udafs.FreqItems.mgMergeAgg(col("mg_keys"), mgK).as("__m"))
+      .select(explode(col("__m")).as(Seq("key", "est")))
+
+  /** The merged AGMS key sketch over a day range (counter-wise exact
+    * by linearity) — feed two of these to `JoinSize.estimate` to size
+    * a join between the ranges before running it. */
+  def keySketch(spark: SparkSession, base: String, fromDay: String,
+                toDay: String, version: Int = 1, agmsDepth: Int = 5,
+                agmsWidth: Int = 64, agmsSeed: Int = 7): Array[Byte] =
+    read(spark, base, fromDay, toDay, version)
+      .agg(graft.udafs.JoinSize.agmsMergeAgg(col("agms_keys"),
+        agmsDepth, agmsWidth, agmsSeed).as("__s"))
+      .head().getAs[Array[Byte]]("__s")
 
   /** A value quantile over the day range: an N-row KLL merge. */
   def valueQuantile(spark: SparkSession, base: String, fromDay: String,

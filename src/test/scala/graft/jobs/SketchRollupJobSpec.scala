@@ -67,4 +67,42 @@ class SketchRollupJobSpec extends SparkSpec {
     assert(SketchRollupJob.read(spark, base, "20240101", "20240102")
       .count() === 2L)
   }
+
+  test("heavy keys and join-size planning ride the same daily rows") {
+    val base = Files.createTempDirectory("graft_sketchroll2").toString
+    val d1 = day(1, (1L to 40L))
+    val d2 = day(2, (25L to 70L))
+    // mgK 128 ≥ the 70-key union vocabulary: the exact regime — merged
+    // candidates ARE the exact union counts
+    SketchRollupJob.runDay(spark, d1, "20240101", base, "user_id", "value",
+      mgK = 128)
+    SketchRollupJob.runDay(spark, d2, "20240102", base, "user_id", "value",
+      mgK = 128)
+    val got = SketchRollupJob.heavyKeys(spark, base,
+        "20240101", "20240102", mgK = 128)
+      .as[(String, Long)].collect().toMap
+    val exact = d1.unionAll(d2).groupBy(col("user_id").cast("string"))
+      .count().as[(String, Long)].collect().toMap
+    assert(got === exact)
+    // join-size planning between the two days from artifacts alone:
+    // the q186 4-sigma band around the exact overlap join size
+    val s1 = SketchRollupJob.keySketch(spark, base, "20240101", "20240101")
+    val s2 = SketchRollupJob.keySketch(spark, base, "20240102", "20240102")
+    val est = graft.udafs.JoinSize.estimate(s1, s2)
+    val c1 = d1.groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    val c2 = d2.groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    val exactJoin = c1.map { case (k, n) => n * c2.getOrElse(k, 0L) }.sum
+    val f2a = c1.values.map(n => n * n).sum
+    val f2b = c2.values.map(n => n * n).sum
+    val err = est - exactJoin
+    assert(err * err * 64 <= 16L * f2a * f2b,
+      s"estimate $est vs exact $exactJoin outside the 4-sigma band")
+    // idempotent re-run leaves the merged candidates unchanged
+    SketchRollupJob.runDay(spark, d2, "20240102", base, "user_id", "value",
+      mgK = 128)
+    val again = SketchRollupJob.heavyKeys(spark, base,
+        "20240101", "20240102", mgK = 128)
+      .as[(String, Long)].collect().toMap
+    assert(again === exact)
+  }
 }
