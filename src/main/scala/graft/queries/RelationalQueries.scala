@@ -638,6 +638,23 @@ object RelationalQueries {
       graft.ops.Checks.benfordAudit(
         Tables.lineitem(s, d), "l_extendedprice")),
 
+    // ───── join-skew pre-flight: the one-row report exploded per
+    // candidate key. event_type's cardinality ≤ mgK pins the MG
+    // candidate map bit-exact (the q201 exact regime); the KLL tail
+    // estimate is bounded as a pinned verdict (the q156 convention —
+    // its rank rounding is engine-specific) ─────
+    "q211_key_skew_report" -> ((s, d) => {
+      val rep = graft.ops.Diagnostics.keySkewReport(
+        Tables.events(s, d).where(col("event_type").isNotNull),
+        "event_type")
+      rep.select(explode(col("top_keys")).as(Seq("key", "n")),
+          col("n_rows"), col("n_keys"), col("max_count"),
+          col("skew_ratio_permille"),
+          (col("p999_est") >= lit(1L) &&
+            col("p999_est") <= col("max_count")).as("p999_ok"))
+        .orderBy(col("key"))
+    }),
+
     // ───── robust outlier screen: per-part order quantities against
     // the median/MAD fence (exact lower-median order statistics — no
     // interpolated doubles on either engine); only flagged rows ship ─────
@@ -1419,6 +1436,20 @@ object RelationalQueries {
          FROM s LEFT JOIN mu ON mu.k = s.k
                 LEFT JOIN f ON f.k = s.k AND f.i = s.i
          ORDER BY event_type, bucket""",
+    // exact per-key counts + exact scalars; p999_ok is the pinned
+    // bounded verdict for the engine-specific KLL rank rounding
+    "q211_key_skew_report" ->
+      """WITH c AS (SELECT event_type AS key,
+                      CAST(count(*) AS BIGINT) AS n
+                    FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(max(n) AS BIGINT) AS max_count FROM c)
+         SELECT c.key, c.n, t.n_rows, t.n_keys, t.max_count,
+           CAST(t.max_count * 1000 // (t.n_rows // t.n_keys) AS BIGINT)
+             AS skew_ratio_permille,
+           TRUE AS p999_ok
+         FROM c CROSS JOIN t ORDER BY c.key""",
     // nine-row digit histogram + the pinned rounded-permille Benford
     // table, replayed exactly
     "q207_benford_audit" ->
