@@ -85,4 +85,35 @@ object Audience {
   def segmentOverlapFromEvents(events: DataFrame, keyCol: String,
                                segCol: String, lgK: Int = 12): DataFrame =
     segmentOverlap(segmentSketches(events, keyCol, segCol, lgK), lgK)
+
+  /** Day-over-day churn from a per-BUCKET theta sketch table
+    * (`(bucket, sk)` — [[segmentSketches]] keyed on the day works):
+    * for every consecutive present pair, `n_prev`, `n_next`,
+    * `n_kept` (∩ — retention), `n_gone` (prev ∖ next), `n_new`
+    * (next ∖ prev). THE corpus-ops / DAU question — "how much of
+    * yesterday survived, how much is fresh" — answered from kilobyte
+    * artifacts with no raw rescans and no key-level join: set algebra
+    * touches sketch bytes only, so 10⁹-user days cost the same as
+    * 10³-user days. A missing day breaks the chain rather than
+    * pretending adjacency (the centroid-drift convention); exact
+    * while days stay under 2^lgK distinct keys, ~2 % RSE beyond. Both
+    * join sides are fully renamed (the streaming-view self-join
+    * lesson). */
+  def bucketChurn(sketches: DataFrame, bucketCol: String,
+                  sketchCol: String = "sk"): DataFrame = {
+    val left = sketches.select(col(bucketCol).cast("long").as("__xb"),
+      col(sketchCol).as("__xs"))
+    val right = sketches.select(col(bucketCol).cast("long").as("__yb"),
+      col(sketchCol).as("__ys"))
+    left.join(right, col("__yb") === col("__xb") + 1L)
+      .select(col("__xb").as("bucket"), col("__yb").as("bucket_next"),
+        theta_sketch_estimate(col("__xs")).cast("long").as("n_prev"),
+        theta_sketch_estimate(col("__ys")).cast("long").as("n_next"),
+        theta_sketch_estimate(theta_intersection(col("__xs"), col("__ys")))
+          .cast("long").as("n_kept"),
+        theta_sketch_estimate(theta_difference(col("__xs"), col("__ys")))
+          .cast("long").as("n_gone"),
+        theta_sketch_estimate(theta_difference(col("__ys"), col("__xs")))
+          .cast("long").as("n_new"))
+  }
 }

@@ -655,6 +655,22 @@ object RelationalQueries {
         .orderBy(col("key"))
     }),
 
+    // ───── day-over-day user churn from per-day theta sketches: kept
+    // (retention), gone, new — the DAU corpus-ops question answered
+    // from kilobyte artifacts via set algebra, no key-level join. The
+    // fixture's ≤1356 users/day sit under the 2^12 exact threshold at
+    // every SF, so the oracle replays the exact distinct-set algebra ─────
+    "q212_daily_churn" -> ((s, d) => {
+      val e = Tables.events(s, d).where(col("user_id").isNotNull)
+      val withDay = e.select(col("user_id"),
+          Tables.tsNanos(e).as("tn"))
+        .select(col("user_id"), expr("tn div 86400000000000").as("day"))
+      graft.ops.Audience.bucketChurn(
+          graft.ops.Audience.segmentSketches(withDay, "user_id", "day"),
+          "seg")
+        .orderBy(col("bucket"))
+    }),
+
     // ───── robust outlier screen: per-part order quantities against
     // the median/MAD fence (exact lower-median order statistics — no
     // interpolated doubles on either engine); only flagged rows ship ─────
@@ -1436,6 +1452,25 @@ object RelationalQueries {
          FROM s LEFT JOIN mu ON mu.k = s.k
                 LEFT JOIN f ON f.k = s.k AND f.i = s.i
          ORDER BY event_type, bucket""",
+    // exact distinct-set algebra per consecutive day — theta estimates
+    // are exact under the nominal capacity (the q151 regime)
+    "q212_daily_churn" ->
+      """WITH u AS (SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS d,
+                      user_id
+                    FROM events WHERE user_id IS NOT NULL),
+         ca AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1),
+         kept AS (SELECT x.d AS bucket, CAST(count(*) AS BIGINT) AS n_kept
+                  FROM u x JOIN u y ON y.d = x.d + 1
+                    AND y.user_id = x.user_id
+                  GROUP BY 1)
+         SELECT a.d AS bucket, b.d AS bucket_next,
+           a.n AS n_prev, b.n AS n_next,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           a.n - COALESCE(k.n_kept, 0) AS n_gone,
+           b.n - COALESCE(k.n_kept, 0) AS n_new
+         FROM ca a JOIN ca b ON b.d = a.d + 1
+         LEFT JOIN kept k ON k.bucket = a.d
+         ORDER BY bucket""",
     // exact per-key counts + exact scalars; p999_ok is the pinned
     // bounded verdict for the engine-specific KLL rank rounding
     "q211_key_skew_report" ->

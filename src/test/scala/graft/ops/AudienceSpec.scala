@@ -87,4 +87,19 @@ class AudienceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxSegments"))
   }
+
+  test("bucketChurn: hand-checked kept/gone/new; missing day breaks the chain") {
+    // day 0: {1,2,3}; day 1: {2,3,4,5}; day 3: {9} (day 2 missing)
+    val events = Seq(
+      (1L, 0L), (2L, 0L), (3L, 0L),
+      (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (9L, 3L)).toDF("user_id", "day")
+    val got = Audience.bucketChurn(
+        Audience.segmentSketches(events, "user_id", "day"), "seg")
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    // exact regime (3-5 keys ≪ 2^12): kept {2,3}=2, gone {1}=1,
+    // new {4,5}=2; no 1→2 or 2→3 row — absence, not zeros
+    assert(got === Seq((0L, 1L, 3L, 4L, 2L, 1L, 2L)))
+  }
 }
