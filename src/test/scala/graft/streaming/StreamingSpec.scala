@@ -1097,6 +1097,16 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
           "user_id", "seg")
         .orderBy(key: _*).collect().toSeq
       assert(viaStream === viaBatch)
+      // ...and the same sealed artifacts answer bucket-over-bucket
+      // churn: union per bucket, then consecutive set algebra. Bucket 0
+      // holds {1,2,3,4}, bucket 1 {3,5} → kept 1, gone 3, new 1
+      val churn = graft.ops.Audience.bucketChurn(
+          graft.ops.Audience.mergeSegmentSketches(Seq(
+            emitted().select(col("bucket").as("seg"),
+              col("sketch").as("sk")))),
+          "seg")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+      assert(churn === ((0L, 1L, 4L, 2L, 1L, 3L, 1L)))
     } finally q.stop()
   }
 
