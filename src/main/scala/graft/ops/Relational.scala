@@ -279,6 +279,38 @@ object Relational {
       .select(leftCols.map(col) ++ payload.map(p => col(s"__p.$p").as(p)): _*)
   }
 
+  /** Exact per-group percentile rank — the quality-calibration layer
+    * (CCNet-style per-language thresholds, curriculum difficulty
+    * bands): `outCol = (# group rows with value STRICTLY below)·10⁶
+    * div group_n` — standard `rank() − 1` semantics in truncating
+    * micro fixed point, ties share a rank. The 100 TB design point is
+    * the window's OPERAND: a window over the raw rows puts each whole
+    * group in one task (the English partition of a web corpus is most
+    * of the corpus), so the cumulative count runs over the per-(group,
+    * value) HISTOGRAM instead — histogram-sized window state at any
+    * row volume, bounded by value cardinality — and joins back on
+    * (group, value). Null values pass through with a null rank (they
+    * have no order position, and silently ranking them first or last
+    * would corrupt a threshold). */
+  def percentileRank(df: DataFrame, keys: Seq[String], valCol: String,
+                     outCol: String = "pct_micro"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column $outCol already exists — pass a different outCol")
+    val k = keys.map(col)
+    val hist = df.where(col(valCol).isNotNull)
+      .groupBy(k :+ col(valCol): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(k: _*).orderBy(col(valCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("__below", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__n", sum(col("__c"))
+        .over(Window.partitionBy(k: _*)))
+      .select(k :+ col(valCol) :+
+        expr("__below * 1000000 div __n").as(outCol): _*)
+    df.join(cum, keys :+ valCol, "left")
+  }
+
   /** Skew-splitting equi-join: the `big` side takes a uniform salt in
     * `[0, salt)`, the `small` side replicates once per salt value, and
     * the join keys on `keys :+ salt` — a hot key's rows spread over

@@ -1437,6 +1437,20 @@ object TextQueries {
           Tables.embeddings(s, d), "embedding", "vec_id", Seq("label"),
           threshold = 1030000000000L)
         .orderBy(col("vec_id")))
+    ,
+
+    // ───── per-language percentile-rank calibration of a quality
+    // signal (token count): exact rank()−1 semantics in micro fixed
+    // point, computed over the (lang, value) HISTOGRAM — never a
+    // window over the raw rows (the English partition of a web corpus
+    // is most of the corpus) ─────
+    "q213_percentile_rank" -> ((s, d) =>
+      graft.ops.Relational.percentileRank(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tok")),
+          Seq("lang"), "n_tok")
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("pct_micro"))
+        .orderBy(col("doc_id")))
   )
 
   /** Query suite for q136/q137 — docs ≡ 1 (mod 10): first-5-token
@@ -3938,6 +3952,18 @@ object TextQueries {
          SELECT b AS bucket, b + 1 AS bucket_next, n_a, n_b,
            CAST(l1s // (n_a * n_b) AS BIGINT) AS l1_micro
          FROM pair ORDER BY bucket""",
+    // rank() − 1 over the raw rows — semantically identical to the
+    // histogram-cumulative construction (ties share a rank)
+    "q213_percentile_rank" ->
+      s"""WITH t AS (
+            SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tok
+            FROM documents)
+          SELECT doc_id, lang, n_tok,
+            CAST((rank() OVER (PARTITION BY lang ORDER BY n_tok) - 1)
+              * 1000000
+              // (count(*) OVER (PARTITION BY lang)) AS BIGINT)
+              AS pct_micro
+          FROM t ORDER BY doc_id""",
     // micro-quantized per-label sums, then the SHIFTED floor-division
     // deviation (non-negative numerator ⇒ floor == Spark's truncate)
     // squared and summed per vector

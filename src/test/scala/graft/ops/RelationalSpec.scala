@@ -371,6 +371,36 @@ class RelationalSpec extends SparkSpec {
     assert(e.getMessage.contains("__b"))
   }
 
+  test("percentileRank: rank()-1 model equality, ties, nulls, guard") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, s"g${i % 3}",
+        if (rnd.nextInt(10) == 0) null else Integer.valueOf(rnd.nextInt(12)))
+    }
+    val df = rows.toDF("id", "g", "v")
+    val got = graft.ops.Relational.percentileRank(df, Seq("g"), "v")
+      .select(col("id"), col("pct_micro"))
+      .as[(Long, Option[Long])].collect().toMap
+    // model: rank() − 1 over the raw rows (ties share a rank)
+    val byGroup = rows.filter(_._3 != null).groupBy(_._2)
+    val want = byGroup.values.flatMap { grp =>
+      val n = grp.size
+      grp.map { case (id, _, v) =>
+        id -> (grp.count(_._3.intValue < v.intValue).toLong * 1000000L / n)
+      }
+    }.toMap
+    rows.foreach { case (id, _, v) =>
+      if (v == null) assert(got(id) === None, s"null row $id must rank null")
+      else assert(got(id) === Some(want(id)), s"row $id")
+    }
+    // output-column collision fails loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Relational.percentileRank(
+        df.withColumnRenamed("v", "pct_micro"), Seq("g"), "pct_micro")
+    }
+    assert(e.getMessage.contains("pct_micro"))
+  }
+
   test("benfordAudit: digit extraction, zero/negative handling, permilles") {
     import graft.ops.Checks
     // 19.5→1, -250.0→2 (abs), 0.7→⌊⌋=0 dropped, 0 dropped, 999→9, 12→1
