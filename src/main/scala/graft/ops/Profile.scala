@@ -42,6 +42,47 @@ object Profile {
         col("n_distinct"), col("min_value"), col("max_value"))
   }
 
+  /** Profile DRIFT between two loads of the same table — "did
+    * yesterday's ingest change shape" as a per-column report: both
+    * sides run the one-pass [[profile]], join on column name, and emit
+    * null-rate permilles, distinct counts, min/max equality, plus a
+    * `drifted` verdict — null-rate moved more than
+    * `nullDeltaPermille`, distinct count changed by more than
+    * `distinctRatioPermille` (relative, permille), or an extremum
+    * changed. Both profile rows ride along so the report is
+    * actionable without re-running anything. Cost: two one-pass
+    * profiles + a columns-sized join — the always-on contract check
+    * between a petabyte load and its predecessor reads two artifact
+    * rows per column. */
+  def drift(a: DataFrame, b: DataFrame, cols: Seq[String],
+            nullDeltaPermille: Long = 10L,
+            distinctRatioPermille: Long = 100L): DataFrame = {
+    require(nullDeltaPermille >= 0L && distinctRatioPermille >= 0L,
+      "drift thresholds must be non-negative")
+    val pa = profile(a, cols).select(col("col_name"),
+      col("n").as("n_a"), col("n_null").as("null_a"),
+      col("n_distinct").as("dist_a"), col("min_value").as("min_a"),
+      col("max_value").as("max_a"))
+    val pb = profile(b, cols).select(col("col_name"),
+      col("n").as("n_b"), col("n_null").as("null_b"),
+      col("n_distinct").as("dist_b"), col("min_value").as("min_b"),
+      col("max_value").as("max_b"))
+    pa.join(pb, Seq("col_name"))
+      .withColumn("null_pm_a", expr("null_a * 1000 div n_a"))
+      .withColumn("null_pm_b", expr("null_b * 1000 div n_b"))
+      .withColumn("min_changed", !(col("min_a") <=> col("min_b")))
+      .withColumn("max_changed", !(col("max_a") <=> col("max_b")))
+      .withColumn("drifted",
+        abs(col("null_pm_a") - col("null_pm_b")) > nullDeltaPermille ||
+          expr("abs(dist_a - dist_b) * 1000") >
+            lit(distinctRatioPermille) * greatest(col("dist_a"), lit(1L)) ||
+          col("min_changed") || col("max_changed"))
+      .select(col("col_name"), col("n_a"), col("n_b"),
+        col("null_pm_a"), col("null_pm_b"),
+        col("dist_a"), col("dist_b"),
+        col("min_changed"), col("max_changed"), col("drifted"))
+  }
+
   /** EQUI-DEPTH histogram over an integral column: `k` buckets holding
     * ~equal row counts, cut at the exact ORDER STATISTICS
     * `rank ⌈i·n/k⌉` (1-based, ascending — never an interpolation, the

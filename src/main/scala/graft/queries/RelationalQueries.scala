@@ -671,6 +671,19 @@ object RelationalQueries {
         .orderBy(col("bucket"))
     }),
 
+    // ───── profile drift between two loads (even- vs odd-key halves
+    // as the deterministic stand-in for yesterday/today): per-column
+    // null permilles, distinct counts, extremum changes and the
+    // drifted verdict — the always-on ingest contract check ─────
+    "q214_profile_drift" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      graft.ops.Profile.drift(
+          li.where(col("l_orderkey") % 2 === 0),
+          li.where(col("l_orderkey") % 2 === 1),
+          Seq("l_orderkey", "l_linenumber", "l_returnflag"))
+        .orderBy(col("col_name"))
+    }),
+
     // ───── robust outlier screen: per-part order quantities against
     // the median/MAD fence (exact lower-median order statistics — no
     // interpolated doubles on either engine); only flagged rows ship ─────
@@ -1452,6 +1465,35 @@ object RelationalQueries {
          FROM s LEFT JOIN mu ON mu.k = s.k
                 LEFT JOIN f ON f.k = s.k AND f.i = s.i
          ORDER BY event_type, bucket""",
+    // both half-profiles + the drift formulas replayed column-wise
+    "q214_profile_drift" -> {
+      def one(c: String, par: Int): String =
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+              CAST(count(*) - count($c) AS BIGINT) AS n_null,
+              CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+              CAST(min($c) AS VARCHAR) AS min_value,
+              CAST(max($c) AS VARCHAR) AS max_value
+            FROM lineitem WHERE l_orderkey % 2 = $par"""
+      def side(par: Int): String =
+        Seq("l_orderkey", "l_linenumber", "l_returnflag")
+          .map(one(_, par)).mkString(" UNION ALL ")
+      s"""WITH pa AS (${side(0)}), pb AS (${side(1)}),
+          j AS (
+            SELECT a.col_name, a.n AS n_a, b.n AS n_b,
+              CAST(a.n_null * 1000 // a.n AS BIGINT) AS null_pm_a,
+              CAST(b.n_null * 1000 // b.n AS BIGINT) AS null_pm_b,
+              a.n_distinct AS dist_a, b.n_distinct AS dist_b,
+              NOT (a.min_value IS NOT DISTINCT FROM b.min_value)
+                AS min_changed,
+              NOT (a.max_value IS NOT DISTINCT FROM b.max_value)
+                AS max_changed
+            FROM pa a JOIN pb b USING (col_name))
+          SELECT *,
+            (abs(null_pm_a - null_pm_b) > 10
+              OR abs(dist_a - dist_b) * 1000 > 100 * greatest(dist_a, 1)
+              OR min_changed OR max_changed) AS drifted
+          FROM j ORDER BY col_name"""
+    },
     // exact distinct-set algebra per consecutive day — theta estimates
     // are exact under the nominal capacity (the q151 regime)
     "q212_daily_churn" ->

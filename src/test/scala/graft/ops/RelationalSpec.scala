@@ -401,6 +401,38 @@ class RelationalSpec extends SparkSpec {
     assert(e.getMessage.contains("pct_micro"))
   }
 
+  test("Profile.drift: identical loads clean; null-rate and extremum drift flag") {
+    import graft.ops.Profile
+    val a = Seq((1L, "x"), (2L, "y"), (3L, null), (4L, "z"))
+      .toDF("id", "s")
+    // identical loads: nothing drifts
+    val clean = Profile.drift(a, a, Seq("id", "s"))
+      .select(col("col_name"), col("drifted"))
+      .as[(String, Boolean)].collect().toMap
+    assert(clean === Map("id" -> false, "s" -> false))
+    // b: null rate of s jumps 250‰ → 750‰, id max moves 4 → 9
+    val b = Seq((1L, null), (2L, null), (3L, null), (9L, "x"))
+      .toDF("id", "s")
+    val got = Profile.drift(a, b, Seq("id", "s"))
+      .as[(String, Long, Long, Long, Long, Long, Long,
+        Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    val s = got("s")
+    assert(s._4 === 250L && s._5 === 750L && s._10, "null-rate drift")
+    val id = got("id")
+    assert(id._9 && id._10, "max change flags drift")
+    // thresholds are honored: a huge null tolerance silences s...
+    val lax = Profile.drift(a, b, Seq("s"),
+        nullDeltaPermille = 900L, distinctRatioPermille = 1000000L)
+      .select(col("drifted")).as[Boolean].head()
+    // ...but s's min/max also changed (z → x), so it still flags
+    assert(lax === true)
+    val laxId = Profile.drift(a, a.where(col("id") < 99), Seq("id"),
+        nullDeltaPermille = 900L)
+      .select(col("drifted")).as[Boolean].head()
+    assert(laxId === false)
+  }
+
   test("benfordAudit: digit extraction, zero/negative handling, permilles") {
     import graft.ops.Checks
     // 19.5→1, -250.0→2 (abs), 0.7→⌊⌋=0 dropped, 0 dropped, 999→9, 12→1
