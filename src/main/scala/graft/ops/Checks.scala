@@ -116,6 +116,46 @@ object Checks {
         (col("__absdev") * lit(10L) > lit(kDeci) * col("mad")).as("outlier"))
   }
 
+  /** Winsorize at EXACT per-group order statistics — the robust
+    * feature-scaling step ([[madOutliers]]' sibling: MAD flags, this
+    * clamps): per group, the lower fence is the rank-⌈lo·n/1000⌉ value
+    * and the upper the rank-⌈hi·n/1000⌉ value (1-based ascending —
+    * never an interpolation, the equi-depth cut discipline), and
+    * values clamp into `[lo_fence, hi_fence]`. Integral inputs only
+    * (same truncate-vs-round hazard as MAD). Returns every row with
+    * the fences and the clamped value — bit-replayable rank
+    * arithmetic. Same execution shape as [[madOutliers]]: one
+    * window pass per fence table (group-partitioned — for
+    * billion-row single groups, feed the KLL sketch quantiles
+    * instead and accept the estimate), one group-keyed join back. */
+  def winsorize(df: DataFrame, keyCol: String, valCol: String,
+                loPermille: Long = 50L, hiPermille: Long = 950L): DataFrame = {
+    require(loPermille >= 0L && hiPermille <= 1000L &&
+        loPermille < hiPermille,
+      s"fences must satisfy 0 <= lo < hi <= 1000: $loPermille, $hiPermille")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val inType = df.schema(valCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(inType),
+      s"value column `$valCol` must be integral, got $inType — scale " +
+        "decimals upstream")
+    val v = df.select(col(keyCol).as("k"), col(valCol).cast("long").as("v"))
+    val w = Window.partitionBy(col("k")).orderBy(col("v"))
+    val ranked = v.select(col("k"), col("v"),
+      row_number().over(w).as("__rn"),
+      count(lit(1)).over(Window.partitionBy(col("k"))).as("__cnt"))
+    def fence(p: Long, name: String): DataFrame = ranked
+      .where(col("__rn") ===
+        greatest(expr(s"(__cnt * $p + 999) div 1000"), lit(1L)))
+      .select(col("k"), col("v").as(name))
+    v.join(fence(loPermille, "lo_fence"), Seq("k"))
+      .join(fence(hiPermille, "hi_fence"), Seq("k"))
+      .select(col("k").as(keyCol), col("v"),
+        col("lo_fence"), col("hi_fence"),
+        greatest(col("lo_fence"), least(col("hi_fence"), col("v")))
+          .as("v_winsor"))
+  }
+
   /** Benford's-law first-digit permilles (Newcomb 1881 / Benford 1938,
     * P(d) = log₁₀(1 + 1/d)). */
   private[graft] val benfordPermille =

@@ -684,6 +684,17 @@ object RelationalQueries {
         .orderBy(col("col_name"))
     }),
 
+    // ───── winsorization at exact per-part order-statistic fences
+    // (p10/p90): the robust-scaling sibling of the q184 MAD screen —
+    // clamp, don't drop; rank arithmetic replays bit-exact ─────
+    "q215_winsorize" -> ((s, d) =>
+      graft.ops.Checks.winsorize(
+          Tables.lineitem(s, d).where(col("l_orderkey") % 5 === 0)
+            .select(col("l_partkey"), col("l_quantity").cast("long")
+              .as("qty")),
+          "l_partkey", "qty", loPermille = 100L, hiPermille = 900L)
+        .orderBy(col("l_partkey"), col("v"))),
+
     // ───── robust outlier screen: per-part order quantities against
     // the median/MAD fence (exact lower-median order statistics — no
     // interpolated doubles on either engine); only flagged rows ship ─────
@@ -1465,6 +1476,22 @@ object RelationalQueries {
          FROM s LEFT JOIN mu ON mu.k = s.k
                 LEFT JOIN f ON f.k = s.k AND f.i = s.i
          ORDER BY event_type, bucket""",
+    // the rank-⌈p·n/1000⌉ fences and the clamp replayed — the value at
+    // a rank of a sorted multiset is unique regardless of tie order
+    "q215_winsorize" ->
+      """WITH v AS (SELECT l_partkey AS k, CAST(l_quantity AS BIGINT) AS v
+                    FROM lineitem WHERE l_orderkey % 5 = 0),
+         r AS (SELECT k, v,
+                 row_number() OVER (PARTITION BY k ORDER BY v) AS rn,
+                 count(*) OVER (PARTITION BY k) AS cnt FROM v),
+         lo AS (SELECT k, v AS lo_fence FROM r
+                WHERE rn = greatest((cnt * 100 + 999) // 1000, 1)),
+         hi AS (SELECT k, v AS hi_fence FROM r
+                WHERE rn = greatest((cnt * 900 + 999) // 1000, 1))
+         SELECT v.k AS l_partkey, v.v, lo.lo_fence, hi.hi_fence,
+           greatest(lo.lo_fence, least(hi.hi_fence, v.v)) AS v_winsor
+         FROM v JOIN lo USING (k) JOIN hi USING (k)
+         ORDER BY l_partkey, v""",
     // both half-profiles + the drift formulas replayed column-wise
     "q214_profile_drift" -> {
       def one(c: String, par: Int): String =

@@ -433,6 +433,30 @@ class RelationalSpec extends SparkSpec {
     assert(laxId === false)
   }
 
+  test("winsorize: hand-checked fences, clamping, tiny groups, guards") {
+    import graft.ops.Checks
+    // group a: 1..10 → p10 fence = rank ⌈10·100/1000⌉ = rank 1 = 1,
+    // p90 = rank 9 = 9; 10 clamps to 9. group b: single row — both
+    // fences are that value, nothing moves
+    val df = ((1 to 10).map(i => ("a", i.toLong)) :+ ("b", 42L))
+      .toDF("k", "v")
+    val got = Checks.winsorize(df, "k", "v",
+        loPermille = 100L, hiPermille = 900L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    val a = got.filter(_._1 == "a")
+    assert(a.forall(r => r._3 === 1L && r._4 === 9L))
+    assert(a.map(_._5) === Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 9L))
+    assert(got.filter(_._1 == "b") === Seq(("b", 42L, 42L, 42L, 42L)))
+    // guards: bad fences, non-integral value column
+    assert(intercept[IllegalArgumentException] {
+      Checks.winsorize(df, "k", "v", 900L, 100L)
+    }.getMessage.contains("fences"))
+    assert(intercept[IllegalArgumentException] {
+      Checks.winsorize(Seq(("a", 1.5)).toDF("k", "v"), "k", "v")
+    }.getMessage.contains("integral"))
+  }
+
   test("benfordAudit: digit extraction, zero/negative handling, permilles") {
     import graft.ops.Checks
     // 19.5→1, -250.0→2 (abs), 0.7→⌊⌋=0 dropped, 0 dropped, 999→9, 12→1
