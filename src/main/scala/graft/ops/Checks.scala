@@ -116,6 +116,29 @@ object Checks {
         (col("__absdev") * lit(10L) > lit(kDeci) * col("mad")).as("outlier"))
   }
 
+  /** Functional-dependency violations (`det → dep`): determinant
+    * values mapping to MORE than one dependent value — the "one order
+    * ships one date", "one user has one country" contract check. One
+    * pair-distinct pass + one determinant-keyed aggregate; returns
+    * `(det..., n_dep_values, dep_sample_a, dep_sample_b)` for
+    * violating determinants only — two concrete witnesses (the
+    * extreme dependents, deterministic) so the report is actionable
+    * without a second scan. Nulls: a null dependent is a VALUE here
+    * (two rows, one null dep + one real, ARE a violation — the
+    * contract said one value); null determinants group together like
+    * SQL GROUP BY. */
+  def fdViolations(df: DataFrame, det: Seq[String],
+                   dep: String): DataFrame = {
+    require(det.nonEmpty, "need at least one determinant column")
+    val k = det.map(col)
+    df.select(k :+ col(dep): _*).distinct()
+      .groupBy(k: _*)
+      .agg(count(lit(1)).as("n_dep_values"),
+        min(col(dep)).cast("string").as("dep_sample_a"),
+        max(col(dep)).cast("string").as("dep_sample_b"))
+      .where(col("n_dep_values") > 1L)
+  }
+
   /** Winsorize at EXACT per-group order statistics — the robust
     * feature-scaling step ([[madOutliers]]' sibling: MAD flags, this
     * clamps): per group, the lower fence is the rank-⌈lo·n/1000⌉ value

@@ -83,6 +83,32 @@ object Profile {
         col("min_changed"), col("max_changed"), col("drifted"))
   }
 
+  /** Inclusion coefficient between two columns — the FK-DISCOVERY
+    * primitive (Spider-style data cataloguing): what fraction of `a`'s
+    * distinct values appear in `b`? 1000‰ says `a.colA` references
+    * `b.colB`; a high-but-sub-1000 value says a broken or partial
+    * reference (the q178 referential check names the violating ROWS;
+    * this names the column-pair RELATIONSHIP). Exact: two distinct
+    * passes + one semi-join on the distinct sets (value-cardinality
+    * sized, not row sized). Nulls are excluded on both sides — a null
+    * references nothing. At 100 TB across MANY column pairs, persist
+    * per-column theta sketches instead and read the matrix from
+    * artifacts ([[graft.ops.Audience]]); this exact form is the
+    * single-pair auditor. */
+  def inclusion(a: DataFrame, colA: String, b: DataFrame,
+                colB: String): DataFrame = {
+    val da = a.select(col(colA).cast("string").as("__v"))
+      .where(col("__v").isNotNull).distinct()
+    val db = b.select(col(colB).cast("string").as("__v"))
+      .where(col("__v").isNotNull).distinct()
+    val shared = da.join(db, Seq("__v"), "left_semi")
+    da.agg(count(lit(1)).as("n_a"))
+      .crossJoin(broadcast(shared.agg(count(lit(1)).as("n_shared"))))
+      .select(col("n_a"), col("n_shared"),
+        expr("if(n_a = 0, 0L, n_shared * 1000 div n_a)")
+          .as("inclusion_permille"))
+  }
+
   /** EQUI-DEPTH histogram over an integral column: `k` buckets holding
     * ~equal row counts, cut at the exact ORDER STATISTICS
     * `rank ⌈i·n/k⌉` (1-based, ascending — never an interpolation, the

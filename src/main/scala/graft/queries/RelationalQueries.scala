@@ -684,6 +684,30 @@ object RelationalQueries {
         .orderBy(col("col_name"))
     }),
 
+    // ───── functional-dependency audit: customers whose orders carry
+    // MORE than one priority (the "one account, one tier" contract
+    // check) — violating determinants with two concrete witnesses ─────
+    "q216_fd_violations" -> ((s, d) =>
+      graft.ops.Checks.fdViolations(
+          Tables.orders(s, d), Seq("o_custkey"), "o_orderpriority")
+        .orderBy(col("o_custkey"))),
+
+    // ───── FK discovery by inclusion coefficient: lineitem.partkey ⊆
+    // part.partkey (the true reference reads 1000‰) beside the reverse
+    // direction — the column-pair RELATIONSHIP the row-level
+    // referential check (q178) doesn't name ─────
+    "q217_inclusion" -> ((s, d) => {
+      val li = Tables.lineitem(s, d); val p = Tables.part(s, d)
+      graft.ops.Profile.inclusion(li, "l_partkey", p, "p_partkey")
+        .select(lit("li_in_part").as("pair"), col("n_a"),
+          col("n_shared"), col("inclusion_permille"))
+        .unionByName(
+          graft.ops.Profile.inclusion(p, "p_partkey", li, "l_partkey")
+            .select(lit("part_in_li").as("pair"), col("n_a"),
+              col("n_shared"), col("inclusion_permille")))
+        .orderBy(col("pair"))
+    }),
+
     // ───── winsorization at exact per-part order-statistic fences
     // (p10/p90): the robust-scaling sibling of the q184 MAD screen —
     // clamp, don't drop; rank arithmetic replays bit-exact ─────
@@ -1476,6 +1500,37 @@ object RelationalQueries {
          FROM s LEFT JOIN mu ON mu.k = s.k
                 LEFT JOIN f ON f.k = s.k AND f.i = s.i
          ORDER BY event_type, bucket""",
+    // distinct (det, dep) pairs grouped and filtered — min/max are the
+    // deterministic witnesses
+    "q216_fd_violations" ->
+      """WITH d AS (SELECT DISTINCT o_custkey, o_orderpriority
+                    FROM orders)
+         SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_dep_values,
+           CAST(min(o_orderpriority) AS VARCHAR) AS dep_sample_a,
+           CAST(max(o_orderpriority) AS VARCHAR) AS dep_sample_b
+         FROM d GROUP BY 1 HAVING count(*) > 1 ORDER BY o_custkey""",
+    // distinct-set containment both ways, in permille
+    "q217_inclusion" ->
+      """WITH la AS (SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS v
+                     FROM lineitem WHERE l_partkey IS NOT NULL),
+         pa AS (SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS v
+                FROM part WHERE p_partkey IS NOT NULL),
+         one AS (
+           SELECT 'li_in_part' AS pair,
+             CAST((SELECT count(*) FROM la) AS BIGINT) AS n_a,
+             CAST((SELECT count(*) FROM la WHERE v IN (SELECT v FROM pa))
+               AS BIGINT) AS n_shared),
+         two AS (
+           SELECT 'part_in_li' AS pair,
+             CAST((SELECT count(*) FROM pa) AS BIGINT) AS n_a,
+             CAST((SELECT count(*) FROM pa WHERE v IN (SELECT v FROM la))
+               AS BIGINT) AS n_shared)
+         SELECT pair, n_a, n_shared,
+           CAST(CASE WHEN n_a = 0 THEN 0
+                ELSE n_shared * 1000 // n_a END AS BIGINT)
+             AS inclusion_permille
+         FROM (SELECT * FROM one UNION ALL SELECT * FROM two)
+         ORDER BY pair""",
     // the rank-⌈p·n/1000⌉ fences and the clamp replayed — the value at
     // a rank of a sorted multiset is unique regardless of tie order
     "q215_winsorize" ->

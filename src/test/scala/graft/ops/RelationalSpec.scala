@@ -433,6 +433,29 @@ class RelationalSpec extends SparkSpec {
     assert(laxId === false)
   }
 
+  test("fdViolations and inclusion: hand-checked contracts") {
+    import graft.ops.{Checks, Profile}
+    // u1 → one country (clean); u2 → two; u3 → real + null (violation:
+    // the contract said ONE value)
+    val df = Seq((1L, "de"), (1L, "de"), (2L, "de"), (2L, "fr"),
+      (3L, "us"), (3L, null)).toDF("u", "c")
+    val v = Checks.fdViolations(df, Seq("u"), "c")
+      .as[(Long, Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(v.map(_._1) === Seq(2L, 3L))
+    assert(v.head === ((2L, 2L, "de", "fr")))
+    assert(v.last._2 === 2L) // null + "us"
+    // inclusion: {1,2,3} vs {2,3,9}: 2 of 3 shared → 666‰; nulls drop
+    val a = Seq(Some(1L), Some(2L), Some(3L), None).toDF("x")
+    val b = Seq(2L, 3L, 9L, 9L).toDF("y")
+    val inc = Profile.inclusion(a, "x", b, "y")
+      .as[(Long, Long, Long)].head()
+    assert(inc === ((3L, 2L, 666L)))
+    // the full reference reads exactly 1000‰
+    val full = Profile.inclusion(b, "y", b, "y")
+      .as[(Long, Long, Long)].head()
+    assert(full === ((3L, 3L, 1000L)))
+  }
+
   test("winsorize: hand-checked fences, clamping, tiny groups, guards") {
     import graft.ops.Checks
     // group a: 1..10 → p10 fence = rank ⌈10·100/1000⌉ = rank 1 = 1,
