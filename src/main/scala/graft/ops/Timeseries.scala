@@ -351,6 +351,49 @@ object Timeseries {
         explode(col("__m")).as(Seq("token", "n_est")))
   }
 
+  /** Lag-k autocorrelation in EXACT integers — the seasonality
+    * detector the anomaly family (EWMA/Holt/CUSUM/MAD) lacks: "does
+    * this series repeat every 7 days" as a per-key permille. The whole
+    * computation stays in longs via the common-denominator trick
+    * (deviations scale by the bucket count n): per key,
+    * `num = Σ_t (n·x_t − S)(n·x_{t+lag} − S)` over pairs where both
+    * buckets exist, `den = Σ_t (n·x_t − S)²` over all buckets (the
+    * classic ACF denominator), and
+    * `acf_permille = num·1000 / den` computed with the shifted
+    * floor-division (+K·den before the div, −K after — |ACF| ≤ 1 by
+    * Cauchy–Schwarz, so K=10⁴ keeps the numerator non-negative and
+    * truncate == floor on both engines even for NEGATIVE
+    * correlations). A constant series has den = 0 — no variance, no
+    * correlation — and emits a null ratio rather than inventing one.
+    * One key-partitioned self-join at bucket+lag + two key-keyed
+    * aggregates; long-regime bound: n²·x² per term (fine through
+    * ~10⁴-bucket series of million-scale counts; beyond, lift to
+    * DECIMAL). Gaps are NOT zero-filled — compose with [[zeroFill]]
+    * when absence means zero. */
+  def autocorr(counts: DataFrame, keyCol: String, bucketCol: String,
+               nCol: String, lag: Int): DataFrame = {
+    require(lag >= 1, s"lag must be positive: $lag")
+    val v = counts.select(col(keyCol).as("k"),
+      col(bucketCol).cast("long").as("b"), col(nCol).cast("long").as("x"))
+    val stats = v.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val d = v.join(stats, Seq("k"))
+      .select(col("k"), col("b"), (col("x") * col("n") - col("s")).as("d"),
+        col("n"))
+    val lagged = d.select(col("k").as("lk"), (col("b") - lag).as("lb"),
+      col("d").as("ld"))
+    val num = d.join(lagged, col("lk") === col("k") && col("lb") === col("b"))
+      .groupBy(col("k")).agg(sum(col("d") * col("ld")).as("num"))
+    val den = d.groupBy(col("k"), col("n"))
+      .agg(sum(col("d") * col("d")).as("den"))
+    den.join(num, Seq("k"), "left")
+      .select(col("k").as(keyCol), col("n").as("n_buckets"),
+        coalesce(col("num"), lit(0L)).as("num"), col("den"),
+        when(col("den") > 0L,
+          expr("(coalesce(num, 0) * 1000 + 10000 * den) div den - 10000"))
+          .otherwise(lit(null).cast("long")).as("acf_permille"))
+  }
+
   /** CUSUM level-shift detection (Page 1954) — the changepoint shape
     * the EWMA/Holt family can't express: a SMALL persistent shift
     * (each bucket individually inside the spike band) accumulates in

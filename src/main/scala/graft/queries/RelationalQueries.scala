@@ -684,6 +684,20 @@ object RelationalQueries {
         .orderBy(col("col_name"))
     }),
 
+    // ───── weekly-seasonality detection: lag-7 autocorrelation of
+    // daily event counts per type, exact integers end to end (the
+    // common-denominator deviations + the shifted floor-division for
+    // possibly-negative correlations) ─────
+    "q218_autocorr" -> ((s, d) => {
+      val e = Tables.events(s, d).where(col("event_type").isNotNull)
+      graft.ops.Timeseries.autocorr(
+          graft.ops.Timeseries.bucketCounts(
+            e.select(col("event_type"), Tables.tsNanos(e).as("tn")),
+            "event_type", "tn", bucketNanos = 86400L * 1000000000L),
+          "event_type", "bucket", "n", lag = 7)
+        .orderBy(col("event_type"))
+    }),
+
     // ───── functional-dependency audit: customers whose orders carry
     // MORE than one priority (the "one account, one tier" contract
     // check) — violating determinants with two concrete witnesses ─────
@@ -1500,6 +1514,30 @@ object RelationalQueries {
          FROM s LEFT JOIN mu ON mu.k = s.k
                 LEFT JOIN f ON f.k = s.k AND f.i = s.i
          ORDER BY event_type, bucket""",
+    // the scaled-deviation products and the shifted division replayed
+    "q218_autocorr" ->
+      """WITH c AS (SELECT event_type AS k,
+                      epoch_ns(ts) // 86400000000000 AS b,
+                      CAST(count(*) AS BIGINT) AS x
+                    FROM events WHERE event_type IS NOT NULL
+                    GROUP BY 1, 2),
+         st AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS s FROM c GROUP BY 1),
+         d AS (SELECT c.k, c.b, c.x * st.n - st.s AS d, st.n
+               FROM c JOIN st USING (k)),
+         num AS (SELECT a.k, CAST(sum(a.d * l.d) AS BIGINT) AS num
+                 FROM d a JOIN d l ON l.k = a.k AND l.b = a.b + 7
+                 GROUP BY 1),
+         den AS (SELECT k, CAST(min(n) AS BIGINT) AS n,
+                   CAST(sum(d * d) AS BIGINT) AS den FROM d GROUP BY 1)
+         SELECT den.k AS event_type, den.n AS n_buckets,
+           CAST(COALESCE(num.num, 0) AS BIGINT) AS num, den.den,
+           CASE WHEN den.den > 0 THEN
+             CAST((COALESCE(num.num, 0) * 1000 + 10000 * den.den)
+               // den.den - 10000 AS BIGINT)
+           END AS acf_permille
+         FROM den LEFT JOIN num USING (k)
+         ORDER BY event_type""",
     // distinct (det, dep) pairs grouped and filtered — min/max are the
     // deterministic witnesses
     "q216_fd_violations" ->

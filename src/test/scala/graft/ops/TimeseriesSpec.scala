@@ -251,4 +251,39 @@ class TimeseriesSpec extends SparkSpec {
         Option[Boolean], Option[Boolean])].collect().toSeq
     assert(got.forall(r => r._4.isEmpty && r._5.isEmpty && r._7.isEmpty))
   }
+
+  test("autocorr: periodic, anti-phase, constant, and the double model") {
+    def series(key: String, xs: Seq[Long]) =
+      xs.zipWithIndex.map { case (x, b) => (key, b.toLong, x) }
+    // p2: exact period 2 over an even horizon → lag-2 ACF tends to 1;
+    // anti: alternating at lag 1 is negative; flat: zero variance
+    val data =
+      series("p2", Seq.fill(6)(Seq(10L, 2L)).flatten) ++
+        series("anti", Seq.fill(6)(Seq(10L, 2L)).flatten) ++
+        series("flat", Seq.fill(8)(5L))
+    val df = data.toDF("k", "bucket", "n")
+    val byKey = (lag: Int) => Timeseries.autocorr(df, "k", "bucket", "n", lag)
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    val at2 = byKey(2)
+    // lag-2 pairs of a period-2 series correlate perfectly on the
+    // matched subset: num/den < 1 only because den spans ALL buckets
+    assert(at2("p2")._5.get > 800L)
+    assert(at2("flat")._5 === None && at2("flat")._4 === 0L)
+    val at1 = byKey(1)
+    assert(at1("anti")._5.get < -800L)
+    // double-precision model agreement (within integer rounding): the
+    // same truncated-ACF definition evaluated in floating point
+    val rnd = new scala.util.Random(5)
+    val xs = (0 until 40).map(_ => rnd.nextInt(100).toLong)
+    val got = Timeseries.autocorr(
+        series("r", xs).toDF("k", "bucket", "n"), "k", "bucket", "n", 7)
+      .as[(String, Long, Long, Long, Option[Long])].head()
+    val mu = xs.sum.toDouble / xs.size
+    val num = (0 until 33).map(t => (xs(t) - mu) * (xs(t + 7) - mu)).sum
+    val den = xs.map(x => (x - mu) * (x - mu)).sum
+    val model = num / den * 1000.0
+    assert(math.abs(got._5.get - model) <= 2.0,
+      s"integer ACF ${got._5.get} vs double model $model")
+  }
 }
