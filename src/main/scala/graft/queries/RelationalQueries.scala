@@ -824,7 +824,10 @@ object RelationalQueries {
           "w_start", "w_end", "tn", bucketNanos = day, payload = Seq("v"))
         .groupBy(col("signup_id"), col("user_id"))
         .agg(count(lit(1)).as("n_purchases"),
-          sum(col("v")).as("total_value"))
+          // exact decimal sum first, ONE cast at the output boundary —
+          // the q01 money convention (driver hashes representation-
+          // sensitively; DuckDB decimals arrive as float64)
+          sum(col("v")).cast("double").as("total_value"))
         .orderBy(col("signup_id"))
     }),
 
@@ -1832,7 +1835,7 @@ object RelationalQueries {
                 FROM b WHERE event_type = 'purchase')
           SELECT s.signup_id, s.user_id,
             CAST(count(*) AS BIGINT) AS n_purchases,
-            SUM(p.v) AS total_value
+            CAST(SUM(p.v) AS DOUBLE) AS total_value
           FROM s JOIN p ON p.user_id = s.user_id
             AND p.tn >= s.st AND p.tn < s.en
           GROUP BY s.signup_id, s.user_id
