@@ -77,10 +77,23 @@ object Fuzzy {
     * the Audience-guard discipline) builds the partition offset table,
     * and `monotonically_increasing_id` (partition id in the upper 31
     * bits, partition-local row number in the lower 33) supplies the
-    * local index, so `pos = offset(pid) + local`. Both passes see
-    * identical partitioning: the range partitioner's sampling is
-    * seeded per partition index, hence deterministic over the same
-    * input. The neighbor pairing is a `sequence` explode (×window)
+    * local index, so `pos = offset(pid) + local`. Both passes MUST see
+    * identical partitioning, so the range-partitioned frame is
+    * `persist`ed and materialized by the counts action before anything
+    * else reads it: the range partitioner's boundaries come from
+    * SAMPLING, and without the pin a recomputation (speculative retry,
+    * lost executor, the position pass running as a separate job) could
+    * re-sample different boundaries — the collected offsets would then
+    * describe partitions the main query no longer has and every global
+    * position after the drift point silently shifts. With the pin the
+    * counts action, the position assignment, and BOTH sides of the
+    * self-join read the same cached blocks (`MEMORY_AND_DISK`, so
+    * memory pressure spills instead of dropping the pin). The cache is
+    * deliberately NOT unpersisted here: the returned plan is lazy, and
+    * every downstream action must still see the pinned partitioning —
+    * it lives until the session drops it (LRU) or the caller clears it
+    * after consuming the result. The neighbor pairing is a `sequence`
+    * explode (×window)
     * equi-joined on position — the rolling-actives fan-out pattern, so
     * hot regions split across tasks and candidate volume is exactly
     * n·window. */
@@ -94,6 +107,9 @@ object Fuzzy {
       .select(col(textCol).cast("string").as("s"), col(idCol).cast("long").as("id"))
       .repartitionByRange(numPartitions, col("s"), col("id"))
       .sortWithinPartitions(col("s"), col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the counts action materializes the cache — the single evaluation
+    // of the sampled range partitioning that every later pass reuses
     val counts = sorted.groupBy(spark_partition_id().as("__pid"))
       .agg(count(lit(1)).as("__cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

@@ -126,6 +126,26 @@ class FuzzySpec extends SparkSpec {
       s"RDD seam reintroduced:\n$plan")
   }
 
+  test("sortedNeighborPairs pins its frame: every pass reads ONE cached " +
+      "evaluation of the sampled range partitioning") {
+    // The range partitioner's boundaries come from sampling; the collected
+    // per-partition counts are only valid for the evaluation they were
+    // collected from. The guard: the pairing plan must read the frame
+    // through the cache (InMemoryTableScan) on BOTH join sides — never
+    // recompute the repartitionByRange, whose re-sampled boundaries could
+    // silently shift every global position (missed/duplicated pairs).
+    val rows = (0L until 40L).map(i => i -> s"v${i % 11}y")
+    val result = Fuzzy.sortedNeighborPairs(rows.toDF("id", "s"), "s", "id",
+      window = 2, maxDist = 2, numPartitions = 3)
+    val plan = result.queryExecution.executedPlan.toString
+    val cacheScans = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(cacheScans >= 2,
+      s"expected both self-join sides to scan the pinned cache, " +
+        s"got $cacheScans InMemoryTableScan(s):\n$plan")
+    assert(!plan.contains("RangePartitioning"),
+      s"range exchange re-evaluated downstream of the pin:\n$plan")
+  }
+
   test("editDistancePairs emits each unordered pair once, no self pairs") {
     val df = Seq(1L -> "abcd_x", 2L -> "abcf_x", 3L -> "abcd_x", 4L -> "qqqq_y")
       .toDF("id", "s")
