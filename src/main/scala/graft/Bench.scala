@@ -77,23 +77,22 @@ object Bench {
     val total = results.values.collect { case Right(v) => v }.sum
     val nFailed = results.values.count(_.isLeft)
     // Output is tail-captured by the driver, so order lines least- to
-    // most-important: the big combined map first (kept when the window is
-    // large enough), then one small line per query (each independently
-    // parseable — partial capture degrades gracefully), and LAST a compact
-    // total line that always fits the tail window.
-    println(s"""{"metric":"queries","unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // most-important: one small line per query FIRST (each independently
+    // parseable — partial capture degrades gracefully), then the lines
+    // that must survive ANY capture that keeps the total at all: the
+    // combined all-queries map (one line — the per-round regression
+    // record), the failure names, and LAST the compact total. Earlier
+    // rounds printed the combined map first and it scrolled out of the
+    // driver's tail window every round.
     results.toSeq.sortBy(_._1).foreach {
       case (k, Right(v)) =>
         println(s"""{"metric":"query","name":"$k","value":$v,"unit":"sec"}""")
       case (k, Left(e)) =>
         println(s"""{"metric":"query","name":"$k","error":"${esc(e)}"}""")
     }
-    // failure NAMES directly before the total: the driver's tail capture
-    // keeps the end of the output, and the per-query error lines above can
-    // scroll out of a small window — this line makes "which queries
-    // failed" survive any capture that keeps the total at all
     val errNames = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
       .toSeq.sorted.mkString("[", ",", "]")
+    println(s"""{"metric":"queries","unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     println(s"""{"metric":"errors","names":$errNames}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
