@@ -69,7 +69,11 @@ object GraftFunctions {
     // exact integer dot (graft.sim.Quant)
     "graft_int8_scale" -> unary("graft_int8_scale", Int8Scale(_)) _,
     "graft_int8_codes" -> binary("graft_int8_codes", Int8Codes(_, _)) _,
-    "graft_int8_dot" -> binary("graft_int8_dot", Int8Dot(_, _)) _)
+    "graft_int8_dot" -> binary("graft_int8_dot", Int8Dot(_, _)) _,
+    // per-ROW inclusive rank against a kll_sketch_agg_double column —
+    // the non-foldable probe the built-in kll_sketch_get_rank_double
+    // (literal-only) can't express
+    "graft_kll_rank" -> binary("graft_kll_rank", KllRank(_, _)) _)
 
   /** One 31-bit Morton spread chain in Spark SQL (mirrors
     * `ZOrder.spreadBits`; `shiftleft` + `&`/`|` operators). */

@@ -311,6 +311,52 @@ object Relational {
     df.join(cum, keys :+ valCol, "left")
   }
 
+  /** Approximate per-group percentile rank — [[percentileRank]]'s
+    * escape hatch for CONTINUOUS value columns (the [[graft.ops.Checks
+    * .winsorize]] pattern). The exact form's window runs over the
+    * per-(group, value) HISTOGRAM, bounded by value cardinality — right
+    * for scores and buckets, but a continuous double column in one
+    * giant group degenerates back to a row-sized window in a single
+    * task (the English partition of a web corpus IS the corpus). This
+    * sibling replaces the window with a per-group KLL sketch (Karnin–
+    * Lang–Liberty 2016; Spark's native `kll_sketch_agg_double`): one
+    * map-side-combined aggregation producing ONE k-bounded sketch per
+    * group, joined back (group-cardinality-sized build side — AQE
+    * broadcasts it), and the native [[graft.functions.KllRank]]
+    * expression evaluates each row against its group's sketch (the
+    * built-in `kll_sketch_get_rank_double` only takes a FOLDABLE probe).
+    * No window, no per-value shuffle, O(k) state per group at any row
+    * volume.
+    *
+    * Semantics: `outCol` is the sketch's INCLUSIVE rank estimate —
+    * the fraction of the group's rows with value ≤ this row's value,
+    * a double in [0, 1] (the sketch library's native criterion; the
+    * exact sibling's strictly-below micro fixed point differs by one
+    * value-mass at ties — band-compare against the matching inclusive
+    * exact). Normalized rank error ≤ ~1.65 % at k = 200 (the default),
+    * but the estimate is NOT replayable: KLL compaction is randomized,
+    * so gate it with a rank-band verdict (the q156 pattern), never a
+    * value hash. Nulls pass through with a null rank, exactly like the
+    * exact form. */
+  def percentileRankApprox(df: DataFrame, keys: Seq[String], valCol: String,
+                           outCol: String = "pct_est",
+                           k: Int = 200): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column $outCol already exists — pass a different outCol")
+    val v = col(valCol).cast("double")
+    val sk = df.where(col(valCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(kll_sketch_agg_double(v, lit(k)).as("__sk"))
+    val joined =
+      if (keys.nonEmpty) df.join(sk, keys, "left")
+      else df.crossJoin(broadcast(sk))
+    joined
+      .withColumn(outCol,
+        when(col(valCol).isNotNull && col("__sk").isNotNull,
+          graft.functions.SketchExpressions.kllRank(col("__sk"), v)))
+      .drop("__sk")
+  }
+
   /** Skew-splitting equi-join: the `big` side takes a uniform salt in
     * `[0, salt)`, the `small` side replicates once per salt value, and
     * the join keys on `keys :+ salt` — a hot key's rows spread over

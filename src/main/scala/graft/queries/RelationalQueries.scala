@@ -733,6 +733,36 @@ object RelationalQueries {
           "l_partkey", "qty", loPermille = 100L, hiPermille = 900L)
         .orderBy(col("l_partkey"), col("v"))),
 
+    // ───── approximate percentile rank over a CONTINUOUS column: the
+    // per-group KLL `get_rank` escape hatch for the billion-row-single-
+    // group case the exact histogram window can't survive. Gated the
+    // q156 way: the exact inclusive rank mass (Σ per row of #values ≤ v,
+    // an integer) is hashed, and the sketch estimate — randomized
+    // compaction, non-replayable — is pinned by a rank-band verdict
+    // (max |est − exact| ≤ 0.05, ≈3× KLL's k=200 error bound) ─────
+    "q219_pct_rank_approx" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .where(col("value").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type"), col("value").cast("double").as("v"))
+      val approx = Relational.percentileRankApprox(
+        e, Seq("event_type"), "v", "pct_est")
+      val hist = e.groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("__c"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val exact = hist
+        .withColumn("__cum", sum(col("__c")).over(wCum))
+        .withColumn("__n",
+          sum(col("__c")).over(Window.partitionBy(col("event_type"))))
+      approx.join(exact, Seq("event_type", "v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("__cum")).as("sum_cum_incl"),
+          (max(abs(col("pct_est") - col("__cum").cast("double") / col("__n")))
+            <= lit(0.05)).as("kll_rank_ok"))
+        .orderBy(col("event_type"))
+    }),
+
     // ───── robust outlier screen: per-part order quantities against
     // the median/MAD fence (exact lower-median order statistics — no
     // interpolated doubles on either engine); only flagged rows ship ─────
@@ -824,10 +854,9 @@ object RelationalQueries {
           "w_start", "w_end", "tn", bucketNanos = day, payload = Seq("v"))
         .groupBy(col("signup_id"), col("user_id"))
         .agg(count(lit(1)).as("n_purchases"),
-          // exact decimal sum first, ONE cast at the output boundary —
-          // the q01 money convention (driver hashes representation-
-          // sensitively; DuckDB decimals arrive as float64)
-          sum(col("v")).cast("double").as("total_value"))
+          // v is already decimal(18,2): moneySum's inner cast is a no-op
+          // and the output boundary gets the one q01-convention cast
+          moneySum(col("v")).as("total_value"))
         .orderBy(col("signup_id"))
     }),
 
@@ -1588,6 +1617,22 @@ object RelationalQueries {
            greatest(lo.lo_fence, least(hi.hi_fence, v.v)) AS v_winsor
          FROM v JOIN lo USING (k) JOIN hi USING (k)
          ORDER BY l_partkey, v""",
+    // exact half replayed (per-row inclusive rank mass via a RANGE
+    // frame — peers included, matching the histogram cumsum); the
+    // sketch's rank-band verdict is pinned TRUE
+    "q219_pct_rank_approx" ->
+      """WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+                    FROM events
+                    WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         r AS (SELECT event_type,
+                 CAST(count(*) OVER (PARTITION BY event_type ORDER BY v
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+               FROM e)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cum) AS BIGINT) AS sum_cum_incl,
+           TRUE AS kll_rank_ok
+         FROM r GROUP BY event_type ORDER BY event_type""",
     // both half-profiles + the drift formulas replayed column-wise
     "q214_profile_drift" -> {
       def one(c: String, par: Int): String =

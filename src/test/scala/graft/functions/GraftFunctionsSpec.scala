@@ -16,6 +16,24 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getDouble(2) === 0.0)
   }
 
+  test("graft_kll_rank: per-row non-foldable probe, inclusive, codegen==eval") {
+    GraftFunctions.register(spark)
+    // n=10 ≤ k: the sketch retains everything, ranks are exact — and the
+    // probe is a per-ROW column, which the built-in get_rank (literal-only
+    // argument) rejects at analysis time
+    val got = spark.sql(
+      """WITH d AS (SELECT CAST(v AS DOUBLE) v FROM range(1, 11) t(v)),
+               s AS (SELECT kll_sketch_agg_double(v, 200) sk FROM d)
+         SELECT v, graft_kll_rank(sk, v) r FROM d CROSS JOIN s ORDER BY v""")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    got.foreach { case (v, r) => assert(r === v / 10.0, s"inclusive rank of $v") }
+    // interpreted eval agrees with the codegen'd path
+    val interp = KllRank.rank(
+      spark.sql("""SELECT kll_sketch_agg_double(CAST(v AS DOUBLE), 200)
+                   FROM range(1, 11) t(v)""").head().getAs[Array[Byte]](0), 3.0)
+    assert(interp === 0.3)
+  }
+
   test("graft_bigrams / graft_dsir_buckets expose the DSIR featurizers to SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -401,6 +401,49 @@ class RelationalSpec extends SparkSpec {
     assert(e.getMessage.contains("pct_micro"))
   }
 
+  test("percentileRankApprox: inclusive-rank band vs model, nulls, " +
+      "small sketches exact, no window in the plan") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 600).map { i =>
+      (i.toLong, s"g${i % 3}",
+        if (rnd.nextInt(12) == 0) null
+        else java.lang.Double.valueOf(rnd.nextGaussian() * 10.0))
+    }
+    val df = rows.toDF("id", "g", "v")
+    val res = graft.ops.Relational.percentileRankApprox(df, Seq("g"), "v")
+    val got = res.select(col("id"), col("pct_est"))
+      .as[(Long, Option[Double])].collect().toMap
+    // model: INCLUSIVE rank fraction (# values ≤ v) / n per group —
+    // n = 200 per group ≤ sketch k, so KLL retains everything and the
+    // estimate is EXACT (no randomized compaction ran)
+    val byGroup = rows.filter(_._3 != null).groupBy(_._2)
+    rows.foreach { case (id, g, v) =>
+      if (v == null) assert(got(id) === None, s"null row $id must rank null")
+      else {
+        val grp = byGroup(g)
+        val want = grp.count(_._3.doubleValue <= v.doubleValue).toDouble /
+          grp.size
+        assert(math.abs(got(id).get - want) < 1e-12,
+          s"row $id: got ${got(id)}, want $want")
+      }
+    }
+    // the escape hatch must actually escape: no window exchange — one
+    // aggregation + a join, never a per-group sort of the raw rows
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window reintroduced:\n$plan")
+    // collision guard, same contract as the exact sibling
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Relational.percentileRankApprox(
+        df.withColumnRenamed("v", "pct_est"), Seq("g"), "pct_est")
+    }
+    assert(e.getMessage.contains("pct_est"))
+    // global form (no keys) — one sketch, cross-joined broadcast
+    val global = graft.ops.Relational.percentileRankApprox(
+        df.where(col("v").isNotNull), Nil, "v")
+      .select(col("pct_est")).as[Double].collect()
+    assert(global.forall(r => r >= 0.0 && r <= 1.0) && global.length > 0)
+  }
+
   test("Profile.drift: identical loads clean; null-rate and extremum drift flag") {
     import graft.ops.Profile
     val a = Seq((1L, "x"), (2L, "y"), (3L, null), (4L, "z"))
