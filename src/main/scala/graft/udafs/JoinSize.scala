@@ -27,18 +27,36 @@ import org.apache.spark.sql.functions.udaf
   * the aggregator sees each distinct key once. */
 object JoinSize {
 
-  private val MAGIC = 0x41474d53 // "AGMS"
+  // Wire format v2, magic "AGM2": the ±1 sign comes from an INDEPENDENT
+  // seeded hash, not bit 0 of the bucket hash. v1 ("AGMS") derived sign
+  // and bucket from disjoint bits of ONE MurmurHash — not an independent
+  // sign family, so the documented variance bound's independence
+  // assumption could be exceeded on adversarial key sets. v1 blobs are
+  // rejected loudly (merging across the two hash families would corrupt
+  // estimates silently); rebuild artifacts on upgrade.
+  private val MAGIC = 0x41474d32 // "AGM2"
 
-  /** Stable per-(row, key) hash — MurmurHash3 with a row-salted seed
-    * (Scala 2.13's implementation; pinned by the build, documented as
-    * part of the sketch's wire contract along with the layout). */
+  /** Stable per-(row, key) BUCKET hash — MurmurHash3 with a row-salted
+    * seed (Scala 2.13's implementation; pinned by the build, documented
+    * as part of the sketch's wire contract along with the layout). */
   private def hash(key: String, seed: Int, row: Int): Int =
     scala.util.hashing.MurmurHash3.stringHash(key, seed * 31 + row)
 
-  private[udafs] def bucketOf(h: Int, width: Int): Int =
-    java.lang.Math.floorMod(h >>> 1, width)
-  private[udafs] def signOf(h: Int): Long = if ((h & 1) == 0) 1L else -1L
+  /** Independent per-(row, key) SIGN hash — a SEPARATELY seeded
+    * MurmurHash (golden-ratio-xored seed space, disjoint from the
+    * bucket family for every (seed, row)), so sign and bucket are
+    * independent draws and the `stddev ≤ √(F₂(A)·F₂(B)/width)` bound's
+    * independence assumption actually holds. */
+  private def signHash(key: String, seed: Int, row: Int): Int =
+    scala.util.hashing.MurmurHash3.stringHash(
+      key, (seed * 31 + row) ^ 0x9e3779b9)
 
+  private[udafs] def bucketOf(h: Int, width: Int): Int =
+    java.lang.Math.floorMod(h, width)
+  private[udafs] def signOf(hs: Int): Long = if ((hs & 1) == 0) 1L else -1L
+
+  /** v2 header: MAGIC "AGM2" (the version note — see above), then
+    * depth, width, seed, then the row-major signed counters. */
   def serialize(depth: Int, width: Int, seed: Int,
                 counters: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(16 + 8 * counters.length)
@@ -51,7 +69,8 @@ object JoinSize {
   def deserialize(bytes: Array[Byte]): (Int, Int, Int, Array[Long]) = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     require(bb.remaining >= 16 && bb.getInt() == MAGIC,
-      "not an AGMS sketch (bad magic)")
+      "not an AGMS v2 sketch (bad magic) — v1 'AGMS' blobs (bit-0 sign) " +
+        "use a different hash family and must be rebuilt, not merged")
     val (d, w, s) = (bb.getInt(), bb.getInt(), bb.getInt())
     require(bb.remaining == 8 * d * w,
       s"AGMS sketch truncated: ${bb.remaining} bytes for $d×$w counters")
@@ -70,7 +89,8 @@ object JoinSize {
     var r = 0
     while (r < depth) {
       val h = hash(key, seed, r)
-      counters(r * width + bucketOf(h, width)) += signOf(h) * n
+      counters(r * width + bucketOf(h, width)) +=
+        signOf(signHash(key, seed, r)) * n
       r += 1
     }
   }

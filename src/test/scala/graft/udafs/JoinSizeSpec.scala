@@ -77,4 +77,15 @@ class JoinSizeSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("magic"))
   }
+
+  test("wire format v2: AGM2 magic; v1 bit-0-sign blobs rejected loudly") {
+    val sk = sketchOf(Seq(("k", 1L)))
+    assert(new String(sk.take(4), "US-ASCII") === "AGM2")
+    // a v1 blob (magic "AGMS", sign = bit 0 of the bucket hash) must not
+    // deserialize — merging across the two hash families would corrupt
+    // estimates silently, so the header versioning makes it loud
+    val v1 = sk.clone(); v1(3) = 'S'.toByte
+    val e = intercept[IllegalArgumentException] { JoinSize.deserialize(v1) }
+    assert(e.getMessage.contains("rebuilt"))
+  }
 }
