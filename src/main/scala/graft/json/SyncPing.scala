@@ -230,7 +230,11 @@ object SyncPing {
       .select(keep ++ Seq(
         coalesce(col("ping.payload.uid"), col("ping.uid")).as("uid"),
         col("device_id"),
-        element_at(col("ev"), 1).cast(LongType).as("event_timestamp"),
+        // try_cast, not cast: a non-numeric timestamp is an unparseable
+        // EVENT (dropped by the null filter below, the reference's lenient
+        // decode), never a query-killing ANSI cast error — found by the
+        // SyncPingPropertySpec generator, not a fixture
+        element_at(col("ev"), 1).try_cast(LongType).as("event_timestamp"),
         element_at(col("ev"), 2).as("event_category"),
         element_at(col("ev"), 3).as("event_method"),
         element_at(col("ev"), 4).as("event_object"),
