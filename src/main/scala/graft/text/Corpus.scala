@@ -52,10 +52,18 @@ object Corpus {
     when(keepQuality, TextOps.fingerprint(text))
       // coalesce: a NULL id would null the whole concat and funnel every
       // null-id failure back into one shared-null partition — fall back to
-      // a per-row unique value (the key only needs uniqueness; failures
-      // never pass the keep_quality guard regardless of key)
+      // a text digest ("h"-prefixed so it can never collide with a real
+      // id). The fallback must be DETERMINISTIC, never positional
+      // (monotonically_increasing_id): the fp frame feeds BOTH sides of
+      // the min-id flag-back join, each side its own evaluation, and
+      // after an upstream shuffle join row order — hence any positional
+      // key — can differ between evaluations, silently dropping null-id
+      // failure rows from the inner join. Identical-text null-id failures
+      // now share one key: correctness-neutral (they are interchangeable
+      // and keep_quality already excludes them from keep_exact), and the
+      // flag-back join is AQE-skew-splittable if such a key runs hot.
       .otherwise(concat(lit("__fail_"),
-        coalesce(id.cast("string"), hex(monotonically_increasing_id()))))
+        coalesce(id.cast("string"), concat(lit("h"), xxhash64(text)))))
 
   /** @param repetition optional (maxDupLineFrac, maxTopBigramCharFrac):
     *        ANDs the Gopher-style repetition gate

@@ -506,15 +506,23 @@ class TextDedupSimSpec extends SparkSpec {
     assert(fps(1L).matches("[0-9a-f]{32}"), "passers keep the md5 fingerprint")
     assert(fps.values.toSet.size === 3, "failure keys must be unique per doc")
     // NULL ids: concat would null the sentinel and re-create the shared
-    // partition — the fallback must keep failure keys non-null AND unique
+    // partition — the fallback must keep failure keys non-null, spread
+    // (unique per distinct text), and DETERMINISTIC: the fp frame feeds
+    // both sides of the flag-back join, so a positional fallback (the old
+    // monotonically_increasing_id) could key the two evaluations
+    // differently after an upstream shuffle and drop rows from the join
     val nullIds = Seq((Option.empty[Long], "short one"), (Option.empty[Long], "short two"))
       .toDF("doc_id", "text")
-    val nks = nullIds.select(graft.text.Corpus.exactKey(col("text"),
-        graft.text.Corpus.qualityKeep(col("text"), Seq("the")),
-        col("doc_id")).as("fp"))
-      .as[String].collect()
+    def keysOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(graft.text.Corpus.exactKey(col("text"),
+          graft.text.Corpus.qualityKeep(col("text"), Seq("the")),
+          col("doc_id")).as("fp"))
+        .as[String].collect()
+    val nks = keysOf(nullIds)
     assert(nks.forall(k => k != null && k.startsWith("__fail_")))
-    assert(nks.toSet.size === 2, "null-id failure keys must still be unique")
+    assert(nks.toSet.size === 2, "null-id failure keys must spread by text")
+    assert(keysOf(nullIds).toSeq === nks.toSeq,
+      "null-id failure keys must replay identically across evaluations")
   }
 
   test("percentile_approx tracks exact percentile within sketch rank error") {
