@@ -16,11 +16,14 @@ object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map[String, Q](
-    // ───── F15: JSON path extraction + coercion on events.props ─────
+    // ───── F15: JSON path extraction + coercion on events.props —
+    // try_cast, not cast: LENIENT coercion means a junk value nulls
+    // (and drops out of sum/count), never an ANSI cast error killing
+    // the query; the oracle mirrors with TRY_CAST ─────
     "q31_json_extract" -> ((s, d) => {
       Tables.events(s, d)
         .select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
+          get_json_object(col("props"), "$.k").try_cast("long").as("k"))
         .groupBy(col("user_id"))
         .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
         .orderBy(col("user_id"))
@@ -633,8 +636,8 @@ object PipelineQueries {
             AS zkey
           FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q31_json_extract" ->
-      """SELECT user_id, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-         COUNT(json_extract_string(props, '$.k')) AS n_k
+      """SELECT user_id, CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
          FROM events GROUP BY user_id ORDER BY user_id""",
     "q32_date_norm" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y%m%d') AS day,
