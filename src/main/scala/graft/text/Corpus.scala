@@ -40,30 +40,14 @@ object Corpus {
       sig("distinct_token_ratio") >= minDistinctRatio
   }
 
-  /** Grouping key for the exact-dedupe stage: the md5 fingerprint for
-    * quality passers, a per-doc sentinel for failures. Never null — a
-    * shared null (or any shared sentinel) would funnel EVERY rejected doc
-    * onto one join key, and at crawl scale (~30% failures) the flag-back
-    * join would hash a third of the corpus to one task. Unique sentinels
-    * keep failure rows on singleton keys that hash-spread like real
-    * fingerprints; the `keep_quality` guard already excludes them from
-    * `keep_exact` regardless of key. */
-  def exactKey(text: Column, keepQuality: Column, id: Column): Column =
-    when(keepQuality, TextOps.fingerprint(text))
-      // coalesce: a NULL id would null the whole concat and funnel every
-      // null-id failure back into one shared-null partition — fall back to
-      // a text digest ("h"-prefixed so it can never collide with a real
-      // id). The fallback must be DETERMINISTIC, never positional
-      // (monotonically_increasing_id): the fp frame feeds BOTH sides of
-      // the min-id flag-back join, each side its own evaluation, and
-      // after an upstream shuffle join row order — hence any positional
-      // key — can differ between evaluations, silently dropping null-id
-      // failure rows from the inner join. Identical-text null-id failures
-      // now share one key: correctness-neutral (they are interchangeable
-      // and keep_quality already excludes them from keep_exact), and the
-      // flag-back join is AQE-skew-splittable if such a key runs hot.
-      .otherwise(concat(lit("__fail_"),
-        coalesce(id.cast("string"), concat(lit("h"), xxhash64(text)))))
+  /** The exact keep_exact flag a quality FAILURE row carries, replayed
+    * without joining it anywhere: `keep_quality && (id IS NOT NULL ⇒
+    * true, else null)` — three-valued-identical to what the old
+    * sentinel-keyed singleton min-group produced (false for a false
+    * gate, null for a null gate or a null id), so the failure bypass
+    * below is a pure plan change, never a value change. */
+  private def failKeepExact(keepQuality: Column, id: Column): Column =
+    keepQuality && when(id.isNotNull, lit(true))
 
   /** @param repetition optional (maxDupLineFrac, maxTopBigramCharFrac):
     *        ANDs the Gopher-style repetition gate
@@ -99,27 +83,38 @@ object Corpus {
         docs.join(qFlag, Seq(idCol))
           .select(docs.columns.map(col) :+ col("keep_quality"): _*)
     }
-    val withF = withQ
-      .withColumn("fp", exactKey(col(textCol), col("keep_quality"), col(idCol)))
-    // min-id per fingerprint as groupBy + flag-back join, NEVER
-    // `min(id).over(Window.partitionBy(fp))`: at crawl scale the hottest
-    // exact duplicate (parked-domain boilerplate) repeats 10⁷-10⁸×, and a
-    // window partition is one un-splittable task sorting all of it —
-    // whereas the groupBy absorbs hot keys in map-side partials and the
-    // flag-back join is AQE-skew-splittable (the paragraphDedupe
-    // discipline, Dedup.scala). The aggregate side scans only (fp, id)
-    // after column pruning.
-    val withE = withF
-      .join(withF.groupBy(col("fp")).agg(min(col(idCol)).as("__fp_min")), Seq("fp"))
-      .withColumn("keep_exact", col("keep_quality") && col(idCol) === col("__fp_min"))
-      .drop("__fp_min")
+    // Exact-dedupe stage: ONLY quality passers enter the fingerprint
+    // machinery — failures take a scan-side bypass (filter + union) and
+    // never shuffle at all. Earlier rounds keyed failures with per-row
+    // sentinels and pushed the whole corpus through the join, which made
+    // the aggregate side carry every failure row as a singleton group
+    // (~30% of a crawl) and shuffled a third of the corpus to dedupe
+    // nothing. Min-id per fingerprint stays groupBy + flag-back join,
+    // NEVER `min(id).over(Window.partitionBy(fp))`: at crawl scale the
+    // hottest exact duplicate (parked-domain boilerplate) repeats
+    // 10⁷-10⁸×, and a window partition is one un-splittable task sorting
+    // all of it — whereas the groupBy absorbs hot keys in map-side
+    // partials and the flag-back join is AQE-skew-splittable (the
+    // paragraphDedupe discipline, Dedup.scala); the aggregate side now
+    // holds one row per DISTINCT passer fingerprint, small enough for
+    // AQE to broadcast.
+    val qual = withQ.where(col("keep_quality"))
+      .withColumn("fp", TextOps.fingerprint(col(textCol)))
+    val fails = withQ.where(!coalesce(col("keep_quality"), lit(false)))
+      .withColumn("keep_exact",
+        failKeepExact(col("keep_quality"), col(idCol)))
+    val qualE = qual
+      .join(qual.groupBy(col("fp")).agg(min(col(idCol)).as("__fp_min")), Seq("fp"))
+      .withColumn("keep_exact", col(idCol) === col("__fp_min"))
+      .drop("__fp_min", "fp")
+    val withE = qualE.unionByName(fails)
     val pairs = Dedup.ngramJaccardPairs(
       withE.where(col("keep_exact")), textCol, idCol, blockCols, n, threshold)
     val cc = Dedup.connectedComponents(pairs)
     withE.join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("keep", col("keep_exact") &&
         coalesce(col("component"), col(idCol)) === col(idCol))
-      .drop("fp", "component")
+      .drop("component")
   }
 
   /** The full training-mix assembly — the composition this library exists
@@ -306,18 +301,25 @@ object Corpus {
                                    n: Int, threshold: Double): DataFrame = {
     val withQ = incoming.withColumn("keep_quality",
       qualityKeep(col(textCol), stopwords))
-    val withF = withQ
-      .withColumn("fp", exactKey(col(textCol), col("keep_quality"), col(idCol)))
     // in-batch min-id per fingerprint via groupBy + flag-back join (same
-    // skew rationale as [[clean]]; histFp is distinct so the history join
-    // preserves row multiplicity and the min is over the whole batch group
-    // exactly as the window form was)
-    val withE = withF
+    // skew + failure-bypass rationale as [[clean]]: only quality passers
+    // enter the fingerprint machinery — histFp carries real md5
+    // fingerprints only, so a failure row could never match history
+    // anyway; histFp is distinct so the history join preserves row
+    // multiplicity and the min is over the whole batch group exactly as
+    // the window form was)
+    val qual = withQ.where(col("keep_quality"))
+      .withColumn("fp", TextOps.fingerprint(col(textCol)))
+    val fails = withQ.where(!coalesce(col("keep_quality"), lit(false)))
+      .withColumn("keep_exact",
+        failKeepExact(col("keep_quality"), col(idCol)))
+    val withE = qual
       .join(histFp.withColumn("__in_hist", lit(true)), Seq("fp"), "left")
-      .join(withF.groupBy(col("fp")).agg(min(col(idCol)).as("__fp_min")), Seq("fp"))
-      .withColumn("keep_exact", col("keep_quality") && col("__in_hist").isNull &&
+      .join(qual.groupBy(col("fp")).agg(min(col(idCol)).as("__fp_min")), Seq("fp"))
+      .withColumn("keep_exact", col("__in_hist").isNull &&
         col(idCol) === col("__fp_min"))
-      .drop("__fp_min")
+      .drop("__fp_min", "fp", "__in_hist")
+      .unionByName(fails)
     // The batch is shingled ONCE into a checkpointed index that feeds both
     // near-dup stages (each consumes its index several times — the PPJoin
     // prefix plus both verification sides — which would otherwise

@@ -487,42 +487,41 @@ class TextDedupSimSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles.nonEmpty)
   }
 
-  test("Corpus.exactKey is never null; failures get per-doc partition keys") {
-    // at crawl scale a SHARED sentinel (or null) for quality failures
-    // funnels ~30% of the corpus into one window partition — keys must be
-    // unique per failing doc and the md5 for passers
+  test("Corpus.clean failure bypass: failures never enter the fp join; " +
+      "flags keep the old three-valued semantics") {
+    // quality failures take a scan-side bypass (filter + union) instead
+    // of sentinel keys through the fingerprint join — at crawl scale the
+    // old shape shuffled ~30% of the corpus (and carried every failure as
+    // a singleton aggregate group) to dedupe nothing. The bypass must be
+    // a pure PLAN change: keep_exact stays false for a false gate, null
+    // for a null gate (null text) and for a null id — exactly what the
+    // sentinel singleton min-group produced.
     val docs = Seq(
-      (1L, "a b c d e f g h i j k l"), // passes (12 tokens)
-      (2L, "too short"),               // fails
-      (3L, "tiny"))                    // fails
+      (Option(1L), Option("a b c d e f g h i j k l")), // passes
+      (Option(2L), Option("a b c d e f g h i j k l")), // exact dup of 1
+      (Option(3L), Option("too short")),               // fails (false gate)
+      (Option(4L), Option.empty[String]),              // null gate
+      (Option.empty[Long], Option("tiny")))            // fails, null id
       .toDF("doc_id", "text")
-    val keyed = docs.select(col("doc_id"),
-      graft.text.Corpus.exactKey(col("text"),
-        graft.text.Corpus.qualityKeep(col("text"), Seq("the")),
-        col("doc_id")).as("fp"))
-    val fps = keyed.as[(Long, String)].collect().toMap
-    assert(fps.values.forall(_ != null), "exactKey must never be null")
-    assert(fps(2L) === "__fail_2" && fps(3L) === "__fail_3")
-    assert(fps(1L).matches("[0-9a-f]{32}"), "passers keep the md5 fingerprint")
-    assert(fps.values.toSet.size === 3, "failure keys must be unique per doc")
-    // NULL ids: concat would null the sentinel and re-create the shared
-    // partition — the fallback must keep failure keys non-null, spread
-    // (unique per distinct text), and DETERMINISTIC: the fp frame feeds
-    // both sides of the flag-back join, so a positional fallback (the old
-    // monotonically_increasing_id) could key the two evaluations
-    // differently after an upstream shuffle and drop rows from the join
-    val nullIds = Seq((Option.empty[Long], "short one"), (Option.empty[Long], "short two"))
-      .toDF("doc_id", "text")
-    def keysOf(df: org.apache.spark.sql.DataFrame) =
-      df.select(graft.text.Corpus.exactKey(col("text"),
-          graft.text.Corpus.qualityKeep(col("text"), Seq("the")),
-          col("doc_id")).as("fp"))
-        .as[String].collect()
-    val nks = keysOf(nullIds)
-    assert(nks.forall(k => k != null && k.startsWith("__fail_")))
-    assert(nks.toSet.size === 2, "null-id failure keys must spread by text")
-    assert(keysOf(nullIds).toSeq === nks.toSeq,
-      "null-id failure keys must replay identically across evaluations")
+    val out = graft.text.Corpus.clean(
+        docs, "text", "doc_id", Nil, Seq("the"))
+      .select(col("doc_id"), col("keep_quality"), col("keep_exact"))
+      .collect()
+      .map(r => ((if (r.isNullAt(0)) None else Some(r.getLong(0))),
+        (if (r.isNullAt(1)) None else Some(r.getBoolean(1))),
+        (if (r.isNullAt(2)) None else Some(r.getBoolean(2)))))
+      .toSet
+    assert(out === Set(
+      (Some(1L), Some(true), Some(true)),   // min-id survivor
+      (Some(2L), Some(true), Some(false)),  // exact dup loses
+      (Some(3L), Some(false), Some(false)), // false gate -> false
+      (Some(4L), None, None),               // null gate -> null
+      (None, Some(false), Some(false))))    // false gate, null id -> false
+    // and the bypass is structural: the failure rows' plan path carries
+    // no join — the only scans feeding a join are keep_quality-filtered
+    val plan = graft.text.Corpus.clean(docs, "text", "doc_id", Nil, Seq("the"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Union"), s"failure bypass union missing:\n$plan")
   }
 
   test("percentile_approx tracks exact percentile within sketch rank error") {
