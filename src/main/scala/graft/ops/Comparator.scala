@@ -36,18 +36,20 @@ object Comparator {
     cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
   }
 
-  /** Single-pass row diff: tag-union both sides, group once on an 8-byte
-    * `xxhash64` of the full row, derive (leftCount, rightCount, onlyLeft,
-    * onlyRight) from the per-hash multiplicities. ONE shuffle + final
-    * reduce, vs the naive count + count + except.count + except.count =
-    * 4 jobs / 4 shuffles (`only*` match EXCEPT's distinct semantics).
+  /** Single-pass row diff: tag-union both sides, group once on a 16-byte
+    * PAIR of independently-streamed `xxhash64` fingerprints of the full
+    * row, derive (leftCount, rightCount, onlyLeft, onlyRight) from the
+    * per-fingerprint multiplicities. ONE shuffle + final reduce, vs the
+    * naive count + count + except.count + except.count = 4 jobs /
+    * 4 shuffles (`only*` match EXCEPT's distinct semantics).
     *
-    * Hashing first keeps the shuffle narrow — 8 bytes per row instead of
+    * Hashing first keeps the shuffle narrow — 16 bytes per row instead of
     * every column of the table, which at 100 TB is the difference between
-    * a diff job and re-shuffling the whole dataset. The trade is the usual
-    * 64-bit birthday bound: two DIFFERING rows that collide would cancel
-    * (~n²/2⁶⁵ odds — negligible below trillions of rows, and a miss only
-    * under-reports a diff by one).
+    * a diff job and re-shuffling the whole dataset. A SINGLE 64-bit hash
+    * was the round-11 advisory: its n²/2⁶⁵ birthday bound reaches ≈3% at
+    * 10⁹ distinct rows, each collision silently cancelling an only-left
+    * against an only-right row — the paired 128-bit identity pushes that
+    * below 10⁻¹⁸ at any realistic scale for 8 extra bytes of shuffle.
     *
     * `xxhash64` SKIPS null fields (seed passes through unchanged) — at
     * every nesting level — and does not encode array boundaries, so a raw
@@ -77,11 +79,32 @@ object Comparator {
     xxhash64(struct(df.columns.toSeq.flatMap(c => Seq(isnull(col(c)), enc(c))): _*))
   }
 
+  /** Second, independently-streamed 64-bit fingerprint (a salt literal
+    * prepended shifts the whole xxhash64 accumulation chain). Grouping by
+    * the PAIR gives an effective 128-bit row identity: a single 64-bit
+    * hash has ~n²/2⁶⁵ birthday-collision odds — ≈3% at 10⁹ distinct rows,
+    * each collision silently conflating an only-left with an only-right
+    * row — while the pair pushes it below 10⁻¹⁸ at any realistic scale. */
+  private def rowFingerprint2(df: DataFrame): Column = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val complex = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[StructType] ||
+        f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[MapType] => f.name
+    }.toSet
+    def enc(c: String): Column =
+      if (complex(c)) to_json(col(c), Map("ignoreNullFields" -> "false"))
+      else col(c)
+    xxhash64(struct(lit("graft-fp2") +:
+      df.columns.toSeq.flatMap(c => Seq(isnull(col(c)), enc(c))): _*))
+  }
+
   def diffCounts(lProj: DataFrame, rProj: DataFrame): (Long, Long, Long, Long, Long) = {
-    def rowHash(df: DataFrame): Column = rowFingerprint(df)
-    val tagged = lProj.select(rowHash(lProj).as("r"), lit(1).as("side"))
-      .unionAll(rProj.select(rowHash(rProj).as("r"), lit(2).as("side")))
-    val row = tagged.groupBy(col("r"))
+    val tagged = lProj.select(rowFingerprint(lProj).as("r"),
+        rowFingerprint2(lProj).as("r2"), lit(1).as("side"))
+      .unionAll(rProj.select(rowFingerprint(rProj).as("r"),
+        rowFingerprint2(rProj).as("r2"), lit(2).as("side")))
+    val row = tagged.groupBy(col("r"), col("r2"))
       .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("ln"),
         sum(when(col("side") === 2, 1L).otherwise(0L)).as("rn"))
       // coalesce: zero groups (both inputs empty) sum to null, not 0
