@@ -23,6 +23,39 @@ class PipelineSpec extends SparkSpec {
       === "2018-06-08T12:00:00.000+06:00")
   }
 
+  test("property: offset wrap lands in [-12:00, +14:00], preserves the " +
+      "instant, keeps in-range offsets, and is idempotent") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    import java.time.OffsetDateTime
+    import java.time.format.DateTimeFormatter
+    // any instant in a ±100-year window, any MINUTE-granular offset Java
+    // accepts (±18:00 — strictly wider than the Presto-legal ±12/+14 the
+    // wrap targets)
+    val gen = for {
+      epoch <- Gen.choose(-3155760000L, 3155760000L)
+      offMin <- Gen.choose(-18 * 60, 18 * 60)
+    } yield java.time.Instant.ofEpochSecond(epoch)
+      .atOffset(java.time.ZoneOffset.ofTotalSeconds(offMin * 60))
+      .format(DateTimeFormatter.ISO_OFFSET_DATE_TIME)
+    val prop = Prop.forAll(gen) { s =>
+      val in = OffsetDateTime.parse(s, DateTimeFormatter.ISO_OFFSET_DATE_TIME)
+      val out = OffsetDateTime.parse(TimeNorm.normalizeISOTimestampJvm(s),
+        DateTimeFormatter.ISO_OFFSET_DATE_TIME)
+      val sec = out.getOffset.getTotalSeconds
+      sec >= -12 * 3600 && sec <= 14 * 3600 &&            // wrapped into range
+        out.toInstant == in.toInstant &&                   // instant preserved
+        (in.getOffset.getTotalSeconds < -12 * 3600 ||      // in-range input ⇒
+          in.getOffset.getTotalSeconds > 14 * 3600 ||      //   offset untouched
+          sec == in.getOffset.getTotalSeconds) &&
+        TimeNorm.normalizeISOTimestampJvm(                 // idempotent
+          TimeNorm.normalizeISOTimestampJvm(s)) ==
+          TimeNorm.normalizeISOTimestampJvm(s)
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("date helpers: datesBetween, yesterday, epochMillisToDay") {
     val fixed = Clock.fixed(Instant.parse("2018-06-10T03:00:00Z"), ZoneOffset.UTC)
     assert(TimeNorm.datesBetween("20180607", None, fixed)
