@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Dev-only per-query bench regression diff.
+
+Not part of the Scala library. Usage:
+    python3 tools/benchdiff.py <old> <new> [--threshold 1.3]
+
+Each argument is either a driver-recorded BENCH_r*.json ({"tail": "..."}
+wrapping the captured stdout tail) or a raw local bench log (the stdout of
+`runMain graft.Bench`). Per-query times come from the combined
+{"metric":"queries","queries":{...}} line when captured, falling back to
+the individual {"metric":"query",...} lines; the compact total line is
+reported when present. Movers beyond the threshold in either direction are
+flagged — adjudicate them against BENCH_NOTES.md's ±30 % host-noise band
+before blaming a plan change (three rounds of precedents live there).
+"""
+import sys, json, re
+
+
+def load_lines(path):
+    text = open(path).read()
+    try:
+        doc = json.loads(text)
+        if isinstance(doc, dict) and "tail" in doc:
+            return doc["tail"].split("\n")
+    except json.JSONDecodeError:
+        pass
+    return text.splitlines()
+
+
+def parse(path):
+    queries, total = {}, None
+    for ln in load_lines(path):
+        ln = ln.strip()
+        if not ln.startswith("{"):
+            continue
+        try:
+            obj = json.loads(ln)
+        except json.JSONDecodeError:
+            continue  # a line truncated by the tail capture
+        m = obj.get("metric")
+        if m == "queries" and isinstance(obj.get("queries"), dict):
+            # the combined map is authoritative when captured whole
+            queries.update({k: v for k, v in obj["queries"].items()
+                            if isinstance(v, (int, float))})
+        elif m == "query" and "value" in obj:
+            queries.setdefault(obj["name"], obj["value"])
+        elif m == "total":
+            total = obj
+    return queries, total
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thr = 1.3
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            thr = float(a.split("=", 1)[1] if "=" in a
+                        else sys.argv[sys.argv.index(a) + 1])
+    if len(args) != 2:
+        print(__doc__)
+        return 2
+    old_q, old_t = parse(args[0])
+    new_q, new_t = parse(args[1])
+    common = sorted(set(old_q) & set(new_q))
+    added = sorted(set(new_q) - set(old_q))
+    removed = sorted(set(old_q) - set(new_q))
+    movers = []
+    for name in common:
+        o, n = old_q[name], new_q[name]
+        if o <= 0:
+            continue
+        r = n / o
+        if r > thr or r < 1 / thr:
+            movers.append((r, name, o, n))
+    for r, name, o, n in sorted(movers, reverse=True):
+        print(f"MOVER {name}: {o:.2f}s -> {n:.2f}s  ({r:.2f}x)")
+    if added:
+        print(f"added ({len(added)}): {', '.join(added)}")
+    if removed:
+        print(f"removed ({len(removed)}): {', '.join(removed)}")
+    ratios = sorted(new_q[k] / old_q[k] for k in common if old_q[k] > 0)
+    if ratios:
+        med = ratios[len(ratios) // 2]
+        print(f"{len(common)} shared queries, median ratio {med:.2f}x, "
+              f"{len(movers)} mover(s) beyond {thr:.2f}x")
+    else:
+        print("no shared per-query timings found "
+              "(old-format tail without the combined map?)")
+    if old_t and new_t:
+        print(f"totals: {old_t.get('value', 0):.1f}s "
+              f"({old_t.get('n', '?')} queries) -> "
+              f"{new_t.get('value', 0):.1f}s ({new_t.get('n', '?')} queries)")
+    return 1 if movers else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
