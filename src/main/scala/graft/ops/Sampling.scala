@@ -288,4 +288,32 @@ object Sampling {
     }
     df.withColumn("split", labeled)
   }
+
+  /** Leakage-safe split: [[hashSplit]] keyed by near-dup CLUSTER instead
+    * of document id, so every member of a connected near-dup component
+    * lands in the SAME split — the eval-hygiene property a per-doc split
+    * lacks (a near-duplicate of a training document assigned to the test
+    * split leaks exactly the contamination the pipeline's dedup pass
+    * exists to remove). `pairs` is any near-dup pair list the dedup stage
+    * already produced (MinHash/SimHash/embedding/containment — the
+    * operator is agnostic); docs in no pair form singleton clusters keyed
+    * by their own id, so with empty `pairs` this degrades to [[hashSplit]]
+    * exactly. Adds `cluster` (the component's min id) and `split`.
+    *
+    * Scale: components come from [[graft.dedup.Dedup.connectedComponents]]
+    * (large-star/small-star, O(log² n) rounds, per-round checkpoints); the
+    * component map holds only PAIRED docs — tiny next to the corpus — so
+    * the label join is AQE-broadcast-promotable; the split itself is
+    * scan-side (md5-interval on the cluster id), shuffle-free, and
+    * growth-stable: adding documents never migrates an existing cluster
+    * between splits. */
+  def clusterSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                   fractions: Seq[(String, Double)],
+                   aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val labeled = graft.dedup.Dedup
+      .dedupeByPairs(docs, idCol, pairs, aCol, bCol)
+      .drop("keep")
+      .withColumnRenamed("component", "cluster")
+    hashSplit(labeled, "cluster", fractions)
+  }
 }

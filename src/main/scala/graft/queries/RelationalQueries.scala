@@ -260,6 +260,26 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── leakage-safe split: near-dup CLUSTERS (connected components
+    // over a pair list) share one split, so a near-duplicate of a train
+    // doc can never land in test. Pairs here come from a deterministic
+    // blocking key (8-char text prefix → star pairs to the min id) so the
+    // oracle can replay the clustering as a plain window; production
+    // feeds MinHash/SimHash/embedding pairs through the same path ─────
+    "q220_cluster_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 8).as("k"))
+      val reps = keyed.groupBy(col("k"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
+      val pairs = keyed.join(reps.where(col("n") > 1), Seq("k"))
+        .where(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
+      graft.ops.Sampling.clusterSplit(docs, "doc_id", pairs,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── per-key cap: at most 70 docs per language, hash order — the
     // anti-domination cap. fr/de are under the cap (kept outright, no
     // window), es/zh/en rank inside their bounded hash prefix ─────
@@ -1164,6 +1184,22 @@ object RelationalQueries {
                    < '${graft.ops.Sampling.hexThreshold(0.9)}' THEN 'val'
                  ELSE 'test' END AS split
           FROM documents ORDER BY doc_id""",
+
+    // the prefix-blocked star pairs form cliques per prefix, so the
+    // component the large-star/small-star loop converges to is exactly
+    // min(doc_id) over the prefix group — a plain window replays it;
+    // the split then hashes the CLUSTER id through the q100 intervals
+    "q220_cluster_split" ->
+      s"""WITH cl AS (SELECT doc_id,
+                min(doc_id) OVER (PARTITION BY substr(text, 1, 8)) AS cluster
+              FROM documents)
+          SELECT doc_id, cluster,
+            CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 8)
+                   < '${graft.ops.Sampling.hexThreshold(0.8)}' THEN 'train'
+                 WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 8)
+                   < '${graft.ops.Sampling.hexThreshold(0.9)}' THEN 'val'
+                 ELSE 'test' END AS split
+          FROM cl ORDER BY doc_id""",
 
     // the cap is EXACTLY top-n per key by (md5-prefix, id) — the oracle
     // is the plain single-window form the operator avoids at scale

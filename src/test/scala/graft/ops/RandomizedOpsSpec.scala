@@ -180,6 +180,49 @@ class RandomizedOpsSpec extends SparkSpec {
     assert(withNull.contains("test"))
   }
 
+  test("clusterSplit: every near-dup component shares ONE split, matching " +
+      "the union-find + md5-interval model on random pair lists") {
+    def score(id: Long): String =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(8)
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val t1 = Sampling.hexThreshold(0.8); val t2 = Sampling.hexThreshold(0.9)
+    def label(cluster: Long): String =
+      if (score(cluster) < t1) "train"
+      else if (score(cluster) < t2) "val" else "test"
+    val rnd = new scala.util.Random(97L)
+    val ids = (1L to 200L)
+    val pairs = Seq.fill(120)(
+      (1L + rnd.nextInt(200), 1L + rnd.nextInt(200))).filter(p => p._1 != p._2)
+    // driver-side union-find model
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = Sampling.clusterSplit(ids.toDF("doc_id"), "doc_id",
+        pairs.toDF("id_a", "id_b"), fr)
+      .select("doc_id", "cluster", "split")
+      .as[(Long, Long, String)].collect()
+    assert(got.length === 200)
+    got.foreach { case (id, cluster, split) =>
+      assert(cluster === find(id), s"doc $id cluster")
+      assert(split === label(cluster), s"doc $id split")
+    }
+    // the leakage property stated directly: both ends of every pair agree
+    val byId = got.map(g => g._1 -> g._3).toMap
+    pairs.foreach { case (a, b) => assert(byId(a) === byId(b), s"pair $a-$b") }
+    // empty pair list degrades to hashSplit exactly (cluster == own id)
+    val solo = Sampling.clusterSplit(ids.toDF("doc_id"), "doc_id",
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"), fr)
+      .select("doc_id", "cluster", "split")
+      .as[(Long, Long, String)].collect()
+    solo.foreach { case (id, cluster, split) =>
+      assert(cluster === id); assert(split === label(id))
+    }
+  }
+
   test("temperatureMixture matches the md5-threshold model; shares follow size^alpha") {
     val rnd = new scala.util.Random(53L)
     def md5hex8(id: Long): String = java.security.MessageDigest.getInstance("MD5")
