@@ -1451,7 +1451,37 @@ object TextQueries {
           Seq("lang"), "n_tok")
         .select(col("doc_id"), col("lang"), col("n_tok"), col("pct_micro"))
         .orderBy(col("doc_id")))
+    ,
+
+    // ───── C4-style phrase blocklist verdict: word-boundary phrase
+    // matching via broadcast head-word hash-probe + one array-slice
+    // adjacency check — never a 10⁴-pattern regex alternation. Every
+    // doc keeps a row (audit form); the oracle replays each phrase as
+    // an engine-portable boundary regex ─────
+    "q221_blocklist" -> ((s, d) =>
+      TextOps.blocklistVerdict(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "text", "doc_id", blocklistFixture)
+        .select(col("doc_id"), col("n_blocked"), col("first_phrase"),
+          col("blocked"))
+        .orderBy(col("doc_id")))
   )
+
+  /** The q221 fixture blocklist: single words, 2- and 3-token phrases,
+    * a punctuation-carrying entry (tokenizes to `slow fast`'s siblings),
+    * and a never-matching probe — rates span 0 to most-of-corpus. */
+  private val blocklistFixture: Seq[String] = Seq(
+    "spark", "slow fast", "table value part", "batch, merge", "quuxzilch")
+
+  /** VALUES rows for the q221 oracle: (phrase, boundary regex) derived
+    * from [[blocklistFixture]] by the SAME tokenization the operator
+    * applies, so the two sides can never drift. */
+  private def blocklistValuesSql: String = blocklistFixture.map { p =>
+    val toks = p.toLowerCase.split("[^a-z0-9_]+").filter(_.nonEmpty)
+    val pat = "(^|[^a-z0-9_])" + toks.mkString("[^a-z0-9_]+") +
+      "([^a-z0-9_]|$)"
+    s"('${p.replace("'", "''")}', '${pat.replace("'", "''")}')"
+  }.mkString(", ")
 
   /** Query suite for q136/q137 — docs ≡ 1 (mod 10): first-5-token
     * prefixes, replayed as `tk[1:5]` in the oracle. A tenth of the
@@ -3964,6 +3994,24 @@ object TextQueries {
               // (count(*) OVER (PARTITION BY lang)) AS BIGINT)
               AS pct_micro
           FROM t ORDER BY doc_id""",
+    // each phrase replayed as an engine-portable boundary regex (ASCII
+    // \w class spelled out — Java and RE2 agree on it): tokens joined by
+    // separator runs, anchored by non-word-or-edge on both sides; regex
+    // existence == the operator's distinct-(doc,phrase) semantics
+    "q221_blocklist" ->
+      s"""WITH phr(phrase, pat) AS (VALUES ${blocklistValuesSql}),
+          hits AS (
+            SELECT d.doc_id, p.phrase
+            FROM documents d CROSS JOIN phr p
+            WHERE regexp_matches(lower(d.text), p.pat)),
+          agg AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocked,
+              min(phrase) AS first_phrase
+            FROM hits GROUP BY doc_id)
+          SELECT d.doc_id, COALESCE(a.n_blocked, 0) AS n_blocked,
+            a.first_phrase, COALESCE(a.n_blocked, 0) > 0 AS blocked
+          FROM documents d LEFT JOIN agg a USING (doc_id)
+          ORDER BY d.doc_id""",
     // micro-quantized per-label sums, then the SHIFTED floor-division
     // deviation (non-negative numerator ⇒ floor == Spark's truncate)
     // squared and summed per vector

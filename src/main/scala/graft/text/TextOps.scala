@@ -573,4 +573,71 @@ object TextOps {
                 (a + (__n1 - a)) * (b + (__n0 - b))""").as("chi2_den"))
       .where(col("chi2_den") =!= 0L)
   }
+
+  /** Word-boundary tokens for blocklist matching: lowercase, split on
+    * runs of non-word chars (ASCII `[a-z0-9_]` word class — the same
+    * class Java and RE2 give `\w`, so an engine-portable regex can
+    * replay a match decision exactly). Distinct from [[tokens]]
+    * (whitespace split), which preserves punctuation inside tokens —
+    * a blocklist must match "ban-word." as `ban word`. */
+  private def wordTokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9_]+"), t => length(t) > 0)
+
+  /** C4-style word/phrase blocklist hits (Raffel et al. 2020 §2.2 — the
+    * "List of Dirty, Naughty ..." filter; Dolma and FineWeb carry the
+    * same stage): one row per (doc, matched phrase), where a phrase
+    * matches iff its word sequence appears as CONSECUTIVE word-boundary
+    * tokens of the lowercased document. Matching is existence per phrase
+    * (a phrase is reported once however often it occurs) so the verdict
+    * is order- and overlap-independent.
+    *
+    * Shape at scale: the blocklist is list-sized (10²–10⁵ phrases) →
+    * broadcast. Documents posexplode to word tokens (the token-op row
+    * count every other token operator here already pays), hash-probe the
+    * broadcast phrase table on the phrase's HEAD word — so the per-token
+    * cost is one hash lookup, not |phrases| regex scans — and candidates
+    * verify adjacency with one array `slice` compare against the carried
+    * token array. No UDF, no per-phrase regex union (a 10⁴-pattern regex
+    * alternation is the non-scalable form this replaces). */
+  def blocklistHits(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                    idCol: String, phrases: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    require(phrases.nonEmpty, "empty blocklist")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val phraseRows = phrases.map { p =>
+      val toks = p.toLowerCase.split("[^a-z0-9_]+").filter(_.nonEmpty).toSeq
+      require(toks.nonEmpty, s"blocklist phrase has no word tokens: '$p'")
+      (p, toks.head, toks, toks.size)
+    }
+    require(phraseRows.map(_._1).distinct.size == phraseRows.size,
+      "duplicate blocklist phrases")
+    val phraseDf = phraseRows.toDF("phrase", "__head", "__ptoks", "__plen")
+    docs
+      .select(col(idCol), wordTokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        posexplode(col("__toks")).as(Seq("__p", "__w")))
+      .join(bc(phraseDf), col("__w") === col("__head"))
+      // adjacency check: the phrase's tokens must run from this position
+      .where(slice(col("__toks"), col("__p") + 1, col("__plen"))
+        === col("__ptoks"))
+      .select(col(idCol), col("phrase"))
+      .distinct()
+  }
+
+  /** Per-document blocklist verdict over ALL docs: matched-phrase count,
+    * the alphabetically-first matched phrase (deterministic evidence for
+    * audit), and the `blocked` flag. Clean documents keep a row
+    * (n_blocked 0, null phrase) — the caller chooses filter vs audit. */
+  def blocklistVerdict(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                       idCol: String, phrases: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    val hits = blocklistHits(docs, textCol, idCol, phrases)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_blocked"), min(col("phrase")).as("first_phrase"))
+    docs.join(hits, Seq(idCol), "left")
+      .withColumn("n_blocked", coalesce(col("n_blocked"), lit(0L)))
+      .withColumn("blocked", col("n_blocked") > 0L)
+  }
 }

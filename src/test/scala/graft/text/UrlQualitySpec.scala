@@ -208,4 +208,41 @@ class UrlQualitySpec extends SparkSpec {
     // χ² ranks the perfect discriminators at 4.0 exactly
     assert(out("hot")._4.toDouble / out("hot")._5 === 4.0)
   }
+
+  test("blocklistHits: word boundaries, case, adjacency, multiplicity") {
+    val docs = Seq(
+      1L -> "Ban Word here",        // case-insensitive 2-token match
+      2L -> "banword",              // joined — no boundary, no match
+      3L -> "ban-word!",            // punctuation separators DO match
+      4L -> "ban the word",         // tokens not adjacent — no match
+      5L -> "sparked",              // substring must NOT match 'spark'
+      6L -> "spark ban word spark", // two phrases; 'spark' twice = once
+      7L -> "word ban",             // order matters
+      8L -> ""                      // empty text
+    ).toDF("id", "text")
+    val phrases = Seq("ban word", "spark")
+    val hits = TextOps.blocklistHits(docs, "text", "id", phrases)
+      .as[(Long, String)].collect().toSet
+    assert(hits === Set(1L -> "ban word", 3L -> "ban word",
+      6L -> "ban word", 6L -> "spark"))
+    val verdict = TextOps.blocklistVerdict(docs, "text", "id", phrases)
+      .select("id", "n_blocked", "first_phrase", "blocked")
+      .as[(Long, Long, Option[String], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(verdict(6L) === ((6L, 2L, Some("ban word"), true)))
+    assert(verdict(2L) === ((2L, 0L, None, false)))
+    assert(verdict(8L) === ((8L, 0L, None, false)))
+    assert(verdict.size === 8, "every doc keeps an audit row")
+    // phrase at the very start and very end of the text
+    val edges = TextOps.blocklistHits(
+      Seq(9L -> "ban word x", 10L -> "x ban word").toDF("id", "text"),
+      "text", "id", Seq("ban word")).as[(Long, String)].collect()
+    assert(edges.map(_._1).toSet === Set(9L, 10L))
+    // null text → clean audit row, no crash
+    val nullRow = TextOps.blocklistVerdict(
+      Seq((11L, null: String)).toDF("id", "text"), "text", "id", phrases)
+      .select("id", "n_blocked", "blocked")
+      .as[(Long, Long, Boolean)].collect()
+    assert(nullRow === Array((11L, 0L, false)))
+  }
 }
