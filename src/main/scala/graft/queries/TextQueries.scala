@@ -1465,7 +1465,50 @@ object TextQueries {
         .select(col("doc_id"), col("n_blocked"), col("first_phrase"),
           col("blocked"))
         .orderBy(col("doc_id")))
+    ,
+
+    // ───── HTML → text extraction (jusText-lite): pages synthesized
+    // deterministically from the fixture (nav chrome, a too-short h1,
+    // the content paragraph, per-doc_id link-soup or a kept blockquote,
+    // an entity-bearing footer), then block-split + word/link-density
+    // gates + entity decode — the oracle replays the whole chain with
+    // RE2, so every regex is written in the Java∩RE2 dialect ─────
+    "q222_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit(HtmlFixture.head), col("lang"), lit(HtmlFixture.mid),
+        col("text"), lit(HtmlFixture.afterText),
+        when(col("doc_id") % 3 === 0, lit(HtmlFixture.soup))
+          .when(col("doc_id") % 3 === 1, lit(HtmlFixture.quote))
+          .otherwise(lit("")),
+        lit(HtmlFixture.tail))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.text.HtmlOps.extractText(html).as("extracted"))
+        .orderBy(col("doc_id"))
+    })
   )
+
+  /** The q222 synthetic page template — ONE definition feeds both the
+    * Spark query and the oracle SQL, so the two sides build byte-equal
+    * input. Chrome div: 3 anchors / 3 words (link gate drops). h1: 2
+    * words (min-words drops). Link soup (doc_id%3==0): 3 anchors / 4
+    * words (drops). Blockquote (doc_id%3==1): 7 words, no anchors
+    * (kept). Footer: entity decode evidence (kept). */
+  private object HtmlFixture {
+    val head: String = "<html><head><title>T</title>" +
+      "<style>p {color: red}</style>" +
+      "<script type=\"text/javascript\">var x = 1 < 2;</script></head>" +
+      "<body><div class=\"nav\"><a href=\"/\">Home</a> " +
+      "<a href=\"/about\">About</a> <a href=\"/login\">Login</a></div><h1>"
+    val mid: String = " DOC</h1><p>"
+    val afterText: String = "</p>"
+    val soup: String = "<div class=\"rel\">See: <a href=\"/a\">alpha</a> " +
+      "<a href=\"/b\">beta</a> <a href=\"/c\">gamma</a></div>"
+    val quote: String =
+      "<blockquote>quoted wisdom from a long sentence here</blockquote>"
+    val tail: String = "<footer>&copy; 2026 Example &amp; Sons " +
+      "&lt;legal&gt;</footer></body></html>"
+  }
 
   /** The q221 fixture blocklist: single words, 2- and 3-token phrases,
     * a punctuation-carrying entry (tokenizes to `slow fast`'s siblings),
@@ -1482,6 +1525,19 @@ object TextQueries {
       "([^a-z0-9_]|$)"
     s"('${p.replace("'", "''")}', '${pat.replace("'", "''")}')"
   }.mkString(", ")
+
+  private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The q222 per-block visible-word list in SQL: inline-tag strip, the
+    * operator's entity-decode chain in the SAME order (`&amp;` last),
+    * whitespace-run split, empties dropped. */
+  private def htmlWordsSql(b: String): String =
+    s"""list_filter(regexp_split_to_array(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace($b, '<[^>]*>', ' ', 'g'),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+          '&nbsp;', ' '), '&amp;', '&'),
+        ${sqlQuote(graft.text.HtmlOps.WsRun)}), w -> w <> '')"""
 
   /** Query suite for q136/q137 — docs ≡ 1 (mod 10): first-5-token
     * prefixes, replayed as `tk[1:5]` in the oracle. A tenth of the
@@ -4012,6 +4068,42 @@ object TextQueries {
             a.first_phrase, COALESCE(a.n_blocked, 0) > 0 AS blocked
           FROM documents d LEFT JOIN agg a USING (doc_id)
           ORDER BY d.doc_id""",
+    // the full extraction chain replayed in RE2 from the SAME pattern
+    // constants and page template the operator uses: page synthesis,
+    // invisible-content removal, block split, per-block word/anchor
+    // stats, integer per-mille link gate, entity decode, newline join
+    "q222_html_extract" ->
+      s"""WITH page AS (
+            SELECT doc_id,
+              ${sqlQuote(HtmlFixture.head)} || lang ||
+              ${sqlQuote(HtmlFixture.mid)} || text ||
+              ${sqlQuote(HtmlFixture.afterText)} ||
+              CASE WHEN doc_id % 3 = 0 THEN ${sqlQuote(HtmlFixture.soup)}
+                   WHEN doc_id % 3 = 1 THEN ${sqlQuote(HtmlFixture.quote)}
+                   ELSE '' END ||
+              ${sqlQuote(HtmlFixture.tail)} AS h
+            FROM documents),
+          vis AS (
+            SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(h,
+                '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                '(?s)<!--.*?-->', ' ', 'g') AS v
+            FROM page),
+          st AS (
+            SELECT doc_id, list_transform(
+              regexp_split_to_array(v,
+                ${sqlQuote(graft.text.HtmlOps.BlockTagPattern)}),
+              b -> {'ws': ${htmlWordsSql("b")},
+                    'na': len(regexp_split_to_array(b,
+                      ${sqlQuote(graft.text.HtmlOps.AnchorPattern)})) - 1})
+              AS cs
+            FROM vis)
+          SELECT doc_id,
+            array_to_string(list_transform(list_filter(cs,
+                c -> len(c['ws']) >= 3
+                  AND c['na'] * 1000 <= 500 * len(c['ws'])),
+              c -> array_to_string(c['ws'], ' ')), chr(10)) AS extracted
+          FROM st ORDER BY doc_id""",
     // micro-quantized per-label sums, then the SHIFTED floor-division
     // deviation (non-negative numerator ⇒ floor == Spark's truncate)
     // squared and summed per vector

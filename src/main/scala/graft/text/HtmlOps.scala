@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML → training text extraction (the jusText/trafilatura-lite stage a
+  * web-crawl pipeline runs before any quality/dedup pass): strip
+  * script/style/comments, split the page into text blocks at block-level
+  * tags, drop boilerplate blocks by word count and link density, strip
+  * the remaining inline tags, decode the common entities, and rejoin.
+  *
+  * Everything is a scan-side Column expression — no UDF, no shuffle; the
+  * only non-codegen pieces are the higher-order lambdas over the
+  * per-page block array (bounded by block count, evaluated where the
+  * scan already materialized the page). Regexes avoid every construct
+  * Java and RE2 disagree on: no `\w`/`\s` shorthands (ASCII classes
+  * spelled out), no backreferences, no lookarounds — so a SQL engine can
+  * replay the extraction verbatim for verification.
+  *
+  * Link density is gated in INTEGER per-mille (`anchors · 1000 ≤
+  * maxLinkPerMille · words`) — no float compare to drift between
+  * engines. The heuristic is the jusText/Arc90 one: a block whose words
+  * are mostly anchor text is chrome (nav bars, footers, related-link
+  * soup), not content. */
+object HtmlOps {
+
+  /** Block-level boundaries: opening OR closing forms of the usual
+    * content-sectioning tags (br included — line-break-separated text
+    * should gate independently). */
+  // private[graft]: the q222 oracle builder replays the chain in SQL
+  // from these SAME pattern strings (Java∩RE2 dialect — see Scaladoc)
+  private[graft] val BlockTagPattern =
+    "(?i)</?(?:p|div|br|h1|h2|h3|h4|h5|h6|li|ul|ol|tr|td|th|table|thead" +
+      "|tbody|section|article|header|footer|nav|blockquote|pre)[^>]*>"
+
+  private[graft] val AnchorPattern = "(?i)<a[ \\t\\n\\r>]"
+  private[graft] val WsRun = "[ \\t\\n\\r]+"
+
+  /** Remove content that must never reach text: script/style bodies and
+    * HTML comments. Lazy spans are linear for both Java and RE2 here
+    * (fixed closing literal). */
+  private def dropInvisible(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+  }
+
+  /** Decode the entities that actually occur in crawl text; `&amp;`
+    * LAST so double-escapes resolve one level exactly (`&amp;lt;` →
+    * literal `&lt;`, never `<`). */
+  private def decodeEntities(c: Column): Column = {
+    val steps = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    steps.foldLeft(c) { case (acc, (from, to)) =>
+      replace(acc, lit(from), lit(to))
+    }
+  }
+
+  /** All visible text, tags stripped and whitespace collapsed — the
+    * no-heuristics form (diffing, token counting over everything). */
+  def stripHtml(html: Column): Column = {
+    val txt = decodeEntities(
+      regexp_replace(dropInvisible(html), "<[^>]*>", " "))
+    trim(regexp_replace(txt, WsRun, " "))
+  }
+
+  /** Per-block diagnostics: `array<struct<text, n_words, n_anchors>>` in
+    * page order, where `text` is the block's visible text (tags
+    * stripped, entities decoded, whitespace collapsed). The audit form —
+    * [[extractText]] is a filter + join over exactly this. */
+  def blockStats(html: Column): Column =
+    transform(split(dropInvisible(html), BlockTagPattern), b => {
+      val anchors = size(split(b, AnchorPattern)) - 1
+      val txt = decodeEntities(regexp_replace(b, "<[^>]*>", " "))
+      val words = filter(split(txt, WsRun), w => length(w) > 0)
+      struct(
+        array_join(words, " ").as("text"),
+        size(words).as("n_words"),
+        anchors.as("n_anchors"))
+    })
+
+  /** Extracted content: blocks with ≥ `minWords` words whose anchor
+    * density stays under `maxLinkPerMille` (anchors per 1000 words),
+    * rejoined with newlines. Empty result → empty string (callers gate
+    * on length, as with every other quality signal). */
+  def extractText(html: Column, minWords: Int = 3,
+                  maxLinkPerMille: Int = 500): Column = {
+    require(minWords >= 1, s"minWords must be positive: $minWords")
+    require(maxLinkPerMille >= 0, s"negative link gate: $maxLinkPerMille")
+    val kept = filter(blockStats(html), c =>
+      c.getField("n_words") >= minWords &&
+        c.getField("n_anchors") * lit(1000) <=
+          lit(maxLinkPerMille) * c.getField("n_words"))
+    array_join(transform(kept, c => c.getField("text")), "\n")
+  }
+}
