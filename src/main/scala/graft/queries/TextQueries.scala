@@ -1486,7 +1486,36 @@ object TextQueries {
           graft.text.HtmlOps.extractText(html).as("extracted"))
         .orderBy(col("doc_id"))
     })
+    ,
+
+    // ───── encoding-damage score (ftfy-lite): the two classic mojibake
+    // signatures + replacement chars, rated per 10k chars in INTEGER
+    // arithmetic; every-7th doc gets a corruption tail built from real
+    // mis-decode byte math (é→Ã©, ï→Ã¯, ’→â€™, one U+FFFD) ─────
+    "q223_mojibake" -> ((s, d) => {
+      val t = concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(mojibakeTail)).otherwise(lit("")))
+      val sigs = TextOps.mojibakeSignals(col("__t"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), t.as("__t"))
+        .select(col("doc_id") +: col("__t").as("__t") +:
+          sigs.map { case (n, c) => c.as(n) }: _*)
+        .withColumn("per_10k", expr(
+          "(n_latin1 + n_cp1252 + n_fffd) * 10000 div greatest(length(__t), 1)"))
+        .withColumn("suspect", col("per_10k") >= 10)
+        .select(col("doc_id"), col("n_latin1"), col("n_cp1252"),
+          col("n_fffd"), col("per_10k"), col("suspect"))
+        .orderBy(col("doc_id"))
+    })
   )
+
+  /** The q223 corruption tail — REAL mis-decode arithmetic, written as
+    * unicode escapes so both engines see identical code points: é (C3 A9)
+    * read as Latin-1 is Ã©, ï (C3 AF) is Ã¯ (two latin1 hits), ’
+    * (E2 80 99) read as cp1252 is â€™ (one cp1252 hit), plus one
+    * replacement char. */
+  private val mojibakeTail: String =
+    " CafÃ© naÃ¯ve â€™s � end"
 
   /** The q222 synthetic page template — ONE definition feeds both the
     * Spark query and the oracle SQL, so the two sides build byte-equal
@@ -4104,6 +4133,33 @@ object TextQueries {
                   AND c['na'] * 1000 <= 500 * len(c['ws'])),
               c -> array_to_string(c['ws'], ' ')), chr(10)) AS extracted
           FROM st ORDER BY doc_id""",
+    // counts via RE2 non-overlapping extract_all on the SAME pattern
+    // constants (the \\x{..} escape form is the Java∩RE2 dialect);
+    // replacement chars by length-diff; the rate in integer //
+    "q223_mojibake" ->
+      s"""WITH t AS (
+            SELECT doc_id, text ||
+              CASE WHEN doc_id % 7 = 0 THEN ${sqlQuote(mojibakeTail)}
+                   ELSE '' END AS tt
+            FROM documents),
+          c AS (
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(tt,
+                ${sqlQuote(graft.text.TextOps.MojibakeLatin1)})) AS BIGINT)
+                AS n_latin1,
+              CAST(len(regexp_extract_all(tt,
+                ${sqlQuote(graft.text.TextOps.MojibakeCp1252)})) AS BIGINT)
+                AS n_cp1252,
+              CAST(length(tt) - length(replace(tt, chr(65533), ''))
+                AS BIGINT) AS n_fffd,
+              length(tt) AS nc
+            FROM t)
+          SELECT doc_id, n_latin1, n_cp1252, n_fffd,
+            (n_latin1 + n_cp1252 + n_fffd) * 10000 // greatest(nc, 1)
+              AS per_10k,
+            ((n_latin1 + n_cp1252 + n_fffd) * 10000 // greatest(nc, 1))
+              >= 10 AS suspect
+          FROM c ORDER BY doc_id""",
     // micro-quantized per-label sums, then the SHIFTED floor-division
     // deviation (non-negative numerator ⇒ floor == Spark's truncate)
     // squared and summed per vector

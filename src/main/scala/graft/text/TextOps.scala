@@ -75,6 +75,31 @@ object TextOps {
       (size(array_distinct(tokens(text))).cast("double") / size(tokens(text)))
   )
 
+  /** Classic UTF-8-read-as-Latin-1 damage: Ã or Â followed by a
+    * continuation-range code point (é→Ã©, ü→Ã¼, nbsp→Â ). Engine-portable
+    * (literal chars + an explicit class — no `\p{...}`). */
+  private[graft] val MojibakeLatin1 = "[ÃÂ][\\x{0080}-\\x{00BF}]"
+
+  /** UTF-8 punctuation read as cp1252: â€ then the cp1252 image of the
+    * third byte — ™ (’), œ (“), U+009D (”) cover the smart-quote family
+    * that dominates real crawl damage. */
+  private[graft] val MojibakeCp1252 = "â€[™œ\\x{009D}]"
+
+  /** Encoding-damage counters (ftfy-lite, the Dolma/C4 cleanup signal):
+    * non-overlapping counts of the two classic mojibake signatures plus
+    * U+FFFD replacement chars (decoder already gave up). Scan-side
+    * expressions; the caller gates on a per-10k-chars rate (integer
+    * arithmetic — see q223) rather than absolute counts so long docs
+    * aren't penalized. A hit does not PROVE damage ("CafÃ©" is valid
+    * Latin text about... nothing), which is why this is a scored signal
+    * feeding a threshold, not a hard filter. */
+  def mojibakeSignals(text: Column): Seq[(String, Column)] = Seq(
+    "n_latin1" -> regexp_count(text, lit(MojibakeLatin1)).cast("long"),
+    "n_cp1252" -> regexp_count(text, lit(MojibakeCp1252)).cast("long"),
+    "n_fffd" ->
+      (length(text) - length(replace(text, lit("�"), lit("")))).cast("long")
+  )
+
   /** Language-ID by marker-word voting: score per language = count of
     * tokens in that language's marker set; argmax wins, ties broken by
     * alphabetical language code (deterministic). N-gram-free variant of the

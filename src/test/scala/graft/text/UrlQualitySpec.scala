@@ -245,4 +245,27 @@ class UrlQualitySpec extends SparkSpec {
       .as[(Long, Long, Boolean)].collect()
     assert(nullRow === Array((11L, 0L, false)))
   }
+
+  test("mojibakeSignals: counts the real mis-decode byte images") {
+    def sig(s: String): (Long, Long, Long) =
+      Seq(s).toDF("t")
+        .select(TextOps.mojibakeSignals(col("t"))
+          .map { case (n, c) => c.as(n) }: _*)
+        .as[(Long, Long, Long)].head()
+    // explicit code points so no editor can mangle the fixtures:
+    // e-acute -> C3 A9, i-diaeresis -> C3 AF, nbsp -> C2 A0
+    assert(sig("Caf\u00C3\u00A9 na\u00C3\u00AFve x\u00C2\u00A0y")
+      === ((3L, 0L, 0L)))
+    // curly apostrophe -> E2 80 99, left quote -> E2 80 9C,
+    // right quote -> E2 80 9D (third char lands on U+2122/U+0153/U+009D)
+    assert(sig("it\u00E2\u20AC\u2122s \u00E2\u20AC\u0153q\u00E2\u20AC\u009D")
+      === ((0L, 3L, 0L)))
+    // replacement chars count by length-diff, one per occurrence
+    assert(sig("a\uFFFDb\uFFFD\uFFFDc") === ((0L, 0L, 3L)))
+    // clean ASCII and LEGIT accented text (e-acute as itself) score zero
+    assert(sig("plain ascii words") === ((0L, 0L, 0L)))
+    assert(sig("caf\u00E9 na\u00EFve r\u00E9sum\u00E9") === ((0L, 0L, 0L)))
+    // adjacent signatures don't swallow each other (non-overlapping scan)
+    assert(sig("\u00C3\u00A9\u00C3\u00A9\u00C3\u00A9") === ((3L, 0L, 0L)))
+  }
 }
