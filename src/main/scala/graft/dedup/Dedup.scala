@@ -31,10 +31,13 @@ object Dedup {
     * empties dropped). ONE definition: the batch path, the incremental
     * path, and the history fingerprints must always split identically or
     * history matching silently breaks. */
-  private def paragraphRows(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+  private def paragraphRows(docs: DataFrame, textCol: String, idCol: String,
+                            extra: Seq[String] = Nil): DataFrame =
     docs
-      .select(col(idCol), posexplode(split(col(textCol), "\n{2,}")).as(Seq("__pos", "__raw")))
-      .select(col(idCol), col("__pos"), trim(col("__raw")).as("__par"))
+      .select(col(idCol) +: extra.map(col) :+
+        posexplode(split(col(textCol), "\n{2,}")).as(Seq("__pos", "__raw")): _*)
+      .select(col(idCol) +: extra.map(col) :+ col("__pos") :+
+        trim(col("__raw")).as("__par"): _*)
       .where(length(col("__par")) > 0)
       .withColumn("__fp", md5(encode(col("__par"), "UTF-8")))
 
@@ -76,6 +79,70 @@ object Dedup {
           col("__first").getField(idCol) === id &&
           col("__first").getField("__pos") === col("__pos"))
     reassemble(batch, flagged, idCol)
+  }
+
+  /** Per-group TEMPLATE paragraphs — the audit form of [[stripTemplates]]:
+    * within each `groupCol` bucket (domain / source / crawl site), the
+    * paragraphs present in more than `maxDocPerMille`/1000 of the
+    * bucket's documents, with their presence counts. Buckets smaller
+    * than `minDocs` are exempt (in a 2-doc bucket any shared banner is
+    * "100 % of docs"). */
+  def templateParagraphs(docs: DataFrame, textCol: String, idCol: String,
+                         groupCol: String, maxDocPerMille: Int = 500,
+                         minDocs: Long = 4L): DataFrame =
+    templateFps(paragraphRows(docs, textCol, idCol, Seq(groupCol)), docs,
+      idCol, groupCol, maxDocPerMille, minDocs)
+
+  /** Shared threshold pass over an extracted paragraph frame:
+    * (groupCol, __fp, paragraph, n_docs_with, n_docs_group) for every
+    * over-threshold fingerprint. */
+  private def templateFps(paras: DataFrame, docs: DataFrame, idCol: String,
+                          groupCol: String, maxDocPerMille: Int,
+                          minDocs: Long): DataFrame = {
+    require(maxDocPerMille >= 0 && maxDocPerMille <= 1000,
+      s"maxDocPerMille out of range: $maxDocPerMille")
+    require(minDocs >= 1L, s"minDocs must be positive: $minDocs")
+    val g = col(groupCol)
+    // presence per (bucket, paragraph, doc): a paragraph repeated inside
+    // ONE doc counts that doc once
+    val present = paras.select(g, col("__fp"), col("__par"), col(idCol))
+      .distinct()
+    val withCounts = present.groupBy(g, col("__fp"))
+      .agg(count(lit(1)).as("n_docs_with"), min(col("__par")).as("paragraph"))
+    val sizes = docs.groupBy(g).agg(count(lit(1)).as("n_docs_group"))
+    withCounts.join(sizes, Seq(groupCol))
+      .where(col("n_docs_group") >= minDocs &&
+        col("n_docs_with") * 1000L > lit(maxDocPerMille.toLong) * col("n_docs_group"))
+      .select(g, col("__fp"), col("paragraph"), col("n_docs_with"),
+        col("n_docs_group"))
+  }
+
+  /** Per-group template/boilerplate paragraph REMOVAL (the RefinedWeb /
+    * CCNet site-boilerplate rule at paragraph granularity): a paragraph
+    * occurring in more than `maxDocPerMille`/1000 of its bucket's
+    * documents is chrome — nav text, cookie banners, footers — and EVERY
+    * occurrence drops, unlike [[paragraphDedupe]] which keeps a first
+    * occurrence (content that happens to repeat is worth one copy;
+    * template is worth zero). Documents re-assemble from surviving
+    * paragraphs in order: (idCol, clean_text, n_kept, n_dropped).
+    *
+    * Scale shape: presence counts are a distinct + counted
+    * `groupBy(bucket, fingerprint)` — map-side partials absorb the hot
+    * template keys; bucket sizes are one doc-level aggregate; only
+    * ABOVE-threshold fingerprints survive into the flag-back join
+    * (template table ≪ paragraph table, AQE-broadcast-promotable). Never
+    * a window over the fingerprint. */
+  def stripTemplates(docs: DataFrame, textCol: String, idCol: String,
+                     groupCol: String, maxDocPerMille: Int = 500,
+                     minDocs: Long = 4L): DataFrame = {
+    val paras = paragraphRows(docs, textCol, idCol, Seq(groupCol))
+    val templates = templateFps(paras, docs, idCol, groupCol,
+        maxDocPerMille, minDocs)
+      .select(col(groupCol), col("__fp"), lit(true).as("__tpl"))
+    val flagged = paras
+      .join(templates, Seq(groupCol, "__fp"), "left")
+      .withColumn("__keep", col("__tpl").isNull)
+    reassemble(docs, flagged, idCol)
   }
 
   /** Corpus-wide PARAGRAPH-level exact dedup (the paragraph-granularity

@@ -1488,6 +1488,26 @@ object TextQueries {
     })
     ,
 
+    // ───── per-source template removal (RefinedWeb site-boilerplate at
+    // paragraph granularity): every doc gets its source's banner (100%
+    // presence → stripped where the bucket has ≥ minDocs docs — so at
+    // sf0.001's 2-3-doc sources the exemption bites and NOTHING strips,
+    // while sf0.01's 25-doc sources strip), plus a footer on even ids
+    // (~50% presence — straddles the strict > gate per source) ─────
+    "q224_template_strip" -> ((s, d) => {
+      val aug = concat(lit(TemplateFixture.pre), col("source"),
+        lit(TemplateFixture.post + "\n\n"), col("text"),
+        when(col("doc_id") % 2 === 0, lit("\n\n" + TemplateFixture.footer))
+          .otherwise(lit("")))
+      graft.dedup.Dedup.stripTemplates(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"), aug.as("text")),
+          "text", "doc_id", "source",
+          maxDocPerMille = 500, minDocs = 4L)
+        .orderBy(col("doc_id"))
+    })
+    ,
+
     // ───── encoding-damage score (ftfy-lite): the two classic mojibake
     // signatures + replacement chars, rated per 10k chars in INTEGER
     // arithmetic; every-7th doc gets a corruption tail built from real
@@ -1508,6 +1528,14 @@ object TextQueries {
         .orderBy(col("doc_id"))
     })
   )
+
+  /** The q224 synthetic boilerplate — shared between the query and the
+    * oracle so the augmented pages are byte-equal on both engines. */
+  private object TemplateFixture {
+    val pre = "Visit "
+    val post = " homepage now"
+    val footer = "Sponsored links click here"
+  }
 
   /** The q223 corruption tail — REAL mis-decode arithmetic, written as
     * unicode escapes so both engines see identical code points: é (C3 A9)
@@ -4133,6 +4161,54 @@ object TextQueries {
                   AND c['na'] * 1000 <= 500 * len(c['ws'])),
               c -> array_to_string(c['ws'], ' ')), chr(10)) AS extracted
           FROM st ORDER BY doc_id""",
+    // the q82 paragraph-CTE skeleton with a GROUP dimension: presence
+    // per (source, paragraph, doc), bucket sizes, the strict > per-mille
+    // gate with the minDocs exemption, then the same keep/reassemble
+    "q224_template_strip" ->
+      s"""WITH aug AS (
+            SELECT doc_id, source,
+              '${TemplateFixture.pre}' || source ||
+              '${TemplateFixture.post}' || chr(10) || chr(10) || text ||
+              CASE WHEN doc_id % 2 = 0
+                   THEN chr(10) || chr(10) || '${TemplateFixture.footer}'
+                   ELSE '' END AS t
+            FROM documents),
+          paras AS (
+            SELECT doc_id, source, p['pos'] AS pos, p['par'] AS par FROM (
+              SELECT doc_id, source, unnest(list_transform(
+                range(1, len(ps) + 1), i -> {'pos': i, 'par': trim(ps[i])}))
+                AS p
+              FROM (SELECT doc_id, source,
+                      string_split_regex(t, '\\n{2,}') AS ps
+                    FROM aug))
+            WHERE len(p['par']) > 0),
+          present AS (SELECT DISTINCT source, par, doc_id FROM paras),
+          wc AS (SELECT source, par, CAST(count(*) AS BIGINT) AS n_with
+                 FROM present GROUP BY source, par),
+          sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY source),
+          tpl AS (SELECT w.source, w.par
+                  FROM wc w JOIN sizes s USING (source)
+                  WHERE s.n_docs >= 4 AND w.n_with * 1000 > 500 * s.n_docs),
+          flagged AS (
+            SELECT p.doc_id, p.pos, p.par, (t.par IS NULL) AS keep
+            FROM paras p LEFT JOIN tpl t
+              ON p.source = t.source AND p.par = t.par),
+          agged AS (
+            SELECT doc_id,
+              CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept,
+              CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                AS n_dropped,
+              string_agg(CASE WHEN keep THEN par END, chr(10) || chr(10)
+                ORDER BY pos) AS clean_text
+            FROM flagged GROUP BY doc_id)
+          SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+            COALESCE(a.n_kept, 0) AS n_kept,
+            COALESCE(a.n_dropped, 0) AS n_dropped
+          FROM documents d LEFT JOIN agged a USING (doc_id)
+          ORDER BY d.doc_id""",
+
     // counts via RE2 non-overlapping extract_all on the SAME pattern
     // constants (the \\x{..} escape form is the Java∩RE2 dialect);
     // replacement chars by length-diff; the rate in integer //

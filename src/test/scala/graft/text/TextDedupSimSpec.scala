@@ -917,6 +917,38 @@ class TextDedupSimSpec extends SparkSpec {
     docs.foreach { case (id, _) => assert(got(id) === expect(id), s"doc $id") }
   }
 
+  test("stripTemplates: per-group presence gate, strict boundary, " +
+      "minDocs exemption; EVERY template occurrence drops") {
+    // group A (4 docs ≥ minDocs): banner in 4/4 (>50% → template),
+    // footer in exactly 2/4 (50% is NOT > 50% → kept), bodies unique.
+    // group B (2 docs < minDocs): its universal banner is exempt.
+    val docs = Seq(
+      (1L, "A", "BANNER\n\nbody one\n\nFOOT"),
+      (2L, "A", "BANNER\n\nbody two\n\nFOOT"),
+      (3L, "A", "BANNER\n\nbody three"),
+      (4L, "A", "BANNER\n\nbody four\n\nBANNER"), // in-doc repeat: doc counts once
+      (5L, "B", "SMALLBANNER\n\nbody five"),
+      (6L, "B", "SMALLBANNER\n\nbody six")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.stripTemplates(docs, "text", "doc_id", "source",
+        maxDocPerMille = 500, minDocs = 4L)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === (("body one\n\nFOOT", 2L, 1L)))
+    assert(out(2L) === (("body two\n\nFOOT", 2L, 1L)))
+    assert(out(3L) === (("body three", 1L, 1L)))
+    // BOTH banner occurrences in doc 4 drop (template ≠ first-keeps)
+    assert(out(4L) === (("body four", 1L, 2L)))
+    assert(out(5L) === (("SMALLBANNER\n\nbody five", 2L, 0L)))
+    assert(out(6L) === (("SMALLBANNER\n\nbody six", 2L, 0L)))
+    // audit form agrees: exactly one template fingerprint, in group A
+    val tpl = Dedup.templateParagraphs(docs, "text", "doc_id", "source",
+        maxDocPerMille = 500, minDocs = 4L)
+      .select("source", "paragraph", "n_docs_with", "n_docs_group")
+      .as[(String, String, Long, Long)].collect()
+    assert(tpl === Array(("A", "BANNER", 4L, 4L)))
+  }
+
   test("paragraphDedupeIncremental: history paragraphs drop, batch dedupes within itself") {
     val hist = Seq((100L, "seen before\n\nalso seen")).toDF("doc_id", "text")
     val batch = Seq(
