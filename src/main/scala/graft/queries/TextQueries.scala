@@ -538,6 +538,21 @@ object TextQueries {
         .orderBy(col("id_l"), col("id_r"))
     }),
 
+    // ───── paraphrase-contamination screen (LLM-decontaminator stage 1):
+    // every-25th vector as the benchmark probe set, the rest as corpus;
+    // per probe the best corpus match by cosine (ties to lowest id), the
+    // over-threshold count and the verdict — exhaustive by design (an
+    // audit must not miss a leak to banding recall), salted SHJ so the
+    // fanned-out probe side spreads across tasks ─────
+    "q225_semantic_decon" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.semanticContamination(
+          emb.where(col("vec_id") % 25 === 0),
+          emb.where(col("vec_id") % 25 =!= 0),
+          "embedding", "vec_id", threshold = 0.40)
+        .orderBy(col("probe_id"))
+    }),
+
     // ───── cross-corpus near-dup join (the incremental-ingest primitive):
     // PPJoin between two corpora — odd doc_ids as the new batch, even as
     // the accumulated history — never a history self-join ─────
@@ -1990,6 +2005,28 @@ object TextQueries {
             ON a.label = b.label AND a.vec_id % 2 = 1 AND b.vec_id % 2 = 0
           WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
           ORDER BY id_l, id_r""",
+    // brute-force replay: per probe, max cosine (same fdot/list_sum
+    // pairing the q69 gate already proves float-identical), min corpus
+    // id among the max holders, the threshold count and verdict
+    "q225_semantic_decon" ->
+      s"""WITH p AS (SELECT vec_id AS pid, embedding AS ep
+                     FROM embeddings WHERE vec_id % 25 = 0),
+          c AS (SELECT vec_id AS cid, embedding AS ec
+                FROM embeddings WHERE vec_id % 25 <> 0),
+          pairs AS (SELECT pid, cid, ${cosSql("ep", "ec")} AS cos
+                    FROM p CROSS JOIN c),
+          agg AS (SELECT pid, max(cos) AS m,
+                    CAST(sum(CASE WHEN cos >= 0.40 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_over
+                  FROM pairs GROUP BY pid),
+          pick AS (SELECT pr.pid, min(pr.cid) AS bid
+                   FROM pairs pr JOIN agg a
+                     ON pr.pid = a.pid AND pr.cos = a.m
+                   GROUP BY pr.pid)
+          SELECT a.pid AS probe_id, k.bid AS best_id, a.m AS best_cos,
+            a.n_over, a.m >= 0.40 AS contaminated
+          FROM agg a JOIN pick k ON a.pid = k.pid
+          ORDER BY probe_id""",
     "q67_neardup_join" ->
       s"""WITH sh AS (
             SELECT doc_id,

@@ -190,6 +190,51 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** Benchmark-contamination screen in EMBEDDING space — the paraphrase
+    * leak detector (stage 1 of the LLM-decontaminator recipe, Yang et
+    * al. 2023: embedding similarity shortlists rephrased benchmark
+    * copies that n-gram containment misses; [[graft.dedup.Dedup
+    * .contaminationReport]] is the verbatim-leak complement). For every
+    * probe (benchmark item): the best-matching corpus document by
+    * cosine (ties to the lowest corpus id — deterministic), how many
+    * corpus docs clear `threshold`, and the verdict.
+    *
+    * Exhaustive by design — an audit must not miss a leak to banding
+    * recall, and probe sets are benchmark-sized (10³–10⁵), not
+    * corpus-sized. Shape: the probe side fans out over `saltBuckets`,
+    * the corpus salts by id hash, and the shuffle-hash equi-join on
+    * salt streams every (probe, corpus) cosine straight into a
+    * partial-aggregable per-probe max/count — P·N cosines flow through
+    * the aggregate but only P rows ever materialize, and the hot probe
+    * rows split across `saltBuckets` tasks (the [[cosineJoin]]
+    * discipline; never a cartesian operator). For probe sets too big
+    * for brute force, shortlist with [[cosinePairsLsh]] first and
+    * re-screen the shortlist here. */
+  def semanticContamination(probe: DataFrame, corpus: DataFrame,
+                            vecCol: String, idCol: String, threshold: Double,
+                            saltBuckets: Int = 8): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be positive: $saltBuckets")
+    val p = probe.select(col(idCol).as("probe_id"), col(vecCol).as("v_p"),
+        norm(col(vecCol)).as("n_p"))
+      .withColumn("salt", explode(array((0 until saltBuckets).map(lit): _*)))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("v_c"),
+        norm(col(vecCol)).as("n_c"))
+      .withColumn("salt", pmod(xxhash64(col("corpus_id")), lit(saltBuckets)))
+    p.hint("shuffle_hash").join(c, Seq("salt"))
+      .select(col("probe_id"), col("corpus_id"),
+        (dot(col("v_p"), col("v_c")) / (col("n_p") * col("n_c"))).as("cos"))
+      .groupBy(col("probe_id"))
+      .agg(
+        max(struct(col("cos").as("cos"), (-col("corpus_id")).as("nid")))
+          .as("__b"),
+        sum(when(col("cos") >= threshold, 1L).otherwise(0L)).as("n_over"))
+      .select(col("probe_id"),
+        (-col("__b.nid")).as("best_id"),
+        col("__b.cos").as("best_cos"),
+        col("n_over"),
+        (col("__b.cos") >= threshold).as("contaminated"))
+  }
+
   /** Embedding-cosine near-dup pairs WITHOUT a natural block key: LSH
     * banding over random-hyperplane signatures (the minhashLshPairs shape
     * for the cosine metric). Each of `bands` independent plane families

@@ -205,4 +205,33 @@ class SemanticDedupSpec extends SparkSpec {
       (1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
       (4L, 4L, true), (5L, 4L, false), (6L, 6L, true)))
   }
+
+  test("semanticContamination: per-probe argmax, lowest-id tie break, " +
+      "threshold count and verdict") {
+    val probes = Seq(
+      (1L, Seq(1f, 0f)),   // parallel to corpus 20/21 (cos 1.0 twice)
+      (2L, Seq(0f, 1f))    // best is 22 at cos 1/sqrt(2); nothing >= 0.9
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (20L, Seq(2f, 0f)),  // cos 1.0 to probe 1 (scale-invariant)
+      (21L, Seq(3f, 0f)),  // cos 1.0 to probe 1 — tie, HIGHER id loses
+      (22L, Seq(1f, 1f)),  // cos 1/sqrt(2) to both probes
+      (23L, Seq(1f, -1f))  // negative side for probe 2
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticContamination(
+        probes, corpus, "embedding", "vec_id", threshold = 0.9)
+      .select("probe_id", "best_id", "best_cos", "n_over", "contaminated")
+      .as[(Long, Long, Double, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.length === 2)
+    val p1 = out(0)
+    assert(p1._1 === 1L && p1._2 === 20L && p1._4 === 2L && p1._5,
+      s"probe 1: $p1")
+    assert(math.abs(p1._3 - 1.0) < 1e-12)
+    val p2 = out(1)
+    assert(p2._1 === 2L && p2._2 === 22L && p2._4 === 0L && !p2._5,
+      s"probe 2: $p2")
+    assert(math.abs(p2._3 - math.sqrt(0.5)) < 1e-12)
+    // model check on the driver-side cosine for the non-trivial cell
+    assert(math.abs(p2._3 - cos(Seq(0f, 1f), Seq(1f, 1f))) < 1e-12)
+  }
 }

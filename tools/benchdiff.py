@@ -50,12 +50,18 @@ def parse(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thr = 1.3
-    for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1] if "=" in a
-                        else sys.argv[sys.argv.index(a) + 1])
+    args, thr, skip = [], 1.3, False
+    for i, a in enumerate(sys.argv[1:], start=1):
+        if skip:
+            skip = False
+        elif a.startswith("--threshold"):
+            if "=" in a:
+                thr = float(a.split("=", 1)[1])
+            else:
+                thr = float(sys.argv[i + 1])
+                skip = True
+        else:
+            args.append(a)
     if len(args) != 2:
         print(__doc__)
         return 2
@@ -74,10 +80,12 @@ def main():
             movers.append((r, name, o, n))
     for r, name, o, n in sorted(movers, reverse=True):
         print(f"MOVER {name}: {o:.2f}s -> {n:.2f}s  ({r:.2f}x)")
+    def cap(names):
+        return ", ".join(names[:15]) + (", ..." if len(names) > 15 else "")
     if added:
-        print(f"added ({len(added)}): {', '.join(added)}")
+        print(f"added ({len(added)}): {cap(added)}")
     if removed:
-        print(f"removed ({len(removed)}): {', '.join(removed)}")
+        print(f"removed ({len(removed)}): {cap(removed)}")
     ratios = sorted(new_q[k] / old_q[k] for k in common if old_q[k] > 0)
     if ratios:
         med = ratios[len(ratios) // 2]
