@@ -63,6 +63,56 @@ class HtmlOpsSpec extends SparkSpec {
     assert(stats === Array(("one two", 2, 0), ("x y z w", 4, 1)))
   }
 
+  test("extractText matches a driver-side Java-regex model on random " +
+      "messy pages (independent of Catalyst's regexp/HOF evaluation)") {
+    def decode(s: String): String =
+      Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+        "&nbsp;" -> " ", "&amp;" -> "&")
+        .foldLeft(s) { case (acc, (f, t)) => acc.replace(f, t) }
+    def model(html: String, minWords: Int, perMille: Int): String = {
+      val vis = html
+        .replaceAll("(?is)<script[^>]*>.*?</script>", " ")
+        .replaceAll("(?is)<style[^>]*>.*?</style>", " ")
+        .replaceAll("(?s)<!--.*?-->", " ")
+      vis.split(HtmlOps.BlockTagPattern, -1).flatMap { b =>
+        val anchors = b.split(HtmlOps.AnchorPattern, -1).length - 1
+        val words = decode(b.replaceAll("<[^>]*>", " "))
+          .split(HtmlOps.WsRun).filter(_.nonEmpty)
+        if (words.length >= minWords &&
+            anchors * 1000 <= perMille * words.length)
+          Some(words.mkString(" "))
+        else None
+      }.mkString("\n")
+    }
+    val rnd = new scala.util.Random(1337L)
+    val words = Seq("alpha", "beta", "gamma", "delta", "text", "words",
+      "&amp;", "&lt;x&gt;", "&amp;lt;", "a&nbsp;b", "it&#39;s")
+    val blockTags = Seq("p", "div", "li", "h2", "BR", "section", "TD")
+    def phrase(n: Int): String =
+      (0 until n).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    def randBlock(): String = rnd.nextInt(6) match {
+      case 0 => s"<p>${phrase(1 + rnd.nextInt(8))}</p>"
+      case 1 =>
+        val t = blockTags(rnd.nextInt(blockTags.size))
+        s"<$t class='x'>${phrase(1 + rnd.nextInt(6))}</$t>"
+      case 2 => // link soup with a variable anchor/word balance
+        val links = (0 to rnd.nextInt(4)).map(i =>
+          s"<a href='/$i'>${phrase(1 + rnd.nextInt(2))}</a>").mkString(" ")
+        s"<div>${phrase(rnd.nextInt(3))} $links</div>"
+      case 3 => s"<script>var x = ${rnd.nextInt(99)} < 7;</script>"
+      case 4 => s"<!-- ${phrase(2)} --><style>.q{}</style>"
+      case 5 => s"${phrase(1 + rnd.nextInt(4))}<br>${phrase(rnd.nextInt(3))}"
+    }
+    val pages = (1L to 120L).map(i =>
+      (i, (0 to rnd.nextInt(7)).map(_ => randBlock()).mkString(" ")))
+    val got = pages.toDF("id", "h")
+      .select(col("id"), HtmlOps.extractText(col("h"), 2, 600).as("t"))
+      .as[(Long, String)].collect().toMap
+    pages.foreach { case (id, html) =>
+      assert(got(id) === model(html, 2, 600), s"page $id: $html")
+    }
+  }
+
   test("degenerate inputs: empty page, page with no block tags, null") {
     assert(extract("") === "")
     assert(extract("plain words with no tags at all")
