@@ -145,6 +145,64 @@ object Dedup {
     reassemble(docs, flagged, idCol)
   }
 
+  /** The persisted per-bucket paragraph state for INCREMENTAL template
+    * removal: (presence, sizes) — presence one row per (bucket,
+    * fingerprint) with its distinct-doc count, sizes one row per bucket
+    * with its doc count. Both are sum-mergeable across ingest days
+    * (union + groupBy-sum), the same artifact discipline as
+    * [[corpusContainmentIndex]]. */
+  def templateState(docs: DataFrame, textCol: String, idCol: String,
+                    groupCol: String): (DataFrame, DataFrame) =
+    (presenceFromParas(paragraphRows(docs, textCol, idCol, Seq(groupCol)),
+       idCol, groupCol),
+     docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs_group")))
+
+  private def presenceFromParas(paras: DataFrame, idCol: String,
+                                groupCol: String): DataFrame =
+    paras.select(col(groupCol), col("__fp"), col(idCol)).distinct()
+      .groupBy(col(groupCol), col("__fp"))
+      .agg(count(lit(1)).as("n_docs_with"))
+
+  /** Incremental [[stripTemplates]] — the daily-ingest form: template
+    * thresholds are computed over the ACCUMULATED corpus (history state
+    * from [[templateState]], sum-merged with the batch's own counts), and
+    * only the batch re-assembles. A banner that became template last
+    * month strips from today's pages even if today's batch alone is too
+    * small to prove it. History and batch doc sets must be DISJOINT
+    * (standard daily-ingest discipline — the history state already
+    * counted its own docs; overlapping ids would double-count presence).
+    *
+    * Scale: the history state is bucket×distinct-paragraph sized — tiny
+    * next to the corpus and mergeable with one union+groupBy-sum; the
+    * rest is the [[stripTemplates]] shape on the batch alone. */
+  def stripTemplatesIncremental(batch: DataFrame, historyPresence: DataFrame,
+                                historySizes: DataFrame, textCol: String,
+                                idCol: String, groupCol: String,
+                                maxDocPerMille: Int = 500,
+                                minDocs: Long = 4L): DataFrame = {
+    require(maxDocPerMille >= 0 && maxDocPerMille <= 1000,
+      s"maxDocPerMille out of range: $maxDocPerMille")
+    require(minDocs >= 1L, s"minDocs must be positive: $minDocs")
+    val g = col(groupCol)
+    val paras = paragraphRows(batch, textCol, idCol, Seq(groupCol))
+    val batchPresence = presenceFromParas(paras, idCol, groupCol)
+    val batchSizes =
+      batch.groupBy(g).agg(count(lit(1)).as("n_docs_group"))
+    val presence = batchPresence.unionByName(historyPresence)
+      .groupBy(g, col("__fp")).agg(sum(col("n_docs_with")).as("n_docs_with"))
+    val sizes = batchSizes.unionByName(historySizes)
+      .groupBy(g).agg(sum(col("n_docs_group")).as("n_docs_group"))
+    val templates = presence.join(sizes, Seq(groupCol))
+      .where(col("n_docs_group") >= minDocs &&
+        col("n_docs_with") * 1000L >
+          lit(maxDocPerMille.toLong) * col("n_docs_group"))
+      .select(g, col("__fp"), lit(true).as("__tpl"))
+    val flagged = paras
+      .join(templates, Seq(groupCol, "__fp"), "left")
+      .withColumn("__keep", col("__tpl").isNull)
+    reassemble(batch, flagged, idCol)
+  }
+
   /** Corpus-wide PARAGRAPH-level exact dedup (the paragraph-granularity
     * form of Lee et al. 2022's exact-substring dedup): every later
     * occurrence of a duplicated paragraph is dropped — across documents

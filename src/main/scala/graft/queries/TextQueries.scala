@@ -1523,6 +1523,28 @@ object TextQueries {
     })
     ,
 
+    // ───── q224's INCREMENTAL form — the daily-ingest shape: template
+    // thresholds computed over history (even ids, via the sum-mergeable
+    // templateState artifact) + the batch's own counts; only the batch
+    // (odd ids) re-assembles. Footer on ids % 3 ≠ 0 (~67% presence →
+    // template in every source, per-source counts vary) ─────
+    "q226_template_strip_inc" -> ((s, d) => {
+      val aug = concat(lit(TemplateFixture.pre), col("source"),
+        lit(TemplateFixture.post + "\n\n"), col("text"),
+        when(col("doc_id") % 3 =!= 0, lit("\n\n" + TemplateFixture.footer))
+          .otherwise(lit("")))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), aug.as("text"))
+      val (hp, hs) = graft.dedup.Dedup.templateState(
+        docs.where(col("doc_id") % 2 === 0), "text", "doc_id", "source")
+      graft.dedup.Dedup.stripTemplatesIncremental(
+          docs.where(col("doc_id") % 2 === 1), hp, hs,
+          "text", "doc_id", "source",
+          maxDocPerMille = 500, minDocs = 4L)
+        .orderBy(col("doc_id"))
+    })
+    ,
+
     // ───── encoding-damage score (ftfy-lite): the two classic mojibake
     // signatures + replacement chars, rated per 10k chars in INTEGER
     // arithmetic; every-7th doc gets a corruption tail built from real
@@ -4244,6 +4266,56 @@ object TextQueries {
             COALESCE(a.n_kept, 0) AS n_kept,
             COALESCE(a.n_dropped, 0) AS n_dropped
           FROM documents d LEFT JOIN agged a USING (doc_id)
+          ORDER BY d.doc_id""",
+
+    // combined history+batch counts equal FULL-corpus counts (even/odd
+    // partition the table), so the oracle thresholds over everything
+    // and re-assembles only the odd half
+    "q226_template_strip_inc" ->
+      s"""WITH aug AS (
+            SELECT doc_id, source,
+              '${TemplateFixture.pre}' || source ||
+              '${TemplateFixture.post}' || chr(10) || chr(10) || text ||
+              CASE WHEN doc_id % 3 <> 0
+                   THEN chr(10) || chr(10) || '${TemplateFixture.footer}'
+                   ELSE '' END AS t
+            FROM documents),
+          paras AS (
+            SELECT doc_id, source, p['pos'] AS pos, p['par'] AS par FROM (
+              SELECT doc_id, source, unnest(list_transform(
+                range(1, len(ps) + 1), i -> {'pos': i, 'par': trim(ps[i])}))
+                AS p
+              FROM (SELECT doc_id, source,
+                      string_split_regex(t, '\\n{2,}') AS ps
+                    FROM aug))
+            WHERE len(p['par']) > 0),
+          present AS (SELECT DISTINCT source, par, doc_id FROM paras),
+          wc AS (SELECT source, par, CAST(count(*) AS BIGINT) AS n_with
+                 FROM present GROUP BY source, par),
+          sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY source),
+          tpl AS (SELECT w.source, w.par
+                  FROM wc w JOIN sizes s USING (source)
+                  WHERE s.n_docs >= 4 AND w.n_with * 1000 > 500 * s.n_docs),
+          flagged AS (
+            SELECT p.doc_id, p.pos, p.par, (t.par IS NULL) AS keep
+            FROM paras p LEFT JOIN tpl t
+              ON p.source = t.source AND p.par = t.par
+            WHERE p.doc_id % 2 = 1),
+          agged AS (
+            SELECT doc_id,
+              CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept,
+              CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                AS n_dropped,
+              string_agg(CASE WHEN keep THEN par END, chr(10) || chr(10)
+                ORDER BY pos) AS clean_text
+            FROM flagged GROUP BY doc_id)
+          SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+            COALESCE(a.n_kept, 0) AS n_kept,
+            COALESCE(a.n_dropped, 0) AS n_dropped
+          FROM documents d LEFT JOIN agged a USING (doc_id)
+          WHERE d.doc_id % 2 = 1
           ORDER BY d.doc_id""",
 
     // counts via RE2 non-overlapping extract_all on the SAME pattern

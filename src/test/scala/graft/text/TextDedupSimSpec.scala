@@ -949,6 +949,32 @@ class TextDedupSimSpec extends SparkSpec {
     assert(tpl === Array(("A", "BANNER", 4L, 4L)))
   }
 
+  test("stripTemplatesIncremental: history counts prove a template the " +
+      "batch alone cannot; batch-only buckets stay exempt") {
+    val history = Seq(
+      (1L, "A", "BANNER\n\nold one"), (2L, "A", "BANNER\n\nold two"),
+      (3L, "A", "BANNER\n\nold three"), (4L, "A", "BANNER\n\nold four")
+    ).toDF("doc_id", "source", "text")
+    val batch = Seq(
+      (11L, "A", "BANNER\n\nnew body"),   // banner 5/6 combined → strips
+      (12L, "A", "fresh body only"),
+      (13L, "C", "CBANNER\n\nc body")     // C has 1 doc total → exempt
+    ).toDF("doc_id", "source", "text")
+    val (hp, hs) = Dedup.templateState(history, "text", "doc_id", "source")
+    val out = Dedup.stripTemplatesIncremental(batch, hp, hs,
+        "text", "doc_id", "source", maxDocPerMille = 500, minDocs = 4L)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(11L) === (("new body", 1L, 1L)))
+    assert(out(12L) === (("fresh body only", 1L, 0L)))
+    assert(out(13L) === (("CBANNER\n\nc body", 2L, 0L)))
+    // batch ALONE would have stripped nothing (2 docs in A < minDocs)
+    val solo = Dedup.stripTemplates(batch, "text", "doc_id", "source",
+        maxDocPerMille = 500, minDocs = 4L)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(solo === Map(11L -> 0L, 12L -> 0L, 13L -> 0L))
+  }
+
   test("paragraphDedupeIncremental: history paragraphs drop, batch dedupes within itself") {
     val hist = Seq((100L, "seen before\n\nalso seen")).toDF("doc_id", "text")
     val batch = Seq(
