@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck coverage of the md5-interval math every deterministic
+  * sampling operator keys off ([[Sampling.hexThreshold]] /
+  * [[Sampling.hashScore]]'s driver-side model): the threshold is the
+  * fixed-point rounding of p·2³², hex strings order like the numbers
+  * they encode, and split labels partition. Pure JVM — no Spark jobs. */
+class SamplingPropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genP: Gen[Double] = Gen.chooseNum(0.0, 1.0)
+
+  test("property: hexThreshold is 8 lowercase hex chars encoding " +
+       "round(p * 2^32), capped at 2^32 - 1") {
+    check(Prop.forAll(genP) { p =>
+      val h = Sampling.hexThreshold(p)
+      h.length == 8 && h.forall(c => "0123456789abcdef".contains(c)) &&
+        java.lang.Long.parseLong(h, 16) ==
+          math.min(math.round(p * 4294967296.0), 4294967295L)
+    })
+  }
+
+  test("property: hexThreshold is monotone and orders lexicographically " +
+       "like the numbers (the comparison hashSplit relies on)") {
+    check(Prop.forAll(genP, genP) { (p1, p2) =>
+      val (lo, hi) = if (p1 <= p2) (p1, p2) else (p2, p1)
+      val (hl, hh) = (Sampling.hexThreshold(lo), Sampling.hexThreshold(hi))
+      // string order == numeric order, for ANY pair from the domain
+      (hl <= hh) &&
+        ((hl < hh) == (java.lang.Long.parseLong(hl, 16)
+          < java.lang.Long.parseLong(hh, 16)))
+    })
+  }
+
+  test("property: md5-prefix split labels partition — every id gets " +
+       "exactly the label of its interval, fractions ordered as given") {
+    // driver-side model of hashSplit's labeled fold for 3-way splits
+    def score(id: Long): String =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(8)
+    val genFrac = for {
+      a <- Gen.chooseNum(0.05, 0.9)
+      b <- Gen.chooseNum(0.01, 1.0 - a)
+    } yield (a, b)
+    check(Prop.forAll(genFrac, Gen.chooseNum(1L, 100000L)) {
+      case ((a, b), id) =>
+        val t1 = Sampling.hexThreshold(a)
+        val t2 = Sampling.hexThreshold(a + b)
+        val s = score(id)
+        val label =
+          if (s < t1) "train" else if (s < t2) "val" else "test"
+        // the three intervals cover the hex space exactly once
+        val hits = Seq(s < t1, t1 <= s && s < t2, s >= t2).count(identity)
+        hits == 1 && (label match {
+          case "train" => s < t1
+          case "val"   => t1 <= s && s < t2
+          case "test"  => s >= t2
+        })
+    })
+  }
+}
