@@ -17,19 +17,18 @@ import org.apache.spark.sql.execution.ExplainMode
   *     `maxRows`);
   *   - a single-partition window (`WindowExec` with empty partitionSpec)
   *     outside the named allowlist: the whole input funnels through ONE
-  *     task. Allowed only where the input is provably pre-shrunk —
-  *     tokenBudgetSample's exact pass windows over ~2× the token budget
-  *     (q57 and the assemble compositions that inherit it).
+  *     task. The allowlist is EMPTY — every former exception now rides
+  *     the distributed exclusive prefix sum
+  *     ([[graft.text.Packing.withExclusivePrefixSumBy]]); keep it empty.
   *
   * Run: `sbt "runMain graft.PlanAudit [sfDir]"` — exits 1 on violations.
   */
 object PlanAudit {
 
-  /** Queries allowed a global (single-partition) window, with why. */
-  val globalWindowAllowlist: Set[String] = Set(
-    "q57_token_budget",     // budget-bounded exact pass (~2× budget rows)
-    "q73_assemble",         // composes tokenBudgetSample (same bound)
-    "q76_assemble_decon")   // composes tokenBudgetSample (same bound)
+  /** Queries allowed a global (single-partition) window, with why.
+    * Empty since round 14 (tokenBudgetSample's exact pass moved onto the
+    * distributed prefix sum) — additions need a written scale argument. */
+  val globalWindowAllowlist: Set[String] = Set.empty
 
   final case class PlanStats(cartesians: Int, bigCrossJoins: Int,
                              globalWindows: Int, windows: Int)

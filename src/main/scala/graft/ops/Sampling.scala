@@ -170,16 +170,21 @@ object Sampling {
     * deterministic form of "give me ~N tokens of this corpus" used when
     * assembling training mixes under a token budget.
     *
-    * Two-pass scale shape: the exact cumulative window is a GLOBAL
-    * ordering (one task sorts its whole input), so running it over the
-    * full corpus is a straggler at scale. Instead a cheap aggregate sizes
-    * a hash-prefix pre-filter at `safety × budget / total` — because the
-    * kept set IS a hash-prefix, any prefix whose token total reaches the
-    * budget contains the entire answer, so the exact window then runs over
-    * ~`safety × budget` tokens of survivors instead of the whole corpus.
-    * If the pre-filter under-fills (pathological length/hash correlation),
-    * it falls back to the exact global pass — the result is identical in
-    * every case, only the window's input size changes.
+    * Scale shape, two layers:
+    *  - The exact cumulative pass is the DISTRIBUTED exclusive prefix sum
+    *    ([[graft.text.Packing.withExclusivePrefixSumBy]]): range-partition
+    *    by the hash order, window WITHIN each partition, shift by the
+    *    predecessors' totals — never a single-partition window, so even
+    *    the fallback path parallelizes across the cluster.
+    *  - A cheap aggregate additionally sizes a hash-prefix pre-filter at
+    *    `safety × budget / total` — because the kept set IS a hash-prefix,
+    *    any prefix whose token total reaches the budget contains the
+    *    entire answer, so the exact pass runs over ~`safety × budget`
+    *    tokens of survivors instead of range-shuffling the whole corpus.
+    *    If the pre-filter under-fills (pathological length/hash
+    *    correlation), it falls back to the exact pass over everything —
+    *    the result is identical in every case, only the pass's input size
+    *    changes.
     * Null token counts are treated as 0 (the doc is kept at zero cost —
     * silently dropping it would lose data); null ids sort last. */
   def tokenBudgetSample(df: DataFrame, idCol: String, tokenCountCol: String,
@@ -189,18 +194,17 @@ object Sampling {
     // aggregate so "no budget" costs zero driver actions
     if (budget == Long.MaxValue) return df
     val tok = coalesce(col(tokenCountCol).cast("long"), lit(0L))
-    val w = Window.orderBy(hashScore(col(idCol)).asc_nulls_last, col(idCol).asc_nulls_last)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def exactPass(in: DataFrame): DataFrame =
-      in.withColumn("__cum", sum(tok).over(w))
-        .where(col("__cum") - tok < budget)
-        .drop("__cum")
+      graft.text.Packing.withExclusivePrefixSumBy(in,
+          Seq(hashScore(col(idCol)), col(idCol)), tok, "__cum0")
+        .where(col("__cum0") < budget)
+        .drop("__cum0")
     def tokenTotal(in: DataFrame): Long = {
       val r = in.agg(sum(tok).cast("long")).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
     val total = tokenTotal(df)
-    if (total <= budget) return df // whole corpus fits — no window needed
+    if (total <= budget) return df // whole corpus fits — no prefix sum needed
     val p = safety * budget.toDouble / total
     if (p >= 1.0) return exactPass(df)
     val survivors = df.where(hashScore(col(idCol)) < lit(hexThreshold(p)))

@@ -151,7 +151,8 @@ object Corpus {
     val keptRaw = cleaned.where(col("keep"))
       .withColumn("__n_tokens", TextOps.tokenCount(col(textCol)).cast("long"))
     // downstream stages are multi-pass consumers (tokenBudgetSample fires
-    // two driver-side sizing aggregates; containment scans its corpus side
+    // driver-side sizing aggregates plus the prefix-sum's partition-total
+    // action; containment scans its corpus side
     // repeatedly) — lazily checkpoint so the mixture→quality→dedupe→CC
     // pipeline upstream executes once, not per pass (mirrors
     // cleanIncremental's shingled-ONCE discipline); with no budget and no

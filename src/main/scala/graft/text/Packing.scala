@@ -27,8 +27,7 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: the only global state is an EXCLUSIVE PREFIX SUM of token
   * counts in document order. A naive `sum().over(Window.orderBy(...))` is a
-  * single-partition window — one task sorts and scans the whole corpus (the
-  * exact straggler [[graft.ops.Sampling.tokenBudgetSample]] documents).
+  * single-partition window — one task sorts and scans the whole corpus.
   * [[withExclusivePrefixSum]] instead range-partitions by the order key,
   * windows WITHIN each partition, and shifts each partition by the total of
   * its predecessors (one tiny driver-side action over #partitions rows) —

@@ -22,7 +22,7 @@ class PlanAuditSpec extends SparkSpec {
     "q49_corpus_clean" -> 0,
     "q68_incremental_clean" -> 0,
     "q84_clean_repetition" -> 0,
-    "q73_assemble" -> 1,      // tokenBudgetSample's budget-bounded pass
+    "q73_assemble" -> 1,      // tokenBudgetSample's per-partition prefix-sum window
     "q76_assemble_decon" -> 1 // same
   )
 

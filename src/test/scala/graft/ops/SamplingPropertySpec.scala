@@ -7,8 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * sampling operator keys off ([[Sampling.hexThreshold]] /
   * [[Sampling.hashScore]]'s driver-side model): the threshold is the
   * fixed-point rounding of p·2³², hex strings order like the numbers
-  * they encode, and split labels partition. Pure JVM — no Spark jobs. */
-class SamplingPropertySpec extends AnyFunSuite {
+  * they encode, and split labels partition. The interval properties are
+  * pure JVM; the budget-fill property runs Spark jobs (it pins
+  * [[Sampling.tokenBudgetSample]]'s distributed prefix-sum pass against
+  * the driver model across partition layouts). */
+class SamplingPropertySpec extends AnyFunSuite with graft.SparkSpec {
 
   private def check(prop: Prop): Unit = {
     val res = ScTest.check(
@@ -64,5 +67,38 @@ class SamplingPropertySpec extends AnyFunSuite {
           case "test"  => s >= t2
         })
     })
+  }
+
+  test("property: tokenBudgetSample budget fill is partition-layout " +
+       "invariant and matches the smallest-hash-prefix model") {
+    import spark.implicits._
+    def score(id: Long): String =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(8)
+    // heavy-tailed counts stress both the pre-filter estimate and the
+    // range-partition boundary sampling of the distributed prefix sum
+    val genRows: Gen[List[(Long, Long)]] = for {
+      nDocs <- Gen.chooseNum(5, 60)
+      counts <- Gen.listOfN(nDocs,
+        Gen.frequency(8 -> Gen.chooseNum(1L, 30L), 2 -> Gen.chooseNum(200L, 900L)))
+    } yield counts.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c) }
+    val prop = Prop.forAll(genRows, Gen.chooseNum(1, 9),
+        Gen.chooseNum(1, 7)) { (rows, tenths, parts) =>
+      val total = rows.map(_._2).sum
+      val budget = 1L + total * tenths / 10
+      val ordered = rows.sortBy { case (id, _) => (score(id), id) }
+      val model = ordered.zip(ordered.scanLeft(0L)(_ + _._2))
+        .takeWhile(_._2 < budget).map(_._1._1).toSet
+      val out = Sampling.tokenBudgetSample(
+          rows.toDF("id", "n_tokens").repartition(parts),
+          "id", "n_tokens", budget)
+        .select("id").as[Long].collect().toSet
+      // identical set under any layout ⇒ fill (kept-token sum) invariant
+      out == model
+    }
+    // Spark-backed: fewer cases than the pure-JVM properties, still
+    // seeded-deterministic via ScalaCheck's default RNG parameters
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
   }
 }
