@@ -76,14 +76,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.collect { case Right(v) => v }.sum
     val nFailed = results.values.count(_.isLeft)
-    // Output is tail-captured by the driver, so order lines least- to
-    // most-important: one small line per query FIRST (each independently
-    // parseable — partial capture degrades gracefully), then the lines
-    // that must survive ANY capture that keeps the total at all: the
-    // combined all-queries map (one line — the per-round regression
-    // record), the failure names, and LAST the compact total. Earlier
-    // rounds printed the combined map first and it scrolled out of the
-    // driver's tail window every round.
+    // Output is tail-captured by the driver (a ~2000-char window off the
+    // END of stdout), so order lines least- to most-important: one small
+    // line per query FIRST (each independently parseable — partial
+    // capture degrades gracefully), the combined full-precision map (the
+    // local-log regression record — too wide for the tail window), and
+    // then the lines that must survive the window: the failure names,
+    // the COMPACT ms-rounded per-query timings (see below), and LAST the
+    // compact total.
     results.toSeq.sortBy(_._1).foreach {
       case (k, Right(v)) =>
         println(s"""{"metric":"query","name":"$k","value":$v,"unit":"sec"}""")
@@ -94,6 +94,28 @@ object Bench {
       .toSeq.sorted.mkString("[", ",", "]")
     println(s"""{"metric":"queries","unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     println(s"""{"metric":"errors","names":$errNames}""")
+    // Compact per-query record sized for the tail window: integer
+    // MILLISECONDS indexed by query NUMBER (every name is `qN_...`, N
+    // unique), null for a failed query, chunked so a partially captured
+    // window still yields whole chunks. ~6 chars/query ⇒ all 226 fit in
+    // ~1.4 KB vs ~7 KB for the named map. tools/benchdiff.py joins two
+    // artifacts on the number (names come from local logs when present).
+    val numOf = "^q0*([0-9]+)_".r
+    val byNum: Map[Int, Either[String, Double]] = results.map { case (k, v) =>
+      numOf.findFirstMatchIn(k).map(_.group(1).toInt).getOrElse(-1) -> v
+    }
+    if (byNum.size == results.size && !byNum.contains(-1)) {
+      byNum.keys.toSeq.sorted.grouped(80).foreach { grp =>
+        val vs = (grp.head to grp.last).map { n =>
+          byNum.get(n) match {
+            case Some(Right(s)) => math.round(s * 1000).toString
+            case _ => "null" // failed, or a gap in the numbering
+          }
+        }.mkString(",")
+        println(s"""{"metric":"qms","lo":${grp.head},"hi":${grp.last},"v":[$vs]}""")
+      }
+    } else
+      println(s"""{"metric":"qms_skipped","reason":"non-unique or unnumbered query names"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
     if (nFailed > 0) sys.exit(1)

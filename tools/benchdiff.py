@@ -6,14 +6,19 @@ Not part of the Scala library. Usage:
 
 Each argument is either a driver-recorded BENCH_r*.json ({"tail": "..."}
 wrapping the captured stdout tail) or a raw local bench log (the stdout of
-`runMain graft.Bench`). Per-query times come from the combined
-{"metric":"queries","queries":{...}} line when captured, falling back to
-the individual {"metric":"query",...} lines; the compact total line is
-reported when present. Movers beyond the threshold in either direction are
+`runMain graft.Bench`). Per-query times come from the compact
+{"metric":"qms","lo":N,"v":[ms,...]} chunks (the only form small enough to
+survive the driver's ~2000-char tail window whole), the combined
+{"metric":"queries","queries":{...}} line when captured, and the
+individual {"metric":"query",...} lines — all merged, keyed internally by
+the query NUMBER so a names-only log diffs cleanly against a qms-only
+driver artifact. Movers beyond the threshold in either direction are
 flagged — adjudicate them against BENCH_NOTES.md's ±30 % host-noise band
 before blaming a plan change (three rounds of precedents live there).
 """
 import sys, json, re
+
+NUM = re.compile(r"^q0*(\d+)(_|$)")
 
 
 def load_lines(path):
@@ -28,25 +33,46 @@ def load_lines(path):
 
 
 def parse(path):
-    queries, total = {}, None
+    """Returns ({query_number: seconds}, {query_number: name}, total)."""
+    queries, names, total = {}, {}, None
+
+    def add(name, secs, authoritative=False):
+        m = NUM.match(name)
+        if not m:
+            return
+        num = int(m.group(1))
+        if authoritative or num not in queries:
+            queries[num] = secs
+        if "_" in name:  # a real name, not a bare qN
+            names[num] = name
+
     for ln in load_lines(path):
         ln = ln.strip()
-        if not ln.startswith("{"):
-            continue
         try:
-            obj = json.loads(ln)
+            obj = json.loads(ln) if ln.startswith("{") else None
         except json.JSONDecodeError:
-            continue  # a line truncated by the tail capture
+            obj = None
+        if obj is None:
+            # a non-JSON or truncated line (pre-round-14 artifacts hold a
+            # cut-off combined map): salvage whole "name":secs pairs
+            for nm, secs in re.findall(r'"(q\d+_\w+)":(\d+(?:\.\d+)?)', ln):
+                add(nm, float(secs))
+            continue
         m = obj.get("metric")
-        if m == "queries" and isinstance(obj.get("queries"), dict):
+        if m == "qms" and isinstance(obj.get("v"), list):
+            for i, ms in enumerate(obj["v"]):
+                if isinstance(ms, (int, float)):
+                    queries[obj["lo"] + i] = ms / 1000.0
+        elif m == "queries" and isinstance(obj.get("queries"), dict):
             # the combined map is authoritative when captured whole
-            queries.update({k: v for k, v in obj["queries"].items()
-                            if isinstance(v, (int, float))})
+            for k, v in obj["queries"].items():
+                if isinstance(v, (int, float)):
+                    add(k, v, authoritative=True)
         elif m == "query" and "value" in obj:
-            queries.setdefault(obj["name"], obj["value"])
+            add(obj["name"], obj["value"])
         elif m == "total":
             total = obj
-    return queries, total
+    return queries, names, total
 
 
 def main():
@@ -65,19 +91,20 @@ def main():
     if len(args) != 2:
         print(__doc__)
         return 2
-    old_q, old_t = parse(args[0])
-    new_q, new_t = parse(args[1])
+    old_q, old_n, old_t = parse(args[0])
+    new_q, new_n, new_t = parse(args[1])
+    label = lambda num: new_n.get(num) or old_n.get(num) or f"q{num}"
     common = sorted(set(old_q) & set(new_q))
-    added = sorted(set(new_q) - set(old_q))
-    removed = sorted(set(old_q) - set(new_q))
+    added = sorted(label(n) for n in set(new_q) - set(old_q))
+    removed = sorted(label(n) for n in set(old_q) - set(new_q))
     movers = []
-    for name in common:
-        o, n = old_q[name], new_q[name]
+    for num in common:
+        o, n = old_q[num], new_q[num]
         if o <= 0:
             continue
         r = n / o
         if r > thr or r < 1 / thr:
-            movers.append((r, name, o, n))
+            movers.append((r, label(num), o, n))
     for r, name, o, n in sorted(movers, reverse=True):
         print(f"MOVER {name}: {o:.2f}s -> {n:.2f}s  ({r:.2f}x)")
     def cap(names):
