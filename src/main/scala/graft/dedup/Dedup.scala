@@ -171,6 +171,11 @@ object Dedup {
     * small to prove it. History and batch doc sets must be DISJOINT
     * (standard daily-ingest discipline — the history state already
     * counted its own docs; overlapping ids would double-count presence).
+    * The aggregated state carries no doc ids, so disjointness is NOT
+    * checkable here — get it structurally instead: ingest day-keyed
+    * batches and build history strictly from earlier days
+    * ([[graft.jobs.HistoryStateJob]] / [[graft.jobs.DailyCorpusJob]]'s
+    * `day <` read), which makes overlap impossible by construction.
     *
     * Scale: the history state is bucket×distinct-paragraph sized — tiny
     * next to the corpus and mergeable with one union+groupBy-sum; the

@@ -1,0 +1,152 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.ops.BatchView
+
+/** Bucketed catalog home for the GROW-FOREVER incremental-state
+  * artifacts (the SURVEY §7 "history keeps growing" risk): template
+  * presence/sizes counts, paragraph fingerprints, and the containment
+  * document-frequency index. The operators that consume these states
+  * ([[Dedup.stripTemplatesIncremental]], [[Dedup
+  * .paragraphDedupeIncremental]], [[Dedup.containmentJoinPrebuilt]])
+  * take them as plain DataFrames; this job gives them a 100-TB storage
+  * discipline (reference operational model: per-day idempotent view
+  * jobs, BatchJobBase.scala:29-54):
+  *
+  *  - Each ingest day APPENDS its own partials into a day-partitioned,
+  *    hash-bucketed table ([[BatchView.writeDayBucketed]]). A re-run day
+  *    overwrites only its own partition — idempotent, never
+  *    double-counts — and the day partitioning makes the
+  *    batch/history-disjointness contract structural: history for day D
+  *    is read with `day < D`, so a batch can never see its own counts.
+  *  - The read-back merge (the `union + groupBy-sum` the consumers need)
+  *    is ONE bucketed scan + aggregate: the scan delivers
+  *    `HashPartitioning(bucket key)`, which satisfies the aggregate's
+  *    clustering on (group, key) — NO exchange, regardless of how many
+  *    days accumulated. The "union" of days is the multi-file scan
+  *    itself; a DataFrame union would discard the partitioning and
+  *    re-shuffle the full history every run (plan-pinned in
+  *    HistoryStateJobSpec).
+  *
+  * State sizes stay artifact-shaped: presence is (bucket × distinct
+  * paragraph) rows, fingerprints one 32-hex row per distinct paragraph,
+  * the df index one row per distinct shingle — tiny next to the corpus,
+  * and every one of them sum- or set-mergeable.
+  */
+object HistoryStateJob {
+
+  val PresenceTable = "graft_template_presence"
+  val SizesTable = "graft_template_sizes"
+  val ParagraphFpTable = "graft_paragraph_fps"
+  val ContainDfTable = "graft_containment_df"
+  val ContainSizesTable = "graft_containment_sizes"
+
+  /** Compute one day's state partials from that day's raw docs and
+    * append them (presence/sizes for template removal, paragraph fps for
+    * paragraph dedup, shingle df + per-doc sizes for containment).
+    * Bucket keys are each artifact's merge/probe key. */
+  def appendDay(spark: SparkSession, dayDocs: DataFrame, day: String,
+                textCol: String, idCol: String, groupCol: String,
+                shingleN: Int = 3, buckets: Int = 32): Unit = {
+    val tagged = (df: DataFrame) => df.withColumn("day", lit(day))
+    val (presence, sizes) = Dedup.templateState(dayDocs, textCol, idCol, groupCol)
+    BatchView.writeDayBucketed(tagged(presence), PresenceTable, "day",
+      Seq("__fp"), buckets)
+    BatchView.writeDayBucketed(tagged(sizes), SizesTable, "day",
+      Seq(groupCol), buckets)
+    BatchView.writeDayBucketed(tagged(Dedup.paragraphFps(dayDocs, textCol, idCol)),
+      ParagraphFpTable, "day", Seq("fp"), buckets)
+    val rows = Dedup.shingleRows(dayDocs, textCol, idCol, Nil, shingleN)
+      .localCheckpoint(eager = false) // two consumers below — shingle once
+    val (df, sz) = Dedup.corpusContainmentIndex(rows, idCol)
+    BatchView.writeDayBucketed(tagged(df), ContainDfTable, "day",
+      Seq("g"), buckets)
+    BatchView.writeDayBucketed(tagged(sz), ContainSizesTable, "day",
+      Seq(idCol), buckets)
+  }
+
+  /** Template state accumulated over days strictly BEFORE `beforeDay`
+    * (all days when empty) — the (presence, sizes) pair
+    * [[Dedup.stripTemplatesIncremental]] consumes. The groupBy-sum
+    * merges per-day partials with no exchange (bucketed scan). */
+  def readTemplateState(spark: SparkSession, groupCol: String,
+                        beforeDay: String = ""): (DataFrame, DataFrame) = {
+    def upTo(t: String) = {
+      val all = spark.table(t)
+      if (beforeDay.isEmpty) all else all.where(col("day") < beforeDay)
+    }
+    (upTo(PresenceTable).groupBy(col(groupCol), col("__fp"))
+       .agg(sum(col("n_docs_with")).as("n_docs_with")),
+     upTo(SizesTable).groupBy(col(groupCol))
+       .agg(sum(col("n_docs_group")).as("n_docs_group")))
+  }
+
+  /** Distinct history paragraph fingerprints before `beforeDay` — the
+    * state [[Dedup.paragraphDedupeIncremental]] consumes. The distinct
+    * is a groupBy on the bucket key: exchange-free. */
+  def readParagraphFps(spark: SparkSession, beforeDay: String = ""): DataFrame = {
+    val all = spark.table(ParagraphFpTable)
+    (if (beforeDay.isEmpty) all else all.where(col("day") < beforeDay))
+      .select(col("fp")).distinct()
+  }
+
+  /** Containment index (per-shingle df, per-doc shingle counts) before
+    * `beforeDay` — the artifacts [[Dedup.containmentJoinPrebuilt]]
+    * consumes. df partials sum-merge exchange-free on the bucketed `g`;
+    * doc sizes never repeat across disjoint days, so the sum is a
+    * pass-through that keeps the same merged shape. */
+  def readContainmentIndex(spark: SparkSession, idCol: String,
+                           beforeDay: String = ""): (DataFrame, DataFrame) = {
+    def upTo(t: String) = {
+      val all = spark.table(t)
+      if (beforeDay.isEmpty) all else all.where(col("day") < beforeDay)
+    }
+    (upTo(ContainDfTable).groupBy(col("g")).agg(sum(col("df")).as("df")),
+     upTo(ContainSizesTable).groupBy(col(idCol))
+       .agg(sum(col("n_sh")).as("n_sh")))
+  }
+
+  /** One full template-removal ingest day: strip `dayDocs` against the
+    * state of all EARLIER days, then append this day's partials. Day
+    * one (no tables yet) strips against empty state — every paragraph
+    * survives until the corpus proves a template. Returns the cleaned
+    * frame ([[Dedup.stripTemplatesIncremental]] shape). */
+  def runTemplateDay(spark: SparkSession, dayDocs: DataFrame, day: String,
+                     textCol: String, idCol: String, groupCol: String,
+                     maxDocPerMille: Int = 500, minDocs: Long = 4L,
+                     buckets: Int = 32): DataFrame = {
+    val (hp, hs) =
+      if (spark.catalog.tableExists(PresenceTable))
+        readTemplateState(spark, groupCol, beforeDay = day)
+      else {
+        val fpType = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(groupCol,
+            dayDocs.schema(groupCol).dataType),
+          org.apache.spark.sql.types.StructField("__fp",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_docs_with",
+            org.apache.spark.sql.types.LongType)))
+        val szType = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(groupCol,
+            dayDocs.schema(groupCol).dataType),
+          org.apache.spark.sql.types.StructField("n_docs_group",
+            org.apache.spark.sql.types.LongType)))
+        (spark.createDataFrame(
+           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fpType),
+         spark.createDataFrame(
+           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], szType))
+      }
+    // EAGER checkpoint before appending: the cleaned plan reads the state
+    // tables lazily, and this day's append mutates them — materialize the
+    // read-before-write snapshot first (batch-sized, not corpus-sized)
+    val cleaned = Dedup.stripTemplatesIncremental(dayDocs, hp, hs,
+      textCol, idCol, groupCol, maxDocPerMille, minDocs)
+      .localCheckpoint()
+    appendDay(spark, dayDocs, day, textCol, idCol, groupCol,
+      buckets = buckets)
+    cleaned
+  }
+}

@@ -185,4 +185,38 @@ object BatchView {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }
+
+  /** Day-partitioned AND hash-bucketed catalog table — the home for
+    * grow-forever incremental-STATE artifacts (template presence counts,
+    * paragraph fingerprints, containment document frequencies): states
+    * accumulate as per-day partials, each day idempotently re-runnable
+    * (dynamic overwrite rewrites ONLY that day's partition, inside the
+    * table's bucket layout), and every read-back merge on the bucket key
+    * plans exchange-free because the multi-day scan itself delivers
+    * `HashPartitioning(bucketCols)` — the "union" of days is the file
+    * scan, never a DataFrame union (Union discards its children's
+    * partitioning, which is what makes the naive union+groupBy merge
+    * re-shuffle the full history every run). */
+  def writeDayBucketed(df: DataFrame, table: String, dayCol: String,
+                       bucketCols: Seq[String], buckets: Int): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      df.write.format("parquet")
+        .partitionBy(dayCol)
+        .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+        .saveAsTable(table)
+    } else {
+      // insertInto matches columns by POSITION with partition cols LAST.
+      // The dynamic-overwrite mode must be the SESSION conf here: the
+      // per-write option is only read on the path-based writer, and the
+      // static default would truncate every other day's partials
+      import org.apache.spark.sql.functions.col
+      val cols = df.columns.filterNot(_ == dayCol).map(col).toSeq :+ col(dayCol)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "dynamic")
+      try df.select(cols: _*).write.mode("overwrite").insertInto(table)
+      finally spark.conf.set(key, prev)
+    }
+  }
 }

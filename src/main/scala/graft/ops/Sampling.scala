@@ -314,6 +314,14 @@ object Sampling {
   def clusterSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
                    fractions: Seq[(String, Double)],
                    aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    // `cluster` and `split` are the OUTPUT columns; `component` and
+    // `keep` are claimed in flight by dedupeByPairs. Fail loudly rather
+    // than silently overwrite or emit an ambiguous reference downstream.
+    val reserved = Seq("component", "keep", "cluster", "split")
+    val clashes = docs.columns.filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"clusterSplit reserves output/intermediate column names " +
+        s"${reserved.mkString(", ")}; input already has ${clashes.mkString(", ")}")
     val labeled = graft.dedup.Dedup
       .dedupeByPairs(docs, idCol, pairs, aCol, bCol)
       .drop("keep")

@@ -265,11 +265,19 @@ object RelationalQueries {
     // doc can never land in test. Pairs here come from a deterministic
     // blocking key (8-char text prefix → star pairs to the min id) so the
     // oracle can replay the clustering as a plain window; production
-    // feeds MinHash/SimHash/embedding pairs through the same path ─────
+    // feeds MinHash/SimHash/embedding pairs through the same path.
+    // Null text coalesces to a per-doc sentinel key on BOTH engines, so
+    // null-text docs are singleton clusters everywhere (a bare equi-join
+    // on the prefix would drop them from pairs while SQL's PARTITION BY
+    // groups all NULLs into one cluster — a latent divergence) ─────
     "q220_cluster_split" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val keyed = Tables.documents(s, d)
-        .select(col("doc_id"), substring(col("text"), 1, 8).as("k"))
+        // sentinel is 8 chars + the id => always longer than a real
+        // 8-char prefix - collision-free by construction
+        .select(col("doc_id"),
+          coalesce(substring(col("text"), 1, 8),
+            concat(lit("__null__"), col("doc_id"))).as("k"))
       val reps = keyed.groupBy(col("k"))
         .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
       val pairs = keyed.join(reps.where(col("n") > 1), Seq("k"))
@@ -1191,7 +1199,8 @@ object RelationalQueries {
     // the split then hashes the CLUSTER id through the q100 intervals
     "q220_cluster_split" ->
       s"""WITH cl AS (SELECT doc_id,
-                min(doc_id) OVER (PARTITION BY substr(text, 1, 8)) AS cluster
+                min(doc_id) OVER (PARTITION BY coalesce(substr(text, 1, 8),
+                  '__null__' || CAST(doc_id AS VARCHAR))) AS cluster
               FROM documents)
           SELECT doc_id, cluster,
             CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 8)

@@ -617,12 +617,17 @@ object TextOps {
     * is order- and overlap-independent.
     *
     * Shape at scale: the blocklist is list-sized (10²–10⁵ phrases) →
-    * broadcast. Documents posexplode to word tokens (the token-op row
-    * count every other token operator here already pays), hash-probe the
-    * broadcast phrase table on the phrase's HEAD word — so the per-token
-    * cost is one hash lookup, not |phrases| regex scans — and candidates
-    * verify adjacency with one array `slice` compare against the carried
-    * token array. No UDF, no per-phrase regex union (a 10⁴-pattern regex
+    * broadcast. CANDIDATE positions (tokens equal to some phrase's HEAD
+    * word) are computed scan-side with a HOF membership test over the
+    * distinct head-word literal, so only candidate rows — rare for a
+    * blocklist — explode and carry the document's token array into the
+    * adjacency `slice` compare against the broadcast phrase table.
+    * In-stage row width is O(candidates × tokens) per doc, never
+    * O(tokens²) (the exploded-every-token form carried the array on
+    * every token row). Per-token scan cost is one O(|distinct head
+    * words|) array membership inside codegen — fine through ~10⁴ heads;
+    * a larger list should pre-trim heads against a corpus vocabulary
+    * first. No UDF, no per-phrase regex union (a 10⁴-pattern regex
     * alternation is the non-scalable form this replaces). */
   def blocklistHits(docs: org.apache.spark.sql.DataFrame, textCol: String,
                     idCol: String, phrases: Seq[String])
@@ -639,11 +644,17 @@ object TextOps {
     require(phraseRows.map(_._1).distinct.size == phraseRows.size,
       "duplicate blocklist phrases")
     val phraseDf = phraseRows.toDF("phrase", "__head", "__ptoks", "__plen")
+    val heads = array(phraseRows.map(_._2).distinct.sorted.map(lit): _*)
+    // 0-based candidate positions, scan-side: i where token(i) ∈ heads
+    val candPos = filter(
+      sequence(lit(0), size(col("__toks")) - 1),
+      i => array_contains(heads, element_at(col("__toks"), i + 1)))
     docs
       .select(col(idCol), wordTokens(col(textCol)).as("__toks"))
-      .select(col(idCol), col("__toks"),
-        posexplode(col("__toks")).as(Seq("__p", "__w")))
-      .join(bc(phraseDf), col("__w") === col("__head"))
+      .where(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"), explode(candPos).as("__p"))
+      .join(bc(phraseDf),
+        element_at(col("__toks"), col("__p") + 1) === col("__head"))
       // adjacency check: the phrase's tokens must run from this position
       .where(slice(col("__toks"), col("__p") + 1, col("__plen"))
         === col("__ptoks"))
