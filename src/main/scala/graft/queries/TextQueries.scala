@@ -1600,8 +1600,8 @@ object TextQueries {
       "<a href=\"/b\">beta</a> <a href=\"/c\">gamma</a></div>"
     val quote: String =
       "<blockquote>quoted wisdom from a long sentence here</blockquote>"
-    val tail: String = "<footer>&copy; 2026 Example &amp; Sons " +
-      "&lt;legal&gt;</footer></body></html>"
+    val tail: String = "<footer>&copy; 2026 Example&#8217;s &amp; Sons " +
+      "&#x2013; &lt;legal&gt; &#xD800;</footer></body></html>"
   }
 
   /** The q221 fixture blocklist: single words, 2- and 3-token phrases,
@@ -1622,15 +1622,49 @@ object TextQueries {
 
   private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** DuckDB replay of the operator's entity-decode chain, built from
+    * the SAME pattern constants: numeric references marker-fenced first
+    * (so later steps can't touch the digits), named replaces with
+    * `&amp;` LAST, then the marked spans decode via `chr()` under the
+    * identical validity window (1..0xFFFF minus surrogates; invalid
+    * references reconstruct their original text). Hex digits fold to a
+    * value with a per-char list_reduce — DuckDB has no conv(). */
+  private def htmlDecodeSql(x: String): String = {
+    val m1 = graft.text.HtmlOps.Mark1
+    val m2 = graft.text.HtmlOps.Mark2
+    val marked =
+      s"""regexp_replace(regexp_replace(regexp_replace($x,
+            '[$m1$m2]', '', 'g'),
+            ${sqlQuote(graft.text.HtmlOps.DecRefPattern)}, '$m1\\1$m2', 'g'),
+            ${sqlQuote(graft.text.HtmlOps.HexRefPattern)}, '$m1\\1$m2', 'g')"""
+    val named =
+      s"""replace(replace(replace(replace(replace(
+            $marked,
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&nbsp;', ' '), '&amp;', '&')"""
+    val num = s"split_part(pc, '$m2', 1)"
+    val digs =
+      s"""(CASE WHEN lower(substr($num, 1, 1)) = 'x'
+            THEN list_reduce(list_transform(
+                   string_split_regex(lower(substr($num, 2)), ''),
+                   c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                 (a, b) -> a * 16 + b)
+            ELSE CAST($num AS BIGINT) END)"""
+    val valid =
+      s"($digs BETWEEN 1 AND 65535 AND NOT $digs BETWEEN 55296 AND 57343)"
+    s"""array_to_string(list_transform(string_split($named, '$m1'),
+          pc -> CASE WHEN strpos(pc, '$m2') = 0 THEN pc
+                ELSE (CASE WHEN $valid THEN chr(CAST($digs AS INTEGER))
+                      ELSE '&#' || $num || ';' END)
+                     || substr(pc, strpos(pc, '$m2') + 1) END), '')"""
+  }
+
   /** The q222 per-block visible-word list in SQL: inline-tag strip, the
-    * operator's entity-decode chain in the SAME order (`&amp;` last),
+    * operator's full entity-decode chain ([[htmlDecodeSql]]),
     * whitespace-run split, empties dropped. */
   private def htmlWordsSql(b: String): String =
     s"""list_filter(regexp_split_to_array(
-          replace(replace(replace(replace(replace(replace(
-            regexp_replace($b, '<[^>]*>', ' ', 'g'),
-          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-          '&nbsp;', ' '), '&amp;', '&'),
+          ${htmlDecodeSql(s"regexp_replace($b, '<[^>]*>', ' ', 'g')")},
         ${sqlQuote(graft.text.HtmlOps.WsRun)}), w -> w <> '')"""
 
   /** Query suite for q136/q137 — docs ≡ 1 (mod 10): first-5-token

@@ -47,15 +47,72 @@ object HtmlOps {
     regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
   }
 
-  /** Decode the entities that actually occur in crawl text; `&amp;`
-    * LAST so double-escapes resolve one level exactly (`&amp;lt;` →
-    * literal `&lt;`, never `<`). */
+  /** Numeric character-reference patterns (bounded digit runs — 7
+    * decimal digits cover every codepoint, 6 hex keep the run finite;
+    * Java∩RE2 dialect like every pattern here). The hex group captures
+    * the `x`/`X` so an INVALID reference reconstructs byte-identically. */
+  private[graft] val DecRefPattern = "&#([0-9]{1,7});"
+  private[graft] val HexRefPattern = "&#([xX][0-9a-fA-F]{1,6});"
+
+  /** Markers for the one-level decode: control chars invalid in HTML
+    * text, pre-stripped from input so a crafted page cannot forge a
+    * marked span. */
+  private[graft] val Mark1 = "\u0001"
+  private[graft] val Mark2 = "\u0002"
+
+  /** Decode the entities that actually occur in crawl text, ONE LEVEL
+    * exactly. Numeric references (`&#8217;`, `&#x2019;` — curly quotes
+    * and dashes are everywhere in crawl text) are MARKED first (the
+    * digits are fenced in control-char markers so later steps cannot
+    * touch them), the named entities replace next with `&amp;` LAST
+    * (so `&amp;lt;` → literal `&lt;`, never `<`), and the marked spans
+    * decode at the end (so `&#38;lt;` → literal `&lt;` too — a decoded
+    * `&` is never re-examined). Valid scalar BMP codepoints only
+    * (1..0xFFFF minus surrogates); anything else — zero, surrogates,
+    * astral — reconstructs its original text. The decoded char comes
+    * from UTF-8 byte arithmetic (`hex → unhex → decode`) — pure
+    * codegen built-ins, and DuckDB replays the chain with `chr()`. */
   private def decodeEntities(c: Column): Column = {
-    val steps = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-    steps.foldLeft(c) { case (acc, (from, to)) =>
-      replace(acc, lit(from), lit(to))
-    }
+    val marked = regexp_replace(
+      regexp_replace(
+        regexp_replace(c, s"[$Mark1$Mark2]", ""),
+        DecRefPattern, s"$Mark1$$1$Mark2"),
+      HexRefPattern, s"$Mark1$$1$Mark2")
+    val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(marked) { case (acc, (from, to)) =>
+        replace(acc, lit(from), lit(to))
+      }
+    val pieces = split(named, Mark1)
+    array_join(transform(pieces, (p, i) =>
+      when(i === 0, p).otherwise(decodeMarkedPiece(p))), "")
+  }
+
+  /** One marked piece `<num><Mark2><tail>` → decoded char + tail (or the
+    * reconstructed original reference when the codepoint is invalid). */
+  private def decodeMarkedPiece(p: Column): Column = {
+    val parts = split(p, Mark2, 2)
+    val num = element_at(parts, 1)
+    val tail = coalesce(element_at(parts, 2), lit(""))
+    val isHex = lower(substring(num, 1, 1)) === "x"
+    val cp = when(isHex, conv(lower(substring(num, 2, 6)), 16, 10))
+      .otherwise(num).cast("long")
+    val valid = cp.isNotNull && cp >= 1L && cp <= 0xFFFFL &&
+      !(cp >= 0xD800L && cp <= 0xDFFFL)
+    // UTF-8 bytes of a BMP scalar, as hex: 1 byte < 0x80, 2 < 0x800, else 3
+    def b(x: Column) = lpad(hex(x), 2, "0")
+    val utf8 = when(cp < 0x80L, b(cp))
+      .when(cp < 0x800L, concat(
+        b(shiftright(cp, 6) + lit(0xC0L)),
+        b(cp.bitwiseAND(lit(0x3FL)) + lit(0x80L))))
+      .otherwise(concat(
+        b(shiftright(cp, 12) + lit(0xE0L)),
+        b(shiftright(cp, 6).bitwiseAND(lit(0x3FL)) + lit(0x80L)),
+        b(cp.bitwiseAND(lit(0x3FL)) + lit(0x80L))))
+    concat(
+      when(valid, decode(unhex(utf8), "UTF-8"))
+        .otherwise(concat(lit("&#"), num, lit(";"))),
+      tail)
   }
 
   /** All visible text, tags stripped and whitespace collapsed — the

@@ -65,10 +65,7 @@ class HtmlOpsSpec extends SparkSpec {
 
   test("extractText matches a driver-side Java-regex model on random " +
       "messy pages (independent of Catalyst's regexp/HOF evaluation)") {
-    def decode(s: String): String =
-      Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
-        "&nbsp;" -> " ", "&amp;" -> "&")
-        .foldLeft(s) { case (acc, (f, t)) => acc.replace(f, t) }
+    def decode(s: String): String = HtmlOpsSpec.decodeModel(s)
     def model(html: String, minWords: Int, perMille: Int): String = {
       val vis = html
         .replaceAll("(?is)<script[^>]*>.*?</script>", " ")
@@ -86,7 +83,11 @@ class HtmlOpsSpec extends SparkSpec {
     }
     val rnd = new scala.util.Random(1337L)
     val words = Seq("alpha", "beta", "gamma", "delta", "text", "words",
-      "&amp;", "&lt;x&gt;", "&amp;lt;", "a&nbsp;b", "it&#39;s")
+      "&amp;", "&lt;x&gt;", "&amp;lt;", "a&nbsp;b", "it&#39;s",
+      // numeric refs: curly quote, hex dash, uppercase X, one-level
+      // interactions, and invalids (surrogate, zero, astral, overlong)
+      "don&#8217;t", "x&#x2013;y", "&#X201C;q&#X201D;", "&#38;lt;",
+      "&amp;#60;", "&#xDC00;", "&#0;", "&#150000;", "&#99999999;")
     val blockTags = Seq("p", "div", "li", "h2", "BR", "section", "TD")
     def phrase(n: Int): String =
       (0 until n).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
@@ -121,5 +122,79 @@ class HtmlOpsSpec extends SparkSpec {
       .select(HtmlOps.extractText(col("h")).as("t"))
       .as[Option[String]].head()
     assert(n.isEmpty) // null in, null out — no crash
+  }
+
+  test("numeric character references decode across the BMP, one level, " +
+      "invalids reconstructed byte-identically") {
+    assert(extract("<p>don&#8217;t stop &#x2013; ever</p>")
+      === "don’t stop – ever")
+    assert(extract("<p>say &#X201C;hey&#X201D; now</p>")
+      === "say “hey” now")
+    // one-level exactness in both directions
+    assert(extract("<p>a &#38;lt; b literal</p>") === "a &lt; b literal")
+    assert(extract("<p>a &amp;#60; b literal</p>") === "a &#60; b literal")
+    // ascii + 2-byte + 3-byte UTF-8 arms
+    assert(extract("<p>x &#65; &#233; &#8364; y</p>") === "x A é € y")
+    // invalid codepoints keep their original text: zero, surrogate,
+    // astral (out of BMP scope), over-long digit run (never matched)
+    assert(extract("<p>a &#0; &#xD800; &#150000; &#99999999; z</p>")
+      === "a &#0; &#xD800; &#150000; &#99999999; z")
+    // markers can't be forged: raw control chars strip before marking
+    assert(extract("<p>a \u00018217\u0002 b c</p>") === "a 8217 b c")
+  }
+
+  test("randomized round-trip: encoding any valid BMP scalar as a dec or " +
+      "hex reference decodes back to the exact character") {
+    val rnd = new scala.util.Random(4242L)
+    val cps = (1 to 60).map { _ =>
+      var cp = 0
+      while (cp == 0 || (cp >= 0xD800 && cp <= 0xDFFF) ||
+        Character.isWhitespace(cp) || cp == 0x1 || cp == 0x2)
+        cp = 1 + rnd.nextInt(0xFFFF)
+      cp
+    }
+    val rows = cps.zipWithIndex.map { case (cp, i) =>
+      val ref = rnd.nextInt(3) match {
+        case 0 => s"&#$cp;"
+        case 1 => s"&#x${Integer.toHexString(cp)};"
+        case 2 => s"&#X${Integer.toHexString(cp).toUpperCase};"
+      }
+      (i.toLong, s"<p>pre $ref post tail</p>", cp)
+    }
+    val got = rows.map(r => (r._1, r._2)).toDF("id", "h")
+      .select(col("id"), HtmlOps.extractText(col("h")).as("t"))
+      .as[(Long, String)].collect().toMap
+    rows.foreach { case (id, _, cp) =>
+      val expected = s"pre ${new String(Character.toChars(cp))} post tail"
+      assert(got(id) === expected, s"cp=U+${Integer.toHexString(cp)}")
+    }
+  }
+}
+
+object HtmlOpsSpec {
+  /** Driver-side Java model of the FULL entity-decode chain (marker
+    * fencing, named replaces with `&amp;` last, numeric decode with
+    * invalid-reference reconstruction) — mirrors HtmlOps.decodeEntities
+    * step for step so the randomized page test covers the interaction
+    * cases. */
+  def decodeModel(s0: String): String = {
+    val marked = s0.replaceAll("[\\u0001\\u0002]", "")
+      .replaceAll(HtmlOps.DecRefPattern, "\u0001$1\u0002")
+      .replaceAll(HtmlOps.HexRefPattern, "\u0001$1\u0002")
+    val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(marked) { case (acc, (f, t)) => acc.replace(f, t) }
+    val pieces = named.split("\u0001", -1)
+    pieces.head + pieces.tail.map { p =>
+      val parts = p.split("\u0002", 2)
+      val num = parts(0)
+      val tail = if (parts.length > 1) parts(1) else ""
+      val cp =
+        if (num.headOption.exists(c => c == 'x' || c == 'X'))
+          java.lang.Long.parseLong(num.drop(1).toLowerCase, 16)
+        else num.toLong
+      val valid = cp >= 1 && cp <= 0xFFFF && !(cp >= 0xD800 && cp <= 0xDFFF)
+      (if (valid) new String(Character.toChars(cp.toInt)) else s"&#$num;") + tail
+    }.mkString
   }
 }
