@@ -553,6 +553,31 @@ object TextQueries {
         .orderBy(col("probe_id"))
     }),
 
+    // ───── q225's BIG-PROBE path (LSH shortlist → exhaustive re-screen),
+    // anchored the q62 way: the oracle computes the exhaustive
+    // contaminated-probe count; the Spark side runs BOTH paths and pins
+    // shortlist recall ≥ 0.8 of it (precision is exact by construction —
+    // every shortlisted pair is verified with exact cosine, so the LSH
+    // verdict set is a subset of the exhaustive one) ─────
+    "q227_semantic_decon_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dim = emb.select(col("embedding")).head().getSeq[Float](0).size
+      val probe = emb.where(col("vec_id") % 25 === 0)
+      val corpus = emb.where(col("vec_id") % 25 =!= 0)
+      val viaLsh = Similarity.semanticContaminationLsh(probe, corpus,
+        "embedding", "vec_id", threshold = 0.40, dim = dim)
+      val exact = Similarity.semanticContamination(probe, corpus,
+        "embedding", "vec_id", threshold = 0.40)
+      def contaminatedCount(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.agg(coalesce(sum(when(col("contaminated"), 1L).otherwise(0L)),
+          lit(0L)).as(as))
+      contaminatedCount(viaLsh, "__n_lsh")
+        .crossJoin(contaminatedCount(exact, "n_exact_contaminated"))
+        .select(col("n_exact_contaminated"),
+          (col("__n_lsh") * 10L >= col("n_exact_contaminated") * 8L)
+            .as("recall_ok"))
+    }),
+
     // ───── cross-corpus near-dup join (the incremental-ingest primitive):
     // PPJoin between two corpora — odd doc_ids as the new batch, even as
     // the accumulated history — never a history self-join ─────
@@ -2083,6 +2108,19 @@ object TextQueries {
             a.n_over, a.m >= 0.40 AS contaminated
           FROM agg a JOIN pick k ON a.pid = k.pid
           ORDER BY probe_id""",
+    // the q62-style anchor for the shortlist composition: the honest
+    // exhaustive contaminated-probe count, with the recall verdict pinned
+    "q227_semantic_decon_lsh" ->
+      s"""WITH p AS (SELECT vec_id AS pid, embedding AS ep
+                     FROM embeddings WHERE vec_id % 25 = 0),
+          c AS (SELECT vec_id AS cid, embedding AS ec
+                FROM embeddings WHERE vec_id % 25 <> 0),
+          agg AS (SELECT pid, max(${cosSql("ep", "ec")}) AS m
+                  FROM p CROSS JOIN c GROUP BY pid)
+          SELECT COALESCE(CAST(sum(CASE WHEN m >= 0.40 THEN 1 ELSE 0 END)
+              AS BIGINT), 0) AS n_exact_contaminated,
+            true AS recall_ok
+          FROM agg""",
     "q67_neardup_join" ->
       s"""WITH sh AS (
             SELECT doc_id,

@@ -235,6 +235,57 @@ object Similarity {
         (col("__b.cos") >= threshold).as("contaminated"))
   }
 
+  /** [[semanticContamination]] for probe sets too big for the exhaustive
+    * P·N screen — the documented big-probe path, now a first-class
+    * operator: [[cosinePairsLsh]] SHORTLISTS the corpus (banded
+    * hyperplane signatures over probe ∪ corpus — sub-quadratic candidate
+    * generation, exact-cosine verified), then the exhaustive screen
+    * re-runs over only the shortlisted corpus docs. Same output shape as
+    * [[semanticContamination]], every probe present (shortlist-empty
+    * probes report best_cos null / n_over 0 / contaminated false).
+    *
+    * Semantics vs the exhaustive screen: PRECISION is exact (every
+    * flagged pair was verified with exact cosine), `n_over` and the
+    * verdict have banding RECALL — a contaminated probe is missed only
+    * if EVERY over-threshold pair of it misses all `bands` bands
+    * (per-pair miss (1−(1−θ/π)^planesPerBand)^bands; raise `bands` to
+    * push it down). `best_id`/`best_cos` are exact for the pairs found.
+    * Probe and corpus id spaces must be DISJOINT (the banding runs over
+    * their union).
+    *
+    * Scale shape: banding rows are (id, band, bucket-long) — vectors
+    * never ride the banding shuffle; the shortlist semi-join keys on the
+    * corpus id; the re-screen is the salted [[semanticContamination]]
+    * stream over P·|shortlist| ≪ P·N. */
+  def semanticContaminationLsh(probe: DataFrame, corpus: DataFrame,
+                               vecCol: String, idCol: String,
+                               threshold: Double, dim: Int,
+                               bands: Int = 16, planesPerBand: Int = 4,
+                               seed: Long = 42L,
+                               saltBuckets: Int = 8): DataFrame = {
+    val p = probe.select(col(idCol), col(vecCol))
+    val c = corpus.select(col(idCol), col(vecCol))
+    val pairs = cosinePairsLsh(p.unionByName(c), vecCol, idCol,
+      threshold, dim, bands, planesPerBand, seed)
+    // corpus ids on either side of a probe↔corpus candidate pair (the
+    // pair orientation is id-ordered, not probe-ordered)
+    val probeIds = p.select(col(idCol))
+    val aIsProbe = pairs.join(probeIds.toDF("id_a"), Seq("id_a"), "left_semi")
+      .select(col("id_b").as(idCol))
+    val bIsProbe = pairs.join(probeIds.toDF("id_b"), Seq("id_b"), "left_semi")
+      .select(col("id_a").as(idCol))
+    val shortlist = aIsProbe.unionByName(bIsProbe).distinct()
+      .join(probeIds, Seq(idCol), "left_anti") // probe↔probe pairs are noise
+    val screened = semanticContamination(p,
+      c.join(shortlist, Seq(idCol), "left_semi"),
+      vecCol, idCol, threshold, saltBuckets)
+    probeIds.select(col(idCol).as("probe_id"))
+      .join(screened, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("best_id"), col("best_cos"),
+        coalesce(col("n_over"), lit(0L)).as("n_over"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
+
   /** Embedding-cosine near-dup pairs WITHOUT a natural block key: LSH
     * banding over random-hyperplane signatures (the minhashLshPairs shape
     * for the cosine metric). Each of `bands` independent plane families

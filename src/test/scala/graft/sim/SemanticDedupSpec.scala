@@ -234,4 +234,45 @@ class SemanticDedupSpec extends SparkSpec {
     // model check on the driver-side cosine for the non-trivial cell
     assert(math.abs(p2._3 - cos(Seq(0f, 1f), Seq(1f, 1f))) < 1e-12)
   }
+
+  test("semanticContaminationLsh: exact precision (subset of the " +
+      "exhaustive verdicts), recall >= the banding bound, all probes kept") {
+    // clustered synthetic embeddings: near-dups share a direction with
+    // small noise, so over-threshold pairs exist; seeded -> deterministic
+    val rnd = new scala.util.Random(97L)
+    val dim = 16
+    def base(k: Int): Array[Double] =
+      Array.fill(dim)(rnd.nextGaussian()) // cluster direction k
+    val dirs = (0 until 6).map(_ => base(0))
+    def jitter(v: Array[Double], eps: Double): Seq[Float] =
+      v.map(x => (x + eps * rnd.nextGaussian()).toFloat).toSeq
+    // corpus: 60 vectors across 6 clusters; probes: 12, the first 8 near
+    // a cluster (contaminated), the last 4 pure noise (clean)
+    val corpus = (0 until 60).map(i =>
+      (1000L + i, jitter(dirs(i % 6), 0.15))).toDF("vec_id", "embedding")
+    val probes = ((0 until 8).map(i =>
+      (i.toLong, jitter(dirs(i % 6), 0.15))) ++
+      (8 until 12).map(i =>
+        (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.semanticContamination(
+        probes, corpus, "embedding", "vec_id", threshold = 0.8)
+      .select("probe_id", "contaminated").as[(Long, Boolean)]
+      .collect().toMap
+    val lsh = Similarity.semanticContaminationLsh(
+        probes, corpus, "embedding", "vec_id", threshold = 0.8, dim = dim)
+      .select("probe_id", "contaminated").as[(Long, Boolean)]
+      .collect().toMap
+    // every probe present, even shortlist-empty ones
+    assert(lsh.keySet === (0L until 12L).toSet)
+    // exact precision: an LSH verdict is never a false positive
+    lsh.foreach { case (id, c) =>
+      if (c) assert(exact(id), s"probe $id flagged by LSH but not exact") }
+    // recall over the contaminated set >= the 0.8 pin the q227 anchor uses
+    val exactPos = exact.count(_._2)
+    val lshPos = lsh.count(_._2)
+    assert(exactPos >= 5, s"fixture must produce contamination: $exactPos")
+    assert(lshPos * 10 >= exactPos * 8,
+      s"shortlist recall $lshPos/$exactPos below the banding pin")
+  }
 }
