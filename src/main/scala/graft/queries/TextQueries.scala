@@ -1647,24 +1647,30 @@ object TextQueries {
 
   private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
 
-  /** DuckDB replay of the operator's entity-decode chain, built from
-    * the SAME pattern constants: numeric references marker-fenced first
-    * (so later steps can't touch the digits), named replaces with
-    * `&amp;` LAST, then the marked spans decode via `chr()` under the
-    * identical validity window (1..0xFFFF minus surrogates; invalid
-    * references reconstruct their original text). Hex digits fold to a
-    * value with a per-char list_reduce — DuckDB has no conv(). */
+  /** DuckDB replay of [[graft.text.HtmlOps]]'s numeric-reference
+    * MARKING pass (page-level, from the SAME pattern constants):
+    * marker-strip, then fence decimal and hex references. */
+  private def htmlMarkSql(x: String): String = {
+    val m1 = graft.text.HtmlOps.Mark1
+    val m2 = graft.text.HtmlOps.Mark2
+    s"""regexp_replace(regexp_replace(regexp_replace($x,
+          '[$m1$m2]', '', 'g'),
+          ${sqlQuote(graft.text.HtmlOps.DecRefPattern)}, '$m1\\1$m2', 'g'),
+          ${sqlQuote(graft.text.HtmlOps.HexRefPattern)}, '$m1\\1$m2', 'g')"""
+  }
+
+  /** DuckDB replay of the operator's per-block entity-decode chain over
+    * ALREADY-MARKED text: named replaces with `&amp;` LAST, then the
+    * marked spans decode via `chr()` under the identical validity
+    * window (1..0xFFFF minus surrogates; invalid references reconstruct
+    * their original text). Hex digits fold to a value with a per-char
+    * list_reduce — DuckDB has no conv(). */
   private def htmlDecodeSql(x: String): String = {
     val m1 = graft.text.HtmlOps.Mark1
     val m2 = graft.text.HtmlOps.Mark2
-    val marked =
-      s"""regexp_replace(regexp_replace(regexp_replace($x,
-            '[$m1$m2]', '', 'g'),
-            ${sqlQuote(graft.text.HtmlOps.DecRefPattern)}, '$m1\\1$m2', 'g'),
-            ${sqlQuote(graft.text.HtmlOps.HexRefPattern)}, '$m1\\1$m2', 'g')"""
     val named =
       s"""replace(replace(replace(replace(replace(
-            $marked,
+            $x,
             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
             '&nbsp;', ' '), '&amp;', '&')"""
     val num = s"split_part(pc, '$m2', 1)"
@@ -4272,10 +4278,11 @@ object TextQueries {
               ${sqlQuote(HtmlFixture.tail)} AS h
             FROM documents),
           vis AS (
-            SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(h,
+            SELECT doc_id, ${htmlMarkSql(
+              """regexp_replace(regexp_replace(regexp_replace(h,
                 '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-                '(?s)<!--.*?-->', ' ', 'g') AS v
+                '(?s)<!--.*?-->', ' ', 'g')""")} AS v
             FROM page),
           st AS (
             SELECT doc_id, list_transform(

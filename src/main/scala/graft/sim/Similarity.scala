@@ -208,8 +208,8 @@ object Similarity {
     * the aggregate but only P rows ever materialize, and the hot probe
     * rows split across `saltBuckets` tasks (the [[cosineJoin]]
     * discipline; never a cartesian operator). For probe sets too big
-    * for brute force, shortlist with [[cosinePairsLsh]] first and
-    * re-screen the shortlist here. */
+    * for brute force use [[semanticContaminationLsh]] — the
+    * [[cosinePairsLsh]]-shortlist composition of exactly this screen. */
   def semanticContamination(probe: DataFrame, corpus: DataFrame,
                             vecCol: String, idCol: String, threshold: Double,
                             saltBuckets: Int = 8): DataFrame = {

@@ -60,24 +60,33 @@ object HtmlOps {
   private[graft] val Mark1 = "\u0001"
   private[graft] val Mark2 = "\u0002"
 
-  /** Decode the entities that actually occur in crawl text, ONE LEVEL
-    * exactly. Numeric references (`&#8217;`, `&#x2019;` — curly quotes
-    * and dashes are everywhere in crawl text) are MARKED first (the
-    * digits are fenced in control-char markers so later steps cannot
-    * touch them), the named entities replace next with `&amp;` LAST
-    * (so `&amp;lt;` → literal `&lt;`, never `<`), and the marked spans
-    * decode at the end (so `&#38;lt;` → literal `&lt;` too — a decoded
-    * `&` is never re-examined). Valid scalar BMP codepoints only
-    * (1..0xFFFF minus surrogates); anything else — zero, surrogates,
-    * astral — reconstructs its original text. The decoded char comes
-    * from UTF-8 byte arithmetic (`hex → unhex → decode`) — pure
-    * codegen built-ins, and DuckDB replays the chain with `chr()`. */
-  private def decodeEntities(c: Column): Column = {
-    val marked = regexp_replace(
+  /** Fence numeric character references in control-char markers:
+    * `&#8217;` → `8217`, `&#x2019;` → `x2019`.
+    * Runs ONCE per page (three regex passes over the full document are
+    * much cheaper than three per block), which is sound because a
+    * marked span contains no `<`/`>` — it cannot overlap a block-tag
+    * boundary, an anchor match, or the inline-tag strip. Raw marker
+    * chars are pre-stripped (invalid in HTML text) so a crafted page
+    * cannot forge a marked span. */
+  private def markNumericRefs(c: Column): Column =
+    regexp_replace(
       regexp_replace(
         regexp_replace(c, s"[$Mark1$Mark2]", ""),
         DecRefPattern, s"$Mark1$$1$Mark2"),
       HexRefPattern, s"$Mark1$$1$Mark2")
+
+  /** Decode the entities that actually occur in crawl text, ONE LEVEL
+    * exactly, over text whose numeric references were ALREADY fenced by
+    * [[markNumericRefs]]. Named entities replace first with `&amp;`
+    * LAST (so `&amp;lt;` → literal `&lt;`, never `<`) — they cannot
+    * touch the fenced digits — then the marked spans decode (so
+    * `&#38;lt;` → literal `&lt;` too: a decoded `&` is never
+    * re-examined). Valid scalar BMP codepoints only (1..0xFFFF minus
+    * surrogates); anything else — zero, surrogates, astral —
+    * reconstructs its original text. The decoded char comes from UTF-8
+    * byte arithmetic (`hex → unhex → decode`) — pure codegen built-ins,
+    * and DuckDB replays the chain with `chr()`. */
+  private def decodeEntities(marked: Column): Column = {
     val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(marked) { case (acc, (from, to)) =>
@@ -119,7 +128,7 @@ object HtmlOps {
     * no-heuristics form (diffing, token counting over everything). */
   def stripHtml(html: Column): Column = {
     val txt = decodeEntities(
-      regexp_replace(dropInvisible(html), "<[^>]*>", " "))
+      regexp_replace(markNumericRefs(dropInvisible(html)), "<[^>]*>", " "))
     trim(regexp_replace(txt, WsRun, " "))
   }
 
@@ -128,15 +137,16 @@ object HtmlOps {
     * stripped, entities decoded, whitespace collapsed). The audit form —
     * [[extractText]] is a filter + join over exactly this. */
   def blockStats(html: Column): Column =
-    transform(split(dropInvisible(html), BlockTagPattern), b => {
-      val anchors = size(split(b, AnchorPattern)) - 1
-      val txt = decodeEntities(regexp_replace(b, "<[^>]*>", " "))
-      val words = filter(split(txt, WsRun), w => length(w) > 0)
-      struct(
-        array_join(words, " ").as("text"),
-        size(words).as("n_words"),
-        anchors.as("n_anchors"))
-    })
+    transform(split(markNumericRefs(dropInvisible(html)), BlockTagPattern),
+      b => {
+        val anchors = size(split(b, AnchorPattern)) - 1
+        val txt = decodeEntities(regexp_replace(b, "<[^>]*>", " "))
+        val words = filter(split(txt, WsRun), w => length(w) > 0)
+        struct(
+          array_join(words, " ").as("text"),
+          size(words).as("n_words"),
+          anchors.as("n_anchors"))
+      })
 
   /** Extracted content: blocks with ≥ `minWords` words whose anchor
     * density stays under `maxLinkPerMille` (anchors per 1000 words),
