@@ -1,6 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Compact per-query record sized for the driver's ~2000-char tail
+    * window: integer MILLISECONDS indexed by query NUMBER (every name is
+    * `qN_...`, N unique), null for a failed query or a numbering gap,
+    * chunked so a partially captured window still yields whole chunks.
+    * ~6 chars/query ⇒ all 227 fit in ~1.4 KB vs ~7 KB for the named
+    * map. tools/benchdiff.py joins two artifacts on the number. Returns
+    * one fallback line when names are unnumbered or numbers collide
+    * (a silent drop would read as \"covered everything\"). */
+  private[graft] def qmsLines(
+      results: Map[String, Either[String, Double]]): Seq[String] = {
+    val numOf = "^q0*([0-9]+)_".r
+    val byNum: Map[Int, Either[String, Double]] = results.map { case (k, v) =>
+      numOf.findFirstMatchIn(k).map(_.group(1).toInt).getOrElse(-1) -> v
+    }
+    if (byNum.size == results.size && !byNum.contains(-1))
+      byNum.keys.toSeq.sorted.grouped(80).map { grp =>
+        val vs = (grp.head to grp.last).map { n =>
+          byNum.get(n) match {
+            case Some(Right(s)) => math.round(s * 1000).toString
+            case _ => "null"
+          }
+        }.mkString(",")
+        s"""{"metric":"qms","lo":${grp.head},"hi":${grp.last},"v":[$vs]}"""
+      }.toSeq
+    else
+      Seq("""{"metric":"qms_skipped","reason":"non-unique or unnumbered query names"}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -94,28 +123,7 @@ object Bench {
       .toSeq.sorted.mkString("[", ",", "]")
     println(s"""{"metric":"queries","unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     println(s"""{"metric":"errors","names":$errNames}""")
-    // Compact per-query record sized for the tail window: integer
-    // MILLISECONDS indexed by query NUMBER (every name is `qN_...`, N
-    // unique), null for a failed query, chunked so a partially captured
-    // window still yields whole chunks. ~6 chars/query ⇒ all 226 fit in
-    // ~1.4 KB vs ~7 KB for the named map. tools/benchdiff.py joins two
-    // artifacts on the number (names come from local logs when present).
-    val numOf = "^q0*([0-9]+)_".r
-    val byNum: Map[Int, Either[String, Double]] = results.map { case (k, v) =>
-      numOf.findFirstMatchIn(k).map(_.group(1).toInt).getOrElse(-1) -> v
-    }
-    if (byNum.size == results.size && !byNum.contains(-1)) {
-      byNum.keys.toSeq.sorted.grouped(80).foreach { grp =>
-        val vs = (grp.head to grp.last).map { n =>
-          byNum.get(n) match {
-            case Some(Right(s)) => math.round(s * 1000).toString
-            case _ => "null" // failed, or a gap in the numbering
-          }
-        }.mkString(",")
-        println(s"""{"metric":"qms","lo":${grp.head},"hi":${grp.last},"v":[$vs]}""")
-      }
-    } else
-      println(s"""{"metric":"qms_skipped","reason":"non-unique or unnumbered query names"}""")
+    qmsLines(results).foreach(println)
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
     if (nFailed > 0) sys.exit(1)

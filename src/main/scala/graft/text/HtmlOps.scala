@@ -61,7 +61,7 @@ object HtmlOps {
   private[graft] val Mark2 = "\u0002"
 
   /** Fence numeric character references in control-char markers:
-    * `&#8217;` → `8217`, `&#x2019;` → `x2019`.
+    * `&#8217;` → `<m1>8217<m2>`, `&#x2019;` → `<m1>x2019<m2>`.
     * Runs ONCE per page (three regex passes over the full document are
     * much cheaper than three per block), which is sound because a
     * marked span contains no `<`/`>` — it cannot overlap a block-tag
