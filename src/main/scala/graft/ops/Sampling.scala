@@ -171,22 +171,29 @@ object Sampling {
     * assembling training mixes under a token budget.
     *
     * Scale shape, two layers:
-    *  - The exact cumulative pass is the DISTRIBUTED exclusive prefix sum
-    *    ([[graft.text.Packing.withExclusivePrefixSumBy]]): range-partition
-    *    by the hash order, window WITHIN each partition, shift by the
-    *    predecessors' totals — never a single-partition window, so even
-    *    the fallback path parallelizes across the cluster.
+    *  - The exact cumulative pass is a DISTRIBUTED exclusive prefix sum
+    *    over KNOWN hash-prefix buckets: the order key is an md5 prefix,
+    *    so its first two hex digits split the order into 256 fixed,
+    *    ordered, uniformly-loaded buckets — no range-boundary sampling,
+    *    no checkpoint (bucket assignment is a pure row function; a
+    *    recompute can't shift it, unlike sampled range partitions).
+    *    One cheap `groupBy(bucket).sum` sizes every bucket (map-side
+    *    partials), the driver scans 256 rows into exclusive offsets,
+    *    and a bucket-PARTITIONED window adds the within-bucket prefix —
+    *    never a single-partition window, so even the fallback path
+    *    parallelizes across the cluster.
     *  - A cheap aggregate additionally sizes a hash-prefix pre-filter at
     *    `safety × budget / total` — because the kept set IS a hash-prefix,
     *    any prefix whose token total reaches the budget contains the
     *    entire answer, so the exact pass runs over ~`safety × budget`
-    *    tokens of survivors instead of range-shuffling the whole corpus.
+    *    tokens of survivors instead of shuffling the whole corpus.
     *    If the pre-filter under-fills (pathological length/hash
     *    correlation), it falls back to the exact pass over everything —
     *    the result is identical in every case, only the pass's input size
     *    changes.
     * Null token counts are treated as 0 (the doc is kept at zero cost —
-    * silently dropping it would lose data); null ids sort last. */
+    * silently dropping it would lose data); null ids (null hash) sort
+    * last — their own bucket above every hex bucket. */
   def tokenBudgetSample(df: DataFrame, idCol: String, tokenCountCol: String,
                         budget: Long, safety: Double = 2.0): DataFrame = {
     require(safety >= 1.0, s"safety factor must be >= 1: $safety")
@@ -194,23 +201,53 @@ object Sampling {
     // aggregate so "no budget" costs zero driver actions
     if (budget == Long.MaxValue) return df
     val tok = coalesce(col(tokenCountCol).cast("long"), lit(0L))
-    def exactPass(in: DataFrame): DataFrame =
-      graft.text.Packing.withExclusivePrefixSumBy(in,
-          Seq(hashScore(col(idCol)), col(idCol)), tok, "__cum0")
-        .where(col("__cum0") < budget)
-        .drop("__cum0")
     def tokenTotal(in: DataFrame): Long = {
       val r = in.agg(sum(tok).cast("long")).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
+    def exactPass(in: DataFrame): DataFrame = {
+      val spark = in.sparkSession
+      // bucket 0..255 by the first 2 hex of the order hash; 256 = null id
+      val bucket = coalesce(
+        conv(substring(hashScore(col(idCol)), 1, 2), 16, 10).cast("int"),
+        lit(256))
+      val bucketed = in.withColumn("__bkt", bucket)
+      val sums = bucketed.groupBy(col("__bkt"))
+        .agg(sum(col("__tok0")).as("__s"))
+      // exclusive scan over the (ordered, fixed) bucket ids
+      val totals = sums.collect()
+        .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+        .sortBy(_._1)
+      val offsets = totals.scanLeft((0, 0L)) {
+        case ((_, acc), (b, s)) => (b, acc + s)
+      }.sliding(2).collect { case Array((_, off), (b, _)) => (b, off) }.toSeq
+      import spark.implicits._
+      val offDf = offsets.toDF("__bkt", "__off")
+      val w = Window.partitionBy(col("__bkt"))
+        .orderBy(hashScore(col(idCol)).asc_nulls_last, col(idCol).asc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bucketed.join(broadcast(offDf), Seq("__bkt"))
+        .withColumn("__cum0",
+          col("__off") + coalesce(sum(col("__tok0")).over(w), lit(0L)))
+        .where(col("__cum0") < budget)
+        .drop("__bkt", "__off", "__cum0", "__tok0")
+    }
+    // __tok0 is materialized once so the bucket sums and the window read
+    // the identical value; reserved-name guard mirrors perKeyCap's
+    val reserved = Seq("__bkt", "__off", "__cum0", "__tok0")
+    require(!df.columns.exists(reserved.contains),
+      s"input reserves column names ${reserved.mkString(", ")}")
+    val withTok = df.withColumn("__tok0", tok)
     val total = tokenTotal(df)
     if (total <= budget) return df // whole corpus fits — no prefix sum needed
     val p = safety * budget.toDouble / total
-    if (p >= 1.0) return exactPass(df)
+    if (p >= 1.0) return exactPass(withTok)
     val survivors = df.where(hashScore(col(idCol)) < lit(hexThreshold(p)))
     // the budget-crossing doc is inside the prefix iff the prefix's token
     // total reaches the budget; otherwise the estimate under-filled
-    if (tokenTotal(survivors) >= budget) exactPass(survivors) else exactPass(df)
+    if (tokenTotal(survivors) >= budget)
+      exactPass(survivors.withColumn("__tok0", tok))
+    else exactPass(withTok)
   }
 
   /** At most `n` rows per key (e.g. per domain / per source), chosen by
