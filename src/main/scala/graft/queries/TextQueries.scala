@@ -790,6 +790,16 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── packing-efficiency audit over the q89 map: per-sequence fill
+    // → corpus padding waste, overflow count, integer fill rate — the
+    // report a training run reads before committing a capacity ─────
+    "q228_packing_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("text").isNotNull)
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n"))
+      Packing.packingReport(Packing.packGreedy(docs, "doc_id", "n", 1024L),
+        capacity = 1024L)
+    }),
+
     // ───── q88 in deterministic-SHUFFLE order: the reproducible random
     // document order a training run wants, replayable by any engine ─────
     "q93_pack_shuffled" -> ((s, d) => {
@@ -2775,6 +2785,31 @@ object TextQueries {
             CAST(cum0 - (cum0 // 1024) * 1024 AS BIGINT) AS seq_tok_start,
             n AS n_tokens
           FROM c ORDER BY doc_id""",
+
+    // the q89 map re-derived, then the report aggregates: per-seq fill,
+    // overflow (greedy boundary straddle) pads nothing, integer per-mille
+    "q228_packing_report" ->
+      s"""WITH c AS (
+            SELECT doc_id, n,
+              CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+            FROM (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n
+                  FROM documents WHERE text IS NOT NULL)
+            WHERE n > 0),
+          s AS (
+            SELECT cum0 // 1024 AS seq, CAST(sum(n) AS BIGINT) AS fill,
+              CAST(count(*) AS BIGINT) AS docs
+            FROM c GROUP BY 1)
+          SELECT CAST(count(*) AS BIGINT) AS n_seqs,
+            CAST(sum(docs) AS BIGINT) AS n_docs,
+            CAST(sum(fill) AS BIGINT) AS n_tokens,
+            CAST(sum(CASE WHEN fill > 1024 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_overflow_seqs,
+            CAST(sum(CASE WHEN fill < 1024 THEN 1024 - fill ELSE 0 END)
+              AS BIGINT) AS padding_tokens,
+            CAST((sum(fill) * 1000) // (count(*) * 1024) AS BIGINT)
+              AS fill_per_mille
+          FROM s""",
 
     // the q88 map re-derived, pieces sliced from the token array
     // (list_slice is 1-based inclusive-end — matches Spark's

@@ -229,6 +229,40 @@ object Packing {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Packing-efficiency audit over a WHOLE-DOCUMENT packing map
+    * ([[packGreedy]] / [[packBestFit]] output — one row per doc with
+    * `seq` and `n_tokens`): the padding-waste numbers a training run
+    * budgets against before committing a capacity. ONE row:
+    *
+    *   (n_seqs, n_docs, n_tokens, n_overflow_seqs, padding_tokens,
+    *    fill_per_mille)
+    *
+    * where a sequence's fill is its docs' token sum, `padding_tokens`
+    * counts `capacity − fill` over non-overflow sequences (an overflow
+    * sequence — greedy boundary straddle or a dedicated oversize bin —
+    * pads nothing), and `fill_per_mille` is the integer
+    * `n_tokens·1000 div (n_seqs·capacity)` (can exceed 1000 when
+    * overflow dominates — exact, engine-replayable, no float drift).
+    *
+    * Scale: one `groupBy(seq)` with map-side partials + a global
+    * single-row aggregate — nothing data-sized on the driver. */
+  def packingReport(map: DataFrame, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val perSeq = map.groupBy(col("seq"))
+      .agg(sum(col("n_tokens").cast("long")).as("__fill"),
+        count(lit(1)).as("__docs"))
+    perSeq.agg(
+        count(lit(1)).as("n_seqs"),
+        sum(col("__docs")).as("n_docs"),
+        sum(col("__fill")).as("n_tokens"),
+        sum(when(col("__fill") > capacity, 1L).otherwise(0L))
+          .as("n_overflow_seqs"),
+        sum(when(col("__fill") < capacity, lit(capacity) - col("__fill"))
+          .otherwise(0L)).as("padding_tokens"))
+      .withColumn("fill_per_mille",
+        expr(s"(n_tokens * 1000L) div (n_seqs * ${capacity}L)"))
+  }
+
   /** Materialize sequence text from a [[packSequences]] map: slice each
     * document's whitespace tokens per the map, assemble each sequence's
     * slices in offset order. Emits (seq, seq_text, n_seq_tokens).

@@ -231,4 +231,24 @@ class PackingSpec extends SparkSpec {
       .map { case (g, i) => (i.toLong, g.mkString(" "), g.length.toLong) }.toSeq
     assert(out.toSeq == want)
   }
+
+  test("packingReport: fill, padding, overflow and per-mille on a hand map") {
+    // capacity 10; greedy map: seq 0 = docs of 6 + 7 tokens (fill 13,
+    // OVERFLOW — pads nothing), seq 1 = 4 + 2 (fill 6, pads 4),
+    // seq 2 = 3 (fill 3, pads 7)
+    val map = Seq(
+      (1L, 0L, 6L), (2L, 0L, 7L),
+      (3L, 1L, 4L), (4L, 1L, 2L),
+      (5L, 2L, 3L)).toDF("id", "seq", "n_tokens")
+    val r = Packing.packingReport(map, capacity = 10L)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    // (n_seqs, n_docs, n_tokens, n_overflow_seqs, padding_tokens, fpm)
+    assert(r === ((3L, 5L, 22L, 1L, 11L, 22L * 1000 / 30)))
+    // consistency with a real greedy packing: tokens conserved, and with
+    // no overflow, padding = n_seqs*capacity - n_tokens exactly
+    val docs = Seq((1L, 4L), (2L, 4L), (3L, 4L)).toDF("id", "n")
+    val g = Packing.packingReport(Packing.packGreedy(docs, "id", "n", 8L), 8L)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(g._3 === 12L && g._4 === 0L && g._5 === g._1 * 8L - 12L)
+  }
 }
