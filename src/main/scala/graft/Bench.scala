@@ -16,17 +16,23 @@ object Bench {
     val byNum: Map[Int, Either[String, Double]] = results.map { case (k, v) =>
       numOf.findFirstMatchIn(k).map(_.group(1).toInt).getOrElse(-1) -> v
     }
-    if (byNum.size == results.size && !byNum.contains(-1))
-      byNum.keys.toSeq.sorted.grouped(80).map { grp =>
-        val vs = (grp.head to grp.last).map { n =>
-          byNum.get(n) match {
-            case Some(Right(s)) => math.round(s * 1000).toString
-            case _ => "null"
-          }
-        }.mkString(",")
-        s"""{"metric":"qms","lo":${grp.head},"hi":${grp.last},"v":[$vs]}"""
-      }.toSeq
-    else
+    if (byNum.size == results.size && !byNum.contains(-1)) {
+      // chunk by NUMBER-LINE windows of 80, not by key count: a future
+      // outlier number (numbering gap) then gets its own small chunk
+      // instead of inflating one line past the tail window
+      val nums = byNum.keys.toSeq.sorted
+      nums.groupBy(n => (n - nums.head) / 80).toSeq.sortBy(_._1).map {
+        case (_, grp) =>
+          val (lo, hi) = (grp.min, grp.max)
+          val vs = (lo to hi).map { n =>
+            byNum.get(n) match {
+              case Some(Right(s)) => math.round(s * 1000).toString
+              case _ => "null"
+            }
+          }.mkString(",")
+          s"""{"metric":"qms","lo":$lo,"hi":$hi,"v":[$vs]}"""
+      }
+    } else
       Seq("""{"metric":"qms_skipped","reason":"non-unique or unnumbered query names"}""")
   }
 

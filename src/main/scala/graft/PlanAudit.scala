@@ -18,8 +18,10 @@ import org.apache.spark.sql.execution.ExplainMode
   *   - a single-partition window (`WindowExec` with empty partitionSpec)
   *     outside the named allowlist: the whole input funnels through ONE
   *     task. The allowlist is EMPTY — every former exception now rides
-  *     the distributed exclusive prefix sum
-  *     ([[graft.text.Packing.withExclusivePrefixSumBy]]); keep it empty.
+  *     a distributed exclusive prefix sum (packing:
+  *     [[graft.text.Packing.withExclusivePrefixSumBy]]; budget
+  *     sampling: the 256-bucket md5-prefix form inside
+  *     [[graft.ops.Sampling.tokenBudgetSample]]); keep it empty.
   *
   * Run: `sbt "runMain graft.PlanAudit [sfDir]"` — exits 1 on violations.
   */

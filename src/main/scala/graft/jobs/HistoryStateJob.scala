@@ -118,8 +118,14 @@ object HistoryStateJob {
                      textCol: String, idCol: String, groupCol: String,
                      maxDocPerMille: Int = 500, minDocs: Long = 4L,
                      buckets: Int = 32): DataFrame = {
+    // gate on BOTH tables: appendDay writes them non-atomically
+    // (presence first), so a crash between the two writes must not wedge
+    // every later run on a missing SizesTable — the empty-state path
+    // runs instead, and re-running the crashed day's appendDay is
+    // idempotent and heals both tables
     val (hp, hs) =
-      if (spark.catalog.tableExists(PresenceTable))
+      if (spark.catalog.tableExists(PresenceTable) &&
+          spark.catalog.tableExists(SizesTable))
         readTemplateState(spark, groupCol, beforeDay = day)
       else {
         val fpType = org.apache.spark.sql.types.StructType(Seq(

@@ -250,8 +250,10 @@ object Similarity {
     * if EVERY over-threshold pair of it misses all `bands` bands
     * (per-pair miss (1−(1−θ/π)^planesPerBand)^bands; raise `bands` to
     * push it down). `best_id`/`best_cos` are exact for the pairs found.
-    * Probe and corpus id spaces must be DISJOINT (the banding runs over
-    * their union).
+    * Probe and corpus id spaces MAY overlap: the banding runs over
+    * their union keyed by a composite (side, id) struct, so a corpus
+    * doc sharing an id with a probe is still its own row — never
+    * conflated, never filtered away.
     *
     * Scale shape: banding rows are (id, band, bucket-long) — vectors
     * never ride the banding shuffle; the shortlist semi-join keys on the
@@ -265,21 +267,22 @@ object Similarity {
                                saltBuckets: Int = 8): DataFrame = {
     val p = probe.select(col(idCol), col(vecCol))
     val c = corpus.select(col(idCol), col(vecCol))
-    val pairs = cosinePairsLsh(p.unionByName(c), vecCol, idCol,
-      threshold, dim, bands, planesPerBand, seed)
-    // corpus ids on either side of a probe↔corpus candidate pair (the
-    // pair orientation is id-ordered, not probe-ordered)
-    val probeIds = p.select(col(idCol))
-    val aIsProbe = pairs.join(probeIds.toDF("id_a"), Seq("id_a"), "left_semi")
-      .select(col("id_b").as(idCol))
-    val bIsProbe = pairs.join(probeIds.toDF("id_b"), Seq("id_b"), "left_semi")
-      .select(col("id_a").as(idCol))
-    val shortlist = aIsProbe.unionByName(bIsProbe).distinct()
-      .join(probeIds, Seq(idCol), "left_anti") // probe↔probe pairs are noise
+    // composite banding key: (side, id) — orderable, and keeps a corpus
+    // row distinct from a probe row with the SAME id
+    def sided(df: DataFrame, side: Int) = df.select(
+      struct(lit(side).as("s"), col(idCol).as("i")).as("__sid"),
+      col(vecCol))
+    val pairs = cosinePairsLsh(sided(p, 0).unionByName(sided(c, 1)),
+      vecCol, "__sid", threshold, dim, bands, planesPerBand, seed)
+    // corpus members of probe↔corpus candidate pairs; side 0 (probe)
+    // always orders before side 1 (corpus) in the id_a < id_b pair
+    val shortlist = pairs
+      .where(col("id_a.s") === 0 && col("id_b.s") === 1)
+      .select(col("id_b.i").as(idCol)).distinct()
     val screened = semanticContamination(p,
       c.join(shortlist, Seq(idCol), "left_semi"),
       vecCol, idCol, threshold, saltBuckets)
-    probeIds.select(col(idCol).as("probe_id"))
+    p.select(col(idCol).as("probe_id")).distinct()
       .join(screened, Seq("probe_id"), "left")
       .select(col("probe_id"), col("best_id"), col("best_cos"),
         coalesce(col("n_over"), lit(0L)).as("n_over"),

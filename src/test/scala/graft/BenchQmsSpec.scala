@@ -47,6 +47,17 @@ class BenchQmsSpec extends AnyFunSuite {
       4 -> None, 5 -> Some(500L)))
   }
 
+  test("an outlier number gets its own small chunk — a gap never " +
+      "inflates one line past the tail window") {
+    val results: Map[String, Either[String, Double]] =
+      ((1 to 227).map(n => f"q$n%02d_x" -> (Right(0.5): Either[String, Double]))
+        :+ ("q900_outlier" -> (Right(1.0): Either[String, Double]))).toMap
+    val lines = Bench.qmsLines(results)
+    assert(lines.forall(_.length <= 700), s"${lines.map(_.length)}")
+    val got = parse(lines)
+    assert(got.size >= 228 && got(900) === Some(1000L) && got(227) === Some(500L))
+  }
+
   test("unnumbered or colliding names fall back to one loud skip line") {
     assert(Bench.qmsLines(Map("total_agg" -> Right(1.0)))
       === Seq("""{"metric":"qms_skipped","reason":"non-unique or unnumbered query names"}"""))

@@ -75,7 +75,7 @@ class SamplingPropertySpec extends AnyFunSuite with graft.SparkSpec {
     def score(id: Long): String =
       org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(8)
     // heavy-tailed counts stress both the pre-filter estimate and the
-    // range-partition boundary sampling of the distributed prefix sum
+    // bucket-boundary edges of the md5-prefix distributed prefix sum
     val genRows: Gen[List[(Long, Long)]] = for {
       nDocs <- Gen.chooseNum(5, 60)
       counts <- Gen.listOfN(nDocs,

@@ -275,4 +275,25 @@ class SemanticDedupSpec extends SparkSpec {
     assert(lshPos * 10 >= exactPos * 8,
       s"shortlist recall $lshPos/$exactPos below the banding pin")
   }
+
+  test("semanticContaminationLsh: overlapping probe/corpus id spaces " +
+      "never conflate or drop rows (composite banding key)") {
+    // corpus doc with id 1 = probe 1's near-copy; a bare union keyed on
+    // the raw id would conflate them (or anti-join the corpus row away)
+    val probes = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.99f, 0.1f, 0f, 0f)),  // same id as probe 1, cos ~0.995
+      (9L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.semanticContaminationLsh(
+        probes, corpus, "embedding", "vec_id", threshold = 0.9, dim = 4,
+        bands = 32, planesPerBand = 2)
+      .select("probe_id", "best_id", "contaminated")
+      .as[(Long, Option[Long], Boolean)].collect().sortBy(_._1)
+    assert(out.length === 2)
+    assert(out(0) === ((1L, Some(1L), true)),
+      s"corpus doc sharing the probe's id must still contaminate: ${out(0)}")
+    assert(!out(1)._3, s"probe 2 is clean: ${out(1)}")
+  }
 }

@@ -38,12 +38,11 @@ def parse(path):
 
     def add(name, secs, authoritative=False):
         m = NUM.match(name)
-        if not m:
-            return
-        num = int(m.group(1))
+        # non-qN names still diff, keyed by the full name (never dropped)
+        num = int(m.group(1)) if m else name
         if authoritative or num not in queries:
             queries[num] = secs
-        if "_" in name:  # a real name, not a bare qN
+        if m and "_" in name:  # a real name, not a bare qN
             names[num] = name
 
     for ln in load_lines(path):
@@ -60,9 +59,11 @@ def parse(path):
             continue
         m = obj.get("metric")
         if m == "qms" and isinstance(obj.get("v"), list):
+            # ms-rounded values are the FALLBACK record: never overwrite a
+            # full-precision timing already parsed from the named lines
             for i, ms in enumerate(obj["v"]):
                 if isinstance(ms, (int, float)):
-                    queries[obj["lo"] + i] = ms / 1000.0
+                    queries.setdefault(obj["lo"] + i, ms / 1000.0)
         elif m == "queries" and isinstance(obj.get("queries"), dict):
             # the combined map is authoritative when captured whole
             for k, v in obj["queries"].items():
@@ -93,8 +94,9 @@ def main():
         return 2
     old_q, old_n, old_t = parse(args[0])
     new_q, new_n, new_t = parse(args[1])
-    label = lambda num: new_n.get(num) or old_n.get(num) or f"q{num}"
-    common = sorted(set(old_q) & set(new_q))
+    label = lambda num: (new_n.get(num) or old_n.get(num) or
+                         (num if isinstance(num, str) else f"q{num}"))
+    common = sorted(set(old_q) & set(new_q), key=str)  # int/str keys mix
     added = sorted(label(n) for n in set(new_q) - set(old_q))
     removed = sorted(label(n) for n in set(old_q) - set(new_q))
     movers = []
