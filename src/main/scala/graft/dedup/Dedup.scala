@@ -937,6 +937,84 @@ object Dedup {
       .withColumn("contamination_rate",
         col("n_contaminated").cast("double") / col("n_docs"))
 
+  /** Word n-grams of a PROJECTED token-array column as a
+    * position-aligned array — the shared construction for
+    * [[scrubContaminatedSpans]]. Two deliberate shapes:
+    *  - `toks` must be a bound column REFERENCE, not the `split(...)`
+    *    expression itself — an expression inlined into the lambda body
+    *    re-evaluates per element (O(tokens²) splits per doc; measured
+    *    2.5× the whole query's runtime at sf0.1);
+    *  - elements join via O(1) `element_at` probes, not `slice` (which
+    *    copies an O(n) sub-array per position).
+    * The `when` guard matters: Spark's `sequence` infers step −1 for a
+    * descending range, so an unguarded `sequence(0, size−n)` on a short
+    * doc would emit bogus negative positions instead of nothing. */
+  private def wordGrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** SPAN-LEVEL (surgical) decontamination: instead of dropping a whole
+    * training doc that shares content with an eval benchmark (the
+    * [[containmentJoin]] family), remove ONLY the contaminated token
+    * spans and keep the rest of the doc — the higher-recall hygiene used
+    * when benchmarks quote common boilerplate that would otherwise
+    * delete good documents wholesale.
+    *
+    * Semantics: whitespace-tokenize both sides; any corpus token
+    * position that starts a word n-gram present ANYWHERE in `bench`
+    * taints positions [p, p+n−1]; the union of the tainted intervals
+    * (overlaps merge by construction) is cut and the survivors re-joined
+    * with single spaces. Output one row per corpus doc: `(idCol,
+    * clean_text, removed_tokens, total_tokens, kept)` where `kept` is
+    * the integer-exact per-mille gate `removed·1000 ≤
+    * removedPerMilleMax·total` (docs that lose more than the cap should
+    * be dropped, not published with holes).
+    *
+    * Scale shape: bench n-grams are one distinct over the (benchmark-
+    * suite-sized) eval set — broadcast-able in practice, and AQE will;
+    * corpus grams travel as scalar `(id, pos, gram)` rows through ONE
+    * equi-join shuffle (never arrays); matched positions aggregate to a
+    * per-doc set bounded by doc length; reconstruction is scan-side HOFs
+    * (clean docs take the left join's null arm, whose empty hit array
+    * makes the taint check a no-op). The in-lambda check is
+    * O(tokens · hits) per doc — hits are few by construction (a
+    * benchmark's quotable span count). No windows, no cross joins.
+    *
+    * Null/empty text: `split('', ' ')` is `[""]` (1 token) on both
+    * engines; null text is not supported (filter upstream). */
+  def scrubContaminatedSpans(corpus: DataFrame, bench: DataFrame,
+                             textCol: String, idCol: String, n: Int,
+                             removedPerMilleMax: Int = 1000): DataFrame = {
+    require(n >= 1, s"n-gram order must be positive: $n")
+    require(removedPerMilleMax >= 0 && removedPerMilleMax <= 1000,
+      s"per-mille cap out of range: $removedPerMilleMax")
+    // tokenize ONCE per row into a projected column; every downstream
+    // HOF sees a bound reference (see wordGrams' shape note)
+    val toks = split(col(textCol), " ", -1)
+    val benchGrams = bench.select(toks.as("__toks"))
+      .select(explode(wordGrams(col("__toks"), n)).as("__gram")).distinct()
+    val hits = corpus.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol),
+        posexplode(wordGrams(col("__toks"), n)).as(Seq("__pos", "__gram")))
+      .join(benchGrams, "__gram")
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__pos")).as("__hits"))
+    val hitArr = coalesce(col("__hits"), array().cast("array<int>"))
+    val keptToks = filter(col("__toks"), (t, i) =>
+      !exists(hitArr, p => i >= p && i <= p + lit(n - 1)))
+    corpus.select(col(idCol), toks.as("__toks"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        concat_ws(" ", keptToks).as("clean_text"),
+        (size(col("__toks")) - size(keptToks)).cast("long").as("removed_tokens"),
+        size(col("__toks")).cast("long").as("total_tokens"))
+      .withColumn("kept",
+        col("removed_tokens") * 1000L <=
+          lit(removedPerMilleMax.toLong) * col("total_tokens"))
+  }
+
   /** Per-row distinct shingle HASH array, computed statelessly (array
     * functions only — no window, no distinct aggregate), so it is legal
     * on a STREAMING DataFrame. Same shingle semantics as [[shingleRows]]:

@@ -163,6 +163,73 @@ object Sampling {
     }.reduce(_ unionAll _)
   }
 
+  /** Epoch-capped token-budget allocation across domains (the UniMax
+    * waterfill, Chung et al. 2023): spend `budgetTokens` as evenly as
+    * possible across the domains of `domainCol`, never repeating any
+    * domain more than `maxEpochs` times. Domains are processed in
+    * ascending token-count order; each takes
+    * `min(maxEpochs·tokens, remaining/domainsLeft)` — a domain too small
+    * to absorb its even share is capped at its epoch budget and the
+    * slack waterfalls to the larger domains. The derived per-domain rate
+    * (`allocation/tokens`, ≤ maxEpochs) is then MATERIALIZED the
+    * [[upsampled]] way: `⌊rate⌋` guaranteed copies plus a deterministic
+    * md5-threshold Bernoulli for the fraction, each copy tagged with a
+    * 0-based `epoch` column so downstream exact-dedupe can tell
+    * deliberate repeats from accidental duplicates.
+    *
+    * Determinism / cross-engine replay: token totals are exact integer
+    * sums; the waterfill is a fixed-order fold of IEEE `min`, divide and
+    * subtract (ties on equal totals break by domain string), so an ANSI
+    * engine replaying the same recurrence computes bit-identical rates
+    * and thresholds (no `pow`/`ln`; cf. [[temperatureMixture]]'s α
+    * caveat — this operator has none).
+    *
+    * Scale shape: ONE column-pruned scan sizes every domain
+    * (partial-aggregable sum; the collected result is domain-count-sized
+    * — a mixture has tens of domains, not millions); the waterfill is a
+    * driver fold over that tiny array; application is one scan through a
+    * BROADCAST join against the domain-count-sized rate table plus an
+    * inline explode — no data-sized shuffle anywhere.
+    *
+    * Domains with a null key or a non-positive token total are excluded
+    * (nothing to allocate); a null `idCol` hash never wins a Bernoulli
+    * draw, so such rows appear exactly ⌊rate⌋ times. */
+  def epochCappedMixture(df: DataFrame, domainCol: String, idCol: String,
+                         tokenCountCol: String, budgetTokens: Double,
+                         maxEpochs: Double): DataFrame = {
+    require(budgetTokens >= 0.0, s"budget must be non-negative: $budgetTokens")
+    require(maxEpochs > 0.0, s"epoch cap must be positive: $maxEpochs")
+    val totals = df
+      .select(col(domainCol).cast("string").as("__dom"),
+        coalesce(col(tokenCountCol).cast("long"), lit(0L)).as("__n"))
+      .where(col("__dom").isNotNull)
+      .groupBy(col("__dom")).agg(sum(col("__n")).as("__c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._2 > 0L)
+      .sortBy { case (d, c) => (c, d) }
+    val k = totals.length
+    var remaining = budgetTokens
+    val rates = totals.zipWithIndex.map { case ((d, c), i) =>
+      val cap = maxEpochs * c.toDouble
+      val alloc = math.min(cap, remaining / (k - i).toDouble)
+      remaining -= alloc
+      val rate = alloc / c.toDouble
+      val whole = math.floor(rate).toLong
+      (d, whole, hexThreshold(rate - whole))
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateTable = rates.toDF("__dom", "__whole", "__thr")
+    df.join(broadcast(rateTable),
+        col(domainCol).cast("string") === col("__dom"))
+      .withColumn("__copies", col("__whole") +
+        when(hashScore(col(idCol)) < col("__thr"), 1L).otherwise(0L))
+      .where(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__dom", "__whole", "__thr", "__copies")
+  }
+
   /** Token-budget subsample: keep docs in hash order of `idCol` until the
     * running token total reaches `budget` (the first doc crossing the
     * budget is kept, so the result is the smallest hash-prefix set with

@@ -250,6 +250,23 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── UniMax epoch-capped mixture: spend 90% of the corpus's token
+    // total as evenly as possible across langs, repeating no lang more
+    // than 1.2 epochs — small langs cap at 1.2 copies, the slack
+    // waterfalls to the dominant lang, which downsamples. Fully
+    // replayable: integer totals, fixed-order IEEE waterfill, md5
+    // Bernoulli ─────
+    "q230_unimax_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("lang").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          graft.text.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val total = docs.agg(sum(col("n_tokens"))).head().getLong(0)
+      graft.ops.Sampling.epochCappedMixture(docs, "lang", "doc_id",
+          "n_tokens", budgetTokens = 0.9 * total.toDouble, maxEpochs = 1.2)
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
     // ───── deterministic 80/10/10 train/val/test split: md5-interval
     // labels, scan-side and growth-stable (a doc never migrates splits
     // when the corpus grows — the eval-hygiene property) ─────
@@ -1183,6 +1200,44 @@ object RelationalQueries {
          FROM d JOIN thr USING (lang)
          WHERE p >= 1.0 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < h
          ORDER BY d.doc_id""",
+    // replays epochCappedMixture's waterfill bit-for-bit: the recursive
+    // CTE folds min/divide/subtract in the SAME ascending (tokens, lang)
+    // order as the driver loop — IEEE ops, no libm — then the identical
+    // floor(x+0.5) hex threshold and range() epoch materialization
+    "q230_unimax_mix" ->
+      """WITH RECURSIVE
+         d AS (SELECT doc_id, lang,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+               FROM documents WHERE lang IS NOT NULL),
+         tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS c FROM d
+                 GROUP BY lang HAVING sum(n) > 0),
+         ord AS (SELECT lang, c, 1.2 * CAST(c AS DOUBLE) AS cap,
+                   CAST(row_number() OVER (ORDER BY c, lang) AS BIGINT) AS rn,
+                   CAST(count(*) OVER () AS BIGINT) AS k
+                 FROM tot),
+         fill AS (
+           SELECT CAST(0 AS BIGINT) AS rn,
+             0.9 * (SELECT CAST(sum(n) AS DOUBLE) FROM d) AS remaining,
+             CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS DOUBLE) AS alloc
+           UNION ALL
+           SELECT o.rn,
+             f.remaining - least(o.cap, f.remaining / CAST(o.k - f.rn AS DOUBLE)),
+             o.lang, least(o.cap, f.remaining / CAST(o.k - f.rn AS DOUBLE))
+           FROM fill f JOIN ord o ON o.rn = f.rn + 1),
+         th AS (SELECT f.lang,
+                  CAST(floor(f.alloc / CAST(t.c AS DOUBLE)) AS BIGINT) AS whole,
+                  printf('%08x', CAST(LEAST(floor(
+                    (f.alloc / CAST(t.c AS DOUBLE)
+                       - floor(f.alloc / CAST(t.c AS DOUBLE))) * 4294967296 + 0.5),
+                    4294967295) AS BIGINT)) AS h
+                FROM fill f JOIN tot t USING (lang)),
+         cop AS (SELECT d.doc_id, d.lang, th.whole +
+                   (CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < th.h
+                         THEN 1 ELSE 0 END) AS copies
+                 FROM d JOIN th USING (lang))
+         SELECT doc_id, lang, unnest(range(copies)) AS epoch
+         FROM cop WHERE copies > 0
+         ORDER BY doc_id, epoch""",
     // thresholds are the same round(p·2^32) hex rounding hashSplit uses
     "q100_split" ->
       s"""SELECT doc_id, lang,

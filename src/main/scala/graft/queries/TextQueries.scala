@@ -578,6 +578,20 @@ object TextQueries {
             .as("recall_ok"))
     }),
 
+    // ───── span-level (surgical) decontamination: every-20th doc as the
+    // eval benchmark, the rest as corpus; any corpus 4-gram found in the
+    // benchmark taints its 4 positions, tainted spans are cut and the
+    // doc re-joined — kept=false when >10% of tokens were cut (publish a
+    // doc with that many holes and you've kept the leak's context) ─────
+    "q229_span_scrub" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.scrubContaminatedSpans(
+          docs.where(col("doc_id") % 20 =!= 0).select(col("doc_id"), col("text")),
+          docs.where(col("doc_id") % 20 === 0).select(col("text")),
+          "text", "doc_id", n = 4, removedPerMilleMax = 100)
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── cross-corpus near-dup join (the incremental-ingest primitive):
     // PPJoin between two corpora — odd doc_ids as the new batch, even as
     // the accumulated history — never a history self-join ─────
@@ -1134,6 +1148,25 @@ object TextQueries {
           Tables.documents(s, d).select(col("doc_id"), messyUrl.as("url")),
           "url", "doc_id")
         .orderBy(col("url_canon"))
+    }),
+
+    // ───── domain blocklist (robots/opt-out compliance gate): registrable
+    // domains block their whole subtree via the label-suffix chain —
+    // src3.example.com catches both the www. and bare hosts, the
+    // www-specific pattern catches ONLY www-form doc ids, example.net
+    // catches nothing; ports are blind. Spark joins the exploded suffix
+    // chain against the broadcast list; the oracle replays the SEMANTICS
+    // with suffix LIKE tests (a different mechanism on purpose) ─────
+    "q231_domain_blocklist" -> ((s, d) => {
+      val s_ = s; import s_.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), messyUrl.as("url"))
+      val bl = Seq("src3.example.com", "www.src7.example.com", "example.net")
+        .toDF("pattern")
+      graft.text.UrlOps.domainBlocklistFilter(docs, "url", "doc_id",
+          bl, "pattern")
+        .select(col("doc_id"), col("blocked"))
+        .orderBy(col("doc_id"))
     }),
 
     // ───── Unicode-script histogram + dominant script (the CCNet-style
@@ -2137,6 +2170,37 @@ object TextQueries {
               AS BIGINT), 0) AS n_exact_contaminated,
             true AS recall_ok
           FROM agg""",
+    // replays scrubContaminatedSpans relationally: benchmark 4-gram set →
+    // matched start positions → interval expansion → anti-joined token
+    // rebuild; single-space split on BOTH engines (positions must be
+    // exact, so no trim/\s+ normalization here)
+    "q229_span_scrub" ->
+      """WITH dt AS (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM documents WHERE doc_id % 20 <> 0),
+          bg AS (SELECT DISTINCT array_to_string(toks[i+1:i+4], ' ') AS gram
+                 FROM (SELECT string_split(text, ' ') AS toks
+                       FROM documents WHERE doc_id % 20 = 0) bt,
+                      unnest(range(greatest(len(toks) - 3, 0))) AS u(i)),
+          grams AS (SELECT doc_id, i AS pos,
+                      array_to_string(toks[i+1:i+4], ' ') AS gram
+                    FROM dt, unnest(range(greatest(len(toks) - 3, 0))) AS u(i)),
+          covered AS (SELECT DISTINCT doc_id, pos + off AS cpos
+                      FROM grams JOIN bg USING (gram),
+                           unnest(range(4)) AS o(off)),
+          tokpos AS (SELECT doc_id, unnest(toks) AS tok,
+                       unnest(range(len(toks))) AS i FROM dt),
+          kept AS (SELECT t.doc_id, t.tok, t.i FROM tokpos t
+                   LEFT JOIN covered c
+                     ON t.doc_id = c.doc_id AND t.i = c.cpos
+                   WHERE c.cpos IS NULL),
+          ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+                   count(*) AS n_kept FROM kept GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+            CAST(len(d.toks) - coalesce(ka.n_kept, 0) AS BIGINT) AS removed_tokens,
+            CAST(len(d.toks) AS BIGINT) AS total_tokens,
+            (len(d.toks) - coalesce(ka.n_kept, 0)) * 1000 <= 100 * len(d.toks) AS kept
+          FROM dt d LEFT JOIN ka USING (doc_id)
+          ORDER BY d.doc_id""",
     "q67_neardup_join" ->
       s"""WITH sh AS (
             SELECT doc_id,
@@ -3817,6 +3881,23 @@ object TextQueries {
           FROM h ORDER BY doc_id""",
 
     // canonical-key group: keeper = min doc_id, collapse count
+    // replays domainBlocklistFilter's SEMANTICS, not its mechanism: the
+    // Spark side equi-joins the exploded label-suffix chain; the oracle
+    // tests host = pattern OR host LIKE '%.' || pattern per pattern
+    "q231_domain_blocklist" ->
+      s"""WITH u AS (SELECT doc_id, $messyUrlSql AS url FROM documents),
+          h AS (SELECT doc_id,
+                  regexp_replace(lower(regexp_extract(trim(url),
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+                    ':[0-9]+$$', '') AS host
+                FROM u),
+          p AS (SELECT unnest(['src3.example.com', 'www.src7.example.com',
+                  'example.net']) AS pat)
+          SELECT doc_id,
+            EXISTS(SELECT 1 FROM p
+                   WHERE h.host = p.pat OR h.host LIKE '%.' || p.pat)
+              AS blocked
+          FROM h ORDER BY doc_id""",
     "q125_url_dedup" ->
       s"""WITH u0 AS (
             SELECT doc_id, $messyUrlSql AS url FROM documents),

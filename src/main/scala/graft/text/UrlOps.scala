@@ -83,4 +83,53 @@ object UrlOps {
       .groupBy(col("url_canon"))
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).cast("long").as("n_urls"))
+
+  /** Lowercased host of an absolute URL with any port stripped — the
+    * domain-blocklist key. `www.` is KEPT (unlike [[canonicalizeUrl]]):
+    * blocklist patterns decide their own depth, and a pattern for
+    * `example.com` reaches the `www.` form through suffix matching
+    * anyway. Non-URLs (no `scheme://`) yield the empty string. */
+  def urlHost(url: Column): Column =
+    regexp_replace(lower(regexp_extract(trim(url), hostRe, 1)),
+      ":[0-9]+$", "")
+
+  /** Domain blocklist flagging — the robots/opt-out compliance gate a
+    * crawl pipeline runs before anything else touches a page. A doc is
+    * blocked when ANY dot-boundary suffix of its URL's host equals a
+    * blocklist pattern: `example.com` blocks `a.b.example.com` and
+    * `example.com` itself, but never `notexample.com` (label
+    * boundaries, not string suffixes). Patterns are matched lowercased
+    * and port-blind. Output is every input row plus a `blocked` flag —
+    * the audit-friendly form; filter `!blocked` for the gate itself.
+    *
+    * Scale shape: the host's label-suffix chain is generated scan-side
+    * (≤ label-count entries per URL — single digits) and equi-joined
+    * against the blocklist, which is broadcast-sized by nature (opt-out
+    * lists are rows of domains, not corpora) — so the only data-sized
+    * work is one scan plus a blocked-id set that is small by
+    * construction. Never a `LIKE '%…'` theta-join, which would be a
+    * broadcast NESTED-LOOP over patterns (the DuckDB oracle replays the
+    * semantics that way precisely because it is a different mechanism).
+    * Blank patterns are dropped (a non-URL row's empty host must not
+    * match anything). */
+  def domainBlocklistFilter(docs: DataFrame, urlCol: String, idCol: String,
+                            blocklist: DataFrame,
+                            patternCol: String): DataFrame = {
+    require(!docs.columns.contains("blocked"),
+      "input already has the reserved output column 'blocked'")
+    val labels = split(urlHost(col(urlCol)), "\\.")
+    val suffixes = transform(sequence(lit(0), size(col("__lbl")) - 1),
+      i => array_join(slice(col("__lbl"), i + 1, size(col("__lbl")) - i), "."))
+    val patterns = blocklist
+      .select(lower(trim(col(patternCol))).as("__sfx"))
+      .where(length(col("__sfx")) > 0).distinct()
+    val blockedIds = docs
+      .select(col(idCol), labels.as("__lbl"))
+      .select(col(idCol), explode(suffixes).as("__sfx"))
+      .join(broadcast(patterns), "__sfx")
+      .select(col(idCol)).distinct()
+    docs.join(blockedIds.withColumn("__b", lit(true)), Seq(idCol), "left")
+      .withColumn("blocked", coalesce(col("__b"), lit(false)))
+      .drop("__b")
+  }
 }

@@ -101,4 +101,68 @@ class SamplingPropertySpec extends AnyFunSuite with graft.SparkSpec {
       ScTest.Parameters.default.withMinSuccessfulTests(25), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("property: epochCappedMixture waterfill — no domain over the " +
+       "epoch cap, budget exactly spent when caps allow, driver model " +
+       "matches across partition layouts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def score(id: Long): String =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(8)
+    // a few domains of varied size; ids globally unique across domains
+    val genDomains: Gen[List[(String, List[(Long, Long)])]] = for {
+      k <- Gen.chooseNum(1, 5)
+      sizes <- Gen.listOfN(k, Gen.chooseNum(1, 12))
+    } yield {
+      var nextId = 0L
+      sizes.zipWithIndex.map { case (nd, di) =>
+        val docs = (1 to nd).map { _ =>
+          nextId += 1; (nextId, (nextId % 7) * 10 + 5) // 5..65 tokens
+        }.toList
+        (s"dom$di", docs)
+      }
+    }
+    val prop = Prop.forAll(genDomains, Gen.chooseNum(1, 9),
+        Gen.chooseNum(1, 6), Gen.chooseNum(1, 7)) {
+      (doms, tenths, epochsX, parts) =>
+        val maxEpochs = epochsX * 0.5 // 0.5 .. 3.0
+        val total = doms.flatMap(_._2).map(_._2).sum
+        val budget = total.toDouble * tenths / 10.0
+        // driver model: the same waterfill + threshold + copy rule
+        val totals = doms.map { case (d, ds) => (d, ds.map(_._2).sum) }
+          .sortBy { case (d, c) => (c, d) }
+        var remaining = budget
+        val k = totals.length
+        val rates = totals.zipWithIndex.map { case ((d, c), i) =>
+          val alloc = math.min(maxEpochs * c.toDouble, remaining / (k - i))
+          remaining -= alloc
+          (d, alloc / c.toDouble)
+        }.toMap
+        val model = doms.flatMap { case (d, ds) =>
+          val rate = rates(d)
+          val whole = math.floor(rate).toLong
+          val thr = Sampling.hexThreshold(rate - whole)
+          ds.flatMap { case (id, _) =>
+            val copies = whole + (if (score(id) < thr) 1L else 0L)
+            (0L until copies).map(e => (id, e))
+          }
+        }.toSet
+        val rows = doms.flatMap { case (d, ds) => ds.map { case (id, n) => (d, id, n) } }
+        val out = Sampling.epochCappedMixture(
+            rows.toDF("dom", "id", "n").repartition(parts),
+            "dom", "id", "n", budget, maxEpochs)
+          .select(col("id"), col("epoch")).as[(Long, Long)].collect().toSet
+        // cap respected: the allocation never exceeds maxEpochs per domain
+        val capOk = rates.values.forall(_ <= maxEpochs + 1e-12)
+        // budget spent exactly unless every domain capped first
+        val spent = budget - remaining
+        val allCapped = totals.forall { case (d, c) =>
+          rates(d) >= maxEpochs - 1e-12 }
+        val spendOk = allCapped || math.abs(spent - budget) < 1e-6
+        out == model && capOk && spendOk
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
