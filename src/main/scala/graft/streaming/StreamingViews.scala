@@ -1137,6 +1137,31 @@ object StreamingViews {
       .dropDuplicatesWithinWatermark(Seq("url_canon"))
   }
 
+  /** Streaming domain-blocklist gate — the robots/opt-out check a live
+    * crawl frontier runs before fetching: the streaming twin of
+    * [[graft.text.UrlOps.domainBlocklistFilter]]. Entirely STATELESS: the
+    * host's label-suffix chain is a scan-side HOF over the projected
+    * label array, and the verdict is one codegen `arrays_overlap` against
+    * the pattern list as an array literal (opt-out lists are rows of
+    * domains — driver-list-sized by nature; re-deploy the query to pick
+    * up list changes). No stream-static join, no watermark, no state
+    * store: the gate adds zero bytes of streaming state and cannot delay
+    * the frontier. Emits input columns plus `blocked` (append-safe — a
+    * flag never needs retracting); filter `!blocked` for the gate. Same
+    * matching rules as the batch form: lowercased, port-blind,
+    * dot-boundary suffixes only, blank patterns dropped. */
+  def streamingDomainBlocklist(docs: DataFrame, urlCol: String,
+                               patterns: Seq[String]): DataFrame = {
+    val pats = patterns.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+    val labels = split(graft.text.UrlOps.urlHost(col(urlCol)), "\\.")
+    val suffixes = transform(sequence(lit(0), size(col("__lbl")) - 1),
+      i => array_join(slice(col("__lbl"), i + 1, size(col("__lbl")) - i), "."))
+    docs.withColumn("__lbl", labels)
+      .withColumn("blocked",
+        arrays_overlap(suffixes, typedLit(pats)))
+      .drop("__lbl")
+  }
+
   /** One-shot catch-up run into a day-partitioned view — the streaming
     * equivalent of the reference's per-day batch loop. */
   def availableNowWriter(df: DataFrame, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =

@@ -1218,4 +1218,34 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
       assert(k2._4 === None && k2._5 === None && k2._7 === None)
     } finally q.stop()
   }
+
+  test("streamingDomainBlocklist is stateless and equals the batch gate") {
+    val dir = Files.createTempDirectory("graft_streambl").toString
+    val data = Seq(
+      (1L, "http://a.b.example.com/x"),
+      (2L, "https://www.example.com:443/y"),
+      (3L, "http://notexample.com/z"),
+      (4L, "https://clean.org/ok"),
+      (5L, "no url at all")
+    ).toDF("doc_id", "url")
+    data.write.parquet(s"$dir/in")
+    val patterns = Seq("Example.COM", "  ", "unused.net")
+    val stream = StreamingViews.fileStream(spark, s"$dir/in", data.schema)
+    val out = StreamingViews.streamingDomainBlocklist(stream, "url", patterns)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sbl").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sbl").select("doc_id", "blocked")
+        .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+      // batch twin over the same rows, same pattern list
+      val batch = graft.text.UrlOps.domainBlocklistFilter(
+          data, "url", "doc_id", patterns.toDF("pattern"), "pattern")
+        .select(col("doc_id"), col("blocked"))
+        .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+      assert(got === batch)
+      assert(got === Seq(1L -> true, 2L -> true, 3L -> false,
+        4L -> false, 5L -> false))
+    } finally q.stop()
+  }
 }

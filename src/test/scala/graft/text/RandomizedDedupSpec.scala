@@ -355,4 +355,37 @@ class RandomizedDedupSpec extends SparkSpec {
       assert(got === expect, s"round $round k=$k")
     }
   }
+
+  test("scrubContaminatedSpans matches the brute-force taint model on " +
+       "random corpora (interval union, per-mille gate)") {
+    val rnd = new scala.util.Random(505L)
+    for (round <- 1 to 3) {
+      val n = 2 + rnd.nextInt(3) // 2..4
+      val cap = Seq(0, 100, 500, 1000)(rnd.nextInt(4))
+      val corpus = randomDocs(rnd, 35)
+      val bench = randomDocs(rnd, 8).map(_._2)
+      // driver model: single-space split, bench n-gram set, every corpus
+      // position starting a bench gram taints [p, p+n-1]
+      def grams(toks: Array[String]): Seq[(Int, String)] =
+        if (toks.length < n) Seq.empty
+        else (0 to toks.length - n).map(p => p -> toks.slice(p, p + n).mkString(" "))
+      val benchSet = bench.flatMap(t => grams(t.split(" ", -1)).map(_._2)).toSet
+      val expect = corpus.map { case (id, t) =>
+        val toks = t.split(" ", -1)
+        val tainted = grams(toks).collect {
+          case (p, g) if benchSet(g) => p until (p + n)
+        }.flatten.toSet
+        val kept = toks.indices.filterNot(tainted)
+        val removed = toks.length - kept.size
+        id -> ((kept.map(toks).mkString(" "), removed.toLong, toks.length.toLong,
+          removed * 1000L <= cap.toLong * toks.length))
+      }.toMap
+      val got = Dedup.scrubContaminatedSpans(
+          corpus.toDF("doc_id", "text"), bench.toDF("text"),
+          "text", "doc_id", n, cap)
+        .as[(Long, String, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(got === expect, s"round $round n=$n cap=$cap")
+    }
+  }
 }
