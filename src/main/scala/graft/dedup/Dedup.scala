@@ -372,6 +372,19 @@ object Dedup {
           i => concat_ws(" ", slice(t, i, lit(n))))))
   }
 
+  /** Single-function MinHash key: the minimum md5 over a doc's n-gram
+    * [[shingles]] — docs sharing their rarest-hashing shingle (high-
+    * Jaccard docs usually do) get the SAME key. Used as a content-
+    * locality sort key (e.g. [[graft.text.Packing.packGreedyBy]]'s
+    * similarity-adjacent packing) rather than as a dedup verdict: one
+    * hash function is too coarse to decide similarity but plenty to
+    * cluster related docs adjacently. md5, not xxhash64, so an external
+    * engine replays the key exactly. `toks` must be a PROJECTED
+    * token-array column (the [[shingleDocs]] discipline — an inlined
+    * split re-evaluates per shingle). Scan-side, O(tokens·n). */
+  def minShingleKey(toks: Column, n: Int): Column =
+    array_min(transform(shingles(toks, n), s => md5(s)))
+
   /** (block..., id, sh) with tokens materialized in their own projection —
     * the lambda in `shingles` then reads an attribute, not a re-evaluated
     * split. The two selects stay separate (CollapseProject keeps non-cheap

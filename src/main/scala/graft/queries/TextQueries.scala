@@ -804,6 +804,22 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── similarity-adjacent ("in-context") packing: the q89 greedy
+    // map ordered by the min-shingle MinHash key instead of raw id, so
+    // docs sharing content land in the same context windows — the
+    // scalable approximation of retrieval-ordered pretraining batches.
+    // Key and order fully engine-replayable (md5 min over 3-gram
+    // shingles) ─────
+    "q234_semantic_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("text").isNotNull)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), size(col("__toks")).as("n"),
+          Dedup.minShingleKey(col("__toks"), 3).as("ck"))
+      Packing.packGreedyBy(docs, "doc_id", "n", 1024L,
+          Seq(col("ck"), col("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── packing-efficiency audit over the q89 map: per-sequence fill
     // → corpus padding waste, overflow count, integer fill rate — the
     // report a training run reads before committing a capacity ─────
@@ -1567,6 +1583,40 @@ object TextQueries {
       Tables.documents(s, d)
         .select(col("doc_id"),
           graft.text.HtmlOps.extractText(html).as("extracted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ───── robots-meta directives (page-level crawl opt-out): four
+    // deterministic tag variants — real noindex+nofollow, an
+    // upper-case single-quoted NOFOLLOW, a DESCRIPTION tag that
+    // mentions noindex (must NOT trip the gate — only robots-named tags
+    // are consulted), and content="index, follow" (word boundaries keep
+    // index/follow from reading as their negations) ─────
+    "q232_robots_meta" -> ((s, d) => {
+      val meta = when(col("doc_id") % 4 === 0,
+          lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+        .when(col("doc_id") % 4 === 1,
+          lit("<META NAME='ROBOTS' CONTENT='NOFOLLOW'>"))
+        .when(col("doc_id") % 4 === 2,
+          lit("<meta name=\"description\" content=\"noindex noarchive\">"))
+        .otherwise(lit("<meta name=\"robots\" content=\"index, follow\">"))
+      val html = concat(lit("<html><head>"), meta,
+        lit("</head><body><p>"), col("text"), lit("</p></body></html>"))
+      val sigs = graft.text.HtmlOps.robotsDirectives(html)
+      Tables.documents(s, d)
+        .select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ───── Flesch–Kincaid readability: a deterministic period after
+    // every 'sort' gives per-doc sentence variety on the punctuation-free
+    // synthetic text; counts exact-integer, grade in one fixed IEEE
+    // order so the oracle replays it bit-for-bit ─────
+    "q233_readability" -> ((s, d) => {
+      val punct = regexp_replace(col("text"), "sort", "sort.")
+      val sigs = graft.text.TextOps.readabilitySignals(punct)
+      Tables.documents(s, d)
+        .select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
         .orderBy(col("doc_id"))
     })
     ,
@@ -2845,6 +2895,29 @@ object TextQueries {
             FROM (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n
                   FROM documents WHERE text IS NOT NULL)
             WHERE n > 0)
+          SELECT doc_id, CAST(cum0 // 1024 AS BIGINT) AS seq,
+            CAST(cum0 - (cum0 // 1024) * 1024 AS BIGINT) AS seq_tok_start,
+            n AS n_tokens
+          FROM c ORDER BY doc_id""",
+
+    // the q89 recurrence under the (min-shingle-md5, id) order — the
+    // same shingle CTE shape as q67, keyed through md5 like hashScore
+    "q234_semantic_pack" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks
+                     FROM documents WHERE text IS NOT NULL),
+          k AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+                  list_min(list_transform(
+                    list_distinct(CASE WHEN len(toks) < 3
+                      THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1),
+                        i -> array_to_string(toks[i:i+2], ' ')) END),
+                    s -> md5(s))) AS ck
+                FROM t),
+          c AS (SELECT doc_id, n,
+                  CAST(COALESCE(SUM(n) OVER (ORDER BY ck, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum0
+                FROM k WHERE n > 0)
           SELECT doc_id, CAST(cum0 // 1024 AS BIGINT) AS seq,
             CAST(cum0 - (cum0 // 1024) * 1024 AS BIGINT) AS seq_tok_start,
             n AS n_tokens
@@ -4378,6 +4451,50 @@ object TextQueries {
             a.first_phrase, COALESCE(a.n_blocked, 0) > 0 AS blocked
           FROM documents d LEFT JOIN agg a USING (doc_id)
           ORDER BY d.doc_id""",
+    // the robots-meta chain replayed in RE2: meta-tag scan, robots-named
+    // filter, word-boundary directive tests — same regexes, same flags
+    "q232_robots_meta" ->
+      """WITH h AS (SELECT doc_id, concat('<html><head>',
+            CASE doc_id % 4
+              WHEN 0 THEN '<meta name="robots" content="noindex, nofollow">'
+              WHEN 1 THEN '<META NAME=''ROBOTS'' CONTENT=''NOFOLLOW''>'
+              WHEN 2 THEN '<meta name="description" content="noindex noarchive">'
+              ELSE '<meta name="robots" content="index, follow">' END,
+            '</head><body><p>', text, '</p></body></html>') AS html
+          FROM documents),
+          t AS (SELECT doc_id,
+                  regexp_extract_all(html, '(?i)<meta\b[^>]*>') AS tags
+                FROM h),
+          r AS (SELECT doc_id, list_filter(tags, x ->
+                  regexp_matches(x, '(?i)\bname\s*=\s*["'']?robots\b')) AS rt
+                FROM t)
+          SELECT doc_id,
+            len(list_filter(rt, x -> regexp_matches(x, '(?i)\bnoindex\b'))) > 0
+              AS noindex,
+            len(list_filter(rt, x -> regexp_matches(x, '(?i)\bnofollow\b'))) > 0
+              AS nofollow,
+            len(list_filter(rt, x -> regexp_matches(x, '(?i)\bnoarchive\b'))) > 0
+              AS noarchive
+          FROM r ORDER BY doc_id""",
+    // exact-integer counts, then the grade in the SAME fixed IEEE order
+    // as the operator: 0.39·(W/S) + 11.8·(Syl/W) − 15.59
+    "q233_readability" ->
+      """WITH p AS (SELECT doc_id,
+            regexp_replace(text, 'sort', 'sort.', 'g') AS t FROM documents),
+          tok AS (SELECT doc_id, t,
+            regexp_split_to_array(trim(t), '\s+') AS toks FROM p),
+          c AS (SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS w,
+            CAST(greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS BIGINT)
+              AS s,
+            CAST(list_sum(list_transform(toks, x ->
+              greatest(len(regexp_extract_all(lower(x), '[aeiouy]+')), 1)))
+              AS BIGINT) AS syl
+          FROM tok)
+          SELECT doc_id, w AS n_words, s AS n_sentences, syl AS n_syllables,
+            0.39 * (CAST(w AS DOUBLE) / s)
+              + 11.8 * (CAST(syl AS DOUBLE) / w) - 15.59 AS fk_grade
+          FROM c ORDER BY doc_id""",
     // the full extraction chain replayed in RE2 from the SAME pattern
     // constants and page template the operator uses: page synthesis,
     // invisible-content removal, block split, per-block word/anchor

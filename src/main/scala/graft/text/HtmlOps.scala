@@ -162,4 +162,31 @@ object HtmlOps {
           lit(maxLinkPerMille) * c.getField("n_words"))
     array_join(transform(kept, c => c.getField("text")), "\n")
   }
+
+  /** Robots-meta directives — the page-level opt-out a compliant crawl
+    * pipeline honors BEFORE any text reaches training data (the
+    * page-granular sibling of the domain blocklist): `<meta
+    * name="robots" …>` tags are located with one bounded regex, only
+    * tags actually NAMED robots are consulted (a description mentioning
+    * "noindex" must not trip the gate), and each directive is a
+    * word-boundary test inside those tags — so `content="index,
+    * follow"` never reads as noindex/nofollow. Case-insensitive
+    * throughout; attribute order and quote style are free. Named flags:
+    * `noindex`, `nofollow`, `noarchive`.
+    *
+    * Java∩RE2 regex discipline (the [[extractText]] contract): bounded
+    * `[^>]*` tag scans, `\b` word boundaries, inline `(?i)` — the
+    * oracle replays the chain verbatim. Scan-side only: one
+    * `regexp_extract_all` + array HOFs per page, no shuffle, streams
+    * unchanged. */
+  def robotsDirectives(html: Column): Seq[(String, Column)] = {
+    val tags = regexp_extract_all(html, lit("(?i)<meta\\b[^>]*>"), lit(0))
+    val robots = filter(tags, t =>
+      t.rlike("(?i)\\bname\\s*=\\s*[\"']?robots\\b"))
+    def has(flag: String): Column =
+      exists(robots, t => t.rlike(s"(?i)\\b$flag\\b"))
+    Seq("noindex" -> has("noindex"),
+      "nofollow" -> has("nofollow"),
+      "noarchive" -> has("noarchive"))
+  }
 }

@@ -149,12 +149,34 @@ object Packing {
     * no-split trade; pre-chunk with [[TextOps.chunkRows]] for a hard cap.
     * Zero/null-count documents are dropped (they occupy no tokens). */
   def packGreedy(docs: DataFrame, idCol: String, tokenCountCol: String,
-                 capacity: Long, shuffled: Boolean = false): DataFrame = {
+                 capacity: Long, shuffled: Boolean = false): DataFrame =
+    packGreedyBy(docs, idCol, tokenCountCol, capacity,
+      packOrder(idCol, shuffled))
+
+  /** [[packGreedy]] under a CALLER-SUPPLIED packing order — the hook for
+    * similarity-adjacent ("in-context") packing: order by a content key
+    * (e.g. [[graft.dedup.Dedup.minShingleKey]], a MinHash bucket, or a
+    * cluster id) and related documents land in the same context windows,
+    * the scalable approximation of in-context pretraining's
+    * retrieval-ordered batches. `orderCols` must be a TOTAL order — make
+    * the last key the unique id; ties would otherwise receive
+    * order-dependent sequence assignments. Same plan shape as
+    * [[packGreedy]]: the one range exchange the ordering needs anyway,
+    * per-partition windows, #partitions-row driver offsets. */
+  def packGreedyBy(docs: DataFrame, idCol: String, tokenCountCol: String,
+                   capacity: Long, orderCols: Seq[Column]): DataFrame = {
     require(capacity > 0, s"capacity must be positive: $capacity")
+    // evaluate the order keys ONCE into a narrow projection: the prefix
+    // sum localCheckpoints its range exchange, and a checkpoint blocks
+    // column pruning — carrying the caller's full row (text bodies!)
+    // through it would be a width regression
+    val keyed = orderCols.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }
     val counted = docs
-      .select(col(idCol), coalesce(col(tokenCountCol).cast("long"), lit(0L)).as("__n"))
+      .select(col(idCol) +: keyed :+
+        coalesce(col(tokenCountCol).cast("long"), lit(0L)).as("__n"): _*)
       .where(col("__n") > 0)
-    withExclusivePrefixSumBy(counted, packOrder(idCol, shuffled), col("__n"), "__cum0")
+    withExclusivePrefixSumBy(counted,
+        keyed.indices.map(i => col(s"__k$i")), col("__n"), "__cum0")
       .select(col(idCol),
         expr(s"__cum0 div ${capacity}L").as("seq"),
         (col("__cum0") - expr(s"__cum0 div ${capacity}L") * capacity).as("seq_tok_start"),

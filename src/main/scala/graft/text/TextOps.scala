@@ -100,6 +100,33 @@ object TextOps {
       (length(text) - length(replace(text, lit("�"), lit("")))).cast("long")
   )
 
+  /** Readability signals (Flesch–Kincaid grade): the classic
+    * syllable-rate readability score used as a quality/difficulty
+    * signal when stratifying pretraining text (and the backbone of
+    * "educational value" heuristics). Heuristics, stated plainly:
+    * a sentence is a run of `[.!?]` (min 1 per doc — headline-style
+    * fragments are one sentence, not zero); a word's syllables are its
+    * vowel GROUPS `[aeiouy]+` (min 1 — "rhythm" has a syllable, the
+    * English silent-e overcount is accepted noise at corpus scale).
+    * Counts are exact integers; the grade is the standard
+    * `0.39·(W/S) + 11.8·(Syl/W) − 15.59` computed in one fixed IEEE
+    * order, so an external engine replays it bit-for-bit. Scan-side:
+    * one regexp count for sentences + one O(tokens) fold for
+    * syllables; no shuffle. */
+  def readabilitySignals(text: Column): Seq[(String, Column)] = {
+    val t = tokens(text)
+    val words = size(t).cast("long")
+    val sentences =
+      greatest(regexp_count(text, lit("[.!?]+")), lit(1)).cast("long")
+    val syllables = aggregate(t, lit(0L), (acc, w) =>
+      acc + greatest(regexp_count(lower(w), lit("[aeiouy]+")), lit(1))
+        .cast("long"))
+    val grade = lit(0.39) * (words.cast("double") / sentences) +
+      lit(11.8) * (syllables.cast("double") / words) - lit(15.59)
+    Seq("n_words" -> words, "n_sentences" -> sentences,
+      "n_syllables" -> syllables, "fk_grade" -> grade)
+  }
+
   /** Language-ID by marker-word voting: score per language = count of
     * tokens in that language's marker set; argmax wins, ties broken by
     * alphabetical language code (deterministic). N-gram-free variant of the

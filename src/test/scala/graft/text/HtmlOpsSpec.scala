@@ -169,6 +169,58 @@ class HtmlOpsSpec extends SparkSpec {
       assert(got(id) === expected, s"cp=U+${Integer.toHexString(cp)}")
     }
   }
+
+  test("robotsDirectives: quote styles, attribute order, name traps, " +
+       "word boundaries") {
+    val cases = Seq(
+      // plain double-quoted, both directives
+      ("""<meta name="robots" content="noindex, nofollow">""",
+        (true, true, false)),
+      // upper case, single quotes, reversed attribute order
+      ("""<META CONTENT='NOARCHIVE' NAME='ROBOTS'>""",
+        (false, false, true)),
+      // unquoted name attribute
+      ("""<meta name=robots content="noindex">""", (true, false, false)),
+      // description tag mentioning directives must not trip the gate
+      ("""<meta name="description" content="noindex nofollow noarchive">""",
+        (false, false, false)),
+      // index/follow never read as their negations (word boundaries)
+      ("""<meta name="robots" content="index, follow, archive">""",
+        (false, false, false)),
+      // two robots tags union their directives
+      ("""<meta name="robots" content="noindex">""" +
+        """<meta name="robots" content="nofollow">""", (true, true, false)),
+      // no meta at all
+      ("<html><body><p>text</p></body></html>", (false, false, false)))
+    val df = cases.zipWithIndex
+      .map { case ((h, _), i) => (i.toLong, s"<html><head>$h</head></html>") }
+      .toDF("id", "h")
+    val sigs = HtmlOps.robotsDirectives(col("h"))
+    val got = df.select(col("id") +: sigs.map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    cases.zipWithIndex.foreach { case ((h, want), i) =>
+      assert(got(i.toLong) === want, s"case $i: $h")
+    }
+  }
+
+  test("readabilitySignals: hand-checked counts and grade") {
+    // "the cat sat. it ran away! done?" → 7 words, 3 sentences,
+    // syllables: the(1) cat(1) sat.(1) it(1) ran(1) away!(2: a, ay) done?(2: o, e)
+    val r = Seq("the cat sat. it ran away! done?").toDF("t")
+      .select(TextOps.readabilitySignals(col("t"))
+        .map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Long, Double)].head()
+    assert(r._1 === 7L && r._2 === 3L && r._3 === 9L)
+    val grade = 0.39 * (7.0 / 3) + 11.8 * (9.0 / 7) - 15.59
+    assert(r._4 === grade)
+    // vowel-less tokens still count one syllable; no punctuation → 1 sentence
+    val z = Seq("hmm pfft").toDF("t")
+      .select(TextOps.readabilitySignals(col("t"))
+        .map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Long, Double)].head()
+    assert(z === ((2L, 1L, 2L, 0.39 * 2 + 11.8 * (2.0 / 2) - 15.59)))
+  }
 }
 
 object HtmlOpsSpec {

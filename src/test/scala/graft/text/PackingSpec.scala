@@ -251,4 +251,36 @@ class PackingSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].head()
     assert(g._3 === 12L && g._4 === 0L && g._5 === g._1 * 8L - 12L)
   }
+
+  test("packGreedyBy: custom order co-locates a topic; id order scatters it") {
+    // two interleaved topics, 4 docs each, 4 tokens per doc, capacity 16:
+    // keyed by topic the pack puts each topic in ONE sequence; keyed by
+    // id the topics interleave across both sequences
+    val docs = Seq(
+      (1L, "a", 4L), (2L, "b", 4L), (3L, "a", 4L), (4L, "b", 4L),
+      (5L, "a", 4L), (6L, "b", 4L), (7L, "a", 4L), (8L, "b", 4L))
+      .toDF("id", "topic", "n")
+    val byTopic = Packing.packGreedyBy(docs, "id", "n", 16L,
+        Seq(col("topic"), col("id")))
+      .select(col("id"), col("seq")).as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 3L, 5L, 7L).map(byTopic).distinct.size === 1)
+    assert(Seq(2L, 4L, 6L, 8L).map(byTopic).distinct.size === 1)
+    assert(byTopic(1L) != byTopic(2L))
+    // the default order is the packGreedyBy(id) special case, verbatim
+    val a = Packing.packGreedy(docs, "id", "n", 16L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val b = Packing.packGreedyBy(docs, "id", "n", 16L, Seq(col("id")))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+    // minShingleKey: identical docs share the key; it is the md5 of the
+    // doc's minimum-hashing shingle (engine-replayable)
+    val keys = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "p q r s"))
+      .toDF("id", "t")
+      .select(col("id"), graft.text.TextOps.tokens(col("t")).as("__toks"))
+      .select(col("id"),
+        graft.dedup.Dedup.minShingleKey(col("__toks"), 3).as("k"))
+      .as[(Long, String)].collect().toMap
+    assert(keys(1L) === keys(2L)); assert(keys(1L) !== keys(3L))
+    assert(keys(1L).length === 32)
+  }
 }
