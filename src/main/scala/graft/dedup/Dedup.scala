@@ -1019,9 +1019,15 @@ object Dedup {
       !exists(hitArr, p => i >= p && i <= p + lit(n - 1)))
     corpus.select(col(idCol), toks.as("__toks"))
       .join(hits, Seq(idCol), "left")
+      // project the taint-check filter ONCE: referencing it from both
+      // clean_text and the count would run the O(tokens·hits) lambda
+      // twice per row (CollapseProject keeps multi-referenced non-cheap
+      // expressions un-inlined, so this projection survives planning)
+      .select(col(idCol), col("__toks"), keptToks.as("__kept"))
       .select(col(idCol),
-        concat_ws(" ", keptToks).as("clean_text"),
-        (size(col("__toks")) - size(keptToks)).cast("long").as("removed_tokens"),
+        concat_ws(" ", col("__kept")).as("clean_text"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long")
+          .as("removed_tokens"),
         size(col("__toks")).cast("long").as("total_tokens"))
       .withColumn("kept",
         col("removed_tokens") * 1000L <=

@@ -199,6 +199,8 @@ object Sampling {
                          maxEpochs: Double): DataFrame = {
     require(budgetTokens >= 0.0, s"budget must be non-negative: $budgetTokens")
     require(maxEpochs > 0.0, s"epoch cap must be positive: $maxEpochs")
+    require(!df.columns.contains("epoch"),
+      "input already has the reserved output column 'epoch'")
     val totals = df
       .select(col(domainCol).cast("string").as("__dom"),
         coalesce(col(tokenCountCol).cast("long"), lit(0L)).as("__n"))
