@@ -232,6 +232,54 @@ object Sampling {
       .drop("__dom", "__whole", "__thr", "__copies")
   }
 
+  /** Deterministic per-STEP mixture schedule (stride scheduling, the
+    * lottery-scheduling derivative Waldspurger & Weihl 1995 — and how a
+    * training loop actually CONSUMES a weighted mixture: "which source
+    * does batch t draw from?"). Source d with weight share w_d = c_d/Σc
+    * occupies the steps nearest its arithmetic sequence t_{d,k} =
+    * (k+1)/w_d: all sources' occurrence times merge-sort and the global
+    * rank is the step index. The merge's smoothness guarantee: after t
+    * steps each source's count is within 1 of w_d·T where T is the t-th
+    * smallest occurrence time and |T − t| ≤ #sources, so the prefix
+    * error is bounded by `1 + w_d·#sources` — a CONSTANT, where
+    * hash-Bernoulli draws drift O(√t). No source ever starves or
+    * bursts (property-pinned in SamplingPropertySpec).
+    *
+    * Deterministic and engine-replayable: shares are exact-integer
+    * counts over an exact-integer total, occurrence times one IEEE
+    * division each, ties (equal shares) break by source name.
+    *
+    * Scale shape: `counts` is the driver-side domain list (tens of
+    * rows, the [[temperatureMixture]] convention); occurrences explode
+    * to ~nSteps + #sources skinny rows, and the global rank is the
+    * DISTRIBUTED exclusive prefix sum (count-of-predecessors over a
+    * range exchange — [[graft.text.Packing.withExclusivePrefixSumBy]]),
+    * never a single-partition row_number. A 10⁷-step schedule is a
+    * 10⁷-row skinny frame through one exchange, materialized once per
+    * run. */
+  def mixtureSchedule(spark: org.apache.spark.sql.SparkSession,
+                      counts: Seq[(String, Long)], nSteps: Long): DataFrame = {
+    require(nSteps > 0, s"schedule length must be positive: $nSteps")
+    require(counts.nonEmpty, "mixtureSchedule needs at least one source")
+    require(counts.map(_._1).distinct.size == counts.size, "duplicate source names")
+    require(counts.forall(_._2 > 0), s"non-positive source count in $counts")
+    import spark.implicits._
+    val total = counts.map(_._2).sum
+    val wDf = counts.toDF("source", "__c")
+      .withColumn("__w", col("__c").cast("double") / lit(total.toDouble))
+    val occ = wDf
+      .select(col("source"), col("__w"),
+        explode(sequence(lit(0L),
+          ceil(col("__w") * nSteps).cast("long"))).as("__k"))
+      .select(col("source"),
+        ((col("__k") + 1).cast("double") / col("__w")).as("__t"))
+    graft.text.Packing
+      .withExclusivePrefixSumBy(occ, Seq(col("__t"), col("source")),
+        lit(1L), "step")
+      .where(col("step") < nSteps)
+      .select(col("step"), col("source"))
+  }
+
   /** Token-budget subsample: keep docs in hash order of `idCol` until the
     * running token total reaches `budget` (the first doc crossing the
     * budget is kept, so the result is the smallest hash-prefix set with

@@ -267,6 +267,21 @@ object RelationalQueries {
         .orderBy(col("doc_id"), col("epoch"))
     }),
 
+    // ───── deterministic per-step mixture schedule (stride scheduling):
+    // which lang does training batch t draw from, with every prefix of
+    // the schedule within 1 of each lang's token share — the smooth
+    // consumption order hash-Bernoulli draws (O(√t) prefix error) can't
+    // give. 200 steps over the langs' exact token shares ─────
+    "q235_mixture_schedule" -> ((s, d) => {
+      val counts = Tables.documents(s, d).where(col("lang").isNotNull)
+        .groupBy(col("lang"))
+        .agg(sum(graft.text.TextOps.tokenCount(col("text")).cast("long")).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortBy(_._1)
+      graft.ops.Sampling.mixtureSchedule(s, counts, nSteps = 200L)
+        .orderBy(col("step"))
+    }),
+
     // ───── deterministic 80/10/10 train/val/test split: md5-interval
     // labels, scan-side and growth-stable (a doc never migrates splits
     // when the corpus grows — the eval-hygiene property) ─────
@@ -1238,6 +1253,26 @@ object RelationalQueries {
          SELECT doc_id, lang, unnest(range(copies)) AS epoch
          FROM cop WHERE copies > 0
          ORDER BY doc_id, epoch""",
+    // replays stride scheduling relationally: per-source arithmetic
+    // occurrence times (one IEEE division each) merge-sorted, global
+    // row_number = step index — the oracle's single window IS the
+    // mechanism difference (Spark ranks via the distributed prefix sum)
+    "q235_mixture_schedule" ->
+      """WITH tot AS (SELECT lang AS source,
+              CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                AS BIGINT) AS c
+            FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+          w AS (SELECT source, CAST(c AS DOUBLE) /
+                  CAST((SELECT sum(c) FROM tot) AS DOUBLE) AS wt
+                FROM tot),
+          occ AS (SELECT source, (CAST(k AS DOUBLE) + 1) / wt AS t
+                  FROM w, unnest(range(CAST(ceil(wt * 200) AS BIGINT) + 1))
+                    AS u(k)),
+          r AS (SELECT source,
+                  row_number() OVER (ORDER BY t, source) - 1 AS step
+                FROM occ)
+          SELECT CAST(step AS BIGINT) AS step, source FROM r
+          WHERE step < 200 ORDER BY step""",
     // thresholds are the same round(p·2^32) hex rounding hashSplit uses
     "q100_split" ->
       s"""SELECT doc_id, lang,

@@ -165,4 +165,42 @@ class SamplingPropertySpec extends AnyFunSuite with graft.SparkSpec {
       ScTest.Parameters.default.withMinSuccessfulTests(25), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("property: mixtureSchedule is a permutation of steps with the " +
+       "stride-scheduling prefix bound (every prefix within ~1 of share)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val genCounts: Gen[List[Long]] = for {
+      k <- Gen.chooseNum(1, 6)
+      cs <- Gen.listOfN(k, Gen.chooseNum(1L, 500L))
+    } yield cs
+    val prop = Prop.forAll(genCounts, Gen.chooseNum(10L, 120L)) { (cs, n) =>
+      val counts = cs.zipWithIndex.map { case (c, i) => (s"s$i", c) }
+      val out = Sampling.mixtureSchedule(spark, counts, n)
+        .orderBy(col("step"))
+        .select(col("step"), col("source")).as[(Long, String)]
+        .collect().toSeq
+      val stepsOk = out.map(_._1) == (0L until n)
+      val total = cs.sum.toDouble
+      val k = counts.size
+      // the virtual-time merge's prefix bound: after t steps the t-th
+      // smallest occurrence time T satisfies |T − t| ≤ #sources (each
+      // source's count is within 1 of w_d·T and the counts sum to t),
+      // so |count_d(t) − w_d·t| ≤ 1 + w_d·#sources. The strict ≤1 bound
+      // belongs to SWRR, not to stride merging — (1,1,6) at step 5
+      // already drifts to 1.25.
+      val prefixOk = counts.forall { case (name, c) =>
+        val w = c / total
+        var seen = 0L
+        out.forall { case (step, src) =>
+          if (src == name) seen += 1
+          math.abs(seen - w * (step + 1)) <= 1.0 + w * k + 1e-9
+        }
+      }
+      stepsOk && prefixOk
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
