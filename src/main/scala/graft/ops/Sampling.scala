@@ -267,10 +267,16 @@ object Sampling {
     val total = counts.map(_._2).sum
     val wDf = counts.toDF("source", "__c")
       .withColumn("__w", col("__c").cast("double") / lit(total.toDouble))
+    // occurrences must cover virtual time T(nSteps) ≤ nSteps + #sources
+    // (each source is within 1 occurrence of w_d·T and counts sum to
+    // nSteps) — generating only ceil(w·nSteps) would starve the DOMINANT
+    // source of its last ~w·#sources steps and backfill them with other
+    // sources' later occurrences
+    val horizon = (nSteps + counts.size).toDouble
     val occ = wDf
       .select(col("source"), col("__w"),
         explode(sequence(lit(0L),
-          ceil(col("__w") * nSteps).cast("long"))).as("__k"))
+          ceil(col("__w") * horizon).cast("long"))).as("__k"))
       .select(col("source"),
         ((col("__k") + 1).cast("double") / col("__w")).as("__t"))
     graft.text.Packing

@@ -1266,8 +1266,9 @@ object RelationalQueries {
                   CAST((SELECT sum(c) FROM tot) AS DOUBLE) AS wt
                 FROM tot),
           occ AS (SELECT source, (CAST(k AS DOUBLE) + 1) / wt AS t
-                  FROM w, unnest(range(CAST(ceil(wt * 200) AS BIGINT) + 1))
-                    AS u(k)),
+                  FROM w, unnest(range(CAST(ceil(wt *
+                      (200 + (SELECT CAST(count(*) AS DOUBLE) FROM tot)))
+                    AS BIGINT) + 1)) AS u(k)),
           r AS (SELECT source,
                   row_number() OVER (ORDER BY t, source) - 1 AS step
                 FROM occ)

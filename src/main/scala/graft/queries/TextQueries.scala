@@ -1586,19 +1586,26 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // ───── robots-meta directives (page-level crawl opt-out): four
+    // ───── robots-meta directives (page-level crawl opt-out): six
     // deterministic tag variants — real noindex+nofollow, an
     // upper-case single-quoted NOFOLLOW, a DESCRIPTION tag that
     // mentions noindex (must NOT trip the gate — only robots-named tags
-    // are consulted), and content="index, follow" (word boundaries keep
-    // index/follow from reading as their negations) ─────
+    // are consulted), content="index, follow" (word boundaries keep
+    // index/follow from reading as their negations), a robots tag whose
+    // noindex sits in a DIFFERENT attribute (directives anchor to the
+    // content value), and data-name="robots" (attribute-name boundary:
+    // not a robots tag) ─────
     "q232_robots_meta" -> ((s, d) => {
-      val meta = when(col("doc_id") % 4 === 0,
+      val meta = when(col("doc_id") % 6 === 0,
           lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
-        .when(col("doc_id") % 4 === 1,
+        .when(col("doc_id") % 6 === 1,
           lit("<META NAME='ROBOTS' CONTENT='NOFOLLOW'>"))
-        .when(col("doc_id") % 4 === 2,
+        .when(col("doc_id") % 6 === 2,
           lit("<meta name=\"description\" content=\"noindex noarchive\">"))
+        .when(col("doc_id") % 6 === 3,
+          lit("<meta name=\"robots\" content=\"all\" data-note=\"noindex\">"))
+        .when(col("doc_id") % 6 === 4,
+          lit("<meta data-name=\"robots\" content=\"noindex\">"))
         .otherwise(lit("<meta name=\"robots\" content=\"index, follow\">"))
       val html = concat(lit("<html><head>"), meta,
         lit("</head><body><p>"), col("text"), lit("</p></body></html>"))
@@ -3960,9 +3967,10 @@ object TextQueries {
     "q231_domain_blocklist" ->
       s"""WITH u AS (SELECT doc_id, $messyUrlSql AS url FROM documents),
           h AS (SELECT doc_id,
-                  regexp_replace(lower(regexp_extract(trim(url),
-                    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
-                    ':[0-9]+$$', '') AS host
+                  regexp_replace(regexp_replace(regexp_replace(
+                    lower(regexp_extract(trim(url),
+                      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+                    '^[^@]*@', ''), ':[0-9]+$$', ''), '\\.+$$', '') AS host
                 FROM u),
           p AS (SELECT unnest(['src3.example.com', 'www.src7.example.com',
                   'example.net']) AS pat)
@@ -4451,31 +4459,44 @@ object TextQueries {
             a.first_phrase, COALESCE(a.n_blocked, 0) > 0 AS blocked
           FROM documents d LEFT JOIN agg a USING (doc_id)
           ORDER BY d.doc_id""",
-    // the robots-meta chain replayed in RE2: meta-tag scan, robots-named
-    // filter, word-boundary directive tests — same regexes, same flags
+    // the robots-meta chain replayed in RE2: meta-tag scan, boundary-
+    // anchored robots-name filter, content-VALUE extraction (one
+    // pattern per quote style), word-boundary directive tests — same
+    // regexes, same flags
     "q232_robots_meta" ->
       """WITH h AS (SELECT doc_id, concat('<html><head>',
-            CASE doc_id % 4
+            CASE doc_id % 6
               WHEN 0 THEN '<meta name="robots" content="noindex, nofollow">'
               WHEN 1 THEN '<META NAME=''ROBOTS'' CONTENT=''NOFOLLOW''>'
               WHEN 2 THEN '<meta name="description" content="noindex noarchive">'
+              WHEN 3 THEN '<meta name="robots" content="all" data-note="noindex">'
+              WHEN 4 THEN '<meta data-name="robots" content="noindex">'
               ELSE '<meta name="robots" content="index, follow">' END,
             '</head><body><p>', text, '</p></body></html>') AS html
           FROM documents),
           t AS (SELECT doc_id,
                   regexp_extract_all(html, '(?i)<meta\b[^>]*>') AS tags
                 FROM h),
-          r AS (SELECT doc_id, list_filter(tags, x ->
-                  regexp_matches(x, '(?i)\bname\s*=\s*["'']?robots\b')) AS rt
-                FROM t)
+          r AS (SELECT doc_id, list_filter(tags, x -> regexp_matches(x,
+                  '(?i)(^|[^\w-])name\s*=\s*["'']?robots\b')) AS rt
+                FROM t),
+          c AS (SELECT doc_id, list_transform(rt, x -> concat(
+                  regexp_extract(x,
+                    '(?i)(^|[^\w-])content\s*=\s*"([^"]*)"', 2),
+                  regexp_extract(x,
+                    '(?i)(^|[^\w-])content\s*=\s*''([^'']*)''', 2),
+                  regexp_extract(x,
+                    '(?i)(^|[^\w-])content\s*=\s*([^\s"''>][^\s>]*)', 2)))
+                  AS cv
+                FROM r)
           SELECT doc_id,
-            len(list_filter(rt, x -> regexp_matches(x, '(?i)\bnoindex\b'))) > 0
+            len(list_filter(cv, v -> regexp_matches(v, '(?i)\bnoindex\b'))) > 0
               AS noindex,
-            len(list_filter(rt, x -> regexp_matches(x, '(?i)\bnofollow\b'))) > 0
+            len(list_filter(cv, v -> regexp_matches(v, '(?i)\bnofollow\b'))) > 0
               AS nofollow,
-            len(list_filter(rt, x -> regexp_matches(x, '(?i)\bnoarchive\b'))) > 0
+            len(list_filter(cv, v -> regexp_matches(v, '(?i)\bnoarchive\b'))) > 0
               AS noarchive
-          FROM r ORDER BY doc_id""",
+          FROM c ORDER BY doc_id""",
     // exact-integer counts, then the grade in the SAME fixed IEEE order
     // as the operator: 0.39·(W/S) + 11.8·(Syl/W) − 15.59
     "q233_readability" ->

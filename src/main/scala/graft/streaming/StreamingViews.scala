@@ -1152,13 +1152,19 @@ object StreamingViews {
     * dot-boundary suffixes only, blank patterns dropped. */
   def streamingDomainBlocklist(docs: DataFrame, urlCol: String,
                                patterns: Seq[String]): DataFrame = {
-    val pats = patterns.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+    // Locale.ROOT, not the platform default: under tr_TR, "BIT.LY"
+    // would lowercase to a dotless-ı form that never matches the SQL
+    // lower() the batch gate (and the host itself) uses
+    val pats = patterns.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty).distinct
     val labels = split(graft.text.UrlOps.urlHost(col(urlCol)), "\\.")
     val suffixes = transform(sequence(lit(0), size(col("__lbl")) - 1),
       i => array_join(slice(col("__lbl"), i + 1, size(col("__lbl")) - i), "."))
     docs.withColumn("__lbl", labels)
+      // coalesce: a null URL must report blocked=false like the batch
+      // twin's left-join arm, not a NULL that a !blocked filter drops
       .withColumn("blocked",
-        arrays_overlap(suffixes, typedLit(pats)))
+        coalesce(arrays_overlap(suffixes, typedLit(pats)), lit(false)))
       .drop("__lbl")
   }
 

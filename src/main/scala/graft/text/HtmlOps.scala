@@ -181,10 +181,21 @@ object HtmlOps {
     * unchanged. */
   def robotsDirectives(html: Column): Seq[(String, Column)] = {
     val tags = regexp_extract_all(html, lit("(?i)<meta\\b[^>]*>"), lit(0))
+    // attribute names anchor on (^|[^\w-]): `data-name="robots"` must
+    // not read as a robots tag — and RE2 has no lookbehind, so the
+    // Java∩RE2 discipline forces the character-class form, not (?<!…)
     val robots = filter(tags, t =>
-      t.rlike("(?i)\\bname\\s*=\\s*[\"']?robots\\b"))
+      t.rlike("(?i)(^|[^\\w-])name\\s*=\\s*[\"']?robots\\b"))
+    // directives are tested against the CONTENT attribute's VALUE, not
+    // the whole tag: `content="all" data-note="noindex"` is not an
+    // opt-out. One extract per quote style (exactly one is non-empty;
+    // no content attribute ⇒ all empty ⇒ no flags).
+    def contentOf(t: Column): Column = concat(
+      regexp_extract(t, "(?i)(^|[^\\w-])content\\s*=\\s*\"([^\"]*)\"", 2),
+      regexp_extract(t, "(?i)(^|[^\\w-])content\\s*=\\s*'([^']*)'", 2),
+      regexp_extract(t, "(?i)(^|[^\\w-])content\\s*=\\s*([^\\s\"'>][^\\s>]*)", 2))
     def has(flag: String): Column =
-      exists(robots, t => t.rlike(s"(?i)\\b$flag\\b"))
+      exists(robots, t => contentOf(t).rlike(s"(?i)\\b$flag\\b"))
     Seq("noindex" -> has("noindex"),
       "nofollow" -> has("nofollow"),
       "noarchive" -> has("noarchive"))

@@ -84,14 +84,24 @@ object UrlOps {
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).cast("long").as("n_urls"))
 
-  /** Lowercased host of an absolute URL with any port stripped — the
-    * domain-blocklist key. `www.` is KEPT (unlike [[canonicalizeUrl]]):
-    * blocklist patterns decide their own depth, and a pattern for
-    * `example.com` reaches the `www.` form through suffix matching
-    * anyway. Non-URLs (no `scheme://`) yield the empty string. */
+  /** Lowercased host of an absolute URL with userinfo, any port, and
+    * trailing dots stripped — the domain-blocklist key. A compliance
+    * gate must not be evadable by trivially equivalent authority forms:
+    * `http://user@evil.com/` and the FQDN `http://evil.com./` both
+    * resolve to evil.com, so both must yield the same key (an
+    * unstripped `user@evil.com` has no `evil.com` label suffix and
+    * would walk straight through the gate). `www.` is KEPT (unlike
+    * [[canonicalizeUrl]]): blocklist patterns decide their own depth,
+    * and a pattern for `example.com` reaches the `www.` form through
+    * suffix matching anyway. Non-URLs (no `scheme://`) yield the empty
+    * string. */
   def urlHost(url: Column): Column =
-    regexp_replace(lower(regexp_extract(trim(url), hostRe, 1)),
-      ":[0-9]+$", "")
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(regexp_extract(trim(url), hostRe, 1)),
+          "^[^@]*@", ""),
+        ":[0-9]+$", ""),
+      "\\.+$", "")
 
   /** Domain blocklist flagging — the robots/opt-out compliance gate a
     * crawl pipeline runs before anything else touches a page. A doc is

@@ -181,6 +181,16 @@ class SamplingPropertySpec extends AnyFunSuite with graft.SparkSpec {
         .select(col("step"), col("source")).as[(Long, String)]
         .collect().toSeq
       val stepsOk = out.map(_._1) == (0L until n)
+      // EXACT driver model of the full (untruncated) merge: the operator
+      // must equal the first n of ALL occurrence times sorted by (t, d)
+      // — this is what catches occurrence under-generation (a horizon of
+      // ceil(w·n) starves the dominant source of its last ~w·K steps)
+      val model = counts.flatMap { case (d, c) =>
+        val w = c.toDouble / cs.sum.toDouble
+        // generously over-generate for the model; the operator may not
+        (0L until (n + 10)).map(k => ((k + 1).toDouble / w, d))
+      }.sortBy(identity).take(n.toInt).map(_._2)
+      val modelOk = out.map(_._2) == model
       val total = cs.sum.toDouble
       val k = counts.size
       // the virtual-time merge's prefix bound: after t steps the t-th
@@ -197,7 +207,7 @@ class SamplingPropertySpec extends AnyFunSuite with graft.SparkSpec {
           math.abs(seen - w * (step + 1)) <= 1.0 + w * k + 1e-9
         }
       }
-      stepsOk && prefixOk
+      stepsOk && modelOk && prefixOk
     }
     val res = ScTest.check(
       ScTest.Parameters.default.withMinSuccessfulTests(25), prop)

@@ -1226,7 +1226,8 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
       (2L, "https://www.example.com:443/y"),
       (3L, "http://notexample.com/z"),
       (4L, "https://clean.org/ok"),
-      (5L, "no url at all")
+      (5L, "no url at all"),
+      (6L, null.asInstanceOf[String]) // null URL: blocked=false, never NULL
     ).toDF("doc_id", "url")
     data.write.parquet(s"$dir/in")
     val patterns = Seq("Example.COM", "  ", "unused.net")
@@ -1245,7 +1246,7 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
         .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
       assert(got === batch)
       assert(got === Seq(1L -> true, 2L -> true, 3L -> false,
-        4L -> false, 5L -> false))
+        4L -> false, 5L -> false, 6L -> false))
     } finally q.stop()
   }
 }

@@ -187,6 +187,14 @@ class HtmlOpsSpec extends SparkSpec {
       // index/follow never read as their negations (word boundaries)
       ("""<meta name="robots" content="index, follow, archive">""",
         (false, false, false)),
+      // directive in a NON-content attribute of a robots tag: no opt-out
+      ("""<meta name="robots" content="all" data-note="noindex">""",
+        (false, false, false)),
+      // data-name is not a name attribute (RE2-safe boundary, no lookbehind)
+      ("""<meta data-name="robots" content="noindex">""",
+        (false, false, false)),
+      // unquoted content value
+      ("""<meta name=robots content=noindex,nofollow>""", (true, true, false)),
       // two robots tags union their directives
       ("""<meta name="robots" content="noindex">""" +
         """<meta name="robots" content="nofollow">""", (true, true, false)),

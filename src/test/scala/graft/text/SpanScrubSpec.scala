@@ -52,11 +52,8 @@ class SpanScrubSpec extends SparkSpec {
 
   test("per-mille gate is integer-exact at the boundary") {
     // 1 of 10 tokens removed = exactly 100 per-mille: kept at cap 100,
-    // dropped at cap 99 (strict integer compare, no float rounding)
-    val corpus = Seq(1L -> "S1 S2 S3 z1 z2 z3 z4 z5 z6 z7")
-    val bench = Seq("S1 S2 S3")
-    // n=3 taints exactly positions 0-2... that's 3 tokens; use a 1-token
-    // cut instead: n=1 on a single shared token
+    // dropped at cap 99 (strict integer compare, no float rounding) —
+    // n=1 so the cut is exactly one token
     val one = scrub(Seq(1L -> "S z1 z2 z3 z4 z5 z6 z7 z8 z9"), Seq("S"),
       n = 1, cap = 100)
     assert(one.head._2 === 1L && one.head._4 === true)

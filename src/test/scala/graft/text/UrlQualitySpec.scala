@@ -269,11 +269,15 @@ class UrlQualitySpec extends SparkSpec {
     assert(sig("\u00C3\u00A9\u00C3\u00A9\u00C3\u00A9") === ((3L, 0L, 0L)))
   }
 
-  test("urlHost: lowercase, any port stripped, www kept, non-URL empty") {
+  test("urlHost: lowercase, port/userinfo/trailing-dot stripped, www kept, " +
+       "non-URL empty") {
     val r = Seq("HTTP://WWW.Ex.COM:80/a", "https://ex.com:8443/x?q=1",
-        "http://a.b.ex.com#f", "not a url")
+        "http://a.b.ex.com#f", "not a url",
+        // evasion forms a compliance gate must normalize away:
+        "http://user:pw@Evil.COM:8080/x", "https://evil.com./x")
       .toDF("u").select(UrlOps.urlHost(col("u"))).as[String].collect().toSeq
-    assert(r === Seq("www.ex.com", "ex.com", "a.b.ex.com", ""))
+    assert(r === Seq("www.ex.com", "ex.com", "a.b.ex.com", "",
+      "evil.com", "evil.com"))
   }
 
   test("domainBlocklistFilter: label-boundary suffixes, depth, no substring traps") {
@@ -283,7 +287,9 @@ class UrlQualitySpec extends SparkSpec {
       (3L, "http://notexample.com/x"),      // substring, NOT a suffix
       (4L, "https://www.deep.org:443/x"),   // www-specific pattern hits
       (5L, "https://deep.org/x"),           // bare form NOT hit by www. pattern
-      (6L, "no url here")                   // empty host never matches
+      (6L, "no url here"),                  // empty host never matches
+      (7L, "http://u:p@example.com/x"),     // userinfo must not evade the gate
+      (8L, "http://example.com./x")         // nor the trailing-dot FQDN form
     ).toDF("doc_id", "url")
     val bl = Seq("example.com", "www.deep.org", "  UNUSED.NET  ", "")
       .toDF("pattern")
@@ -291,10 +297,10 @@ class UrlQualitySpec extends SparkSpec {
       .orderBy(col("doc_id"))
       .select(col("doc_id"), col("blocked")).as[(Long, Boolean)].collect().toSeq
     assert(r === Seq(1L -> true, 2L -> true, 3L -> false, 4L -> true,
-      5L -> false, 6L -> false))
+      5L -> false, 6L -> false, 7L -> true, 8L -> true))
     // rows and columns pass through: audit form keeps every input row
     val out = UrlOps.domainBlocklistFilter(docs, "url", "doc_id", bl, "pattern")
-    assert(out.count() === 6 && out.columns.toSeq === Seq("doc_id", "url", "blocked"))
+    assert(out.count() === 8 && out.columns.toSeq === Seq("doc_id", "url", "blocked"))
     // reserved output column is a loud error, not a silent overwrite
     val clash = docs.withColumn("blocked", lit(true))
     assertThrows[IllegalArgumentException] {
