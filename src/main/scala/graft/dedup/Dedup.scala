@@ -172,10 +172,14 @@ object Dedup {
     * (standard daily-ingest discipline — the history state already
     * counted its own docs; overlapping ids would double-count presence).
     * The aggregated state carries no doc ids, so disjointness is NOT
-    * checkable here — get it structurally instead: ingest day-keyed
-    * batches and build history strictly from earlier days
+    * checkable from the state — get it structurally instead: ingest
+    * day-keyed batches and build history strictly from earlier days
     * ([[graft.jobs.HistoryStateJob]] / [[graft.jobs.DailyCorpusJob]]'s
     * `day <` read), which makes overlap impossible by construction.
+    * When the caller DOES hold the history's doc-id set, pass it as
+    * `assertDisjointWith` and misuse fails loudly: one semi-join count
+    * (debug-run discipline — the check costs a join over the id
+    * columns, so it is opt-in, not always-on).
     *
     * Scale: the history state is bucket×distinct-paragraph sized — tiny
     * next to the corpus and mergeable with one union+groupBy-sum; the
@@ -184,10 +188,23 @@ object Dedup {
                                 historySizes: DataFrame, textCol: String,
                                 idCol: String, groupCol: String,
                                 maxDocPerMille: Int = 500,
-                                minDocs: Long = 4L): DataFrame = {
+                                minDocs: Long = 4L,
+                                assertDisjointWith: Option[DataFrame] = None): DataFrame = {
     require(maxDocPerMille >= 0 && maxDocPerMille <= 1000,
       s"maxDocPerMille out of range: $maxDocPerMille")
     require(minDocs >= 1L, s"minDocs must be positive: $minDocs")
+    assertDisjointWith.foreach { historyIds =>
+      val overlap = batch.select(col(idCol))
+        .join(historyIds.select(col(idCol)), Seq(idCol), "left_semi")
+        .limit(5).collect().map(_.get(0))
+      require(overlap.isEmpty,
+        s"history/batch doc sets overlap on '$idCol' (e.g. " +
+          s"${overlap.mkString(", ")}); the history state already counted " +
+          "those docs — an overlapping batch double-counts presence and " +
+          "over-strips. Ingest disjoint day-keyed batches " +
+          "(graft.jobs.HistoryStateJob builds history from strictly " +
+          "earlier days)")
+    }
     val g = col(groupCol)
     val paras = paragraphRows(batch, textCol, idCol, Seq(groupCol))
     val batchPresence = presenceFromParas(paras, idCol, groupCol)

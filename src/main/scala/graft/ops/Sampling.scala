@@ -193,20 +193,38 @@ object Sampling {
     *
     * Domains with a null key or a non-positive token total are excluded
     * (nothing to allocate); a null `idCol` hash never wins a Bernoulli
-    * draw, so such rows appear exactly ⌊rate⌋ times. */
+    * draw, so such rows appear exactly ⌊rate⌋ times.
+    *
+    * `domainCol` means mixture SOURCES (wiki, books, code, crawl-snapshot
+    * …) — tens to thousands of values, NOT registrable web domains: the
+    * waterfill is a driver fold over one row per domain, so a
+    * crawl-scale key (10⁶–10⁷ hosts) would silently become a
+    * driver-memory bottleneck. `maxDomains` makes that misuse loud
+    * instead; raise it (with driver heap) only when the key really is a
+    * bounded source list. */
   def epochCappedMixture(df: DataFrame, domainCol: String, idCol: String,
                          tokenCountCol: String, budgetTokens: Double,
-                         maxEpochs: Double): DataFrame = {
+                         maxEpochs: Double, maxDomains: Int = 10000): DataFrame = {
     require(budgetTokens >= 0.0, s"budget must be non-negative: $budgetTokens")
     require(maxEpochs > 0.0, s"epoch cap must be positive: $maxEpochs")
     require(!df.columns.contains("epoch"),
       "input already has the reserved output column 'epoch'")
-    val totals = df
+    // limit(maxDomains+1): the guard must fire BEFORE a crawl-scale key
+    // can materialize 10⁷ rows on the driver, so cap the collect itself
+    val domRows = df
       .select(col(domainCol).cast("string").as("__dom"),
         coalesce(col(tokenCountCol).cast("long"), lit(0L)).as("__n"))
       .where(col("__dom").isNotNull)
       .groupBy(col("__dom")).agg(sum(col("__n")).as("__c"))
+      .limit(maxDomains + 1)
       .collect()
+    require(domRows.length <= maxDomains,
+      s"'$domainCol' has more than maxDomains=$maxDomains distinct values; " +
+        "epochCappedMixture's waterfill is a driver fold over one row per " +
+        "domain — it expects mixture SOURCES, not registrable web domains. " +
+        "Raise maxDomains (with driver heap) only for a genuinely bounded " +
+        "source list")
+    val totals = domRows
       .map(r => (r.getString(0), r.getLong(1)))
       .filter(_._2 > 0L)
       .sortBy { case (d, c) => (c, d) }

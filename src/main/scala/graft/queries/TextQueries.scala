@@ -1170,13 +1170,25 @@ object TextQueries {
     // domains block their whole subtree via the label-suffix chain —
     // src3.example.com catches both the www. and bare hosts, the
     // www-specific pattern catches ONLY www-form doc ids, example.net
-    // catches nothing; ports are blind. Spark joins the exploded suffix
+    // catches nothing; ports are blind. Adversarial authorities ride
+    // in-query (the q232 fixture pattern): a multi-'@' userinfo plus a
+    // trailing-dot FQDN (%7==3) must still be caught — WHATWG takes the
+    // host from after the LAST '@', so a first-'@' strip walks straight
+    // through the gate — and a host-shaped userinfo in front of a clean
+    // host (%7==5) must NOT block. Spark joins the exploded suffix
     // chain against the broadcast list; the oracle replays the SEMANTICS
     // with suffix LIKE tests (a different mechanism on purpose) ─────
     "q231_domain_blocklist" -> ((s, d) => {
       val s_ = s; import s_.implicits._
+      val advUrl = when(col("doc_id") % 7 === 3,
+          concat(lit("http://user@p:w@"), upper(col("source")),
+            lit(".example.com./x")))
+        .when(col("doc_id") % 7 === 5,
+          concat(lit("https://"), upper(col("source")),
+            lit(".example.com@example.org/y")))
+        .otherwise(messyUrl)
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), messyUrl.as("url"))
+        .select(col("doc_id"), advUrl.as("url"))
       val bl = Seq("src3.example.com", "www.src7.example.com", "example.net")
         .toDF("pattern")
       graft.text.UrlOps.domainBlocklistFilter(docs, "url", "doc_id",
@@ -3963,14 +3975,23 @@ object TextQueries {
     // canonical-key group: keeper = min doc_id, collapse count
     // replays domainBlocklistFilter's SEMANTICS, not its mechanism: the
     // Spark side equi-joins the exploded label-suffix chain; the oracle
-    // tests host = pattern OR host LIKE '%.' || pattern per pattern
+    // tests host = pattern OR host LIKE '%.' || pattern per pattern.
+    // Userinfo strips to the LAST '@' (WHATWG) on both engines; the
+    // %7==3/%7==5 adversarial authorities mirror the Spark query
     "q231_domain_blocklist" ->
-      s"""WITH u AS (SELECT doc_id, $messyUrlSql AS url FROM documents),
+      s"""WITH u AS (SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 3
+                    THEN concat('http://user@p:w@', upper(source),
+                      '.example.com./x')
+                  WHEN doc_id % 7 = 5
+                    THEN concat('https://', upper(source),
+                      '.example.com@example.org/y')
+                  ELSE $messyUrlSql END AS url FROM documents),
           h AS (SELECT doc_id,
                   regexp_replace(regexp_replace(regexp_replace(
                     lower(regexp_extract(trim(url),
                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
-                    '^[^@]*@', ''), ':[0-9]+$$', ''), '\\.+$$', '') AS host
+                    '^.*@', ''), ':[0-9]+$$', ''), '\\.+$$', '') AS host
                 FROM u),
           p AS (SELECT unnest(['src3.example.com', 'www.src7.example.com',
                   'example.net']) AS pat)

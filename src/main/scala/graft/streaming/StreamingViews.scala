@@ -1152,11 +1152,21 @@ object StreamingViews {
     * dot-boundary suffixes only, blank patterns dropped. */
   def streamingDomainBlocklist(docs: DataFrame, urlCol: String,
                                patterns: Seq[String]): DataFrame = {
-    // Locale.ROOT, not the platform default: under tr_TR, "BIT.LY"
-    // would lowercase to a dotless-ı form that never matches the SQL
-    // lower() the batch gate (and the host itself) uses
-    val pats = patterns.map(_.trim.toLowerCase(java.util.Locale.ROOT))
-      .filter(_.nonEmpty).distinct
+    // same loud guard as the batch twin — "same matching rules as the
+    // batch form" includes not silently overwriting caller columns
+    require(!docs.columns.contains("blocked"),
+      "input already has the reserved output column 'blocked'")
+    require(!docs.columns.contains("__lbl"),
+      "input already has the reserved intermediate column '__lbl'")
+    // patterns normalize through the SAME SQL lower(trim(...)) the batch
+    // gate applies — inside the expression, not Java trim/toLowerCase:
+    // SQL trim strips only U+0020 while String.trim eats all controls,
+    // and SQL lower's one-to-one mapping differs from Java's full
+    // casefold on e.g. dotted-capital İ — either gap would break the
+    // pinned batch==streaming equality on non-ASCII patterns
+    val pats = array_distinct(filter(
+      transform(typedLit(patterns), p => lower(trim(p))),
+      p => length(p) > 0))
     val labels = split(graft.text.UrlOps.urlHost(col(urlCol)), "\\.")
     val suffixes = transform(sequence(lit(0), size(col("__lbl")) - 1),
       i => array_join(slice(col("__lbl"), i + 1, size(col("__lbl")) - i), "."))
@@ -1164,7 +1174,7 @@ object StreamingViews {
       // coalesce: a null URL must report blocked=false like the batch
       // twin's left-join arm, not a NULL that a !blocked filter drops
       .withColumn("blocked",
-        coalesce(arrays_overlap(suffixes, typedLit(pats)), lit(false)))
+        coalesce(arrays_overlap(suffixes, pats), lit(false)))
       .drop("__lbl")
   }
 

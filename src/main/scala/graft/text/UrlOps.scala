@@ -90,7 +90,11 @@ object UrlOps {
     * `http://user@evil.com/` and the FQDN `http://evil.com./` both
     * resolve to evil.com, so both must yield the same key (an
     * unstripped `user@evil.com` has no `evil.com` label suffix and
-    * would walk straight through the gate). `www.` is KEPT (unlike
+    * would walk straight through the gate). Userinfo strips GREEDILY to
+    * the LAST `@` — WHATWG URL parsing takes the host from after the
+    * last `@` of the authority, so `http://a@b@evil.com/` is evil.com
+    * too; a first-`@` strip would leave `b@evil.com` and reopen the
+    * evasion. `www.` is KEPT (unlike
     * [[canonicalizeUrl]]): blocklist patterns decide their own depth,
     * and a pattern for `example.com` reaches the `www.` form through
     * suffix matching anyway. Non-URLs (no `scheme://`) yield the empty
@@ -99,7 +103,7 @@ object UrlOps {
     regexp_replace(
       regexp_replace(
         regexp_replace(lower(regexp_extract(trim(url), hostRe, 1)),
-          "^[^@]*@", ""),
+          "^.*@", ""),
         ":[0-9]+$", ""),
       "\\.+$", "")
 

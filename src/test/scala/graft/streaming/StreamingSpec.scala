@@ -1249,4 +1249,36 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
         4L -> false, 5L -> false, 6L -> false))
     } finally q.stop()
   }
+
+  test("streamingDomainBlocklist: reserved-column guard and non-ASCII " +
+       "pattern normalization match the batch twin") {
+    val data = Seq((1L, "http://evil.com/x")).toDF("doc_id", "url")
+    // reserved output/intermediate columns fail loudly, like the batch gate
+    assertThrows[IllegalArgumentException] {
+      StreamingViews.streamingDomainBlocklist(
+        data.withColumn("blocked", lit(true)), "url", Seq("evil.com"))
+    }
+    assertThrows[IllegalArgumentException] {
+      StreamingViews.streamingDomainBlocklist(
+        data.withColumn("__lbl", lit("x")), "url", Seq("evil.com"))
+    }
+    // non-ASCII patterns: dotted-capital İ (U+0130) and NBSP/control
+    // padding must normalize identically on both engines — both twins
+    // now run SQL lower(trim(...)), so the verdicts agree row-for-row
+    val docs = Seq(
+      (1L, "http://i̇stanbul.example/x"), // SQL lower(İ) = i+combining-dot
+      (2L, "http://evil.com/x"),
+      (3L, "http://clean.org/x")
+    ).toDF("doc_id", "url")
+    val tricky = Seq("İSTANBUL.example", " evil.com ", "\tevil.com ")
+    val streamed = StreamingViews
+      .streamingDomainBlocklist(docs, "url", tricky)
+      .select(col("doc_id"), col("blocked"))
+      .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+    val batch = graft.text.UrlOps.domainBlocklistFilter(
+        docs, "url", "doc_id", tricky.toDF("pattern"), "pattern")
+      .select(col("doc_id"), col("blocked"))
+      .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(streamed === batch)
+  }
 }

@@ -112,4 +112,20 @@ class SpanScrubSpec extends SparkSpec {
       .select(col("id")).as[Long].collect().toSeq
     assert(out.forall(_ === 1L) && out.nonEmpty)
   }
+
+  test("unimax maxDomains guard: a crawl-scale domain key fails loudly, " +
+       "not as a silent driver-memory bottleneck") {
+    val df = (1L to 50L).map(i => (s"host$i.example", i, 10L))
+      .toDF("dom", "id", "n")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.epochCappedMixture(df, "dom", "id", "n", 100.0, 2.0,
+        maxDomains = 40).collect()
+    }
+    assert(e.getMessage.contains("maxDomains") &&
+      e.getMessage.contains("mixture SOURCES"))
+    // at or under the cap the waterfill proceeds unchanged
+    val ok = Sampling.epochCappedMixture(df, "dom", "id", "n", 1000.0, 2.0,
+      maxDomains = 50)
+    assert(ok.select(col("dom")).distinct().count() === 50L)
+  }
 }

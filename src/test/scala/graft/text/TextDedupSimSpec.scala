@@ -975,6 +975,35 @@ class TextDedupSimSpec extends SparkSpec {
     assert(solo === Map(11L -> 0L, 12L -> 0L, 13L -> 0L))
   }
 
+  test("stripTemplatesIncremental: opt-in disjointness guard makes an " +
+      "overlapping batch fail loudly instead of double-counting") {
+    val history = Seq(
+      (1L, "A", "BANNER\n\nold one"), (2L, "A", "BANNER\n\nold two")
+    ).toDF("doc_id", "source", "text")
+    val (hp, hs) = Dedup.templateState(history, "text", "doc_id", "source")
+    // doc 2 is in BOTH history and batch — the misuse the contract forbids
+    val overlapping = Seq(
+      (2L, "A", "BANNER\n\nold two"), (11L, "A", "BANNER\n\nnew body")
+    ).toDF("doc_id", "source", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.stripTemplatesIncremental(overlapping, hp, hs,
+        "text", "doc_id", "source",
+        assertDisjointWith = Some(history.select(col("doc_id")))).collect()
+    }
+    assert(e.getMessage.contains("overlap") && e.getMessage.contains("2"))
+    // a genuinely disjoint batch passes with the guard on, same result
+    val disjoint = Seq((11L, "A", "BANNER\n\nnew body"))
+      .toDF("doc_id", "source", "text")
+    val guarded = Dedup.stripTemplatesIncremental(disjoint, hp, hs,
+        "text", "doc_id", "source",
+        assertDisjointWith = Some(history.select(col("doc_id"))))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val unguarded = Dedup.stripTemplatesIncremental(disjoint, hp, hs,
+        "text", "doc_id", "source")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(guarded === unguarded)
+  }
+
   test("paragraphDedupeIncremental: history paragraphs drop, batch dedupes within itself") {
     val hist = Seq((100L, "seen before\n\nalso seen")).toDF("doc_id", "text")
     val batch = Seq(

@@ -274,10 +274,28 @@ class UrlQualitySpec extends SparkSpec {
     val r = Seq("HTTP://WWW.Ex.COM:80/a", "https://ex.com:8443/x?q=1",
         "http://a.b.ex.com#f", "not a url",
         // evasion forms a compliance gate must normalize away:
-        "http://user:pw@Evil.COM:8080/x", "https://evil.com./x")
+        "http://user:pw@Evil.COM:8080/x", "https://evil.com./x",
+        // WHATWG: host is after the LAST '@' of the authority — a
+        // multi-'@' userinfo must not leave an '@' in the key …
+        "http://a@b@Evil.com/x", "http://x@y:1@evil.com.:443/p",
+        // … and a host-SHAPED userinfo must not shadow the real host
+        "https://evil.com@innocent.org/y")
       .toDF("u").select(UrlOps.urlHost(col("u"))).as[String].collect().toSeq
     assert(r === Seq("www.ex.com", "ex.com", "a.b.ex.com", "",
-      "evil.com", "evil.com"))
+      "evil.com", "evil.com", "evil.com", "evil.com", "innocent.org"))
+  }
+
+  test("domainBlocklistFilter: multi-'@' authority cannot evade the gate") {
+    val docs = Seq(
+      (1L, "http://a@b@evil.com/x"),          // ADVICE evasion form
+      (2L, "http://u@p:w@evil.com.:80/x"),    // + port + trailing dot
+      (3L, "https://evil.com@clean.org/y")    // userinfo is NOT the host
+    ).toDF("doc_id", "url")
+    val bl = Seq("evil.com").toDF("pattern")
+    val r = UrlOps.domainBlocklistFilter(docs, "url", "doc_id", bl, "pattern")
+      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("blocked")).as[(Long, Boolean)].collect().toSeq
+    assert(r === Seq(1L -> true, 2L -> true, 3L -> false))
   }
 
   test("domainBlocklistFilter: label-boundary suffixes, depth, no substring traps") {
