@@ -301,14 +301,20 @@ object RelationalQueries {
     // Null text coalesces to a per-doc sentinel key on BOTH engines, so
     // null-text docs are singleton clusters everywhere (a bare equi-join
     // on the prefix would drop them from pairs while SQL's PARTITION BY
-    // groups all NULLs into one cluster — a latent divergence) ─────
+    // groups all NULLs into one cluster — a latent divergence). The
+    // fixture corpus has no null/empty text, so the gate INJECTS both
+    // in-query (the q232 adversarial pattern, %11 of ids): nulls must
+    // come out singletons, empty strings one shared cluster ─────
     "q220_cluster_split" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"))
+      val advText = when(col("doc_id") % 11 === 0, lit(null).cast("string"))
+        .when(col("doc_id") % 11 === 1, lit(""))
+        .otherwise(col("text"))
       val keyed = Tables.documents(s, d)
         // sentinel is 8 chars + the id => always longer than a real
         // 8-char prefix - collision-free by construction
         .select(col("doc_id"),
-          coalesce(substring(col("text"), 1, 8),
+          coalesce(substring(advText, 1, 8),
             concat(lit("__null__"), col("doc_id"))).as("k"))
       val reps = keyed.groupBy(col("k"))
         .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
@@ -1289,10 +1295,15 @@ object RelationalQueries {
     // min(doc_id) over the prefix group — a plain window replays it;
     // the split then hashes the CLUSTER id through the q100 intervals
     "q220_cluster_split" ->
-      s"""WITH cl AS (SELECT doc_id,
+      s"""WITH t AS (SELECT doc_id,
+                CASE WHEN doc_id % 11 = 0 THEN NULL
+                     WHEN doc_id % 11 = 1 THEN ''
+                     ELSE text END AS text
+              FROM documents),
+          cl AS (SELECT doc_id,
                 min(doc_id) OVER (PARTITION BY coalesce(substr(text, 1, 8),
                   '__null__' || CAST(doc_id AS VARCHAR))) AS cluster
-              FROM documents)
+              FROM t)
           SELECT doc_id, cluster,
             CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 8)
                    < '${graft.ops.Sampling.hexThreshold(0.8)}' THEN 'train'

@@ -71,14 +71,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // ───── fingerprint + exact dedupe ─────
+    // ───── fingerprint + exact dedupe. The fixture corpus has no
+    // null/empty text, so the gate INJECTS NULL / '' / whitespace-only
+    // rows in-query (%13 of ids): all three must share md5('') — the
+    // documented fingerprint null contract — not a NULL key whose
+    // group-by/join semantics differ across engines ─────
     "q24_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), TextOps.fingerprint(advNullText).as("fp"))
         .orderBy(col("doc_id"))
     }),
     "q25_dedup_exact" -> ((s, d) => {
-      Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+      Dedup.exact(
+          Tables.documents(s, d).select(col("doc_id"),
+            advNullText.as("text")),
+          "text", "doc_id")
         .orderBy(col("doc_id"))
     }),
 
@@ -1823,6 +1830,15 @@ object TextQueries {
       .select(col("doc_id"), concat_ws(" ",
         slice(graft.text.TextOps.tokens(col("text")), 1, 5)).as("text"))
 
+  /** Text with NULL / empty / whitespace-only rows injected (%13 of
+    * ids) — the adversarial fixture for the fingerprint null contract
+    * (q24/q25); replayed verbatim in the oracle SQL. */
+  private def advNullText: org.apache.spark.sql.Column =
+    when(col("doc_id") % 13 === 0, lit(null).cast("string"))
+      .when(col("doc_id") % 13 === 1, lit(""))
+      .when(col("doc_id") % 13 === 2, lit("   "))
+      .otherwise(col("text"))
+
   /** Deterministic messy URL for q124/q125 — replayed verbatim in the
     * oracle SQL. Mixed case, www, default and non-default ports,
     * tracking params, unsorted params, fragments. */
@@ -1969,13 +1985,22 @@ object TextQueries {
             WHEN ${langScore(langMarkers("fr"))} >= ${langScore(langMarkers("zh"))} THEN 'fr'
             ELSE 'zh' END AS lang_pred
           FROM documents ORDER BY doc_id""",
+    // coalesce(text, '') replays the documented null contract: NULL,
+    // '', and whitespace-only all fingerprint to md5('') — the %13
+    // injected rows exercise exactly that
     "q24_fingerprint" ->
-      s"""SELECT doc_id, md5(lower(array_to_string($toks, ' '))) AS fp
-          FROM documents ORDER BY doc_id""",
+      s"""WITH t AS (SELECT doc_id, $advNullTextSql AS text FROM documents)
+          SELECT doc_id, md5(lower(array_to_string(
+            regexp_split_to_array(trim(coalesce(text, '')), '\\s+'), ' ')))
+            AS fp
+          FROM t ORDER BY doc_id""",
     "q25_dedup_exact" ->
-      s"""SELECT md5(lower(array_to_string($toks, ' '))) AS fp,
+      s"""WITH t AS (SELECT doc_id, $advNullTextSql AS text FROM documents)
+          SELECT md5(lower(array_to_string(
+            regexp_split_to_array(trim(coalesce(text, '')), '\\s+'), ' ')))
+            AS fp,
           MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-          FROM documents GROUP BY 1 ORDER BY doc_id""",
+          FROM t GROUP BY 1 ORDER BY doc_id""",
     "q26_ngram_jaccard" ->
       s"""WITH sh AS (
             SELECT doc_id, lang, source,
@@ -4777,6 +4802,14 @@ object TextQueries {
 
   /** q124/q125's messy-url build as DuckDB SQL — must mirror
     * [[messyUrl]] exactly. */
+  /** q24/q25's injected text as DuckDB SQL — must mirror
+    * [[advNullText]] exactly. */
+  private def advNullTextSql: String =
+    """CASE WHEN doc_id % 13 = 0 THEN NULL
+        WHEN doc_id % 13 = 1 THEN ''
+        WHEN doc_id % 13 = 2 THEN '   '
+        ELSE text END"""
+
   private def messyUrlSql: String =
     """concat(
       CASE doc_id % 3 WHEN 0 THEN 'HTTP://WWW.'

@@ -24,6 +24,8 @@ import org.apache.spark.sql.functions._
   *    one row per input doc: the surviving tokens rejoined with single
   *    spaces (whitespace-normalized, like [[TextOps.fingerprint]]), plus
   *    removed/total token counts. Docs under k tokens pass through.
+  *    NULL-text docs have no token rows and come out as ("", 0, 0) — a
+  *    cleaning operator never silently loses a doc.
   *
   * Scale shape (the reason this is not a suffix array): every stage is a
   * standard shuffle Spark already handles at 100 TB —
@@ -152,11 +154,22 @@ object SubstringDedup {
     // Rebuild: collect_list skips nulls, so gating the struct on the keep
     // flag collects ONLY surviving tokens; array_sort orders by pos (first
     // struct field); per-doc arrays are bounded by doc length.
-    flagged.groupBy(col(idCol)).agg(
+    val agged = flagged.groupBy(col(idCol)).agg(
       concat_ws(" ", transform(
         array_sort(collect_list(when(col("rem") === 0, struct(col("pos"), col("w"))))),
         x => x("w"))).as("clean_text"),
       sum(col("rem")).cast("int").as("n_removed"),
       count(lit(1)).cast("int").as("n_tokens"))
+    // NULL-text docs have no token rows; the left join keeps them in the
+    // output as ("", 0, 0) — the [[graft.dedup.Dedup]] paragraph
+    // reassemble contract — instead of silently dropping rows from a
+    // CLEANING operator (the skinny id-keyed join is the price of never
+    // losing a doc)
+    docs.select(col(idCol))
+      .join(agged, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_removed"), lit(0)).as("n_removed"),
+        coalesce(col("n_tokens"), lit(0)).as("n_tokens"))
   }
 }

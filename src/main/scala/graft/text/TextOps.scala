@@ -145,7 +145,15 @@ object TextOps {
   }
 
   /** Document fingerprint: md5 of the whitespace-normalized, lower-cased
-    * text — the exact-dedupe key. */
+    * text — the exact-dedupe key.
+    *
+    * Null contract: NULL, empty, and whitespace-only text all normalize
+    * to the EMPTY token stream and share md5("") — never a NULL
+    * fingerprint (`concat_ws` skips the null token array). Content-less
+    * docs are exact duplicates of each other by definition; a NULL key
+    * would instead ride SQL's all-NULLs-one-group semantics on some
+    * engines and drop from equi-joins on others — the cross-engine
+    * divergence class the q25 gate pins with injected null/empty rows. */
   def fingerprint(text: Column): Column =
     md5(encode(lower(concat_ws(" ", tokens(text))), "UTF-8"))
 

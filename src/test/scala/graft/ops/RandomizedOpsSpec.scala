@@ -221,6 +221,43 @@ class RandomizedOpsSpec extends SparkSpec {
     solo.foreach { case (id, cluster, split) =>
       assert(cluster === id); assert(split === label(id))
     }
+    // reserved output/intermediate columns fail loudly, never silently
+    // overwrite or turn into an ambiguous-reference error downstream
+    Seq("component", "keep", "cluster", "split").foreach { c =>
+      val e = intercept[IllegalArgumentException] {
+        Sampling.clusterSplit(ids.toDF("doc_id").withColumn(c, lit(1)),
+          "doc_id", pairs.toDF("id_a", "id_b"), fr)
+      }
+      assert(e.getMessage.contains(c))
+    }
+  }
+
+  test("clusterSplit null/empty-text discipline: the sentinel-keyed pair " +
+      "recipe keeps null docs singletons and empty docs one cluster") {
+    // the q220 recipe: prefix key with a per-doc sentinel for NULL text,
+    // so Spark (equi-join pairs) and SQL (PARTITION BY) agree — a bare
+    // prefix key would diverge: Spark drops null-key docs from pairs
+    // (singletons) while PARTITION BY groups all NULLs together
+    val docs = Seq(
+      (1L, Some("shared-prefix alpha")), (2L, Some("shared-prefix beta")),
+      (3L, None), (4L, None),            // null text: must stay singletons
+      (5L, Some("")), (6L, Some("")),    // empty text: ONE shared cluster
+      (7L, Some("unique body"))
+    ).toDF("doc_id", "text")
+    val keyed = docs.select(col("doc_id"),
+      coalesce(substring(col("text"), 1, 8),
+        concat(lit("__null__"), col("doc_id"))).as("k"))
+    val reps = keyed.groupBy(col("k"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
+    val pairs = keyed.join(reps.where(col("n") > 1), Seq("k"))
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.clusterSplit(docs.select(col("doc_id")), "doc_id",
+        pairs, fr)
+      .select("doc_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
   test("temperatureMixture matches the md5-threshold model; shares follow size^alpha") {
