@@ -384,9 +384,27 @@ object Similarity {
   def semanticDedupIncremental(batch: DataFrame, history: DataFrame,
                                vecCol: String, idCol: String,
                                model: Ivf.IvfModel, threshold: Double,
-                               saltBuckets: Int = 8): DataFrame = {
+                               saltBuckets: Int = 8): DataFrame =
+    semanticDedupIncrementalAssigned(batch,
+      Ivf.assign(history.select(col(idCol), col(vecCol)), vecCol, model),
+      vecCol, idCol, model, threshold, saltBuckets)
+
+  /** [[semanticDedupIncremental]] with a PRE-ASSIGNED history — rows of
+    * (idCol, vecCol, ivf_cell) as persisted by
+    * [[graft.jobs.HistoryStateJob]]. This is the daily-ingest fast path
+    * the incremental form's Scaladoc promises: the history's cell
+    * assignment is a per-row k×dim dot-product pass, and recomputing it
+    * over an EVER-GROWING history every day is the one cost in the
+    * incremental shape that scales with the accumulated corpus instead
+    * of the batch — persisting the assigned table amortizes it to zero.
+    * The model must be the SAME one the history was assigned with
+    * (HistoryStateJob stores one model per state home). */
+  def semanticDedupIncrementalAssigned(batch: DataFrame, historyAssigned: DataFrame,
+                                       vecCol: String, idCol: String,
+                                       model: Ivf.IvfModel, threshold: Double,
+                                       saltBuckets: Int = 8): DataFrame = {
     val bAssigned = Ivf.assign(batch, vecCol, model)
-    val hAssigned = Ivf.assign(history.select(col(idCol), col(vecCol)), vecCol, model)
+    val hAssigned = historyAssigned.select(col(idCol), col(vecCol), col("ivf_cell"))
     val histDup = cosineJoin(bAssigned, hAssigned, vecCol, idCol, "ivf_cell",
         threshold, saltBuckets)
       .select(col("id_l").as(idCol)).distinct()
