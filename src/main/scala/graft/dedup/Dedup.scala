@@ -26,6 +26,88 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Soft (reweighting) exact dedup — SoftDeDup (He et al. 2024): instead
+    * of DROPPING every later copy, keep every row and emit its training
+    * weight `1/n_copies`, so a document duplicated n times contributes
+    * one document's worth of loss in expectation while the corpus keeps
+    * its full size and ordering. The weight is `⌊10⁶/n_copies⌋` micro
+    * units — exact integer division, engine-replayable (the repo's
+    * no-doubles discipline for gated arithmetic). Output: every input
+    * row + (fp, n_copies, weight_micro).
+    *
+    * Scale shape: identical to [[exact]] — fingerprint in the scan
+    * projection, ONE `groupBy(fp).count` with map-side partials
+    * absorbing hot boilerplate keys, and a flag-back equi-join on the
+    * 16-byte fp (AQE-skew-splittable). Never a fingerprint window.
+    * Content-less docs (NULL/''/whitespace) share md5("") per the
+    * [[TextOps.fingerprint]] null contract and downweight as one group. */
+  def softDedupe(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val reserved = Seq("fp", "n_copies", "weight_micro")
+    val clashes = docs.columns.filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"softDedupe reserves output column names ${reserved.mkString(", ")}; " +
+        s"input already has ${clashes.mkString(", ")}")
+    val keyed = docs.withColumn("fp", TextOps.fingerprint(col(textCol)))
+    val counts = keyed.groupBy(col("fp")).agg(count(lit(1)).as("n_copies"))
+    keyed.join(counts, "fp")
+      // SQL `div`: exact integer division (the micro-fixed-point
+      // discipline — a double divide could round across an integer)
+      .withColumn("weight_micro", expr("1000000L div n_copies"))
+  }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 §4): per doc, hash every k-token gram (md5 of the
+    * space-joined window — a STRING key so lexicographic min agrees
+    * across engines), slide a w-gram window over the hashes, and select
+    * each window's minimum (ties to the RIGHTMOST position — the paper's
+    * rule). Output (idCol, pos, fp) distinct selected fingerprints, ~2
+    * per (w+1) grams. THE guarantee: any verbatim overlap of at least
+    * w+k−1 tokens between two docs shares at least one selected
+    * fingerprint — the bounded-density local sampling that whole-doc
+    * fingerprints (one per doc) and full gram sets (one per token) both
+    * miss. Leading windows are left-truncated (equivalent to padding
+    * with +∞ hashes), so every doc with ≥ 1 gram yields ≥ 1 fingerprint.
+    *
+    * Scale shape: gram construction is the [[graft.text.SubstringDedup]]
+    * `lead`-window discipline (per-doc windows, bounded by the longest
+    * doc, never corpus-sized); selection is ONE more window over the
+    * same per-doc partitioning (rows frame of w — O(w) state per task);
+    * the rightmost-tie argmin travels INSIDE the min key (hash ∥
+    * zero-padded reverse position), so no second pass and no join.
+    * Positions must be < 10⁹ (the pad width) — a 10⁹-token document is
+    * not a document. */
+  def winnowingFps(docs: DataFrame, textCol: String, idCol: String,
+                   k: Int, w: Int): DataFrame = {
+    require(k >= 1, s"gram width must be positive: $k")
+    require(w >= 1, s"window must be positive: $w")
+    val reserved = Seq("pos", "fp", "__w", "__key", "__sel")
+    val clashes = docs.columns.filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"winnowingFps reserves column names ${reserved.mkString(", ")}; " +
+        s"input already has ${clashes.mkString(", ")}")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "__w")))
+    val docWin = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val leads = (1 until k).map(i => lead(col("__w"), i).over(docWin).as(s"__w$i"))
+    val grams = toks
+      .select(col(idCol) +: col("pos") +: col("__w") +: leads: _*)
+      .where(if (k == 1) lit(true) else col(s"__w${k - 1}").isNotNull)
+      .select(col(idCol), col("pos"),
+        md5(encode(concat_ws(" ",
+          col("__w") +: (1 until k).map(i => col(s"__w$i")): _*), "UTF-8")).as("__h"))
+    // min over (hash, reverse-pos) in ONE fixed-width string: the min of
+    // the concatenation is (min hash, then max pos) — rightmost tie
+    val key = concat(col("__h"),
+      lpad((lit(999999999) - col("pos")).cast("string"), 9, "0"))
+    val selWin = docWin.rowsBetween(-(w - 1).toLong, 0L)
+    grams.withColumn("__sel", min(key).over(selWin))
+      .select(col(idCol),
+        (lit(999999999) - substring(col("__sel"), 33, 9).cast("int")).as("pos"),
+        substring(col("__sel"), 1, 32).as("fp"))
+      .distinct()
+  }
+
   /** (id, pos, trimmed paragraph, md5 fingerprint) rows — the shared
     * extraction every paragraph operator builds on (blank-line split,
     * empties dropped). ONE definition: the batch path, the incremental

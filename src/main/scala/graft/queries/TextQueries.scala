@@ -1644,6 +1644,39 @@ object TextQueries {
       Tables.documents(s, d)
         .select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
         .orderBy(col("doc_id"))
+    }),
+
+    // ───── SoftDeDup: every row kept, duplicates downweighted to
+    // 1/n_copies in exact micro units. Rides the q24/q25 null-injected
+    // text, so the content-less family downweights as ONE group ─────
+    "q236_soft_dedup" -> ((s, d) => {
+      graft.dedup.Dedup.softDedupe(
+          Tables.documents(s, d).select(col("doc_id"), advNullText.as("text")),
+          "text", "doc_id")
+        .select(col("doc_id"), col("fp"), col("n_copies"), col("weight_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ───── winnowing fingerprints (Schleimer et al. 2003): md5 4-gram
+    // hashes, window of 5, min per window with rightmost ties — the
+    // bounded-density overlap fingerprints; the oracle replays the SAME
+    // string-min recurrence through a SQL window ─────
+    "q237_winnowing" -> ((s, d) => {
+      graft.dedup.Dedup.winnowingFps(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "text", "doc_id", k = 4, w = 5)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ───── lexical diversity without logarithms: Simpson index +
+    // type-token ratio in exact integer micro units (libm-free — the
+    // entropy-class signal that replays bit-for-bit). Null-injected
+    // text exercises the (0, 0, NULL, NULL) content-less contract ─────
+    "q238_lexical_diversity" -> ((s, d) => {
+      val sigs = graft.text.TextOps.lexicalDiversity(advNullText)
+      Tables.documents(s, d)
+        .select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
     })
     ,
 
@@ -4509,6 +4542,64 @@ object TextQueries {
     // anchored robots-name filter, content-VALUE extraction (one
     // pattern per quote style), word-boundary directive tests — same
     // regexes, same flags
+    // SoftDeDup: GROUP BY fingerprint + join-back, weight = exact
+    // integer 10^6 // n; coalesce(text,'') replays the null contract
+    "q236_soft_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $advNullTextSql AS text FROM documents),
+          f AS (SELECT doc_id, md5(lower(array_to_string(
+                  regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                  ' '))) AS fp
+                FROM t),
+          c AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_copies
+                FROM f GROUP BY fp)
+          SELECT doc_id, f.fp, n_copies,
+            CAST(1000000 // n_copies AS BIGINT) AS weight_micro
+          FROM f JOIN c USING (fp) ORDER BY doc_id""",
+
+    // winnowing: the SAME (md5-hash || reverse-pos) string-min
+    // recurrence through a plain SQL window — k=4 grams, w=5 windows,
+    // rightmost minimum via the zero-padded reverse position
+    "q237_winnowing" ->
+      """WITH tt AS (SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\s+') AS tk
+               FROM documents),
+          g AS (SELECT doc_id, i AS pos,
+                  md5(array_to_string(tk[i+1:i+4], ' ')) AS h
+                FROM tt, unnest(range(greatest(len(tk) - 3, 0))) AS u(i)),
+          s AS (SELECT doc_id,
+                  min(concat(h, lpad(CAST(999999999 - pos AS VARCHAR), 9, '0')))
+                    OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sel
+                FROM g)
+          SELECT DISTINCT doc_id,
+            CAST(999999999 - CAST(substr(sel, 33, 9) AS BIGINT) AS INT) AS pos,
+            substr(sel, 1, 32) AS fp
+          FROM s ORDER BY doc_id, pos""",
+
+    // lexical diversity: per-type counts via GROUP BY (a deliberately
+    // different mechanism from the scan-side sorted-run fold), exact
+    // integer // division, NULL ratios for zero-token docs
+    "q238_lexical_diversity" ->
+      s"""WITH t AS (SELECT doc_id, $advNullTextSql AS text FROM documents),
+          tk AS (SELECT doc_id, list_filter(
+                   regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                   x -> len(x) > 0) AS toks
+                 FROM t),
+          x AS (SELECT doc_id, unnest(toks) AS w FROM tk),
+          c AS (SELECT doc_id, w, count(*) AS cnt FROM x GROUP BY doc_id, w),
+          agg AS (SELECT doc_id, CAST(sum(cnt * cnt) AS BIGINT) AS sumsq,
+                    CAST(count(*) AS BIGINT) AS types
+                  FROM c GROUP BY doc_id),
+          nn AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM tk)
+          SELECT nn.doc_id, n AS n_tokens,
+            coalesce(types, 0) AS n_types,
+            CASE WHEN n > 0
+              THEN (1000000 * coalesce(types, 0)) // n END AS ttr_micro,
+            CASE WHEN n > 0
+              THEN 1000000 - (1000000 * coalesce(sumsq, 0)) // (n * n)
+              END AS simpson_micro
+          FROM nn LEFT JOIN agg USING (doc_id) ORDER BY nn.doc_id""",
+
     "q232_robots_meta" ->
       """WITH h AS (SELECT doc_id, concat('<html><head>',
             CASE doc_id % 6

@@ -127,6 +127,55 @@ object TextOps {
       "n_syllables" -> syllables, "fk_grade" -> grade)
   }
 
+  /** Lexical-diversity signals WITHOUT logarithms — the entropy-class
+    * redundancy screen in exactly replayable arithmetic. Shannon entropy
+    * needs `ln`, and libm implementations differ across engines in the
+    * last ulp, so the diversity number here is Simpson's index
+    * (Simpson 1949; 1−λ, the probability two random tokens differ)
+    * beside the type-token ratio — both pure integer ratios. Per doc,
+    * over whitespace tokens with empty tokens dropped:
+    *
+    *   n_tokens      — N
+    *   n_types       — distinct tokens
+    *   ttr_micro     — (10⁶·types) div N
+    *   simpson_micro — 10⁶ − (10⁶·Σc²) div N²   (c = per-type counts)
+    *
+    * Content-less docs (NULL/''/whitespace — the [[fingerprint]] null
+    * contract's family) emit (0, 0, NULL, NULL): a ratio over zero
+    * tokens is undefined, and NULL is the honest undefined (an SQL `div`
+    * by zero would error on some engines and return NULL on others).
+    *
+    * Scale shape: entirely scan-side — Σc² and the type count come from
+    * ONE sorted-run fold over the doc's own sorted token array
+    * (array_sort + aggregate HOF, O(tokens log tokens) per row, state
+    * is four scalars), never a token explosion + (doc, token) shuffle.
+    * The fold touches only the projected array, so the operator streams
+    * and composes with any scan. */
+  def lexicalDiversity(text: Column): Seq[(String, Column)] = {
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    val toks = filter(tokens(text), t => length(t) > 0)
+    val n = coalesce(size(toks), lit(0)).cast("long")
+    val zero = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("sumsq"), lit(0L).as("types"))
+    val st = aggregate(array_sort(toks), zero,
+      (acc, t) => when(acc("prev").isNull || acc("prev") =!= t,
+          struct(t.as("prev"), lit(1L).as("run"),
+            (acc("sumsq") + acc("run") * acc("run")).as("sumsq"),
+            (acc("types") + lit(1L)).as("types")))
+        .otherwise(struct(t.as("prev"), (acc("run") + lit(1L)).as("run"),
+          acc("sumsq").as("sumsq"), acc("types").as("types"))),
+      acc => struct((acc("sumsq") + acc("run") * acc("run")).as("sumsq"),
+        acc("types").as("types")))
+    val sumsq = coalesce(st("sumsq"), lit(0L))
+    val types = coalesce(st("types"), lit(0L))
+    Seq(
+      "n_tokens" -> n,
+      "n_types" -> types,
+      "ttr_micro" -> when(n > 0, idiv(lit(1000000L) * types, n)),
+      "simpson_micro" ->
+        when(n > 0, lit(1000000L) - idiv(lit(1000000L) * sumsq, n * n)))
+  }
+
   /** Language-ID by marker-word voting: score per language = count of
     * tokens in that language's marker set; argmax wins, ties broken by
     * alphabetical language code (deterministic). N-gram-free variant of the

@@ -190,4 +190,53 @@ class RepetitionSpec extends SparkSpec {
     assert(got(3L) === ((0.0, 0.0, 0.0)))
     assert(got(4L) === ((0.0, 0.0, 0.0)))
   }
+
+  test("lexicalDiversity: hand-computed Simpson/TTR, content-less docs NULL") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Option("a a a a")),          // zero diversity
+      (2L, Option("a b c d")),          // max diversity at N=4: 1 − 1/N
+      (3L, Option("a a b")),            // sumsq 5, N 3
+      (4L, Option.empty[String]),       // NULL text
+      (5L, Option("")),                 // empty
+      (6L, Option("   "))               // whitespace-only
+    ).toDF("doc_id", "text")
+    val sigs = graft.text.TextOps.lexicalDiversity(col("text"))
+    val got = docs
+      .select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) === ((4L, 1L, Some(250000L), Some(0L))))
+    assert(got(2L) === ((4L, 4L, Some(1000000L), Some(750000L))))
+    // ttr = 10⁶·2 div 3 = 666666; simpson = 10⁶ − 5·10⁶ div 9 = 444445
+    assert(got(3L) === ((3L, 2L, Some(666666L), Some(444445L))))
+    Seq(4L, 5L, 6L).foreach(id =>
+      assert(got(id) === ((0L, 0L, None, None)), s"doc $id"))
+  }
+
+  test("lexicalDiversity: randomized sorted-run fold equals a driver count model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val docs = (1L to 40L).map { i =>
+      val n = rnd.nextInt(30)
+      (i, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val sigs = graft.text.TextOps.lexicalDiversity(col("text"))
+    val got = docs.toDF("doc_id", "text")
+      .select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val n = toks.length.toLong
+      val counts = toks.groupBy(identity).map(_._2.length.toLong)
+      val want =
+        if (n == 0L) (0L, 0L, None, None)
+        else (n, counts.size.toLong,
+          Some(1000000L * counts.size / n),
+          Some(1000000L - 1000000L * counts.map(c => c * c).sum / (n * n)))
+      assert(got(id) === want, s"doc $id: '$text'")
+    }
+  }
 }

@@ -1060,4 +1060,100 @@ class TextDedupSimSpec extends SparkSpec {
     assert(Dedup.ngramJaccardJoinPrebuilt(batchRows, histRows, hDf, hPrefix,
       "doc_id", 0.9).count() === 1L)
   }
+
+  test("softDedupe: every row kept, weight = 10^6 div n_copies, " +
+      "content-less family is one group") {
+    val docs = Seq(
+      (1L, Option("same doc body")), (2L, Option("same doc body")),
+      (3L, Option("same doc body")),
+      (4L, Option("unique body")),
+      (5L, Option.empty[String]), (6L, Option(""))   // md5('') group of 2
+    ).toDF("doc_id", "text")
+    val out = Dedup.softDedupe(docs, "text", "doc_id")
+      .select(col("doc_id"), col("n_copies"), col("weight_micro"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet === (1L to 6L).toSet, "soft dedup NEVER drops a row")
+    Seq(1L, 2L, 3L).foreach(id => assert(out(id) === ((3L, 333333L))))
+    assert(out(4L) === ((1L, 1000000L)))
+    Seq(5L, 6L).foreach(id => assert(out(id) === ((2L, 500000L))))
+    // reserved output columns fail loudly
+    assertThrows[IllegalArgumentException] {
+      Dedup.softDedupe(docs.withColumn("weight_micro", lit(1L)),
+        "text", "doc_id")
+    }
+  }
+
+  test("winnowing: hand-checked selection, rightmost ties, short docs, " +
+      "and the w+k-1 shared-substring guarantee") {
+    def md5hex(s: String): String =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    // driver model: per window of w gram-hashes, min hash with
+    // rightmost-position ties; partial leading windows included
+    def model(text: String, k: Int, w: Int): Set[(Int, String)] = {
+      val toks = text.trim.split("\\s+").toSeq
+      val grams = toks.sliding(k).toSeq.filter(_.size == k).zipWithIndex
+        .map { case (g, p) => (p, md5hex(g.mkString(" "))) }
+      grams.indices.map { t =>
+        grams.slice(math.max(0, t - w + 1), t + 1)
+          .reduceLeft((a, b) => if (b._2 < a._2 || (b._2 == a._2 && b._1 > a._1)) b else a)
+      }.map { case (p, h) => (p, h) }.toSet
+    }
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "x x x x x x x x x x",              // all-equal hashes: ties
+      3L -> "one two three four",               // exactly one gram (k=4)
+      4L -> "too short",                        // < k tokens: no grams
+      5L -> "prefix words then the quick brown fox jumps over the lazy dog tail"
+    )
+    val out = Dedup.winnowingFps(texts.toDF("doc_id", "text"),
+        "text", "doc_id", k = 4, w = 5)
+      .select(col("doc_id"), col("pos"), col("fp"))
+      .as[(Long, Int, String)].collect()
+    val byDoc = out.groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    texts.foreach { case (id, text) =>
+      val want = model(text, 4, 5)
+      assert(byDoc.getOrElse(id, Set.empty) === want, s"doc $id")
+    }
+    // all-equal hashes: rightmost tie means every window selects its
+    // LAST gram — all 7 gram positions end up selected
+    assert(byDoc(2L).map(_._1) === (0 to 6).toSet)
+    // doc 4 has no 4-gram: absent
+    assert(!byDoc.contains(4L))
+    // THE guarantee: docs 1 and 5 share >= w+k-1 = 8 verbatim tokens,
+    // so they must share at least one selected fingerprint
+    assert(byDoc(1L).map(_._2).intersect(byDoc(5L).map(_._2)).nonEmpty,
+      "shared run of w+k-1 tokens must share a fingerprint")
+    // density sanity: far fewer fingerprints than grams on doc 1
+    assert(byDoc(1L).size < 9)
+  }
+
+  test("winnowing randomized: Spark equals the driver window-min model") {
+    def md5hex(s: String): String =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    val rnd = new scala.util.Random(911L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val docs = (1L to 30L).map { i =>
+      val n = rnd.nextInt(40)
+      (i, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val k = 3; val w = 4
+    val out = Dedup.winnowingFps(docs.toDF("doc_id", "text"),
+        "text", "doc_id", k, w)
+      .select(col("doc_id"), col("pos"), col("fp"))
+      .as[(Long, Int, String)].collect()
+    val byDoc = out.groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val grams = toks.sliding(k).toSeq.filter(_.size == k).zipWithIndex
+        .map { case (g, p) => (p, md5hex(g.mkString(" "))) }
+      val want = grams.indices.map { t =>
+        grams.slice(math.max(0, t - w + 1), t + 1)
+          .reduceLeft((a, b) =>
+            if (b._2 < a._2 || (b._2 == a._2 && b._1 > a._1)) b else a)
+      }.toSet
+      assert(byDoc.getOrElse(id, Set.empty) === want, s"doc $id: '$text'")
+    }
+  }
 }
