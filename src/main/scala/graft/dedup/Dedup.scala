@@ -108,6 +108,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Overlap-candidate pairs from [[winnowingFps]] — the MOSS shape
+    * (Schleimer et al. §5): two docs sharing ≥ `minShared` selected
+    * fingerprints are verbatim-overlap candidates. Fingerprints in more
+    * than `maxDf` docs are dropped FIRST — the paper's "common code
+    * elimination": a boilerplate passage selected in 10⁶ docs is
+    * evidence of nothing and would otherwise explode the self-join
+    * quadratically on one hot key. `maxDf` is therefore the scale
+    * contract, not a tuning afterthought: per surviving fingerprint the
+    * pair fan-out is < maxDf²/2, so candidates are
+    * O(#fps · maxDf²) — never corpus-quadratic. Exact given the cap
+    * (overlaps carried only by super-common fingerprints are
+    * deliberately not evidence). Output (id_a, id_b, n_shared) with
+    * id_a < id_b, counting DISTINCT shared fingerprints.
+    *
+    * Same candidate-discipline family as the PPJoin prefix filter and
+    * LSH banding: df comes from `groupBy(fp).count` + join-back (never
+    * a window over the fingerprint), the df>=2 restriction shrinks the
+    * join input to the shared-fingerprint minority, and the pair
+    * aggregate is partially aggregable. */
+  def winnowingPairs(docs: DataFrame, textCol: String, idCol: String,
+                     k: Int, w: Int, minShared: Int = 2,
+                     maxDf: Int = 50): DataFrame = {
+    require(minShared >= 1, s"minShared must be positive: $minShared")
+    require(maxDf >= 2, s"maxDf < 2 can never pair: $maxDf")
+    val fps = winnowingFps(docs, textCol, idCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+    val df = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 2 && col("__df") <= maxDf)
+      .select(col("fp"))
+    val shared = fps.join(df, "fp")
+    shared.select(col("fp"), col(idCol).as("id_a"))
+      .join(shared.select(col("fp"), col(idCol).as("id_b")), "fp")
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** (id, pos, trimmed paragraph, md5 fingerprint) rows — the shared
     * extraction every paragraph operator builds on (blank-line split,
     * empties dropped). ONE definition: the batch path, the incremental

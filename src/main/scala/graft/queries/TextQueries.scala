@@ -1668,6 +1668,16 @@ object TextQueries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // ───── winnowing overlap candidates (the MOSS shape): docs sharing
+    // >= 2 selected fingerprints, boilerplate fps (df > 50) eliminated
+    // first — the cap is the scale contract against hot-key blowup ─────
+    "q239_winnowing_pairs" -> ((s, d) => {
+      graft.dedup.Dedup.winnowingPairs(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "text", "doc_id", k = 4, w = 5, minShared = 2, maxDf = 50)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ───── lexical diversity without logarithms: Simpson index +
     // type-token ratio in exact integer micro units (libm-free — the
     // entropy-class signal that replays bit-for-bit). Null-injected
@@ -4575,6 +4585,30 @@ object TextQueries {
             CAST(999999999 - CAST(substr(sel, 33, 9) AS BIGINT) AS INT) AS pos,
             substr(sel, 1, 32) AS fp
           FROM s ORDER BY doc_id, pos""",
+
+    // winnowing pairs: q237's selection CTEs + common-fp elimination +
+    // the fp self-join, distinct shared fingerprints counted
+    "q239_winnowing_pairs" ->
+      """WITH tt AS (SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\s+') AS tk
+               FROM documents),
+          g AS (SELECT doc_id, i AS pos,
+                  md5(array_to_string(tk[i+1:i+4], ' ')) AS h
+                FROM tt, unnest(range(greatest(len(tk) - 3, 0))) AS u(i)),
+          s AS (SELECT doc_id,
+                  min(concat(h, lpad(CAST(999999999 - pos AS VARCHAR), 9, '0')))
+                    OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sel
+                FROM g),
+          fps AS (SELECT DISTINCT doc_id, substr(sel, 1, 32) AS fp FROM s),
+          keep AS (SELECT fp FROM fps GROUP BY fp
+                   HAVING count(*) >= 2 AND count(*) <= 50),
+          sh AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp))
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(count(*) AS BIGINT) AS n_shared
+          FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2
+          ORDER BY id_a, id_b""",
 
     // lexical diversity: per-type counts via GROUP BY (a deliberately
     // different mechanism from the scan-side sorted-run fold), exact

@@ -1128,6 +1128,41 @@ class TextDedupSimSpec extends SparkSpec {
     assert(byDoc(1L).size < 9)
   }
 
+  test("winnowingPairs: overlapping docs pair, unrelated don't, and the " +
+      "maxDf cap eliminates boilerplate-only evidence") {
+    val run = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, s"intro words then $run and more trailing content here"),
+      (2L, s"other opening $run with a different ending entirely"),
+      (3L, "completely unrelated text about something else entirely today"),
+      // 4..9: six copies of one boilerplate body — every fingerprint has
+      // df 6 > maxDf 5, so NO pair evidence survives the cap
+      (4L, "standard footer legal text body repeated verbatim everywhere"),
+      (5L, "standard footer legal text body repeated verbatim everywhere"),
+      (6L, "standard footer legal text body repeated verbatim everywhere"),
+      (7L, "standard footer legal text body repeated verbatim everywhere"),
+      (8L, "standard footer legal text body repeated verbatim everywhere"),
+      (9L, "standard footer legal text body repeated verbatim everywhere")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(docs, "text", "doc_id",
+        k = 4, w = 3, minShared = 1, maxDf = 5)
+      .select(col("id_a"), col("id_b"), col("n_shared"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // docs 1/2 share a 10-token run >= w+k-1 = 6 → at least one shared fp
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    assert(pairs.head._3 >= 1L)
+    // with the cap lifted, the boilerplate six DO pair (proving the cap
+    // was what eliminated them, not a selection artifact)
+    val uncapped = Dedup.winnowingPairs(docs, "text", "doc_id",
+        k = 4, w = 3, minShared = 1, maxDf = 100)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((4L, 5L)) && uncapped.contains((8L, 9L)))
+    // guards
+    assertThrows[IllegalArgumentException] {
+      Dedup.winnowingPairs(docs, "text", "doc_id", 4, 3, minShared = 0)
+    }
+  }
+
   test("winnowing randomized: Spark equals the driver window-min model") {
     def md5hex(s: String): String =
       org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
