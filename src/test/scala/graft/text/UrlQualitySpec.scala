@@ -285,6 +285,41 @@ class UrlQualitySpec extends SparkSpec {
       "evil.com", "evil.com", "evil.com", "evil.com", "innocent.org"))
   }
 
+  test("null-URL contracts: canonicalizeUrl(NULL) is NULL, urlDedupe " +
+       "groups null-canon rows once, urlHost(NULL) never matches") {
+    // the URL-keyed family's null contract (the q220/q25 class): a NULL
+    // url canonicalizes to NULL on Spark; Spark's groupBy puts all NULL
+    // keys in ONE group (same as SQL GROUP BY), so null-URL rows form a
+    // single collapse group with the min id as keeper — never dropped,
+    // never one-group-per-row
+    val docs = Seq(
+      (1L, Option("http://ex.com/a")),
+      (2L, Option("http://ex.com:80/a?utm_source=x")), // canon twin of 1
+      (3L, Option.empty[String]),
+      (4L, Option.empty[String]),
+      (5L, Option("not a url at all"))
+    ).toDF("doc_id", "url")
+    val canon = docs
+      .select(col("doc_id"), UrlOps.canonicalizeUrl(col("url")).as("c"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(canon(3L).isEmpty && canon(4L).isEmpty, "NULL url → NULL canon")
+    assert(canon(5L) === Some("not a url at all"), "non-URL passes through")
+    assert(canon(1L) === canon(2L) && canon(1L).nonEmpty)
+    val dedup = UrlOps.urlDedupe(docs, "url", "doc_id")
+      .as[(Option[String], Long, Long)].collect()
+    // groups: ex.com canon (keeper 1, n 2), NULL (keeper 3, n 2), non-URL
+    assert(dedup.length === 3)
+    val nullGroup = dedup.filter(_._1.isEmpty)
+    assert(nullGroup.toSeq === Seq((None, 3L, 2L)),
+      "all NULL canons form ONE group, min-id keeper")
+    // and the blocklist gate: a NULL url is blocked=false, never NULL
+    val gate = UrlOps.domainBlocklistFilter(docs, "url", "doc_id",
+        Seq("ex.com").toDF("pattern"), "pattern")
+      .select(col("doc_id"), col("blocked"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(gate(3L) === false && gate(4L) === false && gate(1L) === true)
+  }
+
   test("domainBlocklistFilter: multi-'@' authority cannot evade the gate") {
     val docs = Seq(
       (1L, "http://a@b@evil.com/x"),          // ADVICE evasion form
