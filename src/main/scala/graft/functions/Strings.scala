@@ -18,7 +18,7 @@ object Strings {
   def snakify(name: String): String =
     name.replaceAll("([A-Z]+)([A-Z][a-z])", "$1_$2")
       .replaceAll("([a-z\\d])([A-Z])", "$1_$2")
-      .toLowerCase
+      .toLowerCase(java.util.Locale.ROOT)
 
   /** The irregular snake→camel mappings the reference hard-codes
     * (utils/package.scala:25-69): acronym-bearing telemetry field names

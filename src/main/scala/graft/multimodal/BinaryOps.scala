@@ -69,7 +69,7 @@ object BinaryOps {
           r.setInput(iis, true)
           val frames = try math.max(r.getNumImages(true), 1)
             catch { case _: Exception => 1 } // readers without index support
-          Some((r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0), frames))
+          Some((r.getFormatName.toLowerCase(java.util.Locale.ROOT), r.getWidth(0), r.getHeight(0), frames))
         } catch { case _: Exception => None // truncated/corrupt header
         } finally r.dispose()
       }
@@ -125,7 +125,7 @@ object BinaryOps {
       val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
         new java.io.ByteArrayInputStream(bytes))
       val fmt = aff.getFormat
-      Some((aff.getType.toString.toLowerCase, fmt.getSampleRate,
+      Some((aff.getType.toString.toLowerCase(java.util.Locale.ROOT), fmt.getSampleRate,
         fmt.getChannels, aff.getFrameLength.toLong))
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None

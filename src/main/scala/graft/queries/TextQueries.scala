@@ -1801,7 +1801,8 @@ object TextQueries {
     * from [[blocklistFixture]] by the SAME tokenization the operator
     * applies, so the two sides can never drift. */
   private def blocklistValuesSql: String = blocklistFixture.map { p =>
-    val toks = p.toLowerCase.split("[^a-z0-9_]+").filter(_.nonEmpty)
+    val toks = p.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9_]+").filter(_.nonEmpty)
     val pat = "(^|[^a-z0-9_])" + toks.mkString("[^a-z0-9_]+") +
       "([^a-z0-9_]|$)"
     s"('${p.replace("'", "''")}', '${pat.replace("'", "''")}')"

@@ -331,7 +331,7 @@ object TextOps {
       if (requireTerminalPunct) Some(col("__line").rlike(TerminalPunctRe)) else None,
       // reduceOption: an empty banned list means no marker filter, not a
       // reduce-on-empty crash
-      banned.map(b => !lower(col("__line")).contains(b.toLowerCase))
+      banned.map(b => !lower(col("__line")).contains(b.toLowerCase(java.util.Locale.ROOT)))
         .reduceOption(_ && _)
     ).flatten.reduce(_ && _)
     // one collect: dropped lines ride as nulls (concat_ws skips them), so
@@ -721,7 +721,10 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val phraseRows = phrases.map { p =>
-      val toks = p.toLowerCase.split("[^a-z0-9_]+").filter(_.nonEmpty).toSeq
+      // Locale.ROOT: under tr_TR a default-locale lowercase maps I to
+      // dotless ı, silently un-matching an ASCII blocklist phrase
+      val toks = p.toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z0-9_]+").filter(_.nonEmpty).toSeq
       require(toks.nonEmpty, s"blocklist phrase has no word tokens: '$p'")
       (p, toks.head, toks, toks.size)
     }
