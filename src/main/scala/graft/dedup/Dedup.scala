@@ -132,8 +132,13 @@ object Dedup {
                      maxDf: Int = 50): DataFrame = {
     require(minShared >= 1, s"minShared must be positive: $minShared")
     require(maxDf >= 2, s"maxDf < 2 can never pair: $maxDf")
+    // the fingerprint table feeds THREE consumers (df aggregate + both
+    // self-join sides) — materialize once, the ngramJaccardPairs
+    // discipline, or the whole two-window selection pipeline re-executes
+    // per consumer. Lazy: the first action pays it.
     val fps = winnowingFps(docs, textCol, idCol, k, w)
       .select(col(idCol), col("fp")).distinct()
+      .localCheckpoint(eager = false)
     val df = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
       .where(col("__df") >= 2 && col("__df") <= maxDf)
       .select(col("fp"))
