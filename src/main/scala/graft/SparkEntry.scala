@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.RelationalQueries.queries ++
       graft.queries.AggregateQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.EvalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
     graft.queries.RelationalQueries.oracles ++
       graft.queries.AggregateQueries.oracles ++
       graft.queries.TextQueries.oracles ++
-      graft.queries.PipelineQueries.oracles
+      graft.queries.PipelineQueries.oracles ++
+      graft.queries.EvalQueries.oracles
 }

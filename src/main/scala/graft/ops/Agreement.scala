@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Inter-annotator agreement — the QA gate on human-labeled data
+  * (preference pairs, quality labels, safety annotations) before it
+  * trains or evaluates anything: a label set whose raters don't agree
+  * above chance is noise, and the pipeline must measure that BEFORE
+  * the labels fan out into training mixtures.
+  *
+  * Both statistics are computed in EXACT INTEGERS (chance-corrected
+  * agreement is a ratio of two integer-valued sums once multiplied
+  * through by the marginal denominators), with the final micro-unit
+  * ratio on the shifted floor-division (the
+  * [[Timeseries.autocorr]] discipline: |κ| ≤ 1, so a +2·10⁶ shift
+  * keeps the numerator non-negative and truncate == floor on both
+  * engines) — bit-replayable, no libm.
+  *
+  * Long-regime bound: terms reach `10⁶ · (N·R)²`; exact through
+  * ~2·10⁶ annotation rows (ANSI sessions fail loudly past it — lift
+  * to DECIMAL beyond, which no human-annotation table reaches).
+  */
+object Agreement {
+
+  /** Inline null gate: grouping silently turns a NULL item/rater/label
+    * into its own group — an agreement score over them would be
+    * confidently wrong, so the scan fails loudly instead. */
+  private def loud(c: Column, what: String): Column =
+    when(c.isNull, raise_error(lit(
+      s"Agreement: null $what — clean the annotation table first")))
+      .otherwise(c.cast("string"))
+
+  /** Fleiss' κ (Fleiss 1971) over a LONG-form annotation table — one
+    * row per (item, rater, label), every item rated by the SAME number
+    * of raters R ≥ 2 (the statistic's own requirement; unequal counts
+    * or a duplicate (item, rater) pair fail loudly — silently averaging
+    * over them is how agreement numbers lie).
+    *
+    * Returns ONE row: `(n_items, n_raters, n_categories, kappa_num,
+    * kappa_den, kappa_micro)` where with `A = Σ_items Σ_labels n_il²`,
+    * `C_j` the per-label totals, and `NR = n_items·R`:
+    * {{{
+    * kappa_num = (A − NR)·NR − (R−1)·ΣC_j²          // κ numerator · NR(R−1)(NR)²⁻¹…
+    * kappa_den = (R−1)·((NR)² − ΣC_j²)              // …same scale: κ = num/den exactly
+    * }}}
+    * `kappa_den = 0` means every rating used one category — chance
+    * agreement is 1 and κ is undefined: NULL, not an invented 0.
+    *
+    * Scale shape: two partial-aggregable hash aggregates over the
+    * annotation table (per-(item,label) cells + per-(item,rater) dup
+    * guard), then label-count- and 1-row-sized frames only. */
+  def fleissKappa(ann: DataFrame, itemCol: String, raterCol: String,
+                  labelCol: String): DataFrame = {
+    val src = ann.select(loud(col(itemCol), "item").as("i"),
+      loud(col(raterCol), "rater").as("r"), loud(col(labelCol), "label").as("l"))
+    val cells = src.groupBy(col("i"), col("l"))
+      .agg(count(lit(1)).as("n_il"))
+    val items = cells.groupBy(col("i"))
+      .agg(sum(col("n_il")).as("r_i"),
+        sum(col("n_il") * col("n_il")).as("sq_i"))
+    val itemStats = items.agg(count(lit(1)).as("n_items"),
+      min(col("r_i")).as("rmin"), max(col("r_i")).as("rmax"),
+      sum(col("sq_i")).as("a"))
+    val labelStats = cells.groupBy(col("l"))
+      .agg(sum(col("n_il")).as("c_j"))
+      .agg(sum(col("c_j") * col("c_j")).as("sumc2"),
+        count(lit(1)).as("n_categories"))
+    val dupStats = src.groupBy(col("i"), col("r"))
+      .agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("maxdup"))
+    itemStats.crossJoin(labelStats).crossJoin(dupStats)
+      .select(
+        when(col("maxdup") > 1L, raise_error(lit("fleissKappa: duplicate " +
+            "(item, rater) rating rows — dedupe or re-key the table")))
+          .otherwise(col("n_items")).as("n_items"),
+        when(col("rmin") =!= col("rmax"), raise_error(concat(
+            lit("fleissKappa: items rated by between "),
+            col("rmin").cast("string"),
+            lit(" and "), col("rmax").cast("string"),
+            lit(" raters — Fleiss requires a constant rater count; " +
+              "filter to fully-rated items first"))))
+          .when(col("rmin") < 2L, raise_error(lit(
+            "fleissKappa: needs at least 2 raters per item")))
+          .otherwise(col("rmax")).as("n_raters"),
+        col("n_categories"),
+        ((col("a") - col("n_items") * col("rmax")) *
+          (col("n_items") * col("rmax")) -
+          (col("rmax") - 1L) * col("sumc2")).as("kappa_num"),
+        ((col("rmax") - 1L) *
+          ((col("n_items") * col("rmax")) * (col("n_items") * col("rmax")) -
+            col("sumc2"))).as("kappa_den"))
+      .select(col("n_items"), col("n_raters"), col("n_categories"),
+        col("kappa_num"), col("kappa_den"),
+        when(col("kappa_den") > 0L,
+          expr("(kappa_num * 1000000 + 2000000 * kappa_den) " +
+            "div kappa_den - 2000000")).as("kappa_micro"))
+  }
+
+  /** Cohen's κ (Cohen 1960) over a WIDE two-rater table — one row per
+    * item with both raters' labels. The two-annotator special case
+    * keeps each rater's OWN marginal (Fleiss pools them), which is the
+    * right chance model when the two raters are systematically
+    * different (a model judge vs a human, the common LLM-eval pairing).
+    *
+    * Returns ONE row: `(n_items, n_agree, pe_num, kappa_num, kappa_den,
+    * kappa_micro)` with `pe_num = Σ_j C_aj·C_bj`:
+    * {{{
+    * kappa_num = n_agree·N − pe_num      // (p_o − p_e) · N²
+    * kappa_den = N² − pe_num             // (1 − p_e) · N²
+    * }}}
+    * `kappa_den = 0` (both raters constant and identical) → NULL.
+    * Null labels fail loudly. Scale shape: one count + two
+    * marginal aggregates (category-sized), one category join. */
+  def cohenKappa(pairs: DataFrame, labelACol: String, labelBCol: String)
+      : DataFrame = {
+    val src = pairs.select(loud(col(labelACol), "label_a").as("la"),
+      loud(col(labelBCol), "label_b").as("lb"))
+    val base = src.agg(count(lit(1)).as("n_items"),
+      sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_agree"))
+    val margA = src.groupBy(col("la")).agg(count(lit(1)).as("ca"))
+    val margB = src.groupBy(col("lb")).agg(count(lit(1)).as("cb"))
+    val pe = margA.join(margB, col("la") === col("lb"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("pe_num"))
+    base.crossJoin(pe)
+      .select(col("n_items"), col("n_agree"), col("pe_num"),
+        (col("n_agree") * col("n_items") - col("pe_num")).as("kappa_num"),
+        (col("n_items") * col("n_items") - col("pe_num")).as("kappa_den"))
+      .select(col("n_items"), col("n_agree"), col("pe_num"),
+        col("kappa_num"), col("kappa_den"),
+        when(col("kappa_den") > 0L,
+          expr("(kappa_num * 1000000 + 2000000 * kappa_den) " +
+            "div kappa_den - 2000000")).as("kappa_micro"))
+  }
+}

@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.json.ChatOps
+import graft.ops.Agreement
+import graft.text.EvalOps
+
+/** Query surface for the evaluation/annotation-QA suite: generation
+  * scoring (ROUGE-N), the verbatim-memorization audit, inter-annotator
+  * agreement (Fleiss/Cohen κ), and SFT chat-transcript validation.
+  * Fixtures are synthesized from `documents` with expressions shared
+  * verbatim with the oracle SQL (the q232 template discipline), and
+  * null/malformed rows injected in-query pin the operators' null
+  * contracts at the gate, not just in specs.
+  */
+object EvalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Candidate-side text with the q24/q25 null/empty/whitespace
+    * injection (%13 of ids) — replayed verbatim in the oracle SQL. */
+  private def nullableCand: org.apache.spark.sql.Column =
+    when(col("doc_id") % 13 === 0, lit(null).cast("string"))
+      .when(col("doc_id") % 13 === 1, lit(""))
+      .when(col("doc_id") % 13 === 2, lit("   "))
+      .otherwise(col("text"))
+
+  /** Chat-transcript JSON synthesized from a template shared with the
+    * oracle: %11 malformed, %5 a double-user alternation violation,
+    * %7 an empty assistant content — replayed byte-identically. */
+  private def chatJson: org.apache.spark.sql.Column = {
+    val safe = regexp_replace(substring(col("text"), 1, 40),
+      "[^a-zA-Z0-9 ]", "")
+    when(col("doc_id") % 11 === 0, lit("oops not json"))
+      .otherwise(concat(
+        lit("[{\"role\":\"system\",\"content\":\"be helpful\"}," +
+          "{\"role\":\"user\",\"content\":\""),
+        safe, lit("\"},"),
+        when(col("doc_id") % 5 === 0,
+            lit("{\"role\":\"user\",\"content\":\"more\"},"))
+          .otherwise(lit("")),
+        lit("{\"role\":\"assistant\",\"content\":\""),
+        when(col("doc_id") % 7 === 0, lit(""))
+          .otherwise(concat(lit("about "), col("source"))),
+        lit("\"}]")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ───── ROUGE-2 between each doc (null-injected) and its successor:
+    // clipped overlap + P/R/F in exact micro units, all scan-side ─────
+    "q240_rouge_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.select(col("doc_id"), nullableCand.as("cand"))
+      val b = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("ref"))
+      val cols = EvalOps.rougeN(col("cand"), col("ref"), 2)
+      a.join(b, "doc_id")
+        .select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ───── memorization audit: generations = corpus-prefix + novel
+    // suffix (length and suffix vary by id; %13 null → content-less
+    // contract row; %4==1 pure copies score exactly 10⁶) ─────
+    "q241_memorization_rate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val t = graft.text.TextOps.tokens(col("text"))
+      val gtext = when(col("doc_id") % 13 === 0, lit(null).cast("string"))
+        .otherwise(concat(
+          array_join(slice(t, lit(1), (lit(4) + col("doc_id") % 12).cast("int")), " "),
+          when(col("doc_id") % 4 === 1, lit(""))
+            .otherwise(concat(lit(" zzz"), col("doc_id").cast("string")))))
+      val gens = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), gtext.as("text"))
+      EvalOps.memorizationRate(gens, "text", "doc_id",
+          docs.select(col("doc_id"), col("text")), "text", 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ───── Fleiss' κ over synthetic 3-rater annotations whose labels
+    // correlate through length(text) — mid-range agreement, exact ─────
+    "q242_fleiss_kappa" -> ((s, d) => {
+      val ann = Tables.documents(s, d)
+        .select(col("doc_id").as("item"), length(col("text")).as("l"),
+          explode(sequence(lit(0), lit(2))).as("rater"))
+        .select(col("item"), col("rater"),
+          ((col("l") + col("rater") * (col("item") % 5)) % 4)
+            .cast("string").as("label"))
+      Agreement.fleissKappa(ann, "item", "rater", "label")
+    }),
+
+    // ───── Cohen's κ: two synthetic raters sharing the length signal,
+    // one perturbed by id parity ─────
+    "q243_cohen_kappa" -> ((s, d) => {
+      val p = Tables.documents(s, d).select(
+        (length(col("text")) % 3).cast("string").as("la"),
+        ((length(col("text")) + col("doc_id") % 2) % 3)
+          .cast("string").as("lb"))
+      Agreement.cohenKappa(p, "la", "lb")
+    }),
+
+    // ───── chat-protocol stats + flattened training string over the
+    // shared JSON template (malformed / double-user / empty-content
+    // variants all exercised) ─────
+    "q244_chat_stats" -> ((s, d) => {
+      val cols = ChatOps.chatStats(col("j"))
+      Tables.documents(s, d).select(col("doc_id"), chatJson.as("j"))
+        .select(col("doc_id") +:
+          (cols.map { case (n, c) => c.as(n) } :+
+            ChatOps.flattenChat(col("j")).as("flat")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ───── exploded turn view of the same transcripts (malformed
+    // conversations contribute no rows — the documented contract) ─────
+    "q245_chat_turns" -> ((s, d) => {
+      ChatOps.chatTurns(
+          Tables.documents(s, d).select(col("doc_id"), chatJson.as("j")),
+          "j", "doc_id")
+        .orderBy(col("doc_id"), col("turn"))
+    }))
+
+  private val candSql =
+    """CASE WHEN a.doc_id % 13 = 0 THEN NULL
+         WHEN a.doc_id % 13 = 1 THEN ''
+         WHEN a.doc_id % 13 = 2 THEN '   '
+         ELSE a.text END"""
+
+  private val chatJsonSql =
+    """CASE WHEN doc_id % 11 = 0 THEN 'oops not json'
+    ELSE '[{"role":"system","content":"be helpful"},{"role":"user","content":"'
+      || regexp_replace(substr(text, 1, 40), '[^a-zA-Z0-9 ]', '', 'g') || '"},'
+      || CASE WHEN doc_id % 5 = 0 THEN '{"role":"user","content":"more"},' ELSE '' END
+      || '{"role":"assistant","content":"'
+      || CASE WHEN doc_id % 7 = 0 THEN '' ELSE 'about ' || source END
+      || '"}]'
+    END"""
+
+  val oracles: Map[String, String] = Map(
+    "q240_rouge_overlap" ->
+      s"""WITH p AS (
+            SELECT a.doc_id, $candSql AS cand, b.text AS ref
+            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+          tk AS (
+            SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(coalesce(cand, '')), '\\s+'), x -> len(x) > 0) AS ct,
+              list_filter(regexp_split_to_array(trim(coalesce(ref,  '')), '\\s+'), x -> len(x) > 0) AS rt
+            FROM p),
+          g AS (
+            SELECT doc_id,
+              CASE WHEN len(ct) >= 2 THEN list_transform(range(1, len(ct)), i -> array_to_string(ct[i:i+1], ' ')) ELSE []::VARCHAR[] END AS cg,
+              CASE WHEN len(rt) >= 2 THEN list_transform(range(1, len(rt)), i -> array_to_string(rt[i:i+1], ' ')) ELSE []::VARCHAR[] END AS rg
+            FROM tk),
+          ca AS (SELECT doc_id, g2 AS gram, CAST(count(*) AS BIGINT) AS c FROM (SELECT doc_id, unnest(cg) AS g2 FROM g) GROUP BY doc_id, g2),
+          cb AS (SELECT doc_id, g2 AS gram, CAST(count(*) AS BIGINT) AS c FROM (SELECT doc_id, unnest(rg) AS g2 FROM g) GROUP BY doc_id, g2),
+          o AS (SELECT ca.doc_id, CAST(sum(least(ca.c, cb.c)) AS BIGINT) AS o
+                FROM ca JOIN cb ON ca.doc_id = cb.doc_id AND ca.gram = cb.gram GROUP BY ca.doc_id)
+          SELECT g.doc_id,
+            CAST(len(cg) AS BIGINT) AS n_cand_grams,
+            CAST(len(rg) AS BIGINT) AS n_ref_grams,
+            coalesce(o.o, 0) AS n_overlap,
+            CASE WHEN len(cg) > 0 THEN (1000000 * coalesce(o.o, 0)) // len(cg) END AS rouge_p_micro,
+            CASE WHEN len(rg) > 0 THEN (1000000 * coalesce(o.o, 0)) // len(rg) END AS rouge_r_micro,
+            CASE WHEN len(cg) + len(rg) > 0 THEN (2000000 * coalesce(o.o, 0)) // (len(cg) + len(rg)) END AS rouge_f_micro
+          FROM g LEFT JOIN o ON g.doc_id = o.doc_id ORDER BY g.doc_id""",
+
+    "q241_memorization_rate" ->
+      """WITH tk AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents),
+          corpus AS (
+            SELECT DISTINCT unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS g
+            FROM tk),
+          gensrc AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 13 = 0 THEN NULL
+                   ELSE array_to_string(t[1:(4 + doc_id % 12)], ' ')
+                     || CASE WHEN doc_id % 4 = 1 THEN '' ELSE ' zzz' || CAST(doc_id AS VARCHAR) END
+              END AS gtext
+            FROM tk WHERE doc_id % 3 = 0),
+          gtk AS (
+            SELECT doc_id, regexp_split_to_array(trim(gtext), '\s+') AS t
+            FROM gensrc WHERE gtext IS NOT NULL),
+          gg AS (
+            SELECT doc_id, unnest(list_distinct(
+              CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                   ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END)) AS g
+            FROM gtk),
+          hit AS (
+            SELECT gg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(CASE WHEN c.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_memorized
+            FROM gg LEFT JOIN corpus c ON gg.g = c.g GROUP BY gg.doc_id)
+          SELECT u.doc_id,
+            coalesce(n_grams, 0) AS n_grams,
+            coalesce(n_memorized, 0) AS n_memorized,
+            CASE WHEN n_grams > 0 THEN (1000000 * n_memorized) // n_grams END AS memorized_micro
+          FROM (SELECT doc_id FROM gensrc) u LEFT JOIN hit ON u.doc_id = hit.doc_id
+          ORDER BY u.doc_id""",
+
+    "q242_fleiss_kappa" ->
+      """WITH ann AS (
+            SELECT doc_id AS i, r.r AS r,
+              CAST((length(text) + r.r * (doc_id % 5)) % 4 AS VARCHAR) AS l
+            FROM documents, range(0, 3) r(r)),
+          cells AS (SELECT i, l, CAST(count(*) AS BIGINT) AS n FROM ann GROUP BY i, l),
+          items AS (SELECT i, CAST(sum(n) AS BIGINT) AS r_i, CAST(sum(n * n) AS BIGINT) AS sq FROM cells GROUP BY i),
+          ist AS (SELECT CAST(count(*) AS BIGINT) AS n_items, CAST(max(r_i) AS BIGINT) AS r, CAST(sum(sq) AS BIGINT) AS a FROM items),
+          lst AS (SELECT CAST(sum(c * c) AS BIGINT) AS sumc2, CAST(count(*) AS BIGINT) AS n_categories
+                  FROM (SELECT l, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY l)),
+          k AS (SELECT n_items, r AS n_raters, n_categories,
+                  (a - n_items * r) * (n_items * r) - (r - 1) * sumc2 AS kappa_num,
+                  (r - 1) * ((n_items * r) * (n_items * r) - sumc2) AS kappa_den
+                FROM ist, lst)
+          SELECT n_items, n_raters, n_categories, kappa_num, kappa_den,
+            CASE WHEN kappa_den > 0
+              THEN (kappa_num * 1000000 + 2000000 * kappa_den) // kappa_den - 2000000 END AS kappa_micro
+          FROM k""",
+
+    "q243_cohen_kappa" ->
+      """WITH p AS (
+            SELECT CAST(length(text) % 3 AS VARCHAR) AS la,
+                   CAST((length(text) + doc_id % 2) % 3 AS VARCHAR) AS lb
+            FROM documents),
+          base AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+            CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree FROM p),
+          ma AS (SELECT la AS l, CAST(count(*) AS BIGINT) AS ca FROM p GROUP BY la),
+          mb AS (SELECT lb AS l, CAST(count(*) AS BIGINT) AS cb FROM p GROUP BY lb),
+          pe AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS pe_num FROM ma JOIN mb ON ma.l = mb.l),
+          k AS (SELECT n_items, n_agree, pe_num,
+                  n_agree * n_items - pe_num AS kappa_num,
+                  n_items * n_items - pe_num AS kappa_den
+                FROM base, pe)
+          SELECT n_items, n_agree, pe_num, kappa_num, kappa_den,
+            CASE WHEN kappa_den > 0
+              THEN (kappa_num * 1000000 + 2000000 * kappa_den) // kappa_den - 2000000 END AS kappa_micro
+          FROM k""",
+
+    "q244_chat_stats" ->
+      s"""WITH src AS (
+            SELECT doc_id, $chatJsonSql AS j
+            FROM documents),
+          parsed AS (
+            SELECT doc_id, j, json_valid(j) AS ok,
+              CASE WHEN json_valid(j) THEN CAST(json_array_length(j) AS INTEGER) END AS n
+            FROM src),
+          lists AS (
+            SELECT doc_id, ok, n,
+              CASE WHEN ok THEN list_transform(range(0, n), k -> json_extract_string(j, '$$[' || k || '].role')) END AS roles,
+              CASE WHEN ok THEN list_transform(range(0, n), k -> json_extract_string(j, '$$[' || k || '].content')) END AS contents
+            FROM parsed),
+          derived AS (
+            SELECT doc_id, ok, n, roles, contents,
+              CASE WHEN ok THEN list_filter(roles, r -> r <> 'system') END AS rest,
+              CASE WHEN ok THEN coalesce(list_position(list_transform(roles, r -> r = 'system'), false), n + 1) END AS first_non_sys
+            FROM lists),
+          stats AS (
+            SELECT doc_id, ok, n AS n_turns,
+              CASE WHEN ok THEN CAST(len(list_filter(roles, r -> r = 'system')) AS INTEGER) END AS n_system,
+              CASE WHEN ok THEN CAST(len(list_filter(roles, r -> r = 'user')) AS INTEGER) END AS n_user,
+              CASE WHEN ok THEN CAST(len(list_filter(roles, r -> r = 'assistant')) AS INTEGER) END AS n_assistant,
+              CASE WHEN ok THEN coalesce(rest[1] = 'user', FALSE) END AS starts_user,
+              CASE WHEN ok THEN (CASE WHEN len(rest) >= 2
+                THEN len(list_filter(range(1, len(rest)), k -> rest[k] = rest[k + 1])) = 0
+                ELSE TRUE END) END AS alternates,
+              CASE WHEN ok THEN coalesce(rest[len(rest)] = 'assistant', FALSE) END AS ends_assistant,
+              CASE WHEN ok THEN len(list_filter(contents, c -> c IS NULL OR len(trim(c)) = 0)) = 0 END AS contents_ok,
+              CASE WHEN ok THEN len(list_filter(roles, r -> r NOT IN ('system', 'user', 'assistant'))) = 0 END AS roles_ok,
+              CASE WHEN ok THEN len(list_filter(range(1, n + 1), k -> roles[k] = 'system' AND k > first_non_sys)) > 0 END AS sys_violated,
+              CASE WHEN ok THEN array_to_string(list_transform(range(0, n),
+                k -> '<|' || roles[k + 1] || '|>' || coalesce(contents[k + 1], '')), chr(10)) END AS flat
+            FROM derived)
+          SELECT doc_id, n_turns, n_system, n_user, n_assistant, starts_user, alternates,
+            ends_assistant, contents_ok,
+            coalesce(roles_ok AND NOT sys_violated AND alternates AND starts_user
+              AND ends_assistant AND contents_ok, FALSE) AS valid,
+            flat
+          FROM stats ORDER BY doc_id""",
+
+    "q245_chat_turns" ->
+      s"""WITH src AS (
+            SELECT doc_id, $chatJsonSql AS j
+            FROM documents),
+          valid AS (SELECT doc_id, j, CAST(json_array_length(j) AS INTEGER) AS n FROM src WHERE json_valid(j))
+          SELECT doc_id, CAST(k + 1 AS INTEGER) AS turn,
+            json_extract_string(j, '$$[' || k || '].role') AS role,
+            json_extract_string(j, '$$[' || k || '].content') AS content
+          FROM (SELECT doc_id, j, unnest(range(0, n)) AS k FROM valid)
+          ORDER BY doc_id, turn""")
+}

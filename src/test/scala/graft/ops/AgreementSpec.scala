@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AgreementSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fleiss(rows: Seq[(String, String, String)]) =
+    Agreement.fleissKappa(rows.toDF("item", "rater", "label"),
+        "item", "rater", "label")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].head()
+
+  test("fleissKappa hand-computed: 4 items, 3 raters, 3 categories") {
+    // i1 aaa, i2 aab, i3 bbb, i4 abc:
+    // A = 9+5+9+3 = 26, NR = 12, C = (6,5,1), ΣC² = 62
+    // X = (26−12)·12 − 2·62 = 44 ; Y = 2·(144−62) = 164 ; κ = 11/41
+    val rows = Seq(
+      ("i1", "r1", "a"), ("i1", "r2", "a"), ("i1", "r3", "a"),
+      ("i2", "r1", "a"), ("i2", "r2", "a"), ("i2", "r3", "b"),
+      ("i3", "r1", "b"), ("i3", "r2", "b"), ("i3", "r3", "b"),
+      ("i4", "r1", "a"), ("i4", "r2", "b"), ("i4", "r3", "c"))
+    val (n, r, k, num, den, micro) = fleiss(rows)
+    assert(n === 4L && r === 3L && k === 3L)
+    assert(num === 44L && den === 164L)
+    assert(micro === Some(268292L)) // floor(11/41 · 10⁶)
+  }
+
+  test("fleissKappa: perfect agreement over 2 categories is exactly 1") {
+    val rows = for {
+      (i, l) <- Seq("i1" -> "a", "i2" -> "a", "i3" -> "b", "i4" -> "b")
+      r <- Seq("r1", "r2", "r3")
+    } yield (i, r, l)
+    assert(fleiss(rows)._6 === Some(1000000L))
+  }
+
+  test("fleissKappa: total two-rater disagreement is exactly −1") {
+    val rows = Seq(
+      ("i1", "r1", "a"), ("i1", "r2", "b"),
+      ("i2", "r1", "a"), ("i2", "r2", "b"))
+    assert(fleiss(rows)._6 === Some(-1000000L))
+  }
+
+  test("fleissKappa: single used category → chance = 1 → NULL, not 0") {
+    val rows = for (i <- Seq("i1", "i2"); r <- Seq("r1", "r2"))
+      yield (i, r, "only")
+    val (_, _, k, _, den, micro) = fleiss(rows)
+    assert(k === 1L && den === 0L && micro === None)
+  }
+
+  test("fleissKappa misuse fails loudly: unequal raters, dup pair, null label") {
+    val unequal = Seq(("i1", "r1", "a"), ("i1", "r2", "a"), ("i2", "r1", "a"))
+    val e1 = intercept[Exception] { fleiss(unequal) }
+    assert(e1.getMessage.contains("constant rater count"))
+    val dup = Seq(("i1", "r1", "a"), ("i1", "r1", "b"),
+      ("i2", "r1", "a"), ("i2", "r2", "b"))
+    val e2 = intercept[Exception] { fleiss(dup) }
+    assert(e2.getMessage.contains("duplicate"))
+    val e3 = intercept[Exception] {
+      Agreement.fleissKappa(
+        Seq(("i1", "r1", null.asInstanceOf[String]),
+          ("i1", "r2", "a")).toDF("item", "rater", "label"),
+        "item", "rater", "label").collect()
+    }
+    assert(e3.getMessage.contains("null label"))
+  }
+
+  private def cohen(rows: Seq[(String, String)]) =
+    Agreement.cohenKappa(rows.toDF("la", "lb"), "la", "lb")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].head()
+
+  test("cohenKappa hand-computed: 6 items, 3 categories") {
+    // agree 4/6; Ca = Cb = (3,2,1) → pe_num 14
+    // num = 24−14 = 10, den = 36−14 = 22 → κ = 5/11
+    val rows = Seq(("a", "a"), ("a", "a"), ("b", "b"),
+      ("a", "b"), ("b", "a"), ("c", "c"))
+    val (n, agree, pe, num, den, micro) = cohen(rows)
+    assert(n === 6L && agree === 4L && pe === 14L)
+    assert(num === 10L && den === 22L)
+    assert(micro === Some(454545L))
+  }
+
+  test("cohenKappa: anti-correlated binary raters reach −1") {
+    val rows = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("b", "a"))
+    assert(cohen(rows)._6 === Some(-1000000L))
+  }
+
+  test("cohenKappa: disjoint label vocabularies → pe 0, κ = agreement") {
+    // raters never use the same label: pe_num = 0, agree 0 → κ = 0
+    val rows = Seq(("a", "x"), ("b", "y"), ("a", "y"))
+    val (_, agree, pe, _, _, micro) = cohen(rows)
+    assert(agree === 0L && pe === 0L && micro === Some(0L))
+  }
+
+  test("cohenKappa: both raters constant and identical → NULL") {
+    val (_, _, _, _, den, micro) = cohen(Seq(("a", "a"), ("a", "a")))
+    assert(den === 0L && micro === None)
+  }
+
+  test("cohenKappa: null label fails loudly") {
+    val e = intercept[Exception] {
+      cohen(Seq(("a", null.asInstanceOf[String]), ("a", "a")))
+    }
+    assert(e.getMessage.contains("null label"))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EvalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rouge(cand: String, ref: String, n: Int) = {
+    val cols = EvalOps.rougeN(col("cand"), col("ref"), n)
+    Seq((cand, ref)).toDF("cand", "ref")
+      .select(cols.map { case (name, c) => c.as(name) }: _*)
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .head()
+  }
+
+  test("rougeN bigrams: hand-computed partial overlap") {
+    // cand bigrams: "the cat"|"cat sat"|"sat down"   (3)
+    // ref  bigrams: "the cat"|"cat sat"|"sat there"  (3)
+    // overlap 2 -> P = R = 2/3, F = 2*2/(3+3) = 2/3 -> 666666 micro
+    val (c, r, o, p, rr, f) = rouge("the cat sat down", "the cat sat there", 2)
+    assert(c === 3L && r === 3L && o === 2L)
+    assert(p === Some(666666L) && rr === Some(666666L) && f === Some(666666L))
+  }
+
+  test("rougeN clips repeated grams to the reference count") {
+    // cand unigrams: the,the,the,cat (the×3); ref: the,cat
+    // clipped overlap = min(3,1) + min(1,1) = 2; P = 2/4, R = 2/2, F = 4/6
+    val (c, r, o, p, rr, f) = rouge("the the the cat", "the cat", 1)
+    assert(c === 4L && r === 2L && o === 2L)
+    assert(p === Some(500000L) && rr === Some(1000000L))
+    assert(f === Some(666666L))
+  }
+
+  test("rougeN: disjoint texts score zero; identical score 1.0") {
+    val (_, _, o0, p0, r0, f0) = rouge("aa bb cc", "dd ee ff", 2)
+    assert(o0 === 0L && p0 === Some(0L) && r0 === Some(0L) && f0 === Some(0L))
+    val (_, _, _, p1, r1, f1) = rouge("x y z w", "x y z w", 2)
+    assert(p1 === Some(1000000L) && r1 === Some(1000000L) && f1 === Some(1000000L))
+  }
+
+  test("rougeN null contract: null/empty/short sides yield 0 grams, null ratios") {
+    // null cand: no grams -> P null, R defined (0), F defined (0)
+    val all = Seq((null.asInstanceOf[String], "a b c", 1L),
+        ("", "a b c", 2L), ("one", "a b c two", 3L), (null, null, 4L))
+      .toDF("cand", "ref", "id")
+    val cols = EvalOps.rougeN(col("cand"), col("ref"), 2)
+    val out = all.select(col("id") +: cols.map { case (nm, c) => c.as(nm) }: _*)
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(t => t._1 -> t).toMap
+    // (id, nC, nR, o, p, r, f)
+    assert(out(1L)._2 === 0L && out(1L)._5 === None && out(1L)._6.isDefined)
+    assert(out(2L)._2 === 0L && out(2L)._5 === None)
+    // "one" has < 2 tokens: zero bigrams (no whole-text pseudo-gram)
+    assert(out(3L)._2 === 0L)
+    // both sides empty: every ratio undefined
+    assert(out(4L)._5 === None && out(4L)._6 === None && out(4L)._7 === None)
+  }
+
+  test("clippedOverlap is symmetric and bounded by both sides") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 40).map { i =>
+      def txt() = (1 to rnd.nextInt(30)).map(_ => s"w${rnd.nextInt(8)}").mkString(" ")
+      (i.toLong, txt(), txt())
+    }
+    val df = docs.toDF("id", "a", "b")
+    val ga = EvalOps.wordNgrams(col("a"), 2)
+    val gb = EvalOps.wordNgrams(col("b"), 2)
+    val rows = df.select(col("id"), EvalOps.clippedOverlap(ga, gb).as("ab"),
+        EvalOps.clippedOverlap(gb, ga).as("ba"),
+        size(ga).as("na"), size(gb).as("nb"))
+      .as[(Long, Long, Long, Int, Int)].collect()
+    rows.foreach { case (_, ab, ba, na, nb) =>
+      assert(ab === ba)
+      assert(ab <= na && ab <= nb)
+    }
+    // model check against a driver-side multiset intersection
+    val model = docs.map { case (id, a, b) =>
+      def grams(s: String) = s.split("\\s+").filter(_.nonEmpty).sliding(2)
+        .filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val (ca, cb) = (grams(a).groupBy(identity), grams(b).groupBy(identity))
+      id -> ca.keys.toSeq
+        .map(g => math.min(ca(g).size, cb.getOrElse(g, Nil).size)).sum
+    }.toMap
+    rows.foreach { case (id, ab, _, _, _) => assert(ab === model(id).toLong) }
+  }
+
+  test("memorizationRate: hand case with universe reinstatement") {
+    val corpus = Seq((100L, "alpha beta gamma delta epsilon")).toDF("id", "text")
+    val gens = Seq(
+      (1L, "alpha beta gamma"),          // both trigrams memorized
+      (2L, "alpha beta zeta"),           // its one trigram missing
+      (3L, "beta gamma delta novel alpha beta gamma"), // partial
+      (4L, null.asInstanceOf[String]),   // content-less: 0 grams, null rate
+      (5L, "zz")                         // short doc: whole text = 1 gram, miss
+    ).toDF("id", "text")
+    val out = EvalOps.memorizationRate(gens, "text", "id", corpus, "text", 3)
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(out(1L) === ((1L, 1L, Some(1000000L))))
+    assert(out(2L) === ((1L, 0L, Some(0L))))
+    // distinct trigrams of gen 3: "beta gamma delta", "gamma delta novel",
+    // "delta novel alpha", "novel alpha beta", "alpha beta gamma" -> 2 hits
+    assert(out(3L) === ((5L, 2L, Some(400000L))))
+    assert(out(4L) === ((0L, 0L, None)))
+    assert(out(5L) === ((1L, 0L, Some(0L))))
+  }
+
+  test("memorizationRateFromRows matches the inline corpus form") {
+    val docs = spark.range(1, 60).select(col("id"),
+      concat_ws(" ", lit("tok"), (col("id") % 7).cast("string"),
+        lit("mid"), (col("id") % 3).cast("string"),
+        lit("end"), (col("id") % 5).cast("string")).as("text"))
+    val corpus = docs.where(col("id") % 2 === 0)
+    val gens = docs.where(col("id") % 2 === 1)
+    val direct = EvalOps.memorizationRate(gens, "text", "id", corpus, "text", 3)
+    val prebuilt = EvalOps.memorizationRateFromRows(gens, "text", "id",
+      graft.dedup.Dedup.shingleRows(corpus, "text", "id", Nil, 3)
+        .select(col("g")).distinct(), 3)
+    assert(direct.orderBy("id").collect().toSeq ===
+      prebuilt.orderBy("id").collect().toSeq)
+  }
+}
