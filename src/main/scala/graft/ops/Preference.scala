@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Preference-data operators — the RLHF/eval side of pairwise
+  * comparisons: win-rate tables and Bradley–Terry strength fitting over
+  * a duel log `(winner, loser)` (model A vs model B per prompt, the
+  * arena/leaderboard shape).
+  *
+  * Bradley–Terry runs Hunter (2004)'s MM iteration in 64-bit FIXED
+  * POINT (the [[Graphs.pageRankFixed]] discipline): floor `div`s and
+  * order-free long sums make every iteration bit-replayable — a
+  * leaderboard that can't reproduce itself across engines can't be
+  * regression-gated. Regularization is one VIRTUAL opponent of fixed
+  * strength 10⁶ that every player beats once and loses to once (the
+  * standard add-one prior), which keeps strengths finite for undefeated
+  * players and positive for winless ones.
+  */
+object Preference {
+
+  private val Scale = 1000000L
+  private val Scale2 = Scale * Scale
+
+  private def loud(c: Column, what: String): Column =
+    when(c.isNull, raise_error(lit(
+      s"Preference: null $what — clean the duel log first")))
+      .otherwise(c.cast("string"))
+
+  /** Duel log → canonicalized per-pair win stats: one row per unordered
+    * pair `(player_a < player_b)` with `n_games`, `n_wins_a`, and the
+    * exact-integer `winrate_a_micro = 10⁶·wins_a div n`. Null players
+    * and self-duels fail loudly. One hash aggregate — pair-keyed,
+    * partial-aggregable, any duel volume. */
+  def winRates(duels: DataFrame, winnerCol: String, loserCol: String)
+      : DataFrame = {
+    val d = canon(duels, winnerCol, loserCol)
+    d.groupBy(col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_games"), sum(col("win_lo")).as("n_wins_a"))
+      .select(col("lo").as("player_a"), col("hi").as("player_b"),
+        col("n_games"), col("n_wins_a"),
+        expr(s"($Scale * n_wins_a) div n_games").as("winrate_a_micro"))
+  }
+
+  private def canon(duels: DataFrame, winnerCol: String, loserCol: String)
+      : DataFrame = {
+    val w = loud(col(winnerCol), "winner")
+    val l = loud(col(loserCol), "loser")
+    duels.select(w.as("w"), l.as("l"))
+      .select(
+        when(col("w") === col("l"), raise_error(concat(
+            lit("Preference: self-duel for player "), col("w"),
+            lit(" — a player cannot beat itself; clean the duel log"))))
+          .otherwise(least(col("w"), col("l"))).as("lo"),
+        greatest(col("w"), col("l")).as("hi"),
+        when(col("w") <= col("l"), 1L).otherwise(0L).as("win_lo"))
+  }
+
+  /** Bradley–Terry strengths from a duel log: `(player, n_games,
+    * n_wins, strength_micro)`, strengths normalized to mean 10⁶ per
+    * iteration (BT is scale-free; the normalization IS the replayable
+    * gauge fix). Each of the `iterations` MM rounds, all integer:
+    * {{{
+    * denom_i = Σ_j (n_ij · 10¹²) div (s_i + s_j)          // real opponents
+    *         + (2 · 10¹²) div (s_i + 10⁶)                 // virtual prior
+    * raw_i   = max(1, ((wins_i + 1) · 10¹²) div denom_i)
+    * s_i     = max(1, (raw_i · 10⁶) div (Σ raw div n_players))
+    * }}}
+    * Long-regime bound: `n_ij·10¹²` caps per-pair games at ~9·10⁶ and
+    * `raw·10⁶` caps wins·players at ~10⁷ — an arena/eval leaderboard
+    * (tens-to-hundreds of models) lives far inside; ANSI sessions fail
+    * loudly past it. Scale shape: duels collapse ONCE to the pair table
+    * (hash aggregate); per round two player-keyed joins over the
+    * pair-sized edge list + one aggregate, each `localCheckpoint`ed; the
+    * normalizer rides a provably-1-row crossJoin. Player count is a
+    * driver scalar by necessity (it seeds the gauge) — players are
+    * models/policies by contract, never an unbounded id space. */
+  def bradleyTerry(duels: DataFrame, winnerCol: String, loserCol: String,
+                   iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations out of [1, 50]: $iterations")
+    val pairs = winRates(duels, winnerCol, loserCol)
+      .select(col("player_a").as("lo"), col("player_b").as("hi"),
+        col("n_games"), col("n_wins_a").as("wins_lo"))
+      .localCheckpoint(eager = true)
+    val e = pairs.select(col("lo").as("i"), col("hi").as("j"), col("n_games").as("n"))
+      .unionAll(pairs.select(col("hi").as("i"), col("lo").as("j"),
+        col("n_games").as("n")))
+      .localCheckpoint(eager = true)
+    val stats = pairs
+      .select(col("lo").as("p"), col("n_games").as("g"), col("wins_lo").as("v"))
+      .unionAll(pairs.select(col("hi").as("p"), col("n_games").as("g"),
+        (col("n_games") - col("wins_lo")).as("v")))
+      .groupBy(col("p"))
+      .agg(sum(col("g")).as("n_games"), sum(col("v")).as("n_wins"))
+      .localCheckpoint(eager = true)
+    val nPlayers = stats.count()
+    require(nPlayers >= 2L, "need at least two players to rank")
+    var s = stats.select(col("p"), lit(Scale).as("s"))
+    for (_ <- 1 to iterations) {
+      val dp = e
+        .join(s.select(col("p").as("i"), col("s").as("si")), Seq("i"))
+        .join(s.select(col("p").as("j"), col("s").as("sj")), Seq("j"))
+        .select(col("i").as("p"), expr(s"(n * ${Scale2}L) div (si + sj)").as("t"))
+        .groupBy(col("p")).agg(sum(col("t")).as("dp"))
+      val raw = s
+        .join(stats.select(col("p"), col("n_wins")), Seq("p"))
+        .join(dp, Seq("p"), "left")
+        .select(col("p"), greatest(lit(1L), expr(
+          s"((n_wins + 1) * ${Scale2}L) div " +
+            s"(coalesce(dp, 0L) + (2 * ${Scale2}L) div (s + ${Scale}L))"))
+          .as("raw"))
+      val mean = raw.agg(expr(s"sum(raw) div ${nPlayers}L").as("mean"))
+      s = raw.crossJoin(mean)
+        .select(col("p"),
+          greatest(lit(1L), expr(s"(raw * ${Scale}L) div mean")).as("s"))
+        .localCheckpoint(eager = true)
+    }
+    stats.join(s, Seq("p"))
+      .select(col("p").as("player"), col("n_games"), col("n_wins"),
+        col("s").as("strength_micro"))
+  }
+}

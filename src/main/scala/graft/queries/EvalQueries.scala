@@ -119,7 +119,50 @@ object EvalQueries {
           Tables.documents(s, d).select(col("doc_id"), chatJson.as("j")),
           "j", "doc_id")
         .orderBy(col("doc_id"), col("turn"))
+    }),
+
+    // ───── pairwise win-rate table over the synthetic duel log
+    // (sources "duel" via adjacent docs; longer text wins) ─────
+    "q246_win_rates" -> ((s, d) => {
+      graft.ops.Preference.winRates(duelFixture(s, d), "w", "l")
+        .orderBy(col("player_a"), col("player_b"))
+    }),
+
+    // ───── Bradley–Terry strengths, two exact integer MM iterations,
+    // unrolled term-for-term in the oracle (the q152 pattern) ─────
+    "q247_bradley_terry" -> ((s, d) => {
+      graft.ops.Preference.bradleyTerry(duelFixture(s, d), "w", "l", 2)
+        .orderBy(col("player"))
     }))
+
+  /** Duel log synthesized from adjacent different-source docs: the
+    * longer text's source wins (length ties to the lexicographically
+    * smaller source) — replayed verbatim in the oracle SQL. */
+  private def duelFixture(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val a = docs.select(col("doc_id"), length(col("text")).as("la"),
+      col("source").as("sa"))
+    val b = docs.select((col("doc_id") - 1).as("doc_id"),
+      length(col("text")).as("lb"), col("source").as("sb"))
+    a.join(b, "doc_id").where(col("sa") =!= col("sb"))
+      .select(
+        when(col("la") > col("lb"), col("sa"))
+          .when(col("la") < col("lb"), col("sb"))
+          .otherwise(least(col("sa"), col("sb"))).as("w"),
+        when(col("la") > col("lb"), col("sb"))
+          .when(col("la") < col("lb"), col("sa"))
+          .otherwise(greatest(col("sa"), col("sb"))).as("l"))
+  }
+
+  private val duelsSql =
+    """SELECT CASE WHEN length(a.text) > length(b.text) THEN a.source
+              WHEN length(a.text) < length(b.text) THEN b.source
+              ELSE least(a.source, b.source) END AS w,
+         CASE WHEN length(a.text) > length(b.text) THEN b.source
+              WHEN length(a.text) < length(b.text) THEN a.source
+              ELSE greatest(a.source, b.source) END AS l
+       FROM documents a JOIN documents b
+         ON b.doc_id = a.doc_id + 1 AND a.source <> b.source"""
 
   private val candSql =
     """CASE WHEN a.doc_id % 13 = 0 THEN NULL
@@ -287,5 +330,48 @@ object EvalQueries {
             json_extract_string(j, '$$[' || k || '].role') AS role,
             json_extract_string(j, '$$[' || k || '].content') AS content
           FROM (SELECT doc_id, j, unnest(range(0, n)) AS k FROM valid)
-          ORDER BY doc_id, turn""")
+          ORDER BY doc_id, turn""",
+
+    "q246_win_rates" ->
+      s"""WITH duels AS ($duelsSql),
+          pairs AS (
+            SELECT least(w, l) AS player_a, greatest(w, l) AS player_b,
+              CAST(count(*) AS BIGINT) AS n_games,
+              CAST(sum(CASE WHEN w <= l THEN 1 ELSE 0 END) AS BIGINT) AS n_wins_a
+            FROM duels GROUP BY 1, 2)
+          SELECT player_a, player_b, n_games, n_wins_a,
+            (1000000 * n_wins_a) // n_games AS winrate_a_micro
+          FROM pairs ORDER BY player_a, player_b""",
+
+    "q247_bradley_terry" ->
+      s"""WITH duels AS ($duelsSql),
+          pairs AS (
+            SELECT least(w, l) AS lo, greatest(w, l) AS hi,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN w <= l THEN 1 ELSE 0 END) AS BIGINT) AS wins_lo
+            FROM duels GROUP BY 1, 2),
+          e AS (SELECT lo AS i, hi AS j, n FROM pairs UNION ALL SELECT hi AS i, lo AS j, n FROM pairs),
+          stats AS (
+            SELECT p, CAST(sum(g) AS BIGINT) AS n_games, CAST(sum(v) AS BIGINT) AS n_wins
+            FROM (SELECT lo AS p, n AS g, wins_lo AS v FROM pairs
+                  UNION ALL SELECT hi AS p, n AS g, n - wins_lo AS v FROM pairs)
+            GROUP BY p),
+          np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM stats),
+          s0 AS (SELECT p, CAST(1000000 AS BIGINT) AS s FROM stats),
+          dp1 AS (SELECT e.i AS p, CAST(sum((e.n * 1000000000000) // (si.s + sj.s)) AS BIGINT) AS dp
+                  FROM e JOIN s0 si ON e.i = si.p JOIN s0 sj ON e.j = sj.p GROUP BY e.i),
+          raw1 AS (SELECT st.p, greatest(1, ((st.n_wins + 1) * 1000000000000) //
+                     (coalesce(dp.dp, 0) + 2000000000000 // (s.s + 1000000))) AS raw
+                   FROM stats st JOIN s0 s ON st.p = s.p LEFT JOIN dp1 dp ON st.p = dp.p),
+          m1 AS (SELECT CAST(sum(raw) AS BIGINT) // max(np.np) AS mean FROM raw1, np),
+          s1 AS (SELECT p, greatest(1, (raw * 1000000) // mean) AS s FROM raw1, m1),
+          dp2 AS (SELECT e.i AS p, CAST(sum((e.n * 1000000000000) // (si.s + sj.s)) AS BIGINT) AS dp
+                  FROM e JOIN s1 si ON e.i = si.p JOIN s1 sj ON e.j = sj.p GROUP BY e.i),
+          raw2 AS (SELECT st.p, greatest(1, ((st.n_wins + 1) * 1000000000000) //
+                     (coalesce(dp.dp, 0) + 2000000000000 // (s.s + 1000000))) AS raw
+                   FROM stats st JOIN s1 s ON st.p = s.p LEFT JOIN dp2 dp ON st.p = dp.p),
+          m2 AS (SELECT CAST(sum(raw) AS BIGINT) // max(np.np) AS mean FROM raw2, np),
+          s2 AS (SELECT p, greatest(1, (raw * 1000000) // mean) AS s FROM raw2, m2)
+          SELECT st.p AS player, st.n_games, st.n_wins, s2.s AS strength_micro
+          FROM stats st JOIN s2 ON st.p = s2.p ORDER BY player""")
 }

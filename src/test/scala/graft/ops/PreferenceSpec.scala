@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rates(duels: Seq[(String, String)]) =
+    Preference.winRates(duels.toDF("w", "l"), "w", "l")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+
+  test("winRates: canonicalized pairs with exact micro rates") {
+    // a beats b 3x, b beats a 1x; c beats a 1x
+    val duels = Seq(("a", "b"), ("a", "b"), ("a", "b"), ("b", "a"), ("c", "a"))
+    val out = rates(duels)
+    assert(out(("a", "b")) === ((4L, 3L, 750000L)))
+    assert(out(("a", "c")) === ((1L, 0L, 0L)))
+    assert(out.size === 2)
+  }
+
+  test("winRates misuse fails loudly: self-duel and null player") {
+    val e1 = intercept[Exception] { rates(Seq(("a", "a"), ("a", "b"))) }
+    assert(e1.getMessage.contains("self-duel"))
+    val e2 = intercept[Exception] {
+      Preference.winRates(
+        Seq(("a", null.asInstanceOf[String])).toDF("w", "l"), "w", "l")
+        .collect()
+    }
+    assert(e2.getMessage.contains("null loser"))
+  }
+
+  /** Driver-side replay of the exact integer MM recurrence. */
+  private def btModel(duels: Seq[(String, String)], iters: Int)
+      : Map[String, Long] = {
+    val S = 1000000L; val S2 = S * S
+    val players = duels.flatMap(d => Seq(d._1, d._2)).distinct.sorted
+    def key(a: String, b: String) = if (a < b) (a, b) else (b, a)
+    val games = duels.groupBy(d => key(d._1, d._2)).map { case (k, v) => k -> v.size.toLong }
+    val wins = duels.groupBy(_._1).map { case (p, v) => p -> v.size.toLong }
+      .withDefaultValue(0L)
+    var s = players.map(_ -> S).toMap
+    for (_ <- 1 to iters) {
+      val raw = players.map { p =>
+        val dp = players.filter(q => q != p && games.contains(key(p, q)))
+          .map(q => games(key(p, q)) * S2 / (s(p) + s(q))).sum
+        val denom = dp + 2 * S2 / (s(p) + S)
+        p -> math.max(1L, (wins(p) + 1L) * S2 / denom)
+      }.toMap
+      val mean = raw.values.sum / players.size
+      s = raw.map { case (p, r) => p -> math.max(1L, r * S / mean) }
+    }
+    s
+  }
+
+  private def bt(duels: Seq[(String, String)], iters: Int) =
+    Preference.bradleyTerry(duels.toDF("w", "l"), "w", "l", iters)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+  test("bradleyTerry matches the driver-side integer model exactly") {
+    val rnd = new scala.util.Random(11)
+    val players = Seq("m1", "m2", "m3", "m4", "m5")
+    val duels = (1 to 300).map { _ =>
+      val a = players(rnd.nextInt(players.size))
+      var b = players(rnd.nextInt(players.size))
+      while (b == a) b = players(rnd.nextInt(players.size))
+      // m1 strongest, m5 weakest: lower index wins with bias
+      if (rnd.nextInt(10) < 7) {
+        if (a < b) (a, b) else (b, a)
+      } else {
+        if (a < b) (b, a) else (a, b)
+      }
+    }
+    val model = btModel(duels, 5)
+    val out = bt(duels, 5)
+    players.foreach { p => assert(out(p)._3 === model(p), s"player $p") }
+  }
+
+  test("bradleyTerry: dominance chain orders strengths; wins/games exact") {
+    // a beats b 9/10, b beats c 9/10 — strengths must order a > b > c
+    val duels =
+      (1 to 9).map(_ => ("a", "b")) ++ Seq(("b", "a")) ++
+        (1 to 9).map(_ => ("b", "c")) ++ Seq(("c", "b"))
+    val out = bt(duels, 10)
+    assert(out("a")._3 > out("b")._3 && out("b")._3 > out("c")._3)
+    assert(out("a") === ((10L, 9L, out("a")._3)))
+    assert(out("b") === ((20L, 10L, out("b")._3)))
+    assert(out("c") === ((10L, 1L, out("c")._3)))
+  }
+
+  test("bradleyTerry: an even matchup converges to equal strengths") {
+    val duels = (1 to 5).flatMap(_ => Seq(("x", "y"), ("y", "x")))
+    val out = bt(duels, 8)
+    assert(out("x")._3 === out("y")._3)
+  }
+
+  test("bradleyTerry: an undefeated player stays finite (virtual prior)") {
+    val out = bt((1 to 20).map(_ => ("champ", "chump")), 10)
+    assert(out("champ")._3 > out("chump")._3)
+    assert(out("chump")._3 >= 1L)
+    // strengths stay in the gauge: mean is pinned near 10⁶
+    val mean = (out("champ")._3 + out("chump")._3) / 2
+    assert(mean >= 900000L && mean <= 1100000L)
+  }
+}
