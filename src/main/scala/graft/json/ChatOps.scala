@@ -81,9 +81,14 @@ object ChatOps {
       array_position(transform(a, t => t("role") <=> lit("system")),
         lit(false)),
       (size(a) + 1).cast("long"))
-    exists(sequence(lit(1), size(a)),
-      i => (element_at(a, i)("role") <=> lit("system")) &&
-        i.cast("long") > firstNonSys)
+    // size >= 1 guard: sequence(1, 0) is DESCENDING in Spark, and an
+    // empty conversation ("[]") must read as un-violated, not feed
+    // element_at an out-of-bounds index under ANSI
+    when(size(a) >= 1,
+        exists(sequence(lit(1), size(a)),
+          i => (element_at(a, i)("role") <=> lit("system")) &&
+            i.cast("long") > firstNonSys))
+      .when(size(a).isNotNull, lit(false))
   }
 
   /** Training-string flattening: `<|role|>content` lines joined by

@@ -74,7 +74,9 @@ object Agreement {
         when(col("maxdup") > 1L, raise_error(lit("fleissKappa: duplicate " +
             "(item, rater) rating rows — dedupe or re-key the table")))
           .otherwise(col("n_items")).as("n_items"),
-        when(col("rmin") =!= col("rmax"), raise_error(concat(
+        when(col("n_items") === 0L, raise_error(lit(
+            "fleissKappa: empty annotation table — nothing to agree on")))
+          .when(col("rmin") =!= col("rmax"), raise_error(concat(
             lit("fleissKappa: items rated by between "),
             col("rmin").cast("string"),
             lit(" and "), col("rmax").cast("string"),
@@ -123,7 +125,11 @@ object Agreement {
     val pe = margA.join(margB, col("la") === col("lb"))
       .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("pe_num"))
     base.crossJoin(pe)
-      .select(col("n_items"), col("n_agree"), col("pe_num"),
+      .select(
+        when(col("n_items") === 0L, raise_error(lit(
+            "cohenKappa: empty annotation table — nothing to agree on")))
+          .otherwise(col("n_items")).as("n_items"),
+        col("n_agree"), col("pe_num"),
         (col("n_agree") * col("n_items") - col("pe_num")).as("kappa_num"),
         (col("n_items") * col("n_items") - col("pe_num")).as("kappa_den"))
       .select(col("n_items"), col("n_agree"), col("pe_num"),

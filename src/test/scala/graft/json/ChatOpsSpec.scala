@@ -72,6 +72,15 @@ class ChatOpsSpec extends SparkSpec {
     assert(s.nTurns === Some(1) && s.startsUser === Some(false) && !s.valid)
   }
 
+  test("empty conversation '[]' is parsed, invalid, and crash-free") {
+    val s = stats(Seq("[]"))(0L)
+    assert(s.nTurns === Some(0) && s.nUser === Some(0) &&
+      s.startsUser === Some(false) && s.alternates === Some(true) &&
+      s.contentsOk === Some(true) && !s.valid)
+    assert(ChatOps.chatTurns(
+      Seq((1L, "[]")).toDF("id", "j"), "j", "id").count() === 0L)
+  }
+
   test("malformed JSON: NULL stats, valid = false, zero exploded turns") {
     val out = stats(Seq("not json at all", "{\"role\":\"user\"}"))
     val s = out(0L)

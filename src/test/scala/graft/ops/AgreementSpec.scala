@@ -97,6 +97,13 @@ class AgreementSpec extends SparkSpec {
     assert(den === 0L && micro === None)
   }
 
+  test("empty annotation tables fail loudly on both kappas") {
+    val ef = intercept[Exception] { fleiss(Seq.empty) }
+    assert(ef.getMessage.contains("empty annotation table"))
+    val ec = intercept[Exception] { cohen(Seq.empty) }
+    assert(ec.getMessage.contains("empty annotation table"))
+  }
+
   test("cohenKappa: null label fails loudly") {
     val e = intercept[Exception] {
       cohen(Seq(("a", null.asInstanceOf[String]), ("a", "a")))
