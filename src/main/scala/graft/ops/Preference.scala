@@ -56,6 +56,43 @@ object Preference {
         when(col("w") <= col("l"), 1L).otherwise(0L).as("win_lo"))
   }
 
+  /** Verbosity-bias audit over a duel log that carries response
+    * lengths: preference data is notoriously length-biased (raters —
+    * human or LLM judge — favor longer answers), and a reward model
+    * trained on a biased log learns verbosity, not quality. Buckets
+    * duels by |len_winner − len_loser| div `bucketWidth` and reports,
+    * per bucket, how often the LONGER side won:
+    * `(len_gap_bucket, n_duels, n_longer_won, n_equal_len,
+    * longer_win_micro)` with `longer_win_micro = 10⁶·longer_won div
+    * (n − equal)` (NULL when every duel in the bucket is equal-length —
+    * bucket 0 with width > 1 can mix gap-0 and small gaps). An unbiased
+    * log holds ~500000 across buckets; a rising curve is the verbosity
+    * signature. Null lengths fail loudly. One hash aggregate,
+    * bucket-keyed — any duel volume. */
+  def lengthBias(duels: DataFrame, winnerLenCol: String, loserLenCol: String,
+                 bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1L, s"bucket width must be positive: $bucketWidth")
+    def loudLen(c: Column, what: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"Preference: null $what — every duel needs both lengths")))
+        .otherwise(c.cast("long"))
+    duels
+      .select(loudLen(col(winnerLenCol), "winner length").as("wl"),
+        loudLen(col(loserLenCol), "loser length").as("ll"))
+      .select(expr(s"abs(wl - ll) div ${bucketWidth}L").as("len_gap_bucket"),
+        when(col("wl") > col("ll"), 1L).otherwise(0L).as("longer_won"),
+        when(col("wl") === col("ll"), 1L).otherwise(0L).as("equal_len"))
+      .groupBy(col("len_gap_bucket"))
+      .agg(count(lit(1)).as("n_duels"),
+        sum(col("longer_won")).as("n_longer_won"),
+        sum(col("equal_len")).as("n_equal_len"))
+      .select(col("len_gap_bucket"), col("n_duels"), col("n_longer_won"),
+        col("n_equal_len"),
+        when(col("n_duels") > col("n_equal_len"),
+          expr("(1000000 * n_longer_won) div (n_duels - n_equal_len)"))
+          .as("longer_win_micro"))
+  }
+
   /** Bradley–Terry strengths from a duel log: `(player, n_games,
     * n_wins, strength_micro)`, strengths normalized to mean 10⁶ per
     * iteration (BT is scale-free; the normalization IS the replayable

@@ -121,6 +121,19 @@ object EvalQueries {
         .orderBy(col("doc_id"), col("turn"))
     }),
 
+    // ───── unbiased pass@k over a synthetic sample log: 5-8 samples
+    // per problem, verdicts correlated through length(text) ─────
+    "q248_pass_at_k" -> ((s, d) => {
+      val samples = Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).as("lt"),
+          explode(sequence(lit(0),
+            (lit(4) + col("doc_id") % 4).cast("int"))).as("smp"))
+        .select(col("doc_id"),
+          (((col("lt") + col("smp") * col("doc_id")) % 3) === 0).as("ok"))
+      EvalOps.passAtK(samples, "doc_id", "ok", 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── pairwise win-rate table over the synthetic duel log
     // (sources "duel" via adjacent docs; longer text wins) ─────
     "q246_win_rates" -> ((s, d) => {
@@ -133,6 +146,25 @@ object EvalQueries {
     "q247_bradley_terry" -> ((s, d) => {
       graft.ops.Preference.bradleyTerry(duelFixture(s, d), "w", "l", 2)
         .orderBy(col("player"))
+    }),
+
+    // ───── verbosity-bias curve: a noisy length-biased judge (longer
+    // wins unless the id-perturbation flips it) — the rate must rise
+    // with the length gap and sit mixed near zero gap ─────
+    "q249_length_bias" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.select(col("doc_id"), length(col("text")).as("la"),
+        col("source").as("sa"))
+      val b = docs.select((col("doc_id") - 1).as("doc_id"),
+        length(col("text")).as("lb"), col("source").as("sb"))
+      val lens = a.join(b, "doc_id").where(col("sa") =!= col("sb"))
+        .select(
+          when(col("la") + col("doc_id") % 40 > col("lb"), col("la"))
+            .otherwise(col("lb")).as("wlen"),
+          when(col("la") + col("doc_id") % 40 > col("lb"), col("lb"))
+            .otherwise(col("la")).as("llen"))
+      graft.ops.Preference.lengthBias(lens, "wlen", "llen", 20L)
+        .orderBy(col("len_gap_bucket"))
     }))
 
   /** Duel log synthesized from adjacent different-source docs: the
@@ -332,6 +364,19 @@ object EvalQueries {
           FROM (SELECT doc_id, j, unnest(range(0, n)) AS k FROM valid)
           ORDER BY doc_id, turn""",
 
+    "q248_pass_at_k" ->
+      """WITH smp AS (
+            SELECT doc_id, ((length(text) + s * doc_id) % 3) = 0 AS ok
+            FROM (SELECT doc_id, text, unnest(range(0, 5 + doc_id % 4)) AS s
+                  FROM documents)),
+          st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS c
+                 FROM smp GROUP BY doc_id)
+          SELECT doc_id, n AS n_samples, c AS n_passed,
+            1000000 - (1000000 * (greatest(n - c, 0) * greatest(n - c - 1, 0) * greatest(n - c - 2, 0)))
+              // (n * (n - 1) * (n - 2)) AS pass_at_k_micro
+          FROM st ORDER BY doc_id""",
+
     "q246_win_rates" ->
       s"""WITH duels AS ($duelsSql),
           pairs AS (
@@ -373,5 +418,27 @@ object EvalQueries {
           m2 AS (SELECT CAST(sum(raw) AS BIGINT) // max(np.np) AS mean FROM raw2, np),
           s2 AS (SELECT p, greatest(1, (raw * 1000000) // mean) AS s FROM raw2, m2)
           SELECT st.p AS player, st.n_games, st.n_wins, s2.s AS strength_micro
-          FROM stats st JOIN s2 ON st.p = s2.p ORDER BY player""")
+          FROM stats st JOIN s2 ON st.p = s2.p ORDER BY player""",
+
+    "q249_length_bias" ->
+      """WITH lens AS (
+            SELECT CASE WHEN length(a.text) + a.doc_id % 40 > length(b.text)
+                     THEN length(a.text) ELSE length(b.text) END AS wl,
+                   CASE WHEN length(a.text) + a.doc_id % 40 > length(b.text)
+                     THEN length(b.text) ELSE length(a.text) END AS ll
+            FROM documents a JOIN documents b
+              ON b.doc_id = a.doc_id + 1 AND a.source <> b.source),
+          bk AS (
+            SELECT abs(wl - ll) // 20 AS len_gap_bucket,
+              CASE WHEN wl > ll THEN 1 ELSE 0 END AS lw,
+              CASE WHEN wl = ll THEN 1 ELSE 0 END AS eq
+            FROM lens)
+          SELECT len_gap_bucket,
+            CAST(count(*) AS BIGINT) AS n_duels,
+            CAST(sum(lw) AS BIGINT) AS n_longer_won,
+            CAST(sum(eq) AS BIGINT) AS n_equal_len,
+            CASE WHEN count(*) > sum(eq)
+              THEN CAST((1000000 * sum(lw)) // (count(*) - sum(eq)) AS BIGINT)
+              END AS longer_win_micro
+          FROM bk GROUP BY len_gap_bucket ORDER BY len_gap_bucket""")
 }

@@ -90,6 +90,56 @@ object EvalOps {
       "rouge_f_micro" -> when(c + r > 0, idiv(lit(2000000L) * o, c + r)))
   }
 
+  /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
+    * Models Trained on Code" §2.1): per problem with `n` samples of
+    * which `c` pass,
+    * {{{
+    * pass@k = 1 − C(n−c, k)/C(n, k) = 1 − Π_{i=0}^{k−1} (n−c−i)/(n−i)
+    * }}}
+    * Returns `(problemCol, n_samples, n_passed, pass_at_k_micro)` with
+    * the probability in EXACT INTEGER micro units: both falling
+    * factorials are integer products (the numerator clamps at 0 —
+    * fewer than k failures means pass@k is exactly 1), one floor
+    * division total. A problem with n < k fails LOUDLY — the estimator
+    * is undefined there and a silently-skipped problem inflates the
+    * suite average. Long-regime bound: `10⁶·n^k` — exact through e.g.
+    * n=100 @ k≤6 or n=20 @ k≤10 (ANSI errors loudly past); eval
+    * harnesses sample tens-to-hundreds per problem.
+    *
+    * Scale shape: ONE partial-aggregable hash aggregate over the
+    * sample log, then a per-problem scalar projection. Null ok-flags
+    * fail loudly (an unscored sample is a harness bug, not a fail). */
+  def passAtK(results: org.apache.spark.sql.DataFrame, problemCol: String,
+              okCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && k <= 12, s"k out of [1, 12]: $k")
+    val okLoud = when(col(okCol).isNull, raise_error(lit(
+        s"passAtK: null $okCol — every sample needs a verdict")))
+      .otherwise(col(okCol).cast("boolean"))
+    val st = results
+      .select(col(problemCol), okLoud.as("__ok"))
+      .groupBy(col(problemCol))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(col("__ok"), 1L).otherwise(0L)).as("n_passed"))
+    val n = col("n_samples")
+    val c = col("n_passed")
+    val num = (0 until k)
+      .map(i => greatest(n - c - i, lit(0L)))
+      .reduce(_ * _)
+    val den = (0 until k).map(i => n - i).reduce(_ * _)
+    // the n < k guard lives INSIDE the ratio column (CaseWhen is lazy):
+    // a zero denominator must surface as this message, never as a
+    // generic divide-by-zero racing it from a sibling column
+    st.select(col(problemCol),
+      n.as("n_samples"),
+      c.as("n_passed"),
+      when(n < k, raise_error(concat(
+          lit(s"passAtK: a problem has fewer than k=$k samples ("),
+          n.cast("string"),
+          lit(") — pass@k is undefined; fix the harness or lower k"))))
+        .otherwise(lit(1000000L) - idiv(lit(1000000L) * num, den))
+        .as("pass_at_k_micro"))
+  }
+
   /** Verbatim-memorization audit: for each generated document, the
     * fraction of its distinct word n-grams that appear ANYWHERE in the
     * training corpus (Carlini et al. 2022's extraction metric at n-gram

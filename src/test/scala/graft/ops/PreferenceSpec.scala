@@ -30,6 +30,30 @@ class PreferenceSpec extends SparkSpec {
     assert(e2.getMessage.contains("null loser"))
   }
 
+  test("lengthBias: hand-computed buckets, equal-length exclusion, loud null") {
+    // (wl, ll): gaps 0,3,7,12 with width 5 -> buckets 0,0,1,2
+    val duels = Seq((10L, 10L), (13L, 10L), (3L, 10L), (22L, 10L))
+      .toDF("wl", "ll")
+    val out = Preference.lengthBias(duels, "wl", "ll", 5L)
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // bucket 0: gap-0 duel (equal) + gap-3 duel (longer won) -> 1/1
+    assert(out(0L) === ((2L, 1L, 1L, Some(1000000L))))
+    // bucket 1: gap 7, shorter won -> 0/1
+    assert(out(1L) === ((1L, 0L, 0L, Some(0L))))
+    assert(out(2L) === ((1L, 1L, 0L, Some(1000000L))))
+    // all-equal bucket -> NULL rate, not 0
+    val eq = Preference.lengthBias(Seq((4L, 4L)).toDF("wl", "ll"), "wl", "ll", 5L)
+      .as[(Long, Long, Long, Long, Option[Long])].head()
+    assert(eq._5 === None)
+    val e = intercept[Exception] {
+      Preference.lengthBias(
+        Seq((Some(1L), None: Option[Long])).toDF("wl", "ll"), "wl", "ll", 5L)
+        .collect()
+    }
+    assert(e.getMessage.contains("null loser length"))
+  }
+
   /** Driver-side replay of the exact integer MM recurrence. */
   private def btModel(duels: Seq[(String, String)], iters: Int)
       : Map[String, Long] = {

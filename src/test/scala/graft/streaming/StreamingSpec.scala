@@ -1219,6 +1219,34 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     } finally q.stop()
   }
 
+  test("chatStats is a stateless projection: stream == batch verdicts") {
+    val dir = Files.createTempDirectory("graft_streamchat").toString
+    val data = Seq(
+      (1L, """[{"role":"user","content":"hi"},{"role":"assistant","content":"yo"}]"""),
+      (2L, """[{"role":"user","content":"a"},{"role":"user","content":"b"}]"""),
+      (3L, "not json"),
+      (4L, "[]"))
+      .toDF("doc_id", "j")
+    data.write.parquet(s"$dir/in")
+    val statsCols = graft.json.ChatOps.chatStats(col("j"))
+    def project(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id") +: statsCols.map { case (n, c) => c.as(n) }: _*)
+    val stream = StreamingViews.fileStream(spark, s"$dir/in", data.schema)
+    val q = project(stream).writeStream.outputMode("append")
+      .format("memory").queryName("schat").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("schat").collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val batch = project(data).collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(got === batch)
+      // the valid column (last) on the four protocol classes
+      assert(got(1L).last === true && got(2L).last === false &&
+        got(3L).last === false && got(4L).last === false)
+    } finally q.stop()
+  }
+
   test("streamingDomainBlocklist is stateless and equals the batch gate") {
     val dir = Files.createTempDirectory("graft_streambl").toString
     val data = Seq(

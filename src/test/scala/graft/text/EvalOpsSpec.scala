@@ -85,6 +85,60 @@ class EvalOpsSpec extends SparkSpec {
     rows.foreach { case (id, ab, _, _, _) => assert(ab === model(id).toLong) }
   }
 
+  private def passk(rows: Seq[(String, Boolean)], k: Int) =
+    EvalOps.passAtK(rows.toDF("p", "ok"), "p", "ok", k)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+  test("passAtK hand-computed: 1 − C(n−c,k)/C(n,k) in exact micro") {
+    // p1: n=5, c=2 -> 1 − C(3,3)/C(5,3) = 1 − 1/10 = 0.9
+    // p2: n=5, c=0 -> 0 ; p3: n=5, c=4 (< k failures) -> exactly 1
+    // p4: n=3 = k, c=1 -> 1 − C(2,3)/C(3,3) = 1 (clamped numerator)
+    val rows =
+      Seq.fill(2)(("p1", true)) ++ Seq.fill(3)(("p1", false)) ++
+        Seq.fill(5)(("p2", false)) ++
+        Seq.fill(4)(("p3", true)) ++ Seq(("p3", false)) ++
+        Seq(("p4", true), ("p4", false), ("p4", false))
+    val out = passk(rows, 3)
+    assert(out("p1") === ((5L, 2L, 900000L)))
+    assert(out("p2") === ((5L, 0L, 0L)))
+    assert(out("p3") === ((5L, 4L, 1000000L)))
+    assert(out("p4") === ((3L, 1L, 1000000L)))
+  }
+
+  test("passAtK agrees with a driver-side combinatorial model") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 30).flatMap { p =>
+      val n = 4 + rnd.nextInt(8)
+      (1 to n).map(_ => (s"p$p", rnd.nextBoolean()))
+    }
+    def comb(n: Long, r: Long): Long =
+      if (r > n) 0L else (0L until r).map(i => n - i).product /
+        (1L to r).product
+    val model = rows.groupBy(_._1).map { case (p, v) =>
+      val (n, c) = (v.size.toLong, v.count(_._2).toLong)
+      // same truncation: 10⁶ − floor(10⁶·falling(n−c)/falling(n))
+      val num = (0 until 4).map(i => math.max(n - c - i, 0L)).product
+      val den = (0 until 4).map(i => n - i).product
+      p -> (1000000L - 1000000L * num / den)
+    }
+    val out = passk(rows, 4)
+    model.foreach { case (p, v) => assert(out(p)._3 === v, p) }
+    assert(comb(5, 3) === 10L) // sanity on the model's combinatorics
+  }
+
+  test("passAtK misuse fails loudly: under-sampled problem, null verdict") {
+    val e1 = intercept[Exception] {
+      passk(Seq(("p1", true), ("p1", false)), 3)
+    }
+    assert(e1.getMessage.contains("fewer than k=3"))
+    val e2 = intercept[Exception] {
+      EvalOps.passAtK(Seq(("p1", Some(true)), ("p1", None), ("p1", Some(false)))
+        .toDF("p", "ok"), "p", "ok", 2).collect()
+    }
+    assert(e2.getMessage.contains("null ok"))
+  }
+
   test("memorizationRate: hand case with universe reinstatement") {
     val corpus = Seq((100L, "alpha beta gamma delta epsilon")).toDF("id", "text")
     val gens = Seq(
