@@ -54,9 +54,8 @@ object EvalQueries {
       val a = docs.select(col("doc_id"), nullableCand.as("cand"))
       val b = docs.select((col("doc_id") - 1).as("doc_id"),
         col("text").as("ref"))
-      val cols = EvalOps.rougeN(col("cand"), col("ref"), 2)
-      a.join(b, "doc_id")
-        .select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      EvalOps.rougeN(a.join(b, "doc_id"), "cand", "ref", 2)
+        .drop("cand", "ref")
         .orderBy(col("doc_id"))
     }),
 

@@ -24,9 +24,17 @@ object EvalOps {
     * convention — unlike the dedup shingles' whole-text fallback, an
     * eval metric must not invent a pseudo-gram). NULL / empty /
     * whitespace-only text yields the empty array, not null. */
-  def wordNgrams(text: Column, n: Int): Column = {
+  def wordNgrams(text: Column, n: Int): Column =
+    ngramsOfTokens(filter(TextOps.tokens(text), t => length(t) > 0), n)
+
+  /** [[wordNgrams]] over a PRE-MATERIALIZED token-array column. Inside
+    * a HOF lambda, a composite argument re-evaluates per ELEMENT — with
+    * `toks = filter(split(...))` inline, `slice(toks, i, n)` re-runs
+    * the regex split for every gram position, O(tokens²) splits per row
+    * (q240's first cut; the q229 lesson). Stage the token array into
+    * its own projection and gram construction is linear. */
+  def ngramsOfTokens(toks: Column, n: Int): Column = {
     require(n >= 1, s"n-gram order must be positive: $n")
-    val toks = filter(TextOps.tokens(text), t => length(t) > 0)
     when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n)))))
@@ -61,9 +69,9 @@ object EvalOps {
     coalesce(st, lit(0L))
   }
 
-  /** ROUGE-N between a candidate and a reference text column:
+  /** ROUGE-N between a candidate and a reference text column: appends
     * `(n_cand_grams, n_ref_grams, n_overlap, rouge_p_micro,
-    * rouge_r_micro, rouge_f_micro)` as named columns.
+    * rouge_r_micro, rouge_f_micro)` to `pairs`.
     *
     * `n_overlap` is the CLIPPED count (a gram repeated 3× in the
     * candidate but 1× in the reference contributes 1 — Lin 2004 §3);
@@ -72,22 +80,45 @@ object EvalOps {
     * A side with zero grams makes its ratio NULL (undefined), the
     * honest value — 0 would claim "measured and disjoint".
     *
-    * Scale shape: pure per-row Column expressions over the pair frame —
-    * composes with any scan; the typical eval set (thousands of
-    * candidate/reference pairs of summary length) never shuffles. */
-  def rougeN(cand: Column, ref: Column, n: Int): Seq[(String, Column)] = {
-    val cg = wordNgrams(cand, n)
-    val rg = wordNgrams(ref, n)
-    val c = size(cg).cast("long")
-    val r = size(rg).cast("long")
-    val o = clippedOverlap(cg, rg)
-    Seq(
-      "n_cand_grams" -> c,
-      "n_ref_grams" -> r,
-      "n_overlap" -> o,
-      "rouge_p_micro" -> when(c > 0, idiv(lit(1000000L) * o, c)),
-      "rouge_r_micro" -> when(r > 0, idiv(lit(1000000L) * o, r)),
-      "rouge_f_micro" -> when(c + r > 0, idiv(lit(2000000L) * o, c + r)))
+    * A DataFrame operator, not a column set, for a measured reason: the
+    * gram arrays and the overlap fold are interpreted HOFs, and six
+    * output columns naming them as sub-expressions re-evaluate the fold
+    * per column (q240's first cut: 86 s at sf0.1; the q229 lesson).
+    * Staged projections evaluate each HOF ONCE per row — CollapseProject
+    * leaves multi-referenced non-cheap aliases staged — and the ratios
+    * read materialized integers. Still entirely scan-side: composes
+    * with any scan, nothing shuffles. */
+  def rougeN(pairs: org.apache.spark.sql.DataFrame, candCol: String,
+             refCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val reserved = Seq("n_cand_grams", "n_ref_grams", "n_overlap",
+      "rouge_p_micro", "rouge_r_micro", "rouge_f_micro",
+      "__ct", "__rt", "__cg", "__rg")
+    val clashes = pairs.columns.filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"rougeN reserves column names ${reserved.mkString(", ")}; " +
+        s"input already has ${clashes.mkString(", ")}")
+    val passthrough = pairs.columns.toSeq.map(col)
+    def toks(c: Column): Column = filter(TextOps.tokens(c), t => length(t) > 0)
+    pairs
+      .select(passthrough :+ toks(col(candCol)).as("__ct") :+
+        toks(col(refCol)).as("__rt"): _*)
+      .select(passthrough :+ ngramsOfTokens(col("__ct"), n).as("__cg") :+
+        ngramsOfTokens(col("__rt"), n).as("__rg"): _*)
+      .select(passthrough :+ size(col("__cg")).cast("long").as("n_cand_grams") :+
+        size(col("__rg")).cast("long").as("n_ref_grams") :+
+        clippedOverlap(col("__cg"), col("__rg")).as("n_overlap"): _*)
+      .select(passthrough :+ col("n_cand_grams") :+ col("n_ref_grams") :+
+        col("n_overlap") :+
+        when(col("n_cand_grams") > 0,
+          idiv(lit(1000000L) * col("n_overlap"), col("n_cand_grams")))
+          .as("rouge_p_micro") :+
+        when(col("n_ref_grams") > 0,
+          idiv(lit(1000000L) * col("n_overlap"), col("n_ref_grams")))
+          .as("rouge_r_micro") :+
+        when(col("n_cand_grams") + col("n_ref_grams") > 0,
+          idiv(lit(2000000L) * col("n_overlap"),
+            col("n_cand_grams") + col("n_ref_grams")))
+          .as("rouge_f_micro"): _*)
   }
 
   /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language

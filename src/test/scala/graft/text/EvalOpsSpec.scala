@@ -6,13 +6,11 @@ import org.apache.spark.sql.functions._
 class EvalOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def rouge(cand: String, ref: String, n: Int) = {
-    val cols = EvalOps.rougeN(col("cand"), col("ref"), n)
-    Seq((cand, ref)).toDF("cand", "ref")
-      .select(cols.map { case (name, c) => c.as(name) }: _*)
+  private def rouge(cand: String, ref: String, n: Int) =
+    EvalOps.rougeN(Seq((cand, ref)).toDF("cand", "ref"), "cand", "ref", n)
+      .drop("cand", "ref")
       .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
       .head()
-  }
 
   test("rougeN bigrams: hand-computed partial overlap") {
     // cand bigrams: "the cat"|"cat sat"|"sat down"   (3)
@@ -44,8 +42,8 @@ class EvalOpsSpec extends SparkSpec {
     val all = Seq((null.asInstanceOf[String], "a b c", 1L),
         ("", "a b c", 2L), ("one", "a b c two", 3L), (null, null, 4L))
       .toDF("cand", "ref", "id")
-    val cols = EvalOps.rougeN(col("cand"), col("ref"), 2)
-    val out = all.select(col("id") +: cols.map { case (nm, c) => c.as(nm) }: _*)
+    val out = EvalOps.rougeN(all, "cand", "ref", 2)
+      .drop("cand", "ref")
       .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
       .collect().map(t => t._1 -> t).toMap
     // (id, nC, nR, o, p, r, f)
