@@ -133,6 +133,44 @@ object EvalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── judge-calibration reliability table: synthetic confidences
+    // with a noisy-but-calibrated verdict rule — acc per bucket tracks
+    // mean confidence, gap_micro measures the residual ─────
+    "q251_calibration" -> ((s, d) => {
+      val lt = length(col("text")).cast("long")
+      val conf = (lt * 7919L + col("doc_id") * 131L) % 1000001L
+      val ok = (col("doc_id") * 37L + lt * 13L) % 1000000L < conf
+      EvalOps.calibrationReport(
+          Tables.documents(s, d).select(conf.as("conf"), ok.as("ok")),
+          "conf", "ok", 100000L)
+        .orderBy(col("conf_bucket"))
+    }),
+
+    // ───── per-source datacard: the corpus-composition rollup a
+    // training-mix decision reads (docs, tokens, language spread,
+    // exact-dup exposure) — a COMPOSITION of gated primitives
+    // (fingerprint, tokenCount); %17 ids collapse to one cross-source
+    // dup class so the dup columns measure something real ─────
+    "q250_source_datacard" -> ((s, d) => {
+      val t = when(col("doc_id") % 17 === 0,
+        lit("duplicate boilerplate page")).otherwise(col("text"))
+      val e = Tables.documents(s, d).select(col("source"), col("lang"),
+        graft.text.TextOps.tokenCount(t).cast("long").as("n_toks"),
+        graft.text.TextOps.fingerprint(t).as("fp"))
+      val fc = e.groupBy(col("fp")).agg(count(lit(1)).as("n_fp"))
+      e.join(fc, "fp")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("n_fp") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_langs"), col("n_dup_docs"),
+          expr("(1000000 * n_tokens) div n_docs").as("mean_tokens_micro"),
+          expr("(1000 * n_dup_docs) div n_docs").as("dup_permille"))
+        .orderBy(col("source"))
+    }),
+
     // ───── pairwise win-rate table over the synthetic duel log
     // (sources "duel" via adjacent docs; longer text wins) ─────
     "q246_win_rates" -> ((s, d) => {
@@ -362,6 +400,46 @@ object EvalQueries {
             json_extract_string(j, '$$[' || k || '].content') AS content
           FROM (SELECT doc_id, j, unnest(range(0, n)) AS k FROM valid)
           ORDER BY doc_id, turn""",
+
+    "q251_calibration" ->
+      """WITH r AS (
+            SELECT (length(text) * 7919 + doc_id * 131) % 1000001 AS conf,
+              ((doc_id * 37 + length(text) * 13) % 1000000)
+                < ((length(text) * 7919 + doc_id * 131) % 1000001) AS ok
+            FROM documents),
+          b AS (SELECT least(conf, 999999) // 100000 AS conf_bucket, ok, conf FROM r),
+          agg AS (
+            SELECT conf_bucket,
+              CAST(count(*) AS BIGINT) AS n_items,
+              CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+              (1000000 * CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT))
+                // CAST(count(*) AS BIGINT) AS acc_micro,
+              CAST(sum(conf) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_conf_micro
+            FROM b GROUP BY conf_bucket)
+          SELECT conf_bucket, n_items, n_correct, acc_micro, mean_conf_micro,
+            abs(acc_micro - mean_conf_micro) AS gap_micro
+          FROM agg ORDER BY conf_bucket""",
+
+    "q250_source_datacard" ->
+      """WITH t AS (
+            SELECT doc_id, source, lang,
+              CASE WHEN doc_id % 17 = 0 THEN 'duplicate boilerplate page' ELSE text END AS text
+            FROM documents),
+          e AS (
+            SELECT source, lang,
+              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_toks,
+              md5(lower(array_to_string(regexp_split_to_array(trim(coalesce(text, '')), '\s+'), ' '))) AS fp
+            FROM t),
+          fc AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_fp FROM e GROUP BY fp),
+          j AS (SELECT e.source, e.lang, e.n_toks, fc.n_fp FROM e JOIN fc USING (fp))
+          SELECT source,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+            CAST(sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+            (1000000 * CAST(sum(n_toks) AS BIGINT)) // CAST(count(*) AS BIGINT) AS mean_tokens_micro,
+            (1000 * CAST(sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS dup_permille
+          FROM j GROUP BY source ORDER BY source""",
 
     "q248_pass_at_k" ->
       """WITH smp AS (

@@ -171,6 +171,50 @@ object EvalOps {
         .as("pass_at_k_micro"))
   }
 
+  /** Calibration audit for a judge/classifier (Guo et al. 2017's
+    * reliability-diagram table, the per-bucket form ECE sums over):
+    * given per-item `(confidence_micro ∈ [0, 10⁶], ok)`, buckets
+    * confidence by `bucketWidth` and reports
+    * `(conf_bucket, n_items, n_correct, acc_micro, mean_conf_micro,
+    * gap_micro)` where `gap_micro = |acc − mean_conf|` — the bucket's
+    * contribution to expected calibration error before the n_b/N
+    * weighting (Σ gap·n div N is one more aggregate the caller owns;
+    * the per-bucket table is what a calibration FIX actually reads).
+    * All integer: acc and mean-confidence are floor micro ratios. An
+    * LLM-as-judge pipeline that doesn't run this ships a judge whose
+    * "90% sure" means 60%. Out-of-range confidence and null inputs
+    * fail loudly. One bucket-keyed hash aggregate. */
+  def calibrationReport(results: org.apache.spark.sql.DataFrame,
+                        confMicroCol: String, okCol: String,
+                        bucketWidth: Long): org.apache.spark.sql.DataFrame = {
+    require(bucketWidth >= 1L && bucketWidth <= 1000000L,
+      s"bucket width out of [1, 10⁶]: $bucketWidth")
+    val conf = when(col(confMicroCol).isNull ||
+        col(confMicroCol) < 0L || col(confMicroCol) > 1000000L,
+        raise_error(concat(lit("calibrationReport: confidence out of " +
+          "[0, 1000000] micro: "), col(confMicroCol).cast("string"))))
+      .otherwise(col(confMicroCol).cast("long"))
+    val ok = when(col(okCol).isNull, raise_error(lit(
+        s"calibrationReport: null $okCol — every item needs a verdict")))
+      .otherwise(col(okCol).cast("boolean"))
+    results
+      .select(conf.as("__conf"), ok.as("__ok"))
+      // exact 10⁶ joins the TOP bucket (the reliability-diagram
+      // convention), not a one-value bucket of its own
+      .select(expr(s"least(__conf, 999999L) div ${bucketWidth}L")
+        .as("conf_bucket"), col("__ok"), col("__conf"))
+      .groupBy(col("conf_bucket"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("__ok"), 1L).otherwise(0L)).as("n_correct"),
+        sum(col("__conf")).as("__confsum"))
+      .select(col("conf_bucket"), col("n_items"), col("n_correct"),
+        expr("(1000000 * n_correct) div n_items").as("acc_micro"),
+        expr("__confsum div n_items").as("mean_conf_micro"))
+      .select(col("conf_bucket"), col("n_items"), col("n_correct"),
+        col("acc_micro"), col("mean_conf_micro"),
+        abs(col("acc_micro") - col("mean_conf_micro")).as("gap_micro"))
+  }
+
   /** Verbatim-memorization audit: for each generated document, the
     * fraction of its distinct word n-grams that appear ANYWHERE in the
     * training corpus (Carlini et al. 2022's extraction metric at n-gram

@@ -137,6 +137,35 @@ class EvalOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("null ok"))
   }
 
+  test("calibrationReport: hand buckets, top-bucket edge, loud guards") {
+    val rows = Seq.fill(9)((950000L, true)) ++ Seq((950000L, false)) ++
+      Seq((1000000L, true)) ++ // exact 1.0 joins the top bucket
+      Seq((120000L, false), (180000L, true))
+    val out = EvalOps.calibrationReport(rows.toDF("conf", "ok"),
+        "conf", "ok", 100000L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // bucket 9: ten 0.95s + the 1.0 -> acc 10/11, mean (9.5M+1M)/11
+    val (_, n9, c9, acc9, mc9, gap9) = out(9L)
+    assert(n9 === 11L && c9 === 10L)
+    assert(acc9 === 10000000L / 11L && mc9 === 10500000L / 11L)
+    assert(gap9 === math.abs(acc9 - mc9))
+    // bucket 1: one miss one hit -> acc 500000, mean conf 150000
+    assert(out(1L) === ((1L, 2L, 1L, 500000L, 150000L, 350000L)))
+    assert(!out.contains(10L)) // no one-value bucket for exact 1.0
+    val e1 = intercept[Exception] {
+      EvalOps.calibrationReport(Seq((1000001L, true)).toDF("conf", "ok"),
+        "conf", "ok", 100000L).collect()
+    }
+    assert(e1.getMessage.contains("confidence out of"))
+    val e2 = intercept[Exception] {
+      EvalOps.calibrationReport(
+        Seq((Some(5L), None: Option[Boolean])).toDF("conf", "ok"),
+        "conf", "ok", 100000L).collect()
+    }
+    assert(e2.getMessage.contains("null ok"))
+  }
+
   test("memorizationRate: hand case with universe reinstatement") {
     val corpus = Seq((100L, "alpha beta gamma delta epsilon")).toDF("id", "text")
     val gens = Seq(
