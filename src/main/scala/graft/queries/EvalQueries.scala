@@ -133,6 +133,20 @@ object EvalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── self-consistency majority vote: 5 samples per problem,
+    // answers spread over 4 classes, gold constant per problem ─────
+    "q252_self_consistency" -> ((s, d) => {
+      val samples = Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).cast("long").as("lt"),
+          explode(sequence(lit(0), lit(4))).as("smp"))
+        .select(col("doc_id"),
+          ((col("lt") + col("smp") * col("doc_id")) % 4)
+            .cast("string").as("ans"),
+          (col("lt") % 4).cast("string").as("gold"))
+      EvalOps.selfConsistency(samples, "doc_id", "ans", Some("gold"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── judge-calibration reliability table: synthetic confidences
     // with a noisy-but-calibrated verdict rule — acc per bucket tracks
     // mean confidence, gap_micro measures the residual ─────
@@ -400,6 +414,22 @@ object EvalQueries {
             json_extract_string(j, '$$[' || k || '].content') AS content
           FROM (SELECT doc_id, j, unnest(range(0, n)) AS k FROM valid)
           ORDER BY doc_id, turn""",
+
+    "q252_self_consistency" ->
+      """WITH smp AS (
+            SELECT doc_id,
+              CAST((length(text) + s * doc_id) % 4 AS VARCHAR) AS ans,
+              CAST(length(text) % 4 AS VARCHAR) AS gold
+            FROM (SELECT doc_id, text, unnest(range(0, 5)) AS s FROM documents)),
+          v AS (SELECT doc_id, ans, CAST(count(*) AS BIGINT) AS v, max(gold) AS gold
+                FROM smp GROUP BY doc_id, ans),
+          r AS (SELECT doc_id, ans, v, gold,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY v DESC, ans ASC) AS rn,
+                  CAST(sum(v) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+                FROM v)
+          SELECT doc_id, n AS n_samples, ans AS majority_answer, v AS n_votes,
+            (1000000 * v) // n AS majority_micro, ans = gold AS correct
+          FROM r WHERE rn = 1 ORDER BY doc_id""",
 
     "q251_calibration" ->
       """WITH r AS (

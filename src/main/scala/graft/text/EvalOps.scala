@@ -171,6 +171,62 @@ object EvalOps {
         .as("pass_at_k_micro"))
   }
 
+  /** Self-consistency majority vote (Wang et al. 2022, "Self-
+    * Consistency Improves Chain of Thought Reasoning"): per problem,
+    * the modal answer over n samples, with deterministic ties (highest
+    * vote count, then lexicographically smallest answer — a replayable
+    * argmax via `min_by` over `(-votes, answer)`), its vote count, and
+    * `majority_micro = 10⁶·votes div n`. Pass `goldCol` non-empty on
+    * the input to also emit `correct` (majority <=> gold — gold must be
+    * constant per problem, guarded by a max/min equality check that
+    * fails loudly on conflicting golds). Null answers fail loudly (an
+    * unparsed sample is a harness bug — drop it upstream, explicitly).
+    * Two partial-aggregable hash aggregates ((problem, answer) votes →
+    * per-problem argmax); no windows, any sample volume. */
+  def selfConsistency(results: org.apache.spark.sql.DataFrame,
+                      problemCol: String, answerCol: String,
+                      goldCol: Option[String] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val ans = when(col(answerCol).isNull, raise_error(lit(
+        s"selfConsistency: null $answerCol — drop unparsed samples " +
+          "upstream, explicitly")))
+      .otherwise(col(answerCol).cast("string"))
+    val goldExprs = goldCol.toSeq.flatMap { g =>
+      Seq(min(col(g).cast("string")).as("__gmin"),
+        max(col(g).cast("string")).as("__gmax"))
+    }
+    val votes = results
+      .select(col(problemCol) +: ans.as("__ans") +:
+        goldCol.toSeq.map { g =>
+          when(col(g).isNull, raise_error(lit(
+              s"selfConsistency: null $g — every sample needs the gold")))
+            .otherwise(col(g).cast("string")).as(g)
+        }: _*)
+      .groupBy(col(problemCol), col("__ans"))
+      .agg(count(lit(1)).as("__v"), goldExprs: _*)
+    val ranked = struct((-col("__v")).as("nv"), col("__ans").as("a"))
+    val problemAggs =
+      min_by(ranked, ranked).as("__top") +:
+        goldCol.toSeq.flatMap(_ => Seq(
+          min(col("__gmin")).as("__gmin"), max(col("__gmax")).as("__gmax")))
+    val perProblem = votes
+      .groupBy(col(problemCol))
+      .agg(sum(col("__v")).as("n_samples"), problemAggs: _*)
+    val outCols =
+      col(problemCol) +:
+        col("n_samples") +:
+        col("__top")("a").as("majority_answer") +:
+        (-col("__top")("nv")).as("n_votes") +:
+        expr("(1000000 * -__top.nv) div n_samples").as("majority_micro") +:
+        goldCol.toSeq.map { _ =>
+          when(col("__gmin") =!= col("__gmax"), raise_error(concat(
+              lit("selfConsistency: conflicting gold answers for problem "),
+              col(problemCol).cast("string"))))
+            .otherwise(col("__top")("a") <=> col("__gmin")).as("correct")
+        }
+    perProblem.select(outCols: _*)
+  }
+
   /** Calibration audit for a judge/classifier (Guo et al. 2017's
     * reliability-diagram table, the per-bucket form ECE sums over):
     * given per-item `(confidence_micro ∈ [0, 10⁶], ok)`, buckets

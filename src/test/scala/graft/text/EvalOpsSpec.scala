@@ -137,6 +137,33 @@ class EvalOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("null ok"))
   }
 
+  test("selfConsistency: majority, deterministic ties, gold verdicts, guards") {
+    val rows = Seq(
+      ("p1", "x", "x"), ("p1", "x", "x"), ("p1", "y", "x"),
+      ("p2", "b", "a"), ("p2", "a", "a"), ("p2", "b", "a"), ("p2", "a", "a"))
+      .toDF("p", "ans", "gold")
+    val out = EvalOps.selfConsistency(rows, "p", "ans", Some("gold"))
+      .as[(String, Long, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("p1") === (("p1", 3L, "x", 2L, 666666L, true)))
+    // 2-2 tie resolves to the lexicographically smaller answer "a"
+    assert(out("p2") === (("p2", 4L, "a", 2L, 500000L, true)))
+    // no gold column requested -> no correct column
+    assert(EvalOps.selfConsistency(rows, "p", "ans", None).columns.toSeq ===
+      Seq("p", "n_samples", "majority_answer", "n_votes", "majority_micro"))
+    val conflict = Seq(("p1", "x", "g1"), ("p1", "x", "g2")).toDF("p", "ans", "gold")
+    val e1 = intercept[Exception] {
+      EvalOps.selfConsistency(conflict, "p", "ans", Some("gold")).collect()
+    }
+    assert(e1.getMessage.contains("conflicting gold"))
+    val e2 = intercept[Exception] {
+      EvalOps.selfConsistency(
+        Seq(("p1", null.asInstanceOf[String], "g")).toDF("p", "ans", "gold"),
+        "p", "ans", Some("gold")).collect()
+    }
+    assert(e2.getMessage.contains("null ans"))
+  }
+
   test("calibrationReport: hand buckets, top-bucket edge, loud guards") {
     val rows = Seq.fill(9)((950000L, true)) ++ Seq((950000L, false)) ++
       Seq((1000000L, true)) ++ // exact 1.0 joins the top bucket
