@@ -100,6 +100,54 @@ object ChatOps {
       coalesce(t("content"), lit("")))), "\n")
   }
 
+  /** SFT pair-quality signals over (prompt, response) columns — the
+    * instruction-data sibling of the C4/Gopher document gates: appends
+    * `(prompt_tokens, response_tokens, len_ratio_micro, empty_response,
+    * ends_terminal, echoes_prompt)`.
+    *
+    *  - `len_ratio_micro` = 10⁶·response div prompt tokens (NULL when
+    *    the prompt has none — undefined, not infinite);
+    *  - `ends_terminal`: the response's last non-space text ends in
+    *    sentence punctuation (optionally followed by closing
+    *    quotes/brackets) — a FALSE here is the truncation signature;
+    *  - `echoes_prompt`: the response opens by repeating the prompt's
+    *    first 8 tokens (case-folded) — the lazy-completion degeneracy.
+    *
+    * A DataFrame operator with staged token arrays (the q240 lesson:
+    * token splits referenced from several output columns re-run per
+    * reference when inline). NULL prompt/response read as zero tokens.
+    * Scan-side only; streams unchanged. */
+  def sftSignals(pairs: org.apache.spark.sql.DataFrame, promptCol: String,
+                 responseCol: String): org.apache.spark.sql.DataFrame = {
+    val reserved = Seq("prompt_tokens", "response_tokens", "len_ratio_micro",
+      "empty_response", "ends_terminal", "echoes_prompt", "__pt", "__rt")
+    val clashes = pairs.columns.filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"sftSignals reserves column names ${reserved.mkString(", ")}; " +
+        s"input already has ${clashes.mkString(", ")}")
+    val passthrough = pairs.columns.toSeq.map(col)
+    def toks(c: Column): Column =
+      filter(split(trim(coalesce(c, lit(""))), "\\s+"), t => length(t) > 0)
+    val p = col("__pt")
+    val r = col("__rt")
+    pairs
+      .select(passthrough :+ toks(col(promptCol)).as("__pt") :+
+        toks(col(responseCol)).as("__rt"): _*)
+      .select(passthrough :+
+        size(p).cast("long").as("prompt_tokens") :+
+        size(r).cast("long").as("response_tokens") :+
+        when(size(p) > 0,
+          expr("(1000000 * size(__rt)) div size(__pt)")).as("len_ratio_micro") :+
+        (size(r) === 0).as("empty_response") :+
+        // Java∩RE2: no lookarounds; closing quotes/brackets may follow
+        // the terminal mark
+        (size(r) > 0 && coalesce(col(responseCol), lit(""))
+          .rlike("[.!?][\"')\\]]*[ \\t\\r\\n]*$")).as("ends_terminal") :+
+        (size(p) > 0 && size(r) > 0 &&
+          lower(concat_ws(" ", r)).startsWith(
+            lower(concat_ws(" ", slice(p, 1, 8))))).as("echoes_prompt"): _*)
+  }
+
   /** Exploded turn view: one row per (id, turn 1-based, role, content).
     * Malformed conversations contribute NO rows (posexplode drops the
     * null array) — pair with [[chatStats]] for the universe verdict. */

@@ -99,6 +99,45 @@ object Agreement {
             "div kappa_den - 2000000")).as("kappa_micro"))
   }
 
+  /** Per-annotator agreement-with-consensus report — the operational
+    * follow-up to a low κ: WHICH rater diverges. Consensus per item is
+    * the modal label with deterministic ties (highest votes, then
+    * lexicographically smallest label — the replayable `min_by` argmax
+    * over `(-votes, label)`); each rater then scores
+    * `(rater, n_items, n_majority, agree_micro = 10⁶·agree div n)`.
+    * A rater that disagrees with consensus everywhere scores 0 even
+    * when κ is moderate — this is the table a re-training decision
+    * reads. Unlike [[fleissKappa]], unequal per-item rater counts are
+    * FINE (consensus is per-item); duplicate (item, rater) rows and
+    * null fields still fail loudly. Three partial-aggregable hash
+    * aggregates + one item-keyed join; no windows. */
+  def annotatorReport(ann: DataFrame, itemCol: String, raterCol: String,
+                      labelCol: String): DataFrame = {
+    val src = ann.select(loud(col(itemCol), "item").as("i"),
+      loud(col(raterCol), "rater").as("r"), loud(col(labelCol), "label").as("l"))
+    val dedup = src.groupBy(col("i"), col("r"))
+      .agg(count(lit(1)).as("c"), min(col("l")).as("l"))
+      .select(col("i"),
+        when(col("c") > 1L, raise_error(concat(
+            lit("annotatorReport: duplicate (item, rater) rating for item "),
+            col("i"), lit(", rater "), col("r"))))
+          .otherwise(col("r")).as("r"),
+        col("l"))
+    val majority = src.groupBy(col("i"), col("l"))
+      .agg(count(lit(1)).as("__v"))
+      .groupBy(col("i"))
+      .agg(min_by(struct((-col("__v")).as("nv"), col("l").as("a")),
+        struct((-col("__v")).as("nv"), col("l").as("a"))).as("__top"))
+      .select(col("i"), col("__top")("a").as("__maj"))
+    dedup.join(majority, Seq("i"))
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("l") === col("__maj"), 1L).otherwise(0L))
+          .as("n_majority"))
+      .select(col("r").as("rater"), col("n_items"), col("n_majority"),
+        expr("(1000000 * n_majority) div n_items").as("agree_micro"))
+  }
+
   /** Cohen's κ (Cohen 1960) over a WIDE two-rater table — one row per
     * item with both raters' labels. The two-annotator special case
     * keeps each rater's OWN marginal (Fleiss pools them), which is the

@@ -133,6 +133,38 @@ object EvalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── SFT pair-quality signals: responses with echo / truncation
+    // / empty / null variants injected by id class ─────
+    "q253_sft_signals" -> ((s, d) => {
+      val prompt = substring(col("text"), 1, 60)
+      val response = when(col("doc_id") % 11 === 0,
+          lit(null).cast("string"))
+        .when(col("doc_id") % 5 === 0,
+          concat(substring(col("text"), 1, 60), lit(" indeed.")))
+        .when(col("doc_id") % 7 === 0,
+          lit("unterminated response without punctuation"))
+        .otherwise(concat(lit("The answer is "), col("source"), lit(".")))
+      ChatOps.sftSignals(
+          Tables.documents(s, d).select(col("doc_id"),
+            prompt.as("prompt"), response.as("response")),
+          "prompt", "response")
+        .drop("prompt", "response")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ───── per-annotator consensus agreement over the q242 annotation
+    // fixture — the "which rater diverges" table ─────
+    "q254_annotator_report" -> ((s, d) => {
+      val ann = Tables.documents(s, d)
+        .select(col("doc_id").as("item"), length(col("text")).as("l"),
+          explode(sequence(lit(0), lit(2))).as("rater"))
+        .select(col("item"), col("rater"),
+          ((col("l") + col("rater") * (col("item") % 5)) % 4)
+            .cast("string").as("label"))
+      graft.ops.Agreement.annotatorReport(ann, "item", "rater", "label")
+        .orderBy(col("rater"))
+    }),
+
     // ───── self-consistency majority vote: 5 samples per problem,
     // answers spread over 4 classes, gold constant per problem ─────
     "q252_self_consistency" -> ((s, d) => {
@@ -414,6 +446,51 @@ object EvalQueries {
             json_extract_string(j, '$$[' || k || '].content') AS content
           FROM (SELECT doc_id, j, unnest(range(0, n)) AS k FROM valid)
           ORDER BY doc_id, turn""",
+
+    "q253_sft_signals" ->
+      """WITH p AS (
+            SELECT doc_id, substr(text, 1, 60) AS prompt,
+              CASE WHEN doc_id % 11 = 0 THEN NULL
+                   WHEN doc_id % 5 = 0 THEN substr(text, 1, 60) || ' indeed.'
+                   WHEN doc_id % 7 = 0 THEN 'unterminated response without punctuation'
+                   ELSE 'The answer is ' || source || '.' END AS response
+            FROM documents),
+          tk AS (
+            SELECT doc_id, response,
+              list_filter(regexp_split_to_array(trim(coalesce(prompt, '')), '\s+'), t -> len(t) > 0) AS pt,
+              list_filter(regexp_split_to_array(trim(coalesce(response, '')), '\s+'), t -> len(t) > 0) AS rt
+            FROM p)
+          SELECT doc_id,
+            CAST(len(pt) AS BIGINT) AS prompt_tokens,
+            CAST(len(rt) AS BIGINT) AS response_tokens,
+            CASE WHEN len(pt) > 0
+              THEN (1000000 * CAST(len(rt) AS BIGINT)) // CAST(len(pt) AS BIGINT)
+              END AS len_ratio_micro,
+            len(rt) = 0 AS empty_response,
+            len(rt) > 0 AND regexp_matches(coalesce(response, ''),
+              '[.!?]["'')\]]*[ \t\r\n]*$') AS ends_terminal,
+            len(pt) > 0 AND len(rt) > 0 AND
+              starts_with(lower(array_to_string(rt, ' ')),
+                lower(array_to_string(pt[1:8], ' '))) AS echoes_prompt
+          FROM tk ORDER BY doc_id""",
+
+    "q254_annotator_report" ->
+      """WITH ann AS (
+            SELECT doc_id AS i, CAST(r.r AS VARCHAR) AS r,
+              CAST((length(text) + r.r * (doc_id % 5)) % 4 AS VARCHAR) AS l
+            FROM documents, range(0, 3) r(r)),
+          v AS (SELECT i, l, CAST(count(*) AS BIGINT) AS v FROM ann GROUP BY i, l),
+          m AS (SELECT i, l AS maj FROM (
+                  SELECT i, l, row_number() OVER
+                    (PARTITION BY i ORDER BY v DESC, l ASC) AS rn FROM v)
+                WHERE rn = 1)
+          SELECT ann.r AS rater,
+            CAST(count(*) AS BIGINT) AS n_items,
+            CAST(sum(CASE WHEN ann.l = m.maj THEN 1 ELSE 0 END) AS BIGINT) AS n_majority,
+            (1000000 * CAST(sum(CASE WHEN ann.l = m.maj THEN 1 ELSE 0 END) AS BIGINT))
+              // CAST(count(*) AS BIGINT) AS agree_micro
+          FROM ann JOIN m ON ann.i = m.i
+          GROUP BY ann.r ORDER BY rater""",
 
     "q252_self_consistency" ->
       """WITH smp AS (

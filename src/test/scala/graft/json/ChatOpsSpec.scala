@@ -107,6 +107,36 @@ class ChatOpsSpec extends SparkSpec {
     assert(turns(1)._4 === "hi")
   }
 
+  test("sftSignals: ratios, truncation, echo, null contract, guard") {
+    val rows = Seq(
+      (1L, "What is the answer to this question", "The answer is 42."),
+      (2L, "What is the answer to this question",
+        "What is the answer to this question indeed."),
+      (3L, "Prompt here", "this just stops"),
+      (4L, "Prompt here", "He said \"stop.\""),
+      (5L, "Prompt here", null.asInstanceOf[String]),
+      (6L, null.asInstanceOf[String], "An answer."),
+      (7L, "P", "ends with bracket.)  "))
+      .toDF("id", "prompt", "response")
+    val out = ChatOps.sftSignals(rows, "prompt", "response")
+      .drop("prompt", "response")
+      .as[(Long, Long, Long, Option[Long], Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // (id, p_toks, r_toks, ratio, empty, terminal, echo)
+    assert(out(1L) === ((1L, 7L, 4L, Some(571428L), false, true, false)))
+    assert(out(2L)._7 === true && out(2L)._6 === true) // echo + terminal
+    assert(out(3L)._6 === false)                        // truncation
+    assert(out(4L)._6 === true)                         // ." counts
+    assert(out(5L) === ((5L, 2L, 0L, Some(0L), true, false, false)))
+    assert(out(6L)._2 === 0L && out(6L)._4 === None && !out(6L)._7)
+    assert(out(7L)._6 === true)                         // .) + spaces
+    val e = intercept[IllegalArgumentException] {
+      ChatOps.sftSignals(rows.withColumnRenamed("id", "echoes_prompt"),
+        "prompt", "response")
+    }
+    assert(e.getMessage.contains("reserves column names"))
+  }
+
   test("flattenChat renders role tags, null content as empty, null json as null") {
     val out = Seq((1L, good), (2L, "nope"),
         (3L, """[{"role":"user","content":null}]"""))

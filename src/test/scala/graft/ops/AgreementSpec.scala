@@ -97,6 +97,30 @@ class AgreementSpec extends SparkSpec {
     assert(den === 0L && micro === None)
   }
 
+  test("annotatorReport: consensus agreement per rater, ties, guards") {
+    val ann = Seq(
+      ("i1", "a", "x"), ("i1", "b", "x"), ("i1", "c", "y"),
+      ("i2", "a", "x"), ("i2", "b", "y"), ("i2", "c", "y"),
+      ("i3", "a", "z"), ("i3", "b", "z")) // c missing: unequal counts OK
+      .toDF("item", "rater", "label")
+    val out = Agreement.annotatorReport(ann, "item", "rater", "label")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out("a") === ((3L, 2L, 666666L)))
+    assert(out("b") === ((3L, 3L, 1000000L)))
+    assert(out("c") === ((2L, 1L, 500000L)))
+    // 1-1 tie resolves to the lexicographically smaller label
+    val tie = Seq(("i1", "a", "x"), ("i1", "b", "y")).toDF("item", "rater", "label")
+    val t = Agreement.annotatorReport(tie, "item", "rater", "label")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(t("a") === 1L && t("b") === 0L)
+    val dup = Seq(("i1", "a", "x"), ("i1", "a", "y")).toDF("item", "rater", "label")
+    val e = intercept[Exception] {
+      Agreement.annotatorReport(dup, "item", "rater", "label").collect()
+    }
+    assert(e.getMessage.contains("duplicate (item, rater)"))
+  }
+
   test("empty annotation tables fail loudly on both kappas") {
     val ef = intercept[Exception] { fleiss(Seq.empty) }
     assert(ef.getMessage.contains("empty annotation table"))
