@@ -133,6 +133,18 @@ object EvalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── distinct-2 generation diversity over null-injected text;
+    // %9 ids get a degenerate repeated-token tail ─────
+    "q255_distinct_ngrams" -> ((s, d) => {
+      val t = when(col("doc_id") % 9 === 0,
+          concat(col("text"), lit(" loop loop loop loop loop")))
+        .otherwise(nullableCand)
+      EvalOps.distinctNgramRatio(
+          Tables.documents(s, d).select(col("doc_id"), t.as("text")),
+          "text", "doc_id", 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── SFT pair-quality signals: responses with echo / truncation
     // / empty / null variants injected by id class ─────
     "q253_sft_signals" -> ((s, d) => {
@@ -446,6 +458,33 @@ object EvalQueries {
             json_extract_string(j, '$$[' || k || '].content') AS content
           FROM (SELECT doc_id, j, unnest(range(0, n)) AS k FROM valid)
           ORDER BY doc_id, turn""",
+
+    "q255_distinct_ngrams" ->
+      """WITH t AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 9 = 0 THEN text || ' loop loop loop loop loop'
+                   WHEN doc_id % 13 = 0 THEN NULL
+                   WHEN doc_id % 13 = 1 THEN ''
+                   WHEN doc_id % 13 = 2 THEN '   '
+                   ELSE text END AS text
+            FROM documents),
+          tk AS (SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+                     x -> len(x) > 0) AS toks
+                 FROM t),
+          g AS (SELECT doc_id,
+                  CASE WHEN len(toks) >= 2
+                    THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+                    ELSE []::VARCHAR[] END AS grams
+                FROM tk)
+          SELECT doc_id,
+            CAST(len(grams) AS BIGINT) AS n_grams,
+            CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+            CASE WHEN len(grams) > 0
+              THEN (1000000 * CAST(len(list_distinct(grams)) AS BIGINT))
+                // CAST(len(grams) AS BIGINT)
+              END AS distinct_micro
+          FROM g ORDER BY doc_id""",
 
     "q253_sft_signals" ->
       """WITH p AS (

@@ -171,6 +171,39 @@ object EvalOps {
         .as("pass_at_k_micro"))
   }
 
+  /** Distinct-n generation diversity (Li et al. 2016, "A Diversity-
+    * Promoting Objective"): per document, `(n_grams, n_distinct,
+    * distinct_micro = 10⁶·distinct div total)` for word n-grams of
+    * order `n` — the degenerate-decoding detector (greedy/low-temp
+    * output repeats itself, driving distinct-n toward 0; lexical
+    * diversity's TTR is the n=1 special case of the same family at a
+    * different gram notion). Documents with no n-grams (NULL / empty /
+    * fewer than n tokens — the ROUGE gram convention) keep a row with
+    * zero counts and a NULL ratio. Token and gram arrays are staged
+    * projections (the q240 interpreted-HOF discipline); everything is
+    * scan-side, nothing shuffles. */
+  def distinctNgramRatio(docs: org.apache.spark.sql.DataFrame,
+                         textCol: String, idCol: String, n: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val reserved = Seq("n_grams", "n_distinct", "distinct_micro",
+      "__toks", "__grams")
+    val clashes = docs.columns.filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"distinctNgramRatio reserves ${reserved.mkString(", ")}; " +
+        s"input already has ${clashes.mkString(", ")}")
+    docs
+      .select(col(idCol),
+        filter(TextOps.tokens(col(textCol)), t => length(t) > 0).as("__toks"))
+      .select(col(idCol), ngramsOfTokens(col("__toks"), n).as("__grams"))
+      .select(col(idCol),
+        size(col("__grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("__grams"))).cast("long").as("n_distinct"))
+      .select(col(idCol), col("n_grams"), col("n_distinct"),
+        when(col("n_grams") > 0,
+          idiv(lit(1000000L) * col("n_distinct"), col("n_grams")))
+          .as("distinct_micro"))
+  }
+
   /** Self-consistency majority vote (Wang et al. 2022, "Self-
     * Consistency Improves Chain of Thought Reasoning"): per problem,
     * the modal answer over n samples, with deterministic ties (highest

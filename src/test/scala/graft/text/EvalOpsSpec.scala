@@ -137,6 +137,27 @@ class EvalOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("null ok"))
   }
 
+  test("distinctNgramRatio: hand bigram counts, degenerate repeat, nulls") {
+    val rows = Seq(
+      (1L, "a b a b c"),       // bigrams: ab, ba, ab, bc -> 3/4 distinct
+      (2L, "x x x x x"),       // xx ×4 -> 1/4 (the degenerate-decode look)
+      (3L, "one"),             // < 2 tokens: no bigrams
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = EvalOps.distinctNgramRatio(rows, "text", "id", 2)
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) === ((4L, 3L, Some(750000L))))
+    assert(out(2L) === ((4L, 1L, Some(250000L))))
+    assert(out(3L) === ((0L, 0L, None)))
+    assert(out(4L) === ((0L, 0L, None)))
+    val e = intercept[IllegalArgumentException] {
+      EvalOps.distinctNgramRatio(rows.withColumnRenamed("text", "n_grams"),
+        "n_grams", "id", 2)
+    }
+    assert(e.getMessage.contains("reserves"))
+  }
+
   test("selfConsistency: majority, deterministic ties, gold verdicts, guards") {
     val rows = Seq(
       ("p1", "x", "x"), ("p1", "x", "x"), ("p1", "y", "x"),
