@@ -33,7 +33,8 @@ object ChatOps {
 
   /** Per-conversation protocol stats over the RAW json column:
     * `(n_turns, n_system, n_user, n_assistant, starts_user,
-    * alternates, ends_assistant, contents_ok, valid)`. */
+    * alternates, ends_assistant, contents_ok, sys_prefix_violated,
+    * valid)`. */
   def chatStats(j: Column): Seq[(String, Column)] = {
     val a = parseChat(j)
     def ifParsed(c: Column): Column = when(a.isNotNull, c)
@@ -66,6 +67,7 @@ object ChatOps {
       "alternates" -> alternates,
       "ends_assistant" -> endsAssistant,
       "contents_ok" -> contentsOk,
+      "sys_prefix_violated" -> sysPrefixViolated(a),
       "valid" -> coalesce(
         rolesOk && !sysPrefixViolated(a) && alternates && startsUser &&
           endsAssistant && contentsOk,
@@ -77,9 +79,13 @@ object ChatOps {
     // index of the first non-system turn (1-based; size+1 if all system):
     // any system turn AT or PAST it violates the prefix rule. exists+lag
     // free: compare each system position against the first non-system one.
+    // array_position returns 0 — not NULL — when nothing matches, so the
+    // all-system case must route through nullif before the coalesce
+    // fallback (else first_non_sys reads 0 and every system turn
+    // "violates" a prefix that is in fact the whole conversation).
     val firstNonSys = coalesce(
-      array_position(transform(a, t => t("role") <=> lit("system")),
-        lit(false)),
+      nullif(array_position(transform(a, t => t("role") <=> lit("system")),
+        lit(false)), lit(0L)),
       (size(a) + 1).cast("long"))
     // size >= 1 guard: sequence(1, 0) is DESCENDING in Spark, and an
     // empty conversation ("[]") must read as un-violated, not feed
@@ -136,8 +142,11 @@ object ChatOps {
       .select(passthrough :+
         size(p).cast("long").as("prompt_tokens") :+
         size(r).cast("long").as("response_tokens") :+
+        // long arithmetic: 10⁶·size in INT overflows (ANSI: throws) at a
+        // ≥2148-token response — well inside real SFT data
         when(size(p) > 0,
-          expr("(1000000 * size(__rt)) div size(__pt)")).as("len_ratio_micro") :+
+          expr("(1000000L * cast(size(__rt) as bigint)) div " +
+            "cast(size(__pt) as bigint)")).as("len_ratio_micro") :+
         (size(r) === 0).as("empty_response") :+
         // Java∩RE2: no lookarounds; closing quotes/brackets may follow
         // the terminal mark

@@ -69,28 +69,39 @@ object Agreement {
     val dupStats = src.groupBy(col("i"), col("r"))
       .agg(count(lit(1)).as("c"))
       .agg(max(col("c")).as("maxdup"))
+    // ALL guards live inside the one R expression every value column
+    // reads: a caller selecting only kappa_micro lets column pruning
+    // drop any guard that lives in a sibling column (the passAtK
+    // lesson) — threading R through kappa_num/kappa_den makes the
+    // raise_error un-prunable wherever a kappa value survives.
+    val rGuarded =
+      when(col("maxdup") > 1L, raise_error(lit("fleissKappa: duplicate " +
+          "(item, rater) rating rows — dedupe or re-key the table")))
+        .when(col("n_items") === 0L, raise_error(lit(
+          "fleissKappa: empty annotation table — nothing to agree on")))
+        .when(col("rmin") =!= col("rmax"), raise_error(concat(
+          lit("fleissKappa: items rated by between "),
+          col("rmin").cast("string"),
+          lit(" and "), col("rmax").cast("string"),
+          lit(" raters — Fleiss requires a constant rater count; " +
+            "filter to fully-rated items first, or use " +
+            "krippendorffAlpha, the incomplete-design statistic"))))
+        .when(col("rmin") < 2L, raise_error(lit(
+          "fleissKappa: needs at least 2 raters per item")))
+        .otherwise(col("rmax"))
     itemStats.crossJoin(labelStats).crossJoin(dupStats)
       .select(
-        when(col("maxdup") > 1L, raise_error(lit("fleissKappa: duplicate " +
-            "(item, rater) rating rows — dedupe or re-key the table")))
-          .otherwise(col("n_items")).as("n_items"),
-        when(col("n_items") === 0L, raise_error(lit(
-            "fleissKappa: empty annotation table — nothing to agree on")))
-          .when(col("rmin") =!= col("rmax"), raise_error(concat(
-            lit("fleissKappa: items rated by between "),
-            col("rmin").cast("string"),
-            lit(" and "), col("rmax").cast("string"),
-            lit(" raters — Fleiss requires a constant rater count; " +
-              "filter to fully-rated items first"))))
-          .when(col("rmin") < 2L, raise_error(lit(
-            "fleissKappa: needs at least 2 raters per item")))
-          .otherwise(col("rmax")).as("n_raters"),
+        rGuarded.as("__r"),
+        col("n_items"), col("n_categories"), col("a"), col("sumc2"))
+      .select(
+        col("n_items"),
+        col("__r").as("n_raters"),
         col("n_categories"),
-        ((col("a") - col("n_items") * col("rmax")) *
-          (col("n_items") * col("rmax")) -
-          (col("rmax") - 1L) * col("sumc2")).as("kappa_num"),
-        ((col("rmax") - 1L) *
-          ((col("n_items") * col("rmax")) * (col("n_items") * col("rmax")) -
+        ((col("a") - col("n_items") * col("__r")) *
+          (col("n_items") * col("__r")) -
+          (col("__r") - 1L) * col("sumc2")).as("kappa_num"),
+        ((col("__r") - 1L) *
+          ((col("n_items") * col("__r")) * (col("n_items") * col("__r")) -
             col("sumc2"))).as("kappa_den"))
       .select(col("n_items"), col("n_raters"), col("n_categories"),
         col("kappa_num"), col("kappa_den"),
@@ -163,14 +174,21 @@ object Agreement {
     val margB = src.groupBy(col("lb")).agg(count(lit(1)).as("cb"))
     val pe = margA.join(margB, col("la") === col("lb"))
       .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("pe_num"))
+    // guard inside the N every value column reads (the fleissKappa
+    // pruning hazard): selecting only kappa_micro must still raise on
+    // an empty table, not return a silent NULL
+    val nGuarded = when(col("n_items") === 0L, raise_error(lit(
+        "cohenKappa: empty annotation table — nothing to agree on")))
+      .otherwise(col("n_items"))
     base.crossJoin(pe)
       .select(
-        when(col("n_items") === 0L, raise_error(lit(
-            "cohenKappa: empty annotation table — nothing to agree on")))
-          .otherwise(col("n_items")).as("n_items"),
+        nGuarded.as("__n"),
+        col("n_agree"), col("pe_num"))
+      .select(
+        col("__n").as("n_items"),
         col("n_agree"), col("pe_num"),
-        (col("n_agree") * col("n_items") - col("pe_num")).as("kappa_num"),
-        (col("n_items") * col("n_items") - col("pe_num")).as("kappa_den"))
+        (col("n_agree") * col("__n") - col("pe_num")).as("kappa_num"),
+        (col("__n") * col("__n") - col("pe_num")).as("kappa_den"))
       .select(col("n_items"), col("n_agree"), col("pe_num"),
         col("kappa_num"), col("kappa_den"),
         when(col("kappa_den") > 0L,

@@ -442,7 +442,7 @@ object EvalQueries {
                 k -> '<|' || roles[k + 1] || '|>' || coalesce(contents[k + 1], '')), chr(10)) END AS flat
             FROM derived)
           SELECT doc_id, n_turns, n_system, n_user, n_assistant, starts_user, alternates,
-            ends_assistant, contents_ok,
+            ends_assistant, contents_ok, sys_violated AS sys_prefix_violated,
             coalesce(roles_ok AND NOT sys_violated AND alternates AND starts_user
               AND ends_assistant AND contents_ok, FALSE) AS valid,
             flat

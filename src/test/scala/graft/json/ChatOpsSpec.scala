@@ -9,7 +9,8 @@ class ChatOpsSpec extends SparkSpec {
   private case class Stats(nTurns: Option[Int], nSystem: Option[Int],
     nUser: Option[Int], nAssistant: Option[Int], startsUser: Option[Boolean],
     alternates: Option[Boolean], endsAssistant: Option[Boolean],
-    contentsOk: Option[Boolean], valid: Boolean)
+    contentsOk: Option[Boolean], sysPrefixViolated: Option[Boolean],
+    valid: Boolean)
 
   private def stats(js: Seq[String]): Map[Long, Stats] = {
     val df = js.zipWithIndex.map { case (j, i) => (i.toLong, j) }
@@ -20,7 +21,7 @@ class ChatOpsSpec extends SparkSpec {
         def oi(i: Int) = Option(r.get(i)).map(_.asInstanceOf[Int])
         def ob(i: Int) = Option(r.get(i)).map(_.asInstanceOf[Boolean])
         r.getLong(0) -> Stats(oi(1), oi(2), oi(3), oi(4), ob(5), ob(6),
-          ob(7), ob(8), r.getBoolean(9))
+          ob(7), ob(8), ob(9), r.getBoolean(10))
       }.toMap
   }
 
@@ -34,7 +35,23 @@ class ChatOpsSpec extends SparkSpec {
   test("a well-formed conversation is valid with exact counts") {
     val s = stats(Seq(good))(0L)
     assert(s === Stats(Some(5), Some(1), Some(2), Some(2), Some(true),
-      Some(true), Some(true), Some(true), valid = true))
+      Some(true), Some(true), Some(true), Some(false), valid = true))
+  }
+
+  test("system prefix rule: all-system is NOT violated, mid-system is") {
+    // array_position returns 0 (not NULL) on no match: an all-system
+    // transcript must still read as un-violated — the whole conversation
+    // IS the prefix (it fails validity via starts_user, honestly)
+    val allSys =
+      """[{"role":"system","content":"a"},{"role":"system","content":"b"}]"""
+    val midSys =
+      """[{"role":"user","content":"a"},{"role":"system","content":"x"},
+         {"role":"assistant","content":"b"}]""".replaceAll("\n\\s*", "")
+    val out = stats(Seq(allSys, midSys, "not json", "[]"))
+    assert(out(0L).sysPrefixViolated === Some(false) && !out(0L).valid)
+    assert(out(1L).sysPrefixViolated === Some(true) && !out(1L).valid)
+    assert(out(2L).sysPrefixViolated === None)
+    assert(out(3L).sysPrefixViolated === Some(false))
   }
 
   test("protocol violations each flip exactly their flag") {
@@ -135,6 +152,15 @@ class ChatOpsSpec extends SparkSpec {
         "prompt", "response")
     }
     assert(e.getMessage.contains("reserves column names"))
+  }
+
+  test("sftSignals len_ratio is long arithmetic: a 3000-token response " +
+      "against a 1-token prompt does not overflow INT under ANSI") {
+    val long = Seq((1L, "p", Array.fill(3000)("w").mkString(" ")))
+      .toDF("id", "prompt", "response")
+    val r = ChatOps.sftSignals(long, "prompt", "response")
+      .select("len_ratio_micro").as[Long].head()
+    assert(r === 3000L * 1000000L)
   }
 
   test("flattenChat renders role tags, null content as empty, null json as null") {

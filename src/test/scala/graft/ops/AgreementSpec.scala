@@ -121,6 +121,32 @@ class AgreementSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate (item, rater)"))
   }
 
+  test("guards survive column pruning: selecting ONLY kappa_micro still " +
+      "raises on unequal raters / dup pairs / empty tables") {
+    // the guards are threaded through the R (resp. N) expression every
+    // value column reads — pruning a sibling column must not drop them
+    val unequal = Seq(("i1", "r1", "a"), ("i1", "r2", "a"), ("i2", "r1", "a"))
+      .toDF("item", "rater", "label")
+    val e1 = intercept[Exception] {
+      Agreement.fleissKappa(unequal, "item", "rater", "label")
+        .select("kappa_micro").collect()
+    }
+    assert(e1.getMessage.contains("constant rater count"))
+    assert(e1.getMessage.contains("krippendorffAlpha"))
+    val dup = Seq(("i1", "r1", "a"), ("i1", "r1", "b"),
+      ("i2", "r1", "a"), ("i2", "r2", "b")).toDF("item", "rater", "label")
+    val e2 = intercept[Exception] {
+      Agreement.fleissKappa(dup, "item", "rater", "label")
+        .select("kappa_den").collect()
+    }
+    assert(e2.getMessage.contains("duplicate"))
+    val e3 = intercept[Exception] {
+      Agreement.cohenKappa(Seq.empty[(String, String)].toDF("la", "lb"),
+        "la", "lb").select("kappa_micro").collect()
+    }
+    assert(e3.getMessage.contains("empty annotation table"))
+  }
+
   test("empty annotation tables fail loudly on both kappas") {
     val ef = intercept[Exception] { fleiss(Seq.empty) }
     assert(ef.getMessage.contains("empty annotation table"))
