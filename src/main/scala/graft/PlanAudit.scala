@@ -62,6 +62,35 @@ object PlanAudit {
     PlanStats(cartesians, bigCross, globalWindows, windows)
   }
 
+  /** [[inspect]] at the LOGICAL level, for STREAMING frames: physical
+    * planning of a streaming query exists only inside a started
+    * micro-batch (IncrementalExecution injects the state info physical
+    * planning needs), but the optimized LOGICAL plan is fully buildable
+    * pre-start — and it carries the same scale-killer signatures:
+    * a condition-less Join between two non-single-row sides is the
+    * logical precursor of every CartesianProduct, and a logical Window
+    * with an empty partitionSpec is the single-partition funnel.
+    * `cartesians` is structurally 0 here (physical-only node); the
+    * condition-less-join check subsumes it for the streaming surface.
+    * Caller must disable `spark.sql.streaming.unsupportedOperationCheck`
+    * around the call (the batch-execution guard fires in optimizedPlan's
+    * withCachedData otherwise). */
+  def inspectLogical(df: DataFrame): PlanStats = {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val plan = df.queryExecution.optimizedPlan
+    val bigCross = plan.collect {
+      case j: logical.Join
+          if j.condition.isEmpty &&
+            j.left.maxRows.getOrElse(Long.MaxValue) > 1L &&
+            j.right.maxRows.getOrElse(Long.MaxValue) > 1L => j
+    }.size
+    val globalWindows = plan.collect {
+      case w: logical.Window if w.partitionSpec.isEmpty => w
+    }.size
+    val windows = plan.collect { case w: logical.Window => w }.size
+    PlanStats(0, bigCross, globalWindows, windows)
+  }
+
   /** The gate: violations for one query's plan (empty = clean). */
   def violations(name: String, stats: PlanStats): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]

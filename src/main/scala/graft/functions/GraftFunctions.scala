@@ -73,7 +73,10 @@ object GraftFunctions {
     // per-ROW inclusive rank against a kll_sketch_agg_double column —
     // the non-foldable probe the built-in kll_sketch_get_rank_double
     // (literal-only) can't express
-    "graft_kll_rank" -> binary("graft_kll_rank", KllRank(_, _)) _)
+    "graft_kll_rank" -> binary("graft_kll_rank", KllRank(_, _)) _,
+    // token-sequence LCS length over two array<string> columns — the
+    // ROUGE-L kernel (doc-bounded O(C·R) DP, compiled)
+    "graft_lcs" -> binary("graft_lcs", LcsTokenLength(_, _)) _)
 
   /** One 31-bit Morton spread chain in Spark SQL (mirrors
     * `ZOrder.spreadBits`; `shiftleft` + `&`/`|` operators). */

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
@@ -433,6 +433,77 @@ object DsirBuckets {
   }
 }
 
+/** Token-sequence LCS length — the ROUGE-L kernel (Lin 2004 §3.2). The
+  * classic O(C·R) two-row DP, doc-bounded: both sides are single
+  * documents (summaries/references by contract), so the quadratic cost
+  * is per ROW and never touches the corpus dimension. A HOF encoding
+  * would need a fold-within-a-fold building O(R) arrays per candidate
+  * token — O(C·R²) interpreted allocations; this is the (c) rung of the
+  * extension ladder instead: a native BinaryExpression whose codegen
+  * calls one compiled kernel, keeping the scan inside whole-stage
+  * codegen. Null TOKENS (never produced by the tokenizer; defensive)
+  * match nothing. Null ARRAY on either side → null out (BinaryExpression
+  * null intolerance — [[graft.text.EvalOps.rougeL]] feeds it non-null
+  * staged token arrays). */
+case class LcsTokenLength(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"LcsTokenLength needs two array<string> inputs, got ($l, $r)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LcsKernel.lcs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.LcsKernel$$.MODULE$$.lcs($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object LcsKernel {
+  /** Two-row DP over UTF8String token equality: O(C·R) time, O(R) space,
+    * zero allocations beyond the two int rows and the materialized
+    * right-side token view. */
+  def lcs(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 || m == 0) return 0L
+    val bt = new Array[UTF8String](m)
+    var j = 0
+    while (j < m) {
+      bt(j) = if (b.isNullAt(j)) null else b.getUTF8String(j)
+      j += 1
+    }
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var i = 0
+    while (i < n) {
+      val ai = if (a.isNullAt(i)) null else a.getUTF8String(i)
+      var jj = 0
+      while (jj < m) {
+        cur(jj + 1) =
+          if (ai != null && ai.equals(bt(jj))) prev(jj) + 1
+          else math.max(prev(jj + 1), cur(jj))
+        jj += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m).toLong
+  }
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graft.ColumnBridge
 
@@ -463,4 +534,9 @@ object TextExpressions {
   /** Bigram md5-prefix bucket ids of a token array (codegen). */
   def dsirBuckets(arr: Column, dim: Int): Column =
     ColumnBridge.column(DsirBuckets(ColumnBridge.expression(arr), dim))
+
+  /** Token-sequence LCS length (codegen) — the ROUGE-L kernel. */
+  def lcsLen(cand: Column, ref: Column): Column =
+    ColumnBridge.column(LcsTokenLength(
+      ColumnBridge.expression(cand), ColumnBridge.expression(ref)))
 }

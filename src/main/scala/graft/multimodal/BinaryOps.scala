@@ -32,6 +32,16 @@ import org.apache.spark.sql.types._
   */
 object BinaryOps {
 
+  // javax.imageio defaults to a temp-FILE-backed stream cache: every
+  // createImageInputStream / ImageIO.read / ImageIO.write call spins up
+  // a FileCacheImage{Input,Output}Stream — one temp file CREATE+DELETE
+  // per row per decode/encode stage on the executor's disk, whose cost
+  // tracks host disk state (the q148/q149 bench-swing signature). Every
+  // payload here is an in-memory byte array, so the memory cache is
+  // strictly better; this static toggle runs once per JVM when the
+  // object loads (executors load it with the decode closures).
+  javax.imageio.ImageIO.setUseCache(false)
+
   val mediaMetaType: StructType = StructType(Seq(
     StructField("byte_len", LongType, nullable = false),
     StructField("format", StringType),

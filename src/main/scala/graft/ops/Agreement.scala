@@ -110,6 +110,153 @@ object Agreement {
             "div kappa_den - 2000000")).as("kappa_micro"))
   }
 
+  /** Krippendorff's α (nominal metric; Krippendorff 2011, "Computing
+    * Krippendorff's Alpha-Reliability") over a LONG-form annotation
+    * table — the INCOMPLETE-design statistic [[fleissKappa]]'s
+    * unequal-rater error points at: real annotation tables are rarely
+    * fully crossed (raters rotate, items get 2–5 ratings), and α is the
+    * standard agreement measure that handles exactly that. Items with
+    * fewer than 2 ratings carry no agreement information and are
+    * DROPPED (α's own convention — reported in `n_items` so the drop is
+    * visible, never silent).
+    *
+    * Computation (coincidence-matrix form, nominal weights): per kept
+    * item `A_i = n_i² − Σ_c c_ic²` (ordered disagreeing pairs), and with
+    * `n = Σ n_i`, `n_c` the per-label totals over kept items:
+    * {{{
+    * D_o ∝ Σ_i A_i/(n_i−1)        — observed disagreement
+    * D_e ∝ (n² − Σ_c n_c²)/(n−1)  — chance disagreement
+    * α = 1 − D_o/D_e
+    * }}}
+    * Integer discipline: the per-item 1/(n_i−1) weights have no common
+    * denominator in an incomplete design, so each item's term is scaled
+    * to micro units with ONE floor div (`do_scaled = Σ 10⁶·A_i div
+    * (n_i−1)` — deterministic, bit-replayable, ≤1 micro-unit
+    * quantization per item against the true rational; the exact-rational
+    * route of [[fleissKappa]] needs the constant-R special case).
+    * `alpha_micro = 10⁶ − ((n−1)·do_scaled) div de_num` with
+    * `de_num = n² − Σn_c²`; `de_num = 0` (one category used) → NULL.
+    *
+    * Returns ONE row: `(n_items, n_ratings, n_categories, do_scaled,
+    * de_num, alpha_micro)`. Duplicate (item, rater) rows and null fields
+    * fail loudly — guards threaded through every value column (the
+    * pruning-hazard discipline). Long-regime bound: `(n−1)·do_scaled` ≈
+    * 2·10⁶·n² — exact through ~2·10⁶ ratings, ANSI fails loudly past.
+    * Scale shape: two partial-aggregable hash aggregates over the
+    * annotation table + one item-keyed join, then label-count- and
+    * 1-row-sized frames only. */
+  def krippendorffAlpha(ann: DataFrame, itemCol: String, raterCol: String,
+                        labelCol: String): DataFrame = {
+    val src = ann.select(loud(col(itemCol), "item").as("i"),
+      loud(col(raterCol), "rater").as("r"), loud(col(labelCol), "label").as("l"))
+    val cells = src.groupBy(col("i"), col("l"))
+      .agg(count(lit(1)).as("c"))
+    val items = cells.groupBy(col("i"))
+      .agg(sum(col("c")).as("n_i"), sum(col("c") * col("c")).as("sq"))
+    val kept = items.where(col("n_i") >= 2L)
+    val itemTot = kept.agg(count(lit(1)).as("n_items"),
+      coalesce(sum(col("n_i")), lit(0L)).as("n_ratings"),
+      coalesce(sum(expr(
+        "(1000000L * (n_i * n_i - sq)) div (n_i - 1)")), lit(0L))
+        .as("do_scaled"))
+    val labelTot = cells.join(kept.select(col("i")), Seq("i"))
+      .groupBy(col("l")).agg(sum(col("c")).as("n_c"))
+      .agg(coalesce(sum(col("n_c") * col("n_c")), lit(0L)).as("sumc2"),
+        count(lit(1)).as("n_categories"))
+    val dupStats = src.groupBy(col("i"), col("r"))
+      .agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("maxdup"))
+    // guards applied to EVERY value column (un-prunable wherever an α
+    // value survives — the fleissKappa discipline)
+    def guard(c: Column): Column =
+      when(col("maxdup") > 1L, raise_error(lit("krippendorffAlpha: " +
+          "duplicate (item, rater) rating rows — dedupe or re-key the table")))
+        .when(col("n_items") === 0L, raise_error(lit(
+          "krippendorffAlpha: no item has 2 or more ratings — " +
+            "nothing to measure agreement on")))
+        .otherwise(c)
+    itemTot.crossJoin(labelTot).crossJoin(dupStats)
+      .select(col("n_items"),
+        guard(col("n_ratings")).as("n_ratings"),
+        col("n_categories"),
+        guard(col("do_scaled")).as("do_scaled"),
+        guard(col("n_ratings") * col("n_ratings") - col("sumc2"))
+          .as("de_num"))
+      .select(col("n_items"), col("n_ratings"), col("n_categories"),
+        col("do_scaled"), col("de_num"),
+        when(col("de_num") > 0L, expr(
+          "1000000L - ((n_ratings - 1) * do_scaled) div de_num"))
+          .as("alpha_micro"))
+  }
+
+  /** Krippendorff's α with the INTERVAL metric — [[krippendorffAlpha]]
+    * for NUMERIC ratings (Likert quality scores, 1–10 harmlessness
+    * grades: the dominant LLM-annotation shape), where disagreement is
+    * squared distance `(x−y)²`, not mere inequality: raters saying 4 vs
+    * 5 agree far more than 1 vs 5, and the nominal metric can't see it.
+    * Same incomplete-design contract: items with <2 ratings drop
+    * visibly; duplicate (item, rater) rows and null values fail loudly.
+    *
+    * Coincidence form over kept items (per item `S1=Σx, S2=Σx²`, so the
+    * ordered-pair squared-distance sum is `A_i = 2(n_i·S2_i − S1_i²)`):
+    * {{{
+    * D_o ∝ Σ_i A_i/(n_i−1)                — micro-scaled per item
+    * D_e ∝ 2(n·ΣX² − (ΣX)²)/(n−1)         — all-pairs squared distance
+    * α = 1 − D_o/D_e
+    * }}}
+    * Returns ONE row: `(n_items, n_ratings, n_values, do_scaled, de_num,
+    * alpha_micro)`; `de_num = 0` (all ratings one value) → NULL. Exact
+    * integers with the per-item micro floor ([[krippendorffAlpha]]'s
+    * documented quantization). Long-regime bound: terms reach
+    * `10⁶·n²·v²` for rating magnitude v — exact through ~10⁶ ratings on
+    * a 1–10 scale (ANSI fails loudly past); keep ratings in small
+    * integer scales, which is what interval α is FOR. Scale shape:
+    * identical to the nominal form — two partial-aggregable hash
+    * aggregates, then 1-row frames. */
+  def krippendorffAlphaInterval(ann: DataFrame, itemCol: String,
+                                raterCol: String, valueCol: String)
+      : DataFrame = {
+    val vLoud = when(col(valueCol).isNull, raise_error(lit(
+        "Agreement: null value — clean the annotation table first")))
+      .otherwise(col(valueCol).cast("long"))
+    val src = ann.select(loud(col(itemCol), "item").as("i"),
+      loud(col(raterCol), "rater").as("r"), vLoud.as("v"))
+    val items = src.groupBy(col("i"))
+      .agg(count(lit(1)).as("n_i"), sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+    val kept = items.where(col("n_i") >= 2L)
+    val itemTot = kept.agg(count(lit(1)).as("n_items"),
+      coalesce(sum(col("n_i")), lit(0L)).as("n_ratings"),
+      coalesce(sum(col("s1")), lit(0L)).as("gs1"),
+      coalesce(sum(col("s2")), lit(0L)).as("gs2"),
+      coalesce(sum(expr(
+        "(1000000L * (2 * (n_i * s2 - s1 * s1))) div (n_i - 1)")), lit(0L))
+        .as("do_scaled"))
+    val valueTot = src.agg(countDistinct(col("v")).as("n_values"))
+    val dupStats = src.groupBy(col("i"), col("r"))
+      .agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("maxdup"))
+    def guard(c: Column): Column =
+      when(col("maxdup") > 1L, raise_error(lit("krippendorffAlphaInterval: " +
+          "duplicate (item, rater) rating rows — dedupe or re-key the table")))
+        .when(col("n_items") === 0L, raise_error(lit(
+          "krippendorffAlphaInterval: no item has 2 or more ratings — " +
+            "nothing to measure agreement on")))
+        .otherwise(c)
+    itemTot.crossJoin(valueTot).crossJoin(dupStats)
+      .select(col("n_items"),
+        guard(col("n_ratings")).as("n_ratings"),
+        col("n_values"),
+        guard(col("do_scaled")).as("do_scaled"),
+        guard(lit(2L) * (col("n_ratings") * col("gs2") -
+          col("gs1") * col("gs1"))).as("de_num"))
+      .select(col("n_items"), col("n_ratings"), col("n_values"),
+        col("do_scaled"), col("de_num"),
+        when(col("de_num") > 0L, expr(
+          "1000000L - ((n_ratings - 1) * do_scaled) div de_num"))
+          .as("alpha_micro"))
+  }
+
   /** Per-annotator agreement-with-consensus report — the operational
     * follow-up to a low κ: WHICH rater diverges. Consensus per item is
     * the modal label with deterministic ties (highest votes, then

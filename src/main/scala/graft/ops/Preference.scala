@@ -93,6 +93,127 @@ object Preference {
           .as("longer_win_micro"))
   }
 
+  /** Position-bias audit over a duel log that records which side was
+    * PRESENTED FIRST — the other canonical pairwise-judge bias next to
+    * [[lengthBias]]'s verbosity: human raters and LLM judges both favor
+    * the first-shown response (the "order effect"), and a preference log
+    * with a first-position win rate far from 500000 trains a reward
+    * model on presentation order, not quality. The standard mitigation —
+    * judge both orders and keep agreements — starts from exactly this
+    * table.
+    *
+    * Reports per unordered pair `(player_a < player_b)`:
+    * `(player_a, player_b, n_duels, n_a_first, n_first_won,
+    * first_win_micro = 10⁶·first_won div n)` — counts, not just the
+    * ratio, so a significance read (how many duels back the rate) and
+    * the presentation balance (`n_a_first` vs `n_duels/2`) sit in the
+    * same row; the overall rate is one more aggregate the caller owns.
+    * Null fields fail loudly; a `first` that is NEITHER duel side fails
+    * loudly (a corrupted log row, not a vote). One pair-keyed
+    * partial-aggregable hash aggregate — any duel volume. */
+  def positionBias(duels: DataFrame, winnerCol: String, loserCol: String,
+                   firstCol: String): DataFrame = {
+    val w = loud(col(winnerCol), "winner")
+    val l = loud(col(loserCol), "loser")
+    val f = loud(col(firstCol), "first-presented player")
+    duels.select(w.as("w"), l.as("l"), f.as("f"))
+      .select(
+        when(col("w") === col("l"), raise_error(concat(
+            lit("Preference: self-duel for player "), col("w"),
+            lit(" — a player cannot beat itself; clean the duel log"))))
+          .when(col("f") =!= col("w") && col("f") =!= col("l"),
+            raise_error(concat(
+              lit("Preference: first-presented player "), col("f"),
+              lit(" is neither duel side — clean the duel log"))))
+          .otherwise(least(col("w"), col("l"))).as("lo"),
+        greatest(col("w"), col("l")).as("hi"),
+        when(col("f") === least(col("w"), col("l")), 1L).otherwise(0L)
+          .as("a_first"),
+        when(col("f") === col("w"), 1L).otherwise(0L).as("first_won"))
+      .groupBy(col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_duels"),
+        sum(col("a_first")).as("n_a_first"),
+        sum(col("first_won")).as("n_first_won"))
+      .select(col("lo").as("player_a"), col("hi").as("player_b"),
+        col("n_duels"), col("n_a_first"), col("n_first_won"),
+        expr(s"($Scale * n_first_won) div n_duels").as("first_win_micro"))
+  }
+
+  /** Order-consistency audit over a BOTH-ORDERS duel log — the standard
+    * mitigation [[positionBias]] points at: judge every match twice with
+    * the presentation flipped and keep only order-consistent verdicts.
+    * This measures how much of the log that discipline keeps. `matchCol`
+    * identifies a judged match (prompt/comparison id); a match judged in
+    * both orders is PAIRED. Reports per unordered pair:
+    * `(player_a, player_b, n_matches, n_paired, n_consistent,
+    * n_both_followed, consistency_micro = 10⁶·consistent div paired)` —
+    * `n_consistent` counts paired matches whose two verdicts name the
+    * SAME winner (order-robust signal), `n_both_followed` counts paired
+    * matches where BOTH verdicts followed the presentation (the
+    * maximal-position-bias signature; an unbiased noisy judge shows few,
+    * a pure-position judge shows all). Un-paired matches stay visible in
+    * `n_matches`; `consistency_micro` is NULL when nothing pairs.
+    *
+    * Loud contracts: nulls; a `first` that is neither side; a third
+    * judgment for a match (the pairing is by definition two); two
+    * judgments sharing the SAME presentation order (a re-judge, not an
+    * order flip — averaging it in would fake consistency). Two
+    * partial-aggregable hash aggregates (match-keyed, then pair-keyed);
+    * any duel volume. */
+  def orderConsistency(duels: DataFrame, matchCol: String, winnerCol: String,
+                       loserCol: String, firstCol: String): DataFrame = {
+    val m = loud(col(matchCol), "match id")
+    val w = loud(col(winnerCol), "winner")
+    val l = loud(col(loserCol), "loser")
+    val f = loud(col(firstCol), "first-presented player")
+    val perMatch = duels.select(m.as("m"), w.as("w"), l.as("l"), f.as("f"))
+      .select(col("m"),
+        when(col("w") === col("l"), raise_error(concat(
+            lit("Preference: self-duel for player "), col("w"),
+            lit(" — a player cannot beat itself; clean the duel log"))))
+          .when(col("f") =!= col("w") && col("f") =!= col("l"),
+            raise_error(concat(
+              lit("Preference: first-presented player "), col("f"),
+              lit(" is neither duel side — clean the duel log"))))
+          .otherwise(least(col("w"), col("l"))).as("lo"),
+        greatest(col("w"), col("l")).as("hi"),
+        when(col("w") <= col("l"), 1L).otherwise(0L).as("win_lo"),
+        when(col("f") === least(col("w"), col("l")), 1L).otherwise(0L)
+          .as("first_lo"),
+        when(col("f") === col("w"), 1L).otherwise(0L).as("followed"))
+      .groupBy(col("m"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"), sum(col("win_lo")).as("wins"),
+        sum(col("first_lo")).as("firsts"), sum(col("followed")).as("fol"))
+    // match-level contracts live in the columns the pair rollup reads
+    // (the pruning-hazard discipline): >2 judgments and same-order
+    // "pairs" both fail loudly before they can average into a rate
+    val nGuarded = when(col("n") > 2L, raise_error(concat(
+        lit("Preference: match "), col("m"),
+        lit(" has more than two judgments — order-consistency pairs " +
+          "exactly two; dedupe the duel log"))))
+      .when(col("n") === 2L && col("firsts") =!= 1L, raise_error(concat(
+        lit("Preference: match "), col("m"),
+        lit(" was judged twice in the SAME presentation order — " +
+          "a re-judge, not an order flip; re-key or drop it"))))
+      .otherwise(col("n"))
+    perMatch
+      .select(col("lo"), col("hi"), nGuarded.as("n"), col("wins"), col("fol"))
+      .groupBy(col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_matches"),
+        sum(when(col("n") === 2L, 1L).otherwise(0L)).as("n_paired"),
+        sum(when(col("n") === 2L &&
+            (col("wins") === 0L || col("wins") === 2L), 1L).otherwise(0L))
+          .as("n_consistent"),
+        sum(when(col("n") === 2L && col("fol") === 2L, 1L).otherwise(0L))
+          .as("n_both_followed"))
+      .select(col("lo").as("player_a"), col("hi").as("player_b"),
+        col("n_matches"), col("n_paired"), col("n_consistent"),
+        col("n_both_followed"),
+        when(col("n_paired") > 0L,
+          expr(s"($Scale * n_consistent) div n_paired"))
+          .as("consistency_micro"))
+  }
+
   /** Bradley–Terry strengths from a duel log: `(player, n_games,
     * n_wins, strength_micro)`, strengths normalized to mean 10⁶ per
     * iteration (BT is scale-free; the normalization IS the replayable

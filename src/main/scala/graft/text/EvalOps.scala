@@ -121,6 +121,63 @@ object EvalOps {
           .as("rouge_f_micro"): _*)
   }
 
+  /** ROUGE-L between a candidate and a reference text column (Lin 2004
+    * §3.2 — the LCS half of the report [[rougeN]] starts): appends
+    * `(n_cand_tokens, n_ref_tokens, lcs_len, rougel_p_micro,
+    * rougel_r_micro, rougel_f_micro)` to `pairs`.
+    *
+    * `lcs_len` is the longest-common-SUBSEQUENCE token length (in-order,
+    * gaps allowed — the sentence-structure credit n-gram overlap can't
+    * give); precision = lcs/C, recall = lcs/R, F1 = 2·lcs/(C+R) (the
+    * exact closed harmonic form, same as rougeN's). Zero-token sides
+    * make their ratio NULL — undefined, not 0 ("measured and disjoint").
+    * All exact integers; bit-replayable.
+    *
+    * The DP is a native codegen expression
+    * ([[graft.functions.LcsTokenLength]]) — O(C·R) per ROW, doc-bounded
+    * (both sides are single documents by contract; the corpus dimension
+    * never enters), one compiled kernel instead of a fold-within-a-fold
+    * HOF that would interpret O(C·R²) allocations. Token arrays are
+    * staged projections (the q240 interpreted-HOF discipline) and the
+    * DP value is materialized once before the three ratios read it.
+    * Entirely scan-side: composes with any scan, nothing shuffles. */
+  def rougeL(pairs: org.apache.spark.sql.DataFrame, candCol: String,
+             refCol: String): org.apache.spark.sql.DataFrame = {
+    val reserved = Seq("n_cand_tokens", "n_ref_tokens", "lcs_len",
+      "rougel_p_micro", "rougel_r_micro", "rougel_f_micro", "__ct", "__rt")
+    val clashes = pairs.columns.filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"rougeL reserves column names ${reserved.mkString(", ")}; " +
+        s"input already has ${clashes.mkString(", ")}")
+    val passthrough = pairs.columns.toSeq.map(col)
+    // NULL text tokenizes to a NULL array — coalesce to empty so the
+    // null-contract row keeps ZERO counts (ratios go NULL via the
+    // when-guards) and the null-intolerant DP expression never sees null
+    def toks(c: Column): Column = coalesce(
+      filter(TextOps.tokens(c), t => length(t) > 0),
+      array().cast("array<string>"))
+    pairs
+      .select(passthrough :+ toks(col(candCol)).as("__ct") :+
+        toks(col(refCol)).as("__rt"): _*)
+      .select(passthrough :+
+        size(col("__ct")).cast("long").as("n_cand_tokens") :+
+        size(col("__rt")).cast("long").as("n_ref_tokens") :+
+        graft.functions.TextExpressions.lcsLen(col("__ct"), col("__rt"))
+          .as("lcs_len"): _*)
+      .select(passthrough :+ col("n_cand_tokens") :+ col("n_ref_tokens") :+
+        col("lcs_len") :+
+        when(col("n_cand_tokens") > 0,
+          idiv(lit(1000000L) * col("lcs_len"), col("n_cand_tokens")))
+          .as("rougel_p_micro") :+
+        when(col("n_ref_tokens") > 0,
+          idiv(lit(1000000L) * col("lcs_len"), col("n_ref_tokens")))
+          .as("rougel_r_micro") :+
+        when(col("n_cand_tokens") + col("n_ref_tokens") > 0,
+          idiv(lit(2000000L) * col("lcs_len"),
+            col("n_cand_tokens") + col("n_ref_tokens")))
+          .as("rougel_f_micro"): _*)
+  }
+
   /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
     * Models Trained on Code" §2.1): per problem with `n` samples of
     * which `c` pass,

@@ -53,6 +53,19 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getSeq[Int](2) === Seq(bucket("a b"), bucket("b c")))
   }
 
+  test("graft_lcs exposes the ROUGE-L DP to SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_lcs(array('a', 'b', 'c', 'd', 'e'),
+                          array('a', 'x', 'b', 'y', 'c')) AS l1,
+                graft_lcs(array('c', 'a', 'b'), array('a', 'b', 'c')) AS l2,
+                graft_lcs(CAST(array() AS array<string>), array('a')) AS l3,
+                graft_lcs(CAST(NULL AS array<string>), array('a')) AS l4""")
+      .head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 2L && r.getLong(2) === 0L)
+    assert(r.isNullAt(3))
+  }
+
   test("ArrayCountInSet/ArrayStringLenSum: generated code matches interpreted eval") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}

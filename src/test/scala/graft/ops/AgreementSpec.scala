@@ -121,6 +121,127 @@ class AgreementSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate (item, rater)"))
   }
 
+  private def alpha(rows: Seq[(String, String, String)]) =
+    Agreement.krippendorffAlpha(rows.toDF("item", "rater", "label"),
+        "item", "rater", "label")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].head()
+
+  test("krippendorffAlpha hand-computed on an incomplete design") {
+    // i1 aa (2 raters), i2 ab (2), i3 bbb (3), i4 a (1 — DROPPED)
+    // kept: n = 7; n_a = 3, n_b = 4 → Σn_c² = 25; de = 49−25 = 24
+    // do_scaled = 10⁶·[(4−4)/1 + (4−2)/1 + (9−9)/2] = 2·10⁶
+    // α = 1 − (6·2·10⁶)/24·10⁻⁶ = 1 − 1/2 = 0.5 exactly
+    val rows = Seq(
+      ("i1", "r1", "a"), ("i1", "r2", "a"),
+      ("i2", "r1", "a"), ("i2", "r3", "b"),
+      ("i3", "r1", "b"), ("i3", "r2", "b"), ("i3", "r3", "b"),
+      ("i4", "r9", "a"))
+    val (ni, n, k, doS, de, a) = alpha(rows)
+    assert(ni === 3L && n === 7L && k === 2L)
+    assert(doS === 2000000L && de === 24L)
+    assert(a === Some(500000L))
+  }
+
+  test("krippendorffAlpha: perfect agreement is exactly 1; one used " +
+      "category → chance undefined → NULL") {
+    val perfect = Seq(
+      ("i1", "r1", "a"), ("i1", "r2", "a"),
+      ("i2", "r1", "b"), ("i2", "r2", "b"), ("i2", "r3", "b"))
+    val (_, _, _, doS, _, a) = alpha(perfect)
+    assert(doS === 0L && a === Some(1000000L))
+    val oneCat = Seq(("i1", "r1", "x"), ("i1", "r2", "x"),
+      ("i2", "r1", "x"), ("i2", "r2", "x"))
+    val (_, _, k1, _, de1, a1) = alpha(oneCat)
+    assert(k1 === 1L && de1 === 0L && a1 === None)
+  }
+
+  test("krippendorffAlpha: total two-rater disagreement on a balanced " +
+      "binary table is −1") {
+    // i1 ab, i2 ab: n=4, do_scaled = 2·2·10⁶·... per item (4−2)/1 → 2·10⁶ each
+    // de = 16 − (4+4) = 8; α = 1 − 3·4·10⁶/8·10⁻⁶ = 1 − 1.5 = −0.5? No:
+    // Krippendorff's α on two items of pure ab disagreement: D_o=1,
+    // D_e = (n²−Σn_c²)/(n(n−1)) = 8/12 = 2/3 → α = 1 − 3/2 = −0.5.
+    val rows = Seq(("i1", "r1", "a"), ("i1", "r2", "b"),
+      ("i2", "r1", "a"), ("i2", "r2", "b"))
+    assert(alpha(rows)._6 === Some(-500000L))
+  }
+
+  private def alphaI(rows: Seq[(String, String, Long)]) =
+    Agreement.krippendorffAlphaInterval(rows.toDF("item", "rater", "v"),
+        "item", "rater", "v")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].head()
+
+  test("krippendorffAlphaInterval hand-computed: squared-distance " +
+      "disagreement, closeness matters") {
+    // i1 (1,2), i2 (1,5): A_1 = 2(2·5−9) = 2, A_2 = 2(2·26−36) = 32
+    // n=4, ΣX=9, ΣX²=31 → de = 2(4·31−81) = 86
+    // α = 1 − 3·34·10⁶/86·10⁻⁶ → 10⁶ − 1186046 = −186046
+    val a = Seq(("i1", "r1", 1L), ("i1", "r2", 2L),
+      ("i2", "r1", 1L), ("i2", "r2", 5L))
+    val (ni, n, nv, doS, de, av) = alphaI(a)
+    assert(ni === 2L && n === 4L && nv === 3L)
+    assert(doS === 34000000L && de === 86L)
+    assert(av === Some(-186046L))
+    // the same disagreements at larger distance score strictly lower
+    val worse = Seq(("i1", "r1", 1L), ("i1", "r2", 5L),
+      ("i2", "r1", 1L), ("i2", "r2", 5L))
+    assert(alphaI(worse)._6.get < av.get)
+    // and the NOMINAL metric can't see the difference in 'a': it reads
+    // both items as plain disagreement and scores below the interval α
+    val nom = Agreement.krippendorffAlpha(
+      a.map { case (i, r, v) => (i, r, v.toString) }
+        .toDF("item", "rater", "label"), "item", "rater", "label")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].head()._6
+    assert(nom === Some(-200000L) && av.get > nom.get)
+  }
+
+  test("krippendorffAlphaInterval: perfect agreement 10⁶, one value NULL, " +
+      "misuse loud") {
+    val perfect = Seq(("i1", "r1", 3L), ("i1", "r2", 3L),
+      ("i2", "r1", 7L), ("i2", "r2", 7L))
+    assert(alphaI(perfect)._6 === Some(1000000L))
+    val one = Seq(("i1", "r1", 4L), ("i1", "r2", 4L))
+    val (_, _, nv1, _, de1, a1) = alphaI(one)
+    assert(nv1 === 1L && de1 === 0L && a1 === None)
+    val dup = Seq(("i1", "r1", 1L), ("i1", "r1", 2L), ("i2", "r1", 1L),
+      ("i2", "r2", 2L))
+    val e1 = intercept[Exception] {
+      Agreement.krippendorffAlphaInterval(dup.toDF("item", "rater", "v"),
+        "item", "rater", "v").select("alpha_micro").collect()
+    }
+    assert(e1.getMessage.contains("duplicate (item, rater)"))
+    val e2 = intercept[Exception] { alphaI(Seq(("i1", "r1", 1L))) }
+    assert(e2.getMessage.contains("no item has 2 or more ratings"))
+    val e3 = intercept[Exception] {
+      Agreement.krippendorffAlphaInterval(
+        Seq(("i1", "r1", null.asInstanceOf[java.lang.Long]),
+          ("i1", "r2", java.lang.Long.valueOf(1L)))
+          .toDF("item", "rater", "v"),
+        "item", "rater", "v").collect()
+    }
+    assert(e3.getMessage.contains("null value"))
+  }
+
+  test("krippendorffAlpha misuse fails loudly; guards survive pruning") {
+    val dup = Seq(("i1", "r1", "a"), ("i1", "r1", "b"), ("i2", "r1", "a"),
+      ("i2", "r2", "b"))
+    val e1 = intercept[Exception] {
+      Agreement.krippendorffAlpha(dup.toDF("item", "rater", "label"),
+        "item", "rater", "label").select("alpha_micro").collect()
+    }
+    assert(e1.getMessage.contains("duplicate (item, rater)"))
+    val singles = Seq(("i1", "r1", "a"), ("i2", "r2", "b"))
+    val e2 = intercept[Exception] { alpha(singles) }
+    assert(e2.getMessage.contains("no item has 2 or more ratings"))
+    val e3 = intercept[Exception] {
+      Agreement.krippendorffAlpha(
+        Seq(("i1", "r1", null.asInstanceOf[String]), ("i1", "r2", "a"))
+          .toDF("item", "rater", "label"),
+        "item", "rater", "label").collect()
+    }
+    assert(e3.getMessage.contains("null label"))
+  }
+
   test("guards survive column pruning: selecting ONLY kappa_micro still " +
       "raises on unequal raters / dup pairs / empty tables") {
     // the guards are threaded through the R (resp. N) expression every

@@ -30,6 +30,74 @@ class PreferenceSpec extends SparkSpec {
     assert(e2.getMessage.contains("null loser"))
   }
 
+  test("positionBias: per-pair first-win counts, presentation balance, guards") {
+    // (winner, loser, first): a-b duels — first wins 3 of 4; a was first
+    // twice. b-c duel: first (c) loses.
+    val duels = Seq(
+      ("a", "b", "a"), ("a", "b", "a"), ("a", "b", "b"), ("b", "a", "b"),
+      ("b", "c", "c"))
+      .toDF("w", "l", "f")
+    val out = Preference.positionBias(duels, "w", "l", "f")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    assert(out(("a", "b")) === ((4L, 2L, 3L, 750000L)))
+    assert(out(("b", "c")) === ((1L, 0L, 0L, 0L)))
+    assert(out.size === 2)
+    // first-presented player must be one of the duel sides
+    val e1 = intercept[Exception] {
+      Preference.positionBias(
+        Seq(("a", "b", "z")).toDF("w", "l", "f"), "w", "l", "f").collect()
+    }
+    assert(e1.getMessage.contains("neither duel side"))
+    val e2 = intercept[Exception] {
+      Preference.positionBias(
+        Seq(("a", "b", null.asInstanceOf[String])).toDF("w", "l", "f"),
+        "w", "l", "f").collect()
+    }
+    assert(e2.getMessage.contains("null first-presented"))
+    val e3 = intercept[Exception] {
+      Preference.positionBias(
+        Seq(("a", "a", "a")).toDF("w", "l", "f"), "w", "l", "f").collect()
+    }
+    assert(e3.getMessage.contains("self-duel"))
+  }
+
+  test("orderConsistency: pairing, consistency, position signature, guards") {
+    // m1: both orders, same winner -> consistent (followed once)
+    // m2: both orders, winner tracks presentation -> inconsistent + the
+    //     maximal-position-bias signature (both followed)
+    // m3: judged once -> visible but unpaired
+    val duels = Seq(
+      ("m1", "a", "b", "a"), ("m1", "a", "b", "b"),
+      ("m2", "a", "b", "a"), ("m2", "b", "a", "b"),
+      ("m3", "a", "b", "a"))
+      .toDF("m", "w", "l", "f")
+    val out = Preference.orderConsistency(duels, "m", "w", "l", "f")
+      .as[(String, String, Long, Long, Long, Long, Option[Long])].head()
+    assert(out === (("a", "b", 3L, 2L, 1L, 1L, Some(500000L))))
+    // a third judgment for one match is a log defect, not a vote
+    val e1 = intercept[Exception] {
+      Preference.orderConsistency(duels.unionAll(
+          Seq(("m1", "b", "a", "a")).toDF("m", "w", "l", "f")),
+        "m", "w", "l", "f").collect()
+    }
+    assert(e1.getMessage.contains("more than two judgments"))
+    // two judgments in the SAME order are a re-judge, not an order flip
+    val e2 = intercept[Exception] {
+      Preference.orderConsistency(
+        Seq(("m9", "a", "b", "a"), ("m9", "b", "a", "a"))
+          .toDF("m", "w", "l", "f"),
+        "m", "w", "l", "f").collect()
+    }
+    assert(e2.getMessage.contains("SAME presentation order"))
+    val e3 = intercept[Exception] {
+      Preference.orderConsistency(
+        Seq(("m1", "a", "b", "z")).toDF("m", "w", "l", "f"),
+        "m", "w", "l", "f").collect()
+    }
+    assert(e3.getMessage.contains("neither duel side"))
+  }
+
   test("lengthBias: hand-computed buckets, equal-length exclusion, loud null") {
     // (wl, ll): gaps 0,3,7,12 with width 5 -> buckets 0,0,1,2
     val duels = Seq((10L, 10L), (13L, 10L), (3L, 10L), (22L, 10L))

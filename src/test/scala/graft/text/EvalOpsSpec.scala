@@ -83,6 +83,80 @@ class EvalOpsSpec extends SparkSpec {
     rows.foreach { case (id, ab, _, _, _) => assert(ab === model(id).toLong) }
   }
 
+  private def rougel(cand: String, ref: String) =
+    EvalOps.rougeL(Seq((cand, ref)).toDF("cand", "ref"), "cand", "ref")
+      .drop("cand", "ref")
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .head()
+
+  test("rougeL: LCS skips gaps that break every n-gram") {
+    // cand a b c d e / ref a x b y c: LCS = "a b c" (3)
+    val (c, r, l, p, rr, f) = rougel("a b c d e", "a x b y c")
+    assert(c === 5L && r === 5L && l === 3L)
+    assert(p === Some(600000L) && rr === Some(600000L) && f === Some(600000L))
+    // subsequence, not substring: interleaved extra words don't reset it
+    assert(rougel("the cat sat", "the big cat quietly sat")._3 === 3L)
+  }
+
+  test("rougeL: reordering is penalized (subsequence must be in-order)") {
+    // c a b vs a b c: best in-order common subsequence is "a b" (2)
+    val (_, _, l, _, _, f) = rougel("c a b", "a b c")
+    assert(l === 2L && f === Some(666666L))
+    // full reversal of distinct tokens: only a single token survives
+    assert(rougel("e d c b a", "a b c d e")._3 === 1L)
+  }
+
+  test("rougeL: repeated tokens follow the DP, not distinct-gram logic") {
+    // a a b a vs a b a a: LCS = 3 ("a a a" or "a b a"), not 4
+    assert(rougel("a a b a", "a b a a")._3 === 3L)
+    // repetition can't inflate past the shorter side
+    val (c, _, l, p, _, _) = rougel("a a a a a a", "a a")
+    assert(c === 6L && l === 2L && p === Some(333333L))
+  }
+
+  test("rougeL: identical / disjoint / null-contract rows") {
+    val (_, _, _, p1, r1, f1) = rougel("x y z w", "x y z w")
+    assert(p1 === Some(1000000L) && r1 === Some(1000000L) && f1 === Some(1000000L))
+    val (_, _, l0, p0, r0, f0) = rougel("aa bb cc", "dd ee ff")
+    assert(l0 === 0L && p0 === Some(0L) && r0 === Some(0L) && f0 === Some(0L))
+    val rows = Seq((1L, null.asInstanceOf[String], "some ref text"),
+        (2L, "  ", "some ref text"), (3L, "cand here", null.asInstanceOf[String]),
+        (4L, null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("id", "cand", "ref")
+    val out = EvalOps.rougeL(rows, "cand", "ref").drop("cand", "ref")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 0L, 3L, 0L, None, Some(0L), Some(0L))))
+    assert(out(2L) === ((2L, 0L, 3L, 0L, None, Some(0L), Some(0L))))
+    assert(out(3L) === ((3L, 2L, 0L, 0L, Some(0L), None, Some(0L))))
+    assert(out(4L) === ((4L, 0L, 0L, 0L, None, None, None)))
+    val e = intercept[IllegalArgumentException] {
+      EvalOps.rougeL(rows.withColumnRenamed("id", "lcs_len"), "cand", "ref")
+    }
+    assert(e.getMessage.contains("reserves column names"))
+  }
+
+  test("rougeL agrees with a driver-side DP model on random token soup") {
+    val rnd = new scala.util.Random(11)
+    val docs = (1 to 60).map { i =>
+      def txt() = (1 to (1 + rnd.nextInt(25))).map(_ => s"w${rnd.nextInt(5)}").mkString(" ")
+      (i.toLong, txt(), txt())
+    }
+    def lcsModel(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.ofDim[Int](a.size + 1, b.size + 1)
+      for (i <- 1 to a.size; j <- 1 to b.size)
+        dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.size)(b.size)
+    }
+    val out = EvalOps.rougeL(docs.toDF("id", "cand", "ref"), "cand", "ref")
+      .select(col("id"), col("lcs_len")).as[(Long, Long)].collect().toMap
+    docs.foreach { case (id, a, b) =>
+      assert(out(id) ===
+        lcsModel(a.split("\\s+").toSeq, b.split("\\s+").toSeq).toLong)
+    }
+  }
+
   private def passk(rows: Seq[(String, Boolean)], k: Int) =
     EvalOps.passAtK(rows.toDF("p", "ok"), "p", "ok", k)
       .as[(String, Long, Long, Long)].collect()
