@@ -33,14 +33,36 @@ import org.apache.spark.sql.types._
 object BinaryOps {
 
   // javax.imageio defaults to a temp-FILE-backed stream cache: every
-  // createImageInputStream / ImageIO.read / ImageIO.write call spins up
-  // a FileCacheImage{Input,Output}Stream — one temp file CREATE+DELETE
-  // per row per decode/encode stage on the executor's disk, whose cost
-  // tracks host disk state (the q148/q149 bench-swing signature). Every
-  // payload here is an in-memory byte array, so the memory cache is
-  // strictly better; this static toggle runs once per JVM when the
-  // object loads (executors load it with the decode closures).
-  javax.imageio.ImageIO.setUseCache(false)
+  // createImageInputStream / ImageIO.read / ImageIO.write(OutputStream)
+  // call spins up a FileCacheImage{Input,Output}Stream — one temp file
+  // CREATE+DELETE per row per decode/encode stage on the executor's
+  // disk, whose cost tracks host disk state (the q148/q149 bench-swing
+  // signature: measured 2.1–2.4× per query on a loaded host). Every
+  // payload here is an in-memory byte array, so these helpers route ALL
+  // of graft's own ImageIO traffic through explicit memory-cached
+  // streams — scoped to this library, never flipping the process-global
+  // `ImageIO.setUseCache` switch other JVM tenants may rely on.
+
+  /** Memory-cached image input stream over an in-memory payload. */
+  private def memIn(bytes: Array[Byte]): javax.imageio.stream.ImageInputStream =
+    new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+
+  /** `ImageIO.read` without the temp-file stream cache (the
+    * ImageInputStream overload closes the stream after reading). */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(memIn(bytes))
+
+  /** PNG-encode without the temp-file stream cache; null when no writer
+    * accepts the raster (the never-fail contract of every codec here). */
+  private def writePng(img: java.awt.image.RenderedImage): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    val ok =
+      try javax.imageio.ImageIO.write(img, "png", ios)
+      finally ios.close() // close flushes the cache tail into baos
+    if (ok) baos.toByteArray else null
+  }
 
   val mediaMetaType: StructType = StructType(Seq(
     StructField("byte_len", LongType, nullable = false),
@@ -68,8 +90,7 @@ object BinaryOps {
     * column is never uniformly valid, so unrecognized bytes must yield a
     * null-fielded meta row, not a task failure. */
   def decodeImageMeta(bytes: Array[Byte]): Option[(String, Int, Int, Int)] = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+    val iis = memIn(bytes)
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) None
@@ -256,7 +277,7 @@ object BinaryOps {
     * values 0-255). Null for undecodable payloads. */
   private[multimodal] def luminanceGrid(bytes: Array[Byte], grid: Int): Array[Double] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val img = readImage(bytes)
       if (img == null || img.getWidth < 1 || img.getHeight < 1) null
       else {
         val w = img.getWidth; val h = img.getHeight
@@ -292,7 +313,7 @@ object BinaryOps {
   private[multimodal] def scaleRaster(bytes: Array[Byte], width: Int,
                                       height: Int): Array[Byte] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val img = readImage(bytes)
       if (img == null || img.getWidth < 1 || img.getHeight < 1) null
       else {
         val out = new java.awt.image.BufferedImage(width, height,
@@ -303,8 +324,7 @@ object BinaryOps {
             java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
           g.drawImage(img, 0, 0, width, height, null)
         } finally g.dispose()
-        val baos = new java.io.ByteArrayOutputStream()
-        if (javax.imageio.ImageIO.write(out, "png", baos)) baos.toByteArray else null
+        writePng(out)
       }
     } catch { case _: Exception => null }
 
@@ -357,8 +377,7 @@ object BinaryOps {
         val frames: Seq[(Integer, Integer, Array[Byte])] =
           if (bytes == null) Seq((null, null, null))
           else {
-            val iis = javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(bytes))
+            val iis = memIn(bytes)
             try {
               val readers = javax.imageio.ImageIO.getImageReaders(iis)
               if (!readers.hasNext) Seq((null, null, null))
@@ -369,12 +388,8 @@ object BinaryOps {
                   val n = try math.max(rd.getNumImages(true), 1)
                     catch { case _: Exception => 1 }
                   (0 until n by everyK).map { i =>
-                    val png = try {
-                      val baos = new java.io.ByteArrayOutputStream()
-                      if (javax.imageio.ImageIO.write(rd.read(i), "png", baos))
-                        baos.toByteArray
-                      else null
-                    } catch { case _: Exception => null }
+                    val png = try writePng(rd.read(i))
+                      catch { case _: Exception => null }
                     (Integer.valueOf(n), Integer.valueOf(i), png)
                   }
                 } catch {
@@ -445,9 +460,7 @@ object BinaryOps {
           }
           y += 1
         }
-        val baos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", baos)
-        Row.fromSeq(r.toSeq :+ baos.toByteArray)
+        Row.fromSeq(r.toSeq :+ writePng(img))
       }
     }(enc)
   }

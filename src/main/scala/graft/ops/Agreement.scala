@@ -92,7 +92,12 @@ object Agreement {
     itemStats.crossJoin(labelStats).crossJoin(dupStats)
       .select(
         rGuarded.as("__r"),
-        col("n_items"), col("n_categories"), col("a"), col("sumc2"))
+        // n_items keeps its own dup guard (as pre-refactor): selecting
+        // ONLY n_items must still raise on a duplicate-keyed table
+        when(col("maxdup") > 1L, raise_error(lit("fleissKappa: duplicate " +
+            "(item, rater) rating rows — dedupe or re-key the table")))
+          .otherwise(col("n_items")).as("n_items"),
+        col("n_categories"), col("a"), col("sumc2"))
       .select(
         col("n_items"),
         col("__r").as("n_raters"),
@@ -232,7 +237,10 @@ object Agreement {
       coalesce(sum(expr(
         "(1000000L * (2 * (n_i * s2 - s1 * s1))) div (n_i - 1)")), lit(0L))
         .as("do_scaled"))
-    val valueTot = src.agg(countDistinct(col("v")).as("n_values"))
+    // kept items only — the same universe every other output column
+    // describes (the nominal twin's n_categories does likewise)
+    val valueTot = src.join(kept.select(col("i")), Seq("i"))
+      .agg(countDistinct(col("v")).as("n_values"))
     val dupStats = src.groupBy(col("i"), col("r"))
       .agg(count(lit(1)).as("c"))
       .agg(max(col("c")).as("maxdup"))

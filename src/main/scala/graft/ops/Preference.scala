@@ -184,10 +184,21 @@ object Preference {
       .groupBy(col("m"), col("lo"), col("hi"))
       .agg(count(lit(1)).as("n"), sum(col("win_lo")).as("wins"),
         sum(col("first_lo")).as("firsts"), sum(col("followed")).as("fol"))
+    // a match id that maps to MORE THAN ONE player pair is a key
+    // collision, not two unpaired matches — it must fail loudly like
+    // every other log defect, not silently split into n=1 groups and
+    // deflate the pairing rate. One match-keyed aggregate over the
+    // (already match-sized) perMatch frame + a match-keyed join back.
+    val pairsPerMatch = perMatch.groupBy(col("m"))
+      .agg(count(lit(1)).as("__np"))
     // match-level contracts live in the columns the pair rollup reads
-    // (the pruning-hazard discipline): >2 judgments and same-order
-    // "pairs" both fail loudly before they can average into a rate
-    val nGuarded = when(col("n") > 2L, raise_error(concat(
+    // (the pruning-hazard discipline): key collisions, >2 judgments and
+    // same-order "pairs" all fail loudly before they can skew a rate
+    val nGuarded = when(col("__np") > 1L, raise_error(concat(
+        lit("Preference: match "), col("m"),
+        lit(" names more than one player pair — a match id must " +
+          "identify ONE comparison; re-key the duel log"))))
+      .when(col("n") > 2L, raise_error(concat(
         lit("Preference: match "), col("m"),
         lit(" has more than two judgments — order-consistency pairs " +
           "exactly two; dedupe the duel log"))))
@@ -196,7 +207,7 @@ object Preference {
         lit(" was judged twice in the SAME presentation order — " +
           "a re-judge, not an order flip; re-key or drop it"))))
       .otherwise(col("n"))
-    perMatch
+    perMatch.join(pairsPerMatch, Seq("m"))
       .select(col("lo"), col("hi"), nGuarded.as("n"), col("wins"), col("fol"))
       .groupBy(col("lo"), col("hi"))
       .agg(count(lit(1)).as("n_matches"),

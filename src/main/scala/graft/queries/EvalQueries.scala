@@ -91,7 +91,6 @@ object EvalQueries {
               concat(lit("zzzb"), col("doc_id").cast("string")),
               concat(lit("zzzc"), col("doc_id").cast("string"))))
             .as("cand"))
-        .drop("__rt")
       EvalOps.rougeL(pairs, "cand", "ref")
         .drop("cand", "ref")
         .orderBy(col("doc_id"))
@@ -133,6 +132,27 @@ object EvalQueries {
           when(col("doc_id") % 7 < 4, col("w")).otherwise(col("l")).as("f"))
       graft.ops.Preference.positionBias(duels, "w", "l", "f")
         .orderBy(col("player_a"), col("player_b"))
+    }),
+
+    // ───── BLEU exact-integer components (orders 1-4) between the
+    // null-injected candidate and its successor doc, both capped at 300
+    // chars — clipped modified-precision numerators/denominators +
+    // brevity lengths; the irrational combine is bleuScore (spec-pinned,
+    // deliberately outside the oracle gate) ─────
+    "q261_bleu_components" -> ((s, d) => {
+      // token-capped, not char-capped: a char cut lands differently
+      // across engines on multibyte text (grapheme vs codepoint), while
+      // list slicing is identical — the q256 capping discipline
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), array_join(
+          slice(filter(graft.text.TextOps.tokens(col("text")),
+            t => length(t) > 0), 1, 60), " ").as("text"))
+      val a = docs.select(col("doc_id"), nullableCand.as("cand"))
+      val b = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("ref"))
+      EvalOps.bleuComponents(a.join(b, "doc_id"), "cand", "ref", maxN = 4)
+        .drop("cand", "ref")
+        .orderBy(col("doc_id"))
     }),
 
     // ───── both-orders judging audit: every duel judged twice with the
@@ -444,7 +464,63 @@ object EvalQueries {
       || '"}]'
     END"""
 
+  /** DuckDB n-gram builder over a 1-based token list column (q240's
+    * bigram form generalized): grams of order n, [] when too short. */
+  private def gramSql(c: String, n: Int): String =
+    s"CASE WHEN len($c) >= $n THEN list_transform(range(1, len($c) - ${n - 2}), " +
+      s"i -> array_to_string($c[i:i+${n - 1}], ' ')) ELSE []::VARCHAR[] END"
+
+  /** q261 oracle, generated per order: the q240 unnest+GROUP BY+least
+    * overlap mechanism (deliberately different from the Spark fold). */
+  private lazy val bleuComponentsSql: String = {
+    val orders = 1 to 4
+    val gramCols = orders.flatMap(n =>
+      Seq(s"${gramSql("ct", n)} AS cg$n", s"${gramSql("rt", n)} AS rg$n"))
+      .mkString(",\n              ")
+    val overlapCtes = orders.map(n =>
+      s"""o$n AS (
+            SELECT ca.doc_id, CAST(sum(least(ca.c, cb.c)) AS BIGINT) AS o
+            FROM (SELECT doc_id, g2, CAST(count(*) AS BIGINT) AS c
+                  FROM (SELECT doc_id, unnest(cg$n) AS g2 FROM g) GROUP BY doc_id, g2) ca
+            JOIN (SELECT doc_id, g2, CAST(count(*) AS BIGINT) AS c
+                  FROM (SELECT doc_id, unnest(rg$n) AS g2 FROM g) GROUP BY doc_id, g2) cb
+            USING (doc_id, g2) GROUP BY ca.doc_id)""").mkString(",\n          ")
+    val outCols = orders.flatMap(n => Seq(
+      s"coalesce(o$n.o, 0) AS p${n}_num",
+      s"CAST(len(cg$n) AS BIGINT) AS p${n}_den")).mkString(",\n            ")
+    val joins = orders.map(n => s"LEFT JOIN o$n ON g.doc_id = o$n.doc_id")
+      .mkString(" ")
+    s"""WITH d2 AS (
+            SELECT doc_id, array_to_string(
+              (list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 x -> len(x) > 0))[1:60], ' ') AS text
+            FROM documents),
+          p AS (
+            SELECT a.doc_id,
+              CASE WHEN a.doc_id % 13 = 0 THEN NULL
+                   WHEN a.doc_id % 13 = 1 THEN ''
+                   WHEN a.doc_id % 13 = 2 THEN '   '
+                   ELSE a.text END AS cand,
+              b.text AS ref
+            FROM d2 a JOIN d2 b ON b.doc_id = a.doc_id + 1),
+          tk AS (
+            SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(coalesce(cand, '')), '\\s+'), x -> len(x) > 0) AS ct,
+              list_filter(regexp_split_to_array(trim(coalesce(ref,  '')), '\\s+'), x -> len(x) > 0) AS rt
+            FROM p),
+          g AS (
+            SELECT doc_id, CAST(len(ct) AS BIGINT) AS cand_len,
+              CAST(len(rt) AS BIGINT) AS ref_len,
+              $gramCols
+            FROM tk),
+          $overlapCtes
+          SELECT g.doc_id, cand_len, ref_len,
+            $outCols
+          FROM g $joins ORDER BY g.doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q261_bleu_components" -> bleuComponentsSql,
     "q256_rouge_l" ->
       """WITH tk AS (
             SELECT doc_id,
@@ -567,7 +643,8 @@ object EvalQueries {
                       CAST(sum(v * v) AS BIGINT) AS s2
                     FROM ann GROUP BY i),
           kept AS (SELECT * FROM items WHERE n_i >= 2),
-          vt AS (SELECT CAST(count(DISTINCT v) AS BIGINT) AS n_values FROM ann),
+          vt AS (SELECT CAST(count(DISTINCT v) AS BIGINT) AS n_values
+                 FROM ann JOIN kept USING (i)),
           tot AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
                     CAST(sum(n_i) AS BIGINT) AS n,
                     CAST(sum(s1) AS BIGINT) AS gs1, CAST(sum(s2) AS BIGINT) AS gs2,

@@ -178,6 +178,74 @@ object EvalOps {
           .as("rougel_f_micro"): _*)
   }
 
+  /** BLEU components (Papineni et al. 2002) between a candidate and a
+    * reference text column: appends `(cand_len, ref_len, p1_num, p1_den,
+    * …, p{maxN}_num, p{maxN}_den)` — the EXACT INTEGER parts of BLEU:
+    * per order n, the clipped (modified-precision) n-gram match count
+    * over the candidate n-gram count, plus both token lengths for the
+    * brevity penalty. Each overlap is the same one-row sorted-run fold
+    * ROUGE-N uses ([[clippedOverlap]]); all arrays are staged
+    * projections (the q240 discipline). Scan-side, nothing shuffles.
+    *
+    * The components are the gated surface; the geometric-mean +
+    * exp-brevity COMBINE is irrational and lives in [[bleuScore]] as a
+    * documented double — gating the exact parts and pinning the float
+    * combine in ScalaTest beats pretending `exp` is replayable. */
+  def bleuComponents(pairs: org.apache.spark.sql.DataFrame, candCol: String,
+                     refCol: String, maxN: Int = 4)
+      : org.apache.spark.sql.DataFrame = {
+    require(maxN >= 1 && maxN <= 6, s"maxN out of [1, 6]: $maxN")
+    val orders = 1 to maxN
+    val reserved = Seq("cand_len", "ref_len", "__ct", "__rt") ++
+      orders.flatMap(n => Seq(s"p${n}_num", s"p${n}_den", s"__cg$n", s"__rg$n"))
+    val clashes = pairs.columns.filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"bleuComponents reserves column names ${reserved.mkString(", ")}; " +
+        s"input already has ${clashes.mkString(", ")}")
+    val passthrough = pairs.columns.toSeq.map(col)
+    // NULL text → empty token array (zero counts), the rougeL contract
+    def toks(c: Column): Column = coalesce(
+      filter(TextOps.tokens(c), t => length(t) > 0),
+      array().cast("array<string>"))
+    pairs
+      .select(passthrough :+ toks(col(candCol)).as("__ct") :+
+        toks(col(refCol)).as("__rt"): _*)
+      .select(passthrough ++ Seq(
+        size(col("__ct")).cast("long").as("cand_len"),
+        size(col("__rt")).cast("long").as("ref_len")) ++
+        orders.flatMap(n => Seq(
+          ngramsOfTokens(col("__ct"), n).as(s"__cg$n"),
+          ngramsOfTokens(col("__rt"), n).as(s"__rg$n"))): _*)
+      .select(passthrough ++ Seq(col("cand_len"), col("ref_len")) ++
+        orders.flatMap(n => Seq(
+          clippedOverlap(col(s"__cg$n"), col(s"__rg$n")).as(s"p${n}_num"),
+          size(col(s"__cg$n")).cast("long").as(s"p${n}_den"))): _*)
+  }
+
+  /** The BLEU combine over [[bleuComponents]] output columns, as a
+    * DOUBLE micro score: `10⁶ · min(1, e^(1−r/c)) · (Π pₙ)^(1/maxN)`,
+    * floored to a long. Zero anywhere (an order with no match, the
+    * unsmoothed convention) → 0; a zero-gram candidate → NULL
+    * (undefined, not 0). Deliberately NOT part of any oracle gate —
+    * `exp`/`pow` are libm and the repo gates only bit-replayable
+    * values; this is pinned in ScalaTest instead. */
+  def bleuScore(maxN: Int = 4): Column = {
+    require(maxN >= 1 && maxN <= 6, s"maxN out of [1, 6]: $maxN")
+    val orders = 1 to maxN
+    val allDens = orders.map(n => col(s"p${n}_den") > 0).reduce(_ && _)
+    val anyZero = orders.map(n => col(s"p${n}_num") === 0).reduce(_ || _)
+    val geo = pow(
+      orders.map(n => col(s"p${n}_num").cast("double") /
+        col(s"p${n}_den").cast("double")).reduce(_ * _),
+      lit(1.0 / maxN))
+    val bp = when(col("cand_len") >= col("ref_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("ref_len").cast("double") /
+        col("cand_len").cast("double")))
+    when(col("cand_len") === 0 || !allDens, lit(null).cast("long"))
+      .when(anyZero, lit(0L))
+      .otherwise(floor(lit(1000000.0) * bp * geo).cast("long"))
+  }
+
   /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
     * Models Trained on Code" §2.1): per problem with `n` samples of
     * which `c` pass,

@@ -128,6 +128,23 @@ class PlanAuditSpec extends SparkSpec {
         violations ++= PlanAudit.violations(name, stats)
       }
       assert(violations.isEmpty, s"\n${violations.mkString("\n")}")
+      // negative control: a stream-static join on a PURE RANGE predicate
+      // (no equi keys) is the cartesian-class defect the logical gate
+      // must catch — the physical planner lowers exactly this to a
+      // nested-loop over the full static side per micro-batch
+      val staticRanges = Seq((0L, 5000L), (5000L, 9000L)).toDF("lo_b", "hi_b")
+      val bad = docsL.join(staticRanges,
+        col("ts") >= col("lo_b") && col("ts") < col("hi_b"))
+      val badStats = PlanAudit.inspectLogical(bad)
+      assert(PlanAudit.violations("rangeOnlyJoin", badStats)
+        .exists(_.contains("no equi-key conjunct")))
+      // ...while the equi-keyed interval join above stays clean (its
+      // stats are part of the main loop) and a 1-row broadcast side
+      // auto-passes via maxRows
+      val oneRow = Seq(Tuple1(7L)).toDF("threshold").limit(1)
+      val ok = docsL.join(oneRow, col("ts") >= col("threshold"))
+      assert(PlanAudit.violations("scalarRangeJoin",
+        PlanAudit.inspectLogical(ok)).isEmpty)
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.streaming.unsupportedOperationCheck", "true")

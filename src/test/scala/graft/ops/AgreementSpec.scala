@@ -261,6 +261,13 @@ class AgreementSpec extends SparkSpec {
         .select("kappa_den").collect()
     }
     assert(e2.getMessage.contains("duplicate"))
+    // n_items carries its OWN dup guard: a bare item count from a
+    // duplicate-keyed table is still a lie
+    val e2b = intercept[Exception] {
+      Agreement.fleissKappa(dup, "item", "rater", "label")
+        .select("n_items").collect()
+    }
+    assert(e2b.getMessage.contains("duplicate"))
     val e3 = intercept[Exception] {
       Agreement.cohenKappa(Seq.empty[(String, String)].toDF("la", "lb"),
         "la", "lb").select("kappa_micro").collect()

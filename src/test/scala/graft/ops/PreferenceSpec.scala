@@ -96,6 +96,15 @@ class PreferenceSpec extends SparkSpec {
         "m", "w", "l", "f").collect()
     }
     assert(e3.getMessage.contains("neither duel side"))
+    // a match id reused across DIFFERENT player pairs is a key
+    // collision, not two unpaired matches
+    val e4 = intercept[Exception] {
+      Preference.orderConsistency(
+        Seq(("m1", "a", "b", "a"), ("m1", "a", "c", "a"))
+          .toDF("m", "w", "l", "f"),
+        "m", "w", "l", "f").collect()
+    }
+    assert(e4.getMessage.contains("more than one player pair"))
   }
 
   test("lengthBias: hand-computed buckets, equal-length exclusion, loud null") {

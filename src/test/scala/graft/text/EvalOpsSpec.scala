@@ -157,6 +157,43 @@ class EvalOpsSpec extends SparkSpec {
     }
   }
 
+  test("bleuComponents: hand-computed clipped precisions per order") {
+    // cand: the cat sat on the mat / ref: the cat is on the mat
+    // p1 5/6 (the×2, cat, on, mat), p2 3/5, p3 1/4, p4 0/3
+    val out = EvalOps.bleuComponents(
+        Seq((1L, "the cat sat on the mat", "the cat is on the mat"))
+          .toDF("id", "cand", "ref"), "cand", "ref")
+      .drop("cand", "ref")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .head()
+    assert(out === ((1L, 6L, 6L, 5L, 6L, 3L, 5L, 1L, 4L, 0L, 3L)))
+    val e = intercept[IllegalArgumentException] {
+      EvalOps.bleuComponents(
+        Seq((1L, "a", "b")).toDF("p1_num", "cand", "ref"), "cand", "ref")
+    }
+    assert(e.getMessage.contains("reserves column names"))
+  }
+
+  test("bleuScore: identical text scores 10⁶; a zero order zeroes it; " +
+      "brevity penalizes short candidates; null contract") {
+    val rows = Seq(
+      (1L, "x y z w v u", "x y z w v u"),                 // perfect
+      (2L, "the cat sat on the mat", "the cat is on the mat"), // p4=0
+      (3L, "x y z w", "x y z w v u v u"),                 // short cand
+      (4L, null.asInstanceOf[String], "x y z w"),         // null cand
+      (5L, "a b", "a b"))                                 // no 4-grams
+      .toDF("id", "cand", "ref")
+    val out = EvalOps.bleuComponents(rows, "cand", "ref")
+      .select(col("id"), EvalOps.bleuScore().as("bleu"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(1L) === Some(1000000L))
+    assert(out(2L) === Some(0L))
+    // cand 4/8 of ref: all grams match, BP = e^(1-2) = e^-1
+    assert(out(3L) === Some(math.floor(1000000.0 * math.exp(-1.0)).toLong))
+    assert(out(4L) === None)
+    assert(out(5L) === None) // p3/p4 undefined on a 2-token pair
+  }
+
   private def passk(rows: Seq[(String, Boolean)], k: Int) =
     EvalOps.passAtK(rows.toDF("p", "ok"), "p", "ok", k)
       .as[(String, Long, Long, Long)].collect()
