@@ -76,7 +76,11 @@ object GraftFunctions {
     "graft_kll_rank" -> binary("graft_kll_rank", KllRank(_, _)) _,
     // token-sequence LCS length over two array<string> columns — the
     // ROUGE-L kernel (doc-bounded O(C·R) DP, compiled)
-    "graft_lcs" -> binary("graft_lcs", LcsTokenLength(_, _)) _)
+    "graft_lcs" -> binary("graft_lcs", LcsTokenLength(_, _)) _,
+    // clipped multiset-intersection count — the ROUGE/BLEU/chrF overlap
+    // numerator (compiled O(C+R) hash pass)
+    "graft_clipped_overlap" ->
+      binary("graft_clipped_overlap", ClippedOverlapCount(_, _)) _)
 
   /** One 31-bit Morton spread chain in Spark SQL (mirrors
     * `ZOrder.spreadBits`; `shiftleft` + `&`/`|` operators). */

@@ -504,6 +504,220 @@ object LcsKernel {
   }
 }
 
+/** Clipped multiset-intersection count `Σ_g min(count_a(g), count_b(g))`
+  * — the ROUGE/BLEU/chrF overlap numerator as ONE compiled O(C+R) pass
+  * (hash-count the smaller side, stream the other, decrement-on-hit;
+  * symmetric by construction). Replaces the interpreted sorted-run
+  * `aggregate` fold, which paid an array_sort plus per-element lambda
+  * interpretation — at six chrF orders per row that fold was 40 s at
+  * sf0.1 where this kernel is ~2 s (BENCH_NOTES round 16). Null
+  * ELEMENTS don't count (gram builders never emit them; defensive);
+  * null ARRAYS → null out (callers coalesce — the EvalOps gram
+  * builders already produce empty, never null). */
+case class ClippedOverlapCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"ClippedOverlapCount needs two array<string> inputs, got ($l, $r)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ClippedOverlapKernel.count(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ClippedOverlapKernel$$.MODULE$$.count($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ClippedOverlapKernel {
+  def count(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return 0L
+    // hash-count the SMALLER side (min-memory); min() is symmetric
+    val (small, large) = if (na <= nb) (a, b) else (b, a)
+    val ns = small.numElements()
+    val counts = new java.util.HashMap[UTF8String, Integer](ns * 2)
+    var i = 0
+    while (i < ns) {
+      if (!small.isNullAt(i)) {
+        val k = small.getUTF8String(i)
+        val c = counts.get(k)
+        counts.put(k, if (c == null) 1 else c + 1)
+      }
+      i += 1
+    }
+    var acc = 0L
+    val nl = large.numElements()
+    var j = 0
+    while (j < nl) {
+      if (!large.isNullAt(j)) {
+        val k = large.getUTF8String(j)
+        val c = counts.get(k)
+        if (c != null && c > 0) {
+          acc += 1L
+          counts.put(k, c - 1)
+        }
+      }
+      j += 1
+    }
+    acc
+  }
+}
+
+/** Character n-gram array of a string — the chrF gram builder as one
+  * compiled pass: gram i is the codepoint substring [i, i+n) (the same
+  * char notion as Spark's `split(s, "")`/`substring`). The HOF form
+  * (`transform(sequence, i -> concat_ws(slice(chars...)))`) interprets
+  * per GRAM and re-slices an array per position — at six chrF orders it
+  * dominated the scan (BENCH_NOTES round 16). Strings shorter than `n`
+  * have no grams; NULL input yields the EMPTY array (the gram builders'
+  * ratio-neutral null contract, like [[BigramArray]]). Caller removes
+  * whitespace first (the chrF convention) — this builder grams exactly
+  * what it is given. */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n-gram order must be positive: $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"CharNgrams needs string, got $t")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) CharNgrams.emptyArray()
+    else CharNgrams.grams(v.asInstanceOf[UTF8String], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+    ev.copy(
+      code = childGen.code +
+        code"""
+        $javaType ${ev.value} = ${childGen.isNull}
+          ? graft.functions.CharNgrams$$.MODULE$$.emptyArray()
+          : graft.functions.CharNgrams$$.MODULE$$.grams(${childGen.value}, $n);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharNgrams {
+  def emptyArray(): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+
+  def grams(s: UTF8String, n: Int): ArrayData = {
+    val len = s.numChars()
+    if (len < n) emptyArray()
+    else {
+      val out = new Array[Any](len - n + 1)
+      var i = 0
+      while (i <= len - n) {
+        out(i) = s.substring(i, i + n)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+}
+
+/** Word n-gram array of a token array — [[BigramArray]] generalized to
+  * order `n`, as one compiled pass: gram i joins tokens [i, i+n) with a
+  * single space, skipping nulls (exact `concat_ws` semantics, for
+  * drop-in parity with the HOF form `transform(sequence, i ->
+  * concat_ws(" ", slice(toks, i, n)))`, which interprets per gram and
+  * re-slices an array per position). Fewer than `n` tokens → empty
+  * array; NULL input → empty array (the gram builders' ratio-neutral
+  * null contract). */
+case class TokenNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n-gram order must be positive: $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"TokenNgrams needs array<string>, got $t")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) TokenNgrams.emptyArray()
+    else TokenNgrams.grams(v.asInstanceOf[ArrayData], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+    ev.copy(
+      code = childGen.code +
+        code"""
+        $javaType ${ev.value} = ${childGen.isNull}
+          ? graft.functions.TokenNgrams$$.MODULE$$.emptyArray()
+          : graft.functions.TokenNgrams$$.MODULE$$.grams(${childGen.value}, $n);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenNgrams {
+  private val SPACE = UTF8String.fromString(" ")
+
+  def emptyArray(): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+
+  def grams(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) emptyArray()
+    else {
+      val toks = new Array[UTF8String](len)
+      var i = 0
+      while (i < len) {
+        toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+        i += 1
+      }
+      val out = new Array[Any](len - n + 1)
+      val window = new Array[UTF8String](n)
+      i = 0
+      while (i <= len - n) {
+        var j = 0
+        while (j < n) { window(j) = toks(i + j); j += 1 }
+        // concatWs skips nulls — exact concat_ws parity
+        out(i) = UTF8String.concatWs(SPACE, window: _*)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graft.ColumnBridge
 
@@ -539,4 +753,18 @@ object TextExpressions {
   def lcsLen(cand: Column, ref: Column): Column =
     ColumnBridge.column(LcsTokenLength(
       ColumnBridge.expression(cand), ColumnBridge.expression(ref)))
+
+  /** Clipped multiset-intersection count (codegen) — the
+    * ROUGE/BLEU/chrF overlap numerator. */
+  def clippedOverlapCount(a: Column, b: Column): Column =
+    ColumnBridge.column(ClippedOverlapCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Character n-gram array (codegen) — the chrF gram builder. */
+  def charNgrams(s: Column, n: Int): Column =
+    ColumnBridge.column(CharNgrams(ColumnBridge.expression(s), n))
+
+  /** Word n-gram array (codegen) — the ROUGE/BLEU gram builder. */
+  def tokenNgrams(toks: Column, n: Int): Column =
+    ColumnBridge.column(TokenNgrams(ColumnBridge.expression(toks), n))
 }

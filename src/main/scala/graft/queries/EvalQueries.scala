@@ -155,6 +155,23 @@ object EvalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── chrF (character-n-gram F, β=2, orders 1-6) between the
+    // null-injected candidate and its successor — ASCII-sanitized and
+    // char-capped so character slicing agrees across engines; every
+    // per-order component AND the combined mean are exact integers ─────
+    "q262_chrf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          substring(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), 1, 200)
+            .as("text"))
+      val a = docs.select(col("doc_id"), nullableCand.as("cand"))
+      val b = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("ref"))
+      EvalOps.chrF(a.join(b, "doc_id"), "cand", "ref", maxN = 6)
+        .drop("cand", "ref")
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── both-orders judging audit: every duel judged twice with the
     // presentation flipped; %11 matches flip their verdict with the
     // order (the position-driven class the discipline would drop) ─────
@@ -519,7 +536,78 @@ object EvalQueries {
           FROM g $joins ORDER BY g.doc_id"""
   }
 
+  /** DuckDB char n-gram builder via STRING slicing (1-based inclusive)
+    * over a whitespace-free string column — mirrors [[graft.functions
+    * .CharNgrams]]'s substring grams (ASCII by fixture construction, so
+    * engine char notions agree). */
+  private def charGramSql(c: String, n: Int): String =
+    s"CASE WHEN length($c) >= $n THEN list_transform(range(1, length($c) - ${n - 2}), " +
+      s"i -> $c[i:i+${n - 1}]) ELSE []::VARCHAR[] END"
+
+  /** q262 oracle, generated per order over character substrings. */
+  private lazy val chrfSql: String = {
+    val orders = 1 to 6
+    val gramCols = orders.flatMap(n =>
+      Seq(s"${charGramSql("cc", n)} AS cg$n", s"${charGramSql("rc", n)} AS rg$n"))
+      .mkString(",\n              ")
+    val overlapCtes = orders.map(n =>
+      s"""o$n AS (
+            SELECT ca.doc_id, CAST(sum(least(ca.c, cb.c)) AS BIGINT) AS o
+            FROM (SELECT doc_id, g2, CAST(count(*) AS BIGINT) AS c
+                  FROM (SELECT doc_id, unnest(cg$n) AS g2 FROM g) GROUP BY doc_id, g2) ca
+            JOIN (SELECT doc_id, g2, CAST(count(*) AS BIGINT) AS c
+                  FROM (SELECT doc_id, unnest(rg$n) AS g2 FROM g) GROUP BY doc_id, g2) cb
+            USING (doc_id, g2) GROUP BY ca.doc_id)""").mkString(",\n          ")
+    val compCols = orders.flatMap(n => Seq(
+      s"coalesce(o$n.o, 0) AS chrf${n}_o",
+      s"CAST(len(cg$n) AS BIGINT) AS chrf${n}_c",
+      s"CAST(len(rg$n) AS BIGINT) AS chrf${n}_r")).mkString(",\n            ")
+    val fCols = orders.map(n =>
+      s"CASE WHEN 4 * chrf${n}_r + chrf${n}_c > 0 " +
+        s"THEN (5000000 * chrf${n}_o) // (4 * chrf${n}_r + chrf${n}_c) " +
+        s"ELSE 0 END AS chrf${n}_f_micro").mkString(",\n            ")
+    val joins = orders.map(n => s"LEFT JOIN o$n ON g.doc_id = o$n.doc_id")
+      .mkString(" ")
+    val passComp = orders.flatMap(n =>
+      Seq(s"chrf${n}_o", s"chrf${n}_c", s"chrf${n}_r")).mkString(", ")
+    val passF = orders.map(n => s"chrf${n}_f_micro").mkString(", ")
+    val fSum = orders.map(n => s"chrf${n}_f_micro").mkString(" + ")
+    s"""WITH d2 AS (
+            SELECT doc_id, substr(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), 1, 200) AS text
+            FROM documents),
+          p AS (
+            SELECT a.doc_id,
+              CASE WHEN a.doc_id % 13 = 0 THEN NULL
+                   WHEN a.doc_id % 13 = 1 THEN ''
+                   WHEN a.doc_id % 13 = 2 THEN '   '
+                   ELSE a.text END AS cand,
+              b.text AS ref
+            FROM d2 a JOIN d2 b ON b.doc_id = a.doc_id + 1),
+          ch AS (
+            SELECT doc_id,
+              regexp_replace(coalesce(cand, ''), '\\s+', '', 'g') AS cc,
+              regexp_replace(coalesce(ref, ''), '\\s+', '', 'g') AS rc
+            FROM p),
+          g AS (
+            SELECT doc_id,
+              $gramCols
+            FROM ch),
+          $overlapCtes,
+          comp AS (
+            SELECT g.doc_id,
+              $compCols
+            FROM g $joins),
+          withf AS (
+            SELECT doc_id, $passComp,
+              $fCols
+            FROM comp)
+          SELECT doc_id, $passComp, $passF,
+            ($fSum) // 6 AS chrf_micro
+          FROM withf ORDER BY doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q262_chrf" -> chrfSql,
     "q261_bleu_components" -> bleuComponentsSql,
     "q256_rouge_l" ->
       """WITH tk AS (

@@ -27,47 +27,34 @@ object EvalOps {
   def wordNgrams(text: Column, n: Int): Column =
     ngramsOfTokens(filter(TextOps.tokens(text), t => length(t) > 0), n)
 
-  /** [[wordNgrams]] over a PRE-MATERIALIZED token-array column. Inside
-    * a HOF lambda, a composite argument re-evaluates per ELEMENT — with
-    * `toks = filter(split(...))` inline, `slice(toks, i, n)` re-runs
-    * the regex split for every gram position, O(tokens²) splits per row
-    * (q240's first cut; the q229 lesson). Stage the token array into
-    * its own projection and gram construction is linear. */
+  /** [[wordNgrams]] over a PRE-MATERIALIZED token-array column, as a
+    * native codegen builder ([[graft.functions.TokenNgrams]]) — one
+    * compiled pass, `concat_ws` join semantics, <n tokens (or NULL
+    * input) → empty array. (Two earlier costs retired here: the inline
+    * non-staged form re-ran the regex split per gram position — q240's
+    * first cut, the q229 lesson — and the staged HOF form still
+    * interpreted a slice+concat per gram, which dominated the BLEU
+    * 4-order scan; BENCH_NOTES round 16.) */
   def ngramsOfTokens(toks: Column, n: Int): Column = {
     require(n >= 1, s"n-gram order must be positive: $n")
-    when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.TextExpressions.tokenNgrams(toks, n)
   }
 
   /** Clipped n-gram overlap `Σ_g min(count_cand(g), count_ref(g))` — the
-    * ROUGE numerator — computed per row with ONE sorted-run fold over
-    * the two gram arrays tagged by side (cand sorts before ref within a
-    * gram run, so the fold sees each gram's cand count completed before
-    * its ref count). O((C+R)·log(C+R)) per row, four scalars of state,
-    * entirely scan-side — never a (doc, gram) explosion + shuffle. */
-  def clippedOverlap(candGrams: Column, refGrams: Column): Column = {
-    val tagged = concat(
-      transform(candGrams, g => struct(g.as("g"), lit(0).as("side"))),
-      transform(refGrams, g => struct(g.as("g"), lit(1).as("side"))))
-    val zero = struct(lit(null).cast("string").as("prev"),
-      lit(0L).as("ca"), lit(0L).as("cb"), lit(0L).as("acc"))
-    val st = aggregate(array_sort(tagged), zero,
-      (acc, t) => {
-        val fresh = acc("prev").isNull || acc("prev") =!= t("g")
-        val settled = when(fresh, acc("acc") + least(acc("ca"), acc("cb")))
-          .otherwise(acc("acc"))
-        val ca = when(fresh, lit(0L)).otherwise(acc("ca")) +
-          when(t("side") === 0, lit(1L)).otherwise(lit(0L))
-        val cb = when(fresh, lit(0L)).otherwise(acc("cb")) +
-          when(t("side") === 1, lit(1L)).otherwise(lit(0L))
-        struct(t("g").as("prev"), ca.as("ca"), cb.as("cb"),
-          settled.as("acc"))
-      },
-      acc => acc("acc") + least(acc("ca"), acc("cb")))
-    coalesce(st, lit(0L))
-  }
+    * ROUGE/BLEU/chrF numerator — as a native codegen expression
+    * ([[graft.functions.ClippedOverlapCount]]): hash-count the smaller
+    * side, stream the other, O(C+R) per row, entirely scan-side — never
+    * a (doc, gram) explosion + shuffle. (Earlier rounds used an
+    * interpreted sorted-run `aggregate` fold here; at six chrF orders
+    * per row the fold's array_sort + lambda interpretation cost 40 s at
+    * sf0.1 where the kernel is ~2 s — BENCH_NOTES round 16.) A NULL
+    * gram array reads as empty (overlap 0), matching the fold's
+    * historical contract. */
+  def clippedOverlap(candGrams: Column, refGrams: Column): Column =
+    coalesce(
+      graft.functions.TextExpressions.clippedOverlapCount(
+        candGrams, refGrams),
+      lit(0L))
 
   /** ROUGE-N between a candidate and a reference text column: appends
     * `(n_cand_grams, n_ref_grams, n_overlap, rouge_p_micro,
@@ -244,6 +231,75 @@ object EvalOps {
     when(col("cand_len") === 0 || !allDens, lit(null).cast("long"))
       .when(anyZero, lit(0L))
       .otherwise(floor(lit(1000000.0) * bp * geo).cast("long"))
+  }
+
+  /** chrF (Popović 2015) between a candidate and a reference text
+    * column — the character-n-gram F-score that completes the
+    * generation-metric set next to ROUGE-N/L and BLEU (the standard
+    * WMT metric for morphology-rich languages, robust to tokenizer
+    * choice because there isn't one). Whitespace is removed (the chrF
+    * convention), the text becomes a character array, and per order
+    * n = 1..`maxN` the clipped overlap `o` rides the same sorted-run
+    * fold as ROUGE-N. With the standard β = 2 the per-order F has an
+    * EXACT closed rational form:
+    * {{{
+    * F_n = (1+β²)·P·R / (β²·P + R) = 5·o / (4·r + c)    (P=o/c, R=o/r)
+    * }}}
+    * so every per-order score is one integer floor division, and
+    * `chrf_micro` is their mean over the orders — floored per order
+    * then once more for the mean (documented double-floor, the
+    * krippendorff quantization discipline; ≤1 micro-unit per order).
+    * Orders where candidate AND reference have no grams contribute 0
+    * and still divide by `maxN` (the sacrebleu convention for short
+    * strings). Appends `(chrf{n}_o, chrf{n}_c, chrf{n}_r,
+    * chrf{n}_f_micro)` per order plus `chrf_micro`; NULL text reads as
+    * the empty string (zero counts — the rougeL contract). Staged
+    * projections throughout; scan-side, nothing shuffles. */
+  def chrF(pairs: org.apache.spark.sql.DataFrame, candCol: String,
+           refCol: String, maxN: Int = 6): org.apache.spark.sql.DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN out of [1, 8]: $maxN")
+    val orders = 1 to maxN
+    val reserved = Seq("chrf_micro", "__cc", "__rc") ++
+      orders.flatMap(n => Seq(s"chrf${n}_o", s"chrf${n}_c", s"chrf${n}_r",
+        s"chrf${n}_f_micro", s"__cg$n", s"__rg$n"))
+    val clashes = pairs.columns.filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"chrF reserves column names ${reserved.mkString(", ")}; " +
+        s"input already has ${clashes.mkString(", ")}")
+    val passthrough = pairs.columns.toSeq.map(col)
+    // whitespace out (the chrF convention), then COMPILED gram builders:
+    // CharNgrams + ClippedOverlapCount keep all 6 orders inside codegen
+    // (the HOF forms interpreted per gram and cost 20× — BENCH_NOTES
+    // round 16)
+    def despaced(c: Column): Column =
+      regexp_replace(coalesce(c, lit("")), "\\s+", "")
+    pairs
+      .select(passthrough :+ despaced(col(candCol)).as("__cc") :+
+        despaced(col(refCol)).as("__rc"): _*)
+      .select(passthrough ++
+        orders.flatMap(n => Seq(
+          graft.functions.TextExpressions.charNgrams(col("__cc"), n)
+            .as(s"__cg$n"),
+          graft.functions.TextExpressions.charNgrams(col("__rc"), n)
+            .as(s"__rg$n"))): _*)
+      .select(passthrough ++
+        orders.flatMap(n => Seq(
+          clippedOverlap(col(s"__cg$n"), col(s"__rg$n")).as(s"chrf${n}_o"),
+          size(col(s"__cg$n")).cast("long").as(s"chrf${n}_c"),
+          size(col(s"__rg$n")).cast("long").as(s"chrf${n}_r"))): _*)
+      .select(passthrough ++
+        orders.flatMap(n => Seq(col(s"chrf${n}_o"), col(s"chrf${n}_c"),
+          col(s"chrf${n}_r"))) ++
+        orders.map(n =>
+          when(lit(4L) * col(s"chrf${n}_r") + col(s"chrf${n}_c") > 0L,
+              idiv(lit(5000000L) * col(s"chrf${n}_o"),
+                lit(4L) * col(s"chrf${n}_r") + col(s"chrf${n}_c")))
+            .otherwise(lit(0L)).as(s"chrf${n}_f_micro")): _*)
+      .select(passthrough ++
+        orders.flatMap(n => Seq(col(s"chrf${n}_o"), col(s"chrf${n}_c"),
+          col(s"chrf${n}_r"), col(s"chrf${n}_f_micro"))) :+
+        idiv(orders.map(n => col(s"chrf${n}_f_micro"))
+          .reduce(_ + _), lit(maxN.toLong)).as("chrf_micro"): _*)
   }
 
   /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language

@@ -194,6 +194,40 @@ class EvalOpsSpec extends SparkSpec {
     assert(out(5L) === None) // p3/p4 undefined on a 2-token pair
   }
 
+  test("chrF: hand-computed per-order F and mean; whitespace removed; " +
+      "null contract; reserved clash") {
+    def run(cand: String, ref: String): Map[String, Long] = {
+      val df = EvalOps.chrF(Seq((cand, ref)).toDF("cand", "ref"),
+        "cand", "ref").drop("cand", "ref")
+      val row = df.head()
+      df.columns.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+    }
+    // "abc" vs "abd": F1 = 5·2/(4·3+3) = 2/3, F2 = 5·1/(4·2+2) = 1/2,
+    // F3 = 0/(4+1), orders 4-6 gramless → 0; mean = 1166666/6
+    val m = run("abc", "abd")
+    assert(m("chrf1_o") === 2L && m("chrf1_c") === 3L && m("chrf1_r") === 3L)
+    assert(m("chrf1_f_micro") === 666666L)
+    assert(m("chrf2_f_micro") === 500000L && m("chrf3_f_micro") === 0L)
+    assert(m("chrf6_f_micro") === 0L)
+    assert(m("chrf_micro") === (666666L + 500000L) / 6L)
+    // whitespace is removed before gramming: "a b" == "ab"
+    assert(run("a b", "ab")("chrf_micro") === run("ab", "ab")("chrf_micro"))
+    // identical short strings: orders beyond the length contribute 0
+    assert(run("ab", "ab")("chrf_micro") === 2000000L / 6L)
+    // null candidate → zero everywhere (measured against a real ref)
+    val nullCand = EvalOps.chrF(
+        Seq((1L, null.asInstanceOf[String], "abcd")).toDF("id", "cand", "ref"),
+        "cand", "ref")
+      .select("chrf1_o", "chrf1_r", "chrf_micro")
+      .as[(Long, Long, Long)].head()
+    assert(nullCand === ((0L, 4L, 0L)))
+    val e = intercept[IllegalArgumentException] {
+      EvalOps.chrF(Seq((1L, "a", "b")).toDF("chrf_micro", "cand", "ref"),
+        "cand", "ref")
+    }
+    assert(e.getMessage.contains("reserves column names"))
+  }
+
   private def passk(rows: Seq[(String, Boolean)], k: Int) =
     EvalOps.passAtK(rows.toDF("p", "ok"), "p", "ok", k)
       .as[(String, Long, Long, Long)].collect()
