@@ -162,7 +162,7 @@ object EvalQueries {
     "q262_chrf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"),
-          substring(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), 1, 200)
+          substring(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), 1, 120)
             .as("text"))
       val a = docs.select(col("doc_id"), nullableCand.as("cand"))
       val b = docs.select((col("doc_id") - 1).as("doc_id"),
@@ -573,7 +573,7 @@ object EvalQueries {
     val passF = orders.map(n => s"chrf${n}_f_micro").mkString(", ")
     val fSum = orders.map(n => s"chrf${n}_f_micro").mkString(" + ")
     s"""WITH d2 AS (
-            SELECT doc_id, substr(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), 1, 200) AS text
+            SELECT doc_id, substr(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), 1, 120) AS text
             FROM documents),
           p AS (
             SELECT a.doc_id,
