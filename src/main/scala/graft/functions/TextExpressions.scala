@@ -578,8 +578,11 @@ object ClippedOverlapKernel {
 }
 
 /** Character n-gram array of a string — the chrF gram builder as one
-  * compiled pass: gram i is the codepoint substring [i, i+n) (the same
-  * char notion as Spark's `split(s, "")`/`substring`). The HOF form
+  * compiled pass: gram i is the CODEPOINT substring [i, i+n) (the
+  * `substring`/`length` char notion; NOTE this is deliberately NOT
+  * `split(s, "")`, which runs a Java regex over UTF-16 units and
+  * splits supplementary-plane codepoints into broken surrogate
+  * halves — the codepoint walk grams "𝄞" as one character). The HOF form
   * (`transform(sequence, i -> concat_ws(slice(chars...)))`) interprets
   * per GRAM and re-slices an array per position — at six chrF orders it
   * dominated the scan (BENCH_NOTES round 16). Strings shorter than `n`
