@@ -343,33 +343,14 @@ case class BigramArray(child: Expression) extends UnaryExpression {
 }
 
 object BigramArray {
-  private val SPACE = UTF8String.fromString(" ")
-  private val EMPTY = UTF8String.fromString("")
-
   /** Shared empty result — null input and <2-token input both land here
     * (ratio-neutral, matching the HOF twin). */
-  def emptyArray(): ArrayData =
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+  def emptyArray(): ArrayData = GramArrays.Empty
 
-  def bigrams(arr: ArrayData): ArrayData = {
-    val n = arr.numElements()
-    if (n < 2) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
-    else {
-      val out = new Array[Any](n - 1)
-      var i = 0
-      while (i < n - 1) {
-        val a = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
-        val b = if (arr.isNullAt(i + 1)) null else arr.getUTF8String(i + 1)
-        out(i) =
-          if (a == null && b == null) EMPTY
-          else if (a == null) b
-          else if (b == null) a
-          else UTF8String.concat(a, SPACE, b)
-        i += 1
-      }
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-    }
-  }
+  /** The n=2 case of [[TokenNgrams.grams]] (identical concat_ws
+    * null-skip semantics) — one window-join implementation to keep in
+    * behavioral lockstep, not two. */
+  def bigrams(arr: ArrayData): ArrayData = TokenNgrams.grams(arr, 2)
 }
 
 /** Bigram bucket ids of a token array: `bucket(t[i]+" "+t[i+1])` for each
@@ -627,22 +608,47 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object CharNgrams {
-  def emptyArray(): ArrayData =
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+  def emptyArray(): ArrayData = GramArrays.Empty
 
+  /** O(bytes) total: one private byte copy + one codepoint-offset walk,
+    * then each gram is a zero-copy view into the private buffer —
+    * `substring(i, i+n)` per gram would re-walk the buffer from byte 0
+    * per call (O(len²) per order) AND copy per gram. The buffer is a
+    * fresh copy owned by the output array, so input-row buffer reuse
+    * can never corrupt emitted grams. */
   def grams(s: UTF8String, n: Int): ArrayData = {
-    val len = s.numChars()
-    if (len < n) emptyArray()
+    val numChars = s.numChars()
+    if (numChars < n) emptyArray()
     else {
-      val out = new Array[Any](len - n + 1)
+      val nb = s.numBytes()
+      val bytes = new Array[Byte](nb)
+      s.writeToMemory(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+      val offsets = new Array[Int](numChars + 1)
       var i = 0
-      while (i <= len - n) {
-        out(i) = s.substring(i, i + n)
-        i += 1
+      var k = 0
+      while (k < numChars) {
+        offsets(k) = i
+        i += UTF8String.numBytesForFirstByte(bytes(i))
+        k += 1
+      }
+      offsets(numChars) = nb
+      val out = new Array[Any](numChars - n + 1)
+      var g = 0
+      while (g <= numChars - n) {
+        out(g) = UTF8String.fromBytes(bytes, offsets(g),
+          offsets(g + n) - offsets(g))
+        g += 1
       }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
   }
+}
+
+/** Shared empty gram array — one immutable instance for every
+  * null-to-empty gram builder, not an allocation per null row. */
+private[functions] object GramArrays {
+  val Empty: ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
 }
 
 /** Word n-gram array of a token array — [[BigramArray]] generalized to
@@ -693,8 +699,7 @@ case class TokenNgrams(child: Expression, n: Int) extends UnaryExpression {
 object TokenNgrams {
   private val SPACE = UTF8String.fromString(" ")
 
-  def emptyArray(): ArrayData =
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+  def emptyArray(): ArrayData = GramArrays.Empty
 
   def grams(arr: ArrayData, n: Int): ArrayData = {
     val len = arr.numElements()

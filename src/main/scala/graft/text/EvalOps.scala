@@ -67,14 +67,16 @@ object EvalOps {
     * A side with zero grams makes its ratio NULL (undefined), the
     * honest value — 0 would claim "measured and disjoint".
     *
-    * A DataFrame operator, not a column set, for a measured reason: the
-    * gram arrays and the overlap fold are interpreted HOFs, and six
-    * output columns naming them as sub-expressions re-evaluate the fold
-    * per column (q240's first cut: 86 s at sf0.1; the q229 lesson).
-    * Staged projections evaluate each HOF ONCE per row — CollapseProject
-    * leaves multi-referenced non-cheap aliases staged — and the ratios
-    * read materialized integers. Still entirely scan-side: composes
-    * with any scan, nothing shuffles. */
+    * A DataFrame operator, not a column set, for a measured reason: six
+    * output columns naming the gram/overlap computation as a
+    * sub-expression re-evaluate it per column (q240's first cut: 86 s
+    * at sf0.1; the q229 lesson). Staged projections evaluate each stage
+    * ONCE per row — CollapseProject leaves multi-referenced non-cheap
+    * aliases staged — and the ratios read materialized integers. Since
+    * round 16 the stages themselves are NATIVE codegen kernels
+    * ([[graft.functions.TokenNgrams]] gram building,
+    * [[graft.functions.ClippedOverlapCount]] via [[clippedOverlap]]).
+    * Entirely scan-side: composes with any scan, nothing shuffles. */
   def rougeN(pairs: org.apache.spark.sql.DataFrame, candCol: String,
              refCol: String, n: Int): org.apache.spark.sql.DataFrame = {
     val reserved = Seq("n_cand_grams", "n_ref_grams", "n_overlap",
@@ -170,8 +172,8 @@ object EvalOps {
     * …, p{maxN}_num, p{maxN}_den)` — the EXACT INTEGER parts of BLEU:
     * per order n, the clipped (modified-precision) n-gram match count
     * over the candidate n-gram count, plus both token lengths for the
-    * brevity penalty. Each overlap is the same one-row sorted-run fold
-    * ROUGE-N uses ([[clippedOverlap]]); all arrays are staged
+    * brevity penalty. Each overlap is the same compiled clipped-overlap
+    * kernel ROUGE-N uses ([[clippedOverlap]]); all arrays are staged
     * projections (the q240 discipline). Scan-side, nothing shuffles.
     *
     * The components are the gated surface; the geometric-mean +
@@ -239,8 +241,8 @@ object EvalOps {
     * WMT metric for morphology-rich languages, robust to tokenizer
     * choice because there isn't one). Whitespace is removed (the chrF
     * convention), the text becomes a character array, and per order
-    * n = 1..`maxN` the clipped overlap `o` rides the same sorted-run
-    * fold as ROUGE-N. With the standard β = 2 the per-order F has an
+    * n = 1..`maxN` the clipped overlap `o` rides the same compiled
+    * kernel as ROUGE-N. With the standard β = 2 the per-order F has an
     * EXACT closed rational form:
     * {{{
     * F_n = (1+β²)·P·R / (β²·P + R) = 5·o / (4·r + c)    (P=o/c, R=o/r)

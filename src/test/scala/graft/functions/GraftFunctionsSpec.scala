@@ -66,6 +66,21 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.isNullAt(3))
   }
 
+  test("graft_clipped_overlap exposes the ROUGE/BLEU/chrF numerator to SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_clipped_overlap(array('a', 'a', 'a', 'b'),
+                                      array('a', 'b', 'b')) AS o1,
+                graft_clipped_overlap(CAST(array() AS array<string>),
+                                      array('a')) AS o2,
+                graft_clipped_overlap(CAST(NULL AS array<string>),
+                                      array('a')) AS o3""")
+      .head()
+    assert(r.getLong(0) === 2L) // min(3,1) + min(1,2)
+    assert(r.getLong(1) === 0L)
+    assert(r.isNullAt(2)) // bare expression: null in, null out
+  }
+
   test("ArrayCountInSet/ArrayStringLenSum: generated code matches interpreted eval") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
