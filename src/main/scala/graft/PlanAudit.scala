@@ -32,6 +32,14 @@ object PlanAudit {
     * distributed prefix sum) — additions need a written scale argument. */
   val globalWindowAllowlist: Set[String] = Set.empty
 
+  /** Queries allowed a no-equi-key join between two non-single-row
+    * sides, with why — the escape hatch the global-window gate already
+    * has, so a future DELIBERATE bounded range-only join (e.g. a small
+    * broadcast side that isn't provably 1 row via `maxRows`) can ship
+    * without weakening the gate itself. Empty — additions need a
+    * written scale argument, same contract as the window allowlist. */
+  val nonEquiJoinAllowlist: Set[String] = Set.empty
+
   final case class PlanStats(cartesians: Int, bigCrossJoins: Int,
                              globalWindows: Int, windows: Int,
                              nonEquiJoins: Int = 0)
@@ -125,7 +133,7 @@ object PlanAudit {
       out += s"$name: ${stats.bigCrossJoins} condition-less join(s) where neither side is provably 1 row"
     if (stats.globalWindows > 0 && !globalWindowAllowlist.contains(name))
       out += s"$name: ${stats.globalWindows} single-partition window(s) outside the allowlist"
-    if (stats.nonEquiJoins > 0)
+    if (stats.nonEquiJoins > 0 && !nonEquiJoinAllowlist.contains(name))
       out += s"$name: ${stats.nonEquiJoins} join(s) with no equi-key conjunct where neither side is provably 1 row"
     out.toSeq
   }

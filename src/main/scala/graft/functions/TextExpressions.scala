@@ -558,6 +558,106 @@ object ClippedOverlapKernel {
   }
 }
 
+/** Multi-reference clipped overlap `Σ_g min(count_cand(g),
+  * max_r count_ref_r(g))` — the Papineni 2002 §2.1 MULTI-reference
+  * modified-precision numerator: each candidate gram is clipped against
+  * the MAXIMUM count of that gram in any single reference (NOT the sum —
+  * concatenating references would inflate the clip; and NOT the max of
+  * pairwise clipped sums — `min` distributes over `max` per GRAM, but
+  * the per-gram maxima can come from different references, so no
+  * composition of [[ClippedOverlapCount]] calls can express this). One
+  * compiled pass: hash-count the candidate, then stream each reference
+  * keeping a per-reference count only for grams the candidate has,
+  * folding the per-gram max; O(C + Σ Rᵢ) time, O(distinct-C) space.
+  * Null gram ELEMENTS don't count (gram builders never emit them;
+  * defensive); a null INNER reference array contributes nothing (an
+  * absent reference clips nothing); null OUTER arrays → null out
+  * (BinaryExpression null intolerance — [[graft.text.EvalOps]] stages
+  * non-null arrays). */
+case class ClippedOverlapMaxCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(ArrayType(StringType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"ClippedOverlapMaxCount needs (array<string>, " +
+          s"array<array<string>>), got ($l, $r)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ClippedOverlapMaxKernel.count(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ClippedOverlapMaxKernel$$.MODULE$$.count($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ClippedOverlapMaxKernel {
+  def count(cand: ArrayData, refs: ArrayData): Long = {
+    val nc = cand.numElements()
+    val nr = refs.numElements()
+    if (nc == 0 || nr == 0) return 0L
+    val candCounts = new java.util.HashMap[UTF8String, Integer](nc * 2)
+    var i = 0
+    while (i < nc) {
+      if (!cand.isNullAt(i)) {
+        val k = cand.getUTF8String(i)
+        val c = candCounts.get(k)
+        candCounts.put(k, if (c == null) 1 else c + 1)
+      }
+      i += 1
+    }
+    if (candCounts.isEmpty) return 0L
+    // per-gram max over references, tracked only for candidate grams
+    val best = new java.util.HashMap[UTF8String, Integer](candCounts.size() * 2)
+    val refCounts = new java.util.HashMap[UTF8String, Integer](candCounts.size() * 2)
+    var r = 0
+    while (r < nr) {
+      if (!refs.isNullAt(r)) {
+        val ref = refs.getArray(r)
+        refCounts.clear()
+        var j = 0
+        val m = ref.numElements()
+        while (j < m) {
+          if (!ref.isNullAt(j)) {
+            val k = ref.getUTF8String(j)
+            if (candCounts.containsKey(k)) {
+              val c = refCounts.get(k)
+              refCounts.put(k, if (c == null) 1 else c + 1)
+            }
+          }
+          j += 1
+        }
+        val it = refCounts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val b = best.get(e.getKey)
+          if (b == null || e.getValue > b) best.put(e.getKey, e.getValue)
+        }
+      }
+      r += 1
+    }
+    var acc = 0L
+    val it = candCounts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val b = best.get(e.getKey)
+      if (b != null) acc += math.min(e.getValue.intValue(), b.intValue()).toLong
+    }
+    acc
+  }
+}
+
 /** Character n-gram array of a string — the chrF gram builder as one
   * compiled pass: gram i is the CODEPOINT substring [i, i+n) (the
   * `substring`/`length` char notion; NOTE this is deliberately NOT
@@ -767,6 +867,12 @@ object TextExpressions {
   def clippedOverlapCount(a: Column, b: Column): Column =
     ColumnBridge.column(ClippedOverlapCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Multi-reference clipped overlap (codegen) — the Papineni
+    * max-over-references modified-precision numerator. */
+  def clippedOverlapMaxCount(cand: Column, refs: Column): Column =
+    ColumnBridge.column(ClippedOverlapMaxCount(
+      ColumnBridge.expression(cand), ColumnBridge.expression(refs)))
 
   /** Character n-gram array (codegen) — the chrF gram builder. */
   def charNgrams(s: Column, n: Int): Column =

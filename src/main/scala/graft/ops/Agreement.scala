@@ -180,10 +180,14 @@ object Agreement {
           "krippendorffAlpha: no item has 2 or more ratings — " +
             "nothing to measure agreement on")))
         .otherwise(c)
+    // the counts too (n_items / n_categories): a bare item count from a
+    // duplicate-keyed table is still a lie, and column pruning would
+    // drop a guard living only in the sibling value columns (the
+    // fleissKappa n_items treatment)
     itemTot.crossJoin(labelTot).crossJoin(dupStats)
-      .select(col("n_items"),
+      .select(guard(col("n_items")).as("n_items"),
         guard(col("n_ratings")).as("n_ratings"),
-        col("n_categories"),
+        guard(col("n_categories")).as("n_categories"),
         guard(col("do_scaled")).as("do_scaled"),
         guard(col("n_ratings") * col("n_ratings") - col("sumc2"))
           .as("de_num"))
@@ -221,8 +225,18 @@ object Agreement {
   def krippendorffAlphaInterval(ann: DataFrame, itemCol: String,
                                 raterCol: String, valueCol: String)
       : DataFrame = {
+    // non-integral ratings would silently TRUNCATE through the long
+    // cast (4.5 → 4, skewing α) while every other misuse fails loudly —
+    // so fractional values get the same loud treatment; interval α is
+    // for small integer scales by its own long-regime bound
     val vLoud = when(col(valueCol).isNull, raise_error(lit(
         "Agreement: null value — clean the annotation table first")))
+      .when(col(valueCol).cast("double") =!=
+          floor(col(valueCol).cast("double")).cast("double"),
+        raise_error(concat(lit("krippendorffAlphaInterval: non-integral " +
+          "rating "), col(valueCol).cast("string"),
+          lit(" — scale to integers first (e.g. half-points ×2); the " +
+            "integer discipline cannot truncate silently"))))
       .otherwise(col(valueCol).cast("long"))
     val src = ann.select(loud(col(itemCol), "item").as("i"),
       loud(col(raterCol), "rater").as("r"), vLoud.as("v"))
@@ -251,10 +265,11 @@ object Agreement {
           "krippendorffAlphaInterval: no item has 2 or more ratings — " +
             "nothing to measure agreement on")))
         .otherwise(c)
+    // n_items / n_values guarded too — the nominal-twin discipline
     itemTot.crossJoin(valueTot).crossJoin(dupStats)
-      .select(col("n_items"),
+      .select(guard(col("n_items")).as("n_items"),
         guard(col("n_ratings")).as("n_ratings"),
-        col("n_values"),
+        guard(col("n_values")).as("n_values"),
         guard(col("do_scaled")).as("do_scaled"),
         guard(lit(2L) * (col("n_ratings") * col("gs2") -
           col("gs1") * col("gs1"))).as("de_num"))
@@ -263,6 +278,147 @@ object Agreement {
         when(col("de_num") > 0L, expr(
           "1000000L - ((n_ratings - 1) * do_scaled) div de_num"))
           .as("alpha_micro"))
+  }
+
+  /** Krippendorff's α with the ORDINAL metric — the textbook-correct
+    * choice for Likert-style RANKED labels (1–5 quality grades), which
+    * completes the α family: nominal ([[krippendorffAlpha]]) ignores
+    * closeness entirely, interval ([[krippendorffAlphaInterval]])
+    * assumes equal spacing, ordinal weighs a (c, k) disagreement by the
+    * squared CUMULATIVE-MARGINAL distance (Krippendorff 2011 §E):
+    * {{{
+    * δ_ck = ( Σ_{g=c..k} n_g − (n_c + n_k)/2 )²
+    * }}}
+    * — how many RATINGS apart the two categories sit in the observed
+    * distribution, so sparse middle categories compress and heavy ones
+    * stretch the scale. Same incomplete-design contract as the
+    * siblings: items with <2 ratings drop visibly; duplicate
+    * (item, rater) rows, null fields and non-integral values fail
+    * loudly (values must be integers — their ORDER is all that is
+    * used, but the loud integral gate keeps 4.5-style half-points from
+    * silently truncating).
+    *
+    * Integer discipline: positions are normalized to micro units of
+    * the total rating mass — `e_ck = (10⁶·(2·Σ_{c..k} n_g − n_c −
+    * n_k)) div (2n)` (ONE floor, ≤1 micro of the [0, 1] scale) — and
+    * the weight `w_ck = e_ck²` is exact (≤ 10¹²; the uniform 1/(2n)²
+    * normalization cancels in D_o/D_e). Per kept item
+    * `A_i = 2·Σ_{c<k} n_ic·n_ik·w_ck` and `do_scaled = Σ_i A_i div
+    * (n_i−1)` stay in exact longs (the per-item floor loses <1
+    * w-unit on an A_i ~ 10¹²-scale value — far below micro
+    * resolution). The chance side `de_num = 2·Σ_{c<k} n_c·n_k·w_ck`
+    * and the final combine exceed 64 bits past ~3000 ratings, so BOTH
+    * ride DECIMAL(38) exactly (DuckDB replays them as HUGEINT):
+    * {{{
+    * alpha_micro = 10⁶ − (10⁶·(n−1)·do_scaled) div de_num   — exact to ~10⁹ ratings
+    * }}}
+    * Returns ONE row: `(n_items, n_ratings, n_values, do_scaled,
+    * de_scaled, alpha_micro)` with `de_scaled = de_num div 10⁶` (the
+    * long-ranged reporting form); `de_num = 0` (one value used) →
+    * NULL. On the q260-style graded fixture this lands within 1 micro
+    * of the exact-rational α (AgreementSpec pins the quantization).
+    *
+    * Scale shape: two partial-aggregable hash aggregates over the
+    * annotation table, an item-keyed self-join of the per-item CELL
+    * table (≤ V cells per item — the pair expansion is per-item V²,
+    * bounded by the category alphabet, never corpus²), and a
+    * category-sized weight frame built on ONE row (no global window —
+    * the cumulative marginal rides a sorted collect_list over ≤ V
+    * categories) broadcast back as a V²-row equi-join. */
+  def krippendorffAlphaOrdinal(ann: DataFrame, itemCol: String,
+                               raterCol: String, valueCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val vLoud = when(col(valueCol).isNull, raise_error(lit(
+        "Agreement: null value — clean the annotation table first")))
+      .when(col(valueCol).cast("double") =!=
+          floor(col(valueCol).cast("double")).cast("double"),
+        raise_error(concat(lit("krippendorffAlphaOrdinal: non-integral " +
+          "rating "), col(valueCol).cast("string"),
+          lit(" — scale to integers first (e.g. half-points ×2); the " +
+            "integer discipline cannot truncate silently"))))
+      .otherwise(col(valueCol).cast("long"))
+    val src = ann.select(loud(col(itemCol), "item").as("i"),
+      loud(col(raterCol), "rater").as("r"), vLoud.as("v"))
+    val cells = src.groupBy(col("i"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val items = cells.groupBy(col("i")).agg(sum(col("c")).as("n_i"))
+    val kept = items.where(col("n_i") >= 2L)
+    val cellsK = cells.join(kept, Seq("i"))
+    val itemTot = kept.agg(count(lit(1)).as("n_items"),
+      coalesce(sum(col("n_i")), lit(0L)).as("n_ratings"))
+    val valueTot = src.join(kept.select(col("i")), Seq("i"))
+      .agg(countDistinct(col("v")).as("n_values"))
+    val dupStats = src.groupBy(col("i"), col("r"))
+      .agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("maxdup"))
+    // category marginals collapsed to ONE sorted row — the cumulative
+    // sums a window would compute, without the single-partition window
+    // the plan gate forbids (V is the category alphabet, ≤ dozens)
+    val mgRow = cellsK.groupBy(col("v")).agg(sum(col("c")).as("n_g"))
+      .agg(sort_array(collect_list(struct(col("v"), col("n_g")))).as("arr"),
+        coalesce(sum(col("n_g")), lit(0L)).as("n"))
+    val vCount = size(col("arr"))
+    val allIdx = flatten(transform(sequence(lit(1), vCount), a =>
+      transform(sequence(lit(1), vCount), b =>
+        struct(a.as("ai"), b.as("bi")))))
+    def fld(p: Column, idx: String, f: String): Column =
+      element_at(col("arr"), p(idx).cast("int"))(f)
+    def rangeSum(p: Column): Column =
+      aggregate(slice(col("arr"), p("ai"), p("bi") - p("ai") + 1),
+        lit(0L), (acc, x) => acc + x("n_g"))
+    val ePairs = transform(filter(allIdx, p => p("bi") > p("ai")), p =>
+      struct(fld(p, "ai", "v").as("vc"), fld(p, "bi", "v").as("vk"),
+        fld(p, "ai", "n_g").as("na"), fld(p, "bi", "n_g").as("nb"),
+        call_function("div",
+          lit(1000000L) * (lit(2L) * rangeSum(p) -
+            fld(p, "ai", "n_g") - fld(p, "bi", "n_g")),
+          lit(2L) * col("n")).as("e")))
+    val pairsRow = mgRow.select(
+      when(vCount < 2,
+          array().cast("array<struct<vc:bigint,vk:bigint," +
+            "na:bigint,nb:bigint,e:bigint>>"))
+        .otherwise(ePairs).as("pairs"))
+    val weightTbl = pairsRow
+      .select(explode(col("pairs")).as("p"))
+      .select(col("p")("vc").as("vc"), col("p")("vk").as("vk"),
+        col("p")("na").as("na"), col("p")("nb").as("nb"),
+        (col("p")("e") * col("p")("e")).as("w"))
+    val deRow = weightTbl.agg(
+      coalesce(sum(lit(2).cast(dec38) * col("na") * col("nb") * col("w")),
+        lit(0).cast(dec38)).as("de_num"))
+    val ca = cellsK.select(col("i"), col("n_i"), col("v").as("va"),
+      col("c").as("ca"))
+    val cb = cellsK.select(col("i"), col("v").as("vb"), col("c").as("cb"))
+    val doRow = ca.join(cb, Seq("i")).where(col("va") < col("vb"))
+      .join(broadcast(weightTbl),
+        col("va") === col("vc") && col("vb") === col("vk"))
+      .groupBy(col("i"))
+      .agg(max(col("n_i")).as("n_i"),
+        sum(lit(2L) * col("ca") * col("cb") * col("w")).as("a2"))
+      .agg(coalesce(sum(call_function("div", col("a2"), col("n_i") - 1L)),
+        lit(0L)).as("do_scaled"))
+    def guard(c: Column): Column =
+      when(col("maxdup") > 1L, raise_error(lit("krippendorffAlphaOrdinal: " +
+          "duplicate (item, rater) rating rows — dedupe or re-key the table")))
+        .when(col("n_items") === 0L, raise_error(lit(
+          "krippendorffAlphaOrdinal: no item has 2 or more ratings — " +
+            "nothing to measure agreement on")))
+        .otherwise(c)
+    itemTot.crossJoin(valueTot).crossJoin(doRow).crossJoin(deRow)
+      .crossJoin(dupStats)
+      .select(guard(col("n_items")).as("n_items"),
+        guard(col("n_ratings")).as("n_ratings"),
+        guard(col("n_values")).as("n_values"),
+        guard(col("do_scaled")).as("do_scaled"),
+        guard(call_function("div", col("de_num"),
+          lit(1000000L).cast(dec38))).as("de_scaled"),
+        guard(when(col("de_num") > 0,
+          lit(1000000L) - call_function("div",
+            (lit(1000000L) * (col("n_ratings") - 1L)).cast(dec38) *
+              col("do_scaled"),
+            col("de_num")))).as("alpha_micro"))
   }
 
   /** Per-annotator agreement-with-consensus report — the operational

@@ -126,7 +126,11 @@ object EvalOps {
     * ([[graft.functions.LcsTokenLength]]) — O(C·R) per ROW, doc-bounded
     * (both sides are single documents by contract; the corpus dimension
     * never enters), one compiled kernel instead of a fold-within-a-fold
-    * HOF that would interpret O(C·R²) allocations. Token arrays are
+    * HOF that would interpret O(C·R²) allocations. The operator itself
+    * is UNCAPPED — it scores documents of any length (EvalOpsSpec pins
+    * a >120-token case); the 120-token cap in the q256 gate fixture
+    * exists only to bound the closed-form oracle classes there, not
+    * because the DP needs it. Token arrays are
     * staged projections (the q240 interpreted-HOF discipline) and the
     * DP value is materialized once before the three ratios read it.
     * Entirely scan-side: composes with any scan, nothing shuffles. */
@@ -208,6 +212,77 @@ object EvalOps {
       .select(passthrough ++ Seq(col("cand_len"), col("ref_len")) ++
         orders.flatMap(n => Seq(
           clippedOverlap(col(s"__cg$n"), col(s"__rg$n")).as(s"p${n}_num"),
+          size(col(s"__cg$n")).cast("long").as(s"p${n}_den"))): _*)
+  }
+
+  /** MULTI-reference BLEU components — the actual Papineni et al. 2002
+    * definition ([[bleuComponents]] is its single-reference special
+    * case): real MT/generation eval sets ship 1–4 references per
+    * candidate, and per §2.1 each candidate gram is clipped against the
+    * MAXIMUM count of that gram over the references (never the sum —
+    * concatenation would inflate the clip; and never a max of pairwise
+    * overlaps — the per-gram maxima can come from DIFFERENT references).
+    * The clip rides one compiled kernel
+    * ([[graft.functions.ClippedOverlapMaxCount]]): hash-count the
+    * candidate, stream each reference, fold the per-gram max —
+    * O(C + Σ Rᵢ) per row, scan-side. The brevity-penalty `ref_len` is
+    * the reference length CLOSEST to the candidate's (§2.2.2's "best
+    * match length"), ties to the SHORTER (the NLTK/sacrebleu
+    * convention) — a replayable `min_by` over `(|len−c|, len)` via one
+    * sorted struct array over ≤4 references.
+    *
+    * `refsCol` is an `array<string>`; appends `(cand_len, ref_len,
+    * p{n}_num, p{n}_den, …)` — the same exact-integer surface as the
+    * single-ref form, so [[bleuScore]] combines either. NULL candidate
+    * text → zero counts (the family contract); a null reference
+    * ELEMENT reads as the empty reference (zero grams, length 0); a
+    * NULL or EMPTY reference ARRAY fails loudly — BLEU against no
+    * references is undefined, and the guard threads through the staged
+    * token arrays every output column reads (prune-proof). */
+  def bleuComponentsMulti(pairs: org.apache.spark.sql.DataFrame,
+                          candCol: String, refsCol: String, maxN: Int = 4)
+      : org.apache.spark.sql.DataFrame = {
+    require(maxN >= 1 && maxN <= 6, s"maxN out of [1, 6]: $maxN")
+    val orders = 1 to maxN
+    val reserved = Seq("cand_len", "ref_len", "__ct", "__rts") ++
+      orders.flatMap(n => Seq(s"p${n}_num", s"p${n}_den", s"__cg$n", s"__rgs$n"))
+    val clashes = pairs.columns.filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"bleuComponentsMulti reserves column names ${reserved.mkString(", ")}; " +
+        s"input already has ${clashes.mkString(", ")}")
+    val passthrough = pairs.columns.toSeq.map(col)
+    def toks(c: Column): Column = coalesce(
+      filter(TextOps.tokens(c), t => length(t) > 0),
+      array().cast("array<string>"))
+    // the no-references guard lives on the refs array every staged
+    // column derives from — and on the candidate tokens too, so even a
+    // refs-free projection (p_den alone) cannot prune it away
+    val refsLoud = when(col(refsCol).isNull || size(col(refsCol)) === 0,
+        raise_error(lit("bleuComponentsMulti: no references — BLEU " +
+          "against an empty reference set is undefined")))
+      .otherwise(col(refsCol))
+    val candLoud = when(col(refsCol).isNull || size(col(refsCol)) === 0,
+        raise_error(lit("bleuComponentsMulti: no references — BLEU " +
+          "against an empty reference set is undefined")))
+      .otherwise(toks(col(candCol)))
+    pairs
+      .select(passthrough :+ candLoud.as("__ct") :+
+        transform(refsLoud, r => toks(r)).as("__rts"): _*)
+      .select(passthrough ++ Seq(
+        size(col("__ct")).cast("long").as("cand_len"), col("__rts")) ++
+        orders.flatMap(n => Seq(
+          ngramsOfTokens(col("__ct"), n).as(s"__cg$n"),
+          transform(col("__rts"), r =>
+            graft.functions.TextExpressions.tokenNgrams(r, n))
+            .as(s"__rgs$n"))): _*)
+      .select(passthrough ++ Seq(col("cand_len"),
+        element_at(array_sort(transform(col("__rts"), r =>
+          struct(abs(size(r).cast("long") - col("cand_len")).as("d"),
+            size(r).cast("long").as("l")))), 1)("l").as("ref_len")) ++
+        orders.flatMap(n => Seq(
+          graft.functions.TextExpressions
+            .clippedOverlapMaxCount(col(s"__cg$n"), col(s"__rgs$n"))
+            .as(s"p${n}_num"),
           size(col(s"__cg$n")).cast("long").as(s"p${n}_den"))): _*)
   }
 
@@ -302,6 +377,109 @@ object EvalOps {
           col(s"chrf${n}_r"), col(s"chrf${n}_f_micro"))) :+
         idiv(orders.map(n => col(s"chrf${n}_f_micro"))
           .reduce(_ + _), lit(maxN.toLong)).as("chrf_micro"): _*)
+  }
+
+  /** chrF++ (Popović 2017) — [[chrF]] extended with WORD n-gram
+    * F-scores (orders 1..`wordN`, the standard `++` uses 2) folded into
+    * the same uniform mean, which is chrF as actually used at WMT since
+    * 2017: character grams capture morphology, the word grams add back
+    * word-order sensitivity. Per-order F keeps the exact β = 2 closed
+    * form `5·o div (4r + c)` in micro units; word grams ride the same
+    * compiled builders as ROUGE/BLEU ([[graft.functions.TokenNgrams]]
+    * over whitespace tokens — chrF++ has no other tokenizer, which is
+    * the metric's point) and char grams ride
+    * [[graft.functions.CharNgrams]] over the despaced text. The
+    * combined score is the mean over ALL `maxN + wordN` orders (floored
+    * per order then once for the mean — the documented double-floor);
+    * orders with no grams on either side contribute 0 and still divide
+    * (the short-string convention [[chrF]] documents). `wordN = 0`
+    * degenerates to exactly [[chrF]] (spec-pinned identity). Appends
+    * the char-order components `(chrf{n}_o, chrf{n}_c, chrf{n}_r,
+    * chrf{n}_f_micro)`, the word-order components `(chrfw{n}_*)`, and
+    * `chrfpp_micro`. NULL text reads as empty (zero counts). Staged
+    * projections; scan-side, nothing shuffles. */
+  def chrFpp(pairs: org.apache.spark.sql.DataFrame, candCol: String,
+             refCol: String, maxN: Int = 6, wordN: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN out of [1, 8]: $maxN")
+    require(wordN >= 0 && wordN <= 4, s"wordN out of [0, 4]: $wordN")
+    val cOrders = 1 to maxN
+    val wOrders = 1 to wordN
+    val reserved = Seq("chrfpp_micro", "__cc", "__rc", "__cwt", "__rwt") ++
+      cOrders.flatMap(n => Seq(s"chrf${n}_o", s"chrf${n}_c", s"chrf${n}_r",
+        s"chrf${n}_f_micro", s"__cg$n", s"__rg$n")) ++
+      wOrders.flatMap(n => Seq(s"chrfw${n}_o", s"chrfw${n}_c", s"chrfw${n}_r",
+        s"chrfw${n}_f_micro", s"__cwg$n", s"__rwg$n"))
+    val clashes = pairs.columns.filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"chrFpp reserves column names ${reserved.mkString(", ")}; " +
+        s"input already has ${clashes.mkString(", ")}")
+    val passthrough = pairs.columns.toSeq.map(col)
+    def despaced(c: Column): Column =
+      regexp_replace(coalesce(c, lit("")), "\\s+", "")
+    def toks(c: Column): Column = coalesce(
+      filter(TextOps.tokens(c), t => length(t) > 0),
+      array().cast("array<string>"))
+    // (prefix, order) pairs drive the shared per-order column plumbing
+    val keyed = cOrders.map(n => ("chrf", "__cg", "__rg", n)) ++
+      wOrders.map(n => ("chrfw", "__cwg", "__rwg", n))
+    pairs
+      .select(passthrough :+ despaced(col(candCol)).as("__cc") :+
+        despaced(col(refCol)).as("__rc") :+ toks(col(candCol)).as("__cwt") :+
+        toks(col(refCol)).as("__rwt"): _*)
+      .select(passthrough ++
+        cOrders.flatMap(n => Seq(
+          graft.functions.TextExpressions.charNgrams(col("__cc"), n)
+            .as(s"__cg$n"),
+          graft.functions.TextExpressions.charNgrams(col("__rc"), n)
+            .as(s"__rg$n"))) ++
+        wOrders.flatMap(n => Seq(
+          ngramsOfTokens(col("__cwt"), n).as(s"__cwg$n"),
+          ngramsOfTokens(col("__rwt"), n).as(s"__rwg$n"))): _*)
+      .select(passthrough ++
+        keyed.flatMap { case (pfx, cg, rg, n) => Seq(
+          clippedOverlap(col(s"$cg$n"), col(s"$rg$n")).as(s"$pfx${n}_o"),
+          size(col(s"$cg$n")).cast("long").as(s"$pfx${n}_c"),
+          size(col(s"$rg$n")).cast("long").as(s"$pfx${n}_r")) }: _*)
+      .select(passthrough ++
+        keyed.flatMap { case (pfx, _, _, n) => Seq(col(s"$pfx${n}_o"),
+          col(s"$pfx${n}_c"), col(s"$pfx${n}_r")) } ++
+        keyed.map { case (pfx, _, _, n) =>
+          when(lit(4L) * col(s"$pfx${n}_r") + col(s"$pfx${n}_c") > 0L,
+              idiv(lit(5000000L) * col(s"$pfx${n}_o"),
+                lit(4L) * col(s"$pfx${n}_r") + col(s"$pfx${n}_c")))
+            .otherwise(lit(0L)).as(s"$pfx${n}_f_micro") }: _*)
+      .select(passthrough ++
+        keyed.flatMap { case (pfx, _, _, n) => Seq(col(s"$pfx${n}_o"),
+          col(s"$pfx${n}_c"), col(s"$pfx${n}_r"),
+          col(s"$pfx${n}_f_micro")) } :+
+        idiv(keyed.map { case (pfx, _, _, n) => col(s"$pfx${n}_f_micro") }
+          .reduce(_ + _), lit((maxN + wordN).toLong)).as("chrfpp_micro"): _*)
+  }
+
+  /** ECE/MCE rollup over a [[calibrationReport]] table — the one-row
+    * judge-calibration verdict (Guo et al. 2017 §2): expected
+    * calibration error is the item-weighted mean of the per-bucket
+    * |acc − conf| gaps, `ECE = Σ_b gap_b·n_b div N`, and MCE the worst
+    * bucket's gap. One more partial-aggregable aggregate over the
+    * bucket table (the report stays the diagnosis surface; this is the
+    * regression-gateable number). Returns ONE row `(n_items,
+    * ece_micro, mce_micro)`; an EMPTY report (no items at all) fails
+    * loudly — a calibration verdict over nothing is a harness bug, and
+    * the guard threads through every output column (prune-proof). */
+  def eceReport(report: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def guarded(c: Column): Column =
+      when(col("__n").isNull || col("__n") === 0L, raise_error(lit(
+          "eceReport: empty calibration report — no items to roll up")))
+        .otherwise(c)
+    report
+      .agg(sum(col("n_items")).as("__n"),
+        sum(col("gap_micro") * col("n_items")).as("__gapsum"),
+        max(col("gap_micro")).as("__mce"))
+      .select(guarded(col("__n")).as("n_items"),
+        guarded(idiv(col("__gapsum"), col("__n"))).as("ece_micro"),
+        guarded(col("__mce")).as("mce_micro"))
   }
 
   /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
