@@ -87,6 +87,44 @@ class KernelParitySpec extends SparkSpec {
     }
   }
 
+  test("ClippedOverlapMaxCount matches the driver min-of-max-multiset " +
+      "model on random reference sets; reduces to ClippedOverlapCount " +
+      "for one reference; null/empty references contribute nothing") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 120).map { i =>
+      def arr() = (0 until rnd.nextInt(20)).map(_ =>
+        alphabet(rnd.nextInt(4)))  // small vocab → real clipping
+      (i.toLong, arr(), (0 until 1 + rnd.nextInt(4)).map(_ => arr()))
+    }
+    val df = rows.toDF("id", "cand", "refs")
+    val out = df.select(col("id"),
+        TextExpressions.clippedOverlapMaxCount(col("cand"), col("refs"))
+          .as("o"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, cand, refs) =>
+      val cc = cand.groupBy(identity).map { case (g, v) => g -> v.size }
+      val model = cc.map { case (g, c) =>
+        math.min(c, refs.map(_.count(_ == g)).max).toLong }.sum
+      assert(out(id) === model, s"id=$id cand=$cand refs=$refs")
+    }
+    // one reference: exactly the pairwise clipped overlap
+    val one = rows.map { case (id, cand, refs) => (id, cand, Seq(refs.head)) }
+    val pair = one.toDF("id", "cand", "refs")
+      .select(col("id"),
+        TextExpressions.clippedOverlapMaxCount(col("cand"), col("refs"))
+          .as("m"),
+        TextExpressions.clippedOverlapCount(col("cand"),
+          element_at(col("refs"), 1)).as("p"))
+      .as[(Long, Long, Long)].collect()
+    pair.foreach { case (id, m, p) => assert(m === p, s"id=$id") }
+    // a null reference element never raises and never clips
+    val withNull = Seq((1L, Seq("a", "a"), Seq(null, Seq("a"))))
+      .toDF("id", "cand", "refs")
+      .select(TextExpressions.clippedOverlapMaxCount(col("cand"), col("refs")))
+      .as[Long].head()
+    assert(withNull === 1L)
+  }
+
   test("LcsTokenLength is bounded by clipped overlap and by both sizes " +
       "(LCS ≤ multiset intersection ≤ min side) on random arrays") {
     val rnd = new scala.util.Random(29)

@@ -222,6 +222,105 @@ class AgreementSpec extends SparkSpec {
     assert(e3.getMessage.contains("null value"))
   }
 
+  private def alphaO(rows: Seq[(String, String, Long)]) =
+    Agreement.krippendorffAlphaOrdinal(rows.toDF("item", "rater", "v"),
+        "item", "rater", "v")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].head()
+
+  test("krippendorffAlphaOrdinal: ordering sensitivity — ordinal sits " +
+      "BETWEEN nominal and interval on a graded-disagreement fixture") {
+    // adjacent disagreements (1,2)(2,3)(4,5) + one extreme (1,5):
+    // nominal reads every pair as equally wrong (α = −0.12); interval's
+    // equal spacing rewards the adjacent pairs most (α = +0.119);
+    // ordinal's cumulative-marginal weights land in between (values
+    // pinned against the python/DuckDB reference prototypes)
+    val graded = Seq(
+      ("i1", "r1", 1L), ("i1", "r2", 2L), ("i2", "r1", 2L), ("i2", "r2", 3L),
+      ("i3", "r1", 4L), ("i3", "r2", 5L), ("i4", "r1", 1L), ("i4", "r2", 5L))
+    val (ni, n, nv, doS, deS, a) = alphaO(graded)
+    assert(ni === 4L && n === 8L && nv === 5L)
+    assert(doS === 1390625000000L && deS === 10125000L)
+    assert(a === Some(38581L))
+    val nom = Agreement.krippendorffAlpha(
+      graded.map { case (i, r, v) => (i, r, v.toString) }
+        .toDF("item", "rater", "label"), "item", "rater", "label")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].head()._6
+    val intv = alphaI(graded)._6
+    assert(nom === Some(-120000L) && intv === Some(119206L))
+    assert(nom.get < a.get && a.get < intv.get)
+  }
+
+  test("krippendorffAlphaOrdinal: adjacent-category disagreement scores " +
+      "far above extreme disagreement (what nominal cannot see)") {
+    val adj = Seq(
+      ("i1", "r1", 1L), ("i1", "r2", 2L), ("i2", "r1", 1L), ("i2", "r2", 2L),
+      ("i3", "r1", 4L), ("i3", "r2", 5L), ("i4", "r1", 4L), ("i4", "r2", 5L))
+    val ext = Seq(
+      ("i1", "r1", 1L), ("i1", "r2", 5L), ("i2", "r1", 1L), ("i2", "r2", 5L),
+      ("i3", "r1", 1L), ("i3", "r2", 5L), ("i4", "r1", 1L), ("i4", "r2", 5L))
+    assert(alphaO(adj)._6 === Some(650000L))
+    // with exactly TWO used categories the single pair weight cancels in
+    // D_o/D_e and ordinal coincides with nominal — a clean invariant pin
+    assert(alphaO(ext)._6 === Some(-750000L))
+  }
+
+  test("krippendorffAlphaOrdinal: perfect agreement 10⁶; one value NULL; " +
+      "misuse loud incl. the non-integral gate; guards survive pruning") {
+    val perfect = Seq(("i1", "r1", 2L), ("i1", "r2", 2L),
+      ("i2", "r1", 4L), ("i2", "r2", 4L))
+    val (_, _, _, doP, deP, aP) = alphaO(perfect)
+    assert(doP === 0L && deP === 2000000L && aP === Some(1000000L))
+    val one = Seq(("i1", "r1", 3L), ("i1", "r2", 3L))
+    val (_, _, nv1, _, de1, a1) = alphaO(one)
+    assert(nv1 === 1L && de1 === 0L && a1 === None)
+    val dup = Seq(("i1", "r1", 1L), ("i1", "r1", 2L),
+      ("i2", "r1", 1L), ("i2", "r2", 2L))
+    val e1 = intercept[Exception] {
+      Agreement.krippendorffAlphaOrdinal(dup.toDF("item", "rater", "v"),
+        "item", "rater", "v").select("n_values").collect()
+    }
+    assert(e1.getMessage.contains("duplicate (item, rater)"))
+    val e2 = intercept[Exception] { alphaO(Seq(("i1", "r1", 1L))) }
+    assert(e2.getMessage.contains("no item has 2 or more ratings"))
+    val frac = Seq(("i1", "r1", 4.5), ("i1", "r2", 4.0))
+      .toDF("item", "rater", "v")
+    val e3 = intercept[Exception] {
+      Agreement.krippendorffAlphaOrdinal(frac, "item", "rater", "v").collect()
+    }
+    assert(e3.getMessage.contains("non-integral rating"))
+  }
+
+  test("krippendorffAlphaInterval: non-integral ratings fail loudly " +
+      "instead of silently truncating; count guards survive pruning") {
+    val frac = Seq(("i1", "r1", 4.5), ("i1", "r2", 4.0))
+      .toDF("item", "rater", "v")
+    val e = intercept[Exception] {
+      Agreement.krippendorffAlphaInterval(frac, "item", "rater", "v").collect()
+    }
+    assert(e.getMessage.contains("non-integral rating"))
+    // integral doubles pass the gate (4.0 is an exact 4)
+    val okD = Seq(("i1", "r1", 3.0), ("i1", "r2", 4.0))
+      .toDF("item", "rater", "v")
+    assert(Agreement.krippendorffAlphaInterval(okD, "item", "rater", "v")
+      .select("n_ratings").as[Long].head() === 2L)
+    // n_items / n_categories / n_values carry the dup guard too — a bare
+    // count from a duplicate-keyed table must still raise
+    val dupS = Seq(("i1", "r1", "a"), ("i1", "r1", "b"),
+      ("i2", "r1", "a"), ("i2", "r2", "b")).toDF("item", "rater", "label")
+    val eN = intercept[Exception] {
+      Agreement.krippendorffAlpha(dupS, "item", "rater", "label")
+        .select("n_items", "n_categories").collect()
+    }
+    assert(eN.getMessage.contains("duplicate"))
+    val dupV = Seq(("i1", "r1", 1L), ("i1", "r1", 2L),
+      ("i2", "r1", 1L), ("i2", "r2", 2L)).toDF("item", "rater", "v")
+    val eV = intercept[Exception] {
+      Agreement.krippendorffAlphaInterval(dupV, "item", "rater", "v")
+        .select("n_values").collect()
+    }
+    assert(eV.getMessage.contains("duplicate"))
+  }
+
   test("krippendorffAlpha misuse fails loudly; guards survive pruning") {
     val dup = Seq(("i1", "r1", "a"), ("i1", "r1", "b"), ("i2", "r1", "a"),
       ("i2", "r2", "b"))

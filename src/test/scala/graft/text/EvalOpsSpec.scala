@@ -174,6 +174,144 @@ class EvalOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("reserves column names"))
   }
 
+  test("rougeL is uncapped: documents far past the q256 fixture's " +
+      "120-token oracle bound score through the same DP") {
+    // the 120-token cap in the q256 gate exists only to bound the
+    // closed-form oracle classes — the operator itself has no cap
+    val long = (1 to 150).map(i => s"tok$i").mkString(" ")
+    val half = (1 to 150).filter(_ % 2 == 0).map(i => s"tok$i").mkString(" ")
+    val (c, r, l, p, rr, f) = rougel(long, long)
+    assert(c === 150L && r === 150L && l === 150L && f === Some(1000000L))
+    val (_, _, l2, p2, _, _) = rougel(half, long)
+    assert(l2 === 75L && p2 === Some(1000000L))
+  }
+
+  private def bleuMulti(cand: String, refs: Seq[String], maxN: Int = 4) = {
+    val df = EvalOps.bleuComponentsMulti(
+      Seq((1L, cand, refs)).toDF("id", "cand", "refs"), "cand", "refs", maxN)
+      .drop("cand", "refs")
+    val row = df.head()
+    df.columns.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+  }
+
+  test("bleuComponentsMulti: the Papineni 2002 clip example — a " +
+      "degenerate candidate clips against the MAX per-reference count") {
+    // §2.1: cand 'the'×7 vs refs with 'the'×2 and 'the'×1 → p1 = 2/7
+    val m = bleuMulti("the the the the the the the",
+      Seq("the cat is on the mat", "there is a cat on the mat"))
+    assert(m("p1_num") === 2L && m("p1_den") === 7L)
+    assert(m("p2_num") === 0L && m("p2_den") === 6L)
+    // brevity length: cand_len 7, ref lens (6, 7) → closest is 7
+    assert(m("cand_len") === 7L && m("ref_len") === 7L)
+  }
+
+  test("bleuComponentsMulti: per-gram maxima can come from DIFFERENT " +
+      "references — no single-reference clip can reproduce it") {
+    // cand 'a a b b': ref1 has a×2, ref2 has b×2 → multi-ref p1 = 4/4,
+    // while clipping against either single ref alone gives 2/4
+    val m = bleuMulti("a a b b", Seq("a a", "b b"))
+    assert(m("p1_num") === 4L && m("p1_den") === 4L)
+    val s1 = bleuMulti("a a b b", Seq("a a"))
+    val s2 = bleuMulti("a a b b", Seq("b b"))
+    assert(s1("p1_num") === 2L && s2("p1_num") === 2L)
+  }
+
+  test("bleuComponentsMulti: closest-length BP ties resolve to the " +
+      "SHORTER reference; single-ref agrees with bleuComponents") {
+    // cand 3 tokens, ref lens 2 and 4: both |len−3| = 1 → ref_len 2
+    val m = bleuMulti("x y z", Seq("x y z w", "x y"))
+    assert(m("ref_len") === 2L)
+    // the single-reference special case is bleuComponents column-for-column
+    val single = EvalOps.bleuComponents(
+        Seq((1L, "the cat sat on the mat", "the cat is on the mat"))
+          .toDF("id", "cand", "ref"), "cand", "ref")
+      .drop("cand", "ref")
+    val multi = EvalOps.bleuComponentsMulti(
+        Seq((1L, "the cat sat on the mat", Seq("the cat is on the mat")))
+          .toDF("id", "cand", "refs"), "cand", "refs")
+      .drop("cand", "refs")
+    assert(single.columns.toSeq === multi.columns.toSeq)
+    assert(single.head() === multi.head())
+  }
+
+  test("bleuComponentsMulti: null contract — null cand reads empty, a " +
+      "null reference ELEMENT is the empty reference, NO references is " +
+      "loud even under pruning") {
+    val m = bleuMulti(null, Seq("x y z"))
+    assert(m("cand_len") === 0L && m("p1_num") === 0L && m("ref_len") === 3L)
+    // null element: contributes zero grams and length 0 (closest to an
+    // empty candidate), never poisons the real reference's clip
+    val m2 = bleuMulti("a b", Seq(null, "a b"))
+    assert(m2("p1_num") === 2L && m2("p2_num") === 1L && m2("ref_len") === 2L)
+    val empty = Seq((1L, "a b", Seq.empty[String])).toDF("id", "cand", "refs")
+    val e = intercept[Exception] {
+      EvalOps.bleuComponentsMulti(empty, "cand", "refs")
+        .select("p1_den").collect()
+    }
+    assert(e.getMessage.contains("no references"))
+    val e2 = intercept[IllegalArgumentException] {
+      EvalOps.bleuComponentsMulti(
+        Seq((1L, "a", Seq("b"))).toDF("ref_len", "cand", "refs"),
+        "cand", "refs")
+    }
+    assert(e2.getMessage.contains("reserves column names"))
+  }
+
+  test("chrFpp: word orders join the mean (Popović 2017) — word " +
+      "reorder is penalized through the word-2 component; wordN = 0 " +
+      "degenerates to exactly chrF") {
+    def run(cand: String, ref: String): Map[String, Long] = {
+      val df = EvalOps.chrFpp(Seq((cand, ref)).toDF("cand", "ref"),
+        "cand", "ref").drop("cand", "ref")
+      val row = df.head()
+      df.columns.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+    }
+    // identical 'ab xy': char orders 1-4 on 'abxy' → 10⁶ each, 5-6 → 0;
+    // word orders 1-2 → 10⁶ each; mean over 8 = 750000
+    val same = run("ab xy", "ab xy")
+    assert(same("chrfw1_f_micro") === 1000000L &&
+      same("chrfw2_f_micro") === 1000000L)
+    assert(same("chrfpp_micro") === 750000L)
+    // word-reordered 'xy ab': chars o1 4/4 → 10⁶, o2 grams ab,bx,xy vs
+    // xy,ya,ab → 2 of 3 → 666666, o3+ → 0; word-1 → 10⁶, word-2 → 0
+    val reord = run("ab xy", "xy ab")
+    assert(reord("chrf2_f_micro") === 666666L)
+    assert(reord("chrfw1_f_micro") === 1000000L &&
+      reord("chrfw2_f_micro") === 0L)
+    assert(reord("chrfpp_micro") === (1000000L + 666666L + 1000000L) / 8L)
+    assert(reord("chrfpp_micro") < same("chrfpp_micro"))
+    // wordN = 0 is chrF: same per-order components, same mean
+    val pp0 = EvalOps.chrFpp(Seq(("abc", "abd")).toDF("cand", "ref"),
+        "cand", "ref", maxN = 6, wordN = 0)
+      .select("chrfpp_micro").as[Long].head()
+    val base = EvalOps.chrF(Seq(("abc", "abd")).toDF("cand", "ref"),
+        "cand", "ref")
+      .select("chrf_micro").as[Long].head()
+    assert(pp0 === base)
+    val e = intercept[IllegalArgumentException] {
+      EvalOps.chrFpp(Seq(("a", "b")).toDF("chrfw1_o", "ref"), "chrfw1_o", "ref")
+    }
+    assert(e.getMessage.contains("reserves column names"))
+  }
+
+  test("eceReport: item-weighted mean gap + max gap over the reliability " +
+      "table; empty report fails loudly even under pruning") {
+    // bucket 0: 2 items, acc 0, mean conf 100000 → gap 100000
+    // bucket 1: 2 items, acc 500000, mean conf 900000 → gap 400000
+    val rows = Seq((100000L, false), (100000L, false),
+      (900000L, true), (900000L, false)).toDF("conf", "ok")
+    val rep = EvalOps.calibrationReport(rows, "conf", "ok", 500000L)
+    val (n, ece, mce) = EvalOps.eceReport(rep)
+      .as[(Long, Long, Long)].head()
+    assert(n === 4L && ece === 250000L && mce === 400000L)
+    val empty = EvalOps.calibrationReport(
+      Seq.empty[(Long, Boolean)].toDF("conf", "ok"), "conf", "ok", 500000L)
+    val e = intercept[Exception] {
+      EvalOps.eceReport(empty).select("mce_micro").collect()
+    }
+    assert(e.getMessage.contains("empty calibration report"))
+  }
+
   test("bleuScore: identical text scores 10⁶; a zero order zeroes it; " +
       "brevity penalizes short candidates; null contract") {
     val rows = Seq(
