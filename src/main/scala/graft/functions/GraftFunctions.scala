@@ -80,7 +80,12 @@ object GraftFunctions {
     // clipped multiset-intersection count — the ROUGE/BLEU/chrF overlap
     // numerator (compiled O(C+R) hash pass)
     "graft_clipped_overlap" ->
-      binary("graft_clipped_overlap", ClippedOverlapCount(_, _)) _)
+      binary("graft_clipped_overlap", ClippedOverlapCount(_, _)) _,
+    // multi-reference clipped overlap over (array<string>,
+    // array<array<string>>) — the Papineni max-over-references
+    // modified-precision numerator (compiled O(C+ΣRᵢ) pass)
+    "graft_clipped_overlap_max" ->
+      binary("graft_clipped_overlap_max", ClippedOverlapMaxCount(_, _)) _)
 
   /** One 31-bit Morton spread chain in Spark SQL (mirrors
     * `ZOrder.spreadBits`; `shiftleft` + `&`/`|` operators). */

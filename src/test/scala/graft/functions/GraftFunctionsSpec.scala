@@ -81,6 +81,21 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.isNullAt(2)) // bare expression: null in, null out
   }
 
+  test("graft_clipped_overlap_max exposes the multi-reference clip to SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_clipped_overlap_max(array('a', 'a', 'b', 'b'),
+                  array(array('a', 'a'), array('b', 'b'))) AS m1,
+                graft_clipped_overlap_max(array('a'),
+                  CAST(array() AS array<array<string>>)) AS m2,
+                graft_clipped_overlap_max(array('a'),
+                  CAST(NULL AS array<array<string>>)) AS m3""")
+      .head()
+    assert(r.getLong(0) === 4L) // maxima from different references
+    assert(r.getLong(1) === 0L)
+    assert(r.isNullAt(2)) // bare expression: null in, null out
+  }
+
   test("ArrayCountInSet/ArrayStringLenSum: generated code matches interpreted eval") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
