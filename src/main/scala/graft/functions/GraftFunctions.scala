@@ -85,7 +85,11 @@ object GraftFunctions {
     // array<array<string>>) — the Papineni max-over-references
     // modified-precision numerator (compiled O(C+ΣRᵢ) pass)
     "graft_clipped_overlap_max" ->
-      binary("graft_clipped_overlap_max", ClippedOverlapMaxCount(_, _)) _)
+      binary("graft_clipped_overlap_max", ClippedOverlapMaxCount(_, _)) _,
+    // token-sequence Levenshtein distance over two array<string>
+    // columns — the WER kernel (doc-bounded O(C·R) DP, compiled)
+    "graft_token_edit" ->
+      binary("graft_token_edit", TokenEditDistance(_, _)) _)
 
   /** One 31-bit Morton spread chain in Spark SQL (mirrors
     * `ZOrder.spreadBits`; `shiftleft` + `&`/`|` operators). */

@@ -485,6 +485,79 @@ object LcsKernel {
   }
 }
 
+/** Token-sequence Levenshtein edit distance — the WER kernel: unit-cost
+  * insert/delete/substitute over TOKENS (never characters — "cat" vs
+  * "bat" is ONE word error), the classic O(C·R) two-row DP with the
+  * same doc-bounded cost argument as [[LcsTokenLength]] (both sides are
+  * single documents by contract; the corpus dimension never enters).
+  * Null TOKENS match nothing (defensive — tokenizers never emit them);
+  * null ARRAYS → null out (BinaryExpression null intolerance — callers
+  * stage non-null token arrays). Satisfies `d ≥ max(|a|,|b|) − LCS`
+  * (KernelParitySpec pins the bound against [[LcsTokenLength]]). */
+case class TokenEditDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"TokenEditDistance needs two array<string> inputs, got ($l, $r)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    EditDistanceKernel.dist(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.EditDistanceKernel$$.MODULE$$.dist($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object EditDistanceKernel {
+  /** Two-row Levenshtein DP over UTF8String token equality: O(C·R)
+    * time, O(R) space (the [[LcsKernel]] memory discipline). */
+  def dist(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0) return m.toLong
+    if (m == 0) return n.toLong
+    val bt = new Array[UTF8String](m)
+    var j = 0
+    while (j < m) {
+      bt(j) = if (b.isNullAt(j)) null else b.getUTF8String(j)
+      j += 1
+    }
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    j = 0
+    while (j <= m) { prev(j) = j; j += 1 }
+    var i = 0
+    while (i < n) {
+      cur(0) = i + 1
+      val ai = if (a.isNullAt(i)) null else a.getUTF8String(i)
+      var jj = 0
+      while (jj < m) {
+        val sub = prev(jj) + (if (ai != null && ai.equals(bt(jj))) 0 else 1)
+        val del = prev(jj + 1) + 1
+        val ins = cur(jj) + 1
+        cur(jj + 1) = math.min(sub, math.min(del, ins))
+        jj += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m).toLong
+  }
+}
+
 /** Clipped multiset-intersection count `Σ_g min(count_a(g), count_b(g))`
   * — the ROUGE/BLEU/chrF overlap numerator as ONE compiled O(C+R) pass
   * (hash-count the smaller side, stream the other, decrement-on-hit;
@@ -860,6 +933,11 @@ object TextExpressions {
   /** Token-sequence LCS length (codegen) — the ROUGE-L kernel. */
   def lcsLen(cand: Column, ref: Column): Column =
     ColumnBridge.column(LcsTokenLength(
+      ColumnBridge.expression(cand), ColumnBridge.expression(ref)))
+
+  /** Token-sequence Levenshtein distance (codegen) — the WER kernel. */
+  def tokenEditDistance(cand: Column, ref: Column): Column =
+    ColumnBridge.column(TokenEditDistance(
       ColumnBridge.expression(cand), ColumnBridge.expression(ref)))
 
   /** Clipped multiset-intersection count (codegen) — the

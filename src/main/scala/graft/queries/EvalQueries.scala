@@ -96,6 +96,41 @@ object EvalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── WER (token edit distance / reference length) over the q256
+    // ANALYTIC candidate classes: identity (d=0) / prefix (d=r−k, pure
+    // deletions) / every-3rd-token novel-substituted (d=r div 3 — LCS
+    // bound d ≥ max(C,R)−LCS makes substitution-count provably optimal)
+    // / all-novel (d=max(r,3)) / null-contract (d=r) — the full DP
+    // output exactly oracle-gated; adversarial cases in EvalOpsSpec ─────
+    "q267_wer" -> ((s, d) => {
+      val rt = slice(
+        filter(graft.text.TextOps.tokens(col("text")), t => length(t) > 0),
+        1, 120)
+      val pairs = Tables.documents(s, d).select(col("doc_id"), rt.as("__rt"))
+        .select(col("doc_id"),
+          array_join(col("__rt"), " ").as("ref"),
+          when(col("doc_id") % 13 === 0, lit(null).cast("string"))
+            .when(col("doc_id") % 13 === 1, lit(""))
+            .when(col("doc_id") % 13 === 2, lit("   "))
+            .when(col("doc_id") % 4 === 0, array_join(col("__rt"), " "))
+            .when(col("doc_id") % 4 === 1, array_join(
+              slice(col("__rt"), lit(1), (lit(3) + col("doc_id") % 7).cast("int")),
+              " "))
+            .when(col("doc_id") % 4 === 2, array_join(
+              transform(col("__rt"), (t, i) =>
+                when((i + 1) % 3 === 0,
+                    concat(lit("zzznovel"), col("doc_id").cast("string")))
+                  .otherwise(t)), " "))
+            .otherwise(concat_ws(" ",
+              concat(lit("zzza"), col("doc_id").cast("string")),
+              concat(lit("zzzb"), col("doc_id").cast("string")),
+              concat(lit("zzzc"), col("doc_id").cast("string"))))
+            .as("cand"))
+      EvalOps.wer(pairs.drop("__rt"), "cand", "ref")
+        .drop("cand", "ref")
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── Krippendorff's α over an INCOMPLETE design: 1–4 raters per
     // item (single-rating items dropped, visibly), labels correlated
     // through length(text) — the table fleissKappa loudly rejects ─────
@@ -817,6 +852,25 @@ object EvalQueries {
   val oracles: Map[String, String] = Map(
     "q263_bleu_multi" -> bleuMultiSql,
     "q266_chrfpp" -> chrfppSql,
+
+    "q267_wer" ->
+      """WITH tk AS (
+            SELECT doc_id,
+              (list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0))[1:120] AS rt
+            FROM documents),
+          cls AS (
+            SELECT doc_id, CAST(len(rt) AS BIGINT) AS r,
+              CASE WHEN doc_id % 13 IN (0, 1, 2) THEN -1 ELSE doc_id % 4 END AS cl,
+              CAST(least(3 + doc_id % 7, len(rt)) AS BIGINT) AS k
+            FROM tk),
+          ct AS (
+            SELECT doc_id, r,
+              CASE cl WHEN -1 THEN 0 WHEN 0 THEN r WHEN 1 THEN k WHEN 2 THEN r ELSE 3 END AS c,
+              CASE cl WHEN -1 THEN r WHEN 0 THEN 0 WHEN 1 THEN r - k WHEN 2 THEN r // 3 ELSE greatest(r, 3) END AS d
+            FROM cls)
+          SELECT doc_id, c AS n_cand_tokens, r AS n_ref_tokens, d AS edit_dist,
+            CASE WHEN r > 0 THEN (1000000 * d) // r END AS wer_micro
+          FROM ct ORDER BY doc_id""",
 
     "q264_krippendorff_ordinal" ->
       """WITH ann AS (

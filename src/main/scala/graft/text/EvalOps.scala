@@ -215,6 +215,50 @@ object EvalOps {
           size(col(s"__cg$n")).cast("long").as(s"p${n}_den"))): _*)
   }
 
+  /** Word error rate (Levenshtein 1966 / the standard ASR-and-generation
+    * edit metric; NIST scoring convention) — the edit-distance member
+    * that completes the metric quartet next to ROUGE-N/L, BLEU and
+    * chrF: unit-cost token insertions + deletions + substitutions
+    * against the reference, normalized by the REFERENCE length,
+    * `wer_micro = 10⁶·d div R` (can exceed 10⁶ — a long hypothesis
+    * against a short reference does, and reporting it capped would
+    * hide the failure mode). Appends `(n_cand_tokens, n_ref_tokens,
+    * edit_dist, wer_micro)`; an empty reference makes the rate NULL
+    * (undefined), never 0 — while `edit_dist` still reports the
+    * insertion count. NULL text reads as empty (the family contract).
+    *
+    * The DP is a native codegen expression
+    * ([[graft.functions.TokenEditDistance]]) — O(C·R) per ROW,
+    * doc-bounded exactly like ROUGE-L's LCS kernel, and the two are
+    * mutually bounding (`d ≥ max(C,R) − LCS`, spec-pinned). Token
+    * arrays are staged projections; entirely scan-side. */
+  def wer(pairs: org.apache.spark.sql.DataFrame, candCol: String,
+          refCol: String): org.apache.spark.sql.DataFrame = {
+    val reserved = Seq("n_cand_tokens", "n_ref_tokens", "edit_dist",
+      "wer_micro", "__ct", "__rt")
+    val clashes = pairs.columns.filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"wer reserves column names ${reserved.mkString(", ")}; " +
+        s"input already has ${clashes.mkString(", ")}")
+    val passthrough = pairs.columns.toSeq.map(col)
+    def toks(c: Column): Column = coalesce(
+      filter(TextOps.tokens(c), t => length(t) > 0),
+      array().cast("array<string>"))
+    pairs
+      .select(passthrough :+ toks(col(candCol)).as("__ct") :+
+        toks(col(refCol)).as("__rt"): _*)
+      .select(passthrough :+
+        size(col("__ct")).cast("long").as("n_cand_tokens") :+
+        size(col("__rt")).cast("long").as("n_ref_tokens") :+
+        graft.functions.TextExpressions
+          .tokenEditDistance(col("__ct"), col("__rt")).as("edit_dist"): _*)
+      .select(passthrough :+ col("n_cand_tokens") :+ col("n_ref_tokens") :+
+        col("edit_dist") :+
+        when(col("n_ref_tokens") > 0,
+          idiv(lit(1000000L) * col("edit_dist"), col("n_ref_tokens")))
+          .as("wer_micro"): _*)
+  }
+
   /** MULTI-reference BLEU components — the actual Papineni et al. 2002
     * definition ([[bleuComponents]] is its single-reference special
     * case): real MT/generation eval sets ship 1–4 references per

@@ -96,6 +96,22 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.isNullAt(2)) // bare expression: null in, null out
   }
 
+  test("graft_token_edit exposes the WER Levenshtein DP to SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_token_edit(array('the', 'cat', 'sat'),
+                                 array('the', 'dog', 'sat')) AS d1,
+                graft_token_edit(array('c', 'a', 'b'),
+                                 array('a', 'b', 'c')) AS d2,
+                graft_token_edit(CAST(array() AS array<string>),
+                                 array('a', 'b')) AS d3,
+                graft_token_edit(CAST(NULL AS array<string>),
+                                 array('a')) AS d4""")
+      .head()
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L && r.getLong(2) === 2L)
+    assert(r.isNullAt(3))
+  }
+
   test("ArrayCountInSet/ArrayStringLenSum: generated code matches interpreted eval") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}

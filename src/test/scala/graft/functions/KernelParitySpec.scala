@@ -125,6 +125,40 @@ class KernelParitySpec extends SparkSpec {
     assert(withNull === 1L)
   }
 
+  test("TokenEditDistance matches the driver Levenshtein model and " +
+      "respects the LCS lower bound d ≥ max(|a|,|b|) − LCS") {
+    val rnd = new scala.util.Random(37)
+    val rows = (1 to 120).map { i =>
+      def arr() = (0 until rnd.nextInt(18)).map(_ =>
+        alphabet(rnd.nextInt(5)))
+      (i.toLong, arr(), arr())
+    }
+    def editModel(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.ofDim[Int](a.size + 1, b.size + 1)
+      for (i <- 0 to a.size) dp(i)(0) = i
+      for (j <- 0 to b.size) dp(0)(j) = j
+      for (i <- 1 to a.size; j <- 1 to b.size)
+        dp(i)(j) = math.min(
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1),
+          math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1)
+      dp(a.size)(b.size)
+    }
+    val out = rows.toDF("id", "a", "b")
+      .select(col("id"),
+        TextExpressions.tokenEditDistance(col("a"), col("b")).as("d"),
+        TextExpressions.tokenEditDistance(col("b"), col("a")).as("dr"),
+        TextExpressions.lcsLen(col("a"), col("b")).as("lcs"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    rows.foreach { case (id, a, b) =>
+      val (d, dr, lcs) = out(id)
+      assert(d === editModel(a, b).toLong, s"id=$id a=$a b=$b")
+      assert(d === dr, s"symmetry id=$id")
+      assert(d >= math.max(a.size, b.size).toLong - lcs, s"LCS bound id=$id")
+      assert(d <= math.max(a.size, b.size).toLong)
+    }
+  }
+
   test("LcsTokenLength is bounded by clipped overlap and by both sizes " +
       "(LCS ≤ multiset intersection ≤ min side) on random arrays") {
     val rnd = new scala.util.Random(29)

@@ -186,6 +186,39 @@ class EvalOpsSpec extends SparkSpec {
     assert(l2 === 75L && p2 === Some(1000000L))
   }
 
+  private def werOne(cand: String, ref: String) =
+    EvalOps.wer(Seq((cand, ref)).toDF("cand", "ref"), "cand", "ref")
+      .drop("cand", "ref")
+      .as[(Long, Long, Long, Option[Long])].head()
+
+  test("wer: hand-computed substitutions / deletions / insertions; " +
+      "rate can exceed 10⁶; TOKEN errors, never characters") {
+    // one substitution in four: d=1, wer = 250000
+    assert(werOne("the cat sat down", "the dog sat down") ===
+      ((4L, 4L, 1L, Some(250000L))))
+    // pure deletions: prefix candidate
+    assert(werOne("a b", "a b c d") === ((2L, 4L, 2L, Some(500000L))))
+    // insertions past the reference push WER over 1.0
+    assert(werOne("a b c d e f", "a b")._4 === Some(2000000L))
+    // word-internal character edits count ONE token error
+    assert(werOne("cart", "cat")._3 === 1L)
+    // reorder costs 2 (delete + insert), not the hamming 3
+    assert(werOne("c a b", "a b c")._3 === 2L)
+  }
+
+  test("wer: identical is 0; null/empty contract; empty ref → NULL rate " +
+      "with the insertion count still reported; reserved clash") {
+    assert(werOne("x y z", "x y z") === ((3L, 3L, 0L, Some(0L))))
+    assert(werOne(null, "x y z") === ((0L, 3L, 3L, Some(1000000L))))
+    assert(werOne("   ", "x y") === ((0L, 2L, 2L, Some(1000000L))))
+    assert(werOne("x y", null) === ((2L, 0L, 2L, None)))
+    assert(werOne(null, null) === ((0L, 0L, 0L, None)))
+    val e = intercept[IllegalArgumentException] {
+      EvalOps.wer(Seq(("a", "b")).toDF("edit_dist", "ref"), "edit_dist", "ref")
+    }
+    assert(e.getMessage.contains("reserves column names"))
+  }
+
   private def bleuMulti(cand: String, refs: Seq[String], maxN: Int = 4) = {
     val df = EvalOps.bleuComponentsMulti(
       Seq((1L, cand, refs)).toDF("id", "cand", "refs"), "cand", "refs", maxN)
