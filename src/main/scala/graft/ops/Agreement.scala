@@ -421,6 +421,127 @@ object Agreement {
             col("de_num")))).as("alpha_micro"))
   }
 
+  /** Krippendorff's α with the RATIO metric — the fourth and last
+    * standard member of the α family (nominal / ordinal / interval /
+    * ratio), for ZERO-ANCHORED scales where relative error is what
+    * matters: error counts, durations, token budgets. Disagreement is
+    * the squared RELATIVE distance (Krippendorff 2011 §E):
+    * {{{
+    * δ_xy = ((x − y) / (x + y))²
+    * }}}
+    * so raters saying 1-vs-2 disagree exactly as much as 10-vs-20 (the
+    * invariant AgreementSpec pins — interval α cannot express it).
+    * Values must be non-negative integers (a ratio scale has a true
+    * zero; negatives fail loudly, like nulls/duplicates/fractions).
+    *
+    * Integer discipline: the weight is `w_xy = e_xy²` with
+    * `e_xy = (10⁶·(y−x)) div (x+y)` — one floor, ≤1 micro of the
+    * [0, 1] relative-distance scale; within 1 micro of the exact
+    * rational α on the gate fixture. Unlike [[krippendorffAlphaOrdinal]]
+    * the weights need no cumulative marginal (they depend only on the
+    * value pair), but the distribution shape is identical: a
+    * category-sized weight table built on ONE row, broadcast back as a
+    * V²-row equi-join against the per-item cell pairs (per-item V²,
+    * never corpus²), with the chance side and the final combine in
+    * DECIMAL(38)/HUGEINT. Returns ONE row `(n_items, n_ratings,
+    * n_values, do_scaled, de_scaled, alpha_micro)`; `de_num = 0` →
+    * NULL. Two partial-aggregable hash aggregates + one item-keyed
+    * self-join; scan volume unbounded. */
+  def krippendorffAlphaRatio(ann: DataFrame, itemCol: String,
+                             raterCol: String, valueCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val vLoud = when(col(valueCol).isNull, raise_error(lit(
+        "Agreement: null value — clean the annotation table first")))
+      .when(col(valueCol).cast("double") =!=
+          floor(col(valueCol).cast("double")).cast("double"),
+        raise_error(concat(lit("krippendorffAlphaRatio: non-integral " +
+          "rating "), col(valueCol).cast("string"),
+          lit(" — scale to integers first (e.g. half-points ×2); the " +
+            "integer discipline cannot truncate silently"))))
+      .when(col(valueCol) < 0,
+        raise_error(concat(lit("krippendorffAlphaRatio: negative rating "),
+          col(valueCol).cast("string"),
+          lit(" — a ratio scale has a true zero; use the interval or " +
+            "ordinal metric for signed values"))))
+      .otherwise(col(valueCol).cast("long"))
+    val src = ann.select(loud(col(itemCol), "item").as("i"),
+      loud(col(raterCol), "rater").as("r"), vLoud.as("v"))
+    val cells = src.groupBy(col("i"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val items = cells.groupBy(col("i")).agg(sum(col("c")).as("n_i"))
+    val kept = items.where(col("n_i") >= 2L)
+    val cellsK = cells.join(kept, Seq("i"))
+    val itemTot = kept.agg(count(lit(1)).as("n_items"),
+      coalesce(sum(col("n_i")), lit(0L)).as("n_ratings"))
+    val valueTot = src.join(kept.select(col("i")), Seq("i"))
+      .agg(countDistinct(col("v")).as("n_values"))
+    val dupStats = src.groupBy(col("i"), col("r"))
+      .agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("maxdup"))
+    // category marginals on ONE sorted row (the ordinal-twin shape,
+    // minus the cumulative walk — ratio weights read only the pair)
+    val mgRow = cellsK.groupBy(col("v")).agg(sum(col("c")).as("n_g"))
+      .agg(sort_array(collect_list(struct(col("v"), col("n_g")))).as("arr"))
+    val vCount = size(col("arr"))
+    val allIdx = flatten(transform(sequence(lit(1), vCount), a =>
+      transform(sequence(lit(1), vCount), b =>
+        struct(a.as("ai"), b.as("bi")))))
+    def fld(p: Column, idx: String, f: String): Column =
+      element_at(col("arr"), p(idx).cast("int"))(f)
+    val ePairs = transform(filter(allIdx, p => p("bi") > p("ai")), p =>
+      struct(fld(p, "ai", "v").as("vc"), fld(p, "bi", "v").as("vk"),
+        fld(p, "ai", "n_g").as("na"), fld(p, "bi", "n_g").as("nb"),
+        call_function("div",
+          lit(1000000L) * (fld(p, "bi", "v") - fld(p, "ai", "v")),
+          fld(p, "ai", "v") + fld(p, "bi", "v")).as("e")))
+    val pairsRow = mgRow.select(
+      when(vCount < 2,
+          array().cast("array<struct<vc:bigint,vk:bigint," +
+            "na:bigint,nb:bigint,e:bigint>>"))
+        .otherwise(ePairs).as("pairs"))
+    val weightTbl = pairsRow
+      .select(explode(col("pairs")).as("p"))
+      .select(col("p")("vc").as("vc"), col("p")("vk").as("vk"),
+        col("p")("na").as("na"), col("p")("nb").as("nb"),
+        (col("p")("e") * col("p")("e")).as("w"))
+    val deRow = weightTbl.agg(
+      coalesce(sum(lit(2).cast(dec38) * col("na") * col("nb") * col("w")),
+        lit(0).cast(dec38)).as("de_num"))
+    val ca = cellsK.select(col("i"), col("n_i"), col("v").as("va"),
+      col("c").as("ca"))
+    val cb = cellsK.select(col("i"), col("v").as("vb"), col("c").as("cb"))
+    val doRow = ca.join(cb, Seq("i")).where(col("va") < col("vb"))
+      .join(broadcast(weightTbl),
+        col("va") === col("vc") && col("vb") === col("vk"))
+      .groupBy(col("i"))
+      .agg(max(col("n_i")).as("n_i"),
+        sum(lit(2L) * col("ca") * col("cb") * col("w")).as("a2"))
+      .agg(coalesce(sum(call_function("div", col("a2"), col("n_i") - 1L)),
+        lit(0L)).as("do_scaled"))
+    def guard(c: Column): Column =
+      when(col("maxdup") > 1L, raise_error(lit("krippendorffAlphaRatio: " +
+          "duplicate (item, rater) rating rows — dedupe or re-key the table")))
+        .when(col("n_items") === 0L, raise_error(lit(
+          "krippendorffAlphaRatio: no item has 2 or more ratings — " +
+            "nothing to measure agreement on")))
+        .otherwise(c)
+    itemTot.crossJoin(valueTot).crossJoin(doRow).crossJoin(deRow)
+      .crossJoin(dupStats)
+      .select(guard(col("n_items")).as("n_items"),
+        guard(col("n_ratings")).as("n_ratings"),
+        guard(col("n_values")).as("n_values"),
+        guard(col("do_scaled")).as("do_scaled"),
+        guard(call_function("div", col("de_num"),
+          lit(1000000L).cast(dec38))).as("de_scaled"),
+        guard(when(col("de_num") > 0,
+          lit(1000000L) - call_function("div",
+            (lit(1000000L) * (col("n_ratings") - 1L)).cast(dec38) *
+              col("do_scaled"),
+            col("de_num")))).as("alpha_micro"))
+  }
+
   /** Per-annotator agreement-with-consensus report — the operational
     * follow-up to a low κ: WHICH rater diverges. Consensus per item is
     * the modal label with deterministic ties (highest votes, then

@@ -246,6 +246,20 @@ object EvalQueries {
       Agreement.krippendorffAlphaOrdinal(ann, "item", "rater", "v")
     }),
 
+    // ───── RATIO-metric α over the q260 non-negative-rating incomplete
+    // design — squared RELATIVE distance weights, completing all four
+    // standard Krippendorff metrics; HUGEINT/DECIMAL combine ─────
+    "q268_krippendorff_ratio" -> ((s, d) => {
+      val ann = Tables.documents(s, d)
+        .select(col("doc_id").as("item"), length(col("text")).as("lt"),
+          explode(sequence(lit(0), (col("doc_id") % 4).cast("int")))
+            .as("rater"))
+        .select(col("item"), col("rater"),
+          ((col("lt") + col("rater") * (col("item") % 5)) % 7)
+            .cast("long").as("v"))
+      Agreement.krippendorffAlphaRatio(ann, "item", "rater", "v")
+    }),
+
     // ───── ECE/MCE rollup over the q251 reliability table — the
     // one-row calibration verdict (item-weighted mean gap + max gap) ─────
     "q265_ece" -> ((s, d) => {
@@ -891,6 +905,41 @@ object EvalQueries {
           w AS (SELECT a.v AS vc, b.v AS vk, a.n_g AS na, b.n_g AS nb,
                   ((1000000 * (2 * (b.cs - a.cs + a.n_g) - a.n_g - b.n_g)) // (2 * tot.n)) AS e
                 FROM cum a JOIN cum b ON a.v < b.v, tot),
+          w2 AS (SELECT vc, vk, na, nb, e * e AS w FROM w),
+          ip AS (SELECT a.i, a.n_i, a.v AS va, b.v AS vb, a.c AS ca, b.c AS cb
+                 FROM cellsk a JOIN cellsk b ON a.i = b.i AND a.v < b.v),
+          ai AS (SELECT ip.i, max(ip.n_i) AS n_i,
+                   CAST(sum(2 * ip.ca * ip.cb * w2.w) AS BIGINT) AS a2
+                 FROM ip JOIN w2 ON ip.va = w2.vc AND ip.vb = w2.vk
+                 GROUP BY ip.i),
+          dorow AS (SELECT CAST(coalesce(sum(a2 // (n_i - 1)), 0) AS BIGINT) AS do_scaled FROM ai),
+          derow AS (SELECT coalesce(sum(2 * CAST(na AS HUGEINT) * nb * w), 0) AS de_num FROM w2),
+          vt AS (SELECT CAST(count(DISTINCT v) AS BIGINT) AS n_values FROM ann JOIN kept USING (i))
+          SELECT n_items, n AS n_ratings, n_values, do_scaled,
+            CAST(de_num // 1000000 AS BIGINT) AS de_scaled,
+            CASE WHEN de_num > 0
+              THEN CAST(1000000 - (CAST(1000000 AS HUGEINT) * (n - 1) * do_scaled) // de_num AS BIGINT)
+              END AS alpha_micro
+          FROM tot, dorow, derow, vt""",
+
+    "q268_krippendorff_ratio" ->
+      """WITH ann AS (
+            SELECT doc_id AS i, r,
+              CAST((length(text) + r * (doc_id % 5)) % 7 AS BIGINT) AS v
+            FROM (SELECT doc_id, text, unnest(range(0, 1 + doc_id % 4)) AS r
+                  FROM documents)),
+          cells AS (SELECT i, v, CAST(count(*) AS BIGINT) AS c FROM ann GROUP BY i, v),
+          items AS (SELECT i, CAST(sum(c) AS BIGINT) AS n_i FROM cells GROUP BY i),
+          kept AS (SELECT * FROM items WHERE n_i >= 2),
+          cellsk AS (SELECT cells.i, cells.v, cells.c, kept.n_i
+                     FROM cells JOIN kept USING (i)),
+          mg AS (SELECT v, CAST(sum(c) AS BIGINT) AS n_g FROM cellsk GROUP BY v),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+                    CAST(sum(n_i) AS BIGINT) AS n
+                  FROM kept),
+          w AS (SELECT a.v AS vc, b.v AS vk, a.n_g AS na, b.n_g AS nb,
+                  ((1000000 * (b.v - a.v)) // (a.v + b.v)) AS e
+                FROM mg a JOIN mg b ON a.v < b.v),
           w2 AS (SELECT vc, vk, na, nb, e * e AS w FROM w),
           ip AS (SELECT a.i, a.n_i, a.v AS va, b.v AS vb, a.c AS ca, b.c AS cb
                  FROM cellsk a JOIN cellsk b ON a.i = b.i AND a.v < b.v),

@@ -290,6 +290,64 @@ class AgreementSpec extends SparkSpec {
     assert(e3.getMessage.contains("non-integral rating"))
   }
 
+  private def alphaR(rows: Seq[(String, String, Long)]) =
+    Agreement.krippendorffAlphaRatio(rows.toDF("item", "rater", "v"),
+        "item", "rater", "v")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].head()
+
+  test("krippendorffAlphaRatio: the ratio-scale signature — equal " +
+      "RELATIVE errors score identically under scale permutation, " +
+      "where interval α flips") {
+    // (1 vs 2) and (10 vs 20) carry the same relative-distance weight
+    // (1/3)², so swapping WHICH magnitude class disagrees leaves ratio
+    // α unchanged; interval α (absolute distance) moves 997574→716554
+    val mixA = Seq(("i1", "r1", 1L), ("i1", "r2", 2L),
+      ("i2", "r1", 10L), ("i2", "r2", 10L),
+      ("i3", "r1", 20L), ("i3", "r2", 20L))
+    val mixB = Seq(("i1", "r1", 10L), ("i1", "r2", 20L),
+      ("i2", "r1", 1L), ("i2", "r2", 1L),
+      ("i3", "r1", 2L), ("i3", "r2", 2L))
+    val (ni, n, nv, doS, deS, a) = alphaR(mixA)
+    assert(ni === 3L && n === 6L && nv === 4L)
+    assert(doS === 222221777778L && deS === 11518614L)
+    assert(a === Some(903538L))
+    assert(alphaR(mixB)._6 === Some(903538L))
+    assert(alphaI(mixA)._6 === Some(997574L))
+    assert(alphaI(mixB)._6 === Some(716554L))
+  }
+
+  test("krippendorffAlphaRatio: zero is a legitimate ratio value " +
+      "(weight vs any positive is exactly 1 — the two-category nominal " +
+      "invariant); perfect 10⁶; one value NULL; negatives loud") {
+    // (0 vs 3) everywhere: single pair class, weight cancels → nominal
+    val z = Seq(("i1", "r1", 0L), ("i1", "r2", 3L),
+      ("i2", "r1", 0L), ("i2", "r2", 3L))
+    assert(alphaR(z)._6 === Some(-500000L))
+    val perfect = Seq(("i1", "r1", 2L), ("i1", "r2", 2L),
+      ("i2", "r1", 4L), ("i2", "r2", 4L))
+    val (_, _, _, doP, _, aP) = alphaR(perfect)
+    assert(doP === 0L && aP === Some(1000000L))
+    val one = Seq(("i1", "r1", 3L), ("i1", "r2", 3L))
+    val (_, _, nv1, _, de1, a1) = alphaR(one)
+    assert(nv1 === 1L && de1 === 0L && a1 === None)
+    val neg = Seq(("i1", "r1", -1L), ("i1", "r2", 2L))
+    val e1 = intercept[Exception] { alphaR(neg) }
+    assert(e1.getMessage.contains("negative rating"))
+    val dup = Seq(("i1", "r1", 1L), ("i1", "r1", 2L),
+      ("i2", "r1", 1L), ("i2", "r2", 2L))
+    val e2 = intercept[Exception] {
+      Agreement.krippendorffAlphaRatio(dup.toDF("item", "rater", "v"),
+        "item", "rater", "v").select("n_values").collect()
+    }
+    assert(e2.getMessage.contains("duplicate (item, rater)"))
+    val frac = Seq(("i1", "r1", 4.5), ("i1", "r2", 4.0))
+      .toDF("item", "rater", "v")
+    val e3 = intercept[Exception] {
+      Agreement.krippendorffAlphaRatio(frac, "item", "rater", "v").collect()
+    }
+    assert(e3.getMessage.contains("non-integral rating"))
+  }
+
   test("krippendorffAlphaInterval: non-integral ratings fail loudly " +
       "instead of silently truncating; count guards survive pruning") {
     val frac = Seq(("i1", "r1", 4.5), ("i1", "r2", 4.0))
