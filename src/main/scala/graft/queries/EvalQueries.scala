@@ -212,22 +212,42 @@ object EvalQueries {
     // doc after that — all 60-token-capped), so the per-gram MAX clip
     // and the closest-length brevity pick both do real work ─────
     "q263_bleu_multi" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), array_join(
-          slice(filter(graft.text.TextOps.tokens(col("text")),
-            t => length(t) > 0), 1, 60), " ").as("text"))
-      val a = docs.select(col("doc_id"), nullableCand.as("cand"))
-      val b = docs.select((col("doc_id") - 1).as("doc_id"),
-        col("text").as("r1"))
-      val c = docs.select((col("doc_id") - 2).as("doc_id"),
-        col("text").as("r3"))
-      val p = a.join(b, "doc_id").join(c, "doc_id")
-        .select(col("doc_id"), col("cand"),
-          array(col("r1"),
-            array_join(slice(split(col("r1"), " "), lit(1),
-              (lit(5) + col("doc_id") % 9).cast("int")), " "),
-            col("r3")).as("refs"))
-      EvalOps.bleuComponentsMulti(p, "cand", "refs", maxN = 4)
+      EvalOps.bleuComponentsMulti(multiRefFixture(s, d), "cand", "refs",
+          maxN = 4)
+        .drop("cand", "refs")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ───── multi-reference ROUGE-2 best-match (Lin 2004 §5) over the
+    // same three-reference fixture — max per-reference F1 ─────
+    "q269_rouge_n_multi" -> ((s, d) => {
+      EvalOps.rougeNMulti(multiRefFixture(s, d), "cand", "refs", n = 2)
+        .drop("cand", "refs")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ───── multi-reference ROUGE-L best-match over PREFIX-class
+    // references (cand and all refs are prefixes of the same token
+    // base, so LCS(prefix_a, prefix_b) = min(a, b) PROVABLY — the full
+    // per-reference DP output is exactly oracle-gated) ─────
+    "q270_rouge_l_multi" -> ((s, d) => {
+      val rt = slice(
+        filter(graft.text.TextOps.tokens(col("text")), t => length(t) > 0),
+        1, 120)
+      val pairs = Tables.documents(s, d).select(col("doc_id"), rt.as("__rt"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, lit(null).cast("string"))
+            .when(col("doc_id") % 13 === 1, lit(""))
+            .when(col("doc_id") % 13 === 2, lit("   "))
+            .otherwise(array_join(slice(col("__rt"), lit(1),
+              (lit(5) + col("doc_id") % 11).cast("int")), " ")).as("cand"),
+          array(
+            array_join(col("__rt"), " "),
+            array_join(slice(col("__rt"), lit(1),
+              (lit(3) + col("doc_id") % 7).cast("int")), " "),
+            array_join(slice(col("__rt"), lit(1),
+              (lit(9) + col("doc_id") % 5).cast("int")), " ")).as("refs"))
+      EvalOps.rougeLMulti(pairs, "cand", "refs")
         .drop("cand", "refs")
         .orderBy(col("doc_id"))
     }),
@@ -550,6 +570,29 @@ object EvalQueries {
         .orderBy(col("len_gap_bucket"))
     }))
 
+  /** Three-reference fixture shared by the multi-reference metrics
+    * (q263/q269): candidate = own 60-token-capped text (null-injected),
+    * references = successor doc, a 5–13-token prefix of it, and the doc
+    * after that — so max-clip / best-match / closest-length all do real
+    * work. Replayed verbatim in the oracle SQL. */
+  private def multiRefFixture(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), array_join(
+        slice(filter(graft.text.TextOps.tokens(col("text")),
+          t => length(t) > 0), 1, 60), " ").as("text"))
+    val a = docs.select(col("doc_id"), nullableCand.as("cand"))
+    val b = docs.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("r1"))
+    val c = docs.select((col("doc_id") - 2).as("doc_id"),
+      col("text").as("r3"))
+    a.join(b, "doc_id").join(c, "doc_id")
+      .select(col("doc_id"), col("cand"),
+        array(col("r1"),
+          array_join(slice(split(col("r1"), " "), lit(1),
+            (lit(5) + col("doc_id") % 9).cast("int")), " "),
+          col("r3")).as("refs"))
+  }
+
   /** Duel log synthesized from adjacent different-source docs: the
     * longer text's source wins (length ties to the lexicographically
     * smaller source) — replayed verbatim in the oracle SQL. */
@@ -863,8 +906,89 @@ object EvalQueries {
           FROM withf ORDER BY doc_id"""
   }
 
+  /** q269 oracle: per-reference bigram F over the q263 long-form refs
+    * table, best via max() (NULL-ignoring on both engines). */
+  private lazy val rougeNMultiSql: String =
+    s"""WITH d2 AS (
+            SELECT doc_id, array_to_string(
+              (list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 x -> len(x) > 0))[1:60], ' ') AS text
+            FROM documents),
+          p AS (
+            SELECT a.doc_id,
+              CASE WHEN a.doc_id % 13 = 0 THEN NULL
+                   WHEN a.doc_id % 13 = 1 THEN ''
+                   WHEN a.doc_id % 13 = 2 THEN '   '
+                   ELSE a.text END AS cand,
+              b.text AS r1,
+              array_to_string((str_split(b.text, ' '))[1:(5 + a.doc_id % 9)], ' ') AS r2,
+              c.text AS r3
+            FROM d2 a JOIN d2 b ON b.doc_id = a.doc_id + 1
+                      JOIN d2 c ON c.doc_id = a.doc_id + 2),
+          ctk AS (
+            SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(coalesce(cand, '')), '\\s+'), x -> len(x) > 0) AS ct
+            FROM p),
+          rl AS (
+            SELECT doc_id, 1 AS ridx, r1 AS ref FROM p
+            UNION ALL SELECT doc_id, 2, r2 FROM p
+            UNION ALL SELECT doc_id, 3, r3 FROM p),
+          rtk AS (
+            SELECT doc_id, ridx,
+              list_filter(regexp_split_to_array(trim(coalesce(ref, '')), '\\s+'), x -> len(x) > 0) AS rt
+            FROM rl),
+          cg AS (SELECT doc_id, ${gramSql("ct", 2)} AS g FROM ctk),
+          rg AS (SELECT doc_id, ridx, ${gramSql("rt", 2)} AS g FROM rtk),
+          rcnt AS (SELECT doc_id, ridx, g2, CAST(count(*) AS BIGINT) AS c
+                   FROM (SELECT doc_id, ridx, unnest(g) AS g2 FROM rg)
+                   GROUP BY doc_id, ridx, g2),
+          ccnt AS (SELECT doc_id, g2, CAST(count(*) AS BIGINT) AS c
+                   FROM (SELECT doc_id, unnest(g) AS g2 FROM cg)
+                   GROUP BY doc_id, g2),
+          o AS (SELECT rcnt.doc_id, rcnt.ridx, CAST(sum(least(rcnt.c, ccnt.c)) AS BIGINT) AS o
+                FROM rcnt JOIN ccnt USING (doc_id, g2)
+                GROUP BY rcnt.doc_id, rcnt.ridx),
+          f AS (
+            SELECT rg.doc_id, rg.ridx,
+              CASE WHEN len(cg.g) + len(rg.g) > 0
+                THEN (2000000 * coalesce(o.o, 0)) // CAST(len(cg.g) + len(rg.g) AS BIGINT) END AS f
+            FROM rg JOIN cg USING (doc_id)
+            LEFT JOIN o ON rg.doc_id = o.doc_id AND rg.ridx = o.ridx)
+          SELECT cg.doc_id, CAST(len(cg.g) AS BIGINT) AS n_cand_grams,
+            CAST(3 AS BIGINT) AS n_refs,
+            max(f.f) AS rougen_best_micro
+          FROM cg JOIN f ON cg.doc_id = f.doc_id
+          GROUP BY cg.doc_id, cg.g ORDER BY cg.doc_id"""
+
   val oracles: Map[String, String] = Map(
     "q263_bleu_multi" -> bleuMultiSql,
+    "q269_rouge_n_multi" -> rougeNMultiSql,
+
+    "q270_rouge_l_multi" ->
+      """WITH tk AS (
+            SELECT doc_id,
+              CAST(len((list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0))[1:120]) AS BIGINT) AS r
+            FROM documents),
+          cls AS (
+            SELECT doc_id, r,
+              CASE WHEN doc_id % 13 IN (0, 1, 2) THEN 0
+                   ELSE least(5 + doc_id % 11, r) END AS kc,
+              least(3 + doc_id % 7, r) AS k2,
+              least(9 + doc_id % 5, r) AS k3
+            FROM tk),
+          refs AS (
+            SELECT doc_id, kc, r AS kj FROM cls
+            UNION ALL SELECT doc_id, kc, k2 FROM cls
+            UNION ALL SELECT doc_id, kc, k3 FROM cls),
+          f AS (
+            SELECT doc_id, kc,
+              CASE WHEN kc + kj > 0
+                THEN (2000000 * least(kc, kj)) // (kc + kj) END AS f
+            FROM refs)
+          SELECT doc_id, CAST(max(kc) AS BIGINT) AS n_cand_tokens,
+            CAST(3 AS BIGINT) AS n_refs,
+            CAST(max(f) AS BIGINT) AS rougel_best_micro
+          FROM f GROUP BY doc_id ORDER BY doc_id""",
     "q266_chrfpp" -> chrfppSql,
 
     "q267_wer" ->

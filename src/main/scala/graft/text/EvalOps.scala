@@ -215,6 +215,93 @@ object EvalOps {
           size(col(s"__cg$n")).cast("long").as(s"p${n}_den"))): _*)
   }
 
+  /** MULTI-reference ROUGE-N (Lin 2004 §5): summarization eval sets ship
+    * several human references, and the multi-reference score is the
+    * BEST pairwise match — `max_j F(cand, ref_j)` — per candidate (the
+    * jackknifing aggregate is one more avg over leave-one-out maxima a
+    * caller composes). Appends `(n_cand_grams, n_refs,
+    * rougen_best_micro)`: each per-reference F1 is the exact closed
+    * integer form [[rougeN]] uses (`2·10⁶·o div (C+R)`, NULL when both
+    * sides are gramless), and the max ignores NULL entries (all-null →
+    * NULL — nothing was measurable). The candidate gram array is staged
+    * ONCE and each reference rides the same compiled builders/overlap
+    * kernel inside a per-reference fold (1–4 refs in every real set —
+    * the lambda interprets per REFERENCE, the per-gram work stays
+    * compiled; the q240 discipline). NULL candidate → zero grams; a
+    * null reference ELEMENT is the empty reference; an empty/NULL
+    * reference ARRAY fails loudly (prune-proof). Scan-side. */
+  def rougeNMulti(pairs: org.apache.spark.sql.DataFrame, candCol: String,
+                  refsCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val reserved = Seq("n_cand_grams", "n_refs", "rougen_best_micro",
+      "__ct", "__rts", "__cg")
+    val clashes = pairs.columns.filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"rougeNMulti reserves column names ${reserved.mkString(", ")}; " +
+        s"input already has ${clashes.mkString(", ")}")
+    val passthrough = pairs.columns.toSeq.map(col)
+    def toks(c: Column): Column = coalesce(
+      filter(TextOps.tokens(c), t => length(t) > 0),
+      array().cast("array<string>"))
+    val noRefs = col(refsCol).isNull || size(col(refsCol)) === 0
+    def loudRefs(c: Column): Column = when(noRefs,
+        raise_error(lit("rougeNMulti: no references — ROUGE against an " +
+          "empty reference set is undefined")))
+      .otherwise(c)
+    pairs
+      .select(passthrough :+ loudRefs(toks(col(candCol))).as("__ct") :+
+        transform(loudRefs(col(refsCol)), r => toks(r)).as("__rts"): _*)
+      .select(passthrough :+ ngramsOfTokens(col("__ct"), n).as("__cg") :+
+        transform(col("__rts"), r =>
+          graft.functions.TextExpressions.tokenNgrams(r, n)).as("__rgs"): _*)
+      .select(passthrough :+
+        size(col("__cg")).cast("long").as("n_cand_grams") :+
+        size(col("__rgs")).cast("long").as("n_refs") :+
+        array_max(transform(col("__rgs"), g =>
+          when(size(col("__cg")) + size(g) > 0,
+            idiv(lit(2000000L) *
+              coalesce(graft.functions.TextExpressions
+                .clippedOverlapCount(col("__cg"), g), lit(0L)),
+              (size(col("__cg")) + size(g)).cast("long")))))
+          .as("rougen_best_micro"): _*)
+  }
+
+  /** MULTI-reference ROUGE-L — [[rougeNMulti]]'s best-match rule over
+    * the LCS F1 ([[rougeL]] per reference): `max_j 2·lcs_j/(C+R_j)` in
+    * exact micro units, the compiled DP running once per (candidate,
+    * reference) pair — 1–4 doc-bounded DPs per row, scan-side. Appends
+    * `(n_cand_tokens, n_refs, rougel_best_micro)`; same null/loud
+    * contracts as [[rougeNMulti]]. */
+  def rougeLMulti(pairs: org.apache.spark.sql.DataFrame, candCol: String,
+                  refsCol: String): org.apache.spark.sql.DataFrame = {
+    val reserved = Seq("n_cand_tokens", "n_refs", "rougel_best_micro",
+      "__ct", "__rts")
+    val clashes = pairs.columns.filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"rougeLMulti reserves column names ${reserved.mkString(", ")}; " +
+        s"input already has ${clashes.mkString(", ")}")
+    val passthrough = pairs.columns.toSeq.map(col)
+    def toks(c: Column): Column = coalesce(
+      filter(TextOps.tokens(c), t => length(t) > 0),
+      array().cast("array<string>"))
+    val noRefs = col(refsCol).isNull || size(col(refsCol)) === 0
+    def loudRefs(c: Column): Column = when(noRefs,
+        raise_error(lit("rougeLMulti: no references — ROUGE against an " +
+          "empty reference set is undefined")))
+      .otherwise(c)
+    pairs
+      .select(passthrough :+ loudRefs(toks(col(candCol))).as("__ct") :+
+        transform(loudRefs(col(refsCol)), r => toks(r)).as("__rts"): _*)
+      .select(passthrough :+
+        size(col("__ct")).cast("long").as("n_cand_tokens") :+
+        size(col("__rts")).cast("long").as("n_refs") :+
+        array_max(transform(col("__rts"), r =>
+          when(size(col("__ct")) + size(r) > 0,
+            idiv(lit(2000000L) *
+              graft.functions.TextExpressions.lcsLen(col("__ct"), r),
+              (size(col("__ct")) + size(r)).cast("long")))))
+          .as("rougel_best_micro"): _*)
+  }
+
   /** Word error rate (Levenshtein 1966 / the standard ASR-and-generation
     * edit metric; NIST scoring convention) — the edit-distance member
     * that completes the metric quartet next to ROUGE-N/L, BLEU and

@@ -290,6 +290,58 @@ class EvalOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("reserves column names"))
   }
 
+  test("rougeNMulti/rougeLMulti: best-match over references (Lin 2004 " +
+      "§5); single-ref agrees with the pairwise form; loud/null contracts") {
+    // ref2 matches the candidate's bigrams far better than ref1 → best
+    // picks it; single-ref calls reproduce each pairwise F exactly
+    val cand = "the cat sat on the mat"
+    val r1 = "dogs bark loudly outside"
+    val r2 = "the cat sat on a mat"
+    def nb(refs: Seq[String]) = EvalOps.rougeNMulti(
+        Seq((1L, cand, refs)).toDF("id", "cand", "refs"), "cand", "refs", 2)
+      .select("n_cand_grams", "n_refs", "rougen_best_micro")
+      .as[(Long, Long, Option[Long])].head()
+    def pairF(ref: String) = EvalOps.rougeN(
+        Seq((cand, ref)).toDF("cand", "ref"), "cand", "ref", 2)
+      .select("rouge_f_micro").as[Option[Long]].head()
+    val (ncg, nr, best) = nb(Seq(r1, r2))
+    assert(ncg === 5L && nr === 2L)
+    assert(best === Some(math.max(pairF(r1).get, pairF(r2).get)))
+    assert(nb(Seq(r2))._3 === pairF(r2))
+    // L variant: prefixes of one base have LCS = min length
+    val lBest = EvalOps.rougeLMulti(
+        Seq((1L, "a b c", Seq("a b c d e f", "a b"))).toDF("id", "cand", "refs"),
+        "cand", "refs")
+      .select("rougel_best_micro").as[Option[Long]].head()
+    // vs 6-prefix: 2·3/(3+6) = 666666; vs 2-prefix: 2·2/(3+2) = 800000
+    assert(lBest === Some(800000L))
+    // null candidate + a null ref element: measurable refs still score
+    val nulls = EvalOps.rougeNMulti(
+        Seq((1L, null.asInstanceOf[String], Seq(null, "x y z")))
+          .toDF("id", "cand", "refs"), "cand", "refs", 2)
+      .select("n_cand_grams", "rougen_best_micro")
+      .as[(Long, Option[Long])].head()
+    assert(nulls === ((0L, Some(0L)))) // cand gramless vs 2-gram ref → F 0
+    // both sides gramless everywhere → NULL, not 0
+    val allNull = EvalOps.rougeLMulti(
+        Seq((1L, null.asInstanceOf[String], Seq(null.asInstanceOf[String])))
+          .toDF("id", "cand", "refs"), "cand", "refs")
+      .select("rougel_best_micro").as[Option[Long]].head()
+    assert(allNull === None)
+    val e = intercept[Exception] {
+      EvalOps.rougeNMulti(
+        Seq((1L, "a b", Seq.empty[String])).toDF("id", "cand", "refs"),
+        "cand", "refs", 2).select("n_cand_grams").collect()
+    }
+    assert(e.getMessage.contains("no references"))
+    val e2 = intercept[IllegalArgumentException] {
+      EvalOps.rougeLMulti(
+        Seq((1L, "a", Seq("b"))).toDF("n_refs", "cand", "refs"),
+        "cand", "refs")
+    }
+    assert(e2.getMessage.contains("reserves column names"))
+  }
+
   test("chrFpp: word orders join the mean (Popović 2017) — word " +
       "reorder is penalized through the word-2 component; wordN = 0 " +
       "degenerates to exactly chrF") {
