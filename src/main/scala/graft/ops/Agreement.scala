@@ -302,21 +302,26 @@ object Agreement {
     * the total rating mass — `e_ck = (10⁶·(2·Σ_{c..k} n_g − n_c −
     * n_k)) div (2n)` (ONE floor, ≤1 micro of the [0, 1] scale) — and
     * the weight `w_ck = e_ck²` is exact (≤ 10¹²; the uniform 1/(2n)²
-    * normalization cancels in D_o/D_e). Per kept item
-    * `A_i = 2·Σ_{c<k} n_ic·n_ik·w_ck` and `do_scaled = Σ_i A_i div
-    * (n_i−1)` stay in exact longs (the per-item floor loses <1
-    * w-unit on an A_i ~ 10¹²-scale value — far below micro
-    * resolution). The chance side `de_num = 2·Σ_{c<k} n_c·n_k·w_ck`
-    * and the final combine exceed 64 bits past ~3000 ratings, so BOTH
-    * ride DECIMAL(38) exactly (DuckDB replays them as HUGEINT):
+    * normalization cancels in D_o/D_e). Because the weights carry a
+    * 10¹² scale, EVERY downstream sum — the per-item
+    * `A_i = 2·Σ_{c<k} n_ic·n_ik·w_ck`, the global D_o accumulation,
+    * the chance side `de_num = 2·Σ_{c<k} n_c·n_k·w_ck`, and the final
+    * combine — rides DECIMAL(38) exactly (DuckDB replays them as
+    * HUGEINT); the only 64-bit step is the per-item `A_i div (n_i−1)`
+    * floor (exact while a SINGLE item has ≲10⁶ raters, absurd-proof;
+    * its quantization loses <1 w-unit per item — far below micro
+    * resolution):
     * {{{
-    * alpha_micro = 10⁶ − (10⁶·(n−1)·do_scaled) div de_num   — exact to ~10⁹ ratings
+    * alpha_micro = 10⁶ − (10⁶·(n−1)·D_o) div de_num
     * }}}
     * Returns ONE row: `(n_items, n_ratings, n_values, do_scaled,
-    * de_scaled, alpha_micro)` with `de_scaled = de_num div 10⁶` (the
-    * long-ranged reporting form); `de_num = 0` (one value used) →
-    * NULL. On the q260-style graded fixture this lands within 1 micro
-    * of the exact-rational α (AgreementSpec pins the quantization).
+    * de_scaled, alpha_micro)` — the two REPORTING columns are the
+    * DECIMAL accumulators floored to long (`do_scaled` exceeds 64
+    * bits only past ~4·10⁶ ratings and then fails loudly;
+    * `alpha_micro` itself is computed from the decimals and is exact
+    * far beyond); `de_num = 0` (one value used) → NULL. On the
+    * q260-style graded fixture this lands within 1 micro of the
+    * exact-rational α (AgreementSpec pins the quantization).
     *
     * Scale shape: two partial-aggregable hash aggregates over the
     * annotation table, an item-keyed self-join of the per-item CELL
@@ -328,17 +333,96 @@ object Agreement {
   def krippendorffAlphaOrdinal(ann: DataFrame, itemCol: String,
                                raterCol: String, valueCol: String)
       : DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val dec38 = DecimalType(38, 0)
-    val vLoud = when(col(valueCol).isNull, raise_error(lit(
+    val vLoud = integralLoud(valueCol, "krippendorffAlphaOrdinal")
+    // e_ck = (10⁶ · (2·Σ_{g=c..k} n_g − n_c − n_k)) div (2n): the
+    // cumulative-marginal position distance in micro units of n
+    alphaPairWeighted(ann, itemCol, raterCol, vLoud,
+      "krippendorffAlphaOrdinal", (p, fld, rangeSum, n) =>
+        call_function("div",
+          lit(1000000L) * (lit(2L) * rangeSum(p) -
+            fld(p, "ai", "n_g") - fld(p, "bi", "n_g")),
+          lit(2L) * n))
+  }
+
+  /** Krippendorff's α with the RATIO metric — the fourth and last
+    * standard member of the α family (nominal / ordinal / interval /
+    * ratio), for ZERO-ANCHORED scales where relative error is what
+    * matters: error counts, durations, token budgets. Disagreement is
+    * the squared RELATIVE distance (Krippendorff 2011 §E):
+    * {{{
+    * δ_xy = ((x − y) / (x + y))²
+    * }}}
+    * so raters saying 1-vs-2 disagree exactly as much as 10-vs-20 (the
+    * invariant AgreementSpec pins — interval α cannot express it).
+    * Values must be non-negative integers (a ratio scale has a true
+    * zero; negatives fail loudly, like nulls/duplicates/fractions).
+    *
+    * Integer discipline: the weight is `w_xy = e_xy²` with
+    * `e_xy = (10⁶·(y−x)) div (x+y)` — one floor, ≤1 micro of the
+    * [0, 1] relative-distance scale; within 1 micro of the exact
+    * rational α on the gate fixture. Unlike [[krippendorffAlphaOrdinal]]
+    * the weights need no cumulative marginal (they depend only on the
+    * value pair), but the distribution shape is identical: a
+    * category-sized weight table built on ONE row, broadcast back as a
+    * V²-row equi-join against the per-item cell pairs (per-item V²,
+    * never corpus²), with every w-scaled sum in DECIMAL(38)/HUGEINT
+    * (the [[krippendorffAlphaOrdinal]] overflow discipline — the
+    * per-item div is the single 64-bit step). Returns ONE row
+    * `(n_items, n_ratings,
+    * n_values, do_scaled, de_scaled, alpha_micro)`; `de_num = 0` →
+    * NULL. Two partial-aggregable hash aggregates + one item-keyed
+    * self-join; scan volume unbounded. */
+  def krippendorffAlphaRatio(ann: DataFrame, itemCol: String,
+                             raterCol: String, valueCol: String)
+      : DataFrame = {
+    val vLoud = when(col(valueCol) < 0,
+        raise_error(concat(lit("krippendorffAlphaRatio: negative rating "),
+          col(valueCol).cast("string"),
+          lit(" — a ratio scale has a true zero; use the interval or " +
+            "ordinal metric for signed values"))))
+      .otherwise(integralLoud(valueCol, "krippendorffAlphaRatio"))
+    // e_xy = (10⁶ · (y − x)) div (x + y): the relative distance in
+    // micro units (reads only the value pair — no cumulative walk)
+    alphaPairWeighted(ann, itemCol, raterCol, vLoud,
+      "krippendorffAlphaRatio", (p, fld, _, _) =>
+        call_function("div",
+          lit(1000000L) * (fld(p, "bi", "v") - fld(p, "ai", "v")),
+          fld(p, "ai", "v") + fld(p, "bi", "v")))
+  }
+
+  /** The loud integral-value gate shared by the numeric α metrics:
+    * nulls and fractional ratings (which the long cast would silently
+    * truncate) both raise. */
+  private def integralLoud(valueCol: String, fname: String): Column =
+    when(col(valueCol).isNull, raise_error(lit(
         "Agreement: null value — clean the annotation table first")))
       .when(col(valueCol).cast("double") =!=
           floor(col(valueCol).cast("double")).cast("double"),
-        raise_error(concat(lit("krippendorffAlphaOrdinal: non-integral " +
-          "rating "), col(valueCol).cast("string"),
+        raise_error(concat(lit(s"$fname: non-integral rating "),
+          col(valueCol).cast("string"),
           lit(" — scale to integers first (e.g. half-points ×2); the " +
             "integer discipline cannot truncate silently"))))
       .otherwise(col(valueCol).cast("long"))
+
+  /** Shared machinery for the PAIR-WEIGHTED α metrics (ordinal, ratio):
+    * identical incomplete-design staging to the nominal/interval twins
+    * (cells → kept items → marginals, loud dup/empty guards threaded
+    * through every output column), with the caller supplying only the
+    * micro-normalized pair distance `e` — evaluated per ORDERED value
+    * pair on the ONE-row sorted-marginal frame (≤ V categories from a
+    * bounded `collect_list`; no single-partition window), squared into
+    * the weight `w = e²` (exact, ≤ 10¹²) and broadcast back as a
+    * V²-row equi-join against the per-item cell pairs (per-item V²,
+    * never corpus²). Every w-scaled sum — per-item A_i, the global
+    * D_o, the chance side, the final combine — rides DECIMAL(38)
+    * (HUGEINT in the oracles); the per-item `A_i div (n_i−1)` floor is
+    * the single 64-bit step (exact while one item has ≲10⁶ raters). */
+  private def alphaPairWeighted(ann: DataFrame, itemCol: String,
+      raterCol: String, vLoud: Column, fname: String,
+      eOf: (Column, (Column, String, String) => Column,
+            Column => Column, Column) => Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
     val src = ann.select(loud(col(itemCol), "item").as("i"),
       loud(col(raterCol), "rater").as("r"), vLoud.as("v"))
     val cells = src.groupBy(col("i"), col("v"))
@@ -371,10 +455,7 @@ object Agreement {
     val ePairs = transform(filter(allIdx, p => p("bi") > p("ai")), p =>
       struct(fld(p, "ai", "v").as("vc"), fld(p, "bi", "v").as("vk"),
         fld(p, "ai", "n_g").as("na"), fld(p, "bi", "n_g").as("nb"),
-        call_function("div",
-          lit(1000000L) * (lit(2L) * rangeSum(p) -
-            fld(p, "ai", "n_g") - fld(p, "bi", "n_g")),
-          lit(2L) * col("n")).as("e")))
+        eOf(p, fld, rangeSum, col("n")).as("e")))
     val pairsRow = mgRow.select(
       when(vCount < 2,
           array().cast("array<struct<vc:bigint,vk:bigint," +
@@ -391,19 +472,23 @@ object Agreement {
     val ca = cellsK.select(col("i"), col("n_i"), col("v").as("va"),
       col("c").as("ca"))
     val cb = cellsK.select(col("i"), col("v").as("vb"), col("c").as("cb"))
+    // A_i accumulates in DECIMAL (terms reach ca·cb·10¹²); the per-item
+    // div floors back to long (exact while one item has ≲10⁶ raters),
+    // and the global D_o re-accumulates in DECIMAL
     val doRow = ca.join(cb, Seq("i")).where(col("va") < col("vb"))
       .join(broadcast(weightTbl),
         col("va") === col("vc") && col("vb") === col("vk"))
       .groupBy(col("i"))
       .agg(max(col("n_i")).as("n_i"),
-        sum(lit(2L) * col("ca") * col("cb") * col("w")).as("a2"))
-      .agg(coalesce(sum(call_function("div", col("a2"), col("n_i") - 1L)),
-        lit(0L)).as("do_scaled"))
+        sum(lit(2).cast(dec38) * col("ca") * col("cb") * col("w")).as("a2"))
+      .agg(coalesce(sum(
+        call_function("div", col("a2"), col("n_i") - 1L).cast(dec38)),
+        lit(0).cast(dec38)).as("do_dec"))
     def guard(c: Column): Column =
-      when(col("maxdup") > 1L, raise_error(lit("krippendorffAlphaOrdinal: " +
+      when(col("maxdup") > 1L, raise_error(lit(s"$fname: " +
           "duplicate (item, rater) rating rows — dedupe or re-key the table")))
         .when(col("n_items") === 0L, raise_error(lit(
-          "krippendorffAlphaOrdinal: no item has 2 or more ratings — " +
+          s"$fname: no item has 2 or more ratings — " +
             "nothing to measure agreement on")))
         .otherwise(c)
     itemTot.crossJoin(valueTot).crossJoin(doRow).crossJoin(deRow)
@@ -411,134 +496,14 @@ object Agreement {
       .select(guard(col("n_items")).as("n_items"),
         guard(col("n_ratings")).as("n_ratings"),
         guard(col("n_values")).as("n_values"),
-        guard(col("do_scaled")).as("do_scaled"),
+        guard(call_function("div", col("do_dec"),
+          lit(1L).cast(dec38))).as("do_scaled"),
         guard(call_function("div", col("de_num"),
           lit(1000000L).cast(dec38))).as("de_scaled"),
         guard(when(col("de_num") > 0,
           lit(1000000L) - call_function("div",
             (lit(1000000L) * (col("n_ratings") - 1L)).cast(dec38) *
-              col("do_scaled"),
-            col("de_num")))).as("alpha_micro"))
-  }
-
-  /** Krippendorff's α with the RATIO metric — the fourth and last
-    * standard member of the α family (nominal / ordinal / interval /
-    * ratio), for ZERO-ANCHORED scales where relative error is what
-    * matters: error counts, durations, token budgets. Disagreement is
-    * the squared RELATIVE distance (Krippendorff 2011 §E):
-    * {{{
-    * δ_xy = ((x − y) / (x + y))²
-    * }}}
-    * so raters saying 1-vs-2 disagree exactly as much as 10-vs-20 (the
-    * invariant AgreementSpec pins — interval α cannot express it).
-    * Values must be non-negative integers (a ratio scale has a true
-    * zero; negatives fail loudly, like nulls/duplicates/fractions).
-    *
-    * Integer discipline: the weight is `w_xy = e_xy²` with
-    * `e_xy = (10⁶·(y−x)) div (x+y)` — one floor, ≤1 micro of the
-    * [0, 1] relative-distance scale; within 1 micro of the exact
-    * rational α on the gate fixture. Unlike [[krippendorffAlphaOrdinal]]
-    * the weights need no cumulative marginal (they depend only on the
-    * value pair), but the distribution shape is identical: a
-    * category-sized weight table built on ONE row, broadcast back as a
-    * V²-row equi-join against the per-item cell pairs (per-item V²,
-    * never corpus²), with the chance side and the final combine in
-    * DECIMAL(38)/HUGEINT. Returns ONE row `(n_items, n_ratings,
-    * n_values, do_scaled, de_scaled, alpha_micro)`; `de_num = 0` →
-    * NULL. Two partial-aggregable hash aggregates + one item-keyed
-    * self-join; scan volume unbounded. */
-  def krippendorffAlphaRatio(ann: DataFrame, itemCol: String,
-                             raterCol: String, valueCol: String)
-      : DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val dec38 = DecimalType(38, 0)
-    val vLoud = when(col(valueCol).isNull, raise_error(lit(
-        "Agreement: null value — clean the annotation table first")))
-      .when(col(valueCol).cast("double") =!=
-          floor(col(valueCol).cast("double")).cast("double"),
-        raise_error(concat(lit("krippendorffAlphaRatio: non-integral " +
-          "rating "), col(valueCol).cast("string"),
-          lit(" — scale to integers first (e.g. half-points ×2); the " +
-            "integer discipline cannot truncate silently"))))
-      .when(col(valueCol) < 0,
-        raise_error(concat(lit("krippendorffAlphaRatio: negative rating "),
-          col(valueCol).cast("string"),
-          lit(" — a ratio scale has a true zero; use the interval or " +
-            "ordinal metric for signed values"))))
-      .otherwise(col(valueCol).cast("long"))
-    val src = ann.select(loud(col(itemCol), "item").as("i"),
-      loud(col(raterCol), "rater").as("r"), vLoud.as("v"))
-    val cells = src.groupBy(col("i"), col("v"))
-      .agg(count(lit(1)).as("c"))
-    val items = cells.groupBy(col("i")).agg(sum(col("c")).as("n_i"))
-    val kept = items.where(col("n_i") >= 2L)
-    val cellsK = cells.join(kept, Seq("i"))
-    val itemTot = kept.agg(count(lit(1)).as("n_items"),
-      coalesce(sum(col("n_i")), lit(0L)).as("n_ratings"))
-    val valueTot = src.join(kept.select(col("i")), Seq("i"))
-      .agg(countDistinct(col("v")).as("n_values"))
-    val dupStats = src.groupBy(col("i"), col("r"))
-      .agg(count(lit(1)).as("c"))
-      .agg(max(col("c")).as("maxdup"))
-    // category marginals on ONE sorted row (the ordinal-twin shape,
-    // minus the cumulative walk — ratio weights read only the pair)
-    val mgRow = cellsK.groupBy(col("v")).agg(sum(col("c")).as("n_g"))
-      .agg(sort_array(collect_list(struct(col("v"), col("n_g")))).as("arr"))
-    val vCount = size(col("arr"))
-    val allIdx = flatten(transform(sequence(lit(1), vCount), a =>
-      transform(sequence(lit(1), vCount), b =>
-        struct(a.as("ai"), b.as("bi")))))
-    def fld(p: Column, idx: String, f: String): Column =
-      element_at(col("arr"), p(idx).cast("int"))(f)
-    val ePairs = transform(filter(allIdx, p => p("bi") > p("ai")), p =>
-      struct(fld(p, "ai", "v").as("vc"), fld(p, "bi", "v").as("vk"),
-        fld(p, "ai", "n_g").as("na"), fld(p, "bi", "n_g").as("nb"),
-        call_function("div",
-          lit(1000000L) * (fld(p, "bi", "v") - fld(p, "ai", "v")),
-          fld(p, "ai", "v") + fld(p, "bi", "v")).as("e")))
-    val pairsRow = mgRow.select(
-      when(vCount < 2,
-          array().cast("array<struct<vc:bigint,vk:bigint," +
-            "na:bigint,nb:bigint,e:bigint>>"))
-        .otherwise(ePairs).as("pairs"))
-    val weightTbl = pairsRow
-      .select(explode(col("pairs")).as("p"))
-      .select(col("p")("vc").as("vc"), col("p")("vk").as("vk"),
-        col("p")("na").as("na"), col("p")("nb").as("nb"),
-        (col("p")("e") * col("p")("e")).as("w"))
-    val deRow = weightTbl.agg(
-      coalesce(sum(lit(2).cast(dec38) * col("na") * col("nb") * col("w")),
-        lit(0).cast(dec38)).as("de_num"))
-    val ca = cellsK.select(col("i"), col("n_i"), col("v").as("va"),
-      col("c").as("ca"))
-    val cb = cellsK.select(col("i"), col("v").as("vb"), col("c").as("cb"))
-    val doRow = ca.join(cb, Seq("i")).where(col("va") < col("vb"))
-      .join(broadcast(weightTbl),
-        col("va") === col("vc") && col("vb") === col("vk"))
-      .groupBy(col("i"))
-      .agg(max(col("n_i")).as("n_i"),
-        sum(lit(2L) * col("ca") * col("cb") * col("w")).as("a2"))
-      .agg(coalesce(sum(call_function("div", col("a2"), col("n_i") - 1L)),
-        lit(0L)).as("do_scaled"))
-    def guard(c: Column): Column =
-      when(col("maxdup") > 1L, raise_error(lit("krippendorffAlphaRatio: " +
-          "duplicate (item, rater) rating rows — dedupe or re-key the table")))
-        .when(col("n_items") === 0L, raise_error(lit(
-          "krippendorffAlphaRatio: no item has 2 or more ratings — " +
-            "nothing to measure agreement on")))
-        .otherwise(c)
-    itemTot.crossJoin(valueTot).crossJoin(doRow).crossJoin(deRow)
-      .crossJoin(dupStats)
-      .select(guard(col("n_items")).as("n_items"),
-        guard(col("n_ratings")).as("n_ratings"),
-        guard(col("n_values")).as("n_values"),
-        guard(col("do_scaled")).as("do_scaled"),
-        guard(call_function("div", col("de_num"),
-          lit(1000000L).cast(dec38))).as("de_scaled"),
-        guard(when(col("de_num") > 0,
-          lit(1000000L) - call_function("div",
-            (lit(1000000L) * (col("n_ratings") - 1L)).cast(dec38) *
-              col("do_scaled"),
+              col("do_dec"),
             col("de_num")))).as("alpha_micro"))
   }
 

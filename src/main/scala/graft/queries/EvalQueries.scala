@@ -126,7 +126,7 @@ object EvalQueries {
               concat(lit("zzzb"), col("doc_id").cast("string")),
               concat(lit("zzzc"), col("doc_id").cast("string"))))
             .as("cand"))
-      EvalOps.wer(pairs.drop("__rt"), "cand", "ref")
+      EvalOps.wer(pairs, "cand", "ref")
         .drop("cand", "ref")
         .orderBy(col("doc_id"))
     }),
@@ -1033,7 +1033,7 @@ object EvalQueries {
           ip AS (SELECT a.i, a.n_i, a.v AS va, b.v AS vb, a.c AS ca, b.c AS cb
                  FROM cellsk a JOIN cellsk b ON a.i = b.i AND a.v < b.v),
           ai AS (SELECT ip.i, max(ip.n_i) AS n_i,
-                   CAST(sum(2 * ip.ca * ip.cb * w2.w) AS BIGINT) AS a2
+                   sum(2 * CAST(ip.ca AS HUGEINT) * ip.cb * w2.w) AS a2
                  FROM ip JOIN w2 ON ip.va = w2.vc AND ip.vb = w2.vk
                  GROUP BY ip.i),
           dorow AS (SELECT CAST(coalesce(sum(a2 // (n_i - 1)), 0) AS BIGINT) AS do_scaled FROM ai),
@@ -1068,7 +1068,7 @@ object EvalQueries {
           ip AS (SELECT a.i, a.n_i, a.v AS va, b.v AS vb, a.c AS ca, b.c AS cb
                  FROM cellsk a JOIN cellsk b ON a.i = b.i AND a.v < b.v),
           ai AS (SELECT ip.i, max(ip.n_i) AS n_i,
-                   CAST(sum(2 * ip.ca * ip.cb * w2.w) AS BIGINT) AS a2
+                   sum(2 * CAST(ip.ca AS HUGEINT) * ip.cb * w2.w) AS a2
                  FROM ip JOIN w2 ON ip.va = w2.vc AND ip.vb = w2.vk
                  GROUP BY ip.i),
           dorow AS (SELECT CAST(coalesce(sum(a2 // (n_i - 1)), 0) AS BIGINT) AS do_scaled FROM ai),

@@ -18,6 +18,14 @@ object EvalOps {
 
   private def idiv(a: Column, b: Column): Column = call_function("div", a, b)
 
+  /** Whitespace tokens with empties dropped and NULL text reading as
+    * the EMPTY token array — the family-wide null contract (zero
+    * counts, NULL ratios via the when-guards), and what keeps the
+    * null-intolerant DP/overlap kernels from ever seeing null. */
+  private def toksOrEmpty(c: Column): Column = coalesce(
+    filter(TextOps.tokens(c), t => length(t) > 0),
+    array().cast("array<string>"))
+
   /** Word n-grams of order `n` as an array column (multiplicity kept —
     * ROUGE clips per distinct gram, so duplicates matter). Docs with
     * fewer than `n` tokens have NO n-grams (the standard ROUGE
@@ -87,10 +95,11 @@ object EvalOps {
       s"rougeN reserves column names ${reserved.mkString(", ")}; " +
         s"input already has ${clashes.mkString(", ")}")
     val passthrough = pairs.columns.toSeq.map(col)
-    def toks(c: Column): Column = filter(TextOps.tokens(c), t => length(t) > 0)
+    def toksNoNull(c: Column): Column =
+      filter(TextOps.tokens(c), t => length(t) > 0)
     pairs
-      .select(passthrough :+ toks(col(candCol)).as("__ct") :+
-        toks(col(refCol)).as("__rt"): _*)
+      .select(passthrough :+ toksNoNull(col(candCol)).as("__ct") :+
+        toksNoNull(col(refCol)).as("__rt"): _*)
       .select(passthrough :+ ngramsOfTokens(col("__ct"), n).as("__cg") :+
         ngramsOfTokens(col("__rt"), n).as("__rg"): _*)
       .select(passthrough :+ size(col("__cg")).cast("long").as("n_cand_grams") :+
@@ -146,12 +155,9 @@ object EvalOps {
     // NULL text tokenizes to a NULL array — coalesce to empty so the
     // null-contract row keeps ZERO counts (ratios go NULL via the
     // when-guards) and the null-intolerant DP expression never sees null
-    def toks(c: Column): Column = coalesce(
-      filter(TextOps.tokens(c), t => length(t) > 0),
-      array().cast("array<string>"))
     pairs
-      .select(passthrough :+ toks(col(candCol)).as("__ct") :+
-        toks(col(refCol)).as("__rt"): _*)
+      .select(passthrough :+ toksOrEmpty(col(candCol)).as("__ct") :+
+        toksOrEmpty(col(refCol)).as("__rt"): _*)
       .select(passthrough :+
         size(col("__ct")).cast("long").as("n_cand_tokens") :+
         size(col("__rt")).cast("long").as("n_ref_tokens") :+
@@ -197,12 +203,9 @@ object EvalOps {
         s"input already has ${clashes.mkString(", ")}")
     val passthrough = pairs.columns.toSeq.map(col)
     // NULL text → empty token array (zero counts), the rougeL contract
-    def toks(c: Column): Column = coalesce(
-      filter(TextOps.tokens(c), t => length(t) > 0),
-      array().cast("array<string>"))
     pairs
-      .select(passthrough :+ toks(col(candCol)).as("__ct") :+
-        toks(col(refCol)).as("__rt"): _*)
+      .select(passthrough :+ toksOrEmpty(col(candCol)).as("__ct") :+
+        toksOrEmpty(col(refCol)).as("__rt"): _*)
       .select(passthrough ++ Seq(
         size(col("__ct")).cast("long").as("cand_len"),
         size(col("__rt")).cast("long").as("ref_len")) ++
@@ -233,23 +236,20 @@ object EvalOps {
   def rougeNMulti(pairs: org.apache.spark.sql.DataFrame, candCol: String,
                   refsCol: String, n: Int): org.apache.spark.sql.DataFrame = {
     val reserved = Seq("n_cand_grams", "n_refs", "rougen_best_micro",
-      "__ct", "__rts", "__cg")
+      "__ct", "__rts", "__cg", "__rgs")
     val clashes = pairs.columns.filter(reserved.contains)
     require(clashes.isEmpty,
       s"rougeNMulti reserves column names ${reserved.mkString(", ")}; " +
         s"input already has ${clashes.mkString(", ")}")
     val passthrough = pairs.columns.toSeq.map(col)
-    def toks(c: Column): Column = coalesce(
-      filter(TextOps.tokens(c), t => length(t) > 0),
-      array().cast("array<string>"))
     val noRefs = col(refsCol).isNull || size(col(refsCol)) === 0
     def loudRefs(c: Column): Column = when(noRefs,
         raise_error(lit("rougeNMulti: no references — ROUGE against an " +
           "empty reference set is undefined")))
       .otherwise(c)
     pairs
-      .select(passthrough :+ loudRefs(toks(col(candCol))).as("__ct") :+
-        transform(loudRefs(col(refsCol)), r => toks(r)).as("__rts"): _*)
+      .select(passthrough :+ loudRefs(toksOrEmpty(col(candCol))).as("__ct") :+
+        transform(loudRefs(col(refsCol)), r => toksOrEmpty(r)).as("__rts"): _*)
       .select(passthrough :+ ngramsOfTokens(col("__ct"), n).as("__cg") :+
         transform(col("__rts"), r =>
           graft.functions.TextExpressions.tokenNgrams(r, n)).as("__rgs"): _*)
@@ -280,17 +280,14 @@ object EvalOps {
       s"rougeLMulti reserves column names ${reserved.mkString(", ")}; " +
         s"input already has ${clashes.mkString(", ")}")
     val passthrough = pairs.columns.toSeq.map(col)
-    def toks(c: Column): Column = coalesce(
-      filter(TextOps.tokens(c), t => length(t) > 0),
-      array().cast("array<string>"))
     val noRefs = col(refsCol).isNull || size(col(refsCol)) === 0
     def loudRefs(c: Column): Column = when(noRefs,
         raise_error(lit("rougeLMulti: no references — ROUGE against an " +
           "empty reference set is undefined")))
       .otherwise(c)
     pairs
-      .select(passthrough :+ loudRefs(toks(col(candCol))).as("__ct") :+
-        transform(loudRefs(col(refsCol)), r => toks(r)).as("__rts"): _*)
+      .select(passthrough :+ loudRefs(toksOrEmpty(col(candCol))).as("__ct") :+
+        transform(loudRefs(col(refsCol)), r => toksOrEmpty(r)).as("__rts"): _*)
       .select(passthrough :+
         size(col("__ct")).cast("long").as("n_cand_tokens") :+
         size(col("__rts")).cast("long").as("n_refs") :+
@@ -328,12 +325,9 @@ object EvalOps {
       s"wer reserves column names ${reserved.mkString(", ")}; " +
         s"input already has ${clashes.mkString(", ")}")
     val passthrough = pairs.columns.toSeq.map(col)
-    def toks(c: Column): Column = coalesce(
-      filter(TextOps.tokens(c), t => length(t) > 0),
-      array().cast("array<string>"))
     pairs
-      .select(passthrough :+ toks(col(candCol)).as("__ct") :+
-        toks(col(refCol)).as("__rt"): _*)
+      .select(passthrough :+ toksOrEmpty(col(candCol)).as("__ct") :+
+        toksOrEmpty(col(refCol)).as("__rt"): _*)
       .select(passthrough :+
         size(col("__ct")).cast("long").as("n_cand_tokens") :+
         size(col("__rt")).cast("long").as("n_ref_tokens") :+
@@ -382,23 +376,17 @@ object EvalOps {
       s"bleuComponentsMulti reserves column names ${reserved.mkString(", ")}; " +
         s"input already has ${clashes.mkString(", ")}")
     val passthrough = pairs.columns.toSeq.map(col)
-    def toks(c: Column): Column = coalesce(
-      filter(TextOps.tokens(c), t => length(t) > 0),
-      array().cast("array<string>"))
     // the no-references guard lives on the refs array every staged
     // column derives from — and on the candidate tokens too, so even a
     // refs-free projection (p_den alone) cannot prune it away
-    val refsLoud = when(col(refsCol).isNull || size(col(refsCol)) === 0,
+    val noRefs = col(refsCol).isNull || size(col(refsCol)) === 0
+    def loudRefs(c: Column): Column = when(noRefs,
         raise_error(lit("bleuComponentsMulti: no references — BLEU " +
           "against an empty reference set is undefined")))
-      .otherwise(col(refsCol))
-    val candLoud = when(col(refsCol).isNull || size(col(refsCol)) === 0,
-        raise_error(lit("bleuComponentsMulti: no references — BLEU " +
-          "against an empty reference set is undefined")))
-      .otherwise(toks(col(candCol)))
+      .otherwise(c)
     pairs
-      .select(passthrough :+ candLoud.as("__ct") :+
-        transform(refsLoud, r => toks(r)).as("__rts"): _*)
+      .select(passthrough :+ loudRefs(toksOrEmpty(col(candCol))).as("__ct") :+
+        transform(loudRefs(col(refsCol)), r => toksOrEmpty(r)).as("__rts"): _*)
       .select(passthrough ++ Seq(
         size(col("__ct")).cast("long").as("cand_len"), col("__rts")) ++
         orders.flatMap(n => Seq(
@@ -548,16 +536,13 @@ object EvalOps {
     val passthrough = pairs.columns.toSeq.map(col)
     def despaced(c: Column): Column =
       regexp_replace(coalesce(c, lit("")), "\\s+", "")
-    def toks(c: Column): Column = coalesce(
-      filter(TextOps.tokens(c), t => length(t) > 0),
-      array().cast("array<string>"))
     // (prefix, order) pairs drive the shared per-order column plumbing
     val keyed = cOrders.map(n => ("chrf", "__cg", "__rg", n)) ++
       wOrders.map(n => ("chrfw", "__cwg", "__rwg", n))
     pairs
       .select(passthrough :+ despaced(col(candCol)).as("__cc") :+
-        despaced(col(refCol)).as("__rc") :+ toks(col(candCol)).as("__cwt") :+
-        toks(col(refCol)).as("__rwt"): _*)
+        despaced(col(refCol)).as("__rc") :+ toksOrEmpty(col(candCol)).as("__cwt") :+
+        toksOrEmpty(col(refCol)).as("__rwt"): _*)
       .select(passthrough ++
         cOrders.flatMap(n => Seq(
           graft.functions.TextExpressions.charNgrams(col("__cc"), n)
