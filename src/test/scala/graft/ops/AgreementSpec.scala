@@ -348,6 +348,23 @@ class AgreementSpec extends SparkSpec {
     assert(e3.getMessage.contains("non-integral rating"))
   }
 
+  test("pair-weighted α survives per-item sums past 64 bits: a " +
+      "5000-vs-5000 split item (A_i ≈ 1.25·10¹⁹ > Long.Max) computes " +
+      "through the DECIMAL do-side instead of ANSI-overflowing") {
+    val rows = (1 to 5000).map(_ => ("big", 0L)) ++
+      (1 to 5000).map(_ => ("big", 1L)) ++ Seq(("s", 3L), ("s", 3L))
+    val ann = rows.zipWithIndex
+      .map { case ((i, v), k) => (i, s"r$k", v) }
+      .toDF("item", "rater", "v")
+    val (ni, n, nv, doS, deS, a) =
+      Agreement.krippendorffAlphaOrdinal(ann, "item", "rater", "v")
+        .as[(Long, Long, Long, Long, Long, Option[Long])].head()
+    // pinned against the python integer-model replay of the same scheme
+    assert(ni === 2L && n === 10002L && nv === 3L)
+    assert(doS === 1249625012501250L && deS === 12507499490098L)
+    assert(a === Some(800L))
+  }
+
   test("krippendorffAlphaInterval: non-integral ratings fail loudly " +
       "instead of silently truncating; count guards survive pruning") {
     val frac = Seq(("i1", "r1", 4.5), ("i1", "r2", 4.0))
