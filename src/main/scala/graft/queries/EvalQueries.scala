@@ -226,6 +226,15 @@ object EvalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── jackknifed multi-reference ROUGE-2 (the DUC protocol:
+    // mean over leave-one-out best matches) over the same fixture ─────
+    "q271_rouge_jackknife" -> ((s, d) => {
+      EvalOps.rougeNMulti(multiRefFixture(s, d), "cand", "refs", n = 2,
+          jackknife = true)
+        .drop("cand", "refs")
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── multi-reference ROUGE-L best-match over PREFIX-class
     // references (cand and all refs are prefixes of the same token
     // base, so LCS(prefix_a, prefix_b) = min(a, b) PROVABLY — the full
@@ -960,9 +969,34 @@ object EvalQueries {
           FROM cg JOIN f ON cg.doc_id = f.doc_id
           GROUP BY cg.doc_id, cg.g ORDER BY cg.doc_id"""
 
+  /** q271 oracle: q269's per-reference F table + the leave-one-out
+    * max CTE, mean over the 3 exclusions (NULL-guarded: all three
+    * leave-one-out maxima must be measurable). */
+  private lazy val rougeJackknifeSql: String = {
+    val base = rougeNMultiSql
+    val cut = base.lastIndexOf("SELECT cg.doc_id")
+    base.substring(0, cut) +
+      """, jk AS (
+            SELECT a.doc_id, a.ridx, max(b.f) AS m
+            FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.ridx <> b.ridx
+            GROUP BY a.doc_id, a.ridx),
+          jkagg AS (
+            SELECT doc_id,
+              CASE WHEN count(m) = 3 THEN CAST(sum(m) // 3 AS BIGINT) END AS jk
+            FROM jk GROUP BY doc_id)
+          SELECT cg.doc_id, CAST(len(cg.g) AS BIGINT) AS n_cand_grams,
+            CAST(3 AS BIGINT) AS n_refs,
+            max(f.f) AS rougen_best_micro,
+            max(jkagg.jk) AS rougen_jk_micro
+          FROM cg JOIN f ON cg.doc_id = f.doc_id
+          JOIN jkagg ON cg.doc_id = jkagg.doc_id
+          GROUP BY cg.doc_id, cg.g ORDER BY cg.doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q263_bleu_multi" -> bleuMultiSql,
     "q269_rouge_n_multi" -> rougeNMultiSql,
+    "q271_rouge_jackknife" -> rougeJackknifeSql,
 
     "q270_rouge_l_multi" ->
       """WITH tk AS (

@@ -220,10 +220,13 @@ object EvalOps {
 
   /** MULTI-reference ROUGE-N (Lin 2004 §5): summarization eval sets ship
     * several human references, and the multi-reference score is the
-    * BEST pairwise match — `max_j F(cand, ref_j)` — per candidate (the
-    * jackknifing aggregate is one more avg over leave-one-out maxima a
-    * caller composes). Appends `(n_cand_grams, n_refs,
-    * rougen_best_micro)`: each per-reference F1 is the exact closed
+    * BEST pairwise match — `max_j F(cand, ref_j)` — per candidate.
+    * With `jackknife = true` the DUC evaluation protocol's statistic is
+    * appended too: `rougen_jk_micro = (Σ_j max_{i≠j} F_i) div k`, the
+    * mean over leave-one-out maxima (comparable against a human scored
+    * the same way) — NULL for single-reference rows or when a
+    * leave-one-out subset is entirely unmeasurable. Appends
+    * `(n_cand_grams, n_refs, rougen_best_micro[, rougen_jk_micro])`: each per-reference F1 is the exact closed
     * integer form [[rougeN]] uses (`2·10⁶·o div (C+R)`, NULL when both
     * sides are gramless), and the max ignores NULL entries (all-null →
     * NULL — nothing was measurable). The candidate gram array is staged
@@ -234,9 +237,10 @@ object EvalOps {
     * null reference ELEMENT is the empty reference; an empty/NULL
     * reference ARRAY fails loudly (prune-proof). Scan-side. */
   def rougeNMulti(pairs: org.apache.spark.sql.DataFrame, candCol: String,
-                  refsCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+                  refsCol: String, n: Int, jackknife: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
     val reserved = Seq("n_cand_grams", "n_refs", "rougen_best_micro",
-      "__ct", "__rts", "__cg", "__rgs")
+      "rougen_jk_micro", "__ct", "__rts", "__cg", "__rgs", "__fs")
     val clashes = pairs.columns.filter(reserved.contains)
     require(clashes.isEmpty,
       s"rougeNMulti reserves column names ${reserved.mkString(", ")}; " +
@@ -247,22 +251,36 @@ object EvalOps {
         raise_error(lit("rougeNMulti: no references — ROUGE against an " +
           "empty reference set is undefined")))
       .otherwise(c)
-    pairs
+    // the per-reference F array is staged so best-match AND jackknife
+    // read the same materialized scores
+    val staged = pairs
       .select(passthrough :+ loudRefs(toksOrEmpty(col(candCol))).as("__ct") :+
         transform(loudRefs(col(refsCol)), r => toksOrEmpty(r)).as("__rts"): _*)
       .select(passthrough :+ ngramsOfTokens(col("__ct"), n).as("__cg") :+
         transform(col("__rts"), r =>
           graft.functions.TextExpressions.tokenNgrams(r, n)).as("__rgs"): _*)
-      .select(passthrough :+
-        size(col("__cg")).cast("long").as("n_cand_grams") :+
-        size(col("__rgs")).cast("long").as("n_refs") :+
-        array_max(transform(col("__rgs"), g =>
+      .select(passthrough :+ col("__cg") :+
+        transform(col("__rgs"), g =>
           when(size(col("__cg")) + size(g) > 0,
             idiv(lit(2000000L) *
               coalesce(graft.functions.TextExpressions
                 .clippedOverlapCount(col("__cg"), g), lit(0L)),
-              (size(col("__cg")) + size(g)).cast("long")))))
-          .as("rougen_best_micro"): _*)
+              (size(col("__cg")) + size(g)).cast("long")))).as("__fs"): _*)
+    val jkCols = if (!jackknife) Nil else {
+      // Lin 2004 §5 jackknife: mean over j of the best match among the
+      // OTHER references — NULL for single-reference rows (leave-one-out
+      // of one reference is empty) or when any leave-one-out subset is
+      // entirely unmeasurable
+      val maxes = transform(sequence(lit(1), size(col("__fs"))), j =>
+        array_max(filter(col("__fs"), (_, i) => i =!= (j - 1))))
+      Seq(when(size(col("__fs")) >= 2 && !exists(maxes, m => m.isNull),
+        idiv(aggregate(maxes, lit(0L), (a, m) => a + m),
+          size(col("__fs")).cast("long"))).as("rougen_jk_micro"))
+    }
+    staged.select(passthrough ++ Seq(
+      size(col("__cg")).cast("long").as("n_cand_grams"),
+      size(col("__fs")).cast("long").as("n_refs"),
+      array_max(col("__fs")).as("rougen_best_micro")) ++ jkCols: _*)
   }
 
   /** MULTI-reference ROUGE-L — [[rougeNMulti]]'s best-match rule over

@@ -342,6 +342,40 @@ class EvalOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("reserves column names"))
   }
 
+  test("rougeNMulti jackknife: mean of leave-one-out best matches (the " +
+      "DUC protocol); NULL for single-reference rows") {
+    val cand = "the cat sat on the mat"
+    val refs = Seq("the cat sat on a mat",      // strong match
+      "a cat sat quietly nearby",               // weak match
+      "dogs bark loudly outside")               // no match
+    def pairF(ref: String): Long = EvalOps.rougeN(
+        Seq((cand, ref)).toDF("cand", "ref"), "cand", "ref", 2)
+      .select("rouge_f_micro").as[Option[Long]].head().get
+    val fs = refs.map(pairF)
+    val expectedJk = (Seq(math.max(fs(1), fs(2)), math.max(fs(0), fs(2)),
+      math.max(fs(0), fs(1))).sum) / 3L
+    val (best, jk) = EvalOps.rougeNMulti(
+        Seq((1L, cand, refs)).toDF("id", "cand", "refs"), "cand", "refs",
+        n = 2, jackknife = true)
+      .select("rougen_best_micro", "rougen_jk_micro")
+      .as[(Option[Long], Option[Long])].head()
+    assert(best === Some(fs.max))
+    assert(jk === Some(expectedJk))
+    // the jackknife statistic is ≤ the best-match score by construction
+    assert(jk.get <= best.get)
+    // one reference: leave-one-out is empty → NULL, best still computed
+    val single = EvalOps.rougeNMulti(
+        Seq((1L, cand, Seq(refs.head))).toDF("id", "cand", "refs"),
+        "cand", "refs", n = 2, jackknife = true)
+      .select("rougen_best_micro", "rougen_jk_micro")
+      .as[(Option[Long], Option[Long])].head()
+    assert(single._1 === Some(fs.head) && single._2 === None)
+    // jackknife off: the column is absent (schema unchanged for q269)
+    assert(!EvalOps.rougeNMulti(
+        Seq((1L, cand, refs)).toDF("id", "cand", "refs"), "cand", "refs", 2)
+      .columns.contains("rougen_jk_micro"))
+  }
+
   test("chrFpp: word orders join the mean (Popović 2017) — word " +
       "reorder is penalized through the word-2 component; wordN = 0 " +
       "degenerates to exactly chrF") {
