@@ -131,6 +131,32 @@ object EvalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── multi-reference WER (the NIST/sclite min-error-reference
+    // convention) over PREFIX-class references — d(prefix_a, prefix_b)
+    // = |a−b| provably, so the real per-reference DPs and the min-by
+    // (d, len) pick are exactly oracle-gated ─────
+    "q272_wer_multi" -> ((s, d) => {
+      val rt = slice(
+        filter(graft.text.TextOps.tokens(col("text")), t => length(t) > 0),
+        1, 120)
+      val pairs = Tables.documents(s, d).select(col("doc_id"), rt.as("__rt"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, lit(null).cast("string"))
+            .when(col("doc_id") % 13 === 1, lit(""))
+            .when(col("doc_id") % 13 === 2, lit("   "))
+            .otherwise(array_join(slice(col("__rt"), lit(1),
+              (lit(5) + col("doc_id") % 11).cast("int")), " ")).as("cand"),
+          array(
+            array_join(col("__rt"), " "),
+            array_join(slice(col("__rt"), lit(1),
+              (lit(3) + col("doc_id") % 7).cast("int")), " "),
+            array_join(slice(col("__rt"), lit(1),
+              (lit(9) + col("doc_id") % 5).cast("int")), " ")).as("refs"))
+      EvalOps.werMulti(pairs, "cand", "refs")
+        .drop("cand", "refs")
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── Krippendorff's α over an INCOMPLETE design: 1–4 raters per
     // item (single-rating items dropped, visibly), labels correlated
     // through length(text) — the table fleissKappa loudly rejects ─────
@@ -1024,6 +1050,33 @@ object EvalQueries {
             CAST(max(f) AS BIGINT) AS rougel_best_micro
           FROM f GROUP BY doc_id ORDER BY doc_id""",
     "q266_chrfpp" -> chrfppSql,
+
+    "q272_wer_multi" ->
+      """WITH tk AS (
+            SELECT doc_id,
+              CAST(len((list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0))[1:120]) AS BIGINT) AS r
+            FROM documents),
+          cls AS (
+            SELECT doc_id, r,
+              CASE WHEN doc_id % 13 IN (0, 1, 2) THEN 0
+                   ELSE least(5 + doc_id % 11, r) END AS kc,
+              least(3 + doc_id % 7, r) AS k2,
+              least(9 + doc_id % 5, r) AS k3
+            FROM tk),
+          refs AS (
+            SELECT doc_id, kc, r AS kj FROM cls
+            UNION ALL SELECT doc_id, kc, k2 FROM cls
+            UNION ALL SELECT doc_id, kc, k3 FROM cls),
+          ranked AS (
+            SELECT doc_id, kc, abs(kc - kj) AS d, kj,
+              row_number() OVER (PARTITION BY doc_id ORDER BY abs(kc - kj), kj) AS rn
+            FROM refs)
+          SELECT doc_id, CAST(kc AS BIGINT) AS n_cand_tokens,
+            CAST(3 AS BIGINT) AS n_refs,
+            CAST(d AS BIGINT) AS edit_dist_best,
+            CAST(kj AS BIGINT) AS ref_len_best,
+            CASE WHEN kj > 0 THEN (1000000 * d) // kj END AS wer_best_micro
+          FROM ranked WHERE rn = 1 ORDER BY doc_id""",
 
     "q267_wer" ->
       """WITH tk AS (

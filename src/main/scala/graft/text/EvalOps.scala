@@ -358,6 +358,50 @@ object EvalOps {
           .as("wer_micro"): _*)
   }
 
+  /** MULTI-reference WER — the NIST/sclite scoring convention for
+    * multi-transcript references: the hypothesis is scored against the
+    * reference it matches BEST (minimum edit distance; ties to the
+    * shorter reference, then the smaller distance-free rate is
+    * implied), and the rate normalizes by THAT reference's length.
+    * Appends `(n_cand_tokens, n_refs, edit_dist_best, ref_len_best,
+    * wer_best_micro)`; `wer_best_micro` is NULL when the chosen
+    * reference is empty (undefined rate — the [[wer]] contract), and
+    * the choice itself is a replayable sort over `(d, len)` structs.
+    * One compiled DP per (candidate, reference) — 1–4 doc-bounded DPs
+    * per row, scan-side; same loud no-references + null-element
+    * contracts as the other multi-reference operators. */
+  def werMulti(pairs: org.apache.spark.sql.DataFrame, candCol: String,
+               refsCol: String): org.apache.spark.sql.DataFrame = {
+    val reserved = Seq("n_cand_tokens", "n_refs", "edit_dist_best",
+      "ref_len_best", "wer_best_micro", "__ct", "__rts", "__best")
+    val clashes = pairs.columns.filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"werMulti reserves column names ${reserved.mkString(", ")}; " +
+        s"input already has ${clashes.mkString(", ")}")
+    val passthrough = pairs.columns.toSeq.map(col)
+    val noRefs = col(refsCol).isNull || size(col(refsCol)) === 0
+    def loudRefs(c: Column): Column = when(noRefs,
+        raise_error(lit("werMulti: no references — WER against an " +
+          "empty reference set is undefined")))
+      .otherwise(c)
+    pairs
+      .select(passthrough :+ loudRefs(toksOrEmpty(col(candCol))).as("__ct") :+
+        transform(loudRefs(col(refsCol)), r => toksOrEmpty(r)).as("__rts"): _*)
+      .select(passthrough :+ size(col("__ct")).cast("long")
+          .as("n_cand_tokens") :+
+        size(col("__rts")).cast("long").as("n_refs") :+
+        element_at(array_sort(transform(col("__rts"), r =>
+          struct(graft.functions.TextExpressions
+              .tokenEditDistance(col("__ct"), r).as("d"),
+            size(r).cast("long").as("l")))), 1).as("__best"): _*)
+      .select(passthrough :+ col("n_cand_tokens") :+ col("n_refs") :+
+        col("__best")("d").as("edit_dist_best") :+
+        col("__best")("l").as("ref_len_best") :+
+        when(col("__best")("l") > 0,
+          idiv(lit(1000000L) * col("__best")("d"), col("__best")("l")))
+          .as("wer_best_micro"): _*)
+  }
+
   /** MULTI-reference BLEU components — the actual Papineni et al. 2002
     * definition ([[bleuComponents]] is its single-reference special
     * case): real MT/generation eval sets ship 1–4 references per

@@ -206,6 +206,38 @@ class EvalOpsSpec extends SparkSpec {
     assert(werOne("c a b", "a b c")._3 === 2L)
   }
 
+  test("werMulti: min-error reference wins (the NIST convention), ties " +
+      "to the shorter reference; loud/null contracts") {
+    def run(cand: String, refs: Seq[String]) = EvalOps.werMulti(
+        Seq((1L, cand, refs)).toDF("id", "cand", "refs"), "cand", "refs")
+      .select("n_cand_tokens", "n_refs", "edit_dist_best", "ref_len_best",
+        "wer_best_micro")
+      .as[(Long, Long, Long, Long, Option[Long])].head()
+    // d=1 vs ref1, d=3 vs ref2 → ref1 wins, rate over ITS length
+    assert(run("the cat sat", Seq("the cat sits", "dogs bark loud")) ===
+      ((3L, 2L, 1L, 3L, Some(333333L))))
+    // equal distance (1 each), lengths 4 vs 2 → shorter ref breaks the tie
+    assert(run("a b c", Seq("a b c d", "a b")) ===
+      ((3L, 2L, 1L, 2L, Some(500000L))))
+    // null cand → pure insertions; closest ref is the shortest
+    assert(run(null, Seq("x y z", "x")) === ((0L, 2L, 1L, 1L, Some(1000000L))))
+    // null ref element reads as the empty reference — and WINS for an
+    // empty cand, with the undefined (NULL) rate reported honestly
+    assert(run(null, Seq(null, "x y")) === ((0L, 2L, 0L, 0L, None)))
+    val e = intercept[Exception] {
+      EvalOps.werMulti(
+        Seq((1L, "a b", Seq.empty[String])).toDF("id", "cand", "refs"),
+        "cand", "refs").select("n_refs").collect()
+    }
+    assert(e.getMessage.contains("no references"))
+    val e2 = intercept[IllegalArgumentException] {
+      EvalOps.werMulti(
+        Seq((1L, "a", Seq("b"))).toDF("ref_len_best", "cand", "refs"),
+        "cand", "refs")
+    }
+    assert(e2.getMessage.contains("reserves column names"))
+  }
+
   test("wer: identical is 0; null/empty contract; empty ref → NULL rate " +
       "with the insertion count still reported; reserved clash") {
     assert(werOne("x y z", "x y z") === ((3L, 3L, 0L, Some(0L))))
