@@ -216,6 +216,36 @@ object EvalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── corpus-level BLEU statistics over the q261 segment table:
+    // summed clipped counts / lengths (Papineni §2.3 — never a mean of
+    // segment scores); bleuScore composes on the one-row result ─────
+    "q273_corpus_bleu" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), array_join(
+          slice(filter(graft.text.TextOps.tokens(col("text")),
+            t => length(t) > 0), 1, 60), " ").as("text"))
+      val a = docs.select(col("doc_id"), nullableCand.as("cand"))
+      val b = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("ref"))
+      EvalOps.corpusBleu(
+        EvalOps.bleuComponents(a.join(b, "doc_id"), "cand", "ref", maxN = 4))
+    }),
+
+    // ───── corpus-level chrF over the q262 segment table: per-order
+    // gram counts summed, F on the totals — fully oracle-gated incl.
+    // the combined corpus score (rational end to end) ─────
+    "q274_corpus_chrf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          substring(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), 1, 120)
+            .as("text"))
+      val a = docs.select(col("doc_id"), nullableCand.as("cand"))
+      val b = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("ref"))
+      EvalOps.corpusChrf(
+        EvalOps.chrF(a.join(b, "doc_id"), "cand", "ref", maxN = 6))
+    }),
+
     // ───── chrF (character-n-gram F, β=2, orders 1-6) between the
     // null-injected candidate and its successor — ASCII-sanitized and
     // char-capped so character slicing agrees across engines; every
@@ -1019,7 +1049,48 @@ object EvalQueries {
           GROUP BY cg.doc_id, cg.g ORDER BY cg.doc_id"""
   }
 
+  /** q273 oracle: the q261 segment oracle wrapped in the corpus sums. */
+  private lazy val corpusBleuSql: String = {
+    val cols = Seq("cand_len", "ref_len") ++
+      (1 to 4).flatMap(n => Seq(s"p${n}_num", s"p${n}_den"))
+    val sums = cols.map(c => s"CAST(sum($c) AS BIGINT) AS $c")
+      .mkString(",\n            ")
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_segments,
+            $sums
+          FROM ($bleuComponentsSql)"""
+  }
+
+  /** q274 oracle: the q262 segment oracle wrapped in per-order sums +
+    * the β=2 F on the totals + the corpus mean. */
+  private lazy val corpusChrfSql: String = {
+    val orders = 1 to 6
+    val sums = orders.flatMap(n => Seq(s"chrf${n}_o", s"chrf${n}_c",
+        s"chrf${n}_r"))
+      .map(c => s"CAST(sum($c) AS BIGINT) AS $c").mkString(",\n              ")
+    val fCols = orders.map(n =>
+      s"CASE WHEN 4 * chrf${n}_r + chrf${n}_c > 0 " +
+        s"THEN (5000000 * chrf${n}_o) // (4 * chrf${n}_r + chrf${n}_c) " +
+        s"ELSE 0 END AS chrf${n}_f_micro").mkString(",\n            ")
+    val passComp = orders.flatMap(n => Seq(s"chrf${n}_o", s"chrf${n}_c",
+      s"chrf${n}_r")).mkString(", ")
+    val passF = orders.map(n => s"chrf${n}_f_micro").mkString(", ")
+    val fSum = orders.map(n => s"chrf${n}_f_micro").mkString(" + ")
+    s"""WITH tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_segments,
+              $sums
+            FROM ($chrfSql)),
+          withf AS (
+            SELECT n_segments, $passComp,
+              $fCols
+            FROM tot)
+          SELECT n_segments, $passComp, $passF,
+            ($fSum) // 6 AS chrf_micro
+          FROM withf"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q273_corpus_bleu" -> corpusBleuSql,
+    "q274_corpus_chrf" -> corpusChrfSql,
     "q263_bleu_multi" -> bleuMultiSql,
     "q269_rouge_n_multi" -> rougeNMultiSql,
     "q271_rouge_jackknife" -> rougeJackknifeSql,

@@ -467,6 +467,83 @@ object EvalOps {
           size(col(s"__cg$n")).cast("long").as(s"p${n}_den"))): _*)
   }
 
+  /** CORPUS-level BLEU statistics (Papineni 2002 §2.3): BLEU is defined
+    * over the WHOLE test set — clipped counts and candidate counts are
+    * SUMMED across segments before the precision ratios form, and the
+    * brevity penalty compares total candidate length against the total
+    * effective reference length (the per-segment best-match lengths
+    * summed — exactly what [[bleuComponentsMulti]]'s `ref_len` column
+    * carries). Averaging per-segment BLEU instead is the classic
+    * mistake this operator exists to prevent: short segments with zero
+    * higher-order matches zero out a mean, while the corpus statistic
+    * absorbs them.
+    *
+    * Takes a [[bleuComponents]] / [[bleuComponentsMulti]] output table
+    * and folds it to ONE row with the SAME column names `(cand_len,
+    * ref_len, p{n}_num, p{n}_den, …)` — so [[bleuScore]] applies to the
+    * result unchanged for the final (spec-pinned, irrational) combine.
+    * One partial-aggregable hash aggregate; an EMPTY components table
+    * fails loudly through every output column (a corpus score over
+    * nothing is a harness bug). */
+  def corpusBleu(components: org.apache.spark.sql.DataFrame, maxN: Int = 4)
+      : org.apache.spark.sql.DataFrame = {
+    require(maxN >= 1 && maxN <= 6, s"maxN out of [1, 6]: $maxN")
+    val orders = 1 to maxN
+    val names = Seq("cand_len", "ref_len") ++
+      orders.flatMap(n => Seq(s"p${n}_num", s"p${n}_den"))
+    val aggs = names.map(c => sum(col(c)).as(s"__$c")) :+
+      count(lit(1)).as("__nseg")
+    def guarded(c: Column): Column =
+      when(col("__nseg") === 0L, raise_error(lit(
+          "corpusBleu: empty components table — no segments to score")))
+        .otherwise(c)
+    components
+      .agg(aggs.head, aggs.tail: _*)
+      .select(guarded(col("__nseg")).as("n_segments") +:
+        names.map(c => guarded(col(s"__$c")).as(c)): _*)
+  }
+
+  /** CORPUS-level chrF (Popović 2015 §2, the sacrebleu aggregation):
+    * per-order overlap/candidate/reference gram counts are SUMMED over
+    * segments and the β=2 F forms on the totals — entirely rational,
+    * so unlike corpus-BLEU the final corpus score is itself
+    * oracle-gated, in the same exact micro units as the per-segment
+    * form. Takes a [[chrF]] (or, with `wordN`, [[chrFpp]]) output
+    * table and folds it to ONE row `(n_segments, chrf{n}_o/c/r,
+    * chrf{n}_f_micro[, chrfw{n}_*], chrf_micro-or-chrfpp_micro)`; the
+    * combined mean keeps the documented per-order double-floor. One
+    * partial-aggregable hash aggregate; empty input fails loudly. */
+  def corpusChrf(components: org.apache.spark.sql.DataFrame, maxN: Int = 6,
+                 wordN: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN out of [1, 8]: $maxN")
+    require(wordN >= 0 && wordN <= 4, s"wordN out of [0, 4]: $wordN")
+    val keyed = (1 to maxN).map(n => ("chrf", n)) ++
+      (1 to wordN).map(n => ("chrfw", n))
+    val names = keyed.flatMap { case (p, n) =>
+      Seq(s"$p${n}_o", s"$p${n}_c", s"$p${n}_r") }
+    val aggs = names.map(c => sum(col(c)).as(s"__$c")) :+
+      count(lit(1)).as("__nseg")
+    def guarded(c: Column): Column =
+      when(col("__nseg") === 0L, raise_error(lit(
+          "corpusChrf: empty components table — no segments to score")))
+        .otherwise(c)
+    val meanName = if (wordN > 0) "chrfpp_micro" else "chrf_micro"
+    components
+      .agg(aggs.head, aggs.tail: _*)
+      .select(guarded(col("__nseg")).as("n_segments") +:
+        names.map(c => guarded(col(s"__$c")).as(c)): _*)
+      .select(col("n_segments") +: names.map(col) ++:
+        keyed.map { case (p, n) =>
+          when(lit(4L) * col(s"$p${n}_r") + col(s"$p${n}_c") > 0L,
+              idiv(lit(5000000L) * col(s"$p${n}_o"),
+                lit(4L) * col(s"$p${n}_r") + col(s"$p${n}_c")))
+            .otherwise(lit(0L)).as(s"$p${n}_f_micro") }: _*)
+      .select(col("n_segments") +: names.map(col) ++:
+        keyed.map { case (p, n) => col(s"$p${n}_f_micro") } :+
+        idiv(keyed.map { case (p, n) => col(s"$p${n}_f_micro") }
+          .reduce(_ + _), lit((maxN + wordN).toLong)).as(meanName): _*)
+  }
+
   /** The BLEU combine over [[bleuComponents]] output columns, as a
     * DOUBLE micro score: `10⁶ · min(1, e^(1−r/c)) · (Π pₙ)^(1/maxN)`,
     * floored to a long. Zero anywhere (an order with no match, the

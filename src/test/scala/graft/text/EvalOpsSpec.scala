@@ -445,6 +445,57 @@ class EvalOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("reserves column names"))
   }
 
+  test("corpusBleu: summed statistics, not a mean of segment scores — " +
+      "a zero-match segment dents but cannot zero the corpus; bleuScore " +
+      "composes on the one-row result; empty loud") {
+    val rows = Seq(
+      (1L, "x y z w v u", "x y z w v u"),            // perfect segment
+      (2L, "a b", "c d"))                             // zero-match segment
+      .toDF("id", "cand", "ref")
+    val comp = EvalOps.bleuComponents(rows, "cand", "ref")
+    val corpus = EvalOps.corpusBleu(comp)
+    val row = corpus.select("n_segments", "cand_len", "ref_len",
+        "p1_num", "p1_den", "p4_num", "p4_den")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(row === ((2L, 8L, 8L, 6L, 8L, 3L, 3L)))
+    // per-segment means would average in a 0 (segment 2 has p1 = 0);
+    // the corpus ratio is 6/8 — and bleuScore reads the summed row
+    val score = corpus.select(EvalOps.bleuScore().as("b"))
+      .as[Option[Long]].head()
+    assert(score.nonEmpty && score.get > 0L && score.get < 1000000L)
+    val e = intercept[Exception] {
+      EvalOps.corpusBleu(EvalOps.bleuComponents(
+        Seq.empty[(String, String)].toDF("cand", "ref"), "cand", "ref"))
+        .select("p1_den").collect()
+    }
+    assert(e.getMessage.contains("empty components table"))
+  }
+
+  test("corpusChrf: F on the summed gram counts (the sacrebleu corpus " +
+      "aggregation) differs from the mean of segment Fs; empty loud") {
+    val rows = Seq(
+      (1L, "abcd", "abcd"),   // perfect, 4 chars
+      (2L, "xy", "zw"))       // disjoint, 2 chars
+      .toDF("id", "cand", "ref")
+    val seg = EvalOps.chrF(rows, "cand", "ref", maxN = 2)
+    val corpus = EvalOps.corpusChrf(seg, maxN = 2)
+    val (nseg, o1, c1, r1, f1) = corpus
+      .select("n_segments", "chrf1_o", "chrf1_c", "chrf1_r", "chrf1_f_micro")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(nseg === 2L && o1 === 4L && c1 === 6L && r1 === 6L)
+    // F1 on totals: 5·4/(4·6+6) = 20/30 = 666666; the segment-F mean
+    // would be (10⁶ + 0)/2 = 500000 — different statistics, by design
+    assert(f1 === 666666L)
+    val segF1s = seg.select("chrf1_f_micro").as[Long].collect().sorted
+    assert(segF1s.sum / 2 === 500000L)
+    val e = intercept[Exception] {
+      EvalOps.corpusChrf(EvalOps.chrF(
+        Seq.empty[(String, String)].toDF("cand", "ref"), "cand", "ref"))
+        .select("chrf_micro").collect()
+    }
+    assert(e.getMessage.contains("empty components table"))
+  }
+
   test("eceReport: item-weighted mean gap + max gap over the reliability " +
       "table; empty report fails loudly even under pruning") {
     // bucket 0: 2 items, acc 0, mean conf 100000 → gap 100000
