@@ -131,6 +131,35 @@ object EvalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── corpus-level WER over the q267 segment table: Σd div ΣN,
+    // the ASR convention — never a mean of per-utterance rates ─────
+    "q275_corpus_wer" -> ((s, d) => {
+      val rt = slice(
+        filter(graft.text.TextOps.tokens(col("text")), t => length(t) > 0),
+        1, 120)
+      val pairs = Tables.documents(s, d).select(col("doc_id"), rt.as("__rt"))
+        .select(col("doc_id"),
+          array_join(col("__rt"), " ").as("ref"),
+          when(col("doc_id") % 13 === 0, lit(null).cast("string"))
+            .when(col("doc_id") % 13 === 1, lit(""))
+            .when(col("doc_id") % 13 === 2, lit("   "))
+            .when(col("doc_id") % 4 === 0, array_join(col("__rt"), " "))
+            .when(col("doc_id") % 4 === 1, array_join(
+              slice(col("__rt"), lit(1), (lit(3) + col("doc_id") % 7).cast("int")),
+              " "))
+            .when(col("doc_id") % 4 === 2, array_join(
+              transform(col("__rt"), (t, i) =>
+                when((i + 1) % 3 === 0,
+                    concat(lit("zzznovel"), col("doc_id").cast("string")))
+                  .otherwise(t)), " "))
+            .otherwise(concat_ws(" ",
+              concat(lit("zzza"), col("doc_id").cast("string")),
+              concat(lit("zzzb"), col("doc_id").cast("string")),
+              concat(lit("zzzc"), col("doc_id").cast("string"))))
+            .as("cand"))
+      EvalOps.corpusWer(EvalOps.wer(pairs, "cand", "ref"))
+    }),
+
     // ───── multi-reference WER (the NIST/sclite min-error-reference
     // convention) over PREFIX-class references — d(prefix_a, prefix_b)
     // = |a−b| provably, so the real per-reference DPs and the min-by
@@ -1121,6 +1150,27 @@ object EvalQueries {
             CAST(max(f) AS BIGINT) AS rougel_best_micro
           FROM f GROUP BY doc_id ORDER BY doc_id""",
     "q266_chrfpp" -> chrfppSql,
+
+    "q275_corpus_wer" ->
+      """WITH tk AS (
+            SELECT doc_id,
+              (list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0))[1:120] AS rt
+            FROM documents),
+          cls AS (
+            SELECT doc_id, CAST(len(rt) AS BIGINT) AS r,
+              CASE WHEN doc_id % 13 IN (0, 1, 2) THEN -1 ELSE doc_id % 4 END AS cl,
+              CAST(least(3 + doc_id % 7, len(rt)) AS BIGINT) AS k
+            FROM tk),
+          ct AS (
+            SELECT doc_id, r,
+              CASE cl WHEN -1 THEN r WHEN 0 THEN 0 WHEN 1 THEN r - k WHEN 2 THEN r // 3 ELSE greatest(r, 3) END AS d
+            FROM cls)
+          SELECT CAST(count(*) AS BIGINT) AS n_segments,
+            CAST(sum(d) AS BIGINT) AS edit_dist,
+            CAST(sum(r) AS BIGINT) AS ref_len,
+            CASE WHEN sum(r) > 0
+              THEN CAST((1000000 * sum(d)) // sum(r) AS BIGINT) END AS wer_micro
+          FROM ct""",
 
     "q272_wer_multi" ->
       """WITH tk AS (

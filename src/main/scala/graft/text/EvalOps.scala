@@ -467,6 +467,34 @@ object EvalOps {
           size(col(s"__cg$n")).cast("long").as(s"p${n}_den"))): _*)
   }
 
+  /** CORPUS-level WER — the ASR reporting convention: total edit
+    * operations over total reference tokens, `10⁶·Σd div ΣN` (NEVER
+    * the mean of per-utterance rates, which over-weights short
+    * utterances — a 1-token utterance with one error is a 100% rate
+    * but one operation). Takes a [[wer]] output table (or
+    * [[werMulti]]'s via the column-name parameters) and folds it to
+    * ONE row `(n_segments, edit_dist, ref_len, wer_micro)`; a corpus
+    * with zero reference tokens has an undefined rate → NULL (the
+    * totals still report); an EMPTY table fails loudly. One
+    * partial-aggregable hash aggregate. */
+  def corpusWer(components: org.apache.spark.sql.DataFrame,
+                distCol: String = "edit_dist",
+                refLenCol: String = "n_ref_tokens")
+      : org.apache.spark.sql.DataFrame = {
+    def guarded(c: Column): Column =
+      when(col("__nseg") === 0L, raise_error(lit(
+          "corpusWer: empty components table — no segments to score")))
+        .otherwise(c)
+    components
+      .agg(count(lit(1)).as("__nseg"), sum(col(distCol)).as("__d"),
+        sum(col(refLenCol)).as("__r"))
+      .select(guarded(col("__nseg")).as("n_segments"),
+        guarded(col("__d")).as("edit_dist"),
+        guarded(col("__r")).as("ref_len"),
+        guarded(when(col("__r") > 0,
+          idiv(lit(1000000L) * col("__d"), col("__r")))).as("wer_micro"))
+  }
+
   /** CORPUS-level BLEU statistics (Papineni 2002 §2.3): BLEU is defined
     * over the WHOLE test set — clipped counts and candidate counts are
     * SUMMED across segments before the precision ratios form, and the

@@ -496,6 +496,39 @@ class EvalOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("empty components table"))
   }
 
+  test("corpusWer: total operations over total reference tokens — short " +
+      "utterances don't over-weight as they would in a mean of rates; " +
+      "empty loud; zero-token corpus → NULL rate") {
+    // seg1: 1 error / 10 tokens; seg2: 1 error / 1 token.
+    // mean of rates = (0.1 + 1.0)/2 = 0.55; corpus = 2/11 ≈ 0.18
+    val rows = Seq(
+      (1L, "a b c d e f g h i X", "a b c d e f g h i j"),
+      (2L, "y", "z"))
+      .toDF("id", "cand", "ref")
+    val (n, d, r, w) = EvalOps.corpusWer(EvalOps.wer(rows, "cand", "ref"))
+      .as[(Long, Long, Long, Option[Long])].head()
+    assert(n === 2L && d === 2L && r === 11L)
+    assert(w === Some(181818L))
+    // composes with werMulti output via the column-name parameters
+    val multi = EvalOps.werMulti(
+        Seq((1L, "a b", Seq("a b c"))).toDF("id", "cand", "refs"),
+        "cand", "refs")
+    val wm = EvalOps.corpusWer(multi, "edit_dist_best", "ref_len_best")
+      .select("wer_micro").as[Option[Long]].head()
+    assert(wm === Some(333333L))
+    val e = intercept[Exception] {
+      EvalOps.corpusWer(EvalOps.wer(
+        Seq.empty[(String, String)].toDF("cand", "ref"), "cand", "ref"))
+        .select("wer_micro").collect()
+    }
+    assert(e.getMessage.contains("empty components table"))
+    val z = EvalOps.corpusWer(EvalOps.wer(
+        Seq(("a b", null.asInstanceOf[String])).toDF("cand", "ref"),
+        "cand", "ref"))
+      .select("ref_len", "wer_micro").as[(Long, Option[Long])].head()
+    assert(z === ((0L, None)))
+  }
+
   test("eceReport: item-weighted mean gap + max gap over the reliability " +
       "table; empty report fails loudly even under pruning") {
     // bucket 0: 2 items, acc 0, mean conf 100000 → gap 100000
