@@ -67,31 +67,7 @@ object EvalQueries {
     // so the full DP output is oracle-gated exactly; adversarial
     // reorder/repeat cases are pinned in EvalOpsSpec ─────
     "q256_rouge_l" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val rt = slice(
-        filter(graft.text.TextOps.tokens(col("text")), t => length(t) > 0),
-        1, 120)
-      val pairs = docs.select(col("doc_id"), rt.as("__rt"))
-        .select(col("doc_id"),
-          array_join(col("__rt"), " ").as("ref"),
-          when(col("doc_id") % 13 === 0, lit(null).cast("string"))
-            .when(col("doc_id") % 13 === 1, lit(""))
-            .when(col("doc_id") % 13 === 2, lit("   "))
-            .when(col("doc_id") % 4 === 0, array_join(col("__rt"), " "))
-            .when(col("doc_id") % 4 === 1, array_join(
-              slice(col("__rt"), lit(1), (lit(3) + col("doc_id") % 7).cast("int")),
-              " "))
-            .when(col("doc_id") % 4 === 2, array_join(
-              transform(col("__rt"), (t, i) =>
-                when((i + 1) % 3 === 0,
-                    concat(lit("zzznovel"), col("doc_id").cast("string")))
-                  .otherwise(t)), " "))
-            .otherwise(concat_ws(" ",
-              concat(lit("zzza"), col("doc_id").cast("string")),
-              concat(lit("zzzb"), col("doc_id").cast("string")),
-              concat(lit("zzzc"), col("doc_id").cast("string"))))
-            .as("cand"))
-      EvalOps.rougeL(pairs, "cand", "ref")
+      EvalOps.rougeL(analyticClassPairs(s, d), "cand", "ref")
         .drop("cand", "ref")
         .orderBy(col("doc_id"))
     }),
@@ -103,30 +79,7 @@ object EvalQueries {
     // / all-novel (d=max(r,3)) / null-contract (d=r) — the full DP
     // output exactly oracle-gated; adversarial cases in EvalOpsSpec ─────
     "q267_wer" -> ((s, d) => {
-      val rt = slice(
-        filter(graft.text.TextOps.tokens(col("text")), t => length(t) > 0),
-        1, 120)
-      val pairs = Tables.documents(s, d).select(col("doc_id"), rt.as("__rt"))
-        .select(col("doc_id"),
-          array_join(col("__rt"), " ").as("ref"),
-          when(col("doc_id") % 13 === 0, lit(null).cast("string"))
-            .when(col("doc_id") % 13 === 1, lit(""))
-            .when(col("doc_id") % 13 === 2, lit("   "))
-            .when(col("doc_id") % 4 === 0, array_join(col("__rt"), " "))
-            .when(col("doc_id") % 4 === 1, array_join(
-              slice(col("__rt"), lit(1), (lit(3) + col("doc_id") % 7).cast("int")),
-              " "))
-            .when(col("doc_id") % 4 === 2, array_join(
-              transform(col("__rt"), (t, i) =>
-                when((i + 1) % 3 === 0,
-                    concat(lit("zzznovel"), col("doc_id").cast("string")))
-                  .otherwise(t)), " "))
-            .otherwise(concat_ws(" ",
-              concat(lit("zzza"), col("doc_id").cast("string")),
-              concat(lit("zzzb"), col("doc_id").cast("string")),
-              concat(lit("zzzc"), col("doc_id").cast("string"))))
-            .as("cand"))
-      EvalOps.wer(pairs, "cand", "ref")
+      EvalOps.wer(analyticClassPairs(s, d), "cand", "ref")
         .drop("cand", "ref")
         .orderBy(col("doc_id"))
     }),
@@ -134,30 +87,7 @@ object EvalQueries {
     // ───── corpus-level WER over the q267 segment table: Σd div ΣN,
     // the ASR convention — never a mean of per-utterance rates ─────
     "q275_corpus_wer" -> ((s, d) => {
-      val rt = slice(
-        filter(graft.text.TextOps.tokens(col("text")), t => length(t) > 0),
-        1, 120)
-      val pairs = Tables.documents(s, d).select(col("doc_id"), rt.as("__rt"))
-        .select(col("doc_id"),
-          array_join(col("__rt"), " ").as("ref"),
-          when(col("doc_id") % 13 === 0, lit(null).cast("string"))
-            .when(col("doc_id") % 13 === 1, lit(""))
-            .when(col("doc_id") % 13 === 2, lit("   "))
-            .when(col("doc_id") % 4 === 0, array_join(col("__rt"), " "))
-            .when(col("doc_id") % 4 === 1, array_join(
-              slice(col("__rt"), lit(1), (lit(3) + col("doc_id") % 7).cast("int")),
-              " "))
-            .when(col("doc_id") % 4 === 2, array_join(
-              transform(col("__rt"), (t, i) =>
-                when((i + 1) % 3 === 0,
-                    concat(lit("zzznovel"), col("doc_id").cast("string")))
-                  .otherwise(t)), " "))
-            .otherwise(concat_ws(" ",
-              concat(lit("zzza"), col("doc_id").cast("string")),
-              concat(lit("zzzb"), col("doc_id").cast("string")),
-              concat(lit("zzzc"), col("doc_id").cast("string"))))
-            .as("cand"))
-      EvalOps.corpusWer(EvalOps.wer(pairs, "cand", "ref"))
+      EvalOps.corpusWer(EvalOps.wer(analyticClassPairs(s, d), "cand", "ref"))
     }),
 
     // ───── multi-reference WER (the NIST/sclite min-error-reference
@@ -664,6 +594,40 @@ object EvalQueries {
         .orderBy(col("len_gap_bucket"))
     }))
 
+  /** ANALYTIC candidate-class fixture shared by the closed-form DP
+    * gates (q256 ROUGE-L, q267 WER, q275 corpus WER): reference = the
+    * 120-token-capped text; candidate classes null/empty/whitespace
+    * (%13), identity, prefix, every-3rd-token novel-substituted and
+    * all-novel (%4) — each with PROVABLY closed-form LCS AND edit
+    * distance, so the full DP outputs are oracle-gated exactly. One
+    * definition: the three gates' oracles depend on byte-identical
+    * replay of this when-chain. */
+  private def analyticClassPairs(s: SparkSession, d: String): DataFrame = {
+    val rt = slice(
+      filter(graft.text.TextOps.tokens(col("text")), t => length(t) > 0),
+      1, 120)
+    Tables.documents(s, d).select(col("doc_id"), rt.as("__rt"))
+      .select(col("doc_id"),
+        array_join(col("__rt"), " ").as("ref"),
+        when(col("doc_id") % 13 === 0, lit(null).cast("string"))
+          .when(col("doc_id") % 13 === 1, lit(""))
+          .when(col("doc_id") % 13 === 2, lit("   "))
+          .when(col("doc_id") % 4 === 0, array_join(col("__rt"), " "))
+          .when(col("doc_id") % 4 === 1, array_join(
+            slice(col("__rt"), lit(1), (lit(3) + col("doc_id") % 7).cast("int")),
+            " "))
+          .when(col("doc_id") % 4 === 2, array_join(
+            transform(col("__rt"), (t, i) =>
+              when((i + 1) % 3 === 0,
+                  concat(lit("zzznovel"), col("doc_id").cast("string")))
+                .otherwise(t)), " "))
+          .otherwise(concat_ws(" ",
+            concat(lit("zzza"), col("doc_id").cast("string")),
+            concat(lit("zzzb"), col("doc_id").cast("string")),
+            concat(lit("zzzc"), col("doc_id").cast("string"))))
+          .as("cand"))
+  }
+
   /** Three-reference fixture shared by the multi-reference metrics
     * (q263/q269): candidate = own 60-token-capped text (null-injected),
     * references = successor doc, a 5–13-token prefix of it, and the doc
@@ -731,6 +695,14 @@ object EvalQueries {
       || CASE WHEN doc_id % 7 = 0 THEN '' ELSE 'about ' || source END
       || '"}]'
     END"""
+
+  /** The chrF-family β=2 per-order F as oracle SQL — single-sourced
+    * with the Spark-side form (EvalOps.chrfFMicro) across the segment
+    * and corpus oracles. */
+  private def chrfFMicroSql(pfx: String, n: Int): String =
+    s"CASE WHEN 4 * $pfx${n}_r + $pfx${n}_c > 0 " +
+      s"THEN (5000000 * $pfx${n}_o) // (4 * $pfx${n}_r + $pfx${n}_c) " +
+      s"ELSE 0 END AS $pfx${n}_f_micro"
 
   /** DuckDB n-gram builder over a 1-based token list column (q240's
     * bigram form generalized): grams of order n, [] when too short. */
@@ -813,10 +785,8 @@ object EvalQueries {
       s"coalesce(o$n.o, 0) AS chrf${n}_o",
       s"CAST(len(cg$n) AS BIGINT) AS chrf${n}_c",
       s"CAST(len(rg$n) AS BIGINT) AS chrf${n}_r")).mkString(",\n            ")
-    val fCols = orders.map(n =>
-      s"CASE WHEN 4 * chrf${n}_r + chrf${n}_c > 0 " +
-        s"THEN (5000000 * chrf${n}_o) // (4 * chrf${n}_r + chrf${n}_c) " +
-        s"ELSE 0 END AS chrf${n}_f_micro").mkString(",\n            ")
+    val fCols = orders.map(n => chrfFMicroSql("chrf", n))
+      .mkString(",\n            ")
     val joins = orders.map(n => s"LEFT JOIN o$n ON g.doc_id = o$n.doc_id")
       .mkString(" ")
     val passComp = orders.flatMap(n =>
@@ -954,10 +924,8 @@ object EvalQueries {
       val (cg, rg) = gramsOf(p, n)
       s"coalesce(o_$p$n.o, 0) AS ${p}${n}_o, CAST(len($cg) AS BIGINT) AS ${p}${n}_c, " +
         s"CAST(len($rg) AS BIGINT) AS ${p}${n}_r" }.mkString(",\n            ")
-    val fCols = korders.map { case (p, n) =>
-      s"CASE WHEN 4 * ${p}${n}_r + ${p}${n}_c > 0 " +
-        s"THEN (5000000 * ${p}${n}_o) // (4 * ${p}${n}_r + ${p}${n}_c) " +
-        s"ELSE 0 END AS ${p}${n}_f_micro" }.mkString(",\n            ")
+    val fCols = korders.map { case (p, n) => chrfFMicroSql(p, n) }
+      .mkString(",\n            ")
     val joins = korders.map { case (p, n) =>
       s"LEFT JOIN o_$p$n ON g.doc_id = o_$p$n.doc_id" }.mkString(" ")
     val passComp = korders.map { case (p, n) =>
@@ -1000,9 +968,10 @@ object EvalQueries {
           FROM withf ORDER BY doc_id"""
   }
 
-  /** q269 oracle: per-reference bigram F over the q263 long-form refs
-    * table, best via max() (NULL-ignoring on both engines). */
-  private lazy val rougeNMultiSql: String =
+  /** Shared CTE prefix (through the per-(doc, ref) F table `f`) for
+    * the multi-reference ROUGE oracles — q269 and q271 compose their
+    * final SELECTs from ONE definition instead of splicing text. */
+  private lazy val rougeNMultiCtes: String =
     s"""WITH d2 AS (
             SELECT doc_id, array_to_string(
               (list_filter(regexp_split_to_array(trim(text), '\\s+'),
@@ -1047,21 +1016,24 @@ object EvalQueries {
               CASE WHEN len(cg.g) + len(rg.g) > 0
                 THEN (2000000 * coalesce(o.o, 0)) // CAST(len(cg.g) + len(rg.g) AS BIGINT) END AS f
             FROM rg JOIN cg USING (doc_id)
-            LEFT JOIN o ON rg.doc_id = o.doc_id AND rg.ridx = o.ridx)
+            LEFT JOIN o ON rg.doc_id = o.doc_id AND rg.ridx = o.ridx)"""
+
+  /** q269 oracle: per-reference bigram F, best via max() (NULL-ignoring
+    * on both engines). */
+  private lazy val rougeNMultiSql: String =
+    s"""$rougeNMultiCtes
           SELECT cg.doc_id, CAST(len(cg.g) AS BIGINT) AS n_cand_grams,
             CAST(3 AS BIGINT) AS n_refs,
             max(f.f) AS rougen_best_micro
           FROM cg JOIN f ON cg.doc_id = f.doc_id
           GROUP BY cg.doc_id, cg.g ORDER BY cg.doc_id"""
 
-  /** q271 oracle: q269's per-reference F table + the leave-one-out
-    * max CTE, mean over the 3 exclusions (NULL-guarded: all three
-    * leave-one-out maxima must be measurable). */
-  private lazy val rougeJackknifeSql: String = {
-    val base = rougeNMultiSql
-    val cut = base.lastIndexOf("SELECT cg.doc_id")
-    base.substring(0, cut) +
-      """, jk AS (
+  /** q271 oracle: the q269 CTE prefix + the leave-one-out max CTE,
+    * mean over the 3 exclusions (NULL-guarded: all three leave-one-out
+    * maxima must be measurable). */
+  private lazy val rougeJackknifeSql: String =
+    s"""$rougeNMultiCtes,
+          jk AS (
             SELECT a.doc_id, a.ridx, max(b.f) AS m
             FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.ridx <> b.ridx
             GROUP BY a.doc_id, a.ridx),
@@ -1076,7 +1048,6 @@ object EvalQueries {
           FROM cg JOIN f ON cg.doc_id = f.doc_id
           JOIN jkagg ON cg.doc_id = jkagg.doc_id
           GROUP BY cg.doc_id, cg.g ORDER BY cg.doc_id"""
-  }
 
   /** q273 oracle: the q261 segment oracle wrapped in the corpus sums. */
   private lazy val corpusBleuSql: String = {
@@ -1096,10 +1067,8 @@ object EvalQueries {
     val sums = orders.flatMap(n => Seq(s"chrf${n}_o", s"chrf${n}_c",
         s"chrf${n}_r"))
       .map(c => s"CAST(sum($c) AS BIGINT) AS $c").mkString(",\n              ")
-    val fCols = orders.map(n =>
-      s"CASE WHEN 4 * chrf${n}_r + chrf${n}_c > 0 " +
-        s"THEN (5000000 * chrf${n}_o) // (4 * chrf${n}_r + chrf${n}_c) " +
-        s"ELSE 0 END AS chrf${n}_f_micro").mkString(",\n            ")
+    val fCols = orders.map(n => chrfFMicroSql("chrf", n))
+      .mkString(",\n            ")
     val passComp = orders.flatMap(n => Seq(s"chrf${n}_o", s"chrf${n}_c",
       s"chrf${n}_r")).mkString(", ")
     val passF = orders.map(n => s"chrf${n}_f_micro").mkString(", ")

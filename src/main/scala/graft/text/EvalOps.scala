@@ -18,6 +18,16 @@ object EvalOps {
 
   private def idiv(a: Column, b: Column): Column = call_function("div", a, b)
 
+  /** The chrF-family β=2 per-order F in exact micro units:
+    * `F = 5·o div (4r + c)` (the closed rational form of
+    * (1+β²)PR/(β²P+R)); both-sides-gramless orders contribute 0 and
+    * still divide into the mean — the sacrebleu short-string
+    * convention. Single-sourced so the quantization cannot diverge
+    * between the segment operators and the corpus rollup. */
+  private def chrfFMicro(o: Column, c: Column, r: Column): Column =
+    when(lit(4L) * r + c > 0L, idiv(lit(5000000L) * o, lit(4L) * r + c))
+      .otherwise(lit(0L))
+
   /** Whitespace tokens with empties dropped and NULL text reading as
     * the EMPTY token array — the family-wide null contract (zero
     * counts, NULL ratios via the when-guards), and what keeps the
@@ -360,9 +370,10 @@ object EvalOps {
 
   /** MULTI-reference WER — the NIST/sclite scoring convention for
     * multi-transcript references: the hypothesis is scored against the
-    * reference it matches BEST (minimum edit distance; ties to the
-    * shorter reference, then the smaller distance-free rate is
-    * implied), and the rate normalizes by THAT reference's length.
+    * reference it matches BEST (minimum edit distance; ties break to
+    * the SHORTER reference — the conservative pick, since the same
+    * distance over fewer reference tokens reads as the HIGHER error
+    * rate), and the rate normalizes by THAT reference's length.
     * Appends `(n_cand_tokens, n_refs, edit_dist_best, ref_len_best,
     * wer_best_micro)`; `wer_best_micro` is NULL when the chosen
     * reference is empty (undefined rate — the [[wer]] contract), and
@@ -516,6 +527,13 @@ object EvalOps {
   def corpusBleu(components: org.apache.spark.sql.DataFrame, maxN: Int = 4)
       : org.apache.spark.sql.DataFrame = {
     require(maxN >= 1 && maxN <= 6, s"maxN out of [1, 6]: $maxN")
+    // a components table built with MORE orders than this rollup reads
+    // would silently become a different statistic (a BLEU-4 score from
+    // BLEU-6 parts) — fail loudly instead
+    require(!components.columns.contains(s"p${maxN + 1}_den"),
+      s"corpusBleu: components carry order-${maxN + 1} columns but " +
+        s"maxN = $maxN would drop them — pass the maxN the table was " +
+        "built with")
     val orders = 1 to maxN
     val names = Seq("cand_len", "ref_len") ++
       orders.flatMap(n => Seq(s"p${n}_num", s"p${n}_den"))
@@ -545,6 +563,16 @@ object EvalOps {
                  wordN: Int = 0): org.apache.spark.sql.DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN out of [1, 8]: $maxN")
     require(wordN >= 0 && wordN <= 4, s"wordN out of [0, 4]: $wordN")
+    // dropping component orders present in the input silently changes
+    // the statistic (corpus chrF labeled from chrF++ parts) — loud
+    require(!components.columns.contains(s"chrf${maxN + 1}_o"),
+      s"corpusChrf: components carry char order ${maxN + 1} but " +
+        s"maxN = $maxN would drop it — pass the maxN the table was " +
+        "built with")
+    require(!components.columns.contains(s"chrfw${wordN + 1}_o"),
+      s"corpusChrf: components carry word order ${wordN + 1} but " +
+        s"wordN = $wordN would drop it — pass the wordN the table was " +
+        "built with")
     val keyed = (1 to maxN).map(n => ("chrf", n)) ++
       (1 to wordN).map(n => ("chrfw", n))
     val names = keyed.flatMap { case (p, n) =>
@@ -562,10 +590,8 @@ object EvalOps {
         names.map(c => guarded(col(s"__$c")).as(c)): _*)
       .select(col("n_segments") +: names.map(col) ++:
         keyed.map { case (p, n) =>
-          when(lit(4L) * col(s"$p${n}_r") + col(s"$p${n}_c") > 0L,
-              idiv(lit(5000000L) * col(s"$p${n}_o"),
-                lit(4L) * col(s"$p${n}_r") + col(s"$p${n}_c")))
-            .otherwise(lit(0L)).as(s"$p${n}_f_micro") }: _*)
+          chrfFMicro(col(s"$p${n}_o"), col(s"$p${n}_c"), col(s"$p${n}_r"))
+            .as(s"$p${n}_f_micro") }: _*)
       .select(col("n_segments") +: names.map(col) ++:
         keyed.map { case (p, n) => col(s"$p${n}_f_micro") } :+
         idiv(keyed.map { case (p, n) => col(s"$p${n}_f_micro") }
@@ -654,10 +680,8 @@ object EvalOps {
         orders.flatMap(n => Seq(col(s"chrf${n}_o"), col(s"chrf${n}_c"),
           col(s"chrf${n}_r"))) ++
         orders.map(n =>
-          when(lit(4L) * col(s"chrf${n}_r") + col(s"chrf${n}_c") > 0L,
-              idiv(lit(5000000L) * col(s"chrf${n}_o"),
-                lit(4L) * col(s"chrf${n}_r") + col(s"chrf${n}_c")))
-            .otherwise(lit(0L)).as(s"chrf${n}_f_micro")): _*)
+          chrfFMicro(col(s"chrf${n}_o"), col(s"chrf${n}_c"),
+            col(s"chrf${n}_r")).as(s"chrf${n}_f_micro")): _*)
       .select(passthrough ++
         orders.flatMap(n => Seq(col(s"chrf${n}_o"), col(s"chrf${n}_c"),
           col(s"chrf${n}_r"), col(s"chrf${n}_f_micro"))) :+
@@ -728,10 +752,8 @@ object EvalOps {
         keyed.flatMap { case (pfx, _, _, n) => Seq(col(s"$pfx${n}_o"),
           col(s"$pfx${n}_c"), col(s"$pfx${n}_r")) } ++
         keyed.map { case (pfx, _, _, n) =>
-          when(lit(4L) * col(s"$pfx${n}_r") + col(s"$pfx${n}_c") > 0L,
-              idiv(lit(5000000L) * col(s"$pfx${n}_o"),
-                lit(4L) * col(s"$pfx${n}_r") + col(s"$pfx${n}_c")))
-            .otherwise(lit(0L)).as(s"$pfx${n}_f_micro") }: _*)
+          chrfFMicro(col(s"$pfx${n}_o"), col(s"$pfx${n}_c"),
+            col(s"$pfx${n}_r")).as(s"$pfx${n}_f_micro") }: _*)
       .select(passthrough ++
         keyed.flatMap { case (pfx, _, _, n) => Seq(col(s"$pfx${n}_o"),
           col(s"$pfx${n}_c"), col(s"$pfx${n}_r"),

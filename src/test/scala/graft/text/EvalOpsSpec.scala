@@ -469,6 +469,13 @@ class EvalOpsSpec extends SparkSpec {
         .select("p1_den").collect()
     }
     assert(e.getMessage.contains("empty components table"))
+    // order mismatch is loud: BLEU-6 parts rolled up as BLEU-4 would be
+    // a silently different statistic
+    val e2 = intercept[IllegalArgumentException] {
+      EvalOps.corpusBleu(
+        EvalOps.bleuComponents(rows, "cand", "ref", maxN = 6), maxN = 4)
+    }
+    assert(e2.getMessage.contains("order-5"))
   }
 
   test("corpusChrf: F on the summed gram counts (the sacrebleu corpus " +
@@ -494,6 +501,16 @@ class EvalOpsSpec extends SparkSpec {
         .select("chrf_micro").collect()
     }
     assert(e.getMessage.contains("empty components table"))
+    // a chrF++ table rolled up with the default wordN = 0 would drop
+    // the word-order components silently — loud instead; the matched
+    // wordN composes and emits the chrfpp-named mean
+    val ppSeg = EvalOps.chrFpp(rows, "cand", "ref", maxN = 2, wordN = 2)
+    val e2 = intercept[IllegalArgumentException] {
+      EvalOps.corpusChrf(ppSeg, maxN = 2)
+    }
+    assert(e2.getMessage.contains("word order 1"))
+    assert(EvalOps.corpusChrf(ppSeg, maxN = 2, wordN = 2)
+      .columns.contains("chrfpp_micro"))
   }
 
   test("corpusWer: total operations over total reference tokens — short " +
