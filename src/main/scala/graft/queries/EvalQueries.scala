@@ -175,6 +175,21 @@ object EvalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ───── the WMT 13a tokenizer over raw document text (punctuation
+    // split, decimals joined, digit-dash split — the sacrebleu
+    // pre-BLEU convention), gated via count + md5 over the exact
+    // token sequence ─────
+    "q276_tokenize_13a" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.text.TextOps.tokens13a(col("text")).as("__t"))
+        .select(col("doc_id"),
+          size(col("__t")).cast("long").as("n_toks"),
+          md5(encode(array_join(col("__t"), "\u001f"), "UTF-8"))
+            .as("toks_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ───── corpus-level BLEU statistics over the q261 segment table:
     // summed clipped counts / lengths (Papineni §2.3 — never a mean of
     // segment scores); bleuScore composes on the one-row result ─────
@@ -1119,6 +1134,26 @@ object EvalQueries {
             CAST(max(f) AS BIGINT) AS rougel_best_micro
           FROM f GROUP BY doc_id ORDER BY doc_id""",
     "q266_chrfpp" -> chrfppSql,
+
+    "q276_tokenize_13a" ->
+      """WITH n1 AS (
+            SELECT doc_id,
+              replace(replace(replace(replace(replace(replace(replace(
+                coalesce(text, ''),
+                '<skipped>', ''), chr(45) || chr(10), ''), chr(10), ' '),
+                '&quot;', '"'), '&amp;', '&'), '&lt;', '<'), '&gt;', '>') AS s
+            FROM documents),
+          p0 AS (SELECT doc_id, ' ' || s || ' ' AS s FROM n1),
+          k1 AS (SELECT doc_id, regexp_replace(s, '([\{-\~\[-\` -\&\(-\+\:-\@\/])', ' \1 ', 'g') AS s FROM p0),
+          k2 AS (SELECT doc_id, regexp_replace(s, '([^0-9])([\.,])', '\1 \2 ', 'g') AS s FROM k1),
+          k3 AS (SELECT doc_id, regexp_replace(s, '([\.,])([^0-9])', ' \1 \2', 'g') AS s FROM k2),
+          k4 AS (SELECT doc_id, regexp_replace(s, '([0-9])(-)', '\1 - ', 'g') AS s FROM k3),
+          tk AS (SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(s), '\s+'), x -> len(x) > 0) AS toks
+                 FROM k4)
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+            md5(array_to_string(toks, chr(31))) AS toks_md5
+          FROM tk ORDER BY doc_id""",
 
     "q275_corpus_wer" ->
       """WITH tk AS (

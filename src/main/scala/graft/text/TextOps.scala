@@ -41,6 +41,35 @@ object TextOps {
   /** Whitespace tokenization (leading/trailing space trimmed). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** The WMT `13a` tokenization (NIST mteval-v13a's language-
+    * independent normalization + punctuation splitting — what
+    * sacrebleu applies before BLEU, so scores computed over these
+    * tokens reproduce the WMT convention exactly): SGML entities
+    * restored, `<skipped>` and hyphenated line-breaks removed,
+    * newlines → spaces, then — on the SPACE-PADDED line, the mteval
+    * detail that makes trailing punctuation split — symbols and
+    * punctuation get surrounding spaces, except `.`/`,` BETWEEN
+    * digits (decimal/thousand marks stay joined: `3.50` is one
+    * token) and `-` after a digit splits (`3-4` → `3 - 4`) while
+    * word-internal hyphens stay (`A-B`). Returns the token ARRAY;
+    * NULL text → empty array (the family null contract). Pure
+    * regexp_replace chain — replayable in the oracle engine with the
+    * same patterns. */
+  def tokens13a(text: Column): Column = {
+    val norm = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        coalesce(text, lit("")),
+        "<skipped>", ""), "-\n", ""), "\n", " "),
+        "&quot;", "\""), "&amp;", "&"), "&lt;", "<"), "&gt;", ">")
+    val padded = concat(lit(" "), norm, lit(" "))
+    val t1 = regexp_replace(padded,
+      "([\\{-\\~\\[-\\` -\\&\\(-\\+\\:-\\@\\/])", " $1 ")
+    val t2 = regexp_replace(t1, "([^0-9])([\\.,])", "$1 $2 ")
+    val t3 = regexp_replace(t2, "([\\.,])([^0-9])", " $1 $2")
+    val t4 = regexp_replace(t3, "([0-9])(-)", "$1 - ")
+    filter(tokens(t4), t => length(t) > 0)
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   def charCount(text: Column): Column = length(text)

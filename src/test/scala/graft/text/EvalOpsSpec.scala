@@ -186,6 +186,36 @@ class EvalOpsSpec extends SparkSpec {
     assert(l2 === 75L && p2 === Some(1000000L))
   }
 
+  test("tokens13a: the WMT/mteval-v13a conventions — decimals joined, " +
+      "punctuation split, digit-dash split, word-hyphen kept, trailing " +
+      "period split via the mteval space padding, entities restored") {
+    def tok(s: String): Seq[String] =
+      Seq(Tuple1(s)).toDF("t")
+        .select(TextOps.tokens13a(col("t"))).as[Seq[String]].head()
+    assert(tok("Hello, world! It costs 3.50 dollars (really).") ===
+      Seq("Hello", ",", "world", "!", "It", "costs", "3.50",
+        "dollars", "(", "really", ")", "."))
+    assert(tok("A-B and 3-4.") === Seq("A-B", "and", "3", "-", "4", "."))
+    assert(tok("&quot;x&amp;y&lt;z&gt;&quot;") ===
+      Seq("\"", "x", "&", "y", "<", "z", ">", "\""))
+    assert(tok("1,000.5 vs 1, 2") ===
+      Seq("1,000.5", "vs", "1", ",", "2"))
+    assert(tok(null) === Seq.empty[String])
+    assert(tok("") === Seq.empty[String])
+    // scores over 13a tokens compose with the metric family unchanged
+    val f = EvalOps.rougeN(
+        Seq(("it costs 3.50 now.", "it costs 3.50 today."))
+          .toDF("cand", "ref").select(
+            array_join(TextOps.tokens13a(col("cand")), " ").as("cand"),
+            array_join(TextOps.tokens13a(col("ref")), " ").as("ref")),
+        "cand", "ref", 2)
+      .select("n_cand_grams", "n_overlap")
+      .as[(Long, Long)].head()
+    // bigrams: "it costs" + "costs 3.50" shared; "3.50 now|today" and
+    // "now|today ." differ → 2 of 4
+    assert(f === ((4L, 2L)))
+  }
+
   private def werOne(cand: String, ref: String) =
     EvalOps.wer(Seq((cand, ref)).toDF("cand", "ref"), "cand", "ref")
       .drop("cand", "ref")
