@@ -45,6 +45,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE's parallelism-first coalescing targets total/parallelism but
+      // floors at minPartitionSize (default 1m). The text/graph kernels
+      // here are CPU-dense per byte — a few MB of gram rows is seconds of
+      // compute — so the 1m floor collapses their shuffles to 1-3 tasks.
+      // 64k keeps parallelism-first in charge for byte-light CPU-heavy
+      // exchanges; at production volumes partitions are far above either
+      // floor, so the setting is inert there (env-overridable).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "1m"))
       // InferFiltersFromGenerate re-inlines generator expressions into a
       // pushed-down filter, re-evaluating interpreted HOF lambdas per row
       // (O(n^2) for shingles) - semantics-neutral to exclude.

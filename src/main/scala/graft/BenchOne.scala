@@ -7,6 +7,9 @@ object BenchOne {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // see Bench: CPU-dense kernels need parallelism-first coalescing
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "1m"))
       // InferFiltersFromGenerate re-inlines generator expressions into a
       // pushed-down filter, re-evaluating interpreted HOF lambdas per row
       // (O(n^2) for shingles) - semantics-neutral to exclude.

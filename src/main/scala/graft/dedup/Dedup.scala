@@ -508,10 +508,11 @@ object Dedup {
     */
   def shingles(tokensCol: Column, n: Int): Column = {
     val t = tokensCol
+    // compiled TokenNgrams kernel (exact concat_ws parity) instead of the
+    // interpreted transform(sequence)/slice HOF — one codegen pass per row
     array_distinct(
       when(size(t) < n, array(concat_ws(" ", t)))
-        .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
-          i => concat_ws(" ", slice(t, i, lit(n))))))
+        .otherwise(graft.functions.TextExpressions.tokenNgrams(t, n)))
   }
 
   /** Single-function MinHash key: the minimum md5 over a doc's n-gram
@@ -549,38 +550,47 @@ object Dedup {
     * jaccard) for pairs ≥ threshold. Block keys must be chosen so block
     * sizes stay bounded (e.g. lang × source); skewed blocks are split by
     * AQE skew-join handling. */
-  /** Distinct (block..., id, shingle-hash) rows built WITHOUT arrays or
-    * higher-order functions: posexplode tokens, window `lead` to form the
-    * n-gram, hash it. Everything stays in whole-stage codegen — the
-    * array+lambda form drops to interpreted evaluation (HOFs are
-    * CodegenFallback) and re-runs the tokenizer wherever Catalyst inlines
-    * it (join conditions, broadcast builds). Docs with < n tokens
-    * contribute their whole normalized text as one shingle. */
+  /** Distinct (block..., id, shingle-hash) rows built ENTIRELY scan-side:
+    * tokenize, run the compiled [[graft.functions.TokenNgrams]] kernel
+    * (one whole-stage-codegen pass per row, exact `concat_ws(" ", window)`
+    * parity), dedupe per doc with `array_distinct`, explode, hash. Docs
+    * with < n tokens contribute their whole normalized text as one
+    * shingle; NULL-text docs contribute no rows (the kernel's
+    * null-to-empty contract matches the old lead-window form, which
+    * filtered their token-less rows out).
+    *
+    * Until round 17 this was a posexplode + window-`lead` pipeline (the
+    * pre-kernel way to stay out of interpreted HOF lambdas). That shape
+    * paid ONE full exchange+sort of the token stream (the largest
+    * intermediate in every dedup pipeline — corpus-sized at 100 TB) to
+    * form the grams, plus a second corpus-wide exchange for the global
+    * `.distinct()`. The kernel form needs NEITHER: grams are built and
+    * deduped inside the scan projection, so the first exchange a shingle
+    * pipeline pays is the one its CONSUMER actually needs (the df
+    * aggregate / join on `g`). Per-doc `array_distinct` on the gram
+    * STRINGS is equivalent to the old global distinct on (block.., id,
+    * xxhash64(gram)): ids make cross-doc rows distinct already, and
+    * hashing distinct strings yields distinct hashes up to the same
+    * xxhash64-collision caveat the operator has always documented. */
   def shingleRows(docs: DataFrame, textCol: String, idCol: String,
                   blockCols: Seq[String], n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // NOT fanned out: the map side before the id-window exchange is just
-    // tokenize+posexplode (cheap), and the window/groupBy shuffles already
-    // spread the per-gram work — an extra round-robin exchange here
-    // measured as pure overhead (bench r7: +0.5-1 s per shingle query)
-    val src = docs.select(blockCols.map(col) :+ col(idCol) :+ col(textCol): _*)
-    val toks = src.select(blockCols.map(col) :+ col(idCol) :+
-      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "w")): _*)
-    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val leads = (1 until n).map(k => lead(col("w"), k).over(win).as(s"w$k"))
-    val ngrams = toks
-      .select((blockCols.map(col) :+ col(idCol) :+ col("w")) ++ leads: _*)
-      .where(col(s"w${n - 1}").isNotNull)
+    // id-hash spread of the raw (block, id, text) rows: the kernel work
+    // and the first downstream aggregate's map-side partials then run
+    // cluster-wide even when the input has few splits (the pre-kernel
+    // form's window exchange did this by accident — while shuffling the
+    // strictly larger token stream AND sorting it). AQE sizes the count.
+    val src = TextOps.spreadByKey(
+      docs.select(blockCols.map(col) :+ col(idCol) :+ col(textCol): _*),
+      col(idCol))
       .select(blockCols.map(col) :+ col(idCol) :+
-        concat_ws(" ", col("w") +: (1 until n).map(k => col(s"w$k")): _*).as("g0"): _*)
-    // short docs (< n tokens): whole normalized text is the only shingle
-    val short = src
-      .where(size(TextOps.tokens(col(textCol))) < n)
+        TextOps.tokens(col(textCol)).as("__toks"): _*)
+    src
       .select(blockCols.map(col) :+ col(idCol) :+
-        concat_ws(" ", TextOps.tokens(col(textCol))).as("g0"): _*)
-    ngrams.unionAll(short)
+        explode(array_distinct(
+          when(size(col("__toks")) < n, array(concat_ws(" ", col("__toks"))))
+            .otherwise(graft.functions.TextExpressions
+              .tokenNgrams(col("__toks"), n)))).as("g0"): _*)
       .select(blockCols.map(col) :+ col(idCol) :+ xxhash64(col("g0")).as("g"): _*)
-      .distinct()
   }
 
   /** Per-shingle document frequency (`df`) via groupBy + join-back —
@@ -1570,10 +1580,14 @@ object Dedup {
       // large-star, over the symmetric view: every neighbor v > u links to
       // m = min(Γ(u) ∪ {u}); output stays directed large→small
       val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      // NO distinct between the stars (r17): duplicate (u, m) rows from
+      // different large-star centers don't change the small-star window
+      // min, and ss applies its own distinct — the dedup here only paid
+      // a full extra exchange per round (4 → 3) to shrink the small-star
+      // sort input by the shared-min-neighbor factor
       val ls = sym.withColumn("m", least(min(col("v")).over(w), col("u")))
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
       // small-star: u and all its (smaller) neighbors link to their min
       val withM = ls.withColumn("m", min(col("v")).over(w))
       val ss = ckpt(withM.where(col("v") =!= col("m"))

@@ -30,6 +30,30 @@ import org.apache.spark.sql.functions._
   * stay k linear jobs instead of one exponentially nested plan. */
 object Graphs {
 
+  /** Eager local checkpoint that ALSO evaluates named row-count metrics
+    * inside the materialization job (`Dataset.observe`): the null-id /
+    * emptiness / size scalars every graph operator needs stop costing a
+    * second full pass over the just-checkpointed data — at corpus scale
+    * that second pass re-reads the entire edge list. Each flag column
+    * counts the rows where it is true. Returns the checkpointed frame
+    * plus the counts by name. */
+  private def ckptCounts(df: DataFrame,
+                         flags: (String, org.apache.spark.sql.Column)*)
+      : (DataFrame, Map[String, Long]) = {
+    val obs = org.apache.spark.sql.Observation()
+    val metrics = flags.map { case (n, c) =>
+      sum(when(c, 1L).otherwise(0L)).as(n) }
+    val out = df.observe(obs, metrics.head, metrics.tail: _*)
+      .localCheckpoint(eager = true)
+    val got = obs.get
+    (out, flags.map { case (n, _) =>
+      n -> (got.get(n) match {
+        case Some(x: java.lang.Number) => x.longValue()
+        case _ => 0L // sum over zero rows observes as null
+      })
+    }.toMap)
+  }
+
   /** Map STRING node keys (hosts, canonical URLs — the web-corpus graph
     * keys the centrality operators exist for) to stable long ids via a
     * collision-checked xxhash64 dictionary. Returns `(mappedEdges,
@@ -46,11 +70,11 @@ object Graphs {
     * fires). Null node keys fail loudly too — an inner-join mapping
     * would silently drop those edges. */
   def withNodeIds(edges: DataFrame, srcCol: String, dstCol: String): (DataFrame, DataFrame) = {
-    val e = edges
+    val (e, cE) = ckptCounts(edges // scanned for dict + mapping
       .withColumn(srcCol, col(srcCol).cast("string"))
-      .withColumn(dstCol, col(dstCol).cast("string"))
-      .localCheckpoint(eager = true) // scanned for the guard, dict + mapping
-    val nullKeys = e.where(col(srcCol).isNull || col(dstCol).isNull).count()
+      .withColumn(dstCol, col(dstCol).cast("string")),
+      "bad" -> (col(srcCol).isNull || col(dstCol).isNull))
+    val nullKeys = cE("bad")
     require(nullKeys == 0L,
       s"$nullKeys edge rows have null node keys — clean the edge list " +
         "before building the id dictionary")
@@ -134,9 +158,10 @@ object Graphs {
     require(iterations >= 1, s"iterations must be positive: $iterations")
     require(dampMilli >= 0L && dampMilli <= 1000L,
       s"dampMilli must be in [0, 1000]: $dampMilli")
-    val e = edges.select(tryLong(srcCol).as("src"), tryLong(dstCol).as("dst"))
-      .localCheckpoint(eager = true)
-    val badIds = e.where(col("src").isNull || col("dst").isNull).count()
+    val (e, cE) = ckptCounts(
+      edges.select(tryLong(srcCol).as("src"), tryLong(dstCol).as("dst")),
+      "bad" -> (col("src").isNull || col("dst").isNull))
+    val badIds = cE("bad")
     require(badIds == 0L,
       s"$badIds edge rows have null node ids after the long cast " +
         "— string node keys? map them through Graphs.withNodeIds first")
@@ -145,13 +170,13 @@ object Graphs {
       .union(e.select(col("dst").as("node"))).distinct()
     // membership flag rides the node table; seeds outside the graph
     // drop here (inner semi join), matching the documented semantics
-    val nodes = nodesAll
+    val (nodes, cN) = ckptCounts(nodesAll
       .join(seedIds.select(col("node"), lit(1L).as("seed")), Seq("node"), "left")
-      .select(col("node"), coalesce(col("seed"), lit(0L)).as("seed"))
-      .localCheckpoint(eager = true)
+      .select(col("node"), coalesce(col("seed"), lit(0L)).as("seed")),
+      "seeds" -> (col("seed") === 1L))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outw"))
       .localCheckpoint(eager = true)
-    val nSeeds = nodes.where(col("seed") === 1L).count()
+    val nSeeds = cN("seeds")
     require(nSeeds > 0L,
       "no seed id appears in the edge list's node set — personalized " +
         "rank is undefined without an effective seed")
@@ -205,14 +230,15 @@ object Graphs {
            iterations: Int): DataFrame = {
     require(iterations >= 1, s"iterations must be positive: $iterations")
     val SCALE = 1000000000L
-    val raw = edges.select(tryLong(srcCol).as("src"), tryLong(dstCol).as("dst"))
-      .localCheckpoint(eager = true)
-    val badIds = raw.where(col("src").isNull || col("dst").isNull).count()
+    val (raw, cR) = ckptCounts(
+      edges.select(tryLong(srcCol).as("src"), tryLong(dstCol).as("dst")),
+      "bad" -> (col("src").isNull || col("dst").isNull))
+    val badIds = cR("bad")
     require(badIds == 0L,
       s"$badIds edge rows have null node ids after the long cast " +
         "— string node keys? map them through Graphs.withNodeIds first")
-    val e = raw.distinct().localCheckpoint(eager = true)
-    require(!e.isEmpty, "edge list is empty — nothing to rank")
+    val (e, cEdge) = ckptCounts(raw.distinct(), "n" -> lit(true))
+    require(cEdge("n") > 0L, "edge list is empty — nothing to rank")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(eager = true)
@@ -221,8 +247,13 @@ object Graphs {
       .select(col("node"), expr(s"${SCALE}L div n").as("h"))
     var auths = hubs.select(col("node"), col("h").as("a"))
     for (_ <- 1 to iterations) {
+      // raw sums are LAZILY checkpointed (r17): each feeds BOTH its
+      // normalizer aggregate and the node join — unpinned, the whole
+      // hub⋈edges aggregate subtree executed twice per half-iteration
+      // (once under the broadcast normalizer, once under the join)
       val araw = hubs.join(e, hubs("node") === e("src"))
         .groupBy(col("dst")).agg(sum(col("h")).as("v"))
+        .localCheckpoint(eager = false)
       val asum = araw.agg(sum(col("v")).as("s"))
       auths = nodes.crossJoin(broadcast(asum))
         .join(araw, nodes("node") === araw("dst"), "left")
@@ -231,6 +262,7 @@ object Graphs {
         .localCheckpoint(eager = true)
       val hraw = auths.join(e, auths("node") === e("dst"))
         .groupBy(col("src")).agg(sum(col("a")).as("v"))
+        .localCheckpoint(eager = false)
       val hsum = hraw.agg(sum(col("v")).as("s"))
       hubs = nodes.crossJoin(broadcast(hsum))
         .join(hraw, nodes("node") === hraw("src"), "left")
@@ -263,9 +295,10 @@ object Graphs {
     * node-keyed hash joins + one aggregate; pre-bucketing the edge list
     * on the node id makes them exchange-free at 100 TB. */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val raw = edges.select(tryLong(srcCol).as("a"), tryLong(dstCol).as("b"))
-      .localCheckpoint(eager = true)
-    val badIds = raw.where(col("a").isNull || col("b").isNull).count()
+    val (raw, cRaw) = ckptCounts(
+      edges.select(tryLong(srcCol).as("a"), tryLong(dstCol).as("b")),
+      "bad" -> (col("a").isNull || col("b").isNull))
+    val badIds = cRaw("bad")
     require(badIds == 0L,
       s"$badIds edge rows have null node ids after the long cast " +
         "— string node keys? map them through Graphs.withNodeIds first")
@@ -328,9 +361,10 @@ object Graphs {
   def cooccurrenceProject(edges: DataFrame, srcCol: String, dstCol: String,
                           maxPerSrc: Int): DataFrame = {
     require(maxPerSrc >= 2, s"maxPerSrc must be >= 2: $maxPerSrc")
-    val raw = edges.select(tryLong(srcCol).as("s"), tryLong(dstCol).as("i"))
-      .localCheckpoint(eager = true)
-    val badIds = raw.where(col("s").isNull || col("i").isNull).count()
+    val (raw, cRaw) = ckptCounts(
+      edges.select(tryLong(srcCol).as("s"), tryLong(dstCol).as("i")),
+      "bad" -> (col("s").isNull || col("i").isNull))
+    val badIds = cRaw("bad")
     require(badIds == 0L,
       s"$badIds edge rows have null node ids after the long cast " +
         "— string node keys? map them through Graphs.withNodeIds first")
@@ -364,9 +398,10 @@ object Graphs {
   def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
                   steps: Int): DataFrame = {
     require(steps >= 1, s"steps must be positive: $steps")
-    val raw = edges.select(tryLong(srcCol).as("a"), tryLong(dstCol).as("b"))
-      .localCheckpoint(eager = true)
-    val badIds = raw.where(col("a").isNull || col("b").isNull).count()
+    val (raw, cRaw) = ckptCounts(
+      edges.select(tryLong(srcCol).as("a"), tryLong(dstCol).as("b")),
+      "bad" -> (col("a").isNull || col("b").isNull))
+    val badIds = cRaw("bad")
     require(badIds == 0L,
       s"$badIds edge rows have null node ids after the long cast " +
         "— string node keys? map them through Graphs.withNodeIds first")
@@ -419,9 +454,10 @@ object Graphs {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be positive: $rounds")
-    val raw = edges.select(tryLong(srcCol).as("a"), tryLong(dstCol).as("b"))
-      .localCheckpoint(eager = true)
-    val badIds = raw.where(col("a").isNull || col("b").isNull).count()
+    val (raw, cRaw) = ckptCounts(
+      edges.select(tryLong(srcCol).as("a"), tryLong(dstCol).as("b")),
+      "bad" -> (col("a").isNull || col("b").isNull))
+    val badIds = cRaw("bad")
     require(badIds == 0L,
       s"$badIds edge rows have null node ids after the long cast " +
         "— string node keys? map them through Graphs.withNodeIds first")
@@ -467,9 +503,10 @@ object Graphs {
             maxRounds: Int = Int.MaxValue): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
     require(maxRounds >= 1, s"maxRounds must be positive: $maxRounds")
-    val raw = edges.select(tryLong(srcCol).as("a"), tryLong(dstCol).as("b"))
-      .localCheckpoint(eager = true)
-    val badIds = raw.where(col("a").isNull || col("b").isNull).count()
+    val (raw, cRaw) = ckptCounts(
+      edges.select(tryLong(srcCol).as("a"), tryLong(dstCol).as("b")),
+      "bad" -> (col("a").isNull || col("b").isNull))
+    val badIds = cRaw("bad")
     require(badIds == 0L,
       s"$badIds edge rows have null node ids after the long cast " +
         "— string node keys? map them through Graphs.withNodeIds first")
@@ -484,8 +521,8 @@ object Graphs {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val deg = degrees(cur).localCheckpoint(eager = true)
-      if (deg.where(col("degree") < k).isEmpty) converged = true
+      val (deg, cD) = ckptCounts(degrees(cur), "low" -> (col("degree") < lit(k.toLong)))
+      if (cD("low") == 0L) converged = true
       else {
         val good = deg.where(col("degree") >= k).select(col("node"))
         cur = cur
@@ -521,22 +558,24 @@ object Graphs {
                     sources: DataFrame, sourceCol: String, maxIter: Int,
                     weightCol: Option[String] = None): DataFrame = {
     require(maxIter >= 1, s"maxIter must be positive: $maxIter")
-    val e = edges.select(tryLong(srcCol).as("src"), tryLong(dstCol).as("dst"),
-        weightCol.map(tryLong).getOrElse(lit(1L)).as("w"))
-      .localCheckpoint(eager = true)
-    val badIds = e.where(col("src").isNull || col("dst").isNull ||
-      col("w").isNull).count()
+    val (e, cE) = ckptCounts(
+      edges.select(tryLong(srcCol).as("src"), tryLong(dstCol).as("dst"),
+        weightCol.map(tryLong).getOrElse(lit(1L)).as("w")),
+      "bad" -> (col("src").isNull || col("dst").isNull || col("w").isNull),
+      "badW" -> (col("w") <= 0L))
+    val badIds = cE("bad")
     require(badIds == 0L,
       s"$badIds edge rows have null node ids/weights after the long cast " +
         "— string node keys? map them through Graphs.withNodeIds first")
-    val badW = e.where(col("w") <= 0L).count()
+    val badW = cE("badW")
     require(badW == 0L,
       s"$badW edge rows have non-positive weights — shortest paths over " +
         "zero/negative edges are not the truncated-relaxation semantics")
-    var dist = sources.select(tryLong(sourceCol).as("node")).distinct()
-      .select(col("node"), lit(0L).as("dist"))
-      .localCheckpoint(eager = true)
-    require(dist.where(col("node").isNull).isEmpty,
+    var (dist, cD) = ckptCounts(
+      sources.select(tryLong(sourceCol).as("node")).distinct()
+        .select(col("node"), lit(0L).as("dist")),
+      "badSrc" -> col("node").isNull)
+    require(cD("badSrc") == 0L,
       "source ids must cast to non-null longs — map string keys through " +
         "Graphs.withNodeIds first")
     for (_ <- 1 to maxIter) {
@@ -572,9 +611,10 @@ object Graphs {
     require(maxWedgeDegree >= 2,
       s"maxWedgeDegree must be at least 2 (a wedge needs 2 neighbors): " +
         s"$maxWedgeDegree")
-    val raw = edges.select(tryLong(srcCol).as("a"), tryLong(dstCol).as("b"))
-      .localCheckpoint(eager = true)
-    val badIds = raw.where(col("a").isNull || col("b").isNull).count()
+    val (raw, cRaw) = ckptCounts(
+      edges.select(tryLong(srcCol).as("a"), tryLong(dstCol).as("b")),
+      "bad" -> (col("a").isNull || col("b").isNull))
+    val badIds = cRaw("bad")
     require(badIds == 0L,
       s"$badIds edge rows have null node ids after the long cast " +
         "— string node keys? map them through Graphs.withNodeIds first")
@@ -625,32 +665,32 @@ object Graphs {
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
                  labels: DataFrame, nodeCol: String,
                  labelCol: String): DataFrame = {
-    val raw = edges.select(tryLong(srcCol).as("a"), tryLong(dstCol).as("b"))
-      .localCheckpoint(eager = true)
-    val badIds = raw.where(col("a").isNull || col("b").isNull).count()
+    val (raw, cRaw) = ckptCounts(
+      edges.select(tryLong(srcCol).as("a"), tryLong(dstCol).as("b")),
+      "bad" -> (col("a").isNull || col("b").isNull))
+    val badIds = cRaw("bad")
     require(badIds == 0L,
       s"$badIds edge rows have null node ids after the long cast " +
         "— string node keys? map them through Graphs.withNodeIds first")
-    val und = raw.where(col("a") =!= col("b"))
+    val (und, cU) = ckptCounts(raw.where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
-      .distinct()
-      .localCheckpoint(eager = true)
-    val lbl = labels.select(tryLong(nodeCol).as("node"),
-        col(labelCol).as("lbl"))
-      .localCheckpoint(eager = true)
-    require(lbl.where(col("node").isNull || col("lbl").isNull).isEmpty,
+      .distinct(),
+      "m" -> lit(true))
+    val (lbl, cL) = ckptCounts(labels.select(tryLong(nodeCol).as("node"),
+        col(labelCol).as("lbl")),
+      "badLbl" -> (col("node").isNull || col("lbl").isNull))
+    require(cL("badLbl") == 0L,
       "labels frame has null node ids or labels")
-    val m = und.count()
+    val m = cU("m")
     require(m > 0L, "edge list is empty — modularity is undefined")
-    val withLbls = und
+    val (withLbls, cW) = ckptCounts(und
       .join(lbl.select(col("node").as("a"), col("lbl").as("la")), Seq("a"),
         "left")
       .join(lbl.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"),
-        "left")
-      .localCheckpoint(eager = true)
-    val unlabeled = withLbls.where(col("la").isNull || col("lb").isNull)
-      .count()
+        "left"),
+      "unlabeled" -> (col("la").isNull || col("lb").isNull))
+    val unlabeled = cW("unlabeled")
     require(unlabeled == 0L,
       s"$unlabeled edges touch nodes absent from the labels frame — " +
         "label every node in the edge list (or filter the edges first)")
@@ -698,9 +738,10 @@ object Graphs {
   def scc(edges: DataFrame, srcCol: String, dstCol: String,
           maxPeels: Int = 64): DataFrame = {
     require(maxPeels >= 1, s"maxPeels must be positive: $maxPeels")
-    val raw = edges.select(tryLong(srcCol).as("src"), tryLong(dstCol).as("dst"))
-      .localCheckpoint(eager = true)
-    val badIds = raw.where(col("src").isNull || col("dst").isNull).count()
+    val (raw, cRaw) = ckptCounts(
+      edges.select(tryLong(srcCol).as("src"), tryLong(dstCol).as("dst")),
+      "bad" -> (col("src").isNull || col("dst").isNull))
+    val badIds = cRaw("bad")
     require(badIds == 0L,
       s"$badIds edge rows have null node ids after the long cast " +
         "— string node keys? map them through Graphs.withNodeIds first")
@@ -708,9 +749,9 @@ object Graphs {
     // in the node set and settle as singletons
     var rem = raw.where(col("src") =!= col("dst")).distinct()
       .localCheckpoint(eager = true)
-    var nodes = raw.select(col("src").as("node"))
-      .union(raw.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(eager = true)
+    var (nodes, cN) = ckptCounts(raw.select(col("src").as("node"))
+      .union(raw.select(col("dst").as("node"))).distinct(),
+      "n" -> lit(true))
     val spark = edges.sparkSession
     var result = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -719,7 +760,7 @@ object Graphs {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("scc_id",
           org.apache.spark.sql.types.LongType, nullable = false))))
-    var remaining = nodes.count()
+    var remaining = cN("n")
     var peel = 0
     while (remaining > 0L && peel < maxPeels) {
       // (0) TRIM — the standard FW-BW companion: a node with in- or
@@ -731,13 +772,13 @@ object Graphs {
       var trimmed = true
       var trimRound = 0
       while (trimmed && trimRound < 256 && remaining > 0L) {
-        val keep = nodes
+        val (keep, cK) = ckptCounts(nodes
           .join(rem.select(col("dst").as("node")).distinct(), Seq("node"),
             "left_semi")
           .join(rem.select(col("src").as("node")).distinct(), Seq("node"),
-            "left_semi")
-          .localCheckpoint(eager = true)
-        val keepN = keep.count()
+            "left_semi"),
+          "n" -> lit(true))
+        val keepN = cK("n")
         if (keepN == remaining) trimmed = false
         else {
           val dropped = nodes.join(keep, Seq("node"), "left_anti")
@@ -760,14 +801,21 @@ object Graphs {
       var changedN = 1L
       while (changedN > 0L) {
         val pushed = colors.join(rem, colors("node") === rem("src"))
-          .select(col("dst").as("node"), col("color"))
-        val next = colors.select(col("node"), col("color")).union(pushed)
-          .groupBy(col("node")).agg(max(col("color")).as("color"))
-          .localCheckpoint(eager = true)
-        changedN = next.as("n")
-          .join(colors.as("o"), col("n.node") === col("o.node"))
-          .where(col("n.color") =!= col("o.color")).count()
-        colors = next
+          .select(col("dst").as("node"), col("color"), lit(0).as("__o"))
+        // the convergence count rides the round's own aggregate (r17):
+        // colors holds exactly one row per node, so tagging it __o=1 and
+        // taking max(color) WHERE __o=1 recovers the previous color in
+        // the same groupBy — the old next⋈colors diff-join and its
+        // separate count job are gone (2 jobs → 1 per round)
+        val (next, cRound) = ckptCounts(
+          colors.select(col("node"), col("color"), lit(1).as("__o"))
+            .union(pushed)
+            .groupBy(col("node"))
+            .agg(max(col("color")).as("color"),
+              max(when(col("__o") === 1, col("color"))).as("__old")),
+          "changed" -> (col("color") =!= col("__old")))
+        changedN = cRound("changed")
+        colors = next.select(col("node"), col("color"))
       }
       // (2) backward membership sweep from the roots, same-color only
       val eCol = rem
@@ -778,19 +826,19 @@ object Graphs {
         .where(col("csrc") === col("cdst"))
         .select(col("src"), col("dst"), col("csrc").as("color"))
         .localCheckpoint(eager = true)
-      var member = colors.where(col("color") === col("node"))
-        .select(col("node"), col("color"))
-        .localCheckpoint(eager = true)
-      var memberN = member.count()
+      var (member, cM) = ckptCounts(colors.where(col("color") === col("node"))
+        .select(col("node"), col("color")),
+        "n" -> lit(true))
+      var memberN = cM("n")
       var grew = true
       while (grew) {
         val grown = eCol.as("e")
           .join(member.as("m"), col("e.dst") === col("m.node") &&
             col("e.color") === col("m.color"))
           .select(col("e.src").as("node"), col("e.color").as("color"))
-        val next = member.union(grown).distinct()
-          .localCheckpoint(eager = true)
-        val nextN = next.count()
+        val (next, cNext) = ckptCounts(member.union(grown).distinct(),
+          "n" -> lit(true))
+        val nextN = cNext("n")
         grew = nextN > memberN
         member = next
         memberN = nextN
@@ -799,13 +847,15 @@ object Graphs {
       result = result.union(member
         .select(col("node"), col("color").as("scc_id")))
         .localCheckpoint(eager = true)
-      nodes = nodes.join(member.select(col("node")), Seq("node"), "left_anti")
-        .localCheckpoint(eager = true)
+      val (nodesNext, cRem) = ckptCounts(
+        nodes.join(member.select(col("node")), Seq("node"), "left_anti"),
+        "n" -> lit(true))
+      nodes = nodesNext
       rem = rem
         .join(member.select(col("node").as("src")), Seq("src"), "left_anti")
         .join(member.select(col("node").as("dst")), Seq("dst"), "left_anti")
         .localCheckpoint(eager = true)
-      remaining = nodes.count()
+      remaining = cRem("n")
       }
       peel += 1
     }
@@ -827,9 +877,10 @@ object Graphs {
   def neighborhoodExact(edges: DataFrame, srcCol: String, dstCol: String,
                         maxRadius: Int): DataFrame = {
     require(maxRadius >= 1, s"maxRadius must be positive: $maxRadius")
-    val raw = edges.select(tryLong(srcCol).as("src"), tryLong(dstCol).as("dst"))
-      .localCheckpoint(eager = true)
-    val badIds = raw.where(col("src").isNull || col("dst").isNull).count()
+    val (raw, cRaw) = ckptCounts(
+      edges.select(tryLong(srcCol).as("src"), tryLong(dstCol).as("dst")),
+      "bad" -> (col("src").isNull || col("dst").isNull))
+    val badIds = cRaw("bad")
     require(badIds == 0L,
       s"$badIds edge rows have null node ids after the long cast " +
         "— string node keys? map them through Graphs.withNodeIds first")
@@ -886,19 +937,21 @@ object Graphs {
                        sources: DataFrame, sourceCol: String,
                        maxDepth: Int): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be positive: $maxDepth")
-    val raw = edges.select(tryLong(srcCol).as("src"), tryLong(dstCol).as("dst"))
-      .localCheckpoint(eager = true)
-    val badIds = raw.where(col("src").isNull || col("dst").isNull).count()
+    val (raw, cRaw) = ckptCounts(
+      edges.select(tryLong(srcCol).as("src"), tryLong(dstCol).as("dst")),
+      "bad" -> (col("src").isNull || col("dst").isNull))
+    val badIds = cRaw("bad")
     require(badIds == 0L,
       s"$badIds edge rows have null node ids after the long cast " +
         "— string node keys? map them through Graphs.withNodeIds first")
     val e = raw.where(col("src") =!= col("dst")).distinct()
       .localCheckpoint(eager = true)
-    var settled = sources.select(tryLong(sourceCol).as("s")).distinct()
-      .select(col("s"), col("s").as("v"), lit(0).as("dist"),
-        lit(1L).as("sigma"))
-      .localCheckpoint(eager = true)
-    require(settled.where(col("s").isNull).isEmpty,
+    var (settled, cS) = ckptCounts(
+      sources.select(tryLong(sourceCol).as("s")).distinct()
+        .select(col("s"), col("s").as("v"), lit(0).as("dist"),
+          lit(1L).as("sigma")),
+      "badSrc" -> col("s").isNull)
+    require(cS("badSrc") == 0L,
       "source ids must cast to non-null longs — map string keys through " +
         "Graphs.withNodeIds first")
     for (l <- 0 until maxDepth) {
@@ -957,9 +1010,10 @@ object Graphs {
   def hyperBall(edges: DataFrame, srcCol: String, dstCol: String,
                 maxRadius: Int, lgK: Int = 12): DataFrame = {
     require(maxRadius >= 1, s"maxRadius must be positive: $maxRadius")
-    val raw = edges.select(tryLong(srcCol).as("src"), tryLong(dstCol).as("dst"))
-      .localCheckpoint(eager = true)
-    val badIds = raw.where(col("src").isNull || col("dst").isNull).count()
+    val (raw, cRaw) = ckptCounts(
+      edges.select(tryLong(srcCol).as("src"), tryLong(dstCol).as("dst")),
+      "bad" -> (col("src").isNull || col("dst").isNull))
+    val badIds = cRaw("bad")
     require(badIds == 0L,
       s"$badIds edge rows have null node ids after the long cast " +
         "— string node keys? map them through Graphs.withNodeIds first")
@@ -1036,26 +1090,28 @@ object Graphs {
     require(iterations >= 1, s"iterations must be positive: $iterations")
     require(dampMilli >= 0L && dampMilli <= 1000L,
       s"dampMilli must be in [0, 1000]: $dampMilli")
-    val eAll = edgesW.localCheckpoint(eager = true) // walked every iteration
     // a non-numeric node id (string hosts/URLs — the operator's primary
     // documented use) long-casts to NULL; without this guard every
     // unparseable id would collapse into one null node and the rank
     // table would be silently garbage. Same loud-error discipline as
-    // Audience's cardinality guard; one cheap pass over checkpointed data.
-    val badIds = eAll.where(col("src").isNull || col("dst").isNull ||
-      (if (weighted) col("w").isNull else lit(false))).count()
+    // Audience's cardinality guard; the count rides the checkpoint
+    // materialization (ckptCounts) instead of a second edge-list pass.
+    val (eAll, cEdges) = ckptCounts(edgesW, // walked every iteration
+      "bad" -> (col("src").isNull || col("dst").isNull ||
+        (if (weighted) col("w").isNull else lit(false))))
+    val badIds = cEdges("bad")
     require(badIds == 0L,
       s"$badIds edge rows have null node ids/weights after the long cast " +
         "— string node keys? map them through Graphs.withNodeIds first")
     val e = if (weighted) eAll.where(col("w") > 0L) else eAll
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(eager = true)
+    val (nodes, cN) = ckptCounts(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct(),
+      "n" -> lit(true))
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
       .localCheckpoint(eager = true)
     // n is a driver scalar by necessity (it seeds every rank literal);
-    // one count over the node table, not the edges
-    val n = nodes.count()
+    // observed during the node-table checkpoint, not a second pass
+    val n = cN("n")
     require(n > 0L, "edge list is empty" +
       (if (weighted) " (or all weights are non-positive)" else "") +
       " — nothing to rank")

@@ -31,7 +31,13 @@ object Profile {
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    // size-guarded round-robin spread (r17): the multi-distinct Expand
+    // multiplies the scan |columns|+1 ways BEFORE the partial aggregate —
+    // on a few-split input that whole blow-up runs on 1-2 scan tasks.
+    // Column pruning pushes through the repartition, so only the
+    // profiled columns ship; no-op on a wide table.
+    val row = graft.text.TextOps.spreadSmall(df.select(cols.map(col): _*))
+      .agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map { c =>
       s"'$c', `__null_$c`, `__dist_$c`, `__min_$c`, `__max_$c`"
     }.mkString(", ")

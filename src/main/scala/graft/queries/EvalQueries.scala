@@ -621,7 +621,13 @@ object EvalQueries {
     val rt = slice(
       filter(graft.text.TextOps.tokens(col("text")), t => length(t) > 0),
       1, 120)
-    Tables.documents(s, d).select(col("doc_id"), rt.as("__rt"))
+    // spread before the per-row DP kernels downstream (r17): the LCS /
+    // edit-distance / gram kernels are CPU-dense and the single-split
+    // fixture scan would serialize them on one task
+    graft.text.TextOps.spreadByKey(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        col("doc_id"))
+      .select(col("doc_id"), rt.as("__rt"))
       .select(col("doc_id"),
         array_join(col("__rt"), " ").as("ref"),
         when(col("doc_id") % 13 === 0, lit(null).cast("string"))
@@ -649,7 +655,9 @@ object EvalQueries {
     * after that — so max-clip / best-match / closest-length all do real
     * work. Replayed verbatim in the oracle SQL. */
   private def multiRefFixture(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = graft.text.TextOps.spreadByKey( // r17: see analyticClassPairs
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"), array_join(
         slice(filter(graft.text.TextOps.tokens(col("text")),
           t => length(t) > 0), 1, 60), " ").as("text"))

@@ -499,15 +499,19 @@ object PipelineQueries {
     // operators; the oracle replays the pair construction and the
     // iterations directly on the token strings ─────
     "q202_textrank_keywords" -> ((s, d) => {
-      val pairs = Tables.documents(s, d)
-        .select(graft.text.TextOps.tokens(col("text")).as("ts"))
-        .where(size(col("ts")) >= 2)
-        .select(explode(expr(
-          """transform(slice(ts, 1, size(ts) - 1),
-             (t, i) -> struct(t as a, element_at(ts, i + 2) as b))"""))
-          .as("p"))
-      val e = pairs.select(col("p.a").as("src"), col("p.b").as("dst"))
-        .unionByName(pairs.select(col("p.b").as("src"), col("p.a").as("dst")))
+      // adjacent pairs via the compiled BigramArray kernel + spread
+      // (r17): identical pair stream to the old interpreted
+      // transform/slice HOF — tokens never contain whitespace, so the
+      // single joining space splits each bigram back unambiguously
+      val pairs = graft.text.TextOps.spreadByKey(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          col("doc_id"))
+        .select(explode(graft.functions.TextExpressions.bigramArray(
+          graft.text.TextOps.tokens(col("text")))).as("g"))
+        .select(substring_index(col("g"), " ", 1).as("a"),
+          substring_index(col("g"), " ", -1).as("b"))
+      val e = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       val (mapped, dict) = graft.ops.Graphs.withNodeIds(e, "src", "dst")
       graft.ops.Graphs.pageRankFixed(mapped, "src", "dst", iterations = 3)
         .join(dict, col("node") === col("node_id"))

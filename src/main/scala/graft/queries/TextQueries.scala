@@ -1599,7 +1599,12 @@ object TextQueries {
           .when(col("doc_id") % 3 === 1, lit(HtmlFixture.quote))
           .otherwise(lit("")),
         lit(HtmlFixture.tail))
-      Tables.documents(s, d)
+      // spread before the regex-chain extraction (r17): per-row HTML
+      // stripping is CPU-dense and the single-split fixture scan would
+      // otherwise run it on one task
+      graft.text.TextOps.spreadByKey(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text")),
+          col("doc_id"))
         .select(col("doc_id"),
           graft.text.HtmlOps.extractText(html).as("extracted"))
         .orderBy(col("doc_id"))

@@ -38,8 +38,17 @@ object Fuzzy {
                       suffixLen: Int, lenTol: Int, maxDist: Int): DataFrame = {
     require(suffixLen >= 1, s"suffixLen must be positive: $suffixLen")
     require(lenTol >= 0 && maxDist >= 0, "tolerances must be non-negative")
-    val left = a.select(col(aId).as("id_a"), col(aText).as("s_a"),
-      substring(col(aText), -suffixLen, suffixLen).as("__blk"))
+    // Spread the PROBE side before the kernel join (r17,
+    // TextOps.spreadByKey): the banded Levenshtein runs per candidate
+    // pair inside the join stage, whose parallelism is the probe side's
+    // partitioning — a single-split input serializes the whole O(pairs ·
+    // len·maxDist) kernel on 1-2 tasks while the cluster idles (measured
+    // 6.7 s on 2 of 32 cores at sf0.1). Size-guarded: a corpus-scale
+    // side is already wide and pays nothing.
+    val left = TextOps.spreadByKey(
+      a.select(col(aId).as("id_a"), col(aText).as("s_a"),
+        substring(col(aText), -suffixLen, suffixLen).as("__blk")),
+      col("id_a"))
     val right = b.select(col(bId).as("id_b"), col(bText).as("s_b"),
       substring(col(bText), -suffixLen, suffixLen).as("__blk"))
     // length band BEFORE the kernel: a length gap > maxDist can never

@@ -71,8 +71,13 @@ object Retrieval {
     * plans exchange-free on the corpus side. */
   def bm25Index(docs: DataFrame, textCol: String, idCol: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(TextOps.tokens(col(textCol))).as("token"))
+    // id-hash spread before tokenization (TextOps.spreadByKey, r17): the
+    // explode AND the postings aggregate's map-side partials otherwise
+    // run on however few splits the corpus file has (1 at fixture scale);
+    // size-guarded no-op on a wide corpus
+    val toks = TextOps.spreadByKey(
+        docs.select(col(idCol).as("doc_id"), col(textCol)), col("doc_id"))
+      .select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("token"))
     val postings = toks.groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = postings.groupBy(col("token"))

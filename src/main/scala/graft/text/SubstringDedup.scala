@@ -108,23 +108,30 @@ object SubstringDedup {
     rebuild(batch, textCol, idCol, k, removable)
   }
 
-  /** (id, pos, g): the xxhash64 of the k-token window at every position —
-    * `lead` over the per-doc pos order (the shingleRows shape: no arrays,
-    * no HOF lambdas, stays in codegen). */
+  /** (id, pos, g): the xxhash64 of the k-token window at every position.
+    * Built scan-side by the compiled [[graft.functions.TokenNgrams]]
+    * kernel (exact `concat_ws(" ", window)` parity) + `posexplode`, so
+    * gram construction pays NO exchange at all — the pre-kernel
+    * lead-window form shuffled and sorted the whole token stream (the
+    * corpus-sized intermediate) once per call just to line up the k
+    * window words. Positions are 0-based gram starts [0, n−k], identical
+    * to the old form; docs with < k tokens yield no gram rows (kernel
+    * returns an empty array, as the lead-null filter did). */
   private def gramRows(docs: DataFrame, textCol: String, idCol: String,
                        k: Int): DataFrame = {
     require(k >= 2, s"window must span at least 2 tokens: $k")
     val reserved = Seq("pos", "w", "g", "cnt", "first", "hist", "s", "rem")
     require(!docs.columns.exists(reserved.contains),
       s"input reserves column names ${reserved.mkString(", ")}")
-    val toks = tokenRows(docs, textCol, idCol)
-    val docWin = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val leads = (1 until k).map(i => lead(col("w"), i).over(docWin).as(s"w$i"))
-    toks
-      .select(col(idCol) +: col("pos") +: col("w") +: leads: _*)
-      .where(col(s"w${k - 1}").isNotNull)
-      .select(col(idCol), col("pos"),
-        xxhash64(concat_ws(" ", col("w") +: (1 until k).map(i => col(s"w$i")): _*)).as("g"))
+    TextOps.spreadByKey(docs.select(col(idCol), col(textCol)), col(idCol))
+      // id-hash spread of the raw text (the Dedup.shingleRows rationale):
+      // kernel work + the gram-stats aggregate's map-side partials run
+      // cluster-wide; the old window form shuffled AND sorted the bigger
+      // token stream to the same end
+      .select(col(idCol),
+        posexplode(graft.functions.TextExpressions
+          .tokenNgrams(TextOps.tokens(col(textCol)), k)).as(Seq("pos", "g0")))
+      .select(col(idCol), col("pos"), xxhash64(col("g0")).as("g"))
   }
 
   private def tokenRows(docs: DataFrame, textCol: String, idCol: String): DataFrame =

@@ -41,6 +41,49 @@ object TextOps {
   /** Whitespace tokenization (leading/trailing space trimmed). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Key-hash fan-out PINNED to the session's configured shuffle width
+    * (`spark.sql.shuffle.partitions` — the cluster-tuned knob, so the
+    * width scales with deployment, never a hard-coded core count).
+    * Used in front of compute-dense scan-side kernels (gram builders,
+    * per-row DPs): a small input (one parquet split) would otherwise run
+    * the kernel AND the map-side partials of the next aggregate on 1-2
+    * scan tasks while the rest of the cluster idles. Pinned, because an
+    * UNPINNED `repartition(key)` is AQE-coalescible and byte-based
+    * coalescing collapses byte-light/CPU-heavy exchanges right back to
+    * one task. The shipped bytes are the raw doc rows — strictly less
+    * than the token-stream exchange+sort the pre-r17 window-lead gram
+    * builders paid for the same spreading effect. */
+  private[graft] def spreadByKey(df: org.apache.spark.sql.DataFrame,
+                                 key: Column,
+                                 thresholdBytes: Long = 1L << 30)
+      : org.apache.spark.sql.DataFrame = {
+    // [[fanOutSmall]]'s size-estimate guard: below the threshold the
+    // input cannot split into enough scan tasks on its own and a one-pass
+    // shuffle of ≤1 GB is cheap; at or above it (real corpora — and any
+    // mid-pipeline frame whose size the optimizer can't bound, which
+    // estimates as huge) the input is already wide and the spread is a
+    // no-op, so 100 TB pays nothing.
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size < thresholdBytes)
+      df.repartition(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, key)
+    else df
+  }
+
+  /** [[spreadByKey]] without a key: size-guarded ROUND-ROBIN fan-out for
+    * order-insensitive consumers (whole-frame aggregates) whose input
+    * has no natural doc key. Same pinned width, same no-op-at-scale
+    * guard. */
+  private[graft] def spreadSmall(df: org.apache.spark.sql.DataFrame,
+                                 thresholdBytes: Long = 1L << 30)
+      : org.apache.spark.sql.DataFrame = {
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size < thresholdBytes)
+      df.repartition(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    else df
+  }
+
   /** The WMT `13a` tokenization (NIST mteval-v13a's language-
     * independent normalization + punctuation splitting — what
     * sacrebleu applies before BLEU, so scores computed over these
@@ -447,7 +490,15 @@ object TextOps {
                         idCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val id = col(idCol)
-    val src = docs.select(id, col(textCol))
+    // Spread the doc rows across the cluster BEFORE the heavy scan-side
+    // explodes: a small input (few parquet splits) would otherwise run
+    // the line/gram construction AND the map-side partials of every
+    // aggregate below on 1-2 scan tasks. The id-hash exchange ships raw
+    // text once, and — because hash(id) clusters every groupBy key below
+    // (all start with id) — BOTH aggregate chains plan exchange-free
+    // after it: strictly fewer exchanges than the pre-r17 window form,
+    // and no sort. AQE still right-sizes the partition count.
+    val src = spreadByKey(docs.select(id, col(textCol)), id)
     val lines = src
       .select(id, explode(split(col(textCol), "\n")).as("__raw"))
       .select(id, trim(col("__raw")).as("__line"))
@@ -460,21 +511,33 @@ object TextOps {
       (lit(1.0) - count(lit(1)).cast("double") / sum("__cnt")).as("dup_line_frac"),
       (sum(when(col("__cnt") > 1, col("__cnt") * col("__len")).otherwise(0L))
         .cast("double") / sum(col("__cnt") * col("__len"))).as("dup_line_char_frac"))
-    val toks = src
-      .select(id, posexplode(tokens(col(textCol))).as(Seq("__pos", "__w")))
-      .where(length(col("__w")) > 0)
-    val tokChars = toks.groupBy(id)
-      .agg(sum(length(col("__w")).cast("long")).as("__tok_chars"))
-    val win = Window.partitionBy(id).orderBy(col("__pos"))
-    val bigSig = toks
-      .select(id, col("__w"), lead(col("__w"), 1).over(win).as("__w1"))
-      .where(col("__w1").isNotNull)
-      .groupBy(id, concat_ws(" ", col("__w"), col("__w1")).as("__g"),
-        (length(col("__w")) + length(col("__w1"))).cast("long").as("__cover"))
-      .agg(count(lit(1)).as("__cnt"))
+    // Bigrams come from the compiled BigramArray kernel (scan-side, exact
+    // concat_ws parity) instead of a posexplode + per-doc lead window —
+    // the window paid an exchange+sort of the whole token stream. Token
+    // characters ride the same scan via the ArrayStringLenSum kernel and
+    // travel through the gram aggregate (constant per doc, max() picks it
+    // up), so the separate per-doc token-chars aggregate AND its join are
+    // gone too. tokens() never yields whitespace inside a token, so a
+    // bigram's cover is its length minus the one joining space; the only
+    // empty-token case (empty/whitespace text → [""]) has < 2 tokens and
+    // yields no bigrams, exactly like the old length-filtered stream.
+    // array_remove(tokens, "") replays the old stream's length(__w) > 0
+    // filter (split keeps leading/trailing EMPTY tokens on e.g. tab-only
+    // text; bigrams must pair the non-empty sequence) — a codegen
+    // built-in, not an interpreted HOF filter
+    val bigSig = src
+      .select(id,
+        graft.functions.TextExpressions.lenSum(
+          array_remove(tokens(col(textCol)), ""))
+          .cast("long").as("__tok_chars"),
+        explode(graft.functions.TextExpressions
+          .bigramArray(array_remove(tokens(col(textCol)), ""))).as("__g"))
+      .groupBy(id, col("__g"),
+        (length(col("__g")) - 1L).cast("long").as("__cover"))
+      .agg(count(lit(1)).as("__cnt"), max(col("__tok_chars")).as("__tc"))
       .groupBy(id)
-      .agg(max(struct(col("__cnt"), col("__cover"))).as("__top"))
-      .join(tokChars, Seq(idCol))
+      .agg(max(struct(col("__cnt"), col("__cover"))).as("__top"),
+        max(col("__tc")).as("__tok_chars"))
       .select(id, least(lit(1.0),
         (col("__top.__cnt") * col("__top.__cover")).cast("double") / col("__tok_chars"))
         .as("top_bigram_char_frac"))
@@ -505,34 +568,42 @@ object TextOps {
   def dupNgramCharFrac(docs: org.apache.spark.sql.DataFrame, textCol: String,
                        idCol: String,
                        ns: Seq[Int] = Seq(2, 3, 4)): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(ns.nonEmpty && ns.forall(_ >= 2), "n-grams need n >= 2")
     val id = col(idCol)
-    val toks = docs
-      .select(id, posexplode(tokens(col(textCol))).as(Seq("__pos", "__w")))
-      .where(length(col("__w")) > 0)
-    val tokChars = toks.groupBy(id)
-      .agg(sum(length(col("__w")).cast("long")).as("__tok_chars"))
-    val win = Window.partitionBy(id).orderBy(col("__pos"))
-    val withLeads = toks.select(
-      id +: col("__w") +: (1 until ns.max).map(k =>
-        lead(col("__w"), k).over(win).as(s"__w$k")): _*)
-    ns.sorted.foldLeft(docs.select(id).join(tokChars, Seq(idCol), "left")) {
-      (acc, n) =>
-        val grams = col("__w") +: (1 until n).map(k => col(s"__w$k"))
-        val sig = withLeads
-          .where(grams.map(_.isNotNull).reduce(_ && _))
-          .groupBy(id, concat_ws(" ", grams: _*).as("__g"),
-            grams.map(length(_).cast("long")).reduce(_ + _).as("__cover"))
-          .agg(count(lit(1)).as("__cnt"))
-          .groupBy(id)
-          .agg(sum(when(col("__cnt") > 1, col("__cnt") * col("__cover"))
-            .otherwise(0L)).as("__dupcov"))
-        acc.join(sig, Seq(idCol), "left")
-          .withColumn(s"dup_${n}gram_char_frac",
-            least(lit(1.0), coalesce(
-              col("__dupcov").cast("double") / col("__tok_chars"), lit(0.0))))
-          .drop("__dupcov")
+    // Grams come from the compiled TokenNgrams kernel per order — each n
+    // is one scan-side explode + one (doc, gram) hash aggregate. The old
+    // posexplode + shared-lead window paid an exchange+sort of the token
+    // stream per ORDER (the lead frame was re-executed under every n's
+    // aggregate subtree); token characters are the scan-side
+    // ArrayStringLenSum kernel (identical to the old per-doc sum — only
+    // the empty-text token "" differs and it contributes 0 chars). A
+    // gram's character cover is its length minus the n−1 joining spaces
+    // (tokens never contain whitespace).
+    // array_remove: the old stream's empty-token filter (see
+    // repetitionSignals) as a codegen built-in
+    val tokChars = docs.select(id,
+      graft.functions.TextExpressions.lenSum(
+        array_remove(tokens(col(textCol)), ""))
+        .cast("long").as("__tok_chars"))
+    // id-hash spread before the gram explodes (the repetitionSignals
+    // rationale): gram construction and the (id, g) partials then run
+    // cluster-wide, and both aggregates below reuse the id clustering
+    val spread = spreadByKey(docs.select(id, col(textCol)), id)
+    ns.sorted.foldLeft(tokChars) { (acc, n) =>
+      val sig = spread
+        .select(id, explode(graft.functions.TextExpressions
+          .tokenNgrams(array_remove(tokens(col(textCol)), ""), n)).as("__g"))
+        .groupBy(id, col("__g"),
+          (length(col("__g")) - lit(n - 1).cast("long")).as("__cover"))
+        .agg(count(lit(1)).as("__cnt"))
+        .groupBy(id)
+        .agg(sum(when(col("__cnt") > 1, col("__cnt") * col("__cover"))
+          .otherwise(0L)).as("__dupcov"))
+      acc.join(sig, Seq(idCol), "left")
+        .withColumn(s"dup_${n}gram_char_frac",
+          least(lit(1.0), coalesce(
+            col("__dupcov").cast("double") / col("__tok_chars"), lit(0.0))))
+        .drop("__dupcov")
     }.drop("__tok_chars")
   }
 
@@ -665,14 +736,22 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{broadcast => bc}
     require(minCount >= 1L, s"minCount must be positive: $minCount")
-    val pos = docs
-      .select(col(idCol).as("__id"),
-        posexplode(tokens(col(textCol))).as(Seq("__p", "__w")))
-    val w = Window.partitionBy(col("__id")).orderBy(col("__p"))
-    val pairs = pos
-      .withColumn("__w2", lead(col("__w"), 1).over(w))
-      .where(col("__w2").isNotNull)
-      .groupBy(col("__w").as("w1"), col("__w2").as("w2"))
+    // id-hash spread before the token/gram explodes (the
+    // repetitionSignals rationale: small inputs must not serialize the
+    // kernel work and the aggregates' map-side partials on 1-2 scan tasks)
+    val spread = spreadByKey(
+      docs.select(col(idCol).as("__id"), col(textCol).as("__t")), col("__id"))
+    val pos = spread
+      .select(col("__id"), posexplode(tokens(col("__t"))).as(Seq("__p", "__w")))
+    // Adjacent pairs from the compiled BigramArray kernel (scan-side)
+    // instead of a per-doc lead window (exchange+sort of the token
+    // stream). tokens() never contains whitespace inside a token, so the
+    // single joining space splits the bigram back unambiguously.
+    val pairs = spread
+      .select(explode(graft.functions.TextExpressions
+        .bigramArray(tokens(col("__t")))).as("__g"))
+      .groupBy(substring_index(col("__g"), " ", 1).as("w1"),
+        substring_index(col("__g"), " ", -1).as("w2"))
       .agg(count(lit(1)).as("n_xy"))
       .where(col("n_xy") >= minCount)
     val uni = pos.groupBy(col("__w")).agg(count(lit(1)).as("n"))
