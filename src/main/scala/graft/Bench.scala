@@ -45,13 +45,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // AQE's parallelism-first coalescing targets total/parallelism but
-      // floors at minPartitionSize (default 1m). The text/graph kernels
-      // here are CPU-dense per byte — a few MB of gram rows is seconds of
-      // compute — so the 1m floor collapses their shuffles to 1-3 tasks.
-      // 64k keeps parallelism-first in charge for byte-light CPU-heavy
-      // exchanges; at production volumes partitions are far above either
-      // floor, so the setting is inert there (env-overridable).
+      // AQE coalesce floor, env-overridable for experiments. Default is
+      // Spark's own 1m: a 64k floor was measured (r17) to help single-
+      // aggregate kernel queries but to inflate multi-exchange pipelines
+      // (q104 9.7 -> 15.5 s) — the library instead pins parallelism where
+      // it matters via the size-guarded spreads (TextOps.spreadByKey).
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "1m"))
       // InferFiltersFromGenerate re-inlines generator expressions into a

@@ -782,9 +782,12 @@ object Graphs {
         if (keepN == remaining) trimmed = false
         else {
           val dropped = nodes.join(keep, Seq("node"), "left_anti")
+          // result is consumed ONCE at the end — accumulate as a lazy
+          // union of (checkpointed) member frames instead of paying an
+          // eager checkpoint job per trim round (r17; the
+          // neighborhoodExact accumulator discipline)
           result = result.union(
-              dropped.select(col("node"), col("node").as("scc_id")))
-            .localCheckpoint(eager = true)
+            dropped.select(col("node"), col("node").as("scc_id")))
           nodes = keep
           rem = rem
             .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
@@ -843,10 +846,9 @@ object Graphs {
         member = next
         memberN = nextN
       }
-      // (3) settle and peel
+      // (3) settle and peel (result stays a lazy union — see trim)
       result = result.union(member
         .select(col("node"), col("color").as("scc_id")))
-        .localCheckpoint(eager = true)
       val (nodesNext, cRem) = ckptCounts(
         nodes.join(member.select(col("node")), Seq("node"), "left_anti"),
         "n" -> lit(true))

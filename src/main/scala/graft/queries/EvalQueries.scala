@@ -209,7 +209,9 @@ object EvalQueries {
     // gram counts summed, F on the totals — fully oracle-gated incl.
     // the combined corpus score (rational end to end) ─────
     "q274_corpus_chrf" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = graft.text.TextOps.spreadByKey( // r17: see analyticClassPairs
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          col("doc_id"))
         .select(col("doc_id"),
           substring(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), 1, 120)
             .as("text"))
@@ -225,7 +227,9 @@ object EvalQueries {
     // char-capped so character slicing agrees across engines; every
     // per-order component AND the combined mean are exact integers ─────
     "q262_chrf" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = graft.text.TextOps.spreadByKey( // r17: see analyticClassPairs
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          col("doc_id"))
         .select(col("doc_id"),
           substring(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), 1, 120)
             .as("text"))
@@ -333,7 +337,9 @@ object EvalQueries {
     // ───── chrF++ (char orders 1-6 + word orders 1-2, β=2) over the
     // q262 sanitized pair fixture — the WMT metric as actually used ─────
     "q266_chrfpp" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = graft.text.TextOps.spreadByKey( // r17: see analyticClassPairs
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          col("doc_id"))
         .select(col("doc_id"),
           substring(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), 1, 120)
             .as("text"))

@@ -340,7 +340,12 @@ object Retrieval {
       essentialDfFrac: Double,
       prebuiltMaxW: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be positive: $k")
+    // lazily checkpointed (r17): the weight stream feeds BOTH the
+    // candidate rescore and the unpruned fallback, and the three-join
+    // weight derivation would otherwise re-execute per consumer (the
+    // multi-consumer localCheckpoint discipline of the shingle indexes)
     val postW = oddsPostingWeights(postings, dfreq, dl, stats)
+      .localCheckpoint(eager = false)
     val maxw = prebuiltMaxW.getOrElse(
       bm25MaxWeights(postings, dfreq, dl, stats))
     // probe-sized decision frame: each query term with its df and bound
