@@ -135,6 +135,19 @@ object Bench {
     val errNames = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
       .toSeq.sorted.mkString("[", ",", "]")
     println(s"""{"metric":"queries","unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // The same map ms-ROUNDED — the most compact complete named form
+    // this contract admits. Placement note (r18, measured): the driver
+    // keeps a 2000-char tail window; the query NAMES alone total 4741
+    // chars, so NO complete named map can ever sit fully inside the
+    // window next to the total line — the number-indexed qms chunks
+    // below are the per-query data that provably survives, and they stay
+    // nearest the end. This line serves any consumer reading more than
+    // the tail (the full log is the regression record).
+    val qsMs = results.toSeq.sortBy(_._1).map {
+      case (k, Right(v)) => "\"" + k + "\":" + math.round(v * 1000)
+      case (k, Left(_)) => "\"" + k + "\":null"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"queries_ms","unit":"ms","queries":$qsMs,"sf":"$sfDir"}""")
     println(s"""{"metric":"errors","names":$errNames}""")
     qmsLines(results).foreach(println)
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"n":${results.size},"sf":"$sfDir"}""")

@@ -905,41 +905,28 @@ object Dedup {
       shingleRows(probe, textCol, idCol, Nil, n).localCheckpoint(eager = false),
       shingleRows(corpus, textCol, idCol, Nil, n), idCol, threshold)
 
-  /** [[containmentJoin]] over precomputed shingle indexes. */
+  /** [[containmentJoin]] over precomputed shingle indexes — since r18
+    * the SAME plan as [[containmentJoinPrebuilt]], with the corpus
+    * artifacts derived inline. The pre-r18 form tagged both sides,
+    * computed document frequencies over the UNION, and ran ONE window
+    * partitioned by (side, id) over the combined stream to size and
+    * rank every doc — which dragged the (100 TB) corpus side through a
+    * corpus-wide exchange+sort just to compute per-doc shingle counts
+    * that a partial-aggregable groupBy delivers, and re-executed the
+    * union-df aggregate subtree under both window branches. Only the
+    * probe side is ever prefixed, and the prefix theorem is sound under
+    * ANY fixed total order, so ordering by corpus-side df (probe-only
+    * shingles at df 0, exactly the prebuilt path) generates a candidate
+    * set that differs only in never-true extras — the exact
+    * verification stage makes the OUTPUT identical (q114/q115 share one
+    * oracle). Corpus consumption is now four streaming passes (df
+    * aggregate, size aggregate, candidate join, verify index) with no
+    * corpus-wide sort anywhere. */
   def containmentJoinFromRows(probeRows: DataFrame, corpusRows: DataFrame,
                               idCol: String, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val lRows = probeRows.select(col(idCol), col("g"), lit(0).as("__side"))
-    val rRows = corpusRows.select(col(idCol), col("g"), lit(1).as("__side"))
-    val rows = lRows.unionAll(rRows)
-    // rare-first order still deflates probe-prefix candidates; ANY shared
-    // total order is sound because only the probe side is prefixed
-    val withDf = withShingleDf(rows, Seq("g"))
-    val docWin = Window.partitionBy(col("__side"), col(idCol))
-      .orderBy(col("df"), col("g"))
-    val sized = withDf
-      .withColumn("n_sh", count(lit(1)).over(
-        docWin.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("pos", row_number().over(docWin))
-    val a = sized.where(col("__side") === 0 &&
-        col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
-      .select(col(idCol).as("id_l"), col("n_sh").as("n_l"), col("g"))
-    val b = sized.where(col("__side") === 1)
-      .select(col(idCol).as("id_r"), col("n_sh").as("n_r"), col("g"))
-    val cand = a.join(b, Seq("g"))
-      .where(col("n_r") >= ceil(lit(threshold) * col("n_l") - lit(1e-9)))
-      .select(col("id_l"), col("id_r"), col("n_l"))
-      .dropDuplicates("id_l", "id_r")
-    val lIdx = probeRows.select(col(idCol).as("id_l"), col("g"))
-    val rIdx = corpusRows.select(col(idCol).as("id_r"), col("g"))
-    cand
-      .join(lIdx, "id_l")
-      .join(rIdx, Seq("id_r", "g"))
-      .groupBy(col("id_l"), col("id_r"), col("n_l"))
-      .agg(count(lit(1)).as("inter"))
-      .select(col("id_l"), col("id_r"),
-        (col("inter").cast("double") / col("n_l")).as("containment"))
-      .where(col("containment") >= threshold)
+    val (cDf, cSizes) = corpusContainmentIndex(corpusRows, idCol)
+    containmentJoinPrebuilt(probeRows, corpusRows, cDf, cSizes, idCol,
+      threshold)
   }
 
   /** The eval-hygiene REPORT a decontamination run publishes: one row

@@ -54,6 +54,21 @@ object Graphs {
     }.toMap)
   }
 
+  /** Release a checkpointed frame's executor blocks once every consumer
+    * has materialized — the [[graft.dedup.Dedup.connectedComponents]]
+    * unpersist discipline (Dataset.unpersist only covers CacheManager
+    * entries; checkpoint blocks hang off the LogicalRDD's RDD). The
+    * fallthrough stays observable for the same reason documented there. */
+  private def unpersistCkpt(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case other =>
+        org.slf4j.LoggerFactory.getLogger(Graphs.getClass).warn(
+          s"unpersistCkpt: checkpointed plan is ${other.getClass.getSimpleName}, " +
+            "not LogicalRDD — blocks cannot be released (storage leak)")
+    }
+
   /** Map STRING node keys (hosts, canonical URLs — the web-corpus graph
     * keys the centrality operators exist for) to stable long ids via a
     * collision-checked xxhash64 dictionary. Returns `(mappedEdges,
@@ -260,6 +275,11 @@ object Graphs {
         .select(col("node"),
           coalesce(expr(s"(v * ${SCALE}L) div s"), lit(0L)).as("a"))
         .localCheckpoint(eager = true)
+      // araw's consumers (asum's broadcast, the auths join) have now
+      // materialized — release its blocks instead of pinning 2×iterations
+      // node-sized RDDs for the job's lifetime (r18, the
+      // connectedComponents unpersist discipline)
+      unpersistCkpt(araw)
       val hraw = auths.join(e, auths("node") === e("dst"))
         .groupBy(col("src")).agg(sum(col("a")).as("v"))
         .localCheckpoint(eager = false)
@@ -269,6 +289,7 @@ object Graphs {
         .select(col("node"),
           coalesce(expr(s"(v * ${SCALE}L) div s"), lit(0L)).as("h"))
         .localCheckpoint(eager = true)
+      unpersistCkpt(hraw)
     }
     nodes
       .join(hubs, Seq("node")).join(auths, Seq("node"))
@@ -761,6 +782,22 @@ object Graphs {
         org.apache.spark.sql.types.StructField("scc_id",
           org.apache.spark.sql.types.LongType, nullable = false))))
     var remaining = cN("n")
+    // the settled-SCC accumulator is a LAZY union (r17 — consumed once at
+    // the end), but on adversarial graphs up to 256 trim rounds × 64
+    // peels would build a union of thousands of LogicalRDD branches and
+    // driver analysis of the final plan blows up: COLLAPSE the
+    // accumulator with one eager checkpoint every 16 unions (r18) — plan
+    // width stays bounded while graphs that settle in a few unions (the
+    // common case) never pay a collapse job
+    var unionsSinceCollapse = 0
+    def accumulate(settled: DataFrame): Unit = {
+      result = result.union(settled)
+      unionsSinceCollapse += 1
+      if (unionsSinceCollapse >= 16) {
+        result = result.localCheckpoint(eager = true)
+        unionsSinceCollapse = 0
+      }
+    }
     var peel = 0
     while (remaining > 0L && peel < maxPeels) {
       // (0) TRIM — the standard FW-BW companion: a node with in- or
@@ -785,9 +822,9 @@ object Graphs {
           // result is consumed ONCE at the end — accumulate as a lazy
           // union of (checkpointed) member frames instead of paying an
           // eager checkpoint job per trim round (r17; the
-          // neighborhoodExact accumulator discipline)
-          result = result.union(
-            dropped.select(col("node"), col("node").as("scc_id")))
+          // neighborhoodExact accumulator discipline), width-bounded by
+          // the periodic collapse above
+          accumulate(dropped.select(col("node"), col("node").as("scc_id")))
           nodes = keep
           rem = rem
             .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
@@ -847,8 +884,7 @@ object Graphs {
         memberN = nextN
       }
       // (3) settle and peel (result stays a lazy union — see trim)
-      result = result.union(member
-        .select(col("node"), col("color").as("scc_id")))
+      accumulate(member.select(col("node"), col("color").as("scc_id")))
       val (nodesNext, cRem) = ckptCounts(
         nodes.join(member.select(col("node")), Seq("node"), "left_anti"),
         "n" -> lit(true))

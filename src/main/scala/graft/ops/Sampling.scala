@@ -342,53 +342,57 @@ object Sampling {
     // aggregate so "no budget" costs zero driver actions
     if (budget == Long.MaxValue) return df
     val tok = coalesce(col(tokenCountCol).cast("long"), lit(0L))
-    def tokenTotal(in: DataFrame): Long = {
-      val r = in.agg(sum(tok).cast("long")).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
-    def exactPass(in: DataFrame): DataFrame = {
-      val spark = in.sparkSession
-      // bucket 0..255 by the first 2 hex of the order hash; 256 = null id
-      val bucket = coalesce(
-        conv(substring(hashScore(col(idCol)), 1, 2), 16, 10).cast("int"),
-        lit(256))
-      val bucketed = in.withColumn("__bkt", bucket)
-      val sums = bucketed.groupBy(col("__bkt"))
-        .agg(sum(col("__tok0")).as("__s"))
-      // exclusive scan over the (ordered, fixed) bucket ids
-      val totals = sums.collect()
+    // bucket 0..255 by the first 2 hex of the order hash; 256 = null id
+    val bucket = coalesce(
+      conv(substring(hashScore(col(idCol)), 1, 2), 16, 10).cast("int"),
+      lit(256))
+    // ONE bounded (≤ 257-row) collect per sizing decision: the bucket
+    // sums deliver BOTH the total (their sum — pre-r18 a separate full
+    // sizing pass computed it) and the exclusive-scan offsets the exact
+    // pass needs, so the common path pays two passes over the input
+    // instead of three (guide §1.2: don't recompute what one aggregate
+    // already holds). Values are identical: Σ per-bucket sums ≡ the old
+    // global sum over the same `tok` expression.
+    def bucketTotals(in: DataFrame): Seq[(Int, Long)] =
+      in.groupBy(bucket.as("__bkt")).agg(sum(tok).as("__s"))
+        .collect()
         .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
-        .sortBy(_._1)
+        .sortBy(_._1).toSeq
+    // __tok0 is materialized once so the offsets (computed from the same
+    // collected sums) and the window read the identical value
+    def exactPass(in: DataFrame, totals: Seq[(Int, Long)]): DataFrame = {
+      val spark = in.sparkSession
+      // exclusive scan over the (ordered, fixed) bucket ids
       val offsets = totals.scanLeft((0, 0L)) {
         case ((_, acc), (b, s)) => (b, acc + s)
-      }.sliding(2).collect { case Array((_, off), (b, _)) => (b, off) }.toSeq
+      }.sliding(2).collect { case Seq((_, off), (b, _)) => (b, off) }.toSeq
       import spark.implicits._
       val offDf = offsets.toDF("__bkt", "__off")
       val w = Window.partitionBy(col("__bkt"))
         .orderBy(hashScore(col(idCol)).asc_nulls_last, col(idCol).asc_nulls_last)
         .rowsBetween(Window.unboundedPreceding, -1)
-      bucketed.join(broadcast(offDf), Seq("__bkt"))
+      in.withColumn("__tok0", tok).withColumn("__bkt", bucket)
+        .join(broadcast(offDf), Seq("__bkt"))
         .withColumn("__cum0",
           col("__off") + coalesce(sum(col("__tok0")).over(w), lit(0L)))
         .where(col("__cum0") < budget)
         .drop("__bkt", "__off", "__cum0", "__tok0")
     }
-    // __tok0 is materialized once so the bucket sums and the window read
-    // the identical value; reserved-name guard mirrors perKeyCap's
+    // reserved-name guard mirrors perKeyCap's
     val reserved = Seq("__bkt", "__off", "__cum0", "__tok0")
     require(!df.columns.exists(reserved.contains),
       s"input reserves column names ${reserved.mkString(", ")}")
-    val withTok = df.withColumn("__tok0", tok)
-    val total = tokenTotal(df)
+    val totals = bucketTotals(df)
+    val total = totals.map(_._2).sum
     if (total <= budget) return df // whole corpus fits — no prefix sum needed
     val p = safety * budget.toDouble / total
-    if (p >= 1.0) return exactPass(withTok)
+    if (p >= 1.0) return exactPass(df, totals)
     val survivors = df.where(hashScore(col(idCol)) < lit(hexThreshold(p)))
     // the budget-crossing doc is inside the prefix iff the prefix's token
     // total reaches the budget; otherwise the estimate under-filled
-    if (tokenTotal(survivors) >= budget)
-      exactPass(survivors.withColumn("__tok0", tok))
-    else exactPass(withTok)
+    val sTotals = bucketTotals(survivors)
+    if (sTotals.map(_._2).sum >= budget) exactPass(survivors, sTotals)
+    else exactPass(df, totals)
   }
 
   /** At most `n` rows per key (e.g. per domain / per source), chosen by

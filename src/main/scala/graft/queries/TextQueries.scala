@@ -693,9 +693,18 @@ object TextQueries {
     // now reflect post-rewrite text ─────
     "q104_clean_substr" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // lazily checkpointed (r18): clean() consumes the rewritten corpus
+      // in THREE subtrees (the quality-passer branch, the failure branch,
+      // and the shingle-index materialization), each of which re-executed
+      // the whole ExactSubstr gram pipeline — the largest single plan in
+      // the bench, and the Catalyst-planning-gap profile's top query.
+      // Production Lee-et-al pipelines materialize the rewritten corpus
+      // anyway (it IS the stage output); the checkpoint is that
+      // materialization, in-session.
       val rewritten = docs.select(col("doc_id"), col("lang"))
         .join(graft.text.SubstringDedup.substringDedup(docs, "text", "doc_id", k = 8)
           .select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
+        .localCheckpoint(eager = false)
       graft.text.Corpus.clean(rewritten, "text", "doc_id",
           Seq("lang"), stopwords, n = 3, threshold = 0.5)
         .select(col("doc_id"), col("keep_quality"), col("keep_exact"), col("keep"))

@@ -376,6 +376,10 @@ object Retrieval {
     // fresh-aliased key on the verdict branch: topCand (checkpointed)
     // and the live qTerms/qt branch carry the SAME query_id attribute,
     // and a semi-join between them would be an unresolvable self-join
+    // checkpointed (r18): the verdict is probe-sized by contract and now
+    // feeds THREE consumers — the fallback gate below, the pruned part's
+    // semi-join, and the returned verdict frame — so the qt/topCand
+    // derivation executes once instead of per consumer
     val verdict = qBounds
       .join(topCand.groupBy(col("query_id").as("__vq"))
           .agg(count(lit(1)).as("n_top"), min(col("score_pico")).as("theta")),
@@ -385,22 +389,33 @@ object Retrieval {
         col("ub_rest") === 0L ||
           (coalesce(col("n_top"), lit(0L)) >= k &&
             coalesce(col("theta"), lit(Long.MinValue)) > col("ub_rest")))
+      .localCheckpoint(eager = false)
     def queryIds(cond: Column): DataFrame =
       verdict.where(cond).select(col("query_id").as("__vq"))
     val prunedPart = topCand
       .join(queryIds(col("exact_ok")), col("query_id") === col("__vq"),
         "left_semi")
+    // ONE bounded driver scalar (≤ |queries| rows — the probe contract;
+    // the tokenBudgetSample bounded-collect discipline) gates the
+    // fallback: when every query's bound closes — the common case for a
+    // well-chosen essentialDfFrac — the unpruned rescore is not PLANNED
+    // at all, instead of executing as an empty semi-join chain whose
+    // postings-wide exchange still ran as an AQE stage. Rows out are
+    // identical: an empty fallback contributed nothing to the union.
+    val anyOpen = verdict.where(!col("exact_ok")).limit(1).count() > 0L
     // self-repair: queries whose bound did not close rerun unpruned —
     // exactness never depends on the frac chosen
-    val fallbackPart = topKPerQuery(
-      qTerms
-        .join(queryIds(!col("exact_ok")), col("query_id") === col("__vq"),
-          "left_semi")
-        .join(postW, Seq("token"))
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(sum(col("w_pico")).as("score_pico")),
-      "score_pico", k)
-    (prunedPart.unionByName(fallbackPart), verdict)
+    val result =
+      if (!anyOpen) prunedPart
+      else prunedPart.unionByName(topKPerQuery(
+        qTerms
+          .join(queryIds(!col("exact_ok")), col("query_id") === col("__vq"),
+            "left_semi")
+          .join(postW, Seq("token"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(sum(col("w_pico")).as("score_pico")),
+        "score_pico", k))
+    (result, verdict)
   }
 
   /** Exact PHRASE search over positional postings — the retrieval

